@@ -1,0 +1,21 @@
+"""docetl_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ucbepic/docetl, re-expressed Spark-first.
+
+Public surface:
+- SemanticFrame: lazy pandas-like API over Spark DataFrames
+- ModelBackend / FakeBackend / LiteLLMBackend: semantic-op model layer
+- get_spark / load_tables: session + testdata helpers
+"""
+
+from .backend import FakeBackend, LiteLLMBackend, ModelBackend
+from .frame import SemanticFrame
+from .session import get_spark, load_tables
+
+__all__ = [
+    "FakeBackend",
+    "LiteLLMBackend",
+    "ModelBackend",
+    "SemanticFrame",
+    "get_spark",
+    "load_tables",
+]

@@ -1,0 +1,202 @@
+"""Model backend abstraction for semantic (LLM-parameterized) operators.
+
+The reference executes every semantic op through one LLM invocation layer
+(/root/reference/docetl/operations/utils/api.py:588-734 `call_llm`, plus
+`gen_embedding` api.py:179+). We re-create that layer behind a small
+protocol so that:
+
+- correctness tests / the DuckDB oracle run against a deterministic
+  ``FakeBackend`` (pure function of the rendered prompt + row context);
+- a real deployment plugs in an HTTP-backed implementation with
+  batching, retries and caching at the executor level.
+
+Backends are constructed on the driver and shipped to executors inside
+Pandas-UDF closures, so they must be picklable and cheap to initialize;
+any network client must be created lazily per-executor (see
+``LiteLLMBackend._client``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any, Callable
+
+import numpy as np
+
+
+class ModelBackend:
+    """Protocol: complete / embed / classify_logprob.
+
+    ``complete`` receives the rendered prompt, the declared output schema
+    (dict of key -> type spec string) and the originating row(s) as
+    ``context`` (a dict for row-level ops, a list of dicts for group-level
+    ops). Implementations return a dict conforming to the schema.
+    """
+
+    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
+        raise NotImplementedError
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        raise NotImplementedError
+
+    def classify_logprob(self, prompt: str, labels: list[str], context: Any):
+        raise NotImplementedError
+
+
+_POSITIVE = ("good", "great", "excellent", "love", "happy", "wonderful")
+_NEGATIVE = ("bad", "terrible", "awful", "hate", "sad", "horrible")
+
+_norm_re = re.compile(r"[^a-z0-9]+")
+
+
+def normalize_text(s: str) -> str:
+    """Lowercase and collapse non-alphanumerics — the FakeBackend's notion
+    of entity equality (mirrors the reference test style of asserting
+    invariants rather than exact strings, SURVEY.md §5)."""
+    return _norm_re.sub(" ", (s or "").lower()).strip()
+
+
+class FakeBackend(ModelBackend):
+    """Deterministic backend (FIXTURES.md `FakeBackend contract`).
+
+    Default rules (each mirrorable in ANSI SQL for the DuckDB oracle):
+
+    - ``sentiment`` keys: first positive keyword wins, then negative,
+      else ``neutral`` (keywords above, checked in order).
+    - boolean keys (``is_match``/``matched``/``same``/``keep``): when the
+      context carries exactly two comparable strings, normalized equality;
+      otherwise "does the text contain the prompt's quoted keyword".
+    - ``summary`` keys: ``<n> items: `` + comma-joined sorted distinct
+      normalized texts (capped at 5).
+    - integer keys: count of whitespace tokens in the concatenated text.
+    - anything else: sha1-derived deterministic token.
+
+    Per-op custom rules can be injected via ``rules={key: fn(context)}``.
+    """
+
+    def __init__(self, rules: dict[str, Callable[[Any], Any]] | None = None, dim: int = 16):
+        self.rules = rules or {}
+        self.dim = dim
+
+    # -- helpers -------------------------------------------------------
+    @staticmethod
+    def _context_text(context: Any) -> str:
+        if isinstance(context, dict):
+            return " ".join(str(v) for v in context.values() if isinstance(v, str))
+        if isinstance(context, (list, tuple)):
+            return " ".join(FakeBackend._context_text(c) for c in context)
+        return str(context)
+
+    @staticmethod
+    def _quoted_keyword(prompt: str) -> str | None:
+        m = re.search(r"['\"]([^'\"]+)['\"]", prompt or "")
+        return m.group(1) if m else None
+
+    # -- protocol ------------------------------------------------------
+    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
+        out = {}
+        for key, spec in output_schema.items():
+            if key in self.rules:
+                out[key] = self.rules[key](context)
+                continue
+            spec_l = str(spec).lower()
+            text = self._context_text(context)
+            low = text.lower()
+            if "sentiment" in key:
+                out[key] = next(
+                    (lbl for words, lbl in ((_POSITIVE, "positive"), (_NEGATIVE, "negative"))
+                     if any(w in low for w in words)),
+                    "neutral",
+                )
+            elif spec_l in ("bool", "boolean"):
+                if isinstance(context, (list, tuple)) and len(context) == 2:
+                    out[key] = normalize_text(self._context_text(context[0])) == normalize_text(
+                        self._context_text(context[1])
+                    )
+                else:
+                    kw = self._quoted_keyword(prompt)
+                    out[key] = bool(kw) and kw.lower() in low
+            elif "summary" in key:
+                items = sorted({normalize_text(t) for t in low.split(",") if t.strip()})[:5]
+                out[key] = f"{len(items)} items: " + ", ".join(items)
+            elif spec_l in ("int", "integer"):
+                out[key] = len(text.split())
+            elif spec_l in ("float", "number", "decimal"):
+                out[key] = float(len(text.split()))
+            elif spec_l.startswith("enum["):
+                values = [v.strip() for v in str(spec)[5:-1].split(",")]
+                idx = int(hashlib.sha1(text.encode()).hexdigest(), 16) % len(values)
+                out[key] = values[idx]
+            elif spec_l.startswith("list["):
+                out[key] = sorted({w for w in normalize_text(text).split()})[:5]
+            else:
+                out[key] = "fake:" + hashlib.sha1(text.encode()).hexdigest()[:8]
+        return out
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        vecs = []
+        for t in texts:
+            seed = int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
+            rng = np.random.RandomState(seed)
+            v = rng.standard_normal(self.dim)
+            v /= np.linalg.norm(v) or 1.0
+            vecs.append(v.astype(float).tolist())
+        return vecs
+
+    def classify_logprob(self, prompt: str, labels: list[str], context: Any):
+        text = self._context_text(context)
+        idx = int(hashlib.sha1(text.encode()).hexdigest(), 16) % len(labels)
+        return labels[idx], 0.9
+
+
+class LiteLLMBackend(ModelBackend):
+    """Real-model backend (parity with the reference's litellm layer).
+
+    Lazily constructs its client per executor; not exercised in this
+    container (no network), but the integration surface matches
+    api.py:588-734: structured output via JSON-schema response_format,
+    retries left to litellm Router config.
+    """
+
+    def __init__(self, model: str = "gpt-4o-mini", **kwargs):
+        self.model = model
+        self.kwargs = kwargs
+        self._mod = None
+
+    def _client(self):
+        if self._mod is None:
+            try:
+                import litellm  # noqa: PLC0415
+
+                self._mod = litellm
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "litellm is not installed; use FakeBackend for local runs"
+                ) from e
+        return self._mod
+
+    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:  # pragma: no cover
+        import json  # noqa: PLC0415
+
+        from .types import schema_of  # noqa: PLC0415
+
+        props = {k: {"type": "string"} for k in output_schema}
+        _ = schema_of  # schema validation hook
+        resp = self._client().completion(
+            model=self.model,
+            messages=[{"role": "user", "content": prompt}],
+            response_format={
+                "type": "json_schema",
+                "json_schema": {
+                    "name": "send_output",
+                    "schema": {"type": "object", "properties": props, "required": list(props)},
+                },
+            },
+            **self.kwargs,
+        )
+        return json.loads(resp.choices[0].message.content)
+
+    def embed(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
+        resp = self._client().embedding(model="text-embedding-3-small", input=texts)
+        return [d["embedding"] for d in resp.data]

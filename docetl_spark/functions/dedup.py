@@ -1,0 +1,207 @@
+"""Deduplication toolkit: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the operations a 100 TB training-data
+pipeline needs as first-class citizens.
+
+Scale posture:
+- exact dedup is a single hash-partitioned window (one shuffle on the
+  fingerprint key);
+- MinHash signatures are pure Spark expressions (xxhash64 per seed over
+  the shingle array — JVM-side, no Python);
+- LSH banding turns near-dup detection into an equi-join on
+  (band_index, band_hash) — candidate pairs only, never O(n^2);
+- clustering is iterative min-label propagation (connected components)
+  with early exit, all joins on hash-partitioned keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .text import fingerprint, shingles, tokens
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, text_col: str, *, order_by: list, id_col: str | None = None) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (first by order_by)."""
+    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signature(col, num_hashes: int = 128, shingle_size: int = 3) -> F.Column:
+    """Array of ``num_hashes`` min-hashes over word shingles. Each hash
+    family member is xxhash64(shingle, seed=i) — deterministic and
+    entirely JVM-side."""
+    sh = shingles(col, shingle_size)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "_minhash",
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, hash).
+    Returns candidate pairs (id_a < id_b). rows_per_band = num_hashes /
+    bands tunes the similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.array_join(F.transform(
+                    F.slice(F.col(sig_col), b * r + 1, r), lambda x: x.cast("string")), ",")),
+            )
+        ).alias("_band", "_bh"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(right, (F.col("a._band") == F.col("b._band")) & (F.col("a._bh") == F.col("b._bh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, *, shingle_size: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (verification step after
+    LSH recall). Joins shingle sets in; set math is JVM-side."""
+    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_size).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- simhash
+def simhash64(col) -> F.Column:
+    """64-bit SimHash over whitespace tokens, pure expressions: each
+    token hashes to 64 bits; bit b of the fingerprint is the sign of
+    sum_t (2*bit(t,b)-1). Implemented as a fold over 64 bit positions of
+    JVM-side aggregates (no Python)."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h, b=b: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sim = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        sim = sim + F.shiftleft(bit, b)
+    return F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str, sim_col: str = "_simhash", *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole:
+    hamming <= 3 guarantees one identical chunk), verify full hamming."""
+    chunks = [
+        F.shiftright(F.col(sim_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"_c{i}") for i in range(4)
+    ]
+    base = df.select(F.col(id_col).alias("_id"), F.col(sim_col).alias("_sh"), *chunks)
+    out = None
+    for i in range(4):
+        a, b = base.alias("a"), base.alias("b")
+        p = a.join(
+            b, (F.col(f"a._c{i}") == F.col(f"b._c{i}")) & (F.col("a._id") < F.col("b._id"))
+        ).select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+
+
+# ------------------------------------------------- connected components
+def connected_components(edges: DataFrame, vertices: DataFrame, id_col: str, *, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation: component id = min reachable vertex id.
+    Converges in O(diameter) joins; dedup clusters have tiny diameter.
+    Returns (id_col, component).
+
+    edges: (id_a, id_b); vertices: df with id_col.
+    """
+    labels = vertices.select(F.col(id_col).alias("_v"), F.col(id_col).alias("component"))
+    sym = edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")).unionByName(
+        edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+    )
+    sym = sym.repartition("_src").cache()
+    for _ in range(max_iter):
+        # candidate label per vertex = min over neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym["_dst"] == labels["_v"])
+            .groupBy("_src")
+            .agg(F.min("component").alias("_nc"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_v"] == neighbor_min["_src"], "left")
+            .select(
+                F.col("_v"),
+                F.least(F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))).alias("component"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_v").alias(id_col), "component")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dedup: keep the min-id representative
+    of every near-dup cluster. Returns the deduplicated DataFrame."""
+    with_sig = df.withColumn("_minhash", minhash_signature(F.col(text_col), num_hashes, shingle_size))
+    cand = lsh_candidate_pairs(with_sig, id_col, "_minhash", num_hashes=num_hashes, bands=bands)
+    verified = jaccard_verify(cand, df, id_col, text_col, shingle_size=shingle_size, threshold=jaccard_threshold)
+    comp = connected_components(verified.select("id_a", "id_b"), df.select(id_col), id_col)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .filter(F.col(id_col) == F.col("component"))
+        .drop("component")
+    )

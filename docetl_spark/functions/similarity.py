@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``brute_force_topk``: exact cosine top-k per query — broadcast the
+  (small) query set, score JVM-side, per-query window rank. The
+  correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketing — sign-bit sketch of
+  each vector, equi-join on bucket prefix, rank within candidates. The
+  scale path: candidate generation is an equi-join, never a cross join.
+
+Vector math stays in Spark expressions (zip_with/aggregate fold) — for
+very wide vectors a pandas_udf + numpy dot is the fallback (see
+``cosine_scores_pandas``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from ..operators.sample import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    round_score: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for every query row. The query side is
+    broadcast (ANN queries are small relative to the corpus); the corpus
+    never shuffles. Output: (query_id, vec_id, score, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).cast("array<double>").alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).cast("array<double>").alias("_cv")
+    )
+    score = cosine_sim(F.col("_cv"), F.col("_qv"))
+    if round_score is not None:
+        score = F.round(score, round_score)
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id from random hyperplanes (pure expressions)."""
+    v = vec_col.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query.
+    Trades recall for turning the scan into an equi-join on bucket id —
+    at 100 TB the corpus is hash-partitioned by bucket once and reused."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    ).withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))
+    scored = c.join(F.broadcast(q), "_bucket").withColumn(
+        "score", F.round(cosine_sim(F.col("_cv"), F.col("_qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def cosine_scores_pandas(corpus: DataFrame, query_vector: list[float], *, vec_col: str = "embedding") -> DataFrame:
+    """numpy-vectorized cosine against one query (Arrow-batched) — the
+    fallback for very wide vectors where per-element expression folds
+    get expensive."""
+    qv = np.asarray(query_vector, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    @F.pandas_udf(T.DoubleType())
+    def score(s: pd.Series) -> pd.Series:
+        m = np.stack(s.to_numpy())
+        dots = m @ qv
+        norms = np.linalg.norm(m, axis=1) * qn
+        return pd.Series(np.where(norms > 0, dots / norms, 0.0))
+
+    return corpus.withColumn("score", score(F.col(vec_col).cast("array<double>")))

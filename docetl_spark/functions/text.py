@@ -1,0 +1,124 @@
+"""Text-analysis column functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All are pure Spark SQL expressions (JVM-side, whole-stage-codegen'd) —
+no Python in the hot path — so they compose with filters/aggregations
+and push down/prune like any built-in function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS_SPLIT = r"\s+"
+
+# Small per-language stopword lists (public knowledge) for the n-gram/
+# stopword-hit language heuristic. Deterministic rule: count distinct
+# stopword hits per language; highest count wins; ties and zero hits
+# fall back to "und" (undetermined).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (empty string -> empty array)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WS_SPLIT)
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def avg_token_len(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    n = F.length(col)
+    n_punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col) -> Column:
+    n = F.length(col)
+    n_dig = n - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.when(n > 0, n_dig.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    toks = F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-z0-9]", ""))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Heuristic [0,1] quality score: rewards mid-length docs, a healthy
+    stopword ratio and mean word length; penalizes punctuation/digit
+    noise. Weights are fixed constants so the score is deterministic and
+    SQL-mirrorable."""
+    n_tok = token_count(col).cast("double")
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    wordlen = avg_token_len(col)
+    wordlen_term = F.when((wordlen >= 3.0) & (wordlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    noise = F.least(punct_ratio(col) * 2.0 + digit_ratio(col), F.lit(1.0))
+    score = 0.4 * len_term + 0.2 * stop_term + 0.2 * wordlen_term + 0.2 * (1.0 - noise)
+    return F.round(score, 6)
+
+
+def lang_id(col) -> Column:
+    """Stopword-hit language heuristic over STOPWORDS; ties/zero -> 'und'.
+
+    Tie-break: deterministic preference order en > de > fr > es (dict
+    order above) — mirror the same CASE order in oracle SQL.
+    """
+    toks = F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-z0-9]", ""))
+    out = F.lit("und")
+    best = F.lit(0)
+    # build nested CASE: evaluate in reverse preference so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        hits = F.size(F.array_intersect(toks, F.lit(STOPWORDS[lang]).cast("array<string>")))
+        out = F.when(hits >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(out)
+        best = F.greatest(best, hits)
+    return out
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercase, alnum-only, single-space-joined). Identical after
+    formatting changes -> identical fingerprint; the exact-dedup key."""
+    norm = F.array_join(
+        F.filter(
+            F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-z0-9]", "")),
+            lambda t: t != "",
+        ),
+        " ",
+    )
+    return F.md5(norm)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, space-joined) for MinHash /
+    Jaccard dedup. Pure expression: sequence + transform + slice."""
+    toks = F.filter(
+        F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-z0-9]", "")),
+        lambda t: t != "",
+    )
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(grams)

@@ -1,0 +1,97 @@
+"""Gather operator: context-window reconstruction around each chunk.
+
+Reference semantics: /root/reference/docetl/operations/gather.py:9-363 —
+group chunks by ``doc_id_key``, sort by ``order_key``; for each chunk,
+render ``{content_key}_rendered`` = previous-context section (head /
+middle / tail subsets with "[... N characters skipped ...]" markers) +
+main chunk between start/end markers + next-context section.
+
+Spark realization: a per-document grouped pandas apply. Documents are the
+natural partition unit (each group is one doc's chunk list, bounded by
+doc length), so ``groupBy(doc_id).applyInPandas`` scales with the number
+of documents; rendering is pure Python string work on an already-local
+group. A window/collect_list formulation would move the same bytes —
+grouped apply keeps it one shuffle with no row duplication.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+
+def _peripheral_parts(chunks, config, content_key, order_key) -> list[str]:
+    """Mirrors process_peripheral_chunks (gather.py:215-292)."""
+    parts: list[str] = []
+    total = len(chunks)
+    head_count = int(config.get("head", {}).get("count", 0))
+    tail_count = int(config.get("tail", {}).get("count", 0))
+    in_skip = False
+    skip_chars = 0
+    for i, chunk in enumerate(chunks):
+        if i < head_count:
+            section = "head"
+        elif i >= total - tail_count:
+            section = "tail"
+        elif "middle" in config:
+            section = "middle"
+        else:
+            n = len(chunk[content_key] or "")
+            skip_chars = n if not in_skip else skip_chars + n
+            in_skip = True
+            continue
+        if in_skip:
+            parts.append(f"[... {skip_chars} characters skipped ...]")
+            in_skip = False
+            skip_chars = 0
+        section_config = config.get(section, {})
+        section_key = section_config.get("content_key", content_key)
+        suffix = " (Summary)" if section_key != content_key else ""
+        parts.extend((f"[Chunk {chunk[order_key]}{suffix}]", f"{chunk[section_key]}"))
+    if in_skip:
+        parts.append(f"[... {skip_chars} characters skipped ...]")
+    return parts
+
+
+def render_chunk(chunks: list[dict], idx: int, peripheral: dict, content_key: str,
+                 order_key: str, main_start: str, main_end: str) -> str:
+    """Mirrors render_chunk_with_context (gather.py:145-213), hierarchy
+    headers omitted unless doc_header_key configured (see gather_op)."""
+    if not peripheral:
+        return chunks[idx][content_key]
+    parts = ["--- Previous Context ---"]
+    parts.extend(_peripheral_parts(chunks[:idx], peripheral.get("previous", {}), content_key, order_key))
+    parts.append("--- End Previous Context ---\n")
+    main = chunks[idx]
+    parts.extend((f"{main_start}", f"{main[content_key]}", f"{main_end}", "\n--- Next Context ---"))
+    parts.extend(_peripheral_parts(chunks[idx + 1:], peripheral.get("next", {}), content_key, order_key))
+    parts.append("--- End Next Context ---")
+    return "\n".join(parts)
+
+
+def gather(
+    df: DataFrame,
+    content_key: str,
+    doc_id_key: str,
+    order_key: str,
+    *,
+    peripheral_chunks: dict | None = None,
+    main_chunk_start: str = "--- Begin Main Chunk ---",
+    main_chunk_end: str = "--- End Main Chunk ---",
+) -> DataFrame:
+    peripheral = peripheral_chunks or {}
+    rendered_key = f"{content_key}_rendered"
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(rendered_key, T.StringType(), True)])
+    out_names = out_schema.fieldNames()
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_key, kind="mergesort").reset_index(drop=True)
+        chunks = pdf.to_dict("records")
+        pdf[rendered_key] = [
+            render_chunk(chunks, i, peripheral, content_key, order_key,
+                         main_chunk_start, main_chunk_end)
+            for i in range(len(chunks))
+        ]
+        return pdf[out_names]
+
+    return df.groupBy(doc_id_key).applyInPandas(per_doc, schema=out_schema)

@@ -1,0 +1,144 @@
+"""Shape operators: split / unnest / unnest_columns / add_uuid.
+
+Reference semantics:
+- split          /root/reference/docetl/operations/split.py:11-162
+- unnest         /root/reference/docetl/operations/unnest.py:8-253
+- unnest_columns /root/reference/docetl/operations/unnest_columns.py:8-109
+- add_uuid       /root/reference/docetl/operations/add_uuid.py:7-63
+
+All are pure DataFrame compositions (explode / posexplode / select) —
+no Python UDFs except the token_count chunker, which runs as an
+Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# GPT-ish BPE pre-tokenizer regex (public pattern family used by tiktoken's
+# cl100k_base). tiktoken itself is unavailable in this container, so token
+# counts are approximated by pre-tokenizer pieces — deterministic, and a
+# faithful stand-in for chunk boundary behavior (documented deviation).
+_BPE_SPLIT = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+def tokenize_approx(text: str) -> list[str]:
+    return _BPE_SPLIT.findall(text or "")
+
+
+def split(
+    df: DataFrame,
+    split_key: str,
+    method: str,
+    method_kwargs: dict,
+    *,
+    name: str = "split",
+    doc_id: str | Column | None = None,
+) -> DataFrame:
+    """1 doc -> N chunk rows. Adds ``{split_key}_chunk``, ``{name}_id``
+    (per-document id; uuid by default, or a caller-supplied deterministic
+    column for oracle-checkable runs) and 1-based ``{name}_chunk_num``.
+
+    delimiter method (split.py:138-160): split on the literal delimiter,
+    drop chunks that are empty after strip, group ``num_splits_to_group``
+    consecutive splits re-joined with the delimiter, strip each chunk.
+    token_count method (split.py:118-136): fixed-size windows of
+    approximate BPE tokens.
+    """
+    chunk_col = f"{split_key}_chunk"
+    id_col = f"{name}_id"
+    num_col = f"{name}_chunk_num"
+    if doc_id is None:
+        doc_id = F.expr("uuid()")
+    elif isinstance(doc_id, str):
+        doc_id = F.col(doc_id).cast("string")
+
+    if method == "delimiter":
+        delim = method_kwargs["delimiter"]
+        group = int(method_kwargs.get("num_splits_to_group", 1))
+        parts = F.filter(
+            F.split(F.col(split_key), re.escape(delim), -1),
+            lambda x: F.trim(x) != F.lit(""),
+        )
+        if group > 1:
+            n_chunks = F.ceil(F.size(parts) / F.lit(group)).cast("int")
+            chunks = F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.trim(F.array_join(F.slice(parts, i * group + 1, group), delim)),
+            )
+            chunks = F.when(F.size(parts) > 0, chunks).otherwise(F.array().cast("array<string>"))
+        else:
+            chunks = F.transform(parts, lambda x: F.trim(x))
+    elif method == "token_count":
+        num_tokens = int(method_kwargs["num_tokens"])
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def chunk_tokens(s):
+            def one(text):
+                toks = tokenize_approx(text)
+                return ["".join(toks[i : i + num_tokens]) for i in range(0, len(toks), num_tokens)]
+
+            return s.map(one)
+
+        chunks = chunk_tokens(F.col(split_key).cast("string"))
+    else:
+        raise ValueError(f"unknown split method: {method!r}")
+
+    return (
+        df.withColumn(id_col, doc_id)
+        .select("*", F.posexplode(chunks).alias("_pos", chunk_col))
+        .withColumn(num_col, (F.col("_pos") + 1).cast("long"))
+        .drop("_pos")
+    )
+
+
+def unnest(
+    df: DataFrame,
+    unnest_key: str,
+    *,
+    keep_empty: bool = False,
+    expand_fields: list[str] | None = None,
+    recursive: bool = False,
+    depth: int | None = None,
+) -> DataFrame:
+    """Explode a list column in place (element replaces key), or expand a
+    struct column's ``expand_fields`` to top level keeping the original
+    (unnest.py:96-103). ``keep_empty`` emits a null-element row for
+    empty/null arrays (explode_outer; unnest.py:234-244)."""
+    dt = df.schema[unnest_key].dataType
+    if isinstance(dt, T.StructType):
+        fields = expand_fields or [f.name for f in dt.fields]
+        for f in fields:
+            df = df.withColumn(f, F.col(f"{unnest_key}.{f}"))
+        return df
+
+    rounds = max(1, int(depth or 1)) if recursive else 1
+    exploder = F.explode_outer if keep_empty else F.explode
+    out = df
+    for _ in range(rounds):
+        if not isinstance(out.schema[unnest_key].dataType, T.ArrayType):
+            break
+        out = out.withColumn(unnest_key, exploder(F.col(unnest_key)))
+    return out
+
+
+def unnest_columns(df: DataFrame, column: str) -> DataFrame:
+    """Flatten a struct column to top-level columns, dropping the source
+    (unnest_columns.py:100-107)."""
+    dt = df.schema[column].dataType
+    if not isinstance(dt, T.StructType):
+        raise ValueError(f"unnest_columns requires a struct column, got {dt}")
+    others = [c for c in df.columns if c != column]
+    return df.select(*others, f"{column}.*")
+
+
+def add_uuid(df: DataFrame, id_key: str = "uuid_id", *, deterministic_from: str | None = None) -> DataFrame:
+    """Row id column. uuid4 analogue via ``uuid()`` (add_uuid.py:7-63);
+    pass ``deterministic_from=<col>`` for an oracle-checkable md5-based id."""
+    if deterministic_from:
+        return df.withColumn(id_key, F.md5(F.col(deterministic_from).cast("string")))
+    return df.withColumn(id_key, F.expr("uuid()"))

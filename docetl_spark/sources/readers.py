@@ -1,0 +1,90 @@
+"""Dataset sources. Reference: /root/reference/docetl/dataset.py:135-334 —
+file formats JSON (list of objects), CSV, Parquet, and directory-of-files
+(rows {path, filename, text}); plus 1->N parsing tools.
+
+Spark realization: native readers (distributed scan, schema inference or
+explicit schema), ``binaryFile``/``text`` for directories, and
+``mapInPandas`` for row-expanding parsers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..types import schema_of
+
+
+def read_json(spark: SparkSession, path: str, *, schema: dict | None = None, multiline: bool = True) -> DataFrame:
+    reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if schema:
+        reader = reader.schema(schema_of(schema))
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, *, schema: dict | None = None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    reader = reader.schema(schema_of(schema)) if schema else reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_dir(spark: SparkSession, path: str, *, glob: str | None = None) -> DataFrame:
+    """Directory dataset: every file as one row {path, filename, text}
+    (dataset.py:361-368). Text files read distributed via wholetext."""
+    reader = spark.read.format("text").option("wholetext", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return (
+        reader.load(path)
+        .select(
+            F.input_file_name().alias("path"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def from_list(spark: SparkSession, rows: list[dict], *, schema: dict | None = None) -> DataFrame:
+    if schema:
+        return spark.createDataFrame(rows, schema=schema_of(schema))
+    return spark.createDataFrame(rows)
+
+
+def apply_parser(
+    df: DataFrame,
+    parser: Callable[[dict], list[dict]],
+    output_schema: dict,
+) -> DataFrame:
+    """Row-expanding parsing tool (1 row -> N rows, ``item | res`` merge;
+    dataset.py:402-409). Runs Arrow-batched."""
+    declared = schema_of(output_schema)
+    fields = [f for f in df.schema.fields if f.name not in declared.fieldNames()]
+    out_schema = T.StructType(fields + list(declared.fields))
+    names = out_schema.fieldNames()
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                for res in parser(row):
+                    merged = {**row, **res}
+                    out.append({k: merged.get(k) for k in names})
+            yield pd.DataFrame(out, columns=names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def write_output(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Sink dispatch on extension (runner.py:91-113): .json/.csv/.parquet."""
+    if path.endswith(".json"):
+        df.write.mode(mode).json(path)
+    elif path.endswith(".csv"):
+        df.write.mode(mode).option("header", "true").csv(path)
+    else:
+        df.write.mode(mode).parquet(path)

@@ -1,0 +1,107 @@
+"""Type grammar: docetl declared-output types → Spark DataTypes.
+
+Mirrors the reference's `convert_val` grammar
+(/root/reference/docetl/operations/utils/validation.py:137-171):
+
+    string  : str | text | string | varchar     -> StringType
+    integer : int | integer                     -> LongType
+    number  : float | decimal | number          -> DoubleType
+    boolean : bool | boolean                    -> BooleanType
+    list    : list[T]      (bare `list` is rejected, as in the reference)
+    object  : {k: T, ...}  inline literal       -> StructType
+    enum    : enum[a, b, c]                     -> StringType (+ value set)
+
+All declared columns are nullable (SURVEY.md §1.2: open-schema rows map to
+nullable columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+_SCALARS = {
+    "str": T.StringType(),
+    "text": T.StringType(),
+    "string": T.StringType(),
+    "varchar": T.StringType(),
+    "int": T.LongType(),
+    "integer": T.LongType(),
+    "float": T.DoubleType(),
+    "decimal": T.DoubleType(),
+    "number": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+}
+
+
+@dataclass
+class ParsedType:
+    spark_type: T.DataType
+    enum_values: list[str] | None = None
+    children: dict = field(default_factory=dict)
+
+
+def parse_type(spec) -> ParsedType:
+    """Parse one declared type spec (str or inline dict) to a Spark type."""
+    if isinstance(spec, dict):
+        fields, children = [], {}
+        for k, v in spec.items():
+            child = parse_type(v)
+            children[k] = child
+            fields.append(T.StructField(k, child.spark_type, True))
+        return ParsedType(T.StructType(fields), children=children)
+    if not isinstance(spec, str):
+        raise ValueError(f"unsupported type spec: {spec!r}")
+    s = spec.strip()
+    low = s.lower()
+    if low in _SCALARS:
+        return ParsedType(_SCALARS[low])
+    if low == "list":
+        raise ValueError("bare `list` is not allowed; use list[T]")
+    if low.startswith("list[") and s.endswith("]"):
+        inner = parse_type(s[5:-1])
+        return ParsedType(T.ArrayType(inner.spark_type, True))
+    if low.startswith("enum[") and s.endswith("]"):
+        values = [v.strip() for v in s[5:-1].split(",") if v.strip()]
+        if not values:
+            raise ValueError(f"empty enum: {spec!r}")
+        return ParsedType(T.StringType(), enum_values=values)
+    if s.startswith("{") and s.endswith("}"):
+        # inline object literal: {a: str, b: int}
+        body = s[1:-1].strip()
+        fields, children = [], {}
+        if body:
+            for part in _split_top_level(body):
+                k, _, v = part.partition(":")
+                child = parse_type(v.strip())
+                children[k.strip()] = child
+                fields.append(T.StructField(k.strip(), child.spark_type, True))
+        return ParsedType(T.StructType(fields), children=children)
+    raise ValueError(f"unknown type spec: {spec!r}")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside []/{}."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def schema_of(output_schema: dict) -> T.StructType:
+    """Declared output schema dict → StructType (all nullable)."""
+    return T.StructType(
+        [T.StructField(k, parse_type(v).spark_type, True) for k, v in output_schema.items()]
+    )
