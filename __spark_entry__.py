@@ -1,38 +1,700 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one or more docetl_spark operators
+(SURVEY.md §2 inventory) through the engine's public API, and has a
+matching ``oracle_sql()`` ANSI-SQL equivalent for the DuckDB gate.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- money sums go through CAST(x AS DECIMAL(18,4)) (exact, associative),
+  then back to DOUBLE;
+- timestamps surface as epoch seconds (BIGINT) or formatted dates,
+  never raw timestamp columns;
+- every score is ROUND()ed and every top-k has an explicit id tiebreak;
+- LLM-parameterized ops run a FakeBackend whose rules are mirrored as
+  SQL CASE expressions.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from docetl_spark import FakeBackend, SemanticFrame
+from docetl_spark.functions import dedup, similarity, text
+from docetl_spark.operators import sample as sample_op
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+        # default; read it as raw nanos (BIGINT) and do integer epoch math.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sf(spark: SparkSession, sf_dir: str, name: str, backend=None) -> SemanticFrame:
+    return SemanticFrame.from_df(_t(spark, sf_dir, name), backend=backend)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------- queries
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (scan→filter→group_agg,
+    all native: map-side partial agg + pushed-down shipdate filter)."""
+    li = _sf(spark, sf_dir, "lineitem")
+    return (
+        li.where("l_shipdate <= timestamp '1998-09-02 00:00:00'")
+        .group_agg(
+            ["l_returnflag", "l_linestatus"],
+            sum_qty=F.sum(_dec("l_quantity")).cast("double"),
+            sum_base_price=F.sum(_dec("l_extendedprice")).cast("double"),
+            sum_disc_price=F.sum((_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))).cast("double"),
+            count_order=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain + agg + deterministic top-10 (shipping priority)."""
+    cust = _sf(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    orders = _sf(spark, sf_dir, "orders").where("o_orderdate < timestamp '1998-01-01 00:00:00'")
+    li = _sf(spark, sf_dir, "lineitem").where("l_shipdate > timestamp '1998-01-01 00:00:00'")
+    joined = li.join(orders, on=[F.expr("l_orderkey = o_orderkey")]).join(
+        cust, on=[F.expr("o_custkey = c_custkey")], broadcast=True
+    )
+    return (
+        joined.group_agg(
+            ["l_orderkey", "o_orderpriority"],
+            revenue=F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).cast("double"),
+            o_orderdate_s=F.date_format(F.first("o_orderdate"), "yyyy-MM-dd"),
+        )
+        .order_by(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .df
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→customer→orders→lineitem star join, revenue by nation."""
+    region = _sf(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    nation = _sf(spark, sf_dir, "nation")
+    cust = _sf(spark, sf_dir, "customer")
+    orders = _sf(spark, sf_dir, "orders")
+    li = _sf(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, on=[F.expr("l_orderkey = o_orderkey")])
+        .join(cust, on=[F.expr("o_custkey = c_custkey")])
+        .join(nation, on=[F.expr("c_nationkey = n_nationkey")], broadcast=True)
+        .join(region, on=[F.expr("n_regionkey = r_regionkey")], broadcast=True)
+    )
+    return joined.group_agg(
+        ["n_name"],
+        revenue=F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).cast("double"),
+        n_orders=F.countDistinct("l_orderkey"),
+    ).df
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down range filter + single global aggregate."""
+    li = _sf(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            "l_shipdate >= timestamp '1996-01-01 00:00:00' AND l_shipdate < timestamp '1997-01-01 00:00:00'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        )
+        .group_agg([], revenue=F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"), n=F.count(F.lit(1)))
+        .df
+    )
+
+
+def code_filter_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code_filter (expression fast path) + projection."""
+    return (
+        _sf(spark, sf_dir, "orders")
+        .code_filter("o_totalprice > 300000 AND o_orderstatus = 'O'")
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice"))
+        .df
+    )
+
+
+def code_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code_map: per-row Python transform (Arrow-batched), exact integer
+    cents so the Python-float math matches DuckDB bit-for-bit."""
+    import math
+
+    def enrich(row: dict) -> dict:
+        rev = row["l_extendedprice"] * (1.0 - row["l_discount"])
+        return {
+            "revenue_cents": int(math.floor(rev * 100.0 + 0.5)),
+            "high_qty": bool(row["l_quantity"] >= 30.0),
+        }
+
+    return (
+        _sf(spark, sf_dir, "lineitem")
+        .code_map(enrich, {"revenue_cents": "int", "high_qty": "bool"})
+        .select("l_orderkey", "l_linenumber", "revenue_cents", "high_qty")
+        .df
+    )
+
+
+def code_reduce_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code_reduce: Python group aggregator (integer-exact stats)."""
+
+    def stats(items: list[dict]) -> dict:
+        cents = [int(round(i["c_acctbal"] * 100.0)) for i in items]
+        return {
+            "n_customers": len(items),
+            "acctbal_cents": sum(cents),
+            "max_cents": max(cents),
+            "min_cents": min(cents),
+        }
+
+    return (
+        _sf(spark, sf_dir, "customer")
+        .code_reduce(
+            "c_nationkey",
+            stats,
+            {"n_customers": "int", "acctbal_cents": "int", "max_cents": "int", "min_cents": "int"},
+            name="natstats",
+        )
+        .df
+    )
+
+
+def split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split op, delimiter method, one word per chunk."""
+    return (
+        _sf(spark, sf_dir, "documents")
+        .split("text", "delimiter", {"delimiter": " "}, name="split", doc_id="doc_id")
+        .select("doc_id", "text_chunk", "split_chunk_num")
+        .df
+    )
+
+
+def split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split op with num_splits_to_group=10 (chunk re-grouping)."""
+    return (
+        _sf(spark, sf_dir, "documents")
+        .split("text", "delimiter", {"delimiter": " ", "num_splits_to_group": 10}, name="split", doc_id="doc_id")
+        .select("doc_id", "text_chunk", "split_chunk_num")
+        .df
+    )
+
+
+def unnest_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest (explode-in-place) + aggregation: corpus word frequencies."""
+    return (
+        _sf(spark, sf_dir, "documents")
+        .with_columns(word=F.split(F.col("text"), " ", -1))
+        .unnest("word")
+        .group_agg(["word"], freq=F.count(F.lit(1)))
+        .where("freq >= 100")
+        .df
+    )
+
+
+def gather_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather op: prev/next context windows over per-user event streams."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    chunks = ev.withColumn("rn", F.row_number().over(w).cast("long")).select(
+        "user_id", "rn", "event_type"
+    )
+    out = (
+        SemanticFrame.from_df(chunks)
+        .gather(
+            "event_type",
+            "user_id",
+            "rn",
+            peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+        )
+        .select("user_id", "rn", F.col("event_type_rendered"))
+    )
+    return out.df
+
+
+def sample_first20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample first (positional head with explicit order)."""
+    df = _t(spark, sf_dir, "orders")
+    out = sample_op.sample_first(df, 20, order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()])
+    return out.select("o_orderkey", "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"))
+
+
+def sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic hash-Bernoulli uniform sample (~12.5%)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "_k", F.concat(F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string"))
+    )
+    sampled = df.filter(F.substring(F.md5(F.col("_k")), 1, 1) < F.lit("2"))
+    return sampled.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified first-k per group (window row_number)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = sample_op.sample_stratified_first(
+        df, 5, "l_returnflag", order_by=[F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    )
+    return out.select("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+_QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]  # fixed deterministic query
+
+
+def topk_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk op, embedding method: cosine top-20 against a fixed query."""
+    out = (
+        _sf(spark, sf_dir, "embeddings")
+        .topk("embedding", 20, query_vector=_QUERY_VEC, embedding_col="embedding",
+              tiebreak=["vec_id"], round_score=4, name="topk")
+        .select("vec_id", F.col("_topk_score").alias("score"), F.col("_topk_rank").alias("rank"))
+    )
+    return out.df
+
+
+def topk_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk op, BM25 full-text method."""
+    out = (
+        _sf(spark, sf_dir, "documents")
+        .topk("fts", 20, query="spark join merge window", keys=["text"], id_cols=["doc_id"],
+              tiebreak=["doc_id"], round_score=4, name="topk")
+        .select("doc_id", F.col("_topk_score").alias("score"), F.col("_topk_rank").alias("rank"))
+    )
+    return out.df
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup on normalized-text fingerprint: documents unioned with
+    an uppercased copy collapse back to one row each."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.withColumn("variant", F.lit(0)).unionByName(
+        docs.withColumn("text", F.upper(F.col("text"))).withColumn("variant", F.lit(1))
+    )
+    out = dedup.exact_dedup(variants, "text", order_by=[F.col("variant").asc(), F.col("doc_id").asc()])
+    return out.select("doc_id", "variant", "text")
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact 3-gram-shingle Jaccard verify.
+    Oracle computes exact Jaccard over shingle-sharing pairs; LSH with
+    128 hashes / 32 bands has ~1-5e-8 miss rate at j>=0.8."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_sig = docs.withColumn("_sh", text.shingles(F.col("text"), 3)).withColumn(
+        "_minhash", dedup.minhash_from_shingles(F.col("_sh"), 128)
+    )
+    cand = dedup.lsh_candidate_pairs(with_sig, "doc_id", "_minhash", num_hashes=128, bands=32)
+    verified = dedup.jaccard_verify(cand, docs, "doc_id", "text", shingle_size=3, threshold=0.8)
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text-analysis functions: token count, quality score, lang id,
+    fingerprint — all pure JVM expressions."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.avg_token_len(t), 6).alias("avg_tok_len"),
+        text.quality_score(t).alias("quality"),
+        text.lang_id(t).alias("lang_guess"),
+        text.fingerprint(t).alias("fp"),
+    )
+
+
+def sem_map_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic map with a deterministic rule backend (fast→positive,
+    slow→negative, else neutral)."""
+    be = FakeBackend(
+        rules={
+            "sentiment": lambda row: (
+                "positive" if "fast" in row["text"] else ("negative" if "slow" in row["text"] else "neutral")
+            )
+        }
+    )
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .map("Classify the sentiment of: {{ input.text }}", {"sentiment": "str"})
+        .select("doc_id", "sentiment")
+    )
+    return out.df
+
+
+def sem_filter_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic filter: keyword-containment rule (decision key popped)."""
+    be = FakeBackend(rules={"keep": lambda row: "join" in row["text"]})
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .filter("Does the text mention 'join'? {{ input.text }}", {"keep": "bool"})
+        .select("doc_id", "lang")
+    )
+    return out.df
+
+
+def sem_reduce_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic reduce: per-lang group aggregate with rule backend +
+    _counts_prereduce_<name> system column."""
+    be = FakeBackend(
+        rules={
+            "n_docs": lambda items: len(items),
+            "first_doc": lambda items: min(i["doc_id"] for i in items),
+        }
+    )
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .reduce("lang", "Summarize {{ inputs | length }} docs", {"n_docs": "int", "first_doc": "int"},
+                name="langagg", sort_within_group=["doc_id"])
+        .select("lang", "n_docs", "first_doc", F.col("_counts_prereduce_langagg").alias("group_size"))
+    )
+    return out.df
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity search: exact cosine top-10 per query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, queries, 10, round_score=4)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionization: 30-min-gap sessions per user (pure window exprs)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.expr("ts DIV 1000000000")
+    with_gap = ev.withColumn("_prev", F.lag(epoch).over(w)).withColumn(
+        "_new", F.when(F.col("_prev").isNull() | ((epoch - F.col("_prev")) > 1800), 1).otherwise(0)
+    )
+    sess = with_gap.withColumn("session_id", F.sum("_new").over(w).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(epoch).alias("start_epoch"),
+            F.max(epoch).alias("end_epoch"),
+        )
+    )
+
+
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rollup: exact-integer value stats per (user, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("value_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+
+
+# ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_delta": q6_revenue_delta,
+        "code_filter_highvalue": code_filter_highvalue,
+        "code_map_enrich": code_map_enrich,
+        "code_reduce_nation": code_reduce_nation,
+        "split_words": split_words,
+        "split_grouped": split_grouped,
+        "unnest_word_freq": unnest_word_freq,
+        "gather_events": gather_events,
+        "sample_first20": sample_first20,
+        "sample_uniform_hash": sample_uniform_hash,
+        "sample_stratified": sample_stratified,
+        "topk_embedding": topk_embedding,
+        "topk_fts": topk_fts,
+        "dedup_exact": dedup_exact,
+        "minhash_near_dup": minhash_near_dup,
+        "text_stats": text_stats,
+        "sem_map_sentiment": sem_map_sentiment,
+        "sem_filter_mentions": sem_filter_mentions,
+        "sem_reduce_lang": sem_reduce_lang,
+        "ann_brute_force": ann_brute_force,
+        "events_sessionize": events_sessionize,
+        "events_user_stats": events_user_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    one = "CAST(1 AS DECIMAL(18,4))"
+    rev = f"CAST(l_extendedprice AS DECIMAL(18,4)) * ({one} - CAST(l_discount AS DECIMAL(18,4)))"
+    fts_tok = (
+        "list_filter(string_split(trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    norm_tok = (
+        "list_filter(list_transform(string_split_regex(trim(lower({c})), '\\s+'),"
+        " t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '')"
+    )
+    shingles3 = (
+        f"list_distinct(CASE WHEN len({norm_tok.format(c='text')}) >= 3 THEN "
+        f"list_transform(range(1, len({norm_tok.format(c='text')}) - 1), "
+        f"i -> array_to_string(list_slice({norm_tok.format(c='text')}, i, i + 2), ' ')) "
+        f"WHEN len({norm_tok.format(c='text')}) > 0 THEN [array_to_string({norm_tok.format(c='text')}, ' ')] "
+        f"ELSE [] END)"
+    )
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": f"""
+            SELECT l_orderkey, o_orderpriority,
+                   CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   strftime(MIN(o_orderdate), '%Y-%m-%d') AS o_orderdate_s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q5_nation_revenue": f"""
+            SELECT n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name""",
+        "q6_revenue_delta": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "code_filter_highvalue": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 300000 AND o_orderstatus = 'O'""",
+        "code_map_enrich": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS revenue_cents,
+                   l_quantity >= 30.0 AS high_qty
+            FROM lineitem""",
+        "code_reduce_nation": """
+            SELECT c_nationkey,
+                   COUNT(*) AS n_customers,
+                   SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS acctbal_cents,
+                   MAX(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS max_cents,
+                   MIN(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS min_cents,
+                   COUNT(*) AS _counts_prereduce_natstats
+            FROM customer GROUP BY c_nationkey""",
+        "split_words": """
+            WITH parts AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS p FROM documents
+            )
+            SELECT doc_id, trim(unnest(p)) AS text_chunk,
+                   CAST(generate_subscripts(p, 1) AS BIGINT) AS split_chunk_num
+            FROM parts""",
+        "split_grouped": """
+            WITH parts AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS p FROM documents
+            ), idx AS (
+              SELECT doc_id, p, CAST(unnest(range(1, CAST(ceil(len(p) / 10.0) AS BIGINT) + 1)) AS BIGINT) AS split_chunk_num
+              FROM parts WHERE len(p) > 0
+            )
+            SELECT doc_id,
+                   trim(array_to_string(p[(split_chunk_num-1)*10 + 1 : least(split_chunk_num*10, len(p))], ' ')) AS text_chunk,
+                   split_chunk_num
+            FROM idx""",
+        "unnest_word_freq": """
+            SELECT word, COUNT(*) AS freq FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) GROUP BY word HAVING COUNT(*) >= 100""",
+        "gather_events": """
+            WITH chunks AS (
+              SELECT user_id, event_type,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+              FROM events
+            ), ctx AS (
+              SELECT user_id, rn, event_type,
+                     LAG(event_type) OVER w AS prev_c,
+                     LEAD(event_type) OVER w AS next_c,
+                     SUM(length(event_type)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_prev,
+                     SUM(length(event_type)) OVER (w ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_next
+              FROM chunks WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+            )
+            SELECT user_id, rn,
+                   concat_ws(chr(10),
+                     '--- Previous Context ---',
+                     CASE WHEN skip_prev IS NOT NULL THEN '[... ' || skip_prev || ' characters skipped ...]' END,
+                     CASE WHEN prev_c IS NOT NULL THEN '[Chunk ' || (rn-1) || ']' || chr(10) || prev_c END,
+                     '--- End Previous Context ---' || chr(10),
+                     '--- Begin Main Chunk ---', event_type, '--- End Main Chunk ---',
+                     chr(10) || '--- Next Context ---',
+                     CASE WHEN next_c IS NOT NULL THEN '[Chunk ' || (rn+1) || ']' || chr(10) || next_c END,
+                     CASE WHEN skip_next IS NOT NULL THEN '[... ' || skip_next || ' characters skipped ...]' END,
+                     '--- End Next Context ---') AS event_type_rendered
+            FROM ctx""",
+        "sample_first20": """
+            SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+            FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20""",
+        "sample_uniform_hash": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) < '2'""",
+        "sample_stratified": """
+            SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) <= 5""",
+        "topk_embedding": f"""
+            WITH q AS (SELECT {_QUERY_VEC} AS qv),
+            scored AS (
+              SELECT vec_id,
+                     ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(qv, qv))), 4) AS score
+              FROM embeddings, q
+            )
+            SELECT vec_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20""",
+        "topk_fts": f"""
+            WITH docs AS (
+              SELECT doc_id, {fts_tok.format(c='text')} AS toks FROM documents
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM docs
+            ), doc_terms AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+            ), tf AS (
+              SELECT doc_id, term, dl, COUNT(*) AS tf FROM doc_terms GROUP BY doc_id, term, dl
+            ), vidf AS (
+              SELECT term, ln((SELECT n FROM stats) - COUNT(DISTINCT doc_id) + 0.5) - ln(COUNT(DISTINCT doc_id) + 0.5) AS idf
+              FROM doc_terms GROUP BY term
+            ), widf AS (
+              SELECT v.term,
+                     CASE WHEN v.idf >= 0 THEN v.idf ELSE 0.25 * (SELECT SUM(idf)/COUNT(*) FROM vidf) END AS w
+              FROM vidf v WHERE v.term IN ('spark', 'join', 'merge', 'window')
+            ), scores AS (
+              SELECT tf.doc_id,
+                     SUM(widf.w * (tf.tf * (1.5 + 1)) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats)))) AS sc
+              FROM tf JOIN widf ON tf.term = widf.term GROUP BY tf.doc_id
+            ), all_scored AS (
+              SELECT d.doc_id, ROUND(COALESCE(s.sc, 0.0), 4) AS score
+              FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM all_scored ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "dedup_exact": """
+            WITH variants AS (
+              SELECT doc_id, text, 0 AS variant FROM documents
+              UNION ALL
+              SELECT doc_id, upper(text), 1 FROM documents
+            ), fp AS (
+              SELECT doc_id, variant, text,
+                     md5(array_to_string(list_filter(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> ''), ' ')) AS f
+              FROM variants
+            )
+            SELECT doc_id, variant, text FROM fp
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY variant, doc_id) = 1""",
+        "minhash_near_dup": f"""
+            WITH sh AS (SELECT doc_id, {shingles3} AS s FROM documents),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+              JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+            FROM pairs JOIN sh x ON pairs.id_a = x.doc_id JOIN sh y ON pairs.id_b = y.doc_id
+            WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.8""",
+        "text_stats": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                     {norm_tok.format(c='text')} AS ntoks
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, text, toks, ntoks,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END AS atl,
+                     CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END AS punct,
+                     CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END AS digit,
+                     CASE WHEN len(ntoks) > 0 THEN len(list_filter(ntoks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))::DOUBLE / len(ntoks) ELSE 0.0 END AS stopr
+              FROM t
+            )
+            SELECT doc_id, n_tokens, ROUND(atl, 6) AS avg_tok_len,
+                   ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.2 * least(stopr * 4.0, 1.0)
+                       + 0.2 * (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                       + 0.2 * (1.0 - least(punct * 2.0 + digit, 1.0)), 6) AS quality,
+                   CASE
+                     WHEN len(list_filter(ntoks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) >= greatest(
+                          len(list_filter(ntoks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','ich','auf'], x))),
+                          len(list_filter(ntoks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))),
+                          len(list_filter(ntoks, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))), 1)
+                       THEN 'en'
+                     WHEN len(list_filter(ntoks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','ich','auf'], x))) >= greatest(
+                          len(list_filter(ntoks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))),
+                          len(list_filter(ntoks, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))), 1)
+                       THEN 'de'
+                     WHEN len(list_filter(ntoks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) >= greatest(
+                          len(list_filter(ntoks, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))), 1)
+                       THEN 'fr'
+                     WHEN len(list_filter(ntoks, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))) >= 1
+                       THEN 'es'
+                     ELSE 'und' END AS lang_guess,
+                   md5(array_to_string(ntoks, ' ')) AS fp
+            FROM feats""",
+        "sem_map_sentiment": """
+            SELECT doc_id,
+                   CASE WHEN text LIKE '%fast%' THEN 'positive'
+                        WHEN text LIKE '%slow%' THEN 'negative'
+                        ELSE 'neutral' END AS sentiment
+            FROM documents""",
+        "sem_filter_mentions": """
+            SELECT doc_id, lang FROM documents WHERE text LIKE '%join%'""",
+        "sem_reduce_lang": """
+            SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, COUNT(*) AS group_size
+            FROM documents GROUP BY lang""",
+        "ann_brute_force": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored QUALIFY rank <= 10""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS ns, epoch_ns(ts) // 1000000000 AS e,
+                     CASE WHEN LAG(epoch_ns(ts) // 1000000000) OVER w IS NULL
+                          OR epoch_ns(ts) // 1000000000 - LAG(epoch_ns(ts) // 1000000000) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, e,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events, MIN(e) AS start_epoch, MAX(e) AS end_epoch
+            FROM s GROUP BY user_id, session_id""",
+        "events_user_stats": """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+                   MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
+            FROM events GROUP BY user_id, event_type""",
+    }

@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed via a count-style action that materializes every
+row (collect of a count + a checksum agg would hide row materialization;
+we use ``df.toPandas`` only for small results and ``count`` after a
+``cache``-free full evaluation otherwise — here: write to noop-like
+count with full column evaluation via a cheap hash agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from docetl_spark import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "code_filter_highvalue",
+    "code_map_enrich",
+    "code_reduce_nation",
+    "split_words",
+    "unnest_word_freq",
+    "gather_events",
+    "sample_stratified",
+    "topk_embedding",
+    "topk_fts",
+    "dedup_exact",
+    "minhash_near_dup",
+    "text_stats",
+    "sem_map_sentiment",
+    "ann_brute_force",
+    "events_sessionize",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = entry.queries()[name]
+    start = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # force full evaluation of every output column without driver collect
+    df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+    return time.perf_counter() - start
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("docetl-spark-bench")
+    # JVM/codegen warmup on a trivial job
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        try:
+            timings[name] = round(run_one(spark, name, sf_dir), 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = None
+            print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

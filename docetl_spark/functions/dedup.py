@@ -5,8 +5,9 @@ pipeline needs as first-class citizens.
 Scale posture:
 - exact dedup is a single hash-partitioned window (one shuffle on the
   fingerprint key);
-- MinHash signatures are pure Spark expressions (xxhash64 per seed over
-  the shingle array — JVM-side, no Python);
+- MinHash signatures are one vectorized numpy pass per Arrow batch
+  (universal hashing over crc32 base hashes — see minhash_from_shingles
+  for why the pure-expression formulation loses);
 - LSH banding turns near-dup detection into an equi-join on
   (band_index, band_hash) — candidate pairs only, never O(n^2);
 - clustering is iterative min-label propagation (connected components)
@@ -15,7 +16,9 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from .text import fingerprint, shingles, tokens
 
@@ -28,16 +31,49 @@ def exact_dedup(df: DataFrame, text_col: str, *, order_by: list, id_col: str | N
 
 
 # ---------------------------------------------------------------- minhash
+_MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Column:
+    """Array of ``num_hashes`` min-hashes over a shingle-array column.
+
+    Implementation note: a pure-expression formulation (128 x
+    array_min(transform(shingles, xxhash64))) looks JVM-friendly but
+    Catalyst's CollapseProject re-inlines the shingle expression into
+    every seed's evaluation — O(num_hashes) re-tokenization per row
+    (observed 70s for 500 docs). A numpy Pandas UDF computes the base
+    hash once per shingle and applies the whole universal-hash family
+    ((a*h + b) mod 2^61-1) as one vectorized matmul-ish pass — the
+    standard MinHash formulation, Arrow-batched and embarrassingly
+    parallel across partitions.
+    """
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    empty = [int(_MERSENNE61)] * num_hashes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(s: pd.Series) -> pd.Series:
+        out = []
+        for sh in s:
+            if sh is None or len(sh) == 0:
+                out.append(empty)
+                continue
+            h = np.fromiter(
+                (zlib.crc32(g.encode("utf-8")) for g in sh), dtype=np.uint64, count=len(sh)
+            )
+            perms = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+            out.append(perms.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig(sh_col)
+
+
 def minhash_signature(col, num_hashes: int = 128, shingle_size: int = 3) -> F.Column:
-    """Array of ``num_hashes`` min-hashes over word shingles. Each hash
-    family member is xxhash64(shingle, seed=i) — deterministic and
-    entirely JVM-side."""
-    sh = shingles(col, shingle_size)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    """Convenience wrapper: shingle + hash in one pass."""
+    return minhash_from_shingles(shingles(col, shingle_size), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -58,8 +94,7 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.array_join(F.transform(
-                    F.slice(F.col(sig_col), b * r + 1, r), lambda x: x.cast("string")), ",")),
+                lambda b: F.slice(F.col(sig_col), b * r + 1, r),
             )
         ).alias("_band", "_bh"),
     )
@@ -93,29 +128,33 @@ def jaccard_verify(
 
 # ---------------------------------------------------------------- simhash
 def simhash64(col) -> F.Column:
-    """64-bit SimHash over whitespace tokens, pure expressions: each
-    token hashes to 64 bits; bit b of the fingerprint is the sign of
-    sum_t (2*bit(t,b)-1). Implemented as a fold over 64 bit positions of
-    JVM-side aggregates (no Python)."""
-    toks = tokens(F.lower(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h, b=b: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sim = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        sim = sim + F.shiftleft(bit, b)
-    return F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
+    """64-bit SimHash over whitespace tokens: each token hashes to 64
+    bits; bit b of the fingerprint is the sign of sum_t (2*bit(t,b)-1).
+
+    numpy Pandas UDF (same rationale as minhash_from_shingles: 64
+    per-bit JVM aggregates re-inline the tokenizer 64x). Token hash =
+    blake2b-8byte, deterministic across executors."""
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def sim(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            toks = (text or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            h = np.frombuffer(
+                b"".join(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in toks),
+                dtype=np.uint8,
+            ).reshape(len(toks), 8)
+            bits = np.unpackbits(h, axis=1)  # (n_tok, 64)
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            fp_bits = np.packbits((votes > 0).astype(np.uint8))
+            out.append(int(np.frombuffer(fp_bits.tobytes(), dtype=">i8")[0]))
+        return pd.Series(out, dtype="int64")
+
+    return sim(col.cast("string"))
 
 
 def hamming64(a, b) -> F.Column:
@@ -195,7 +234,9 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: keep the min-id representative
     of every near-dup cluster. Returns the deduplicated DataFrame."""
-    with_sig = df.withColumn("_minhash", minhash_signature(F.col(text_col), num_hashes, shingle_size))
+    with_sig = df.withColumn("_sh", shingles(F.col(text_col), shingle_size)).withColumn(
+        "_minhash", minhash_from_shingles(F.col("_sh"), num_hashes)
+    ).drop("_sh")
     cand = lsh_candidate_pairs(with_sig, id_col, "_minhash", num_hashes=num_hashes, bands=bands)
     verified = jaccard_verify(cand, df, id_col, text_col, shingle_size=shingle_size, threshold=jaccard_threshold)
     comp = connected_components(verified.select("id_a", "id_b"), df.select(id_col), id_col)
