@@ -19,7 +19,18 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .backend import ModelBackend
-from .operators import code_ops, gather as gather_op, sample as sample_op, semantic, shape
+from .operators import (
+    cluster as cluster_op,
+    code_ops,
+    equijoin as equijoin_op,
+    extract as extract_op,
+    gather as gather_op,
+    rank as rank_op,
+    resolve as resolve_op,
+    sample as sample_op,
+    semantic,
+    shape,
+)
 from .sources import readers
 
 
@@ -170,6 +181,44 @@ class SemanticFrame:
     def reduce(self, reduce_key, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("reduce")
         return self._next(semantic.semantic_reduce(self.df, reduce_key, prompt, output_schema, be, **kw), "reduce")
+
+    def resolve(self, *, id_col: str, comparison_prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
+        be = self._require_backend("resolve")
+        return self._next(
+            resolve_op.resolve(
+                self.df, be, id_col=id_col, comparison_prompt=comparison_prompt,
+                output_schema=output_schema, **kw,
+            ),
+            "resolve",
+        )
+
+    def equijoin(self, other: "SemanticFrame | DataFrame", *, comparison_prompt: str,
+                 left_keys: list[str], right_keys: list[str], **kw) -> "SemanticFrame":
+        be = self._require_backend("equijoin")
+        right = other.df if isinstance(other, SemanticFrame) else other
+        return self._next(
+            equijoin_op.equijoin(
+                self.df, right, be, comparison_prompt=comparison_prompt,
+                left_keys=left_keys, right_keys=right_keys, **kw,
+            ),
+            "equijoin",
+        )
+
+    def rank(self, *, method: str = "embedding", **kw) -> "SemanticFrame":
+        be = self._require_backend("rank")
+        return self._next(rank_op.rank(self.df, be, method=method, **kw), "rank")
+
+    def extract(self, prompt: str, document_keys: list[str], **kw) -> "SemanticFrame":
+        be = self._require_backend("extract")
+        return self._next(
+            extract_op.extract(self.df, be, prompt=prompt, document_keys=document_keys, **kw), "extract"
+        )
+
+    def cluster(self, *, id_col: str, embedding_keys: list[str], **kw) -> "SemanticFrame":
+        be = self._require_backend("cluster")
+        return self._next(
+            cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw), "cluster"
+        )
 
     # ---------------------------------------------------------- actions
     def schema(self):

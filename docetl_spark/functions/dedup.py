@@ -89,15 +89,19 @@ def lsh_candidate_pairs(
     bands tunes the similarity threshold ~ (1/bands)^(1/rows_per_band)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # Band key must be a SCALAR: joining on an array<long> column cannot
+    # hash-partition, so Spark silently degrades to a nested-loop join.
+    # xxhash64 over the slice gives a 64-bit scalar equi-join key
+    # (collisions are caught by the exact-jaccard verify step anyway).
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col(sig_col), b * r + 1, r),
+                lambda b: F.xxhash64(F.slice(F.col(sig_col), b * r + 1, r)),
             )
         ).alias("_band", "_bh"),
-    )
+    ).cache()  # tiny (n_rows x bands x 3 longs); reused by both join sides
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (

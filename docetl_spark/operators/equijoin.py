@@ -1,0 +1,152 @@
+"""Equijoin operator: fuzzy/semantic two-table join.
+
+Reference semantics: /root/reference/docetl/operations/equijoin.py:63-684
+- blocking via code conditions over (left, right) (380-395), embedding
+  cosine >= threshold (427-551), all-pairs fallback for tiny inputs
+  (318-330);
+- LLM ``comparison_prompt`` -> is_match per surviving pair (618-664);
+- per-side match ``limits`` (296-300, 649-653);
+- colliding column names suffixed ``_left`` / ``_right`` (655-658).
+
+Spark realization: blocking compiles to real joins — exact conditions
+become equi-join keys (hash/broadcast picked by Catalyst + AQE),
+similarity blocking becomes an LSH-bucket equi-join; adjudication is an
+Arrow-batched UDF over the pruned pair table; per-side limits are
+row_number windows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from ..backend import ModelBackend
+from ..functions.similarity import lsh_bucket, random_hyperplanes
+from ..operators.sample import cosine_sim
+from .resolve import embed_column
+from .semantic import render_prompt
+
+
+def _suffix_collisions(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Suffix only colliding names (equijoin.py:655-658)."""
+    collisions = set(left.columns) & set(right.columns)
+    lsel = [F.col(c).alias(f"{c}_left") if c in collisions else F.col(c) for c in left.columns]
+    rsel = [F.col(c).alias(f"{c}_right") if c in collisions else F.col(c) for c in right.columns]
+    return left.select(*lsel), right.select(*rsel)
+
+
+def equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    backend: ModelBackend,
+    *,
+    comparison_prompt: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    blocking_conditions: list[str] | None = None,
+    blocking_threshold: float | None = None,
+    embedding_keys_left: list[str] | None = None,
+    embedding_keys_right: list[str] | None = None,
+    limits: dict | None = None,
+    limit_order_left: list[str] | None = None,
+    limit_order_right: list[str] | None = None,
+) -> DataFrame:
+    """Fuzzy join. ``left_keys``/``right_keys`` identify rows for limit
+    windows and deterministic ordering. ``blocking_conditions`` are SQL
+    exprs over ``left.``/``right.``-prefixed columns (the reference's
+    eval'd Python predicates, recast as Catalyst expressions so exact
+    equalities become hash-join keys)."""
+    lw = left
+    rw = right
+    l_emb = r_emb = None
+    if blocking_threshold is not None:
+        lw = embed_column(lw, embedding_keys_left or [], backend, out_col="_emb_l")
+        rw = embed_column(rw, embedding_keys_right or [], backend, out_col="_emb_r")
+        l_emb, r_emb = "_emb_l", "_emb_r"
+
+    a = lw.alias("left")
+    b = rw.alias("right")
+    pair_parts: list[DataFrame] = []
+    lsel = [F.col(f"left.{k}").alias(f"_lk_{k}") for k in left_keys]
+    rsel = [F.col(f"right.{k}").alias(f"_rk_{k}") for k in right_keys]
+
+    if blocking_conditions:
+        ors = None
+        for expr in blocking_conditions:
+            c = F.expr(expr)
+            ors = c if ors is None else (ors | c)
+        pair_parts.append(a.join(b, ors).select(*lsel, *rsel))
+
+    if blocking_threshold is not None:
+        vec_dim = len(lw.select(l_emb).first()[0])
+        planes = random_hyperplanes(vec_dim, 8, 42)
+        ab = lw.withColumn("_bucket", lsh_bucket(F.col(l_emb), planes)).alias("left")
+        bb = rw.withColumn("_bucket", lsh_bucket(F.col(r_emb), planes)).alias("right")
+        sim = cosine_sim(F.col(f"left.{l_emb}"), F.col(f"right.{r_emb}"))
+        pair_parts.append(
+            ab.join(bb, F.col("left._bucket") == F.col("right._bucket"))
+            .filter(sim >= blocking_threshold)
+            .select(*lsel, *rsel)
+        )
+
+    if not pair_parts:
+        pair_parts.append(a.join(b).select(*lsel, *rsel))  # tiny-input fallback
+
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates()
+
+    # adjudicate: join compare columns in, call backend per pair
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns]
+    lfull = lw.select(*[F.col(k).alias(f"_lk_{k}") for k in left_keys],
+                      *[F.col(c).alias(f"_l_{c}") for c in lcols])
+    rfull = rw.select(*[F.col(k).alias(f"_rk_{k}") for k in right_keys],
+                      *[F.col(c).alias(f"_r_{c}") for c in rcols])
+    joined = pairs.join(lfull, [f"_lk_{k}" for k in left_keys]).join(
+        rfull, [f"_rk_{k}" for k in right_keys]
+    )
+
+    key_fields = [joined.schema[f"_lk_{k}"] for k in left_keys] + [
+        joined.schema[f"_rk_{k}"] for k in right_keys
+    ]
+    out_schema = T.StructType(list(key_fields) + [T.StructField("_is_match", T.BooleanType(), True)])
+    names = out_schema.fieldNames()
+
+    def run(batches):
+        for pdf in batches:
+            res = []
+            for r in pdf.to_dict("records"):
+                in_l = {c: r[f"_l_{c}"] for c in lcols}
+                in_r = {c: r[f"_r_{c}"] for c in rcols}
+                prompt = render_prompt(comparison_prompt, {"left": in_l, "right": in_r})
+                ans = backend.complete(prompt, {"is_match": "bool"}, (in_l, in_r))
+                res.append({**{n: r[n] for n in names if n != "_is_match"}, "_is_match": bool(ans.get("is_match"))})
+            yield pd.DataFrame(res, columns=names)
+
+    matched = joined.mapInPandas(run, schema=out_schema).filter(F.col("_is_match")).drop("_is_match")
+
+    # per-side limits (equijoin.py:296-300): keep at most k matches per row
+    limits = limits or {}
+    if "left" in limits:
+        order = [F.col(f"_rk_{k}") for k in right_keys] if not limit_order_right else [F.col(c) for c in limit_order_right]
+        w = W.partitionBy(*[f"_lk_{k}" for k in left_keys]).orderBy(*order)
+        matched = matched.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= limits["left"]).drop("_rn")
+    if "right" in limits:
+        order = [F.col(f"_lk_{k}") for k in left_keys] if not limit_order_left else [F.col(c) for c in limit_order_left]
+        w = W.partitionBy(*[f"_rk_{k}" for k in right_keys]).orderBy(*order)
+        matched = matched.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= limits["right"]).drop("_rn")
+
+    # final assembly with collision suffixes
+    lo, ro = _suffix_collisions(left, right)
+    lkey_out = [k if k in lo.columns else f"{k}_left" for k in left_keys]
+    rkey_out = [k if k in ro.columns else f"{k}_right" for k in right_keys]
+    out = (
+        matched.join(lo, [F.col(f"_lk_{k}") == F.col(ko) for k, ko in zip(left_keys, lkey_out)])
+        .join(ro, [F.col(f"_rk_{k}") == F.col(ko) for k, ko in zip(right_keys, rkey_out)])
+        .drop(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
+    )
+    return out

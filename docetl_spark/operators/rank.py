@@ -1,0 +1,115 @@
+"""Rank operator: whole-dataset ordering by natural-language criteria.
+
+Reference semantics: /root/reference/docetl/operations/rank.py:14-1109 —
+initial ordering from an ``embedding`` rating (309), per-item ``likert``
+LLM rating (523), or ``calibrated_embedding`` (1013-1109); optional
+sliding-window LLM refinement under a ``rerank_call_budget`` (696-910);
+output annotated with 1-based ``_rank`` (899-910), ``direction``
+asc|desc.
+
+Spark realization: scoring is distributed (embedding cosine as JVM
+expressions / likert ratings via an Arrow-batched backend UDF); the
+global ordering is a sort on the score; ``_rank`` = row_number. The
+window-refinement loop is driver-coordinated over the head rows only
+(it is inherently sequential and budget-bounded in the reference too —
+rank.py:696-910), gated by ``refine_head_size``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from ..backend import ModelBackend
+from ..operators.sample import cosine_sim
+from .resolve import embed_column
+from .semantic import render_prompt
+
+
+def _likert_scores(
+    df: DataFrame, prompt: str, backend: ModelBackend, *, out_col: str = "_score"
+) -> DataFrame:
+    """Per-item 1-7 likert rating from the backend (rank.py:523)."""
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)])
+    names = out_schema.fieldNames()
+
+    def run(batches):
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            scores = []
+            for row in rows:
+                rendered = render_prompt(prompt, {"input": row})
+                ans = backend.complete(rendered, {"rating": "float"}, row)
+                scores.append(float(ans.get("rating") or 0.0))
+            pdf = pdf.copy()
+            pdf[out_col] = scores
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def rank(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    method: str = "embedding",
+    prompt: str | None = None,
+    criteria_query: str | None = None,
+    embedding_keys: list[str] | None = None,
+    direction: str = "desc",
+    tiebreak: list[str] | None = None,
+    rank_col: str = "_rank",
+    refine_head_size: int = 0,
+    rerank_call_budget: int = 0,
+) -> DataFrame:
+    """Order the whole dataset; annotate 1-based ``rank_col``.
+
+    method='embedding': score = cosine(item embedding, criteria_query
+    embedding). method='likert': per-item LLM rating via ``prompt``.
+    """
+    if method == "embedding":
+        if not criteria_query or not embedding_keys:
+            raise ValueError("embedding rank needs criteria_query + embedding_keys")
+        scored = embed_column(df, embedding_keys, backend, out_col="_emb")
+        qvec = backend.embed([criteria_query])[0]
+        score = cosine_sim(F.col("_emb"), F.lit([float(x) for x in qvec]).cast("array<double>"))
+        scored = scored.withColumn("_score", score).drop("_emb")
+    elif method == "likert":
+        if not prompt:
+            raise ValueError("likert rank needs a prompt")
+        scored = _likert_scores(df, prompt, backend)
+    else:
+        raise ValueError(f"unknown rank method {method!r}")
+
+    order = [F.col("_score").desc() if direction == "desc" else F.col("_score").asc()]
+    order += [F.col(c).asc() for c in (tiebreak or [])]
+    w = W.orderBy(*order)  # global ordering is the operator's contract
+    ranked = scored.withColumn(rank_col, F.row_number().over(w).cast("long")).drop("_score")
+
+    if refine_head_size and rerank_call_budget and prompt:
+        # driver-coordinated picky-window refinement over the head only
+        # (rank.py:696-910): re-order the top rows with pairwise prompts.
+        head = [r.asDict() for r in ranked.filter(F.col(rank_col) <= refine_head_size).collect()]
+        budget = rerank_call_budget
+        changed = True
+        while changed and budget > 0:
+            changed = False
+            for i in range(len(head) - 1):
+                if budget <= 0:
+                    break
+                a, b = head[i], head[i + 1]
+                rendered = render_prompt(prompt, {"input1": a, "input2": b})
+                ans = backend.complete(rendered, {"prefer_second": "bool"}, (a, b))
+                budget -= 1
+                if ans.get("prefer_second"):
+                    head[i], head[i + 1] = b, a
+                    changed = True
+        spark = df.sparkSession
+        id_like = [c for c in df.columns]
+        new_ranks = spark.createDataFrame(
+            [{**{k: r[k] for k in id_like}, rank_col: i + 1} for i, r in enumerate(head)],
+            schema=ranked.schema,
+        )
+        tail = ranked.filter(F.col(rank_col) > refine_head_size)
+        ranked = new_ranks.unionByName(tail)
+    return ranked

@@ -1,0 +1,224 @@
+"""Resolve operator: entity resolution / canonicalization.
+
+Reference semantics: /root/reference/docetl/operations/resolve.py:40-892
+- candidate pairs from code ``blocking_conditions`` and/or embedding
+  cosine >= ``blocking_threshold`` (414-521), plus exact blocking-key
+  equality shortcut (216-223);
+- pairwise LLM ``comparison_prompt`` -> is_match (194-242);
+- union-find transitive clustering (554-590);
+- per-cluster canonicalization via ``resolution_prompt`` (717-793) or
+  majority vote (847-861);
+- every input row is annotated with its cluster's canonical values —
+  cardinality preserved.
+
+Spark realization (scale posture, SURVEY.md §7.4):
+- embeddings are a column (backend.embed inside an Arrow-batched UDF);
+- candidate generation is LSH-bucketed (random hyperplanes) by default —
+  an equi-join on bucket id, never the reference's O(n^2) cosine matrix
+  (resolve.py:500-518, deliberately not replicated);
+- pairwise adjudication is a pandas UDF over the (pruned) pair table;
+- clustering = iterative min-label propagation (connected components);
+- canonicalization = groupBy(cluster).applyInPandas, then a broadcast
+  join annotates all rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..backend import ModelBackend
+from ..functions.dedup import connected_components
+from ..functions.similarity import lsh_bucket, random_hyperplanes
+from ..operators.sample import cosine_sim
+from ..types import schema_of
+from .semantic import render_prompt
+
+
+def embed_column(
+    df: DataFrame, keys: list[str], backend: ModelBackend, *, out_col: str = "_embedding"
+) -> DataFrame:
+    """Embedding column from the concatenation of ``keys`` (the
+    reference's get_embeddings_for_clustering shape)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(s: pd.Series) -> pd.Series:
+        return pd.Series(backend.embed(list(s)))
+
+    text = F.concat_ws(" ", *[F.col(k).cast("string") for k in keys])
+    return df.withColumn(out_col, embed(text))
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    blocking_keys: list[str] | None = None,
+    blocking_threshold: float | None = None,
+    blocking_conditions: list[str] | None = None,
+    backend: ModelBackend | None = None,
+    embedding_col: str | None = None,
+    n_planes: int = 8,
+    lsh_seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Union of three pruning strategies, deduplicated: (a) exact
+    blocking-key equality, (b) embedding-cosine >= threshold within LSH
+    buckets, (c) arbitrary pair predicates (SQL exprs over ``a.``/``b.``
+    prefixed columns). Returns (id_a, id_b), id_a < id_b."""
+    a = df.alias("a")
+    b = df.alias("b")
+    lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    parts: list[DataFrame] = []
+
+    if blocking_keys:
+        cond = lt
+        for k in blocking_keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        parts.append(a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+
+    if blocking_threshold is not None:
+        emb = embedding_col
+        if emb is None:
+            raise ValueError("blocking_threshold requires an embedding column (embed_column first)")
+        vec_dim = dim or len(df.select(emb).first()[0])
+        planes = random_hyperplanes(vec_dim, n_planes, lsh_seed)
+        bucketed = df.withColumn("_bucket", lsh_bucket(F.col(emb), planes))
+        ba, bb = bucketed.alias("a"), bucketed.alias("b")
+        sim = cosine_sim(F.col(f"a.{emb}"), F.col(f"b.{emb}"))
+        parts.append(
+            ba.join(bb, (F.col("a._bucket") == F.col("b._bucket")) & lt)
+            .filter(sim >= blocking_threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+
+    if blocking_conditions:
+        cond = lt
+        ors = None
+        for expr in blocking_conditions:
+            c = F.expr(expr)
+            ors = c if ors is None else (ors | c)
+        parts.append(a.join(b, cond & ors).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+
+    if not parts:
+        # no blocking configured: all pairs (the reference allows this for
+        # tiny inputs only, equijoin.py:318-330 caps at 100; we keep the
+        # cross join but it is the caller's responsibility at scale)
+        parts.append(a.join(b, lt).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+def adjudicate_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    comparison_prompt: str,
+    backend: ModelBackend,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """LLM pairwise is_match over candidate pairs (resolve.py:194-242).
+    The backend sees ``{{ input1 }}`` / ``{{ input2 }}`` and a 2-tuple
+    context; FakeBackend's default bool rule is normalized equality."""
+    cols = compare_cols or [c for c in df.columns if c != id_col]
+    side = df.select(F.col(id_col), *cols)
+    a = side.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"_a_{c}") for c in cols])
+    b = side.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"_b_{c}") for c in cols])
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+
+    out_schema = T.StructType(
+        [joined.schema[c] for c in ("id_a", "id_b")] + [T.StructField("is_match", T.BooleanType(), True)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            res = []
+            for r in rows:
+                in1 = {c: r[f"_a_{c}"] for c in cols}
+                in2 = {c: r[f"_b_{c}"] for c in cols}
+                prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
+                ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
+                res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": bool(ans.get("is_match"))})
+            yield pd.DataFrame(res, columns=["id_a", "id_b", "is_match"])
+
+    return joined.mapInPandas(run, schema=out_schema).filter(F.col("is_match")).select("id_a", "id_b")
+
+
+def resolve(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    id_col: str,
+    comparison_prompt: str,
+    output_schema: dict,
+    resolution_prompt: str | None = None,
+    compare_cols: list[str] | None = None,
+    blocking_keys: list[str] | None = None,
+    blocking_threshold: float | None = None,
+    blocking_conditions: list[str] | None = None,
+    embedding_keys: list[str] | None = None,
+) -> DataFrame:
+    """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
+    annotate. Row count is preserved; declared output_schema columns are
+    overwritten with canonical values; a ``_cluster_id`` column records
+    the cluster representative id."""
+    work = df
+    embedding_col = None
+    if blocking_threshold is not None:
+        work = embed_column(work, embedding_keys or compare_cols or [], backend)
+        embedding_col = "_embedding"
+
+    pairs = candidate_pairs(
+        work,
+        id_col,
+        blocking_keys=blocking_keys,
+        blocking_threshold=blocking_threshold,
+        blocking_conditions=blocking_conditions,
+        embedding_col=embedding_col,
+    )
+    matches = adjudicate_pairs(pairs, df, id_col, comparison_prompt, backend, compare_cols=compare_cols)
+    comp = connected_components(matches, df.select(id_col), id_col)
+    clustered = df.join(comp, id_col, "left").withColumn(
+        "_cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+    declared = schema_of(output_schema)
+    canon_fields = [T.StructField("_cluster_id", clustered.schema["_cluster_id"].dataType, True)] + list(
+        declared.fields
+    )
+    canon_schema = T.StructType(canon_fields)
+    out_names = canon_schema.fieldNames()
+    sort_col = id_col
+
+    def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_col, kind="mergesort")
+        items = pdf.to_dict("records")
+        if resolution_prompt:
+            prompt = render_prompt(resolution_prompt, {"inputs": items})
+            res = backend.complete(prompt, output_schema, items)
+        else:
+            # majority vote per declared key (resolve.py:847-861); ties ->
+            # lexicographically smallest for determinism
+            res = {}
+            for k in output_schema:
+                vals = [i.get(k) for i in items if i.get(k) is not None]
+                if vals:
+                    counts = pd.Series(vals).value_counts()
+                    top = counts[counts == counts.max()].index.tolist()
+                    res[k] = sorted(str(t) for t in top)[0] if len(top) > 1 else top[0]
+                else:
+                    res[k] = None
+        row = {"_cluster_id": items[0]["_cluster_id"], **{k: res.get(k) for k in output_schema}}
+        return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
+
+    canon = clustered.groupBy("_cluster_id").applyInPandas(canonicalize, schema=canon_schema)
+    keep = [c for c in clustered.columns if c not in declared.fieldNames()]
+    return clustered.select(*keep).join(canon, "_cluster_id", "left")
