@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from docetl_spark import FakeBackend, SemanticFrame
 from docetl_spark.functions import dedup, similarity, text
-from docetl_spark.operators import sample as sample_op
+from docetl_spark.operators import link_resolve as link_resolve_op, sample as sample_op
 
 # ---------------------------------------------------------------- helpers
 
@@ -392,6 +392,171 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve op: block on lang, adjudicate equality, cluster, annotate.
+    Full path: candidate pairs -> pairwise UDF -> connected components ->
+    majority-vote canonicalization -> broadcast annotate."""
+    be = FakeBackend(rules={"is_match": lambda ctx: ctx[0]["lang"] == ctx[1]["lang"]})
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .select("doc_id", "lang")
+        .resolve(
+            id_col="doc_id",
+            comparison_prompt="Same language? {{ input1.lang }} vs {{ input2.lang }}",
+            output_schema={"lang": "str"},
+            blocking_keys=["lang"],
+            compare_cols=["lang"],
+        )
+        .select("doc_id", "lang", "_cluster_id")
+    )
+    return out.df
+
+
+def equijoin_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equijoin op: expression blocking -> UDF adjudication -> per-left
+    match limit (row_number window)."""
+    be = FakeBackend(rules={"is_match": lambda ctx: (ctx[0]["p_partkey"] + ctx[1]["s_suppkey"]) % 7 == 0})
+    part = _sf(spark, sf_dir, "part", backend=be).select("p_partkey", "p_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = part.equijoin(
+        SemanticFrame.from_df(supp),
+        comparison_prompt="match? {{ left.p_partkey }} {{ right.s_suppkey }}",
+        left_keys=["p_partkey"],
+        right_keys=["s_suppkey"],
+        blocking_conditions=["left.p_partkey % 50 = right.s_suppkey % 50"],
+        limits={"left": 1},
+    )
+    return out.select("p_partkey", "p_name", "s_suppkey", "s_name").df
+
+
+def rank_likert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank op, likert method: deterministic rating (= token count),
+    desc with doc_id tiebreak, 1-based _rank annotation."""
+    be = FakeBackend(rules={"rating": lambda row: float(len(row["text"].split()))})
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .select("doc_id", "text")
+        .rank(method="likert", prompt="Rate the doc: {{ input.text }}", direction="desc", tiebreak=["doc_id"])
+        .select("doc_id", "_rank")
+    )
+    return out.df
+
+
+def extract_regex_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract op, regex strategy: backend supplies a pattern, spans are
+    applied row-locally and newline-joined."""
+    be = FakeBackend(rules={"patterns": lambda row: [r"join\w*"]})
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .select("doc_id", "text")
+        .extract("Extract join-words from {{ input.text }}", ["text"], strategy="regex")
+        .select("doc_id", F.col("text_extracted").alias("mentions"))
+    )
+    return out.df
+
+
+def link_resolve_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link_resolve op: dangling link values (uppercased langs) repaired
+    to canonical ids by normalized-equality adjudication."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array(F.upper(F.col("lang")), F.lit("zz-unknown")).alias("links")
+    )
+    out = link_resolve_op.link_resolve(docs, FakeBackend(), id_key="lang", link_key="links")
+    return out.select("doc_id", F.array_join("links", ",").alias("links_s"))
+
+
+def parallel_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parallel_map op: two independent prompts filling disjoint keys."""
+    be = FakeBackend(
+        rules={
+            "sentiment": lambda row: (
+                "positive" if "fast" in row["text"] else ("negative" if "slow" in row["text"] else "neutral")
+            ),
+            "n_tokens": lambda row: len(row["text"].split()),
+        }
+    )
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .parallel_map(
+            [
+                {"prompt": "Sentiment of {{ input.text }}", "output_keys": ["sentiment"]},
+                {"prompt": "Count tokens in {{ input.text }}", "output_keys": ["n_tokens"]},
+            ],
+            {"sentiment": "str", "n_tokens": "int"},
+        )
+        .select("doc_id", "sentiment", "n_tokens")
+    )
+    return out.df
+
+
+def unnest_columns_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest_columns op: struct column flattened to top level."""
+    docs = _sf(spark, sf_dir, "documents").with_columns(
+        stats=F.struct(
+            text.token_count(F.col("text")).alias("n_tokens"),
+            F.col("lang").alias("lang_code"),
+        )
+    )
+    return docs.select("doc_id", F.col("stats")).unnest_columns("stats").df
+
+
+def add_uuid_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_uuid op (deterministic id mode for oracle checking)."""
+    return (
+        _sf(spark, sf_dir, "orders")
+        .add_uuid("row_id", deterministic_from="o_orderkey")
+        .select("o_orderkey", "row_id")
+        .df
+    )
+
+
+def split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split op, token_count method: fixed 50-token windows over the
+    BPE-ish pre-tokenization (tokens keep their leading space)."""
+    return (
+        _sf(spark, sf_dir, "documents")
+        .split("text", "token_count", {"num_tokens": 50}, name="tsplit", doc_id="doc_id")
+        .select("doc_id", "text_chunk", "tsplit_chunk_num")
+        .df
+    )
+
+
+def sample_outliers_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample op, outliers method: keep rows within 1 std of the
+    embedding centroid (distance cutoff from per-dimension moments)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sample_op.sample_outliers(emb, "embedding", std=1.0, keep=False)
+    return out.select("vec_id")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs (brute-force exact; the LSH
+    variant is the scale path and is bench-only)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = sample_op.cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("_c", sim)
+        .filter(F.col("_c") >= 0.40)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("_c", 4).alias("cosine"),
+        )
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (weak check: fingerprint depends on
+    blake2b token hashes, not expressible in ANSI SQL — driver records
+    rows-only)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_sh = docs.withColumn("_simhash", dedup.simhash64(F.col("text")))
+    pairs = dedup.simhash_candidate_pairs(with_sh, "doc_id", "_simhash", max_hamming=3)
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -426,6 +591,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": ann_brute_force,
         "events_sessionize": events_sessionize,
         "events_user_stats": events_user_stats,
+        "resolve_docs": resolve_docs,
+        "equijoin_part_supplier": equijoin_part_supplier,
+        "rank_likert_docs": rank_likert_docs,
+        "extract_regex_mentions": extract_regex_mentions,
+        "link_resolve_langs": link_resolve_langs,
+        "parallel_map_docs": parallel_map_docs,
+        "unnest_columns_struct": unnest_columns_struct,
+        "add_uuid_det": add_uuid_det,
+        "split_tokens": split_tokens,
+        "sample_outliers_emb": sample_outliers_emb,
+        "embedding_near_dup": embedding_near_dup,
+        "simhash_near_dup": simhash_near_dup,
     }
 
 
@@ -697,4 +874,73 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents,
                    MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id, event_type""",
+        "resolve_docs": """
+            SELECT doc_id, lang, MIN(doc_id) OVER (PARTITION BY lang) AS _cluster_id
+            FROM documents""",
+        "equijoin_part_supplier": """
+            SELECT p_partkey, p_name, s_suppkey, s_name
+            FROM part JOIN supplier ON p_partkey % 50 = s_suppkey % 50
+            WHERE (p_partkey + s_suppkey) % 7 = 0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_suppkey) = 1""",
+        "rank_likert_docs": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY len(list_filter(string_split(text, ' '), x -> x <> '')) DESC, doc_id
+                   ) AS BIGINT) AS _rank
+            FROM documents""",
+        "extract_regex_mentions": """
+            SELECT doc_id, COALESCE(array_to_string(regexp_extract_all(text, 'join\\w*'), chr(10)), '') AS mentions
+            FROM documents""",
+        "link_resolve_langs": """
+            SELECT doc_id, lang || ',zz-unknown' AS links_s FROM documents""",
+        "parallel_map_docs": """
+            SELECT doc_id,
+                   CASE WHEN text LIKE '%fast%' THEN 'positive'
+                        WHEN text LIKE '%slow%' THEN 'negative'
+                        ELSE 'neutral' END AS sentiment,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+            FROM documents""",
+        "unnest_columns_struct": """
+            SELECT doc_id,
+                   CAST(len(CASE WHEN trim(text) = '' THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tokens,
+                   lang AS lang_code
+            FROM documents""",
+        "add_uuid_det": """
+            SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS row_id FROM orders""",
+        "split_tokens": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     CAST(unnest(range(1, CAST(ceil(len(t) / 50.0) AS BIGINT) + 1)) AS BIGINT) AS tsplit_chunk_num
+              FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   array_to_string(t[(tsplit_chunk_num-1)*50 + 1 : least(tsplit_chunk_num*50, len(t))], '') AS text_chunk,
+                   tsplit_chunk_num
+            FROM idx""",
+        "sample_outliers_emb": """
+            WITH dims AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ), moments AS (
+              SELECT d, AVG(v) AS mean, AVG(v * v) - AVG(v) * AVG(v) AS var FROM dims GROUP BY d
+            ), dist AS (
+              SELECT vec_id, sqrt(SUM((v - mean) * (v - mean))) AS dist
+              FROM dims JOIN moments USING (d) GROUP BY vec_id
+            ), cutoff AS (
+              SELECT sqrt(SUM(greatest(var, 0.0))) * 1.0 AS c FROM moments
+            )
+            SELECT vec_id FROM dist, cutoff WHERE dist <= c""",
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.40""",
     }

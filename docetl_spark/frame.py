@@ -25,11 +25,13 @@ from .operators import (
     equijoin as equijoin_op,
     extract as extract_op,
     gather as gather_op,
+    link_resolve as link_resolve_op,
     rank as rank_op,
     resolve as resolve_op,
     sample as sample_op,
     semantic,
     shape,
+    web_ops,
 )
 from .sources import readers
 
@@ -219,6 +221,20 @@ class SemanticFrame:
         return self._next(
             cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw), "cluster"
         )
+
+    def link_resolve(self, *, id_key: str, link_key: str, **kw) -> "SemanticFrame":
+        be = self._require_backend("link_resolve")
+        return self._next(
+            link_resolve_op.link_resolve(self.df, be, id_key=id_key, link_key=link_key, **kw),
+            "link_resolve",
+        )
+
+    # --------------------------------------------------- external-IO ops
+    def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
+        return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")
+
+    def web_fetch(self, *, url_col: str, **kw) -> "SemanticFrame":
+        return self._next(web_ops.web_fetch(self.df, url_col=url_col, **kw), "web_fetch")
 
     # ---------------------------------------------------------- actions
     def schema(self):

@@ -1,0 +1,210 @@
+"""Tests for resolve / equijoin / rank / extract / cluster / link_resolve.
+
+Mirrors the reference's invariant-style operator tests (SURVEY.md §5)
+but with a deterministic FakeBackend so outcomes are exact.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from docetl_spark import FakeBackend, SemanticFrame
+from docetl_spark.operators import link_resolve as lr_op, web_ops
+
+
+@pytest.fixture()
+def people(spark):
+    rows = [
+        {"pid": 1, "name": "John Smith", "dept": "eng"},
+        {"pid": 2, "name": "john  smith", "dept": "eng"},
+        {"pid": 3, "name": "Jane Doe", "dept": "sales"},
+        {"pid": 4, "name": "JANE DOE", "dept": "sales"},
+        {"pid": 5, "name": "Alice Wu", "dept": "eng"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_resolve_clusters_and_canonicalizes(people):
+    # default bool rule: normalized equality over the 2-tuple context
+    be = FakeBackend()
+    out = (
+        SemanticFrame.from_df(people, backend=be)
+        .resolve(
+            id_col="pid",
+            comparison_prompt="Same person? {{ input1.name }} vs {{ input2.name }}",
+            output_schema={"name": "str"},
+            blocking_keys=["dept"],
+            compare_cols=["name"],
+        )
+        .collect()
+    )
+    assert len(out) == 5  # cardinality preserved
+    by_pid = {r["pid"]: r for r in out}
+    # john smith variants cluster together under min pid
+    assert by_pid[1]["_cluster_id"] == by_pid[2]["_cluster_id"] == 1
+    assert by_pid[3]["_cluster_id"] == by_pid[4]["_cluster_id"] == 3
+    assert by_pid[5]["_cluster_id"] == 5
+    # canonical name shared within cluster (majority vote, deterministic tie)
+    assert by_pid[1]["name"] == by_pid[2]["name"]
+    assert by_pid[3]["name"] == by_pid[4]["name"]
+
+
+def test_equijoin_blocking_adjudication_limits(spark):
+    left = spark.createDataFrame([{"lid": i, "lval": i % 3} for i in range(9)])
+    right = spark.createDataFrame([{"rid": j, "rval": j % 3} for j in range(6)])
+    be = FakeBackend(rules={"is_match": lambda ctx: ctx[0]["lid"] % 2 == ctx[1]["rid"] % 2})
+    out = (
+        SemanticFrame.from_df(left, backend=be)
+        .equijoin(
+            SemanticFrame.from_df(right),
+            comparison_prompt="{{ left.lid }} {{ right.rid }}",
+            left_keys=["lid"],
+            right_keys=["rid"],
+            blocking_conditions=["left.lval = right.rval"],
+        )
+        .collect()
+    )
+    assert all(r["lval"] == r["rval"] for r in out)  # blocking respected
+    assert all(r["lid"] % 2 == r["rid"] % 2 for r in out)  # adjudication respected
+    # limits: at most 1 right match per left row, deterministic (min rid)
+    out2 = (
+        SemanticFrame.from_df(left, backend=be)
+        .equijoin(
+            SemanticFrame.from_df(right),
+            comparison_prompt="{{ left.lid }} {{ right.rid }}",
+            left_keys=["lid"],
+            right_keys=["rid"],
+            blocking_conditions=["left.lval = right.rval"],
+            limits={"left": 1},
+        )
+        .collect()
+    )
+    per_left = {}
+    for r in out2:
+        per_left.setdefault(r["lid"], []).append(r["rid"])
+    assert all(len(v) == 1 for v in per_left.values())
+
+
+def test_equijoin_collision_suffixes(spark):
+    left = spark.createDataFrame([{"k": 1, "name": "a"}])
+    right = spark.createDataFrame([{"k": 1, "name": "b"}])
+    be = FakeBackend(rules={"is_match": lambda ctx: True})
+    out = (
+        SemanticFrame.from_df(left, backend=be)
+        .equijoin(
+            SemanticFrame.from_df(right),
+            comparison_prompt="x",
+            left_keys=["k"],
+            right_keys=["k"],
+            blocking_conditions=["left.k = right.k"],
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    assert {"k_left", "k_right", "name_left", "name_right"} <= set(out[0])
+
+
+def test_rank_likert_and_refinement(docs):
+    be = FakeBackend(rules={"rating": lambda row: float(row["id"])})
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .rank(method="likert", prompt="rate {{ input.text }}", direction="asc", tiebreak=["id"])
+        .collect()
+    )
+    ordered = sorted(out, key=lambda r: r["_rank"])
+    assert [r["id"] for r in ordered] == [0, 1, 2, 3, 4]
+    assert [r["_rank"] for r in ordered] == [1, 2, 3, 4, 5]
+
+
+def test_extract_regex_and_line_number(docs):
+    be = FakeBackend(rules={"patterns": lambda row: [r"\b\w*oo\w*\b"]})
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .extract("find oo-words {{ input.text }}", ["text"], strategy="regex")
+        .collect()
+    )
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["text_extracted"] == "\n".join(re.findall(r"\b\w*oo\w*\b", by_id[0]["text"]))
+
+    be2 = FakeBackend(rules={"ranges": lambda row: [{"start": 2, "end": 2}]})
+    df2 = docs.withColumn("text", F.concat_ws("\n", F.lit("l1"), F.lit("l2"), F.lit("l3")))
+    out2 = (
+        SemanticFrame.from_df(df2, backend=be2)
+        .extract("second line {{ input._numbered }}", ["text"], strategy="line_number")
+        .collect()
+    )
+    assert all(r["text_extracted"] == "l2" for r in out2)
+
+
+def test_extract_list_output(docs):
+    be = FakeBackend(rules={"patterns": lambda row: [r"\b\w*oo\w*\b"]})
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .extract("x {{ input.text }}", ["text"], strategy="regex", format_extraction=False)
+        .collect()
+    )
+    assert all(isinstance(r["text_extracted"], list) for r in out)
+
+
+def test_cluster_paths(docs):
+    be = FakeBackend()
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .cluster(id_col="id", embedding_keys=["text"])
+        .collect()
+    )
+    assert len(out) == 5
+    assert all(isinstance(r["clusters"], list) for r in out)
+    # root summary is shared by every row
+    roots = {r["clusters"][0] for r in out if r["clusters"]}
+    assert len(roots) == 1
+
+
+def test_cluster_size_gate(spark):
+    rows = [{"id": i, "text": f"t{i}"} for i in range(30)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="max_local_size"):
+        SemanticFrame.from_df(df, backend=FakeBackend()).cluster(
+            id_col="id", embedding_keys=["text"], max_local_size=10
+        )
+
+
+def test_link_resolve_repairs_dangling(spark):
+    df = spark.createDataFrame(
+        [
+            {"name": "apple", "links": ["banana", "APPLE"]},
+            {"name": "banana", "links": ["apple", "BANANA!!"]},
+            {"name": "cherry", "links": ["durian"]},
+        ]
+    )
+    # default bool rule = normalized equality of the 2-tuple
+    out = lr_op.link_resolve(df, FakeBackend(), id_key="name", link_key="links")
+    by_name = {r["name"]: r["links"] for r in out.collect()}
+    assert by_name["apple"] == ["banana", "apple"]  # APPLE repaired
+    assert by_name["banana"] == ["apple", "banana"]  # "BANANA!!" normalized-matches banana
+    assert by_name["cherry"] == ["durian"]  # no match: left as-is
+
+
+def test_web_ops_plumbing(spark):
+    df = spark.createDataFrame([{"q": "spark"}, {"q": "duckdb"}])
+    out = web_ops.web_search(
+        df,
+        query_col="q",
+        max_results=2,
+        requests_per_second=1000,
+        fetch_fn=lambda q, n: [{"title": f"{q}-{i}", "description": "d", "url": f"https://x/{q}/{i}"} for i in range(5)],
+    ).collect()
+    assert all(len(r["search_results"]) == 2 for r in out)  # max_results cap
+    assert out[0]["search_results"][0]["url"].startswith("https://x/")
+
+    fetched = web_ops.web_fetch(
+        df, url_col="q", requests_per_second=1000, fetch_fn=lambda u: f"# {u}"
+    ).collect()
+    assert {r["content"] for r in fetched} == {"# spark", "# duckdb"}
+
+
+def test_web_ops_default_raises(spark):
+    df = spark.createDataFrame([{"q": "x"}])
+    with pytest.raises(Exception):
+        web_ops.web_search(df, query_col="q").collect()
