@@ -8,14 +8,19 @@ Public surface:
 """
 
 from .backend import FakeBackend, LiteLLMBackend, ModelBackend
+from .checkpoint import Checkpointer
 from .frame import SemanticFrame
+from .plans import run_pipeline, run_yaml
 from .session import get_spark, load_tables
 
 __all__ = [
+    "Checkpointer",
     "FakeBackend",
     "LiteLLMBackend",
     "ModelBackend",
     "SemanticFrame",
     "get_spark",
     "load_tables",
+    "run_pipeline",
+    "run_yaml",
 ]

@@ -1,0 +1,161 @@
+"""Compile lifted op configs onto SemanticFrame pipelines.
+
+Reference lifecycle: /root/reference/docetl/runner.py:187-224 (config ->
+plan -> rewrite -> lower), containers.py:549-604 (physical DAG). Here
+the "physical DAG" is the DataFrame lineage itself: each step compiles
+scan -> ops -> (optional checkpoint materialization), and step outputs
+are registered as temp views for later steps (containers.py:514).
+
+Code ops in config form carry Python source strings which are exec'd in
+an isolated namespace (the reference execs user parser/code-op source
+from config too, dataset.py:442-453, code_operations.py) — this is a
+trusted-config execution model, same as the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ..backend import FakeBackend, ModelBackend
+from ..frame import SemanticFrame
+from .ir import OpSpec, lift, lower
+from .rewrite import rewrite
+
+
+def _exec_code(source: str, entry: str):
+    ns: dict[str, Any] = {}
+    exec(source, ns)  # noqa: S102 — trusted pipeline config, reference parity
+    if entry not in ns:
+        raise ValueError(f"code op source must define {entry}()")
+    return ns[entry]
+
+
+def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]) -> SemanticFrame:
+    t, c = spec.type, dict(spec.config)
+    c.pop("name", None)
+    if t == "map":
+        return sf.map(c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
+    if t == "parallel_map":
+        return sf.parallel_map(c["prompts"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
+    if t == "filter":
+        return sf.filter(c["prompt"], c["output"]["schema"])
+    if t == "reduce":
+        return sf.reduce(c["reduce_key"], c["prompt"], c["output"]["schema"],
+                         name=spec.config.get("name", "reduce"),
+                         sort_within_group=c.get("sort_within_group"))
+    if t == "code_map":
+        fn = _exec_code(c["code"], "transform")
+        return sf.code_map(lambda row: fn(row), c["output"]["schema"], drop_keys=c.get("drop_keys"))
+    if t == "code_filter":
+        pred = c.get("predicate") or _exec_code(c["code"], "predicate")
+        return sf.code_filter(pred, limit=c.get("limit"))
+    if t == "code_reduce":
+        fn = _exec_code(c["code"], "reduce_fn")
+        return sf.code_reduce(c["reduce_key"], lambda items: fn(items), c["output"]["schema"],
+                              name=spec.config.get("name", "code_reduce"))
+    if t == "split":
+        return sf.split(c["split_key"], c["method"], c.get("method_kwargs", {}),
+                        name=spec.config.get("name", "split"), doc_id=c.get("doc_id"))
+    if t == "gather":
+        return sf.gather(c["content_key"], c["doc_id_key"], c["order_key"],
+                         peripheral_chunks=c.get("peripheral_chunks", {}))
+    if t == "unnest":
+        return sf.unnest(c["unnest_key"], keep_empty=c.get("keep_empty", False),
+                         expand_fields=c.get("expand_fields"),
+                         recursive=c.get("recursive", False), depth=c.get("depth"))
+    if t == "unnest_columns":
+        return sf.unnest_columns(c["column"])
+    if t == "add_uuid":
+        return sf.add_uuid(c.get("id_key", "uuid_id"),
+                           deterministic_from=c.get("deterministic_from"))
+    if t == "sample":
+        method = c.pop("method")
+        samples = c.pop("samples", None)
+        return sf.sample(method, samples, **c)
+    if t == "topk":
+        return sf.topk(c.pop("method"), c.pop("k"), **c)
+    if t == "rank":
+        return sf.rank(**c)
+    if t == "extract":
+        return sf.extract(c.pop("prompt"), c.pop("document_keys"), **c)
+    if t == "resolve":
+        return sf.resolve(id_col=c.pop("id_col"), comparison_prompt=c.pop("comparison_prompt"),
+                          output_schema=c.pop("output", {}).get("schema") or c.pop("output_schema"), **c)
+    if t == "cluster":
+        return sf.cluster(id_col=c.pop("id_col"), embedding_keys=c.pop("embedding_keys"), **c)
+    if t == "link_resolve":
+        return sf.link_resolve(id_key=c.pop("id_key"), link_key=c.pop("link_key"), **c)
+    if t == "equijoin":
+        right = datasets[c.pop("right")]
+        return sf.equijoin(right, comparison_prompt=c.pop("comparison_prompt"),
+                           left_keys=c.pop("left_keys"), right_keys=c.pop("right_keys"), **c)
+    raise ValueError(f"unknown op type {t!r}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: dict,
+    *,
+    backend: ModelBackend | None = None,
+    checkpointer=None,
+) -> SemanticFrame:
+    """Execute a reference-shaped pipeline config:
+
+    ``datasets``: {name: {type: file|memory, path|data, format?}}
+    ``operations``: [{name, type, ...}]
+    ``pipeline``: {steps: [{name, input, operations: [opname...]}],
+                   output?: {path}}
+
+    Returns the final step's SemanticFrame; writes output if configured.
+    """
+    backend = backend or FakeBackend()
+    ops_by_name = {o["name"]: o for o in config.get("operations", [])}
+
+    datasets: dict[str, SemanticFrame] = {}
+    for name, d in config.get("datasets", {}).items():
+        if d.get("type") == "memory":
+            datasets[name] = SemanticFrame.from_list(spark, d["data"], backend=backend)
+        else:
+            path = d["path"]
+            fmt = d.get("format") or path.rsplit(".", 1)[-1]
+            reader = {"json": SemanticFrame.read_json, "csv": SemanticFrame.read_csv,
+                      "parquet": SemanticFrame.read_parquet}[fmt]
+            datasets[name] = reader(spark, path, backend=backend)
+
+    last: SemanticFrame | None = None
+    rewrites_fired: list[str] = []
+    for step in config["pipeline"]["steps"]:
+        sf = datasets[step["input"]] if "input" in step else last
+        step_configs = [ops_by_name[n] for n in step.get("operations", [])]
+        specs, fired = rewrite(lift(step_configs))
+        rewrites_fired += fired
+        for spec in lower(specs):
+            spec = OpSpec(spec["type"], {k: v for k, v in spec.items() if k != "type"})
+            if checkpointer is not None:
+                cached = checkpointer.advance(spec, sf)
+                if cached is not None:
+                    sf = cached
+                    continue
+            sf = apply_op(sf, spec, datasets)
+            if checkpointer is not None:
+                sf = checkpointer.store(sf)
+        # step boundary: register output as a named dataset (containers.py:514)
+        datasets[step["name"]] = sf
+        sf.df.createOrReplaceTempView(step["name"])
+        last = sf
+
+    out = config["pipeline"].get("output")
+    if out and last is not None:
+        path = out["path"]
+        if path.endswith(".json"):
+            last.write_json(path)
+        elif path.endswith(".csv"):
+            last.write_csv(path)
+        else:
+            last.write_parquet(path)
+    if last is None:
+        raise ValueError("pipeline has no steps")
+    object.__setattr__(last, "op_log", last.op_log + (("rewrites", {"fired": rewrites_fired}),))
+    return last

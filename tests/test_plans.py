@@ -1,0 +1,195 @@
+"""Plan IR / rewrite / compiler / YAML / checkpoint tests.
+
+Mirrors the reference's hermetic plan tests (tests/test_plan_rules.py,
+test_plan_roundtrip.py — SURVEY.md §5): rewrites are pure list
+transformations testable without Spark; the pipeline runner is driven
+end-to-end with a FakeBackend.
+"""
+
+import pytest
+
+from docetl_spark import Checkpointer, FakeBackend, run_pipeline, run_yaml
+from docetl_spark.plans.ir import OpSpec, lift, lower
+from docetl_spark.plans.rewrite import rewrite
+
+
+# --------------------------------------------------------------- rewrites
+
+def _ops(*configs):
+    return lift(list(configs))
+
+
+def test_selection_pushdown_below_llm_map():
+    ops, fired = rewrite(_ops(
+        {"type": "map", "name": "m", "prompt": "summarize {{ input.text }}",
+         "output": {"schema": {"summary": "str"}}},
+        {"type": "code_filter", "name": "f", "predicate": "category = 'review'"},
+    ))
+    assert [o.type for o in ops] == ["code_filter", "map"]
+    assert "selection_pushdown" in fired
+
+
+def test_selection_pushdown_blocked_by_written_field():
+    # the filter reads the field the map writes -> illegal hop
+    ops, fired = rewrite(_ops(
+        {"type": "map", "name": "m", "prompt": "p {{ input.text }}",
+         "output": {"schema": {"flag": "str"}}},
+        {"type": "code_filter", "name": "f", "predicate": "flag = 'yes'"},
+    ))
+    assert [o.type for o in ops] == ["map", "code_filter"]
+    assert fired == []
+
+
+def test_selection_pushdown_requires_llm_motive():
+    # pure code_map chain: no cost motive, rule must not fire
+    ops, fired = rewrite(_ops(
+        {"type": "code_map", "name": "m", "code": "def transform(d): return {}",
+         "output": {"schema": {"x": "int"}}},
+        {"type": "code_filter", "name": "f", "predicate": "category = 'a'"},
+    ))
+    assert [o.type for o in ops] == ["code_map", "code_filter"]
+
+
+def test_selection_pushdown_blocked_by_non_row_local():
+    ops, fired = rewrite(_ops(
+        {"type": "reduce", "name": "r", "reduce_key": "k", "prompt": "p {{ input.text }}",
+         "output": {"schema": {"s": "str"}}},
+        {"type": "code_filter", "name": "f", "predicate": "category = 'a'"},
+    ))
+    assert [o.type for o in ops] == ["reduce", "code_filter"]
+
+
+def test_limit_pushdown_below_llm_map():
+    ops, fired = rewrite(_ops(
+        {"type": "map", "name": "m", "prompt": "p {{ input.text }}",
+         "output": {"schema": {"s": "str"}}},
+        {"type": "sample", "name": "head", "method": "first", "samples": 5},
+    ))
+    assert [o.type for o in ops] == ["sample", "map"]
+    assert "limit_pushdown" in fired
+
+
+def test_lift_lower_roundtrip():
+    configs = [
+        {"type": "map", "prompt": "p", "output": {"schema": {"s": "str"}}},
+        {"type": "code_filter", "predicate": "x = 1"},
+    ]
+    assert lower(lift(configs)) == configs
+
+
+def test_python_predicate_fails_closed():
+    spec = OpSpec("code_filter", {"code": "def predicate(d): return True"})
+    assert spec.fields_read() is None  # unknown -> no hop allowed
+
+
+# --------------------------------------------------------------- pipeline
+
+PIPELINE = {
+    "datasets": {
+        "reviews": {
+            "type": "memory",
+            "data": [
+                {"id": 0, "text": "fast and good", "category": "review"},
+                {"id": 1, "text": "slow and bad", "category": "review"},
+                {"id": 2, "text": "other thing", "category": "news"},
+            ],
+        }
+    },
+    "operations": [
+        {"name": "keep_reviews", "type": "code_filter", "predicate": "category = 'review'"},
+        {
+            "name": "classify",
+            "type": "map",
+            "prompt": "Sentiment of {{ input.text }}",
+            "output": {"schema": {"sentiment": "str"}},
+        },
+        {
+            "name": "agg",
+            "type": "code_reduce",
+            "reduce_key": "sentiment",
+            "code": "def reduce_fn(items): return {'n': len(items)}",
+            "output": {"schema": {"n": "int"}},
+        },
+    ],
+    "pipeline": {
+        "steps": [
+            {"name": "scored", "input": "reviews", "operations": ["keep_reviews", "classify"]},
+            {"name": "rollup", "input": "scored", "operations": ["agg"]},
+        ]
+    },
+}
+
+
+def test_run_pipeline_end_to_end(spark):
+    be = FakeBackend(rules={"sentiment": lambda row: "positive" if "fast" in row["text"] else "negative"})
+    out = run_pipeline(spark, PIPELINE, backend=be)
+    rows = {r["sentiment"]: r["n"] for r in out.collect()}
+    assert rows == {"positive": 1, "negative": 1}
+    # step boundary registered as temp view
+    assert spark.table("scored").count() == 2
+
+
+def test_run_yaml(spark, tmp_path):
+    import yaml
+
+    p = tmp_path / "pipe.yaml"
+    p.write_text(yaml.safe_dump(PIPELINE))
+    be = FakeBackend(rules={"sentiment": lambda row: "pos" if "fast" in row["text"] else "neg"})
+    out = run_yaml(spark, str(p), backend=be)
+    assert out.count() == 2
+
+
+def test_checkpointer_hit_and_invalidation(spark, tmp_path):
+    calls = {"n": 0}
+
+    def make_cfg(pred):
+        return {
+            "datasets": PIPELINE["datasets"],
+            "operations": [
+                {"name": "f", "type": "code_filter", "predicate": pred},
+                {
+                    "name": "cnt",
+                    "type": "code_reduce",
+                    "reduce_key": "category",
+                    "code": "def reduce_fn(items): return {'n': len(items)}",
+                    "output": {"schema": {"n": "int"}},
+                },
+            ],
+            "pipeline": {"steps": [{"name": "s", "input": "reviews", "operations": ["f", "cnt"]}]},
+        }
+
+    root = str(tmp_path / "ckpt")
+    cfg = make_cfg("category = 'review'")
+    out1 = run_pipeline(spark, cfg, checkpointer=Checkpointer(spark, root))
+    n1 = {r["category"]: r["n"] for r in out1.collect()}
+    # second run: same config -> both ops come from checkpoints
+    out2 = run_pipeline(spark, cfg, checkpointer=Checkpointer(spark, root))
+    assert {r["category"]: r["n"] for r in out2.collect()} == n1
+    # changed upstream config -> downstream hash changes too (no stale reuse)
+    out3 = run_pipeline(spark, make_cfg("category = 'news'"), checkpointer=Checkpointer(spark, root))
+    assert {r["category"]: r["n"] for r in out3.collect()} == {"news": 1}
+
+
+def test_equijoin_in_pipeline(spark):
+    cfg = {
+        "datasets": {
+            "l": {"type": "memory", "data": [{"lid": 1, "v": "x"}, {"lid": 2, "v": "y"}]},
+            "r": {"type": "memory", "data": [{"rid": 1, "w": "x"}, {"rid": 3, "w": "y"}]},
+        },
+        "operations": [
+            {
+                "name": "j",
+                "type": "equijoin",
+                "right": "r",
+                "comparison_prompt": "{{ left.lid }} {{ right.rid }}",
+                "left_keys": ["lid"],
+                "right_keys": ["rid"],
+                "blocking_conditions": ["left.lid = right.rid"],
+            }
+        ],
+        "pipeline": {"steps": [{"name": "joined", "input": "l", "operations": ["j"]}]},
+    }
+    be = FakeBackend(rules={"is_match": lambda ctx: True})
+    out = run_pipeline(spark, cfg, backend=be)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["lid"] == 1 and rows[0]["rid"] == 1
