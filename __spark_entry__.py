@@ -286,11 +286,12 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle computes exact Jaccard over shingle-sharing pairs; LSH with
     128 hashes / 32 bands has ~1-5e-8 miss rate at j>=0.8."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    with_sig = docs.withColumn("_sh", text.shingles(F.col("text"), 3)).withColumn(
-        "_minhash", dedup.minhash_from_shingles(F.col("_sh"), 128)
-    )
+    shingled = docs.withColumn("_sh", text.shingles(F.col("text"), 3)).cache()
+    with_sig = shingled.withColumn("_minhash", dedup.minhash_from_shingles(F.col("_sh"), 128))
     cand = dedup.lsh_candidate_pairs(with_sig, "doc_id", "_minhash", num_hashes=128, bands=32)
-    verified = dedup.jaccard_verify(cand, docs, "doc_id", "text", shingle_size=3, threshold=0.8)
+    verified = dedup.jaccard_verify(
+        cand, shingled, "doc_id", "text", threshold=0.8, shingle_col="_sh"
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

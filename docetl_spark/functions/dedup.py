@@ -113,11 +113,23 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, *, shingle_size: int = 3, threshold: float = 0.8
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (verification step after
-    LSH recall). Joins shingle sets in; set math is JVM-side."""
-    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_size).alias("_sh"))
+    LSH recall). Joins shingle sets in; set math is JVM-side. Pass
+    ``shingle_col`` to reuse an already-computed (cached) shingle column
+    instead of re-shingling."""
+    if shingle_col is not None:
+        sh = df.select(F.col(id_col).alias("_jid"), F.col(shingle_col).alias("_sh"))
+    else:
+        sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_size).alias("_sh"))
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -238,11 +250,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: keep the min-id representative
     of every near-dup cluster. Returns the deduplicated DataFrame."""
-    with_sig = df.withColumn("_sh", shingles(F.col(text_col), shingle_size)).withColumn(
-        "_minhash", minhash_from_shingles(F.col("_sh"), num_hashes)
-    ).drop("_sh")
+    shingled = df.withColumn("_sh", shingles(F.col(text_col), shingle_size)).cache()
+    with_sig = shingled.withColumn("_minhash", minhash_from_shingles(F.col("_sh"), num_hashes))
     cand = lsh_candidate_pairs(with_sig, id_col, "_minhash", num_hashes=num_hashes, bands=bands)
-    verified = jaccard_verify(cand, df, id_col, text_col, shingle_size=shingle_size, threshold=jaccard_threshold)
+    verified = jaccard_verify(
+        cand, shingled, id_col, text_col, threshold=jaccard_threshold, shingle_col="_sh"
+    )
     comp = connected_components(verified.select("id_a", "id_b"), df.select(id_col), id_col)
     return (
         df.join(comp, id_col, "left")
