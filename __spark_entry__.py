@@ -138,6 +138,9 @@ def code_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _sf(spark, sf_dir, "lineitem")
+        # project BEFORE the python map: mapInPandas is a pruning barrier,
+        # so the scan must be narrowed explicitly (ReadSchema: 5 cols, not 16)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
         .code_map(enrich, {"revenue_cents": "int", "high_qty": "bool"})
         .select("l_orderkey", "l_linenumber", "revenue_cents", "high_qty")
         .df

@@ -17,7 +17,7 @@ grouped apply keeps it one shuffle with no row duplication.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def _peripheral_parts(chunks, config, content_key, order_key) -> list[str]:
@@ -69,6 +69,65 @@ def render_chunk(chunks: list[dict], idx: int, peripheral: dict, content_key: st
     return "\n".join(parts)
 
 
+def _window_fast_path_counts(peripheral: dict) -> tuple[int, int] | None:
+    """(prev_tail, next_head) when the config is the common symmetric
+    shape — previous={tail:{count:p}}, next={head:{count:n}}, no middle,
+    no summary content_key overrides — else None."""
+    if not peripheral or set(peripheral) - {"previous", "next"}:
+        return None
+    prev = peripheral.get("previous", {})
+    nxt = peripheral.get("next", {})
+    if set(prev) - {"tail"} or set(nxt) - {"head"}:
+        return None
+    if "content_key" in prev.get("tail", {}) or "content_key" in nxt.get("head", {}):
+        return None
+    return int(prev.get("tail", {}).get("count", 0)), int(nxt.get("head", {}).get("count", 0))
+
+
+def _gather_window(
+    df: DataFrame, content_key: str, doc_id_key: str, order_key: str,
+    p: int, n: int, rendered_key: str, main_start: str, main_end: str,
+) -> DataFrame:
+    """Pure-expression rendering via lag/lead + windowed length sums —
+    stays JVM-side (no Python), one shuffle on doc_id, and reproduces the
+    python renderer byte-for-byte for the fast-path config."""
+    w = W.partitionBy(doc_id_key).orderBy(order_key)
+    c = F.col(content_key)
+    parts: list[F.Column] = [F.lit("--- Previous Context ---")]
+    # skip marker covers every chunk not shown — including ALL of them when
+    # p == 0 (the python renderer accumulates unshown chunks into one marker)
+    skip_prev = F.sum(F.length(c)).over(w.rowsBetween(W.unboundedPreceding, -(p + 1)))
+    parts.append(
+        F.when(skip_prev.isNotNull(),
+               F.concat(F.lit("[... "), skip_prev.cast("string"), F.lit(" characters skipped ...]")))
+    )
+    if p > 0:
+        for i in range(p, 0, -1):
+            parts.append(
+                F.when(F.lag(c, i).over(w).isNotNull(),
+                       F.concat(F.lit("[Chunk "), F.lag(F.col(order_key), i).over(w).cast("string"),
+                                F.lit("]\n"), F.lag(c, i).over(w)))
+            )
+    parts += [
+        F.lit("--- End Previous Context ---\n"),
+        F.lit(main_start), c, F.lit(main_end), F.lit("\n--- Next Context ---"),
+    ]
+    if n > 0:
+        for i in range(1, n + 1):
+            parts.append(
+                F.when(F.lead(c, i).over(w).isNotNull(),
+                       F.concat(F.lit("[Chunk "), F.lead(F.col(order_key), i).over(w).cast("string"),
+                                F.lit("]\n"), F.lead(c, i).over(w)))
+            )
+    skip_next = F.sum(F.length(c)).over(w.rowsBetween(n + 1, W.unboundedFollowing))
+    parts.append(
+        F.when(skip_next.isNotNull(),
+               F.concat(F.lit("[... "), skip_next.cast("string"), F.lit(" characters skipped ...]")))
+    )
+    parts.append(F.lit("--- End Next Context ---"))
+    return df.withColumn(rendered_key, F.concat_ws("\n", *parts))
+
+
 def gather(
     df: DataFrame,
     content_key: str,
@@ -81,6 +140,16 @@ def gather(
 ) -> DataFrame:
     peripheral = peripheral_chunks or {}
     rendered_key = f"{content_key}_rendered"
+
+    if not peripheral:
+        # no context sections configured: rendered = the chunk itself
+        return df.withColumn(rendered_key, F.col(content_key).cast("string"))
+
+    fast = _window_fast_path_counts(peripheral)
+    if fast is not None:
+        return _gather_window(df, content_key, doc_id_key, order_key,
+                              fast[0], fast[1], rendered_key, main_chunk_start, main_chunk_end)
+
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField(rendered_key, T.StringType(), True)])
     out_names = out_schema.fieldNames()
 

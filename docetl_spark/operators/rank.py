@@ -48,6 +48,33 @@ def _likert_scores(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
+    """Distributed global 1-based rank. ``W.orderBy(...)`` without a
+    partition key moves every row into ONE partition — fine at test
+    scale, fatal at 100 TB. Instead: range-repartition on the sort key
+    (Spark samples boundaries), sort within partitions, then rank =
+    per-partition row_number + the cumulative count of earlier
+    partitions (tiny driver-side offset map). Requires a total order
+    (callers pass tiebreak columns), so output is deterministic."""
+    parts = df.sparkSession.sparkContext.defaultParallelism or 8
+    s = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    w = W.partitionBy("_pid").orderBy(*order)
+    return s.withColumn(
+        rank_col, (F.row_number().over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long")
+    ).drop("_pid")
+
+
 def rank(
     df: DataFrame,
     backend: ModelBackend,
@@ -83,8 +110,7 @@ def rank(
 
     order = [F.col("_score").desc() if direction == "desc" else F.col("_score").asc()]
     order += [F.col(c).asc() for c in (tiebreak or [])]
-    w = W.orderBy(*order)  # global ordering is the operator's contract
-    ranked = scored.withColumn(rank_col, F.row_number().over(w).cast("long")).drop("_score")
+    ranked = _global_row_number(scored, order, rank_col).drop("_score")
 
     if refine_head_size and rerank_call_budget and prompt:
         # driver-coordinated picky-window refinement over the head only

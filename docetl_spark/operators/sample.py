@@ -223,7 +223,7 @@ def bm25_scores(
     )
     vocab_rows = vocab_df.withColumn(
         "_idf", F.log(F.lit(float(n_docs)) - F.col("_df") + 0.5) - F.log(F.col("_df") + 0.5)
-    )
+    ).cache()  # vocab-sized (tiny); read twice (idf stats + query-term lookup)
     idf_stats = vocab_rows.agg(F.sum("_idf").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
     avg_idf = float(idf_stats["s"]) / float(idf_stats["c"]) if idf_stats["c"] else 0.0
     eps_floor = BM25_EPSILON * avg_idf
