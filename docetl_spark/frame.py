@@ -163,11 +163,9 @@ class SemanticFrame:
         raise ValueError(f"unknown topk method {method!r} (llm_compare -> rank op, round 2)")
 
     # ----------------------------------------------------- semantic ops
-    def map(self, prompt: str, output_schema: dict, *, drop_keys=None, limit=None) -> "SemanticFrame":
+    def map(self, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("map")
-        return self._next(
-            semantic.semantic_map(self.df, prompt, output_schema, be, drop_keys=drop_keys, limit=limit), "map"
-        )
+        return self._next(semantic.semantic_map(self.df, prompt, output_schema, be, **kw), "map")
 
     def parallel_map(self, prompts: list[dict], output_schema: dict, *, drop_keys=None) -> "SemanticFrame":
         be = self._require_backend("parallel_map")
@@ -176,9 +174,9 @@ class SemanticFrame:
             "parallel_map",
         )
 
-    def filter(self, prompt: str, output_schema: dict) -> "SemanticFrame":
+    def filter(self, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("filter")
-        return self._next(semantic.semantic_filter(self.df, prompt, output_schema, be), "filter")
+        return self._next(semantic.semantic_filter(self.df, prompt, output_schema, be, **kw), "filter")
 
     def reduce(self, reduce_key, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("reduce")

@@ -48,6 +48,60 @@ def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.Stru
     return T.StructType(fields + [f for f in declared.fields if f.name not in drop])
 
 
+def _safe_eval(expr: str, output: dict) -> bool:
+    """validate-expression evaluator (validation.py:125-134 uses asteval;
+    we restrict eval to an empty-builtins namespace with ``output``)."""
+    try:
+        return bool(eval(expr, {"__builtins__": {}}, {"output": output}))  # noqa: S307
+    except Exception:
+        return False
+
+
+def _complete_with_quality_loop(
+    backend: ModelBackend,
+    rendered: str,
+    output_schema: dict,
+    row: dict,
+    *,
+    validate: list[str] | None,
+    num_retries: int,
+    gleaning: dict | None,
+) -> dict:
+    """One row's completion wrapped in the reference's two quality loops:
+
+    - validation retries (map.py:438-466): re-ask up to
+      ``num_retries`` times until every ``validate`` expression holds;
+      the last attempt is kept either way (documented deviation: the
+      reference raises after exhausting retries when ``validate`` is
+      strict — we keep the last output and let callers filter).
+    - gleaning (api.py:365-485): a validator prompt judges the output up
+      to ``num_rounds`` times; while it reports needs_improvement, the
+      output is regenerated with the feedback appended to the prompt.
+    """
+    attempts = max(0, num_retries) + 1 if validate else 1
+    res: dict = {}
+    for attempt in range(attempts):
+        suffix = f"\n[retry {attempt}]" if attempt else ""
+        res = backend.complete(rendered + suffix, output_schema, row)
+        if not validate or all(_safe_eval(e, res) for e in validate):
+            break
+    if gleaning:
+        val_prompt = gleaning.get("validation_prompt", "")
+        for _round in range(int(gleaning.get("num_rounds", 1))):
+            judge = render_prompt(val_prompt, {"input": row, "output": res})
+            verdict = backend.complete(
+                judge, {"needs_improvement": "bool", "feedback": "str"}, {"row": row, "output": res}
+            )
+            if not verdict.get("needs_improvement"):
+                break
+            res = backend.complete(
+                rendered + f"\n[feedback round {_round}]: {verdict.get('feedback', '')}",
+                output_schema,
+                row,
+            )
+    return res
+
+
 def semantic_map(
     df: DataFrame,
     prompt: str,
@@ -56,13 +110,23 @@ def semantic_map(
     *,
     drop_keys: list[str] | None = None,
     limit: int | None = None,
+    validate: list[str] | None = None,
+    num_retries_on_validate_failure: int = 0,
+    gleaning: dict | None = None,
+    observability: str | None = None,
 ) -> DataFrame:
+    """Per-row semantic transform. ``observability=<name>`` adds an
+    ``_observability_<name>`` column carrying the rendered prompt
+    (map.py:514-518)."""
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:
         df = df.limit(limit)
     drop = set(drop_keys or [])
     out_schema = _merged_schema(df, output_schema, drop)
+    obs_col = f"_observability_{observability}" if observability else None
+    if obs_col:
+        out_schema = T.StructType(list(out_schema.fields) + [T.StructField(obs_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
 
     def run(batches):
@@ -71,8 +135,14 @@ def semantic_map(
             out = []
             for row in rows:
                 rendered = render_prompt(prompt, {"input": row})
-                res = backend.complete(rendered, output_schema, row)
+                res = _complete_with_quality_loop(
+                    backend, rendered, output_schema, row,
+                    validate=validate, num_retries=num_retries_on_validate_failure,
+                    gleaning=gleaning,
+                )
                 merged = {**row, **res}
+                if obs_col:
+                    merged[obs_col] = rendered
                 out.append({k: merged.get(k) for k in out_names})
             yield pd.DataFrame(out, columns=out_names)
 
@@ -113,18 +183,32 @@ def semantic_filter(
     prompt: str,
     output_schema: dict,
     backend: ModelBackend,
+    *,
+    cascade: dict | None = None,
 ) -> DataFrame:
+    """LLM boolean predicate. With ``cascade={"proxy_threshold": p}``, a
+    cheap logprob classification labels each row first and only rows whose
+    proxy confidence falls below ``p`` escalate to the full completion
+    (the reference's proxy/oracle cascade, filter.py:161-224 +
+    api.py:1004-1109 — our statistical guarantee is the fixed threshold;
+    BARGAIN-style calibration can be layered on by sampling labels)."""
     keys = [k for k in output_schema]
     if len(keys) != 1 or str(output_schema[keys[0]]).lower() not in ("bool", "boolean"):
         raise ValueError("filter output schema must be exactly one boolean key (filter.py:53-71)")
     decision_key = keys[0]
     names = df.schema.fieldNames()
+    threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
 
     def run(batches):
         for pdf in batches:
             keep = []
             for row in pdf.to_dict("records"):
                 rendered = render_prompt(prompt, {"input": row})
+                if threshold is not None:
+                    label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
+                    if prob >= threshold:
+                        keep.append(label == "true")
+                        continue
                 res = backend.complete(rendered, output_schema, row)
                 keep.append(bool(res.get(decision_key)))
             yield pdf[pd.Series(keep, index=pdf.index)] if len(pdf) else pdf
@@ -143,14 +227,37 @@ def semantic_reduce(
     pass_through: bool = False,
     add_count: bool = True,
     sort_within_group: list | None = None,
+    fold_prompt: str | None = None,
+    fold_batch_size: int | None = None,
+    merge_prompt: str | None = None,
+    num_parallel_folds: int = 4,
+    lineage_keys: list[str] | None = None,
+    value_sampling: dict | None = None,
 ) -> DataFrame:
-    """One backend call per group over the full item list (the reference's
-    batch strategy). ``sort_within_group`` pins item order inside the
-    prompt (Spark group iteration order is nondeterministic otherwise —
-    required for reproducible/oracle-checkable outputs)."""
+    """Group aggregate through the backend.
+
+    Strategies (reduce.py:519-752, 987-1053): default = one-shot batch
+    call over the whole item list. ``fold_prompt`` + ``fold_batch_size``
+    = incremental fold (sequential batches, accumulator in
+    ``{{ output }}``). ``merge_prompt`` additionally folds
+    ``num_parallel_folds`` item stripes independently then merges their
+    outputs (the associative parallel plan). All strategies run inside
+    the per-group pandas apply — the group is already executor-local;
+    fold/merge manages LLM context windows, not distribution.
+
+    ``lineage_keys`` adds ``{name}_lineage``: list of per-item structs of
+    the given keys (reduce.py:409-418). ``value_sampling``
+    {"method": "first"|"stride", "size": N} truncates the item list seen
+    by the prompt (reduce.py:331-354).
+
+    ``sort_within_group`` pins item order inside the prompt (Spark group
+    iteration order is nondeterministic otherwise — required for
+    reproducible/oracle-checkable outputs).
+    """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
     global_agg = keys == [_ALL]
     count_col = f"_counts_prereduce_{name}"
+    lineage_col = f"{name}_lineage"
 
     declared = schema_of(output_schema)
     fields: list[T.StructField] = []
@@ -162,15 +269,52 @@ def semantic_reduce(
     fields += list(declared.fields)
     if add_count:
         fields.append(T.StructField(count_col, T.LongType(), True))
+    if lineage_keys:
+        lineage_struct = T.ArrayType(T.StructType(
+            [T.StructField(k, df.schema[k].dataType, True) for k in lineage_keys]
+        ))
+        fields.append(T.StructField(lineage_col, lineage_struct, True))
     out_schema = T.StructType(fields)
     out_names = out_schema.fieldNames()
+
+    def call_once(items, rk):
+        rendered = render_prompt(prompt, {"inputs": items, "reduce_key": rk})
+        return backend.complete(rendered, output_schema, items)
+
+    def fold(items, rk):
+        acc: dict | None = None
+        bs = fold_batch_size or len(items) or 1
+        for i in range(0, len(items), bs):
+            batch = items[i : i + bs]
+            if acc is None:
+                acc = call_once(batch, rk)
+            else:
+                rendered = render_prompt(fold_prompt, {"inputs": batch, "output": acc, "reduce_key": rk})
+                acc = backend.complete(rendered, output_schema, batch)
+        return acc or {}
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         if sort_within_group:
             pdf = pdf.sort_values(sort_within_group, kind="mergesort")
         items = pdf.to_dict("records")
-        rendered = render_prompt(prompt, {"inputs": items, "reduce_key": {k: items[0][k] for k in keys if not global_agg}})
-        res = backend.complete(rendered, output_schema, items)
+        rk = {k: items[0][k] for k in keys if not global_agg}
+        prompt_items = items
+        if value_sampling:
+            size = int(value_sampling.get("size", len(items)))
+            if value_sampling.get("method") == "stride" and size < len(items):
+                stride = max(1, len(items) // size)
+                prompt_items = items[::stride][:size]
+            else:
+                prompt_items = items[:size]
+        if fold_prompt and merge_prompt and len(prompt_items) > (fold_batch_size or 1):
+            stripes = [prompt_items[i::num_parallel_folds] for i in range(num_parallel_folds)]
+            partials = [fold(s, rk) for s in stripes if s]
+            rendered = render_prompt(merge_prompt, {"outputs": partials, "reduce_key": rk})
+            res = backend.complete(rendered, output_schema, partials)
+        elif fold_prompt:
+            res = fold(prompt_items, rk)
+        else:
+            res = call_once(prompt_items, rk)
         row: dict = {}
         if pass_through and items:
             row.update(items[0])
@@ -180,6 +324,8 @@ def semantic_reduce(
         row.update(res)
         if add_count:
             row[count_col] = len(items)
+        if lineage_keys:
+            row[lineage_col] = [{k: it.get(k) for k in lineage_keys} for it in items]
         return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
 
     grouped = df.groupBy(F.lit(1).alias("_g")) if global_agg else df.groupBy(*keys)

