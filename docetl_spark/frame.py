@@ -160,7 +160,13 @@ class SemanticFrame:
                 sample_op.sample_top_fts(self.df, kw.pop("query"), k, name=kw.pop("name", "topk"), **kw),
                 "topk:fts",
             )
-        raise ValueError(f"unknown topk method {method!r} (llm_compare -> rank op, round 2)")
+        if method == "llm_compare":
+            # delegate to rank, take the head (topk.py:208-261); the rank
+            # scoring method rides in as rank_method (default likert)
+            be = self._require_backend("topk llm_compare")
+            ranked = rank_op.rank(self.df, be, method=kw.pop("rank_method", "likert"), **kw)
+            return self._next(ranked.filter(F.col(kw.get("rank_col", "_rank")) <= k), "topk:llm_compare")
+        raise ValueError(f"unknown topk method {method!r}")
 
     # ----------------------------------------------------- semantic ops
     def map(self, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
