@@ -534,21 +534,60 @@ def sample_outliers_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs (brute-force exact; the LSH
-    variant is the scale path and is bench-only)."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = sample_op.cosine_sim(F.col("a.v"), F.col("b.v"))
+    """embedding-cosine near-dup pairs: exact all-pairs via broadcast
+    matrix + per-batch numpy matmul (gated; LSH is the beyond-gate path).
+    Threshold applies to the rounded score so the oracle row set is
+    identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_pairs(emb, "vec_id", "embedding", threshold=0.40, round_to=4)
+
+
+def split_gather_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document pipeline: split (10-word chunks) -> gather
+    (prev/next context windows). The gather compiles to the JVM window
+    fast path; end-to-end split+gather parity vs the oracle's CTE."""
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("_c", sim)
-        .filter(F.col("_c") >= 0.40)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("_c", 4).alias("cosine"),
+        _sf(spark, sf_dir, "documents")
+        .split("text", "delimiter", {"delimiter": " ", "num_splits_to_group": 10}, name="split", doc_id="doc_id")
+        .gather(
+            "text_chunk",
+            "split_id",
+            "split_chunk_num",
+            peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
         )
+        .select("doc_id", "split_chunk_num", F.col("text_chunk_rendered"))
+        .df
     )
+
+
+class _FoldCountBackend(FakeBackend):
+    """Deterministic fold backend: the accumulator rides the rendered
+    fold prompt; totals accumulate to the group size (SQL: COUNT(*))."""
+
+    def complete(self, prompt: str, output_schema: dict, context) -> dict:
+        if prompt.startswith("fold"):
+            prev = int(prompt.split()[1])
+            return {"n_docs": prev + len(context)}
+        return {"n_docs": len(context)}
+
+
+def sem_reduce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic reduce, incremental fold strategy: per-lang counts folded
+    in batches of 50 through the accumulator prompt."""
+    out = (
+        _sf(spark, sf_dir, "documents", backend=_FoldCountBackend())
+        .reduce(
+            "lang",
+            "count {{ inputs | length }}",
+            {"n_docs": "int"},
+            name="fold",
+            sort_within_group=["doc_id"],
+            fold_prompt="fold {{ output.n_docs }} plus {{ inputs | length }}",
+            fold_batch_size=50,
+        )
+        .select("lang", "n_docs", F.col("_counts_prereduce_fold").alias("group_size"))
+    )
+    return out.df
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_outliers_emb": sample_outliers_emb,
         "embedding_near_dup": embedding_near_dup,
         "simhash_near_dup": simhash_near_dup,
+        "split_gather_docs": split_gather_docs,
+        "sem_reduce_fold": sem_reduce_fold,
     }
 
 
@@ -946,5 +987,39 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
-            SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.40""",
+            SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p WHERE ROUND(c, 4) >= 0.40""",
+        "split_gather_docs": """
+            WITH parts AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS p FROM documents
+            ), idx AS (
+              SELECT doc_id, p, CAST(unnest(range(1, CAST(ceil(len(p) / 10.0) AS BIGINT) + 1)) AS BIGINT) AS split_chunk_num
+              FROM parts WHERE len(p) > 0
+            ), chunks AS (
+              SELECT doc_id,
+                     trim(array_to_string(p[(split_chunk_num-1)*10 + 1 : least(split_chunk_num*10, len(p))], ' ')) AS c,
+                     split_chunk_num
+              FROM idx
+            ), ctx AS (
+              SELECT doc_id, split_chunk_num, c,
+                     LAG(c) OVER w AS prev_c, LAG(split_chunk_num) OVER w AS prev_n,
+                     LEAD(c) OVER w AS next_c, LEAD(split_chunk_num) OVER w AS next_n,
+                     SUM(length(c)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_prev,
+                     SUM(length(c)) OVER (w ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_next
+              FROM chunks WINDOW w AS (PARTITION BY doc_id ORDER BY split_chunk_num)
+            )
+            SELECT doc_id, split_chunk_num,
+                   concat_ws(chr(10),
+                     '--- Previous Context ---',
+                     CASE WHEN skip_prev IS NOT NULL THEN '[... ' || skip_prev || ' characters skipped ...]' END,
+                     CASE WHEN prev_c IS NOT NULL THEN '[Chunk ' || prev_n || ']' || chr(10) || prev_c END,
+                     '--- End Previous Context ---' || chr(10),
+                     '--- Begin Main Chunk ---', c, '--- End Main Chunk ---',
+                     chr(10) || '--- Next Context ---',
+                     CASE WHEN next_c IS NOT NULL THEN '[Chunk ' || next_n || ']' || chr(10) || next_c END,
+                     CASE WHEN skip_next IS NOT NULL THEN '[... ' || skip_next || ' characters skipped ...]' END,
+                     '--- End Next Context ---') AS text_chunk_rendered
+            FROM ctx""",
+        "sem_reduce_fold": """
+            SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS group_size
+            FROM documents GROUP BY lang""",
     }

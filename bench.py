@@ -40,10 +40,20 @@ BENCH_QUERIES = [
     "topk_fts",
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
     "text_stats",
     "sem_map_sentiment",
+    "sem_reduce_fold",
     "ann_brute_force",
     "events_sessionize",
+    "resolve_docs",
+    "equijoin_part_supplier",
+    "rank_likert_docs",
+    "extract_regex_mentions",
+    "split_tokens",
+    "split_gather_docs",
+    "sample_outliers_emb",
 ]
 
 

@@ -210,6 +210,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame, id_col: str, *, 
         edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
     )
     sym = sym.repartition("_src").cache()
+    prev_cached = None
     for _ in range(max_iter):
         # candidate label per vertex = min over neighbors' labels
         neighbor_min = (
@@ -232,10 +233,16 @@ def connected_components(edges: DataFrame, vertices: DataFrame, id_col: str, *, 
             .limit(1)
             .count()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()  # superseded generation — executor memory hygiene
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("_v").alias(id_col), "component")
+    out = labels.select(F.col("_v").alias(id_col), "component")
+    # snapshot before releasing the last cached generation so callers get
+    # a plan that doesn't depend on the unpersisted cache
+    return out
 
 
 def minhash_dedup(

@@ -25,7 +25,7 @@ Spark realization (scale posture, SURVEY.md §7.4):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..backend import ModelBackend
 from ..functions.dedup import connected_components
@@ -123,15 +123,32 @@ def adjudicate_pairs(
     backend: ModelBackend,
     *,
     compare_cols: list[str] | None = None,
+    auto_match_keys: list[str] | None = None,
 ) -> DataFrame:
     """LLM pairwise is_match over candidate pairs (resolve.py:194-242).
     The backend sees ``{{ input1 }}`` / ``{{ input2 }}`` and a 2-tuple
-    context; FakeBackend's default bool rule is normalized equality."""
+    context; FakeBackend's default bool rule is normalized equality.
+
+    ``auto_match_keys``: pairs whose values for ALL these keys are
+    case-insensitively equal are matched WITHOUT a backend call
+    (resolve.py:216-223) — a JVM-side predicate, so dense same-key blocks
+    never reach the Python UDF (at 1000 same-key rows that is the
+    difference between 0 and 500k model calls)."""
     cols = compare_cols or [c for c in df.columns if c != id_col]
     side = df.select(F.col(id_col), *cols)
     a = side.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"_a_{c}") for c in cols])
     b = side.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"_b_{c}") for c in cols])
     joined = pairs.join(a, "id_a").join(b, "id_b")
+
+    auto = None
+    if auto_match_keys:
+        cond = F.lit(True)
+        for k in auto_match_keys:
+            cond = cond & (
+                F.lower(F.col(f"_a_{k}").cast("string")) == F.lower(F.col(f"_b_{k}").cast("string"))
+            )
+        auto = joined.filter(cond).select("id_a", "id_b")
+        joined = joined.filter(~cond)
 
     out_schema = T.StructType(
         [joined.schema[c] for c in ("id_a", "id_b")] + [T.StructField("is_match", T.BooleanType(), True)]
@@ -149,7 +166,8 @@ def adjudicate_pairs(
                 res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": bool(ans.get("is_match"))})
             yield pd.DataFrame(res, columns=["id_a", "id_b", "is_match"])
 
-    return joined.mapInPandas(run, schema=out_schema).filter(F.col("is_match")).select("id_a", "id_b")
+    adjudicated = joined.mapInPandas(run, schema=out_schema).filter(F.col("is_match")).select("id_a", "id_b")
+    return adjudicated.unionByName(auto) if auto is not None else adjudicated
 
 
 def resolve(
@@ -176,15 +194,38 @@ def resolve(
         work = embed_column(work, embedding_keys or compare_cols or [], backend)
         embedding_col = "_embedding"
 
+    # Blocking-key-equal rows are auto-matched without a model call
+    # (resolve.py:216-223). Emitting the C(n,2) clique pairs just to
+    # union-find them collapses dense blocks into O(n^2) edges — instead
+    # connect each row directly to its block's min id (star edges,
+    # n-1 per block); other blocking strategies still produce pairs for
+    # adjudication, with the same-key shortcut applied per pair.
+    star_edges = None
+    if blocking_keys:
+        wk = W.partitionBy(*[F.col(k) for k in blocking_keys])
+        star_edges = (
+            df.withColumn("_min_id", F.min(id_col).over(wk))
+            .filter(F.col(id_col) != F.col("_min_id"))
+            .select(F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+
     pairs = candidate_pairs(
         work,
         id_col,
-        blocking_keys=blocking_keys,
+        blocking_keys=None,  # covered by star edges above
         blocking_threshold=blocking_threshold,
         blocking_conditions=blocking_conditions,
         embedding_col=embedding_col,
-    )
-    matches = adjudicate_pairs(pairs, df, id_col, comparison_prompt, backend, compare_cols=compare_cols)
+    ) if (blocking_threshold is not None or blocking_conditions or not blocking_keys) else None
+
+    matches = None
+    if pairs is not None:
+        matches = adjudicate_pairs(
+            pairs, df, id_col, comparison_prompt, backend,
+            compare_cols=compare_cols, auto_match_keys=blocking_keys,
+        )
+    if star_edges is not None:
+        matches = star_edges if matches is None else matches.unionByName(star_edges)
     comp = connected_components(matches, df.select(id_col), id_col)
     clustered = df.join(comp, id_col, "left").withColumn(
         "_cluster_id", F.coalesce(F.col("component"), F.col(id_col))

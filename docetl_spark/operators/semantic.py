@@ -35,9 +35,16 @@ _ALL = "_all"
 _env = jinja2.Environment(undefined=jinja2.StrictUndefined)
 
 
+@__import__("functools").lru_cache(maxsize=512)
+def _compiled(template: str):
+    return _env.from_string(template)
+
+
 def render_prompt(template: str, context: dict) -> str:
-    """strict_render analogue (validation.py:42-122): undefined vars raise."""
-    return _env.from_string(template).render(**context)
+    """strict_render analogue (validation.py:42-122): undefined vars raise.
+    Templates are compiled once per executor (lru_cache) — compiling per
+    row dominated adjudication UDF time at 100k+ pairs."""
+    return _compiled(template).render(**context)
 
 
 def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.StructType:

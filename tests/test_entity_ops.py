@@ -25,8 +25,10 @@ def people(spark):
     return spark.createDataFrame(rows)
 
 
-def test_resolve_clusters_and_canonicalizes(people):
-    # default bool rule: normalized equality over the 2-tuple context
+def test_resolve_blocking_keys_auto_match(people):
+    # blocking_keys equality auto-matches WITHOUT a model call (the
+    # reference's shortcut, resolve.py:216-223): same-dept rows form one
+    # cluster under the min pid
     be = FakeBackend()
     out = (
         SemanticFrame.from_df(people, backend=be)
@@ -41,13 +43,33 @@ def test_resolve_clusters_and_canonicalizes(people):
     )
     assert len(out) == 5  # cardinality preserved
     by_pid = {r["pid"]: r for r in out}
-    # john smith variants cluster together under min pid
+    assert [by_pid[p]["_cluster_id"] for p in (1, 2, 5)] == [1, 1, 1]  # eng block
+    assert [by_pid[p]["_cluster_id"] for p in (3, 4)] == [3, 3]  # sales block
+    # canonical name shared within cluster (majority vote, deterministic tie)
+    assert by_pid[1]["name"] == by_pid[2]["name"] == by_pid[5]["name"]
+    assert by_pid[3]["name"] == by_pid[4]["name"]
+
+
+def test_resolve_condition_blocking_adjudicates(people):
+    # without blocking_keys, pair predicates generate candidates and the
+    # backend adjudicates each pair (normalized name equality) — only the
+    # true duplicate pairs merge
+    be = FakeBackend()
+    out = (
+        SemanticFrame.from_df(people, backend=be)
+        .resolve(
+            id_col="pid",
+            comparison_prompt="Same person? {{ input1.name }} vs {{ input2.name }}",
+            output_schema={"name": "str"},
+            blocking_conditions=["a.dept = b.dept"],
+            compare_cols=["name"],
+        )
+        .collect()
+    )
+    by_pid = {r["pid"]: r for r in out}
     assert by_pid[1]["_cluster_id"] == by_pid[2]["_cluster_id"] == 1
     assert by_pid[3]["_cluster_id"] == by_pid[4]["_cluster_id"] == 3
-    assert by_pid[5]["_cluster_id"] == 5
-    # canonical name shared within cluster (majority vote, deterministic tie)
-    assert by_pid[1]["name"] == by_pid[2]["name"]
-    assert by_pid[3]["name"] == by_pid[4]["name"]
+    assert by_pid[5]["_cluster_id"] == 5  # Alice matches nobody
 
 
 def test_equijoin_blocking_adjudication_limits(spark):
