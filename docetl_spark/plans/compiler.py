@@ -35,6 +35,11 @@ def _exec_code(source: str, entry: str):
 def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]) -> SemanticFrame:
     t, c = spec.type, dict(spec.config)
     c.pop("name", None)
+    # sample-at-op shorthand: any op config may carry `sample: N`, which
+    # truncates its input (containers.py:454-455)
+    n_sample = c.pop("sample", None)
+    if n_sample:
+        sf = sf.limit(int(n_sample))
     if t == "map":
         return sf.map(c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
     if t == "parallel_map":
