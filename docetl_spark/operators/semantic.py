@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..backend import ModelBackend
-from ..types import schema_of
+from ..types import schema_of, validate_output_types
 
 _ALL = "_all"
 _env = jinja2.Environment(undefined=jinja2.StrictUndefined)
@@ -73,25 +73,31 @@ def _complete_with_quality_loop(
     validate: list[str] | None,
     num_retries: int,
     gleaning: dict | None,
+    strict_types: bool = False,
 ) -> dict:
     """One row's completion wrapped in the reference's two quality loops:
 
     - validation retries (map.py:438-466): re-ask up to
-      ``num_retries`` times until every ``validate`` expression holds;
-      the last attempt is kept either way (documented deviation: the
-      reference raises after exhausting retries when ``validate`` is
-      strict — we keep the last output and let callers filter).
+      ``num_retries`` times until every ``validate`` expression holds
+      and (with ``strict_types``) the output conforms to the declared
+      type grammar (validate_output_types, validation.py:250-276); the
+      last attempt is kept either way unless strict_types, which raises
+      after exhausting retries.
     - gleaning (api.py:365-485): a validator prompt judges the output up
       to ``num_rounds`` times; while it reports needs_improvement, the
       output is regenerated with the feedback appended to the prompt.
     """
-    attempts = max(0, num_retries) + 1 if validate else 1
+    attempts = max(0, num_retries) + 1 if (validate or strict_types) else 1
     res: dict = {}
+    problems: list[str] = []
     for attempt in range(attempts):
         suffix = f"\n[retry {attempt}]" if attempt else ""
         res = backend.complete(rendered + suffix, output_schema, row)
-        if not validate or all(_safe_eval(e, res) for e in validate):
+        problems = validate_output_types(res, output_schema) if strict_types else []
+        if not problems and (not validate or all(_safe_eval(e, res) for e in validate)):
             break
+    if strict_types and problems:
+        raise ValueError(f"output type validation failed after {attempts} attempts: {problems}")
     if gleaning:
         val_prompt = gleaning.get("validation_prompt", "")
         for _round in range(int(gleaning.get("num_rounds", 1))):
@@ -121,6 +127,7 @@ def semantic_map(
     num_retries_on_validate_failure: int = 0,
     gleaning: dict | None = None,
     observability: str | None = None,
+    strict_types: bool = False,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
@@ -145,7 +152,7 @@ def semantic_map(
                 res = _complete_with_quality_loop(
                     backend, rendered, output_schema, row,
                     validate=validate, num_retries=num_retries_on_validate_failure,
-                    gleaning=gleaning,
+                    gleaning=gleaning, strict_types=strict_types,
                 )
                 merged = {**row, **res}
                 if obs_col:

@@ -105,3 +105,54 @@ def schema_of(output_schema: dict) -> T.StructType:
     return T.StructType(
         [T.StructField(k, parse_type(v).spark_type, True) for k, v in output_schema.items()]
     )
+
+
+# ------------------------------------------------ runtime output validation
+
+def _value_conforms(value, pt: ParsedType) -> bool:
+    """Recursive runtime check of a backend output value against a parsed
+    type (validate_output_types, validation.py:203-276). None is allowed
+    everywhere (declared columns are nullable). Bools are explicitly NOT
+    integers (validation.py:174-181)."""
+    if value is None:
+        return True
+    st = pt.spark_type
+    if pt.enum_values is not None:
+        return isinstance(value, str) and value in pt.enum_values
+    if isinstance(st, T.StringType):
+        return isinstance(value, str)
+    if isinstance(st, T.LongType):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if isinstance(st, T.DoubleType):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if isinstance(st, T.BooleanType):
+        return isinstance(value, bool)
+    if isinstance(st, T.ArrayType):
+        inner = ParsedType(st.elementType)
+        return isinstance(value, list) and all(_value_conforms(v, inner) for v in value)
+    if isinstance(st, T.StructType):
+        if not isinstance(value, dict):
+            return False
+        for f in st.fields:
+            child = pt.children.get(f.name, ParsedType(f.dataType))
+            if not _value_conforms(value.get(f.name), child):
+                return False
+        return True
+    return True  # unknown types pass (fail open like the reference)
+
+
+def validate_output_types(output: dict, output_schema: dict) -> list[str]:
+    """Check a backend output dict against the declared schema; returns a
+    list of violation messages (empty = conforms). Missing keys are
+    violations; extra keys are ignored (the merge only takes declared
+    keys anyway)."""
+    problems = []
+    for key, spec in output_schema.items():
+        pt = parse_type(spec)
+        if key not in output:
+            problems.append(f"missing output key {key!r}")
+        elif not _value_conforms(output[key], pt):
+            problems.append(
+                f"output key {key!r}: value {output[key]!r} does not conform to {spec!r}"
+            )
+    return problems
