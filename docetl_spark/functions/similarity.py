@@ -108,6 +108,87 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    n_lists: int = 64,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 10,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF (inverted-file) index: k-means centroids fit on a sample, every
+    vector assigned to its nearest centroid's list. Returns
+    (df + ``_ivf_list`` column, centroids array).
+
+    Scale path: fitting sees only the sample (driver numpy k-means —
+    centroids are k x dim, tiny); assignment is one numpy pass per Arrow
+    batch against the broadcast centroids; the list id is a plain long
+    column, so a query probing L lists is a partition-prunable filter,
+    never a scan of the full corpus.
+    """
+    base = df.withColumn("_v64", F.col(vec_col).cast("array<double>"))
+    sample = base.select("_v64")
+    if sample_fraction:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    mat = np.array([r["_v64"] for r in sample.collect()], dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("ivf_index: empty input")
+    k = min(n_lists, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(max_iter):  # Lloyd's iterations, driver-side on the sample
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = np.array([
+            mat[assign == j].mean(axis=0) if (assign == j).any() else centroids[j] for j in range(k)
+        ])
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    b = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.LongType())
+    def nearest_list(s: pd.Series) -> pd.Series:
+        c = b.value
+        m = np.array(s.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return base.withColumn("_ivf_list", nearest_list(F.col("_v64"))).drop("_v64"), centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: "np.ndarray",
+    query_vector: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    round_score: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k for one query over an ``ivf_index``ed corpus:
+    probe the ``n_probe`` nearest lists only (a filter on the list id —
+    with the corpus partitioned/bucketed by ``_ivf_list`` this prunes
+    partitions), exact cosine within the candidates."""
+    qv = np.asarray(query_vector, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d.argsort()[:n_probe]]
+    cand = indexed.filter(F.col("_ivf_list").isin(probes))
+    score = cosine_sim(F.col(vec_col).cast("array<double>"), F.lit([float(x) for x in qv]).cast("array<double>"))
+    if round_score is not None:
+        score = F.round(score, round_score)
+    scored = cand.withColumn("score", score)
+    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "score", "rank")
+    )
+
+
 def brute_force_pairs(
     df: DataFrame,
     id_col: str,

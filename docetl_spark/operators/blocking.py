@@ -1,0 +1,112 @@
+"""Runtime blocking calibration: pick an embedding-similarity threshold
+that meets a target recall.
+
+Reference semantics: /root/reference/docetl/operations/utils/blocking.py
+:19-574 (RuntimeBlockingOptimizer), invoked when resolve/equijoin are
+configured with blocking_target_recall but no explicit threshold
+(resolve.py:390-407, equijoin.py:353-375): sample item pairs, have the
+comparison model label them, then choose the LOOSEST threshold that
+still keeps >= target_recall of the true-match pairs above it — every
+model call spent here prunes quadratically many calls later.
+
+Spark realization: the calibration sample is tiny by construction
+(``sample_size`` rows -> <= C(n,2) pairs), so sampling + labeling run
+driver-side on collected rows; only the resulting scalar threshold is
+shipped back into the distributed blocking join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..backend import ModelBackend
+from .semantic import render_prompt
+
+
+def auto_blocking_threshold(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    id_col: str,
+    comparison_prompt: str,
+    compare_cols: list[str],
+    embedding_keys: list[str] | None = None,
+    target_recall: float = 0.95,
+    sample_size: int = 60,
+    seed: int = 42,
+) -> float | None:
+    """Calibrated cosine threshold, or None when the sample contains no
+    true matches (caller should then skip similarity blocking)."""
+    keys = embedding_keys or compare_cols
+    rows = [r.asDict() for r in df.select(id_col, *set(compare_cols) | set(keys)).collect()]
+    if len(rows) < 2:
+        return None
+    rng = np.random.RandomState(seed)
+    if len(rows) > sample_size:
+        idx = rng.choice(len(rows), size=sample_size, replace=False)
+        rows = [rows[i] for i in idx]
+
+    texts = [" ".join(str(r.get(k)) for k in keys) for r in rows]
+    vecs = np.array(backend.embed(texts), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+
+    match_sims: list[float] = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            in1 = {c: rows[i].get(c) for c in compare_cols}
+            in2 = {c: rows[j].get(c) for c in compare_cols}
+            prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
+            ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
+            if ans.get("is_match"):
+                match_sims.append(float(sims[i, j]))
+    if not match_sims:
+        return None
+    # loosest threshold keeping >= target_recall of true matches above it:
+    # the (1 - recall) quantile of the match-similarity distribution
+    return float(np.quantile(np.array(match_sims), 1.0 - target_recall, method="lower"))
+
+
+def auto_blocking_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    backend: ModelBackend,
+    *,
+    comparison_prompt: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    target_recall: float = 0.95,
+    sample_size: int = 30,
+    seed: int = 42,
+) -> float | None:
+    """Two-table variant for equijoin (equijoin.py:332-375): sample rows
+    from each side, label the sampled cross product, pick the loosest
+    threshold covering ``target_recall`` of true matches."""
+    l_rows = [r.asDict() for r in left.limit(sample_size * 4).collect()]
+    r_rows = [r.asDict() for r in right.limit(sample_size * 4).collect()]
+    if not l_rows or not r_rows:
+        return None
+    rng = np.random.RandomState(seed)
+    if len(l_rows) > sample_size:
+        l_rows = [l_rows[i] for i in rng.choice(len(l_rows), sample_size, replace=False)]
+    if len(r_rows) > sample_size:
+        r_rows = [r_rows[i] for i in rng.choice(len(r_rows), sample_size, replace=False)]
+
+    lv = np.array(backend.embed([" ".join(str(r.get(k)) for k in left_keys) for r in l_rows]))
+    rv = np.array(backend.embed([" ".join(str(r.get(k)) for k in right_keys) for r in r_rows]))
+    ln = np.linalg.norm(lv, axis=1); ln[ln == 0] = 1.0
+    rn = np.linalg.norm(rv, axis=1); rn[rn == 0] = 1.0
+    sims = (lv @ rv.T) / np.outer(ln, rn)
+
+    match_sims: list[float] = []
+    for i, lr in enumerate(l_rows):
+        for j, rr in enumerate(r_rows):
+            prompt = render_prompt(comparison_prompt, {"left": lr, "right": rr})
+            ans = backend.complete(prompt, {"is_match": "bool"}, (lr, rr))
+            if ans.get("is_match"):
+                match_sims.append(float(sims[i, j]))
+    if not match_sims:
+        return None
+    return float(np.quantile(np.array(match_sims), 1.0 - target_recall, method="lower"))

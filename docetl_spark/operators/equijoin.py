@@ -44,7 +44,7 @@ def equijoin(
     left_keys: list[str],
     right_keys: list[str],
     blocking_conditions: list[str] | None = None,
-    blocking_threshold: float | None = None,
+    blocking_threshold: float | str | None = None,
     embedding_keys_left: list[str] | None = None,
     embedding_keys_right: list[str] | None = None,
     limits: dict | None = None,
@@ -56,6 +56,15 @@ def equijoin(
     exprs over ``left.``/``right.``-prefixed columns (the reference's
     eval'd Python predicates, recast as Catalyst expressions so exact
     equalities become hash-join keys)."""
+    if blocking_threshold == "auto":
+        from .blocking import auto_blocking_threshold_pairs
+
+        blocking_threshold = auto_blocking_threshold_pairs(
+            left, right, backend,
+            comparison_prompt=comparison_prompt,
+            left_keys=embedding_keys_left or left_keys,
+            right_keys=embedding_keys_right or right_keys,
+        )
     lw = left
     rw = right
     l_emb = r_emb = None

@@ -180,14 +180,29 @@ def resolve(
     resolution_prompt: str | None = None,
     compare_cols: list[str] | None = None,
     blocking_keys: list[str] | None = None,
-    blocking_threshold: float | None = None,
+    blocking_threshold: float | str | None = None,
     blocking_conditions: list[str] | None = None,
     embedding_keys: list[str] | None = None,
+    blocking_target_recall: float = 0.95,
 ) -> DataFrame:
     """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
     annotate. Row count is preserved; declared output_schema columns are
     overwritten with canonical values; a ``_cluster_id`` column records
-    the cluster representative id."""
+    the cluster representative id.
+
+    ``blocking_threshold="auto"`` calibrates the similarity cutoff at
+    runtime against ``blocking_target_recall`` (blocking.py analogue of
+    the reference's RuntimeBlockingOptimizer)."""
+    if blocking_threshold == "auto":
+        from .blocking import auto_blocking_threshold
+
+        blocking_threshold = auto_blocking_threshold(
+            df, backend,
+            id_col=id_col, comparison_prompt=comparison_prompt,
+            compare_cols=compare_cols or [c for c in df.columns if c != id_col],
+            embedding_keys=embedding_keys,
+            target_recall=blocking_target_recall,
+        )
     work = df
     embedding_col = None
     if blocking_threshold is not None:

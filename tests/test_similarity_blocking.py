@@ -1,0 +1,136 @@
+"""IVF similarity index + runtime blocking calibration tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from docetl_spark import FakeBackend, SemanticFrame
+from docetl_spark.functions import similarity as sim
+from docetl_spark.operators.blocking import auto_blocking_threshold
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 well-separated clusters of 20 vectors each in 8-d
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((3, 8)) * 10
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            v = centers[c] + rng.standard_normal(8) * 0.1
+            rows.append({"vec_id": vid, "cluster": c, "embedding": [float(x) for x in v]})
+            vid += 1
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    return spark.createDataFrame(rows, schema=schema).cache()
+
+
+def test_ivf_assigns_clusters_consistently(vectors):
+    indexed, centroids = sim.ivf_index(vectors, n_lists=3, seed=1)
+    rows = indexed.select("cluster", "_ivf_list").collect()
+    # every true cluster maps to exactly one IVF list (separation >> noise)
+    mapping = {}
+    for r in rows:
+        mapping.setdefault(r["cluster"], set()).add(r["_ivf_list"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len(centroids) == 3
+
+
+def test_ivf_topk_matches_brute_force(vectors, spark):
+    indexed, centroids = sim.ivf_index(vectors, n_lists=3, seed=1)
+    query = vectors.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    approx = sim.ivf_topk(indexed, centroids, query, 5, n_probe=1)
+    # brute force ground truth
+    q = vectors.select(F.col("vec_id").alias("query_id"), "embedding").filter(F.col("query_id") == 0)
+    exact = sim.brute_force_topk(vectors, q, 5)
+    assert [r["vec_id"] for r in approx.collect()] == [r["vec_id"] for r in exact.collect()]
+
+
+def test_ivf_probe_prunes(vectors):
+    indexed, centroids = sim.ivf_index(vectors, n_lists=3, seed=1)
+    query = vectors.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    probed = sim.ivf_topk(indexed, centroids, query, 60, n_probe=1)
+    assert probed.count() == 20  # only one list scanned
+
+
+def test_auto_blocking_threshold(spark):
+    # duplicate names embed identically (FakeBackend hashes content) ->
+    # true-match sims are 1.0; with recall=1.0 the threshold must not
+    # exceed the minimum true-match similarity
+    rows = []
+    for i in range(12):
+        rows.append({"pid": 2 * i, "name": f"person {i}"})
+        rows.append({"pid": 2 * i + 1, "name": f"Person {i}!"})  # normalized dup
+    df = spark.createDataFrame(rows)
+    be = FakeBackend()
+    thr = auto_blocking_threshold(
+        df, be, id_col="pid",
+        comparison_prompt="same? {{ input1.name }} {{ input2.name }}",
+        compare_cols=["name"], target_recall=1.0, sample_size=24,
+    )
+    assert thr is not None
+    # normalized-equal names may still embed differently (different raw
+    # strings); threshold is the min true-match sim and must be <= 1.0
+    assert thr <= 1.0
+
+
+def test_auto_threshold_none_when_no_matches(spark):
+    rows = [{"pid": i, "name": f"unique {i}"} for i in range(8)]
+    df = spark.createDataFrame(rows)
+    thr = auto_blocking_threshold(
+        df, FakeBackend(), id_col="pid",
+        comparison_prompt="same? {{ input1.name }} {{ input2.name }}",
+        compare_cols=["name"],
+    )
+    assert thr is None
+
+
+def test_equijoin_auto_threshold(spark):
+    left = spark.createDataFrame([{"lid": i, "lname": f"item {i}"} for i in range(8)])
+    right = spark.createDataFrame([{"rid": i, "rname": f"item {i}"} for i in range(8)])
+    be = FakeBackend(rules={"is_match": lambda ctx: ctx[0]["lname"].split()[-1] == ctx[1]["rname"].split()[-1]})
+    out = (
+        SemanticFrame.from_df(left, backend=be)
+        .equijoin(
+            SemanticFrame.from_df(right),
+            comparison_prompt="{{ left.lname }} vs {{ right.rname }}",
+            left_keys=["lid"],
+            right_keys=["rid"],
+            blocking_threshold="auto",
+            embedding_keys_left=["lname"],
+            embedding_keys_right=["rname"],
+        )
+        .collect()
+    )
+    # identical texts embed identically (sim 1.0 >= any calibrated
+    # threshold), so at minimum every i<->i pair survives
+    matched = {(r["lid"], r["rid"]) for r in out}
+    assert {(i, i) for i in range(8)} <= matched
+    assert all(l == r for l, r in matched)  # adjudication still applied
+
+
+def test_resolve_auto_threshold_end_to_end(spark):
+    rows = []
+    for i in range(6):
+        rows.append({"pid": 2 * i, "name": f"entity {i}"})
+        rows.append({"pid": 2 * i + 1, "name": f"entity {i}"})  # exact dup: sim 1.0
+    df = spark.createDataFrame(rows)
+    out = (
+        SemanticFrame.from_df(df, backend=FakeBackend())
+        .resolve(
+            id_col="pid",
+            comparison_prompt="same? {{ input1.name }} {{ input2.name }}",
+            output_schema={"name": "str"},
+            blocking_threshold="auto",
+            compare_cols=["name"],
+            embedding_keys=["name"],
+        )
+        .collect()
+    )
+    by_pid = {r["pid"]: r["_cluster_id"] for r in out}
+    for i in range(6):
+        assert by_pid[2 * i] == by_pid[2 * i + 1] == 2 * i
