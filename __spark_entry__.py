@@ -590,6 +590,42 @@ def sem_reduce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+class _CascadeBackend(FakeBackend):
+    """Deterministic proxy/oracle cascade: the proxy is confident on
+    docs containing fast/slow; everything else escalates to the oracle
+    rule ('join' containment)."""
+
+    def classify_logprob(self, prompt: str, labels: list[str], context):
+        text = context.get("text", "") if isinstance(context, dict) else ""
+        if "fast" in text:
+            return "true", 0.99
+        if "slow" in text:
+            return "false", 0.99
+        return "false", 0.5
+
+    def complete(self, prompt: str, output_schema: dict, context) -> dict:
+        return {"keep": "join" in context.get("text", "")}
+
+
+def sem_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic filter with proxy/oracle cascade: high-confidence proxy
+    labels short-circuit; uncertain rows escalate to the full model."""
+    out = (
+        _sf(spark, sf_dir, "documents", backend=_CascadeBackend())
+        .filter("keep? {{ input.text }}", {"keep": "bool"}, cascade={"proxy_threshold": 0.9})
+        .select("doc_id", "lang")
+    )
+    return out.df
+
+
+def sample_custom_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample op, custom method: keep rows matching an explicit key list
+    (broadcast semi join)."""
+    samples = [{"o_orderkey": k} for k in (1, 7, 32, 100, 555, 1000, 4999)]
+    out = sample_op.sample_custom(_t(spark, sf_dir, "orders"), samples)
+    return out.select("o_orderkey", "o_custkey")
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (weak check: fingerprint depends on
     blake2b token hashes, not expressible in ANSI SQL — driver records
@@ -648,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": simhash_near_dup,
         "split_gather_docs": split_gather_docs,
         "sem_reduce_fold": sem_reduce_fold,
+        "sem_filter_cascade": sem_filter_cascade,
+        "sample_custom_keys": sample_custom_keys,
     }
 
 
@@ -1022,4 +1060,12 @@ def oracle_sql() -> dict[str, str]:
         "sem_reduce_fold": """
             SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS group_size
             FROM documents GROUP BY lang""",
+        "sem_filter_cascade": """
+            SELECT doc_id, lang FROM documents
+            WHERE CASE WHEN text LIKE '%fast%' THEN TRUE
+                       WHEN text LIKE '%slow%' THEN FALSE
+                       ELSE text LIKE '%join%' END""",
+        "sample_custom_keys": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey IN (1, 7, 32, 100, 555, 1000, 4999)""",
     }
