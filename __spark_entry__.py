@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from docetl_spark import FakeBackend, SemanticFrame
+from docetl_spark import FakeBackend, ResilientBackend, SemanticFrame
 from docetl_spark.functions import dedup, similarity, text
 from docetl_spark.operators import link_resolve as link_resolve_op, sample as sample_op
 
@@ -626,6 +626,35 @@ def sample_custom_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey")
 
 
+def sem_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic map via batch_prompt (map.py:532-560): up to 32 rows per
+    model call through backend.complete_batch, wrapped in
+    ResilientBackend (executor-local response cache + retries + token
+    bucket, api.py:588-734 analogue). Deterministic rules keep the result
+    identical to the per-row map, so the same SQL oracle applies."""
+    be = ResilientBackend(
+        FakeBackend(
+            rules={
+                "sentiment": lambda row: (
+                    "positive" if "fast" in row["text"] else ("negative" if "slow" in row["text"] else "neutral")
+                )
+            }
+        ),
+        namespace="drv_batch",
+    )
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .map(
+            "Classify the sentiment of: {{ input.text }}",
+            {"sentiment": "str"},
+            batch_prompt="Classify each document:\n{% for d in inputs %}- {{ d.text }}\n{% endfor %}",
+            max_batch_size=32,
+        )
+        .select("doc_id", "sentiment")
+    )
+    return out.df
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (weak check: fingerprint depends on
     blake2b token hashes, not expressible in ANSI SQL — driver records
@@ -686,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_reduce_fold": sem_reduce_fold,
         "sem_filter_cascade": sem_filter_cascade,
         "sample_custom_keys": sample_custom_keys,
+        "sem_map_batch": sem_map_batch,
     }
 
 
@@ -1068,4 +1098,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_custom_keys": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_orderkey IN (1, 7, 32, 100, 555, 1000, 4999)""",
+        "sem_map_batch": """
+            SELECT doc_id,
+                   CASE WHEN text LIKE '%fast%' THEN 'positive'
+                        WHEN text LIKE '%slow%' THEN 'negative'
+                        ELSE 'neutral' END AS sentiment
+            FROM documents""",
     }

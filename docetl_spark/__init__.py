@@ -11,16 +11,20 @@ from .backend import FakeBackend, LiteLLMBackend, ModelBackend
 from .checkpoint import Checkpointer
 from .frame import SemanticFrame
 from .plans import run_pipeline, run_yaml
+from .resilience import BackendMetrics, ResilientBackend, clear_backend_state
 from .session import get_spark, load_tables
 
 __all__ = [
+    "BackendMetrics",
     "Checkpointer",
     "FakeBackend",
     "LiteLLMBackend",
     "ModelBackend",
+    "ResilientBackend",
     "SemanticFrame",
     "get_spark",
     "load_tables",
     "run_pipeline",
     "run_yaml",
+    "clear_backend_state",
 ]

@@ -37,6 +37,14 @@ class ModelBackend:
     def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
         raise NotImplementedError
 
+    def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:
+        """One rendered batch prompt → one output dict per input item
+        (the reference's batch_prompt path, map.py:532-560, renders
+        ``{{ inputs }}`` and expects per-item results back). The default
+        loops ``complete`` per item — real backends override with a
+        single call returning an array, amortizing model latency."""
+        return [self.complete(prompt, output_schema, item) for item in items]
+
     def embed(self, texts: list[str]) -> list[list[float]]:
         raise NotImplementedError
 
@@ -196,6 +204,33 @@ class LiteLLMBackend(ModelBackend):
             **self.kwargs,
         )
         return json.loads(resp.choices[0].message.content)
+
+    def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:  # pragma: no cover
+        import json  # noqa: PLC0415
+
+        props = {k: {"type": "string"} for k in output_schema}
+        item_schema = {"type": "object", "properties": props, "required": list(props)}
+        resp = self._client().completion(
+            model=self.model,
+            messages=[{"role": "user", "content": prompt}],
+            response_format={
+                "type": "json_schema",
+                "json_schema": {
+                    "name": "send_output",
+                    "schema": {
+                        "type": "object",
+                        "properties": {"results": {"type": "array", "items": item_schema}},
+                        "required": ["results"],
+                    },
+                },
+            },
+            **self.kwargs,
+        )
+        results = json.loads(resp.choices[0].message.content).get("results", [])
+        # pad/truncate to the item count so row alignment is preserved
+        results = list(results)[: len(items)]
+        results += [{} for _ in range(len(items) - len(results))]
+        return results
 
     def embed(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
         resp = self._client().embedding(model="text-embedding-3-small", input=texts)

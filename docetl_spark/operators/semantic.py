@@ -115,6 +115,29 @@ def _complete_with_quality_loop(
     return res
 
 
+def _calibration_context(
+    df: DataFrame, prompt: str, output_schema: dict, backend: ModelBackend, num_docs: int
+) -> str:
+    """Calibration pass (map.py:236-341): run the map on a small sample,
+    show the model the input→output pairs, ask for reference anchors, and
+    append them to every subsequent prompt. Driver-side — the sample is
+    ≤ num_calibration_docs rows by construction (reference default 10)."""
+    sample = [r.asDict(recursive=True) for r in df.limit(num_docs).collect()]
+    pairs = []
+    for row in sample:
+        rendered = render_prompt(prompt, {"input": row})
+        pairs.append((row, backend.complete(rendered, output_schema, row)))
+    cal_prompt = (
+        "The following prompt was applied to sample documents to generate "
+        f'these input-output pairs:\n\n"{prompt}"\n\nSample inputs and their outputs:\n'
+    )
+    for i, (inp, outp) in enumerate(pairs):
+        cal_prompt += f"\n--- Example {i + 1} ---\nInput: {inp}\nOutput: {outp}\n"
+    cal_prompt += "\nProvide reference anchors to keep outputs consistent.\nReference anchors:"
+    res = backend.complete(cal_prompt, {"calibration_context": "string"}, pairs)
+    return str(res.get("calibration_context", ""))
+
+
 def semantic_map(
     df: DataFrame,
     prompt: str,
@@ -128,36 +151,66 @@ def semantic_map(
     gleaning: dict | None = None,
     observability: str | None = None,
     strict_types: bool = False,
+    batch_prompt: str | None = None,
+    max_batch_size: int = 16,
+    calibrate: bool = False,
+    num_calibration_docs: int = 10,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
-    (map.py:514-518)."""
+    (map.py:514-518).
+
+    ``batch_prompt`` (rendered with ``{{ inputs }}``; map.py:532-560)
+    processes up to ``max_batch_size`` rows per model call via
+    ``backend.complete_batch`` — one call amortizes latency across the
+    batch, and Arrow batch boundaries keep it executor-local. The quality
+    loops (validate/gleaning) apply per-row and force the single-row path.
+
+    ``calibrate`` (map.py:236-341) runs the prompt over
+    ``num_calibration_docs`` sample rows first and appends
+    model-suggested reference anchors to the prompt for the full run."""
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:
         df = df.limit(limit)
+    if calibrate:
+        ctx = _calibration_context(df, prompt, output_schema, backend, num_calibration_docs)
+        if ctx:
+            prompt = prompt + "\n\nReference anchors for consistency:\n" + ctx
     drop = set(drop_keys or [])
     out_schema = _merged_schema(df, output_schema, drop)
     obs_col = f"_observability_{observability}" if observability else None
     if obs_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(obs_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
+    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types)
 
     def run(batches):
         for pdf in batches:
             rows = pdf.to_dict("records")
             out = []
-            for row in rows:
-                rendered = render_prompt(prompt, {"input": row})
-                res = _complete_with_quality_loop(
-                    backend, rendered, output_schema, row,
-                    validate=validate, num_retries=num_retries_on_validate_failure,
-                    gleaning=gleaning, strict_types=strict_types,
-                )
-                merged = {**row, **res}
-                if obs_col:
-                    merged[obs_col] = rendered
-                out.append({k: merged.get(k) for k in out_names})
+            if use_batch:
+                for i in range(0, len(rows), max_batch_size):
+                    chunk = rows[i : i + max_batch_size]
+                    rendered = render_prompt(batch_prompt, {"inputs": chunk})
+                    results = backend.complete_batch(rendered, output_schema, chunk)
+                    for row, res in zip(chunk, results):
+                        merged = {**row, **res}
+                        if obs_col:
+                            merged[obs_col] = rendered
+                        out.append({k: merged.get(k) for k in out_names})
+            else:
+                for row in rows:
+                    rendered = render_prompt(prompt, {"input": row})
+                    res = _complete_with_quality_loop(
+                        backend, rendered, output_schema, row,
+                        validate=validate, num_retries=num_retries_on_validate_failure,
+                        gleaning=gleaning, strict_types=strict_types,
+                    )
+                    merged = {**row, **res}
+                    if obs_col:
+                        merged[obs_col] = rendered
+                    out.append({k: merged.get(k) for k in out_names})
             yield pd.DataFrame(out, columns=out_names)
 
     return df.mapInPandas(run, schema=out_schema)

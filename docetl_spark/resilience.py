@@ -1,0 +1,270 @@
+"""Resilient backend wrapper: response cache, retries, rate limiting,
+call accounting.
+
+The reference funnels every model call through ``APIWrapper.call_llm``
+(/root/reference/docetl/operations/utils/api.py:588-734), which layers:
+
+- a disk cache keyed on (model, op_type, messages, schema, ...)
+  (api.py:649-657; operations/utils/cache.py:17-23),
+- retries on rate-limit/timeout errors (default 120 s timeout, 2
+  retries — map.py:476-477),
+- pyrate_limiter token buckets (docetl/ratelimiter.py;
+  runner.py:297-300, blocking_acquire runner.py:345-361),
+- per-call cost accounting surfaced to the runner.
+
+On Spark the model call happens inside Arrow-batched UDFs on executors,
+so each concern becomes executor-local: the cache and the token bucket
+live in module-level process state (one per Python worker), and
+accounting flows back to the driver through Spark accumulators. A
+cluster-wide request budget is divided statically: give each executor
+``rpm / num_executors`` (the wrapper takes the per-process rpm).
+
+``ResilientBackend`` wraps any :class:`~docetl_spark.backend.ModelBackend`
+transparently, so every semantic operator gains these behaviors without
+code changes — pass ``ResilientBackend(inner)`` wherever a backend goes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+import time
+from collections import OrderedDict
+from typing import Any
+
+from .backend import ModelBackend
+
+# Process-level state, keyed by namespace: shared by every task in a
+# Python worker so cache hits and rate limits span concurrent partitions.
+_caches: dict[str, OrderedDict] = {}
+_buckets: dict[str, "_TokenBucket"] = {}
+_state_lock = threading.Lock()
+
+
+class _TokenBucket:
+    """Minimal thread-safe token bucket (pyrate_limiter analogue,
+    docetl/ratelimiter.py). ``acquire`` blocks until a token is free —
+    mirroring the reference's blocking_acquire (runner.py:345-361)."""
+
+    def __init__(self, rate_per_s: float, capacity: float | None = None):
+        self.rate = float(rate_per_s)
+        self.capacity = capacity if capacity is not None else max(1.0, self.rate)
+        self.tokens = self.capacity
+        self.ts = time.monotonic()
+        self.lock = threading.Lock()
+
+    def acquire(self) -> float:
+        waited = 0.0
+        while True:
+            with self.lock:
+                now = time.monotonic()
+                self.tokens = min(self.capacity, self.tokens + (now - self.ts) * self.rate)
+                self.ts = now
+                if self.tokens >= 1.0:
+                    self.tokens -= 1.0
+                    return waited
+                need = (1.0 - self.tokens) / self.rate
+            time.sleep(need)
+            waited += need
+
+
+class BackendMetrics:
+    """Driver-side accumulators for executor-side call accounting.
+
+    Build on the driver (needs the SparkContext), pass into
+    :class:`ResilientBackend`; readable on the driver after an action.
+    The reference tracks per-call cost on its single process
+    (api.py:588-734) — accumulators are the Spark-native equivalent.
+    """
+
+    def __init__(self, sc):
+        self.calls = sc.accumulator(0)
+        self.cache_hits = sc.accumulator(0)
+        self.retries = sc.accumulator(0)
+        self.rate_waits = sc.accumulator(0)
+
+    def snapshot(self) -> dict:
+        return {
+            "calls": self.calls.value,
+            "cache_hits": self.cache_hits.value,
+            "retries": self.retries.value,
+            "rate_waits": self.rate_waits.value,
+        }
+
+
+def _stable_key(*parts: Any) -> str:
+    blob = json.dumps(parts, sort_keys=True, default=str, separators=(",", ":"))
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+class ResilientBackend(ModelBackend):
+    """Wrap ``inner`` with cache + retry + rate limit + accounting.
+
+    Parameters mirror the reference's knobs:
+
+    - ``max_retries`` / ``backoff_s``: retry transient failures
+      (``retry_on`` exception types) with exponential backoff
+      (map.py:476-477 defaults: 2 retries).
+    - ``rate_limit_rpm``: per-process requests/minute; ``None`` = off.
+    - ``cache_size``: LRU entries per process; 0 disables. Keys include
+      prompt, schema and row context, like the reference's cache key
+      (api.py:649-657). ``bypass_cache`` skips lookup but still stores.
+    - ``namespace``: isolates cache/bucket state between pipelines.
+    - ``metrics``: optional :class:`BackendMetrics`.
+
+    Embeddings are cached per *text*, so re-embedding a corpus where only
+    some rows changed (resolve → rank → cluster chains) only pays for the
+    misses — the reference gets this from its disk cache.
+    """
+
+    def __init__(
+        self,
+        inner: ModelBackend,
+        *,
+        namespace: str = "default",
+        max_retries: int = 2,
+        backoff_s: float = 0.2,
+        rate_limit_rpm: float | None = None,
+        cache_size: int = 50_000,
+        bypass_cache: bool = False,
+        retry_on: tuple = (TimeoutError, ConnectionError, OSError),
+        metrics: BackendMetrics | None = None,
+    ):
+        self.inner = inner
+        self.namespace = namespace
+        self.max_retries = int(max_retries)
+        self.backoff_s = float(backoff_s)
+        self.rate_limit_rpm = rate_limit_rpm
+        self.cache_size = int(cache_size)
+        self.bypass_cache = bypass_cache
+        self.retry_on = retry_on
+        self.metrics = metrics
+
+    # -- process-local state ------------------------------------------
+    def _cache(self) -> OrderedDict:
+        with _state_lock:
+            return _caches.setdefault(self.namespace, OrderedDict())
+
+    def _bucket(self) -> _TokenBucket | None:
+        if not self.rate_limit_rpm:
+            return None
+        with _state_lock:
+            b = _buckets.get(self.namespace)
+            if b is None:
+                b = _buckets[self.namespace] = _TokenBucket(self.rate_limit_rpm / 60.0)
+            return b
+
+    # -- core ----------------------------------------------------------
+    def _cached_call(self, key_parts: tuple, fn):
+        cache = self._cache() if self.cache_size else None
+        key = _stable_key(*key_parts) if cache is not None else None
+        if cache is not None and not self.bypass_cache:
+            with _state_lock:
+                if key in cache:
+                    cache.move_to_end(key)
+                    if self.metrics:
+                        self.metrics.cache_hits += 1
+                    return cache[key]
+        bucket = self._bucket()
+        if bucket is not None:
+            waited = bucket.acquire()
+            if waited and self.metrics:
+                self.metrics.rate_waits += 1
+        attempt = 0
+        while True:
+            try:
+                res = fn()
+                break
+            except self.retry_on:
+                if attempt >= self.max_retries:
+                    raise
+                if self.metrics:
+                    self.metrics.retries += 1
+                time.sleep(self.backoff_s * (2**attempt))
+                attempt += 1
+        if self.metrics:
+            self.metrics.calls += 1
+        if cache is not None:
+            with _state_lock:
+                cache[key] = res
+                while len(cache) > self.cache_size:
+                    cache.popitem(last=False)
+        return res
+
+    # -- protocol ------------------------------------------------------
+    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
+        return self._cached_call(
+            ("complete", prompt, output_schema, context),
+            lambda: self.inner.complete(prompt, output_schema, context),
+        )
+
+    def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:
+        return self._cached_call(
+            ("complete_batch", prompt, output_schema, items),
+            lambda: self.inner.complete_batch(prompt, output_schema, items),
+        )
+
+    def classify_logprob(self, prompt: str, labels: list[str], context: Any):
+        return self._cached_call(
+            ("classify", prompt, labels, context),
+            lambda: self.inner.classify_logprob(prompt, labels, context),
+        )
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        """Per-text caching: call inner.embed only on the misses, in one
+        batch, preserving input order."""
+        if not self.cache_size:
+            return self._retry_embed(texts)
+        cache = self._cache()
+        keys = [_stable_key("embed", t) for t in texts]
+        out: list = [None] * len(texts)
+        miss_idx: list[int] = []
+        with _state_lock:
+            for i, k in enumerate(keys):
+                if not self.bypass_cache and k in cache:
+                    cache.move_to_end(k)
+                    out[i] = cache[k]
+                else:
+                    miss_idx.append(i)
+        if self.metrics and (len(texts) - len(miss_idx)):
+            self.metrics.cache_hits += len(texts) - len(miss_idx)
+        if miss_idx:
+            vecs = self._retry_embed([texts[i] for i in miss_idx])
+            if self.metrics:
+                self.metrics.calls += 1
+            with _state_lock:
+                for i, v in zip(miss_idx, vecs):
+                    out[i] = cache[keys[i]] = v
+                while len(cache) > self.cache_size:
+                    cache.popitem(last=False)
+        return out
+
+    def _retry_embed(self, texts: list[str]) -> list[list[float]]:
+        bucket = self._bucket()
+        if bucket is not None:
+            waited = bucket.acquire()
+            if waited and self.metrics:
+                self.metrics.rate_waits += 1
+        attempt = 0
+        while True:
+            try:
+                return self.inner.embed(texts)
+            except self.retry_on:
+                if attempt >= self.max_retries:
+                    raise
+                if self.metrics:
+                    self.metrics.retries += 1
+                time.sleep(self.backoff_s * (2**attempt))
+                attempt += 1
+
+
+def clear_backend_state(namespace: str | None = None) -> None:
+    """Drop process-local cache/bucket state (tests, pipeline resets)."""
+    with _state_lock:
+        if namespace is None:
+            _caches.clear()
+            _buckets.clear()
+        else:
+            _caches.pop(namespace, None)
+            _buckets.pop(namespace, None)

@@ -1,0 +1,168 @@
+"""ResilientBackend: cache / retry / rate-limit / metrics, plus the
+batch_prompt and calibrate map variants (reference: api.py:588-734
+call_llm layering; map.py:532-560 batch path; map.py:236-341 calibrate)."""
+
+import time
+
+import pytest
+
+from docetl_spark.backend import FakeBackend, ModelBackend
+from docetl_spark.operators.semantic import semantic_map
+from docetl_spark.resilience import BackendMetrics, ResilientBackend, clear_backend_state
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+class CountingBackend(ModelBackend):
+    def __init__(self, fail_first: int = 0):
+        self.calls = 0
+        self.embed_calls = 0
+        self.embedded_texts = []
+        self.fail_first = fail_first
+
+    def complete(self, prompt, output_schema, context):
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise ConnectionError("transient")
+        return {k: f"v{self.calls}" for k in output_schema}
+
+    def embed(self, texts):
+        self.embed_calls += 1
+        self.embedded_texts.extend(texts)
+        return [[float(len(t)), 1.0] for t in texts]
+
+    def classify_logprob(self, prompt, labels, context):
+        self.calls += 1
+        return labels[0], 0.9
+
+
+@pytest.fixture(autouse=True)
+def _fresh_state():
+    clear_backend_state()
+    yield
+    clear_backend_state()
+
+
+def test_cache_hit_skips_inner_call():
+    inner = CountingBackend()
+    rb = ResilientBackend(inner, namespace="t1")
+    a = rb.complete("p", {"k": "str"}, {"id": 1})
+    b = rb.complete("p", {"k": "str"}, {"id": 1})  # identical → cached
+    c = rb.complete("p", {"k": "str"}, {"id": 2})  # different context → miss
+    assert a == b and inner.calls == 2 and c != a
+
+
+def test_retry_then_success_and_exhaustion():
+    inner = CountingBackend(fail_first=2)
+    rb = ResilientBackend(inner, namespace="t2", max_retries=2, backoff_s=0.01)
+    out = rb.complete("p", {"k": "str"}, {})
+    assert out == {"k": "v3"} and inner.calls == 3
+
+    inner2 = CountingBackend(fail_first=5)
+    rb2 = ResilientBackend(inner2, namespace="t2b", max_retries=1, backoff_s=0.01)
+    with pytest.raises(ConnectionError):
+        rb2.complete("p", {"k": "str"}, {})
+    assert inner2.calls == 2  # 1 try + 1 retry
+
+
+def test_embed_per_text_cache():
+    inner = CountingBackend()
+    rb = ResilientBackend(inner, namespace="t3")
+    rb.embed(["a", "bb", "ccc"])
+    rb.embed(["bb", "dddd", "a"])  # only 'dddd' is a miss
+    assert inner.embed_calls == 2
+    assert inner.embedded_texts == ["a", "bb", "ccc", "dddd"]
+
+
+def test_rate_limit_spaces_calls():
+    inner = CountingBackend()
+    # 600 rpm = 10/s → bucket starts full (burst 10); 12 uncached calls
+    # must wait for ≥2 refills ≈ 0.2 s
+    rb = ResilientBackend(inner, namespace="t4", rate_limit_rpm=600, cache_size=0)
+    t0 = time.monotonic()
+    for i in range(12):
+        rb.complete("p", {"k": "str"}, {"i": i})
+    assert time.monotonic() - t0 >= 0.15
+
+
+def test_transparent_in_semantic_map_with_metrics(spark, docs_df):
+    # collect unsorted and sort driver-side: a Spark orderBy would sample
+    # the child plan for range bounds and re-run the map (double-counting
+    # the accumulators)
+    plain = semantic_map(
+        docs_df, "sentiment of {{ input.text }}", {"sentiment": "str"}, FakeBackend()
+    ).collect()
+    metrics = BackendMetrics(spark.sparkContext)
+    wrapped = semantic_map(
+        docs_df,
+        "sentiment of {{ input.text }}",
+        {"sentiment": "str"},
+        ResilientBackend(FakeBackend(), namespace="t5", metrics=metrics),
+    ).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert [r.asDict() for r in sorted(plain, key=key)] == [
+        r.asDict() for r in sorted(wrapped, key=key)
+    ]
+    snap = metrics.snapshot()
+    assert snap["calls"] + snap["cache_hits"] == len(plain)
+    assert snap["calls"] > 0
+
+
+def test_batch_prompt_matches_per_row(spark, docs_df):
+    """FakeBackend.complete_batch loops complete per item, so the batch
+    path must reproduce the per-row results exactly."""
+    per_row = semantic_map(
+        docs_df, "sentiment of {{ input.text }}", {"sentiment": "str"}, FakeBackend()
+    ).orderBy("doc_id").collect()
+    batched = semantic_map(
+        docs_df,
+        "sentiment of {{ input.text }}",
+        {"sentiment": "str"},
+        FakeBackend(),
+        batch_prompt="classify each: {% for d in inputs %}{{ d.text }}\n{% endfor %}",
+        max_batch_size=7,
+    ).orderBy("doc_id").collect()
+    assert [r.asDict() for r in per_row] == [r.asDict() for r in batched]
+
+
+def test_complete_batch_called_once_per_chunk(spark, docs_df):
+    class BatchCounter(FakeBackend):
+        def complete_batch(self, prompt, output_schema, items):
+            return [{"tag": f"n={len(items)}"} for _ in items]
+
+    out = semantic_map(
+        docs_df.limit(10).coalesce(1),
+        "unused {{ input.text }}",
+        {"tag": "str"},
+        BatchCounter(),
+        batch_prompt="batch {{ inputs | length }}",
+        max_batch_size=4,
+    ).collect()
+    sizes = sorted(r["tag"] for r in out)
+    assert sizes.count("n=4") == 8 and sizes.count("n=2") == 2  # 4+4+2 chunks
+
+
+def test_calibrate_appends_context(spark, docs_df):
+    seen_prompts = []
+
+    class Spy(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            seen_prompts.append(prompt)
+            return super().complete(prompt, output_schema, context)
+
+    out = semantic_map(
+        docs_df.limit(6),
+        "sentiment of {{ input.text }}",
+        {"sentiment": "str"},
+        Spy(),
+        calibrate=True,
+        num_calibration_docs=3,
+    )
+    n = out.count()
+    assert n == 6
+    # driver-side calibration ran: 3 sample rows + 1 anchor request
+    assert len(seen_prompts) == 4
+    assert "Reference anchors" in seen_prompts[-1]
