@@ -626,6 +626,67 @@ def sample_custom_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey")
 
 
+def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed rollup, drained with an availableNow
+    trigger (streaming/events.py): parquet-directory source -> 1-hour
+    tumbling windows with a 2-hour watermark -> memory sink. The oracle is
+    the batch-SQL equivalent — streaming/batch parity is the check."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    rolled = stream_ops.windowed_rollup(ev, window="1 hour", watermark="2 hours").select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "value_cents",
+    )
+    rows = stream_ops.run_available_now(
+        rolled,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_rollup_"),
+        dedupe_keys=["window_start_epoch", "event_type"],
+    )
+    schema = "window_start_epoch long, event_type string, n long, value_cents long"
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: 30-min-gap sessionization via
+    applyInPandasWithState (streaming/events.py:94-137), drained with
+    availableNow. Oracle = the batch window-function sessionization —
+    the streaming state machine must reproduce it exactly (state sid is
+    0-based; +1 aligns with the batch cumulative-sum ids)."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = stream_ops.sessionize_stateful(ev, gap_seconds=1800)
+    rows = stream_ops.run_available_now(
+        sess,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_sess_"),
+        dedupe_keys=["user_id", "session_id"],
+    )
+    schema = "user_id long, session_id long, n_events long, start_epoch long, end_epoch long"
+    return spark.createDataFrame(rows, schema=schema).withColumn(
+        "session_id", (F.col("session_id") + 1).cast("long")
+    )
+
+
+def cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hierarchical cluster over precomputed embeddings (cluster.py:
+    vectorized centroid-linkage, reference cluster.py:162-234). The tree
+    itself is not ANSI-SQL-expressible; the oracle checks the invariant
+    that every row's path starts at the all-rows root cluster."""
+    out = (
+        _sf(spark, sf_dir, "embeddings")
+        .cluster(id_col="vec_id", embedding_col="embedding")
+        .select("vec_id", F.col("clusters")[0].alias("root"))
+    )
+    return out.df
+
+
 def sem_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic map via batch_prompt (map.py:532-560): up to 32 rows per
     model call through backend.complete_batch, wrapped in
@@ -716,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter_cascade": sem_filter_cascade,
         "sample_custom_keys": sample_custom_keys,
         "sem_map_batch": sem_map_batch,
+        "cluster_docs": cluster_docs,
+        "events_stream_rollup": events_stream_rollup,
+        "events_stream_sessions": events_stream_sessions,
     }
 
 
@@ -1098,6 +1162,28 @@ def oracle_sql() -> dict[str, str]:
         "sample_custom_keys": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_orderkey IN (1, 7, 32, 100, 555, 1000, 4999)""",
+        "events_stream_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS ns, epoch_ns(ts) // 1000000000 AS e,
+                     CASE WHEN LAG(epoch_ns(ts) // 1000000000) OVER w IS NULL
+                          OR epoch_ns(ts) // 1000000000 - LAG(epoch_ns(ts) // 1000000000) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, e,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events, MIN(e) AS start_epoch, MAX(e) AS end_epoch
+            FROM s GROUP BY user_id, session_id""",
+        "events_stream_rollup": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_epoch,
+                   event_type, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2""",
+        "cluster_docs": """
+            SELECT vec_id,
+                   'cluster[' || (SELECT COUNT(*) FROM embeddings) || ']' AS root
+            FROM embeddings""",
         "sem_map_batch": """
             SELECT doc_id,
                    CASE WHEN text LIKE '%fast%' THEN 'positive'

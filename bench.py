@@ -63,7 +63,11 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     df = fn(spark, sf_dir)
     # force full evaluation of every output column without driver collect
     df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
-    return time.perf_counter() - start
+    elapsed = time.perf_counter() - start
+    # isolate queries: operator-internal caches (e.g. BM25 token/vocab
+    # RDDs) must not bloat the heap of later, unrelated queries
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main():

@@ -220,8 +220,8 @@ class SemanticFrame:
             extract_op.extract(self.df, be, prompt=prompt, document_keys=document_keys, **kw), "extract"
         )
 
-    def cluster(self, *, id_col: str, embedding_keys: list[str], **kw) -> "SemanticFrame":
-        be = self._require_backend("cluster")
+    def cluster(self, *, id_col: str, embedding_keys: list[str] | None = None, **kw) -> "SemanticFrame":
+        be = self.backend if kw.get("embedding_col") else self._require_backend("cluster")
         return self._next(
             cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw), "cluster"
         )

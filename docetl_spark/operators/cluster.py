@@ -27,30 +27,62 @@ from .semantic import render_prompt
 
 
 def _agglomerative(vectors: np.ndarray) -> list[tuple[int, int]]:
-    """Average-linkage agglomerative merge order over row vectors.
-    Returns merges [(i, j), ...]; new cluster k = n + merge_index
-    (scipy/sklearn convention). O(n^2) memory — gated by caller."""
+    """Centroid-linkage agglomerative merge order over row vectors.
+    Returns merges [(i, j), ...] of cluster ids; new cluster k = n +
+    merge_index (scipy/sklearn convention).
+
+    Vectorized nearest-neighbor-array algorithm: a full distance matrix
+    plus per-slot nearest-neighbor caches give ~O(n^2) expected work in
+    numpy (vs the naive O(n^3) Python scan). O(n^2) memory — gated by
+    the caller's ``max_local_size``."""
     n = len(vectors)
-    active = {i: vectors[i].astype(float) for i in range(n)}
-    sizes = {i: 1 for i in range(n)}
-    merges = []
+    if n <= 1:
+        return []
+    cent = np.array(vectors, dtype=float, copy=True)
+    size = np.ones(n)
+    cluster_id = np.arange(n)
+    active = np.ones(n, dtype=bool)
+    sq = np.einsum("ij,ij->i", cent, cent)
+    D = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * cent @ cent.T, 0.0))
+    np.fill_diagonal(D, np.inf)
+    rng = np.arange(n)
+    nn_idx = D.argmin(axis=1)
+    nn_dist = D[rng, nn_idx]
+    merges: list[tuple[int, int]] = []
     next_id = n
-    while len(active) > 1:
-        ids = sorted(active)
-        best = None
-        for ai in range(len(ids)):
-            for bi in range(ai + 1, len(ids)):
-                i, j = ids[ai], ids[bi]
-                d = float(np.linalg.norm(active[i] - active[j]))
-                if best is None or d < best[0] or (d == best[0] and (i, j) < best[1:]):
-                    best = (d, i, j)
-        _, i, j = best
-        merged = (active[i] * sizes[i] + active[j] * sizes[j]) / (sizes[i] + sizes[j])
-        merges.append((i, j))
-        active[next_id] = merged
-        sizes[next_id] = sizes[i] + sizes[j]
-        del active[i], active[j]
+    for _ in range(n - 1):
+        i = int(np.argmin(nn_dist))
+        j = int(nn_idx[i])
+        a, b = int(cluster_id[i]), int(cluster_id[j])
+        merges.append((min(a, b), max(a, b)))
+        if j < i:
+            i, j = j, i  # keep the lower slot for the merged cluster
+        new = (cent[i] * size[i] + cent[j] * size[j]) / (size[i] + size[j])
+        cent[i] = new
+        size[i] += size[j]
+        active[j] = False
+        cluster_id[i] = next_id
         next_id += 1
+        idx_active = np.flatnonzero(active)
+        diff = cent[idx_active] - new
+        d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        D[i, idx_active] = d
+        D[idx_active, i] = d
+        D[i, i] = np.inf
+        D[j, :] = np.inf
+        D[:, j] = np.inf
+        nn_dist[j] = np.inf
+        # rows that pointed at a merged slot re-scan; everyone else only
+        # checks whether the merged centroid is now closer
+        stale = idx_active[(nn_idx[idx_active] == i) | (nn_idx[idx_active] == j)]
+        for r in stale:
+            nn_idx[r] = int(np.argmin(D[r]))
+            nn_dist[r] = D[r, nn_idx[r]]
+        better = idx_active[D[i, idx_active] < nn_dist[idx_active]]
+        nn_idx[better] = i
+        nn_dist[better] = D[better, i]
+        nn_idx[i] = int(np.argmin(D[i]))
+        nn_dist[i] = D[i, nn_idx[i]]
     return merges
 
 
@@ -59,14 +91,22 @@ def cluster(
     backend: ModelBackend,
     *,
     id_col: str,
-    embedding_keys: list[str],
+    embedding_keys: list[str] | None = None,
+    embedding_col: str | None = None,
     summary_prompt: str | None = None,
     output_key: str = "clusters",
     max_levels: int | None = None,
     max_local_size: int = 10_000,
 ) -> DataFrame:
-    """Annotate each row with its root->leaf path of cluster summaries."""
-    emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+    """Annotate each row with its root->leaf path of cluster summaries.
+    ``embedding_col`` uses a precomputed vector column instead of
+    embedding ``embedding_keys`` through the backend."""
+    if embedding_col:
+        emb = df.withColumn("_emb", F.col(embedding_col).cast(T.ArrayType(T.DoubleType())))
+    elif embedding_keys:
+        emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+    else:
+        raise ValueError("cluster: provide embedding_keys or embedding_col")
     rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
     if len(rows) > max_local_size:
         raise ValueError(
@@ -81,10 +121,17 @@ def cluster(
     children: dict[int, tuple[int, int]] = {n + k: m for k, m in enumerate(merges)}
 
     def leaves_of(node: int) -> list[int]:
-        if node < n:
-            return [node]
-        a, b = children[node]
-        return leaves_of(a) + leaves_of(b)
+        # iterative: a degenerate chain tree is n deep (> recursion limit)
+        out, stack = [], [node]
+        while stack:
+            cur = stack.pop()
+            if cur < n:
+                out.append(cur)
+            else:
+                a, b = children[cur]
+                stack.append(b)
+                stack.append(a)
+        return out
 
     # summaries bottom-up (internal nodes only), path per leaf
     summaries: dict[int, str] = {}
@@ -101,18 +148,18 @@ def cluster(
             summaries[node] = f"cluster[{len(leaf_ids)}]"
 
     paths: dict[int, list[str]] = {i: [] for i in range(n)}
-    # walk from root down: root is the last merge node
-    def assign(node: int, path: list[str]):
-        if node < n:
-            paths[node] = path
-            return
-        p = path + [summaries[node]] if node in summaries else path
-        a, b = children[node]
-        assign(a, p)
-        assign(b, p)
-
+    # walk from root down (iterative, see leaves_of): root = last merge node
     if children:
-        assign(max(children), [])
+        stack: list[tuple[int, list[str]]] = [(max(children), [])]
+        while stack:
+            node, path = stack.pop()
+            if node < n:
+                paths[node] = path
+                continue
+            p = path + [summaries[node]] if node in summaries else path
+            a, b = children[node]
+            stack.append((b, p))
+            stack.append((a, p))
 
     spark = df.sparkSession
     path_df = spark.createDataFrame(

@@ -239,12 +239,19 @@ def resolve(
             pairs, df, id_col, comparison_prompt, backend,
             compare_cols=compare_cols, auto_match_keys=blocking_keys,
         )
-    if star_edges is not None:
-        matches = star_edges if matches is None else matches.unionByName(star_edges)
-    comp = connected_components(matches, df.select(id_col), id_col)
-    clustered = df.join(comp, id_col, "left").withColumn(
-        "_cluster_id", F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
+    if matches is None and blocking_keys:
+        # star edges only: blocks are disjoint, so each component IS its
+        # block — cluster id = min id over the blocking-key partition.
+        # One window shuffle instead of the iterative CC join loop.
+        wk = W.partitionBy(*[F.col(k) for k in blocking_keys])
+        clustered = df.withColumn("_cluster_id", F.min(id_col).over(wk))
+    else:
+        if star_edges is not None:
+            matches = star_edges if matches is None else matches.unionByName(star_edges)
+        comp = connected_components(matches, df.select(id_col), id_col)
+        clustered = df.join(comp, id_col, "left").withColumn(
+            "_cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+        ).drop("component")
 
     declared = schema_of(output_schema)
     canon_fields = [T.StructField("_cluster_id", clustered.schema["_cluster_id"].dataType, True)] + list(
