@@ -674,6 +674,38 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal plumbing (functions/multimodal.py): text bytes stand in
+    for opaque media content -> deterministic fake header decode
+    (mapInPandas over the binary column) -> metadata-struct projection
+    with a width filter. Bytes never explode row-per-pixel; metadata
+    lives in a sibling struct so filters prune without touching bytes."""
+    from docetl_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = multimodal.decode_image_meta(docs)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.format").alias("fmt"),
+    ).filter(F.col("width") >= 32)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal 1:N kernel: video-bytes -> frame rows (frame count
+    derived deterministically from byte length in the stub decoder)."""
+    from docetl_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = multimodal.frame_sample(docs, every_n=30)
+    return out.select("doc_id", "frame_index")
+
+
 def cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hierarchical cluster over precomputed embeddings (cluster.py:
     vectorized centroid-linkage, reference cluster.py:162-234). The tree
@@ -780,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_docs": cluster_docs,
         "events_stream_rollup": events_stream_rollup,
         "events_stream_sessions": events_stream_sessions,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
     }
 
 
@@ -1175,6 +1209,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, COUNT(*) AS n_events, MIN(e) AS start_epoch, MAX(e) AS end_epoch
             FROM s GROUP BY user_id, session_id""",
+        "multimodal_image_meta": """
+            SELECT doc_id,
+                   16 + (('0x' || substr(md5(text), 1, 2))::INT % 64) AS width,
+                   16 + (('0x' || substr(md5(text), 3, 2))::INT % 64) AS height,
+                   'fake' AS fmt
+            FROM documents
+            WHERE 16 + (('0x' || substr(md5(text), 1, 2))::INT % 64) >= 32""",
+        "multimodal_frame_sample": """
+            SELECT doc_id, (i - 1) * 30 AS frame_index
+            FROM (SELECT doc_id, unnest(range(1, (length(text) % 5) + 2)) AS i
+                  FROM documents)""",
         "events_stream_rollup": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_epoch,
                    event_type, COUNT(*) AS n,
