@@ -50,6 +50,7 @@ def equijoin(
     limits: dict | None = None,
     limit_order_left: list[str] | None = None,
     limit_order_right: list[str] | None = None,
+    cascade: dict | None = None,
 ) -> DataFrame:
     """Fuzzy join. ``left_keys``/``right_keys`` identify rows for limit
     windows and deterministic ordering. ``blocking_conditions`` are SQL
@@ -123,6 +124,8 @@ def equijoin(
     out_schema = T.StructType(list(key_fields) + [T.StructField("_is_match", T.BooleanType(), True)])
     names = out_schema.fieldNames()
 
+    threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
+
     def run(batches):
         for pdf in batches:
             res = []
@@ -130,6 +133,11 @@ def equijoin(
                 in_l = {c: r[f"_l_{c}"] for c in lcols}
                 in_r = {c: r[f"_r_{c}"] for c in rcols}
                 prompt = render_prompt(comparison_prompt, {"left": in_l, "right": in_r})
+                if threshold is not None:
+                    label, prob = backend.classify_logprob(prompt, ["true", "false"], (in_l, in_r))
+                    if prob >= threshold:
+                        res.append({**{n: r[n] for n in names if n != "_is_match"}, "_is_match": label == "true"})
+                        continue
                 ans = backend.complete(prompt, {"is_match": "bool"}, (in_l, in_r))
                 res.append({**{n: r[n] for n in names if n != "_is_match"}, "_is_match": bool(ans.get("is_match"))})
             yield pd.DataFrame(res, columns=names)

@@ -124,6 +124,7 @@ def adjudicate_pairs(
     *,
     compare_cols: list[str] | None = None,
     auto_match_keys: list[str] | None = None,
+    cascade: dict | None = None,
 ) -> DataFrame:
     """LLM pairwise is_match over candidate pairs (resolve.py:194-242).
     The backend sees ``{{ input1 }}`` / ``{{ input2 }}`` and a 2-tuple
@@ -133,7 +134,12 @@ def adjudicate_pairs(
     case-insensitively equal are matched WITHOUT a backend call
     (resolve.py:216-223) — a JVM-side predicate, so dense same-key blocks
     never reach the Python UDF (at 1000 same-key rows that is the
-    difference between 0 and 500k model calls)."""
+    difference between 0 and 500k model calls).
+
+    ``cascade={"proxy_threshold": p}``: a cheap logprob classification
+    labels each pair first; only pairs whose proxy confidence falls below
+    ``p`` escalate to the full completion (the reference runs the same
+    proxy/oracle cascade on resolve comparisons, cascade_runner.py)."""
     cols = compare_cols or [c for c in df.columns if c != id_col]
     side = df.select(F.col(id_col), *cols)
     a = side.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"_a_{c}") for c in cols])
@@ -154,6 +160,8 @@ def adjudicate_pairs(
         [joined.schema[c] for c in ("id_a", "id_b")] + [T.StructField("is_match", T.BooleanType(), True)]
     )
 
+    threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
+
     def run(batches):
         for pdf in batches:
             rows = pdf.to_dict("records")
@@ -162,6 +170,11 @@ def adjudicate_pairs(
                 in1 = {c: r[f"_a_{c}"] for c in cols}
                 in2 = {c: r[f"_b_{c}"] for c in cols}
                 prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
+                if threshold is not None:
+                    label, prob = backend.classify_logprob(prompt, ["true", "false"], (in1, in2))
+                    if prob >= threshold:
+                        res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": label == "true"})
+                        continue
                 ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
                 res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": bool(ans.get("is_match"))})
             yield pd.DataFrame(res, columns=["id_a", "id_b", "is_match"])
@@ -184,6 +197,7 @@ def resolve(
     blocking_conditions: list[str] | None = None,
     embedding_keys: list[str] | None = None,
     blocking_target_recall: float = 0.95,
+    cascade: dict | None = None,
 ) -> DataFrame:
     """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
     annotate. Row count is preserved; declared output_schema columns are
@@ -238,6 +252,7 @@ def resolve(
         matches = adjudicate_pairs(
             pairs, df, id_col, comparison_prompt, backend,
             compare_cols=compare_cols, auto_match_keys=blocking_keys,
+            cascade=cascade,
         )
     if matches is None and blocking_keys:
         # star edges only: blocks are disjoint, so each component IS its

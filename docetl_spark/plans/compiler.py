@@ -41,15 +41,26 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if n_sample:
         sf = sf.limit(int(n_sample))
     if t == "map":
-        return sf.map(c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
+        return sf.map(
+            c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"),
+            gleaning=c.get("gleaning"), validate=c.get("validate"),
+            num_retries_on_validate_failure=c.get("num_retries_on_validate_failure", 0),
+            batch_prompt=c.get("batch_prompt"),
+            max_batch_size=c.get("max_batch_size", 16),
+            calibrate=c.get("calibrate", False),
+        )
     if t == "parallel_map":
         return sf.parallel_map(c["prompts"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
     if t == "filter":
-        return sf.filter(c["prompt"], c["output"]["schema"])
+        return sf.filter(c["prompt"], c["output"]["schema"], cascade=c.get("cascade"))
     if t == "reduce":
         return sf.reduce(c["reduce_key"], c["prompt"], c["output"]["schema"],
                          name=spec.config.get("name", "reduce"),
-                         sort_within_group=c.get("sort_within_group"))
+                         sort_within_group=c.get("sort_within_group"),
+                         value_sampling=c.get("value_sampling"),
+                         fold_prompt=c.get("fold_prompt"),
+                         fold_batch_size=c.get("fold_batch_size"),
+                         merge_prompt=c.get("merge_prompt"))
     if t == "code_map":
         fn = _exec_code(c["code"], "transform")
         return sf.code_map(lambda row: fn(row), c["output"]["schema"], drop_keys=c.get("drop_keys"))
@@ -129,12 +140,26 @@ def run_pipeline(
                       "parquet": SemanticFrame.read_parquet}[fmt]
             datasets[name] = reader(spark, path, backend=backend)
 
+    optimize_cfg = config.get("optimize")
     last: SemanticFrame | None = None
     rewrites_fired: list[str] = []
     for step in config["pipeline"]["steps"]:
         sf = datasets[step["input"]] if "input" in step else last
         step_configs = [ops_by_name[n] for n in step.get("operations", [])]
-        specs, fired = rewrite(lift(step_configs))
+        specs = lift(step_configs)
+        if optimize_cfg:
+            # offline directive search (reference `optimize: true` build
+            # path, SURVEY §4.3): NOT equivalence-preserving — trades
+            # accuracy/cost per the configured objective
+            from .directives import PlanStats, optimize_ops
+
+            opts = optimize_cfg if isinstance(optimize_cfg, dict) else {}
+            stats = PlanStats(**opts.get("stats", {}))
+            result = optimize_ops(specs, stats, backend=backend if opts.get("agentic") else None)
+            best = result.best(opts.get("objective", "cost"))
+            specs = best.ops
+            rewrites_fired += [f"directive:{name}" for name, _ in best.applied]
+        specs, fired = rewrite(specs)
         rewrites_fired += fired
         for spec in lower(specs):
             spec = OpSpec(spec["type"], {k: v for k, v in spec.items() if k != "type"})

@@ -230,3 +230,34 @@ def test_web_ops_default_raises(spark):
     df = spark.createDataFrame([{"q": "x"}])
     with pytest.raises(Exception):
         web_ops.web_search(df, query_col="q").collect()
+
+
+def test_resolve_adjudication_cascade(spark):
+    """cascade on pairwise adjudication: confident proxy labels
+    short-circuit; uncertain pairs escalate to complete()."""
+    from docetl_spark.operators import resolve as resolve_op
+
+    class CascadeBE(FakeBackend):
+        def classify_logprob(self, prompt, labels, context):
+            a, b = context
+            if a["name"][0] == b["name"][0]:  # same initial: confident match
+                return "true", 0.99
+            return "false", 0.5  # uncertain -> escalate
+
+        def complete(self, prompt, output_schema, context):
+            a, b = context
+            return {"is_match": a["name"].lower() == b["name"].lower()}
+
+    rows = [{"pid": i, "name": n} for i, n in enumerate(["alice", "ALICE", "bob", "ben"], 1)]
+    df = spark.createDataFrame(rows)
+    pairs = resolve_op.candidate_pairs(df, "pid")  # all 6 pairs
+    matched = resolve_op.adjudicate_pairs(
+        pairs, df, "pid", "same? {{ input1.name }} vs {{ input2.name }}",
+        CascadeBE(), cascade={"proxy_threshold": 0.9},
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in matched}
+    # proxy confidently matched (alice, ALICE) and (bob, ben) — same initial;
+    # the other 4 uncertain pairs escalated and complete() rejected them
+    # proxy short-circuit: (bob, ben) share an initial but are different
+    # names — only the cascade's confident-proxy path can match them
+    assert got == {(1, 2), (3, 4)}
