@@ -201,53 +201,78 @@ def bm25_scores(
     average idf needs full-vocab doc frequencies — one extra
     aggregation, reused for all query terms.
     """
+    import math
+
     text = F.concat_ws(" ", *[F.col(k).cast("string") for k in keys])
-    docs = df.select(*id_cols, tokenize_fts(text).alias("_tokens")).withColumn(
-        "_dl", F.size("_tokens")
-    )
+    docs = df.withColumn("_tokens", tokenize_fts(text)).withColumn("_dl", F.size("_tokens"))
     docs.cache()
-    agg = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = agg["n"], float(agg["avgdl"] or 0.0)
 
     q_tokens = tokenize_fts_py(query)
-    if not q_tokens or n_docs == 0:
-        return df.withColumn(score_col, F.lit(0.0))
     q_mult: dict[str, int] = {}
     for t in q_tokens:
         q_mult[t] = q_mult.get(t, 0) + 1
+    uniq = list(q_mult)
 
-    doc_terms = docs.select(*id_cols, "_dl", F.explode("_tokens").alias("_term"))
-    # full-vocab doc frequencies -> corpus average idf (rank_bm25 epsilon floor)
-    vocab_df = doc_terms.dropDuplicates([*id_cols, "_term"]).groupBy("_term").agg(
-        F.count(F.lit(1)).alias("_df")
+    # job 1: corpus size, average doc length AND per-query-term document
+    # frequencies in ONE scalar aggregation — array_contains per term, no
+    # explode (long docs × small vocab would explode to dl×n rows).
+    aggs = [F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")] + [
+        F.sum(F.array_contains("_tokens", t).cast("long")).alias(f"_df_{i}")
+        for i, t in enumerate(uniq)
+    ]
+    stats = docs.agg(*aggs).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if not q_tokens or n_docs == 0:
+        docs.unpersist()
+        return df.withColumn(score_col, F.lit(0.0))
+
+    # job 2: full-vocab doc frequencies -> corpus average idf (rank_bm25
+    # epsilon floor). array_distinct first: the explode is vocab-sized per
+    # doc, not token-count-sized.
+    idf_expr = F.log(F.lit(float(n_docs)) - F.col("_df") + 0.5) - F.log(F.col("_df") + 0.5)
+    idf_stats = (
+        docs.select(F.explode(F.array_distinct("_tokens")).alias("_term"))
+        .groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+        .select(idf_expr.alias("_idf"))
+        .agg(F.sum("_idf").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()[0]
     )
-    vocab_rows = vocab_df.withColumn(
-        "_idf", F.log(F.lit(float(n_docs)) - F.col("_df") + 0.5) - F.log(F.col("_df") + 0.5)
-    ).cache()  # vocab-sized (tiny); read twice (idf stats + query-term lookup)
-    idf_stats = vocab_rows.agg(F.sum("_idf").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
     avg_idf = float(idf_stats["s"]) / float(idf_stats["c"]) if idf_stats["c"] else 0.0
     eps_floor = BM25_EPSILON * avg_idf
 
-    q_df = vocab_rows.filter(F.col("_term").isin(list(q_mult))).collect()
-    idf_map = {r["_term"]: (r["_idf"] if r["_idf"] >= 0 else eps_floor) for r in q_df}
-
-    spark = df.sparkSession
-    term_rows = [(t, float(idf_map.get(t, 0.0)) * q_mult[t]) for t in q_mult if t in idf_map]
-    if not term_rows:
+    idf_map: dict[str, float] = {}
+    for i, t in enumerate(uniq):
+        dfc = int(stats[f"_df_{i}"] or 0)
+        if dfc == 0:
+            continue
+        v = math.log(n_docs - dfc + 0.5) - math.log(dfc + 0.5)
+        idf_map[t] = v if v >= 0 else eps_floor
+    if not idf_map:
+        docs.unpersist()
         return df.withColumn(score_col, F.lit(0.0))
-    qterms = spark.createDataFrame(term_rows, schema="_term string, _widf double")
 
-    tf = doc_terms.join(F.broadcast(qterms), "_term").groupBy(*id_cols, "_term", "_widf", "_dl").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
-    contrib = tf.withColumn(
-        "_c",
-        F.col("_widf")
-        * (F.col("_tf") * (BM25_K1 + 1))
-        / (F.col("_tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("_dl") / F.lit(avgdl))),
-    )
-    scores = contrib.groupBy(*id_cols).agg(F.sum("_c").alias(score_col))
-    return df.join(scores, on=id_cols, how="left").na.fill({score_col: 0.0})
+    # job 3 (lazy): per-row contributions as pure expressions — tf is a
+    # counting filter over the token array, so scoring needs NO shuffle.
+    def _match(term):
+        # single-arg lambda: a 2-arg lambda would receive the element
+        # INDEX as its second argument (PySpark HOF calling convention)
+        return lambda x: x == F.lit(term)
+
+    contribs = []
+    for t in uniq:
+        if t not in idf_map:
+            continue
+        widf = idf_map[t] * q_mult[t]
+        tf = F.size(F.filter("_tokens", _match(t))).cast("double")
+        contribs.append(
+            F.lit(widf)
+            * (tf * (BM25_K1 + 1))
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("_dl") / F.lit(avgdl)))
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return docs.withColumn(score_col, total).drop("_tokens", "_dl")
 
 
 def sample_top_fts(
