@@ -366,6 +366,17 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, 10, round_score=4)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed similarity search (similarity.py ivf_index/ivf_topk):
+    k-means lists + probe pruning. Probing ALL lists makes the result
+    exact, so the brute-force SQL oracle applies — the approximate
+    (n_probe < n_lists) path is covered by test_similarity_blocking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    indexed, cents = similarity.ivf_index(emb, n_lists=8)
+    return similarity.ivf_topk(indexed, cents, qv, 10, n_probe=8, round_score=4)
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sessionization: 30-min-gap sessions per user (pure window exprs)."""
     ev = _t(spark, sf_dir, "events")
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_custom_keys": sample_custom_keys,
         "sem_map_batch": sem_map_batch,
         "cluster_docs": cluster_docs,
+        "ann_ivf": ann_ivf,
         "events_stream_rollup": events_stream_rollup,
         "events_stream_sessions": events_stream_sessions,
         "multimodal_image_meta": multimodal_image_meta,
@@ -1067,6 +1079,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored QUALIFY rank <= 10""",
+        "ann_ivf": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM embeddings e, q
+            )
+            SELECT vec_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, epoch_ns(ts) AS ns, epoch_ns(ts) // 1000000000 AS e,

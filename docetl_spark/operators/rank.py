@@ -75,6 +75,75 @@ def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
     ).drop("_pid")
 
 
+def _calibrated_embedding_rank(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    prompt: str,
+    embedding_keys: list[str],
+    tiebreak: list[str] | None,
+    rank_col: str,
+    sample_size: int = 20,
+) -> DataFrame:
+    """calibrated_embedding ordering (rank.py:1013-1109): all-pairs
+    LLM-vote (comparison-QURK) over a small sample -> sorted anchors;
+    every row is assigned its most-similar anchor (broadcast anchor
+    matrix + numpy per Arrow batch — never a crossJoin) and ordered by
+    (anchor index asc, similarity desc)."""
+    import numpy as np
+
+    sample = [r.asDict(recursive=True) for r in df.limit(sample_size).collect()]
+    if len(sample) <= 1:
+        order = [F.col(c).asc() for c in (tiebreak or df.columns)]
+        return _global_row_number(df, order, rank_col)
+
+    # comparison-QURK: all-pairs votes, order anchors by wins (rank.py:195-307)
+    wins = [0] * len(sample)
+    for i in range(len(sample)):
+        for j in range(i + 1, len(sample)):
+            rendered = render_prompt(prompt, {"input1": sample[i], "input2": sample[j]})
+            ans = backend.complete(rendered, {"prefer_second": "bool"}, (sample[i], sample[j]))
+            if ans.get("prefer_second"):
+                wins[j] += 1
+            else:
+                wins[i] += 1
+    anchor_order = sorted(range(len(sample)), key=lambda k: (-wins[k], k))
+
+    def _content(row: dict) -> str:
+        return " ".join(str(row.get(k, "")) for k in embedding_keys)
+
+    anchors = np.array(backend.embed([_content(sample[k]) for k in anchor_order]), dtype=float)
+    anchors /= np.maximum(np.linalg.norm(anchors, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(anchors)
+
+    emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+    out_schema = T.StructType(list(emb.schema.fields) + [
+        T.StructField("_anchor_idx", T.LongType(), True),
+        T.StructField("_anchor_sim", T.DoubleType(), True),
+    ])
+    names = out_schema.fieldNames()
+
+    def assign(batches):
+        A = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.reindex(columns=names)
+                continue
+            M = np.array(pdf["_emb"].tolist(), dtype=float)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = M @ A.T
+            pdf = pdf.copy()
+            pdf["_anchor_idx"] = sims.argmax(axis=1).astype("int64")
+            pdf["_anchor_sim"] = sims.max(axis=1)
+            yield pdf[names]
+
+    assigned = emb.mapInPandas(assign, schema=out_schema)
+    order = [F.col("_anchor_idx").asc(), F.col("_anchor_sim").desc()]
+    order += [F.col(c).asc() for c in (tiebreak or [])]
+    ranked = _global_row_number(assigned, order, rank_col)
+    return ranked.drop("_emb", "_anchor_idx", "_anchor_sim")
+
+
 def rank(
     df: DataFrame,
     backend: ModelBackend,
@@ -88,11 +157,15 @@ def rank(
     rank_col: str = "_rank",
     refine_head_size: int = 0,
     rerank_call_budget: int = 0,
+    calibration_sample: int = 20,
 ) -> DataFrame:
     """Order the whole dataset; annotate 1-based ``rank_col``.
 
     method='embedding': score = cosine(item embedding, criteria_query
     embedding). method='likert': per-item LLM rating via ``prompt``.
+    method='calibrated_embedding': pairwise-LLM-sort a small sample into
+    anchors, then order every row by (nearest anchor, similarity)
+    (rank.py:1013-1109).
     """
     if method == "embedding":
         if not criteria_query or not embedding_keys:
@@ -105,6 +178,13 @@ def rank(
         if not prompt:
             raise ValueError("likert rank needs a prompt")
         scored = _likert_scores(df, prompt, backend)
+    elif method == "calibrated_embedding":
+        if not prompt or not embedding_keys:
+            raise ValueError("calibrated_embedding rank needs prompt + embedding_keys")
+        return _calibrated_embedding_rank(
+            df, backend, prompt=prompt, embedding_keys=embedding_keys,
+            tiebreak=tiebreak, rank_col=rank_col, sample_size=calibration_sample,
+        )
     else:
         raise ValueError(f"unknown rank method {method!r}")
 

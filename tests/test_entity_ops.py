@@ -261,3 +261,29 @@ def test_resolve_adjudication_cascade(spark):
     # proxy short-circuit: (bob, ben) share an initial but are different
     # names — only the cascade's confident-proxy path can match them
     assert got == {(1, 2), (3, 4)}
+
+
+def test_rank_calibrated_embedding(spark):
+    """calibrated_embedding: QURK-sorted sample anchors, rows ordered by
+    (nearest anchor, similarity). With every row in the sample, ordering
+    follows the pairwise comparator exactly."""
+    from docetl_spark.operators import rank as rank_op
+
+    rows = [{"rid": i, "text": t} for i, t in
+            enumerate(["delta doc", "alpha doc", "charlie doc", "bravo doc"])]
+    df = spark.createDataFrame(rows)
+
+    class CmpBE(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            a, b = context
+            return {"prefer_second": b["text"] < a["text"]}  # alphabetical
+
+    out = rank_op.rank(
+        df, CmpBE(), method="calibrated_embedding",
+        prompt="better? {{ input1.text }} vs {{ input2.text }}",
+        embedding_keys=["text"], tiebreak=["rid"],
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["_rank"])
+    # every row is its own anchor (sample covers the data): alphabetical
+    assert [r["text"] for r in by_rank] == ["alpha doc", "bravo doc", "charlie doc", "delta doc"]
+    assert [r["_rank"] for r in by_rank] == [1, 2, 3, 4]
