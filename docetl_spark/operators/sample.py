@@ -33,10 +33,12 @@ FTS_TOKEN_RE = r"[^a-z0-9\s]"
 
 
 def tokenize_fts(col) -> F.Column:
-    """lower -> strip punctuation -> collapse whitespace -> split
-    (mirrors preprocess_text, sample.py:625-633)."""
-    cleaned = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), FTS_TOKEN_RE, " "), r"\s+", " "))
-    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(F.split(cleaned, " "))
+    """lower -> split on non-alphanumeric runs -> drop empty edge tokens
+    (equivalent to the reference's strip-punctuation + collapse-ws +
+    split, preprocess_text sample.py:625-633, in ONE regex pass — the
+    two-regexp_replace formulation rewrote the full text twice)."""
+    parts = F.split(F.lower(col), r"[^a-z0-9]+")
+    return F.filter(parts, lambda x: x != F.lit(""))
 
 
 def tokenize_fts_py(text: str) -> list[str]:
