@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): cross-implementation equivalence
+and operator invariants that the example-based suites cannot sweep.
+
+The reference has no property testing (SURVEY §5); our DuckDB-oracle
+gate makes divergence between the Python helpers and their Spark/SQL
+twins a correctness bug, so these properties guard exactly those seams.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from docetl_spark.functions.text import shingles_py
+from docetl_spark.operators.sample import tokenize_fts_py
+from docetl_spark.operators.shape import tokenize_approx
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs", "Po")),
+    max_size=200,
+)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_fts_tokens_are_clean(s):
+    toks = tokenize_fts_py(s)
+    assert all(t and t == t.lower() for t in toks)
+    assert all(all(c.isalnum() for c in t) for t in toks)
+    # idempotent under re-tokenization of the joined result
+    assert tokenize_fts_py(" ".join(toks)) == toks
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_bpe_tokenize_reconstructs(s):
+    # the BPE-approx pre-tokenizer must partition the string: pieces
+    # concatenate back to the original (split boundaries lose nothing)
+    toks = tokenize_approx(s)
+    assert "".join(toks) == s
+
+
+@given(TEXT, st.integers(min_value=1, max_value=5))
+@settings(max_examples=150, deadline=None)
+def test_shingle_contract(s, n):
+    sh = shingles_py(s, n)
+    assert len(sh) == len(set(sh))  # distinct
+    toks = [t for t in sh[0].split(" ")] if sh else []
+    if sh and len(sh) > 1:
+        # full n-gram mode: every shingle has exactly n tokens
+        assert all(len(x.split(" ")) == n for x in sh)
+    elif sh:
+        assert 1 <= len(toks) <= max(n - 1, 1) or len(sh) == 1
+
+
+def _group_chunks(tokens, group, delim):
+    return [delim.join(tokens[i : i + group]).strip() for i in range(0, len(tokens), group)]
+
+
+@given(
+    st.text(alphabet=st.sampled_from("abc xyz"), max_size=120),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_split_grouping_reconstructs(text, group):
+    """delimiter split semantics (shape.split): non-empty parts grouped in
+    runs of `group`, rejoined with the delimiter — concatenating all
+    chunks with the delimiter reproduces the cleaned doc."""
+    parts = [p for p in text.split(" ") if p.strip()]
+    chunks = _group_chunks(parts, group, " ")
+    assert " ".join(c for c in chunks if c) == " ".join(parts)
+    if parts:
+        assert len(chunks) == -(-len(parts) // group)
+
+
+@given(st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds_and_identity(shingle_set):
+    def jac(a, b):
+        return len(a & b) / len(a | b) if a | b else 1.0
+
+    assert jac(shingle_set, shingle_set) == 1.0
+    other = {s + "x" for s in shingle_set}
+    assert 0.0 <= jac(shingle_set, other) < 1.0
