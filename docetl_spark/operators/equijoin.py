@@ -17,6 +17,8 @@ row_number windows.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
@@ -51,6 +53,7 @@ def equijoin(
     limit_order_left: list[str] | None = None,
     limit_order_right: list[str] | None = None,
     cascade: dict | None = None,
+    log_blocking_stats: bool = False,
 ) -> DataFrame:
     """Fuzzy join. ``left_keys``/``right_keys`` identify rows for limit
     windows and deterministic ordering. ``blocking_conditions`` are SQL
@@ -106,6 +109,15 @@ def equijoin(
     for p in pair_parts[1:]:
         pairs = pairs.unionByName(p)
     pairs = pairs.dropDuplicates()
+    if log_blocking_stats:
+        # comparisons-saved metric (equijoin.py:572-579): opt-in extra job
+        n_l, n_r, n_pairs = left.count(), right.count(), pairs.count()
+        total = n_l * n_r
+        saved = 100.0 * (1 - n_pairs / total) if total else 0.0
+        logging.getLogger(__name__).info(
+            "equijoin blocking: %d/%d candidate pairs (%.1f%% of comparisons saved)",
+            n_pairs, total, saved,
+        )
 
     # adjudicate: join compare columns in, call backend per pair
     lcols = [c for c in left.columns]

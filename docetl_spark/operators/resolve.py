@@ -24,6 +24,8 @@ Spark realization (scale posture, SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
@@ -198,6 +200,7 @@ def resolve(
     embedding_keys: list[str] | None = None,
     blocking_target_recall: float = 0.95,
     cascade: dict | None = None,
+    log_blocking_stats: bool = False,
 ) -> DataFrame:
     """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
     annotate. Row count is preserved; declared output_schema columns are
@@ -247,6 +250,17 @@ def resolve(
         embedding_col=embedding_col,
     ) if (blocking_threshold is not None or blocking_conditions or not blocking_keys) else None
 
+    if pairs is not None and log_blocking_stats:
+        # comparisons-saved metric (resolve.py:619-624): opt-in — the
+        # count is an extra job
+        n = df.count()
+        n_pairs = pairs.count()
+        total = n * (n - 1) // 2
+        saved = 100.0 * (1 - n_pairs / total) if total else 0.0
+        logging.getLogger(__name__).info(
+            "resolve blocking: %d/%d candidate pairs (%.1f%% of comparisons saved)",
+            n_pairs, total, saved,
+        )
     matches = None
     if pairs is not None:
         matches = adjudicate_pairs(

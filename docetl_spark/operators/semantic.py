@@ -252,13 +252,19 @@ def semantic_filter(
     backend: ModelBackend,
     *,
     cascade: dict | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """LLM boolean predicate. With ``cascade={"proxy_threshold": p}``, a
     cheap logprob classification labels each row first and only rows whose
     proxy confidence falls below ``p`` escalate to the full completion
     (the reference's proxy/oracle cascade, filter.py:161-224 +
     api.py:1004-1109 — our statistical guarantee is the fixed threshold;
-    BARGAIN-style calibration can be layered on by sampling labels)."""
+    BARGAIN-style calibration can be layered on by sampling labels).
+
+    ``limit`` terminates on OUTPUTS: the first N surviving rows
+    (filter.py:124-133, ``_limit_applies_to_inputs`` False — contrast
+    with map, whose limit truncates inputs). Spark plans it as a
+    LocalLimit above the UDF, so tasks stop early once satisfied."""
     keys = [k for k in output_schema]
     if len(keys) != 1 or str(output_schema[keys[0]]).lower() not in ("bool", "boolean"):
         raise ValueError("filter output schema must be exactly one boolean key (filter.py:53-71)")
@@ -280,7 +286,8 @@ def semantic_filter(
                 keep.append(bool(res.get(decision_key)))
             yield pdf[pd.Series(keep, index=pdf.index)] if len(pdf) else pdf
 
-    return df.mapInPandas(run, schema=df.schema).select(*names)
+    out = df.mapInPandas(run, schema=df.schema).select(*names)
+    return out.limit(limit) if limit is not None else out
 
 
 def semantic_reduce(
@@ -300,8 +307,14 @@ def semantic_reduce(
     num_parallel_folds: int = 4,
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """Group aggregate through the backend.
+
+    ``limit`` keeps only the N SMALLEST groups (reduce.py:301-305 —
+    cheapest groups first; ties broken by key for determinism). Group
+    sizes are counted first and the surviving keys broadcast-semi-joined,
+    so dropped groups never reach the model.
 
     Strategies (reduce.py:519-752, 987-1053): default = one-shot batch
     call over the whole item list. ``fold_prompt`` + ``fold_batch_size``
@@ -323,6 +336,10 @@ def semantic_reduce(
     """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
     global_agg = keys == [_ALL]
+    if limit is not None and not global_agg:
+        sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
+        keep = sizes.orderBy(F.col("_gsz").asc(), *[F.col(k).asc() for k in keys]).limit(limit)
+        df = df.join(F.broadcast(keep.drop("_gsz")), keys, "left_semi")
     count_col = f"_counts_prereduce_{name}"
     lineage_col = f"{name}_lineage"
 

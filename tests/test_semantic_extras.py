@@ -176,3 +176,50 @@ def test_map_drop_keys_only_fast_path(docs):
     out = SemanticFrame.from_df(docs, backend=FakeBackend()).map("x", {}, drop_keys=["to_be_dropped"])
     assert "to_be_dropped" not in out.df.columns
     assert out.count() == 5
+
+
+def test_filter_limit_on_outputs(spark, backend):
+    rows = [{"id": i, "text": f"keep 'x' x doc{i}"} for i in range(10)]
+    df = spark.createDataFrame(rows)
+    from docetl_spark.operators.semantic import semantic_filter
+
+    out = semantic_filter(
+        df, "contains 'x'? {{ input.text }}", {"keep": "bool"}, backend, limit=3
+    ).collect()
+    assert len(out) == 3  # early termination on surviving rows
+
+
+def test_reduce_limit_keeps_smallest_groups(spark, backend):
+    # group sizes: a=1, b=2, c=3 -> limit=2 keeps a and b only
+    rows = [{"g": "a", "v": 1}] + [{"g": "b", "v": i} for i in range(2)] + [
+        {"g": "c", "v": i} for i in range(3)]
+    df = spark.createDataFrame(rows)
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    out = semantic_reduce(
+        df, "g", "count {{ inputs | length }}", {"n": "int"}, backend,
+        sort_within_group=["v"], limit=2,
+    ).collect()
+    assert sorted(r["g"] for r in out) == ["a", "b"]
+    by_g = {r["g"]: r["_counts_prereduce_reduce"] for r in out}
+    assert by_g == {"a": 1, "b": 2}
+
+
+def test_blocking_stats_logged(spark, backend, caplog):
+    import logging
+
+    rows = [{"pid": i, "name": n, "grp": n[0]} for i, n in
+            enumerate(["ann", "abe", "bob", "bea"], 1)]
+    df = spark.createDataFrame(rows)
+    from docetl_spark.operators import resolve as resolve_op
+
+    with caplog.at_level(logging.INFO, logger="docetl_spark.operators.resolve"):
+        resolve_op.resolve(
+            df, backend, id_col="pid",
+            comparison_prompt="same? {{ input1.name }} {{ input2.name }}",
+            output_schema={"name": "str"},
+            blocking_conditions=["a.grp = b.grp"],
+            log_blocking_stats=True,
+        ).collect()
+    msgs = [r.message for r in caplog.records if "blocking" in r.message]
+    assert msgs and "comparisons saved" in msgs[0]
