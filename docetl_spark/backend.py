@@ -32,7 +32,14 @@ class ModelBackend:
     (dict of key -> type spec string) and the originating row(s) as
     ``context`` (a dict for row-level ops, a list of dicts for group-level
     ops). Implementations return a dict conforming to the schema.
+
+    ``max_concurrency`` declares how many in-flight calls one executor
+    task may issue (the reference's 4×cpu thread pool per op,
+    runner.py:156). Latency-bound backends (HTTP) should raise it; pure
+    computations leave it at 1 and operators stay loop-serial.
     """
+
+    max_concurrency: int = 1
 
     def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
         raise NotImplementedError
@@ -166,6 +173,8 @@ class LiteLLMBackend(ModelBackend):
     api.py:588-734: structured output via JSON-schema response_format,
     retries left to litellm Router config.
     """
+
+    max_concurrency = 8  # HTTP-bound: overlap calls within a task
 
     def __init__(self, model: str = "gpt-4o-mini", **kwargs):
         self.model = model

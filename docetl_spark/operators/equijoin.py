@@ -26,7 +26,7 @@ from ..backend import ModelBackend
 from ..functions.similarity import lsh_bucket, random_hyperplanes
 from ..operators.sample import cosine_sim
 from .resolve import embed_column
-from .semantic import render_prompt
+from .semantic import render_prompt, run_concurrently
 
 
 def _suffix_collisions(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -140,18 +140,19 @@ def equijoin(
 
     def run(batches):
         for pdf in batches:
-            res = []
-            for r in pdf.to_dict("records"):
+            def one(r):
                 in_l = {c: r[f"_l_{c}"] for c in lcols}
                 in_r = {c: r[f"_r_{c}"] for c in rcols}
                 prompt = render_prompt(comparison_prompt, {"left": in_l, "right": in_r})
+                keys_out = {n: r[n] for n in names if n != "_is_match"}
                 if threshold is not None:
                     label, prob = backend.classify_logprob(prompt, ["true", "false"], (in_l, in_r))
                     if prob >= threshold:
-                        res.append({**{n: r[n] for n in names if n != "_is_match"}, "_is_match": label == "true"})
-                        continue
+                        return {**keys_out, "_is_match": label == "true"}
                 ans = backend.complete(prompt, {"is_match": "bool"}, (in_l, in_r))
-                res.append({**{n: r[n] for n in names if n != "_is_match"}, "_is_match": bool(ans.get("is_match"))})
+                return {**keys_out, "_is_match": bool(ans.get("is_match"))}
+
+            res = run_concurrently(backend, one, pdf.to_dict("records"))
             yield pd.DataFrame(res, columns=names)
 
     matched = joined.mapInPandas(run, schema=out_schema).filter(F.col("_is_match")).drop("_is_match")

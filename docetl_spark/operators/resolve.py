@@ -34,7 +34,7 @@ from ..functions.dedup import connected_components
 from ..functions.similarity import lsh_bucket, random_hyperplanes
 from ..operators.sample import cosine_sim
 from ..types import schema_of
-from .semantic import render_prompt
+from .semantic import render_prompt, run_concurrently
 
 
 def embed_column(
@@ -166,19 +166,18 @@ def adjudicate_pairs(
 
     def run(batches):
         for pdf in batches:
-            rows = pdf.to_dict("records")
-            res = []
-            for r in rows:
+            def one(r):
                 in1 = {c: r[f"_a_{c}"] for c in cols}
                 in2 = {c: r[f"_b_{c}"] for c in cols}
                 prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
                 if threshold is not None:
                     label, prob = backend.classify_logprob(prompt, ["true", "false"], (in1, in2))
                     if prob >= threshold:
-                        res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": label == "true"})
-                        continue
+                        return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": label == "true"}
                 ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
-                res.append({"id_a": r["id_a"], "id_b": r["id_b"], "is_match": bool(ans.get("is_match"))})
+                return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": bool(ans.get("is_match"))}
+
+            res = run_concurrently(backend, one, pdf.to_dict("records"))
             yield pd.DataFrame(res, columns=["id_a", "id_b", "is_match"])
 
     adjudicated = joined.mapInPandas(run, schema=out_schema).filter(F.col("is_match")).select("id_a", "id_b")

@@ -55,6 +55,21 @@ def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.Stru
     return T.StructType(fields + [f for f in declared.fields if f.name not in drop])
 
 
+def run_concurrently(backend: ModelBackend, fn, items: list) -> list:
+    """Apply ``fn`` to every item, overlapping up to
+    ``backend.max_concurrency`` calls with a thread pool (the reference's
+    4×cpu per-op ThreadPoolExecutor, runner.py:156). Results keep input
+    order. Serial when concurrency is 1 — pure backends (FakeBackend)
+    pay no thread overhead and determinism concerns vanish."""
+    conc = int(getattr(backend, "max_concurrency", 1) or 1)
+    if conc <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=min(conc, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
 def _safe_eval(expr: str, output: dict) -> bool:
     """validate-expression evaluator (validation.py:125-134 uses asteval;
     we restrict eval to an empty-builtins namespace with ``output``)."""
@@ -200,7 +215,7 @@ def semantic_map(
                             merged[obs_col] = rendered
                         out.append({k: merged.get(k) for k in out_names})
             else:
-                for row in rows:
+                def one(row):
                     rendered = render_prompt(prompt, {"input": row})
                     res = _complete_with_quality_loop(
                         backend, rendered, output_schema, row,
@@ -210,7 +225,9 @@ def semantic_map(
                     merged = {**row, **res}
                     if obs_col:
                         merged[obs_col] = rendered
-                    out.append({k: merged.get(k) for k in out_names})
+                    return {k: merged.get(k) for k in out_names}
+
+                out.extend(run_concurrently(backend, one, rows))
             yield pd.DataFrame(out, columns=out_names)
 
     return df.mapInPandas(run, schema=out_schema)
@@ -274,16 +291,16 @@ def semantic_filter(
 
     def run(batches):
         for pdf in batches:
-            keep = []
-            for row in pdf.to_dict("records"):
+            def one(row):
                 rendered = render_prompt(prompt, {"input": row})
                 if threshold is not None:
                     label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
                     if prob >= threshold:
-                        keep.append(label == "true")
-                        continue
+                        return label == "true"
                 res = backend.complete(rendered, output_schema, row)
-                keep.append(bool(res.get(decision_key)))
+                return bool(res.get(decision_key))
+
+            keep = run_concurrently(backend, one, pdf.to_dict("records"))
             yield pdf[pd.Series(keep, index=pdf.index)] if len(pdf) else pdf
 
     out = df.mapInPandas(run, schema=df.schema).select(*names)

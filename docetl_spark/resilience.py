@@ -140,6 +140,8 @@ class ResilientBackend(ModelBackend):
         self.bypass_cache = bypass_cache
         self.retry_on = retry_on
         self.metrics = metrics
+        # inherit the wrapped backend's declared call concurrency
+        self.max_concurrency = getattr(inner, "max_concurrency", 1)
 
     # -- process-local state ------------------------------------------
     def _cache(self) -> OrderedDict:
