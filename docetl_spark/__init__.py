@@ -12,15 +12,18 @@ from .checkpoint import Checkpointer
 from .frame import SemanticFrame
 from .plans import run_pipeline, run_yaml
 from .resilience import BackendMetrics, ResilientBackend, clear_backend_state
+from .retrievers import BroadcastRetriever, RetrievalResult
 from .session import get_spark, load_tables
 
 __all__ = [
     "BackendMetrics",
+    "BroadcastRetriever",
     "Checkpointer",
     "FakeBackend",
     "LiteLLMBackend",
     "ModelBackend",
     "ResilientBackend",
+    "RetrievalResult",
     "SemanticFrame",
     "get_spark",
     "load_tables",

@@ -170,6 +170,8 @@ def semantic_map(
     max_batch_size: int = 16,
     calibrate: bool = False,
     num_calibration_docs: int = 10,
+    retriever=None,
+    save_retriever_output: bool = False,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
@@ -183,7 +185,13 @@ def semantic_map(
 
     ``calibrate`` (map.py:236-341) runs the prompt over
     ``num_calibration_docs`` sample rows first and appends
-    model-suggested reference anchors to the prompt for the full run."""
+    model-suggested reference anchors to the prompt for the full run.
+
+    ``retriever`` (a prepared retrievers.BroadcastRetriever; reference
+    map.py:519-523 + retrievers/) fetches per-row context before each
+    call — the prompt may reference ``{{ retrieved }}`` (doc list) and
+    ``{{ retrieved_context }}`` (rendered block). ``save_retriever_output``
+    adds a ``_retrieved_context`` column (map.py:520-523)."""
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:
@@ -192,13 +200,18 @@ def semantic_map(
         ctx = _calibration_context(df, prompt, output_schema, backend, num_calibration_docs)
         if ctx:
             prompt = prompt + "\n\nReference anchors for consistency:\n" + ctx
+    if retriever is not None:
+        retriever.ensure_index()  # driver-side; index ships in the closure
     drop = set(drop_keys or [])
     out_schema = _merged_schema(df, output_schema, drop)
     obs_col = f"_observability_{observability}" if observability else None
     if obs_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(obs_col, T.StringType(), True)])
+    ret_col = "_retrieved_context" if (retriever is not None and save_retriever_output) else None
+    if ret_col:
+        out_schema = T.StructType(list(out_schema.fields) + [T.StructField(ret_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
-    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types)
+    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types or retriever)
 
     def run(batches):
         for pdf in batches:
@@ -216,7 +229,12 @@ def semantic_map(
                         out.append({k: merged.get(k) for k in out_names})
             else:
                 def one(row):
-                    rendered = render_prompt(prompt, {"input": row})
+                    ctx = {"input": row}
+                    if retriever is not None:
+                        rr = retriever.retrieve(row)
+                        ctx["retrieved"] = rr.docs
+                        ctx["retrieved_context"] = rr.rendered_context
+                    rendered = render_prompt(prompt, ctx)
                     res = _complete_with_quality_loop(
                         backend, rendered, output_schema, row,
                         validate=validate, num_retries=num_retries_on_validate_failure,
@@ -225,6 +243,8 @@ def semantic_map(
                     merged = {**row, **res}
                     if obs_col:
                         merged[obs_col] = rendered
+                    if ret_col:
+                        merged[ret_col] = ctx.get("retrieved_context", "")
                     return {k: merged.get(k) for k in out_names}
 
                 out.extend(run_concurrently(backend, one, rows))

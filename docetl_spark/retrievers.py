@@ -1,0 +1,159 @@
+"""Retrievers: per-row RAG context for semantic maps.
+
+Reference semantics: /root/reference/docetl/retrievers/base.py (Retriever
+protocol: ensure_index + retrieve(context) -> RetrievalResult) and
+retrievers/lancedb.py (LanceDB vector / fts / hybrid search over an
+indexed dataset; map integration at operations/map.py:519-523 — the
+rendered context is exposed to the prompt and optionally saved as
+``_{name}_retrieved_context``).
+
+Spark realization: no external vector store — the corpus is a DataFrame.
+``BroadcastRetriever`` embeds/tokenizes the corpus ONCE on the driver
+(gated by ``max_broadcast_rows``, same posture as
+similarity.brute_force_pairs), broadcasts the matrix, and serves
+``retrieve(row)`` executor-side with numpy — zero network calls per row
+for fts, one (cacheable) embed call per row for vector mode. Corpora
+beyond the broadcast gate should be pre-reduced (IVF lists, BM25
+pre-filter) before retrieval — the gate raises rather than silently
+degrading.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from .backend import ModelBackend
+
+
+@dataclass
+class RetrievalResult:
+    """Mirror of retrievers/base.py RetrievalResult."""
+
+    docs: list[dict]
+    rendered_context: str
+    meta: dict = field(default_factory=dict)
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    t = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+    return t.split() if t else []
+
+
+class BroadcastRetriever:
+    """Top-k retrieval over a broadcast corpus.
+
+    ``mode``: "vector" (cosine over backend embeddings) or "fts"
+    (BM25 over whitespace/alnum tokens; idf precomputed at index time).
+    ``query_template`` is a Jinja template rendered with ``{"input": row}``
+    to produce the query phrase (defaults to concatenated ``query_keys``
+    values). Call :meth:`ensure_index` on the driver before shipping into
+    a UDF closure.
+    """
+
+    def __init__(
+        self,
+        corpus_df,
+        backend: ModelBackend | None,
+        *,
+        text_keys: list[str],
+        mode: str = "vector",
+        k: int = 5,
+        query_template: str | None = None,
+        query_keys: list[str] | None = None,
+        max_broadcast_rows: int = 200_000,
+    ):
+        if mode not in ("vector", "fts"):
+            raise ValueError(f"unknown retriever mode {mode!r}")
+        if mode == "vector" and backend is None:
+            raise ValueError("vector retriever needs a backend for embeddings")
+        self.corpus_df = corpus_df
+        self.backend = backend
+        self.text_keys = list(text_keys)
+        self.mode = mode
+        self.k = int(k)
+        self.query_template = query_template
+        self.query_keys = list(query_keys or text_keys)
+        self.max_broadcast_rows = int(max_broadcast_rows)
+        self._index: dict | None = None
+
+    # ------------------------------------------------------------ index
+    def _content(self, row: dict) -> str:
+        return " ".join(str(row.get(k, "")) for k in self.text_keys)
+
+    def ensure_index(self) -> None:
+        """Collect + index the corpus on the driver (base.py ensure_index).
+        The index rides the closure to executors as plain numpy/dicts —
+        small corpora only, by design (see module docstring)."""
+        if self._index is not None:
+            return
+        rows = [r.asDict(recursive=True) for r in self.corpus_df.collect()]
+        if len(rows) > self.max_broadcast_rows:
+            raise ValueError(
+                f"retriever corpus {len(rows)} rows > max_broadcast_rows="
+                f"{self.max_broadcast_rows}; pre-reduce (IVF/BM25 filter) first"
+            )
+        # release the DataFrame handle: the indexed retriever must pickle
+        # into UDF closures, and DataFrames don't
+        self.corpus_df = None
+        idx: dict[str, Any] = {"rows": rows}
+        if self.mode == "vector":
+            mat = np.array(self.backend.embed([self._content(r) for r in rows]), dtype=float)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            idx["matrix"] = mat
+        else:
+            doc_tokens = [_tokens(self._content(r)) for r in rows]
+            dfreq: dict[str, int] = {}
+            for toks in doc_tokens:
+                for t in set(toks):
+                    dfreq[t] = dfreq.get(t, 0) + 1
+            n = max(1, len(rows))
+            idx["doc_tokens"] = doc_tokens
+            idx["idf"] = {t: math.log(n - c + 0.5) - math.log(c + 0.5) for t, c in dfreq.items()}
+            idx["avgdl"] = sum(len(t) for t in doc_tokens) / n
+        self._index = idx
+
+    # ---------------------------------------------------------- retrieve
+    def _query_phrase(self, row: dict) -> str:
+        if self.query_template:
+            from .operators.semantic import render_prompt  # noqa: PLC0415
+
+            return render_prompt(self.query_template, {"input": row})
+        return " ".join(str(row.get(k, "")) for k in self.query_keys)
+
+    def retrieve(self, row: dict) -> RetrievalResult:
+        if self._index is None:
+            self.ensure_index()
+        idx = self._index
+        q = self._query_phrase(row)
+        if self.mode == "vector":
+            qv = np.asarray(self.backend.embed([q])[0], dtype=float)
+            qv /= max(float(np.linalg.norm(qv)), 1e-12)
+            sims = idx["matrix"] @ qv
+            order = np.argsort(-sims, kind="stable")[: self.k]
+            docs = [{**idx["rows"][i], "_score": float(sims[i])} for i in order]
+        else:
+            q_toks = _tokens(q)
+            k1, b = 1.5, 0.75
+            scores = []
+            for toks in idx["doc_tokens"]:
+                s = 0.0
+                dl = len(toks)
+                for t in set(q_toks):
+                    tf = toks.count(t)
+                    if not tf:
+                        continue
+                    w = idx["idf"].get(t, 0.0)
+                    s += w * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / max(idx["avgdl"], 1e-9)))
+                scores.append(s)
+            order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[: self.k]
+            docs = [{**idx["rows"][i], "_score": float(scores[i])} for i in order]
+        rendered = "\n\n".join(
+            f"[doc {j + 1}] " + self._content(d) for j, d in enumerate(docs)
+        )
+        return RetrievalResult(docs=docs, rendered_context=rendered, meta={"query": q})

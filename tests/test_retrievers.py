@@ -1,0 +1,80 @@
+"""BroadcastRetriever: RAG context for semantic maps (reference:
+retrievers/base.py protocol, retrievers/lancedb.py vector/fts search,
+map integration operations/map.py:519-523)."""
+
+import pytest
+
+from docetl_spark import BroadcastRetriever, FakeBackend
+from docetl_spark.operators.semantic import semantic_map
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        {"kb_id": 1, "fact": "spark shuffles on groupBy and join"},
+        {"kb_id": 2, "fact": "duckdb is an embedded analytics database"},
+        {"kb_id": 3, "fact": "parquet stores columns with statistics"},
+        {"kb_id": 4, "fact": "arrow moves batches between jvm and python"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_fts_retrieve_ranks_overlap(spark, corpus):
+    r = BroadcastRetriever(corpus, None, text_keys=["fact"], mode="fts", k=2)
+    r.ensure_index()
+    res = r.retrieve({"q": "why does spark shuffle on join"})
+    # default query keys = text_keys; pass explicit phrase via query_keys
+    r2 = BroadcastRetriever(corpus, None, text_keys=["fact"], mode="fts", k=2,
+                            query_keys=["q"])
+    r2.ensure_index()
+    res2 = r2.retrieve({"q": "why does spark shuffle on join"})
+    assert res2.docs[0]["kb_id"] == 1  # shuffle/join overlap wins
+    assert len(res2.docs) == 2
+    assert "[doc 1]" in res2.rendered_context
+    assert res is not None  # smoke for default query keys
+
+
+def test_vector_retrieve_self_similarity(spark, corpus):
+    be = FakeBackend()
+    r = BroadcastRetriever(corpus, be, text_keys=["fact"], mode="vector", k=1,
+                           query_keys=["fact"])
+    r.ensure_index()
+    # querying with an exact corpus text retrieves that doc (cosine = 1)
+    res = r.retrieve({"fact": "parquet stores columns with statistics"})
+    assert res.docs[0]["kb_id"] == 3
+    assert res.docs[0]["_score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_semantic_map_with_retriever(spark, corpus):
+    docs = spark.createDataFrame([
+        {"id": 1, "question": "spark shuffle join"},
+        {"id": 2, "question": "embedded analytics duckdb"},
+    ])
+    seen = {}
+
+    class Spy(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            return {"answer": prompt.split("CTX:")[1][:30]}
+
+    r = BroadcastRetriever(corpus, None, text_keys=["fact"], mode="fts", k=1,
+                           query_keys=["question"])
+    out = semantic_map(
+        docs,
+        "Answer {{ input.question }} CTX:{{ retrieved_context }}",
+        {"answer": "str"},
+        Spy(),
+        retriever=r,
+        save_retriever_output=True,
+    ).collect()
+    by_id = {row["id"]: row for row in out}
+    assert "shuffles" in by_id[1]["_retrieved_context"]
+    assert "duckdb" in by_id[2]["_retrieved_context"]
+    assert by_id[1]["answer"].startswith("[doc 1]")
+    assert seen == {}
+
+
+def test_broadcast_gate(spark, corpus):
+    r = BroadcastRetriever(corpus, None, text_keys=["fact"], mode="fts",
+                           max_broadcast_rows=2)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        r.ensure_index()
