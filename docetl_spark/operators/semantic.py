@@ -373,6 +373,13 @@ def semantic_reduce(
     """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
     global_agg = keys == [_ALL]
+    if not global_agg:
+        # list-valued keys group as sorted tuples (reduce.py:274-299):
+        # [b, a] and [a, b] are the same group — normalize in place so the
+        # emitted key column is the sorted form, like the reference
+        for k in keys:
+            if isinstance(df.schema[k].dataType, T.ArrayType):
+                df = df.withColumn(k, F.array_sort(F.col(k)))
     if limit is not None and not global_agg:
         sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
         keep = sizes.orderBy(F.col("_gsz").asc(), *[F.col(k).asc() for k in keys]).limit(limit)

@@ -223,3 +223,22 @@ def test_blocking_stats_logged(spark, backend, caplog):
         ).collect()
     msgs = [r.message for r in caplog.records if "blocking" in r.message]
     assert msgs and "comparisons saved" in msgs[0]
+
+
+def test_reduce_list_keys_normalize_to_sorted(spark, backend):
+    """list-valued reduce keys group as sorted tuples (reduce.py:274-299):
+    [b, a] and [a, b] are one group, emitted in sorted form."""
+    rows = [
+        {"tags": ["b", "a"], "v": 1},
+        {"tags": ["a", "b"], "v": 2},
+        {"tags": ["c"], "v": 3},
+    ]
+    df = spark.createDataFrame(rows)
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    out = semantic_reduce(
+        df, "tags", "n {{ inputs | length }}", {"n": "int"}, backend,
+        sort_within_group=["v"],
+    ).collect()
+    by_key = {tuple(r["tags"]): r["_counts_prereduce_reduce"] for r in out}
+    assert by_key == {("a", "b"): 2, ("c",): 1}
