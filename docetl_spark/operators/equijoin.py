@@ -108,7 +108,10 @@ def equijoin(
     pairs = pair_parts[0]
     for p in pair_parts[1:]:
         pairs = pairs.unionByName(p)
-    pairs = pairs.dropDuplicates()
+    if len(pair_parts) > 1:
+        # dedup only when strategies were unioned — a single blocking
+        # join cannot emit duplicate pairs, and this is a full shuffle
+        pairs = pairs.dropDuplicates()
     if log_blocking_stats:
         # comparisons-saved metric (equijoin.py:572-579): opt-in extra job
         n_l, n_r, n_pairs = left.count(), right.count(), pairs.count()
@@ -129,6 +132,10 @@ def equijoin(
     joined = pairs.join(lfull, [f"_lk_{k}" for k in left_keys]).join(
         rfull, [f"_rk_{k}" for k in right_keys]
     )
+    # broadcast-join outputs inherit the scan's few partitions; spread the
+    # Python adjudication across the full executor pool
+    par = left.sparkSession.sparkContext.defaultParallelism or 8
+    joined = joined.repartition(par)
 
     key_fields = [joined.schema[f"_lk_{k}"] for k in left_keys] + [
         joined.schema[f"_rk_{k}"] for k in right_keys

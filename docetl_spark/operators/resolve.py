@@ -114,7 +114,9 @@ def candidate_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["id_a", "id_b"])
+    if len(parts) > 1:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def adjudicate_pairs(
@@ -147,6 +149,9 @@ def adjudicate_pairs(
     a = side.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"_a_{c}") for c in cols])
     b = side.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"_b_{c}") for c in cols])
     joined = pairs.join(a, "id_a").join(b, "id_b")
+    # spread the pairwise UDF across the executor pool (broadcast joins
+    # keep the scan partitioning, which may be far narrower)
+    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism or 8)
 
     auto = None
     if auto_match_keys:
