@@ -760,13 +760,13 @@ def sem_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (weak check: fingerprint depends on
-    blake2b token hashes, not expressible in ANSI SQL — driver records
-    rows-only)."""
+    """SimHash near-dup pairs. Token hash is md5-low-64 (digest bytes
+    8..16), reproducible in DuckDB via substr(md5(t),17,16), so the
+    fingerprints — and therefore the pair set — are fully oracle-checked."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     with_sh = docs.withColumn("_simhash", dedup.simhash64(F.col("text")))
     pairs = dedup.simhash_candidate_pairs(with_sh, "doc_id", "_simhash", max_hamming=3)
-    return pairs.select("id_a", "id_b", "hamming")
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ----------------------------------------------------------- driver hooks
@@ -893,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "code_reduce_nation": """
             SELECT c_nationkey,
                    COUNT(*) AS n_customers,
-                   SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS acctbal_cents,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS acctbal_cents,
                    MAX(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS max_cents,
                    MIN(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS min_cents,
                    COUNT(*) AS _counts_prereduce_natstats
@@ -1018,6 +1018,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
             FROM pairs JOIN sh x ON pairs.id_a = x.doc_id JOIN sh y ON pairs.id_b = y.doc_id
             WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.8""",
+        # SimHash: token hash = low 8 bytes of md5 (hex chars 17..32),
+        # bit j (MSB-first) votes +1/-1 per token; fingerprint bit = vote>0.
+        # Signed int64 built via 1<<w for w<63 and -2^63 for the sign bit.
+        "simhash_near_dup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> trim(x) <> '')) AS tok
+              FROM documents
+            ),
+            nib AS (
+              SELECT doc_id, p.p AS p, ('0x' || substr(md5(tok), 16 + p.p, 1))::INT AS nibble
+              FROM toks, (SELECT unnest(range(1, 17)) AS p) p
+            ),
+            votes AS (
+              SELECT doc_id, (16 - p) * 4 + k.k AS w,
+                     SUM(2 * ((nibble >> k.k) & 1) - 1) AS vote
+              FROM nib, (SELECT unnest(range(0, 4)) AS k) k
+              GROUP BY doc_id, (16 - p) * 4 + k.k
+            ),
+            fp AS (
+              SELECT d.doc_id,
+                     COALESCE(CAST(SUM(CASE WHEN v.vote > 0 THEN
+                         CASE WHEN v.w = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << v.w) END
+                       ELSE 0 END) AS BIGINT), 0) AS sh
+              FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
         "text_stats": f"""
             WITH t AS (
               SELECT doc_id, text,
@@ -1106,7 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id""",
         "events_user_stats": """
             SELECT user_id, event_type, COUNT(*) AS n,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id, event_type""",
         "resolve_docs": """
@@ -1247,7 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_rollup": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_epoch,
                    event_type, COUNT(*) AS n,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2""",
         "cluster_docs": """
             SELECT vec_id,

@@ -149,7 +149,10 @@ def simhash64(col) -> F.Column:
 
     numpy Pandas UDF (same rationale as minhash_from_shingles: 64
     per-bit JVM aggregates re-inline the tokenizer 64x). Token hash =
-    blake2b-8byte, deterministic across executors."""
+    low 8 bytes of md5 (digest bytes [8:16], i.e. hex chars 17..32),
+    deterministic across executors AND reproducible in ANSI SQL /
+    DuckDB via substr(md5(t), 17, 16) — chosen so correctness oracles
+    can hash-check the fingerprints end-to-end."""
     import hashlib
 
     @F.pandas_udf(T.LongType())
@@ -161,7 +164,7 @@ def simhash64(col) -> F.Column:
                 out.append(0)
                 continue
             h = np.frombuffer(
-                b"".join(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in toks),
+                b"".join(hashlib.md5(t.encode("utf-8")).digest()[8:16] for t in toks),
                 dtype=np.uint8,
             ).reshape(len(toks), 8)
             bits = np.unpackbits(h, axis=1)  # (n_tok, 64)
