@@ -444,6 +444,28 @@ def equijoin_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_name", "s_suppkey", "s_name").df
 
 
+def equijoin_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equijoin with limit_comparisons: blocked pairs capped by the
+    stratified length sampler BEFORE adjudication (cost-control knob,
+    reference equijoin.py:397-421). Supplier rows are longer (18-char
+    names vs 7-12), so the supplier side is the stratum key; each
+    supplier keeps its longest parts, budget split evenly across
+    suppliers in key order. Deterministic end-to-end, so the oracle
+    reproduces the exact kept-pair set."""
+    be = FakeBackend(rules={"is_match": lambda ctx: (ctx[0]["p_partkey"] + ctx[1]["s_suppkey"]) % 3 == 0})
+    part = _sf(spark, sf_dir, "part", backend=be).select("p_partkey", "p_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = part.equijoin(
+        SemanticFrame.from_df(supp),
+        comparison_prompt="match? {{ left.p_partkey }} {{ right.s_suppkey }}",
+        left_keys=["p_partkey"],
+        right_keys=["s_suppkey"],
+        blocking_conditions=["left.p_partkey % 20 = right.s_suppkey % 20"],
+        limit_comparisons=1000,
+    )
+    return out.select("p_partkey", "p_name", "s_suppkey", "s_name").df
+
+
 def rank_likert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank op, likert method: deterministic rating (= token count),
     desc with doc_id tiebreak, 1-based _rank annotation."""
@@ -805,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_stats": events_user_stats,
         "resolve_docs": resolve_docs,
         "equijoin_part_supplier": equijoin_part_supplier,
+        "equijoin_limited": equijoin_limited,
         "rank_likert_docs": rank_likert_docs,
         "extract_regex_mentions": extract_regex_mentions,
         "link_resolve_langs": link_resolve_langs,
@@ -1148,6 +1171,30 @@ def oracle_sql() -> dict[str, str]:
             FROM part JOIN supplier ON p_partkey % 50 = s_suppkey % 50
             WHERE (p_partkey + s_suppkey) % 7 = 0
             QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_suppkey) = 1""",
+        # stratified length sampling: doc length counts STRING columns
+        # only; supplier side is longer -> stratum key = s_suppkey; within
+        # each stratum keep the longest parts (len desc, partkey asc);
+        # quota = limit // n_groups (+1 for the first limit % n_groups
+        # groups in key order). No limiting when pairs <= limit.
+        "equijoin_limited": """
+            WITH l AS (SELECT p_partkey, p_name, length(p_name) AS l_len FROM part),
+            r AS (SELECT s_suppkey, s_name, length(s_name) AS r_len FROM supplier),
+            p AS (SELECT p_partkey, p_name, l_len, s_suppkey, s_name, r_len
+                  FROM l JOIN r ON p_partkey % 20 = s_suppkey % 20),
+            st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT s_suppkey) AS g FROM p),
+            sel AS (
+              SELECT p.*,
+                     ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY l_len DESC, p_partkey) AS rn,
+                     DENSE_RANK() OVER (ORDER BY s_suppkey) AS gidx
+              FROM p
+            ),
+            kept AS (
+              SELECT sel.* FROM sel, st
+              WHERE st.n <= 1000
+                 OR rn <= (1000 // st.g) + (CASE WHEN gidx <= (1000 % st.g) THEN 1 ELSE 0 END)
+            )
+            SELECT p_partkey, p_name, s_suppkey, s_name
+            FROM kept WHERE (p_partkey + s_suppkey) % 3 = 0""",
         "rank_likert_docs": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (

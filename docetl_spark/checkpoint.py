@@ -39,6 +39,14 @@ class Checkpointer:
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------------
+    def begin_step(self, input_token) -> None:
+        """Fold the step's input identity (dataset name + config, or an
+        upstream step name) into the rolling hash, mirroring the
+        reference's _compute_hashes (runner.py): re-running the same op
+        chain over a DIFFERENT dataset path/data must miss the cache
+        instead of silently returning stale results."""
+        self._hash.update(_stable({"input": input_token}).encode())
+
     def advance(self, spec, sf: SemanticFrame) -> SemanticFrame | None:
         """Fold the op config into the rolling hash; return the cached
         frame if this prefix was materialized before, else None (and

@@ -50,8 +50,12 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
     import zlib
 
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE61, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    # a, b drawn below 2^32 so a*h (h is a 32-bit crc32) fits in uint64
+    # WITHOUT wrapping before the Mersenne mod — wrapping mod 2^64 would
+    # silently void the universal-hash family's collision-probability
+    # guarantee (still deterministic, but no longer (a*x+b) mod p).
+    a = rng.randint(1, 2**32, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 2**32, size=num_hashes).astype(np.uint64)
     empty = [int(_MERSENNE61)] * num_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -115,6 +115,7 @@ def ivf_index(
     n_lists: int = 64,
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_fit_rows: int = 16384,
     max_iter: int = 10,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF (inverted-file) index: k-means centroids fit on a sample, every
@@ -131,7 +132,12 @@ def ivf_index(
     sample = base.select("_v64")
     if sample_fraction:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    mat = np.array([r["_v64"] for r in sample.collect()], dtype=np.float64)
+    # The k-means fit set is ALWAYS bounded (default 16k rows): the driver
+    # collect must stay O(max_fit_rows * dim) no matter how large the
+    # corpus is. limit() caps the fetch even when sample_fraction is unset
+    # or still selects too many rows; assignment below streams the full
+    # corpus executor-side against broadcast centroids.
+    mat = np.array([r["_v64"] for r in sample.limit(max_fit_rows).collect()], dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("ivf_index: empty input")
     k = min(n_lists, len(mat))

@@ -39,7 +39,12 @@ def auto_blocking_threshold(
     """Calibrated cosine threshold, or None when the sample contains no
     true matches (caller should then skip similarity blocking)."""
     keys = embedding_keys or compare_cols
-    rows = [r.asDict() for r in df.select(id_col, *set(compare_cols) | set(keys)).collect()]
+    # Bound the collect Spark-side: a limit() keeps the driver fetch at
+    # O(sample_size) rows regardless of table size (never a full-table
+    # collect — that is a driver OOM at 100 TB). limit-then-sample is
+    # deterministic given a stable scan order, matching the seeded rng.
+    projected = df.select(id_col, *set(compare_cols) | set(keys))
+    rows = [r.asDict() for r in projected.limit(sample_size * 4).collect()]
     if len(rows) < 2:
         return None
     rng = np.random.RandomState(seed)

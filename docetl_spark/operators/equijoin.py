@@ -29,6 +29,109 @@ from .resolve import embed_column
 from .semantic import render_prompt, run_concurrently
 
 
+def _doc_len(df: DataFrame, *, exclude: set[str] = frozenset()) -> F.Column:
+    """Total string length of a row, the reference's get_doc_length
+    (equijoin.py:706-715): string columns by length, nested values by
+    the length of their string rendering; numeric/bool/date values are
+    NOT counted (the reference's isinstance checks skip them)."""
+    expr = F.lit(0)
+    for f in df.schema.fields:
+        if f.name in exclude:
+            continue
+        if isinstance(f.dataType, (T.StringType, T.ArrayType, T.MapType, T.StructType)):
+            expr = expr + F.coalesce(F.length(F.col(f.name).cast("string")), F.lit(0))
+    return expr
+
+
+def stratified_limit_pairs(
+    pairs: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    limit_comparisons: int,
+    *,
+    exclude_cols: set[str] = frozenset(),
+) -> DataFrame:
+    """Cap the candidate-pair table at ``limit_comparisons`` pairs with
+    the reference's stratified length sampling (equijoin.py:397-421,
+    724-778): group pairs by the side whose rows are longer on average,
+    keep the longest counterpart rows within each group, and spread the
+    budget evenly across groups (limit // n_groups each, the earliest
+    groups absorbing the remainder).
+
+    Deterministic deviations from the reference (documented so a SQL
+    oracle can reproduce the pair set exactly):
+    - the reference estimates avg length from a 1000-row random sample;
+      we compute it exactly in the same aggregation pass as the count —
+      deterministic, and no extra job;
+    - the reference's within-group sort key is ``len(pair_dict)`` (the
+      NUMBER OF KEYS — constant, so effectively insertion order); we sort
+      by the counterpart row's string length desc, which is the stated
+      intent ("prioritize longer matches"), tie-broken by its key asc;
+    - "early groups" (which absorb limit % n_groups) are the groups in
+      ascending key order, not dict insertion order.
+
+    Scale shape: one aggregation pass over the pair table for
+    (count, avg lengths, distinct keys), then a single window shuffle
+    partitioned by the stratum key. No driver-side pair materialization.
+    """
+    llen = left.select(
+        *[F.col(k).alias(f"_lk_{k}") for k in left_keys],
+        _doc_len(left, exclude=exclude_cols).alias("_l_len"),
+    )
+    rlen = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in right_keys],
+        _doc_len(right, exclude=exclude_cols).alias("_r_len"),
+    )
+    plen = pairs.join(llen, [f"_lk_{k}" for k in left_keys]).join(
+        rlen, [f"_rk_{k}" for k in right_keys]
+    )
+    stats = plen.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_l_len").alias("la"),
+        F.avg("_r_len").alias("ra"),
+        F.countDistinct(*[f"_lk_{k}" for k in left_keys]).alias("lg"),
+        F.countDistinct(*[f"_rk_{k}" for k in right_keys]).alias("rg"),
+    ).first()
+    if stats["n"] is None or stats["n"] <= limit_comparisons:
+        return pairs
+    logging.getLogger(__name__).warning(
+        "equijoin: %d blocked pairs exceed limit_comparisons=%d; "
+        "dropping %d via stratified length sampling",
+        stats["n"], limit_comparisons, stats["n"] - limit_comparisons,
+    )
+    # key side = the relation with the LARGER average row length
+    # (equijoin.py:744 `use_left_as_key = left_length > right_length`)
+    use_left = (stats["la"] or 0.0) > (stats["ra"] or 0.0)
+    key_cols = [f"_lk_{k}" for k in left_keys] if use_left else [f"_rk_{k}" for k in right_keys]
+    other_cols = [f"_rk_{k}" for k in right_keys] if use_left else [f"_lk_{k}" for k in left_keys]
+    other_len = "_r_len" if use_left else "_l_len"
+    n_groups = int(stats["lg"] if use_left else stats["rg"]) or 1
+    base = limit_comparisons // n_groups
+    extra = limit_comparisons % n_groups
+
+    w_in = W.partitionBy(*key_cols).orderBy(
+        F.col(other_len).desc(), *[F.col(c).asc() for c in other_cols]
+    )
+    # 1-based group index over DISTINCT stratum keys via the distributed
+    # range-partitioned rank (a bare Window.orderBy would funnel every key
+    # through one partition); the ranked key table is narrow and joins
+    # back on the stratum key (broadcast when small, AQE decides).
+    from .rank import _global_row_number
+
+    key_order = [F.col(c).asc() for c in key_cols]
+    gidx = _global_row_number(plen.select(*key_cols).distinct(), key_order, "_gidx")
+    out = (
+        plen.withColumn("_rn", F.row_number().over(w_in))
+        .join(gidx, key_cols)
+        .withColumn("_quota", F.lit(base) + F.when(F.col("_gidx") <= extra, 1).otherwise(0))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
+    )
+    return out
+
+
 def _suffix_collisions(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Suffix only colliding names (equijoin.py:655-658)."""
     collisions = set(left.columns) & set(right.columns)
@@ -52,6 +155,7 @@ def equijoin(
     limits: dict | None = None,
     limit_order_left: list[str] | None = None,
     limit_order_right: list[str] | None = None,
+    limit_comparisons: int | None = None,
     cascade: dict | None = None,
     log_blocking_stats: bool = False,
 ) -> DataFrame:
@@ -112,6 +216,13 @@ def equijoin(
         # dedup only when strategies were unioned — a single blocking
         # join cannot emit duplicate pairs, and this is a full shuffle
         pairs = pairs.dropDuplicates()
+    if limit_comparisons is not None:
+        # the cost-control knob (equijoin.py:397-421): every pair kept
+        # here is an LLM call later, so cap BEFORE adjudication
+        pairs = stratified_limit_pairs(
+            pairs, lw, rw, left_keys, right_keys, limit_comparisons,
+            exclude_cols={"_emb_l", "_emb_r"},
+        )
     if log_blocking_stats:
         # comparisons-saved metric (equijoin.py:572-579): opt-in extra job
         n_l, n_r, n_pairs = left.count(), right.count(), pairs.count()

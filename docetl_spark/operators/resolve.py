@@ -36,6 +36,11 @@ from ..operators.sample import cosine_sim
 from ..types import schema_of
 from .semantic import render_prompt, run_concurrently
 
+# Unblocked resolve degenerates to an O(n^2) cross join; refuse past this
+# many input rows (reference equijoin.py:318-330 warns at 100 — we allow
+# a little headroom but still fail long before the plan is scheduled).
+_NO_BLOCKING_MAX_ROWS = 1000
+
 
 def embed_column(
     df: DataFrame, keys: list[str], backend: ModelBackend, *, out_col: str = "_embedding"
@@ -74,9 +79,13 @@ def candidate_pairs(
     parts: list[DataFrame] = []
 
     if blocking_keys:
+        # case-insensitive key equality, matching adjudicate_pairs'
+        # auto_match_keys predicate and the reference (resolve.py:216-223)
         cond = lt
         for k in blocking_keys:
-            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+            cond = cond & (
+                F.lower(F.col(f"a.{k}").cast("string")) == F.lower(F.col(f"b.{k}").cast("string"))
+            )
         parts.append(a.join(b, cond).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
 
@@ -105,9 +114,18 @@ def candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
 
     if not parts:
-        # no blocking configured: all pairs (the reference allows this for
-        # tiny inputs only, equijoin.py:318-330 caps at 100; we keep the
-        # cross join but it is the caller's responsibility at scale)
+        # no blocking configured: all pairs. The reference allows this for
+        # tiny inputs only (equijoin.py:318-330 warns past 100 rows); we
+        # gate the cross join on a row count so a missing blocking config
+        # fails fast instead of silently scheduling O(n^2) comparisons.
+        n = df.count()
+        if n > _NO_BLOCKING_MAX_ROWS:
+            raise ValueError(
+                f"resolve: no blocking configured and input has {n} rows "
+                f"(> {_NO_BLOCKING_MAX_ROWS}); an unblocked resolve is O(n^2) "
+                "comparisons. Configure blocking_keys, blocking_threshold "
+                "(embedding similarity), or blocking_conditions."
+            )
         parts.append(a.join(b, lt).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
 
@@ -238,7 +256,10 @@ def resolve(
     # adjudication, with the same-key shortcut applied per pair.
     star_edges = None
     if blocking_keys:
-        wk = W.partitionBy(*[F.col(k) for k in blocking_keys])
+        # lower()-ed partition keys: rows whose blocking keys differ only
+        # in case must land in one block, exactly as adjudicate_pairs'
+        # auto_match_keys predicate would have matched them.
+        wk = W.partitionBy(*[F.lower(F.col(k).cast("string")) for k in blocking_keys])
         star_edges = (
             df.withColumn("_min_id", F.min(id_col).over(wk))
             .filter(F.col(id_col) != F.col("_min_id"))
@@ -276,7 +297,8 @@ def resolve(
         # star edges only: blocks are disjoint, so each component IS its
         # block — cluster id = min id over the blocking-key partition.
         # One window shuffle instead of the iterative CC join loop.
-        wk = W.partitionBy(*[F.col(k) for k in blocking_keys])
+        # Keys lower()-ed to stay consistent with auto_match_keys.
+        wk = W.partitionBy(*[F.lower(F.col(k).cast("string")) for k in blocking_keys])
         clustered = df.withColumn("_cluster_id", F.min(id_col).over(wk))
     else:
         if star_edges is not None:

@@ -143,8 +143,18 @@ def run_pipeline(
     optimize_cfg = config.get("optimize")
     last: SemanticFrame | None = None
     rewrites_fired: list[str] = []
+    dataset_configs = config.get("datasets", {})
     for step in config["pipeline"]["steps"]:
         sf = datasets[step["input"]] if "input" in step else last
+        if checkpointer is not None:
+            # input token: the dataset's declared config (path/data) when
+            # the step reads a named dataset, else the upstream step name
+            # — a changed input path must invalidate downstream caches
+            token = (
+                {"dataset": step["input"], "config": dataset_configs.get(step["input"])}
+                if "input" in step else {"upstream": True}
+            )
+            checkpointer.begin_step(token)
         step_configs = [ops_by_name[n] for n in step.get("operations", [])]
         specs = lift(step_configs)
         if optimize_cfg:

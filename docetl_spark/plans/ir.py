@@ -125,7 +125,19 @@ class OpSpec:
                 return {w for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pred)}
             return None  # python callable: fail closed (code_operations.py:14-146)
         if t == "sample":
-            return set()  # positional; reads no fields beyond ordering keys
+            # positional, but order_by columns ARE read: a first-N over an
+            # ordering must not hop below the op that writes the ordering
+            # column (limit_pushdown checks this intersection).
+            order_by = self.config.get("order_by") or []
+            reads = set()
+            for o in order_by:
+                if isinstance(o, str):
+                    reads.add(o.split()[0])
+                elif isinstance(o, (list, tuple)) and o:
+                    reads.add(str(o[0]))
+                else:
+                    return None  # unparseable ordering spec: fail closed
+            return reads
         return None
 
 

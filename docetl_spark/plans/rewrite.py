@@ -57,13 +57,29 @@ def _is_positional_head(op: OpSpec) -> bool:
     return op.type == "sample" and op.config.get("method") == "first"
 
 
+def _head_can_hop(head: OpSpec, below: OpSpec) -> bool:
+    """A positional head with an order_by reads those columns — hopping
+    below the op that WRITES them would take the head before the ordering
+    key exists (e.g. map(writes score) -> sample(first, order_by=[score])).
+    Fail closed when either side is unknown."""
+    if not _hoppable(below):
+        return False
+    if not head.config.get("order_by"):
+        return True  # pure positional head: no column dependency
+    reads = head.fields_read()
+    writes = below.fields_written()
+    if reads is None or writes is None:
+        return False
+    return not (reads & writes)
+
+
 def limit_pushdown(ops: list[OpSpec]) -> tuple[list[OpSpec], bool]:
     for i in range(1, len(ops)):
         op = ops[i]
         if not _is_positional_head(op):
             continue
         j = i
-        while j > 0 and _hoppable(ops[j - 1]):
+        while j > 0 and _head_can_hop(op, ops[j - 1]):
             j -= 1
         if j < i and any(ops[k].is_llm for k in range(j, i)):
             out = ops[:j] + [op] + ops[j:i] + ops[i + 1 :]

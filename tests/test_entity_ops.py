@@ -50,6 +50,32 @@ def test_resolve_blocking_keys_auto_match(people):
     assert by_pid[3]["name"] == by_pid[4]["name"]
 
 
+def test_resolve_blocking_keys_case_insensitive(spark):
+    # rows whose blocking key differs only in case must land in ONE block,
+    # matching adjudicate_pairs' lower()-ed auto_match predicate
+    # (reference resolve.py:216-223)
+    rows = [
+        {"pid": 1, "name": "a", "dept": "Eng"},
+        {"pid": 2, "name": "b", "dept": "eng"},
+        {"pid": 3, "name": "c", "dept": "ENG"},
+        {"pid": 4, "name": "d", "dept": "sales"},
+    ]
+    out = (
+        SemanticFrame.from_df(spark.createDataFrame(rows), backend=FakeBackend())
+        .resolve(
+            id_col="pid",
+            comparison_prompt="Same? {{ input1.name }} vs {{ input2.name }}",
+            output_schema={"name": "str"},
+            blocking_keys=["dept"],
+            compare_cols=["name"],
+        )
+        .collect()
+    )
+    by_pid = {r["pid"]: r["_cluster_id"] for r in out}
+    assert by_pid[1] == by_pid[2] == by_pid[3] == 1
+    assert by_pid[4] == 4
+
+
 def test_resolve_condition_blocking_adjudicates(people):
     # without blocking_keys, pair predicates generate candidates and the
     # backend adjudicates each pair (normalized name equality) — only the
@@ -287,3 +313,41 @@ def test_rank_calibrated_embedding(spark):
     # every row is its own anchor (sample covers the data): alphabetical
     assert [r["text"] for r in by_rank] == ["alpha doc", "bravo doc", "charlie doc", "delta doc"]
     assert [r["_rank"] for r in by_rank] == [1, 2, 3, 4]
+
+
+def test_equijoin_limit_comparisons_stratified(spark):
+    """limit_comparisons caps pairs before adjudication: budget is split
+    across strata (the longer side's keys), longest counterparts first."""
+    from docetl_spark.operators.equijoin import stratified_limit_pairs
+
+    # right side longer (strings of length 10) -> stratum key = right id
+    left = spark.createDataFrame(
+        [{"lid": i, "ltext": "x" * (i % 5 + 1)} for i in range(20)])
+    right = spark.createDataFrame(
+        [{"rid": j, "rtext": "y" * 10} for j in range(2)])
+    # all-pairs candidates: 40 pairs
+    pairs = left.crossJoin(right).select(
+        F.col("lid").alias("_lk_lid"), F.col("rid").alias("_rk_rid"))
+    out = stratified_limit_pairs(pairs, left, right, ["lid"], ["rid"], 7)
+    rows = [(r["_rk_rid"], r["_lk_lid"]) for r in out.collect()]
+    assert len(rows) == 7
+    # base = 7 // 2 = 3 per stratum; first stratum (rid=0) gets the +1
+    by_rid = {}
+    for rid, lid in rows:
+        by_rid.setdefault(rid, []).append(lid)
+    assert len(by_rid[0]) == 4 and len(by_rid[1]) == 3
+    # within each stratum: longest ltext first (len desc, lid asc).
+    # lengths cycle 1..5 with lid%5; longest (len 5) are lids 4,9,14,19
+    assert sorted(by_rid[0]) == [4, 9, 14, 19]
+    assert sorted(by_rid[1]) == [4, 9, 14]
+
+
+def test_equijoin_limit_comparisons_noop_below_limit(spark):
+    from docetl_spark.operators.equijoin import stratified_limit_pairs
+
+    left = spark.createDataFrame([{"lid": i, "ltext": "a"} for i in range(3)])
+    right = spark.createDataFrame([{"rid": j, "rtext": "bb"} for j in range(2)])
+    pairs = left.crossJoin(right).select(
+        F.col("lid").alias("_lk_lid"), F.col("rid").alias("_rk_rid"))
+    out = stratified_limit_pairs(pairs, left, right, ["lid"], ["rid"], 100)
+    assert out.count() == 6  # untouched

@@ -69,6 +69,31 @@ def test_limit_pushdown_below_llm_map():
     assert "limit_pushdown" in fired
 
 
+def test_limit_pushdown_blocked_by_order_by_dependency():
+    # map writes `score`; sample(first) orders by it — hopping the head
+    # below the map would take first-N before the score exists
+    ops, fired = rewrite(_ops(
+        {"type": "map", "name": "m", "prompt": "score {{ input.text }}",
+         "output": {"schema": {"score": "float"}}},
+        {"type": "sample", "name": "head", "method": "first", "samples": 5,
+         "order_by": ["score desc"]},
+    ))
+    assert [o.type for o in ops] == ["map", "sample"]
+    assert "limit_pushdown" not in fired
+
+
+def test_limit_pushdown_order_by_independent_still_hops():
+    # ordering on a pre-existing column the map doesn't write: hop is legal
+    ops, fired = rewrite(_ops(
+        {"type": "map", "name": "m", "prompt": "p {{ input.text }}",
+         "output": {"schema": {"s": "str"}}},
+        {"type": "sample", "name": "head", "method": "first", "samples": 5,
+         "order_by": ["id"]},
+    ))
+    assert [o.type for o in ops] == ["sample", "map"]
+    assert "limit_pushdown" in fired
+
+
 def test_lift_lower_roundtrip():
     configs = [
         {"type": "map", "prompt": "p", "output": {"schema": {"s": "str"}}},
@@ -168,6 +193,39 @@ def test_checkpointer_hit_and_invalidation(spark, tmp_path):
     # changed upstream config -> downstream hash changes too (no stale reuse)
     out3 = run_pipeline(spark, make_cfg("category = 'news'"), checkpointer=Checkpointer(spark, root))
     assert {r["category"]: r["n"] for r in out3.collect()} == {"news": 1}
+
+
+def test_checkpointer_invalidates_on_dataset_change(spark, tmp_path):
+    """Same op chain, DIFFERENT dataset -> must miss the cache (the input
+    token is folded into the rolling hash, reference runner.py
+    _compute_hashes)."""
+    import json
+
+    def write_ds(path, rows):
+        with open(path, "w") as f:
+            json.dump(rows, f)  # reference-style JSON array (multiLine)
+
+    p1 = str(tmp_path / "a.json"); p2 = str(tmp_path / "b.json")
+    write_ds(p1, [{"id": i, "category": "review", "text": f"x{i}"} for i in range(3)])
+    write_ds(p2, [{"id": i, "category": "review", "text": f"x{i}"} for i in range(7)])
+
+    def cfg(path):
+        return {
+            "datasets": {"d": {"type": "file", "path": path, "format": "json"}},
+            "operations": [{
+                "name": "cnt", "type": "code_reduce", "reduce_key": "category",
+                "code": "def reduce_fn(items): return {'n': len(items)}",
+                "output": {"schema": {"n": "int"}},
+            }],
+            "pipeline": {"steps": [{"name": "s", "input": "d", "operations": ["cnt"]}]},
+        }
+
+    root = str(tmp_path / "ckpt")
+    out1 = run_pipeline(spark, cfg(p1), checkpointer=Checkpointer(spark, root))
+    assert out1.collect()[0]["n"] == 3
+    # different path, identical op configs: a stale hit would return n=3
+    out2 = run_pipeline(spark, cfg(p2), checkpointer=Checkpointer(spark, root))
+    assert out2.collect()[0]["n"] == 7
 
 
 def test_equijoin_in_pipeline(spark):

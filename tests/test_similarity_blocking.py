@@ -134,3 +134,47 @@ def test_resolve_auto_threshold_end_to_end(spark):
     by_pid = {r["pid"]: r["_cluster_id"] for r in out}
     for i in range(6):
         assert by_pid[2 * i] == by_pid[2 * i + 1] == 2 * i
+
+
+# ----------------------------------------------- scale-guard regressions
+
+class _CountingBackend(FakeBackend):
+    """Records the largest embed() batch so tests can assert the driver
+    never fetches more than the documented sample bound."""
+
+    def __init__(self):
+        super().__init__()
+        self.max_embed_batch = 0
+
+    def embed(self, texts):
+        self.max_embed_batch = max(self.max_embed_batch, len(texts))
+        return super().embed(texts)
+
+
+def test_auto_threshold_bounds_driver_fetch(spark):
+    # 5000 rows; calibration must see at most sample_size of them
+    rows = [{"pid": i, "name": f"item {i}"} for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    be = _CountingBackend()
+    auto_blocking_threshold(
+        df, be, id_col="pid", comparison_prompt="same? '{{ input1.name }}' vs '{{ input2.name }}'",
+        compare_cols=["name"], sample_size=10,
+    )
+    assert 0 < be.max_embed_batch <= 10
+
+
+def test_ivf_fit_is_bounded(vectors):
+    # max_fit_rows caps the k-means fit set: with 60 rows and a 20-row cap,
+    # k = min(n_lists, fit_rows) = 20 proves the driver saw only 20 rows
+    indexed, centroids = sim.ivf_index(vectors, n_lists=64, seed=1, max_fit_rows=20)
+    assert centroids.shape[0] == 20
+    assert indexed.count() == 60  # assignment still covers the full corpus
+
+
+def test_resolve_unblocked_cross_join_gated(spark):
+    from docetl_spark.operators import resolve as resolve_op
+
+    rows = [{"pid": i, "name": f"n{i}"} for i in range(1500)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="no blocking configured"):
+        resolve_op.candidate_pairs(df, "pid")
