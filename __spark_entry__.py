@@ -640,6 +640,44 @@ class _CascadeBackend(FakeBackend):
         return {"keep": "join" in context.get("text", "")}
 
 
+class _CalibratedCascadeBackend(FakeBackend):
+    """Deterministic proxy/oracle pair for BARGAIN-style calibration:
+    proxy P(keep) is 0.9 for fast-docs, 0.1 for slow-docs, 0.5 otherwise;
+    the oracle keeps fast-or-join docs. With guarantee=recall,
+    target=0.8, delta=0.05 over a 400-doc calibration sample the
+    feasible-threshold search lands on t=0.5 at every test SF (recall at
+    t=0.9 bounds below 0.8; at t=0.5 it clears it), so the cascade
+    proxy-drops exactly the slow-not-fast docs."""
+
+    def classify_logprob(self, prompt: str, labels: list[str], context):
+        text = context.get("text", "") if isinstance(context, dict) else ""
+        if "fast" in text:
+            return "true", 0.9
+        if "slow" in text:
+            return "false", 0.9
+        return "false", 0.5
+
+    def complete(self, prompt: str, output_schema: dict, context) -> dict:
+        text = context.get("text", "") if isinstance(context, dict) else ""
+        return {"keep": ("fast" in text) or ("join" in text)}
+
+
+def sem_filter_cascade_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic filter with a CALIBRATED cascade (operators/cascade.py):
+    oracle-labels a bounded sample, picks the recall-guaranteeing proxy
+    threshold, then proxy-rejects below-threshold rows without oracle
+    calls. Deterministic backend -> the chosen threshold (0.5) and hence
+    the kept set are exactly reproducible in SQL."""
+    out = (
+        _sf(spark, sf_dir, "documents", backend=_CalibratedCascadeBackend())
+        .filter("keep? {{ input.text }}", {"keep": "bool"},
+                cascade={"guarantee": "recall", "target": 0.8, "delta": 0.05,
+                         "label_budget": 400})
+        .select("doc_id", "lang")
+    )
+    return out.df
+
+
 def sem_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic filter with proxy/oracle cascade: high-confidence proxy
     labels short-circuit; uncertain rows escalate to the full model."""
@@ -841,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_gather_docs": split_gather_docs,
         "sem_reduce_fold": sem_reduce_fold,
         "sem_filter_cascade": sem_filter_cascade,
+        "sem_filter_cascade_calibrated": sem_filter_cascade_calibrated,
         "sample_custom_keys": sample_custom_keys,
         "sem_map_batch": sem_map_batch,
         "cluster_docs": cluster_docs,
@@ -1295,6 +1334,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE CASE WHEN text LIKE '%fast%' THEN TRUE
                        WHEN text LIKE '%slow%' THEN FALSE
                        ELSE text LIKE '%join%' END""",
+        # calibrated recall cascade: threshold lands on 0.5, so
+        # slow-not-fast docs (P(keep)=0.1) are proxy-dropped; the rest
+        # escalate to the oracle rule (fast or join)
+        "sem_filter_cascade_calibrated": """
+            SELECT doc_id, lang FROM documents
+            WHERE text LIKE '%fast%'
+               OR (text LIKE '%join%' AND text NOT LIKE '%slow%')""",
         "sample_custom_keys": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_orderkey IN (1, 7, 32, 100, 555, 1000, 4999)""",

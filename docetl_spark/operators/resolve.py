@@ -185,7 +185,33 @@ def adjudicate_pairs(
         [joined.schema[c] for c in ("id_a", "id_b")] + [T.StructField("is_match", T.BooleanType(), True)]
     )
 
-    threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
+    threshold = None
+    calibrated = None  # (guarantee, threshold) from BARGAIN-style calibration
+    if cascade and "guarantee" in cascade:
+        from .cascade import DEFAULT_GUARANTEE, CascadeSpec, calibrate
+
+        spec = CascadeSpec(
+            guarantee=cascade.get("guarantee") or DEFAULT_GUARANTEE["resolve"],
+            target=float(cascade.get("target", 0.9)),
+            delta=float(cascade.get("delta", 0.05)),
+            label_budget=int(cascade.get("label_budget", 400)),
+        )
+        # bounded calibration: O(label_budget) pairs fetched to the driver
+        sample = [r.asDict() for r in joined.limit(spec.label_budget).collect()]
+        scores, p_labels, o_labels = [], [], []
+        for r in sample:
+            in1 = {c: r[f"_a_{c}"] for c in cols}
+            in2 = {c: r[f"_b_{c}"] for c in cols}
+            prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
+            label, prob = backend.classify_logprob(prompt, ["true", "false"], (in1, in2))
+            scores.append(prob if label == "true" else 1.0 - prob)
+            p_labels.append(label == "true")
+            ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
+            o_labels.append(bool(ans.get("is_match")))
+        result = calibrate(scores, p_labels, o_labels, spec)
+        calibrated = (spec.guarantee, result.threshold)
+    elif cascade:
+        threshold = float(cascade.get("proxy_threshold", 1.0))
 
     def run(batches):
         for pdf in batches:
@@ -193,7 +219,17 @@ def adjudicate_pairs(
                 in1 = {c: r[f"_a_{c}"] for c in cols}
                 in2 = {c: r[f"_b_{c}"] for c in cols}
                 prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
-                if threshold is not None:
+                if calibrated is not None:
+                    mode, t = calibrated
+                    label, prob = backend.classify_logprob(prompt, ["true", "false"], (in1, in2))
+                    p_true = prob if label == "true" else 1.0 - prob
+                    if mode == "precision" and p_true >= t:
+                        return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": True}
+                    if mode == "recall" and p_true < t:
+                        return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": False}
+                    if mode == "accuracy" and max(p_true, 1.0 - p_true) >= t:
+                        return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": p_true >= 0.5}
+                elif threshold is not None:
                     label, prob = backend.classify_logprob(prompt, ["true", "false"], (in1, in2))
                     if prob >= threshold:
                         return {"id_a": r["id_a"], "id_b": r["id_b"], "is_match": label == "true"}

@@ -291,12 +291,19 @@ def semantic_filter(
     cascade: dict | None = None,
     limit: int | None = None,
 ) -> DataFrame:
-    """LLM boolean predicate. With ``cascade={"proxy_threshold": p}``, a
-    cheap logprob classification labels each row first and only rows whose
-    proxy confidence falls below ``p`` escalate to the full completion
-    (the reference's proxy/oracle cascade, filter.py:161-224 +
-    api.py:1004-1109 — our statistical guarantee is the fixed threshold;
-    BARGAIN-style calibration can be layered on by sampling labels).
+    """LLM boolean predicate. Two cascade modes (filter.py:161-224 +
+    cascade_runner.py):
+
+    - ``cascade={"proxy_threshold": p}``: fixed threshold — rows whose
+      proxy confidence clears ``p`` take the proxy label, the rest
+      escalate to the full completion.
+    - ``cascade={"guarantee": "recall"|"precision"|"accuracy",
+      "target": 0.9, "delta": 0.05, "label_budget": 400}``:
+      BARGAIN-style calibration — oracle-label a bounded sample, pick
+      the threshold meeting the target with probability 1-delta
+      (operators/cascade.py), then route rows per the guarantee:
+      recall rejects proxy-low rows without an oracle call, precision
+      accepts proxy-high rows, accuracy trusts confident proxy labels.
 
     ``limit`` terminates on OUTPUTS: the first N surviving rows
     (filter.py:124-133, ``_limit_applies_to_inputs`` False — contrast
@@ -307,13 +314,49 @@ def semantic_filter(
         raise ValueError("filter output schema must be exactly one boolean key (filter.py:53-71)")
     decision_key = keys[0]
     names = df.schema.fieldNames()
-    threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
+
+    threshold = None
+    calibrated = None  # (guarantee, threshold)
+    if cascade and "guarantee" in cascade:
+        from .cascade import CascadeSpec, calibrate
+
+        spec = CascadeSpec(
+            guarantee=cascade["guarantee"],
+            target=float(cascade.get("target", 0.9)),
+            delta=float(cascade.get("delta", 0.05)),
+            label_budget=int(cascade.get("label_budget", 400)),
+        )
+        # bounded calibration set: limit() keeps the driver fetch at
+        # O(label_budget) rows no matter the table size
+        sample = [r.asDict() for r in df.limit(spec.label_budget).collect()]
+        scores, p_labels, o_labels = [], [], []
+        for row in sample:
+            rendered = render_prompt(prompt, {"input": row})
+            label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
+            p_true = prob if label == "true" else 1.0 - prob
+            scores.append(p_true)
+            p_labels.append(label == "true")
+            o_labels.append(bool(backend.complete(rendered, output_schema, row).get(decision_key)))
+        result = calibrate(scores, p_labels, o_labels, spec)
+        calibrated = (spec.guarantee, result.threshold)
+    elif cascade:
+        threshold = float(cascade.get("proxy_threshold", 1.0))
 
     def run(batches):
         for pdf in batches:
             def one(row):
                 rendered = render_prompt(prompt, {"input": row})
-                if threshold is not None:
+                if calibrated is not None:
+                    mode, t = calibrated
+                    label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
+                    p_true = prob if label == "true" else 1.0 - prob
+                    if mode == "recall" and p_true < t:
+                        return False  # proxy-rejected; bounded FN rate
+                    if mode == "precision" and p_true >= t:
+                        return True  # proxy-accepted; bounded FP rate
+                    if mode == "accuracy" and max(p_true, 1.0 - p_true) >= t:
+                        return p_true >= 0.5
+                elif threshold is not None:
                     label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
                     if prob >= threshold:
                         return label == "true"
