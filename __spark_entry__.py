@@ -479,6 +479,29 @@ def rank_likert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def rank_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank op, comparison (QURK) method: deterministic md5-draw batch
+    membership, one backend 'ranking' call per batch (distributed via
+    applyInPandas), head-to-head win counts, global order by wins desc.
+    The batch ranking rule (token count desc, doc_id asc) and the md5
+    draw are both DuckDB-replayable, so the whole method is
+    hash-checked."""
+    def rank_rule(docs):
+        def toks(d):
+            return len([t for t in (d.get("text") or "").split(" ") if t])
+        return sorted(range(len(docs)), key=lambda j: (-toks(docs[j]), docs[j]["doc_id"]))
+
+    be = FakeBackend(rules={"ranking": rank_rule})
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .select("doc_id", "text")
+        .rank(method="comparison", prompt="rank by length {{ inputs }}",
+              tiebreak=["doc_id"], batch_size=10, num_batches=200)
+        .select("doc_id", "_rank")
+    )
+    return out.df
+
+
 def extract_regex_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract op, regex strategy: backend supplies a pattern, spans are
     applied row-locally and newline-joined."""
@@ -867,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equijoin_part_supplier": equijoin_part_supplier,
         "equijoin_limited": equijoin_limited,
         "rank_likert_docs": rank_likert_docs,
+        "rank_comparison": rank_comparison,
         "extract_regex_mentions": extract_regex_mentions,
         "link_resolve_langs": link_resolve_langs,
         "parallel_map_docs": parallel_map_docs,
@@ -1234,6 +1258,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_partkey, p_name, s_suppkey, s_name
             FROM kept WHERE (p_partkey + s_suppkey) % 3 = 0""",
+        # comparison-QURK replay: same md5 batch draw (top-10 priorities
+        # per batch), same ranking rule (tokens desc, doc_id asc); wins in
+        # a batch = members ranked after; final order = wins desc.
+        "rank_comparison": """
+            WITH keyed AS (
+              SELECT doc_id, text,
+                     CAST(doc_id AS VARCHAR) || '||' || text AS rk,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+              FROM documents
+            ),
+            member AS (
+              SELECT doc_id, rk, ntok, b.b AS batch,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY b.b
+                       ORDER BY ('0x' || substr(md5('42_' || b.b || '_' || rk), 1, 8))::BIGINT, rk
+                     ) AS draw
+              FROM keyed, (SELECT unnest(range(0, 200)) AS b) b
+            ),
+            inbatch AS (SELECT * FROM member WHERE draw <= 10),
+            wins AS (
+              SELECT doc_id,
+                     COUNT(*) OVER (PARTITION BY batch) -
+                     ROW_NUMBER() OVER (PARTITION BY batch ORDER BY ntok DESC, doc_id) AS w
+              FROM inbatch
+            ),
+            total AS (
+              SELECT k.doc_id, COALESCE(SUM(w), 0) AS wins
+              FROM keyed k LEFT JOIN wins ON k.doc_id = wins.doc_id
+              GROUP BY k.doc_id
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY wins DESC, doc_id) AS BIGINT) AS _rank
+            FROM total""",
         "rank_likert_docs": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (

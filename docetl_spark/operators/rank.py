@@ -144,6 +144,148 @@ def _calibrated_embedding_rank(
     return ranked.drop("_emb", "_anchor_idx", "_anchor_sim")
 
 
+def _comparison_qurk_rank(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    prompt: str,
+    direction: str,
+    tiebreak: list[str] | None,
+    rank_col: str,
+    batch_size: int = 10,
+    num_batches: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """comparison (QURK human-powered-sort) method (rank.py:195-307):
+    random batches of S items are each ranked by one model call;
+    head-to-head wins are counted (position i in a ranked batch beats the
+    S-1-i items below it); the final order is win count descending.
+
+    Spark realization: batch membership is a DETERMINISTIC pseudo-random
+    draw — row r joins batch b when md5(b || '_' || r) ranks in b's top S
+    (one window shuffle over the batch x row priority table), replacing
+    the reference's random.sample(seed=42) with a hash the oracle can
+    replay. Batch ranking runs DISTRIBUTED via applyInPandas — one
+    backend call per batch, batches spread across executors — then win
+    counting is a plain aggregation. num_batches defaults to the
+    reference's N*(N-1)/(S*(S-1)).
+
+    Scale note: comparison-QURK is inherently O(N^2/S^2) model calls —
+    the reference runs it on small/sampled data and so do we; cap
+    ``num_batches`` for anything bigger (each batch is still O(S) rows,
+    so the Spark side scales linearly in num_batches).
+    """
+    n = df.count()
+    if n <= 1:
+        return df.withColumn(rank_col, F.lit(1).cast("long"))
+    s = min(batch_size, n)
+    if num_batches is None:
+        num_batches = max(1, (n * (n - 1)) // max(s * (s - 1), 1))
+
+    spark = df.sparkSession
+    key = F.concat_ws("||", *[F.col(c).cast("string") for c in df.columns])
+    keyed = df.withColumn("_row_key", key)
+    batches = spark.range(num_batches).select(F.col("id").alias("_batch"))
+    # deterministic priority; md5 low-32 keeps the draw DuckDB-replayable
+    prio = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.col("_batch"),
+                                                F.col("_row_key"))), 1, 8), 16, 10).cast("long")
+    member = (
+        keyed.crossJoin(batches)
+        .withColumn("_prio", prio)
+        .withColumn("_pos", F.row_number().over(
+            W.partitionBy("_batch").orderBy(F.col("_prio"), F.col("_row_key"))))
+        .filter(F.col("_pos") <= s)
+        .drop("_prio", "_pos")
+    )
+
+    data_cols = [c for c in df.columns]
+    out_schema = T.StructType(
+        [T.StructField("_row_key", T.StringType(), False),
+         T.StructField("_wins", T.LongType(), False)]
+    )
+
+    def rank_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        docs = [{c: r[c] for c in data_cols} for r in rows]
+        rendered = render_prompt(prompt, {"inputs": docs, "direction": direction})
+        ans = backend.complete(rendered, {"ranking": "list[int]"}, docs)
+        order = ans.get("ranking")
+        if not isinstance(order, list) or not all(isinstance(i, int) for i in order):
+            order = list(range(len(docs)))  # malformed ranking: no-op batch
+        # position i beats everyone below: S-1-i pairwise wins
+        wins = {}
+        for pos, idx in enumerate(order):
+            if 0 <= idx < len(rows):
+                wins[rows[idx]["_row_key"]] = len(order) - 1 - pos
+        return pd.DataFrame(
+            [{"_row_key": r["_row_key"], "_wins": wins.get(r["_row_key"], 0)} for r in rows]
+        )
+
+    win_counts = (
+        member.groupBy("_batch").applyInPandas(rank_batch, schema=out_schema)
+        .groupBy("_row_key").agg(F.sum("_wins").alias("_wins"))
+    )
+    scored = keyed.join(win_counts, "_row_key", "left").fillna({"_wins": 0})
+    order = [F.col("_wins").desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    return _global_row_number(scored, order, rank_col).drop("_row_key", "_wins")
+
+
+def _picky_window_refine(
+    head: list[dict],
+    backend: ModelBackend,
+    *,
+    prompt: str,
+    budget: int,
+    num_top_items: int = 3,
+    overlap_fraction: float = 0.5,
+) -> list[dict]:
+    """The reference's sliding picky-window pass (rank.py:696-910):
+    windows slide from the tail of the head toward the front; each window
+    costs ONE model call that picks ``num_top_items`` docs, which are
+    moved to the window's start via position swaps. Window count equals
+    the call budget by construction (step = k / (budget-1)); an explicit
+    call counter enforces the budget even on degenerate geometry."""
+    k = len(head)
+    if k <= 1 or budget <= 0:
+        return head
+    step = max(1, int(k / (budget - 1 or 1)))
+    window_size = min(
+        k,
+        max(num_top_items, int(step / (1 - overlap_fraction)))
+        if overlap_fraction < 1 else step * 2,
+    )
+    current = list(head)
+    calls = 0
+    for i in range(k - 1, 0, -step):
+        if calls >= budget:
+            break
+        end = i
+        start = max(0, end - window_size)
+        if start == 0:
+            end = window_size
+        window_idx = list(range(start, min(end, k)))
+        if len(window_idx) < num_top_items:
+            continue
+        window_docs = [current[j] for j in window_idx]
+        rendered = render_prompt(prompt, {"inputs": window_docs, "k": num_top_items})
+        ans = backend.complete(rendered, {"picks": "list[int]"}, window_docs)
+        calls += 1
+        picks = [p for p in (ans.get("picks") or []) if isinstance(p, int) and 0 <= p < len(window_docs)]
+        picks = list(dict.fromkeys(picks))[:num_top_items]
+        # move picked docs to the window start (swap semantics: every doc
+        # stays in exactly one slot, cardinality preserved)
+        for target_off, pick in enumerate(picks):
+            if target_off >= len(window_idx):
+                break
+            target_pos = window_idx[target_off]
+            cur_pos = next(j for j, d in enumerate(current) if d is window_docs[pick])
+            if cur_pos != target_pos:
+                current[cur_pos], current[target_pos] = current[target_pos], current[cur_pos]
+        if start == 0:
+            break
+    return current
+
+
 def rank(
     df: DataFrame,
     backend: ModelBackend,
@@ -158,6 +300,10 @@ def rank(
     refine_head_size: int = 0,
     rerank_call_budget: int = 0,
     calibration_sample: int = 20,
+    batch_size: int = 10,
+    num_batches: int | None = None,
+    num_top_items: int = 3,
+    overlap_fraction: float = 0.5,
 ) -> DataFrame:
     """Order the whole dataset; annotate 1-based ``rank_col``.
 
@@ -165,8 +311,16 @@ def rank(
     embedding). method='likert': per-item LLM rating via ``prompt``.
     method='calibrated_embedding': pairwise-LLM-sort a small sample into
     anchors, then order every row by (nearest anchor, similarity)
-    (rank.py:1013-1109).
+    (rank.py:1013-1109). method='comparison': QURK head-to-head batch
+    ranking (rank.py:195-307), distributed one-call-per-batch.
     """
+    if method == "comparison":
+        if not prompt:
+            raise ValueError("comparison rank needs a prompt")
+        return _comparison_qurk_rank(
+            df, backend, prompt=prompt, direction=direction, tiebreak=tiebreak,
+            rank_col=rank_col, batch_size=batch_size, num_batches=num_batches,
+        )
     if method == "embedding":
         if not criteria_query or not embedding_keys:
             raise ValueError("embedding rank needs criteria_query + embedding_keys")
@@ -193,23 +347,18 @@ def rank(
     ranked = _global_row_number(scored, order, rank_col).drop("_score")
 
     if refine_head_size and rerank_call_budget and prompt:
-        # driver-coordinated picky-window refinement over the head only
-        # (rank.py:696-910): re-order the top rows with pairwise prompts.
-        head = [r.asDict() for r in ranked.filter(F.col(rank_col) <= refine_head_size).collect()]
-        budget = rerank_call_budget
-        changed = True
-        while changed and budget > 0:
-            changed = False
-            for i in range(len(head) - 1):
-                if budget <= 0:
-                    break
-                a, b = head[i], head[i + 1]
-                rendered = render_prompt(prompt, {"input1": a, "input2": b})
-                ans = backend.complete(rendered, {"prefer_second": "bool"}, (a, b))
-                budget -= 1
-                if ans.get("prefer_second"):
-                    head[i], head[i + 1] = b, a
-                    changed = True
+        # driver-coordinated sliding picky-window refinement over the head
+        # (rank.py:696-910): each window = ONE model call picking the top
+        # few docs, which move to the window start; window count == the
+        # call budget. The head collect is gated by refine_head_size (the
+        # reference's k), keeping the driver fetch bounded.
+        head = [r.asDict() for r in
+                ranked.filter(F.col(rank_col) <= refine_head_size)
+                .orderBy(rank_col).collect()]
+        head = _picky_window_refine(
+            head, backend, prompt=prompt, budget=rerank_call_budget,
+            num_top_items=num_top_items, overlap_fraction=overlap_fraction,
+        )
         spark = df.sparkSession
         id_like = [c for c in df.columns]
         new_ranks = spark.createDataFrame(

@@ -351,3 +351,70 @@ def test_equijoin_limit_comparisons_noop_below_limit(spark):
         F.col("lid").alias("_lk_lid"), F.col("rid").alias("_rk_rid"))
     out = stratified_limit_pairs(pairs, left, right, ["lid"], ["rid"], 100)
     assert out.count() == 6  # untouched
+
+
+def test_rank_comparison_qurk_single_batch_exact(spark):
+    """batch_size >= n puts every doc in one batch: the QURK win counts
+    reproduce the backend's full ranking exactly."""
+    rows = [{"id": i, "text": "w " * (i + 1), "val": i * 10} for i in range(6)]
+    df = spark.createDataFrame(rows)
+
+    def rank_rule(docs):
+        # best first: highest val wins
+        return sorted(range(len(docs)), key=lambda j: -docs[j]["val"])
+
+    be = FakeBackend(rules={"ranking": rank_rule})
+    out = (
+        SemanticFrame.from_df(df, backend=be)
+        .rank(method="comparison", prompt="order by value {{ inputs }}",
+              tiebreak=["id"], batch_size=6, num_batches=1)
+        .collect()
+    )
+    by_rank = sorted(out, key=lambda r: r["_rank"])
+    assert [r["id"] for r in by_rank] == [5, 4, 3, 2, 1, 0]
+    assert [r["_rank"] for r in by_rank] == [1, 2, 3, 4, 5, 6]
+
+
+def test_rank_comparison_qurk_batched_is_permutation(spark):
+    rows = [{"id": i, "val": i} for i in range(12)]
+    df = spark.createDataFrame(rows)
+    be = FakeBackend(rules={"ranking": lambda docs: sorted(range(len(docs)), key=lambda j: -docs[j]["val"])})
+    out = (
+        SemanticFrame.from_df(df, backend=be)
+        .rank(method="comparison", prompt="order {{ inputs }}", tiebreak=["id"],
+              batch_size=4, num_batches=20)
+        .collect()
+    )
+    ranks = sorted(r["_rank"] for r in out)
+    assert ranks == list(range(1, 13))  # valid total order
+    # the global best (val=11) must outrank the global worst (val=0):
+    # with 20 batches of 4 over 12 docs both appear in several batches
+    by_id = {r["id"]: r["_rank"] for r in out}
+    assert by_id[11] < by_id[0]
+
+
+def test_rank_picky_window_budget_and_refinement(spark):
+    """Sliding picky-window refinement: call count never exceeds
+    rerank_call_budget, and a head scrambled by the initial scorer gets
+    repaired by the window picks."""
+    from docetl_spark.operators.rank import _picky_window_refine
+
+    class _Counting(FakeBackend):
+        def __init__(self, rules):
+            super().__init__(rules=rules)
+            self.calls = 0
+
+        def complete(self, prompt, output_schema, context):
+            if "picks" in output_schema:
+                self.calls += 1
+            return super().complete(prompt, output_schema, context)
+
+    # true quality = val; head arrives ordered by noisy initial rank
+    head = [{"id": i, "val": (7 - i) % 8} for i in range(8)]
+    be = _Counting({"picks": lambda docs: sorted(range(len(docs)), key=lambda j: -docs[j]["val"])[:3]})
+    out = _picky_window_refine(head, be, prompt="pick top {{ k }} of {{ inputs }}",
+                               budget=4, num_top_items=3, overlap_fraction=0.5)
+    assert be.calls <= 4
+    assert sorted(d["id"] for d in out) == list(range(8))  # permutation preserved
+    # the best doc overall (val=7 at id=0) must surface at the front
+    assert out[0]["val"] == max(d["val"] for d in head)
