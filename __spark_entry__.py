@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from docetl_spark import FakeBackend, ResilientBackend, SemanticFrame
 from docetl_spark.functions import dedup, similarity, text
-from docetl_spark.operators import link_resolve as link_resolve_op, sample as sample_op
+from docetl_spark.operators import gather as gather_op, link_resolve as link_resolve_op, sample as sample_op
 
 # ---------------------------------------------------------------- helpers
 
@@ -616,6 +616,32 @@ def split_gather_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gather_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather with doc_header_key: each 10-word chunk carries one header
+    (level 1 every third chunk, level 2 otherwise); the rendered output
+    includes the '_Current Section:_' breadcrumb — the level-1 section a
+    level-2 chunk sits under (reference gather.py:294-363). The header
+    pattern makes the hierarchy state a closed-form window expression,
+    so the breadcrumb is fully oracle-checked."""
+    sf = (
+        _sf(spark, sf_dir, "documents")
+        .split("text", "delimiter", {"delimiter": " ", "num_splits_to_group": 10}, name="split", doc_id="doc_id")
+    )
+    chunked = sf.df.withColumn(
+        "headers",
+        F.array(F.struct(
+            F.concat(F.lit("H"), F.col("split_chunk_num").cast("string")).alias("header"),
+            F.when(F.col("split_chunk_num") % 3 == 1, F.lit(1)).otherwise(F.lit(2)).cast("long").alias("level"),
+        )),
+    )
+    out = gather_op.gather(
+        chunked, "text_chunk", "split_id", "split_chunk_num",
+        peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+        doc_header_key="headers",
+    )
+    return out.select("doc_id", "split_chunk_num", "text_chunk_rendered")
+
+
 class _FoldCountBackend(FakeBackend):
     """Deterministic fold backend: the accumulator rides the rendered
     fold prompt; totals accumulate to the group size (SQL: COUNT(*))."""
@@ -901,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "simhash_near_dup": simhash_near_dup,
         "split_gather_docs": split_gather_docs,
+        "gather_headers": gather_headers,
         "sem_reduce_fold": sem_reduce_fold,
         "sem_filter_cascade": sem_filter_cascade,
         "sem_filter_cascade_calibrated": sem_filter_cascade_calibrated,
@@ -1377,6 +1404,42 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN skip_prev IS NOT NULL THEN '[... ' || skip_prev || ' characters skipped ...]' END,
                      CASE WHEN prev_c IS NOT NULL THEN '[Chunk ' || prev_n || ']' || chr(10) || prev_c END,
                      '--- End Previous Context ---' || chr(10),
+                     '--- Begin Main Chunk ---', c, '--- End Main Chunk ---',
+                     chr(10) || '--- Next Context ---',
+                     CASE WHEN next_c IS NOT NULL THEN '[Chunk ' || next_n || ']' || chr(10) || next_c END,
+                     CASE WHEN skip_next IS NOT NULL THEN '[... ' || skip_next || ' characters skipped ...]' END,
+                     '--- End Next Context ---') AS text_chunk_rendered
+            FROM ctx""",
+        # breadcrumb: chunk n carries header Hn at level 1 when n%3==1
+        # else level 2; a level-2 chunk renders the latest level-1 section
+        # H(n - (n-1)%3); level-1 chunks render nothing above themselves.
+        "gather_headers": """
+            WITH parts AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS p FROM documents
+            ), idx AS (
+              SELECT doc_id, p, CAST(unnest(range(1, CAST(ceil(len(p) / 10.0) AS BIGINT) + 1)) AS BIGINT) AS split_chunk_num
+              FROM parts WHERE len(p) > 0
+            ), chunks AS (
+              SELECT doc_id,
+                     trim(array_to_string(p[(split_chunk_num-1)*10 + 1 : least(split_chunk_num*10, len(p))], ' ')) AS c,
+                     split_chunk_num
+              FROM idx
+            ), ctx AS (
+              SELECT doc_id, split_chunk_num, c,
+                     LAG(c) OVER w AS prev_c, LAG(split_chunk_num) OVER w AS prev_n,
+                     LEAD(c) OVER w AS next_c, LEAD(split_chunk_num) OVER w AS next_n,
+                     SUM(length(c)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_prev,
+                     SUM(length(c)) OVER (w ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_next
+              FROM chunks WINDOW w AS (PARTITION BY doc_id ORDER BY split_chunk_num)
+            )
+            SELECT doc_id, split_chunk_num,
+                   concat_ws(chr(10),
+                     '--- Previous Context ---',
+                     CASE WHEN skip_prev IS NOT NULL THEN '[... ' || skip_prev || ' characters skipped ...]' END,
+                     CASE WHEN prev_c IS NOT NULL THEN '[Chunk ' || prev_n || ']' || chr(10) || prev_c END,
+                     '--- End Previous Context ---' || chr(10),
+                     CASE WHEN split_chunk_num % 3 <> 1
+                          THEN '_Current Section:_ # H' || (split_chunk_num - ((split_chunk_num - 1) % 3)) END,
                      '--- Begin Main Chunk ---', c, '--- End Main Chunk ---',
                      chr(10) || '--- Next Context ---',
                      CASE WHEN next_c IS NOT NULL THEN '[Chunk ' || next_n || ']' || chr(10) || next_c END,

@@ -53,16 +53,55 @@ def _peripheral_parts(chunks, config, content_key, order_key) -> list[str]:
     return parts
 
 
+def render_hierarchy_headers(current_chunk: dict, chunks: list[dict], doc_header_key: str) -> str:
+    """Mirrors render_hierarchy_headers (gather.py:294-363): walk every
+    chunk up to and including the current one, tracking the latest header
+    per level (a header at level L clears all deeper levels); render the
+    breadcrumb of levels ABOVE the current chunk's highest header as
+    ``_Current Section:_ # A > ## B``. Chunks with no headers of their
+    own render nothing."""
+    def headers_of(chunk):
+        hs = chunk.get(doc_header_key) or []
+        return [dict(h) if not isinstance(h, dict) else h for h in hs]
+
+    current_headers = headers_of(current_chunk)
+    if not current_headers:
+        return ""
+    levels = [h.get("level") for h in current_headers if h.get("level") is not None]
+    highest_level = min(levels) if levels else None
+
+    hierarchy: dict[int, str | None] = {}
+    for chunk in chunks:
+        for h in headers_of(chunk):
+            header, level = h.get("header"), h.get("level")
+            if header and level:
+                hierarchy[level] = header
+                for deeper in range(level + 1, len(hierarchy) + 1):
+                    if deeper in hierarchy:
+                        hierarchy[deeper] = None
+    rendered = " > ".join(
+        f"{'#' * level} {header}"
+        for level, header in sorted(hierarchy.items())
+        if header is not None and (highest_level is None or level < highest_level)
+    )
+    return f"_Current Section:_ {rendered}" if rendered else ""
+
+
 def render_chunk(chunks: list[dict], idx: int, peripheral: dict, content_key: str,
-                 order_key: str, main_start: str, main_end: str) -> str:
-    """Mirrors render_chunk_with_context (gather.py:145-213), hierarchy
-    headers omitted unless doc_header_key configured (see gather_op)."""
+                 order_key: str, main_start: str, main_end: str,
+                 doc_header_key: str | None = None) -> str:
+    """Mirrors render_chunk_with_context (gather.py:145-213), including
+    the hierarchy-header breadcrumb when doc_header_key is configured."""
     if not peripheral:
         return chunks[idx][content_key]
     parts = ["--- Previous Context ---"]
     parts.extend(_peripheral_parts(chunks[:idx], peripheral.get("previous", {}), content_key, order_key))
     parts.append("--- End Previous Context ---\n")
     main = chunks[idx]
+    if doc_header_key:
+        headers = render_hierarchy_headers(main, chunks[: idx + 1], doc_header_key)
+        if headers:
+            parts.append(headers)
     parts.extend((f"{main_start}", f"{main[content_key]}", f"{main_end}", "\n--- Next Context ---"))
     parts.extend(_peripheral_parts(chunks[idx + 1:], peripheral.get("next", {}), content_key, order_key))
     parts.append("--- End Next Context ---")
@@ -137,6 +176,7 @@ def gather(
     peripheral_chunks: dict | None = None,
     main_chunk_start: str = "--- Begin Main Chunk ---",
     main_chunk_end: str = "--- End Main Chunk ---",
+    doc_header_key: str | None = None,
 ) -> DataFrame:
     peripheral = peripheral_chunks or {}
     rendered_key = f"{content_key}_rendered"
@@ -145,7 +185,8 @@ def gather(
         # no context sections configured: rendered = the chunk itself
         return df.withColumn(rendered_key, F.col(content_key).cast("string"))
 
-    fast = _window_fast_path_counts(peripheral)
+    # headers require the stateful per-doc walk: python renderer only
+    fast = _window_fast_path_counts(peripheral) if doc_header_key is None else None
     if fast is not None:
         return _gather_window(df, content_key, doc_id_key, order_key,
                               fast[0], fast[1], rendered_key, main_chunk_start, main_chunk_end)
@@ -158,7 +199,7 @@ def gather(
         chunks = pdf.to_dict("records")
         pdf[rendered_key] = [
             render_chunk(chunks, i, peripheral, content_key, order_key,
-                         main_chunk_start, main_chunk_end)
+                         main_chunk_start, main_chunk_end, doc_header_key)
             for i in range(len(chunks))
         ]
         return pdf[out_names]

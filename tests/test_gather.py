@@ -56,3 +56,59 @@ def test_fast_path_detection():
 def test_empty_peripheral_renders_content(chunk_df):
     out = g.gather(chunk_df, "content", "doc", "rn").collect()
     assert all(r["content_rendered"] == r["content"] for r in out)
+
+
+def test_hierarchy_headers_breadcrumb():
+    """doc_header_key renders the section breadcrumb: levels above the
+    current chunk's highest header, deeper levels cleared whenever a
+    higher-level header appears (reference gather.py:294-363)."""
+    chunks = [
+        {"rn": 1, "content": "a", "hdrs": [{"header": "Intro", "level": 1}]},
+        {"rn": 2, "content": "b", "hdrs": [{"header": "Setup", "level": 2}]},
+        {"rn": 3, "content": "c", "hdrs": []},
+        {"rn": 4, "content": "d", "hdrs": [{"header": "Results", "level": 2}]},
+        {"rn": 5, "content": "e", "hdrs": [{"header": "Appendix", "level": 1}]},
+        {"rn": 6, "content": "f", "hdrs": [{"header": "Tables", "level": 2}]},
+    ]
+    # chunk 2 (level 2): breadcrumb shows the level-1 section
+    assert g.render_hierarchy_headers(chunks[1], chunks[:2], "hdrs") == "_Current Section:_ # Intro"
+    # chunk 3 has no headers of its own: nothing rendered
+    assert g.render_hierarchy_headers(chunks[2], chunks[:3], "hdrs") == ""
+    # chunk 4 (level 2) still under Intro
+    assert g.render_hierarchy_headers(chunks[3], chunks[:4], "hdrs") == "_Current Section:_ # Intro"
+    # chunk 5 opens a NEW level-1 section: its own level is 1 -> no
+    # breadcrumb above it
+    assert g.render_hierarchy_headers(chunks[4], chunks[:5], "hdrs") == ""
+    # chunk 6 (level 2): the level-1 slot was replaced by Appendix, and the
+    # old level-2 header was cleared when Appendix appeared
+    assert g.render_hierarchy_headers(chunks[5], chunks[:6], "hdrs") == "_Current Section:_ # Appendix"
+
+
+def test_gather_with_doc_header_key_end_to_end(spark):
+    rows = []
+    for i in range(1, 5):
+        rows.append({
+            "doc": 1, "rn": i, "content": f"chunk {i}",
+            "hdrs": [{"header": f"H{i}", "level": 1 if i % 3 == 1 else 2}],
+        })
+    schema = T.StructType([
+        T.StructField("doc", T.LongType()),
+        T.StructField("rn", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("hdrs", T.ArrayType(T.StructType([
+            T.StructField("header", T.StringType()),
+            T.StructField("level", T.LongType()),
+        ]))),
+    ])
+    df = spark.createDataFrame(rows, schema=schema)
+    out = g.gather(df, "content", "doc", "rn",
+                   peripheral_chunks={"previous": {"tail": {"count": 1}}},
+                   doc_header_key="hdrs")
+    by_rn = {r["rn"]: r["content_rendered"] for r in out.collect()}
+    # rn=2 is level 2 under H1; the breadcrumb sits between the context
+    # block and the main chunk markers
+    assert "_Current Section:_ # H1" in by_rn[2]
+    assert by_rn[2].index("--- End Previous Context ---") < by_rn[2].index("_Current Section:_")
+    assert by_rn[2].index("_Current Section:_") < by_rn[2].index("--- Begin Main Chunk ---")
+    # rn=4 is level 1 (4 % 3 == 1): no breadcrumb
+    assert "_Current Section:_" not in by_rn[4]
