@@ -77,6 +77,11 @@ def estimate_cost(ops: list[OpSpec], stats: PlanStats) -> float:
             glean = op.config.get("gleaning")
             mult = 1 + 2 * int(glean.get("num_rounds", 1)) if glean else 1
             cost += calls * mult * w * size
+            # doc_compression / doc_summarization shrink every DOWNSTREAM
+            # op's prompt: the op declares the surviving token fraction
+            shrink = op.config.get("_shrinks_tokens")
+            if shrink:
+                tokens *= float(shrink)
         elif op.type == "filter":
             if op.config.get("cascade"):
                 proxy = MODEL_WEIGHTS[DEFAULT_MODEL] * stats.proxy_cost_ratio
@@ -86,11 +91,19 @@ def estimate_cost(ops: list[OpSpec], stats: PlanStats) -> float:
             rows *= stats.filter_selectivity
         elif op.type in ("reduce",):
             groups = float(stats.groups or max(1, stats.rows // 10))
+            sub = float(op.config.get("_sub_groups", 1))  # hierarchical level-1 fan
+            groups = min(rows, groups * sub)
             vs = op.config.get("value_sampling")
             per_group = rows / groups
             if vs:
                 per_group = min(per_group, float(vs.get("size", per_group)))
-            cost += groups * w * size * per_group
+            if op.config.get("compressed_inputs"):
+                # map_reduce_fusion: the reduce iterates over pre-extracted
+                # fields, not full documents
+                size *= 0.3
+            glean = op.config.get("gleaning")
+            mult = 1 + 2 * int(glean.get("num_rounds", 1)) if glean else 1
+            cost += groups * mult * w * size * per_group
             rows = groups
         elif op.type == "code_map":
             pass  # no model calls
@@ -117,6 +130,14 @@ def estimate_quality(ops: list[OpSpec], stats: PlanStats) -> float:
             q += 0.1 if stats.avg_doc_tokens >= stats.long_doc_tokens else -0.05
         if op.type == "code_map" and op.config.get("_swapped_from_map"):
             q -= 0.1
+        if op.config.get("_fused"):
+            q -= 0.02  # one prompt doing two tasks: mild accuracy risk
+        if op.config.get("_shrinks_tokens"):
+            # focusing the LLM on relevant content helps on long docs,
+            # hurts (information loss) on short ones
+            q += 0.05 if stats.avg_doc_tokens >= stats.long_doc_tokens else -0.05
+        if op.config.get("_sub_groups", 1) != 1:
+            q += 0.05  # hierarchical rollup preserves per-subgroup nuance
         w = _model_weight(op)
         if op.is_llm and w >= MODEL_WEIGHTS["gpt-4o"]:
             q += 0.08
@@ -191,6 +212,175 @@ def _d_doc_chunking(ops, i, stats, backend):
     return ops[:i] + [split, gather, chunk_map, combine] + ops[i + 1 :]
 
 
+def _merged_schema(a: OpSpec, b: OpSpec) -> dict:
+    sa = a.config.get("output", {}).get("schema") or a.config.get("output_schema") or {}
+    sb = b.config.get("output", {}).get("schema") or b.config.get("output_schema") or {}
+    return {**sa, **sb}
+
+
+def _out_schema(op: OpSpec) -> dict:
+    return op.config.get("output", {}).get("schema") or op.config.get("output_schema") or {}
+
+
+def _doc_key(op: OpSpec) -> str | None:
+    reads = op.fields_read()
+    return sorted(reads)[0] if reads else None
+
+
+def _d_operator_fusion(ops, i, stats, backend):
+    """operator_fusion (reference directives/operator_fusion.py):
+    Op1 -> Op2 => Op2 with a fused prompt — one document read and one
+    call instead of two. Deterministic instantiation: concatenated
+    prompts; map+map keeps the union schema, map+filter keeps the
+    filter's boolean schema (legal only when nothing downstream reads
+    the map's outputs — checked in applies)."""
+    m, nxt = ops[i], ops[i + 1]
+    fused_prompt = (m.config.get("prompt", "") + "\nAdditionally, in the same pass: "
+                    + nxt.config.get("prompt", ""))
+    if nxt.type == "map":
+        fused = OpSpec("map", {
+            **nxt.config,
+            "name": f"{m.config.get('name', 'map')}_{nxt.config.get('name', 'map')}_fused",
+            "prompt": fused_prompt,
+            "output": {"schema": _merged_schema(m, nxt)},
+            "_fused": True,
+        })
+    else:  # filter
+        fused = OpSpec("filter", {
+            **nxt.config,
+            "name": f"{m.config.get('name', 'map')}_{nxt.config.get('name', 'filter')}_fused",
+            "prompt": fused_prompt,
+            "_fused": True,
+        })
+    return ops[:i] + [fused] + ops[i + 2 :]
+
+
+def _d_map_reduce_fusion(ops, i, stats, backend):
+    """map_reduce_fusion (directives/map_reduce_fusion.py): the map
+    pre-extracts what the reduce needs, the reduce iterates over those
+    extractions instead of full documents. Deterministic instantiation:
+    the reduce's document references swap to the map's first output key
+    and the reduce is marked compressed_inputs (cost model: ~0.3x
+    prompt)."""
+    m, red = ops[i], ops[i + 1]
+    map_keys = sorted(_out_schema(m)) or ["extracted"]
+    doc_key = _doc_key(red) or "text"
+    new_map = replace(m, config={
+        **m.config,
+        "prompt": m.config.get("prompt", "")
+        + f"\nAlso extract everything the downstream aggregation needs into '{map_keys[0]}'.",
+    })
+    new_reduce = replace(red, config={
+        **red.config,
+        "prompt": red.config.get("prompt", "").replace(
+            f"input.{doc_key}", f"input.{map_keys[0]}"
+        ).replace(f"item.{doc_key}", f"item.{map_keys[0]}"),
+        "compressed_inputs": True,
+    })
+    return ops[:i] + [new_map, new_reduce] + ops[i + 2 :]
+
+
+def _d_doc_compression(ops, i, stats, backend):
+    """doc_compression (directives/doc_compression.py): Op => Extract ->
+    Op. A cheap extract pass keeps only content relevant to the
+    downstream prompt; the op then reads '{key}_extracted'."""
+    op = ops[i]
+    key = _doc_key(op) or "text"
+    name = op.config.get("name", op.type)
+    extract = OpSpec("extract", {
+        "name": f"{name}_compress",
+        "prompt": f"Extract the minimal spans of {{{{ input.{key} }}}} needed for: "
+                  + op.config.get("prompt", "")[:200],
+        "document_keys": [key],
+        "model": DEFAULT_MODEL,
+        "_shrinks_tokens": 0.3,
+    })
+    new = replace(op, config={
+        **op.config,
+        "prompt": op.config.get("prompt", "").replace(f"input.{key}", f"input.{key}_extracted"),
+    })
+    return ops[:i] + [extract, new] + ops[i + 1 :]
+
+
+def _d_doc_summarization(ops, i, stats, backend):
+    """doc_summarization (directives/doc_summarization.py): Op => Map ->
+    Op at the pipeline head — a cheap summarizer rewrites the document
+    key IN PLACE so every downstream reader of that key gets the short
+    version."""
+    op = ops[i]
+    key = _doc_key(op) or "text"
+    summarize = OpSpec("map", {
+        "name": f"summarize_{key}",
+        "prompt": f"Summarize {{{{ input.{key} }}}}, preserving every fact the "
+                  "downstream pipeline needs.",
+        "output": {"schema": {key: "str"}},
+        "model": CHEAPER.get(DEFAULT_MODEL, DEFAULT_MODEL),
+        "_shrinks_tokens": 0.25,
+    })
+    return [summarize] + list(ops)
+
+
+def _d_hierarchical_reduce(ops, i, stats, backend):
+    """hierarchical_reduce (directives/hierarchical_reduce.py): Reduce =>
+    Map -> Reduce(key+sub) -> Reduce(key). Deterministic instantiation:
+    the sub-key is an md5 bucket (the reference's agent invents a
+    semantic sub-key; a hash bucket is the agent-free analogue), the
+    level-1 reduce summarizes each bucket, the level-2 rollup combines
+    bucket summaries."""
+    red = ops[i]
+    key = red.config.get("reduce_key")
+    keys = key if isinstance(key, list) else [key]
+    name = red.config.get("name", "reduce")
+    sub_col = f"_{name}_bucket"
+    bucket = OpSpec("code_map", {
+        "name": f"{name}_bucket",
+        "code": ("import hashlib\n"
+                 "def map_fn(doc):\n"
+                 f"    h = hashlib.md5(str(sorted(doc.items())).encode()).hexdigest()\n"
+                 f"    return {{'{sub_col}': int(h[:8], 16) % 8}}\n"),
+        "output": {"schema": {sub_col: "int"}},
+    })
+    level1 = replace(red, config={
+        **red.config,
+        "name": f"{name}_level1",
+        "reduce_key": keys + [sub_col],
+        "_sub_groups": 8,
+    })
+    level2 = replace(red, config={
+        **red.config,
+        "name": f"{name}_rollup",
+        "prompt": "Combine these sub-group summaries into one: {{ inputs }}",
+        "compressed_inputs": True,
+    })
+    return ops[:i] + [bucket, level1, level2] + ops[i + 1 :]
+
+
+def _d_reduce_gleaning(ops, i, stats, backend):
+    """reduce_gleaning (directives/reduce_gleaning.py): judge-validate
+    each reduce output, refine until it passes or rounds run out."""
+    glean = {"num_rounds": 1,
+             "validation_prompt": "Does this aggregate faithfully cover every input item?"}
+    new = replace(ops[i], config={**ops[i].config, "gleaning": glean})
+    return ops[:i] + [new] + ops[i + 1 :]
+
+
+def _fusion_applies(ops, i, stats, be):
+    if i + 1 >= len(ops) or ops[i].type != "map":
+        return False
+    nxt = ops[i + 1]
+    if nxt.type not in ("map", "filter") or ops[i].config.get("_fused") or nxt.config.get("_fused"):
+        return False
+    if nxt.type == "filter":
+        # the map's outputs vanish in the fusion: legal only when no LATER
+        # op reads them (fail closed on unknown reads)
+        written = ops[i].fields_written() or set()
+        for later in ops[i + 2 :]:
+            reads = later.fields_read()
+            if reads is None or (reads & written):
+                return False
+    return True
+
+
 def _d_swap_with_code(ops, i, stats, backend):
     m = ops[i]
     ans = backend.complete(
@@ -247,6 +437,49 @@ DIRECTIVES: list[Directive] = [
         "swap_with_code",
         lambda ops, i, stats, be: be is not None and ops[i].type == "map",
         _d_swap_with_code,
+    ),
+    Directive("operator_fusion", _fusion_applies, _d_operator_fusion),
+    Directive(
+        "map_reduce_fusion",
+        lambda ops, i, stats, be: (
+            i + 1 < len(ops) and ops[i].type == "map" and ops[i + 1].type == "reduce"
+            and not ops[i + 1].config.get("compressed_inputs")
+        ),
+        _d_map_reduce_fusion,
+    ),
+    Directive(
+        "doc_compression",
+        lambda ops, i, stats, be: (
+            ops[i].type in ("map", "filter", "reduce")
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+            and bool(ops[i].fields_read())
+            and "_extracted" not in ops[i].config.get("prompt", "")
+        ),
+        _d_doc_compression,
+    ),
+    Directive(
+        "doc_summarization",
+        lambda ops, i, stats, be: (
+            i == 0 and ops[i].is_llm
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+            and not any(o.config.get("_shrinks_tokens") for o in ops)
+        ),
+        _d_doc_summarization,
+    ),
+    Directive(
+        "hierarchical_reduce",
+        lambda ops, i, stats, be: (
+            ops[i].type == "reduce"
+            and ops[i].config.get("reduce_key")
+            and ops[i].config.get("_sub_groups", 1) == 1
+            and stats.rows / max(stats.groups or max(1, stats.rows // 10), 1) >= 50
+        ),
+        _d_hierarchical_reduce,
+    ),
+    Directive(
+        "reduce_gleaning",
+        lambda ops, i, stats, be: ops[i].type == "reduce" and not ops[i].config.get("gleaning"),
+        _d_reduce_gleaning,
     ),
 ]
 

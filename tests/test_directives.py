@@ -98,3 +98,139 @@ def test_run_pipeline_optimize_hook(spark):
     log = dict(out.op_log).get("rewrites", {})
     assert any(r.startswith("directive:") for r in log.get("fired", []))
     assert out.df.count() >= 0  # executable end-to-end after rewriting
+
+
+# --------------------------------------------- round-2 directive catalog
+
+def _apply_named(name, ops, stats=None, i=None):
+    from docetl_spark.plans.directives import DIRECTIVES
+
+    d = next(d for d in DIRECTIVES if d.name == name)
+    stats = stats or PlanStats()
+    positions = [i] if i is not None else range(len(ops))
+    for pos in positions:
+        if d.applies(ops, pos, stats, None):
+            return d.apply(ops, pos, stats, None), pos
+    return None, None
+
+
+def test_operator_fusion_map_map():
+    ops = lift([
+        {"type": "map", "name": "a", "prompt": "extract entities {{ input.text }}",
+         "output": {"schema": {"entities": "list[str]"}}},
+        {"type": "map", "name": "b", "prompt": "classify urgency {{ input.text }}",
+         "output": {"schema": {"urgency": "str"}}},
+    ])
+    new, _ = _apply_named("operator_fusion", ops)
+    assert new is not None and len(new) == 1
+    fused = new[0]
+    assert fused.type == "map" and fused.config["_fused"]
+    schema = fused.config["output"]["schema"]
+    assert set(schema) == {"entities", "urgency"}
+    assert "extract entities" in fused.config["prompt"] and "classify urgency" in fused.config["prompt"]
+
+
+def test_operator_fusion_map_filter_blocked_by_downstream_read():
+    # downstream reduce reads the map's output: fusing would lose it
+    ops = lift([
+        {"type": "map", "name": "a", "prompt": "sentiment {{ input.text }}",
+         "output": {"schema": {"sentiment": "str"}}},
+        {"type": "filter", "name": "f", "prompt": "keep? {{ input.sentiment }}",
+         "output": {"schema": {"keep": "bool"}}},
+        {"type": "reduce", "name": "r", "reduce_key": "lang",
+         "prompt": "count {{ input.sentiment }}", "output": {"schema": {"n": "int"}}},
+    ])
+    new, _ = _apply_named("operator_fusion", ops, i=0)
+    assert new is None
+    # without the downstream read, map+filter fuses into one filter
+    new2, _ = _apply_named("operator_fusion", ops[:2], i=0)
+    assert new2 is not None and len(new2) == 1 and new2[0].type == "filter"
+
+
+def test_map_reduce_fusion_rewrites_reduce_inputs():
+    ops = lift([
+        {"type": "map", "name": "m", "prompt": "classify {{ input.content }}",
+         "output": {"schema": {"orgs": "list[str]"}}},
+        {"type": "reduce", "name": "r", "reduce_key": "category",
+         "prompt": "extract orgs from {{ input.content }}",
+         "output": {"schema": {"all_orgs": "list[str]"}}},
+    ])
+    new, _ = _apply_named("map_reduce_fusion", ops)
+    assert new is not None and [o.type for o in new] == ["map", "reduce"]
+    assert "input.orgs" in new[1].config["prompt"]
+    assert new[1].config["compressed_inputs"]
+    # fused reduce is cheaper than the original at the same stats
+    stats = PlanStats(rows=1000, avg_doc_tokens=3000)
+    assert estimate_cost(new, stats) < estimate_cost(ops, stats)
+
+
+def test_doc_compression_inserts_extract():
+    ops = lift([
+        {"type": "map", "name": "m", "prompt": "analyze {{ input.legal_document }}",
+         "output": {"schema": {"impact": "str"}}},
+    ])
+    stats = PlanStats(avg_doc_tokens=5000)
+    new, _ = _apply_named("doc_compression", ops, stats)
+    assert new is not None and [o.type for o in new] == ["extract", "map"]
+    assert new[0].config["document_keys"] == ["legal_document"]
+    assert "input.legal_document_extracted" in new[1].config["prompt"]
+    # short docs: not applicable
+    none, _ = _apply_named("doc_compression", ops, PlanStats(avg_doc_tokens=300))
+    assert none is None
+
+
+def test_doc_summarization_prepends_cheap_map():
+    ops = lift([
+        {"type": "map", "name": "m1", "prompt": "a {{ input.transcript }}",
+         "output": {"schema": {"x": "str"}}},
+        {"type": "map", "name": "m2", "prompt": "b {{ input.transcript }}",
+         "output": {"schema": {"y": "str"}}},
+    ])
+    stats = PlanStats(rows=500, avg_doc_tokens=4000)
+    new, _ = _apply_named("doc_summarization", ops, stats)
+    assert new is not None and len(new) == 3
+    head = new[0]
+    assert head.type == "map" and head.config["output"]["schema"] == {"transcript": "str"}
+    assert head.config["_shrinks_tokens"] == 0.25
+    # both downstream maps now read the shrunken doc: net cheaper
+    assert estimate_cost(new, stats) < estimate_cost(ops, stats)
+
+
+def test_hierarchical_reduce_two_levels():
+    ops = lift([
+        {"type": "reduce", "name": "r", "reduce_key": "state",
+         "prompt": "summarize {{ inputs }}", "output": {"schema": {"summary": "str"}}},
+    ])
+    stats = PlanStats(rows=10_000, groups=10)  # 1000 docs/group
+    new, _ = _apply_named("hierarchical_reduce", ops, stats)
+    assert new is not None and [o.type for o in new] == ["code_map", "reduce", "reduce"]
+    level1, level2 = new[1], new[2]
+    assert level1.config["reduce_key"] == ["state", "_r_bucket"]
+    assert level1.config["_sub_groups"] == 8
+    assert level2.config["reduce_key"] == "state"
+    # small groups: not worth two levels
+    none, _ = _apply_named("hierarchical_reduce", ops, PlanStats(rows=100, groups=10))
+    assert none is None
+
+
+def test_reduce_gleaning_adds_validation_loop():
+    ops = lift([
+        {"type": "reduce", "name": "r", "reduce_key": "lang",
+         "prompt": "agg {{ inputs }}", "output": {"schema": {"n": "int"}}},
+    ])
+    new, _ = _apply_named("reduce_gleaning", ops)
+    assert new is not None and new[0].config["gleaning"]["num_rounds"] == 1
+    stats = PlanStats(rows=1000)
+    assert estimate_cost(new, stats) > estimate_cost(ops, stats)  # judge calls cost
+
+
+def test_new_directives_reachable_in_search():
+    ops = lift([
+        {"type": "map", "name": "m", "prompt": "x {{ input.text }}",
+         "output": {"schema": {"s": "str"}}},
+        {"type": "reduce", "name": "r", "reduce_key": "lang",
+         "prompt": "agg {{ input.text }}", "output": {"schema": {"n": "int"}}},
+    ])
+    res = optimize_ops(ops, PlanStats(rows=10_000, groups=20, avg_doc_tokens=5000), max_depth=2)
+    fired = {name for c in res.frontier for name, _ in c.applied}
+    assert {"map_reduce_fusion", "doc_summarization", "reduce_gleaning"} & fired
