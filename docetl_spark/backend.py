@@ -172,14 +172,31 @@ class LiteLLMBackend(ModelBackend):
     container (no network), but the integration surface matches
     api.py:588-734: structured output via JSON-schema response_format,
     retries left to litellm Router config.
+
+    ``fallback_models`` mirrors the reference's litellm Router fallbacks
+    (runner.py:39-88): when the primary model errors, the same request
+    retries down the chain in order; only the last model's failure
+    propagates. The raw completion callable is injectable
+    (``completion_fn``) so the chain is unit-testable without network.
     """
 
     max_concurrency = 8  # HTTP-bound: overlap calls within a task
 
-    def __init__(self, model: str = "gpt-4o-mini", **kwargs):
+    def __init__(
+        self,
+        model: str = "gpt-4o-mini",
+        *,
+        fallback_models: list[str] | None = None,
+        completion_fn=None,
+        embedding_fn=None,
+        **kwargs,
+    ):
         self.model = model
+        self.fallback_models = list(fallback_models or [])
         self.kwargs = kwargs
         self._mod = None
+        self._completion_fn = completion_fn
+        self._embedding_fn = embedding_fn
 
     def _client(self):
         if self._mod is None:
@@ -193,15 +210,27 @@ class LiteLLMBackend(ModelBackend):
                 ) from e
         return self._mod
 
-    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:  # pragma: no cover
+    def _completion(self, **kw):
+        fn = self._completion_fn or self._client().completion
+        return fn(**kw)
+
+    def _complete_with_fallbacks(self, **kw) -> Any:
+        """Try the primary model, then each fallback in order (the
+        reference's Router fallback chain, runner.py:39-88)."""
+        chain = [self.model] + self.fallback_models
+        last_err: Exception | None = None
+        for m in chain:
+            try:
+                return self._completion(model=m, **kw)
+            except Exception as e:  # noqa: BLE001 — provider errors vary
+                last_err = e
+        raise last_err
+
+    def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
         import json  # noqa: PLC0415
 
-        from .types import schema_of  # noqa: PLC0415
-
         props = {k: {"type": "string"} for k in output_schema}
-        _ = schema_of  # schema validation hook
-        resp = self._client().completion(
-            model=self.model,
+        resp = self._complete_with_fallbacks(
             messages=[{"role": "user", "content": prompt}],
             response_format={
                 "type": "json_schema",
@@ -214,13 +243,12 @@ class LiteLLMBackend(ModelBackend):
         )
         return json.loads(resp.choices[0].message.content)
 
-    def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:  # pragma: no cover
+    def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:
         import json  # noqa: PLC0415
 
         props = {k: {"type": "string"} for k in output_schema}
         item_schema = {"type": "object", "properties": props, "required": list(props)}
-        resp = self._client().completion(
-            model=self.model,
+        resp = self._complete_with_fallbacks(
             messages=[{"role": "user", "content": prompt}],
             response_format={
                 "type": "json_schema",
@@ -242,5 +270,6 @@ class LiteLLMBackend(ModelBackend):
         return results
 
     def embed(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
-        resp = self._client().embedding(model="text-embedding-3-small", input=texts)
+        fn = self._embedding_fn or self._client().embedding
+        resp = fn(model="text-embedding-3-small", input=texts)
         return [d["embedding"] for d in resp.data]

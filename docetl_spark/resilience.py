@@ -110,6 +110,14 @@ class ResilientBackend(ModelBackend):
     - ``cache_size``: LRU entries per process; 0 disables. Keys include
       prompt, schema and row context, like the reference's cache key
       (api.py:649-657). ``bypass_cache`` skips lookup but still stores.
+    - ``cache_dir``: optional PERSISTENT cache directory (the
+      reference's diskcache, cache.py:17-23 — survives across runs and
+      processes). Layered under the LRU: miss memory -> read disk ->
+      call; results are written through as atomic JSON files sharded by
+      key prefix. On a cluster, point it at storage all executors share
+      (NFS / fuse-mounted object store); entries are content-addressed
+      so concurrent writers are idempotent. Non-JSON-serializable
+      results skip the disk layer silently.
     - ``namespace``: isolates cache/bucket state between pipelines.
     - ``metrics``: optional :class:`BackendMetrics`.
 
@@ -127,6 +135,7 @@ class ResilientBackend(ModelBackend):
         backoff_s: float = 0.2,
         rate_limit_rpm: float | None = None,
         cache_size: int = 50_000,
+        cache_dir: str | None = None,
         bypass_cache: bool = False,
         retry_on: tuple = (TimeoutError, ConnectionError, OSError),
         metrics: BackendMetrics | None = None,
@@ -137,6 +146,7 @@ class ResilientBackend(ModelBackend):
         self.backoff_s = float(backoff_s)
         self.rate_limit_rpm = rate_limit_rpm
         self.cache_size = int(cache_size)
+        self.cache_dir = cache_dir
         self.bypass_cache = bypass_cache
         self.retry_on = retry_on
         self.metrics = metrics
@@ -157,10 +167,44 @@ class ResilientBackend(ModelBackend):
                 b = _buckets[self.namespace] = _TokenBucket(self.rate_limit_rpm / 60.0)
             return b
 
+    # -- persistent layer ---------------------------------------------
+    def _disk_path(self, key: str) -> str:
+        import os
+
+        return os.path.join(self.cache_dir, key[:2], f"{key}.json")
+
+    def _disk_get(self, key: str):
+        if not self.cache_dir:
+            return None
+        try:
+            with open(self._disk_path(key)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _disk_put(self, key: str, value) -> None:
+        if not self.cache_dir:
+            return
+        import os
+        import tempfile
+
+        path = self._disk_path(key)
+        try:
+            blob = json.dumps(value)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            # atomic write: concurrent executors writing the same key are
+            # idempotent (content-addressed), last rename wins
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        except (OSError, TypeError, ValueError):
+            pass  # non-serializable or unwritable: memory layer still works
+
     # -- core ----------------------------------------------------------
     def _cached_call(self, key_parts: tuple, fn):
         cache = self._cache() if self.cache_size else None
-        key = _stable_key(*key_parts) if cache is not None else None
+        key = _stable_key(*key_parts) if (cache is not None or self.cache_dir) else None
         if cache is not None and not self.bypass_cache:
             with _state_lock:
                 if key in cache:
@@ -168,6 +212,17 @@ class ResilientBackend(ModelBackend):
                     if self.metrics:
                         self.metrics.cache_hits += 1
                     return cache[key]
+        if key is not None and not self.bypass_cache:
+            hit = self._disk_get(key)
+            if hit is not None:
+                if self.metrics:
+                    self.metrics.cache_hits += 1
+                if cache is not None:
+                    with _state_lock:
+                        cache[key] = hit
+                        while len(cache) > self.cache_size:
+                            cache.popitem(last=False)
+                return hit
         bucket = self._bucket()
         if bucket is not None:
             waited = bucket.acquire()
@@ -192,6 +247,8 @@ class ResilientBackend(ModelBackend):
                 cache[key] = res
                 while len(cache) > self.cache_size:
                     cache.popitem(last=False)
+        if key is not None:
+            self._disk_put(key, res)
         return res
 
     # -- protocol ------------------------------------------------------
@@ -229,6 +286,18 @@ class ResilientBackend(ModelBackend):
                     out[i] = cache[k]
                 else:
                     miss_idx.append(i)
+        if self.cache_dir and miss_idx and not self.bypass_cache:
+            # persistent layer: fill what disk has before calling inner
+            still = []
+            for i in miss_idx:
+                hit = self._disk_get(keys[i])
+                if hit is not None:
+                    out[i] = hit
+                    with _state_lock:
+                        cache[keys[i]] = hit
+                else:
+                    still.append(i)
+            miss_idx = still
         if self.metrics and (len(texts) - len(miss_idx)):
             self.metrics.cache_hits += len(texts) - len(miss_idx)
         if miss_idx:
@@ -240,6 +309,8 @@ class ResilientBackend(ModelBackend):
                     out[i] = cache[keys[i]] = v
                 while len(cache) > self.cache_size:
                     cache.popitem(last=False)
+            for i in miss_idx:
+                self._disk_put(keys[i], out[i])
         return out
 
     def _retry_embed(self, texts: list[str]) -> list[list[float]]:

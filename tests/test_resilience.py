@@ -206,3 +206,86 @@ def test_run_concurrently_preserves_order():
 
     items = list(range(50))
     assert run_concurrently(C(), lambda x: x * 2, items) == [x * 2 for x in items]
+
+
+# ------------------------------------------------ persistent disk cache
+
+def test_disk_cache_survives_process_state_reset(tmp_path):
+    """The cache_dir layer is the reference's diskcache: a SECOND
+    'session' (fresh process-local state, fresh backend) hits disk
+    instead of calling the model."""
+    root = str(tmp_path / "llmcache")
+    be1 = CountingBackend()
+    rb1 = ResilientBackend(be1, cache_dir=root, namespace="s1")
+    r1 = rb1.complete("p", {"x": "str"}, {"id": 1})
+    assert be1.calls == 1
+
+    clear_backend_state()  # simulate a new process: memory cache gone
+    be2 = CountingBackend()
+    rb2 = ResilientBackend(be2, cache_dir=root, namespace="s2")
+    r2 = rb2.complete("p", {"x": "str"}, {"id": 1})
+    assert r2 == r1
+    assert be2.calls == 0  # served from disk, no model call
+
+
+def test_disk_cache_embed_cross_session(tmp_path):
+    root = str(tmp_path / "embcache")
+    be1 = CountingBackend()
+    ResilientBackend(be1, cache_dir=root, namespace="e1").embed(["aa", "bbb"])
+    assert be1.embed_calls == 1
+
+    clear_backend_state()
+    be2 = CountingBackend()
+    out = ResilientBackend(be2, cache_dir=root, namespace="e2").embed(["aa", "bbb", "cccc"])
+    assert be2.embed_calls == 1  # only the miss batch
+    assert be2.embedded_texts == ["cccc"]
+    assert out[0] == [2.0, 1.0] and out[2] == [4.0, 1.0]
+
+
+def test_disk_cache_unserializable_degrades_gracefully(tmp_path):
+    class WeirdBackend(CountingBackend):
+        def complete(self, prompt, output_schema, context):
+            self.calls += 1
+            return {"obj": object()}  # not JSON-serializable
+
+    be = WeirdBackend()
+    rb = ResilientBackend(be, cache_dir=str(tmp_path / "c"), namespace="w")
+    out = rb.complete("p", {"obj": "str"}, None)
+    assert isinstance(out["obj"], object) and be.calls == 1
+    # memory layer still caches it
+    rb.complete("p", {"obj": "str"}, None)
+    assert be.calls == 1
+
+
+# ------------------------------------------------ model fallback chains
+
+def test_litellm_fallback_chain():
+    from types import SimpleNamespace
+
+    from docetl_spark.backend import LiteLLMBackend
+
+    attempts = []
+
+    def fake_completion(model, messages, response_format, **kw):
+        attempts.append(model)
+        if model != "gpt-4o-mini":
+            raise ConnectionError(f"{model} down")
+        return SimpleNamespace(choices=[SimpleNamespace(
+            message=SimpleNamespace(content='{"x": "ok"}'))])
+
+    be = LiteLLMBackend("gpt-4o", fallback_models=["gpt-4.1", "gpt-4o-mini"],
+                        completion_fn=fake_completion)
+    out = be.complete("p", {"x": "str"}, None)
+    assert out == {"x": "ok"}
+    assert attempts == ["gpt-4o", "gpt-4.1", "gpt-4o-mini"]
+
+
+def test_litellm_fallback_exhaustion_raises_last_error():
+    from docetl_spark.backend import LiteLLMBackend
+
+    def always_down(model, **kw):
+        raise ConnectionError(f"{model} down")
+
+    be = LiteLLMBackend("m1", fallback_models=["m2"], completion_fn=always_down)
+    with pytest.raises(ConnectionError, match="m2 down"):
+        be.complete("p", {"x": "str"}, None)
