@@ -36,36 +36,77 @@ from .operators import (
 from .sources import readers
 
 
+def _fn_or_code(fn, entry: str):
+    """Accept a callable or python source defining ``entry``; return
+    (callable, source-or-None). Source-backed code ops are YAML-exportable
+    (the reference's code ops carry their source in config); bare
+    callables are Python-only, like the reference's agent tools."""
+    if callable(fn):
+        return fn, None
+    ns: dict = {}
+    exec(fn, ns)  # noqa: S102 — the reference executes code-op source the same way
+    if entry not in ns:
+        raise ValueError(f"code op source must define {entry}()")
+    return ns[entry], fn
+
+
+# Optional keys whose default values are omitted from exported configs so
+# a fluent-built frame and its YAML replay serialize identically.
+_EXPORT_DEFAULTS = {
+    "max_batch_size": 16, "num_retries_on_validate_failure": 0,
+    "calibrate": False, "keep_empty": False, "recursive": False,
+    "batch_prompt": False, "pass_through": False, "add_count": True,
+}
+
+# ops with YAML/pipeline-config equivalents (compiler.apply_op's catalog);
+# everything else in the op-log is Python-only and blocks export.
+_EXPORTABLE = {
+    "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
+    "code_reduce", "split", "gather", "unnest", "unnest_columns",
+    "add_uuid", "sample", "topk", "rank", "extract", "resolve", "cluster",
+    "link_resolve", "limit",
+}
+
+
 @dataclass(frozen=True)
 class SemanticFrame:
     df: DataFrame
     backend: ModelBackend | None = None
     op_log: tuple = field(default_factory=tuple)
+    # memo for repeated terminal actions on this (immutable) frame —
+    # reference frame.py:1034-1063 memoizes on the built config; here the
+    # config can never change under an instance, so one slot suffices
+    _memo: dict = field(default_factory=dict, compare=False, repr=False)
 
     # ------------------------------------------------------------ factory
     @classmethod
     def read_parquet(cls, spark: SparkSession, path: str, *, backend=None) -> "SemanticFrame":
-        return cls(readers.read_parquet(spark, path), backend, (("scan", path),))
+        return cls(readers.read_parquet(spark, path), backend,
+                   (("scan", {"path": path, "format": "parquet"}),))
 
     @classmethod
     def read_json(cls, spark: SparkSession, path: str, *, backend=None, **kw) -> "SemanticFrame":
-        return cls(readers.read_json(spark, path, **kw), backend, (("scan", path),))
+        return cls(readers.read_json(spark, path, **kw), backend,
+                   (("scan", {"path": path, "format": "json"}),))
 
     @classmethod
     def read_csv(cls, spark: SparkSession, path: str, *, backend=None, **kw) -> "SemanticFrame":
-        return cls(readers.read_csv(spark, path, **kw), backend, (("scan", path),))
+        return cls(readers.read_csv(spark, path, **kw), backend,
+                   (("scan", {"path": path, "format": "csv"}),))
 
     @classmethod
     def read_dir(cls, spark: SparkSession, path: str, *, backend=None, **kw) -> "SemanticFrame":
-        return cls(readers.read_dir(spark, path, **kw), backend, (("scan", path),))
+        return cls(readers.read_dir(spark, path, **kw), backend,
+                   (("scan", {"path": path, "format": "dir"}),))
 
     @classmethod
     def from_list(cls, spark: SparkSession, rows: list[dict], *, backend=None, **kw) -> "SemanticFrame":
-        return cls(readers.from_list(spark, rows, **kw), backend, (("scan", "<memory>"),))
+        return cls(readers.from_list(spark, rows, **kw), backend,
+                   (("scan", {"path": "<memory>"}),))
 
     @classmethod
     def from_df(cls, df: DataFrame, *, backend=None) -> "SemanticFrame":
-        return cls(df, backend, (("scan", "<dataframe>"),))
+        return cls(df, backend, (("scan", {"path": "<dataframe>"}),))
 
     def _next(self, df: DataFrame, op: str, **conf) -> "SemanticFrame":
         return SemanticFrame(df, self.backend, self.op_log + ((op, conf),))
@@ -111,30 +152,44 @@ class SemanticFrame:
         return self._next(self.df.distinct(), "distinct")
 
     # --------------------------------------------------------- code ops
-    def code_map(self, fn: Callable[[dict], dict], output_schema: dict, *, drop_keys=None) -> "SemanticFrame":
-        return self._next(code_ops.code_map(self.df, fn, output_schema, drop_keys=drop_keys), "code_map")
+    def code_map(self, fn: "Callable[[dict], dict] | str", output_schema: dict, *, drop_keys=None) -> "SemanticFrame":
+        fn, code = _fn_or_code(fn, "transform")
+        return self._next(code_ops.code_map(self.df, fn, output_schema, drop_keys=drop_keys),
+                          "code_map", code=code, output={"schema": output_schema}, drop_keys=drop_keys)
 
     def code_filter(self, predicate, *, limit=None) -> "SemanticFrame":
-        return self._next(code_ops.code_filter(self.df, predicate, limit=limit), "code_filter")
+        pred_conf = predicate if isinstance(predicate, str) else None
+        if isinstance(predicate, str) and predicate.lstrip().startswith("def "):
+            predicate, pred_code = _fn_or_code(predicate, "predicate")
+            return self._next(code_ops.code_filter(self.df, predicate, limit=limit),
+                              "code_filter", code=pred_code, limit=limit)
+        return self._next(code_ops.code_filter(self.df, predicate, limit=limit),
+                          "code_filter", predicate=pred_conf, limit=limit)
 
     def code_reduce(self, reduce_key, fn, output_schema: dict, **kw) -> "SemanticFrame":
-        return self._next(code_ops.code_reduce(self.df, reduce_key, fn, output_schema, **kw), "code_reduce")
+        fn, code = _fn_or_code(fn, "reduce_fn")
+        return self._next(code_ops.code_reduce(self.df, reduce_key, fn, output_schema, **kw),
+                          "code_reduce", reduce_key=reduce_key, code=code,
+                          output={"schema": output_schema}, **kw)
 
     # -------------------------------------------------------- shape ops
     def split(self, split_key: str, method: str, method_kwargs: dict, **kw) -> "SemanticFrame":
-        return self._next(shape.split(self.df, split_key, method, method_kwargs, **kw), "split")
+        return self._next(shape.split(self.df, split_key, method, method_kwargs, **kw),
+                          "split", split_key=split_key, method=method, method_kwargs=method_kwargs, **kw)
 
     def unnest(self, unnest_key: str, **kw) -> "SemanticFrame":
-        return self._next(shape.unnest(self.df, unnest_key, **kw), "unnest")
+        return self._next(shape.unnest(self.df, unnest_key, **kw), "unnest", unnest_key=unnest_key, **kw)
 
     def unnest_columns(self, column: str) -> "SemanticFrame":
-        return self._next(shape.unnest_columns(self.df, column), "unnest_columns")
+        return self._next(shape.unnest_columns(self.df, column), "unnest_columns", column=column)
 
     def add_uuid(self, id_key: str = "uuid_id", **kw) -> "SemanticFrame":
-        return self._next(shape.add_uuid(self.df, id_key, **kw), "add_uuid")
+        return self._next(shape.add_uuid(self.df, id_key, **kw), "add_uuid", id_key=id_key, **kw)
 
     def gather(self, content_key: str, doc_id_key: str, order_key: str, **kw) -> "SemanticFrame":
-        return self._next(gather_op.gather(self.df, content_key, doc_id_key, order_key, **kw), "gather")
+        return self._next(gather_op.gather(self.df, content_key, doc_id_key, order_key, **kw),
+                          "gather", content_key=content_key, doc_id_key=doc_id_key,
+                          order_key=order_key, **kw)
 
     # ------------------------------------------------------- sample ops
     def sample(self, method: str, samples: Any = None, **kw) -> "SemanticFrame":
@@ -147,7 +202,7 @@ class SemanticFrame:
             "top_fts": sample_op.sample_top_fts,
         }[method]
         args = (self.df, samples) if samples is not None else (self.df,)
-        return self._next(fn(*args, **kw), f"sample:{method}")
+        return self._next(fn(*args, **kw), "sample", method=method, samples=samples, **kw)
 
     def topk(self, method: str, k: int, **kw) -> "SemanticFrame":
         if method == "embedding":
@@ -171,22 +226,26 @@ class SemanticFrame:
     # ----------------------------------------------------- semantic ops
     def map(self, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("map")
-        return self._next(semantic.semantic_map(self.df, prompt, output_schema, be, **kw), "map")
+        return self._next(semantic.semantic_map(self.df, prompt, output_schema, be, **kw),
+                          "map", prompt=prompt, output={"schema": output_schema}, **kw)
 
     def parallel_map(self, prompts: list[dict], output_schema: dict, *, drop_keys=None) -> "SemanticFrame":
         be = self._require_backend("parallel_map")
         return self._next(
             semantic.semantic_parallel_map(self.df, prompts, output_schema, be, drop_keys=drop_keys),
-            "parallel_map",
+            "parallel_map", prompts=prompts, output={"schema": output_schema}, drop_keys=drop_keys,
         )
 
     def filter(self, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("filter")
-        return self._next(semantic.semantic_filter(self.df, prompt, output_schema, be, **kw), "filter")
+        return self._next(semantic.semantic_filter(self.df, prompt, output_schema, be, **kw),
+                          "filter", prompt=prompt, output={"schema": output_schema}, **kw)
 
     def reduce(self, reduce_key, prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("reduce")
-        return self._next(semantic.semantic_reduce(self.df, reduce_key, prompt, output_schema, be, **kw), "reduce")
+        return self._next(semantic.semantic_reduce(self.df, reduce_key, prompt, output_schema, be, **kw),
+                          "reduce", reduce_key=reduce_key, prompt=prompt,
+                          output={"schema": output_schema}, **kw)
 
     def resolve(self, *, id_col: str, comparison_prompt: str, output_schema: dict, **kw) -> "SemanticFrame":
         be = self._require_backend("resolve")
@@ -195,7 +254,8 @@ class SemanticFrame:
                 self.df, be, id_col=id_col, comparison_prompt=comparison_prompt,
                 output_schema=output_schema, **kw,
             ),
-            "resolve",
+            "resolve", id_col=id_col, comparison_prompt=comparison_prompt,
+            output={"schema": output_schema}, **kw,
         )
 
     def equijoin(self, other: "SemanticFrame | DataFrame", *, comparison_prompt: str,
@@ -212,25 +272,27 @@ class SemanticFrame:
 
     def rank(self, *, method: str = "embedding", **kw) -> "SemanticFrame":
         be = self._require_backend("rank")
-        return self._next(rank_op.rank(self.df, be, method=method, **kw), "rank")
+        return self._next(rank_op.rank(self.df, be, method=method, **kw), "rank", method=method, **kw)
 
     def extract(self, prompt: str, document_keys: list[str], **kw) -> "SemanticFrame":
         be = self._require_backend("extract")
         return self._next(
-            extract_op.extract(self.df, be, prompt=prompt, document_keys=document_keys, **kw), "extract"
+            extract_op.extract(self.df, be, prompt=prompt, document_keys=document_keys, **kw),
+            "extract", prompt=prompt, document_keys=document_keys, **kw,
         )
 
     def cluster(self, *, id_col: str, embedding_keys: list[str] | None = None, **kw) -> "SemanticFrame":
         be = self.backend if kw.get("embedding_col") else self._require_backend("cluster")
         return self._next(
-            cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw), "cluster"
+            cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw),
+            "cluster", id_col=id_col, embedding_keys=embedding_keys, **kw,
         )
 
     def link_resolve(self, *, id_key: str, link_key: str, **kw) -> "SemanticFrame":
         be = self._require_backend("link_resolve")
         return self._next(
             link_resolve_op.link_resolve(self.df, be, id_key=id_key, link_key=link_key, **kw),
-            "link_resolve",
+            "link_resolve", id_key=id_key, link_key=link_key, **kw,
         )
 
     # --------------------------------------------------- external-IO ops
@@ -251,12 +313,21 @@ class SemanticFrame:
         return self.df.explain(mode)
 
     def collect(self) -> list[dict]:
-        return [r.asDict(recursive=True) for r in self.df.collect()]
+        """Memoized on the frame instance (reference frame.py:1034-1063):
+        repeated terminal actions (collect then count, ...) reuse the
+        first materialization instead of re-running the semantic ops.
+        Rows are handed out as shallow copies so caller mutations can't
+        corrupt the memo."""
+        if "rows" not in self._memo:
+            self._memo["rows"] = [r.asDict(recursive=True) for r in self.df.collect()]
+        return [dict(r) for r in self._memo["rows"]]
 
     def show(self, n: int = 5, truncate: bool = True):
         return self.df.show(n, truncate=truncate)
 
     def count(self) -> int:
+        if "rows" in self._memo:
+            return len(self._memo["rows"])
         return self.df.count()
 
     def to_pandas(self):
@@ -273,3 +344,110 @@ class SemanticFrame:
 
     def write_csv(self, path: str, mode: str = "overwrite"):
         self.df.write.mode(mode).option("header", "true").csv(path)
+
+    # ---------------------------------------------- YAML / code round-trip
+    def _export_ops(self) -> tuple[dict, list[dict]]:
+        """(dataset config, operation configs) from the op-log, or raise
+        for Python-only ops (reference frame.py:1230-1247 raises the same
+        way for agent tools)."""
+        if not self.op_log or self.op_log[0][0] != "scan":
+            raise ValueError("to_yaml needs a frame rooted at a read_* factory")
+        scan = dict(self.op_log[0][1])
+        if scan.get("path") in ("<memory>", "<dataframe>"):
+            raise ValueError(
+                "frames over in-memory data cannot be exported to YAML; "
+                "write the data to a file first"
+            )
+        ops: list[dict] = []
+        for i, (op, conf) in enumerate(self.op_log[1:], 1):
+            if op == "rewrites":
+                continue
+            if op not in _EXPORTABLE:
+                raise ValueError(
+                    f"op {op!r} is Python-only and cannot be exported to YAML "
+                    "(native DataFrame ops and callable-backed code ops have "
+                    "no pipeline-config equivalent)"
+                )
+            if op in ("code_map", "code_filter", "code_reduce") and not (
+                conf.get("code") or conf.get("predicate")
+            ):
+                raise ValueError(
+                    f"{op} built from a bare callable cannot be exported; "
+                    "pass the python source string instead"
+                )
+            clean = {
+                k: v for k, v in conf.items()
+                if v is not None and v != {} and _EXPORT_DEFAULTS.get(k, object()) != v
+            }
+            ops.append({"name": f"{op}_{i}", "type": op, **clean})
+        return scan, ops
+
+    def to_yaml(self, path: str | None = None, *, dataset_name: str = "input") -> str:
+        """Export the frame's op chain as a reference-shaped pipeline
+        config (frame.py:1230-1247); ``from_yaml`` replays it. Writes to
+        ``path`` when given; always returns the YAML string."""
+        import yaml
+
+        scan, ops = self._export_ops()
+        config = {
+            "datasets": {dataset_name: {"type": "file", **scan}},
+            "operations": ops,
+            "pipeline": {"steps": [{
+                "name": "step_1", "input": dataset_name,
+                "operations": [o["name"] for o in ops],
+            }]},
+        }
+        out = yaml.dump(config, default_flow_style=False, sort_keys=False)
+        if path:
+            with open(path, "w") as f:
+                f.write(out)
+        return out
+
+    @classmethod
+    def from_yaml(cls, spark: SparkSession, path: str, *, backend=None) -> "SemanticFrame":
+        """Load a pipeline YAML and replay it (frame.py:1183-1228). The
+        returned frame's op-log re-records each op, so a second to_yaml
+        round-trips to an equivalent config."""
+        from .plans.yaml_front import run_yaml
+
+        return run_yaml(spark, path, backend=backend)
+
+    def to_python(self) -> str:
+        """Python source that recreates this chain with the SemanticFrame
+        API (reference frame.py:1251-1331's code generator)."""
+        scan, ops = self._export_ops()
+        reader = {"parquet": "read_parquet", "json": "read_json",
+                  "csv": "read_csv", "dir": "read_dir"}[scan.get("format", "parquet")]
+        lines = [
+            "from docetl_spark import SemanticFrame",
+            "",
+            f"sf = SemanticFrame.{reader}(spark, {scan['path']!r}, backend=backend)",
+        ]
+        for o in ops:
+            op = o["type"]
+            conf = {k: v for k, v in o.items() if k not in ("name", "type")}
+            if op == "limit":
+                lines.append(f"sf = sf.limit({conf['n']!r})")
+                continue
+            args: list[str] = []
+            # positional signatures mirror the fluent API
+            positional = {
+                "map": ["prompt"], "filter": ["prompt"],
+                "reduce": ["reduce_key", "prompt"],
+                "code_map": ["code"], "code_reduce": ["reduce_key", "code"],
+                "split": ["split_key", "method", "method_kwargs"],
+                "gather": ["content_key", "doc_id_key", "order_key"],
+                "unnest": ["unnest_key"], "unnest_columns": ["column"],
+                "add_uuid": ["id_key"], "sample": ["method", "samples"],
+                "extract": ["prompt", "document_keys"],
+                "code_filter": ["predicate"] if "predicate" in conf else ["code"],
+                "parallel_map": ["prompts"],
+            }.get(op, [])
+            for k in positional:
+                args.append(repr(conf.pop(k, None)))
+            schema = conf.pop("output", None)
+            if schema is not None:
+                args.append(repr(schema["schema"]))
+            args += [f"{k}={v!r}" for k, v in conf.items()]
+            lines.append(f"sf = sf.{op}({', '.join(args)})")
+        return "\n".join(lines) + "\n"

@@ -17,9 +17,9 @@ Spark realization: Arrow-batched ``mapInPandas`` (row ops) and
 ``groupBy().applyInPandas`` (reduce). The backend call sits inside the
 UDF, so per-executor batching/caching lives in the backend; model
 latency parallelizes across partitions. Gleaning/validation retries and
-fold/merge reduce strategies are backend-loop concerns layered on the
-same UDF shape (fold/merge: TODO round 2 — one-shot per group today,
-which matches the reference's default batch strategy reduce.py:987-1053).
+the fold / fold+merge reduce strategies (semantic_reduce below,
+reference reduce.py:519-752, 987-1053) are backend loops layered on the
+same UDF shape.
 """
 
 from __future__ import annotations

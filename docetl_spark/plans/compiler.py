@@ -62,14 +62,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                          fold_batch_size=c.get("fold_batch_size"),
                          merge_prompt=c.get("merge_prompt"))
     if t == "code_map":
-        fn = _exec_code(c["code"], "transform")
-        return sf.code_map(lambda row: fn(row), c["output"]["schema"], drop_keys=c.get("drop_keys"))
+        # pass the SOURCE through: the frame logs it, keeping the replayed
+        # chain YAML-exportable (round-trip)
+        return sf.code_map(c["code"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
     if t == "code_filter":
-        pred = c.get("predicate") or _exec_code(c["code"], "predicate")
-        return sf.code_filter(pred, limit=c.get("limit"))
+        return sf.code_filter(c.get("predicate") or c["code"], limit=c.get("limit"))
     if t == "code_reduce":
-        fn = _exec_code(c["code"], "reduce_fn")
-        return sf.code_reduce(c["reduce_key"], lambda items: fn(items), c["output"]["schema"],
+        return sf.code_reduce(c["reduce_key"], c["code"], c["output"]["schema"],
                               name=spec.config.get("name", "code_reduce"))
     if t == "split":
         return sf.split(c["split_key"], c["method"], c.get("method_kwargs", {}),

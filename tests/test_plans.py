@@ -251,3 +251,85 @@ def test_equijoin_in_pipeline(spark):
     out = run_pipeline(spark, cfg, backend=be)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["lid"] == 1 and rows[0]["rid"] == 1
+
+
+# ------------------------------------------------- Frame <-> YAML round-trip
+
+def test_frame_yaml_roundtrip(spark, tmp_path, sf_dir):
+    """Frame -> to_yaml -> from_yaml -> to_yaml produces an identical
+    config AND identical results (reference frame.py:1183-1247)."""
+    from docetl_spark import SemanticFrame
+
+    sf = (
+        SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+        .code_filter("lang = 'en'")
+        .split("text", "delimiter", {"delimiter": " ", "num_splits_to_group": 25}, doc_id="doc_id")
+        .code_reduce(
+            "doc_id",
+            "def reduce_fn(items): return {'n_chunks': len(items)}",
+            {"n_chunks": "int"},
+        )
+    )
+    y1 = sf.to_yaml()
+    p = str(tmp_path / "pipe.yaml")
+    sf.to_yaml(p)
+
+    sf2 = SemanticFrame.from_yaml(spark, p, backend=FakeBackend())
+    y2 = sf2.to_yaml()
+    assert y1 == y2  # identical plans after the round-trip
+
+    r1 = sorted(sf.collect(), key=lambda r: r["doc_id"])
+    r2 = sorted(sf2.collect(), key=lambda r: r["doc_id"])
+    assert [r["n_chunks"] for r in r1] == [r["n_chunks"] for r in r2]
+    assert len(r1) > 0
+
+
+def test_frame_to_python_recreates_chain(spark, sf_dir):
+    from docetl_spark import SemanticFrame
+
+    be = FakeBackend()
+    sf = (
+        SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=be)
+        .code_filter("lang = 'en'")
+        .limit(10)
+    )
+    src = sf.to_python()
+    assert "read_parquet" in src and "code_filter" in src and ".limit(10)" in src
+    ns = {"spark": spark, "backend": be}
+    exec(src, ns)
+    assert ns["sf"].count() == sf.count()
+
+
+def test_frame_export_rejects_python_only_ops(spark, sf_dir):
+    from docetl_spark import SemanticFrame
+
+    sf = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    with pytest.raises(ValueError, match="Python-only"):
+        sf.to_yaml()
+    sf2 = SemanticFrame.from_df(spark.range(3).toDF("x"))
+    with pytest.raises(ValueError, match="in-memory"):
+        sf2.to_yaml()
+    sf3 = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet").code_map(
+        lambda r: {"y": 1}, {"y": "int"})
+    with pytest.raises(ValueError, match="bare callable"):
+        sf3.to_yaml()
+
+
+def test_frame_memoizes_terminal_actions(spark):
+    from docetl_spark import SemanticFrame
+
+    calls = {"n": 0}
+
+    def fn(row):
+        calls["n"] += 1
+        return {"y": row["id"] * 2}
+
+    df = spark.range(5).toDF("id")
+    sf = SemanticFrame.from_df(df).code_map(fn, {"y": "int"})
+    r1 = sf.collect()
+    first = calls["n"]
+    r2 = sf.collect()
+    assert calls["n"] == first  # second collect served from the memo
+    assert r1 == r2 and sf.count() == 5
+    r1[0]["y"] = 999  # caller mutation must not corrupt the memo
+    assert sf.collect()[0]["y"] != 999
