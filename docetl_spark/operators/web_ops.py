@@ -92,10 +92,24 @@ def web_fetch(
     output_col: str = "content",
     requests_per_second: float = 1.0,
     fetch_fn: Callable[[str], str] | None = None,
+    convert: str | None = "markdown",
 ) -> DataFrame:
     """Adds ``output_col``: fetched-page markdown per row (fetch.py's
-    url -> markdown contract), same throttling model as web_search."""
-    fn = fetch_fn or _default_fetch
+    url -> markdown contract), same throttling model as web_search.
+
+    ``convert="markdown"`` (default) runs the fetched HTML through the
+    stdlib markdown converter (functions/html.py — the reference's
+    markitdown/markdownify step); ``convert=None`` keeps the raw body."""
+    raw_fn = fetch_fn or _default_fetch
+    if convert == "markdown":
+        from ..functions.html import html_to_markdown
+
+        def fn(u: str) -> str:
+            return html_to_markdown(raw_fn(u))
+    elif convert is None:
+        fn = raw_fn
+    else:
+        raise ValueError(f"web_fetch convert must be 'markdown' or None, got {convert!r}")
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField(output_col, T.StringType(), True)])
     names = out_schema.fieldNames()
     min_interval = 1.0 / requests_per_second if requests_per_second else 0.0

@@ -106,6 +106,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         right = datasets[c.pop("right")]
         return sf.equijoin(right, comparison_prompt=c.pop("comparison_prompt"),
                            left_keys=c.pop("left_keys"), right_keys=c.pop("right_keys"), **c)
+    # plugin operators: entry-point group docetl_spark.operators or
+    # register_operator() (reference operations/__init__.py:54-76)
+    from ..plugins import get_operator
+
+    plugin = get_operator(t)
+    if plugin is not None:
+        return plugin(sf, dict(spec.config), datasets)
     raise ValueError(f"unknown op type {t!r}")
 
 

@@ -70,6 +70,49 @@ def xlsx_to_string(row: dict) -> list[dict]:
     return out
 
 
+def pptx_to_string(row: dict) -> list[dict]:
+    """PowerPoint text extraction (parsing_tools.pptx_to_string).
+
+    Implemented stdlib-only: a .pptx is a zip of DrawingML XML; text
+    lives in ``<a:t>`` runs inside ``ppt/slides/slideN.xml``. With
+    ``doc_per_slide`` truthy in the row, one output row per slide
+    (mirroring the reference's per-slide option); else one row with
+    slides separated by blank lines."""
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree
+
+    ns = {"a": "http://schemas.openxmlformats.org/drawingml/2006/main"}
+    slides: list[str] = []
+    with zipfile.ZipFile(_local_path(row["path"])) as z:
+        names = [n for n in z.namelist()
+                 if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)]
+        names.sort(key=lambda n: int(_re.search(r"(\d+)\.xml$", n).group(1)))
+        for n in names:
+            root = ElementTree.fromstring(z.read(n))
+            # one line per paragraph (<a:p>), runs concatenated
+            lines = []
+            for para in root.iter("{%s}p" % ns["a"]):
+                runs = [t.text or "" for t in para.iter("{%s}t" % ns["a"])]
+                if any(runs):
+                    lines.append("".join(runs))
+            slides.append("\n".join(lines))
+    if row.get("doc_per_slide"):
+        return [{"slide": i + 1, "text": s} for i, s in enumerate(slides)]
+    return [{"text": "\n\n".join(slides)}]
+
+
+def azure_di_to_string(row: dict) -> list[dict]:
+    """Azure Document Intelligence parser (parsing_tools azure path).
+    Requires the azure-ai-formrecognizer SDK + credentials; gated like
+    the other heavy parsers."""
+    _require("azure.ai.formrecognizer", "azure_di_to_string")
+    raise RuntimeError(
+        "azure document intelligence requires network credentials not "
+        "available in this environment"
+    )
+
+
 def whisper_speech_to_text(row: dict) -> list[dict]:
     _require("whisper", "whisper_speech_to_text")
     raise RuntimeError("whisper transcription is not available in this environment")

@@ -52,3 +52,109 @@ def test_json_csv_roundtrip(spark, tmp_path):
     readers.write_output(df, str(tmp_path / "out.csv"))
     back_csv = readers.read_csv(spark, str(tmp_path / "out.csv"))
     assert back_csv.count() == 2
+
+
+# ------------------------------------------------------ pptx (stdlib zip)
+
+def _write_minimal_pptx(path, slides):
+    """Build a minimal .pptx: zip with ppt/slides/slideN.xml DrawingML."""
+    import zipfile
+
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        for i, paras in enumerate(slides, 1):
+            body = "".join(
+                f'<a:p xmlns:a="{A}">' + "".join(f"<a:r><a:t>{run}</a:t></a:r>" for run in para)
+                + "</a:p>"
+                for para in paras
+            )
+            z.writestr(f"ppt/slides/slide{i}.xml",
+                       f'<sld xmlns:a="{A}">{body}</sld>')
+
+
+def test_pptx_to_string(tmp_path):
+    from docetl_spark.sources import parsers
+
+    p = str(tmp_path / "deck.pptx")
+    _write_minimal_pptx(p, [
+        [["Title ", "slide"], ["subtitle"]],
+        [["Second slide body"]],
+    ])
+    out = parsers.pptx_to_string({"path": p})
+    assert out == [{"text": "Title slide\nsubtitle\n\nSecond slide body"}]
+    per_slide = parsers.pptx_to_string({"path": p, "doc_per_slide": True})
+    assert [r["slide"] for r in per_slide] == [1, 2]
+    assert per_slide[1]["text"] == "Second slide body"
+
+
+# --------------------------------------------------- html -> markdown
+
+def test_html_to_markdown_core_constructs():
+    from docetl_spark.functions.html import html_to_markdown
+
+    html = """
+    <html><head><style>body{}</style><script>x()</script></head><body>
+    <h1>Title</h1>
+    <p>Hello <strong>bold</strong> and <em>italic</em> text with a
+       <a href="https://example.com">link</a>.</p>
+    <ul><li>one</li><li>two</li></ul>
+    <ol><li>first</li><li>second</li></ol>
+    <pre><code>x = 1
+y = 2</code></pre>
+    <blockquote>quoted</blockquote>
+    </body></html>
+    """
+    md = html_to_markdown(html)
+    assert "# Title" in md
+    assert "**bold**" in md and "*italic*" in md
+    assert "[link](https://example.com)" in md
+    assert "- one" in md and "- two" in md
+    assert "1. first" in md and "2. second" in md
+    assert "```" in md and "x = 1\ny = 2" in md
+    assert "> quoted" in md
+    assert "style" not in md and "x()" not in md  # head/script dropped
+
+
+def test_web_fetch_converts_html_to_markdown(spark):
+    from docetl_spark.operators import web_ops
+
+    df = spark.createDataFrame([{"url": "http://x/a"}, {"url": "http://x/b"}])
+    pages = {
+        "http://x/a": "<h1>A</h1><p>alpha <b>beta</b></p>",
+        "http://x/b": "<p>see <a href='http://y'>there</a></p>",
+    }
+    out = web_ops.web_fetch(df, url_col="url", fetch_fn=lambda u: pages[u],
+                            requests_per_second=0)
+    rows = {r["url"]: r["content"] for r in out.collect()}
+    assert rows["http://x/a"] == "# A\n\nalpha **beta**"
+    assert rows["http://x/b"] == "see [there](http://y)"
+    # raw mode passes the body through untouched
+    raw = web_ops.web_fetch(df, url_col="url", fetch_fn=lambda u: pages[u],
+                            requests_per_second=0, convert=None)
+    assert {r["content"] for r in raw.collect()} == set(pages.values())
+
+
+# ------------------------------------------------------ operator plugins
+
+def test_plugin_operator_in_pipeline(spark):
+    from docetl_spark import run_pipeline
+    from docetl_spark.plugins import register_operator, unregister_operator
+
+    def double_op(sf, config, datasets):
+        col = config["column"]
+        return sf.with_columns(**{col: f"{col} * 2"})
+
+    register_operator("double", double_op)
+    try:
+        cfg = {
+            "datasets": {"d": {"type": "memory", "data": [{"x": 1}, {"x": 2}]}},
+            "operations": [{"name": "dbl", "type": "double", "column": "x"}],
+            "pipeline": {"steps": [{"name": "s", "input": "d", "operations": ["dbl"]}]},
+        }
+        out = run_pipeline(spark, cfg)
+        assert sorted(r["x"] for r in out.collect()) == [2, 4]
+    finally:
+        unregister_operator("double")
+    with pytest.raises(ValueError, match="unknown op type"):
+        run_pipeline(spark, cfg)
