@@ -60,14 +60,21 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(s: pd.Series) -> pd.Series:
+        # memoize per-batch: shingles repeat heavily across documents
+        memo: dict[str, int] = {}
+
+        def crc(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = memo[g] = zlib.crc32(g.encode("utf-8"))
+            return h
+
         out = []
         for sh in s:
             if sh is None or len(sh) == 0:
                 out.append(empty)
                 continue
-            h = np.fromiter(
-                (zlib.crc32(g.encode("utf-8")) for g in sh), dtype=np.uint64, count=len(sh)
-            )
+            h = np.fromiter((crc(g) for g in sh), dtype=np.uint64, count=len(sh))
             perms = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
             out.append(perms.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
@@ -161,6 +168,17 @@ def simhash64(col) -> F.Column:
 
     @F.pandas_udf(T.LongType())
     def sim(s: pd.Series) -> pd.Series:
+        # hash each DISTINCT token once per batch: corpus vocabulary is
+        # far smaller than the token stream, and md5 (the price of the
+        # SQL-checkable hash) dominates this kernel
+        memo: dict[str, bytes] = {}
+
+        def tok_hash(t: str) -> bytes:
+            h = memo.get(t)
+            if h is None:
+                h = memo[t] = hashlib.md5(t.encode("utf-8")).digest()[8:16]
+            return h
+
         out = []
         for text in s:
             toks = (text or "").lower().split()
@@ -168,8 +186,7 @@ def simhash64(col) -> F.Column:
                 out.append(0)
                 continue
             h = np.frombuffer(
-                b"".join(hashlib.md5(t.encode("utf-8")).digest()[8:16] for t in toks),
-                dtype=np.uint8,
+                b"".join(tok_hash(t) for t in toks), dtype=np.uint8
             ).reshape(len(toks), 8)
             bits = np.unpackbits(h, axis=1)  # (n_tok, 64)
             votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)

@@ -87,6 +87,12 @@ def stratified_limit_pairs(
     plen = pairs.join(llen, [f"_lk_{k}" for k in left_keys]).join(
         rlen, [f"_rk_{k}" for k in right_keys]
     )
+    # the pair table feeds the stats agg, the distinct-key rank AND the
+    # quota window — persist it so none of those re-derive the blocking
+    # joins from scan (12 redundant scans observed in the un-persisted
+    # plan; at 100 TB re-deriving candidates costs more than spilling
+    # the pair table, which blocking already bounded)
+    plen = plen.persist()
     stats = plen.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("_l_len").alias("la"),
@@ -95,6 +101,7 @@ def stratified_limit_pairs(
         F.countDistinct(*[f"_rk_{k}" for k in right_keys]).alias("rg"),
     ).first()
     if stats["n"] is None or stats["n"] <= limit_comparisons:
+        plen.unpersist()
         return pairs
     logging.getLogger(__name__).warning(
         "equijoin: %d blocked pairs exceed limit_comparisons=%d; "
