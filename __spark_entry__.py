@@ -771,6 +771,29 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first event
+    per (user_id, event_type, hour) wins; duplicate arrivals inside the
+    2-hour watermark are dropped and key state is evicted past it. Only
+    the key columns are emitted, so the result is arrival-order
+    independent and the oracle is a batch SELECT DISTINCT."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+        "hour_epoch", (F.col("ts") / F.lit(1_000_000_000)).cast("long") - ((F.col("ts") / F.lit(1_000_000_000)).cast("long") % 3600)
+    )
+    deduped = stream_ops.stream_dedup(
+        ev, keys=["user_id", "event_type", "hour_epoch"], watermark="2 hours"
+    ).select("user_id", "event_type", "hour_epoch")
+    rows = stream_ops.run_available_now(
+        deduped, checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_")
+    )
+    schema = "user_id long, event_type string, hour_epoch long"
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: 30-min-gap sessionization via
     applyInPandasWithState (streaming/events.py:94-137), drained with
@@ -936,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_docs": cluster_docs,
         "ann_ivf": ann_ivf,
         "events_stream_rollup": events_stream_rollup,
+        "events_stream_dedup": events_stream_dedup,
         "events_stream_sessions": events_stream_sessions,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -1488,6 +1512,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (i - 1) * 30 AS frame_index
             FROM (SELECT doc_id, unnest(range(1, (length(text) % 5) + 2)) AS i
                   FROM documents)""",
+        # streaming dedup emits only key columns -> batch DISTINCT parity
+        "events_stream_dedup": """
+            SELECT DISTINCT user_id, event_type,
+                   (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch
+            FROM events""",
         "events_stream_rollup": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_epoch,
                    event_type, COUNT(*) AS n,

@@ -205,22 +205,23 @@ class SemanticFrame:
         return self._next(fn(*args, **kw), "sample", method=method, samples=samples, **kw)
 
     def topk(self, method: str, k: int, **kw) -> "SemanticFrame":
+        conf = {"method": method, "k": k, **kw}
         if method == "embedding":
             return self._next(
                 sample_op.sample_top_embedding(self.df, kw.pop("query_vector"), k, name=kw.pop("name", "topk"), **kw),
-                "topk:embedding",
+                "topk", **conf,
             )
         if method == "fts":
             return self._next(
                 sample_op.sample_top_fts(self.df, kw.pop("query"), k, name=kw.pop("name", "topk"), **kw),
-                "topk:fts",
+                "topk", **conf,
             )
         if method == "llm_compare":
             # delegate to rank, take the head (topk.py:208-261); the rank
             # scoring method rides in as rank_method (default likert)
             be = self._require_backend("topk llm_compare")
             ranked = rank_op.rank(self.df, be, method=kw.pop("rank_method", "likert"), **kw)
-            return self._next(ranked.filter(F.col(kw.get("rank_col", "_rank")) <= k), "topk:llm_compare")
+            return self._next(ranked.filter(F.col(kw.get("rank_col", "_rank")) <= k), "topk", **conf)
         raise ValueError(f"unknown topk method {method!r}")
 
     # ----------------------------------------------------- semantic ops

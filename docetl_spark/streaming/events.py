@@ -78,6 +78,21 @@ def windowed_rollup(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins, duplicates
+    arriving within the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark`` — state per key, evicted once the
+    watermark passes, so state is O(keys within the late-data horizon),
+    not O(stream history). The batch analogue is SELECT DISTINCT over
+    the key columns."""
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), True),
