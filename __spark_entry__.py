@@ -862,6 +862,23 @@ def cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def cluster_docs_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distributed hierarchical clustering (cluster.py
+    cluster_distributed): bounded-sample k-means buckets -> per-bucket
+    agglomerative linkage in applyInPandas -> driver tree over bucket
+    centroids. Every row's path starts at the all-rows global root
+    cluster[total] — the same SQL-checkable invariant as cluster_docs,
+    now exercised through the scale path (max_local_size forces >1
+    bucket at every sf)."""
+    from docetl_spark.operators.cluster import cluster_distributed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cluster_distributed(
+        emb, id_col="vec_id", embedding_col="embedding", max_local_size=200, seed=11
+    )
+    return out.select("vec_id", F.col("clusters")[0].alias("root"))
+
+
 def sem_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic map via batch_prompt (map.py:532-560): up to 32 rows per
     model call through backend.complete_batch, wrapped in
@@ -957,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_custom_keys": sample_custom_keys,
         "sem_map_batch": sem_map_batch,
         "cluster_docs": cluster_docs,
+        "cluster_docs_distributed": cluster_docs_distributed,
         "ann_ivf": ann_ivf,
         "events_stream_rollup": events_stream_rollup,
         "events_stream_dedup": events_stream_dedup,
@@ -1523,6 +1541,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2""",
         "cluster_docs": """
+            SELECT vec_id,
+                   'cluster[' || (SELECT COUNT(*) FROM embeddings) || ']' AS root
+            FROM embeddings""",
+        "cluster_docs_distributed": """
             SELECT vec_id,
                    'cluster[' || (SELECT COUNT(*) FROM embeddings) || ']' AS root
             FROM embeddings""",

@@ -284,9 +284,11 @@ class SemanticFrame:
 
     def cluster(self, *, id_col: str, embedding_keys: list[str] | None = None, **kw) -> "SemanticFrame":
         be = self.backend if kw.get("embedding_col") else self._require_backend("cluster")
+        conf = {"id_col": id_col, "embedding_keys": embedding_keys, **kw}
+        fn = cluster_op.cluster_distributed if kw.pop("distributed", False) else cluster_op.cluster
         return self._next(
-            cluster_op.cluster(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw),
-            "cluster", id_col=id_col, embedding_keys=embedding_keys, **kw,
+            fn(self.df, be, id_col=id_col, embedding_keys=embedding_keys, **kw),
+            "cluster", **conf,
         )
 
     def link_resolve(self, *, id_key: str, link_key: str, **kw) -> "SemanticFrame":

@@ -86,6 +86,52 @@ def _agglomerative(vectors: np.ndarray) -> list[tuple[int, int]]:
     return merges
 
 
+def _tree_paths(
+    n: int,
+    merges: list[tuple[int, int]],
+    summarize,
+    label_nodes: set[int] | None = None,
+) -> list[list[str]]:
+    """Root->leaf ancestor-summary path per leaf of a merge tree.
+    ``summarize(node, leaf_indices)`` labels an internal node; only nodes
+    in ``label_nodes`` (default: all internal nodes) are summarized and
+    appear in paths. All walks are iterative — a degenerate chain tree is
+    n deep (> recursion limit)."""
+    children: dict[int, tuple[int, int]] = {n + k: m for k, m in enumerate(merges)}
+
+    def leaves_of(node: int) -> list[int]:
+        out, stack = [], [node]
+        while stack:
+            cur = stack.pop()
+            if cur < n:
+                out.append(cur)
+            else:
+                a, b = children[cur]
+                stack.append(b)
+                stack.append(a)
+        return out
+
+    summaries: dict[int, str] = {}
+    for node in sorted(children):
+        if label_nodes is not None and node not in label_nodes:
+            continue
+        summaries[node] = summarize(node, leaves_of(node))
+
+    paths: list[list[str]] = [[] for _ in range(n)]
+    if children:  # walk root down; root = last merge node
+        stack: list[tuple[int, list[str]]] = [(max(children), [])]
+        while stack:
+            node, path = stack.pop()
+            if node < n:
+                paths[node] = path
+                continue
+            p = path + [summaries[node]] if node in summaries else path
+            a, b = children[node]
+            stack.append((b, p))
+            stack.append((a, p))
+    return paths
+
+
 def cluster(
     df: DataFrame,
     backend: ModelBackend,
@@ -111,55 +157,26 @@ def cluster(
     if len(rows) > max_local_size:
         raise ValueError(
             f"cluster: {len(rows)} rows exceeds max_local_size={max_local_size}; "
-            "pre-partition (e.g. LSH buckets) and cluster per group"
+            "use cluster_distributed, or pre-partition (e.g. LSH buckets) and cluster per group"
         )
     ids = [r[id_col] for r in rows]
     vecs = np.array([r["_emb"] for r in rows])
     merges = _agglomerative(vecs) if len(ids) > 1 else []
-
     n = len(ids)
-    children: dict[int, tuple[int, int]] = {n + k: m for k, m in enumerate(merges)}
 
-    def leaves_of(node: int) -> list[int]:
-        # iterative: a degenerate chain tree is n deep (> recursion limit)
-        out, stack = [], [node]
-        while stack:
-            cur = stack.pop()
-            if cur < n:
-                out.append(cur)
-            else:
-                a, b = children[cur]
-                stack.append(b)
-                stack.append(a)
-        return out
+    label_nodes: set[int] | None = None
+    if max_levels is not None and merges:
+        label_nodes = set(sorted(n + k for k in range(len(merges)))[-max_levels * 2:])
 
-    # summaries bottom-up (internal nodes only), path per leaf
-    summaries: dict[int, str] = {}
-    order = sorted(children)
-    if max_levels is not None and len(order) > 0:
-        order = order[-max_levels * 2:]  # coarse cap on summarized nodes
-    for node in order:
-        leaf_ids = [ids[i] for i in leaves_of(node)]
+    def summarize(node: int, leaf_idx: list[int]) -> str:
+        leaf_ids = [ids[i] for i in leaf_idx]
         if summary_prompt:
             items = [{"id": i} for i in leaf_ids]
             rendered = render_prompt(summary_prompt, {"inputs": items})
-            summaries[node] = str(backend.complete(rendered, {"summary": "str"}, items).get("summary"))
-        else:
-            summaries[node] = f"cluster[{len(leaf_ids)}]"
+            return str(backend.complete(rendered, {"summary": "str"}, items).get("summary"))
+        return f"cluster[{len(leaf_ids)}]"
 
-    paths: dict[int, list[str]] = {i: [] for i in range(n)}
-    # walk from root down (iterative, see leaves_of): root = last merge node
-    if children:
-        stack: list[tuple[int, list[str]]] = [(max(children), [])]
-        while stack:
-            node, path = stack.pop()
-            if node < n:
-                paths[node] = path
-                continue
-            p = path + [summaries[node]] if node in summaries else path
-            a, b = children[node]
-            stack.append((b, p))
-            stack.append((a, p))
+    paths = _tree_paths(n, merges, summarize, label_nodes)
 
     spark = df.sparkSession
     path_df = spark.createDataFrame(
@@ -170,3 +187,150 @@ def cluster(
         ]),
     )
     return df.join(F.broadcast(path_df), id_col, "left")
+
+
+def cluster_distributed(
+    df: DataFrame,
+    backend: ModelBackend | None = None,
+    *,
+    id_col: str,
+    embedding_keys: list[str] | None = None,
+    embedding_col: str | None = None,
+    summary_prompt: str | None = None,
+    output_key: str = "clusters",
+    n_buckets: int | None = None,
+    max_local_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for :func:`cluster`: two-level hierarchical clustering
+    that never materializes the corpus on the driver.
+
+    1. Coarse k-means buckets via :func:`~docetl_spark.functions.
+       similarity.ivf_index` — the fit sees a bounded sample (default
+       16k rows), assignment streams executor-side against broadcast
+       centroids.
+    2. Per-bucket agglomerative linkage inside ``applyInPandas`` (one
+       bucket = one pandas group; rows sorted by id for determinism), so
+       the O(bucket^2) linkage runs in parallel across executors.
+    3. A driver-side merge tree over the (tiny, <= n_buckets) bucket
+       centroids stitches the buckets into one global hierarchy; each
+       row's path = top-tree ancestor labels ++ bucket-local path.
+
+    Deterministic labels are ``cluster[n_leaves]`` exactly like
+    :func:`cluster`, so the global root label is ``cluster[total_rows]``.
+    With ``summary_prompt``, bucket-local internal nodes summarize their
+    leaf items (backend is pickled into the UDF — per-executor calls),
+    while top-tree nodes summarize their child buckets' ROOT summaries
+    (hierarchical roll-up; the driver only ever sees one summary string
+    per bucket). Reference semantics: cluster.py:162-234; the two-level
+    decomposition is the documented deviation that makes it distributed.
+    """
+    from ..functions.similarity import ivf_index
+
+    if embedding_col:
+        emb = df.withColumn("_emb", F.col(embedding_col).cast(T.ArrayType(T.DoubleType())))
+    elif embedding_keys:
+        if backend is None:
+            raise ValueError("cluster_distributed: embedding_keys needs a backend")
+        emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+    else:
+        raise ValueError("cluster_distributed: provide embedding_keys or embedding_col")
+
+    total = emb.count()
+    if total == 0:
+        return df.withColumn(output_key, F.lit(None).cast(T.ArrayType(T.StringType())))
+    if n_buckets is None:
+        n_buckets = max(1, -(-total // max(1, max_local_size // 2)))  # ceil-div
+
+    indexed, _cents = ivf_index(emb, "_emb", n_lists=n_buckets, seed=seed)
+
+    id_type = df.schema[id_col].dataType
+    local_schema = T.StructType([
+        T.StructField("_bucket", T.LongType(), True),
+        T.StructField(id_col, id_type, True),
+        T.StructField("_local_path", T.ArrayType(T.StringType()), True),
+        T.StructField("_bucket_centroid", T.ArrayType(T.DoubleType()), True),
+    ])
+    prompt = summary_prompt
+    be = backend if summary_prompt else None  # only pickle the backend when needed
+
+    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        vecs = np.array(pdf["_emb"].tolist(), dtype=float)
+        merges = _agglomerative(vecs) if len(ids) > 1 else []
+
+        def summarize(node: int, leaf_idx: list[int]) -> str:
+            if prompt and be is not None:
+                items = [{"id": ids[i]} for i in leaf_idx]
+                rendered = render_prompt(prompt, {"inputs": items})
+                return str(be.complete(rendered, {"summary": "str"}, items).get("summary"))
+            return f"cluster[{len(leaf_idx)}]"
+
+        paths = _tree_paths(len(ids), merges, summarize)
+        centroid = vecs.mean(axis=0).tolist()
+        return pd.DataFrame({
+            "_bucket": pdf["_ivf_list"],
+            id_col: ids,
+            "_local_path": paths,
+            "_bucket_centroid": [centroid] * len(ids),
+        })
+
+    # Project to the 3 needed columns BEFORE the pandas barrier (column
+    # pruning stops at applyInPandas), and persist: `local` is consumed
+    # twice (bucket stats collect + the path join) and each recompute
+    # would re-run the linkage and any LLM summary calls.
+    local = (
+        indexed.select(id_col, "_emb", "_ivf_list")
+        .groupBy("_ivf_list")
+        .applyInPandas(per_bucket, schema=local_schema)
+        .persist()
+    )
+    # Tiny per-bucket stats for the top tree: <= n_buckets rows. The
+    # bucket's root label is _local_path[0] of any member (paths are
+    # uniform at depth 1 within a bucket); size-1 buckets have an
+    # empty local path — their label is cluster[1] by construction.
+    stats = (
+        local.groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.first("_bucket_centroid").alias("_centroid"),
+            # try_: a size-1 bucket has an empty local path (ANSI element_at throws)
+            F.first(F.try_element_at("_local_path", F.lit(1))).alias("_root_summary"),
+        )
+        .orderBy("_bucket")
+        .collect()
+    )
+    buckets = [r["_bucket"] for r in stats]
+    sizes = [r["_n"] for r in stats]
+    roots = [r["_root_summary"] if r["_root_summary"] is not None else "cluster[1]" for r in stats]
+    cents = np.array([r["_centroid"] for r in stats], dtype=float)
+    top_merges = _agglomerative(cents) if len(buckets) > 1 else []
+
+    def summarize_top(node: int, leaf_idx: list[int]) -> str:
+        if prompt and backend is not None:
+            items = [{"summary": roots[i]} for i in leaf_idx]
+            rendered = render_prompt(prompt, {"inputs": items})
+            return str(backend.complete(rendered, {"summary": "str"}, items).get("summary"))
+        return f"cluster[{sum(sizes[i] for i in leaf_idx)}]"
+
+    top_paths = _tree_paths(len(buckets), top_merges, summarize_top)
+
+    spark = df.sparkSession
+    prefix_df = spark.createDataFrame(
+        [(buckets[i], top_paths[i]) for i in range(len(buckets))],
+        schema=T.StructType([
+            T.StructField("_bucket", T.LongType(), True),
+            T.StructField("_top_path", T.ArrayType(T.StringType()), True),
+        ]),
+    )
+    path_df = (
+        local.join(F.broadcast(prefix_df), "_bucket")
+        .select(
+            id_col,
+            F.concat("_top_path", "_local_path").alias(output_key),
+        )
+    )
+    return df.join(path_df, id_col, "left")

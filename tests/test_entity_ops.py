@@ -209,6 +209,56 @@ def test_cluster_paths(docs):
     assert len(roots) == 1
 
 
+def test_cluster_distributed_invariants(spark):
+    # 200 vectors in 4 well-separated blobs; way past a max_local_size of
+    # 40, so the op MUST go through the bucketed path (several buckets).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        {"id": i, "vec": (rng.randn(8) * 0.05 + np.eye(4)[i % 4].repeat(2) * 10).tolist()}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    from docetl_spark.operators.cluster import cluster_distributed
+
+    out = cluster_distributed(
+        df, id_col="id", embedding_col="vec", max_local_size=40, n_buckets=8, seed=3
+    ).collect()
+    assert len(out) == 200
+    paths = {r["id"]: r["clusters"] for r in out}
+    # every row reaches the same global root, labeled with the total count
+    assert {p[0] for p in paths.values()} == {"cluster[200]"}
+    # labels along any path are cluster[k] with k non-increasing
+    for p in paths.values():
+        ks = [int(re.match(r"cluster\[(\d+)\]", s).group(1)) for s in p]
+        assert ks == sorted(ks, reverse=True)
+    # deterministic across re-runs (sorted pandas groups + seeded kmeans)
+    out2 = cluster_distributed(
+        df, id_col="id", embedding_col="vec", max_local_size=40, n_buckets=8, seed=3
+    ).collect()
+    assert paths == {r["id"]: r["clusters"] for r in out2}
+
+
+def test_cluster_distributed_summaries(docs):
+    # summary_prompt path: bucket-local nodes summarize leaf items, top
+    # nodes roll up child-bucket root summaries; FakeBackend is pickled
+    # into the executor UDF.
+    from docetl_spark.operators.cluster import cluster_distributed
+    from docetl_spark.operators.resolve import embed_column
+
+    be = FakeBackend()
+    emb = embed_column(docs, ["text"], be, out_col="vec")
+    out = cluster_distributed(
+        emb, be, id_col="id", embedding_col="vec", n_buckets=2,
+        summary_prompt="summarize {{ inputs | length }}",
+    ).collect()
+    assert len(out) == 5
+    assert all(isinstance(r["clusters"], list) for r in out)
+    roots = {r["clusters"][0] for r in out if r["clusters"]}
+    assert len(roots) == 1  # single global root summary
+
+
 def test_cluster_size_gate(spark):
     rows = [{"id": i, "text": f"t{i}"} for i in range(30)]
     df = spark.createDataFrame(rows)
