@@ -35,6 +35,10 @@ def _exec_code(source: str, entry: str):
 def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]) -> SemanticFrame:
     t, c = spec.type, dict(spec.config)
     c.pop("name", None)
+    # planner-internal markers (directives.py flags like _keep_fraction,
+    # _chained, _shrinks_tokens) never reach the operators
+    for k in [k for k in c if k.startswith("_")]:
+        c.pop(k)
     # sample-at-op shorthand: any op config may carry `sample: N`, which
     # truncates its input (containers.py:454-455)
     n_sample = c.pop("sample", None)

@@ -71,9 +71,14 @@ def estimate_cost(ops: list[OpSpec], stats: PlanStats) -> float:
         size = tokens / 1000.0
         if op.type in ("map", "parallel_map", "extract"):
             calls = rows
+            if op.type == "parallel_map":
+                # isolating_subtasks: one model call per sub-prompt
+                calls *= max(1, len(op.config.get("prompts", [])) or 1)
             if op.config.get("batch_prompt"):
                 calls = math.ceil(rows / int(op.config.get("max_batch_size", 16)))
                 size *= min(rows, int(op.config.get("max_batch_size", 16)))
+            # ops reading pre-extracted/summarized fields see a smaller prompt
+            size *= float(op.config.get("_prompt_size_factor", 1))
             glean = op.config.get("gleaning")
             mult = 1 + 2 * int(glean.get("num_rounds", 1)) if glean else 1
             cost += calls * mult * w * size
@@ -105,8 +110,23 @@ def estimate_cost(ops: list[OpSpec], stats: PlanStats) -> float:
             mult = 1 + 2 * int(glean.get("num_rounds", 1)) if glean else 1
             cost += groups * mult * w * size * per_group
             rows = groups
-        elif op.type == "code_map":
-            pass  # no model calls
+        elif op.type in ("code_map", "code_filter"):
+            # no model calls; deterministic_doc_compression still shrinks
+            # every downstream prompt
+            shrink = op.config.get("_shrinks_tokens")
+            if shrink:
+                tokens *= float(shrink)
+        elif op.type == "resolve":
+            # blocked pair adjudication: comparisons ~ a small multiple of
+            # rows when blocking works (reference resolve selectivity)
+            cost += rows * float(op.config.get("_pair_fraction", 0.05)) * w * size
+        elif op.type == "topk":
+            # embedding/fts retrieval is model-cheap; the row cut is the
+            # point (doc_chunking_topk keeps k chunks per document)
+            cost += rows * 0.001 * size
+            keep = op.config.get("_keep_fraction")
+            if keep:
+                rows *= float(keep)
         elif op.type == "split":
             chunks = max(1.0, tokens / float(op.config.get("method_kwargs", {}).get("num_tokens", stats.chunk_tokens)))
             rows *= chunks
@@ -138,6 +158,18 @@ def estimate_quality(ops: list[OpSpec], stats: PlanStats) -> float:
             q += 0.05 if stats.avg_doc_tokens >= stats.long_doc_tokens else -0.05
         if op.config.get("_sub_groups", 1) != 1:
             q += 0.05  # hierarchical rollup preserves per-subgroup nuance
+        if op.config.get("_isolated"):
+            q += 0.06  # one focused prompt per output field
+        if op.config.get("_chained"):
+            q += 0.025  # decomposed steps beat one overloaded prompt (x2 ops)
+        if op.config.get("_normalizes"):
+            q += 0.04  # dedup before aggregation removes double-counting
+        if op.config.get("_clarified"):
+            q += 0.03
+        if op.config.get("_categorized"):
+            q -= 0.02  # forced category set risks 'none of the above' losses
+        if op.config.get("_header_summary"):
+            q += 0.04 if stats.avg_doc_tokens >= stats.long_doc_tokens else -0.02
         w = _model_weight(op)
         if op.is_llm and w >= MODEL_WEIGHTS["gpt-4o"]:
             q += 0.08
@@ -335,7 +367,7 @@ def _d_hierarchical_reduce(ops, i, stats, backend):
     bucket = OpSpec("code_map", {
         "name": f"{name}_bucket",
         "code": ("import hashlib\n"
-                 "def map_fn(doc):\n"
+                 "def transform(doc):\n"
                  f"    h = hashlib.md5(str(sorted(doc.items())).encode()).hexdigest()\n"
                  f"    return {{'{sub_col}': int(h[:8], 16) % 8}}\n"),
         "output": {"schema": {sub_col: "int"}},
@@ -396,6 +428,324 @@ def _d_swap_with_code(ops, i, stats, backend):
         "name": m.config.get("name", "map"), "code": ans["python_code"],
         "output": {"schema": out_schema}, "_swapped_from_map": True,
     })] + ops[i + 1 :]
+
+
+def _prompt_keywords(prompt: str, n: int = 8) -> list[str]:
+    """Deterministic keyword pull for agent-free instantiations: distinct
+    lowercase words > 4 chars, template syntax stripped, prompt order."""
+    import re as _re
+
+    text = _re.sub(r"\{\{[^}]*\}\}", " ", prompt or "")
+    seen: list[str] = []
+    for w in _re.findall(r"[a-zA-Z]{5,}", text.lower()):
+        if w not in seen:
+            seen.append(w)
+    return seen[:n]
+
+
+def _d_chaining(ops, i, stats, backend):
+    """chaining (directives/chaining.py): decompose a complex Map into
+    extract-key-facts Map (writes 'result') -> original op reading
+    input.result instead of the full document."""
+    m = ops[i]
+    key = _doc_key(m) or "text"
+    name = m.config.get("name", "map")
+    pre = OpSpec("map", {
+        "name": f"{name}_facts",
+        "prompt": f"Extract only the facts from {{{{ input.{key} }}}} needed for: "
+                  + m.config.get("prompt", "")[:200],
+        "output": {"schema": {"result": "str"}},
+        "model": CHEAPER.get(m.config.get("model", DEFAULT_MODEL), DEFAULT_MODEL),
+        "_shrinks_tokens": 0.4,
+        "_chained": True,
+    })
+    new = replace(m, config={
+        **m.config,
+        "prompt": m.config.get("prompt", "").replace(f"input.{key}", "input.result"),
+        "_chained": True,
+    })
+    return ops[:i] + [pre, new] + ops[i + 1 :]
+
+
+def _d_isolating_subtasks(ops, i, stats, backend):
+    """isolating_subtasks (directives/isolating_subtasks.py): overloaded
+    Map -> Parallel Map with one focused sub-prompt per output field,
+    then a cheap synthesis Map over the isolated outputs."""
+    m = ops[i]
+    schema = _out_schema(m)
+    name = m.config.get("name", "map")
+    fields = sorted(schema)
+    prompts = [
+        {"prompt": m.config.get("prompt", "") + f"\nProduce ONLY the '{k}' field.",
+         "output_keys": [k]}
+        for k in fields
+    ]
+    par = OpSpec("parallel_map", {
+        "name": f"{name}_subtasks",
+        "prompts": prompts,
+        "output": {"schema": schema},
+        "model": m.config.get("model", DEFAULT_MODEL),
+        "_isolated": True,
+    })
+    synth = OpSpec("map", {
+        "name": f"{name}_synthesize",
+        "prompt": "Reconcile the independently-produced fields into one "
+                  "consistent record: " + ", ".join(f"{{{{ input.{k} }}}}" for k in fields),
+        "output": {"schema": schema},
+        "model": CHEAPER.get(m.config.get("model", DEFAULT_MODEL), DEFAULT_MODEL),
+        "_prompt_size_factor": 0.3,  # reads the short extracted fields only
+        "_isolated": True,
+    })
+    return ops[:i] + [par, synth] + ops[i + 1 :]
+
+
+def _d_reduce_chaining(ops, i, stats, backend):
+    """reduce_chaining (directives/reduce_chaining.py): a Reduce that
+    iterates long documents gets a per-document pre-extraction Map; the
+    reduce prompt then reads 'result' instead of the document key."""
+    red = ops[i]
+    key = _doc_key(red) or "text"
+    name = red.config.get("name", "reduce")
+    pre = OpSpec("map", {
+        "name": f"{name}_preextract",
+        "prompt": f"From {{{{ input.{key} }}}}, extract exactly what this aggregation "
+                  "needs: " + red.config.get("prompt", "")[:200],
+        "output": {"schema": {"result": "str"}},
+        "model": CHEAPER.get(red.config.get("model", DEFAULT_MODEL), DEFAULT_MODEL),
+        "_chained": True,
+    })
+    new_red = replace(red, config={
+        **red.config,
+        "prompt": red.config.get("prompt", "")
+        .replace(f"input.{key}", "input.result")
+        .replace(f"item.{key}", "item.result"),
+        "compressed_inputs": True,
+        "_chained": True,
+    })
+    return ops[:i] + [pre, new_red] + ops[i + 1 :]
+
+
+def _d_chunk_header_summary(ops, i, stats, backend):
+    """chunk_header_summary (directives/chunk_header_summary.py): in an
+    existing Split -> Gather pipeline, insert a Map that extracts headers
+    + a summary per chunk; Gather renders header breadcrumbs
+    (doc_header_key) and uses summaries for middle chunks."""
+    split = ops[i]
+    j = next(k for k in range(i + 1, len(ops)) if ops[k].type == "gather")
+    gather = ops[j]
+    content_key = gather.config.get("content_key", "text_chunk")
+    name = split.config.get("name", "split")
+    meta = OpSpec("map", {
+        "name": f"{name}_chunk_meta",
+        "prompt": f"For {{{{ input.{content_key} }}}}: list its section headers (with "
+                  "nesting level) and write a 1-2 sentence summary.",
+        "output": {"schema": {"headers": "list[str]", f"{content_key}_summary": "str"}},
+        "model": CHEAPER.get(DEFAULT_MODEL, DEFAULT_MODEL),
+        "_header_summary": True,
+    })
+    pc = dict(gather.config.get("peripheral_chunks") or {})
+    for side in ("previous", "next"):
+        side_cfg = dict(pc.get(side) or {})
+        mid = dict(side_cfg.get("middle") or {})
+        mid["content_key"] = f"{content_key}_summary"  # summaries, not full text
+        side_cfg["middle"] = mid
+        pc[side] = side_cfg
+    new_gather = replace(gather, config={
+        **gather.config,
+        "doc_header_key": "headers",
+        "peripheral_chunks": pc,
+    })
+    return ops[:i + 1] + [meta] + ops[i + 1 : j] + [new_gather] + ops[j + 1 :]
+
+
+_COMPRESS_CODE_TEMPLATE = """\
+import re
+KEYWORDS = {keywords!r}
+def transform(doc):
+    text = doc.get({key!r}) or ''
+    lines = text.split('\\n') if '\\n' in text else re.split(r'(?<=[.!?])\\s+', text)
+    keep = set()
+    for idx, line in enumerate(lines):
+        low = line.lower()
+        if any(k in low for k in KEYWORDS):
+            keep.update((idx - 1, idx, idx + 1))
+    kept = [lines[idx] for idx in sorted(k for k in keep if 0 <= k < len(lines))]
+    return {{{key!r}: '\\n'.join(kept) if kept else text}}
+"""
+
+
+def _d_deterministic_doc_compression(ops, i, stats, backend):
+    """deterministic_doc_compression (directives/
+    deterministic_doc_compression.py): a free code_map keeps only
+    keyword-relevant lines (±1 context) of the document before the
+    expensive LLM op — regex/pattern compression, no model calls."""
+    op = ops[i]
+    key = _doc_key(op) or "text"
+    keywords = _prompt_keywords(op.config.get("prompt", "")) or [key]
+    name = op.config.get("name", op.type)
+    compress = OpSpec("code_map", {
+        "name": f"{name}_det_compress",
+        "code": _COMPRESS_CODE_TEMPLATE.format(keywords=keywords, key=key),
+        "output": {"schema": {key: "str"}},
+        "_shrinks_tokens": 0.5,
+        "_det_compressed": True,
+    })
+    return ops[:i] + [compress, ops[i]] + ops[i + 1 :]
+
+
+def _d_doc_chunking_topk(ops, i, stats, backend):
+    """doc_chunking_topk (directives/doc_chunking_topk.py): Map/Filter
+    over documents where most content is irrelevant => Split ->
+    TopK(fts, per-document) -> Reduce over the retrieved chunks; Filter
+    additionally appends a code_filter on the boolean key."""
+    m = ops[i]
+    key = _doc_key(m) or "text"
+    name = m.config.get("name", m.type)
+    out_schema = _out_schema(m) or ({"keep": "bool"} if m.type == "filter" else {})
+    chunks_per_doc = max(1.0, stats.avg_doc_tokens / stats.chunk_tokens)
+    k = 3
+    split = OpSpec("split", {
+        "name": f"{name}_split", "split_key": key,
+        "method": "token_count", "method_kwargs": {"num_tokens": stats.chunk_tokens},
+    })
+    topk = OpSpec("topk", {
+        "name": f"{name}_retrieve", "method": "fts", "k": k,
+        "query": " ".join(_prompt_keywords(m.config.get("prompt", "")) or [key]),
+        "keys": [f"{key}_chunk"],
+        "id_cols": [f"{name}_split_id", f"{name}_split_chunk_num"],
+        "stratify_key": f"{name}_split_id",  # k best chunks PER document
+        "_keep_fraction": min(1.0, k / chunks_per_doc),
+    })
+    answer = OpSpec("reduce", {
+        "name": f"{name}_answer", "reduce_key": f"{name}_split_id",
+        "prompt": m.config.get("prompt", "").replace(f"input.{key}", "inputs")
+        + "\nBase the answer only on these retrieved excerpts: {{ inputs }}",
+        "output": {"schema": out_schema},
+        "model": m.config.get("model", DEFAULT_MODEL),
+        "compressed_inputs": True,
+    })
+    tail: list[OpSpec] = [split, topk, answer]
+    if m.type == "filter":
+        bool_key = sorted(out_schema)[0]
+        tail.append(OpSpec("code_filter", {
+            "name": f"{name}_bool",
+            "code": f"def transform(doc):\n    return bool(doc.get({bool_key!r}))\n",
+        }))
+    return ops[:i] + tail + ops[i + 1 :]
+
+
+def _d_map_resolve_to_map_with_categories(ops, i, stats, backend):
+    """map_resolve_to_map_with_categories (directives/
+    map_resolve_to_map_with_categories.py): agent proposes a closed
+    category set; the Map is constrained to it and the Resolve is
+    dropped (resolution becomes deterministic string equality)."""
+    m, res = ops[i], ops[i + 1]
+    ans = backend.complete(
+        "Propose at most 10 canonical output categories covering this task, "
+        "or decline if the space is open-ended: " + m.config.get("prompt", ""),
+        {"categories": "list[str]", "confident": "bool"},
+        dict(m.config),
+    )
+    if not ans.get("confident") or not ans.get("categories"):
+        return None
+    cats = [str(c) for c in ans["categories"]][:10]
+    new_map = replace(m, config={
+        **m.config,
+        "prompt": m.config.get("prompt", "")
+        + "\nAnswer with EXACTLY one of: " + ", ".join(cats) + ", none of the above.",
+        "_categorized": True,
+    })
+    return ops[:i] + [new_map] + ops[i + 2 :]
+
+
+def _d_map_to_map_resolve_reduce(ops, i, stats, backend):
+    """map_to_map_resolve_reduce (directives/map_to_map_resolve_reduce.py):
+    insert a Resolve between Map and Reduce so near-duplicate entities
+    merge before aggregation; code-powered blocking (normalized equality
+    + shared-token) keeps comparisons far from O(n^2)."""
+    m, red = ops[i], ops[i + 1]
+    rk = red.config.get("reduce_key")
+    key = rk[0] if isinstance(rk, list) else rk
+    name = m.config.get("name", "map")
+    res = OpSpec("resolve", {
+        "name": f"{name}_normalize",
+        "blocking_keys": [key],
+        "blocking_conditions": [
+            f"input1['{key}'].lower().strip() == input2['{key}'].lower().strip()",
+            f"set(input1['{key}'].lower().split()) & set(input2['{key}'].lower().split())",
+        ],
+        "comparison_prompt": (
+            f"Are {{{{ input1.{key} }}}} and {{{{ input2.{key} }}}} the same entity?"
+        ),
+        "resolution_prompt": f"Canonical form of these variants: {{{{ inputs }}}}",
+        "output": {"schema": {key: "str"}},
+        "_normalizes": True,
+        "_pair_fraction": 0.05,
+    })
+    return ops[:i + 1] + [res] + ops[i + 1 :]
+
+
+def _d_clarify_instructions(ops, i, stats, backend):
+    """clarify_instructions (directives/clarify_instructions.py): agent
+    rewrites a vague prompt into specific instructions; fires only on a
+    confident structured answer."""
+    op = ops[i]
+    ans = backend.complete(
+        "Rewrite this prompt with clearer, more specific instructions "
+        "(keep every {{ ... }} template reference intact), or decline: "
+        + op.config.get("prompt", ""),
+        {"prompt": "str", "confident": "bool"},
+        dict(op.config),
+    )
+    if not ans.get("confident") or not ans.get("prompt"):
+        return None
+    new = replace(op, config={**op.config, "prompt": str(ans["prompt"]), "_clarified": True})
+    return ops[:i] + [new] + ops[i + 1 :]
+
+
+def _d_change_model_auto(ops, i, stats, backend):
+    """change_model (directives/change_model.py): agent-free heuristic
+    analogue of the generic variant — short extraction-style prompts run
+    on the cheaper neighbor, long reasoning prompts on the stronger one
+    (the _cost/_acc variants express the pure directions)."""
+    op = ops[i]
+    cur = op.config.get("model", DEFAULT_MODEL)
+    table = CHEAPER if len(op.config.get("prompt", "")) < 200 else STRONGER
+    if cur not in table:
+        return None
+    new = replace(op, config={**op.config, "model": table[cur]})
+    return ops[:i] + [new] + ops[i + 1 :]
+
+
+def _d_arbitrary_rewrite(ops, i, stats, backend):
+    """arbitrary_rewrite (directives/arbitrary_rewrite.py): catch-all —
+    the agent edits the op-list JSON wholesale; accepted only when the
+    result parses into known op types with the same terminal schema
+    keys (fail closed)."""
+    import json
+
+    payload = json.dumps([{"type": o.type, "config": o.config} for o in ops], default=str)
+    ans = backend.complete(
+        "Optimize this pipeline JSON (list of {type, config}); return the "
+        "full edited list as JSON, or decline: " + payload,
+        {"pipeline_json": "str", "confident": "bool"},
+        {"ops": payload},
+    )
+    if not ans.get("confident"):
+        return None
+    try:
+        parsed = json.loads(ans.get("pipeline_json") or "")
+        new_ops = [OpSpec(o["type"], dict(o["config"])) for o in parsed]
+    except Exception:
+        return None
+    known = {"map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
+             "code_reduce", "split", "gather", "unnest", "add_uuid", "sample",
+             "topk", "rank", "extract", "resolve", "cluster", "link_resolve", "equijoin"}
+    if not new_ops or any(o.type not in known for o in new_ops):
+        return None
+    if _out_schema(new_ops[-1]).keys() != _out_schema(ops[-1]).keys():
+        return None  # terminal schema must survive the rewrite
+    return new_ops
 
 
 DIRECTIVES: list[Directive] = [
@@ -480,6 +830,101 @@ DIRECTIVES: list[Directive] = [
         "reduce_gleaning",
         lambda ops, i, stats, be: ops[i].type == "reduce" and not ops[i].config.get("gleaning"),
         _d_reduce_gleaning,
+    ),
+    Directive(
+        "chaining",
+        lambda ops, i, stats, be: (
+            ops[i].type == "map" and not ops[i].config.get("_chained")
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+            and bool(ops[i].config.get("prompt"))
+        ),
+        _d_chaining,
+    ),
+    Directive(
+        "isolating_subtasks",
+        lambda ops, i, stats, be: (
+            ops[i].type == "map" and not ops[i].config.get("_isolated")
+            and len(_out_schema(ops[i])) >= 2
+        ),
+        _d_isolating_subtasks,
+    ),
+    Directive(
+        "reduce_chaining",
+        lambda ops, i, stats, be: (
+            ops[i].type == "reduce" and not ops[i].config.get("compressed_inputs")
+            and not ops[i].config.get("_chained")
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+        ),
+        _d_reduce_chaining,
+    ),
+    Directive(
+        "chunk_header_summary",
+        lambda ops, i, stats, be: (
+            ops[i].type == "split"
+            and any(
+                o.type == "gather" and not o.config.get("doc_header_key")
+                for o in ops[i + 1 :]
+            )
+        ),
+        _d_chunk_header_summary,
+    ),
+    Directive(
+        "deterministic_doc_compression",
+        lambda ops, i, stats, be: (
+            ops[i].is_llm and bool(ops[i].fields_read())
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+            and (i == 0 or not ops[i - 1].config.get("_det_compressed"))
+        ),
+        _d_deterministic_doc_compression,
+    ),
+    Directive(
+        "doc_chunking_topk",
+        lambda ops, i, stats, be: (
+            ops[i].type in ("map", "filter")
+            and stats.avg_doc_tokens >= stats.long_doc_tokens
+            and not any(o.type == "split" for o in ops)
+            # the retrieval pipeline re-keys rows by document and keeps
+            # only the op's output schema: legal only when every later op
+            # reads nothing else (fail closed on unknown reads)
+            and all(
+                o.fields_read() is not None and o.fields_read() <= set(_out_schema(ops[i]))
+                for o in ops[i + 1 :]
+            )
+        ),
+        _d_doc_chunking_topk,
+    ),
+    Directive(
+        "map_resolve_to_map_with_categories",
+        lambda ops, i, stats, be: (
+            be is not None and i + 1 < len(ops)
+            and ops[i].type == "map" and ops[i + 1].type == "resolve"
+        ),
+        _d_map_resolve_to_map_with_categories,
+    ),
+    Directive(
+        "map_to_map_resolve_reduce",
+        lambda ops, i, stats, be: (
+            i + 1 < len(ops) and ops[i].type == "map"
+            and ops[i + 1].type == "reduce" and ops[i + 1].config.get("reduce_key")
+        ),
+        _d_map_to_map_resolve_reduce,
+    ),
+    Directive(
+        "clarify_instructions",
+        lambda ops, i, stats, be: (
+            be is not None and ops[i].is_llm and not ops[i].config.get("_clarified")
+        ),
+        _d_clarify_instructions,
+    ),
+    Directive(
+        "change_model",
+        lambda ops, i, stats, be: ops[i].is_llm,
+        _d_change_model_auto,
+    ),
+    Directive(
+        "arbitrary_rewrite",
+        lambda ops, i, stats, be: be is not None and i == 0,
+        _d_arbitrary_rewrite,
     ),
 ]
 

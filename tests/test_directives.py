@@ -30,12 +30,19 @@ def test_cascade_lowers_cost_sampling_lowers_quality():
 
 
 def test_doc_chunking_gates_on_length():
+    from docetl_spark.plans.directives import DIRECTIVES
+
+    d = next(d for d in DIRECTIVES if d.name == "doc_chunking")
     short = optimize_ops(_ops(), PlanStats(rows=100, avg_doc_tokens=300))
     assert not any("doc_chunking" in dict(c.applied) for c in short.frontier)
-    long = optimize_ops(_ops(), PlanStats(rows=100, avg_doc_tokens=5000))
-    chunked = [c for c in long.frontier if "doc_chunking" in dict(c.applied)]
-    assert chunked
-    types = [o.type for o in chunked[0].ops]
+    # on long docs the directive fires and produces the 4-op chunk plan
+    # (frontier survival is not guaranteed once cheaper retrieval-style
+    # rewrites exist — check the rewrite itself)
+    ops = _ops()
+    stats = PlanStats(rows=100, avg_doc_tokens=5000)
+    assert d.applies(ops, 0, stats, None)
+    out = d.apply(ops, 0, stats, None)
+    types = [o.type for o in out]
     i = types.index("split")
     assert types[i : i + 4] == ["split", "gather", "map", "reduce"]
 
@@ -233,4 +240,154 @@ def test_new_directives_reachable_in_search():
     ])
     res = optimize_ops(ops, PlanStats(rows=10_000, groups=20, avg_doc_tokens=5000), max_depth=2)
     fired = {name for c in res.frontier for name, _ in c.applied}
-    assert {"map_reduce_fusion", "doc_summarization", "reduce_gleaning"} & fired
+    assert len(fired) >= 3  # multiple distinct directives on the frontier
+    assert {"map_reduce_fusion", "doc_summarization", "reduce_gleaning",
+            "deterministic_doc_compression", "doc_chunking_topk", "chaining",
+            "reduce_chaining", "take_head_tail", "change_model_acc"} & fired
+
+
+# ------------------------------------------------------- round-2 batch
+def _apply(name, ops, i, stats=None, be=None):
+    from docetl_spark.plans.directives import DIRECTIVES
+    d = next(d for d in DIRECTIVES if d.name == name)
+    stats = stats or PlanStats(avg_doc_tokens=5000)
+    assert d.applies(ops, i, stats, be), f"{name} not applicable at {i}"
+    return d.apply(ops, i, stats, be)
+
+
+def test_chaining_decomposes_map():
+    ops = _ops()
+    out = _apply("chaining", ops, 0)
+    assert [o.type for o in out[:2]] == ["map", "map"]
+    assert out[0].config["output"]["schema"] == {"result": "str"}
+    assert "input.result" in out[1].config["prompt"]
+    # fires once: the rewritten map is marked
+    from docetl_spark.plans.directives import DIRECTIVES
+    d = next(d for d in DIRECTIVES if d.name == "chaining")
+    assert not d.applies(out, 1, PlanStats(avg_doc_tokens=5000), None)
+
+
+def test_isolating_subtasks_parallelizes_fields():
+    ops = lift([{"type": "map", "name": "m", "prompt": "x {{ input.text }}",
+                 "output": {"schema": {"a": "str", "b": "str", "c": "int"}}}])
+    out = _apply("isolating_subtasks", ops, 0)
+    assert out[0].type == "parallel_map"
+    assert len(out[0].config["prompts"]) == 3
+    assert out[1].type == "map" and out[1].config["_isolated"]
+    # per-field calls cost more than the single map, quality higher
+    stats = PlanStats(rows=100, avg_doc_tokens=500)
+    from docetl_spark.plans import estimate_quality
+    assert estimate_cost(out, stats) > estimate_cost(ops, stats)
+
+
+def test_reduce_chaining_preextracts():
+    ops = _ops()
+    out = _apply("reduce_chaining", ops, 2)
+    assert out[2].type == "map" and out[3].type == "reduce"
+    assert out[3].config["compressed_inputs"] is True
+    assert "input.result" not in ops[2].config["prompt"]  # original untouched
+
+
+def test_chunk_header_summary_upgrades_gather():
+    ops = lift([
+        {"type": "split", "name": "sp", "split_key": "text", "method": "token_count",
+         "method_kwargs": {"num_tokens": 200}},
+        {"type": "gather", "content_key": "text_chunk", "doc_id_key": "sp_id",
+         "order_key": "sp_chunk_num",
+         "peripheral_chunks": {"previous": {"tail": {"count": 1}}}},
+    ])
+    out = _apply("chunk_header_summary", ops, 0)
+    assert [o.type for o in out] == ["split", "map", "gather"]
+    assert out[2].config["doc_header_key"] == "headers"
+    assert out[2].config["peripheral_chunks"]["previous"]["middle"]["content_key"] == "text_chunk_summary"
+
+
+def test_deterministic_doc_compression_is_free_and_runs():
+    ops = _ops()
+    out = _apply("deterministic_doc_compression", ops, 0)
+    assert out[0].type == "code_map"
+    stats = PlanStats(rows=100, avg_doc_tokens=5000)
+    assert estimate_cost(out, stats) < estimate_cost(ops, stats)  # shrink, no new calls
+    # the generated code actually compresses: keyword line kept, noise dropped
+    ns = {}
+    exec(out[0].config["code"], ns)
+    doc = {"text": "irrelevant preamble\nplease summarize this part\nmore noise\nfiller\nend"}
+    res = ns["transform"](doc)
+    assert "summarize" in res["text"] and "filler" not in res["text"]
+
+
+def test_doc_chunking_topk_builds_retrieval_pipeline():
+    ops = lift([{"type": "filter", "name": "f", "prompt": "mentions liability {{ input.text }}",
+                 "output": {"schema": {"keep": "bool"}}}])
+    out = _apply("doc_chunking_topk", ops, 0)
+    assert [o.type for o in out] == ["split", "topk", "reduce", "code_filter"]
+    assert out[1].config["stratify_key"] == "f_split_id"
+    stats = PlanStats(rows=1000, avg_doc_tokens=5000)
+    assert estimate_cost(out, stats) < estimate_cost(ops, stats)
+
+
+def test_map_resolve_to_categories_needs_confident_agent():
+    ops = lift([
+        {"type": "map", "name": "m", "prompt": "company type of {{ input.text }}",
+         "output": {"schema": {"kind": "str"}}},
+        {"type": "resolve", "comparison_prompt": "same? {{ input1.kind }} {{ input2.kind }}"},
+    ])
+    shy = FakeBackend(rules={"confident": lambda ctx: False})
+    assert _apply("map_resolve_to_map_with_categories", ops, 0, be=shy) is None
+    sure = FakeBackend(rules={"confident": lambda ctx: True,
+                              "categories": lambda ctx: ["llc", "corp"]})
+    out = _apply("map_resolve_to_map_with_categories", ops, 0, be=sure)
+    assert len(out) == 1 and "EXACTLY one of: llc, corp" in out[0].config["prompt"]
+
+
+def test_map_to_map_resolve_reduce_shape():
+    ops = lift([
+        {"type": "map", "name": "m", "prompt": "entity {{ input.text }}",
+         "output": {"schema": {"lang": "str"}}},
+        {"type": "reduce", "name": "r", "reduce_key": "lang",
+         "prompt": "agg {{ inputs }}", "output": {"schema": {"n": "int"}}},
+    ])
+    out = _apply("map_to_map_resolve_reduce", ops, 0)
+    assert [o.type for o in out] == ["map", "resolve", "reduce"]
+    assert out[1].config["blocking_keys"] == ["lang"]
+    # no re-fire: the next op after the map is now a resolve
+    from docetl_spark.plans.directives import DIRECTIVES
+    d = next(d for d in DIRECTIVES if d.name == "map_to_map_resolve_reduce")
+    assert not d.applies(out, 0, PlanStats(), None)
+
+
+def test_clarify_and_arbitrary_gate_on_agent():
+    import json
+    ops = _ops()
+    be = FakeBackend(rules={
+        "confident": lambda ctx: True,
+        "prompt": lambda ctx: "Be precise about {{ input.text }}.",
+        "pipeline_json": lambda ctx: json.dumps(
+            [{"type": "map", "config": {"name": "m2", "prompt": "z {{ input.text }}",
+              "output": {"schema": {"n": "int"}}}}]),
+    })
+    out = _apply("clarify_instructions", ops, 0, be=be)
+    assert out[0].config["_clarified"] and out[0].config["prompt"].startswith("Be precise")
+    out2 = _apply("arbitrary_rewrite", ops, 0, be=be)
+    assert [o.type for o in out2] == ["map"]  # terminal schema keys match ({'n'})
+    # schema-breaking rewrites are rejected
+    be_bad = FakeBackend(rules={"confident": lambda ctx: True,
+                                "pipeline_json": lambda ctx: json.dumps(
+                                    [{"type": "map", "config": {"output": {"schema": {"other": "str"}}}}])})
+    assert _apply("arbitrary_rewrite", ops, 0, be=be_bad) is None
+
+
+def test_change_model_heuristic_direction():
+    short = lift([{"type": "map", "name": "m", "prompt": "x {{ input.t }}",
+                   "output": {"schema": {"s": "str"}}, "model": "gpt-4o"}])
+    out = _apply("change_model", short, 0, PlanStats())
+    assert out[0].config["model"] == "gpt-4o-mini"  # short prompt -> cheaper
+    long = lift([{"type": "map", "name": "m", "prompt": "y" * 300,
+                  "output": {"schema": {"s": "str"}}, "model": "gpt-4o-mini"}])
+    out2 = _apply("change_model", long, 0, PlanStats())
+    assert out2[0].config["model"] == "gpt-4o"  # long prompt -> stronger
+
+
+def test_catalog_is_complete_24():
+    from docetl_spark.plans.directives import DIRECTIVES
+    assert len({d.name for d in DIRECTIVES}) == 24
