@@ -339,8 +339,11 @@ class SemanticFrame:
     def cache(self) -> "SemanticFrame":
         return self._next(self.df.cache(), "cache")
 
-    def write_parquet(self, path: str, mode: str = "overwrite"):
-        readers.write_output(self.df, path if path.endswith(".parquet") or "." not in path.rsplit("/", 1)[-1] else path, mode=mode)
+    def write_parquet(self, path: str, mode: str = "overwrite", **kw):
+        readers.write_output(self.df, path if path.endswith(".parquet") or "." not in path.rsplit("/", 1)[-1] else path, mode=mode, **kw)
+
+    def write_bucketed(self, table: str, *, bucket_by, num_buckets: int = 32, **kw):
+        readers.write_bucketed_table(self.df, table, bucket_by=bucket_by, num_buckets=num_buckets, **kw)
 
     def write_json(self, path: str, mode: str = "overwrite"):
         self.df.write.mode(mode).json(path)

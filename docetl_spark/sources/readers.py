@@ -80,11 +80,63 @@ def apply_parser(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def write_output(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
-    """Sink dispatch on extension (runner.py:91-113): .json/.csv/.parquet."""
+def write_output(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Sink dispatch on extension (runner.py:91-113): .json/.csv/.parquet.
+
+    Scale knobs beyond the reference's single-file writers:
+    - ``partition_by``: hive-style directory partitioning — downstream
+      readers filtering on those columns get partition pruning (whole
+      directories skipped at the scan, no footer reads).
+    - ``max_records_per_file``: bounds output file size so a skewed
+      partition doesn't produce one multi-GB file.
+    - ``compression``: e.g. ``zstd`` for parquet cold storage.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
     if path.endswith(".json"):
-        df.write.mode(mode).json(path)
+        w.json(path)
     elif path.endswith(".csv"):
-        df.write.mode(mode).option("header", "true").csv(path)
+        w.option("header", "true").csv(path)
     else:
-        df.write.mode(mode).parquet(path)
+        w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed/external
+    table. Two tables bucketed identically on their join key equi-join
+    WITHOUT a shuffle — both sides' bucket files line up, so at 100 TB
+    the join is a per-bucket zip instead of a full exchange (and with
+    ``sort_by`` a merge join with no sort stage). Spark only honors
+    bucketing through ``saveAsTable`` — plain ``.parquet(path)`` writes
+    drop the metadata, hence the table-name API."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_by:
+        sc = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sc)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -152,6 +152,38 @@ def sessionize_stateful(
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    partition_by: str | list[str] | None = None,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+):
+    """Durable append-mode parquet sink. Exactly-once delivery comes from
+    the checkpoint (offsets + sink commit log survive restarts); only
+    append mode works for file sinks, so upstream aggregations need a
+    watermark to emit finalized groups. ``partition_by`` gives the landed
+    dataset partition pruning for downstream batch readers. Returns the
+    StreamingQuery (caller owns awaitTermination/stop); with
+    ``available_now`` the query drains the backlog and stops itself."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
 def run_available_now(stream_df: DataFrame, *, checkpoint: str, dedupe_keys: list[str] | None = None) -> list:
     """Drain the stream with the availableNow trigger into an in-memory
     sink and return the rows (test/verification harness). With

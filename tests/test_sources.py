@@ -158,3 +158,65 @@ def test_plugin_operator_in_pipeline(spark):
         unregister_operator("double")
     with pytest.raises(ValueError, match="unknown op type"):
         run_pipeline(spark, cfg)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from docetl_spark.sources.readers import write_output
+
+    df = spark.createDataFrame(
+        [{"k": i % 3, "v": i} for i in range(30)]
+    )
+    out = str(tmp_path / "part_out")
+    write_output(df, out, partition_by="k", max_records_per_file=5)
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("k="))
+    assert dirs == ["k=0", "k=1", "k=2"]
+    back = spark.read.parquet(out).filter("k = 1")
+    # partition pruning: the filtered scan reads only the k=1 directory
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 10
+    assert "PartitionFilters: [isnotnull(k" in plan or "k#" in plan
+
+
+def test_bucketed_table_joins_without_shuffle(spark, tmp_path):
+    from docetl_spark.sources.readers import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    left = spark.createDataFrame([{"id": i, "a": i * 2} for i in range(100)])
+    right = spark.createDataFrame([{"id": i, "b": i * 3} for i in range(100)])
+    write_bucketed_table(left, "bt_left", bucket_by="id", num_buckets=4,
+                         sort_by="id", path=str(tmp_path / "bt_left"))
+    write_bucketed_table(right, "bt_right", bucket_by="id", num_buckets=4,
+                         sort_by="id", path=str(tmp_path / "bt_right"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located sort-merge path is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_left").hint("merge").join(spark.table("bt_right"), "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 100
+        # co-located buckets: the sort-merge join runs with NO shuffle
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_stream_to_parquet_sink(spark, tmp_path, sf_dir):
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    q = stream_ops.stream_to_parquet(
+        ev.select("event_id", "user_id", "event_type"), out,
+        checkpoint=ckpt, partition_by="event_type", available_now=True,
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert landed.count() == batch.count()
+    import os
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
