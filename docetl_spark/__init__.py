@@ -7,6 +7,8 @@ Public surface:
 - get_spark / load_tables: session + testdata helpers
 """
 
+__version__ = "0.2.0"
+
 from .backend import FakeBackend, LiteLLMBackend, ModelBackend
 from .checkpoint import Checkpointer
 from .frame import SemanticFrame

@@ -37,17 +37,20 @@ from .sources import readers
 
 
 def _fn_or_code(fn, entry: str):
-    """Accept a callable or python source defining ``entry``; return
-    (callable, source-or-None). Source-backed code ops are YAML-exportable
-    (the reference's code ops carry their source in config); bare
-    callables are Python-only, like the reference's agent tools."""
+    """Accept a callable or python source defining ``transform`` (the
+    reference's universal code-op entry point, code_operations.py:149-163)
+    or the op-specific legacy name in ``entry``; return (callable,
+    source-or-None). Source-backed code ops are YAML-exportable (the
+    reference's code ops carry their source in config); bare callables
+    are Python-only, like the reference's agent tools."""
     if callable(fn):
         return fn, None
     ns: dict = {}
     exec(fn, ns)  # noqa: S102 — the reference executes code-op source the same way
-    if entry not in ns:
-        raise ValueError(f"code op source must define {entry}()")
-    return ns[entry], fn
+    for name in ("transform", entry):
+        if callable(ns.get(name)):
+            return ns[name], fn
+    raise ValueError(f"code op source must define transform() (or {entry}())")
 
 
 # Optional keys whose default values are omitted from exported configs so

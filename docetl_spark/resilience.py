@@ -332,6 +332,23 @@ class ResilientBackend(ModelBackend):
                 attempt += 1
 
 
+def clear_persistent_cache(cache_dir: str | None = None) -> int:
+    """Delete on-disk response-cache entries (CLI ``clear-cache``;
+    reference cli.py clear_cache semantics). Returns entries removed.
+    With no directory given, uses $DOCETL_SPARK_CACHE_DIR."""
+    import glob
+    import os
+
+    cache_dir = cache_dir or os.environ.get("DOCETL_SPARK_CACHE_DIR")
+    if not cache_dir or not os.path.isdir(cache_dir):
+        return 0
+    n = 0
+    for f in glob.glob(os.path.join(cache_dir, "**", "*.json"), recursive=True):
+        os.remove(f)
+        n += 1
+    return n
+
+
 def clear_backend_state(namespace: str | None = None) -> None:
     """Drop process-local cache/bucket state (tests, pipeline resets)."""
     with _state_lock:
