@@ -1,10 +1,10 @@
 from .compiler import run_pipeline
-from .directives import PlanStats, estimate_cost, estimate_quality, optimize_ops
+from .directives import PlanStats, estimate_cost, estimate_quality, moar_search, optimize_ops
 from .ir import OpSpec, lift, lower
 from .rewrite import rewrite
 from .yaml_front import run_yaml
 
 __all__ = [
     "OpSpec", "PlanStats", "estimate_cost", "estimate_quality", "lift",
-    "lower", "optimize_ops", "rewrite", "run_pipeline", "run_yaml",
+    "lower", "moar_search", "optimize_ops", "rewrite", "run_pipeline", "run_yaml",
 ]

@@ -1002,3 +1002,120 @@ def optimize_ops(
         if not level:
             break
     return result
+
+
+# ---------------------------------------------------------- MOAR search
+@dataclass
+class _Node:
+    """MCTS node (MOARSearch.py Node analogue): a concrete op list plus
+    UCB bookkeeping."""
+
+    ops: list
+    applied: tuple = ()
+    children: list = field(default_factory=list)
+    expanded: bool = False
+    visits: int = 0
+    value: float = 0.0  # summed utility for UCB
+
+    def ucb(self, parent_visits: int, c: float) -> float:
+        if self.visits == 0:
+            return float("inf")
+        return self.value / self.visits + c * math.sqrt(
+            math.log(max(parent_visits, 1)) / self.visits
+        )
+
+
+def moar_search(
+    ops: list[OpSpec],
+    stats: PlanStats | None = None,
+    *,
+    backend=None,
+    evaluate=None,
+    max_iterations: int = 20,
+    exploration_constant: float = 1.414,
+    expand_width: int = 4,
+    cost_weight: float = 0.5,
+) -> OptimizeResult:
+    """MOAR-style Monte-Carlo tree search over directive applications
+    (reference moar/MOARSearch.py:30-235: UCB selection -> expansion ->
+    simulation -> backpropagation, keeping a cost/accuracy Pareto
+    frontier).
+
+    Differences from :func:`optimize_ops` (beam): the tree REVISITS
+    promising branches (UCB balances exploitation/exploration), and
+    ``evaluate(ops) -> (cost, quality)`` can be an EMPIRICAL evaluator
+    that executes the candidate on a sample dataset — the reference's
+    simulate phase — instead of the static cost model. With
+    ``backend``, expansion asks the agent to rank the applicable
+    directives (reference _expansion_prompt); without one, catalog
+    order is used (deterministic).
+    """
+    stats = stats or PlanStats()
+    evaluate = evaluate or (lambda o: (estimate_cost(o, stats), estimate_quality(o, stats)))
+
+    def utility(cost: float, quality: float) -> float:
+        # reference utility: accuracy minus normalized cost
+        return quality - cost_weight * cost / (root_cost + 1e-9)
+
+    def candidates(node: _Node) -> list[tuple[str, int]]:
+        out = []
+        for d in DIRECTIVES:
+            for i in range(len(node.ops)):
+                if (d.name, i) not in node.applied and d.applies(node.ops, i, stats, backend):
+                    out.append((d.name, i))
+        return out
+
+    def rank_candidates(node: _Node, cands: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        if backend is None or len(cands) <= expand_width:
+            return cands[:expand_width]
+        ans = backend.complete(
+            "Rank these directive applications for this pipeline, best first; "
+            "return the indices: "
+            + "; ".join(f"{k}: {n}@op{i}" for k, (n, i) in enumerate(cands)),
+            {"order": "list[int]"},
+            {"ops": [o.type for o in node.ops]},
+        )
+        try:
+            order = [int(x) for x in ans.get("order", []) if 0 <= int(x) < len(cands)]
+        except (TypeError, ValueError):
+            order = []
+        ranked = [cands[i] for i in order] + [c for j, c in enumerate(cands) if j not in order]
+        return ranked[:expand_width]
+
+    by_name = {d.name: d for d in DIRECTIVES}
+    root = _Node(list(ops))
+    root_cost, root_q = evaluate(root.ops)
+    result = OptimizeResult(frontier=[], explored=1)
+    pareto_insert(result.frontier, Candidate(list(ops), root_cost, root_q))
+    root.visits, root.value = 1, utility(root_cost, root_q)
+
+    for _ in range(max_iterations):
+        # 1. selection: walk down by UCB until an unexpanded node
+        path = [root]
+        node = root
+        while node.expanded and node.children:
+            node = max(node.children, key=lambda ch: ch.ucb(node.visits, exploration_constant))
+            path.append(node)
+        # 2. expansion
+        if not node.expanded:
+            for name, i in rank_candidates(node, candidates(node)):
+                new_ops = by_name[name].apply(node.ops, i, stats, backend)
+                if new_ops is None:
+                    continue
+                node.children.append(_Node(new_ops, node.applied + ((name, i),)))
+            node.expanded = True
+            if node.children:
+                node = node.children[0]
+                path.append(node)
+        # 3. simulation
+        cost, quality = evaluate(node.ops)
+        result.explored += 1
+        pareto_insert(result.frontier, Candidate(node.ops, cost, quality, node.applied))
+        # 4. backpropagation
+        u = utility(cost, quality)
+        for n in path:
+            n.visits += 1
+            n.value += u
+        if node is root and not root.children:
+            break  # nothing applicable at all
+    return result

@@ -391,3 +391,37 @@ def test_change_model_heuristic_direction():
 def test_catalog_is_complete_24():
     from docetl_spark.plans.directives import DIRECTIVES
     assert len({d.name for d in DIRECTIVES}) == 24
+
+
+def test_moar_search_improves_on_root():
+    from docetl_spark.plans import moar_search
+
+    stats = PlanStats(rows=1000, avg_doc_tokens=5000)
+    res = moar_search(_ops(), stats, max_iterations=15)
+    assert res.explored > 1
+    base = estimate_cost(_ops(), stats)
+    assert min(c.cost for c in res.frontier) < base
+    # frontier is Pareto-consistent
+    for a in res.frontier:
+        for b in res.frontier:
+            if a is not b:
+                assert not (a.cost <= b.cost and a.quality >= b.quality
+                            and (a.cost < b.cost or a.quality > b.quality))
+
+
+def test_moar_search_uses_empirical_evaluator_and_agent_ranking():
+    from docetl_spark.plans import moar_search
+
+    calls = []
+
+    def evaluate(ops):
+        calls.append(len(ops))
+        return float(len(ops)), 0.5  # "cost" = op count
+
+    ranked = []
+    be = FakeBackend(rules={"order": lambda ctx: (ranked.append(1) or [0, 1])})
+    res = moar_search(_ops(), PlanStats(avg_doc_tokens=5000), backend=be,
+                      evaluate=evaluate, max_iterations=6, expand_width=2)
+    assert len(calls) >= 2  # simulation phase ran the evaluator
+    assert ranked  # expansion consulted the agent
+    assert res.frontier
