@@ -862,6 +862,24 @@ def cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filtering (functions/text.py
+    quality_rules): word-count window, mean-word-length window, alpha-
+    word ratio, sentence count — pure JVM expressions, scale-safe (the
+    corpus text has no terminal punctuation, so min_sentences=1 keeps
+    the sentence rule meaningful: any nonempty doc has one segment)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_rules(F.col("text"), min_words=50, min_sentences=1)
+    return docs.select("doc_id", q.alias("_q")).select(
+        "doc_id",
+        F.col("_q.word_count_ok").alias("word_count_ok"),
+        F.col("_q.mean_word_len_ok").alias("mean_word_len_ok"),
+        F.col("_q.alpha_word_ratio_ok").alias("alpha_word_ratio_ok"),
+        F.col("_q.sentence_count_ok").alias("sentence_count_ok"),
+        F.col("_q.passes").alias("passes"),
+    )
+
+
 def cluster_docs_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distributed hierarchical clustering (cluster.py
     cluster_distributed): bounded-sample k-means buckets -> per-bucket
@@ -946,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_near_dup": minhash_near_dup,
         "text_stats": text_stats,
+        "quality_filter_rules": quality_filter_rules,
         "sem_map_sentiment": sem_map_sentiment,
         "sem_filter_mentions": sem_filter_mentions,
         "sem_reduce_lang": sem_reduce_lang,
@@ -1204,6 +1223,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+        "quality_filter_rules": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                     len(list_filter(string_split_regex(text, '[.!?]'), s -> trim(s) <> '')) AS sentences
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(toks)::DOUBLE AS n,
+                     CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END AS mean_len,
+                     CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks) ELSE 0.0 END AS alpha_ratio,
+                     sentences
+              FROM t
+            )
+            SELECT doc_id,
+                   (n >= 50 AND n <= 100000) AS word_count_ok,
+                   (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+                   (alpha_ratio >= 0.80) AS alpha_word_ratio_ok,
+                   (sentences >= 1) AS sentence_count_ok,
+                   ((n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                    AND (alpha_ratio >= 0.80) AND (sentences >= 1)) AS passes
+            FROM f""",
         "text_stats": f"""
             WITH t AS (
               SELECT doc_id, text,

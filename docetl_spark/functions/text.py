@@ -76,6 +76,46 @@ def quality_score(col) -> Column:
     return F.round(score, 6)
 
 
+def quality_rules(
+    col,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.80,
+    min_sentences: int = 3,
+) -> Column:
+    """Gopher/C4-style rule-based quality flags (published heuristics:
+    Gopher appendix A — word-count window, mean-word-length window,
+    ≥80% words containing an alphabetic char; C4 — minimum sentence
+    count). Returns a struct of per-rule booleans plus ``passes`` (AND
+    of all rules), entirely as JVM expressions: a corpus-scale quality
+    filter with no Python in the hot path, and the filter on
+    ``passes`` pushes down to a column-pruned scan.
+
+    Defaults are the published thresholds; tighten/loosen per corpus.
+    """
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+    mean_len = F.when(n > 0, sum_len / n).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    sentences = F.size(F.filter(F.split(col, r"[.!?]"), lambda s: F.trim(s) != ""))
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_word_len_ok = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    alpha_ok = alpha_ratio >= min_alpha_word_ratio
+    sentences_ok = sentences >= min_sentences
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        alpha_ok.alias("alpha_word_ratio_ok"),
+        sentences_ok.alias("sentence_count_ok"),
+        (word_count_ok & mean_word_len_ok & alpha_ok & sentences_ok).alias("passes"),
+    )
+
+
 def lang_id(col) -> Column:
     """Stopword-hit language heuristic over STOPWORDS; ties/zero -> 'und'.
 

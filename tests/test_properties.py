@@ -79,3 +79,27 @@ def test_jaccard_bounds_and_identity(shingle_set):
     assert jac(shingle_set, shingle_set) == 1.0
     other = {s + "x" for s in shingle_set}
     assert 0.0 <= jac(shingle_set, other) < 1.0
+
+
+def test_quality_rules_edges(spark):
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.text import quality_rules
+
+    rows = [
+        {"id": 1, "text": ""},                                  # empty: all fail
+        {"id": 2, "text": "one two. three four! " + "word " * 60},  # passes all (min_words=50)
+        {"id": 3, "text": "1 2 3 4 5 . " + "9 " * 60},          # numeric: alpha ratio fails
+        {"id": 4, "text": "short doc."},                        # word count fails
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", quality_rules(F.col("text"), min_words=50, min_sentences=1).alias("q")
+        ).select("id", "q.*").collect()
+    }
+    assert not out[1]["passes"] and not out[1]["word_count_ok"]
+    assert out[2]["passes"]
+    assert not out[3]["alpha_word_ratio_ok"] and not out[3]["passes"]
+    assert not out[4]["word_count_ok"] and out[4]["sentence_count_ok"]
