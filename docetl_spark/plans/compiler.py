@@ -120,6 +120,40 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     raise ValueError(f"unknown op type {t!r}")
 
 
+def _empirical_evaluator(sf, datasets, backend, stats, *, sample_rows: int = 20):
+    """Build the MOAR simulate-phase evaluator (MOARSearch.py:271-326
+    analogue): execute a candidate op list on a cached SAMPLE of the step
+    input and return (measured backend calls, heuristic quality). Cost is
+    counted with Spark accumulators through a cache-bypassing
+    ResilientBackend, so every candidate pays its true per-row call
+    count; non-executable candidates return (inf, 0) and fall out of the
+    frontier."""
+    from ..frame import SemanticFrame
+    from ..resilience import BackendMetrics, ResilientBackend
+    from .directives import estimate_quality
+
+    sample_df = sf.df.limit(sample_rows).cache()
+    sc = sample_df.sparkSession.sparkContext
+
+    def evaluate(ops):
+        metrics = BackendMetrics(sc)
+        counted = (
+            ResilientBackend(backend, namespace="moar_eval", bypass_cache=True, metrics=metrics)
+            if backend is not None else None
+        )
+        trial = SemanticFrame.from_df(sample_df, backend=counted)
+        try:
+            for spec in lower(ops):
+                spec = OpSpec(spec["type"], {k: v for k, v in spec.items() if k != "type"})
+                trial = apply_op(trial, spec, datasets)
+            trial.df.count()  # the action that drives executor-side calls
+        except Exception:
+            return float("inf"), 0.0
+        return float(metrics.snapshot()["calls"]), estimate_quality(ops, stats)
+
+    return evaluate
+
+
 def run_pipeline(
     spark: SparkSession,
     config: dict,
@@ -171,11 +205,29 @@ def run_pipeline(
             # offline directive search (reference `optimize: true` build
             # path, SURVEY §4.3): NOT equivalence-preserving — trades
             # accuracy/cost per the configured objective
-            from .directives import PlanStats, optimize_ops
+            from .directives import PlanStats, moar_search, optimize_ops
 
             opts = optimize_cfg if isinstance(optimize_cfg, dict) else {}
             stats = PlanStats(**opts.get("stats", {}))
-            result = optimize_ops(specs, stats, backend=backend if opts.get("agentic") else None)
+            agent = backend if opts.get("agentic") else None
+            if opts.get("method") == "moar":
+                evaluate = None
+                if opts.get("empirical") and sf is not None:
+                    # reference simulate phase: run each candidate on a
+                    # SAMPLE of the step input, cost = measured backend
+                    # calls (accumulator metrics), quality = the static
+                    # heuristic (callers with labels pass their own
+                    # moar_search(evaluate=...) for true accuracy)
+                    evaluate = _empirical_evaluator(
+                        sf, datasets, backend, stats,
+                        sample_rows=int(opts.get("sample_rows", 20)),
+                    )
+                result = moar_search(
+                    specs, stats, backend=agent, evaluate=evaluate,
+                    max_iterations=int(opts.get("max_iterations", 12)),
+                )
+            else:
+                result = optimize_ops(specs, stats, backend=agent)
             best = result.best(opts.get("objective", "cost"))
             specs = best.ops
             rewrites_fired += [f"directive:{name}" for name, _ in best.applied]

@@ -425,3 +425,28 @@ def test_moar_search_uses_empirical_evaluator_and_agent_ranking():
     assert len(calls) >= 2  # simulation phase ran the evaluator
     assert ranked  # expansion consulted the agent
     assert res.frontier
+
+
+def test_moar_empirical_pipeline_hook(spark):
+    # optimize.method=moar with empirical=true: candidates execute on a
+    # sample and cost = MEASURED backend calls, so cheaper plans (e.g.
+    # cascade / code-swap) win on real counts, not model guesses.
+    config = {
+        "optimize": {"method": "moar", "empirical": True, "sample_rows": 6,
+                     "max_iterations": 4, "objective": "cost",
+                     "stats": {"rows": 12, "avg_doc_tokens": 50}},
+        "datasets": {"d": {"type": "memory", "data": [
+            {"id": i, "text": f"doc {i} fast join"} for i in range(12)
+        ]}},
+        "operations": [
+            {"name": "keep", "type": "filter", "prompt": "mentions 'join'? {{ input.text }}",
+             "output": {"schema": {"keep": "bool"}}},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "d", "operations": ["keep"]}]},
+    }
+    out = run_pipeline(spark, config, backend=FakeBackend())
+    # directives are NOT equivalence-preserving (a winning cascade may
+    # trade rows away) — assert the optimized plan EXECUTED end-to-end
+    assert 0 <= out.df.count() <= 12
+    log = dict(out.op_log).get("rewrites", {})
+    assert "fired" in log  # optimizer ran (directive list may be empty if root won)
