@@ -173,6 +173,20 @@ def run_pipeline(
     backend = backend or FakeBackend()
     ops_by_name = {o["name"]: o for o in config.get("operations", [])}
 
+    if config.get("validate", True):
+        # lint before any Spark job (reference plan/analysis.py:152-160);
+        # errors abort up front with every finding listed, warnings ride
+        # along in the result's op_log
+        from .validate import validate_config
+
+        issues = validate_config(config)
+        errors = [i for i in issues if i.level == "error"]
+        if errors:
+            raise ValueError("invalid pipeline config:\n" + "\n".join(str(i) for i in errors))
+        validation_notes = [str(i) for i in issues]
+    else:
+        validation_notes = []
+
     datasets: dict[str, SemanticFrame] = {}
     for name, d in config.get("datasets", {}).items():
         if d.get("type") == "memory":
@@ -260,4 +274,6 @@ def run_pipeline(
     if last is None:
         raise ValueError("pipeline has no steps")
     object.__setattr__(last, "op_log", last.op_log + (("rewrites", {"fired": rewrites_fired}),))
+    if validation_notes:
+        object.__setattr__(last, "op_log", last.op_log + (("validation", tuple(validation_notes)),))
     return last

@@ -1,0 +1,201 @@
+"""Pipeline config validation (lint before execution).
+
+Reference: /root/reference/docetl/plan/analysis.py:103-160 (validate /
+validate_config -> PlanIssue list) and plan/ir.py:120-128 (PlanIssue).
+Checks run BEFORE any Spark job: structural wiring (datasets, steps, op
+name references), per-op config contracts (the same ones apply_op would
+hit mid-run, surfaced up front), output-schema type-grammar parses, and
+a field-flow pass flagging reads of fields a previous op dropped.
+
+Levels: "error" (the pipeline cannot run), "warning" (likely wrong but
+executable), "info" (opaque/plugin ops the validator can't introspect).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..types import schema_of
+from .ir import lift
+
+_SAMPLE_METHODS = {"first", "uniform", "custom", "stratified", "outliers", "top_embedding", "top_fts"}
+_TOPK_METHODS = {"embedding", "fts", "llm_compare"}
+_KNOWN_OPS = {
+    "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
+    "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
+    "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
+    "equijoin", "step_boundary",
+}
+
+
+@dataclass
+class PlanIssue:
+    """A validation finding (plan/ir.py:120-128)."""
+
+    level: str  # "error" | "warning" | "info"
+    where: str
+    message: str
+
+    def __str__(self) -> str:
+        return f"[{self.level}] {self.where}: {self.message}"
+
+
+def _schema(c: dict) -> dict | None:
+    return (c.get("output") or {}).get("schema") or c.get("output_schema")
+
+
+def _check_code(c: dict, entry: str, name: str, issues: list[PlanIssue]) -> None:
+    code = c.get("code")
+    if code is None:
+        issues.append(PlanIssue("error", name, "code op needs a `code` config"))
+        return
+    if not isinstance(code, str):
+        return  # bare callable: nothing to parse
+    try:
+        compile(code, name, "exec")
+    except SyntaxError as e:
+        issues.append(PlanIssue("error", name, f"code does not parse: {e}"))
+        return
+    if f"def transform" not in code and f"def {entry}" not in code:
+        issues.append(PlanIssue("error", name, f"code must define transform() (or {entry}())"))
+
+
+def _check_op(op: dict) -> list[PlanIssue]:
+    issues: list[PlanIssue] = []
+    t = op.get("type")
+    name = op.get("name", t or "<unnamed>")
+    if not t:
+        return [PlanIssue("error", name, "operation has no `type`")]
+    if t not in _KNOWN_OPS:
+        from ..plugins import get_operator
+
+        level = "info" if get_operator(t) else "error"
+        return [PlanIssue(level, name, f"unknown op type {t!r}"
+                          + ("; resolved via plugin registry (opaque to the validator)"
+                             if level == "info" else ""))]
+
+    schema = _schema(op)
+    if schema is not None:
+        try:
+            schema_of(schema)
+        except Exception as e:
+            issues.append(PlanIssue("error", name, f"output schema does not parse: {e}"))
+
+    if t in ("map", "filter", "reduce", "extract") and not op.get("prompt"):
+        issues.append(PlanIssue("error", name, f"{t} needs a `prompt`"))
+    if t == "parallel_map" and not op.get("prompts"):
+        issues.append(PlanIssue("error", name, "parallel_map needs `prompts`"))
+    if t in ("map", "parallel_map", "filter", "reduce") and not schema:
+        issues.append(PlanIssue("error", name, f"{t} needs an output schema"))
+    if t == "filter" and schema:
+        bools = [k for k, v in schema.items() if str(v).lower().startswith("bool")]
+        if len(schema) != 1 or len(bools) != 1:
+            issues.append(PlanIssue(
+                "error", name,
+                "filter output schema must be exactly one bool key (filter.py:53-71)"))
+    if t in ("reduce", "code_reduce") and not op.get("reduce_key"):
+        issues.append(PlanIssue("error", name, f"{t} needs `reduce_key` (use '_all' for global)"))
+    if t in ("code_map", "code_filter", "code_reduce"):
+        entry = {"code_map": "transform", "code_filter": "predicate", "code_reduce": "reduce_fn"}[t]
+        if t == "code_filter" and op.get("predicate") is not None:
+            pass  # SQL-expression predicate: checked by Spark analysis
+        else:
+            _check_code(op, entry, name, issues)
+    if t == "split":
+        if not op.get("split_key"):
+            issues.append(PlanIssue("error", name, "split needs `split_key`"))
+        if op.get("method") not in ("token_count", "delimiter"):
+            issues.append(PlanIssue("error", name, "split method must be token_count|delimiter"))
+    if t == "gather":
+        for k in ("content_key", "doc_id_key", "order_key"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"gather needs `{k}`"))
+    if t == "resolve":
+        if not op.get("comparison_prompt"):
+            issues.append(PlanIssue("error", name, "resolve needs `comparison_prompt`"))
+        if not (op.get("blocking_keys") or op.get("blocking_conditions")
+                or op.get("blocking_threshold")):
+            issues.append(PlanIssue(
+                "warning", name,
+                "resolve has no blocking config: the all-pairs fallback is "
+                "gated to tiny inputs (reference equijoin.py:318-330)"))
+    if t == "equijoin":
+        for k in ("right", "comparison_prompt", "left_keys", "right_keys"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"equijoin needs `{k}`"))
+    if t == "sample" and op.get("method") not in _SAMPLE_METHODS:
+        issues.append(PlanIssue("error", name, f"sample method must be one of {sorted(_SAMPLE_METHODS)}"))
+    if t == "topk":
+        if op.get("method") not in _TOPK_METHODS:
+            issues.append(PlanIssue("error", name, f"topk method must be one of {sorted(_TOPK_METHODS)}"))
+        if not op.get("k"):
+            issues.append(PlanIssue("error", name, "topk needs `k`"))
+    return issues
+
+
+def _field_flow(step_name: str, op_configs: list[dict]) -> list[PlanIssue]:
+    """Flag reads of fields removed upstream (analysis.py:134-148)."""
+    issues: list[PlanIssue] = []
+    removed: set[str] = set()
+    for spec, raw in zip(lift(op_configs), op_configs):
+        name = raw.get("name", spec.type)
+        reads = spec.fields_read()
+        if reads:
+            missing = reads & removed
+            if missing:
+                issues.append(PlanIssue(
+                    "warning", f"{step_name}.{name}",
+                    f"reads field(s) {sorted(missing)} that were removed upstream"))
+        drops = raw.get("drop_keys") or []
+        removed |= set(drops)
+        written = spec.fields_written() or set()
+        removed -= written
+    return issues
+
+
+def validate_config(config: dict) -> list[PlanIssue]:
+    """Lint a pipeline config; returns [] when clean. Never raises."""
+    issues: list[PlanIssue] = []
+    datasets = config.get("datasets") or {}
+    if not datasets:
+        issues.append(PlanIssue("error", "<config>", "no `datasets` defined"))
+    for dname, d in datasets.items():
+        if d.get("type", "file") == "file" and not d.get("path"):
+            issues.append(PlanIssue("error", f"datasets.{dname}", "file dataset needs `path`"))
+        if d.get("type") == "memory" and "data" not in d:
+            issues.append(PlanIssue("error", f"datasets.{dname}", "memory dataset needs `data`"))
+
+    ops = config.get("operations") or []
+    names = [o.get("name") for o in ops if o.get("name")]
+    for dup in {n for n in names if names.count(n) > 1}:
+        issues.append(PlanIssue("error", f"operations.{dup}", "duplicate operation name"))
+    ops_by_name = {o.get("name"): o for o in ops}
+    for op in ops:
+        issues.extend(_check_op(op))
+
+    steps = (config.get("pipeline") or {}).get("steps")
+    if not steps:
+        issues.append(PlanIssue("error", "<config>", "no `pipeline.steps` defined"))
+        return issues
+    known_inputs = set(datasets)
+    for idx, step in enumerate(steps):
+        sname = step.get("name", f"step{idx}")
+        src = step.get("input")
+        if src is not None and src not in known_inputs:
+            issues.append(PlanIssue("error", sname, f"unknown step input {src!r}"))
+        if src is None and idx == 0:
+            issues.append(PlanIssue("error", sname, "first step needs an `input` dataset"))
+        step_ops = []
+        for oname in step.get("operations", []):
+            if oname not in ops_by_name:
+                issues.append(PlanIssue("error", sname, f"unknown operation {oname!r}"))
+            else:
+                step_ops.append(ops_by_name[oname])
+        if step_ops:
+            try:
+                issues.extend(_field_flow(sname, step_ops))
+            except Exception as e:  # lint must never crash on odd configs
+                issues.append(PlanIssue("info", sname, f"field-flow analysis skipped: {e}"))
+        known_inputs.add(sname)
+    return issues
