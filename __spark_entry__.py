@@ -794,6 +794,29 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
+def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dedup (streaming/events.py stream_dedup_against_
+    corpus): arriving documents anti-join a STATIC fingerprint table
+    (docs with doc_id % 3 == 0 stand in for the already-ingested
+    corpus) — stateless stream-static join, no growing state store; the
+    training-pipeline shape for deduping new data against an existing
+    100 TB corpus via its (tiny) fingerprint table."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    fp = text.fingerprint(F.col("text"))
+    stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet").withColumn("_fp", fp)
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(fp.alias("_fp"))
+    )
+    fresh = stream_ops.stream_dedup_against_corpus(stream, corpus, on="_fp").select("doc_id")
+    rows = stream_ops.run_available_now(fresh, checkpoint=tempfile.mkdtemp(prefix="ckpt_sdc_"))
+    return spark.createDataFrame(rows, schema="doc_id long")
+
+
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: 30-min-gap sessionization via
     applyInPandasWithState (streaming/events.py:94-137), drained with
@@ -997,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "events_stream_rollup": events_stream_rollup,
         "events_stream_dedup": events_stream_dedup,
+        "stream_dedup_corpus": stream_dedup_corpus,
         "events_stream_sessions": events_stream_sessions,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -1571,6 +1595,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (i - 1) * 30 AS frame_index
             FROM (SELECT doc_id, unnest(range(1, (length(text) % 5) + 2)) AS i
                   FROM documents)""",
+        # stream-static anti-join == batch anti-join on the fingerprint
+        "stream_dedup_corpus": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_filter(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> ''), ' ')) AS f
+              FROM documents
+            )
+            SELECT doc_id FROM fp
+            WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 3 = 0)""",
         # streaming dedup emits only key columns -> batch DISTINCT parity
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type,

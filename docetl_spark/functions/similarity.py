@@ -218,12 +218,15 @@ def brute_force_pairs(
     reimplementation (e.g. a SQL oracle) lands on the identical row set.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    local = base.collect()
-    if len(local) > max_broadcast_rows:
+    # gate BEFORE the fetch (count is one cheap pruned-scan job); an
+    # ungated collect would OOM the driver before the check could fire
+    n = base.count()
+    if n > max_broadcast_rows:
         raise ValueError(
-            f"brute_force_pairs: {len(local)} rows > max_broadcast_rows={max_broadcast_rows}; "
+            f"brute_force_pairs: {n} rows > max_broadcast_rows={max_broadcast_rows}; "
             "use LSH candidate generation at this scale"
         )
+    local = base.collect()
     ids_all = np.array([r["_id"] for r in local])
     mat = np.array([r["_v"] for r in local], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

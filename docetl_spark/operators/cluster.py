@@ -153,12 +153,15 @@ def cluster(
         emb = embed_column(df, embedding_keys, backend, out_col="_emb")
     else:
         raise ValueError("cluster: provide embedding_keys or embedding_col")
-    rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
-    if len(rows) > max_local_size:
+    # gate BEFORE the fetch (count is one cheap job); an ungated collect
+    # of an over-sized input would OOM the driver before the check fires
+    n_rows = emb.count()
+    if n_rows > max_local_size:
         raise ValueError(
-            f"cluster: {len(rows)} rows exceeds max_local_size={max_local_size}; "
+            f"cluster: {n_rows} rows exceeds max_local_size={max_local_size}; "
             "use cluster_distributed, or pre-partition (e.g. LSH buckets) and cluster per group"
         )
+    rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
     ids = [r[id_col] for r in rows]
     vecs = np.array([r["_emb"] for r in rows])
     merges = _agglomerative(vecs) if len(ids) > 1 else []

@@ -92,12 +92,16 @@ class BroadcastRetriever:
         small corpora only, by design (see module docstring)."""
         if self._index is not None:
             return
-        rows = [r.asDict(recursive=True) for r in self.corpus_df.collect()]
-        if len(rows) > self.max_broadcast_rows:
+        # gate BEFORE the fetch: counting is one cheap pruned-scan job,
+        # while an ungated collect of an over-sized corpus would OOM the
+        # driver before any check could fire
+        n = self.corpus_df.count()
+        if n > self.max_broadcast_rows:
             raise ValueError(
-                f"retriever corpus {len(rows)} rows > max_broadcast_rows="
+                f"retriever corpus {n} rows > max_broadcast_rows="
                 f"{self.max_broadcast_rows}; pre-reduce (IVF/BM25 filter) first"
             )
+        rows = [r.asDict(recursive=True) for r in self.corpus_df.collect()]
         # release the DataFrame handle: the indexed retriever must pickle
         # into UDF closures, and DataFrames don't
         self.corpus_df = None

@@ -152,6 +152,44 @@ def sessionize_stateful(
     )
 
 
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Generic parquet-file stream (schema inferred from a batch read when
+    not given); file paths accepted via the parent-dir + glob trick."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def stream_dedup_against_corpus(
+    stream_df: DataFrame,
+    corpus_keys: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Drop arriving rows whose key(s) already exist in a STATIC corpus
+    table (stream-static left-anti join — supported stateless in
+    Structured Streaming, so no state store grows with the stream).
+
+    The 100 TB shape: the static side is a pre-computed fingerprint/key
+    table (one short hash per corpus doc — a few TB corpus reduces to
+    GBs of keys), which Spark broadcasts when small or shuffles the
+    stream side against otherwise. Incoming batches never rescan the
+    corpus itself. Batch analogue: ``SELECT * FROM new ANTI JOIN corpus
+    USING (key)``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream_df.join(corpus_keys.select(*keys).distinct(), keys, "left_anti")
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     path: str,
