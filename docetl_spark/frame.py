@@ -421,6 +421,72 @@ class SemanticFrame:
 
         return run_yaml(spark, path, backend=backend)
 
+    # ---------------------------------------------- cost / optimization
+    @property
+    def token_usage(self) -> dict:
+        """Token/call accounting from the frame's ResilientBackend metrics
+        (reference frame.py:1093-1100). Empty when the backend carries no
+        metrics accumulator set."""
+        m = getattr(self.backend, "metrics", None)
+        return m.snapshot() if m is not None else {}
+
+    def total_cost(self) -> float:
+        """Estimated model cost of executed work, in the directive cost
+        model's units: tokens/1k x model weight (reference
+        frame.py:1088-1091; exact when the backend reports real usage)."""
+        from .plans.directives import DEFAULT_MODEL, MODEL_WEIGHTS
+
+        u = self.token_usage
+        if not u:
+            return 0.0
+        model = getattr(getattr(self.backend, "inner", self.backend), "model", DEFAULT_MODEL)
+        w = MODEL_WEIGHTS.get(model, MODEL_WEIGHTS[DEFAULT_MODEL])
+        return (u.get("prompt_tokens", 0) + u.get("completion_tokens", 0)) / 1000.0 * w
+
+    def optimize(
+        self,
+        *,
+        stats=None,
+        objective: str = "cost",
+        evaluate=None,
+        agent_backend=None,
+        max_iterations: int = 12,
+        exploration_weight: float = 1.414,
+    ) -> "SemanticFrame":
+        """MOAR-optimize this frame's recorded op chain and return a NEW
+        frame replaying the Pareto-best plan against the same source
+        (reference frame.py:1121-1172). The full search result rides on
+        the returned frame as ``.search_results``. Only YAML-exportable
+        chains qualify (same contract as to_yaml)."""
+        from .plans import PlanStats, lift, moar_search, run_pipeline
+
+        scan, op_configs = self._export_ops()
+        result = moar_search(
+            lift(op_configs), stats or PlanStats(),
+            backend=agent_backend, evaluate=evaluate,
+            max_iterations=max_iterations, exploration_constant=exploration_weight,
+        )
+        best = result.best(objective)
+        ops, seen = [], set()
+        for i, o in enumerate(best.ops):
+            name = o.config.get("name", f"{o.type}_{i}")
+            while name in seen:  # directive copies may reuse a name
+                name = f"{name}_{i}"
+            seen.add(name)
+            ops.append({"name": name, "type": o.type,
+                        **{k: v for k, v in o.config.items() if k != "name"}})
+        config = {
+            "datasets": {"input": {"type": "file", **scan}},
+            "operations": ops,
+            "pipeline": {"steps": [{
+                "name": "step_1", "input": "input",
+                "operations": [o["name"] for o in ops],
+            }]},
+        }
+        optimized = run_pipeline(self.df.sparkSession, config, backend=self.backend)
+        object.__setattr__(optimized, "search_results", result)
+        return optimized
+
     def to_python(self) -> str:
         """Python source that recreates this chain with the SemanticFrame
         API (reference frame.py:1251-1331's code generator)."""

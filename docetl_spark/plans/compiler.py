@@ -44,6 +44,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     n_sample = c.pop("sample", None)
     if n_sample:
         sf = sf.limit(int(n_sample))
+    if t == "limit":
+        return sf.limit(int(c["n"]))
     if t == "map":
         return sf.map(
             c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"),

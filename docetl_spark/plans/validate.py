@@ -25,7 +25,7 @@ _KNOWN_OPS = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
-    "equijoin", "step_boundary",
+    "equijoin", "step_boundary", "limit",
 }
 
 

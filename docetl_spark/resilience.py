@@ -83,6 +83,10 @@ class BackendMetrics:
         self.cache_hits = sc.accumulator(0)
         self.retries = sc.accumulator(0)
         self.rate_waits = sc.accumulator(0)
+        # token accounting: exact when the inner backend reports usage
+        # (litellm-style), else the chars/4 estimate; cache hits are free
+        self.prompt_tokens = sc.accumulator(0)
+        self.completion_tokens = sc.accumulator(0)
 
     def snapshot(self) -> dict:
         return {
@@ -90,6 +94,8 @@ class BackendMetrics:
             "cache_hits": self.cache_hits.value,
             "retries": self.retries.value,
             "rate_waits": self.rate_waits.value,
+            "prompt_tokens": self.prompt_tokens.value,
+            "completion_tokens": self.completion_tokens.value,
         }
 
 
@@ -242,6 +248,16 @@ class ResilientBackend(ModelBackend):
                 attempt += 1
         if self.metrics:
             self.metrics.calls += 1
+            # exact usage when the inner backend reports it (reference
+            # api.py litellm usage objects), else chars/4
+            usage = getattr(self.inner, "last_usage", None)
+            if isinstance(usage, dict) and usage.get("prompt_tokens") is not None:
+                self.metrics.prompt_tokens += int(usage.get("prompt_tokens", 0))
+                self.metrics.completion_tokens += int(usage.get("completion_tokens", 0))
+            else:
+                prompt_text = str(key_parts[1]) if len(key_parts) > 1 else ""
+                self.metrics.prompt_tokens += max(1, len(prompt_text) // 4)
+                self.metrics.completion_tokens += max(1, len(str(res)) // 4)
         if cache is not None:
             with _state_lock:
                 cache[key] = res

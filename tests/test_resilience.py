@@ -289,3 +289,35 @@ def test_litellm_fallback_exhaustion_raises_last_error():
     be = LiteLLMBackend("m1", fallback_models=["m2"], completion_fn=always_down)
     with pytest.raises(ConnectionError, match="m2 down"):
         be.complete("p", {"x": "str"}, None)
+
+
+def test_token_usage_and_total_cost(spark, sf_dir):
+    from docetl_spark import FakeBackend, ResilientBackend, SemanticFrame
+    from docetl_spark.resilience import BackendMetrics
+
+    m = BackendMetrics(spark.sparkContext)
+    be = ResilientBackend(FakeBackend(), namespace="tok_test", metrics=m, bypass_cache=True)
+    sf = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=be).limit(8)
+    out = sf.map("sentiment of {{ input.text }}", {"sentiment": "str"})
+    out.df.count()
+    usage = out.token_usage
+    assert usage["calls"] == 8
+    assert usage["prompt_tokens"] > 0 and usage["completion_tokens"] > 0
+    assert out.total_cost() > 0.0
+    # a frame with no metrics reports zero, not an error
+    plain = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+    assert plain.token_usage == {} and plain.total_cost() == 0.0
+
+
+def test_frame_optimize_returns_executable_frame(spark, sf_dir):
+    from docetl_spark import FakeBackend, SemanticFrame
+    from docetl_spark.plans import PlanStats
+
+    sf = (
+        SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+        .map("sentiment {{ input.text }}", {"sentiment": "str"})
+    )
+    opt = sf.optimize(stats=PlanStats(rows=500, avg_doc_tokens=60), max_iterations=4)
+    assert opt.search_results.explored >= 1
+    assert opt.df.count() > 0  # best plan replayed end-to-end
+    assert "sentiment" in opt.df.columns
