@@ -9,6 +9,7 @@ Public surface:
 
 __version__ = "0.2.0"
 
+from .agents import Agent, AgentTool, Tool, run_agent, tool
 from .backend import FakeBackend, LiteLLMBackend, ModelBackend
 from .checkpoint import Checkpointer
 from .frame import SemanticFrame
@@ -18,6 +19,8 @@ from .retrievers import BroadcastRetriever, RetrievalResult
 from .session import get_spark, load_tables
 
 __all__ = [
+    "Agent",
+    "AgentTool",
     "BackendMetrics",
     "BroadcastRetriever",
     "Checkpointer",
@@ -31,5 +34,8 @@ __all__ = [
     "load_tables",
     "run_pipeline",
     "run_yaml",
+    "Tool",
+    "tool",
+    "run_agent",
     "clear_backend_state",
 ]

@@ -172,6 +172,7 @@ def semantic_map(
     num_calibration_docs: int = 10,
     retriever=None,
     save_retriever_output: bool = False,
+    agent=None,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
@@ -191,7 +192,13 @@ def semantic_map(
     map.py:519-523 + retrievers/) fetches per-row context before each
     call — the prompt may reference ``{{ retrieved }}`` (doc list) and
     ``{{ retrieved_context }}`` (rendered block). ``save_retriever_output``
-    adds a ``_retrieved_context`` column (map.py:520-523)."""
+    adds a ``_retrieved_context`` column (map.py:520-523).
+
+    ``agent`` (an agents.Agent; reference frame.py:347, map.py:44,493):
+    each row runs a bounded executor-side tool loop instead of one
+    completion. Mutually exclusive with gleaning (map.py:102)."""
+    if agent is not None and gleaning is not None:
+        raise ValueError("agent and gleaning are mutually exclusive (reference map.py:102)")
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:
@@ -211,7 +218,7 @@ def semantic_map(
     if ret_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(ret_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
-    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types or retriever)
+    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types or retriever or agent)
 
     def run(batches):
         for pdf in batches:
@@ -235,11 +242,16 @@ def semantic_map(
                         ctx["retrieved"] = rr.docs
                         ctx["retrieved_context"] = rr.rendered_context
                     rendered = render_prompt(prompt, ctx)
-                    res = _complete_with_quality_loop(
-                        backend, rendered, output_schema, row,
-                        validate=validate, num_retries=num_retries_on_validate_failure,
-                        gleaning=gleaning, strict_types=strict_types,
-                    )
+                    if agent is not None:
+                        from ..agents import run_agent
+
+                        res = run_agent(backend, agent, rendered, output_schema, row)
+                    else:
+                        res = _complete_with_quality_loop(
+                            backend, rendered, output_schema, row,
+                            validate=validate, num_retries=num_retries_on_validate_failure,
+                            gleaning=gleaning, strict_types=strict_types,
+                        )
                     merged = {**row, **res}
                     if obs_col:
                         merged[obs_col] = rendered
@@ -290,6 +302,7 @@ def semantic_filter(
     *,
     cascade: dict | None = None,
     limit: int | None = None,
+    agent=None,
 ) -> DataFrame:
     """LLM boolean predicate. Two cascade modes (filter.py:161-224 +
     cascade_runner.py):
@@ -360,7 +373,12 @@ def semantic_filter(
                     label, prob = backend.classify_logprob(rendered, ["true", "false"], row)
                     if prob >= threshold:
                         return label == "true"
-                res = backend.complete(rendered, output_schema, row)
+                if agent is not None:
+                    from ..agents import run_agent
+
+                    res = run_agent(backend, agent, rendered, output_schema, row)
+                else:
+                    res = backend.complete(rendered, output_schema, row)
                 return bool(res.get(decision_key))
 
             keep = run_concurrently(backend, one, pdf.to_dict("records"))
