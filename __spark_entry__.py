@@ -903,6 +903,40 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sem_map_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agentic map (agents.py run_agent + semantic.py agent kwarg,
+    reference agents.py + map.py:44,493): every row runs a bounded
+    executor-side tool loop — one deterministic tool call, then a finish
+    decision, then the structured final completion. The final rule is
+    SQL-mirrorable (token-count bucket), so the oracle hash-checks the
+    whole agentic path end-to-end."""
+    import json as _json
+
+    from docetl_spark import Agent, tool
+
+    @tool
+    def square(x: int) -> int:
+        """Square a number (deterministic observation for the loop)."""
+        return x * x
+
+    be = FakeBackend(rules={
+        # one tool turn, then finish: max_turns=1 bounds the loop shape
+        "action": lambda ctx: "tool",
+        "tool_name": lambda ctx: "square",
+        "tool_args": lambda ctx: _json.dumps({"x": 7}),
+        "length_bucket": lambda row: (
+            "long" if len((row.get("text") or "").split()) > 55 else "short"
+        ),
+    })
+    out = (
+        _sf(spark, sf_dir, "documents", backend=be)
+        .map("bucket {{ input.text }}", {"length_bucket": "str"},
+             agent=Agent(tools=[square], max_turns=1))
+        .select("doc_id", "length_bucket")
+    )
+    return out.df
+
+
 def cluster_docs_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distributed hierarchical clustering (cluster.py
     cluster_distributed): bounded-sample k-means buckets -> per-bucket
@@ -988,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "text_stats": text_stats,
         "quality_filter_rules": quality_filter_rules,
+        "sem_map_agent": sem_map_agent,
         "sem_map_sentiment": sem_map_sentiment,
         "sem_filter_mentions": sem_filter_mentions,
         "sem_reduce_lang": sem_reduce_lang,
@@ -1247,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+        "sem_map_agent": """
+            SELECT doc_id,
+                   CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 55
+                        THEN 'long' ELSE 'short' END AS length_bucket
+            FROM documents""",
         "quality_filter_rules": """
             WITH t AS (
               SELECT doc_id,
