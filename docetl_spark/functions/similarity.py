@@ -218,9 +218,10 @@ def brute_force_pairs(
     reimplementation (e.g. a SQL oracle) lands on the identical row set.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    # gate BEFORE the fetch (count is one cheap pruned-scan job); an
-    # ungated collect would OOM the driver before the check could fire
-    n = base.count()
+    # gate BEFORE the fetch; limit(n+1) lets the count job stop early, so
+    # the gate costs O(max_broadcast_rows) rows no matter the input size
+    # (an ungated collect would OOM the driver before any check fired)
+    n = base.limit(max_broadcast_rows + 1).count()
     if n > max_broadcast_rows:
         raise ValueError(
             f"brute_force_pairs: {n} rows > max_broadcast_rows={max_broadcast_rows}; "

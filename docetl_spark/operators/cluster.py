@@ -153,9 +153,10 @@ def cluster(
         emb = embed_column(df, embedding_keys, backend, out_col="_emb")
     else:
         raise ValueError("cluster: provide embedding_keys or embedding_col")
-    # gate BEFORE the fetch (count is one cheap job); an ungated collect
-    # of an over-sized input would OOM the driver before the check fires
-    n_rows = emb.count()
+    # gate BEFORE the fetch; limit(n+1) lets the count stop early, so the
+    # gate costs O(max_local_size) rows (an ungated collect of an
+    # over-sized input would OOM the driver before the check fires)
+    n_rows = emb.limit(max_local_size + 1).count()
     if n_rows > max_local_size:
         raise ValueError(
             f"cluster: {n_rows} rows exceeds max_local_size={max_local_size}; "

@@ -92,10 +92,10 @@ class BroadcastRetriever:
         small corpora only, by design (see module docstring)."""
         if self._index is not None:
             return
-        # gate BEFORE the fetch: counting is one cheap pruned-scan job,
-        # while an ungated collect of an over-sized corpus would OOM the
-        # driver before any check could fire
-        n = self.corpus_df.count()
+        # gate BEFORE the fetch; limit(n+1) lets the count stop early, so
+        # the gate costs O(max_broadcast_rows) no matter the corpus size
+        # (an ungated collect would OOM the driver before any check fired)
+        n = self.corpus_df.limit(self.max_broadcast_rows + 1).count()
         if n > self.max_broadcast_rows:
             raise ValueError(
                 f"retriever corpus {n} rows > max_broadcast_rows="
