@@ -406,6 +406,7 @@ def semantic_reduce(
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
     limit: int | None = None,
+    agent=None,
 ) -> DataFrame:
     """Group aggregate through the backend.
 
@@ -468,6 +469,10 @@ def semantic_reduce(
 
     def call_once(items, rk):
         rendered = render_prompt(prompt, {"inputs": items, "reduce_key": rk})
+        if agent is not None:  # per-group tool loop (reference frame.py:480)
+            from ..agents import run_agent
+
+            return run_agent(backend, agent, rendered, output_schema, items)
         return backend.complete(rendered, output_schema, items)
 
     def fold(items, rk):

@@ -103,3 +103,11 @@ def test_sub_agent_as_tool():
     })
     out = run_agent(be, Agent(tools=[mgr_tool]), "q", {"final": "str"}, {})
     assert out == {"final": "done"}
+
+
+def test_agent_reduce_runs_per_group(spark, sf_dir):
+    be, _ = _agent_backend(answer_key="summary")
+    sf = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=be)
+    out = sf.reduce("lang", "summarize {{ inputs | length }}", {"summary": "int"},
+                    agent=Agent(tools=[lookup_score], max_turns=1)).collect()
+    assert len(out) == 5 and all(r["summary"] == 70 for r in out)
