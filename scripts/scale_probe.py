@@ -1,0 +1,158 @@
+"""Scale probe: measure operator scaling on synthetic N-times blow-ups.
+
+Builds N-fold copies of the driver testdata (ids shifted per copy so keys
+stay unique, text salted per copy so near-dup structure is preserved
+rather than multiplied), then times representative operators at 1x and
+Nx. Near-linear wall-clock growth at fixed parallelism is the pass
+criterion — it means the plan has no super-linear join/shuffle and no
+driver-side O(n) step.
+
+Usage: python scripts/scale_probe.py [N] [--also N2,...]
+Writes parquet under /tmp/scale_probe/ (removed and rebuilt per run).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from docetl_spark import get_spark  # noqa: E402
+from docetl_spark.functions import dedup, similarity, text  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe"
+
+
+def blow_up(spark, table: str, n: int, id_col: str, text_col: str | None = None):
+    df = spark.read.parquet(f"{BASE}/{table}.parquet")
+    base_count = df.count()
+    copies = []
+    for i in range(n):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * (base_count + 1)))
+        if text_col is not None and i > 0:
+            # rewrite EVERY token per copy so copies are NOT near-duplicates
+            # of copy 0 (a suffix salt only perturbs the last shingles and
+            # leaves 10 near-identical variants per doc -> candidate pairs
+            # quadratic in N by construction; measured 33.8x at N=10). With
+            # per-copy token prefixes the duplicate structure stays constant
+            # per copy and the probe measures the PLAN, not the data.
+            c = c.withColumn(
+                text_col, F.regexp_replace(F.col(text_col), r"(\w+)", f"c{i}_$1")
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    path = f"{OUT}/{table}_x{n}.parquet"
+    out.repartition(max(32, n * 4)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    emb = spark.read.parquet(emb_path)
+    line = spark.read.parquet(line_path)
+    res = {}
+
+    # relational aggregate (q1 shape): scan -> partial agg -> exchange -> agg
+    res["q1_style_agg"] = timed(lambda: (
+        line.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        .collect()
+    ))
+
+    # text analysis: pure JVM expressions, one scan
+    res["text_quality"] = timed(lambda: (
+        docs.select(text.quality_rules(F.col("text")).alias("q"))
+        .agg(F.sum(F.col("q.passes").cast("long"))).collect()
+    ))
+
+    # exact dedup: fingerprint + window
+    res["exact_dedup"] = timed(lambda: (
+        dedup.exact_dedup(docs, "text", order_by=[F.col("doc_id").asc()])
+        .agg(F.count(F.lit(1))).collect()
+    ))
+
+    # minhash LSH near-dup: shingle -> signature -> banded self-join -> verify
+    def run_minhash():
+        sh = docs.withColumn("_sh", text.shingles(F.col("text"), 3)).cache()
+        sig = sh.withColumn("_mh", dedup.minhash_from_shingles(F.col("_sh"), 64))
+        cand = dedup.lsh_candidate_pairs(sig, "doc_id", "_mh", num_hashes=64, bands=16)
+        dedup.jaccard_verify(cand, sh, "doc_id", "text", threshold=0.8,
+                             shingle_col="_sh").agg(F.count(F.lit(1))).collect()
+        sh.unpersist()
+
+    res["minhash_lsh"] = timed(run_minhash)
+
+    # ANN via LSH buckets (brute-force is gated beyond 200k by design)
+    q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    res["ann_lsh_topk"] = timed(lambda: (
+        similarity.lsh_topk(emb, q, 10, dim=dim).agg(F.count(F.lit(1))).collect()
+    ))
+
+    # streaming-shape sessionize (batch window form)
+    return res
+
+
+def measure(docs_path: str, emb_path: str, line_path: str) -> None:
+    """Child-process entry: fresh JVM per scale point, warm pass then the
+    measured pass — the in-session variant read blow-up write churn and
+    accumulated shuffle files into later ops (exact_dedup showed 15s in
+    session vs 4.5s isolated)."""
+    spark = get_spark("scale-probe-measure", shuffle_partitions=64)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe(spark, docs_path, emb_path, line_path)  # warm scans + workers
+    spark.catalog.clearCache()
+    print("RESULT " + json.dumps(probe(spark, docs_path, emb_path, line_path)))
+
+
+def _measure_subprocess(docs, emb, line) -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--measure", docs, emb, line],
+        capture_output=True, text=True, timeout=1800, check=True,
+    ).stdout
+    line_ = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+    return json.loads(line_[len("RESULT "):])
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        measure(*sys.argv[2:5])
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe-build", shuffle_partitions=64)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.rmtree(OUT, ignore_errors=True)
+    docs_n = blow_up(spark, "documents", n, "doc_id", "text")
+    emb_n = blow_up(spark, "embeddings", n, "vec_id")
+    line_n = blow_up(spark, "lineitem", n, "l_orderkey")
+    spark.stop()
+
+    report = {"base_sf": 0.1}
+    report["x1"] = _measure_subprocess(
+        f"{BASE}/documents.parquet", f"{BASE}/embeddings.parquet", f"{BASE}/lineitem.parquet")
+    report[f"x{n}"] = _measure_subprocess(docs_n, emb_n, line_n)
+    report["scale_factors"] = {
+        k: round(report[f"x{n}"][k] / max(report["x1"][k], 1e-9), 1)
+        for k in report["x1"]
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
