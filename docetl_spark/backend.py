@@ -58,6 +58,13 @@ class ModelBackend:
     def classify_logprob(self, prompt: str, labels: list[str], context: Any):
         raise NotImplementedError
 
+    def with_options(self, **opts) -> "ModelBackend":
+        """Per-op override hook (reference per-op ``model`` / ``timeout``
+        / ``litellm_completion_kwargs`` configs, frame.py:340-357). The
+        base/deterministic backends have nothing to vary — return self;
+        real backends return a reconfigured copy."""
+        return self
+
 
 _POSITIVE = ("good", "great", "excellent", "love", "happy", "wonderful")
 _NEGATIVE = ("bad", "terrible", "awful", "hate", "sad", "horrible")
@@ -197,6 +204,24 @@ class LiteLLMBackend(ModelBackend):
         self._mod = None
         self._completion_fn = completion_fn
         self._embedding_fn = embedding_fn
+
+    def with_options(self, *, model: str | None = None, timeout: float | None = None,
+                     litellm_completion_kwargs: dict | None = None, **_ignored) -> "LiteLLMBackend":
+        """Reconfigured copy for one op (per-op model swap is how the
+        change_model directives take effect at runtime; timeout and
+        litellm kwargs ride into every completion call)."""
+        if model is None and timeout is None and not litellm_completion_kwargs:
+            return self
+        kw = {**self.kwargs, **(litellm_completion_kwargs or {})}
+        if timeout is not None:
+            kw["timeout"] = timeout
+        return LiteLLMBackend(
+            model or self.model,
+            fallback_models=self.fallback_models,
+            completion_fn=self._completion_fn,
+            embedding_fn=self._embedding_fn,
+            **kw,
+        )
 
     def _client(self):
         if self._mod is None:

@@ -153,6 +153,18 @@ def _calibration_context(
     return str(res.get("calibration_context", ""))
 
 
+
+def _apply_backend_options(backend, model, timeout, litellm_completion_kwargs):
+    """Per-op backend overrides (reference per-op `model` / `timeout` /
+    `litellm_completion_kwargs`, frame.py:340-357): change_model
+    directives and YAML `model:` keys take effect HERE at runtime."""
+    if model is None and timeout is None and not litellm_completion_kwargs:
+        return backend
+    return backend.with_options(
+        model=model, timeout=timeout,
+        litellm_completion_kwargs=litellm_completion_kwargs,
+    )
+
 def semantic_map(
     df: DataFrame,
     prompt: str,
@@ -173,6 +185,9 @@ def semantic_map(
     retriever=None,
     save_retriever_output: bool = False,
     agent=None,
+    model: str | None = None,
+    timeout: float | None = None,
+    litellm_completion_kwargs: dict | None = None,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
@@ -199,6 +214,7 @@ def semantic_map(
     completion. Mutually exclusive with gleaning (map.py:102)."""
     if agent is not None and gleaning is not None:
         raise ValueError("agent and gleaning are mutually exclusive (reference map.py:102)")
+    backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:
@@ -303,6 +319,9 @@ def semantic_filter(
     cascade: dict | None = None,
     limit: int | None = None,
     agent=None,
+    model: str | None = None,
+    timeout: float | None = None,
+    litellm_completion_kwargs: dict | None = None,
 ) -> DataFrame:
     """LLM boolean predicate. Two cascade modes (filter.py:161-224 +
     cascade_runner.py):
@@ -322,6 +341,7 @@ def semantic_filter(
     (filter.py:124-133, ``_limit_applies_to_inputs`` False — contrast
     with map, whose limit truncates inputs). Spark plans it as a
     LocalLimit above the UDF, so tasks stop early once satisfied."""
+    backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     keys = [k for k in output_schema]
     if len(keys) != 1 or str(output_schema[keys[0]]).lower() not in ("bool", "boolean"):
         raise ValueError("filter output schema must be exactly one boolean key (filter.py:53-71)")
@@ -407,6 +427,9 @@ def semantic_reduce(
     value_sampling: dict | None = None,
     limit: int | None = None,
     agent=None,
+    model: str | None = None,
+    timeout: float | None = None,
+    litellm_completion_kwargs: dict | None = None,
 ) -> DataFrame:
     """Group aggregate through the backend.
 
@@ -433,6 +456,7 @@ def semantic_reduce(
     iteration order is nondeterministic otherwise — required for
     reproducible/oracle-checkable outputs).
     """
+    backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
     global_agg = keys == [_ALL]
     if not global_agg:

@@ -46,6 +46,10 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         sf = sf.limit(int(n_sample))
     if t == "limit":
         return sf.limit(int(c["n"]))
+    # per-op backend overrides (reference per-op configs; also how the
+    # change_model directives take effect at execution time)
+    be_opts = {"model": c.get("model"), "timeout": c.get("timeout"),
+               "litellm_completion_kwargs": c.get("litellm_completion_kwargs")}
     if t == "map":
         return sf.map(
             c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"),
@@ -54,11 +58,12 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
             batch_prompt=c.get("batch_prompt"),
             max_batch_size=c.get("max_batch_size", 16),
             calibrate=c.get("calibrate", False),
+            **be_opts,
         )
     if t == "parallel_map":
         return sf.parallel_map(c["prompts"], c["output"]["schema"], drop_keys=c.get("drop_keys"))
     if t == "filter":
-        return sf.filter(c["prompt"], c["output"]["schema"], cascade=c.get("cascade"))
+        return sf.filter(c["prompt"], c["output"]["schema"], cascade=c.get("cascade"), **be_opts)
     if t == "reduce":
         return sf.reduce(c["reduce_key"], c["prompt"], c["output"]["schema"],
                          name=spec.config.get("name", "reduce"),
@@ -66,7 +71,7 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                          value_sampling=c.get("value_sampling"),
                          fold_prompt=c.get("fold_prompt"),
                          fold_batch_size=c.get("fold_batch_size"),
-                         merge_prompt=c.get("merge_prompt"))
+                         merge_prompt=c.get("merge_prompt"), **be_opts)
     if t == "code_map":
         # pass the SOURCE through: the frame logs it, keeping the replayed
         # chain YAML-exportable (round-trip)

@@ -158,6 +158,25 @@ class ResilientBackend(ModelBackend):
         self.metrics = metrics
         # inherit the wrapped backend's declared call concurrency
         self.max_concurrency = getattr(inner, "max_concurrency", 1)
+        # fold the inner backend's model identity into every cache key:
+        # with per-op model overrides (with_options), the same prompt
+        # against different models must never share a cached response
+        self._model_token = str(getattr(inner, "model", ""))
+
+    def with_options(self, **opts) -> "ResilientBackend":
+        """Per-op overrides pass through to the wrapped backend; the
+        wrapper's cache/retry/metrics settings are preserved. Same
+        object when nothing changes (FakeBackend etc.)."""
+        new_inner = self.inner.with_options(**opts)
+        if new_inner is self.inner:
+            return self
+        return ResilientBackend(
+            new_inner, namespace=self.namespace, max_retries=self.max_retries,
+            backoff_s=self.backoff_s, rate_limit_rpm=self.rate_limit_rpm,
+            cache_size=self.cache_size, cache_dir=self.cache_dir,
+            bypass_cache=self.bypass_cache, retry_on=self.retry_on,
+            metrics=self.metrics,
+        )
 
     # -- process-local state ------------------------------------------
     def _cache(self) -> OrderedDict:
@@ -210,7 +229,7 @@ class ResilientBackend(ModelBackend):
     # -- core ----------------------------------------------------------
     def _cached_call(self, key_parts: tuple, fn):
         cache = self._cache() if self.cache_size else None
-        key = _stable_key(*key_parts) if (cache is not None or self.cache_dir) else None
+        key = _stable_key(self._model_token, *key_parts) if (cache is not None or self.cache_dir) else None
         if cache is not None and not self.bypass_cache:
             with _state_lock:
                 if key in cache:
@@ -292,7 +311,7 @@ class ResilientBackend(ModelBackend):
         if not self.cache_size:
             return self._retry_embed(texts)
         cache = self._cache()
-        keys = [_stable_key("embed", t) for t in texts]
+        keys = [_stable_key(self._model_token, "embed", t) for t in texts]
         out: list = [None] * len(texts)
         miss_idx: list[int] = []
         with _state_lock:

@@ -321,3 +321,37 @@ def test_frame_optimize_returns_executable_frame(spark, sf_dir):
     assert opt.search_results.explored >= 1
     assert opt.df.count() > 0  # best plan replayed end-to-end
     assert "sentiment" in opt.df.columns
+
+
+def test_per_op_model_override_and_cache_isolation(spark):
+    """change_model directives must take effect at runtime: with_options
+    swaps the model on a reconfigured copy, and the response cache keys
+    on the model so two models never share a cached answer."""
+    from docetl_spark import LiteLLMBackend, ResilientBackend
+
+    seen = []
+
+    def fake_completion(**kw):
+        seen.append(kw["model"])
+        class R:  # minimal litellm response shape
+            class Choice:
+                class Msg:
+                    content = '{"s": "x"}'
+                message = Msg()
+            choices = [Choice()]
+        return R()
+
+    base = LiteLLMBackend("gpt-4o-mini", completion_fn=fake_completion)
+    rb = ResilientBackend(base, namespace="peropt")
+    out1 = rb.complete("same prompt", {"s": "str"}, {"id": 1})
+    swapped = rb.with_options(model="gpt-4o", timeout=30)
+    assert swapped is not rb and swapped.inner.model == "gpt-4o"
+    assert swapped.inner.kwargs.get("timeout") == 30
+    out2 = swapped.complete("same prompt", {"s": "str"}, {"id": 1})
+    # both models were actually CALLED (no cross-model cache hit)
+    assert seen == ["gpt-4o-mini", "gpt-4o"]
+    assert out1 == out2 == {"s": "x"}
+    # no-op options return the same object (FakeBackend path)
+    from docetl_spark import FakeBackend
+    fb = ResilientBackend(FakeBackend(), namespace="peropt2")
+    assert fb.with_options(model="whatever") is fb
