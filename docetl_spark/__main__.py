@@ -55,8 +55,15 @@ def cmd_run(args) -> int:
     out = run_pipeline(spark, config, backend=backend)
     path = args.output or (config.get("pipeline", {}).get("output") or {}).get("path")
     if path:
-        out.write_parquet(path) if not path.endswith((".json", ".csv")) else out.df.write.mode("overwrite").json(path)
-        print(f"wrote {out.df.count()} rows to {path}")
+        from .sources.readers import write_output
+
+        write_output(out.df, path)  # dispatches on extension (.json/.csv/.parquet)
+        # count the LANDED data — recounting `out` would re-execute the
+        # whole pipeline (every model call) a second time
+        written = (spark.read.json(path) if path.endswith(".json")
+                   else spark.read.option("header", "true").csv(path) if path.endswith(".csv")
+                   else spark.read.parquet(path))
+        print(f"wrote {written.count()} rows to {path}")
     else:
         for row in out.df.limit(args.limit).collect():
             print(json.dumps(row.asDict(recursive=True), default=str))

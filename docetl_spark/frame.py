@@ -162,7 +162,14 @@ class SemanticFrame:
 
     def code_filter(self, predicate, *, limit=None) -> "SemanticFrame":
         pred_conf = predicate if isinstance(predicate, str) else None
-        if isinstance(predicate, str) and predicate.lstrip().startswith("def "):
+        # code source is any string with a function DEF on some line
+        # (imports/comments/docstrings may precede it — startswith('def ')
+        # misrouted those to the SQL-expression path); everything else is
+        # a SQL predicate expression
+        is_code = isinstance(predicate, str) and any(
+            ln.lstrip().startswith("def ") for ln in predicate.splitlines()
+        )
+        if is_code:
             predicate, pred_code = _fn_or_code(predicate, "predicate")
             return self._next(code_ops.code_filter(self.df, predicate, limit=limit),
                               "code_filter", code=pred_code, limit=limit)
@@ -322,11 +329,13 @@ class SemanticFrame:
         """Memoized on the frame instance (reference frame.py:1034-1063):
         repeated terminal actions (collect then count, ...) reuse the
         first materialization instead of re-running the semantic ops.
-        Rows are handed out as shallow copies so caller mutations can't
-        corrupt the memo."""
+        Rows are handed out as DEEP copies so caller mutations — including
+        of nested lists/dicts — can't corrupt the memo."""
         if "rows" not in self._memo:
             self._memo["rows"] = [r.asDict(recursive=True) for r in self.df.collect()]
-        return [dict(r) for r in self._memo["rows"]]
+        import copy
+
+        return copy.deepcopy(self._memo["rows"])
 
     def show(self, n: int = 5, truncate: bool = True):
         return self.df.show(n, truncate=truncate)

@@ -337,4 +337,11 @@ def cluster_distributed(
             F.concat("_top_path", "_local_path").alias(output_key),
         )
     )
+    # materialize the (id, path) table eagerly so the bucket stage's cache
+    # — embeddings + per-bucket centroids, and any LLM summary work — can
+    # be released instead of staying pinned for the session; the
+    # checkpointed table is two narrow columns and is freed with the
+    # returned DataFrame
+    path_df = path_df.localCheckpoint(eager=True)
+    local.unpersist()
     return df.join(path_df, id_col, "left")

@@ -136,6 +136,12 @@ def stratified_limit_pairs(
         .filter(F.col("_rn") <= F.col("_quota"))
         .select(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
     )
+    # materialize the surviving pair keys (<= limit_comparisons rows by
+    # construction) so the big pair table's cache can be RELEASED now —
+    # returning a lazy child of plen would pin its storage for the whole
+    # session (the leak shows up as evicted neighbors in long sessions)
+    out = out.localCheckpoint(eager=True)
+    plen.unpersist()
     return out
 
 

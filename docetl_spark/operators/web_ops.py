@@ -97,15 +97,23 @@ def web_fetch(
     """Adds ``output_col``: fetched-page markdown per row (fetch.py's
     url -> markdown contract), same throttling model as web_search.
 
-    ``convert="markdown"`` (default) runs the fetched HTML through the
-    stdlib markdown converter (functions/html.py — the reference's
-    markitdown/markdownify step); ``convert=None`` keeps the raw body."""
+    ``convert="markdown"`` (default) runs fetched bodies that LOOK like
+    HTML (leading ``<`` / doctype) through the stdlib markdown converter
+    (functions/html.py — the reference's markitdown/markdownify step);
+    non-HTML bodies (plain text, JSON, pre-converted markdown from an
+    injected fetcher) pass through untouched — the HTML parser's
+    whitespace collapse would destroy their line structure.
+    ``convert=None`` keeps every raw body."""
     raw_fn = fetch_fn or _default_fetch
     if convert == "markdown":
         from ..functions.html import html_to_markdown
 
         def fn(u: str) -> str:
-            return html_to_markdown(raw_fn(u))
+            body = raw_fn(u)
+            head = (body or "").lstrip()[:200].lower()
+            if head.startswith("<!doctype") or head.startswith("<"):
+                return html_to_markdown(body)
+            return body
     elif convert is None:
         fn = raw_fn
     else:

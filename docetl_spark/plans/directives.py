@@ -402,6 +402,14 @@ def _fusion_applies(ops, i, stats, be):
     nxt = ops[i + 1]
     if nxt.type not in ("map", "filter") or ops[i].config.get("_fused") or nxt.config.get("_fused"):
         return False
+    # the second prompt must not READ what the first map writes: in the
+    # fused single pass those fields don't exist yet, and the prompt's
+    # {{ input.<field> }} raises under StrictUndefined at execution (fail
+    # closed on unknown reads/writes)
+    written_by_first = ops[i].fields_written()
+    nxt_reads = nxt.fields_read()
+    if written_by_first is None or nxt_reads is None or (nxt_reads & written_by_first):
+        return False
     if nxt.type == "filter":
         # the map's outputs vanish in the fusion: legal only when no LATER
         # op reads them (fail closed on unknown reads)
@@ -667,13 +675,18 @@ def _d_map_to_map_resolve_reduce(ops, i, stats, backend):
     rk = red.config.get("reduce_key")
     key = rk[0] if isinstance(rk, list) else rk
     name = m.config.get("name", "map")
+    rid = f"_{name}_rid"
+    # resolve needs a per-row identity column: mint one (the map's rows
+    # have no guaranteed unique key after arbitrary upstream rewrites)
+    uid = OpSpec("add_uuid", {"name": f"{name}_rid", "id_key": rid})
     res = OpSpec("resolve", {
         "name": f"{name}_normalize",
+        "id_col": rid,
         "blocking_keys": [key],
-        "blocking_conditions": [
-            f"input1['{key}'].lower().strip() == input2['{key}'].lower().strip()",
-            f"set(input1['{key}'].lower().split()) & set(input2['{key}'].lower().split())",
-        ],
+        # SQL expressions over a./b. prefixes — the dialect our resolve's
+        # candidate_pairs evaluates (the reference evals Python pair
+        # predicates; ours compiles predicates into the blocking join)
+        "blocking_conditions": [f"lower(trim(a.{key})) = lower(trim(b.{key}))"],
         "comparison_prompt": (
             f"Are {{{{ input1.{key} }}}} and {{{{ input2.{key} }}}} the same entity?"
         ),
@@ -682,7 +695,7 @@ def _d_map_to_map_resolve_reduce(ops, i, stats, backend):
         "_normalizes": True,
         "_pair_fraction": 0.05,
     })
-    return ops[:i + 1] + [res] + ops[i + 1 :]
+    return ops[:i + 1] + [uid, res] + ops[i + 1 :]
 
 
 def _d_clarify_instructions(ops, i, stats, backend):

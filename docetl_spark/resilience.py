@@ -309,7 +309,31 @@ class ResilientBackend(ModelBackend):
         """Per-text caching: call inner.embed only on the misses, in one
         batch, preserving input order."""
         if not self.cache_size:
-            return self._retry_embed(texts)
+            if not self.cache_dir:
+                return self._retry_embed(texts)
+            # memory layer off but the persistent layer is configured:
+            # serve/fill disk (complete() honors cache_dir in this
+            # configuration — embed must not silently skip it)
+            keys = [_stable_key(self._model_token, "embed", t) for t in texts]
+            out: list = [None] * len(texts)
+            miss = [i for i in range(len(texts))]
+            if not self.bypass_cache:
+                still = []
+                for i in miss:
+                    hit = self._disk_get(keys[i])
+                    if hit is not None:
+                        out[i] = hit
+                        if self.metrics:
+                            self.metrics.cache_hits += 1
+                    else:
+                        still.append(i)
+                miss = still
+            if miss:
+                vecs = self._retry_embed([texts[i] for i in miss])
+                for i, v in zip(miss, vecs):
+                    out[i] = v
+                    self._disk_put(keys[i], v)
+            return out
         cache = self._cache()
         keys = [_stable_key(self._model_token, "embed", t) for t in texts]
         out: list = [None] * len(texts)

@@ -57,3 +57,15 @@ def test_cli_clear_cache_and_version(tmp_path, capsys):
     assert not os.path.exists(d / "x.json")
     assert main(["version"]) == 0
     assert "docetl_spark" in capsys.readouterr().out
+
+
+def test_cli_run_writes_real_csv(spark, tmp_path):
+    cfg = dict(PIPE)
+    out = str(tmp_path / "out.csv")
+    cfg["pipeline"] = {"steps": PIPE["pipeline"]["steps"], "output": {"path": out}}
+    p = tmp_path / "pipe.yaml"
+    import yaml as _y
+    p.write_text(_y.safe_dump(cfg))
+    assert main(["run", str(p), "--fake-backend"]) == 0
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 500 and "n_words" in back.columns  # CSV, not JSON

@@ -60,3 +60,12 @@ def test_frame_chaining(spark, docs):
     rows = {r["category"]: r["cnt"] for r in sf.df.collect()}
     assert rows["review"] == 1  # only id=0 survives in review
     assert sf.plan() == ["scan", "code_map", "code_filter", "code_reduce"]
+
+
+def test_code_filter_source_with_leading_import(spark):
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    df = spark.createDataFrame([{"x": 1}, {"x": 2}, {"x": 3}])
+    src = "import math\n\ndef transform(doc):\n    return math.floor(doc['x']) >= 2\n"
+    out = SemanticFrame.from_df(df, backend=FakeBackend()).code_filter(src).collect()
+    assert sorted(r["x"] for r in out) == [2, 3]

@@ -149,9 +149,19 @@ def test_operator_fusion_map_filter_blocked_by_downstream_read():
     ])
     new, _ = _apply_named("operator_fusion", ops, i=0)
     assert new is None
-    # without the downstream read, map+filter fuses into one filter
+    # the filter READING the map's output also blocks fusion: in the
+    # fused single pass `sentiment` doesn't exist when the prompt renders
     new2, _ = _apply_named("operator_fusion", ops[:2], i=0)
-    assert new2 is not None and len(new2) == 1 and new2[0].type == "filter"
+    assert new2 is None
+    # independent map+filter (filter reads only source fields) DOES fuse
+    indep = lift([
+        {"type": "map", "name": "a", "prompt": "sentiment {{ input.text }}",
+         "output": {"schema": {"sentiment": "str"}}},
+        {"type": "filter", "name": "f", "prompt": "keep? {{ input.text }}",
+         "output": {"schema": {"keep": "bool"}}},
+    ])
+    new3, _ = _apply_named("operator_fusion", indep, i=0)
+    assert new3 is not None and len(new3) == 1 and new3[0].type == "filter"
 
 
 def test_map_reduce_fusion_rewrites_reduce_inputs():
@@ -348,8 +358,9 @@ def test_map_to_map_resolve_reduce_shape():
          "prompt": "agg {{ inputs }}", "output": {"schema": {"n": "int"}}},
     ])
     out = _apply("map_to_map_resolve_reduce", ops, 0)
-    assert [o.type for o in out] == ["map", "resolve", "reduce"]
-    assert out[1].config["blocking_keys"] == ["lang"]
+    assert [o.type for o in out] == ["map", "add_uuid", "resolve", "reduce"]
+    assert out[2].config["blocking_keys"] == ["lang"]
+    assert out[2].config["id_col"] == out[1].config["id_key"]  # minted row id wired in
     # no re-fire: the next op after the map is now a resolve
     from docetl_spark.plans.directives import DIRECTIVES
     d = next(d for d in DIRECTIVES if d.name == "map_to_map_resolve_reduce")

@@ -333,3 +333,13 @@ def test_frame_memoizes_terminal_actions(spark):
     assert r1 == r2 and sf.count() == 5
     r1[0]["y"] = 999  # caller mutation must not corrupt the memo
     assert sf.collect()[0]["y"] != 999
+
+
+def test_collect_memo_survives_nested_mutation(spark):
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    df = spark.createDataFrame([{"id": 1, "tags": ["a", "b"]}])
+    sf = SemanticFrame.from_df(df, backend=FakeBackend())
+    rows = sf.collect()
+    rows[0]["tags"].append("CORRUPT")
+    assert sf.collect()[0]["tags"] == ["a", "b"]  # memo untouched

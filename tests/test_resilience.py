@@ -355,3 +355,24 @@ def test_per_op_model_override_and_cache_isolation(spark):
     from docetl_spark import FakeBackend
     fb = ResilientBackend(FakeBackend(), namespace="peropt2")
     assert fb.with_options(model="whatever") is fb
+
+
+def test_embed_disk_cache_without_memory_layer(tmp_path):
+    from docetl_spark import FakeBackend, ResilientBackend
+
+    calls = {"n": 0}
+
+    class CountingFake(FakeBackend):
+        def embed(self, texts):
+            calls["n"] += len(texts)
+            return super().embed(texts)
+
+    d = str(tmp_path / "cache")
+    rb1 = ResilientBackend(CountingFake(), namespace="edisk1", cache_size=0, cache_dir=d)
+    v1 = rb1.embed(["alpha", "beta"])
+    assert calls["n"] == 2
+    # fresh wrapper, memory layer still off: disk serves both texts
+    rb2 = ResilientBackend(CountingFake(), namespace="edisk2", cache_size=0, cache_dir=d)
+    v2 = rb2.embed(["alpha", "beta"])
+    assert calls["n"] == 2  # no new inner calls
+    assert v1 == v2

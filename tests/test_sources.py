@@ -220,3 +220,19 @@ def test_stream_to_parquet_sink(spark, tmp_path, sf_dir):
     assert landed.count() == batch.count()
     import os
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+
+def test_web_fetch_passes_non_html_through(spark):
+    from docetl_spark.operators import web_ops
+
+    df = spark.createDataFrame([{"url": "http://x/plain"}, {"url": "http://x/page"}])
+    bodies = {
+        "http://x/plain": "line one\nline two\nline three",
+        "http://x/page": "<html><body><p>hi</p></body></html>",
+    }
+    out = web_ops.web_fetch(
+        df, url_col="url", fetch_fn=lambda u: bodies[u], requests_per_second=0,
+    )
+    got = {r["url"]: r["content"] for r in out.collect()}
+    assert got["http://x/plain"] == "line one\nline two\nline three"  # untouched
+    assert "hi" in got["http://x/page"] and "<p>" not in got["http://x/page"]
