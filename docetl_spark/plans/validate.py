@@ -57,7 +57,7 @@ def _check_code(c: dict, entry: str, name: str, issues: list[PlanIssue]) -> None
     except SyntaxError as e:
         issues.append(PlanIssue("error", name, f"code does not parse: {e}"))
         return
-    if f"def transform" not in code and f"def {entry}" not in code:
+    if "def transform" not in code and f"def {entry}" not in code:
         issues.append(PlanIssue("error", name, f"code must define transform() (or {entry}())"))
 
 
