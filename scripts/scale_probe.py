@@ -60,13 +60,20 @@ def timed(fn) -> float:
 
 
 def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
+    import os
+
+    only = set(filter(None, os.environ.get("SCALE_PROBE_OPS", "").split(",")))
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     emb = spark.read.parquet(emb_path)
     line = spark.read.parquet(line_path)
     res = {}
 
+    def want(name: str) -> bool:
+        return not only or name in only
+
     # relational aggregate (q1 shape): scan -> partial agg -> exchange -> agg
-    res["q1_style_agg"] = timed(lambda: (
+    if want("q1_style_agg"):
+        res["q1_style_agg"] = timed(lambda: (
         line.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
@@ -74,13 +81,15 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
     ))
 
     # text analysis: pure JVM expressions, one scan
-    res["text_quality"] = timed(lambda: (
+    if want("text_quality"):
+        res["text_quality"] = timed(lambda: (
         docs.select(text.quality_rules(F.col("text")).alias("q"))
         .agg(F.sum(F.col("q.passes").cast("long"))).collect()
     ))
 
     # exact dedup: fingerprint + window
-    res["exact_dedup"] = timed(lambda: (
+    if want("exact_dedup"):
+        res["exact_dedup"] = timed(lambda: (
         dedup.exact_dedup(docs, "text", order_by=[F.col("doc_id").asc()])
         .agg(F.count(F.lit(1))).collect()
     ))
@@ -94,9 +103,12 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
                              shingle_col="_sh").agg(F.count(F.lit(1))).collect()
         sh.unpersist()
 
-    res["minhash_lsh"] = timed(run_minhash)
+    if want("minhash_lsh"):
+        res["minhash_lsh"] = timed(run_minhash)
 
     # ANN via LSH buckets (brute-force is gated beyond 200k by design)
+    if not want("ann_lsh_topk"):
+        return res
     q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     dim = len(emb.select("embedding").first()[0])
     res["ann_lsh_topk"] = timed(lambda: (
