@@ -28,9 +28,14 @@ from docetl_spark.operators import gather as gather_op, link_resolve as link_res
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-        # default; read it as raw nanos (BIGINT) and do integer epoch math.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # testdata generations (Spark 4 rejects it unless read as raw
+        # nanos BIGINT) and TIMESTAMP(MICROS)->TIMESTAMP_NTZ in others;
+        # normalize both to epoch-nanos BIGINT for integer epoch math.
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_epoch_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -34,6 +34,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp-ish column to epoch-nanos BIGINT.
+
+    Event data has shipped with ``ts`` physically stored two different
+    ways across testdata generations: parquet TIMESTAMP(NANOS) (read as
+    raw-nanos BIGINT under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    parquet TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ / TIMESTAMP).
+    Downstream epoch math (sessionization gaps, hourly windows) is
+    integer arithmetic on nanos, so fold every representation to that.
+
+    TIMESTAMP_NTZ carries a wall clock with no zone; DuckDB's
+    ``epoch_ns`` treats the same wall clock as UTC, so the cast to
+    (zoned) TIMESTAMP must happen under a UTC session zone for the
+    oracle to hash-match — callers set ``spark.sql.session.timeZone``
+    to UTC (docetl_spark.session does this globally)."""
+    dt = df.schema[col].dataType.typeName()
+    if dt.startswith("timestamp"):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            col, (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
+
+
 def read_dir(spark: SparkSession, path: str, *, glob: str | None = None) -> DataFrame:
     """Directory dataset: every file as one row {path, filename, text}
     (dataset.py:361-368). Text files read distributed via wholetext."""

@@ -30,10 +30,14 @@ def read_events_stream(
     schema: T.StructType | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Parquet-directory source for event files. ``ts`` arrives as raw
-    nanos (BIGINT) in the driver testdata; expose a proper timestamp
-    column ``event_time`` for watermarks."""
+    """Parquet-directory source for event files. ``ts`` arrives either as
+    raw nanos BIGINT (TIMESTAMP(NANOS) testdata generations) or as a
+    timestamp column (TIMESTAMP(MICROS) generations); normalize to
+    epoch-nanos BIGINT and expose a proper timestamp column
+    ``event_time`` for watermarks."""
     import os
+
+    from ..sources.readers import normalize_epoch_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
@@ -46,7 +50,7 @@ def read_events_stream(
         path_dir = os.path.dirname(path_dir)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(path_dir)
+    stream = normalize_epoch_nanos(reader.parquet(path_dir))
     return stream.withColumn(
         "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
     )

@@ -20,8 +20,10 @@ def event_stream(spark):
 
 
 def _batch_events(spark):
+    from docetl_spark.sources.readers import normalize_epoch_nanos
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{EVENTS_DIR}/events.parquet")
+    return normalize_epoch_nanos(spark.read.parquet(f"{EVENTS_DIR}/events.parquet"))
 
 
 def test_windowed_rollup_matches_batch(spark, event_stream, tmp_path):
