@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 from ..backend import ModelBackend
 from ..operators.sample import cosine_sim
 from .resolve import embed_column
-from .semantic import render_prompt
+from .semantic import render_prompt, widen_for_model_stage
 
 
 def _likert_scores(
@@ -45,7 +45,7 @@ def _likert_scores(
             pdf[out_col] = scores
             yield pdf[names]
 
-    return df.mapInPandas(run, schema=out_schema)
+    return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 
 
 def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
@@ -57,13 +57,20 @@ def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
     partitions (tiny driver-side offset map). Requires a total order
     (callers pass tiebreak columns), so output is deterministic."""
     parts = df.sparkSession.sparkContext.defaultParallelism or 8
+    # repartitionByRange runs a separate boundary-sampling job over the
+    # input; without a persist that job recomputes the full upstream
+    # lineage (for likert/comparison ranks that is the Python scoring
+    # stage — model calls paid twice). Persist the input so sampling and
+    # the real exchange read one materialization.
+    src = df.persist()
     s = (
-        df.repartitionByRange(parts, *order)
+        src.repartitionByRange(parts, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
     counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    src.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -47,13 +47,14 @@ def embed_column(
 ) -> DataFrame:
     """Embedding column from the concatenation of ``keys`` (the
     reference's get_embeddings_for_clustering shape)."""
+    from .semantic import widen_for_model_stage
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed(s: pd.Series) -> pd.Series:
         return pd.Series(backend.embed(list(s)))
 
     text = F.concat_ws(" ", *[F.col(k).cast("string") for k in keys])
-    return df.withColumn(out_col, embed(text))
+    return widen_for_model_stage(df).withColumn(out_col, embed(text))
 
 
 def candidate_pairs(

@@ -55,6 +55,32 @@ def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.Stru
     return T.StructType(fields + [f for f in declared.fields if f.name not in drop])
 
 
+def widen_for_model_stage(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Model-call stages are Python-bound: their parallelism equals the
+    input partition count, and a small single-file parquet scan arrives
+    as ONE partition (below maxPartitionBytes Spark doesn't split it),
+    which would serialize every backend call onto one core. Round-robin
+    repartition scan-shaped inputs up to cluster parallelism before the
+    Python stage.
+
+    Deliberately skipped when the plan already contains a width-giving
+    op (join/aggregate/sort/window/exchange): those inputs are at least
+    ``spark.sql.shuffle.partitions`` wide, the repartition would be a
+    pointless full shuffle at scale, and even inspecting
+    ``rdd.getNumPartitions()`` on such a plan can materialize AQE query
+    stages. Row-local semantics make the reshuffle result-invariant."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism or 8
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df
+    if any(k in plan for k in ("Join", "Aggregate", "Sort", "Window", "Repartition", "Exchange")):
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def run_concurrently(backend: ModelBackend, fn, items: list) -> list:
     """Apply ``fn`` to every item, overlapping up to
     ``backend.max_concurrency`` calls with a thread pool (the reference's
@@ -278,7 +304,7 @@ def semantic_map(
                 out.extend(run_concurrently(backend, one, rows))
             yield pd.DataFrame(out, columns=out_names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 
 
 def semantic_parallel_map(
@@ -307,7 +333,7 @@ def semantic_parallel_map(
                 out.append({k: merged.get(k) for k in out_names})
             yield pd.DataFrame(out, columns=out_names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 
 
 def semantic_filter(
@@ -404,7 +430,7 @@ def semantic_filter(
             keep = run_concurrently(backend, one, pdf.to_dict("records"))
             yield pdf[pd.Series(keep, index=pdf.index)] if len(pdf) else pdf
 
-    out = df.mapInPandas(run, schema=df.schema).select(*names)
+    out = widen_for_model_stage(df).mapInPandas(run, schema=df.schema).select(*names)
     return out.limit(limit) if limit is not None else out
 
 
