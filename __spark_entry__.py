@@ -998,6 +998,63 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/training.py pack_sequences):
+    concat-and-chunk documents into 512-token training sequences, 8
+    deterministic shards (doc_id % 8), doc_id order within shard. One
+    row per (doc, sequence) piece — docs crossing a cut appear twice."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents")
+    return training.pack_sequences(
+        docs,
+        budget=512,
+        text_col="text",
+        id_cols=["doc_id"],
+        order_cols=["doc_id"],
+        shard_expr=F.col("doc_id") % 8,
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (functions/training.py
+    ngram_overlap): distinct 13-gram overlap of every document against a
+    benchmark stand-in (docs with doc_id % 10 == 0). Benchmark members
+    score overlap_ratio 1.0; true negatives 0."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    out = training.ngram_overlap(docs, bench, n=13)
+    return out.select("doc_id", "n_ngrams", "n_overlap", "overlap_ratio")
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sample (functions/training.py sample_temperature):
+    T=2 temperature reweighting over lang groups at ~30% overall —
+    upsamples small languages, deterministic md5 Bernoulli draw."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return training.sample_temperature(
+        docs, "lang", temperature=2.0, target_fraction=0.3, id_cols=["doc_id"]
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (similarity.py lsh_topk) with
+    axis-aligned planes — the deterministic variant whose sign-bit
+    bucket arithmetic DuckDB replays exactly, giving the LSH scale path
+    a hash-checked oracle (random-plane variant covered in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries_df, 10, dim=64, planes=similarity.axis_planes(64, 8)
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1064,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": events_stream_sessions,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "pack_sequences_docs": pack_sequences_docs,
+        "contamination_check": contamination_check,
+        "sample_temperature_mix": sample_temperature_mix,
+        "ann_lsh": ann_lsh,
     }
 
 
@@ -1675,4 +1736,88 @@ def oracle_sql() -> dict[str, str]:
                         WHEN text LIKE '%slow%' THEN 'negative'
                         ELSE 'neutral' END AS sentiment
             FROM documents""",
+        # concat-and-chunk packing: shard-partitioned running token sum,
+        # each doc's span [s, e) cut every 512 tokens
+        "pack_sequences_docs": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+              FROM documents
+            ), nz AS (SELECT * FROM t WHERE n_tok > 0),
+            spans AS (
+              SELECT doc_id, shard, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e,
+                     CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS BIGINT) AS s
+              FROM nz
+            ), pieces AS (
+              SELECT doc_id, shard, s, e,
+                     unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+              FROM spans
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(GREATEST(s, seq_id * 512) - s AS BIGINT) AS doc_tok_start,
+                   CAST(LEAST(e, (seq_id + 1) * 512) - s AS BIGINT) AS doc_tok_end,
+                   CAST(GREATEST(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off
+            FROM pieces""",
+        # distinct 13-gram overlap vs the doc_id%10 benchmark stand-in;
+        # gram key = md5 low-64 prefix, same in both engines
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(tk) >= 13 THEN
+                       list_transform(generate_series(0, len(tk) - 13),
+                                      i -> substring(md5(array_to_string(tk[i+1:i+13], ' ')), 1, 16))
+                     ELSE [] END) AS gs
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0
+            ), pergram AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams
+            ), counted AS (
+              SELECT p.doc_id, COUNT(*) AS n_ngrams, COUNT(b.g) AS n_overlap
+              FROM pergram p LEFT JOIN bench b USING (g) GROUP BY p.doc_id
+            )
+            SELECT g.doc_id, CAST(COALESCE(c.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(c.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CASE WHEN COALESCE(c.n_ngrams, 0) > 0
+                        THEN ROUND(COALESCE(c.n_overlap, 0) / c.n_ngrams, 6) ELSE 0.0 END AS overlap_ratio
+            FROM grams g LEFT JOIN counted c USING (doc_id)""",
+        # temperature mixing: per-lang rate ~ n^(1/T), deterministic md5 draw
+        "sample_temperature_mix": """
+            WITH counts AS (SELECT lang AS g, COUNT(*) AS n FROM documents GROUP BY lang),
+            tot AS (SELECT SUM(n) AS total, SUM(pow(n, 0.5)) AS wsum FROM counts),
+            rates AS (
+              SELECT g, ROUND(LEAST(1.0, 0.3 * total * pow(n, 0.5) / wsum / n), 9) AS rate
+              FROM counts, tot
+            )
+            SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.g
+            WHERE CAST(CONCAT('0x', SUBSTRING(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  / 16777216.0 < r.rate""",
+        # axis-plane LSH: bucket = sign bits of the first 8 dims, top-10
+        # within the query's bucket
+        "ann_lsh": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            b AS (
+              SELECT vec_id, ev,
+                     (CASE WHEN ev[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN ev[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN ev[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN ev[4] > 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN ev[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN ev[6] > 0 THEN 32 ELSE 0 END)
+                   + (CASE WHEN ev[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN ev[8] > 0 THEN 128 ELSE 0 END) AS bucket
+              FROM v
+            ), q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, b.vec_id,
+                     ROUND(list_dot_product(b.ev, q.qv)
+                       / (sqrt(list_dot_product(b.ev, b.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+              FROM b JOIN q USING (bucket)
+            )
+            SELECT query_id, vec_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored QUALIFY rank <= 10""",
     }

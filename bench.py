@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "split_tokens",
     "split_gather_docs",
     "sample_outliers_emb",
+    "pack_sequences_docs",
+    "contamination_check",
+    "sample_temperature_mix",
+    "ann_lsh",
 ]
 
 

@@ -58,6 +58,13 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).astype(float).tolist()
 
 
+def axis_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Axis-aligned hyperplanes: bucket bit i = sign(vec[i]). Weaker
+    spread than random planes but deterministic arithmetic any SQL
+    engine can replay — used by the oracle-checked LSH driver query."""
+    return [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(n_planes)]
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id from random hyperplanes (pure expressions)."""
     v = vec_col.cast("array<double>")
@@ -84,11 +91,16 @@ def lsh_topk(
     query_id: str = "query_id",
     corpus_vec: str = "embedding",
     query_vec: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query.
     Trades recall for turning the scan into an equi-join on bucket id —
-    at 100 TB the corpus is hash-partitioned by bucket once and reused."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    at 100 TB the corpus is hash-partitioned by bucket once and reused.
+
+    ``planes`` overrides the seeded random hyperplanes — e.g.
+    ``axis_planes(dim, p)`` gives sign-bit buckets on the first p
+    dimensions, a fully SQL-replayable (oracle-checkable) variant."""
+    planes = planes if planes is not None else random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("_cv"),

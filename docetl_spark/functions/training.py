@@ -1,0 +1,183 @@
+"""Training-data pipeline operators beyond the reference's inventory:
+sequence packing, benchmark-contamination checks, and temperature
+(data-mixing) sampling. These are the ops a 100 TB pretraining corpus
+pipeline runs after dedup/quality filtering; all are pure-expression
+Spark (no Python in the hot path) and every driver query has a DuckDB
+oracle.
+
+Scale posture:
+- ``pack_sequences`` windows are partitioned by shard — state per task
+  is one shard's running token count, never a global sort.
+- ``ngram_overlap`` broadcasts the (small) benchmark n-gram set; the
+  corpus side streams through an equi-join on an md5-derived key.
+- ``sample_temperature`` computes per-group rates from a tiny
+  aggregate, then filters with a deterministic hash Bernoulli — one
+  scan, no shuffle of the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    token_col: str | None = None,
+    id_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    shard_expr: F.Column | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents are laid
+    end-to-end in a deterministic order within each shard, and the token
+    stream is cut every ``budget`` tokens. A document whose span crosses
+    a cut contributes pieces to consecutive sequences — no padding, no
+    bin-packing heuristics, exactly the streaming-concat shape most
+    pretraining pipelines use.
+
+    Output: one row per (document, sequence) piece with
+    ``shard, seq_id`` (sequence key within shard), ``doc_tok_start/
+    doc_tok_end`` (token span of the piece inside the document,
+    end-exclusive) and ``seq_off`` (where the piece lands inside the
+    sequence).
+
+    Scale: the cumulative sum is a window partitioned BY SHARD, so each
+    task holds one shard's ordering — shards bound both the sort and
+    the window state, and more shards = more parallelism (the standard
+    data-parallel packing layout). The piece explosion is
+    ``explode(sequence(...))`` — pure JVM.
+    """
+    ids = id_cols or [df.columns[0]]
+    order = order_cols or ids
+    toks = F.col(token_col) if token_col else token_count(F.col(text_col))
+    shard = (shard_expr if shard_expr is not None else F.pmod(F.xxhash64(*ids), F.lit(n_shards))).cast("long")
+
+    base = df.select(*ids, shard.alias("shard"), toks.cast("long").alias("_n_tok")).filter(
+        F.col("_n_tok") > 0
+    )
+    w = W.partitionBy("shard").orderBy(*[F.col(c).asc() for c in order])
+    spanned = base.withColumn("_end", F.sum("_n_tok").over(w)).withColumn(
+        "_start", F.col("_end") - F.col("_n_tok")
+    )
+    b = F.lit(int(budget))
+    # integer DIV, not float division: token offsets at corpus scale
+    # exceed double's exact-integer range
+    first_seq = F.expr(f"_start DIV {int(budget)}")
+    last_seq = F.expr(f"(_end - 1) DIV {int(budget)}")
+    pieces = spanned.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    piece_start = F.greatest(F.col("_start"), F.col("seq_id") * b)
+    piece_end = F.least(F.col("_end"), (F.col("seq_id") + 1) * b)
+    return pieces.select(
+        *ids,
+        "shard",
+        "seq_id",
+        (piece_start - F.col("_start")).alias("doc_tok_start"),
+        (piece_end - F.col("_start")).alias("doc_tok_end"),
+        (piece_start - F.col("seq_id") * b).alias("seq_off"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    of its distinct word n-grams appear anywhere in the benchmark set.
+    The classic pretraining decontamination pass (13-gram overlap).
+
+    Output: ``corpus_id, n_ngrams`` (distinct n-grams in the doc),
+    ``n_overlap`` (those also in the benchmark), ``overlap_ratio``.
+    Documents shorter than ``n`` tokens have ``n_ngrams = 0``.
+
+    Scale: the benchmark n-gram key set is tiny (benchmarks are MBs, the
+    corpus is TBs) — it is distinct-ed and broadcast, so the corpus side
+    is one explode + broadcast semi-join + re-aggregate, no shuffle of
+    corpus text. Keys are md5-derived 64-bit prefixes (md5 exists in both
+    Spark and DuckDB, keeping the operation oracle-checkable; xxhash64
+    would be cheaper but is Spark-only)."""
+
+    def norm(col):
+        return F.lower(col) if lowercase else col
+
+    def ngram_keys(text_col) -> F.Column:
+        toks = F.split(F.trim(norm(text_col)), r"\s+")
+        # guard: sequence(0, negative) would generate a DESCENDING range
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return F.array_distinct(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)))
+
+    bench_keys = (
+        benchmark.select(F.explode(ngram_keys(F.col(bench_text))).alias("_g")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(corpus_id), F.explode_outer(ngram_keys(F.col(corpus_text))).alias("_g")
+    )
+    hit = F.broadcast(bench_keys.withColumn("_hit", F.lit(1)))
+    return (
+        doc_grams.join(hit, "_g", "left")
+        .groupBy(corpus_id)
+        .agg(
+            F.count(F.col("_g")).alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_overlap") / F.col("n_ngrams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def sample_temperature(
+    df: DataFrame,
+    group_col: str,
+    *,
+    temperature: float,
+    target_fraction: float = 0.25,
+    id_cols: list[str] | None = None,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted (data-mixing) sample: per-group sampling
+    rates follow p_g ∝ (n_g)^(1/T), the multilingual-pretraining recipe
+    that upweights small groups as T grows (T=1 keeps natural
+    proportions). Overall size ≈ ``target_fraction`` of the input.
+
+    Selection is a deterministic hash Bernoulli (md5 of seed + ids),
+    so the same rows are kept on every run, on any partitioning, and a
+    SQL oracle can replay the draw. Rates are rounded to 9 decimals
+    before comparison so float formula differences between engines
+    cannot flip a boundary row.
+
+    Scale: pass 1 aggregates group counts (tiny result, collected);
+    pass 2 filters with the rates folded in as a literal map — the data
+    itself never shuffles."""
+    ids = id_cols or [df.columns[0]]
+    counts = {r["g"]: r["n"] for r in df.groupBy(F.col(group_col).alias("g")).count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    if not total:
+        return df.filter(F.lit(False))
+    weights = {g: float(n) ** (1.0 / temperature) for g, n in counts.items()}
+    wsum = sum(weights.values())
+    target = target_fraction * total
+    rates = {
+        g: round(min(1.0, (target * weights[g] / wsum) / counts[g]), 9) for g in counts
+    }
+    rate_map = F.create_map(*[F.lit(x) for g in sorted(rates) for x in (g, rates[g])])
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in ids])
+    draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
+    return df.filter(draw < rate_map[F.col(group_col)])

@@ -1,0 +1,115 @@
+"""Training-pipeline operators (functions/training.py): sequence
+packing, contamination checks, temperature sampling — plus the
+deterministic axis-plane LSH variant."""
+
+from pyspark.sql import functions as F
+
+from docetl_spark.functions import similarity, training
+
+
+def _pack_rows(spark, texts, budget, n_shards=1):
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = training.pack_sequences(
+        df,
+        budget=budget,
+        text_col="text",
+        id_cols=["doc_id"],
+        order_cols=["doc_id"],
+        shard_expr=F.lit(0) if n_shards == 1 else F.col("doc_id") % n_shards,
+    )
+    return [r.asDict() for r in out.collect()]
+
+
+def test_pack_sequences_covers_every_token_once(spark):
+    texts = ["a b c d e", "f g h", "i j k l m n o p", "q r"]
+    budget = 4
+    rows = _pack_rows(spark, texts, budget)
+    # every document's pieces tile [0, n_tok) exactly
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        pieces = sorted(
+            (r["doc_tok_start"], r["doc_tok_end"]) for r in rows if r["doc_id"] == i
+        )
+        assert pieces[0][0] == 0 and pieces[-1][1] == n
+        for (a, b), (c, d) in zip(pieces, pieces[1:]):
+            assert b == c  # contiguous, no gap/overlap
+    # every sequence holds exactly `budget` tokens except the last
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault(r["seq_id"], 0)
+        per_seq[r["seq_id"]] += r["doc_tok_end"] - r["doc_tok_start"]
+    last = max(per_seq)
+    for sid, tok in per_seq.items():
+        assert tok == budget if sid != last else tok <= budget
+    # seq_off matches the running position inside each sequence
+    for r in rows:
+        assert 0 <= r["seq_off"] < budget
+        assert r["seq_off"] + (r["doc_tok_end"] - r["doc_tok_start"]) <= budget
+
+
+def test_pack_sequences_doc_crossing_boundary_appears_twice(spark):
+    rows = _pack_rows(spark, ["one two three", "four five six seven"], budget=4)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1
+    assert len(by_doc[1]) == 2  # spans tokens 3..6 -> sequences 0 and 1
+    spans = sorted((r["seq_id"], r["doc_tok_start"], r["doc_tok_end"]) for r in by_doc[1])
+    assert spans == [(0, 0, 1), (1, 1, 4)]
+
+
+def test_pack_sequences_sharding_isolates_streams(spark):
+    texts = ["w x y z"] * 6
+    rows = _pack_rows(spark, texts, budget=8, n_shards=2)
+    for shard in (0, 1):
+        tok = sum(
+            r["doc_tok_end"] - r["doc_tok_start"] for r in rows if r["shard"] == shard
+        )
+        assert tok == 12  # 3 docs x 4 tokens per shard
+
+
+def test_ngram_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 1, "text": "entirely different words here appear now ok fine"},
+            {"doc_id": 2, "text": "too short"},
+        ]
+    )
+    bench = spark.createDataFrame(
+        [{"text": "the quick brown fox jumps over the lazy dog indeed"}]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in training.ngram_overlap(corpus, bench, n=3).collect()
+    }
+    assert out[0]["n_ngrams"] == 7 and out[0]["n_overlap"] == 7
+    assert out[0]["overlap_ratio"] == 1.0
+    assert out[1]["n_overlap"] == 0
+    assert out[2]["n_ngrams"] == 0 and out[2]["overlap_ratio"] == 0.0
+
+
+def test_sample_temperature_deterministic_and_upweights_small_groups(spark):
+    rows = [{"id": i, "g": "big" if i < 900 else "small"} for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    a = {r["id"] for r in training.sample_temperature(df, "g", temperature=4.0, target_fraction=0.2, id_cols=["id"]).collect()}
+    b = {r["id"] for r in training.sample_temperature(df, "g", temperature=4.0, target_fraction=0.2, id_cols=["id"]).collect()}
+    assert a == b  # hash draw, not RNG
+    kept_small = len([i for i in a if i >= 900]) / 100
+    kept_big = len([i for i in a if i < 900]) / 900
+    assert kept_small > kept_big  # T>1 upsamples the minority group
+    assert 0.1 < len(a) / 1000 < 0.35  # near target_fraction
+
+
+def test_axis_lsh_query_finds_itself(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(
+        emb, q, 5, dim=64, planes=similarity.axis_planes(64, 8)
+    ).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["vec_id"] == 1 and abs(top["score"] - 1.0) < 1e-6
