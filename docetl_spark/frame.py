@@ -67,7 +67,8 @@ _EXPORTABLE = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
     "code_reduce", "split", "gather", "unnest", "unnest_columns",
     "add_uuid", "sample", "topk", "rank", "extract", "resolve", "cluster",
-    "link_resolve", "limit",
+    "link_resolve", "limit", "pack_sequences", "sample_temperature",
+    "near_dup_minhash",
 }
 
 
@@ -306,6 +307,57 @@ class SemanticFrame:
         return self._next(
             link_resolve_op.link_resolve(self.df, be, id_key=id_key, link_key=link_key, **kw),
             "link_resolve", id_key=id_key, link_key=link_key, **kw,
+        )
+
+    # ------------------------------------------- training-pipeline ops
+    # Beyond-reference surface (COVERAGE.md "training-data pipeline
+    # ops"): dedup, packing, contamination, data-mixing — first-class
+    # frame methods so a pipeline stays one fluent chain.
+
+    def dedup_exact(self, text_col: str, *, order_by: list, **kw) -> "SemanticFrame":
+        from .functions import dedup as dedup_fn
+
+        return self._next(
+            dedup_fn.exact_dedup(self.df, text_col, order_by=order_by, **kw),
+            "dedup_exact", text_col=text_col,
+        )
+
+    def near_dup_minhash(self, id_col: str, text_col: str, **kw) -> "SemanticFrame":
+        """Rows minus MinHash+LSH near-duplicates (keeps the smallest id
+        per duplicate cluster)."""
+        from .functions import dedup as dedup_fn
+
+        conf = {"id_col": id_col, "text_col": text_col, **kw}
+        return self._next(
+            dedup_fn.minhash_dedup(self.df, id_col, text_col, **kw),
+            "near_dup_minhash", **conf,
+        )
+
+    def pack_sequences(self, *, budget: int, **kw) -> "SemanticFrame":
+        from .functions import training
+
+        # shard_expr is a Column — keep it out of the (YAML-serializable)
+        # op-log; n_shards-based sharding round-trips
+        conf = {k: v for k, v in kw.items() if k != "shard_expr"}
+        return self._next(
+            training.pack_sequences(self.df, budget=budget, **kw),
+            "pack_sequences", budget=budget, **conf,
+        )
+
+    def contamination(self, benchmark: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
+        from .functions import training
+
+        bdf = benchmark.df if isinstance(benchmark, SemanticFrame) else benchmark
+        return self._next(
+            training.ngram_overlap(self.df, bdf, **kw), "contamination", **kw
+        )
+
+    def sample_temperature(self, group_col: str, *, temperature: float, **kw) -> "SemanticFrame":
+        from .functions import training
+
+        return self._next(
+            training.sample_temperature(self.df, group_col, temperature=temperature, **kw),
+            "sample_temperature", group_col=group_col, temperature=temperature, **kw,
         )
 
     # --------------------------------------------------- external-IO ops

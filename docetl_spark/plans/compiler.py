@@ -117,6 +117,16 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         right = datasets[c.pop("right")]
         return sf.equijoin(right, comparison_prompt=c.pop("comparison_prompt"),
                            left_keys=c.pop("left_keys"), right_keys=c.pop("right_keys"), **c)
+    # training-pipeline ops (beyond-reference surface, COVERAGE.md)
+    if t == "pack_sequences":
+        return sf.pack_sequences(budget=c.pop("budget"), **c)
+    if t == "sample_temperature":
+        return sf.sample_temperature(c.pop("group_col"), temperature=c.pop("temperature"), **c)
+    if t == "near_dup_minhash":
+        return sf.near_dup_minhash(c.pop("id_col"), c.pop("text_col"), **c)
+    if t == "contamination":
+        bench = datasets[c.pop("benchmark")]
+        return sf.contamination(bench, **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

@@ -25,7 +25,8 @@ _KNOWN_OPS = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
-    "equijoin", "step_boundary", "limit",
+    "equijoin", "step_boundary", "limit", "pack_sequences",
+    "sample_temperature", "near_dup_minhash", "contamination",
 }
 
 
@@ -131,6 +132,18 @@ def _check_op(op: dict) -> list[PlanIssue]:
             issues.append(PlanIssue("error", name, f"topk method must be one of {sorted(_TOPK_METHODS)}"))
         if not op.get("k"):
             issues.append(PlanIssue("error", name, "topk needs `k`"))
+    if t == "pack_sequences" and not op.get("budget"):
+        issues.append(PlanIssue("error", name, "pack_sequences needs a positive `budget`"))
+    if t == "sample_temperature":
+        for k in ("group_col", "temperature"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"sample_temperature needs `{k}`"))
+    if t == "near_dup_minhash":
+        for k in ("id_col", "text_col"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"near_dup_minhash needs `{k}`"))
+    if t == "contamination" and not op.get("benchmark"):
+        issues.append(PlanIssue("error", name, "contamination needs a `benchmark` dataset ref"))
     return issues
 
 

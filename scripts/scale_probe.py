@@ -107,15 +107,36 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
         res["minhash_lsh"] = timed(run_minhash)
 
     # ANN via LSH buckets (brute-force is gated beyond 200k by design)
-    if not want("ann_lsh_topk"):
-        return res
-    q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
-    dim = len(emb.select("embedding").first()[0])
-    res["ann_lsh_topk"] = timed(lambda: (
-        similarity.lsh_topk(emb, q, 10, dim=dim).agg(F.count(F.lit(1))).collect()
-    ))
+    if want("ann_lsh_topk"):
+        q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+        dim = len(emb.select("embedding").first()[0])
+        res["ann_lsh_topk"] = timed(lambda: (
+            similarity.lsh_topk(emb, q, 10, dim=dim).agg(F.count(F.lit(1))).collect()
+        ))
 
-    # streaming-shape sessionize (batch window form)
+    # sequence packing: shard-partitioned window + explode, pure JVM
+    if want("pack_sequences"):
+        from docetl_spark.functions import training
+
+        res["pack_sequences"] = timed(lambda: (
+            training.pack_sequences(
+                docs, budget=512, text_col="text", id_cols=["doc_id"],
+                order_cols=["doc_id"], n_shards=64,
+            ).agg(F.count(F.lit(1))).collect()
+        ))
+
+    # contamination scan: corpus explode + broadcast benchmark key join.
+    # The benchmark is FIXED-SIZE (real benchmarks don't grow with the
+    # corpus) so the probe measures corpus-side scaling only.
+    if want("ngram_overlap"):
+        from docetl_spark.functions import training
+
+        bench = docs.orderBy("doc_id").limit(50).select("text")
+        res["ngram_overlap"] = timed(lambda: (
+            training.ngram_overlap(docs, bench, n=13)
+            .agg(F.sum("n_overlap"), F.count(F.lit(1))).collect()
+        ))
+
     return res
 
 

@@ -113,3 +113,40 @@ def test_axis_lsh_query_finds_itself(spark, sf_dir):
     ).collect()
     top = [r for r in out if r["rank"] == 1][0]
     assert top["vec_id"] == 1 and abs(top["score"] - 1.0) < 1e-6
+
+
+def test_frame_training_ops_chain_and_roundtrip(spark, tmp_path, sf_dir):
+    """Training ops as frame methods: fluent chain + YAML round-trip."""
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    sf = (
+        SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+        .sample_temperature("lang", temperature=2.0, target_fraction=0.5, id_cols=["doc_id"])
+        .pack_sequences(budget=256, text_col="text", id_cols=["doc_id"], order_cols=["doc_id"], n_shards=4)
+    )
+    rows = sf.collect()
+    assert rows and all(0 <= r["seq_off"] < 256 for r in rows)
+
+    y1 = sf.to_yaml()
+    p = str(tmp_path / "train_pipe.yaml")
+    sf.to_yaml(p)
+    sf2 = SemanticFrame.from_yaml(spark, p, backend=FakeBackend())
+    assert sf2.to_yaml() == y1
+    assert sorted(map(tuple, (r.values() for r in sf2.collect()))) == sorted(
+        map(tuple, (r.values() for r in rows))
+    )
+
+
+def test_frame_dedup_and_contamination_methods(spark, sf_dir):
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    docs = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+    from pyspark.sql import functions as F
+
+    deduped = docs.dedup_exact("text", order_by=[F.col("doc_id").asc()])
+    assert 0 < deduped.count() <= docs.count()
+
+    bench = docs.where("doc_id % 10 = 0").select("text")
+    cont = docs.contamination(bench, n=13)
+    out = {r["doc_id"]: r["overlap_ratio"] for r in cont.collect()}
+    assert out[0] == 1.0  # benchmark member is fully contaminated
