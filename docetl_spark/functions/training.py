@@ -17,9 +17,18 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+import hashlib
+import re as _re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from .text import token_count
+
+# ASCII \s only, matching JVM regex \s and DuckDB/RE2 semantics — a
+# unicode-aware split would diverge from the SQL oracle on exotic spaces
+_ASCII_WS = _re.compile(r"\s+", _re.ASCII)
+_ASCII_WS_CHARS = " \t\n\r\f\v"
 
 
 def pack_sequences(
@@ -107,23 +116,40 @@ def ngram_overlap(
     Spark and DuckDB, keeping the operation oracle-checkable; xxhash64
     would be cheaper but is Spark-only)."""
 
-    def norm(col):
-        return F.lower(col) if lowercase else col
+    def keys_py(text: str | None) -> list[str]:
+        t = (text or "").strip(_ASCII_WS_CHARS)
+        if lowercase:
+            t = t.lower()
+        if not t:
+            return []
+        toks = _ASCII_WS.split(t)
+        if len(toks) < n:
+            return []
+        # one tokenization pass per doc. The expression formulation
+        # (sequence/transform/slice over a split() column) re-inlines the
+        # tokenizer at every gram position under CollapseProject —
+        # measured 6x slower at sf0.1 (same pitfall as text.shingles).
+        return list(
+            dict.fromkeys(
+                hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:16]
+                for i in range(len(toks) - n + 1)
+            )
+        )
 
-    def ngram_keys(text_col) -> F.Column:
-        toks = F.split(F.trim(norm(text_col)), r"\s+")
-        # guard: sequence(0, negative) would generate a DESCENDING range
-        idx = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-        ).otherwise(F.array().cast("array<int>"))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        return F.array_distinct(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)))
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def ngram_keys(s: pd.Series) -> pd.Series:
+        return s.map(keys_py)
+
+    from ..operators.semantic import widen_for_model_stage
 
     bench_keys = (
-        benchmark.select(F.explode(ngram_keys(F.col(bench_text))).alias("_g")).distinct()
+        widen_for_model_stage(benchmark)
+        .select(F.explode(ngram_keys(F.col(bench_text).cast("string"))).alias("_g"))
+        .distinct()
     )
-    doc_grams = corpus.select(
-        F.col(corpus_id), F.explode_outer(ngram_keys(F.col(corpus_text))).alias("_g")
+    doc_grams = widen_for_model_stage(corpus).select(
+        F.col(corpus_id),
+        F.explode_outer(ngram_keys(F.col(corpus_text).cast("string"))).alias("_g"),
     )
     hit = F.broadcast(bench_keys.withColumn("_hit", F.lit(1)))
     return (
