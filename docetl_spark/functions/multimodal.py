@@ -41,6 +41,14 @@ def read_binary_dir(spark, path: str, *, glob: str | None = None) -> DataFrame:
     return reader.load(path)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Media kernels are Python-bound; widen narrow scan-shaped inputs
+    (see operators.semantic.widen_for_model_stage)."""
+    from ..operators.semantic import widen_for_model_stage
+
+    return widen_for_model_stage(df)
+
+
 def _fake_decode(content: bytes) -> dict:
     h = hashlib.md5(content or b"").digest()
     return {"width": 16 + h[0] % 64, "height": 16 + h[1] % 64, "format": "fake"}
@@ -59,7 +67,7 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", *, fake: bool
             pdf["image_meta"] = [_fake_decode(c) for c in pdf[content_col]]
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _widen(df).mapInPandas(run, schema=out_schema)
 
 
 def image_features(df: DataFrame, content_col: str = "content", *, dim: int = 16, fake: bool = True) -> DataFrame:
@@ -82,7 +90,7 @@ def image_features(df: DataFrame, content_col: str = "content", *, dim: int = 16
             pdf["features"] = feats
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _widen(df).mapInPandas(run, schema=out_schema)
 
 
 def frame_sample(df: DataFrame, content_col: str = "content", *, every_n: int = 30, fake: bool = True) -> DataFrame:
@@ -104,4 +112,4 @@ def frame_sample(df: DataFrame, content_col: str = "content", *, every_n: int = 
                     rows.append({**rec, "frame_index": i * every_n, "frame": rec[content_col]})
             yield pd.DataFrame(rows, columns=out_schema.fieldNames())
 
-    return df.mapInPandas(run, schema=out_schema)
+    return _widen(df).mapInPandas(run, schema=out_schema)

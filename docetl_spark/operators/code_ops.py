@@ -65,7 +65,9 @@ def code_map(
                 out[k] = [r.get(k) for r in results]
             yield out[out_names]
 
-    return df.mapInPandas(run, schema=out_schema)
+    from .semantic import widen_for_model_stage
+
+    return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 
 
 def code_filter(
@@ -88,7 +90,9 @@ def code_filter(
             mask = pdf.apply(lambda r: bool(predicate(r.to_dict())), axis=1) if len(pdf) else []
             yield pdf[mask] if len(pdf) else pdf
 
-    out = df.mapInPandas(run, schema=schema).select(*names)
+    from .semantic import widen_for_model_stage
+
+    out = widen_for_model_stage(df).mapInPandas(run, schema=schema).select(*names)
     return out.limit(limit) if limit is not None else out
 
 

@@ -92,4 +92,6 @@ def extract(
                     out_rows.append({c: new.get(c) for c in names})
             yield pd.DataFrame(out_rows, columns=names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    from .semantic import widen_for_model_stage
+
+    return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)

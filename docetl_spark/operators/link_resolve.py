@@ -26,7 +26,7 @@ from ..backend import ModelBackend
 from ..functions.similarity import lsh_bucket, random_hyperplanes
 from ..operators.sample import cosine_sim
 from .resolve import embed_column
-from .semantic import render_prompt
+from .semantic import render_prompt, widen_for_model_stage
 
 
 def link_resolve(
@@ -87,7 +87,7 @@ def link_resolve(
 
     # one deterministic replacement per dangling link: smallest matching id
     mapping = (
-        cand.mapInPandas(run, schema=out_schema)
+        widen_for_model_stage(cand).mapInPandas(run, schema=out_schema)
         .filter(F.col("_is_same"))
         .groupBy("_link")
         .agg(F.min("_id").alias("_canonical"))
