@@ -1055,6 +1055,54 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py pii_redact/pii_counts): plant a
+    synthetic email/IP/phone per doc (the corpus text itself is clean),
+    then redact with typed placeholders and count matches — pure JVM
+    regexp chain, shared Java/RE2 syntax so the oracle replays it."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@mail.example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ),
+    )
+    # email+ip only: the looser phone pattern's match spans can differ
+    # between Java regex (leftmost-first) and RE2 (leftmost-longest);
+    # phone redaction is covered by unit tests instead
+    counts = text.pii_counts(F.col("text"), kinds=("email", "ip"))
+    redacted = text.pii_redact(F.col("text"), kinds=("email", "ip"))
+    return planted.select(
+        "doc_id",
+        F.substring(redacted, -40, 40).alias("redacted_tail"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+    )
+
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (functions/text.py repetition_stats): plant a
+    duplicated line + a repeated bigram tail so both Gopher-style
+    signals are exercised, then flag boilerplate-heavy docs."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\nbuy now\nbuy now\nbuy now")),
+        ).otherwise(F.col("text")),
+    )
+    rep = text.repetition_stats(F.col("text"), ngram=2)
+    return planted.select(
+        "doc_id",
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["top_ngram_share"].alias("top_ngram_share"),
+        (rep["dup_line_frac"] > 0.3).alias("boilerplate_flag"),
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1125,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": contamination_check,
         "sample_temperature_mix": sample_temperature_mix,
         "ann_lsh": ann_lsh,
+        "pii_redact_docs": pii_redact_docs,
+        "repetition_stats_docs": repetition_stats_docs,
     }
 
 
@@ -1820,4 +1870,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored QUALIFY rank <= 10""",
+        # PII scrub: same regex syntax under Java regex and RE2
+        "pii_redact_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   substring(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'), -40, 40) AS redacted_tail,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip
+            FROM planted""",
+        # Gopher repetition signals over planted boilerplate
+        "repetition_stats_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || chr(10) || 'buy now' || chr(10) || 'buy now' || chr(10) || 'buy now'
+                          ELSE text END AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                 s -> trim(s, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))),
+                                 s -> s <> '') AS ls
+              FROM planted
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+              FROM planted
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 2 THEN
+                       list_transform(generate_series(0, len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2])
+                     ELSE [] END AS gs
+              FROM toks
+            ), gshare AS (
+              SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS share FROM (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ), dl AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) > 0
+                          THEN ROUND(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM lines
+            )
+            SELECT p.doc_id, dl.dup_line_frac,
+                   COALESCE(ROUND(g.share, 6), 0.0) AS top_ngram_share,
+                   dl.dup_line_frac > 0.3 AS boilerplate_flag
+            FROM planted p JOIN dl USING (doc_id) LEFT JOIN gshare g USING (doc_id)""",
     }

@@ -116,6 +116,68 @@ def quality_rules(
     )
 
 
+# PII patterns kept to syntax shared by Java regex and RE2 (DuckDB), so
+# redaction is oracle-checkable; order matters (emails/IPs first so the
+# looser phone pattern can't eat their digit runs)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ip": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "phone": (r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}", "[PHONE]"),
+}
+
+
+def pii_redact(col, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
+    """Scrub PII spans with typed placeholders — the standard pretraining
+    privacy pass. Chained ``regexp_replace`` JVM expressions: a 100 TB
+    redaction is one embarrassingly-parallel scan, no Python."""
+    out = col
+    for k in kinds:
+        pat, rep = PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(col, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
+    """Struct of per-kind PII match counts (audit/reporting side of the
+    redaction pass)."""
+    return F.struct(
+        *[F.regexp_count(col, F.lit(PII_PATTERNS[k][0])).cast("long").alias(k) for k in kinds]
+    )
+
+
+def repetition_stats(col, ngram: int = 2) -> Column:
+    """Gopher-style repetition signals: ``dup_line_frac`` (1 - distinct
+    non-empty lines / lines) and ``top_ngram_share`` (most frequent word
+    n-gram's share of all n-grams). High values mark boilerplate/spam.
+
+    Needs a per-row frequency table, so it runs as one Arrow-batched
+    pass (an expression formulation would be O(G^2) per row); row-local,
+    embarrassingly parallel."""
+    from collections import Counter
+
+    def stats(text: str | None) -> dict:
+        t = text or ""
+        lines = [ln for ln in (s.strip() for s in t.split("\n")) if ln]
+        dup_line_frac = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+        toks = [w for w in _WS.split(t.strip()) if w]
+        grams = [" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)]
+        top_share = max(Counter(grams).values()) / len(grams) if grams else 0.0
+        return {"dup_line_frac": round(dup_line_frac, 6), "top_ngram_share": round(top_share, 6)}
+
+    schema = T.StructType(
+        [
+            T.StructField("dup_line_frac", T.DoubleType(), True),
+            T.StructField("top_ngram_share", T.DoubleType(), True),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def rep(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([stats(t) for t in s])
+
+    return rep(col.cast("string"))
+
+
 def lang_id(col) -> Column:
     """Stopword-hit language heuristic over STOPWORDS; ties/zero -> 'und'.
 

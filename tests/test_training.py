@@ -150,3 +150,47 @@ def test_frame_dedup_and_contamination_methods(spark, sf_dir):
     cont = docs.contamination(bench, n=13)
     out = {r["doc_id"]: r["overlap_ratio"] for r in cont.collect()}
     assert out[0] == 1.0  # benchmark member is fully contaminated
+
+
+def test_pii_redact_and_counts(spark):
+    from docetl_spark.functions import text as text_fn
+
+    df = spark.createDataFrame(
+        [
+            {"id": 0, "t": "mail a.b+c@ex.co or 192.168.1.1 call +1 (415) 555-0123 now"},
+            {"id": 1, "t": "clean text with no pii at all"},
+        ]
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in df.select(
+            "id",
+            text_fn.pii_redact(F.col("t")).alias("r"),
+            text_fn.pii_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert out[0]["r"] == "mail [EMAIL] or [IP] call [PHONE] now"
+    assert out[0]["c"].asDict() == {"email": 1, "ip": 1, "phone": 1}
+    assert out[1]["r"] == "clean text with no pii at all"
+    assert out[1]["c"].asDict() == {"email": 0, "ip": 0, "phone": 0}
+
+
+def test_repetition_stats(spark):
+    from docetl_spark.functions import text as text_fn
+
+    df = spark.createDataFrame(
+        [
+            {"id": 0, "t": "spam spam spam spam spam"},
+            {"id": 1, "t": "a\nb\na\nb\na"},
+            {"id": 2, "t": "all words here are unique tokens"},
+            {"id": 3, "t": ""},
+        ]
+    )
+    out = {
+        r["id"]: r["s"].asDict()
+        for r in df.select("id", text_fn.repetition_stats(F.col("t")).alias("s")).collect()
+    }
+    assert out[0]["top_ngram_share"] == 1.0  # every bigram is "spam spam"
+    assert out[1]["dup_line_frac"] == 0.6  # 5 lines, 2 distinct
+    assert out[2]["top_ngram_share"] < 0.5 and out[2]["dup_line_frac"] == 0.0
+    assert out[3] == {"dup_line_frac": 0.0, "top_ngram_share": 0.0}
