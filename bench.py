@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "contamination_check",
     "sample_temperature_mix",
     "ann_lsh",
+    "pii_redact_docs",
+    "repetition_stats_docs",
 ]
 
 
