@@ -65,6 +65,27 @@ class SemanticAccessor:
     def resolve(self, **kw) -> DataFrame:
         return self._run("resolve", **kw)
 
+    def __getattr__(self, name: str):
+        """Delegate every other SemanticFrame verb (rank, topk, cluster,
+        dedup_exact, pack_sequences, sample_temperature, ...) so the
+        accessor tracks the full engine surface, not just the reference
+        accessor's verb set. Frame-returning calls unwrap to DataFrames
+        and land in ``history`` like the explicit verbs."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        target = getattr(self._sf, name)
+        if not callable(target):
+            raise AttributeError(name)
+
+        def call(*args, **kw):
+            out = target(*args, **kw)
+            if isinstance(out, SemanticFrame):
+                self.history.append(name)
+                return out.df
+            return out
+
+        return call
+
 
 def install(backend: ModelBackend | None = None) -> None:
     """Attach the ``semantic`` property to pyspark DataFrames; optional

@@ -30,3 +30,17 @@ def test_accessor_topk_llm_compare(spark, docs):
         .collect()
     )
     assert sorted(r["id"] for r in out) == [3, 4]
+
+
+def test_accessor_delegates_full_frame_surface(spark, sf_dir):
+    from docetl_spark.accessors import install
+
+    install()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    acc = df.semantic
+    packed = acc.pack_sequences(budget=128, text_col="text", id_cols=["doc_id"], order_cols=["doc_id"], n_shards=2)
+    assert packed.count() > 0 and "seq_id" in packed.columns
+    assert acc.history == ["pack_sequences"]
+    from pyspark.sql import functions as F
+    deduped = df.semantic.dedup_exact("text", order_by=[F.col("doc_id").asc()])
+    assert 0 < deduped.count() <= df.count()
