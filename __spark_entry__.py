@@ -1103,6 +1103,31 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side decontamination (functions/training.py decontaminate):
+    arriving documents are dropped if they share ANY 13-gram with the
+    benchmark (docs with doc_id % 10 == 0). The benchmark key set is
+    collected once (bounded) and broadcast, so the stream filter is
+    row-local and STATELESS — no state store, no join; identical
+    semantics on batch and stream, which is what the oracle checks."""
+    import tempfile
+
+    from docetl_spark.functions import training
+    from docetl_spark.streaming import events as stream_ops
+
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("text")
+    )
+    stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    clean = training.decontaminate(stream, bench, n=13).select("doc_id")
+    rows = stream_ops.run_available_now(
+        clean, checkpoint=tempfile.mkdtemp(prefix="ckpt_decon_")
+    )
+    return spark.createDataFrame(rows, schema="doc_id long")
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1175,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "pii_redact_docs": pii_redact_docs,
         "repetition_stats_docs": repetition_stats_docs,
+        "stream_decontaminate": stream_decontaminate,
     }
 
 
@@ -1925,4 +1951,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ROUND(g.share, 6), 0.0) AS top_ngram_share,
                    dl.dup_line_frac > 0.3 AS boilerplate_flag
             FROM planted p JOIN dl USING (doc_id) LEFT JOIN gshare g USING (doc_id)""",
+        # stream decontamination == batch "no shared gram" anti-semi-join
+        "stream_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(tk) >= 13 THEN
+                       list_transform(generate_series(0, len(tk) - 13),
+                                      i -> substring(md5(array_to_string(tk[i+1:i+13], ' ')), 1, 16))
+                     ELSE [] END) AS gs
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0
+            ), hit AS (
+              SELECT DISTINCT p.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams) p JOIN bench USING (g)
+            )
+            SELECT doc_id FROM grams WHERE doc_id NOT IN (SELECT doc_id FROM hit)""",
     }

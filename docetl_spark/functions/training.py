@@ -31,6 +31,46 @@ _ASCII_WS = _re.compile(r"\s+", _re.ASCII)
 _ASCII_WS_CHARS = " \t\n\r\f\v"
 
 
+def _gram_keys_py(text: str | None, *, n: int, lowercase: bool) -> list[str]:
+    """Distinct word-n-gram keys (md5 low-64 prefixes) in one
+    tokenization pass. The expression formulation (sequence/transform/
+    slice over a split() column) re-inlines the tokenizer at every gram
+    position under CollapseProject — measured 6x slower at sf0.1 (same
+    pitfall as text.shingles)."""
+    t = (text or "").strip(_ASCII_WS_CHARS)
+    if lowercase:
+        t = t.lower()
+    if not t:
+        return []
+    toks = _ASCII_WS.split(t)
+    if len(toks) < n:
+        return []
+    return list(
+        dict.fromkeys(
+            hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:16]
+            for i in range(len(toks) - n + 1)
+        )
+    )
+
+
+def _gram_keys_udf(n: int, lowercase: bool):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def ngram_keys(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _gram_keys_py(t, n=n, lowercase=lowercase))
+
+    return ngram_keys
+
+
+def _bench_gram_keys(benchmark: DataFrame, *, bench_text: str, n: int, lowercase: bool) -> DataFrame:
+    from ..operators.semantic import widen_for_model_stage
+
+    return (
+        widen_for_model_stage(benchmark)
+        .select(F.explode(_gram_keys_udf(n, lowercase)(F.col(bench_text).cast("string"))).alias("_g"))
+        .distinct()
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,
@@ -116,40 +156,12 @@ def ngram_overlap(
     Spark and DuckDB, keeping the operation oracle-checkable; xxhash64
     would be cheaper but is Spark-only)."""
 
-    def keys_py(text: str | None) -> list[str]:
-        t = (text or "").strip(_ASCII_WS_CHARS)
-        if lowercase:
-            t = t.lower()
-        if not t:
-            return []
-        toks = _ASCII_WS.split(t)
-        if len(toks) < n:
-            return []
-        # one tokenization pass per doc. The expression formulation
-        # (sequence/transform/slice over a split() column) re-inlines the
-        # tokenizer at every gram position under CollapseProject —
-        # measured 6x slower at sf0.1 (same pitfall as text.shingles).
-        return list(
-            dict.fromkeys(
-                hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:16]
-                for i in range(len(toks) - n + 1)
-            )
-        )
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def ngram_keys(s: pd.Series) -> pd.Series:
-        return s.map(keys_py)
-
     from ..operators.semantic import widen_for_model_stage
 
-    bench_keys = (
-        widen_for_model_stage(benchmark)
-        .select(F.explode(ngram_keys(F.col(bench_text).cast("string"))).alias("_g"))
-        .distinct()
-    )
+    bench_keys = _bench_gram_keys(benchmark, bench_text=bench_text, n=n, lowercase=lowercase)
     doc_grams = widen_for_model_stage(corpus).select(
         F.col(corpus_id),
-        F.explode_outer(ngram_keys(F.col(corpus_text).cast("string"))).alias("_g"),
+        F.explode_outer(_gram_keys_udf(n, lowercase)(F.col(corpus_text).cast("string"))).alias("_g"),
     )
     hit = F.broadcast(bench_keys.withColumn("_hit", F.lit(1)))
     return (
@@ -167,6 +179,47 @@ def ngram_overlap(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    bench_text: str = "text",
+    lowercase: bool = True,
+    max_bench_ngrams: int = 5_000_000,
+) -> DataFrame:
+    """Drop rows sharing ANY word n-gram with the benchmark set.
+
+    Unlike :func:`ngram_overlap` (a join producing per-doc overlap
+    stats), this is a row-local FILTER: the benchmark's distinct gram
+    keys are collected once (bounded — benchmarks are MBs by nature,
+    enforced by ``max_bench_ngrams``) and shipped as a broadcast set;
+    each arriving row computes its grams and checks membership. Because
+    it is stateless and row-local it works identically on batch
+    DataFrames and Structured Streaming sources (stream-side
+    decontamination of a live ingest, no state store, no join)."""
+    bench_keys = _bench_gram_keys(benchmark, bench_text=bench_text, n=n, lowercase=lowercase)
+    rows = bench_keys.limit(max_bench_ngrams + 1).collect()
+    if len(rows) > max_bench_ngrams:
+        raise ValueError(
+            f"benchmark has more than {max_bench_ngrams} distinct {n}-grams; "
+            "decontaminate() broadcasts the key set — use ngram_overlap() "
+            "(broadcast join) for outsized benchmarks"
+        )
+    keys = frozenset(r["_g"] for r in rows)
+    bc = df.sparkSession.sparkContext.broadcast(keys)
+
+    @F.pandas_udf(T.BooleanType())
+    def clean(s: pd.Series) -> pd.Series:
+        ks = bc.value
+        return s.map(
+            lambda t: not any(g in ks for g in _gram_keys_py(t, n=n, lowercase=lowercase))
+        )
+
+    return df.filter(clean(F.col(text_col).cast("string")))
 
 
 def sample_temperature(

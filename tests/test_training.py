@@ -194,3 +194,22 @@ def test_repetition_stats(spark):
     assert out[1]["dup_line_frac"] == 0.6  # 5 lines, 2 distinct
     assert out[2]["top_ngram_share"] < 0.5 and out[2]["dup_line_frac"] == 0.0
     assert out[3] == {"dup_line_frac": 0.0, "top_ngram_share": 0.0}
+
+
+def test_decontaminate_batch_and_bounded_bench(spark):
+    from docetl_spark.functions import training
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta"},
+            {"doc_id": 1, "text": "epsilon zeta eta theta"},
+            {"doc_id": 2, "text": "totally different words here"},
+        ]
+    )
+    bench = spark.createDataFrame([{"text": "alpha beta gamma delta and more"}])
+    kept = {r["doc_id"] for r in training.decontaminate(corpus, bench, n=3).collect()}
+    assert kept == {1, 2}  # doc 0 shares 3-grams with the benchmark
+
+    with pytest.raises(ValueError, match="broadcasts the key set"):
+        training.decontaminate(corpus, bench, n=3, max_bench_ngrams=1)
