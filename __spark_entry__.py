@@ -677,6 +677,41 @@ def sem_reduce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+class _SaltedFoldBackend(_FoldCountBackend):
+    """Adds the associative merge rule: total = sum of partial counts."""
+
+    def complete(self, prompt: str, output_schema: dict, context) -> dict:
+        if prompt.startswith("merge"):
+            return {"n_docs": sum(int(o["n_docs"]) for o in context)}
+        return super().complete(prompt, output_schema, context)
+
+
+def sem_reduce_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic reduce with distribute_folds: rows salt into 4 stripes,
+    each (lang, stripe) folds in its OWN task, partials merge in a
+    second grouped pass — the skew-safe plan (a giant group never lands
+    in one applyInPandas task). Stripe assignment is a content hash, so
+    the associative count is stripe-invariant and the plain GROUP BY
+    oracle applies."""
+    out = (
+        _sf(spark, sf_dir, "documents", backend=_SaltedFoldBackend())
+        .reduce(
+            "lang",
+            "count {{ inputs | length }}",
+            {"n_docs": "int"},
+            name="salted",
+            sort_within_group=["doc_id"],
+            fold_prompt="fold {{ output.n_docs }} plus {{ inputs | length }}",
+            fold_batch_size=50,
+            merge_prompt="merge the partial counts",
+            num_parallel_folds=4,
+            distribute_folds=True,
+        )
+        .select("lang", "n_docs", F.col("_counts_prereduce_salted").alias("group_size"))
+    )
+    return out.df
+
+
 class _CascadeBackend(FakeBackend):
     """Deterministic proxy/oracle cascade: the proxy is confident on
     docs containing fast/slow; everything else escalates to the oracle
@@ -1201,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "stream_decontaminate": stream_decontaminate,
+        "sem_reduce_salted": sem_reduce_salted,
     }
 
 
@@ -1736,6 +1772,9 @@ def oracle_sql() -> dict[str, str]:
                      '--- End Next Context ---') AS text_chunk_rendered
             FROM ctx""",
         "sem_reduce_fold": """
+            SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS group_size
+            FROM documents GROUP BY lang""",
+        "sem_reduce_salted": """
             SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS group_size
             FROM documents GROUP BY lang""",
         "sem_filter_cascade": """

@@ -449,6 +449,7 @@ def semantic_reduce(
     fold_batch_size: int | None = None,
     merge_prompt: str | None = None,
     num_parallel_folds: int = 4,
+    distribute_folds: bool = False,
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
     limit: int | None = None,
@@ -481,6 +482,17 @@ def semantic_reduce(
     ``sort_within_group`` pins item order inside the prompt (Spark group
     iteration order is nondeterministic otherwise — required for
     reproducible/oracle-checkable outputs).
+
+    ``distribute_folds=True`` (needs fold_prompt + merge_prompt)
+    distributes the parallel-fold plan ACROSS TASKS instead of inside
+    one: rows are salted into ``num_parallel_folds`` stripes
+    (deterministic content hash), each (group, stripe) folds in its own
+    task, then a second grouped pass merges the partial outputs (sorted
+    by stripe id for reproducibility). This is the skew escape hatch —
+    a giant group no longer lands in a single applyInPandas task, so
+    max task size is group/num_parallel_folds. The fold/merge contract
+    is associative by definition (reduce.py:987-1053), which is what
+    makes the two-stage plan faithful.
     """
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
@@ -571,6 +583,68 @@ def semantic_reduce(
         if lineage_keys:
             row[lineage_col] = [{k: it.get(k) for k in lineage_keys} for it in items]
         return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
+
+    if distribute_folds:
+        if not (fold_prompt and merge_prompt):
+            raise ValueError("distribute_folds needs fold_prompt + merge_prompt")
+        if value_sampling or pass_through or lineage_keys:
+            raise ValueError(
+                "distribute_folds is incompatible with value_sampling/"
+                "pass_through/lineage_keys (whole-group features)"
+            )
+        # deterministic content-hash stripe: same rows -> same stripe on
+        # any partitioning/run (rand() would break reproducibility)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+            F.lit(num_parallel_folds),
+        ).alias("_stripe")
+        salted = df.withColumn("_stripe", salt)
+
+        part_fields: list[T.StructField] = []
+        if not global_agg:
+            part_fields += [f for f in df.schema.fields if f.name in keys]
+        part_fields.append(T.StructField("_stripe", T.LongType(), True))
+        part_fields += list(declared.fields)
+        part_fields.append(T.StructField("_n", T.LongType(), True))
+        part_schema = T.StructType(part_fields)
+        part_names = part_schema.fieldNames()
+
+        def fold_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
+            if sort_within_group:
+                pdf = pdf.sort_values(sort_within_group, kind="mergesort")
+            items = pdf.drop(columns=["_stripe"]).to_dict("records")
+            rk = {k: items[0][k] for k in keys if not global_agg}
+            res = fold(items, rk)
+            row = {**{k: items[0][k] for k in keys if not global_agg}, **res}
+            row["_stripe"] = int(pdf["_stripe"].iloc[0])
+            row["_n"] = len(items)
+            return pd.DataFrame([{k: row.get(k) for k in part_names}], columns=part_names)
+
+        g1 = (
+            salted.groupBy("_stripe") if global_agg
+            else salted.groupBy(*keys, "_stripe")
+        )
+        partials_df = g1.applyInPandas(fold_stripe, schema=part_schema)
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_stripe", kind="mergesort")
+            rk = {k: pdf.iloc[0][k] for k in keys if not global_agg}
+            outs = pdf[declared.fieldNames()].to_dict("records")
+            if len(outs) == 1:
+                res = outs[0]
+            else:
+                rendered = render_prompt(merge_prompt, {"outputs": outs, "reduce_key": rk})
+                res = backend.complete(rendered, output_schema, outs)
+            row: dict = {**rk, **res}
+            if add_count:
+                row[count_col] = int(pdf["_n"].sum())
+            return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
+
+        g2 = (
+            partials_df.groupBy(F.lit(1).alias("_g")) if global_agg
+            else partials_df.groupBy(*keys)
+        )
+        return g2.applyInPandas(merge_group, schema=out_schema)
 
     grouped = df.groupBy(F.lit(1).alias("_g")) if global_agg else df.groupBy(*keys)
     return grouped.applyInPandas(agg, schema=out_schema)

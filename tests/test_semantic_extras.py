@@ -242,3 +242,46 @@ def test_reduce_list_keys_normalize_to_sorted(spark, backend):
     ).collect()
     by_key = {tuple(r["tags"]): r["_counts_prereduce_reduce"] for r in out}
     assert by_key == {("a", "b"): 2, ("c",): 1}
+
+
+def test_distribute_folds_matches_single_task_reduce(spark):
+    """Salted two-stage fold/merge must reproduce the single-task plan
+    for an associative rule, while bounding per-task group size."""
+    import pytest
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    class SumBackend(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            if prompt.startswith("fold"):
+                return {"total": int(prompt.split()[1]) + sum(r["v"] for r in context)}
+            if prompt.startswith("merge"):
+                return {"total": sum(int(o["total"]) for o in context)}
+            return {"total": sum(r["v"] for r in context)}
+
+    rows = [{"g": "a" if i % 10 else "b", "id": i, "v": i % 7} for i in range(500)]
+    df = spark.createDataFrame(rows)
+    kw = dict(
+        prompt="sum {{ inputs | length }}",
+        output_schema={"total": "int"},
+        sort_within_group=["id"],
+        fold_prompt="fold {{ output.total }} over batch",
+        fold_batch_size=50,
+        merge_prompt="merge partials",
+        num_parallel_folds=4,
+    )
+    base = {
+        (r["g"], r["total"], r["_counts_prereduce_reduce"])
+        for r in SemanticFrame.from_df(df, backend=SumBackend()).reduce("g", **kw).collect()
+    }
+    salted = {
+        (r["g"], r["total"], r["_counts_prereduce_reduce"])
+        for r in SemanticFrame.from_df(df, backend=SumBackend())
+        .reduce("g", distribute_folds=True, **kw)
+        .collect()
+    }
+    assert salted == base
+
+    with pytest.raises(ValueError, match="fold_prompt"):
+        SemanticFrame.from_df(df, backend=SumBackend()).reduce(
+            "g", prompt="x", output_schema={"total": "int"}, distribute_folds=True
+        )
