@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "pii_redact_docs",
     "repetition_stats_docs",
+    "sem_reduce_salted",
 ]
 
 

@@ -152,18 +152,7 @@ def ivf_index(
     mat = np.array([r["_v64"] for r in sample.limit(max_fit_rows).collect()], dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("ivf_index: empty input")
-    k = min(n_lists, len(mat))
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
-    for _ in range(max_iter):  # Lloyd's iterations, driver-side on the sample
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        new = np.array([
-            mat[assign == j].mean(axis=0) if (assign == j).any() else centroids[j] for j in range(k)
-        ])
-        if np.allclose(new, centroids):
-            break
-        centroids = new
+    centroids = _kmeans_fit(mat, n_lists, seed=seed, max_iter=max_iter)
     b = df.sparkSession.sparkContext.broadcast(centroids)
 
     @F.pandas_udf(T.LongType())
@@ -174,6 +163,25 @@ def ivf_index(
         return pd.Series(d.argmin(axis=1).astype(np.int64))
 
     return base.withColumn("_ivf_list", nearest_list(F.col("_v64"))).drop("_v64"), centroids
+
+
+def _kmeans_fit(mat: "np.ndarray", k: int, *, seed: int = 42, max_iter: int = 10) -> "np.ndarray":
+    """Driver-side Lloyd's k-means on a BOUNDED sample matrix (callers
+    cap rows before collecting). Returns (k', dim) centroids with
+    k' = min(k, len(mat))."""
+    k = min(k, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(max_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = np.array([
+            mat[assign == j].mean(axis=0) if (assign == j).any() else centroids[j] for j in range(k)
+        ])
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
 
 
 def ivf_topk(
@@ -292,3 +300,101 @@ def cosine_scores_pandas(corpus: DataFrame, query_vector: list[float], *, vec_co
         return pd.Series(np.where(norms > 0, dots / norms, 0.0))
 
     return corpus.withColumn("score", score(F.col(vec_col).cast("array<double>")))
+
+
+def pq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    max_fit_rows: int = 16384,
+    max_iter: int = 10,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """Product-quantization index: the vector splits into ``m``
+    subvectors, each quantized to its own 2^nbits-entry codebook
+    (k-means per subspace, fit on a bounded driver sample). Returns
+    (df + ``_pq_code`` array<int> of m codebook ids, codebooks of shape
+    (m, k, dim/m)).
+
+    The 100 TB story: a 64-dim float64 vector (512 B) compresses to m
+    bytes (8 B at m=8) — the whole corpus's codes fit where 1.5% of the
+    raw vectors would, so ANN scans become memory/IO-bound on a table
+    64x smaller, and scoring never touches the original vectors
+    (asymmetric distance via ``pq_topk``). Codebooks are m*k*dsub
+    floats — KBs — broadcast everywhere. Compose with ``ivf_index``
+    (IVF-PQ) by building both columns and filtering lists before ADC.
+    """
+    base = df.withColumn("_v64", F.col(vec_col).cast("array<double>"))
+    mat = np.array(
+        [r["_v64"] for r in base.select("_v64").limit(max_fit_rows).collect()],
+        dtype=np.float64,
+    )
+    if len(mat) == 0:
+        raise ValueError("pq_index: empty input")
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_index: dim {dim} not divisible by m={m}")
+    dsub, k = dim // m, 2 ** nbits
+    books = np.stack(
+        [
+            _kmeans_fit(mat[:, j * dsub : (j + 1) * dsub], k, seed=seed + j, max_iter=max_iter)
+            for j in range(m)
+        ]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(s: pd.Series) -> pd.Series:
+        cb = bc.value
+        vecs = np.array(s.tolist(), dtype=np.float64)
+        codes = np.empty((len(vecs), cb.shape[0]), dtype=np.int64)
+        for j in range(cb.shape[0]):
+            sub = vecs[:, j * cb.shape[2] : (j + 1) * cb.shape[2]]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([[int(x) for x in row] for row in codes])
+
+    return base.withColumn("_pq_code", encode(F.col("_v64"))).drop("_v64"), books
+
+
+def pq_topk(
+    indexed: DataFrame,
+    codebooks: "np.ndarray",
+    query_vector: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "_pq_code",
+    round_score: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): the query builds
+    an (m x 2^nbits) lookup table of exact subspace distances to every
+    codebook entry (driver-side numpy, KBs, broadcast); each row's
+    distance is then m table lookups summed — no original vectors are
+    read, the scan touches only the m-byte codes. Smallest L2 distance
+    first (equals cosine order for normalized vectors)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    mm, kk, dsub = codebooks.shape
+    table = np.stack(
+        [((codebooks[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1) for j in range(mm)]
+    )
+    bc = indexed.sparkSession.sparkContext.broadcast(table)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(s: pd.Series) -> pd.Series:
+        t = bc.value
+        codes = np.array(s.tolist(), dtype=np.int64)
+        return pd.Series(t[np.arange(t.shape[0])[None, :], codes].sum(axis=1))
+
+    dist = adc(F.col(code_col))
+    if round_score is not None:
+        dist = F.round(dist, round_score)
+    scored = indexed.withColumn("distance", dist)
+    w = W.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "distance", "rank")
+    )

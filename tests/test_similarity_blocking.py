@@ -178,3 +178,42 @@ def test_resolve_unblocked_cross_join_gated(spark):
     df = spark.createDataFrame(rows)
     with pytest.raises(ValueError, match="no blocking configured"):
         resolve_op.candidate_pairs(df, "pid")
+
+
+def test_pq_index_and_adc_topk(spark, sf_dir):
+    """PQ codes: m small ints per vector; ADC ranks the query's own
+    vector (and near-identical ones) at the top without reading any
+    original vectors."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, books = similarity.pq_index(emb, m=8, nbits=8)
+    row = indexed.filter(F.col("vec_id") == 3).select("_pq_code").first()
+    assert len(row["_pq_code"]) == 8
+    assert books.shape[0] == 8 and books.shape[2] == 64 // 8
+
+    hits = 0
+    for qid in range(5):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]]
+        top = similarity.pq_topk(indexed, books, qv, 10)
+        ids = [r["vec_id"] for r in top.collect()]
+        assert len(ids) == 10
+        hits += qid in ids
+    assert hits >= 4  # quantized self-retrieval recall@10
+
+
+def test_pq_codes_identical_for_identical_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.union(emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999999)))
+    indexed, _ = similarity.pq_index(dup, m=8, nbits=8)
+    codes = {
+        r["vec_id"]: tuple(r["_pq_code"])
+        for r in indexed.filter(F.col("vec_id").isin(0, 999999)).collect()
+    }
+    assert codes[0] == codes[999999]
