@@ -1881,7 +1881,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      CASE WHEN trim(lower(text)) = '' THEN []
-                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                          ELSE list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') END AS tk
               FROM documents
             ), grams AS (
               SELECT doc_id,
@@ -1995,7 +1995,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      CASE WHEN trim(lower(text)) = '' THEN []
-                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                          ELSE list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') END AS tk
               FROM documents
             ), grams AS (
               SELECT doc_id,

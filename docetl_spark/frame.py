@@ -336,9 +336,12 @@ class SemanticFrame:
     def pack_sequences(self, *, budget: int, **kw) -> "SemanticFrame":
         from .functions import training
 
-        # shard_expr is a Column — keep it out of the (YAML-serializable)
-        # op-log; n_shards-based sharding round-trips
+        # shard_expr is a Column — not YAML-serializable; record a marker
+        # so to_yaml raises instead of silently replaying with the
+        # default hash sharding (which would produce different output)
         conf = {k: v for k, v in kw.items() if k != "shard_expr"}
+        if kw.get("shard_expr") is not None:
+            conf["_shard_expr"] = True
         return self._next(
             training.pack_sequences(self.df, budget=budget, **kw),
             "pack_sequences", budget=budget, **conf,
@@ -444,6 +447,11 @@ class SemanticFrame:
                 raise ValueError(
                     f"{op} built from a bare callable cannot be exported; "
                     "pass the python source string instead"
+                )
+            if op == "pack_sequences" and conf.get("_shard_expr"):
+                raise ValueError(
+                    "pack_sequences built with a shard_expr Column cannot be "
+                    "exported to YAML; use n_shards for replayable sharding"
                 )
             clean = {
                 k: v for k, v in conf.items()

@@ -155,11 +155,17 @@ def repetition_stats(col, ngram: int = 2) -> Column:
     embarrassingly parallel."""
     from collections import Counter
 
+    # ASCII whitespace only (regex + strip set), matching RE2/DuckDB \s
+    # semantics so the oracle replays the tokenization — unicode-aware
+    # python \s would diverge on e.g. non-breaking spaces
+    ascii_ws = _re.compile(r"\s+", _re.ASCII)
+    ascii_chars = " \t\n\r\f\v"
+
     def stats(text: str | None) -> dict:
         t = text or ""
-        lines = [ln for ln in (s.strip() for s in t.split("\n")) if ln]
+        lines = [ln for ln in (s.strip(ascii_chars) for s in t.split("\n")) if ln]
         dup_line_frac = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
-        toks = [w for w in _WS.split(t.strip()) if w]
+        toks = [w for w in ascii_ws.split(t.strip(ascii_chars)) if w]
         grams = [" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)]
         top_share = max(Counter(grams).values()) / len(grams) if grams else 0.0
         return {"dup_line_frac": round(dup_line_frac, 6), "top_ngram_share": round(top_share, 6)}

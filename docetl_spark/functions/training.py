@@ -42,7 +42,10 @@ def _gram_keys_py(text: str | None, *, n: int, lowercase: bool) -> list[str]:
         t = t.lower()
     if not t:
         return []
-    toks = _ASCII_WS.split(t)
+    # drop empty tokens so the gram set is independent of how the engine
+    # trims edges (DuckDB trim() strips spaces only; a leading \t or \n
+    # would otherwise give the oracle an extra '' token)
+    toks = [w for w in _ASCII_WS.split(t) if w]
     if len(toks) < n:
         return []
     return list(
@@ -106,7 +109,10 @@ def pack_sequences(
     toks = F.col(token_col) if token_col else token_count(F.col(text_col))
     shard = (shard_expr if shard_expr is not None else F.pmod(F.xxhash64(*ids), F.lit(n_shards))).cast("long")
 
-    base = df.select(*ids, shard.alias("shard"), toks.cast("long").alias("_n_tok")).filter(
+    # keep order_cols in the projection — ordering by a non-id column
+    # (key by id, order by time) must resolve in the window below
+    carry = list(dict.fromkeys([*ids, *order]))
+    base = df.select(*carry, shard.alias("shard"), toks.cast("long").alias("_n_tok")).filter(
         F.col("_n_tok") > 0
     )
     w = W.partitionBy("shard").orderBy(*[F.col(c).asc() for c in order])
@@ -246,6 +252,11 @@ def sample_temperature(
     pass 2 filters with the rates folded in as a literal map — the data
     itself never shuffles."""
     ids = id_cols or [df.columns[0]]
+    # persist: the counts pass and the returned filter otherwise execute
+    # the upstream lineage twice — after an LLM stage that would pay
+    # every model call twice (and a nondeterministic backend could make
+    # the rates disagree with the rows actually filtered)
+    df = df.persist()
     counts = {r["g"]: r["n"] for r in df.groupBy(F.col(group_col).alias("g")).count().withColumnRenamed("count", "n").collect()}
     total = sum(counts.values())
     if not total:

@@ -69,6 +69,8 @@ def widen_for_model_stage(df: DataFrame, min_parts: int | None = None) -> DataFr
     pointless full shuffle at scale, and even inspecting
     ``rdd.getNumPartitions()`` on such a plan can materialize AQE query
     stages. Row-local semantics make the reshuffle result-invariant."""
+    if df.isStreaming:
+        return df  # .rdd is invalid on streams; micro-batch width rules apply
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism or 8
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()

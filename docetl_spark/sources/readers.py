@@ -45,16 +45,20 @@ def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     integer arithmetic on nanos, so fold every representation to that.
 
     TIMESTAMP_NTZ carries a wall clock with no zone; DuckDB's
-    ``epoch_ns`` treats the same wall clock as UTC, so the cast to
-    (zoned) TIMESTAMP must happen under a UTC session zone for the
-    oracle to hash-match — callers set ``spark.sql.session.timeZone``
-    to UTC (docetl_spark.session does this globally)."""
+    ``epoch_ns`` treats the same wall clock as UTC. The conversion here
+    is pure wall-clock day/time arithmetic (datediff + hour/minute/
+    fractional-second), so it is session-timezone independent — no
+    ``unix_micros`` (whose NTZ coercion reads the session zone) and no
+    hidden session-conf mutation."""
     dt = df.schema[col].dataType.typeName()
     if dt.startswith("timestamp"):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(
-            col, (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+        ns = (
+            f"(CAST(datediff(CAST({col} AS DATE), DATE'1970-01-01') AS BIGINT) * 86400000000"
+            f" + CAST(hour({col}) AS BIGINT) * 3600000000"
+            f" + CAST(minute({col}) AS BIGINT) * 60000000"
+            f" + CAST(extract(second from {col}) * 1000000 AS BIGINT)) * 1000"
         )
+        df = df.withColumn(col, F.expr(ns).cast("long"))
     return df
 
 
