@@ -355,6 +355,16 @@ class SemanticFrame:
             training.ngram_overlap(self.df, bdf, **kw), "contamination", **kw
         )
 
+    def decontaminate(self, benchmark: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
+        """Drop rows sharing any n-gram with the benchmark (stateless
+        broadcast-set filter; works on batch and streaming frames)."""
+        from .functions import training
+
+        bdf = benchmark.df if isinstance(benchmark, SemanticFrame) else benchmark
+        return self._next(
+            training.decontaminate(self.df, bdf, **kw), "decontaminate", **kw
+        )
+
     def sample_temperature(self, group_col: str, *, temperature: float, **kw) -> "SemanticFrame":
         from .functions import training
 

@@ -127,6 +127,9 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "contamination":
         bench = datasets[c.pop("benchmark")]
         return sf.contamination(bench, **c)
+    if t == "decontaminate":
+        bench = datasets[c.pop("benchmark")]
+        return sf.decontaminate(bench, **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

@@ -26,7 +26,7 @@ _KNOWN_OPS = {
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences",
-    "sample_temperature", "near_dup_minhash", "contamination",
+    "sample_temperature", "near_dup_minhash", "contamination", "decontaminate",
 }
 
 
@@ -142,8 +142,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         for k in ("id_col", "text_col"):
             if not op.get(k):
                 issues.append(PlanIssue("error", name, f"near_dup_minhash needs `{k}`"))
-    if t == "contamination" and not op.get("benchmark"):
-        issues.append(PlanIssue("error", name, "contamination needs a `benchmark` dataset ref"))
+    if t in ("contamination", "decontaminate") and not op.get("benchmark"):
+        issues.append(PlanIssue("error", name, f"{t} needs a `benchmark` dataset ref"))
     return issues
 
 
