@@ -66,15 +66,22 @@ def axis_planes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id from random hyperplanes (pure expressions)."""
+    """Sign-bit bucket id from random hyperplanes (pure expressions).
+    One-hot (axis) planes skip the dot product — the bit is just the
+    sign of one element, so the per-row cost drops from
+    O(planes x dim) multiplies to O(planes) lookups."""
     v = vec_col.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
+        hot = [j for j, x in enumerate(p) if x != 0.0]
+        if len(hot) == 1 and p[hot[0]] > 0:
+            dot = F.element_at(v, hot[0] + 1)
+        else:
+            dot = F.aggregate(
+                F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
         bucket = bucket + F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
     return bucket
 
