@@ -103,3 +103,51 @@ def test_quality_rules_edges(spark):
     assert out[2]["passes"]
     assert not out[3]["alpha_word_ratio_ok"] and not out[3]["passes"]
     assert not out[4]["word_count_ok"] and out[4]["sentence_count_ok"]
+
+
+def test_pack_sequences_tiling_property(spark):
+    """Property: for arbitrary token counts, every doc's pieces tile
+    [0, n_tok) exactly and every sequence except the last per shard
+    holds exactly `budget` tokens."""
+    from hypothesis import given, settings, strategies as st
+
+    from docetl_spark.functions import training
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+        budget=st.integers(min_value=1, max_value=16),
+    )
+    def check(counts, budget):
+        rows = [{"doc_id": i, "n": c} for i, c in enumerate(counts)]
+        df = spark.createDataFrame(rows, schema="doc_id long, n long")
+        out = [
+            r.asDict()
+            for r in training.pack_sequences(
+                df, budget=budget, token_col="n", id_cols=["doc_id"],
+                order_cols=["doc_id"], shard_expr=F.col("doc_id") % 2,
+            ).collect()
+        ]
+        for i, c in enumerate(counts):
+            pieces = sorted(
+                (r["doc_tok_start"], r["doc_tok_end"]) for r in out if r["doc_id"] == i
+            )
+            if c == 0:
+                assert pieces == []
+                continue
+            assert pieces[0][0] == 0 and pieces[-1][1] == c
+            assert all(b == c2 for (a, b), (c2, d) in zip(pieces, pieces[1:]))
+        for shard in (0, 1):
+            per_seq = {}
+            for r in out:
+                if r["shard"] == shard:
+                    per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (
+                        r["doc_tok_end"] - r["doc_tok_start"]
+                    )
+            if per_seq:
+                last = max(per_seq)
+                for sid, tok in per_seq.items():
+                    assert tok == budget if sid != last else tok <= budget
+
+    check()

@@ -217,3 +217,24 @@ def test_pq_codes_identical_for_identical_vectors(spark, sf_dir):
         for r in indexed.filter(F.col("vec_id").isin(0, 999999)).collect()
     }
     assert codes[0] == codes[999999]
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """IVF-PQ: list pruning filters candidates, ADC scores only codes —
+    the standard billion-scale ANN layout."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf, cents = similarity.ivf_index(emb, n_lists=8)
+    both, books = similarity.pq_index(ivf, m=8, nbits=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).select("embedding").first()[0]]
+    d = ((cents - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d.argsort()[:4]]
+    cand = both.filter(F.col("_ivf_list").isin(probes))
+    top = similarity.pq_topk(cand, books, qv, 10).collect()
+    assert len(top) == 10
+    assert top[0]["distance"] <= top[-1]["distance"]
+    assert 2 in [r["vec_id"] for r in top]  # probed own list + quantized self
