@@ -99,6 +99,7 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     query_vec: str = "embedding",
     planes: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query.
     Trades recall for turning the scan into an equi-join on bucket id —
@@ -106,7 +107,11 @@ def lsh_topk(
 
     ``planes`` overrides the seeded random hyperplanes — e.g.
     ``axis_planes(dim, p)`` gives sign-bit buckets on the first p
-    dimensions, a fully SQL-replayable (oracle-checkable) variant."""
+    dimensions, a fully SQL-replayable (oracle-checkable) variant.
+
+    ``broadcast_queries=False`` for big-queries x big-corpus retrieval
+    (e.g. per-row RAG context for a whole table): the bucket equi-join
+    shuffles both sides on the bucket id instead of broadcasting."""
     planes = planes if planes is not None else random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
@@ -116,7 +121,8 @@ def lsh_topk(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("_qv"),
     ).withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))
-    scored = c.join(F.broadcast(q), "_bucket").withColumn(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = c.join(q_side, "_bucket").withColumn(
         "score", F.round(cosine_sim(F.col("_cv"), F.col("_qv")), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())

@@ -211,6 +211,7 @@ def semantic_map(
     calibrate: bool = False,
     num_calibration_docs: int = 10,
     retriever=None,
+    retrieved_context_col: str | None = None,
     save_retriever_output: bool = False,
     agent=None,
     model: str | None = None,
@@ -220,6 +221,11 @@ def semantic_map(
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
     (map.py:514-518).
+
+    ``retrieved_context_col`` names a PRECOMPUTED context column (from
+    retrievers.retrieve_context_join — the distributed batch-retrieval
+    path): prompts read ``{{ retrieved_context }}`` from it with no
+    per-row retriever calls. Mutually exclusive with ``retriever``.
 
     ``batch_prompt`` (rendered with ``{{ inputs }}``; map.py:532-560)
     processes up to ``max_batch_size`` rows per model call via
@@ -242,6 +248,8 @@ def semantic_map(
     completion. Mutually exclusive with gleaning (map.py:102)."""
     if agent is not None and gleaning is not None:
         raise ValueError("agent and gleaning are mutually exclusive (reference map.py:102)")
+    if retriever is not None and retrieved_context_col is not None:
+        raise ValueError("pass either retriever or retrieved_context_col, not both")
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
@@ -285,6 +293,9 @@ def semantic_map(
                         rr = retriever.retrieve(row)
                         ctx["retrieved"] = rr.docs
                         ctx["retrieved_context"] = rr.rendered_context
+                    elif retrieved_context_col is not None:
+                        ctx["retrieved"] = []
+                        ctx["retrieved_context"] = row.get(retrieved_context_col) or ""
                     rendered = render_prompt(prompt, ctx)
                     if agent is not None:
                         from ..agents import run_agent

@@ -161,3 +161,89 @@ class BroadcastRetriever:
             f"[doc {j + 1}] " + self._content(d) for j, d in enumerate(docs)
         )
         return RetrievalResult(docs=docs, rendered_context=rendered, meta={"query": q})
+
+
+def retrieve_context_join(
+    df,
+    corpus_df,
+    backend: ModelBackend,
+    *,
+    text_keys: list[str],
+    k: int = 5,
+    query_keys: list[str] | None = None,
+    method: str = "lsh",
+    n_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "_retrieved_context",
+    id_col: str | None = None,
+):
+    """Distributed (join-based) RAG context: top-k corpus docs PER ROW of
+    ``df``, rendered into ``out_col`` — the scale path past
+    BroadcastRetriever's driver-index gate.
+
+    Both sides embed executor-side (Arrow batches); candidates come from
+    an LSH bucket equi-join with NO broadcast (big-queries x big-corpus:
+    both sides shuffle once on the bucket id), or an exact scan with
+    ``method="brute"`` when one side is small. Context assembly is pure
+    JVM (collect_list of rank-ordered structs), and the result joins
+    back on a deterministic row key — no driver-side index, no
+    per-row model calls beyond the one embed pass.
+
+    Feed the result to ``semantic_map(retrieved_context_col=out_col)``
+    so prompts use ``{{ retrieved_context }}`` without a per-row
+    retriever."""
+    from pyspark.sql import Window as W, functions as F
+
+    from .functions import similarity
+    from .operators.resolve import embed_column
+
+    rk = F.col(id_col).cast("string") if id_col else F.xxhash64(
+        *[F.col(c).cast("string") for c in df.columns]
+    ).cast("string")
+    queries = df.withColumn("_rk", rk)
+    qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
+    q_emb = embed_column(
+        queries.select("_rk", qtext.alias("_qtext")), ["_qtext"], backend, out_col="_qv"
+    )
+    ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
+    c_base = corpus_df.select(ctext.alias("_ctext")).withColumn(
+        "_cid", F.xxhash64(F.col("_ctext"))
+    )
+    c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
+
+    dim = len(backend.embed(["dimension probe"])[0])
+    if method == "lsh":
+        topk = similarity.lsh_topk(
+            c_emb, q_emb, k, dim=dim,
+            n_planes=n_planes, seed=seed,
+            corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
+            broadcast_queries=False,
+        )
+    elif method == "brute":
+        topk = similarity.brute_force_topk(
+            c_emb, q_emb, k,
+            corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
+        )
+    else:
+        raise ValueError(f"unknown retrieval method {method!r}")
+
+    ctx = (
+        topk.join(c_base.select("_cid", "_ctext").withColumnRenamed("_cid", "vec_id"), "vec_id")
+        .groupBy(F.col("query_id").alias("_rk"))
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "_ctext"))).alias("_docs"))
+        .select(
+            "_rk",
+            F.array_join(
+                F.transform(
+                    F.col("_docs"),
+                    lambda d: F.concat(F.lit("[doc "), d["rank"].cast("string"), F.lit("] "), d["_ctext"]),
+                ),
+                "\n\n",
+            ).alias(out_col),
+        )
+    )
+    return (
+        queries.join(ctx, "_rk", "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .drop("_rk")
+    )

@@ -78,3 +78,53 @@ def test_broadcast_gate(spark, corpus):
                            max_broadcast_rows=2)
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         r.ensure_index()
+
+
+def test_retrieve_context_join_distributed(spark, corpus):
+    """Join-based retrieval: every row gets rendered context with no
+    driver-side index; identical text retrieves itself first (brute)."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.retrievers import retrieve_context_join
+
+    be = FakeBackend()
+    df = spark.createDataFrame(
+        [
+            {"qid": 1, "question": "spark shuffles on groupBy and join"},
+            {"qid": 2, "question": "parquet stores columns with statistics"},
+        ]
+    )
+    out = retrieve_context_join(
+        df, corpus, be, text_keys=["fact"], query_keys=["question"], k=2, method="brute"
+    )
+    rows = {r["qid"]: r["_retrieved_context"] for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # FakeBackend embeddings are deterministic per text -> identical text
+    # is the nearest neighbor
+    assert rows[1].startswith("[doc 1] spark shuffles on groupBy and join")
+    assert rows[2].startswith("[doc 1] parquet stores columns with statistics")
+
+    # lsh path: no broadcast of the query side, still non-empty contexts
+    out_lsh = retrieve_context_join(
+        df, corpus, be, text_keys=["fact"], query_keys=["question"], k=2, method="lsh"
+    )
+    assert out_lsh.filter(F.col("_retrieved_context") != "").count() >= 1
+
+
+def test_semantic_map_precomputed_context_col(spark, corpus):
+    from docetl_spark.retrievers import retrieve_context_join
+
+    be = FakeBackend(rules={"answer": lambda row: row.get("question", "")[:5]})
+    df = spark.createDataFrame([{"qid": 1, "question": "spark shuffles on groupBy and join"}])
+    with_ctx = retrieve_context_join(
+        df, corpus, be, text_keys=["fact"], query_keys=["question"], k=1, method="brute"
+    )
+    out = semantic_map(
+        with_ctx,
+        "Use context: {{ retrieved_context }} for {{ input.question }}",
+        {"answer": "str"},
+        be,
+        retrieved_context_col="_retrieved_context",
+    )
+    rows = out.collect()
+    assert rows and rows[0]["answer"] == "spark"
