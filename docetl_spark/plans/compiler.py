@@ -71,7 +71,12 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                          value_sampling=c.get("value_sampling"),
                          fold_prompt=c.get("fold_prompt"),
                          fold_batch_size=c.get("fold_batch_size"),
-                         merge_prompt=c.get("merge_prompt"), **be_opts)
+                         merge_prompt=c.get("merge_prompt"),
+                         num_parallel_folds=c.get("num_parallel_folds", 4),
+                         distribute_folds=c.get("distribute_folds", False),
+                         pass_through=c.get("pass_through", False),
+                         lineage_keys=c.get("lineage_keys"),
+                         limit=c.get("limit"), **be_opts)
     if t == "code_map":
         # pass the SOURCE through: the frame logs it, keeping the replayed
         # chain YAML-exportable (round-trip)
