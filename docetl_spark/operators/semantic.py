@@ -250,6 +250,11 @@ def semantic_map(
         raise ValueError("agent and gleaning are mutually exclusive (reference map.py:102)")
     if retriever is not None and retrieved_context_col is not None:
         raise ValueError("pass either retriever or retrieved_context_col, not both")
+    if retrieved_context_col is not None and retrieved_context_col not in df.columns:
+        raise ValueError(
+            f"retrieved_context_col {retrieved_context_col!r} not in input columns "
+            f"{df.columns} — run retrievers.retrieve_context_join first"
+        )
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)

@@ -183,8 +183,9 @@ def retrieve_context_join(
 
     Both sides embed executor-side (Arrow batches); candidates come from
     an LSH bucket equi-join with NO broadcast (big-queries x big-corpus:
-    both sides shuffle once on the bucket id), or an exact scan with
-    ``method="brute"`` when one side is small. Context assembly is pure
+    both sides shuffle once on the bucket id). ``method="brute"`` is
+    exact but BROADCASTS the query side (``df``) — use it only when
+    ``df`` is small; a large input table must go through "lsh". Context assembly is pure
     JVM (collect_list of rank-ordered structs), and the result joins
     back on a deterministic row key — no driver-side index, no
     per-row model calls beyond the one embed pass.
@@ -192,27 +193,39 @@ def retrieve_context_join(
     Feed the result to ``semantic_map(retrieved_context_col=out_col)``
     so prompts use ``{{ retrieved_context }}`` without a per-row
     retriever."""
-    from pyspark.sql import Window as W, functions as F
+    from pyspark.sql import functions as F
 
     from .functions import similarity
     from .operators.resolve import embed_column
 
+    if out_col in df.columns:
+        df = df.drop(out_col)  # refresh case: re-retrieving over prior output
+    # null-disambiguated key: xxhash64 SKIPS null inputs, so ('a', NULL)
+    # and (NULL, 'a') would otherwise collide and merge their candidates
     rk = F.col(id_col).cast("string") if id_col else F.xxhash64(
-        *[F.col(c).cast("string") for c in df.columns]
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in df.columns]
     ).cast("string")
     queries = df.withColumn("_rk", rk)
     qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
+    # duplicate rows share a key; without the dropDuplicates their merged
+    # candidate sets would let one doc fill several top-k rank slots
     q_emb = embed_column(
-        queries.select("_rk", qtext.alias("_qtext")), ["_qtext"], backend, out_col="_qv"
+        queries.select("_rk", qtext.alias("_qtext")).dropDuplicates(["_rk"]),
+        ["_qtext"], backend, out_col="_qv"
     )
     ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
-    c_base = corpus_df.select(ctext.alias("_ctext")).withColumn(
-        "_cid", F.xxhash64(F.col("_ctext"))
+    # content-keyed dedup: a doc duplicated d times would otherwise
+    # occupy min(d, k) rank slots AND multiply again through the
+    # join-back (d * min(d, k) context entries of the same text)
+    c_base = (
+        corpus_df.select(ctext.alias("_ctext"))
+        .withColumn("_cid", F.xxhash64(F.col("_ctext")))
+        .dropDuplicates(["_cid"])
     )
     c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
 
-    dim = len(backend.embed(["dimension probe"])[0])
     if method == "lsh":
+        dim = len(backend.embed(["dimension probe"])[0])
         topk = similarity.lsh_topk(
             c_emb, q_emb, k, dim=dim,
             n_planes=n_planes, seed=seed,

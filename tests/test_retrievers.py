@@ -128,3 +128,33 @@ def test_semantic_map_precomputed_context_col(spark, corpus):
     )
     rows = out.collect()
     assert rows and rows[0]["answer"] == "spark"
+
+
+def test_retrieve_context_join_dedupes_corpus_and_rows(spark):
+    from docetl_spark.retrievers import retrieve_context_join
+
+    be = FakeBackend()
+    corpus = spark.createDataFrame(
+        [{"fact": "alpha beta gamma"}] * 3 + [{"fact": "delta epsilon zeta"}]
+    )
+    df = spark.createDataFrame([{"q": "alpha beta gamma"}, {"q": "alpha beta gamma"}])
+    out = retrieve_context_join(df, corpus, be, text_keys=["fact"], query_keys=["q"], k=2, method="brute")
+    rows = [r["_retrieved_context"] for r in out.collect()]
+    assert len(rows) == 2  # duplicate input rows both come back
+    for ctx in rows:
+        # duplicated corpus doc fills exactly ONE slot; distinct doc fills the other
+        assert ctx.count("alpha beta gamma") == 1
+        assert "delta epsilon zeta" in ctx
+
+    # re-running over prior output (refresh) must not collide on out_col
+    again = retrieve_context_join(out, corpus, be, text_keys=["fact"], query_keys=["q"], k=1, method="brute")
+    assert again.count() == 2
+
+
+def test_semantic_map_rejects_missing_context_col(spark):
+    import pytest
+
+    df = spark.createDataFrame([{"q": "x"}])
+    with pytest.raises(ValueError, match="not in input columns"):
+        semantic_map(df, "{{ retrieved_context }}", {"a": "str"}, FakeBackend(),
+                     retrieved_context_col="_typo")
