@@ -65,6 +65,165 @@ def axis_planes(dim: int, n_planes: int) -> list[list[float]]:
     return [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(n_planes)]
 
 
+def plan_signbit_bands(
+    threshold: float,
+    *,
+    target_recall: float = 0.95,
+    rows_per_band: int = 8,
+    max_bands: int = 32,
+) -> int:
+    """Number of OR'd LSH bands needed so a pair at cosine == ``threshold``
+    becomes a candidate with probability >= ``target_recall``.
+
+    Sign-bit agreement probability for one random hyperplane is
+    p = 1 - arccos(cos_sim)/pi (Goemans-Williamson); a band of r planes
+    matches with q = p^r, and b OR'd bands recall 1-(1-q)^b. This solves
+    for b — the standard banding calculus, applied to sign-LSH so the
+    reference's ``blocking_target_recall`` contract (resolve.py:361) holds
+    by construction instead of by luck. Capped at ``max_bands`` (each band
+    is one exploded row per input row through the candidate shuffle)."""
+    import math
+
+    p = 1.0 - math.acos(max(min(float(threshold), 1.0), -1.0)) / math.pi
+    q = p ** rows_per_band
+    if q >= 1.0 - 1e-12:
+        return 1
+    if q <= 0.0:
+        return max_bands
+    b = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - q))
+    return max(1, min(b, max_bands))
+
+
+def lsh_band_keys(vec_col, planes, bands: int) -> F.Column:
+    """``array<long>`` of ``bands`` LSH band keys per vector: the sign
+    bits of all ``planes`` are computed in ONE numpy matmul per Arrow
+    batch, then each consecutive group of r = n_planes/bands bits packs
+    into a long with the band index in the high bits (so keys never
+    collide across bands and a single equi-join column covers all bands).
+
+    Candidate generation is then posexplode + self-equi-join on the key —
+    the same OR-amplification shape as MinHash banding
+    (dedup.lsh_candidate_pairs), which hash-partitions cleanly at any
+    scale. Malformed rows (null / short vectors) zero-pad: they bucket
+    deterministically instead of failing the job (ANSI-safe)."""
+    P = np.asarray(planes, dtype=np.float64)
+    n_planes, dim = P.shape
+    if n_planes % bands:
+        raise ValueError(f"lsh_band_keys: {n_planes} planes not divisible by bands={bands}")
+    r = n_planes // bands
+    if r >= 63:
+        raise ValueError("lsh_band_keys: rows_per_band must fit in a long")
+    weights = (1 << np.arange(r, dtype=np.int64))
+    offsets = (np.arange(bands, dtype=np.int64) << r)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        vals = s.tolist()
+        try:
+            V = np.array(vals, dtype=np.float64)
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError
+        except (ValueError, TypeError):
+            # ragged/null rows: zero-pad to the plane dimension
+            V = np.zeros((len(vals), dim), dtype=np.float64)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                V[i, : len(a)] = a
+        bits = (V @ P.T > 0).astype(np.int64)  # (n, n_planes)
+        packed = bits.reshape(len(V), bands, r) @ weights + offsets[None, :]
+        return pd.Series([row.tolist() for row in packed])
+
+    return keys(vec_col.cast("array<double>"))
+
+
+def banded_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    *,
+    threshold: float,
+    rows_per_band: int = 8,
+    target_recall: float = 0.95,
+    bands: int | None = None,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Self-join near-neighbor candidates (id_a < id_b) with banded
+    sign-LSH OR-amplification + exact cosine verify at ``threshold``.
+
+    Replaces the single-bucket equi-join (which silently under-recalls
+    near-threshold pairs: P(all bits agree) << target recall). Pairs are
+    generated on (id, band_key) only — embeddings never ride the explode
+    shuffle; the verify step joins them back by id."""
+    vec_dim = dim or len(df.select(emb_col).first()[0])
+    b = bands or plan_signbit_bands(
+        threshold, target_recall=target_recall, rows_per_band=rows_per_band
+    )
+    planes = random_hyperplanes(vec_dim, b * rows_per_band, seed)
+    keyed = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(lsh_band_keys(F.col(emb_col), planes, b)).alias("_bk"),
+    )
+    ka, kb = keyed.alias("ba"), keyed.alias("bb")
+    cand = (
+        ka.join(kb, (F.col("ba._bk") == F.col("bb._bk")) & (F.col("ba._bid") < F.col("bb._bid")))
+        .select(F.col("ba._bid").alias("id_a"), F.col("bb._bid").alias("id_b"))
+        .dropDuplicates()
+    )
+    ev = df.select(F.col(id_col).alias("_eid"), F.col(emb_col).cast("array<double>").alias("_ev"))
+    return (
+        cand.join(ev.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_ev_a")), "id_a")
+        .join(ev.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_ev_b")), "id_b")
+        .filter(cosine_sim(F.col("_ev_a"), F.col("_ev_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def banded_candidate_pairs_two_sided(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    left_emb: str,
+    right_emb: str,
+    *,
+    threshold: float,
+    rows_per_band: int = 8,
+    target_recall: float = 0.95,
+    bands: int | None = None,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-table near-neighbor candidate keys with banded sign-LSH
+    OR-amplification + exact cosine verify (the equijoin blocking shape:
+    reference equijoin.py:427-551 computes the full cosine matrix; here
+    candidates come from b OR'd band equi-joins so recall at the
+    threshold meets ``target_recall`` without an all-pairs pass).
+    Returns distinct (_lk_<k>..., _rk_<k>...) key rows."""
+    vec_dim = dim or len(left.select(left_emb).first()[0])
+    b = bands or plan_signbit_bands(
+        threshold, target_recall=target_recall, rows_per_band=rows_per_band
+    )
+    planes = random_hyperplanes(vec_dim, b * rows_per_band, seed)
+    lk = [F.col(k).alias(f"_lk_{k}") for k in left_keys]
+    rk = [F.col(k).alias(f"_rk_{k}") for k in right_keys]
+    lkeyed = left.select(*lk, F.explode(lsh_band_keys(F.col(left_emb), planes, b)).alias("_bk"))
+    rkeyed = right.select(*rk, F.explode(lsh_band_keys(F.col(right_emb), planes, b)).alias("_bk"))
+    cand = lkeyed.join(rkeyed, "_bk").drop("_bk").dropDuplicates()
+    lv = left.select(*lk, F.col(left_emb).cast("array<double>").alias("_ev_l"))
+    rv = right.select(*rk, F.col(right_emb).cast("array<double>").alias("_ev_r"))
+    return (
+        cand.join(lv, [f"_lk_{k}" for k in left_keys])
+        .join(rv, [f"_rk_{k}" for k in right_keys])
+        .filter(cosine_sim(F.col("_ev_l"), F.col("_ev_r")) >= threshold)
+        .select(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
+    )
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id from random hyperplanes (pure expressions).
     One-hot (axis) planes skip the dot product — the bit is just the
@@ -75,7 +234,11 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     for i, p in enumerate(planes):
         hot = [j for j, x in enumerate(p) if x != 0.0]
         if len(hot) == 1 and p[hot[0]] > 0:
-            dot = F.element_at(v, hot[0] + 1)
+            # F.get (0-based) returns null past the end of a malformed
+            # short vector, so the row buckets at bit 0 instead of the
+            # whole job failing with INVALID_ARRAY_INDEX under Spark 4's
+            # default ANSI mode (element_at would throw).
+            dot = F.get(v, hot[0])
         else:
             dot = F.aggregate(
                 F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),

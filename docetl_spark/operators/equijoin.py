@@ -23,10 +23,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..backend import ModelBackend
-from ..functions.similarity import lsh_bucket, random_hyperplanes
-from ..operators.sample import cosine_sim
+from ..functions.similarity import banded_candidate_pairs_two_sided
 from .resolve import embed_column
 from .semantic import render_prompt, run_concurrently
+
+# Unblocked equijoin degenerates to an O(n*m) cross join; refuse past this
+# many rows on either side (the reference warns at 100 — equijoin.py:318-330
+# — we allow a little headroom but still fail long before scheduling).
+_NO_BLOCKING_MAX_ROWS = 1000
 
 
 def _doc_len(df: DataFrame, *, exclude: set[str] = frozenset()) -> F.Column:
@@ -171,6 +175,7 @@ def equijoin(
     limit_comparisons: int | None = None,
     cascade: dict | None = None,
     log_blocking_stats: bool = False,
+    blocking_target_recall: float = 0.95,
 ) -> DataFrame:
     """Fuzzy join. ``left_keys``/``right_keys`` identify rows for limit
     windows and deterministic ordering. ``blocking_conditions`` are SQL
@@ -208,18 +213,32 @@ def equijoin(
         pair_parts.append(a.join(b, ors).select(*lsel, *rsel))
 
     if blocking_threshold is not None:
-        vec_dim = len(lw.select(l_emb).first()[0])
-        planes = random_hyperplanes(vec_dim, 8, 42)
-        ab = lw.withColumn("_bucket", lsh_bucket(F.col(l_emb), planes)).alias("left")
-        bb = rw.withColumn("_bucket", lsh_bucket(F.col(r_emb), planes)).alias("right")
-        sim = cosine_sim(F.col(f"left.{l_emb}"), F.col(f"right.{r_emb}"))
+        # banded sign-LSH OR-amplification: recall at the threshold meets
+        # blocking_target_recall by construction (a single 8-plane bucket
+        # equi-join misses near-threshold pairs that disagree on any bit)
         pair_parts.append(
-            ab.join(bb, F.col("left._bucket") == F.col("right._bucket"))
-            .filter(sim >= blocking_threshold)
-            .select(*lsel, *rsel)
+            banded_candidate_pairs_two_sided(
+                lw, rw, left_keys, right_keys, l_emb, r_emb,
+                threshold=float(blocking_threshold),
+                target_recall=blocking_target_recall,
+            )
         )
 
     if not pair_parts:
+        # no blocking: all pairs. The reference allows this for tiny
+        # inputs only (equijoin.py:318-330 warns past 100 rows); gate on
+        # early-stopping counts so a missing blocking config fails fast
+        # instead of silently scheduling O(n*m) comparisons.
+        n_l = left.limit(_NO_BLOCKING_MAX_ROWS + 1).count()
+        n_r = right.limit(_NO_BLOCKING_MAX_ROWS + 1).count()
+        if n_l > _NO_BLOCKING_MAX_ROWS or n_r > _NO_BLOCKING_MAX_ROWS:
+            raise ValueError(
+                f"equijoin: no blocking configured and inputs have "
+                f">{_NO_BLOCKING_MAX_ROWS} rows (left>{_NO_BLOCKING_MAX_ROWS}: "
+                f"{n_l > _NO_BLOCKING_MAX_ROWS}, right: {n_r > _NO_BLOCKING_MAX_ROWS}); "
+                "an unblocked equijoin is O(n*m) comparisons. Configure "
+                "blocking_conditions or blocking_threshold."
+            )
         pair_parts.append(a.join(b).select(*lsel, *rsel))  # tiny-input fallback
 
     pairs = pair_parts[0]
@@ -237,13 +256,22 @@ def equijoin(
             exclude_cols={"_emb_l", "_emb_r"},
         )
     if log_blocking_stats:
-        # comparisons-saved metric (equijoin.py:572-579): opt-in extra job
-        n_l, n_r, n_pairs = left.count(), right.count(), pairs.count()
-        total = n_l * n_r
-        saved = 100.0 * (1 - n_pairs / total) if total else 0.0
+        # comparisons-saved metric (equijoin.py:572-579): opt-in. ONE
+        # aggregation job over the pair table: pair count plus distinct
+        # key counts per side approximate the n_l x n_r denominator from
+        # the rows that actually participate (rows blocking pruned
+        # entirely never cost a comparison, so this is the honest base);
+        # folding it into one pass avoids two extra full-table scans.
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(*[f"_lk_{k}" for k in left_keys]).alias("n_l"),
+            F.countDistinct(*[f"_rk_{k}" for k in right_keys]).alias("n_r"),
+        ).first()
+        total = (stats["n_l"] or 0) * (stats["n_r"] or 0)
+        saved = 100.0 * (1 - stats["n_pairs"] / total) if total else 0.0
         logging.getLogger(__name__).info(
             "equijoin blocking: %d/%d candidate pairs (%.1f%% of comparisons saved)",
-            n_pairs, total, saved,
+            stats["n_pairs"], total, saved,
         )
 
     # adjudicate: join compare columns in, call backend per pair

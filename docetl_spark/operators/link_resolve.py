@@ -23,8 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..backend import ModelBackend
-from ..functions.similarity import lsh_bucket, random_hyperplanes
-from ..operators.sample import cosine_sim
+from ..functions.similarity import banded_candidate_pairs_two_sided
 from .resolve import embed_column
 from .semantic import render_prompt, widen_for_model_stage
 
@@ -52,18 +51,19 @@ def link_resolve(
     dangling = links.join(ids, links["_link"] == ids["_id"], "left_anti")
 
     if blocking_threshold is not None:
-        # embed both small dims, prune the product by LSH bucket + cosine
+        # embed both small dims, prune the product by banded sign-LSH
+        # OR-amplification + cosine verify (recall >= 0.95 at the
+        # threshold by band planning, not single-bucket luck)
         d_emb = embed_column(dangling, ["_link"], backend, out_col="_e")
         i_emb = embed_column(ids, ["_id"], backend, out_col="_e")
         vec_dim = len(backend.embed(["probe"])[0])
-        planes = random_hyperplanes(vec_dim, n_planes, lsh_seed)
-        d_b = d_emb.withColumn("_bucket", lsh_bucket(F.col("_e"), planes)).alias("d")
-        i_b = i_emb.withColumn("_bucket", lsh_bucket(F.col("_e"), planes)).alias("i")
-        cand = (
-            d_b.join(i_b, F.col("d._bucket") == F.col("i._bucket"))
-            .filter(cosine_sim(F.col("d._e"), F.col("i._e")) >= blocking_threshold)
-            .select(F.col("d._link").alias("_link"), F.col("i._id").alias("_id"))
-        )
+        cand = banded_candidate_pairs_two_sided(
+            d_emb, i_emb, ["_link"], ["_id"], "_e", "_e",
+            threshold=float(blocking_threshold),
+            rows_per_band=n_planes,
+            seed=lsh_seed,
+            dim=vec_dim,
+        ).select(F.col("_lk__link").alias("_link"), F.col("_rk__id").alias("_id"))
     else:
         cand = dangling.crossJoin(ids)  # both sides are small dims
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..backend import ModelBackend
 from ..functions.dedup import connected_components
-from ..functions.similarity import lsh_bucket, random_hyperplanes
+from ..functions.similarity import banded_candidate_pairs
 from ..operators.sample import cosine_sim
 from ..types import schema_of
 from .semantic import render_prompt, run_concurrently
@@ -69,11 +69,17 @@ def candidate_pairs(
     n_planes: int = 8,
     lsh_seed: int = 42,
     dim: int | None = None,
+    target_recall: float = 0.95,
+    bands: int | None = None,
 ) -> DataFrame:
     """Union of three pruning strategies, deduplicated: (a) exact
-    blocking-key equality, (b) embedding-cosine >= threshold within LSH
-    buckets, (c) arbitrary pair predicates (SQL exprs over ``a.``/``b.``
-    prefixed columns). Returns (id_a, id_b), id_a < id_b."""
+    blocking-key equality, (b) embedding-cosine >= threshold via banded
+    sign-LSH OR-amplification (bands auto-planned so recall at the
+    threshold meets ``target_recall`` — the reference's
+    blocking_target_recall contract, resolve.py:361), (c) arbitrary pair
+    predicates (SQL exprs over ``a.``/``b.`` prefixed columns). Returns
+    (id_a, id_b), id_a < id_b. ``n_planes`` is the per-band plane count
+    (selectivity: each band has 2^n_planes buckets)."""
     a = df.alias("a")
     b = df.alias("b")
     lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -94,15 +100,16 @@ def candidate_pairs(
         emb = embedding_col
         if emb is None:
             raise ValueError("blocking_threshold requires an embedding column (embed_column first)")
-        vec_dim = dim or len(df.select(emb).first()[0])
-        planes = random_hyperplanes(vec_dim, n_planes, lsh_seed)
-        bucketed = df.withColumn("_bucket", lsh_bucket(F.col(emb), planes))
-        ba, bb = bucketed.alias("a"), bucketed.alias("b")
-        sim = cosine_sim(F.col(f"a.{emb}"), F.col(f"b.{emb}"))
         parts.append(
-            ba.join(bb, (F.col("a._bucket") == F.col("b._bucket")) & lt)
-            .filter(sim >= blocking_threshold)
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            banded_candidate_pairs(
+                df.select(id_col, emb), id_col, emb,
+                threshold=float(blocking_threshold),
+                rows_per_band=n_planes,
+                target_recall=target_recall,
+                bands=bands,
+                seed=lsh_seed,
+                dim=dim,
+            )
         )
 
     if blocking_conditions:
@@ -310,6 +317,7 @@ def resolve(
         blocking_threshold=blocking_threshold,
         blocking_conditions=blocking_conditions,
         embedding_col=embedding_col,
+        target_recall=blocking_target_recall,
     ) if (blocking_threshold is not None or blocking_conditions or not blocking_keys) else None
 
     if pairs is not None and log_blocking_stats:
