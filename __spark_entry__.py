@@ -1610,9 +1610,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_partkey, p_name, s_suppkey, s_name
             FROM kept WHERE (p_partkey + s_suppkey) % 3 = 0""",
-        # comparison-QURK replay: same md5 batch draw (top-10 priorities
-        # per batch), same ranking rule (tokens desc, doc_id asc); wins in
-        # a batch = members ranked after; final order = wins desc.
+        # comparison-QURK replay: bounded per-row candidate draws (md5 ->
+        # batch id, draws = min(nb, ceil(2*s*nb/n))), dedup, top-10 md5
+        # priorities per batch; wins in a batch = members ranked after;
+        # final order = wins desc. Mirrors rank._qurk_membership exactly.
         "rank_comparison": """
             WITH keyed AS (
               SELECT doc_id, text,
@@ -1620,13 +1621,22 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
               FROM documents
             ),
+            nb AS (
+              SELECT LEAST(200, GREATEST(1, CAST(ceil(2.0 * 10 * 200 / COUNT(*)) AS BIGINT))) AS draws
+              FROM keyed
+            ),
+            cand AS (
+              SELECT DISTINCT doc_id, rk, ntok,
+                     ('0x' || substr(md5('42#' || js.j || '#' || rk), 1, 8))::BIGINT % 200 AS batch
+              FROM keyed, (SELECT unnest(range(0, (SELECT draws FROM nb))) AS j) js
+            ),
             member AS (
-              SELECT doc_id, rk, ntok, b.b AS batch,
+              SELECT doc_id, rk, ntok, batch,
                      ROW_NUMBER() OVER (
-                       PARTITION BY b.b
-                       ORDER BY ('0x' || substr(md5('42_' || b.b || '_' || rk), 1, 8))::BIGINT, rk
+                       PARTITION BY batch
+                       ORDER BY ('0x' || substr(md5('42_' || batch || '_' || rk), 1, 8))::BIGINT, rk
                      ) AS draw
-              FROM keyed, (SELECT unnest(range(0, 200)) AS b) b
+              FROM cand
             ),
             inbatch AS (SELECT * FROM member WHERE draw <= 10),
             wins AS (

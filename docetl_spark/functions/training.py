@@ -255,11 +255,16 @@ def sample_temperature(
     # persist: the counts pass and the returned filter otherwise execute
     # the upstream lineage twice — after an LLM stage that would pay
     # every model call twice (and a nondeterministic backend could make
-    # the rates disagree with the rows actually filtered)
+    # the rates disagree with the rows actually filtered). The cache
+    # entry stays pinned until the caller releases it: the returned
+    # DataFrame carries the handle as ``._docetl_cached_input`` —
+    # unpersist it once the sample is materialized (cache entries are
+    # keyed by plan and are NOT garbage-collected with the object).
     df = df.persist()
     counts = {r["g"]: r["n"] for r in df.groupBy(F.col(group_col).alias("g")).count().withColumnRenamed("count", "n").collect()}
     total = sum(counts.values())
     if not total:
+        df.unpersist()
         return df.filter(F.lit(False))
     weights = {g: float(n) ** (1.0 / temperature) for g, n in counts.items()}
     wsum = sum(weights.values())
@@ -270,4 +275,6 @@ def sample_temperature(
     rate_map = F.create_map(*[F.lit(x) for g in sorted(rates) for x in (g, rates[g])])
     key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in ids])
     draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
-    return df.filter(draw < rate_map[F.col(group_col)])
+    out = df.filter(draw < rate_map[F.col(group_col)])
+    out._docetl_cached_input = df  # release handle: .unpersist() when done
+    return out

@@ -151,6 +151,69 @@ def _calibrated_embedding_rank(
     return ranked.drop("_emb", "_anchor_idx", "_anchor_sim")
 
 
+_MAX_DEFAULT_NUM_BATCHES = 20_000
+
+
+def _default_num_batches(n: int, s: int) -> int:
+    """The reference's default batch count N*(N-1)/(S*(S-1)), hard-capped:
+    comparison-QURK is inherently O(N^2/S^2) model calls, and an
+    uncapped default on a large frame would schedule millions of
+    batches before the first call returned. Past the cap the ranking is
+    still produced (fewer pairwise samples per item); callers wanting
+    the full quadratic budget must pass ``num_batches`` explicitly."""
+    want = max(1, (n * (n - 1)) // max(s * (s - 1), 1))
+    if want > _MAX_DEFAULT_NUM_BATCHES:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "rank(comparison): default num_batches %d capped at %d "
+            "(n=%d, batch_size=%d); pass num_batches explicitly to raise",
+            want, _MAX_DEFAULT_NUM_BATCHES, n, s,
+        )
+        return _MAX_DEFAULT_NUM_BATCHES
+    return want
+
+
+def _qurk_membership(keyed: DataFrame, n: int, s: int, num_batches: int, seed: int) -> DataFrame:
+    """Batch membership WITHOUT the row x batch cross join.
+
+    Each row makes ``draws = ceil(2*s*num_batches/n)`` candidate draws
+    (md5 hash -> batch id), so the assignment table is O(num_batches*s)
+    rows — the minimal size for s-row batches — instead of the
+    O(n*num_batches) crossJoin (10^11 rows for a 100k-row frame at the
+    default batch count). A per-batch window then keeps the top-s
+    candidates by the same md5 priority as before. Every step is
+    deterministic and DuckDB-replayable. Expected batch size before the
+    cap is 2s, so batches are full s-row batches w.h.p.; a batch with
+    fewer candidates is simply smaller (the reference's semantics don't
+    depend on exact batch size — each batch is one ranking call)."""
+    import math
+
+    draws = min(num_batches, max(1, math.ceil(2.0 * s * num_batches / max(n, 1))))
+    cand_batch = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(seed), F.col("_j"), F.col("_row_key"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % num_batches
+    )
+    prio = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.col("_batch"),
+                                                F.col("_row_key"))), 1, 8), 16, 10).cast("long")
+    return (
+        keyed.select("*", F.explode(F.sequence(F.lit(0), F.lit(draws - 1))).alias("_j"))
+        .withColumn("_batch", cand_batch)
+        .drop("_j")
+        # two draws can land in one batch: dedupe so no row double-counts
+        .dropDuplicates(["_batch", "_row_key"])
+        .withColumn("_prio", prio)
+        .withColumn("_pos", F.row_number().over(
+            W.partitionBy("_batch").orderBy(F.col("_prio"), F.col("_row_key"))))
+        .filter(F.col("_pos") <= s)
+        .drop("_prio", "_pos")
+    )
+
+
 def _comparison_qurk_rank(
     df: DataFrame,
     backend: ModelBackend,
@@ -169,41 +232,26 @@ def _comparison_qurk_rank(
     S-1-i items below it); the final order is win count descending.
 
     Spark realization: batch membership is a DETERMINISTIC pseudo-random
-    draw — row r joins batch b when md5(b || '_' || r) ranks in b's top S
-    (one window shuffle over the batch x row priority table), replacing
-    the reference's random.sample(seed=42) with a hash the oracle can
-    replay. Batch ranking runs DISTRIBUTED via applyInPandas — one
-    backend call per batch, batches spread across executors — then win
-    counting is a plain aggregation. num_batches defaults to the
-    reference's N*(N-1)/(S*(S-1)).
-
-    Scale note: comparison-QURK is inherently O(N^2/S^2) model calls —
-    the reference runs it on small/sampled data and so do we; cap
-    ``num_batches`` for anything bigger (each batch is still O(S) rows,
-    so the Spark side scales linearly in num_batches).
+    draw — each row hashes into a bounded number of candidate batches
+    and a per-batch md5-priority window keeps the top S
+    (``_qurk_membership``; the assignment table is O(num_batches*S)
+    rows, never the row x batch cross join). Batch ranking runs
+    DISTRIBUTED via applyInPandas — one backend call per batch, batches
+    spread across executors — then win counting is a plain aggregation.
+    num_batches defaults to the reference's N*(N-1)/(S*(S-1)), hard-
+    capped at ``_MAX_DEFAULT_NUM_BATCHES`` (each batch is one model
+    call; explicit num_batches overrides).
     """
     n = df.count()
     if n <= 1:
         return df.withColumn(rank_col, F.lit(1).cast("long"))
     s = min(batch_size, n)
     if num_batches is None:
-        num_batches = max(1, (n * (n - 1)) // max(s * (s - 1), 1))
+        num_batches = _default_num_batches(n, s)
 
-    spark = df.sparkSession
     key = F.concat_ws("||", *[F.col(c).cast("string") for c in df.columns])
     keyed = df.withColumn("_row_key", key)
-    batches = spark.range(num_batches).select(F.col("id").alias("_batch"))
-    # deterministic priority; md5 low-32 keeps the draw DuckDB-replayable
-    prio = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.col("_batch"),
-                                                F.col("_row_key"))), 1, 8), 16, 10).cast("long")
-    member = (
-        keyed.crossJoin(batches)
-        .withColumn("_prio", prio)
-        .withColumn("_pos", F.row_number().over(
-            W.partitionBy("_batch").orderBy(F.col("_prio"), F.col("_row_key"))))
-        .filter(F.col("_pos") <= s)
-        .drop("_prio", "_pos")
-    )
+    member = _qurk_membership(keyed, n, s, num_batches, seed)
 
     data_cols = [c for c in df.columns]
     out_schema = T.StructType(

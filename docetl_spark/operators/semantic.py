@@ -76,7 +76,17 @@ def widen_for_model_stage(df: DataFrame, min_parts: int | None = None) -> DataFr
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
-    if any(k in plan for k in ("Join", "Aggregate", "Sort", "Window", "Repartition", "Exchange")):
+    # Node-header-anchored match: plan nodes print at line starts after
+    # the tree prefix ("+- ", ":  +- ", ...). A bare substring test would
+    # false-positive on user data (a column literal containing "Join")
+    # and silently skip the widening.
+    import re
+
+    if re.search(
+        r"^[\s+:|-]*(?:Join|Aggregate|Sort|Window|Repartition|RepartitionByExpression|Exchange)\b",
+        plan,
+        re.MULTILINE,
+    ):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -200,11 +200,22 @@ def retrieve_context_join(
 
     if out_col in df.columns:
         df = df.drop(out_col)  # refresh case: re-retrieving over prior output
-    # null-disambiguated key: xxhash64 SKIPS null inputs, so ('a', NULL)
-    # and (NULL, 'a') would otherwise collide and merge their candidates
-    rk = F.col(id_col).cast("string") if id_col else F.xxhash64(
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in df.columns]
-    ).cast("string")
+    # Row key requirements: with ``id_col`` set it MUST be unique and
+    # non-null (duplicate ids would merge two rows' candidate sets; we
+    # coalesce a null id to a sentinel so a single null row still works,
+    # but several null ids share context — pass no id_col to fall back
+    # to the content hash). Without id_col the key is a 128-bit content
+    # hash: two independent xxhash64 draws (seed-prefixed), because a
+    # single 64-bit key hits birthday collisions at big-corpus scale and
+    # a collision silently merges two distinct rows' contexts. Columns
+    # null-coalesce to a sentinel first: xxhash64 SKIPS null inputs, so
+    # ('a', NULL) and (NULL, 'a') would otherwise collide.
+    if id_col:
+        rk = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00NULL"))
+    else:
+        safe = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in df.columns]
+        rk = F.concat_ws(":", F.xxhash64(*safe).cast("string"),
+                         F.xxhash64(F.lit(1), *safe).cast("string"))
     queries = df.withColumn("_rk", rk)
     qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
     # duplicate rows share a key; without the dropDuplicates their merged
@@ -216,10 +227,12 @@ def retrieve_context_join(
     ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
     # content-keyed dedup: a doc duplicated d times would otherwise
     # occupy min(d, k) rank slots AND multiply again through the
-    # join-back (d * min(d, k) context entries of the same text)
+    # join-back (d * min(d, k) context entries of the same text).
+    # md5 (128-bit) key: a 64-bit key's birthday collision at big-corpus
+    # scale would silently DROP a distinct doc here.
     c_base = (
         corpus_df.select(ctext.alias("_ctext"))
-        .withColumn("_cid", F.xxhash64(F.col("_ctext")))
+        .withColumn("_cid", F.md5(F.col("_ctext")))
         .dropDuplicates(["_cid"])
     )
     c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")

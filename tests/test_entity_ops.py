@@ -443,6 +443,29 @@ def test_rank_comparison_qurk_batched_is_permutation(spark):
     assert by_id[11] < by_id[0]
 
 
+def test_qurk_membership_bounded_no_crossjoin(spark):
+    """The r3 verdict's scale item: batch assignment must be
+    O(num_batches*s) rows, never the row x batch cross join
+    (O(n*num_batches) — 10^11 rows for a 100k frame at the default
+    batch count)."""
+    from docetl_spark.operators.rank import _default_num_batches, _qurk_membership
+
+    # default batch count is hard-capped; explicit values pass through
+    assert _default_num_batches(100_000, 10) == 20_000
+    assert _default_num_batches(100, 10) == 110
+
+    n, s, nb = 50_000, 10, 500
+    keyed = spark.range(n).select("id", F.col("id").cast("string").alias("_row_key"))
+    member = _qurk_membership(keyed, n, s, nb, seed=42)
+    # no join of any kind in the membership plan (explode + window only)
+    plan = member._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert member.count() <= nb * s
+    # batches still fill to s (expected 2s candidates pre-cap)
+    avg_size = member.groupBy("_batch").count().agg(F.avg("count")).first()[0]
+    assert avg_size > s * 0.8
+
+
 def test_rank_picky_window_budget_and_refinement(spark):
     """Sliding picky-window refinement: call count never exceeds
     rerank_call_budget, and a head scrambled by the initial scorer gets
