@@ -1090,6 +1090,27 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC similarity search (similarity.py pq_encode/pq_topk) with an
+    INJECTED grid codebook: entry c of every subspace is the constant
+    vector (-1.5 + 0.2c, 16 levels), so encoding = argmin over grid
+    levels of the exact subvector distance and the asymmetric-distance
+    scan is plain arithmetic a SQL oracle replays term-for-term. The
+    k-means-fit codebook path (not SQL-expressible) is covered by
+    test_similarity_blocking. Scan reads only the m-byte codes."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m, k_entries, dsub = 8, 16, 8
+    books = np.stack([
+        np.stack([np.full(dsub, -1.5 + 0.2 * c) for c in range(k_entries)])
+        for _ in range(m)
+    ])
+    indexed = similarity.pq_encode(emb, books)
+    qv = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
+    return similarity.pq_topk(indexed, books, qv, 10)
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/text.py pii_redact/pii_counts): plant a
     synthetic email/IP/phone per doc (the corpus text itself is clean),
@@ -1237,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_docs": repetition_stats_docs,
         "stream_decontaminate": stream_decontaminate,
         "sem_reduce_salted": sem_reduce_salted,
+        "ann_pq": ann_pq,
     }
 
 
@@ -1945,6 +1967,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored QUALIFY rank <= 10""",
+        # PQ/ADC replay with the injected grid codebook: code = argmin
+        # over the 16 grid levels of the exact subvector distance (ties
+        # to the lower level, matching numpy argmin); ADC distance =
+        # per-dimension (q_i - grid(code))^2 summed, rounded to 6.
+        "ann_pq": """
+            WITH dims AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            grid AS (SELECT unnest(range(0, 16)) AS c),
+            scored AS (
+              SELECT d.vec_id, (d.d - 1) // 8 AS j, g.c,
+                     SUM((d.v - (-1.5 + 0.2 * g.c)) * (d.v - (-1.5 + 0.2 * g.c))) AS sub_dist
+              FROM dims d, grid g
+              GROUP BY d.vec_id, (d.d - 1) // 8, g.c
+            ),
+            codes AS (
+              SELECT vec_id, j, c AS code FROM (
+                SELECT vec_id, j, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY sub_dist, c) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            qd AS (
+              SELECT i, (CAST((i * 37) % 13 AS DOUBLE) - 6) / 6.0 AS q
+              FROM (SELECT unnest(range(0, 64)) AS i)
+            ),
+            tbl AS (
+              SELECT qd.i // 8 AS j, g.c,
+                     SUM((qd.q - (-1.5 + 0.2 * g.c)) * (qd.q - (-1.5 + 0.2 * g.c))) AS t
+              FROM qd, grid g
+              GROUP BY qd.i // 8, g.c
+            ),
+            dist AS (
+              SELECT codes.vec_id, ROUND(SUM(tbl.t), 6) AS distance
+              FROM codes JOIN tbl ON codes.j = tbl.j AND codes.code = tbl.c
+              GROUP BY codes.vec_id
+            )
+            SELECT vec_id, distance,
+                   CAST(ROW_NUMBER() OVER (ORDER BY distance ASC, vec_id ASC) AS BIGINT) AS rank
+            FROM dist ORDER BY distance ASC, vec_id ASC LIMIT 10""",
         # PII scrub: same regex syntax under Java regex and RE2
         "pii_redact_docs": """
             WITH planted AS (

@@ -519,6 +519,17 @@ def pq_index(
             for j in range(m)
         ]
     )
+    return pq_encode(df, books, vec_col), books
+
+
+def pq_encode(df: DataFrame, codebooks: "np.ndarray", vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against GIVEN codebooks (shape (m, k, dsub)):
+    code j = argmin_c ||subvector_j - codebooks[j][c]||^2, ties to the
+    lowest index. Split out of ``pq_index`` so a fixed/injected codebook
+    (pure deterministic arithmetic — SQL-replayable, used by the ann_pq
+    oracle query) goes through the identical encode kernel as a k-means
+    fit. Codebooks broadcast (KBs); one numpy pass per Arrow batch."""
+    books = np.asarray(codebooks, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(books)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -532,7 +543,7 @@ def pq_index(
             codes[:, j] = d.argmin(axis=1)
         return pd.Series([[int(x) for x in row] for row in codes])
 
-    return base.withColumn("_pq_code", encode(F.col("_v64"))).drop("_v64"), books
+    return df.withColumn("_pq_code", encode(F.col(vec_col).cast("array<double>")))
 
 
 def pq_topk(

@@ -43,14 +43,14 @@ def table_hash(rows, colnames):
     return hashlib.md5("\n".join(digests).encode()).hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
+def check_all(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
+    """Run every __spark_entry__.queries() entry against its oracle_sql()
+    on ``sf_dir``; returns the list of failing query names. Importable so
+    the pytest suite can gate ALL registered queries every run (the
+    driver's per-round gate may cover only a subset — this keeps the
+    newest queries from regressing silently between rounds)."""
     import __spark_entry__ as entry
-    from docetl_spark import get_spark
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -105,6 +105,17 @@ def main():
         else:
             print(f"OK    {name} ({len(s_rows)} rows)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from docetl_spark import get_spark
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    failures = check_all(spark, sf_dir, only or None)
     sys.exit(1 if failures else 0)
 
 
