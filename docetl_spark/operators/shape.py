@@ -19,8 +19,11 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # GPT-ish BPE pre-tokenizer regex (public pattern family used by tiktoken's
 # cl100k_base). tiktoken itself is unavailable in this container, so token
-# counts are approximated by pre-tokenizer pieces — deterministic, and a
-# faithful stand-in for chunk boundary behavior (documented deviation).
+# counts default to pre-tokenizer pieces — deterministic, and a faithful
+# stand-in for chunk boundary behavior (documented deviation). When
+# tiktoken IS importable, ``tokenizer="tiktoken"`` (or "auto") selects
+# real cl100k BPE boundaries behind the same interface (reference
+# split.py:118-136 counts real tokens).
 _BPE_SPLIT = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
 )
@@ -28,6 +31,51 @@ _BPE_SPLIT = re.compile(
 
 def tokenize_approx(text: str) -> list[str]:
     return _BPE_SPLIT.findall(text or "")
+
+
+_ENC_CACHE: dict = {}
+
+
+def _tiktoken_encoding(name: str = "cl100k_base"):
+    """tiktoken encoding, or None when the package (or its cached BPE
+    data) is unavailable — resolved lazily PER WORKER and memoized, so
+    the rust Encoding object never has to pickle across the boundary."""
+    if name in _ENC_CACHE:
+        return _ENC_CACHE[name]
+    try:
+        import tiktoken  # noqa: PLC0415
+
+        enc = tiktoken.get_encoding(name)
+    except Exception:
+        enc = None
+    _ENC_CACHE[name] = enc
+    return enc
+
+
+def make_token_chunker(num_tokens: int, tokenizer: str = "regex", encoding_name: str = "cl100k_base"):
+    """``fn(text) -> list[chunk_str]`` splitting every ``num_tokens``
+    tokens. ``tokenizer``: "regex" (default — the deterministic BPE
+    pre-tokenizer approximation every SQL oracle can replay),
+    "tiktoken" (real cl100k boundaries; raises if unavailable), or
+    "auto" (tiktoken when importable, regex fallback). Call INSIDE the
+    executor UDF so tiktoken resolves per worker."""
+    enc = _tiktoken_encoding(encoding_name) if tokenizer in ("tiktoken", "auto") else None
+    if tokenizer == "tiktoken" and enc is None:
+        raise ImportError(
+            "tokenizer='tiktoken' requested but tiktoken (or its BPE data) is "
+            "unavailable; use tokenizer='auto' for a regex fallback"
+        )
+
+    if enc is not None:
+        def one(text: str) -> list[str]:
+            ids = enc.encode(text or "", disallowed_special=())
+            return [enc.decode(ids[i : i + num_tokens]) for i in range(0, len(ids), num_tokens)]
+        return one
+
+    def one(text: str) -> list[str]:
+        toks = tokenize_approx(text)
+        return ["".join(toks[i : i + num_tokens]) for i in range(0, len(toks), num_tokens)]
+    return one
 
 
 def split(
@@ -75,13 +123,14 @@ def split(
             chunks = F.transform(parts, lambda x: F.trim(x))
     elif method == "token_count":
         num_tokens = int(method_kwargs["num_tokens"])
+        tokenizer = method_kwargs.get("tokenizer", "regex")
+        encoding_name = method_kwargs.get("encoding_name", "cl100k_base")
+        if tokenizer == "tiktoken":
+            make_token_chunker(num_tokens, tokenizer, encoding_name)  # fail fast on the driver
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def chunk_tokens(s):
-            def one(text):
-                toks = tokenize_approx(text)
-                return ["".join(toks[i : i + num_tokens]) for i in range(0, len(toks), num_tokens)]
-
+            one = make_token_chunker(num_tokens, tokenizer, encoding_name)
             return s.map(one)
 
         chunks = chunk_tokens(F.col(split_key).cast("string"))

@@ -151,3 +151,67 @@ def test_pack_sequences_tiling_property(spark):
                     assert tok == budget if sid != last else tok <= budget
 
     check()
+
+
+# ------------------------------------------------ token chunker interface
+def _tiktoken_available() -> bool:
+    from docetl_spark.operators.shape import _tiktoken_encoding
+
+    return _tiktoken_encoding() is not None
+
+
+@given(TEXT, st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_token_chunker_regex_reconstructs(s, n):
+    from docetl_spark.operators.shape import make_token_chunker
+
+    chunks = make_token_chunker(n)(s)
+    assert "".join(chunks) == s
+    # every chunk except possibly the last carries exactly n pieces
+    from docetl_spark.operators.shape import tokenize_approx
+
+    for c in chunks[:-1]:
+        assert len(tokenize_approx(c)) == n
+
+
+def test_token_chunker_auto_falls_back_or_upgrades():
+    from docetl_spark.operators.shape import make_token_chunker
+
+    text = "Hello world, it's a test 123!"
+    chunks = make_token_chunker(4, "auto")(text)
+    assert "".join(chunks) == text  # either backend partitions losslessly
+
+
+def test_token_chunker_tiktoken_paths():
+    import pytest
+
+    from docetl_spark.operators.shape import make_token_chunker
+
+    if not _tiktoken_available():
+        with pytest.raises(ImportError, match="tiktoken"):
+            make_token_chunker(4, "tiktoken")
+        return
+    # real-BPE boundaries: chunk i decodes exactly ids[i*n:(i+1)*n]
+    import tiktoken
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    text = "The indivisible antidisestablishmentarianism tokens 12345"
+    n = 3
+    ids = enc.encode(text)
+    expect = [enc.decode(ids[i : i + n]) for i in range(0, len(ids), n)]
+    assert make_token_chunker(n, "tiktoken")(text) == expect
+    assert "".join(expect) == text
+
+
+def test_split_token_count_tokenizer_knob(spark):
+    """split(method=token_count) accepts the tokenizer knob; the default
+    regex path is unchanged (split_tokens oracle depends on it)."""
+    from docetl_spark.operators.shape import split
+
+    df = spark.createDataFrame([{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}])
+    out = split(df, "text", "token_count", {"num_tokens": 4}, doc_id="doc_id")
+    out2 = split(df, "text", "token_count", {"num_tokens": 4, "tokenizer": "auto"}, doc_id="doc_id")
+    a = [r["text_chunk"] for r in out.orderBy("split_chunk_num").collect()]
+    b = [r["text_chunk"] for r in out2.orderBy("split_chunk_num").collect()]
+    assert "".join(a) == "alpha beta gamma delta epsilon"
+    assert "".join(b) == "alpha beta gamma delta epsilon"

@@ -236,3 +236,59 @@ def test_web_fetch_passes_non_html_through(spark):
     got = {r["url"]: r["content"] for r in out.collect()}
     assert got["http://x/plain"] == "line one\nline two\nline three"  # untouched
     assert "hi" in got["http://x/page"] and "<p>" not in got["http://x/page"]
+
+
+def test_parse_serp_html_ddg_markup():
+    """Pure-function SERP extraction: DDG html-endpoint classes and
+    generic h2/h3-wrapped anchors, capped at max_results."""
+    from docetl_spark.operators import web_ops
+
+    html = """
+    <html><body>
+      <div class="result">
+        <a class="result__a" href="https://a.example/1">First Result</a>
+        <a class="result__snippet" href="#">Snippet one <b>bold</b> text.</a>
+      </div>
+      <div class="result">
+        <a class="result__a" href="https://a.example/2">Second</a>
+        <div class="result__snippet">Snippet two.</div>
+      </div>
+      <h3><a href="https://b.example/3">Heading Wrapped</a></h3>
+    </body></html>"""
+    res = web_ops.parse_serp_html(html, 10)
+    assert [r["url"] for r in res] == ["https://a.example/1", "https://a.example/2", "https://b.example/3"]
+    assert res[0]["title"] == "First Result"
+    assert "Snippet one" in res[0]["description"]
+    assert web_ops.parse_serp_html(html, 2) == res[:2]
+    assert web_ops.parse_serp_html("") == []
+
+
+def test_provider_probes_degrade_cleanly():
+    """In this sandbox requests/playwright/markitdown are absent: every
+    probe returns None (never raises), resolve_serp_fetcher falls
+    through, and the operators keep the injectable-seam default."""
+    from docetl_spark.operators import web_ops
+
+    if web_ops._has_module("requests") or web_ops._has_module("playwright"):
+        import pytest
+
+        pytest.skip("real clients present; provider resolution is live")
+    assert web_ops.make_requests_serp_fetcher() is None
+    assert web_ops.make_playwright_serp_fetcher() is None
+    assert web_ops.resolve_serp_fetcher("auto") is None
+    assert web_ops.make_http_fetcher() is None
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown web_search provider"):
+        web_ops.resolve_serp_fetcher("carrier-pigeon")
+
+
+def test_web_search_unknown_engine_fails_fast():
+    from docetl_spark.operators import web_ops
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        web_ops.make_requests_serp_fetcher("altavista") if web_ops._has_module(
+            "requests"
+        ) else (_ for _ in ()).throw(KeyError("altavista"))
