@@ -976,6 +976,56 @@ def pareto_insert(frontier: list[Candidate], cand: Candidate) -> bool:
     return True
 
 
+def agent_instantiate(directive: Directive, ops, i, stats, backend):
+    """Agent-filled directive instantiation (reference
+    directives/README.md:35-40: an agent fills EVERY directive's config
+    via structured output; our deterministic instantiations cover the
+    agent-free path). The deterministic ``apply`` runs first as a DRAFT;
+    the backend may then rewrite the configs of the ops the directive
+    introduced (structured JSON), with validation and a fall-back to
+    the draft when it declines, returns malformed JSON, or targets ops
+    it didn't create. Keeps search reproducible under FakeBackend while
+    letting a real agent specialize prompts/parameters per pipeline."""
+    base = directive.apply(ops, i, stats, backend)
+    if base is None or backend is None:
+        return base
+    old_ids = {id(o) for o in ops}
+    changed = [j for j, o in enumerate(base) if id(o) not in old_ids]
+    if not changed:
+        return base
+    import json
+
+    drafts = [{"index": j, "type": base[j].type, "config": base[j].config} for j in changed]
+    try:
+        drafts_json = json.dumps(drafts, default=str, sort_keys=True)
+    except (TypeError, ValueError):
+        return base
+    ans = backend.complete(
+        f"Directive '{directive.name}' rewrote a pipeline; these are the new/"
+        "changed ops it introduced. Improve their configs for this pipeline "
+        "if you can (sharper prompts, better parameters), or keep the draft. "
+        "Return configs_json: JSON list of {index, config} entries to "
+        "replace, and use_draft: true to keep everything as-is.\n"
+        + drafts_json,
+        {"configs_json": "str", "use_draft": "bool"},
+        {"directive": directive.name, "drafts": drafts},
+    )
+    if ans.get("use_draft") or not ans.get("configs_json"):
+        return base
+    try:
+        updates = json.loads(ans["configs_json"])
+        changed_set = set(changed)
+        out = list(base)
+        for u in updates:
+            j = int(u["index"])
+            cfg = u.get("config")
+            if j in changed_set and isinstance(cfg, dict) and cfg:
+                out[j] = replace(base[j], config=cfg)
+        return out
+    except (KeyError, TypeError, ValueError):
+        return base  # malformed agent output -> deterministic draft
+
+
 def optimize_ops(
     ops: list[OpSpec],
     stats: PlanStats | None = None,
@@ -983,11 +1033,19 @@ def optimize_ops(
     backend=None,
     max_depth: int = 3,
     beam: int = 8,
+    agent_instantiation: bool = False,
 ) -> OptimizeResult:
     """Beam search over directive applications, keeping the Pareto
     frontier of (cost, quality). Deterministic: directives enumerate in
-    catalog order, positions left-to-right, candidates sorted by score."""
+    catalog order, positions left-to-right, candidates sorted by score.
+    ``agent_instantiation=True`` (requires a backend) routes every
+    directive application through :func:`agent_instantiate`."""
     stats = stats or PlanStats()
+    _apply = (
+        (lambda d, o, i: agent_instantiate(d, o, i, stats, backend))
+        if (agent_instantiation and backend is not None)
+        else (lambda d, o, i: d.apply(o, i, stats, backend))
+    )
     root = Candidate(list(ops), estimate_cost(ops, stats), estimate_quality(ops, stats))
     result = OptimizeResult(frontier=[root], explored=1)
     level = [root]
@@ -998,7 +1056,7 @@ def optimize_ops(
                 for i in range(len(cand.ops)):
                     if (d.name, i) in cand.applied or not d.applies(cand.ops, i, stats, backend):
                         continue
-                    new_ops = d.apply(cand.ops, i, stats, backend)
+                    new_ops = _apply(d, cand.ops, i)
                     if new_ops is None:
                         continue
                     c = Candidate(
@@ -1048,6 +1106,7 @@ def moar_search(
     exploration_constant: float = 1.414,
     expand_width: int = 4,
     cost_weight: float = 0.5,
+    agent_instantiation: bool = False,
 ) -> OptimizeResult:
     """MOAR-style Monte-Carlo tree search over directive applications
     (reference moar/MOARSearch.py:30-235: UCB selection -> expansion ->
@@ -1061,7 +1120,10 @@ def moar_search(
     simulate phase — instead of the static cost model. With
     ``backend``, expansion asks the agent to rank the applicable
     directives (reference _expansion_prompt); without one, catalog
-    order is used (deterministic).
+    order is used (deterministic). ``agent_instantiation=True``
+    additionally routes every directive application through
+    :func:`agent_instantiate` (agent-filled configs with deterministic
+    fallback — the reference's structured-output contract).
     """
     stats = stats or PlanStats()
     evaluate = evaluate or (lambda o: (estimate_cost(o, stats), estimate_quality(o, stats)))
@@ -1112,7 +1174,12 @@ def moar_search(
         # 2. expansion
         if not node.expanded:
             for name, i in rank_candidates(node, candidates(node)):
-                new_ops = by_name[name].apply(node.ops, i, stats, backend)
+                d = by_name[name]
+                new_ops = (
+                    agent_instantiate(d, node.ops, i, stats, backend)
+                    if (agent_instantiation and backend is not None)
+                    else d.apply(node.ops, i, stats, backend)
+                )
                 if new_ops is None:
                     continue
                 node.children.append(_Node(new_ops, node.applied + ((name, i),)))

@@ -461,3 +461,82 @@ def test_moar_empirical_pipeline_hook(spark):
     assert 0 <= out.df.count() <= 12
     log = dict(out.op_log).get("rewrites", {})
     assert "fired" in log  # optimizer ran (directive list may be empty if root won)
+
+
+def test_agent_instantiation_fills_directive_config():
+    """agent_instantiate: the backend rewrites a directive's draft config
+    via structured output (reference directives/README.md:35-40), and
+    the agent-filled candidate enters the Pareto frontier; malformed or
+    declining agents fall back to the deterministic draft."""
+    import json
+
+    def fill(ctx):
+        # refine whatever the directive drafted: bump cascade threshold
+        drafts = ctx["drafts"]
+        out = []
+        for d in drafts:
+            cfg = dict(d["config"])
+            if "cascade" in cfg:
+                cfg["cascade"] = {"proxy_threshold": 0.7}
+                out.append({"index": d["index"], "config": cfg})
+        return json.dumps(out)
+
+    agent = FakeBackend(rules={"configs_json": fill, "use_draft": lambda ctx: False})
+    res = optimize_ops(
+        _ops(), PlanStats(rows=1000, avg_doc_tokens=500),
+        backend=agent, agent_instantiation=True,
+    )
+    cascaded = [c for c in res.frontier if "cascade_filtering" in dict(c.applied)]
+    assert cascaded
+    tuned = [
+        o for c in cascaded for o in c.ops
+        if o.config.get("cascade") == {"proxy_threshold": 0.7}
+    ]
+    assert tuned, "agent-filled cascade config should reach the frontier"
+
+    # declining agent -> deterministic draft (proxy_threshold 0.9)
+    decliner = FakeBackend(rules={"configs_json": lambda ctx: "", "use_draft": lambda ctx: True})
+    res2 = optimize_ops(
+        _ops(), PlanStats(rows=1000, avg_doc_tokens=500),
+        backend=decliner, agent_instantiation=True,
+    )
+    drafted = [
+        o for c in res2.frontier if "cascade_filtering" in dict(c.applied)
+        for o in c.ops if o.config.get("cascade") == {"proxy_threshold": 0.9}
+    ]
+    assert drafted
+
+    # malformed JSON -> deterministic draft, never an exception
+    broken = FakeBackend(rules={"configs_json": lambda ctx: "{not json", "use_draft": lambda ctx: False})
+    res3 = optimize_ops(
+        _ops(), PlanStats(rows=1000, avg_doc_tokens=500),
+        backend=broken, agent_instantiation=True,
+    )
+    assert any("cascade_filtering" in dict(c.applied) for c in res3.frontier)
+
+
+def test_moar_agent_instantiation():
+    import json
+
+    from docetl_spark.plans import moar_search
+
+    def fill(ctx):
+        out = []
+        for d in ctx["drafts"]:
+            cfg = dict(d["config"])
+            if "gleaning" in cfg:
+                cfg["gleaning"] = {"num_rounds": 2, "validation_prompt": "check it"}
+                out.append({"index": d["index"], "config": cfg})
+        return json.dumps(out)
+
+    agent = FakeBackend(rules={"configs_json": fill, "use_draft": lambda ctx: False,
+                               "order": lambda ctx: []})
+    res = moar_search(
+        _ops(), PlanStats(rows=1000, avg_doc_tokens=500),
+        backend=agent, max_iterations=12, agent_instantiation=True,
+    )
+    tuned = [
+        o for c in res.frontier for o in c.ops
+        if o.config.get("gleaning", {}).get("num_rounds") == 2
+    ]
+    assert tuned, "agent-tuned gleaning config should appear in the MOAR frontier"
