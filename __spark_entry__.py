@@ -1111,6 +1111,26 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(indexed, books, qv, 10)
 
 
+def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed join-based RAG retrieval (retrievers.retrieve_context_join):
+    both sides embed executor-side, candidates from an LSH band equi-join
+    with NO broadcast and NO driver index, per-row top-k rank window,
+    pure-JVM context assembly, 128-bit-key join-back. The corpus is the
+    distinct lang strings and each row queries with its own lang text, so
+    the top-1 doc is the identical-text corpus entry (cosine 1.0) for ANY
+    embedding function — making the full distributed plumbing
+    hash-checkable without replaying the embedder in SQL."""
+    from docetl_spark.retrievers import retrieve_context_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    corpus = docs.select(F.col("lang").alias("ctext")).distinct()
+    out = retrieve_context_join(
+        docs, corpus, FakeBackend(),
+        text_keys=["ctext"], query_keys=["lang"], k=1, id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "_retrieved_context")
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/text.py pii_redact/pii_counts): plant a
     synthetic email/IP/phone per doc (the corpus text itself is clean),
@@ -1259,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": stream_decontaminate,
         "sem_reduce_salted": sem_reduce_salted,
         "ann_pq": ann_pq,
+        "rag_retrieve_context": rag_retrieve_context,
     }
 
 
@@ -1967,6 +1988,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored QUALIFY rank <= 10""",
+        # join-based RAG: each row's top-1 corpus doc is its own lang
+        # string (identical text -> cosine 1.0 under any embedder)
+        "rag_retrieve_context": """
+            SELECT doc_id, lang, '[doc 1] ' || lang AS _retrieved_context
+            FROM documents""",
         # PQ/ADC replay with the injected grid codebook: code = argmin
         # over the 16 grid levels of the exact subvector distance (ties
         # to the lower level, matching numpy argmin); ADC distance =

@@ -61,6 +61,22 @@ BENCH_QUERIES = [
     "pii_redact_docs",
     "repetition_stats_docs",
     "sem_reduce_salted",
+    # round-4 coverage: streaming availableNow drains, distributed RAG
+    # retrieval join, ANN index variants, QURK rank, distributed cluster
+    "events_stream_rollup",
+    "events_stream_dedup",
+    "events_stream_sessions",
+    "stream_dedup_corpus",
+    "stream_decontaminate",
+    "rag_retrieve_context",
+    "ann_ivf",
+    "ann_pq",
+    "rank_comparison",
+    "cluster_docs_distributed",
+    "equijoin_limited",
+    "sem_filter_cascade",
+    "multimodal_image_meta",
+    "multimodal_frame_sample",
 ]
 
 
@@ -84,18 +100,25 @@ def main():
     # JVM/codegen warmup on a trivial job
     spark.range(1000).agg(F.sum("id")).collect()
 
-    # best-of-N per query (default 2): this host's effective CPU drifts up
+    # N reps per query (default 2): this host's effective CPU drifts up
     # to 2x with co-tenant load even at zero local load (PLANS.md "Bench
-    # variance note"); the per-query MIN measures the code, not the noise
-    # floor. Set SPARK_GRAFT_BENCH_REPS=1 to reproduce the round-1
-    # single-shot methodology.
+    # variance note"). "queries" reports the per-query MIN (measures the
+    # code, not the noise floor — comparable with the r1-r3 series);
+    # "queries_median" adds the variance-aware typical-run read.
+    # SPARK_GRAFT_BENCH_REPS=1 reproduces the round-1 single-shot run.
+    import statistics
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings = {}
+    medians = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+            runs = [run_one(spark, name, sf_dir) for _ in range(reps)]
+            timings[name] = round(min(runs), 3)
+            medians[name] = round(statistics.median(runs), 3)
         except Exception as e:  # pragma: no cover
             timings[name] = None
+            medians[name] = None
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
@@ -106,6 +129,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         )
