@@ -125,6 +125,32 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
             ).agg(F.count(F.lit(1))).collect()
         ))
 
+    # banded similarity blocking (round-4 resolve/equijoin path): sign
+    # bits in one matmul, band-key explode + self-equi-join + cosine
+    # verify. Candidate count depends on DATA similarity structure, so
+    # the blow-up's per-copy token salting matters here too: embeddings
+    # are random, pair count stays near-constant, and the probe measures
+    # the explode+join+verify plan.
+    if want("banded_blocking"):
+        res["banded_blocking"] = timed(lambda: (
+            similarity.banded_candidate_pairs(
+                emb, "vec_id", "embedding", threshold=0.85,
+            ).agg(F.count(F.lit(1))).collect()
+        ))
+
+    # QURK membership (round-4 de-cross-joined): explode + window only
+    if want("qurk_membership"):
+        from docetl_spark.operators.rank import _qurk_membership
+
+        def run_qurk():
+            keyed = docs.select(
+                "doc_id", F.col("doc_id").cast("string").alias("_row_key")
+            )
+            n = keyed.count()
+            _qurk_membership(keyed, n, 10, 500, 42).agg(F.count(F.lit(1))).collect()
+
+        res["qurk_membership"] = timed(run_qurk)
+
     # contamination scan: corpus explode + broadcast benchmark key join.
     # The benchmark is FIXED-SIZE (real benchmarks don't grow with the
     # corpus) so the probe measures corpus-side scaling only.
