@@ -337,3 +337,29 @@ def test_ivf_pq_composition(spark, sf_dir):
     assert len(top) == 10
     assert top[0]["distance"] <= top[-1]["distance"]
     assert 2 in [r["vec_id"] for r in top]  # probed own list + quantized self
+
+
+def test_ivf_partitioned_store_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout: corpus written partitionBy(_ivf_list), a
+    probe query's list filter becomes a PARTITION filter — unprobed
+    lists are never scanned (directory pruning, no footer reads)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, cents = sim.ivf_index(emb, n_lists=8, seed=1)
+    path = str(tmp_path / "ivf_store")
+    indexed.write.partitionBy("_ivf_list").parquet(path)
+
+    stored = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = sim.ivf_topk(stored, cents, qv, 5, n_probe=2)
+    assert top.count() == 5
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    # the isin(probes) filter must reach the scan as a partition filter
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2, plan
+    assert "_ivf_list" in seg[1][:300]
+    # and the scan reads only the probed partitions
+    pruned = sim.ivf_topk(stored, cents, qv, 10_000, n_probe=2)
+    full = stored.count()
+    assert pruned.count() < full  # candidates limited to 2 of 8 lists
