@@ -1204,6 +1204,50 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="doc_id long")
 
 
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-passage removal (functions/passages.py):
+    documents chunked into 20-token windows; every distinct chunk keeps
+    its globally-first occurrence (by doc_id, pos) and docs are rebuilt
+    from surviving chunks. Keeper election is a partial-agg
+    min(struct(doc_id,pos)) — skew-safe, no window over the chunk key."""
+    from docetl_spark.functions import passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return passages.passage_dedup(docs, "text", id_col="doc_id", chunk_tokens=20)
+
+
+def gram_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style sampled k-gram fingerprint matching: md5 of every
+    8-token gram, deterministic 1/4 sample (hex prefix 0-3), pairs of
+    docs sharing >= 2 sampled fingerprints; fingerprints present in
+    > 50 docs are suppressed before the self-join (boilerplate cap)."""
+    from docetl_spark.functions import passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return passages.gram_fingerprint_pairs(
+        docs, "text", id_col="doc_id", k=8,
+        sample_prefixes=("0", "1", "2", "3"), min_common=2, max_doc_freq=50,
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup: a new batch (the src0 slice
+    plus re-crawled uppercased copies of src1 docs at offset ids) is
+    anti-joined against the fingerprint store of the rest of the corpus.
+    The uppercased re-crawls normalize to store fingerprints and are
+    dropped; genuinely-new src0 docs survive (minus in-batch dups)."""
+    from docetl_spark.functions import passages
+
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = (
+        docs.filter(F.col("source") == "src1")
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.upper(F.col("text")).alias("text"))
+    )
+    new = docs.filter(F.col("source") == "src0").select("doc_id", "text").unionByName(recrawl)
+    store = docs.filter(F.col("source") != "src0").select("text")
+    return passages.incremental_dedup(new, store, "text", id_col="doc_id")
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1280,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_reduce_salted": sem_reduce_salted,
         "ann_pq": ann_pq,
         "rag_retrieve_context": rag_retrieve_context,
+        "passage_dedup_docs": passage_dedup_docs,
+        "gram_fingerprint_dups": gram_fingerprint_dups,
+        "dedup_incremental": dedup_incremental,
     }
 
 
@@ -2110,4 +2157,76 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(gs) AS g FROM grams) p JOIN bench USING (g)
             )
             SELECT doc_id FROM grams WHERE doc_id NOT IN (SELECT doc_id FROM hit)""",
+        # C4-style duplicate-passage removal: 20-token chunks, global
+        # keep-first per distinct chunk, docs rebuilt from survivors
+        "passage_dedup_docs": """
+            WITH tk AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(tk[i*20+1 : (i+1)*20], ' ') AS chunk
+              FROM tk, UNNEST(generate_series(0, CAST(ceil(len(tk) / 20.0) AS BIGINT) - 1)) AS u(i)
+            ), keep AS (
+              SELECT doc_id, pos, chunk FROM (
+                SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+                FROM chunks) WHERE rn = 1
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM keep GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   COALESCE(r.n_kept, 0) AS n_chunks_kept,
+                   CAST(ceil(len(t.tk) / 20.0) AS BIGINT) AS n_chunks_total
+            FROM tk t LEFT JOIN rebuilt r USING (doc_id)""",
+        # MOSS-style sampled 8-gram fingerprints: md5 hex prefix 0-3
+        # (1/4 sample), common-gram cap 50 docs, pairs sharing >= 2
+        "gram_fingerprint_dups": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), fps AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(tk) - 7),
+                                             i -> md5(array_to_string(tk[i : i+7], ' ')))) AS fp
+                FROM tk WHERE len(tk) >= 8)
+              WHERE substring(fp, 1, 1) IN ('0', '1', '2', '3')
+            ), ok AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+            ), kept AS (
+              SELECT fps.doc_id, fps.fp FROM fps JOIN ok USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM kept a JOIN kept b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
+        # incremental ingest: src0 batch + uppercased src1 re-crawls,
+        # anti-joined against the fingerprint store of the rest
+        "dedup_incremental": """
+            WITH batch AS (
+              SELECT doc_id, text FROM documents WHERE source = 'src0'
+              UNION ALL
+              SELECT doc_id + 100000, upper(text) FROM documents WHERE source = 'src1'
+            ), bfp AS (
+              SELECT doc_id, text,
+                     md5(array_to_string(list_filter(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> ''), ' ')) AS f
+              FROM batch
+            ), store AS (
+              SELECT DISTINCT md5(array_to_string(list_filter(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> ''), ' ')) AS f
+              FROM documents WHERE source <> 'src0'
+            ), batch_first AS (
+              SELECT doc_id, text, f FROM bfp
+              QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, text FROM batch_first
+            WHERE f NOT IN (SELECT f FROM store)""",
     }

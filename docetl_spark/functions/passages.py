@@ -1,0 +1,241 @@
+"""Passage-level deduplication: sub-document duplicate detection and
+removal — the layer between exact whole-doc dedup (dedup.exact_dedup)
+and fuzzy whole-doc near-dup (MinHash/SimHash).
+
+Two public techniques, both standard in large-scale training-data
+pipelines:
+
+- **Duplicate-passage removal** (C4-style): chunk every document into
+  fixed-size token windows, keep exactly ONE occurrence of every
+  distinct chunk corpus-wide (first by (doc_id, pos)), and reassemble
+  each document from its surviving chunks. Removes boilerplate that
+  whole-doc dedup can't see (headers, license blocks, templated spans
+  repeated across otherwise-distinct pages).
+- **Sampled k-gram fingerprinting** (MOSS/winnowing-family): hash every
+  k-token gram, keep the deterministic 1/2^h sample whose md5 hex
+  starts with a chosen prefix set, and join documents sharing >= m
+  sampled fingerprints. Detects documents with long verbatim overlaps
+  (exact-substring duplication) without comparing full texts.
+
+Scale posture (the 100 TB question):
+- chunking / gram hashing is one Arrow-batched pandas pass per
+  partition (same shape as functions/text.py `shingles`, which the
+  scale probe measured linear; a sequence/transform expression form
+  would re-tokenize per position under CollapseProject — see the
+  shingles docstring);
+- the keep-first decision is `groupBy(chunk).agg(min(struct(id,pos)))`
+  — a map-side-combinable partial aggregation, NOT a row_number
+  window, so a boilerplate chunk repeated a billion times partial-aggs
+  down to one row per map task instead of hot-keying one reducer;
+- fingerprint pairing is an equi-join on the sampled md5 key; common
+  grams (stop-phrases) are suppressed by `max_doc_freq` BEFORE the
+  self-join, bounding any bucket's pair fan-out (the same hot-key cap
+  MOSS applies to over-common fingerprints);
+- md5 hex keys (not xxhash64) so every step is reproducible in ANSI
+  SQL / DuckDB for the correctness oracle.
+
+Reference semantics: the reference has no sub-document dedup operator
+(SURVEY.md §2 — its dedup story is resolve/split); this module is part
+of the beyond-reference training-data layer like functions/dedup.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_WS = re.compile(r"\s+")
+
+
+def _toks(text: str | None) -> list[str]:
+    """Whitespace tokens, empties dropped — the python mirror of the SQL
+    contract `list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')`."""
+    return [t for t in _WS.split((text or "").strip()) if t]
+
+
+def passage_chunks_py(text: str | None, chunk_tokens: int) -> list[str]:
+    """Non-overlapping ``chunk_tokens``-token windows, in order; the last
+    chunk may be short. Empty/whitespace text -> no chunks."""
+    toks = _toks(text)
+    return [
+        " ".join(toks[i * chunk_tokens : (i + 1) * chunk_tokens])
+        for i in range(math.ceil(len(toks) / chunk_tokens))
+    ]
+
+
+def passage_chunks(df: DataFrame, text_col: str, *, id_col: str, chunk_tokens: int = 50) -> DataFrame:
+    """(id_col, pos, chunk) — one row per chunk, pos 0-based in-doc order.
+
+    One Arrow pass per partition; the explode is the only fan-out."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def ch(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: passage_chunks_py(t, chunk_tokens))
+
+    return (
+        df.select(id_col, F.posexplode(ch(F.col(text_col))).alias("pos", "chunk"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str, *, id_col: str, chunk_tokens: int = 50
+) -> DataFrame:
+    """Corpus-wide duplicate-passage removal (C4-style).
+
+    Every distinct chunk keeps exactly one occurrence — the globally
+    first by (id, pos) — and each document is reassembled from its
+    surviving chunks in original order. Documents whose every chunk was
+    claimed elsewhere come back with empty ``clean_text``.
+
+    Returns (id_col, clean_text, n_chunks_kept, n_chunks_total).
+
+    Plan: chunk (Arrow pass) -> groupBy(chunk) partial-agg min(struct
+    (id, pos)) [skew-safe keeper election, no window] -> groupBy(id)
+    rebuild -> left join back so fully-deduped docs survive. Two
+    shuffles, both map-side combined.
+    """
+    chunks = passage_chunks(df, text_col, id_col=id_col, chunk_tokens=chunk_tokens)
+    # keeper election: min over a (id, pos) struct is lexicographic —
+    # identical to ORDER BY id, pos LIMIT 1 per chunk, but partial-agg
+    keep = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("k"))
+        .select(F.col("k.i").alias(id_col), F.col("k.p").alias("pos"), "chunk")
+    )
+    rebuilt = keep.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))), lambda s: s["chunk"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+    )
+    n_total = F.ceil(
+        F.size(F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != ""))
+        / F.lit(float(chunk_tokens))
+    ).cast("long")
+    return (
+        df.select(id_col, n_total.alias("n_chunks_total"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks_kept", F.lit(0)).cast("long").alias("n_chunks_kept"),
+            "n_chunks_total",
+        )
+    )
+
+
+def sampled_gram_fps_py(
+    text: str | None, k: int, prefixes: tuple[str, ...]
+) -> list[str]:
+    """Distinct md5 hex fingerprints of every k-token gram whose hex
+    starts with one of ``prefixes`` (deterministic 1/16-per-hex-char
+    sampling). Docs with < k tokens emit nothing."""
+    toks = _toks(text)
+    if len(toks) < k:
+        return []
+    out: set[str] = set()
+    for i in range(len(toks) - k + 1):
+        h = hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()
+        if h.startswith(prefixes):
+            out.add(h)
+    return sorted(out)
+
+
+def sampled_gram_fps(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    k: int = 8,
+    sample_prefixes: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """(id_col, fp) — distinct sampled k-gram fingerprints per doc."""
+    prefixes = tuple(sample_prefixes)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def fps(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: sampled_gram_fps_py(t, k, prefixes))
+
+    return df.select(id_col, F.explode(fps(F.col(text_col))).alias("fp"))
+
+
+def gram_fingerprint_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    k: int = 8,
+    sample_prefixes: tuple[str, ...] = ("0",),
+    min_common: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
+    sampled k-gram fingerprints; exact-substring overlap candidates.
+
+    ``max_doc_freq`` drops fingerprints present in more than that many
+    documents BEFORE the self-join (boilerplate-gram suppression): a
+    fingerprint in d docs fans out to d*(d-1)/2 pairs, so the cap
+    bounds the join's worst bucket — at corpus scale leave it set.
+    """
+    fps = sampled_gram_fps(
+        df, text_col, id_col=id_col, k=k, sample_prefixes=sample_prefixes
+    )
+    if max_doc_freq is not None:
+        ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_doc_freq
+        )
+        fps = fps.join(ok.select("fp"), "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    store_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Snapshot-incremental exact dedup: keep new rows whose normalized
+    fingerprint is neither in the existing corpus/store nor claimed by
+    an earlier new row (first by id_col within the batch).
+
+    ``store_df`` is either raw docs (fingerprinted here) or — the
+    incremental-ingest shape at scale — a persisted one-column
+    ``fingerprint`` table (`store_is_fingerprints=True`): the store
+    never re-reads corpus text, the anti-join runs on 128-bit md5 keys
+    only, and the updated store is `store ∪ kept.fingerprint`.
+    """
+    from .text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    if store_is_fingerprints:
+        store = store_df.select(F.col("fingerprint").alias("_fp")).distinct()
+    else:
+        store = store_df.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    from pyspark.sql import Window as W
+
+    keyed = new_df.withColumn("_fp", fp)
+    first_in_batch = (
+        keyed.withColumn(
+            "_rn", F.row_number().over(W.partitionBy("_fp").orderBy(id_col))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return first_in_batch.join(store, "_fp", "left_anti").drop("_fp")

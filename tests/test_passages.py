@@ -1,0 +1,143 @@
+"""Passage-level dedup: C4-style duplicate-passage removal and
+MOSS-style sampled k-gram fingerprint matching (functions/passages.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from docetl_spark.functions import passages
+
+
+W4 = "alpha beta gamma delta"  # one 4-token chunk
+BOILER = "terms of service apply"  # boilerplate repeated across docs
+
+
+@pytest.fixture()
+def pdocs(spark):
+    rows = [
+        # doc 0: unique chunk + boilerplate
+        {"doc_id": 0, "text": f"{W4} {BOILER}"},
+        # doc 1: boilerplate first (but doc 0 pos-0... keeper is global
+        # min (doc_id,pos): doc 0 wins both its chunks)
+        {"doc_id": 1, "text": f"{BOILER} unique one two three"},
+        # doc 2: entirely boilerplate -> fully deduped away
+        {"doc_id": 2, "text": BOILER},
+        # doc 3: short tail chunk (6 tokens -> chunk of 4 + chunk of 2)
+        {"doc_id": 3, "text": "six little tokens in this doc"[:0] or "one two three four five six"},
+        # doc 4: empty text -> zero chunks
+        {"doc_id": 4, "text": "   "},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_passage_chunks_contract(spark, pdocs):
+    out = passages.passage_chunks(pdocs, "text", id_col="doc_id", chunk_tokens=4)
+    rows = {(r["doc_id"], r["pos"]): r["chunk"] for r in out.collect()}
+    assert rows[(0, 0)] == W4 and rows[(0, 1)] == BOILER
+    assert rows[(3, 0)] == "one two three four" and rows[(3, 1)] == "five six"
+    assert not any(d == 4 for d, _ in rows)  # empty text -> no chunks
+
+
+def test_passage_dedup_keep_first_and_rebuild(spark, pdocs):
+    out = passages.passage_dedup(pdocs, "text", id_col="doc_id", chunk_tokens=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}  # every doc survives as a row
+    # doc 0 keeps both chunks (globally first for each)
+    assert got[0]["clean_text"] == f"{W4} {BOILER}"
+    assert got[0]["n_chunks_kept"] == 2 and got[0]["n_chunks_total"] == 2
+    # doc 1 loses the boilerplate chunk but keeps its unique tail
+    assert got[1]["clean_text"] == "unique one two three"
+    assert got[1]["n_chunks_kept"] == 1 and got[1]["n_chunks_total"] == 2
+    # doc 2 was pure boilerplate -> empty but present
+    assert got[2]["clean_text"] == "" and got[2]["n_chunks_kept"] == 0
+    # doc 4 empty input -> 0/0
+    assert got[4]["n_chunks_total"] == 0 and got[4]["clean_text"] == ""
+
+
+def test_passage_dedup_plan_is_partial_agg_not_window(spark, pdocs):
+    """Keeper election must be an aggregate (map-side combinable), not a
+    row_number window — the skew-safety property the module promises."""
+    out = passages.passage_dedup(pdocs, "text", id_col="doc_id", chunk_tokens=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_sampled_gram_fps_matches_python_mirror(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([{"doc_id": 7, "text": text}])
+    prefixes = tuple("0123456789abcdef")  # sample everything
+    out = passages.sampled_gram_fps(
+        df, "text", id_col="doc_id", k=3, sample_prefixes=prefixes
+    )
+    got = sorted(r["fp"] for r in out.collect())
+    toks = text.split()
+    want = sorted(
+        {
+            hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+            for i in range(len(toks) - 2)
+        }
+    )
+    assert got == want
+
+
+def test_gram_fingerprint_pairs_finds_verbatim_overlap(spark):
+    shared = "zero one two three four five six seven eight nine"
+    rows = [
+        {"doc_id": 0, "text": f"{shared} unique tail zero"},
+        {"doc_id": 1, "text": f"other head words {shared}"},
+        {"doc_id": 2, "text": "completely different content with no overlap at all here"},
+    ]
+    df = spark.createDataFrame(rows)
+    out = passages.gram_fingerprint_pairs(
+        df,
+        "text",
+        id_col="doc_id",
+        k=4,
+        sample_prefixes=tuple("0123456789abcdef"),
+        min_common=2,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_gram_fingerprint_common_gram_suppression(spark):
+    # one gram present in ALL docs: with max_doc_freq=2 it cannot pair
+    common = "lorem ipsum dolor sit"
+    rows = [{"doc_id": i, "text": f"{common} filler{i} a b c"} for i in range(4)]
+    df = spark.createDataFrame(rows)
+    allhex = tuple("0123456789abcdef")
+    unsupressed = passages.gram_fingerprint_pairs(
+        df, "text", id_col="doc_id", k=4, sample_prefixes=allhex, min_common=1
+    )
+    assert unsupressed.count() == 6  # all pairs via the common gram
+    suppressed = passages.gram_fingerprint_pairs(
+        df, "text", id_col="doc_id", k=4, sample_prefixes=allhex, min_common=1,
+        max_doc_freq=2,
+    )
+    assert suppressed.count() == 0
+
+
+def test_incremental_dedup_anti_join_and_batch_first(spark):
+    store = spark.createDataFrame(
+        [{"doc_id": 100, "text": "Already In The Corpus"}]
+    )
+    new = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "already in the corpus"},  # dup of store (normalized)
+            {"doc_id": 2, "text": "fresh content"},
+            {"doc_id": 3, "text": "Fresh   Content"},  # dup of 2 within batch
+            {"doc_id": 4, "text": "another new doc"},
+        ]
+    )
+    kept = passages.incremental_dedup(new, store, "text", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    # fingerprint-store shape gives identical answers
+    from docetl_spark.functions.text import fingerprint
+
+    fps = store.select(fingerprint(F.col("text")).alias("fingerprint"))
+    kept2 = passages.incremental_dedup(
+        new, fps, "text", id_col="doc_id", store_is_fingerprints=True
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 4]
