@@ -1248,6 +1248,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages.incremental_dedup(new, store, "text", id_col="doc_id")
 
 
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one high-quantity
+    lineitem, counted by priority. Compiles to a LeftSemi hash join —
+    the lineitem side never materializes matched rows (the reference has
+    no semi-join surface; Catalyst gives it free)."""
+    orders = _sf(spark, sf_dir, "orders")
+    li = _sf(spark, sf_dir, "lineitem").where("l_quantity > 45")
+    return (
+        orders.join(li, on=[F.expr("o_orderkey = l_orderkey")], how="left_semi")
+        .group_agg(["o_orderpriority"], order_count=F.count(F.lit(1)))
+        .df
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped NOT EXISTS: positive-balance customers with no
+    big-ticket order, counted per nation. LeftAnti join + broadcast
+    nation dim."""
+    cust = _sf(spark, sf_dir, "customer").where("c_acctbal > 0")
+    orders = _sf(spark, sf_dir, "orders").where("o_totalprice > 400000")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, on=[F.expr("c_custkey = o_custkey")], how="left_anti")
+        .join(SemanticFrame.from_df(nation), on=[F.expr("c_nationkey = n_nationkey")], broadcast=True)
+        .group_agg(["n_name"], num_customers=F.count(F.lit(1)), total_bal=F.sum(_dec("c_acctbal")).cast("double"))
+        .df
+    )
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op verbs (beyond the reference, which has no union/intersect/
+    except surface): nations with a rich customer INTERSECT nations with
+    a rich supplier, EXCEPT nations in region 0."""
+    cust = _sf(spark, sf_dir, "customer").where("c_acctbal > 7500").select("c_nationkey").df.withColumnRenamed("c_nationkey", "nationkey")
+    supp = _sf(spark, sf_dir, "supplier").where("s_acctbal > 5000").select("s_nationkey").df.withColumnRenamed("s_nationkey", "nationkey")
+    r0 = (
+        _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return (
+        SemanticFrame.from_df(cust)
+        .intersect(supp)
+        .except_rows(r0)
+        .df
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1327,6 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup_docs": passage_dedup_docs,
         "gram_fingerprint_dups": gram_fingerprint_dups,
         "dedup_incremental": dedup_incremental,
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "customers_without_orders": customers_without_orders,
+        "set_ops_nations": set_ops_nations,
     }
 
 
@@ -2229,4 +2279,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text FROM batch_first
             WHERE f NOT IN (SELECT f FROM store)""",
+        "q4_priority_semijoin": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            GROUP BY o_orderpriority""",
+        "customers_without_orders": """
+            SELECT n_name, count(*) AS num_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > 0
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+            GROUP BY n_name""",
+        "set_ops_nations": """
+            SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7500
+            INTERSECT
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+            EXCEPT
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 0""",
     }

@@ -68,7 +68,7 @@ _EXPORTABLE = {
     "code_reduce", "split", "gather", "unnest", "unnest_columns",
     "add_uuid", "sample", "topk", "rank", "extract", "resolve", "cluster",
     "link_resolve", "limit", "pack_sequences", "sample_temperature",
-    "near_dup_minhash",
+    "near_dup_minhash", "dedup_passages", "near_dup_grams",
 }
 
 
@@ -154,6 +154,15 @@ class SemanticFrame:
 
     def distinct(self) -> "SemanticFrame":
         return self._next(self.df.distinct(), "distinct")
+
+    def intersect(self, other: "SemanticFrame | DataFrame") -> "SemanticFrame":
+        right = other.df if isinstance(other, SemanticFrame) else other
+        return self._next(self.df.intersect(right), "intersect")
+
+    def except_rows(self, other: "SemanticFrame | DataFrame", *, all: bool = False) -> "SemanticFrame":
+        right = other.df if isinstance(other, SemanticFrame) else other
+        out = self.df.exceptAll(right) if all else self.df.subtract(right)
+        return self._next(out, "except_rows", all=all)
 
     # --------------------------------------------------------- code ops
     def code_map(self, fn: "Callable[[dict], dict] | str", output_schema: dict, *, drop_keys=None) -> "SemanticFrame":
@@ -331,6 +340,36 @@ class SemanticFrame:
         return self._next(
             dedup_fn.minhash_dedup(self.df, id_col, text_col, **kw),
             "near_dup_minhash", **conf,
+        )
+
+    def dedup_passages(self, text_col: str, *, id_col: str, chunk_tokens: int = 50) -> "SemanticFrame":
+        """C4-style corpus-wide duplicate-passage removal (keep-first per
+        distinct chunk, docs rebuilt from survivors)."""
+        from .functions import passages as passages_fn
+
+        return self._next(
+            passages_fn.passage_dedup(self.df, text_col, id_col=id_col, chunk_tokens=chunk_tokens),
+            "dedup_passages", text_col=text_col, id_col=id_col, chunk_tokens=chunk_tokens,
+        )
+
+    def near_dup_grams(self, id_col: str, text_col: str, **kw) -> "SemanticFrame":
+        """Exact-substring overlap candidate pairs via sampled k-gram
+        md5 fingerprints (MOSS-style)."""
+        from .functions import passages as passages_fn
+
+        return self._next(
+            passages_fn.gram_fingerprint_pairs(self.df, text_col, id_col=id_col, **kw),
+            "near_dup_grams", id_col=id_col, text_col=text_col, **kw,
+        )
+
+    def dedup_incremental(self, store: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, **kw) -> "SemanticFrame":
+        """Keep rows new vs. an existing corpus / fingerprint store."""
+        from .functions import passages as passages_fn
+
+        right = store.df if isinstance(store, SemanticFrame) else store
+        return self._next(
+            passages_fn.incremental_dedup(self.df, right, text_col, id_col=id_col, **kw),
+            "dedup_incremental", text_col=text_col, id_col=id_col,
         )
 
     def pack_sequences(self, *, budget: int, **kw) -> "SemanticFrame":

@@ -135,6 +135,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "decontaminate":
         bench = datasets[c.pop("benchmark")]
         return sf.decontaminate(bench, **c)
+    if t == "dedup_passages":
+        return sf.dedup_passages(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "near_dup_grams":
+        return sf.near_dup_grams(c.pop("id_col"), c.pop("text_col"), **c)
+    if t == "dedup_incremental":
+        store = datasets[c.pop("store")]
+        return sf.dedup_incremental(store, c.pop("text_col"), id_col=c.pop("id_col"), **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

@@ -27,6 +27,7 @@ _KNOWN_OPS = {
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences",
     "sample_temperature", "near_dup_minhash", "contamination", "decontaminate",
+    "dedup_passages", "near_dup_grams", "dedup_incremental",
 }
 
 
@@ -144,6 +145,12 @@ def _check_op(op: dict) -> list[PlanIssue]:
                 issues.append(PlanIssue("error", name, f"near_dup_minhash needs `{k}`"))
     if t in ("contamination", "decontaminate") and not op.get("benchmark"):
         issues.append(PlanIssue("error", name, f"{t} needs a `benchmark` dataset ref"))
+    if t in ("dedup_passages", "near_dup_grams", "dedup_incremental"):
+        for k in ("id_col", "text_col"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"{t} needs `{k}`"))
+        if t == "dedup_incremental" and not op.get("store"):
+            issues.append(PlanIssue("error", name, "dedup_incremental needs a `store` dataset ref"))
     return issues
 
 

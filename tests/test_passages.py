@@ -141,3 +141,73 @@ def test_incremental_dedup_anti_join_and_batch_first(spark):
         new, fps, "text", id_col="doc_id", store_is_fingerprints=True
     )
     assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 4]
+
+
+def test_frame_verbs_passages_and_set_ops(spark):
+    from docetl_spark import SemanticFrame
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta terms of service apply"},
+        {"doc_id": 1, "text": "terms of service apply unique one two three"},
+    ]
+    sf = SemanticFrame.from_df(spark.createDataFrame(rows))
+    out = sf.dedup_passages("text", id_col="doc_id", chunk_tokens=4)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got[1] == "unique one two three"
+    assert out.plan()[-1] == "dedup_passages"
+
+    pairs = sf.near_dup_grams(
+        "doc_id", "text", k=4, sample_prefixes=tuple("0123456789abcdef"), min_common=1
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
+
+    store = spark.createDataFrame([{"doc_id": 9, "text": "alpha beta gamma delta terms of service apply"}])
+    kept = SemanticFrame.from_df(spark.createDataFrame(rows)).dedup_incremental(
+        store, "text", id_col="doc_id"
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    a = SemanticFrame.from_df(spark.createDataFrame([(1,), (2,), (3,)], "k long"))
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    assert sorted(r["k"] for r in a.intersect(b).collect()) == [2, 3]
+    assert sorted(r["k"] for r in a.except_rows(b).collect()) == [1]
+
+
+def test_yaml_pipeline_with_passage_ops(spark, tmp_path):
+    import json
+
+    from docetl_spark import run_pipeline
+
+    data = tmp_path / "docs.json"
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta terms of service apply"},
+        {"doc_id": 1, "text": "terms of service apply unique one two three"},
+    ]
+    data.write_text(json.dumps(rows))
+    store = tmp_path / "store.json"
+    store.write_text(json.dumps([{"doc_id": 9, "text": "terms of service apply"}]))
+    cfg = {
+        "datasets": {
+            "docs": {"type": "file", "path": str(data)},
+            "store": {"type": "file", "path": str(store)},
+        },
+        "operations": [
+            {"name": "pd", "type": "dedup_passages", "text_col": "text",
+             "id_col": "doc_id", "chunk_tokens": 4},
+        ],
+        "pipeline": {"steps": [{"name": "clean", "input": "docs", "operations": ["pd"]}]},
+    }
+    out = run_pipeline(spark, cfg, backend=None)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got[1] == "unique one two three"
+
+    cfg2 = {
+        "datasets": cfg["datasets"],
+        "operations": [
+            {"name": "inc", "type": "dedup_incremental", "store": "store",
+             "text_col": "text", "id_col": "doc_id"},
+        ],
+        "pipeline": {"steps": [{"name": "kept", "input": "docs", "operations": ["inc"]}]},
+    }
+    # store doc "terms of service apply" doesn't exactly match either doc -> both kept
+    assert run_pipeline(spark, cfg2, backend=None).count() == 2
