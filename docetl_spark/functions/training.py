@@ -187,6 +187,49 @@ def ngram_overlap(
     )
 
 
+class _BloomU64:
+    """Bit-packed Bloom filter over uint64 keys, numpy-vectorized.
+
+    Used purely as a PREFILTER in front of an exact sorted-array
+    membership check, so its false positives cost one extra searchsorted
+    and never change the answer. Double hashing (Kirsch-Mitzenmacher):
+    index_i = (low32 + i * (high32|1)) mod m — the md5-derived keys are
+    already uniform, so no re-hash is needed."""
+
+    def __init__(self, keys: "np.ndarray", fpp: float):
+        import math
+
+        import numpy as np
+
+        n = max(1, keys.size)
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        self.k = max(1, round(m / n * math.log(2)))
+        self.m = np.uint64(m)
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        if keys.size:
+            for idx in self._indices(keys):
+                np.bitwise_or.at(self.bits, idx >> np.uint64(3),
+                                 np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    def _indices(self, keys):
+        import numpy as np
+
+        h1 = keys & np.uint64(0xFFFFFFFF)
+        h2 = (keys >> np.uint64(32)) | np.uint64(1)
+        for i in range(self.k):
+            yield (h1 + np.uint64(i) * h2) % self.m
+
+    def might_contain(self, keys: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+
+        out = np.ones(keys.size, dtype=bool)
+        for idx in self._indices(keys):
+            bit = (self.bits[idx >> np.uint64(3)]
+                   >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -195,18 +238,30 @@ def decontaminate(
     text_col: str = "text",
     bench_text: str = "text",
     lowercase: bool = True,
-    max_bench_ngrams: int = 5_000_000,
+    max_bench_ngrams: int = 50_000_000,
+    bloom_fpp: float | None = 0.01,
 ) -> DataFrame:
     """Drop rows sharing ANY word n-gram with the benchmark set.
 
     Unlike :func:`ngram_overlap` (a join producing per-doc overlap
     stats), this is a row-local FILTER: the benchmark's distinct gram
     keys are collected once (bounded — benchmarks are MBs by nature,
-    enforced by ``max_bench_ngrams``) and shipped as a broadcast set;
-    each arriving row computes its grams and checks membership. Because
-    it is stateless and row-local it works identically on batch
-    DataFrames and Structured Streaming sources (stream-side
-    decontamination of a live ingest, no state store, no join)."""
+    enforced by ``max_bench_ngrams``) and shipped broadcast; each
+    arriving row computes its grams and checks membership. Because it is
+    stateless and row-local it works identically on batch DataFrames and
+    Structured Streaming sources (stream-side decontamination of a live
+    ingest, no state store, no join).
+
+    Membership representation: the 64-bit gram keys live in a SORTED
+    numpy uint64 array (8 bytes/key — 50M keys = 400 MB broadcast,
+    vs ~100 bytes/key for a Python str set, hence the 10x-higher gate),
+    checked with vectorized searchsorted. ``bloom_fpp`` (default 1%)
+    puts a ~1.2 bytes/key Bloom filter in front so the overwhelmingly
+    common all-clean row skips the binary searches; the Bloom is a
+    prefilter over the EXACT array — false positives cost one extra
+    lookup, never a wrong answer. Set ``bloom_fpp=None`` to disable."""
+    import numpy as np
+
     bench_keys = _bench_gram_keys(benchmark, bench_text=bench_text, n=n, lowercase=lowercase)
     rows = bench_keys.limit(max_bench_ngrams + 1).collect()
     if len(rows) > max_bench_ngrams:
@@ -215,15 +270,28 @@ def decontaminate(
             "decontaminate() broadcasts the key set — use ngram_overlap() "
             "(broadcast join) for outsized benchmarks"
         )
-    keys = frozenset(r["_g"] for r in rows)
-    bc = df.sparkSession.sparkContext.broadcast(keys)
+    keys = np.sort(np.array([int(r["_g"], 16) for r in rows], dtype=np.uint64))
+    bloom = _BloomU64(keys, bloom_fpp) if bloom_fpp is not None and keys.size else None
+    bc = df.sparkSession.sparkContext.broadcast((keys, bloom))
 
     @F.pandas_udf(T.BooleanType())
     def clean(s: pd.Series) -> pd.Series:
-        ks = bc.value
-        return s.map(
-            lambda t: not any(g in ks for g in _gram_keys_py(t, n=n, lowercase=lowercase))
-        )
+        ks, bl = bc.value
+
+        def ok(t):
+            grams = _gram_keys_py(t, n=n, lowercase=lowercase)
+            if not grams or not ks.size:
+                return True
+            g = np.array([int(h, 16) for h in grams], dtype=np.uint64)
+            if bl is not None:
+                g = g[bl.might_contain(g)]
+                if not g.size:
+                    return True
+            pos = np.searchsorted(ks, g)
+            pos = np.minimum(pos, ks.size - 1)
+            return not bool((ks[pos] == g).any())
+
+        return s.map(ok)
 
     return df.filter(clean(F.col(text_col).cast("string")))
 

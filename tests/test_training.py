@@ -213,3 +213,26 @@ def test_decontaminate_batch_and_bounded_bench(spark):
 
     with pytest.raises(ValueError, match="broadcasts the key set"):
         training.decontaminate(corpus, bench, n=3, max_bench_ngrams=1)
+
+
+def test_decontaminate_bloom_and_exact_paths_agree(spark):
+    rows = [
+        {"doc_id": i, "text": f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(15))}
+        for i in range(30)
+    ]
+    # plant benchmark text inside docs 3 and 17
+    bench_txt = ("held out benchmark question about the capital of assyria "
+                 "answered in exactly fourteen carefully chosen words")
+    rows[3]["text"] += " " + bench_txt
+    rows[17]["text"] = bench_txt + " " + rows[17]["text"]
+    df = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([{"text": bench_txt}])
+
+    from docetl_spark.functions import training
+
+    with_bloom = training.decontaminate(df, bench, n=13, bloom_fpp=0.01)
+    no_bloom = training.decontaminate(df, bench, n=13, bloom_fpp=None)
+    a = sorted(r["doc_id"] for r in with_bloom.collect())
+    b = sorted(r["doc_id"] for r in no_bloom.collect())
+    assert a == b
+    assert 3 not in a and 17 not in a and len(a) == 28
