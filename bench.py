@@ -77,6 +77,14 @@ BENCH_QUERIES = [
     "sem_filter_cascade",
     "multimodal_image_meta",
     "multimodal_frame_sample",
+    # round-4 second batch: passage-level dedup, incremental ingest,
+    # semi/anti-join + set-op relational plans
+    "passage_dedup_docs",
+    "gram_fingerprint_dups",
+    "dedup_incremental",
+    "q4_priority_semijoin",
+    "customers_without_orders",
+    "set_ops_nations",
 ]
 
 

@@ -81,6 +81,11 @@ class SemanticFrame:
     # reference frame.py:1034-1063 memoizes on the built config; here the
     # config can never change under an instance, so one slot suffices
     _memo: dict = field(default_factory=dict, compare=False, repr=False)
+    # Observation-based per-op row profiling (reference containers.py
+    # 442-466 tracks observed selectivity during its pull execution; here
+    # CollectMetrics nodes ride the SAME action — zero extra Spark jobs)
+    _observe: bool = field(default=False, compare=False, repr=False)
+    _obs: tuple = field(default_factory=tuple, compare=False, repr=False)
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -113,7 +118,15 @@ class SemanticFrame:
         return cls(df, backend, (("scan", {"path": "<dataframe>"}),))
 
     def _next(self, df: DataFrame, op: str, **conf) -> "SemanticFrame":
-        return SemanticFrame(df, self.backend, self.op_log + ((op, conf),))
+        obs = self._obs
+        if self._observe:
+            from pyspark.sql import Observation
+
+            o = Observation(f"op{len(self.op_log)}:{op}")
+            df = df.observe(o, F.count(F.lit(1)).alias("rows"))
+            obs = obs + ((op, o),)
+        return SemanticFrame(df, self.backend, self.op_log + ((op, conf),),
+                             _observe=self._observe, _obs=obs)
 
     def _require_backend(self, op: str) -> ModelBackend:
         if self.backend is None:
@@ -420,6 +433,64 @@ class SemanticFrame:
         return self._next(web_ops.web_fetch(self.df, url_col=url_col, **kw), "web_fetch")
 
     # ---------------------------------------------------------- actions
+    # -------------------------------------------------------- profiling
+    def profiled(self) -> "SemanticFrame":
+        """Enable per-op row observation for every SUBSEQUENT verb: each
+        op output gets a ``CollectMetrics`` node (``DataFrame.observe``),
+        so observed row counts and selectivities ride whatever action the
+        user eventually runs — no extra jobs, unlike a count() per stage.
+        The reference tracks observed selectivity the same way during its
+        eager pull execution (containers.py:442-466); this is the lazy
+        Spark formulation."""
+        from pyspark.sql import Observation
+
+        o = Observation(f"op{max(0, len(self.op_log) - 1)}:input")
+        df = self.df.observe(o, F.count(F.lit(1)).alias("rows"))
+        return SemanticFrame(df, self.backend, self.op_log,
+                             _observe=True, _obs=(("input", o),))
+
+    def profile_stats(self, *, materialize: bool = True) -> list[dict]:
+        """Observed per-op rows + selectivity after (or via) one action.
+
+        Returns ``[{op, rows, selectivity}, ...]`` in chain order, where
+        selectivity is rows/previous-rows. With ``materialize=True`` the
+        frame is evaluated through the no-op sink (full column
+        evaluation, nothing written) if no action has run yet."""
+        if not self._obs:
+            raise ValueError("profile_stats() needs a frame built from .profiled()")
+        if materialize:
+            self.df.write.format("noop").mode("overwrite").save()
+        out, prev = [], None
+        for name, o in self._obs:
+            rows = int(o.get["rows"])
+            sel = round(rows / prev, 6) if prev else None
+            out.append({"op": name, "rows": rows, "selectivity": sel})
+            prev = max(rows, 1)
+        return out
+
+    def to_plan_stats(self, **overrides):
+        """Measured ``PlanStats`` for the directive optimizer: observed
+        input rows, observed filter selectivity (product over filter-kind
+        ops), observed reduce group count. The optimizer's cost model
+        then scores candidate rewrites against THIS pipeline's data
+        instead of the defaults."""
+        from .plans.directives import PlanStats
+
+        prof = self.profile_stats()
+        rows = prof[0]["rows"] if prof else 1000
+        sel = 1.0
+        groups = None
+        for row in prof:
+            if row["op"] in ("filter", "code_filter", "where", "sem_filter") and row["selectivity"] is not None:
+                sel *= row["selectivity"]
+            if row["op"] in ("reduce", "code_reduce", "group_agg"):
+                groups = row["rows"]
+        kw = {"rows": rows, "groups": groups}
+        if sel < 1.0:
+            kw["filter_selectivity"] = round(sel, 6)
+        kw.update(overrides)
+        return PlanStats(**kw)
+
     def schema(self):
         return self.df.schema
 

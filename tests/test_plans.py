@@ -343,3 +343,32 @@ def test_collect_memo_survives_nested_mutation(spark):
     rows = sf.collect()
     rows[0]["tags"].append("CORRUPT")
     assert sf.collect()[0]["tags"] == ["a", "b"]  # memo untouched
+
+
+def test_profiled_frame_observes_rows_and_selectivity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docetl_spark import SemanticFrame
+
+    sf = SemanticFrame.read_parquet(spark, f"{sf_dir}/lineitem.parquet").profiled()
+    out = (
+        sf.where("l_quantity > 25")
+        .code_filter("l_discount > 0.05")
+        .group_agg(["l_returnflag"], n=F.count(F.lit(1)))
+    )
+    stats = out.profile_stats()
+    assert [s["op"] for s in stats] == ["input", "where", "code_filter", "group_agg"]
+    assert stats[0]["rows"] > 0 and stats[0]["selectivity"] is None
+    assert all(0 < s["selectivity"] <= 1 for s in stats[1:])
+    # observed numbers feed the directive cost model
+    ps = out.to_plan_stats()
+    assert ps.rows == stats[0]["rows"]
+    expected_sel = round(stats[1]["selectivity"] * stats[2]["selectivity"], 3)
+    assert round(ps.filter_selectivity, 3) == expected_sel
+    assert ps.groups == stats[3]["rows"]
+    # an unprofiled frame refuses (no observations were attached)
+    import pytest as _pytest
+
+    plain = SemanticFrame.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    with _pytest.raises(ValueError):
+        plain.profile_stats()
