@@ -808,7 +808,7 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedupe_keys=["window_start_epoch", "event_type"],
     )
     schema = "window_start_epoch long, event_type string, n long, value_cents long"
-    return spark.createDataFrame(rows, schema=schema)
+    return stream_ops.drained_df(spark, rows, schema)
 
 
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,7 +831,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_")
     )
     schema = "user_id long, event_type string, hour_epoch long"
-    return spark.createDataFrame(rows, schema=schema)
+    return stream_ops.drained_df(spark, rows, schema)
 
 
 def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,7 +854,7 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = stream_ops.stream_dedup_against_corpus(stream, corpus, on="_fp").select("doc_id")
     rows = stream_ops.run_available_now(fresh, checkpoint=tempfile.mkdtemp(prefix="ckpt_sdc_"))
-    return spark.createDataFrame(rows, schema="doc_id long")
+    return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +875,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedupe_keys=["user_id", "session_id"],
     )
     schema = "user_id long, session_id long, n_events long, start_epoch long, end_epoch long"
-    return spark.createDataFrame(rows, schema=schema).withColumn(
+    return stream_ops.drained_df(spark, rows, schema).withColumn(
         "session_id", (F.col("session_id") + 1).cast("long")
     )
 
@@ -1201,7 +1201,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stream_ops.run_available_now(
         clean, checkpoint=tempfile.mkdtemp(prefix="ckpt_decon_")
     )
-    return spark.createDataFrame(rows, schema="doc_id long")
+    return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
 def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
