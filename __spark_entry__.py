@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from docetl_spark import FakeBackend, ResilientBackend, SemanticFrame
-from docetl_spark.functions import dedup, similarity, text
+from docetl_spark.functions import dedup, similarity, text, training
 from docetl_spark.operators import gather as gather_op, link_resolve as link_resolve_op, sample as sample_op
 
 # ---------------------------------------------------------------- helpers
@@ -1295,6 +1295,51 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup, the canonical training-corpus pipeline
+    as ONE call: MinHash-LSH candidates -> exact 3-shingle Jaccard >=
+    0.8 edges -> connected components -> keep the LONGEST doc per
+    cluster (ties: min doc_id), with cluster stats. Oracle replays the
+    edge set exactly and resolves components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("long")
+    docs = docs.withColumn("n_tokens", ntok)
+    out = dedup.minhash_dedup(
+        docs, "doc_id", "text",
+        keep_order=[F.col("n_tokens").desc(), F.col("doc_id")],
+        with_stats=True,
+    )
+    return out.select("doc_id", "component", F.col("cluster_size").cast("long").alias("cluster_size"), "n_tokens")
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    log-likelihood-ratio weights of every doc against a target corpus
+    (source = src0 docs), Gumbel-top-100 deterministic selection."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source") == "src0")
+    return training.dsir_select(
+        docs.select("doc_id", "text"), target, "text",
+        id_col="doc_id", k=100, buckets=256,
+    )
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics: top-50 terms by total frequency
+    with document frequency. Two-level map-side-combinable aggregate +
+    TakeOrderedAndProject top-k (never a global vocabulary sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.term_stats(docs, "text", id_col="doc_id", top_n=50)
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard assignment (md5 of doc_id, 16 shards)
+    + per-shard manifest: docs, tokens, id range — the reproducible
+    global-shuffle layout a trainer plans epochs over."""
+    docs = _t(spark, sf_dir, "documents")
+    return training.shard_manifest(docs, id_col="doc_id", text_col="text", num_shards=16)
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1377,6 +1422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_semijoin": q4_priority_semijoin,
         "customers_without_orders": customers_without_orders,
         "set_ops_nations": set_ops_nations,
+        "fuzzy_dedup_corpus": fuzzy_dedup_corpus,
+        "dsir_select_docs": dsir_select_docs,
+        "vocab_top_terms": vocab_top_terms,
+        "corpus_shard_manifest": corpus_shard_manifest,
     }
 
 
@@ -2299,4 +2348,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
             EXCEPT
             SELECT n_nationkey FROM nation WHERE n_regionkey = 0""",
+        # fuzzy dedup end-to-end: same edge definition as minhash_near_dup
+        # (all shingle-sharing pairs at exact Jaccard >= 0.8 — LSH at
+        # 128/32 has ~5e-8 miss there), components via recursive CTE
+        # (min reachable id), keep longest doc per component.
+        "fuzzy_dedup_corpus": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id, {shingles3} AS s FROM documents),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+              JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            e0 AS (
+              SELECT ida, idb
+              FROM pairs JOIN sh x ON pairs.ida = x.doc_id JOIN sh y ON pairs.idb = y.doc_id
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+            ),
+            edges AS (SELECT ida AS a, idb AS b FROM e0 UNION SELECT idb, ida FROM e0),
+            r(id, t) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.t
+            ),
+            comp AS (SELECT id AS doc_id, MIN(t) AS component FROM r GROUP BY id),
+            lab AS (
+              SELECT d.doc_id, c.component,
+                     CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+                     CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+            )
+            SELECT doc_id, component, cluster_size, n_tokens FROM lab
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) = 1""",
+        # DSIR: hashed-unigram (256 buckets, md5-low-32) add-1 smoothed
+        # log-likelihood-ratio weights vs the src0 target corpus;
+        # deterministic Gumbel-top-100. Mirrors training.dsir_select.
+        "dsir_select_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ),
+            tb AS (SELECT doc_id, ('0x' || substr(md5('dsir#' || tok), 1, 8))::BIGINT % 256 AS bucket FROM tok),
+            tgt AS (SELECT tb.bucket, COUNT(*) AS ct
+                    FROM tb JOIN documents d ON tb.doc_id = d.doc_id
+                    WHERE d.source = 'src0' GROUP BY tb.bucket),
+            raw AS (SELECT bucket, COUNT(*) AS cr FROM tb GROUP BY bucket),
+            tt AS (SELECT COALESCE(SUM(ct), 0) + 256 AS n FROM tgt),
+            rt AS (SELECT COALESCE(SUM(cr), 0) + 256 AS n FROM raw),
+            llr AS (
+              SELECT s.bucket,
+                     ln((COALESCE(tgt.ct, 0) + 1)::DOUBLE / (SELECT n FROM tt))
+                   - ln((COALESCE(raw.cr, 0) + 1)::DOUBLE / (SELECT n FROM rt)) AS w
+              FROM (SELECT unnest(range(0, 256)) AS bucket) s
+              LEFT JOIN tgt ON s.bucket = tgt.bucket
+              LEFT JOIN raw ON s.bucket = raw.bucket
+            ),
+            db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM tb GROUP BY doc_id, bucket),
+            lw AS (
+              SELECT d.doc_id, COALESCE(SUM(db.c * llr.w), 0.0) AS logw
+              FROM documents d
+              LEFT JOIN db ON d.doc_id = db.doc_id
+              LEFT JOIN llr ON db.bucket = llr.bucket
+              GROUP BY d.doc_id
+            ),
+            sc AS (
+              SELECT doc_id, ROUND(logw, 4) AS dsir_logw,
+                     ROUND(logw - ln(-ln(
+                       (('0x' || substr(md5('dsir!g#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0
+                     )), 4) AS dsir_score
+              FROM lw
+            )
+            SELECT doc_id, dsir_logw, dsir_score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS sel_rank
+            FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100""",
+        "vocab_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+              FROM documents
+            ),
+            per_doc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term)
+            SELECT term, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+            FROM per_doc GROUP BY term
+            ORDER BY tf DESC, term LIMIT 50""",
+        "corpus_shard_manifest": """
+            WITH s AS (
+              SELECT ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                     doc_id,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS ntok
+              FROM documents
+            )
+            SELECT shard, COUNT(*) AS num_docs, CAST(SUM(ntok) AS BIGINT) AS num_tokens,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM s GROUP BY shard""",
     }

@@ -278,9 +278,22 @@ def minhash_dedup(
     bands: int = 32,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.8,
+    keep_order: list | None = None,
+    with_stats: bool = False,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dedup: keep the min-id representative
-    of every near-dup cluster. Returns the deduplicated DataFrame."""
+    """End-to-end MinHash-LSH near-dedup: keep one representative of
+    every near-dup cluster and return the deduplicated DataFrame.
+
+    ``keep_order``: ordering columns choosing the representative within
+    a cluster (e.g. ``[F.col("quality").desc(), F.col("doc_id")]`` to
+    keep the highest-quality duplicate, the usual training-corpus
+    policy). Default: minimum ``id_col``.
+
+    ``with_stats=True`` appends ``component`` (min id in the cluster —
+    stable regardless of keep_order) and ``cluster_size``. Both are
+    computed with windows over the same hash partitioning as the keep
+    decision, so stats cost no extra shuffle.
+    """
     shingled = df.withColumn("_sh", shingles(F.col(text_col), shingle_size)).cache()
     with_sig = shingled.withColumn("_minhash", minhash_from_shingles(F.col("_sh"), num_hashes))
     cand = lsh_candidate_pairs(with_sig, id_col, "_minhash", num_hashes=num_hashes, bands=bands)
@@ -288,9 +301,20 @@ def minhash_dedup(
         cand, shingled, id_col, text_col, threshold=jaccard_threshold, shingle_col="_sh"
     )
     comp = connected_components(verified.select("id_a", "id_b"), df.select(id_col), id_col)
-    return (
+    labeled = (
         df.join(comp, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
-        .filter(F.col(id_col) == F.col("component"))
-        .drop("component")
     )
+    order = keep_order if keep_order is not None else [F.col(id_col)]
+    w = W.partitionBy("component").orderBy(*order)
+    kept = (
+        labeled
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(W.partitionBy("component")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if not with_stats:
+        kept = kept.drop("component", "cluster_size")
+    kept._docetl_cached_input = shingled  # release handle: .unpersist() when materialized
+    return kept

@@ -247,3 +247,30 @@ def shingles(col, n: int = 3) -> Column:
         return s.map(lambda t: shingles_py(t, n))
 
     return sh(col.cast("string"))
+
+
+def term_stats(df, text_col: str, *, id_col: str, top_n: int | None = None):
+    """Corpus vocabulary statistics: per-term total frequency (tf) and
+    document frequency (df) over normalized tokens. The first
+    diagnostic a corpus build runs — tokenizer coverage, boilerplate
+    terms, stopword balance all read off this table.
+
+    Scale: explode → two-level aggregate. The per-(doc, term) count is
+    map-side combinable; the per-term rollup then aggregates at
+    vocabulary (not corpus) cardinality. ``top_n`` uses
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global sort of the vocabulary.
+    """
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.trim(F.lower(F.col(text_col))))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .count()
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("count").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    if top_n is not None:
+        stats = stats.orderBy(F.col("tf").desc(), F.col("term")).limit(top_n)
+    return stats

@@ -346,3 +346,164 @@ def sample_temperature(
     out = df.filter(draw < rate_map[F.col(group_col)])
     out._docetl_cached_input = df  # release handle: .unpersist() when done
     return out
+
+
+# ------------------------------------------------------------------ DSIR
+def _lower_tokens(col) -> F.Column:
+    """Lowercased ASCII-whitespace tokens; parity shape:
+    ``list_filter(string_split_regex(trim(lower(c)), '\\s+'), x -> x <> '')``."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def _hash_bucket(col, buckets: int, salt: str) -> F.Column:
+    """Deterministic feature-hash bucket in [0, buckets): first 8 hex
+    chars of md5, base-16 → long, mod buckets. SQL replay:
+    ``('0x' || substr(md5(salt || '#' || tok), 1, 8))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", F.lit(salt), col)), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-unigram distribution is.
+
+    log w(doc) = Σ_b c_b(doc) · (log p̂_target(b) − log p̂_raw(b)),
+    with add-1 smoothed bucket probabilities over ``buckets`` hashed
+    unigram features. (The paper hashes uni+bigrams into 10k buckets; we
+    use unigrams by default — pass a pre-tokenized/bigrammed column to
+    reproduce the paper exactly.)
+
+    Scale posture: the only data-sized shuffle is the per-(doc, bucket)
+    count aggregation (map-side combinable). Both bucket-distribution
+    tables are ≤ ``buckets`` rows — broadcast; the two grand totals are
+    1-row aggregates. Everything is JVM expressions; weights are exact
+    integer-count arithmetic in double precision, so a SQL oracle
+    replays them bit-for-bit (rounded to 4 decimals at the boundary).
+
+    Returns (id_col, dsir_logw double) — one row per input doc, docs
+    with no tokens get logw 0.0.
+    """
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        toks = frame.select(F.explode(_lower_tokens(F.col(text_col))).alias("_tok"))
+        return toks.groupBy(_hash_bucket(F.col("_tok"), buckets, salt)).count()
+
+    t_counts = bucket_counts(target)
+    r_counts = bucket_counts(df)
+    t_total = (t_counts.agg(F.sum("count")).collect()[0][0] or 0) + buckets
+    r_total = (r_counts.agg(F.sum("count")).collect()[0][0] or 0) + buckets
+    spark = df.sparkSession
+    spine = spark.range(buckets).select(F.col("id").alias("bucket"))
+    llr = (
+        spine.join(t_counts.withColumnRenamed("count", "_ct"), "bucket", "left")
+        .join(r_counts.withColumnRenamed("count", "_cr"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") / F.lit(float(t_total)))
+                - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double") / F.lit(float(r_total)))
+            ).alias("_llr"),
+        )
+    )
+    doc_buckets = (
+        df.select(F.col(id_col), F.explode(_lower_tokens(F.col(text_col))).alias("_tok"))
+        .groupBy(id_col, _hash_bucket(F.col("_tok"), buckets, salt))
+        .count()
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("count") * F.col("_llr")).alias("dsir_logw"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0)))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    k: int,
+    buckets: int = 1024,
+    gumbel: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR top-k selection: importance weights + (optionally) Gumbel
+    noise, take the k highest scores. Gumbel-top-k over log-weights IS
+    sampling-without-replacement ∝ w (the paper's resampling step), but
+    with a deterministic hash draw u = (md5_32(salt~id)+0.5)/2^32 so
+    reruns — and the SQL oracle — pick the same docs.
+
+    Returns (id_col, dsir_logw, dsir_score, sel_rank), k rows, scores
+    rounded to 4 decimals before ranking so engine float formatting
+    can't flip a boundary row; ties broken by id.
+    """
+    w = dsir_weights(df, target, text_col, id_col=id_col, buckets=buckets, salt=salt)
+    if gumbel:
+        u = (
+            F.conv(F.substring(F.md5(F.concat_ws("#", F.lit(salt + "!g"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+            .cast("double") + F.lit(0.5)
+        ) / F.lit(float(1 << 32))
+        score = F.col("dsir_logw") - F.log(-F.log(u))
+    else:
+        score = F.col("dsir_logw")
+    scored = w.select(
+        id_col,
+        F.round("dsir_logw", 4).alias("dsir_logw"),
+        F.round(score, 4).alias("dsir_score"),
+    )
+    win = W.orderBy(F.col("dsir_score").desc(), F.col(id_col))
+    # global top-k: Spark's TakeOrderedAndProject does per-partition
+    # top-k then a k-row merge on one reducer — the window formulation
+    # below would single-partition ALL rows, so rank only the k kept.
+    top = scored.orderBy(F.col("dsir_score").desc(), F.col(id_col)).limit(k)
+    return top.withColumn("sel_rank", F.row_number().over(win))
+
+
+def shard_manifest(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str | None = None,
+    num_shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest.
+
+    Shard = md5-hash of the id — a content-independent uniform shuffle,
+    the standard way to break source/time ordering before sequence
+    packing (hash order ≈ global random order, reproducible across
+    runs and engines). Returns one row per shard: doc count, token sum,
+    id range — the manifest a trainer uses to plan epochs/resume.
+
+    Scale: one map-side-combinable aggregation on the shard key; no
+    sort, no single-reducer stage.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % num_shards
+    ).alias("shard")
+    aggs = [
+        F.count("*").alias("num_docs"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    ]
+    if text_col is not None:
+        aggs.insert(1, F.sum(token_count(F.col(text_col))).alias("num_tokens"))
+    return df.groupBy(shard).agg(*aggs)

@@ -236,3 +236,80 @@ def test_decontaminate_bloom_and_exact_paths_agree(spark):
     b = sorted(r["doc_id"] for r in no_bloom.collect())
     assert a == b
     assert 3 not in a and 17 not in a and len(a) == 28
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from docetl_spark.functions.training import dsir_select, dsir_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join broadcast"),
+            (2, "spark join window aggregate shuffle"),
+            (3, "recipe butter flour sugar oven"),
+            (4, "butter sugar oven recipe whisk"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # target must be large enough that add-1 smoothing doesn't drown the
+    # signal (with a 7-token target every llr is negative and the empty
+    # doc's logw=0 would top the ranking — correct DSIR math, wrong test)
+    target = spark.createDataFrame(
+        [(10 + i, "spark join shuffle broadcast aggregate partition window") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["dsir_logw"] for r in dsir_weights(raw, target, "text", id_col="doc_id", buckets=64).collect()}
+    assert len(w) == 5
+    assert w[5] == 0.0  # empty doc: no evidence either way
+    assert min(w[1], w[2]) > max(w[3], w[4])  # spark docs score above recipes
+    sel = dsir_select(raw, target, "text", id_col="doc_id", k=2, buckets=64, gumbel=False)
+    assert {r["doc_id"] for r in sel.collect()} == {1, 2}
+    ranks = [r["sel_rank"] for r in sel.orderBy("sel_rank").collect()]
+    assert ranks == [1, 2]
+
+
+def test_shard_manifest_partitions_all_docs_deterministically(spark):
+    from docetl_spark.functions.training import shard_manifest
+
+    df = spark.createDataFrame([(i, "a b c") for i in range(200)], ["doc_id", "text"])
+    m = shard_manifest(df, id_col="doc_id", text_col="text", num_shards=8)
+    rows = m.collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    assert sum(r["num_docs"] for r in rows) == 200
+    assert sum(r["num_tokens"] for r in rows) == 600
+    again = {r["shard"]: r["num_docs"] for r in shard_manifest(df, id_col="doc_id", text_col="text", num_shards=8).collect()}
+    assert again == {r["shard"]: r["num_docs"] for r in rows}
+
+
+def test_minhash_dedup_keep_best_and_stats(spark):
+    from docetl_spark.functions.dedup import minhash_dedup
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extended with more tokens"),  # near-dup of 1, longer
+        (3, "completely different content about spark accumulators"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ntok = F.size(F.split("text", " "))
+    out = minhash_dedup(
+        df.withColumn("n", ntok), "doc_id", "text",
+        jaccard_threshold=0.5,
+        keep_order=[F.col("n").desc(), F.col("doc_id")],
+        with_stats=True,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {2, 3}  # longest rep kept, min-id component label
+    assert by_id[2]["component"] == 1 and by_id[2]["cluster_size"] == 2
+    assert by_id[3]["cluster_size"] == 1
+
+
+def test_term_stats_tf_df(spark):
+    from docetl_spark.functions.text import term_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["term"]: (r["tf"], r["df"]) for r in term_stats(df, "text", id_col="doc_id").collect()}
+    assert rows == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
