@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "q4_priority_semijoin",
     "customers_without_orders",
     "set_ops_nations",
+    # round-4 third batch: end-to-end fuzzy dedup, DSIR selection,
+    # vocabulary diagnostics, shard manifest
+    "fuzzy_dedup_corpus",
+    "dsir_select_docs",
+    "vocab_top_terms",
+    "corpus_shard_manifest",
 ]
 
 

@@ -345,11 +345,18 @@ class SemanticFrame:
         )
 
     def near_dup_minhash(self, id_col: str, text_col: str, **kw) -> "SemanticFrame":
-        """Rows minus MinHash+LSH near-duplicates (keeps the smallest id
-        per duplicate cluster)."""
+        """Rows minus MinHash+LSH near-duplicates. Default keeps the
+        smallest id per duplicate cluster; ``keep_order=[cols]`` picks
+        the representative (e.g. highest quality), ``with_stats=True``
+        appends component + cluster_size."""
         from .functions import dedup as dedup_fn
 
-        conf = {"id_col": id_col, "text_col": text_col, **kw}
+        # keep_order holds Column objects — not YAML-serializable; mark
+        # it so to_yaml raises instead of replaying with min-id keep
+        conf = {"id_col": id_col, "text_col": text_col,
+                **{k: v for k, v in kw.items() if k != "keep_order"}}
+        if kw.get("keep_order") is not None:
+            conf["_keep_order"] = True
         return self._next(
             dedup_fn.minhash_dedup(self.df, id_col, text_col, **kw),
             "near_dup_minhash", **conf,
@@ -423,6 +430,37 @@ class SemanticFrame:
         return self._next(
             training.sample_temperature(self.df, group_col, temperature=temperature, **kw),
             "sample_temperature", group_col=group_col, temperature=temperature, **kw,
+        )
+
+    def dsir_select(self, target: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, k: int, **kw) -> "SemanticFrame":
+        """DSIR importance resampling: keep the k most target-like docs
+        (hashed-unigram log-likelihood-ratio weights, deterministic
+        Gumbel-top-k)."""
+        from .functions import training
+
+        tdf = target.df if isinstance(target, SemanticFrame) else target
+        return self._next(
+            training.dsir_select(self.df, tdf, text_col, id_col=id_col, k=k, **kw),
+            "dsir_select", text_col=text_col, id_col=id_col, k=k, **kw,
+        )
+
+    def term_stats(self, text_col: str, *, id_col: str, top_n: int | None = None) -> "SemanticFrame":
+        """Corpus vocabulary diagnostics: per-term tf + df (optionally
+        top-n by tf)."""
+        from .functions import text as text_fn
+
+        return self._next(
+            text_fn.term_stats(self.df, text_col, id_col=id_col, top_n=top_n),
+            "term_stats", text_col=text_col, id_col=id_col, top_n=top_n,
+        )
+
+    def shard_manifest(self, *, id_col: str, **kw) -> "SemanticFrame":
+        """Deterministic hash-shard assignment + per-shard manifest."""
+        from .functions import training
+
+        return self._next(
+            training.shard_manifest(self.df, id_col=id_col, **kw),
+            "shard_manifest", id_col=id_col, **kw,
         )
 
     # --------------------------------------------------- external-IO ops

@@ -142,6 +142,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "dedup_incremental":
         store = datasets[c.pop("store")]
         return sf.dedup_incremental(store, c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "dsir_select":
+        target = datasets[c.pop("target")]
+        return sf.dsir_select(target, c.pop("text_col"), id_col=c.pop("id_col"), k=c.pop("k"), **c)
+    if t == "term_stats":
+        return sf.term_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "shard_manifest":
+        return sf.shard_manifest(id_col=c.pop("id_col"), **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

@@ -28,6 +28,7 @@ _KNOWN_OPS = {
     "equijoin", "step_boundary", "limit", "pack_sequences",
     "sample_temperature", "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "near_dup_grams", "dedup_incremental",
+    "dsir_select", "term_stats", "shard_manifest",
 }
 
 
@@ -151,6 +152,16 @@ def _check_op(op: dict) -> list[PlanIssue]:
                 issues.append(PlanIssue("error", name, f"{t} needs `{k}`"))
         if t == "dedup_incremental" and not op.get("store"):
             issues.append(PlanIssue("error", name, "dedup_incremental needs a `store` dataset ref"))
+    if t == "dsir_select":
+        for k in ("target", "text_col", "id_col", "k"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"dsir_select needs `{k}`"))
+    if t == "term_stats":
+        for k in ("text_col", "id_col"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"term_stats needs `{k}`"))
+    if t == "shard_manifest" and not op.get("id_col"):
+        issues.append(PlanIssue("error", name, "shard_manifest needs `id_col`"))
     return issues
 
 

@@ -313,3 +313,47 @@ def test_term_stats_tf_df(spark):
     )
     rows = {r["term"]: (r["tf"], r["df"]) for r in term_stats(df, "text", id_col="doc_id").collect()}
     assert rows == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+
+
+def test_frame_verbs_dsir_terms_shards(spark, sf_dir, tmp_path):
+    """New corpus-curation verbs on the Frame + pandas accessor + YAML op
+    types compile."""
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    docs = SemanticFrame.read_parquet(spark, f"{sf_dir}/documents.parquet", backend=FakeBackend())
+    target = docs.where("source = 'src0'")
+
+    sel = docs.select("doc_id", "text").dsir_select(target, "text", id_col="doc_id", k=10, buckets=64)
+    assert sel.count() == 10
+
+    terms = docs.term_stats("text", id_col="doc_id", top_n=5)
+    assert 0 < terms.count() <= 5
+
+    man = docs.shard_manifest(id_col="doc_id", text_col="text", num_shards=4)
+    rows = man.collect()
+    assert sum(r["num_docs"] for r in rows) == docs.count()
+
+    # YAML op types round-trip through the compiler
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    cfg = {
+        "datasets": {
+            "docs": {"type": "file", "format": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "tgt": {"type": "file", "format": "parquet", "path": f"{sf_dir}/documents.parquet"},
+        },
+        "default_model": "fake",
+        "operations": [
+            {"name": "pick", "type": "dsir_select", "target": "tgt", "text_col": "text",
+             "id_col": "doc_id", "k": 7, "buckets": 32},
+        ],
+        "pipeline": {
+            "steps": [{"name": "s1", "input": "docs", "operations": ["pick"]}],
+        },
+    }
+    import yaml
+
+    p = str(tmp_path / "dsir_pipe.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = run_yaml(spark, p, backend=FakeBackend())
+    assert out.count() == 7
