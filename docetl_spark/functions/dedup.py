@@ -222,13 +222,62 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, sim_col: str = "_simhash
 
 
 # ------------------------------------------------- connected components
-def connected_components(edges: DataFrame, vertices: DataFrame, id_col: str, *, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation: component id = min reachable vertex id.
-    Converges in O(diameter) joins; dedup clusters have tiny diameter.
-    Returns (id_col, component).
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    *,
+    max_iter: int = 20,
+    local_edge_gate: int = 2_000_000,
+) -> DataFrame:
+    """Component id = min reachable vertex id. Returns (id_col, component).
 
     edges: (id_a, id_b); vertices: df with id_col.
+
+    Two physical strategies:
+    - edge sets under ``local_edge_gate`` (the overwhelmingly common
+      case — duplicate/match edges are sparse relative to the corpus)
+      collect to the driver for a union-find, then broadcast-join the
+      tiny label table back onto ``vertices``. Even a 100 TB corpus at
+      a 1% pair rate stays under a few hundred MB of edges; the gate is
+      checked with limit(gate+1), never an unbounded collect.
+    - larger edge sets run distributed min-label propagation,
+      converging in O(diameter) join rounds (dedup clusters have tiny
+      diameter).
     """
+    sample = edges.select(
+        F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")
+    ).limit(local_edge_gate + 1).collect()
+    if len(sample) <= local_edge_gate:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sample:
+            a, b = row["_src"], row["_dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(v, find(v)) for v in parent]
+        spark = vertices.sparkSession
+        if not labels:
+            return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+        ltab = spark.createDataFrame(
+            labels, schema=vertices.select(id_col, F.col(id_col).alias("component")).schema
+        )
+        return (
+            vertices.select(id_col)
+            .join(F.broadcast(ltab), id_col, "left")
+            .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        )
     labels = vertices.select(F.col(id_col).alias("_v"), F.col(id_col).alias("component"))
     sym = edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")).unionByName(
         edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
@@ -300,7 +349,16 @@ def minhash_dedup(
     verified = jaccard_verify(
         cand, shingled, id_col, text_col, threshold=jaccard_threshold, shingle_col="_sh"
     )
-    comp = connected_components(verified.select("id_a", "id_b"), df.select(id_col), id_col)
+    edges = verified.select("id_a", "id_b")
+    # CC only over edge endpoints: duplicate pairs are sparse, so the
+    # label-propagation iterations run on O(|pairs|) rows instead of
+    # O(N) — isolated docs are their own component via the coalesce
+    touched = (
+        edges.select(F.col("id_a").alias(id_col))
+        .unionByName(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(edges, touched, id_col)
     labeled = (
         df.join(comp, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
