@@ -1340,6 +1340,41 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.shard_manifest(docs, id_col="doc_id", text_col="text", num_shards=16)
 
 
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy LM filter signal (CCNet/Gopher-style): mean
+    negative log-prob of each doc's hashed bigrams under the corpus's
+    own add-1 bigram|unigram model."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = training.lm_score(docs, text_col="text", id_col="doc_id")
+    return out.select("doc_id", F.round("lm_nll", 4).alias("lm_nll"))
+
+
+def corpus_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (0.9/0.05/0.05) by md5
+    draw on doc_id — same row lands in the same split on any engine or
+    partitioning."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return training.assign_splits(docs, id_cols=["doc_id"])
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: docs, tokens, distinct langs,
+    char range, share of short docs — one map-side-combinable pass."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok.cast("long")).alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg((ntok < 20).cast("double")), 4).alias("short_doc_share"),
+        )
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1426,6 +1461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "vocab_top_terms": vocab_top_terms,
         "corpus_shard_manifest": corpus_shard_manifest,
+        "lm_score_docs": lm_score_docs,
+        "corpus_split_docs": corpus_split_docs,
+        "corpus_profile": corpus_profile,
     }
 
 
@@ -2442,4 +2480,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, COUNT(*) AS num_docs, CAST(SUM(ntok) AS BIGINT) AS num_tokens,
                    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
             FROM s GROUP BY shard""",
+        # hashed-bigram add-1 LM: logp(w2|w1) = ln((c(b)+1)/(c(u)+2^16));
+        # lm_nll = -avg over the doc's bigrams. Mirrors training.lm_score.
+        "lm_score_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            bgp AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+              FROM toks WHERE len(t) >= 2
+            ),
+            hb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('lm#' || p.w1), 1, 8))::BIGINT % 65536 AS u,
+                     ('0x' || substr(md5('lm#' || p.w1 || ' ' || p.w2), 1, 8))::BIGINT % 65536 AS b
+              FROM bgp
+            ),
+            uni AS (SELECT u, COUNT(*) AS cu FROM hb GROUP BY u),
+            big AS (SELECT u, b, COUNT(*) AS cb FROM hb GROUP BY u, b),
+            sc AS (
+              SELECT hb.doc_id,
+                     -AVG(ln((big.cb + 1)::DOUBLE / (uni.cu + 65536)::DOUBLE)) AS nll
+              FROM hb JOIN big ON hb.u = big.u AND hb.b = big.b JOIN uni ON hb.u = uni.u
+              GROUP BY hb.doc_id
+            )
+            SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 4) AS lm_nll
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+        "corpus_split_docs": """
+            SELECT doc_id, source,
+                   CASE WHEN draw < 0.9 THEN 'train'
+                        WHEN draw < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0 AS draw
+                  FROM documents)""",
+        "corpus_profile": """
+            WITH t AS (
+              SELECT source, lang, n_chars,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS ntok
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   ROUND(AVG(CASE WHEN ntok < 20 THEN 1.0 ELSE 0.0 END), 4) AS short_doc_share
+            FROM t GROUP BY source""",
     }

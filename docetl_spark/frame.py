@@ -463,6 +463,27 @@ class SemanticFrame:
             "shard_manifest", id_col=id_col, **kw,
         )
 
+    def lm_score(self, *, text_col: str, id_col: str, **kw) -> "SemanticFrame":
+        """Perplexity-proxy LM scoring (hashed-bigram add-1 model);
+        appends nothing — returns (id_col, lm_nll)."""
+        from .functions import training
+
+        model = kw.pop("model_corpus", None)
+        mdf = model.df if isinstance(model, SemanticFrame) else model
+        return self._next(
+            training.lm_score(self.df, text_col=text_col, id_col=id_col, model_corpus=mdf, **kw),
+            "lm_score", text_col=text_col, id_col=id_col, **kw,
+        )
+
+    def assign_splits(self, *, id_cols: list, **kw) -> "SemanticFrame":
+        """Deterministic train/val/test split column by md5 draw."""
+        from .functions import training
+
+        return self._next(
+            training.assign_splits(self.df, id_cols=id_cols, **kw),
+            "assign_splits", id_cols=id_cols, **kw,
+        )
+
     # --------------------------------------------------- external-IO ops
     def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
         return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")

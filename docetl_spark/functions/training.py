@@ -507,3 +507,107 @@ def shard_manifest(
     if text_col is not None:
         aggs.insert(1, F.sum(token_count(F.col(text_col))).alias("num_tokens"))
     return df.groupBy(shard).agg(*aggs)
+
+
+# ------------------------------------------------- perplexity filtering
+def lm_score(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    model_corpus: DataFrame | None = None,
+    buckets: int = 1 << 16,
+    salt: str = "lm",
+) -> DataFrame:
+    """Perplexity-proxy scoring (the CCNet/Gopher-style LM filter): mean
+    negative log-probability of each doc's hashed bigrams under a
+    bigram-given-unigram model estimated from ``model_corpus`` (default:
+    the corpus itself).
+
+        logp(w2|w1) = ln( (c(w1,w2)+1) / (c(w1)+buckets) )
+        lm_nll(doc) = -mean(logp) over the doc's bigrams
+
+    High nll = surprising under the reference distribution — the usual
+    filter drops the extreme tails (gibberish at the top, boilerplate at
+    the bottom). KenLM would give real Kneser-Ney perplexity; hashed
+    add-1 bigrams keep the whole model as two count tables and every
+    step SQL-replayable (same deviation class as DSIR's hashed
+    unigrams; documented).
+
+    Scale: bigram/unigram count tables aggregate map-side at vocabulary
+    (not corpus) cardinality and join back on their hashed keys —
+    shuffle-partitioned equi-joins, no broadcast needed (the bigram
+    table may be large), no driver data. Docs with <2 tokens score 0.0.
+
+    Returns (id_col, lm_nll double).
+    """
+    model_corpus = model_corpus if model_corpus is not None else df
+
+    def doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = _lower_tokens(F.col(text_col))
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.slice(toks, 1, F.size(toks) - 1),
+                lambda w, i: F.struct(w.alias("w1"), F.get(toks, i + 1).alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(*cols, F.explode(pairs).alias("_bg")).select(
+            *([id_col] if with_id else []),
+            _hash_bucket(F.col("_bg.w1"), buckets, salt).alias("_u"),
+            _hash_bucket(F.concat_ws(" ", F.col("_bg.w1"), F.col("_bg.w2")), buckets, salt).alias("_b"),
+        )
+
+    model = doc_bigrams(model_corpus, with_id=False)
+    uni = model.groupBy("_u").agg(F.count("*").alias("_cu"))
+    big = model.groupBy("_u", "_b").agg(F.count("*").alias("_cb"))
+    scored = (
+        doc_bigrams(df, with_id=True)
+        .join(big, ["_u", "_b"], "left")
+        .join(uni, "_u", "left")
+        .groupBy(id_col)
+        .agg(
+            (-F.avg(
+                F.log(
+                    (F.coalesce(F.col("_cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("_cu"), F.lit(0)) + buckets).cast("double")
+                )
+            )).alias("lm_nll")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("lm_nll", F.coalesce(F.col("lm_nll"), F.lit(0.0)))
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one md5 draw per row,
+    thresholded by cumulative fractions in the dict's key order. The
+    same row lands in the same split on every run, engine, and
+    partitioning — the property that matters for leak-free eval sets.
+    Adds a ``split`` string column; fractions must sum to <= 1 (any
+    remainder falls into the last split).
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions or any(v < 0 for v in fractions.values()) or sum(fractions.values()) > 1 + 1e-9:
+        raise ValueError("fractions must be non-negative and sum to <= 1")
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for n in names[:-1]:
+        cum = round(cum + fractions[n], 9)
+        cond = draw < F.lit(cum)
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -149,6 +149,12 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.term_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "shard_manifest":
         return sf.shard_manifest(id_col=c.pop("id_col"), **c)
+    if t == "lm_score":
+        if "model_corpus" in c:
+            c["model_corpus"] = datasets[c.pop("model_corpus")]
+        return sf.lm_score(text_col=c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "assign_splits":
+        return sf.assign_splits(id_cols=c.pop("id_cols"), **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

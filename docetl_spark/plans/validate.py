@@ -28,7 +28,7 @@ _KNOWN_OPS = {
     "equijoin", "step_boundary", "limit", "pack_sequences",
     "sample_temperature", "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "near_dup_grams", "dedup_incremental",
-    "dsir_select", "term_stats", "shard_manifest",
+    "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
 }
 
 
@@ -162,6 +162,12 @@ def _check_op(op: dict) -> list[PlanIssue]:
                 issues.append(PlanIssue("error", name, f"term_stats needs `{k}`"))
     if t == "shard_manifest" and not op.get("id_col"):
         issues.append(PlanIssue("error", name, "shard_manifest needs `id_col`"))
+    if t == "lm_score":
+        for k in ("text_col", "id_col"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"lm_score needs `{k}`"))
+    if t == "assign_splits" and not op.get("id_cols"):
+        issues.append(PlanIssue("error", name, "assign_splits needs `id_cols`"))
     return issues
 
 

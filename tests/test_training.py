@@ -357,3 +357,39 @@ def test_frame_verbs_dsir_terms_shards(spark, sf_dir, tmp_path):
         yaml.safe_dump(cfg, f)
     out = run_yaml(spark, p, backend=FakeBackend())
     assert out.count() == 7
+
+
+def test_lm_score_flags_surprising_docs(spark):
+    from docetl_spark.functions.training import lm_score
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(10)] + [
+        (100, "zxqv wvut qpolm zzyx vbnm qwer"),  # gibberish: unseen bigrams
+        (101, "x"),  # <2 tokens -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lm_nll"] for r in lm_score(df, text_col="text", id_col="doc_id").collect()}
+    assert len(out) == 12
+    assert out[101] == 0.0
+    assert out[100] > out[0]  # gibberish is more surprising than the common doc
+    # deterministic
+    again = {r["doc_id"]: r["lm_nll"] for r in lm_score(df, text_col="text", id_col="doc_id").collect()}
+    assert again == out
+
+
+def test_assign_splits_deterministic_and_proportional(spark):
+    from docetl_spark.functions.training import assign_splits
+    import pytest as _pt
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    out = assign_splits(df, id_cols=["id"], fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # same assignment under different partitioning
+    re = assign_splits(df.repartition(13), id_cols=["id"], fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["id"]: r["split"] for r in out.collect()}
+    b = {r["id"]: r["split"] for r in re.collect()}
+    assert a == b
+    with _pt.raises(ValueError):
+        assign_splits(df, id_cols=["id"], fractions={"a": 0.9, "b": 0.2})
