@@ -1375,6 +1375,32 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QM_WORDS = {"spark": 2.0, "join": 1.5, "merge": 1.0, "slow": -2.0}
+
+
+def _qm_bucket(word: str, buckets: int = 1 << 15) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"qm#{word}".encode()).hexdigest()[:8], 16) % buckets
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style model-based quality scoring with an INJECTED
+    weight vector (the fit path is gradient descent over join+agg
+    passes — test-covered in test_quality_model.py; like ann_pq's
+    injected codebook, fixed weights make scoring SQL-replayable).
+    sigmoid(sum ln(1+tf_bucket) * w_bucket + bias) per doc."""
+    from docetl_spark.functions import quality_model as qm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights: dict[int, float] = {}
+    for word, wt in _QM_WORDS.items():
+        b = _qm_bucket(word)
+        weights[b] = weights.get(b, 0.0) + wt
+    out = qm.score_quality(docs, weights, text_col="text", id_col="doc_id", bias=-1.0)
+    return out.select("doc_id", F.round("quality_prob", 4).alias("quality_prob"))
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1464,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": lm_score_docs,
         "corpus_split_docs": corpus_split_docs,
         "corpus_profile": corpus_profile,
+        "quality_model_score": quality_model_score,
     }
 
 
@@ -1478,6 +1505,11 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(list_transform(string_split_regex(trim(lower({c})), '\\s+'),"
         " t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '')"
     )
+    _qm_weights: dict[int, float] = {}
+    for _word, _wt in _QM_WORDS.items():
+        _b = _qm_bucket(_word)
+        _qm_weights[_b] = _qm_weights.get(_b, 0.0) + _wt
+    qm_values = ", ".join(f"({b}, {w})" for b, w in sorted(_qm_weights.items()))
     shingles3 = (
         f"list_distinct(CASE WHEN len({norm_tok.format(c='text')}) >= 3 THEN "
         f"list_transform(range(1, len({norm_tok.format(c='text')}) - 1), "
@@ -2528,4 +2560,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                    ROUND(AVG(CASE WHEN ntok < 20 THEN 1.0 ELSE 0.0 END), 4) AS short_doc_share
             FROM t GROUP BY source""",
+        # injected-weight linear quality model: x = ln(1+tf) per md5
+        # bucket, prob = sigmoid(w.x + bias). Weight VALUES built from
+        # the same dict as the Spark side (collision-merged identically).
+        "quality_model_score": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ),
+            fx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('qm#' || tok), 1, 8))::BIGINT % 32768 AS bucket,
+                     ln(1 + COUNT(*)) AS x
+              FROM tok GROUP BY doc_id, bucket
+            ),
+            wt(bucket, w) AS (VALUES {qm_values}),
+            m AS (
+              SELECT fx.doc_id, SUM(fx.x * wt.w) AS mm
+              FROM fx JOIN wt ON fx.bucket = wt.bucket GROUP BY fx.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(COALESCE(m.mm, 0.0) + (-1.0)))), 4) AS quality_prob
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
     }

@@ -484,6 +484,18 @@ class SemanticFrame:
             "assign_splits", id_cols=id_cols, **kw,
         )
 
+    def quality_model(self, weights: dict, *, text_col: str, id_col: str, **kw) -> "SemanticFrame":
+        """Score docs with a fitted (or injected) hashed-feature linear
+        quality classifier — see functions/quality_model.py for the
+        distributed fit."""
+        from .functions import quality_model as qm
+
+        return self._next(
+            qm.score_quality(self.df, weights, text_col=text_col, id_col=id_col, **kw),
+            "quality_model", text_col=text_col, id_col=id_col,
+            weights={int(k): float(v) for k, v in weights.items()}, **kw,
+        )
+
     # --------------------------------------------------- external-IO ops
     def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
         return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")
