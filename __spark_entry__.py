@@ -1375,6 +1375,48 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count,
+    including zero-order customers — LEFT OUTER join + two-level
+    aggregate. Exercises the outer-join + re-aggregation plan shape
+    (the reference has no outer-join surface; Catalyst gives it free)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue over an OR-of-ANDs predicate across the
+    part-lineitem join. Catalyst extracts the common conjuncts
+    (p_partkey=l_partkey) into the join key and pushes the per-branch
+    filters below it — the pushdown shape the 100 TB scan depends on."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_brand")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15))
+    )
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return j.filter(disj & (F.col("l_returnflag").isin("N", "R"))).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 _QM_WORDS = {"spark": 2.0, "join": 1.5, "merge": 1.0, "slow": -2.0}
 
 
@@ -1491,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_docs": corpus_split_docs,
         "corpus_profile": corpus_profile,
         "quality_model_score": quality_model_score,
+        "q13_order_histogram": q13_order_histogram,
+        "q19_disjunct_revenue": q19_disjunct_revenue,
     }
 
 
@@ -2583,4 +2627,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    ROUND(1.0 / (1.0 + exp(-(COALESCE(m.mm, 0.0) + (-1.0)))), 4) AS quality_prob
             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
+        "q13_order_histogram": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count""",
+        "q19_disjunct_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_returnflag IN ('N', 'R')
+              AND ((p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+                OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15))""",
     }

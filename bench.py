@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "vocab_top_terms",
     "corpus_shard_manifest",
+    "lm_score_docs",
+    "corpus_split_docs",
+    "corpus_profile",
+    "quality_model_score",
+    "q13_order_histogram",
+    "q19_disjunct_revenue",
 ]
 
 
