@@ -292,3 +292,24 @@ def test_web_search_unknown_engine_fails_fast():
         web_ops.make_requests_serp_fetcher("altavista") if web_ops._has_module(
             "requests"
         ) else (_ for _ in ()).throw(KeyError("altavista"))
+
+
+def test_split_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """assign_splits -> write_output(partition_by='split') -> a reader
+    filtering one split must scan ONLY that split's directory
+    (PartitionFilters at the parquet scan, not a post-scan filter)."""
+    from docetl_spark.functions.training import assign_splits
+    from docetl_spark.sources.readers import write_output
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(500)], ["doc_id", "text"])
+    out = str(tmp_path / "corpus")
+    write_output(assign_splits(df, id_cols=["doc_id"]), out, partition_by="split")
+
+    back = spark.read.parquet(out).filter("split = 'val'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan and "(split" in plan
+    # pruned read returns exactly the val rows, and fewer than the corpus
+    n_val = back.count()
+    assert 0 < n_val < 100
+    total = spark.read.parquet(out).count()
+    assert total == 500
