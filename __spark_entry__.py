@@ -1375,6 +1375,66 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window formulation — NO join operator, one
+    exchange; test_asof_join_plan_has_no_join asserts it): every click
+    event annotated with the user's most recent error event within 2h."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value", "event_id")
+    out = tsf.asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], tolerance=7200 * 10**9, right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.expr("ts DIV 1000000000").alias("click_epoch"),
+        F.expr("ts_r DIV 1000000000").alias("err_epoch"),
+        F.col("value_r").alias("err_value"),
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (interval containment as an equi-join on
+    (user, time-bin); no theta join in the plan): views inside each
+    user's first-4-hours window."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    windows = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.expr("ts DIV 1000000000")).alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + 4 * 3600)
+    )
+    pts = views.withColumn("e", F.expr("ts DIV 1000000000"))
+    joined = tsf.range_join(
+        pts, windows, point_ts="e", start_ts="w_start", end_ts="w_end",
+        on=["user_id"], bin_width=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("event_id").alias("first_view_id"),
+    )
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup in ONE pass (ROLLUP
+    grouping sets: minute partials feed hour feed day): event counts and
+    exact-integer value cents per grain."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events").withColumn("e", F.expr("ts DIV 1000000000"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = tsf.time_rollup(
+        ev.withColumn("_cents", cents), "e",
+        {"n": F.count(F.lit(1)), "value_cents": F.sum("_cents")},
+    )
+    return out.select("day", "hour", "minute", "n", "value_cents", "grain")
+
+
 def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: distribution of customers by order count,
     including zero-order customers — LEFT OUTER join + two-level
@@ -1535,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_score": quality_model_score,
         "q13_order_histogram": q13_order_histogram,
         "q19_disjunct_revenue": q19_disjunct_revenue,
+        "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
+        "events_time_rollup": events_time_rollup,
     }
 
 
@@ -2627,6 +2690,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    ROUND(1.0 / (1.0 + exp(-(COALESCE(m.mm, 0.0) + (-1.0)))), 4) AS quality_prob
             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
+        # as-of replay: same union+window formulation (LAST_VALUE IGNORE
+        # NULLS over (ats, side, tiebreak)), tolerance 2h in ns
+        "events_asof_join": """
+            WITH u AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS ats, 1 AS side,
+                     CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rts, CAST(NULL AS BIGINT) AS rtb
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT NULL, user_id, epoch_ns(ts), 0, value, epoch_ns(ts), event_id
+              FROM events WHERE event_type = 'error'
+            ),
+            c AS (
+              SELECT *, LAST_VALUE(rv IGNORE NULLS) OVER w AS c_rv,
+                        LAST_VALUE(rts IGNORE NULLS) OVER w AS c_rts
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, rtb NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ats // 1000000000 AS click_epoch,
+                   CASE WHEN c_rts IS NOT NULL AND ats - c_rts <= 7200000000000
+                        THEN c_rts // 1000000000 END AS err_epoch,
+                   CASE WHEN c_rts IS NOT NULL AND ats - c_rts <= 7200000000000
+                        THEN c_rv END AS err_value
+            FROM c WHERE side = 1""",
+        "events_range_join": """
+            WITH w AS (
+              SELECT user_id, MIN(epoch_ns(ts) // 1000000000) AS w_start,
+                     MIN(epoch_ns(ts) // 1000000000) + 4 * 3600 AS w_end
+              FROM events GROUP BY user_id
+            ),
+            v AS (
+              SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS e
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT v.user_id, COUNT(*) AS n_views, MIN(v.event_id) AS first_view_id
+            FROM v JOIN w ON v.user_id = w.user_id AND v.e >= w.w_start AND v.e < w.w_end
+            GROUP BY v.user_id""",
+        "events_time_rollup": """
+            WITH b AS (
+              SELECT epoch_ns(ts) // 1000000000 AS e,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ),
+            g AS (
+              SELECT e - (e % 86400) AS day, e - (e % 3600) AS hour, e - (e % 60) AS minute, cents
+              FROM b
+            )
+            SELECT day, hour, minute, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS value_cents,
+                   CASE WHEN GROUPING(minute) = 0 THEN 'minute'
+                        WHEN GROUPING(hour) = 0 THEN 'hour'
+                        WHEN GROUPING(day) = 0 THEN 'day'
+                        ELSE 'all' END AS grain
+            FROM g GROUP BY ROLLUP (day, hour, minute)""",
         "q13_order_histogram": """
             WITH per_cust AS (
               SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count

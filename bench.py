@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "quality_model_score",
     "q13_order_histogram",
     "q19_disjunct_revenue",
+    "events_asof_join",
+    "events_range_join",
+    "events_time_rollup",
 ]
 
 

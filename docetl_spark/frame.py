@@ -484,6 +484,32 @@ class SemanticFrame:
             "assign_splits", id_cols=id_cols, **kw,
         )
 
+    def asof_join(self, right: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
+        """Nearest-timestamp join per key (union+window plan, no join
+        operator) — see functions/timeseries.asof_join."""
+        from .functions import timeseries as tsf
+
+        rdf = right.df if isinstance(right, SemanticFrame) else right
+        return self._next(tsf.asof_join(self.df, rdf, **kw), "asof_join", **kw)
+
+    def range_join(self, intervals: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
+        """Interval-containment join via time binning (equi-join plan,
+        no theta join) — see functions/timeseries.range_join."""
+        from .functions import timeseries as tsf
+
+        idf = intervals.df if isinstance(intervals, SemanticFrame) else intervals
+        return self._next(tsf.range_join(self.df, idf, **kw), "range_join", **kw)
+
+    def time_rollup(self, ts_col: str, aggs: dict, **kw) -> "SemanticFrame":
+        """Multi-resolution rollup in one pass (ROLLUP grouping sets).
+        ``aggs`` holds Column expressions — not YAML-serializable."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.time_rollup(self.df, ts_col, aggs, **kw),
+            "time_rollup", ts_col=ts_col, _aggs=True, **kw,
+        )
+
     def quality_model(self, weights: dict, *, text_col: str, id_col: str, **kw) -> "SemanticFrame":
         """Score docs with a fitted (or injected) hashed-feature linear
         quality classifier — see functions/quality_model.py for the

@@ -1,0 +1,173 @@
+"""Time-series operators the reference lacks entirely (SURVEY.md §1.4:
+"None. The reference is batch-only") and Spark lacks as built-ins:
+as-of join, binned range join, hierarchical time rollup.
+
+Scale posture:
+- ``asof_join`` is the union-and-window formulation: tag both sides,
+  union, one window over (keys, ts) carrying the last right-side values
+  forward. ONE shuffle on the join keys, no join operator at all —
+  the classic scalable as-of that never materializes candidate pairs
+  (a naive range join is O(n*m) per key).
+- ``range_join`` bins time so interval containment becomes an equi-join
+  on (keys, bin): intervals explode to the bins they cover, points map
+  to exactly one bin — no duplicate pairs, no theta-join. Bin width
+  trades explode factor against join selectivity.
+- ``time_rollup`` is one pass with ROLLUP grouping sets: Spark computes
+  minute/hour/day aggregates sharing partial aggregation, instead of
+  three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_LAST_ROWS = W.unboundedPreceding, W.currentRow
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    suffix: str = "_r",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp within the
+    same ``on`` keys. Right columns arrive suffixed; the matched right
+    timestamp arrives as ``{right_ts}{suffix}``. ``tolerance`` (same
+    unit as the ts columns) nulls matches further away than that.
+    ``right_tiebreak``: column ordering right rows that share a
+    timestamp (last one wins) — pass one for deterministic output.
+
+    Implementation: union both sides with a side tag, then ONE window
+    partitioned by the keys, ordered by (ts, side) so a right row at
+    the exact left timestamp is visible to it; last(ignorenulls) carries
+    right values forward. No join operator, one exchange.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rts_out = f"{right_ts}{suffix}"
+    lt = left.withColumn("_ats", F.col(left_ts).cast("long")).withColumn("_side", F.lit(1))
+    rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    rt = (
+        right.select(
+            *[F.col(k) for k in on],
+            F.col(right_ts).cast("long").alias("_ats"),
+            F.col(right_ts).cast("long").alias(rts_out),
+            tb.alias("_rtb"),
+            *rsel,
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rtb").asc_nulls_first()]
+    else:
+        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rtb").desc_nulls_first()]
+    w = W.partitionBy(*on).orderBy(*order).rowsBetween(*_LAST_ROWS)
+    carried = [f"{c}{suffix}" for c in right_cols] + [rts_out]
+    out = u
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = out.filter(F.col("_side") == 1).drop("_ats", "_side", "_rtb")
+    if tolerance is not None:
+        gap = (
+            (F.col(left_ts).cast("long") - F.col(rts_out))
+            if direction == "backward"
+            else (F.col(rts_out) - F.col(left_ts).cast("long"))
+        )
+        keep = F.col(rts_out).isNotNull() & (gap <= tolerance)
+        for c in carried:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: list[str] | None = None,
+    bin_width: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to the interval rows containing it
+    (``start <= ts < end``, same ``on`` keys). Containment becomes an
+    equi-join on (keys, time bin): intervals explode to every bin they
+    overlap, points map to exactly one bin — so no pair is produced
+    twice and no theta-join/cartesian appears in the plan. Choose
+    ``bin_width`` near the typical interval length (explode factor
+    ~ interval_len / bin_width + 1).
+    """
+    on = on or []
+    p = points.withColumn("_bin", (F.col(point_ts).cast("long") / bin_width).cast("long"))
+    # empty/inverted intervals match nothing — and would make sequence()
+    # step backwards, exploding bins the interval does not cover
+    intervals = intervals.filter(F.col(end_ts).cast("long") > F.col(start_ts).cast("long"))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_ts).cast("long") / bin_width).cast("long"),
+                ((F.col(end_ts).cast("long") - 1) / bin_width).cast("long"),
+            )
+        ),
+    )
+    cond = [p["_bin"] == iv["_bin"]] + [p[k] == iv[k] for k in on]
+    j = p.join(iv, cond, how).filter(
+        (p[point_ts].cast("long") >= iv[start_ts].cast("long"))
+        & (p[point_ts].cast("long") < iv[end_ts].cast("long"))
+    )
+    return j.drop(iv["_bin"]).drop(p["_bin"]).drop(*[iv[k] for k in on])
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, Column],
+    *,
+    group_cols: list[str] | None = None,
+    unit_divisors: tuple[int, int, int] = (86400, 3600, 60),
+) -> DataFrame:
+    """Multi-resolution (hypertable-style) rollup in ONE pass: ROLLUP
+    grouping sets over derived day/hour/minute buckets (epoch-second
+    integers), so minute partials feed hour feed day without rescans.
+    Adds ``grain`` ('minute'/'hour'/'day'/'all') from the grouping id.
+    ``ts_col`` must be epoch seconds (cast upstream)."""
+    day_d, hour_d, minute_d = unit_divisors
+    e = F.col(ts_col).cast("long")
+    base = df.withColumn("day", (e - (e % day_d)) ) \
+             .withColumn("hour", (e - (e % hour_d))) \
+             .withColumn("minute", (e - (e % minute_d)))
+    extra = group_cols or []
+    rolled = (
+        base.rollup(*extra, "day", "hour", "minute")
+        .agg(*[c.alias(n) for n, c in aggs.items()], F.grouping_id().alias("_gid"))
+    )
+    n_extra = len(extra)
+    # grouping_id bits: 1 = column rolled away; day/hour/minute are the
+    # last three grouping columns
+    gid = F.col("_gid") % 8
+    grain = (
+        F.when(gid == 0, F.lit("minute"))
+        .when(gid == 1, F.lit("hour"))
+        .when(gid == 3, F.lit("day"))
+        .otherwise(F.lit("all"))
+    )
+    # drop partial-extra rollup rows (extras rolled away but time kept)
+    if n_extra:
+        rolled = rolled.filter((F.col("_gid") < 8) | (F.col("_gid") % 8 == 7))
+    return rolled.withColumn("grain", grain).drop("_gid")

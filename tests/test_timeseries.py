@@ -1,0 +1,80 @@
+"""Time-series operators: as-of join, binned range join, time rollup."""
+
+from pyspark.sql import functions as F
+
+from docetl_spark.functions import timeseries as ts
+
+
+def test_asof_backward_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 150, "c"), (3, 50, "d")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 300, 30.0), (2, 149, 5.0)],
+        ["k", "t", "rv"],
+    )
+    out = {
+        (r["k"], r["t"]): (r["rv_r"], r["t_r"])
+        for r in ts.asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", right_cols=["rv"]
+        ).collect()
+    }
+    assert out[(1, 100)] == (10.0, 100)   # exact ts matches
+    assert out[(1, 205)] == (20.0, 200)   # latest at-or-before
+    assert out[(2, 150)] == (5.0, 149)
+    assert out[(3, 50)] == (None, None)   # no right rows for key
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame([(1, 100), (1, 260)], ["k", "t"])
+    right = spark.createDataFrame([(1, 140, "x"), (1, 500, "y")], ["k", "t", "rv"])
+    fwd = {
+        r["t"]: (r["rv_r"], r["t_r"])
+        for r in ts.asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_cols=["rv"], direction="forward", tolerance=100,
+        ).collect()
+    }
+    assert fwd[100] == ("x", 140)          # within 100
+    assert fwd[260] == (None, None)        # nearest after is 500, gap 240 > 100
+
+
+def test_asof_join_plan_has_no_join(spark):
+    left = spark.createDataFrame([(1, 100)], ["k", "t"])
+    right = spark.createDataFrame([(1, 90, 1.0)], ["k", "t", "rv"])
+    plan = ts.asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", right_cols=["rv"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window only: one exchange, no join
+
+
+def test_range_join_binned_no_duplicates(spark):
+    points = spark.createDataFrame(
+        [(1, 10), (1, 3600), (1, 7199), (1, 7200), (2, 100)], ["k", "t"]
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 7200, "w1"), (1, 7200, 7300, "w2"), (2, 0, 50, "w3"), (2, 60, 60, "wEmpty")],
+        ["k", "s", "e", "name"],
+    )
+    rows = ts.range_join(
+        points, iv, point_ts="t", start_ts="s", end_ts="e", on=["k"], bin_width=3600
+    ).select("k", "t", "name").collect()
+    got = sorted((r["k"], r["t"], r["name"]) for r in rows)
+    assert got == [(1, 10, "w1"), (1, 3600, "w1"), (1, 7199, "w1"), (1, 7200, "w2")]
+    plan_ok = ts.range_join(points, iv, point_ts="t", start_ts="s", end_ts="e", on=["k"], bin_width=3600)
+    plan = plan_ok._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_time_rollup_grains_consistent(spark):
+    rows = [(i, 86400 + 60 * i, float(i)) for i in range(180)]  # 3 hours of minutes
+    df = spark.createDataFrame(rows, ["id", "e", "v"])
+    out = ts.time_rollup(df, "e", {"total": F.sum("v"), "n": F.count(F.lit(1))})
+    grains = {r["grain"]: r for r in out.collect() if r["grain"] == "all"}
+    assert grains["all"]["n"] == 180 and grains["all"]["total"] == sum(range(180))
+    by_grain = out.groupBy("grain").agg(F.sum("n").alias("n")).collect()
+    gn = {r["grain"]: r["n"] for r in by_grain}
+    assert gn["minute"] == gn["hour"] == gn["day"] == gn["all"] == 180  # each grain partitions all rows
+    hours = [r for r in out.collect() if r["grain"] == "hour"]
+    assert len(hours) == 3 or len(hours) == 4  # 180 minutes spanning 3-4 hour buckets
