@@ -78,3 +78,54 @@ def test_time_rollup_grains_consistent(spark):
     assert gn["minute"] == gn["hour"] == gn["day"] == gn["all"] == 180  # each grain partitions all rows
     hours = [r for r in out.collect() if r["grain"] == "hour"]
     assert len(hours) == 3 or len(hours) == 4  # 180 minutes spanning 3-4 hour buckets
+
+
+def test_asof_join_matches_bruteforce_property(spark):
+    """Randomized check vs a per-row brute-force reference."""
+    import random
+
+    rng = random.Random(11)
+    lrows = [(rng.randint(1, 5), rng.randint(0, 1000), i) for i in range(120)]
+    rrows = [(rng.randint(1, 5), rng.randint(0, 1000), 100 + i, float(i)) for i in range(80)]
+    left = spark.createDataFrame(lrows, ["k", "t", "lid"])
+    right = spark.createDataFrame(rrows, ["k", "t", "rid", "rv"])
+
+    got = {
+        r["lid"]: (r["rv_r"], r["t_r"])
+        for r in ts.asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_cols=["rv"], right_tiebreak="rid", tolerance=300,
+        ).collect()
+    }
+    assert len(got) == len(lrows)
+    for k, t, lid in lrows:
+        cands = [(rt, rid, rv) for (rk, rt, rid, rv) in rrows if rk == k and rt <= t and t - rt <= 300]
+        if not cands:
+            assert got[lid] == (None, None), (lid, got[lid])
+        else:
+            best = max(cands)  # latest ts, then max rid (tiebreak: last wins)
+            assert got[lid] == (best[2], best[0]), (lid, got[lid], best)
+
+
+def test_range_join_matches_bruteforce_property(spark):
+    import random
+
+    rng = random.Random(13)
+    prow = [(rng.randint(1, 4), rng.randint(0, 500), i) for i in range(100)]
+    irow = []
+    for i in range(40):
+        s = rng.randint(0, 480)
+        irow.append((rng.randint(1, 4), s, s + rng.randint(0, 90), i))
+    points = spark.createDataFrame(prow, ["k", "t", "pid"])
+    iv = spark.createDataFrame(irow, ["k", "s", "e", "iid"])
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in ts.range_join(points, iv, point_ts="t", start_ts="s", end_ts="e", on=["k"], bin_width=64).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for (pk, t, pid) in prow
+        for (ik, s, e, iid) in irow
+        if pk == ik and s <= t < e
+    )
+    assert got == want
