@@ -15,3 +15,30 @@ def test_pretrain_corpus_example_runs(spark):
     # decontamination: no surviving doc is a benchmark member
     surviving = {r["doc_id"] for r in rows}
     assert not any(d % 17 == 0 for d in surviving)
+
+
+def test_semantic_extraction_example_runs(spark):
+    from docetl_spark import FakeBackend
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    def topics_rule(ctx):
+        if isinstance(ctx, dict):  # map: extract from the doc
+            return ["spark" if "spark" in ctx.get("text", "") else "general"]
+        # resolve canonicalization: list of member rows -> canonical string
+        vals = [c.get("topics") for c in ctx if isinstance(c, dict)]
+        v = vals[0] if vals else "general"
+        return v if isinstance(v, str) else (v[0] if v else "general")
+
+    be = FakeBackend(
+        rules={
+            "topics": topics_rule,
+            "sentiment": lambda row: "positive" if "fast" in row.get("text", "") else "neutral",
+            "keep": lambda row: row.get("sentiment") == "positive",
+            "summary": lambda rows: f"docs about {(rows[0] if isinstance(rows, list) else rows).get('topics')}",
+        }
+    )
+    out = run_yaml(spark, "examples/semantic_extraction.yaml", backend=be)
+    rows = out.collect()
+    assert rows
+    assert {"topics", "summary"} <= set(out.df.columns)
+    assert all(r["summary"] for r in rows)
