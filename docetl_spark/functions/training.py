@@ -559,28 +559,39 @@ def lm_score(
             _hash_bucket(F.concat_ws(" ", F.col("_bg.w1"), F.col("_bg.w2")), buckets, salt).alias("_b"),
         )
 
-    model = doc_bigrams(model_corpus, with_id=False)
+    self_model = model_corpus is df
+    hb = doc_bigrams(df, with_id=True)
+    if self_model:
+        # scoring the corpus under its own model: tokenize+hash ONCE
+        # (cached), and since every doc bigram is by construction in the
+        # model, fold uni counts into the bigram table (a join at
+        # vocabulary cardinality) so the corpus-sized rows shuffle
+        # through ONE join instead of two
+        hb = hb.persist()
+        model = hb.select("_u", "_b")
+    else:
+        model = doc_bigrams(model_corpus, with_id=False)
     uni = model.groupBy("_u").agg(F.count("*").alias("_cu"))
     big = model.groupBy("_u", "_b").agg(F.count("*").alias("_cb"))
-    scored = (
-        doc_bigrams(df, with_id=True)
-        .join(big, ["_u", "_b"], "left")
-        .join(uni, "_u", "left")
-        .groupBy(id_col)
-        .agg(
-            (-F.avg(
-                F.log(
-                    (F.coalesce(F.col("_cb"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("_cu"), F.lit(0)) + buckets).cast("double")
-                )
-            )).alias("lm_nll")
-        )
+    logp = F.log(
+        (F.coalesce(F.col("_cb"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("_cu"), F.lit(0)) + buckets).cast("double")
     )
-    return (
+    if self_model:
+        joined = hb.join(big.join(uni, "_u"), ["_u", "_b"])
+    else:
+        # a df bigram absent from the model may still have a seen
+        # unigram — cu must survive, so join the tables separately
+        joined = hb.join(big, ["_u", "_b"], "left").join(uni, "_u", "left")
+    scored = joined.groupBy(id_col).agg((-F.avg(logp)).alias("lm_nll"))
+    out = (
         df.select(id_col)
         .join(scored, id_col, "left")
         .withColumn("lm_nll", F.coalesce(F.col("lm_nll"), F.lit(0.0)))
     )
+    if self_model:
+        out._docetl_cached_input = hb  # release handle: .unpersist() when done
+    return out
 
 
 def assign_splits(

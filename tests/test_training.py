@@ -372,9 +372,11 @@ def test_lm_score_flags_surprising_docs(spark):
     assert len(out) == 12
     assert out[101] == 0.0
     assert out[100] > out[0]  # gibberish is more surprising than the common doc
-    # deterministic
+    # deterministic to the precision the query layer exposes (float
+    # aggregation order may differ by a ulp between runs; queries
+    # round to 4 decimals)
     again = {r["doc_id"]: r["lm_nll"] for r in lm_score(df, text_col="text", id_col="doc_id").collect()}
-    assert again == out
+    assert {k: round(v, 6) for k, v in again.items()} == {k: round(v, 6) for k, v in out.items()}
 
 
 def test_assign_splits_deterministic_and_proportional(spark):
