@@ -73,3 +73,32 @@ def test_sessionize_stateful_matches_batch(spark, event_stream, tmp_path):
 def test_windowed_rollup_is_streaming(event_stream):
     assert event_stream.isStreaming
     assert windowed_rollup(event_stream).isStreaming
+
+
+def test_stateless_curation_ops_compose_on_streams(spark, tmp_path):
+    """Curation ops that are pure row-local expressions — split
+    assignment, quality rules, PII redaction, shard keys — must apply
+    unchanged to a streaming frame (stateless: no watermark needed)."""
+    from docetl_spark.functions import text as text_fn
+    from docetl_spark.functions.training import assign_splits
+    from docetl_spark.streaming.events import run_available_now
+
+    docs_schema = spark.read.parquet(f"{EVENTS_DIR}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")  # file source needs a dir
+        .parquet(EVENTS_DIR)
+    )
+    assert stream.isStreaming
+    curated = (
+        assign_splits(stream, id_cols=["doc_id"])
+        .withColumn("quality", text_fn.quality_score(F.col("text")))
+        .withColumn("clean", text_fn.pii_redact(F.col("text")))
+    )
+    rows = run_available_now(curated, checkpoint=str(tmp_path / "ck"))
+    assert len(rows) == 500
+    batch = assign_splits(
+        spark.read.parquet(f"{EVENTS_DIR}/documents.parquet"), id_cols=["doc_id"]
+    ).select("doc_id", "split").collect()
+    stream_splits = {r["doc_id"]: r["split"] for r in rows}
+    assert stream_splits == {r["doc_id"]: r["split"] for r in batch}

@@ -395,3 +395,38 @@ def test_assign_splits_deterministic_and_proportional(spark):
     assert a == b
     with _pt.raises(ValueError):
         assign_splits(df, id_cols=["id"], fractions={"a": 0.9, "b": 0.2})
+
+
+def test_new_ops_handle_empty_and_degenerate_inputs(spark):
+    """Edge hygiene: empty frames and degenerate corpora must not throw."""
+    from docetl_spark.functions.training import (
+        assign_splits, dsir_select, dsir_weights, lm_score, shard_manifest,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "only one doc here")], ["doc_id", "text"])
+
+    assert dsir_weights(empty, docs, "text", id_col="doc_id", buckets=16).count() == 0
+    assert dsir_select(empty, docs, "text", id_col="doc_id", k=5, buckets=16).count() == 0
+    # empty TARGET corpus: smoothing-only model, still scores every doc
+    w = dsir_weights(docs, empty, "text", id_col="doc_id", buckets=16)
+    assert w.count() == 1
+    assert lm_score(empty, text_col="text", id_col="doc_id").count() == 0
+    assert shard_manifest(empty, id_col="doc_id", text_col="text").count() == 0
+    assert assign_splits(empty, id_cols=["doc_id"]).count() == 0
+    # single-doc corpus under its own LM: every bigram seen, finite nll
+    one = lm_score(docs, text_col="text", id_col="doc_id").collect()[0]
+    assert one["lm_nll"] >= 0.0
+
+
+def test_fuzzy_dedup_empty_and_no_dups(spark):
+    from docetl_spark.functions.dedup import minhash_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_dedup(empty, "doc_id", "text").count() == 0
+    uniq = spark.createDataFrame(
+        [(i, f"totally distinct text number {i} with unique words w{i} x{i} y{i} z{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    out = minhash_dedup(uniq, "doc_id", "text", with_stats=True).collect()
+    assert len(out) == 8 and all(r["cluster_size"] == 1 for r in out)
