@@ -313,3 +313,59 @@ def test_split_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert 0 < n_val < 100
     total = spark.read.parquet(out).count()
     assert total == 500
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    from docetl_spark.sources.readers import zorder_value
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_value(["x", "y"], mins=[0, 0], maxs=[7, 7], bits=3).alias("z")).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for b in range(3):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in out.items():
+        assert z == ref(x, y), (x, y, z, ref(x, y))
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: per-file bounding boxes are tight in BOTH
+    dimensions, where a single-column sort leaves the second dimension
+    unclustered — the property multi-dim data skipping depends on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from docetl_spark.sources.readers import write_zordered
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 9999), rng.randint(0, 9999)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, by=["x", "y"], num_files=16)
+    spath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def avg_spread(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+            .collect()
+        )
+        return sum(r["spread"] for r in per_file) / len(per_file)
+
+    # x-sorted layout: x tight, y unclustered (~full 10k range)
+    assert avg_spread(spath, "x") < 2000 and avg_spread(spath, "y") > 8000
+    # z-ordered: BOTH dims clustered well below the full range
+    assert avg_spread(zpath, "x") < 6000 and avg_spread(zpath, "y") < 6000
