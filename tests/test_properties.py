@@ -215,3 +215,20 @@ def test_split_token_count_tokenizer_knob(spark):
     b = [r["text_chunk"] for r in out2.orderBy("split_chunk_num").collect()]
     assert "".join(a) == "alpha beta gamma delta epsilon"
     assert "".join(b) == "alpha beta gamma delta epsilon"
+
+
+def test_sketch_profiling_tracks_exact_within_tolerance(spark, sf_dir):
+    """At 100 TB, profile with sketches (HLL distinct, approx quantiles)
+    instead of exact aggregation; verify the sketches track exact values
+    on the driver corpus within their advertised error."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+    exact = toks.agg(F.countDistinct("t")).collect()[0][0]
+    approx = toks.agg(F.approx_count_distinct("t", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+
+    q_exact = docs.agg(F.expr("percentile(n_chars, 0.5)")).collect()[0][0]
+    q_approx = docs.agg(F.percentile_approx("n_chars", 0.5, 1000)).collect()[0][0]
+    assert abs(q_approx - q_exact) / q_exact < 0.05
