@@ -484,6 +484,18 @@ class SemanticFrame:
             "assign_splits", id_cols=id_cols, **kw,
         )
 
+    def embed(self, keys: list[str], *, out_col: str = "embedding") -> "SemanticFrame":
+        """Materialize an embedding column from ``keys`` via the frame's
+        backend (Arrow-batched; input widened to cluster parallelism).
+        Feed it to near-dup / ANN / outlier sampling / clustering."""
+        from .operators.resolve import embed_column
+
+        be = self._require_backend("embed")
+        return self._next(
+            embed_column(self.df, keys, be, out_col=out_col),
+            "embed", keys=keys, out_col=out_col,
+        )
+
     def asof_join(self, right: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
         """Nearest-timestamp join per key (union+window plan, no join
         operator) — see functions/timeseries.asof_join."""
