@@ -65,6 +65,9 @@ def check_all(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # operator-internal cache handles (shingles, lm bigrams,
+            # sample inputs) must not accumulate across 80+ queries
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")

@@ -59,7 +59,7 @@ def timed(fn) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
-def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
+def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str | None = None) -> dict:
     import os
 
     only = set(filter(None, os.environ.get("SCALE_PROBE_OPS", "").split(",")))
@@ -163,26 +163,76 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str) -> dict:
             .agg(F.sum("n_overlap"), F.count(F.lit(1))).collect()
         ))
 
+    # DSIR selection: target corpus is FIXED-SIZE (quality reference sets
+    # don't grow with the raw corpus); measures the raw-side bucket-count
+    # aggregation + broadcast-weight join + top-k
+    if want("dsir_select"):
+        from docetl_spark.functions import training
+
+        tgt = docs.orderBy("doc_id").limit(500)
+        res["dsir_select"] = timed(lambda: (
+            training.dsir_select(docs, tgt, "text", id_col="doc_id", k=100, buckets=1024)
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
+    # perplexity LM scoring under the corpus's own bigram model: one
+    # cached tokenize pass, vocab-cardinality count tables, one join
+    if want("lm_score"):
+        from docetl_spark.functions import training
+
+        def run_lm():
+            out = training.lm_score(docs, text_col="text", id_col="doc_id")
+            out.agg(F.sum("lm_nll"), F.count(F.lit(1))).collect()
+            cached = getattr(out, "_docetl_cached_input", None)
+            if cached is not None:
+                cached.unpersist()
+
+        res["lm_score"] = timed(run_lm)
+
+    # vocabulary stats: two-level combinable aggregate + top-k
+    if want("term_stats"):
+        res["term_stats"] = timed(lambda: (
+            text.term_stats(docs, "text", id_col="doc_id", top_n=100)
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
+    # as-of join: union + one window per user (more history per user as
+    # the corpus grows — the realistic growth axis)
+    if want("asof_join") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+        clicks = ev.filter(F.col("event_type") == "click")
+        errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value", "event_id")
+        res["asof_join"] = timed(lambda: (
+            timeseries.asof_join(
+                clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+                right_cols=["value"], right_tiebreak="event_id",
+            ).agg(F.count(F.lit(1)), F.sum("value_r")).collect()
+        ))
+
     return res
 
 
-def measure(docs_path: str, emb_path: str, line_path: str) -> None:
+def measure(docs_path: str, emb_path: str, line_path: str, events_path: str | None = None) -> None:
     """Child-process entry: fresh JVM per scale point, warm pass then the
     measured pass — the in-session variant read blow-up write churn and
     accumulated shuffle files into later ops (exact_dedup showed 15s in
     session vs 4.5s isolated)."""
     spark = get_spark("scale-probe-measure", shuffle_partitions=64)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe(spark, docs_path, emb_path, line_path)  # warm scans + workers
+    probe(spark, docs_path, emb_path, line_path, events_path)  # warm scans + workers
     spark.catalog.clearCache()
-    print("RESULT " + json.dumps(probe(spark, docs_path, emb_path, line_path)))
+    print("RESULT " + json.dumps(probe(spark, docs_path, emb_path, line_path, events_path)))
 
 
-def _measure_subprocess(docs, emb, line) -> dict:
+def _measure_subprocess(docs, emb, line, events=None) -> dict:
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, __file__, "--measure", docs, emb, line],
+        [sys.executable, __file__, "--measure", docs, emb, line] + ([events] if events else []),
         capture_output=True, text=True, timeout=1800, check=True,
     ).stdout
     line_ = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
@@ -191,7 +241,7 @@ def _measure_subprocess(docs, emb, line) -> dict:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
-        measure(*sys.argv[2:5])
+        measure(*sys.argv[2:6])
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe-build", shuffle_partitions=64)
@@ -200,12 +250,14 @@ def main():
     docs_n = blow_up(spark, "documents", n, "doc_id", "text")
     emb_n = blow_up(spark, "embeddings", n, "vec_id")
     line_n = blow_up(spark, "lineitem", n, "l_orderkey")
+    events_n = blow_up(spark, "events", n, "event_id")
     spark.stop()
 
     report = {"base_sf": 0.1}
     report["x1"] = _measure_subprocess(
-        f"{BASE}/documents.parquet", f"{BASE}/embeddings.parquet", f"{BASE}/lineitem.parquet")
-    report[f"x{n}"] = _measure_subprocess(docs_n, emb_n, line_n)
+        f"{BASE}/documents.parquet", f"{BASE}/embeddings.parquet",
+        f"{BASE}/lineitem.parquet", f"{BASE}/events.parquet")
+    report[f"x{n}"] = _measure_subprocess(docs_n, emb_n, line_n, events_n)
     report["scale_factors"] = {
         k: round(report[f"x{n}"][k] / max(report["x1"][k], 1e-9), 1)
         for k in report["x1"]

@@ -1,0 +1,66 @@
+"""Plan-shape regression net: the perf properties the engine is built
+on (broadcasts, pushdown, no accidental cartesian joins) must survive
+refactors. Plans are inspected WITHOUT executing the heavy queries —
+queryExecution().executedPlan() only plans."""
+
+import pytest
+
+import importlib.util
+
+spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose construction is cheap (no model-call loops, no driver
+# iteration) — plan them all and forbid unbounded join strategies
+PLAN_ONLY = [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue", "q6_revenue_delta",
+    "q13_order_histogram", "q19_disjunct_revenue", "q4_priority_semijoin",
+    "customers_without_orders", "set_ops_nations",
+    "code_filter_highvalue", "code_map_enrich", "code_reduce_nation",
+    "split_words", "split_grouped", "unnest_word_freq", "gather_events",
+    "text_stats", "quality_filter_rules", "pii_redact_docs", "repetition_stats_docs",
+    "dedup_exact", "minhash_near_dup", "simhash_near_dup",
+    "pack_sequences_docs", "contamination_check", "corpus_split_docs",
+    "corpus_profile", "corpus_shard_manifest", "vocab_top_terms",
+    "lm_score_docs", "quality_model_score",
+    "events_sessionize", "events_user_stats", "events_asof_join",
+    "events_range_join", "events_time_rollup",
+]
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize("name", PLAN_ONLY)
+def test_no_unbounded_join_strategies(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = entry.queries()["q5_nation_revenue"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushes_filters_to_scan(spark):
+    plan = entry.queries()["q6_revenue_delta"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+
+
+def test_q1_prunes_columns_at_scan(spark):
+    import contextlib
+    import io
+    import re
+
+    df = entry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", buf.getvalue())
+    assert m, "no ReadSchema in formatted plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert "l_orderkey" not in cols and len(cols) <= 8, cols
