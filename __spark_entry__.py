@@ -1111,6 +1111,25 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(indexed, books, qv, 10)
 
 
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semdedup, Abbas et al. 2023):
+    cluster the embedding space, near-dup only WITHIN clusters (equi-join
+    on the cluster id, never all-pairs), drop rows dominated by a
+    smaller-id same-cluster row at rounded cosine >= 0.45. INJECTED axis
+    centroids (e_0..e_7) make assignment argmax-of-component — exactly
+    SQL's ROW_NUMBER over the first 8 components — so the whole run is
+    oracle-checkable; the k-means-fit path is covered by
+    test_similarity_blocking."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.eye(8, 64)
+    kept = similarity.semdedup(
+        emb, "vec_id", centroids=cents, threshold=0.45, round_to=4
+    )
+    return kept.select("vec_id", "cluster_id")
+
+
 def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed join-based RAG retrieval (retrievers.retrieve_context_join):
     both sides embed executor-side, candidates from an LSH band equi-join
@@ -1578,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": stream_decontaminate,
         "sem_reduce_salted": sem_reduce_salted,
         "ann_pq": ann_pq,
+        "semdedup_embeddings": semdedup_embeddings,
         "rag_retrieve_context": rag_retrieve_context,
         "passage_dedup_docs": passage_dedup_docs,
         "gram_fingerprint_dups": gram_fingerprint_dups,
@@ -2316,6 +2336,26 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieve_context": """
             SELECT doc_id, lang, '[doc 1] ' || lang AS _retrieved_context
             FROM documents""",
+        # SemDeDup replay with injected axis centroids: assignment =
+        # argmax cosine vs e_0..e_7 = argmax of the first 8 components
+        # (|v| is constant per row; ties to the lower cid, matching
+        # numpy argmax); dominance rule drops any row with a
+        # smaller-id same-cluster near-dup at rounded cosine >= 0.45.
+        "semdedup_embeddings": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            assign AS (
+              SELECT vec_id, v, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v[c.cid+1] DESC, c.cid ASC) AS rn
+              FROM e CROSS JOIN (SELECT UNNEST(range(8)) AS cid) c
+            ), cl AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+            dominated AS (
+              SELECT DISTINCT b.vec_id
+              FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE ROUND(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM cl
+            WHERE vec_id NOT IN (SELECT vec_id FROM dominated)""",
         # PQ/ADC replay with the injected grid codebook: code = argmin
         # over the 16 grid levels of the exact subvector distance (ties
         # to the lower level, matching numpy argmin); ADC distance =

@@ -382,6 +382,22 @@ class SemanticFrame:
             "near_dup_grams", id_col=id_col, text_col=text_col, **kw,
         )
 
+    def dedup_semantic(self, id_col: str, *, vec_col: str = "embedding", **kw) -> "SemanticFrame":
+        """SemDeDup: cluster the embedding space (injected centroids or
+        bounded-sample k-means), drop rows dominated by a same-cluster
+        near-dup (cosine >= threshold). Pairs come from an equi-join on
+        the cluster id — never all-pairs."""
+        from .functions import similarity as sim_fn
+
+        conf = {"id_col": id_col, "vec_col": vec_col,
+                **{k: v for k, v in kw.items() if k != "centroids"}}
+        if kw.get("centroids") is not None:
+            conf["_centroids"] = True  # numpy array — not YAML-serializable
+        return self._next(
+            sim_fn.semdedup(self.df, id_col, vec_col=vec_col, **kw),
+            "dedup_semantic", **conf,
+        )
+
     def dedup_incremental(self, store: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, **kw) -> "SemanticFrame":
         """Keep rows new vs. an existing corpus / fingerprint store."""
         from .functions import passages as passages_fn

@@ -585,3 +585,87 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "distance", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    *,
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | list | None" = None,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    round_to: int = 4,
+    seed: int = 42,
+    max_fit_rows: int = 16384,
+    keep_cluster_col: str | None = "cluster_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding space, then near-dup ONLY
+    within clusters — candidate pairs are an equi-join on the cluster
+    id, never an all-pairs matrix, so cost is sum over clusters of
+    |cluster|^2 instead of N^2. With K sized so clusters stay small
+    (K ~ N / desired_cluster_size), this is the 100 TB-shaped semantic
+    dedup: one shuffle to co-locate each cluster, bounded fanout within.
+
+    - ``centroids``: inject a (k, dim) array for a deterministic,
+      SQL-checkable run (the ann_pq injected-codebook trick); ``None``
+      fits k-means on a BOUNDED sample (<= ``max_fit_rows`` rows
+      collected, same gate as ``ivf_index``).
+    - assignment: argmax cosine vs the broadcast centroids, one numpy
+      matmul per Arrow batch; ties break to the lowest cluster id
+      (numpy argmax), matching a SQL ``ROW_NUMBER ... ORDER BY sim
+      DESC, cid ASC`` oracle.
+    - keep rule: drop a row iff some same-cluster row with a SMALLER id
+      has rounded cosine >= ``threshold`` (dominance anti-join). This is
+      deterministic and order-free, unlike the paper's
+      distance-to-centroid heuristic; the threshold applies to the
+      ROUNDED score so an independent oracle lands on the identical
+      row set (cf. ``brute_force_pairs``).
+
+    Returns kept rows: all original columns (+ cluster id unless
+    ``keep_cluster_col=None``).
+    """
+    if centroids is None:
+        _, cents = ivf_index(
+            df, vec_col, n_lists=n_clusters, seed=seed, max_fit_rows=max_fit_rows
+        )
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast((cents, cnorm))
+
+    @F.pandas_udf(T.LongType())
+    def nearest_cos(s: pd.Series) -> pd.Series:
+        c, cn = bc.value
+        m = np.array(s.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m @ c.T) / np.outer(mn, cn)
+        return pd.Series(sims.argmax(axis=1).astype(np.int64))
+
+    base = df.withColumn("_sd_v", F.col(vec_col).cast("array<double>"))
+    assigned = base.withColumn("_sd_c", nearest_cos(F.col("_sd_v")))
+    a = assigned.select(
+        F.col(id_col).alias("_sd_ida"), F.col("_sd_c"), F.col("_sd_v").alias("_sd_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_sd_idb"), F.col("_sd_c"), F.col("_sd_v").alias("_sd_vb")
+    )
+    # within-cluster candidate pairs; the dominance rule only needs the
+    # distinct set of dominated ids (larger id with a near-dup), so
+    # project immediately and dedup before the anti-join
+    dominated = (
+        a.join(b, "_sd_c")
+        .filter(F.col("_sd_ida") < F.col("_sd_idb"))
+        .filter(F.round(cosine_sim(F.col("_sd_va"), F.col("_sd_vb")), round_to) >= threshold)
+        .select(F.col("_sd_idb").alias("_sd_drop"))
+        .distinct()
+    )
+    kept = assigned.join(
+        dominated, assigned[id_col] == dominated["_sd_drop"], "left_anti"
+    ).drop("_sd_v")
+    if keep_cluster_col:
+        return kept.withColumnRenamed("_sd_c", keep_cluster_col)
+    return kept.drop("_sd_c")

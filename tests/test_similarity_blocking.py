@@ -363,3 +363,50 @@ def test_ivf_partitioned_store_prunes_at_scan(spark, sf_dir, tmp_path):
     pruned = sim.ivf_topk(stored, cents, qv, 10_000, n_probe=2)
     full = stored.count()
     assert pruned.count() < full  # candidates limited to 2 of 8 lists
+
+
+def test_semdedup_kmeans_path_drops_within_cluster_dups(vectors):
+    # k-means fit path (bounded-sample collect): the 3 true clusters are
+    # tight (cosine within a cluster ~1), so at a high threshold each
+    # cluster collapses to its smallest-id representative
+    kept = sim.semdedup(vectors, "vec_id", n_clusters=3, threshold=0.99, seed=1)
+    rows = kept.select("vec_id", "cluster", "cluster_id").collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["cluster"], []).append(r["vec_id"])
+    # one survivor per true cluster, and it is the min id of that cluster
+    assert sorted(len(v) for v in by_true.values()) == [1, 1, 1]
+    assert sorted(v[0] for v in by_true.values()) == [0, 20, 40]
+    # schema: original columns survive, vector column untouched
+    assert set(kept.columns) == {"vec_id", "cluster", "embedding", "cluster_id"}
+
+
+def test_semdedup_dominance_rule_self_consistent(vectors):
+    # injected random centroids; recompute the dominance rule brute-force
+    # and compare the kept set exactly
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((4, 8))
+    kept = sim.semdedup(vectors, "vec_id", centroids=cents, threshold=0.995)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+
+    rows = sorted(vectors.collect(), key=lambda r: r["vec_id"])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = np.linalg.norm(m, axis=1)
+    cn = np.linalg.norm(cents, axis=1)
+    assign = ((m @ cents.T) / np.outer(mn, cn)).argmax(axis=1)
+    sims = np.round((m @ m.T) / np.outer(mn, mn), 4)
+    expect = set()
+    for i, r in enumerate(rows):
+        dominated = any(
+            assign[j] == assign[i] and sims[j, i] >= 0.995 for j in range(i)
+        )
+        if not dominated:
+            expect.add(r["vec_id"])
+    assert kept_ids == expect
+
+
+def test_semdedup_frame_verb(vectors):
+    out = SemanticFrame(vectors).dedup_semantic(
+        "vec_id", n_clusters=3, threshold=0.99, seed=1
+    )
+    assert out.df.count() == 3
