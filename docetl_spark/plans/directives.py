@@ -1199,3 +1199,80 @@ def moar_search(
         if node is root and not root.children:
             break  # nothing applicable at all
     return result
+
+
+# -------------------------------------------- fast should_optimize probe
+@dataclass
+class ShouldOptimizeVerdict:
+    """Result of the one-call decomposition probe
+    (reference optimizers/fast_should_optimize.py:21-137): empty
+    ``rationale`` means "leave the op alone"."""
+
+    should_optimize: bool
+    rationale: str
+    suggested_improvements: list[str]
+    num_docs_analyzed: int
+
+
+def should_optimize(
+    op: OpSpec,
+    outputs,
+    backend,
+    *,
+    max_samples: int = 20,
+    max_sample_chars: int = 2000,
+) -> ShouldOptimizeVerdict:
+    """Single-call "is this op worth decomposing?" probe, the fast
+    alternative to a full directive search (reference
+    fast_should_optimize.py:21-137 reads cached intermediate JSON and
+    asks the optimizer model once; here ``outputs`` is the op's output
+    DataFrame and sampling is a bounded ``limit()`` — never a full
+    collect). The verdict feeds :func:`optimize_ops` / :func:`moar_search`
+    as a cheap gate: skip the whole search when the probe says no.
+
+    The reference only supports map ops (fast_should_optimize.py:258-262);
+    same here.
+    """
+    if op.type not in ("map", "filter"):
+        raise ValueError(
+            f"should_optimize supports map-shaped ops, got {op.type!r}; "
+            "run the full optimize_ops search for other types"
+        )
+    rows = [r.asDict(recursive=True) for r in outputs.limit(max_samples).collect()]
+    if not rows:
+        return ShouldOptimizeVerdict(False, "", [], 0)
+    import json as _json
+
+    samples = [
+        _json.dumps(r, default=str)[:max_sample_chars] for r in rows
+    ]
+    prompt = (
+        "You are judging whether an LLM data-processing operation should be "
+        "decomposed into smaller focused steps. Decompose only on clear "
+        "evidence: multiple distinct subtasks in one prompt, inconsistent or "
+        "incomplete outputs, or long documents handled whole.\n\n"
+        f"## Operation\nname: {op.config.get('name', 'unknown')}\n"
+        f"type: {op.type}\n"
+        f"prompt: {str(op.config.get('prompt', ''))[:3000]}\n"
+        f"output schema: {op.config.get('output', {}).get('schema', op.config.get('output_schema', {}))}\n\n"
+        "## Output samples\n" + "\n".join(samples)
+    )
+    res = backend.complete(
+        prompt,
+        {
+            "should_optimize": "bool",
+            "rationale": "string",
+            "suggested_improvements": "list[string]",
+        },
+        rows,
+    )
+    go = bool(res.get("should_optimize"))
+    improvements = res.get("suggested_improvements") or []
+    if not isinstance(improvements, list):
+        improvements = [str(improvements)]
+    return ShouldOptimizeVerdict(
+        go,
+        str(res.get("rationale", "")) if go else "",
+        [str(s) for s in improvements] if go else [],
+        len(rows),
+    )

@@ -540,3 +540,38 @@ def test_moar_agent_instantiation():
         if o.config.get("gleaning", {}).get("num_rounds") == 2
     ]
     assert tuned, "agent-tuned gleaning config should appear in the MOAR frontier"
+
+
+def test_should_optimize_probe(spark):
+    from docetl_spark.plans.directives import should_optimize
+    from docetl_spark.plans.ir import OpSpec
+
+    outputs = spark.createDataFrame(
+        [{"doc_id": i, "summary": "entity extraction plus synthesis"} for i in range(30)]
+    )
+    op = OpSpec("map", {
+        "name": "extract_and_summarize",
+        # FakeBackend bool rule: quoted keyword present in the sample text
+        "prompt": "Extract every 'entity' and also synthesize a summary",
+        "output": {"schema": {"summary": "string"}},
+    })
+    v = should_optimize(op, outputs, FakeBackend())
+    assert v.should_optimize and v.num_docs_analyzed == 20
+    assert v.rationale  # non-empty when optimizing is recommended
+
+    # keyword absent from outputs -> conservative "leave it alone"
+    op2 = OpSpec("map", {
+        "name": "simple", "prompt": "Classify 'zzznope' sentiment",
+        "output": {"schema": {"summary": "string"}},
+    })
+    v2 = should_optimize(op2, outputs, FakeBackend())
+    assert not v2.should_optimize and v2.rationale == "" and v2.suggested_improvements == []
+
+    # unsupported op type raises (reference parity: map-shaped only)
+    with pytest.raises(ValueError):
+        should_optimize(OpSpec("reduce", {}), outputs, FakeBackend())
+
+    # empty outputs -> no-op verdict without a model call
+    empty = outputs.limit(0)
+    v3 = should_optimize(op, empty, FakeBackend())
+    assert not v3.should_optimize and v3.num_docs_analyzed == 0
