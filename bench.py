@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_time_rollup",
+    # round-4 fourth batch: semantic dedup
+    "semdedup_embeddings",
 ]
 
 

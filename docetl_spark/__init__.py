@@ -12,6 +12,7 @@ __version__ = "0.2.0"
 from .agents import Agent, AgentTool, Tool, run_agent, tool
 from .backend import FakeBackend, LiteLLMBackend, ModelBackend
 from .checkpoint import Checkpointer
+from .evaluation import evaluate_candidates, identify_pareto_frontier, load_custom_evaluate_func, register_eval
 from .frame import SemanticFrame
 from .plans import run_pipeline, run_yaml
 from .resilience import BackendMetrics, ResilientBackend, clear_backend_state
@@ -38,4 +39,8 @@ __all__ = [
     "tool",
     "run_agent",
     "clear_backend_state",
+    "register_eval",
+    "load_custom_evaluate_func",
+    "identify_pareto_frontier",
+    "evaluate_candidates",
 ]
