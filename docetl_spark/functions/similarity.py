@@ -647,21 +647,40 @@ def semdedup(
 
     base = df.withColumn("_sd_v", F.col(vec_col).cast("array<double>"))
     assigned = base.withColumn("_sd_c", nearest_cos(F.col("_sd_v")))
-    a = assigned.select(
-        F.col(id_col).alias("_sd_ida"), F.col("_sd_c"), F.col("_sd_v").alias("_sd_va")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_sd_idb"), F.col("_sd_c"), F.col("_sd_v").alias("_sd_vb")
-    )
-    # within-cluster candidate pairs; the dominance rule only needs the
-    # distinct set of dominated ids (larger id with a near-dup), so
-    # project immediately and dedup before the anti-join
+
+    # Dominance pass: ONE shuffle co-locates each cluster, then a local
+    # BLAS gram matrix per cluster finds every row with a smaller-id
+    # near-dup. A pair-table formulation (self equi-join + per-pair
+    # interpreted cosine) costs ~10µs/pair — sum(|cluster|^2) rows — and
+    # was measured 10x slower at 5k vectors; the matmul is the same
+    # arithmetic vectorized. Memory per task is O(|cluster| x dim) for
+    # the matrix plus O(1024 x |cluster|) for the chunked sims block, so
+    # clusters need not fit an n^2 matrix; size K so clusters stay small
+    # (K ~ N / target_cluster_size — the paper's own contract).
+    id_field = df.schema[id_col]
+    drop_schema = T.StructType([T.StructField("_sd_drop", id_field.dataType, True)])
+
+    def dominated_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.array(pdf["_sd_v"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        x = m / nrm[:, None]
+        out = []
+        for s in range(0, len(ids), 1024):
+            sims = np.round(x[s : s + 1024] @ x.T, round_to)
+            for bi in range(sims.shape[0]):
+                i = s + bi
+                if i > 0 and (sims[bi, :i] >= threshold).any():
+                    out.append(ids[i])
+        return pd.DataFrame({"_sd_drop": out})
+
     dominated = (
-        a.join(b, "_sd_c")
-        .filter(F.col("_sd_ida") < F.col("_sd_idb"))
-        .filter(F.round(cosine_sim(F.col("_sd_va"), F.col("_sd_vb")), round_to) >= threshold)
-        .select(F.col("_sd_idb").alias("_sd_drop"))
-        .distinct()
+        assigned.select(id_col, "_sd_v", "_sd_c")
+        .groupBy("_sd_c")
+        .applyInPandas(dominated_in_cluster, schema=drop_schema)
     )
     kept = assigned.join(
         dominated, assigned[id_col] == dominated["_sd_drop"], "left_anti"
