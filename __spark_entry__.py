@@ -1223,6 +1223,32 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
+def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic map (streaming/events.py semantic_map_stream):
+    documents arrive as a parquet stream, each micro-batch runs the
+    SAME stateless mapInPandas model stage as batch semantic_map — the
+    oracle is therefore identical to sem_map_sentiment's."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    be = FakeBackend(
+        rules={
+            "sentiment": lambda row: (
+                "positive" if "fast" in row["text"] else ("negative" if "slow" in row["text"] else "neutral")
+            )
+        }
+    )
+    stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    enriched = stream_ops.semantic_map_stream(
+        stream, "Classify the sentiment of: {{ input.text }}", {"sentiment": "str"}, be
+    ).select("doc_id", "sentiment")
+    rows = stream_ops.run_available_now(
+        enriched, checkpoint=tempfile.mkdtemp(prefix="ckpt_semmap_")
+    )
+    return stream_ops.drained_df(spark, rows, "doc_id long, sentiment string")
+
+
 def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-passage removal (functions/passages.py):
     documents chunked into 20-token windows; every distinct chunk keeps
@@ -1595,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "stream_decontaminate": stream_decontaminate,
+        "stream_semantic_map": stream_semantic_map,
         "sem_reduce_salted": sem_reduce_salted,
         "ann_pq": ann_pq,
         "semdedup_embeddings": semdedup_embeddings,
@@ -2453,6 +2480,14 @@ def oracle_sql() -> dict[str, str]:
                    dl.dup_line_frac > 0.3 AS boilerplate_flag
             FROM planted p JOIN dl USING (doc_id) LEFT JOIN gshare g USING (doc_id)""",
         # stream decontamination == batch "no shared gram" anti-semi-join
+        # streaming semantic map drains to the same row set as the batch
+        # rule backend: fast->positive, slow->negative, else neutral
+        "stream_semantic_map": """
+            SELECT doc_id,
+                   CASE WHEN text LIKE '%fast%' THEN 'positive'
+                        WHEN text LIKE '%slow%' THEN 'negative'
+                        ELSE 'neutral' END AS sentiment
+            FROM documents""",
         "stream_decontaminate": """
             WITH toks AS (
               SELECT doc_id,

@@ -267,3 +267,38 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str, dedupe_keys: lis
             last[tuple(r[k] for k in dedupe_keys)] = r
         rows = list(last.values())
     return rows
+
+
+def semantic_map_stream(
+    stream_df: DataFrame,
+    prompt: str,
+    output_schema: dict,
+    backend,
+    **kw,
+) -> DataFrame:
+    """Continuous semantic enrichment: the batch ``semantic_map`` plan is
+    a stateless Arrow-batched ``mapInPandas``, which Structured Streaming
+    runs unchanged per micro-batch — same semantics on batch and stream
+    (what the oracle checks). This is the streaming analogue of the
+    reference's map op (map.py:513): every arriving row gets one model
+    call (or one batched call per ``max_batch_size`` with
+    ``batch_prompt``).
+
+    Scale posture: state-free (no state store growth); per-micro-batch
+    parallelism = source partition width; the backend's rate limiter and
+    ``max_concurrency`` bound executor-side call pressure; a durable sink
+    (``stream_to_parquet``) gives exactly-once delivery, so a model call
+    is never re-billed for a committed batch after restart.
+
+    Knobs that need a bounded, rescannable input are rejected:
+    ``limit`` (no global limit on an unbounded stream), ``calibrate``
+    (driver-side sample collect at plan time).
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("semantic_map_stream expects a streaming DataFrame; use semantic_map")
+    for banned in ("limit", "calibrate"):
+        if kw.get(banned):
+            raise ValueError(f"semantic_map_stream: {banned!r} requires a bounded batch input")
+    from ..operators.semantic import semantic_map
+
+    return semantic_map(stream_df, prompt, output_schema, backend, **kw)

@@ -102,3 +102,39 @@ def test_stateless_curation_ops_compose_on_streams(spark, tmp_path):
     ).select("doc_id", "split").collect()
     stream_splits = {r["doc_id"]: r["split"] for r in rows}
     assert stream_splits == {r["doc_id"]: r["split"] for r in batch}
+
+
+def test_semantic_map_stream_matches_batch(spark, tmp_path):
+    """Streaming semantic map drains to exactly the batch semantic_map
+    result (stateless mapInPandas — identical per-row semantics), and
+    bounded-input knobs are rejected on streams."""
+    import pytest
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_map
+    from docetl_spark.streaming.events import (
+        read_parquet_stream,
+        run_available_now,
+        semantic_map_stream,
+    )
+
+    be = FakeBackend(rules={"flag": lambda row: "hit" if row["doc_id"] % 3 == 0 else "miss"})
+    path = f"{EVENTS_DIR}/documents.parquet"
+    stream = read_parquet_stream(spark, path)
+    out = semantic_map_stream(stream, "p: {{ input.doc_id }}", {"flag": "str"}, be)
+    assert out.isStreaming
+    rows = run_available_now(
+        out.select("doc_id", "flag"), checkpoint=str(tmp_path / "ckpt")
+    )
+    got = {(r["doc_id"], r["flag"]) for r in rows}
+
+    batch = semantic_map(
+        spark.read.parquet(path), "p: {{ input.doc_id }}", {"flag": "str"}, be
+    )
+    want = {(r["doc_id"], r["flag"]) for r in batch.select("doc_id", "flag").collect()}
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        semantic_map_stream(spark.read.parquet(path), "p", {"flag": "str"}, be)
+    with pytest.raises(ValueError, match="bounded batch input"):
+        semantic_map_stream(stream, "p", {"flag": "str"}, be, limit=5)
