@@ -100,8 +100,9 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_time_rollup",
-    # round-4 fourth batch: semantic dedup
+    # round-4 fourth batch: semantic dedup + streaming semantic map
     "semdedup_embeddings",
+    "stream_semantic_map",
 ]
 
 

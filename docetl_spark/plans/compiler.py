@@ -135,6 +135,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "decontaminate":
         bench = datasets[c.pop("benchmark")]
         return sf.decontaminate(bench, **c)
+    if t == "dedup_semantic":
+        return sf.dedup_semantic(c.pop("id_col"), **c)
     if t == "dedup_passages":
         return sf.dedup_passages(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "near_dup_grams":

@@ -410,3 +410,30 @@ def test_semdedup_frame_verb(vectors):
         "vec_id", n_clusters=3, threshold=0.99, seed=1
     )
     assert out.df.count() == 3
+
+
+def test_semdedup_yaml_op(spark, tmp_path):
+    from docetl_spark import FakeBackend
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    cfg = {
+        "datasets": {
+            "emb": {"type": "file", "format": "parquet",
+                    "path": "/root/testdata/sf0.001/embeddings.parquet"},
+        },
+        "default_model": "fake",
+        "operations": [
+            {"name": "sd", "type": "dedup_semantic", "id_col": "vec_id",
+             "n_clusters": 8, "threshold": 0.45},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "emb", "operations": ["sd"]}]},
+    }
+    import yaml
+
+    p = str(tmp_path / "sd.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = run_yaml(spark, p, backend=FakeBackend())
+    n_in = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert 0 < out.count() <= n_in
+    assert "cluster_id" in out.df.columns
