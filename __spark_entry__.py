@@ -1223,6 +1223,32 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-weight mixture planning (training.mixture_plan): per-lang
+    sampling rates hitting a 40/20/20/10/10 char-weighted mix without
+    upsampling — the scarcest source binds the achieved corpus size."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents")
+    return training.mixture_plan(docs, "lang", _MIX_WEIGHTS, weight_col="n_chars")
+
+
+def corpus_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization (training.apply_mixture): deterministic
+    md5-draw Bernoulli at the planned per-lang rate; the plan table
+    broadcasts, the corpus never shuffles."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = training.mixture_plan(docs, "lang", _MIX_WEIGHTS, weight_col="n_chars")
+    return training.apply_mixture(docs, plan, "lang", id_cols=["doc_id"]).select(
+        "doc_id", "lang"
+    )
+
+
 def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming semantic map (streaming/events.py semantic_map_stream):
     documents arrive as a parquet stream, each micro-batch runs the
@@ -1622,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_docs": repetition_stats_docs,
         "stream_decontaminate": stream_decontaminate,
         "stream_semantic_map": stream_semantic_map,
+        "corpus_mixture_plan": corpus_mixture_plan,
+        "corpus_mixture_docs": corpus_mixture_docs,
         "sem_reduce_salted": sem_reduce_salted,
         "ann_pq": ann_pq,
         "semdedup_embeddings": semdedup_embeddings,
@@ -2480,6 +2508,34 @@ def oracle_sql() -> dict[str, str]:
                    dl.dup_line_frac > 0.3 AS boilerplate_flag
             FROM planted p JOIN dl USING (doc_id) LEFT JOIN gshare g USING (doc_id)""",
         # stream decontamination == batch "no shared gram" anti-semi-join
+        # mixture planning: T = min(available/weight) over targeted
+        # non-empty groups; rate = round9(weight*T/available); the
+        # apply step replays the same md5 draw as sample_temperature
+        "corpus_mixture_plan": """
+            WITH counts AS (SELECT lang AS "group", CAST(SUM(n_chars) AS DOUBLE) AS available
+                            FROM documents GROUP BY lang),
+            w(g, weight) AS (VALUES ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)),
+            p AS (SELECT c."group", c.available, CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight
+                  FROM counts c LEFT JOIN w ON c."group" = w.g),
+            t AS (SELECT MIN(available / weight) AS _t FROM p WHERE weight > 0 AND available > 0),
+            r AS (SELECT "group", available, weight,
+                         CASE WHEN weight > 0 AND available > 0 AND _t IS NOT NULL
+                              THEN ROUND(LEAST(1.0, weight * _t / available), 9) ELSE 0.0 END AS rate
+                  FROM p, t)
+            SELECT "group", available, weight, rate, ROUND(available * rate, 3) AS planned FROM r""",
+        "corpus_mixture_docs": """
+            WITH counts AS (SELECT lang AS g, CAST(SUM(n_chars) AS DOUBLE) AS available
+                            FROM documents GROUP BY lang),
+            w(g, weight) AS (VALUES ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)),
+            p AS (SELECT c.g, c.available, CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight
+                  FROM counts c LEFT JOIN w ON c.g = w.g),
+            t AS (SELECT MIN(available / weight) AS _t FROM p WHERE weight > 0 AND available > 0),
+            r AS (SELECT g, CASE WHEN weight > 0 AND available > 0 AND _t IS NOT NULL
+                                 THEN ROUND(LEAST(1.0, weight * _t / available), 9) ELSE 0.0 END AS rate
+                  FROM p, t)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.g
+            WHERE CAST(CONCAT('0x', SUBSTRING(md5('mixplan|' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  / 16777216.0 < r.rate""",
         # streaming semantic map drains to the same row set as the batch
         # rule backend: fast->positive, slow->negative, else neutral
         "stream_semantic_map": """

@@ -448,6 +448,19 @@ class SemanticFrame:
             "sample_temperature", group_col=group_col, temperature=temperature, **kw,
         )
 
+    def sample_mixture(self, group_col: str, target_weights: dict, *, weight_col: str | None = None, id_cols: list | None = None, seed: str = "mixplan") -> "SemanticFrame":
+        """Explicit-weight mixture sample: plan per-group rates hitting
+        ``target_weights`` without upsampling (scarcest source binds),
+        then keep rows by deterministic md5-draw Bernoulli."""
+        from .functions import training
+
+        plan = training.mixture_plan(self.df, group_col, target_weights, weight_col=weight_col)
+        return self._next(
+            training.apply_mixture(self.df, plan, group_col, id_cols=id_cols, seed=seed),
+            "sample_mixture", group_col=group_col, target_weights=dict(target_weights),
+            weight_col=weight_col, id_cols=id_cols, seed=seed,
+        )
+
     def dsir_select(self, target: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, k: int, **kw) -> "SemanticFrame":
         """DSIR importance resampling: keep the k most target-like docs
         (hashed-unigram log-likelihood-ratio weights, deterministic

@@ -622,3 +622,95 @@ def assign_splits(
         expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+# ------------------------------------------------------- mixture planning
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    target_weights: dict[str, float],
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Plan per-source sampling rates that hit EXPLICIT target mixture
+    weights (the deliberate-mixture counterpart of
+    :func:`sample_temperature`'s power-law recipe — e.g. "40% web, 30%
+    books, 30% code" by tokens). No source is upsampled: the achieved
+    corpus size T is the largest satisfying ``w_g * T <= avail_g`` for
+    every targeted group, i.e. ``T = min(avail_g / w_g)`` — the scarcest
+    source binds, everything else downsamples to proportion.
+
+    ``avail_g`` is row count, or ``sum(weight_col)`` when planning by a
+    size column (tokens/chars). Groups absent from ``target_weights`` —
+    and targeted groups with no rows — get rate 0 and don't bind T.
+    Rates round to 9 decimals so a SQL replay agrees exactly.
+
+    Returns the tiny plan table: (group, available, weight, rate,
+    planned) — one aggregation pass, collect-free; feed it to
+    :func:`apply_mixture`.
+
+    Scale: the only full-data work is one map-side-combinable groupBy at
+    source cardinality (dozens of rows); the plan itself is KBs.
+    """
+    wsum = sum(target_weights.values())
+    if wsum <= 0:
+        raise ValueError("mixture_plan: target_weights must sum > 0")
+    # round-9 the normalized weights: float summation order differs
+    # between engines (and between dict orders), and the rate formula
+    # must reproduce bit-identically in a SQL replay
+    norm = {g: round(w / wsum, 9) for g, w in target_weights.items()}
+    avail_expr = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = df.groupBy(F.col(group_col).cast("string").alias("group")).agg(
+        avail_expr.cast("double").alias("available")
+    )
+    wmap = F.create_map(*[F.lit(x) for g in sorted(norm) for x in (g, float(norm[g]))])
+    planned = counts.withColumn("weight", F.coalesce(wmap[F.col("group")], F.lit(0.0)))
+    # T = min over targeted non-empty groups of available/weight; a
+    # window-free global agg (single row) joined back via crossJoin —
+    # both sides tiny (source cardinality / 1 row)
+    t_row = planned.filter((F.col("weight") > 0) & (F.col("available") > 0)).agg(
+        F.min(F.col("available") / F.col("weight")).alias("_t")
+    )
+    return (
+        planned.crossJoin(t_row)
+        .withColumn(
+            "rate",
+            F.when(
+                (F.col("weight") > 0) & (F.col("available") > 0) & F.col("_t").isNotNull(),
+                F.round(F.least(F.lit(1.0), F.col("weight") * F.col("_t") / F.col("available")), 9),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("planned", F.round(F.col("available") * F.col("rate"), 3))
+        .select("group", "available", "weight", "rate", "planned")
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame | dict,
+    group_col: str,
+    *,
+    id_cols: list[str] | None = None,
+    seed: str = "mixplan",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: keep each row iff its
+    deterministic md5 draw (seed + ids — same convention as
+    ``sample_temperature``/``assign_splits``, SQL-replayable) falls under
+    its group's planned rate. The plan joins in broadcast (it is
+    source-cardinality rows); the corpus itself never shuffles."""
+    ids = id_cols or [df.columns[0]]
+    if isinstance(plan, dict):
+        rate_map = F.create_map(*[F.lit(x) for g in sorted(plan) for x in (g, float(plan[g]))])
+        rate = F.coalesce(rate_map[F.col(group_col).cast("string")], F.lit(0.0))
+        joined = df
+    else:
+        joined = df.join(
+            F.broadcast(plan.select("group", "rate")),
+            df[group_col].cast("string") == F.col("group"),
+            "left",
+        ).drop("group")
+        rate = F.coalesce(F.col("rate"), F.lit(0.0))
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in ids])
+    draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
+    out = joined.filter(draw < rate)
+    return out.drop("rate") if not isinstance(plan, dict) else out

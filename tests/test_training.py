@@ -430,3 +430,67 @@ def test_fuzzy_dedup_empty_and_no_dups(spark):
     )
     out = minhash_dedup(uniq, "doc_id", "text", with_stats=True).collect()
     assert len(out) == 8 and all(r["cluster_size"] == 1 for r in out)
+
+
+def test_mixture_plan_and_apply(spark):
+    from docetl_spark.functions.training import apply_mixture, mixture_plan
+
+    rows = [(i, "web") for i in range(600)] + [(i + 1000, "books") for i in range(100)] \
+         + [(i + 2000, "code") for i in range(300)] + [(i + 3000, "junk") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    plan = mixture_plan(df, "source", {"web": 0.5, "books": 0.25, "code": 0.25})
+    p = {r["group"]: r for r in plan.collect()}
+    # books is scarcest: T = 100/0.25 = 400 -> web 200, books 100, code 100
+    assert p["books"]["rate"] == 1.0 and p["books"]["planned"] == 100.0
+    assert abs(p["web"]["rate"] - 200 / 600) < 1e-9 and p["web"]["planned"] == 200.0
+    assert abs(p["code"]["rate"] - 100 / 300) < 1e-9
+    # untargeted group dropped entirely
+    assert p["junk"]["rate"] == 0.0 and p["junk"]["weight"] == 0.0
+
+    out = apply_mixture(df, plan, "source", id_cols=["doc_id"])
+    got = {r["source"]: 1 for r in out.select("source").distinct().collect()}
+    assert "junk" not in got
+    n_books = out.filter("source = 'books'").count()
+    assert n_books == 100  # rate 1.0 keeps everything
+    n_web = out.filter("source = 'web'").count()
+    assert 150 < n_web < 250  # Bernoulli around 200
+    assert out.columns == df.columns  # plan columns don't leak
+
+    # dict-rate form and empty-targeted-group behavior
+    out2 = apply_mixture(df, {"web": 0.1}, "source", id_cols=["doc_id"])
+    assert out2.filter("source <> 'web'").count() == 0
+    plan2 = mixture_plan(df, "source", {"web": 1.0, "absent": 1.0})
+    p2 = {r["group"]: r for r in plan2.collect()}
+    assert p2["web"]["rate"] == 1.0  # absent group doesn't zero T
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum > 0"):
+        mixture_plan(df, "source", {"web": 0.0})
+
+
+def test_sample_mixture_frame_and_yaml(spark, tmp_path):
+    from docetl_spark import FakeBackend, SemanticFrame
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = SemanticFrame(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out = docs.sample_mixture("lang", {"en": 0.5, "de": 0.5})
+    langs = {r["lang"] for r in out.df.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"} and out.df.count() > 0
+
+    cfg = {
+        "datasets": {"docs": {"type": "file", "format": "parquet",
+                              "path": f"{sf_dir}/documents.parquet"}},
+        "default_model": "fake",
+        "operations": [{"name": "mx", "type": "sample_mixture", "group_col": "lang",
+                        "target_weights": {"en": 0.5, "de": 0.5}}],
+        "pipeline": {"steps": [{"name": "s1", "input": "docs", "operations": ["mx"]}]},
+    }
+    import yaml
+
+    p = str(tmp_path / "mx.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    got = run_yaml(spark, p, backend=FakeBackend())
+    assert got.count() == out.df.count()
