@@ -665,14 +665,16 @@ def mixture_plan(
     )
     wmap = F.create_map(*[F.lit(x) for g in sorted(norm) for x in (g, float(norm[g]))])
     planned = counts.withColumn("weight", F.coalesce(wmap[F.col("group")], F.lit(0.0)))
-    # T = min over targeted non-empty groups of available/weight; a
-    # window-free global agg (single row) joined back via crossJoin —
-    # both sides tiny (source cardinality / 1 row)
-    t_row = planned.filter((F.col("weight") > 0) & (F.col("available") > 0)).agg(
-        F.min(F.col("available") / F.col("weight")).alias("_t")
-    )
+    # T = min over targeted non-empty groups of available/weight, taken
+    # with a GLOBAL window: the plan table is source-cardinality rows
+    # (dozens) by contract, so one single-partition window beats the
+    # 1-row-aggregate crossJoin, which plans as BroadcastNestedLoopJoin
+    t_expr = F.min(
+        F.when((F.col("weight") > 0) & (F.col("available") > 0),
+               F.col("available") / F.col("weight"))
+    ).over(W.partitionBy())
     return (
-        planned.crossJoin(t_row)
+        planned.withColumn("_t", t_expr)
         .withColumn(
             "rate",
             F.when(

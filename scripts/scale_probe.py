@@ -138,6 +138,30 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             ).agg(F.count(F.lit(1))).collect()
         ))
 
+    # SemDeDup (round-4): centroid assignment matmul + per-cluster gram
+    # matrix. K scales WITH the corpus (K ~ N / target_cluster_size, the
+    # paper's contract) so per-cluster work stays constant; a fixed K
+    # would make within-cluster cost quadratic in N by construction.
+    if want("semdedup"):
+        n_emb = emb.count()
+        res["semdedup"] = timed(lambda: (
+            similarity.semdedup(
+                emb, "vec_id", n_clusters=max(8, n_emb // 700), threshold=0.95,
+            ).agg(F.count(F.lit(1))).collect()
+        ))
+
+    # explicit-weight mixture: one combinable group agg + broadcast-plan
+    # filter — expected flat-per-row
+    if want("mixture"):
+        from docetl_spark.functions import training
+
+        def run_mixture():
+            d = docs.withColumn("_src", F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("string"))
+            plan = training.mixture_plan(d, "_src", {str(i): w for i, w in enumerate([0.4, 0.3, 0.1, 0.1, 0.1])})
+            training.apply_mixture(d, plan, "_src", id_cols=["doc_id"]).agg(F.count(F.lit(1))).collect()
+
+        res["mixture"] = timed(run_mixture)
+
     # QURK membership (round-4 de-cross-joined): explode + window only
     if want("qurk_membership"):
         from docetl_spark.operators.rank import _qurk_membership

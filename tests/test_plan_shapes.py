@@ -28,6 +28,7 @@ PLAN_ONLY = [
     "lm_score_docs", "quality_model_score",
     "events_sessionize", "events_user_stats", "events_asof_join",
     "events_range_join", "events_time_rollup",
+    "semdedup_embeddings", "corpus_mixture_plan", "corpus_mixture_docs",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -64,3 +65,21 @@ def test_q1_prunes_columns_at_scan(spark):
     assert m, "no ReadSchema in formatted plan"
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert "l_orderkey" not in cols and len(cols) <= 8, cols
+
+
+def test_semdedup_single_exchange_for_dominance(spark):
+    """semdedup's dominance pass must be groupBy-cluster applyInPandas:
+    one exchange on the cluster id feeding FlatMapGroupsInPandas — no
+    pair-table self-join resurfacing."""
+    df = entry.queries()["semdedup_embeddings"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan.split("FlatMapGroupsInPandas")[0]
+
+
+def test_apply_mixture_broadcasts_plan(spark):
+    """The mixture plan table (source cardinality) must broadcast-join
+    to the corpus — a shuffled join would move the corpus for a
+    KB-sized dimension."""
+    plan = entry.queries()["corpus_mixture_docs"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
