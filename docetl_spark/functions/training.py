@@ -545,11 +545,17 @@ def lm_score(
 
     def doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
         toks = _lower_tokens(F.col(text_col))
+        # zip_with over two slices: each array argument (and thus the
+        # split()) evaluates once PER ROW. The transform+F.get(toks, i+1)
+        # formulation re-evaluates the outer token array per ELEMENT —
+        # quadratic per doc, measured 10x slower at sf0.1 (same
+        # re-inlining pitfall as _gram_keys_py / text.shingles)
         pairs = F.when(
             F.size(toks) >= 2,
-            F.transform(
+            F.zip_with(
                 F.slice(toks, 1, F.size(toks) - 1),
-                lambda w, i: F.struct(w.alias("w1"), F.get(toks, i + 1).alias("w2")),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         cols = [F.col(id_col)] if with_id else []
