@@ -227,10 +227,23 @@ def semantic_map(
     model: str | None = None,
     timeout: float | None = None,
     litellm_completion_kwargs: dict | None = None,
+    skip_on_error: bool = False,
+    error_col: str | None = None,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
     (map.py:514-518).
+
+    ``skip_on_error`` (reference map.py:595-611, base.py:113): a row
+    whose model call still fails after the resilience layer's retries is
+    DROPPED instead of failing the job — at corpus scale a 10-hour run
+    must survive a handful of poison rows. ``error_col=<name>`` is the
+    quarantine variant: the row is KEPT with null outputs and the error
+    message in ``<name>`` (empty string on success), so failures stay
+    visible and re-runnable (``df.filter("<name> <> ''")``). Mutually
+    exclusive. With ``batch_prompt`` the failure unit is the batched
+    call, so a poison batch skips/annotates ``max_batch_size`` rows —
+    use the per-row path when per-row isolation matters.
 
     ``retrieved_context_col`` names a PRECOMPUTED context column (from
     retrievers.retrieve_context_join — the distributed batch-retrieval
@@ -265,6 +278,8 @@ def semantic_map(
             f"retrieved_context_col {retrieved_context_col!r} not in input columns "
             f"{df.columns} — run retrievers.retrieve_context_join first"
         )
+    if skip_on_error and error_col:
+        raise ValueError("skip_on_error and error_col are mutually exclusive")
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
@@ -284,8 +299,20 @@ def semantic_map(
     ret_col = "_retrieved_context" if (retriever is not None and save_retriever_output) else None
     if ret_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(ret_col, T.StringType(), True)])
+    if error_col:
+        out_schema = T.StructType(list(out_schema.fields) + [T.StructField(error_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
     use_batch = batch_prompt is not None and not (validate or gleaning or strict_types or retriever or agent)
+
+    def _failed(row, exc) -> dict | None:
+        # poison-row policy: quarantine (keep, outputs null, message in
+        # error_col), skip (drop), or propagate (default — job fails)
+        if error_col:
+            merged = {**row, error_col: f"{type(exc).__name__}: {exc}"}
+            return {k: merged.get(k) for k in out_names}
+        if skip_on_error:
+            return None
+        raise exc
 
     def run(batches):
         for pdf in batches:
@@ -295,11 +322,19 @@ def semantic_map(
                 for i in range(0, len(rows), max_batch_size):
                     chunk = rows[i : i + max_batch_size]
                     rendered = render_prompt(batch_prompt, {"inputs": chunk})
-                    results = backend.complete_batch(rendered, output_schema, chunk)
+                    try:
+                        results = backend.complete_batch(rendered, output_schema, chunk)
+                    except Exception as e:  # noqa: BLE001 — policy decides
+                        if not (skip_on_error or error_col):
+                            raise
+                        out.extend(r for r in (_failed(row, e) for row in chunk) if r is not None)
+                        continue
                     for row, res in zip(chunk, results):
                         merged = {**row, **res}
                         if obs_col:
                             merged[obs_col] = rendered
+                        if error_col:
+                            merged[error_col] = ""
                         out.append({k: merged.get(k) for k in out_names})
             else:
                 def one(row):
@@ -327,9 +362,19 @@ def semantic_map(
                         merged[obs_col] = rendered
                     if ret_col:
                         merged[ret_col] = ctx.get("retrieved_context", "")
+                    if error_col:
+                        merged[error_col] = ""
                     return {k: merged.get(k) for k in out_names}
 
-                out.extend(run_concurrently(backend, one, rows))
+                fn = one
+                if skip_on_error or error_col:
+                    def fn(row):  # noqa: F811 — policy wrapper
+                        try:
+                            return one(row)
+                        except Exception as e:  # noqa: BLE001
+                            return _failed(row, e)
+
+                out.extend(r for r in run_concurrently(backend, fn, rows) if r is not None)
             yield pd.DataFrame(out, columns=out_names)
 
     return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)

@@ -58,6 +58,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
             batch_prompt=c.get("batch_prompt"),
             max_batch_size=c.get("max_batch_size", 16),
             calibrate=c.get("calibrate", False),
+            skip_on_error=c.get("skip_on_error", False),
+            error_col=c.get("error_col"),
             **be_opts,
         )
     if t == "parallel_map":

@@ -285,3 +285,58 @@ def test_distribute_folds_matches_single_task_reduce(spark):
         SemanticFrame.from_df(df, backend=SumBackend()).reduce(
             "g", prompt="x", output_schema={"total": "int"}, distribute_folds=True
         )
+
+
+def test_map_skip_on_error_and_error_col(spark):
+    """Poison-row policies (reference skip_on_error, map.py:595-611, plus
+    the quarantine error_col variant): failed rows drop or annotate,
+    never fail the job; default still raises."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_map
+
+    def flaky(ctx):
+        if ctx["doc_id"] % 3 == 0:
+            raise RuntimeError(f"poison {ctx['doc_id']}")
+        return "ok"
+
+    be = FakeBackend(rules={"tag": flaky})
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+
+    # skip: poison rows dropped
+    out = semantic_map(df, "p: {{ input.doc_id }}", {"tag": "str"}, be, skip_on_error=True)
+    rows = {r["doc_id"]: r["tag"] for r in out.collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 != 0}
+    assert all(v == "ok" for v in rows.values())
+
+    # quarantine: rows kept, outputs null, message recorded
+    out2 = semantic_map(df, "p: {{ input.doc_id }}", {"tag": "str"}, be, error_col="_map_error")
+    rows2 = {r["doc_id"]: r for r in out2.collect()}
+    assert len(rows2) == 12
+    assert rows2[3]["tag"] is None and "poison 3" in rows2[3]["_map_error"]
+    assert rows2[1]["tag"] == "ok" and rows2[1]["_map_error"] == ""
+
+    # default: propagate (job fails)
+    with pytest.raises(PythonException, match="poison"):
+        semantic_map(df, "p: {{ input.doc_id }}", {"tag": "str"}, be).collect()
+
+    # mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        semantic_map(df, "p", {"tag": "str"}, be, skip_on_error=True, error_col="_e")
+
+    # batch path: failure unit is the chunk (default complete_batch loops
+    # complete per item, so the rule sees one row's context)
+    def flaky_row(ctx):
+        if ctx["doc_id"] == 4:
+            raise RuntimeError("poison batch")
+        return "ok"
+
+    be2 = FakeBackend(rules={"tag": flaky_row})
+    out3 = semantic_map(
+        df.repartition(1), "p", {"tag": "str"}, be2,
+        batch_prompt="batch: {{ inputs | length }}", max_batch_size=4, skip_on_error=True,
+    )
+    n = out3.count()
+    assert n == 8  # one 4-row chunk dropped
