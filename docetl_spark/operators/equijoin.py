@@ -176,12 +176,21 @@ def equijoin(
     cascade: dict | None = None,
     log_blocking_stats: bool = False,
     blocking_target_recall: float = 0.95,
+    comparison_model: str | None = None,
+    embedding_model: str | None = None,
 ) -> DataFrame:
     """Fuzzy join. ``left_keys``/``right_keys`` identify rows for limit
     windows and deterministic ordering. ``blocking_conditions`` are SQL
     exprs over ``left.``/``right.``-prefixed columns (the reference's
     eval'd Python predicates, recast as Catalyst expressions so exact
-    equalities become hash-join keys)."""
+    equalities become hash-join keys).
+
+    ``comparison_model`` / ``embedding_model`` route adjudication and
+    blocking-embedding calls to per-stage model overrides
+    (reference equijoin.py comparison_model/embedding_model configs)."""
+    emb_backend = backend.with_options(model=embedding_model) if embedding_model else backend
+    if comparison_model:
+        backend = backend.with_options(model=comparison_model)
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold_pairs
 
@@ -195,8 +204,8 @@ def equijoin(
     rw = right
     l_emb = r_emb = None
     if blocking_threshold is not None:
-        lw = embed_column(lw, embedding_keys_left or [], backend, out_col="_emb_l")
-        rw = embed_column(rw, embedding_keys_right or [], backend, out_col="_emb_r")
+        lw = embed_column(lw, embedding_keys_left or [], emb_backend, out_col="_emb_l")
+        rw = embed_column(rw, embedding_keys_right or [], emb_backend, out_col="_emb_r")
         l_emb, r_emb = "_emb_l", "_emb_r"
 
     a = lw.alias("left")

@@ -33,12 +33,17 @@ def extract(
     document_keys: list[str],
     strategy: str = "line_number",
     suffix: str = "_extracted",
+    extraction_key_suffix: str | None = None,
     format_extraction: bool = True,
     skip_on_error: bool = False,
 ) -> DataFrame:
     """Extract spans from each of ``document_keys``. With
     format_extraction=True the spans join into one newline-separated
-    string, else a list[string] (extract.py:45-56)."""
+    string, else a list[string] (extract.py:45-56).
+    ``extraction_key_suffix`` is the reference's config name for the
+    output-column suffix (extract.py:24,48) — an alias for ``suffix``."""
+    if extraction_key_suffix is not None:
+        suffix = extraction_key_suffix
     if strategy not in ("line_number", "regex"):
         raise ValueError(f"unknown extract strategy {strategy!r}")
     out_type = T.StringType() if format_extraction else T.ArrayType(T.StringType())

@@ -267,6 +267,8 @@ def resolve(
     blocking_target_recall: float = 0.95,
     cascade: dict | None = None,
     log_blocking_stats: bool = False,
+    comparison_model: str | None = None,
+    embedding_model: str | None = None,
 ) -> DataFrame:
     """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
     annotate. Row count is preserved; declared output_schema columns are
@@ -275,7 +277,14 @@ def resolve(
 
     ``blocking_threshold="auto"`` calibrates the similarity cutoff at
     runtime against ``blocking_target_recall`` (blocking.py analogue of
-    the reference's RuntimeBlockingOptimizer)."""
+    the reference's RuntimeBlockingOptimizer).
+
+    ``comparison_model`` routes the pairwise adjudication calls to a
+    different (usually cheaper) model than canonicalization
+    (resolve.py:46,380); ``embedding_model`` does the same for blocking
+    embeddings (resolve.py:430-431)."""
+    cmp_backend = backend.with_options(model=comparison_model) if comparison_model else backend
+    emb_backend = backend.with_options(model=embedding_model) if embedding_model else backend
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold
 
@@ -289,7 +298,7 @@ def resolve(
     work = df
     embedding_col = None
     if blocking_threshold is not None:
-        work = embed_column(work, embedding_keys or compare_cols or [], backend)
+        work = embed_column(work, embedding_keys or compare_cols or [], emb_backend)
         embedding_col = "_embedding"
 
     # Blocking-key-equal rows are auto-matched without a model call
@@ -334,7 +343,7 @@ def resolve(
     matches = None
     if pairs is not None:
         matches = adjudicate_pairs(
-            pairs, df, id_col, comparison_prompt, backend,
+            pairs, df, id_col, comparison_prompt, cmp_backend,
             compare_cols=compare_cols, auto_match_keys=blocking_keys,
             cascade=cascade,
         )

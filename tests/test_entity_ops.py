@@ -491,3 +491,84 @@ def test_rank_picky_window_budget_and_refinement(spark):
     assert sorted(d["id"] for d in out) == list(range(8))  # permutation preserved
     # the best doc overall (val=7 at id=0) must surface at the front
     assert out[0]["val"] == max(d["val"] for d in head)
+
+
+def test_resolve_equijoin_per_stage_model_overrides(spark):
+    """comparison_model / embedding_model route adjudication and blocking
+    embeddings to per-stage models (reference resolve.py:46-48,380,430).
+    Model calls run executor-side, so routing is observed through
+    BEHAVIOR: the embed path raises unless it got the embedding model,
+    and the match verdict depends on the comparison model."""
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.equijoin import equijoin
+    from docetl_spark.operators.resolve import resolve
+
+    class RoutedBackend(FakeBackend):
+        def __init__(self, model="default"):
+            super().__init__()
+            self.model = model
+
+        def with_options(self, **opts):
+            if opts.get("model"):
+                return RoutedBackend(opts["model"])
+            return self
+
+        def complete(self, prompt, output_schema, context):
+            out = super().complete(prompt, output_schema, context)
+            for k, spec in output_schema.items():
+                if str(spec).lower() in ("bool", "boolean"):
+                    # match verdict encodes WHICH model adjudicated
+                    out[k] = self.model == "cheap-cmp"
+            return out
+
+        def embed(self, texts):
+            if self.model != "small-emb":
+                raise AssertionError(f"embed routed to {self.model!r}")
+            return super().embed(texts)
+
+    be = RoutedBackend()
+    df = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "acme corp"), (3, "Widget Inc")], ["rid", "company"]
+    )
+    out = resolve(
+        df, be, id_col="rid", comparison_prompt="same? {{ input1.company }} {{ input2.company }}",
+        output_schema={"company": "str"}, blocking_threshold=-1.0,
+        blocking_conditions=["a.company IS NOT NULL"], compare_cols=["company"],
+        comparison_model="cheap-cmp", embedding_model="small-emb",
+    )
+    rows = {r["rid"]: r["_cluster_id"] for r in out.collect()}
+    # cheap-cmp said yes to every candidate pair -> one cluster; had the
+    # comparison stayed on the default model every verdict is False
+    assert len(set(rows.values())) == 1
+    # embed succeeded at all => it was routed to small-emb (else raise)
+
+    be2 = RoutedBackend()
+    left = spark.createDataFrame([(1, "apple pie")], ["lid", "lname"])
+    right = spark.createDataFrame([(10, "apple pie")], ["rid2", "rname"])
+    joined = equijoin(
+        left, right, be2, comparison_prompt="match? {{ left.lname }} {{ right.rname }}",
+        left_keys=["lid"], right_keys=["rid2"],
+        blocking_conditions=["left.lname = right.rname"],
+        comparison_model="cheap-cmp",
+    )
+    assert joined.count() == 1  # verdict True only under cheap-cmp
+
+    joined_default = equijoin(
+        left, right, RoutedBackend(), comparison_prompt="match? {{ left.lname }} {{ right.rname }}",
+        left_keys=["lid"], right_keys=["rid2"],
+        blocking_conditions=["left.lname = right.rname"],
+    )
+    assert joined_default.count() == 0  # default model says False
+
+
+def test_extract_suffix_alias(spark):
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.extract import extract
+
+    df = spark.createDataFrame([(1, "alpha\nbeta")], ["rid", "body"])
+    be = FakeBackend(rules={"extraction": lambda ctx: "1-1"})
+    out = extract(
+        df, be, prompt="lines: {{ input.body }}", document_keys=["body"],
+        extraction_key_suffix="_spans",
+    )
+    assert "body_spans" in out.columns
