@@ -526,12 +526,19 @@ def semantic_reduce(
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
     limit: int | None = None,
+    persist_intermediates: bool = False,
     agent=None,
     model: str | None = None,
     timeout: float | None = None,
     litellm_completion_kwargs: dict | None = None,
 ) -> DataFrame:
     """Group aggregate through the backend.
+
+    ``persist_intermediates`` (reference reduce.py:444-450,567-625)
+    attaches ``_{name}_intermediates``: the JSON-encoded accumulator
+    state after every fold batch (and each parallel-fold partial), so a
+    user can audit how the final answer evolved. Whole-group feature —
+    incompatible with distribute_folds.
 
     ``limit`` keeps only the N SMALLEST groups (reduce.py:301-305 —
     cheapest groups first; ties broken by key for determinism). Group
@@ -583,6 +590,7 @@ def semantic_reduce(
         df = df.join(F.broadcast(keep.drop("_gsz")), keys, "left_semi")
     count_col = f"_counts_prereduce_{name}"
     lineage_col = f"{name}_lineage"
+    inter_col = f"_{name}_intermediates"
 
     declared = schema_of(output_schema)
     fields: list[T.StructField] = []
@@ -599,6 +607,8 @@ def semantic_reduce(
             [T.StructField(k, df.schema[k].dataType, True) for k in lineage_keys]
         ))
         fields.append(T.StructField(lineage_col, lineage_struct, True))
+    if persist_intermediates:
+        fields.append(T.StructField(inter_col, T.ArrayType(T.StringType()), True))
     out_schema = T.StructType(fields)
     out_names = out_schema.fieldNames()
 
@@ -610,7 +620,7 @@ def semantic_reduce(
             return run_agent(backend, agent, rendered, output_schema, items)
         return backend.complete(rendered, output_schema, items)
 
-    def fold(items, rk):
+    def fold(items, rk, trace=None):
         acc: dict | None = None
         bs = fold_batch_size or len(items) or 1
         for i in range(0, len(items), bs):
@@ -620,6 +630,10 @@ def semantic_reduce(
             else:
                 rendered = render_prompt(fold_prompt, {"inputs": batch, "output": acc, "reduce_key": rk})
                 acc = backend.complete(rendered, output_schema, batch)
+            if trace is not None:
+                import json as _json
+
+                trace.append(_json.dumps(acc, sort_keys=True, default=str))
         return acc or {}
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -635,13 +649,14 @@ def semantic_reduce(
                 prompt_items = items[::stride][:size]
             else:
                 prompt_items = items[:size]
+        trace: list | None = [] if persist_intermediates else None
         if fold_prompt and merge_prompt and len(prompt_items) > (fold_batch_size or 1):
             stripes = [prompt_items[i::num_parallel_folds] for i in range(num_parallel_folds)]
-            partials = [fold(s, rk) for s in stripes if s]
+            partials = [fold(s, rk, trace) for s in stripes if s]
             rendered = render_prompt(merge_prompt, {"outputs": partials, "reduce_key": rk})
             res = backend.complete(rendered, output_schema, partials)
         elif fold_prompt:
-            res = fold(prompt_items, rk)
+            res = fold(prompt_items, rk, trace)
         else:
             res = call_once(prompt_items, rk)
         row: dict = {}
@@ -655,15 +670,18 @@ def semantic_reduce(
             row[count_col] = len(items)
         if lineage_keys:
             row[lineage_col] = [{k: it.get(k) for k in lineage_keys} for it in items]
+        if persist_intermediates:
+            row[inter_col] = trace or []
         return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
 
     if distribute_folds:
         if not (fold_prompt and merge_prompt):
             raise ValueError("distribute_folds needs fold_prompt + merge_prompt")
-        if value_sampling or pass_through or lineage_keys:
+        if value_sampling or pass_through or lineage_keys or persist_intermediates:
             raise ValueError(
                 "distribute_folds is incompatible with value_sampling/"
-                "pass_through/lineage_keys (whole-group features)"
+                "pass_through/lineage_keys/persist_intermediates "
+                "(whole-group features)"
             )
         # deterministic content-hash stripe: same rows -> same stripe on
         # any partitioning/run (rand() would break reproducibility)

@@ -76,6 +76,7 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                          merge_prompt=c.get("merge_prompt"),
                          num_parallel_folds=c.get("num_parallel_folds", 4),
                          distribute_folds=c.get("distribute_folds", False),
+                         persist_intermediates=c.get("persist_intermediates", False),
                          pass_through=c.get("pass_through", False),
                          lineage_keys=c.get("lineage_keys"),
                          limit=c.get("limit"), **be_opts)

@@ -340,3 +340,34 @@ def test_map_skip_on_error_and_error_col(spark):
     )
     n = out3.count()
     assert n == 8  # one 4-row chunk dropped
+
+
+def test_reduce_persist_intermediates(spark):
+    """persist_intermediates (reference reduce.py:444-450): fold-state
+    audit trail attached per group as _{name}_intermediates."""
+    import json
+
+    import pytest
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    be = FakeBackend(rules={"total": lambda ctx: 1})
+    df = spark.createDataFrame([(i, "g") for i in range(6)], ["v", "grp"])
+    out = semantic_reduce(
+        df, "grp", "sum {{ inputs | length }}", {"total": "int"}, be,
+        name="r", fold_prompt="fold {{ inputs | length }} into {{ output.total }}",
+        fold_batch_size=2, sort_within_group=["v"], persist_intermediates=True,
+    )
+    row = out.collect()[0]
+    states = [json.loads(s) for s in row["_r_intermediates"]]
+    assert len(states) == 3  # 6 items / fold batch 2
+    assert all("total" in st for st in states)
+    assert row["total"] == 1
+
+    with pytest.raises(ValueError, match="persist_intermediates"):
+        semantic_reduce(
+            df, "grp", "p", {"total": "int"}, be, name="r",
+            fold_prompt="f", merge_prompt="m", distribute_folds=True,
+            persist_intermediates=True,
+        )
