@@ -192,16 +192,20 @@ def _calibration_context(
 
 
 
-def _apply_backend_options(backend, model, timeout, litellm_completion_kwargs):
+def _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
+                           max_retries_per_timeout=None):
     """Per-op backend overrides (reference per-op `model` / `timeout` /
-    `litellm_completion_kwargs`, frame.py:340-357): change_model
-    directives and YAML `model:` keys take effect HERE at runtime."""
-    if model is None and timeout is None and not litellm_completion_kwargs:
+    `litellm_completion_kwargs` / `max_retries_per_timeout`,
+    frame.py:340-357, base.py:105): change_model directives and YAML
+    `model:` keys take effect HERE at runtime."""
+    if (model is None and timeout is None and not litellm_completion_kwargs
+            and max_retries_per_timeout is None):
         return backend
-    return backend.with_options(
-        model=model, timeout=timeout,
-        litellm_completion_kwargs=litellm_completion_kwargs,
-    )
+    opts = {"model": model, "timeout": timeout,
+            "litellm_completion_kwargs": litellm_completion_kwargs}
+    if max_retries_per_timeout is not None:
+        opts["max_retries_per_timeout"] = max_retries_per_timeout
+    return backend.with_options(**opts)
 
 def semantic_map(
     df: DataFrame,
@@ -227,6 +231,7 @@ def semantic_map(
     model: str | None = None,
     timeout: float | None = None,
     litellm_completion_kwargs: dict | None = None,
+    max_retries_per_timeout: int | None = None,
     skip_on_error: bool = False,
     error_col: str | None = None,
 ) -> DataFrame:
@@ -280,7 +285,8 @@ def semantic_map(
         )
     if skip_on_error and error_col:
         raise ValueError("skip_on_error and error_col are mutually exclusive")
-    backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
+    backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
+                                     max_retries_per_timeout)
     if not output_schema and drop_keys:
         return df.drop(*drop_keys)  # drop-keys-only fast path (map.py:358-372)
     if limit is not None:

@@ -50,6 +50,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     # change_model directives take effect at execution time)
     be_opts = {"model": c.get("model"), "timeout": c.get("timeout"),
                "litellm_completion_kwargs": c.get("litellm_completion_kwargs")}
+    if t == "map" and c.get("max_retries_per_timeout") is not None:
+        be_opts["max_retries_per_timeout"] = c["max_retries_per_timeout"]
     if t == "map":
         return sf.map(
             c["prompt"], c["output"]["schema"], drop_keys=c.get("drop_keys"),

@@ -165,13 +165,17 @@ class ResilientBackend(ModelBackend):
 
     def with_options(self, **opts) -> "ResilientBackend":
         """Per-op overrides pass through to the wrapped backend; the
-        wrapper's cache/retry/metrics settings are preserved. Same
+        wrapper's cache/retry/metrics settings are preserved — except
+        ``max_retries_per_timeout`` (the reference's per-op retry budget,
+        base.py:105), which reconfigures THIS layer's retry count. Same
         object when nothing changes (FakeBackend etc.)."""
+        retries = opts.pop("max_retries_per_timeout", None)
         new_inner = self.inner.with_options(**opts)
-        if new_inner is self.inner:
+        if new_inner is self.inner and retries is None:
             return self
         return ResilientBackend(
-            new_inner, namespace=self.namespace, max_retries=self.max_retries,
+            new_inner, namespace=self.namespace,
+            max_retries=self.max_retries if retries is None else int(retries),
             backoff_s=self.backoff_s, rate_limit_rpm=self.rate_limit_rpm,
             cache_size=self.cache_size, cache_dir=self.cache_dir,
             bypass_cache=self.bypass_cache, retry_on=self.retry_on,

@@ -376,3 +376,41 @@ def test_embed_disk_cache_without_memory_layer(tmp_path):
     v2 = rb2.embed(["alpha", "beta"])
     assert calls["n"] == 2  # no new inner calls
     assert v1 == v2
+
+
+def test_max_retries_per_timeout_per_op_override(spark):
+    """The reference's per-op retry budget (base.py:105) reconfigures the
+    resilience layer through with_options — a map that times out twice
+    succeeds only when the op raises the budget."""
+    import itertools
+
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from docetl_spark import FakeBackend, ResilientBackend
+    from docetl_spark.operators.semantic import semantic_map
+
+    class TimeoutTwice(FakeBackend):
+        """Fails with TimeoutError on the first two calls PER PROCESS —
+        the counter lives executor-side, which is where retries run."""
+
+        def complete(self, prompt, output_schema, context):
+            global _TT_CALLS
+            try:
+                _TT_CALLS += 1
+            except NameError:
+                _TT_CALLS = 1
+            if _TT_CALLS <= 2:
+                raise TimeoutError("simulated timeout")
+            return super().complete(prompt, output_schema, context)
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id").repartition(1)
+    base = ResilientBackend(TimeoutTwice(), max_retries=0, backoff_s=0.0)
+
+    with pytest.raises(PythonException, match="simulated timeout"):
+        semantic_map(df, "p: {{ input.doc_id }}", {"tag": "str"}, base).collect()
+
+    out = semantic_map(
+        df, "p: {{ input.doc_id }}", {"tag": "str"}, base, max_retries_per_timeout=3
+    ).collect()
+    assert len(out) == 1 and out[0]["tag"] is not None
