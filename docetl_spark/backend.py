@@ -65,6 +65,18 @@ class ModelBackend:
         real backends return a reconfigured copy."""
         return self
 
+    def complete_with_attachments(
+        self, prompt: str, output_schema: dict, context: Any, attachments: list
+    ) -> dict:
+        """Multimodal completion: ``attachments`` are
+        ``{"type": "pdf"|"image", "data_url": "data:..."}`` blocks
+        prepended to the prompt (the reference's pdf_url_key path,
+        map.py:415-437). Deterministic/text-only backends ignore the
+        attachments and answer from the prompt + context — the plumbing
+        (per-row fetch, base64 data url, schema) is exercised either
+        way."""
+        return self.complete(prompt, output_schema, context)
+
 
 _POSITIVE = ("good", "great", "excellent", "love", "happy", "wonderful")
 _NEGATIVE = ("bad", "terrible", "awful", "hate", "sad", "horrible")
@@ -250,6 +262,28 @@ class LiteLLMBackend(ModelBackend):
             except Exception as e:  # noqa: BLE001 — provider errors vary
                 last_err = e
         raise last_err
+
+    def complete_with_attachments(
+        self, prompt: str, output_schema: dict, context: Any, attachments: list
+    ) -> dict:
+        import json  # noqa: PLC0415
+
+        content = [
+            {"type": "image_url", "image_url": {"url": a["data_url"]}} for a in attachments
+        ] + [{"type": "text", "text": prompt}]
+        props = {k: {"type": "string"} for k in output_schema}
+        resp = self._complete_with_fallbacks(
+            messages=[{"role": "user", "content": content}],
+            response_format={
+                "type": "json_schema",
+                "json_schema": {
+                    "name": "send_output",
+                    "schema": {"type": "object", "properties": props, "required": list(props)},
+                },
+            },
+            **self.kwargs,
+        )
+        return json.loads(resp.choices[0].message.content)
 
     def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
         import json  # noqa: PLC0415

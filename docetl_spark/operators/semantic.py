@@ -192,6 +192,26 @@ def _calibration_context(
 
 
 
+def _fetch_data_url(loc: str) -> str:
+    """PDF location -> base64 data URL (reference map.py:425-432), run
+    inside the executor task so fetch parallelism = partition width.
+    Accepts a passthrough ``data:`` URL, an http(s) URL (requests,
+    import-probed — sandbox environments without network use local
+    paths), or a filesystem path."""
+    import base64
+
+    if loc.startswith("data:"):
+        return loc
+    if loc.startswith("http"):
+        import requests  # noqa: PLC0415 — import-probed optional dep
+
+        data = requests.get(loc, timeout=60).content
+    else:
+        with open(loc, "rb") as f:
+            data = f.read()
+    return "data:application/pdf;base64," + base64.b64encode(data).decode("utf-8")
+
+
 def _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
                            max_retries_per_timeout=None):
     """Per-op backend overrides (reference per-op `model` / `timeout` /
@@ -234,10 +254,20 @@ def semantic_map(
     max_retries_per_timeout: int | None = None,
     skip_on_error: bool = False,
     error_col: str | None = None,
+    pdf_url_key: str | None = None,
 ) -> DataFrame:
     """Per-row semantic transform. ``observability=<name>`` adds an
     ``_observability_<name>`` column carrying the rendered prompt
     (map.py:514-518).
+
+    ``pdf_url_key`` (reference map.py:54,415-437): names a column whose
+    value is a PDF location — a local/DFS path, an http(s) URL, or a
+    ready ``data:`` URL. Each row's bytes are fetched EXECUTOR-SIDE,
+    base64-encoded and passed to the backend as an attachment content
+    block ahead of the prompt (``complete_with_attachments``;
+    LiteLLMBackend builds the litellm image_url message, deterministic
+    backends ignore the block). Remote fetch needs ``requests``; poison
+    documents compose with ``skip_on_error``/``error_col``.
 
     ``skip_on_error`` (reference map.py:595-611, base.py:113): a row
     whose model call still fails after the resilience layer's retries is
@@ -353,7 +383,16 @@ def semantic_map(
                         ctx["retrieved"] = []
                         ctx["retrieved_context"] = row.get(retrieved_context_col) or ""
                     rendered = render_prompt(prompt, ctx)
-                    if agent is not None:
+                    if pdf_url_key is not None:
+                        if pdf_url_key not in row:
+                            raise ValueError(
+                                f"pdf_url_key {pdf_url_key!r} not found in input data"
+                            )
+                        res = backend.complete_with_attachments(
+                            rendered, output_schema, row,
+                            [{"type": "pdf", "data_url": _fetch_data_url(row[pdf_url_key])}],
+                        )
+                    elif agent is not None:
                         from ..agents import run_agent
 
                         res = run_agent(backend, agent, rendered, output_schema, row)

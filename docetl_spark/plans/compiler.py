@@ -62,6 +62,7 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
             calibrate=c.get("calibrate", False),
             skip_on_error=c.get("skip_on_error", False),
             error_col=c.get("error_col"),
+            pdf_url_key=c.get("pdf_url_key"),
             **be_opts,
         )
     if t == "parallel_map":

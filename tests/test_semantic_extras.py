@@ -371,3 +371,55 @@ def test_reduce_persist_intermediates(spark):
             fold_prompt="f", merge_prompt="m", distribute_folds=True,
             persist_intermediates=True,
         )
+
+
+def test_map_pdf_url_key_attachment_plumbing(spark, tmp_path):
+    """pdf_url_key (reference map.py:415-437): per-row executor-side
+    fetch -> base64 data url -> backend attachment block. Verified with
+    a backend whose rule decodes the attachment back."""
+    import base64
+
+    import pytest
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_map
+
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(b"%PDF-1.4 fake body")
+
+    class AttachmentEcho(FakeBackend):
+        def complete_with_attachments(self, prompt, output_schema, context, attachments):
+            assert attachments and attachments[0]["type"] == "pdf"
+            url = attachments[0]["data_url"]
+            assert url.startswith("data:application/pdf;base64,")
+            head = base64.b64decode(url.split(",", 1)[1])[:8].decode()
+            return {k: f"saw:{head}" for k in output_schema}
+
+    df = spark.createDataFrame([(1, str(pdf))], ["rid", "pdf_path"])
+    out = semantic_map(
+        df, "summarize {{ input.rid }}", {"summary": "str"}, AttachmentEcho(),
+        pdf_url_key="pdf_path",
+    ).collect()
+    assert out[0]["summary"] == "saw:%PDF-1.4"
+
+    # data: URL passes through untouched; missing key raises per row
+    df2 = spark.createDataFrame(
+        [(2, "data:application/pdf;base64," + base64.b64encode(b"%PDF-1.5 x").decode())],
+        ["rid", "pdf_path"],
+    )
+    out2 = semantic_map(
+        df2, "p {{ input.rid }}", {"summary": "str"}, AttachmentEcho(), pdf_url_key="pdf_path"
+    ).collect()
+    assert out2[0]["summary"] == "saw:%PDF-1.5"
+
+    # default text-only backend ignores the attachment but still answers
+    out3 = semantic_map(
+        df, "p {{ input.rid }}", {"summary": "str"}, FakeBackend(), pdf_url_key="pdf_path"
+    ).collect()
+    assert out3[0]["summary"]
+
+    bad = semantic_map(
+        df, "p {{ input.rid }}", {"summary": "str"}, AttachmentEcho(),
+        pdf_url_key="nope", error_col="_err",
+    ).collect()
+    assert "not found" in bad[0]["_err"]
