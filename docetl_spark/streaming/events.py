@@ -302,3 +302,30 @@ def semantic_map_stream(
     from ..operators.semantic import semantic_map
 
     return semantic_map(stream_df, prompt, output_schema, backend, **kw)
+
+
+def semantic_filter_stream(
+    stream_df: DataFrame,
+    prompt: str,
+    output_schema: dict,
+    backend,
+    **kw,
+) -> DataFrame:
+    """Streaming semantic filter: like :func:`semantic_map_stream`, the
+    batch plan (mapInPandas predicate + drop of the decision column) is
+    stateless and runs per micro-batch unchanged. Cascades are allowed —
+    both the fixed proxy threshold and a PRE-CALIBRATED one — but
+    ``cascade={"guarantee": ...}`` (BARGAIN calibration) and ``limit``
+    need a bounded input to sample/stop on, so they are rejected."""
+    if not stream_df.isStreaming:
+        raise ValueError("semantic_filter_stream expects a streaming DataFrame; use semantic_filter")
+    if kw.get("limit"):
+        raise ValueError("semantic_filter_stream: 'limit' requires a bounded batch input")
+    if (kw.get("cascade") or {}).get("guarantee"):
+        raise ValueError(
+            "semantic_filter_stream: cascade calibration samples a bounded input; "
+            "calibrate on a batch sample first and pass the fixed proxy_threshold"
+        )
+    from ..operators.semantic import semantic_filter
+
+    return semantic_filter(stream_df, prompt, output_schema, backend, **kw)

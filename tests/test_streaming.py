@@ -138,3 +138,35 @@ def test_semantic_map_stream_matches_batch(spark, tmp_path):
         semantic_map_stream(spark.read.parquet(path), "p", {"flag": "str"}, be)
     with pytest.raises(ValueError, match="bounded batch input"):
         semantic_map_stream(stream, "p", {"flag": "str"}, be, limit=5)
+
+
+def test_semantic_filter_stream_matches_batch(spark, tmp_path):
+    import pytest
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_filter
+    from docetl_spark.streaming.events import (
+        read_parquet_stream,
+        run_available_now,
+        semantic_filter_stream,
+    )
+
+    be = FakeBackend(rules={"keep": lambda row: row["doc_id"] % 4 == 0})
+    path = f"{EVENTS_DIR}/documents.parquet"
+    stream = read_parquet_stream(spark, path)
+    out = semantic_filter_stream(stream, "keep? {{ input.doc_id }}", {"keep": "bool"}, be)
+    rows = run_available_now(out.select("doc_id"), checkpoint=str(tmp_path / "ckpt_f"))
+    got = {r["doc_id"] for r in rows}
+    want = {
+        r["doc_id"]
+        for r in semantic_filter(
+            spark.read.parquet(path), "keep? {{ input.doc_id }}", {"keep": "bool"}, be
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="bounded batch input"):
+        semantic_filter_stream(stream, "p", {"keep": "bool"}, be, limit=3)
+    with pytest.raises(ValueError, match="calibrat"):
+        semantic_filter_stream(stream, "p", {"keep": "bool"}, be,
+                               cascade={"guarantee": "recall", "target": 0.9})
