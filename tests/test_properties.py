@@ -167,11 +167,18 @@ def test_token_chunker_regex_reconstructs(s, n):
 
     chunks = make_token_chunker(n)(s)
     assert "".join(chunks) == s
-    # every chunk except possibly the last carries exactly n pieces
+    # the contract: chunks are n-token groups of the ORIGINAL token
+    # stream (what the SQL oracle replays). Do NOT assert re-tokenization
+    # of a chunk yields n tokens — the pre-tokenizer's \s+(?!\S)
+    # lookahead merges a trailing whitespace run once the chunk boundary
+    # removes the following non-space (e.g. '0:0 \xa0' + '0'), so
+    # tokenization is not stable under concatenation splits.
     from docetl_spark.operators.shape import tokenize_approx
 
+    toks = tokenize_approx(s)
+    assert chunks == ["".join(toks[i : i + n]) for i in range(0, len(toks), n)]
     for c in chunks[:-1]:
-        assert len(tokenize_approx(c)) == n
+        assert len(tokenize_approx(c)) <= n  # merges only, never splits
 
 
 def test_token_chunker_auto_falls_back_or_upgrades():
