@@ -233,3 +233,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def dataset_stats(df, dataset_name: str = "data") -> str:
+    """Formatted dataset statistics (reference utils_dataset.py:11-86:
+    record count, per-field average size, ~token estimate at 4
+    chars/token). Spark-first: ONE aggregation pass computes every
+    field's stats — length sums for strings, casts for numerics,
+    to_json length for arrays/structs — instead of a Python loop over
+    collected records, so it runs on any size input."""
+    from pyspark.sql import functions as F, types as T
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    str_like: list[str] = []
+    for f in df.schema.fields:
+        if f.name.startswith("GT "):
+            continue  # ground-truth columns excluded (utils_dataset.py:39)
+        if isinstance(f.dataType, T.StringType):
+            aggs.append(F.sum(F.length(F.coalesce(F.col(f.name), F.lit("")))).alias(f"_c_{f.name}"))
+            aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
+            str_like.append(f.name)
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            aggs.append(F.sum(F.length(F.to_json(F.col(f.name)))).alias(f"_c_{f.name}"))
+            aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
+            str_like.append(f.name)
+        elif isinstance(f.dataType, T.NumericType):
+            aggs.append(F.lit(None).cast("long").alias(f"_c_{f.name}"))
+            aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    if not n:
+        return f"Dataset: {dataset_name}\nType: file\nRecords loaded: 0\nNo data available"
+    total_chars = 0
+    lines = [f"Dataset: {dataset_name}", f"Records loaded: {n}", "Fields:"]
+    for f in df.schema.fields:
+        if f.name.startswith("GT ") or f"_k_{f.name}" not in row.asDict():
+            continue
+        chars = row[f"_c_{f.name}"]
+        cnt = row[f"_k_{f.name}"]
+        if f.name in str_like and chars is not None:
+            total_chars += chars
+            avg = chars / cnt if cnt else 0
+            lines.append(f"  {f.name} ({f.dataType.simpleString()}): avg {avg:.0f} chars")
+        else:
+            total_chars += 5 * cnt  # numeric ~5 chars (utils_dataset.py:54)
+            lines.append(f"  {f.name} ({f.dataType.simpleString()}): numeric")
+    lines.append(f"Estimated tokens: ~{int(total_chars / 4):,} (4 chars/token)")
+    return "\n".join(lines)

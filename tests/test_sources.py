@@ -369,3 +369,15 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
     assert avg_spread(spath, "x") < 2000 and avg_spread(spath, "y") > 8000
     # z-ordered: BOTH dims clustered well below the full range
     assert avg_spread(zpath, "x") < 6000 and avg_spread(zpath, "y") < 6000
+
+
+def test_dataset_stats_one_pass(spark):
+    from docetl_spark.sources.readers import dataset_stats
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dataset_stats(df, "docs")
+    assert "Records loaded: 500" in out
+    assert "text (string): avg" in out
+    assert "Estimated tokens: ~" in out
+    empty = dataset_stats(df.limit(0), "none")
+    assert "Records loaded: 0" in empty
