@@ -303,3 +303,39 @@ def sample_top_fts(
     top = scored.orderBy(*order).limit(samples)
     w = W.orderBy(*order)
     return top.withColumn(f"_{name}_rank", F.row_number().over(w).cast("long"))
+
+
+def smart_sample(df: DataFrame, sample_size_needed: int, *, max_unique_values: int = 5) -> DataFrame:
+    """Optimizer sampling heuristic (reference utils.py:352-387): detect
+    up to 3 low-cardinality "categorical" fields (<= ``max_unique_values``
+    distinct values), take the LONGEST documents per category combination
+    (ceil(k / n_groups) each), then the global longest ``k``. Long docs
+    stress prompts hardest, and the stratification keeps rare categories
+    represented — that's what makes optimizer samples informative.
+
+    Spark-first: cardinalities come from ONE approx_count_distinct
+    aggregation pass (not a per-field set over collected rows); the
+    per-group pick is a length-ordered window; doc length is
+    ``length(to_json(struct(*)))``, mirroring the reference's
+    ``len(json.dumps(doc))`` score. Ties break by length desc then the
+    serialized doc for determinism."""
+    size = F.length(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    base = df.withColumn("_ss_len", size)
+    cards = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.approx_count_distinct(F.col(c).cast("string")).alias(f"_d_{c}") for c in df.columns],
+    ).first()
+    if cards["_n"] <= sample_size_needed:
+        return df
+    cats = sorted(
+        ((cards[f"_d_{c}"], c) for c in df.columns if cards[f"_d_{c}"] <= max_unique_values),
+    )[:3]
+    order = [F.col("_ss_len").desc(), F.to_json(F.struct(*[F.col(c) for c in df.columns])).asc()]
+    if not cats:
+        return base.orderBy(*order).limit(sample_size_needed).drop("_ss_len")
+    group_cols = [c for _, c in cats]
+    n_groups = base.select(*[F.col(c).cast("string") for c in group_cols]).distinct().count()
+    per_group = math.ceil(sample_size_needed / max(n_groups, 1))
+    w = W.partitionBy(*[F.col(c).cast("string") for c in group_cols]).orderBy(*order)
+    picked = base.withColumn("_ss_rn", F.row_number().over(w)).filter(F.col("_ss_rn") <= per_group)
+    return picked.orderBy(*order).limit(sample_size_needed).drop("_ss_len", "_ss_rn")

@@ -381,3 +381,20 @@ def test_dataset_stats_one_pass(spark):
     assert "Estimated tokens: ~" in out
     empty = dataset_stats(df.limit(0), "none")
     assert "Records loaded: 0" in empty
+
+
+def test_smart_sample_stratifies_and_prefers_long(spark):
+    from docetl_spark.operators.sample import smart_sample
+
+    rows = [(i, "catA" if i % 2 else "catB", "x" * (10 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "cat", "body"])
+    out = smart_sample(df, 6).collect()
+    assert len(out) == 6
+    # both categories survive (stratified), and within the pick the
+    # longest bodies dominate
+    cats = {r["cat"] for r in out}
+    assert cats == {"catA", "catB"}
+    assert min(len(r["body"]) for r in out) >= 10 + 28  # long tail only
+
+    # k >= n returns input unchanged
+    assert smart_sample(df, 100).count() == 40
