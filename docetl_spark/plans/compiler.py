@@ -143,6 +143,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "decontaminate":
         bench = datasets[c.pop("benchmark")]
         return sf.decontaminate(bench, **c)
+    if t == "embed":
+        return sf.embed(c.pop("keys"), **c)
     if t == "dedup_semantic":
         return sf.dedup_semantic(c.pop("id_col"), **c)
     if t == "dedup_passages":

@@ -27,7 +27,7 @@ _KNOWN_OPS = {
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences",
     "sample_temperature", "sample_mixture", "near_dup_minhash", "contamination", "decontaminate",
-    "dedup_passages", "near_dup_grams", "dedup_incremental", "dedup_semantic",
+    "dedup_passages", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
 }
 

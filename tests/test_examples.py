@@ -42,3 +42,18 @@ def test_semantic_extraction_example_runs(spark):
     assert rows
     assert {"topics", "summary"} <= set(out.df.columns)
     assert all(r["summary"] for r in rows)
+
+
+def test_semantic_curation_example_runs(spark):
+    from docetl_spark import FakeBackend
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/semantic_curation.yaml", backend=FakeBackend())
+    rows = out.collect()
+    assert rows, "curation pipeline produced no packed sequences"
+    assert {"doc_id", "shard", "seq_id"} <= set(out.df.columns)
+    # the mixture dropped every language outside the 60/40 en/de blend:
+    # surviving doc ids must come from en/de docs only
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    allowed = {r["doc_id"] for r in docs.filter("lang IN ('en','de')").collect()}
+    assert {r["doc_id"] for r in rows} <= allowed
