@@ -454,9 +454,16 @@ class SemanticFrame:
         then keep rows by deterministic md5-draw Bernoulli."""
         from .functions import training
 
-        plan = training.mixture_plan(self.df, group_col, target_weights, weight_col=weight_col)
+        # persist: the plan's group aggregation and the apply filter both
+        # scan the input — unpersisted, an upstream LLM stage would pay
+        # every model call twice (same hazard sample_temperature guards;
+        # release handle rides on the result, unpersist when materialized)
+        src = self.df.persist()
+        plan = training.mixture_plan(src, group_col, target_weights, weight_col=weight_col)
+        out = training.apply_mixture(src, plan, group_col, id_cols=id_cols, seed=seed)
+        out._docetl_cached_input = src
         return self._next(
-            training.apply_mixture(self.df, plan, group_col, id_cols=id_cols, seed=seed),
+            out,
             "sample_mixture", group_col=group_col, target_weights=dict(target_weights),
             weight_col=weight_col, id_cols=id_cols, seed=seed,
         )
