@@ -393,10 +393,14 @@ class SemanticFrame:
                 **{k: v for k, v in kw.items() if k != "centroids"}}
         if kw.get("centroids") is not None:
             conf["_centroids"] = True  # numpy array — not YAML-serializable
-        return self._next(
-            sim_fn.semdedup(self.df, id_col, vec_col=vec_col, **kw),
-            "dedup_semantic", **conf,
-        )
+        # persist: the assignment feeds both the dominance pass and the
+        # anti-join main side; unpersisted, an upstream embed/LLM stage
+        # (the frame-level composition this verb exists for) would run
+        # twice. Release handle rides on the result.
+        src = self.df.persist()
+        out = sim_fn.semdedup(src, id_col, vec_col=vec_col, **kw)
+        out._docetl_cached_input = src
+        return self._next(out, "dedup_semantic", **conf)
 
     def dedup_incremental(self, store: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, **kw) -> "SemanticFrame":
         """Keep rows new vs. an existing corpus / fingerprint store."""
