@@ -712,13 +712,16 @@ def apply_mixture(
         rate = F.coalesce(rate_map[F.col(group_col).cast("string")], F.lit(0.0))
         joined = df
     else:
+        # alias the plan columns: a user column literally named "group"/
+        # "rate" must not capture the join condition or the filter
+        plan_k = plan.select(F.col("group").alias("_mx_group"), F.col("rate").alias("_mx_rate"))
         joined = df.join(
-            F.broadcast(plan.select("group", "rate")),
-            df[group_col].cast("string") == F.col("group"),
+            F.broadcast(plan_k),
+            df[group_col].cast("string") == F.col("_mx_group"),
             "left",
-        ).drop("group")
-        rate = F.coalesce(F.col("rate"), F.lit(0.0))
+        ).drop("_mx_group")
+        rate = F.coalesce(F.col("_mx_rate"), F.lit(0.0))
     key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in ids])
     draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
     out = joined.filter(draw < rate)
-    return out.drop("rate") if not isinstance(plan, dict) else out
+    return out.drop("_mx_rate") if not isinstance(plan, dict) else out

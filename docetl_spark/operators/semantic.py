@@ -315,6 +315,8 @@ def semantic_map(
         )
     if skip_on_error and error_col:
         raise ValueError("skip_on_error and error_col are mutually exclusive")
+    if pdf_url_key is not None and agent is not None:
+        raise ValueError("pdf_url_key and agent are mutually exclusive")
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
                                      max_retries_per_timeout)
     if not output_schema and drop_keys:
@@ -338,7 +340,10 @@ def semantic_map(
     if error_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(error_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
-    use_batch = batch_prompt is not None and not (validate or gleaning or strict_types or retriever or agent)
+    # pdf attachments need the per-row path (one attachment per call)
+    use_batch = batch_prompt is not None and not (
+        validate or gleaning or strict_types or retriever or agent or pdf_url_key
+    )
 
     def _failed(row, exc) -> dict | None:
         # poison-row policy: quarantine (keep, outputs null, message in
