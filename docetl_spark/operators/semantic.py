@@ -317,6 +317,12 @@ def semantic_map(
         raise ValueError("skip_on_error and error_col are mutually exclusive")
     if pdf_url_key is not None and agent is not None:
         raise ValueError("pdf_url_key and agent are mutually exclusive")
+    if pdf_url_key is not None and (validate or gleaning):
+        raise ValueError(
+            "pdf_url_key does not compose with validate/gleaning yet — the "
+            "quality loops re-ask without the attachment; run them as a "
+            "separate map over the extracted output instead"
+        )
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
                                      max_retries_per_timeout)
     if not output_schema and drop_keys:
