@@ -206,23 +206,29 @@ class LiteLLMBackend(ModelBackend):
         model: str = "gpt-4o-mini",
         *,
         fallback_models: list[str] | None = None,
+        embedding_model: str = "text-embedding-3-small",
         completion_fn=None,
         embedding_fn=None,
         **kwargs,
     ):
         self.model = model
         self.fallback_models = list(fallback_models or [])
+        self.embedding_model = embedding_model
         self.kwargs = kwargs
         self._mod = None
         self._completion_fn = completion_fn
         self._embedding_fn = embedding_fn
 
     def with_options(self, *, model: str | None = None, timeout: float | None = None,
-                     litellm_completion_kwargs: dict | None = None, **_ignored) -> "LiteLLMBackend":
+                     litellm_completion_kwargs: dict | None = None,
+                     embedding_model: str | None = None, **_ignored) -> "LiteLLMBackend":
         """Reconfigured copy for one op (per-op model swap is how the
         change_model directives take effect at runtime; timeout and
-        litellm kwargs ride into every completion call)."""
-        if model is None and timeout is None and not litellm_completion_kwargs:
+        litellm kwargs ride into every completion call;
+        ``embedding_model`` routes embed() — the resolve/equijoin
+        per-stage override)."""
+        if (model is None and timeout is None and not litellm_completion_kwargs
+                and embedding_model is None):
             return self
         kw = {**self.kwargs, **(litellm_completion_kwargs or {})}
         if timeout is not None:
@@ -230,6 +236,7 @@ class LiteLLMBackend(ModelBackend):
         return LiteLLMBackend(
             model or self.model,
             fallback_models=self.fallback_models,
+            embedding_model=embedding_model or self.embedding_model,
             completion_fn=self._completion_fn,
             embedding_fn=self._embedding_fn,
             **kw,
@@ -330,5 +337,5 @@ class LiteLLMBackend(ModelBackend):
 
     def embed(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
         fn = self._embedding_fn or self._client().embedding
-        resp = fn(model="text-embedding-3-small", input=texts)
+        resp = fn(model=self.embedding_model, input=texts)
         return [d["embedding"] for d in resp.data]

@@ -790,15 +790,28 @@ class SemanticFrame:
         jobs); default uses the supplied or default ``PlanStats``."""
         from .plans import PlanStats, estimate_cost as _est, lift
 
-        _, op_configs = self._export_ops()
+        scan, op_configs = self._export_ops()
         if stats is None:
             if measured:
                 try:
                     stats = self.to_plan_stats()  # full profile when available
                 except ValueError:
-                    # not a .profiled() frame: ground on the real row
-                    # count alone (one count job)
-                    stats = PlanStats(rows=self.df.count())
+                    # not a .profiled() frame: ground on the SOURCE row
+                    # count. Counting self.df would materialize the whole
+                    # op chain — executing every model call to estimate
+                    # the cost of executing them. Re-read the scan config
+                    # instead (one count job over the raw input).
+                    reader = {"parquet": SemanticFrame.read_parquet,
+                              "json": SemanticFrame.read_json,
+                              "csv": SemanticFrame.read_csv}.get(scan.get("format"))
+                    if reader is None:
+                        raise ValueError(
+                            f"estimate_cost(measured=True) needs a countable "
+                            f"scan root; got {scan.get('format')!r} — use "
+                            ".profiled() or pass stats explicitly"
+                        )
+                    src = reader(self.df.sparkSession, scan["path"])
+                    stats = PlanStats(rows=src.df.count())
             else:
                 stats = PlanStats()
         return _est(lift(op_configs), stats)

@@ -35,9 +35,13 @@ def auto_blocking_threshold(
     target_recall: float = 0.95,
     sample_size: int = 60,
     seed: int = 42,
+    embed_backend: ModelBackend | None = None,
 ) -> float | None:
     """Calibrated cosine threshold, or None when the sample contains no
-    true matches (caller should then skip similarity blocking)."""
+    true matches (caller should then skip similarity blocking).
+    ``embed_backend`` (default: ``backend``) must be the SAME backend the
+    caller will block with — calibrating in one embedding space and
+    applying in another voids the recall target."""
     keys = embedding_keys or compare_cols
     # Bound the collect Spark-side: a limit() keeps the driver fetch at
     # O(sample_size) rows regardless of table size (never a full-table
@@ -53,7 +57,7 @@ def auto_blocking_threshold(
         rows = [rows[i] for i in idx]
 
     texts = [" ".join(str(r.get(k)) for k in keys) for r in rows]
-    vecs = np.array(backend.embed(texts), dtype=np.float64)
+    vecs = np.array((embed_backend or backend).embed(texts), dtype=np.float64)
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
     sims = (vecs @ vecs.T) / np.outer(norms, norms)
@@ -85,6 +89,7 @@ def auto_blocking_threshold_pairs(
     target_recall: float = 0.95,
     sample_size: int = 30,
     seed: int = 42,
+    embed_backend: ModelBackend | None = None,
 ) -> float | None:
     """Two-table variant for equijoin (equijoin.py:332-375): sample rows
     from each side, label the sampled cross product, pick the loosest
@@ -99,8 +104,9 @@ def auto_blocking_threshold_pairs(
     if len(r_rows) > sample_size:
         r_rows = [r_rows[i] for i in rng.choice(len(r_rows), sample_size, replace=False)]
 
-    lv = np.array(backend.embed([" ".join(str(r.get(k)) for k in left_keys) for r in l_rows]))
-    rv = np.array(backend.embed([" ".join(str(r.get(k)) for k in right_keys) for r in r_rows]))
+    eb = embed_backend or backend
+    lv = np.array(eb.embed([" ".join(str(r.get(k)) for k in left_keys) for r in l_rows]))
+    rv = np.array(eb.embed([" ".join(str(r.get(k)) for k in right_keys) for r in r_rows]))
     ln = np.linalg.norm(lv, axis=1); ln[ln == 0] = 1.0
     rn = np.linalg.norm(rv, axis=1); rn[rn == 0] = 1.0
     sims = (lv @ rv.T) / np.outer(ln, rn)

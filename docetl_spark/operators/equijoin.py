@@ -188,17 +188,21 @@ def equijoin(
     ``comparison_model`` / ``embedding_model`` route adjudication and
     blocking-embedding calls to per-stage model overrides
     (reference equijoin.py comparison_model/embedding_model configs)."""
-    emb_backend = backend.with_options(model=embedding_model) if embedding_model else backend
+    emb_backend = backend.with_options(embedding_model=embedding_model) if embedding_model else backend
     if comparison_model:
         backend = backend.with_options(model=comparison_model)
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold_pairs
 
+        # sample embeds with emb_backend (the space the threshold is
+        # applied in), sample adjudication with the (possibly
+        # comparison_model-rebound) backend — the runtime verdict model
         blocking_threshold = auto_blocking_threshold_pairs(
             left, right, backend,
             comparison_prompt=comparison_prompt,
             left_keys=embedding_keys_left or left_keys,
             right_keys=embedding_keys_right or right_keys,
+            embed_backend=emb_backend,
         )
     lw = left
     rw = right

@@ -284,16 +284,22 @@ def resolve(
     (resolve.py:46,380); ``embedding_model`` does the same for blocking
     embeddings (resolve.py:430-431)."""
     cmp_backend = backend.with_options(model=comparison_model) if comparison_model else backend
-    emb_backend = backend.with_options(model=embedding_model) if embedding_model else backend
+    emb_backend = backend.with_options(embedding_model=embedding_model) if embedding_model else backend
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold
 
+        # calibrate IN the spaces the threshold will be applied in: the
+        # sample embeds with emb_backend (the runtime blocking space) and
+        # the sample adjudication runs on cmp_backend (the runtime
+        # verdict model) — mixing models here silently breaks the
+        # recall-by-construction contract
         blocking_threshold = auto_blocking_threshold(
-            df, backend,
+            df, cmp_backend,
             id_col=id_col, comparison_prompt=comparison_prompt,
             compare_cols=compare_cols or [c for c in df.columns if c != id_col],
             embedding_keys=embedding_keys,
             target_recall=blocking_target_recall,
+            embed_backend=emb_backend,
         )
     work = df
     embedding_col = None

@@ -319,8 +319,10 @@ def smart_sample(df: DataFrame, sample_size_needed: int, *, max_unique_values: i
     ``length(to_json(struct(*)))``, mirroring the reference's
     ``len(json.dumps(doc))`` score. Ties break by length desc then the
     serialized doc for determinism."""
-    size = F.length(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    base = df.withColumn("_ss_len", size)
+    # serialize each row ONCE: the json string is both the length score
+    # and the deterministic tiebreak (re-building to_json inside every
+    # sort expression would pay the serialization 2-3x per row)
+    base = df.withColumn("_ss_json", F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     cards = base.agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.approx_count_distinct(F.col(c).cast("string")).alias(f"_d_{c}") for c in df.columns],
@@ -330,12 +332,14 @@ def smart_sample(df: DataFrame, sample_size_needed: int, *, max_unique_values: i
     cats = sorted(
         ((cards[f"_d_{c}"], c) for c in df.columns if cards[f"_d_{c}"] <= max_unique_values),
     )[:3]
-    order = [F.col("_ss_len").desc(), F.to_json(F.struct(*[F.col(c) for c in df.columns])).asc()]
+    order = [F.length("_ss_json").desc(), F.col("_ss_json").asc()]
     if not cats:
-        return base.orderBy(*order).limit(sample_size_needed).drop("_ss_len")
+        return base.orderBy(*order).limit(sample_size_needed).drop("_ss_json")
     group_cols = [c for _, c in cats]
-    n_groups = base.select(*[F.col(c).cast("string") for c in group_cols]).distinct().count()
+    # exact group count at categorical cardinality (product of <=5-unique
+    # fields — a tiny agg; approx per-field counts can't give the joint)
+    n_groups = base.groupBy(*[F.col(c).cast("string") for c in group_cols]).count().count()
     per_group = math.ceil(sample_size_needed / max(n_groups, 1))
     w = W.partitionBy(*[F.col(c).cast("string") for c in group_cols]).orderBy(*order)
     picked = base.withColumn("_ss_rn", F.row_number().over(w)).filter(F.col("_ss_rn") <= per_group)
-    return picked.orderBy(*order).limit(sample_size_needed).drop("_ss_len", "_ss_rn")
+    return picked.orderBy(*order).limit(sample_size_needed).drop("_ss_json", "_ss_rn")

@@ -202,7 +202,7 @@ def _fetch_data_url(loc: str) -> str:
 
     if loc.startswith("data:"):
         return loc
-    if loc.startswith("http"):
+    if loc.startswith(("http://", "https://")):
         import requests  # noqa: PLC0415 — import-probed optional dep
 
         data = requests.get(loc, timeout=60).content
@@ -225,7 +225,19 @@ def _apply_backend_options(backend, model, timeout, litellm_completion_kwargs,
             "litellm_completion_kwargs": litellm_completion_kwargs}
     if max_retries_per_timeout is not None:
         opts["max_retries_per_timeout"] = max_retries_per_timeout
-    return backend.with_options(**opts)
+    out = backend.with_options(**opts)
+    if max_retries_per_timeout is not None and not hasattr(out, "max_retries"):
+        # only the resilience layer implements a retry budget; a bare
+        # backend would silently drop the knob (the reference's
+        # max_retries_per_timeout lives in its API layer, base.py:105)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "max_retries_per_timeout=%s has no effect on %s — wrap the "
+            "backend in ResilientBackend to get retries",
+            max_retries_per_timeout, type(out).__name__,
+        )
+    return out
 
 def semantic_map(
     df: DataFrame,

@@ -60,6 +60,13 @@ def test_frame_estimate_cost_dry_run(spark):
     # an extra model stage costs more under the same stats
     est2 = base.map("again {{ input.tag }}", {"tag2": "str"}).estimate_cost()
     assert est2 > est
-    # measured: real row count (500 docs) vs the 1000-row default
-    assert base.estimate_cost(measured=True) != est or True  # both valid floats
-    assert isinstance(base.estimate_cost(measured=True), float)
+    # measured: real SOURCE row count — and the estimate must NOT execute
+    # the model stage (counting the post-map frame would pay every call)
+    class Exploding(FakeBackend):
+        def complete(self, prompt, output_schema, context):
+            raise AssertionError("estimate_cost executed a model call")
+
+    armed = SemanticFrame.read_parquet(
+        spark, "/root/testdata/sf0.001/documents.parquet", backend=Exploding()
+    ).map("tag {{ input.text }}", {"tag": "str"})
+    assert isinstance(armed.estimate_cost(measured=True), float)

@@ -509,8 +509,9 @@ def test_resolve_equijoin_per_stage_model_overrides(spark):
             self.model = model
 
         def with_options(self, **opts):
-            if opts.get("model"):
-                return RoutedBackend(opts["model"])
+            m = opts.get("embedding_model") or opts.get("model")
+            if m:
+                return RoutedBackend(m)
             return self
 
         def complete(self, prompt, output_schema, context):
