@@ -230,9 +230,11 @@ class SemanticFrame:
             "first": sample_op.sample_first,
             "uniform": sample_op.sample_uniform,
             "custom": sample_op.sample_custom,
+            "stratified": sample_op.sample_stratified_first,
             "outliers": sample_op.sample_outliers,
             "top_embedding": sample_op.sample_top_embedding,
             "top_fts": sample_op.sample_top_fts,
+            "smart": sample_op.smart_sample,
         }[method]
         args = (self.df, samples) if samples is not None else (self.df,)
         return self._next(fn(*args, **kw), "sample", method=method, samples=samples, **kw)

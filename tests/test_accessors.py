@@ -70,3 +70,16 @@ def test_frame_estimate_cost_dry_run(spark):
         spark, "/root/testdata/sf0.001/documents.parquet", backend=Exploding()
     ).map("tag {{ input.text }}", {"tag": "str"})
     assert isinstance(armed.estimate_cost(measured=True), float)
+
+
+def test_frame_sample_smart_and_stratified_methods(spark):
+    from docetl_spark import SemanticFrame
+    from pyspark.sql import functions as F
+
+    docs = SemanticFrame.read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert docs.sample("smart", 10).df.count() == 10
+    strat = docs.sample(
+        "stratified", 2, stratify_key="lang", order_by=[F.col("doc_id").asc()]
+    )
+    per = strat.df.groupBy("lang").count().collect()
+    assert all(r["count"] == 2 for r in per)
