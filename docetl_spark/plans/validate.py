@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from ..types import schema_of
 from .ir import lift
 
-_SAMPLE_METHODS = {"first", "uniform", "custom", "stratified", "outliers", "top_embedding", "top_fts"}
+_SAMPLE_METHODS = {"first", "uniform", "custom", "stratified", "outliers", "top_embedding", "top_fts", "smart"}
 _TOPK_METHODS = {"embedding", "fts", "llm_compare"}
 _KNOWN_OPS = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
