@@ -100,9 +100,11 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_time_rollup",
-    # round-4 fourth batch: semantic dedup + streaming semantic map
+    # round-4 fourth batch: semantic dedup + streaming semantic map +
+    # explicit-weight mixture
     "semdedup_embeddings",
     "stream_semantic_map",
+    "corpus_mixture_docs",
 ]
 
 
