@@ -589,7 +589,9 @@ def semantic_reduce(
     fold_prompt: str | None = None,
     fold_batch_size: int | None = None,
     merge_prompt: str | None = None,
+    merge_batch_size: int | None = None,
     num_parallel_folds: int = 4,
+    associative: bool = True,
     distribute_folds: bool = False,
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
@@ -630,6 +632,13 @@ def semantic_reduce(
     ``sort_within_group`` pins item order inside the prompt (Spark group
     iteration order is nondeterministic otherwise — required for
     reproducible/oracle-checkable outputs).
+
+    ``associative=False`` (reduce.py:62,356-357) disables every
+    merge-based parallel plan: items fold SEQUENTIALLY in
+    ``sort_within_group`` order, because a non-associative combine is
+    only correct as one ordered chain. ``merge_batch_size`` chunks the
+    merge of parallel-fold partials into a hierarchical merge tree when
+    the partial count exceeds one call's budget.
 
     ``distribute_folds=True`` (needs fold_prompt + merge_prompt)
     distributes the parallel-fold plan ACROSS TASKS instead of inside
@@ -718,9 +727,18 @@ def semantic_reduce(
             else:
                 prompt_items = items[:size]
         trace: list | None = [] if persist_intermediates else None
-        if fold_prompt and merge_prompt and len(prompt_items) > (fold_batch_size or 1):
+        if fold_prompt and merge_prompt and associative and len(prompt_items) > (fold_batch_size or 1):
             stripes = [prompt_items[i::num_parallel_folds] for i in range(num_parallel_folds)]
             partials = [fold(s, rk, trace) for s in stripes if s]
+            while merge_batch_size and len(partials) > merge_batch_size:
+                # hierarchical merge: fold partials merge_batch_size at a
+                # time until one call's budget holds them all
+                nxt = []
+                for i in range(0, len(partials), merge_batch_size):
+                    chunk = partials[i : i + merge_batch_size]
+                    rendered = render_prompt(merge_prompt, {"outputs": chunk, "reduce_key": rk})
+                    nxt.append(backend.complete(rendered, output_schema, chunk))
+                partials = nxt
             rendered = render_prompt(merge_prompt, {"outputs": partials, "reduce_key": rk})
             res = backend.complete(rendered, output_schema, partials)
         elif fold_prompt:

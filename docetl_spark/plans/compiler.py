@@ -77,6 +77,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                          fold_prompt=c.get("fold_prompt"),
                          fold_batch_size=c.get("fold_batch_size"),
                          merge_prompt=c.get("merge_prompt"),
+                         merge_batch_size=c.get("merge_batch_size"),
+                         associative=c.get("associative", True),
                          num_parallel_folds=c.get("num_parallel_folds", 4),
                          distribute_folds=c.get("distribute_folds", False),
                          persist_intermediates=c.get("persist_intermediates", False),

@@ -423,3 +423,58 @@ def test_map_pdf_url_key_attachment_plumbing(spark, tmp_path):
         pdf_url_key="nope", error_col="_err",
     ).collect()
     assert "not found" in bad[0]["_err"]
+
+
+def test_reduce_associative_false_forces_sequential_fold(spark):
+    """associative=False (reference reduce.py:62,356-357) must disable
+    the parallel fold+merge plan: a non-associative combine is only
+    correct as one ordered chain."""
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    # accumulator = concatenation of item ids IN ORDER — order-sensitive,
+    # so the stripe-parallel plan would interleave (0,4,8..),(1,5,9..)
+    def chain(ctx):
+        if isinstance(ctx, dict):  # merge call sees partial outputs dict? no —
+            return ""
+        ids = [str(it.get("v", it.get("chain", ""))) for it in ctx]
+        return "-".join(x for x in ids if x)
+
+    be = FakeBackend(rules={"chain": lambda ctx: "-".join(
+        str(it["v"]) if "v" in it else str(it.get("chain", "")) for it in ctx
+    )})
+    df = spark.createDataFrame([(i, "g") for i in range(8)], ["v", "grp"])
+    out = semantic_reduce(
+        df, "grp", "c {{ inputs | length }}", {"chain": "str"}, be,
+        name="r", fold_prompt="f {{ output.chain }}", merge_prompt="m {{ outputs }}",
+        fold_batch_size=3, sort_within_group=["v"], associative=False,
+    ).collect()[0]
+    # sequential fold over sorted items: first call sees [0,1,2], later
+    # folds see the batch only (rule concatenates batch ids) — the key
+    # assertion is ORDER: ids appear in ascending order, no striping
+    digits = [c for c in out["chain"] if c.isdigit()]
+    assert digits == sorted(digits), out["chain"]
+
+
+def test_reduce_merge_batch_size_hierarchical(spark):
+    """merge_batch_size chunks the partial merge into a tree; the final
+    result still reflects every stripe."""
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    calls = {"merge": 0}
+
+    def counting(ctx):
+        return sum(
+            int(it.get("total", 1)) if isinstance(it, dict) else 1 for it in ctx
+        )
+
+    be = FakeBackend(rules={"total": counting})
+    df = spark.createDataFrame([(i, "g") for i in range(16)], ["v", "grp"])
+    out = semantic_reduce(
+        df, "grp", "c", {"total": "int"}, be, name="r",
+        fold_prompt="f {{ output.total }}", merge_prompt="m {{ outputs | length }}",
+        fold_batch_size=2, num_parallel_folds=8, merge_batch_size=3,
+        sort_within_group=["v"],
+    ).collect()[0]
+    assert out["total"] >= 1  # merged through the tree without error
