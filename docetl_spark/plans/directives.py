@@ -1054,6 +1054,8 @@ def optimize_ops(
         for cand in level:
             for d in DIRECTIVES:
                 for i in range(len(cand.ops)):
+                    if cand.ops[i].config.get("optimize") is False:
+                        continue  # per-op pin (reference `optimize: false`)
                     if (d.name, i) in cand.applied or not d.applies(cand.ops, i, stats, backend):
                         continue
                     new_ops = _apply(d, cand.ops, i)
@@ -1136,6 +1138,8 @@ def moar_search(
         out = []
         for d in DIRECTIVES:
             for i in range(len(node.ops)):
+                if node.ops[i].config.get("optimize") is False:
+                    continue  # per-op pin (reference `optimize: false`)
                 if (d.name, i) not in node.applied and d.applies(node.ops, i, stats, backend):
                     out.append((d.name, i))
         return out

@@ -575,3 +575,24 @@ def test_should_optimize_probe(spark):
     empty = outputs.limit(0)
     v3 = should_optimize(op, empty, FakeBackend())
     assert not v3.should_optimize and v3.num_docs_analyzed == 0
+
+
+def test_per_op_optimize_false_pins_op():
+    """`optimize: false` on an op config (the reference's per-op build
+    flag) excludes it from every directive application in both searches."""
+    from docetl_spark.plans import PlanStats, moar_search, optimize_ops
+    from docetl_spark.plans.ir import OpSpec
+
+    ops = [OpSpec("map", {
+        "name": "m", "prompt": "Extract a summary and entities and topics",
+        "output": {"schema": {"s": "string"}}, "optimize": False,
+    })]
+    stats = PlanStats(rows=1000, avg_doc_tokens=2000)
+    res = optimize_ops(ops, stats)
+    assert len(res.frontier) == 1 and res.frontier[0].applied == ()
+    res2 = moar_search(ops, stats, max_iterations=6)
+    assert all(c.applied == () for c in res2.frontier)
+
+    # sanity: without the pin the same op DOES attract rewrites
+    ops_free = [OpSpec("map", {**ops[0].config, "optimize": True})]
+    assert optimize_ops(ops_free, stats).explored > 1
