@@ -783,6 +783,21 @@ class SemanticFrame:
         w = MODEL_WEIGHTS.get(model, MODEL_WEIGHTS[DEFAULT_MODEL])
         return (u.get("prompt_tokens", 0) + u.get("completion_tokens", 0)) / 1000.0 * w
 
+    def should_optimize(self, *, max_samples: int = 20):
+        """One-call decomposition probe for this frame's LAST map-shaped
+        op (plans.directives.should_optimize; reference
+        fast_should_optimize.py): asks the backend once, over a bounded
+        sample of THIS frame's output, whether the op is worth running
+        through the directive search. Returns a ShouldOptimizeVerdict."""
+        from .plans.directives import should_optimize as _probe
+        from .plans.ir import OpSpec
+
+        be = self._require_backend("should_optimize")
+        for op, conf in reversed(self.op_log):
+            if op in ("map", "filter"):
+                return _probe(OpSpec(op, dict(conf)), self.df, be, max_samples=max_samples)
+        raise ValueError("should_optimize needs a map/filter op in the chain")
+
     def estimate_cost(self, *, stats=None, measured: bool = False) -> float:
         """Estimated model-call cost of this frame's recorded op chain
         under the directive optimizer's cost model (directives.py

@@ -596,3 +596,20 @@ def test_per_op_optimize_false_pins_op():
     # sanity: without the pin the same op DOES attract rewrites
     ops_free = [OpSpec("map", {**ops[0].config, "optimize": True})]
     assert optimize_ops(ops_free, stats).explored > 1
+
+
+def test_frame_should_optimize_probe(spark):
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    docs = SemanticFrame.read_parquet(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        backend=FakeBackend(),
+    )
+    mapped = docs.map("Extract 'the' entities and a summary", {"s": "string"})
+    v = mapped.should_optimize()
+    assert v.num_docs_analyzed == 20 and isinstance(v.should_optimize, bool)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="map/filter"):
+        docs.should_optimize()
