@@ -257,6 +257,10 @@ def dataset_stats(df, dataset_name: str = "data") -> str:
             aggs.append(F.sum(F.length(F.to_json(F.col(f.name)))).alias(f"_c_{f.name}"))
             aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
             str_like.append(f.name)
+        elif isinstance(f.dataType, T.BinaryType):
+            # multimodal payloads: bytes count, no token contribution
+            aggs.append(F.sum(F.length(F.col(f.name))).alias(f"_c_{f.name}"))
+            aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
         elif isinstance(f.dataType, T.NumericType):
             aggs.append(F.lit(None).cast("long").alias(f"_c_{f.name}"))
             aggs.append(F.count(F.col(f.name)).alias(f"_k_{f.name}"))
@@ -275,6 +279,8 @@ def dataset_stats(df, dataset_name: str = "data") -> str:
             total_chars += chars
             avg = chars / cnt if cnt else 0
             lines.append(f"  {f.name} ({f.dataType.simpleString()}): avg {avg:.0f} chars")
+        elif isinstance(f.dataType, T.BinaryType):
+            lines.append(f"  {f.name} (binary): {chars or 0:,} bytes total")
         else:
             total_chars += 5 * cnt  # numeric ~5 chars (utils_dataset.py:54)
             lines.append(f"  {f.name} ({f.dataType.simpleString()}): numeric")

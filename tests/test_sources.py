@@ -382,6 +382,16 @@ def test_dataset_stats_one_pass(spark):
     empty = dataset_stats(df.limit(0), "none")
     assert "Records loaded: 0" in empty
 
+    # array columns (embeddings) and binary columns both participate
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_stats = dataset_stats(emb, "emb")
+    assert "embedding (array<float>): avg" in emb_stats
+    from pyspark.sql import functions as F
+
+    binned = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    bstats = dataset_stats(binned, "bin")
+    assert "payload (binary):" in bstats and "bytes total" in bstats
+
 
 def test_smart_sample_stratifies_and_prefers_long(spark):
     from docetl_spark.operators.sample import smart_sample
