@@ -626,6 +626,11 @@ def semdedup(
     Returns kept rows: all original columns (+ cluster id unless
     ``keep_cluster_col=None``).
     """
+    if keep_cluster_col and keep_cluster_col in df.columns:
+        raise ValueError(
+            f"semdedup: input already has a column named {keep_cluster_col!r}; "
+            "pass keep_cluster_col=<other name> or None"
+        )
     if centroids is None:
         _, cents = ivf_index(
             df, vec_col, n_lists=n_clusters, seed=seed, max_fit_rows=max_fit_rows

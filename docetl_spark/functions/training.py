@@ -669,7 +669,11 @@ def mixture_plan(
     counts = df.groupBy(F.col(group_col).cast("string").alias("group")).agg(
         avail_expr.cast("double").alias("available")
     )
-    wmap = F.create_map(*[F.lit(x) for g in sorted(norm) for x in (g, float(norm[g]))])
+    # keys coerced to str: the lookup column is cast to string, so a
+    # native-typed key literal (int group ids) would silently never match
+    wmap = F.create_map(
+        *[x for g in sorted(norm, key=str) for x in (F.lit(str(g)), F.lit(float(norm[g])))]
+    )
     planned = counts.withColumn("weight", F.coalesce(wmap[F.col("group")], F.lit(0.0)))
     # T = min over targeted non-empty groups of available/weight, taken
     # with a GLOBAL window: the plan table is source-cardinality rows
@@ -708,7 +712,9 @@ def apply_mixture(
     source-cardinality rows); the corpus itself never shuffles."""
     ids = id_cols or [df.columns[0]]
     if isinstance(plan, dict):
-        rate_map = F.create_map(*[F.lit(x) for g in sorted(plan) for x in (g, float(plan[g]))])
+        rate_map = F.create_map(
+            *[x for g in sorted(plan, key=str) for x in (F.lit(str(g)), F.lit(float(plan[g])))]
+        )
         rate = F.coalesce(rate_map[F.col(group_col).cast("string")], F.lit(0.0))
         joined = df
     else:

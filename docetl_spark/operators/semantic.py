@@ -205,7 +205,11 @@ def _fetch_data_url(loc: str) -> str:
     if loc.startswith(("http://", "https://")):
         import requests  # noqa: PLC0415 — import-probed optional dep
 
-        data = requests.get(loc, timeout=60).content
+        resp = requests.get(loc, timeout=60)
+        # a 404/500 error page must not be base64'd and handed to the
+        # model as "the PDF" — raise so skip_on_error/error_col route it
+        resp.raise_for_status()
+        data = resp.content
     else:
         with open(loc, "rb") as f:
             data = f.read()
@@ -652,6 +656,11 @@ def semantic_reduce(
     makes the two-stage plan faithful.
     """
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
+    if merge_batch_size is not None and merge_batch_size < 2:
+        # a 1-at-a-time (or negative) merge pass never shrinks the
+        # partial list — the while-loop below would spin forever making
+        # unbounded model calls
+        raise ValueError(f"merge_batch_size must be >= 2, got {merge_batch_size}")
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
     global_agg = keys == [_ALL]
     if not global_agg:

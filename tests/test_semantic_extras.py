@@ -478,3 +478,20 @@ def test_reduce_merge_batch_size_hierarchical(spark):
         sort_within_group=["v"],
     ).collect()[0]
     assert out["total"] >= 1  # merged through the tree without error
+
+
+def test_reduce_merge_batch_size_must_be_at_least_two(spark):
+    """merge_batch_size=1 (or negative) would never shrink the partial
+    list — the merge loop would spin forever making model calls."""
+    import pytest
+
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators.semantic import semantic_reduce
+
+    df = spark.createDataFrame([(1, "g")], ["v", "grp"])
+    for bad in (1, 0, -2):
+        with pytest.raises(ValueError, match="merge_batch_size"):
+            semantic_reduce(
+                df, "grp", "c", {"total": "int"}, FakeBackend(), name="r",
+                fold_prompt="f", merge_prompt="m", merge_batch_size=bad,
+            )

@@ -405,6 +405,21 @@ def test_semdedup_dominance_rule_self_consistent(vectors):
     assert kept_ids == expect
 
 
+def test_semdedup_rejects_cluster_col_collision(vectors):
+    # input already carrying the keep_cluster_col name would silently
+    # produce duplicate/ambiguous columns — must raise up front
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((4, 8))
+    pre = vectors.withColumn("cluster_id", F.lit(7))
+    with pytest.raises(ValueError, match="cluster_id"):
+        sim.semdedup(pre, "vec_id", centroids=cents)
+    # an explicit different name (or None) still works
+    ok = sim.semdedup(pre, "vec_id", centroids=cents, keep_cluster_col="_sdc2")
+    assert "_sdc2" in ok.columns and ok.count() > 0
+    ok2 = sim.semdedup(pre, "vec_id", centroids=cents, keep_cluster_col=None)
+    assert set(ok2.columns) == set(pre.columns)
+
+
 def test_semdedup_frame_verb(vectors):
     out = SemanticFrame(vectors).dedup_semantic(
         "vec_id", n_clusters=3, threshold=0.99, seed=1

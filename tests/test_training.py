@@ -469,6 +469,25 @@ def test_mixture_plan_and_apply(spark):
         mixture_plan(df, "source", {"web": 0.0})
 
 
+def test_mixture_plan_int_group_keys(spark):
+    # non-string target_weights keys (int source ids) must match the
+    # string-cast group column — key literals are coerced to str
+    from docetl_spark.functions.training import apply_mixture, mixture_plan
+
+    rows = [(i, 1) for i in range(200)] + [(i + 1000, 2) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "src_id"])
+    plan = mixture_plan(df, "src_id", {1: 0.5, 2: 0.5})
+    p = {r["group"]: r for r in plan.collect()}
+    # src 2 is scarcest: T = 200 -> each keeps 100
+    assert p["2"]["rate"] == 1.0 and p["2"]["planned"] == 100.0
+    assert abs(p["1"]["rate"] - 0.5) < 1e-9
+    out = apply_mixture(df, plan, "src_id", id_cols=["doc_id"])
+    assert out.filter("src_id = 2").count() == 100
+    # dict-rate form with int keys too
+    out2 = apply_mixture(df, {2: 1.0}, "src_id", id_cols=["doc_id"])
+    assert out2.count() == 100 and out2.filter("src_id = 1").count() == 0
+
+
 def test_sample_mixture_frame_and_yaml(spark, tmp_path):
     from docetl_spark import FakeBackend, SemanticFrame
     from docetl_spark.plans.yaml_front import run_yaml
