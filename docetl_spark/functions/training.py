@@ -304,6 +304,7 @@ def sample_temperature(
     target_fraction: float = 0.25,
     id_cols: list[str] | None = None,
     seed: str = "mix",
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Temperature-weighted (data-mixing) sample: per-group sampling
     rates follow p_g ∝ (n_g)^(1/T), the multilingual-pretraining recipe
@@ -329,7 +330,20 @@ def sample_temperature(
     # unpersist it once the sample is materialized (cache entries are
     # keyed by plan and are NOT garbage-collected with the object).
     df = df.persist()
-    counts = {r["g"]: r["n"] for r in df.groupBy(F.col(group_col).alias("g")).count().withColumnRenamed("count", "n").collect()}
+    # bounded collect: limit(max_groups+1) lets the job stop early, so a
+    # mistakenly high-cardinality group_col (doc ids instead of sources)
+    # fails fast instead of collecting unboundedly (VERDICT r4 #4 —
+    # decontaminate's bench-key gate pattern)
+    grp = df.groupBy(F.col(group_col).alias("g")).count().withColumnRenamed("count", "n")
+    rows = grp.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        df.unpersist()
+        raise ValueError(
+            f"sample_temperature: group_col {group_col!r} has > {max_groups} "
+            "distinct values — this operator is for source/language mixing "
+            "(dozens of groups); raise max_groups only if that is intended"
+        )
+    counts = {r["g"]: r["n"] for r in rows}
     total = sum(counts.values())
     if not total:
         df.unpersist()

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..backend import ModelBackend
 from ..functions.similarity import banded_candidate_pairs_two_sided
+from .blocking import probe_embed_dim
 from .resolve import embed_column
 from .semantic import render_prompt, run_concurrently
 
@@ -234,6 +235,10 @@ def equijoin(
                 lw, rw, left_keys, right_keys, l_emb, r_emb,
                 threshold=float(blocking_threshold),
                 target_recall=blocking_target_recall,
+                # driver-side dim probe beats the .first() fallback, which
+                # would execute a partition of the embed stage as a
+                # throwaway job (VERDICT r4 #2)
+                dim=probe_embed_dim(emb_backend),
             )
         )
 

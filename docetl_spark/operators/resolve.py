@@ -303,9 +303,16 @@ def resolve(
         )
     work = df
     embedding_col = None
+    vec_dim = None
     if blocking_threshold is not None:
         work = embed_column(work, embedding_keys or compare_cols or [], emb_backend)
         embedding_col = "_embedding"
+        # driver-side dim probe: without it banded_candidate_pairs would
+        # run .first() — one partition of the embed MODEL stage — as a
+        # throwaway job just to learn the vector width
+        from .blocking import probe_embed_dim
+
+        vec_dim = probe_embed_dim(emb_backend)
 
     # Blocking-key-equal rows are auto-matched without a model call
     # (resolve.py:216-223). Emitting the C(n,2) clique pairs just to
@@ -333,6 +340,7 @@ def resolve(
         blocking_conditions=blocking_conditions,
         embedding_col=embedding_col,
         target_recall=blocking_target_recall,
+        dim=vec_dim,
     ) if (blocking_threshold is not None or blocking_conditions or not blocking_keys) else None
 
     if pairs is not None and log_blocking_stats:

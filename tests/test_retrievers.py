@@ -80,6 +80,22 @@ def test_broadcast_gate(spark, corpus):
         r.ensure_index()
 
 
+def test_broadcast_gate_byte_aware(spark, corpus):
+    # few rows but wide payloads must trip the BYTE gate (row-only gates
+    # admit multi-GB collects on wide documents — VERDICT r4 #1)
+    from pyspark.sql import functions as F
+
+    wide = corpus.withColumn("blob", F.repeat(F.lit("x"), 200_000))
+    r = BroadcastRetriever(wide, None, text_keys=["fact"], mode="fts",
+                           max_broadcast_bytes=100_000)
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        r.ensure_index()
+    # normal corpus under both gates still indexes
+    ok = BroadcastRetriever(corpus, None, text_keys=["fact"], mode="fts")
+    ok.ensure_index()
+    assert ok._index is not None
+
+
 def test_retrieve_context_join_distributed(spark, corpus):
     """Join-based retrieval: every row gets rendered context with no
     driver-side index; identical text retrieves itself first (brute)."""

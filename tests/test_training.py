@@ -469,6 +469,23 @@ def test_mixture_plan_and_apply(spark):
         mixture_plan(df, "source", {"web": 0.0})
 
 
+def test_sample_temperature_group_cardinality_gate(spark):
+    # a high-cardinality group_col (e.g. doc ids) must raise instead of
+    # collecting the counts unboundedly
+    import pytest
+
+    from docetl_spark.functions.training import sample_temperature
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"), F.col("id").alias("g"))
+    with pytest.raises(ValueError, match="distinct values"):
+        sample_temperature(df, "g", temperature=2.0, max_groups=100)
+    # under the gate it still runs
+    df2 = df.withColumn("g", F.col("g") % 3)
+    out = sample_temperature(df2, "g", temperature=2.0, max_groups=100)
+    assert 0 < out.count() < 500
+    out._docetl_cached_input.unpersist()
+
+
 def test_mixture_plan_int_group_keys(spark):
     # non-string target_weights keys (int source ids) must match the
     # string-cast group column — key literals are coerced to str
