@@ -187,10 +187,21 @@ class FakeBackend(ModelBackend):
 class LiteLLMBackend(ModelBackend):
     """Real-model backend (parity with the reference's litellm layer).
 
-    Lazily constructs its client per executor; not exercised in this
-    container (no network), but the integration surface matches
-    api.py:588-734: structured output via JSON-schema response_format,
-    retries left to litellm Router config.
+    Lazily constructs its client per executor; not exercised E2E in this
+    container (no network), but the request construction matches
+    api.py:588-734 / _call_llm_with_cache (api.py:760-900) and is locked
+    by stubbed-litellm contract tests (tests/test_backend_contract.py):
+
+    - ``output_mode="tools"`` (the reference default, OutputMode.TOOLS):
+      one ``send_output`` function tool whose parameters are the declared
+      output schema converted by the convert_val grammar
+      (types.json_schema_of), ``tool_choice`` forced to that tool,
+      ``strict``/``additionalProperties: false`` except for claude/gemini
+      (api.py:786-838); the result is parsed from
+      ``tool_calls[0].function.arguments``.
+    - ``output_mode="structured_output"``: ``response_format`` =
+      json_schema named ``structured_output`` with ``strict: True``
+      (api.py:835-853); result parsed from ``message.content``.
 
     ``fallback_models`` mirrors the reference's litellm Router fallbacks
     (runner.py:39-88): when the primary model errors, the same request
@@ -207,13 +218,20 @@ class LiteLLMBackend(ModelBackend):
         *,
         fallback_models: list[str] | None = None,
         embedding_model: str = "text-embedding-3-small",
+        output_mode: str = "tools",
         completion_fn=None,
         embedding_fn=None,
         **kwargs,
     ):
+        if output_mode not in ("tools", "structured_output"):
+            raise ValueError(
+                f"Invalid output mode {output_mode!r}. Must be 'tools' or "
+                "'structured_output'."
+            )
         self.model = model
         self.fallback_models = list(fallback_models or [])
         self.embedding_model = embedding_model
+        self.output_mode = output_mode
         self.kwargs = kwargs
         self._mod = None
         self._completion_fn = completion_fn
@@ -237,6 +255,7 @@ class LiteLLMBackend(ModelBackend):
             model or self.model,
             fallback_models=self.fallback_models,
             embedding_model=embedding_model or self.embedding_model,
+            output_mode=self.output_mode,
             completion_fn=self._completion_fn,
             embedding_fn=self._embedding_fn,
             **kw,
@@ -270,66 +289,92 @@ class LiteLLMBackend(ModelBackend):
                 last_err = e
         raise last_err
 
+    # -- request construction (api.py:760-900 parity) ------------------
+    def _props(self, output_schema: dict) -> dict:
+        from .types import json_schema_of  # noqa: PLC0415
+
+        return {k: json_schema_of(v, model=self.model) for k, v in output_schema.items()}
+
+    def _mode_kwargs(self, props: dict) -> dict:
+        """tools / response_format request fragment for one object schema
+        with the given properties (reference api.py:780-853)."""
+        parameters = {"type": "object", "properties": props, "required": list(props)}
+        if self.output_mode == "structured_output":
+            return {
+                "response_format": {
+                    "type": "json_schema",
+                    "json_schema": {
+                        "name": "structured_output",
+                        "schema": {**parameters, "additionalProperties": False},
+                        "strict": True,
+                    },
+                }
+            }
+        # tools mode (the reference default): gemini rejects
+        # additionalProperties; claude rejects strict (api.py:786-838)
+        if "gemini" not in self.model and "claude" not in self.model:
+            parameters["additionalProperties"] = False
+        tool = {
+            "type": "function",
+            "function": {
+                "name": "send_output",
+                "description": "Send output back to the user",
+                "parameters": parameters,
+            },
+        }
+        if "claude" not in self.model:
+            tool["additionalProperties"] = False
+            tool["strict"] = True
+        return {
+            "tools": [tool],
+            "tool_choice": {"type": "function", "function": {"name": "send_output"}},
+        }
+
+    def _parse(self, resp) -> dict:
+        import json  # noqa: PLC0415
+
+        msg = resp.choices[0].message
+        if self.output_mode == "tools":
+            calls = getattr(msg, "tool_calls", None) or []
+            if not calls:
+                # models occasionally answer in content despite the
+                # forced tool_choice — fall through to content parse
+                return json.loads(msg.content)
+            return json.loads(calls[0].function.arguments)
+        return json.loads(msg.content)
+
+    def _call_object(self, messages: list, props: dict):
+        return self._complete_with_fallbacks(
+            messages=messages, **self._mode_kwargs(props), **self.kwargs
+        )
+
     def complete_with_attachments(
         self, prompt: str, output_schema: dict, context: Any, attachments: list
     ) -> dict:
-        import json  # noqa: PLC0415
-
         content = [
             {"type": "image_url", "image_url": {"url": a["data_url"]}} for a in attachments
         ] + [{"type": "text", "text": prompt}]
-        props = {k: {"type": "string"} for k in output_schema}
-        resp = self._complete_with_fallbacks(
-            messages=[{"role": "user", "content": content}],
-            response_format={
-                "type": "json_schema",
-                "json_schema": {
-                    "name": "send_output",
-                    "schema": {"type": "object", "properties": props, "required": list(props)},
-                },
-            },
-            **self.kwargs,
+        resp = self._call_object(
+            [{"role": "user", "content": content}], self._props(output_schema)
         )
-        return json.loads(resp.choices[0].message.content)
+        return self._parse(resp)
 
     def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
-        import json  # noqa: PLC0415
-
-        props = {k: {"type": "string"} for k in output_schema}
-        resp = self._complete_with_fallbacks(
-            messages=[{"role": "user", "content": prompt}],
-            response_format={
-                "type": "json_schema",
-                "json_schema": {
-                    "name": "send_output",
-                    "schema": {"type": "object", "properties": props, "required": list(props)},
-                },
-            },
-            **self.kwargs,
+        resp = self._call_object(
+            [{"role": "user", "content": prompt}], self._props(output_schema)
         )
-        return json.loads(resp.choices[0].message.content)
+        return self._parse(resp)
 
     def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:
-        import json  # noqa: PLC0415
-
-        props = {k: {"type": "string"} for k in output_schema}
+        props = self._props(output_schema)
         item_schema = {"type": "object", "properties": props, "required": list(props)}
-        resp = self._complete_with_fallbacks(
-            messages=[{"role": "user", "content": prompt}],
-            response_format={
-                "type": "json_schema",
-                "json_schema": {
-                    "name": "send_output",
-                    "schema": {
-                        "type": "object",
-                        "properties": {"results": {"type": "array", "items": item_schema}},
-                        "required": ["results"],
-                    },
-                },
-            },
-            **self.kwargs,
+        if "gemini" not in self.model:
+            item_schema["additionalProperties"] = False
+        resp = self._call_object(
+            [{"role": "user", "content": prompt}],
+            {"results": {"type": "array", "items": item_schema}},
         )
-        results = json.loads(resp.choices[0].message.content).get("results", [])
+        results = self._parse(resp).get("results", [])
         # pad/truncate to the item count so row alignment is preserved
         results = list(results)[: len(items)]
         results += [{} for _ in range(len(items) - len(results))]

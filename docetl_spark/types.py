@@ -100,6 +100,53 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def json_schema_of(spec, *, model: str = "") -> dict:
+    """Declared type spec → JSON-schema fragment for LLM structured
+    output (the reference's convert_val, validation.py:137-171): str→
+    string, int→integer, float→number, bool→boolean, list[T]→array,
+    {k: T}→object (required = all keys; additionalProperties false
+    except gemini, which rejects it), enum[a,b]→string+enum."""
+    if isinstance(spec, dict):
+        props = {k: json_schema_of(v, model=model) for k, v in spec.items()}
+        out = {"type": "object", "properties": props, "required": list(props)}
+        if "gemini" not in model:
+            out["additionalProperties"] = False
+        return out
+    if not isinstance(spec, str):
+        raise ValueError(f"unsupported type spec: {spec!r}")
+    s = spec.strip()
+    low = s.lower()
+    if low in ("str", "text", "string", "varchar"):
+        return {"type": "string"}
+    if low in ("int", "integer"):
+        return {"type": "integer"}
+    if low in ("float", "decimal", "number"):
+        return {"type": "number"}
+    if low in ("bool", "boolean"):
+        return {"type": "boolean"}
+    if low == "list":
+        raise ValueError("bare `list` is not allowed; use list[T]")
+    if low.startswith("list[") and s.endswith("]"):
+        return {"type": "array", "items": json_schema_of(s[5:-1], model=model)}
+    if low.startswith("enum[") and s.endswith("]"):
+        values = [v.strip() for v in s[5:-1].split(",") if v.strip()]
+        if not values:
+            raise ValueError(f"empty enum: {spec!r}")
+        return {"type": "string", "enum": values}
+    if s.startswith("{") and s.endswith("}"):
+        body = s[1:-1].strip()
+        props = {}
+        if body:
+            for part in _split_top_level(body):
+                k, _, v = part.partition(":")
+                props[k.strip()] = json_schema_of(v.strip(), model=model)
+        out = {"type": "object", "properties": props, "required": list(props)}
+        if "gemini" not in model:
+            out["additionalProperties"] = False
+        return out
+    raise ValueError(f"unknown type spec: {spec!r}")
+
+
 def schema_of(output_schema: dict) -> T.StructType:
     """Declared output schema dict → StructType (all nullable)."""
     return T.StructType(

@@ -266,7 +266,7 @@ def test_litellm_fallback_chain():
 
     attempts = []
 
-    def fake_completion(model, messages, response_format, **kw):
+    def fake_completion(model, messages, **kw):
         attempts.append(model)
         if model != "gpt-4o-mini":
             raise ConnectionError(f"{model} down")
