@@ -1446,7 +1446,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_asof_join(spark: SparkSession, sf_dir: str, *, hot_key_bucket: int | None = None) -> DataFrame:
     """As-of join (union+window formulation — NO join operator, one
     exchange; test_asof_join_plan_has_no_join asserts it): every click
     event annotated with the user's most recent error event within 2h."""
@@ -1458,6 +1458,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tsf.asof_join(
         clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
         right_cols=["value"], tolerance=7200 * 10**9, right_tiebreak="event_id",
+        hot_key_bucket=hot_key_bucket,
     )
     return out.select(
         "event_id", "user_id",
@@ -1465,6 +1466,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_r DIV 1000000000").alias("err_epoch"),
         F.col("value_r").alias("err_value"),
     )
+
+
+def events_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key skew escape hatch: same as-of semantics, windows
+    partitioned by (user, 1h time bucket) with per-bucket carry-in rows —
+    max task = one user-hour, not one user's whole timeline
+    (timeseries.asof_join hot_key_bucket). Oracle = the default plan's
+    SQL: the two plans are result-identical by contract."""
+    return events_asof_join(spark, sf_dir, hot_key_bucket=3600 * 10**9)
 
 
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_histogram": q13_order_histogram,
         "q19_disjunct_revenue": q19_disjunct_revenue,
         "events_asof_join": events_asof_join,
+        "events_asof_join_bucketed": events_asof_join_bucketed,
         "events_range_join": events_range_join,
         "events_time_rollup": events_time_rollup,
     }
@@ -1699,7 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN len({norm_tok.format(c='text')}) > 0 THEN [array_to_string({norm_tok.format(c='text')}, ' ')] "
         f"ELSE [] END)"
     )
-    return {
+    sql = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -2893,3 +2904,7 @@ def oracle_sql() -> dict[str, str]:
                 OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
                 OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15))""",
     }
+    # the bucketed (hot-key skew) as-of plan is result-identical to the
+    # default plan by contract — same oracle locks the equivalence
+    sql["events_asof_join_bucketed"] = sql["events_asof_join"]
+    return sql

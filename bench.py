@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q13_order_histogram",
     "q19_disjunct_revenue",
     "events_asof_join",
+    "events_asof_join_bucketed",
     "events_range_join",
     "events_time_rollup",
     # round-4 fourth batch: semantic dedup + streaming semantic map +

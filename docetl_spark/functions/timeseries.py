@@ -36,6 +36,7 @@ def asof_join(
     tolerance: int | None = None,
     suffix: str = "_r",
     right_tiebreak: str | None = None,
+    hot_key_bucket: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its timestamp within the
@@ -49,9 +50,22 @@ def asof_join(
     partitioned by the keys, ordered by (ts, side) so a right row at
     the exact left timestamp is visible to it; last(ignorenulls) carries
     right values forward. No join operator, one exchange.
+
+    Skew posture: the default plan puts each key's full timeline in ONE
+    task — a key owning 10% of a 100 TB events table is a straggler (or
+    an OOM). ``hot_key_bucket`` (seconds) opts into the bucketed plan:
+    windows partition by (key, ts-bucket) so the max task is one key's
+    rows within one bucket, with per-bucket carry-in rows (the value a
+    bucket inherits from earlier buckets, computed on the
+    right-side-only bucket summary — #buckets rows per key, not #rows)
+    unioned in so results are IDENTICAL to the default plan. Costs two
+    extra small exchanges; pick a width ~ the span that keeps one
+    (key, bucket) in memory.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if hot_key_bucket is not None and hot_key_bucket <= 0:
+        raise ValueError("hot_key_bucket must be a positive number of seconds")
     rts_out = f"{right_ts}{suffix}"
     lt = left.withColumn("_ats", F.col(left_ts).cast("long")).withColumn("_side", F.lit(1))
     rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
@@ -75,12 +89,64 @@ def asof_join(
         order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rtb").asc_nulls_first()]
     else:
         order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rtb").desc_nulls_first()]
-    w = W.partitionBy(*on).orderBy(*order).rowsBetween(*_LAST_ROWS)
     carried = [f"{c}{suffix}" for c in right_cols] + [rts_out]
-    out = u
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col("_side") == 1).drop("_ats", "_side", "_rtb")
+
+    if hot_key_bucket is None:
+        w = W.partitionBy(*on).orderBy(*order).rowsBetween(*_LAST_ROWS)
+        out = u
+        for c in carried:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = out.filter(F.col("_side") == 1).drop("_ats", "_side", "_rtb")
+    else:
+        backward = direction == "backward"
+        width = int(hot_key_bucket)
+        u = u.withColumn("_bkt", F.floor(F.col("_ats") / width))
+        rt_b = rt.withColumn("_bkt", F.floor(F.col("_ats") / width))
+
+        # (a) per-(key, bucket) carry-OUT: the carried values after the
+        # bucket's final right row (in window order) — right rows only,
+        # so this summary is #right-rows in, #buckets out
+        w_full = (
+            W.partitionBy(*on, "_bkt").orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        co = rt_b
+        for c in carried:
+            co = co.withColumn(c, F.last(c, ignorenulls=True).over(w_full))
+        co = co.select(*on, "_bkt", *carried).dropDuplicates([*on, "_bkt"])
+
+        # (b) carry-IN per bucket = last carry-out over EARLIER buckets
+        # (later, for forward) — a per-key window over the tiny bucket
+        # summary (#buckets rows per key, never #rows)
+        bkts = u.select(*on, "_bkt").dropDuplicates()
+        co_full = bkts.join(co, [*on, "_bkt"], "left")
+        w_carry = (
+            W.partitionBy(*on)
+            .orderBy(F.col("_bkt").asc() if backward else F.col("_bkt").desc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carry = co_full
+        for c in carried:
+            carry = carry.withColumn(c, F.last(c, ignorenulls=True).over(w_carry))
+        # carry rows sort before every real row of their bucket:
+        # _ats = bucket boundary, _side = -1 (< right's 0 at equal ts)
+        boundary = (
+            F.col("_bkt") * width if backward else (F.col("_bkt") + 1) * width - 1
+        )
+        carry = (
+            carry.filter(F.col(rts_out).isNotNull())
+            .withColumn("_ats", boundary.cast("long"))
+            .withColumn("_side", F.lit(-1))
+        )
+
+        # (c) the same window as the default plan, but per (key, bucket):
+        # max task = one key's rows in one bucket
+        u2 = u.unionByName(carry, allowMissingColumns=True)
+        w2 = W.partitionBy(*on, "_bkt").orderBy(*order).rowsBetween(*_LAST_ROWS)
+        out = u2
+        for c in carried:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w2))
+        out = out.filter(F.col("_side") == 1).drop("_ats", "_side", "_rtb", "_bkt")
     if tolerance is not None:
         gap = (
             (F.col(left_ts).cast("long") - F.col(rts_out))

@@ -120,7 +120,15 @@ def sessionize_stateful(
     applyInPandasWithState. State = the one open session per user; a batch
     closes sessions whose gap elapsed and emits them; ``emit_open``
     additionally emits the still-open session per batch (needed for
-    availableNow parity runs where the stream ends)."""
+    availableNow parity runs where the stream ends).
+
+    Skew posture: the per-key task processes ONE MICRO-BATCH of that
+    key's rows (trigger-interval-bounded), not the key's whole history —
+    state is O(1) per user (the single open session) and the watermark
+    evicts idle keys. A hot key therefore bounds a task at
+    rows-per-trigger, unlike a batch per-key window; for the batch
+    analogue's hot-key escape hatch see timeseries.asof_join's
+    ``hot_key_bucket`` pattern."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState

@@ -107,6 +107,49 @@ def test_asof_join_matches_bruteforce_property(spark):
             assert got[lid] == (best[2], best[0]), (lid, got[lid], best)
 
 
+def test_asof_hot_key_bucketed_identical_to_default(spark):
+    """The skew escape hatch (hot_key_bucket) must produce EXACTLY the
+    default plan's rows — both directions, with tolerance, tiebreaks,
+    cross-bucket carry (buckets with no right rows), and a null right
+    value that lets an older row's value show through."""
+    import random
+
+    rng = random.Random(23)
+    lrows = [(rng.randint(1, 4), rng.randint(0, 2000), i) for i in range(200)]
+    rrows = [
+        (rng.randint(1, 4), rng.randint(0, 2000), 100 + i,
+         None if i % 7 == 0 else float(i))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, ["k", "t", "lid"])
+    right = spark.createDataFrame(rrows, ["k", "t", "rid", "rv"])
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 150):
+            kw = dict(on=["k"], left_ts="t", right_ts="t", right_cols=["rv", "rid"],
+                      right_tiebreak="rid", direction=direction, tolerance=tol)
+            base = {r["lid"]: (r["rv_r"], r["rid_r"], r["t_r"])
+                    for r in ts.asof_join(left, right, **kw).collect()}
+            for width in (64, 5000):  # many small buckets; one giant bucket
+                bucketed = {r["lid"]: (r["rv_r"], r["rid_r"], r["t_r"])
+                            for r in ts.asof_join(left, right, hot_key_bucket=width, **kw).collect()}
+                assert bucketed == base, (direction, tol, width)
+
+    # bucketed windows partition by (key, bucket): the physical plan must
+    # not contain a window partitioned by the bare key over the unioned
+    # data (the single-task-per-key shape) for the final pass
+    out = ts.asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                       right_cols=["rv"], hot_key_bucket=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hot_key_bucket"):
+        ts.asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                     right_cols=["rv"], hot_key_bucket=0)
+
+
 def test_range_join_matches_bruteforce_property(spark):
     import random
 
