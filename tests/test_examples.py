@@ -57,3 +57,24 @@ def test_semantic_curation_example_runs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     allowed = {r["doc_id"] for r in docs.filter("lang IN ('en','de')").collect()}
     assert {r["doc_id"] for r in rows} <= allowed
+
+
+def test_optimize_pipeline_example_runs(spark, sf_dir):
+    """The whole MOAR loop, integration-level (VERDICT r4 item #8):
+    should_optimize probe -> estimate_cost dry-run -> directive search ->
+    the WINNING plan replays end-to-end with FakeBackend."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from optimize_pipeline import main
+
+    from docetl_spark import FakeBackend
+
+    out = main(spark=spark, sf_dir=sf_dir, backend=FakeBackend(), max_iterations=6)
+    assert out["explored"] >= 2          # the search actually explored
+    assert out["cost_best"] <= out["cost_before"]  # Pareto-best no worse
+    assert out["rows"] > 0               # winning plan executed
+    assert {"sentiment", "summary"} <= set(out["columns"])
+    assert out["winning_ops"][0] == "scan"
+    v = out["verdict"]
+    assert hasattr(v, "should_optimize") and hasattr(v, "rationale")
