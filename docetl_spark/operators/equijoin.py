@@ -81,17 +81,22 @@ def stratified_limit_pairs(
     (count, avg lengths, distinct keys), then a single window shuffle
     partitioned by the stratum key. No driver-side pair materialization.
     """
-    llen = left.select(
-        *[F.col(k).alias(f"_lk_{k}") for k in left_keys],
-        _doc_len(left, exclude=exclude_cols).alias("_l_len"),
-    )
-    rlen = right.select(
-        *[F.col(k).alias(f"_rk_{k}") for k in right_keys],
-        _doc_len(right, exclude=exclude_cols).alias("_r_len"),
-    )
-    plen = pairs.join(llen, [f"_lk_{k}" for k in left_keys]).join(
-        rlen, [f"_rk_{k}" for k in right_keys]
-    )
+    if "_l_len" in pairs.columns and "_r_len" in pairs.columns:
+        # lengths already rode the blocking join (the caller projected
+        # them into the pair shuffle) — no re-join against the sides
+        plen = pairs
+    else:
+        llen = left.select(
+            *[F.col(k).alias(f"_lk_{k}") for k in left_keys],
+            _doc_len(left, exclude=exclude_cols).alias("_l_len"),
+        )
+        rlen = right.select(
+            *[F.col(k).alias(f"_rk_{k}") for k in right_keys],
+            _doc_len(right, exclude=exclude_cols).alias("_r_len"),
+        )
+        plen = pairs.join(llen, [f"_lk_{k}" for k in left_keys]).join(
+            rlen, [f"_rk_{k}" for k in right_keys]
+        )
     # the pair table feeds the stats agg, the distinct-key rank AND the
     # quota window — persist it so none of those re-derive the blocking
     # joins from scan (12 redundant scans observed in the un-persisted
@@ -107,7 +112,7 @@ def stratified_limit_pairs(
     ).first()
     if stats["n"] is None or stats["n"] <= limit_comparisons:
         plen.unpersist()
-        return pairs
+        return pairs.drop("_l_len", "_r_len")
     logging.getLogger(__name__).warning(
         "equijoin: %d blocked pairs exceed limit_comparisons=%d; "
         "dropping %d via stratified length sampling",
@@ -126,21 +131,28 @@ def stratified_limit_pairs(
     w_in = W.partitionBy(*key_cols).orderBy(
         F.col(other_len).desc(), *[F.col(c).asc() for c in other_cols]
     )
-    # 1-based group index over DISTINCT stratum keys via the distributed
-    # range-partitioned rank (a bare Window.orderBy would funnel every key
-    # through one partition); the ranked key table is narrow and joins
-    # back on the stratum key (broadcast when small, AQE decides).
-    from .rank import _global_row_number
+    ranked = plen.withColumn("_rn", F.row_number().over(w_in))
+    if extra == 0:
+        # the budget divides evenly: every group's quota is the constant
+        # `base`, so the distinct-key global rank (one distinct + sort +
+        # join over the pair table) is pure overhead — skip it
+        out = ranked.filter(F.col("_rn") <= base)
+    else:
+        # 1-based group index over DISTINCT stratum keys via the
+        # distributed range-partitioned rank (a bare Window.orderBy would
+        # funnel every key through one partition); the ranked key table
+        # is narrow and joins back on the stratum key (broadcast when
+        # small, AQE decides).
+        from .rank import _global_row_number
 
-    key_order = [F.col(c).asc() for c in key_cols]
-    gidx = _global_row_number(plen.select(*key_cols).distinct(), key_order, "_gidx")
-    out = (
-        plen.withColumn("_rn", F.row_number().over(w_in))
-        .join(gidx, key_cols)
-        .withColumn("_quota", F.lit(base) + F.when(F.col("_gidx") <= extra, 1).otherwise(0))
-        .filter(F.col("_rn") <= F.col("_quota"))
-        .select(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
-    )
+        key_order = [F.col(c).asc() for c in key_cols]
+        gidx = _global_row_number(plen.select(*key_cols).distinct(), key_order, "_gidx")
+        out = (
+            ranked.join(gidx, key_cols)
+            .withColumn("_quota", F.lit(base) + F.when(F.col("_gidx") <= extra, 1).otherwise(0))
+            .filter(F.col("_rn") <= F.col("_quota"))
+        )
+    out = out.select(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
     # materialize the surviving pair keys (<= limit_comparisons rows by
     # construction) so the big pair table's cache can be RELEASED now —
     # returning a lazy child of plen would pin its storage for the whole
@@ -213,11 +225,22 @@ def equijoin(
         rw = embed_column(rw, embedding_keys_right or [], emb_backend, out_col="_emb_r")
         l_emb, r_emb = "_emb_l", "_emb_r"
 
+    # when the stratified cap will run and every pair strategy sees the
+    # full rows (no banded-LSH part in the union), project the doc
+    # lengths INTO the pair shuffle — stratified_limit_pairs then skips
+    # two re-joins against the sides (r5 spot-tightening)
+    carry_lens = limit_comparisons is not None and blocking_threshold is None
+    if carry_lens:
+        lw = lw.withColumn("_l_len", _doc_len(lw, exclude={"_emb_l", "_emb_r"}))
+        rw = rw.withColumn("_r_len", _doc_len(rw, exclude={"_emb_l", "_emb_r"}))
     a = lw.alias("left")
     b = rw.alias("right")
     pair_parts: list[DataFrame] = []
     lsel = [F.col(f"left.{k}").alias(f"_lk_{k}") for k in left_keys]
     rsel = [F.col(f"right.{k}").alias(f"_rk_{k}") for k in right_keys]
+    if carry_lens:
+        lsel = lsel + [F.col("left._l_len").alias("_l_len")]
+        rsel = rsel + [F.col("right._r_len").alias("_r_len")]
 
     if blocking_conditions:
         ors = None
@@ -292,7 +315,12 @@ def equijoin(
             stats["n_pairs"], total, saved,
         )
 
-    # adjudicate: join compare columns in, call backend per pair
+    # adjudicate: join compare columns in, call backend per pair. The
+    # full payload rides INTO the Python stage anyway (the prompt needs
+    # it), so matching rows emit it back out with collision suffixes —
+    # re-assembling via two more joins against the base tables costs two
+    # extra shuffle/broadcast joins for data Arrow already holds
+    # (r5 spot-tightening of equijoin_limited).
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns]
     lfull = lw.select(*[F.col(k).alias(f"_lk_{k}") for k in left_keys],
@@ -307,11 +335,18 @@ def equijoin(
     par = left.sparkSession.sparkContext.defaultParallelism or 8
     joined = joined.repartition(par)
 
+    collisions = set(lcols) & set(rcols)
+    l_out = {c: (f"{c}_left" if c in collisions else c) for c in lcols}
+    r_out = {c: (f"{c}_right" if c in collisions else c) for c in rcols}
     key_fields = [joined.schema[f"_lk_{k}"] for k in left_keys] + [
         joined.schema[f"_rk_{k}"] for k in right_keys
     ]
-    out_schema = T.StructType(list(key_fields) + [T.StructField("_is_match", T.BooleanType(), True)])
+    payload_fields = [
+        T.StructField(l_out[c], left.schema[c].dataType, True) for c in lcols
+    ] + [T.StructField(r_out[c], right.schema[c].dataType, True) for c in rcols]
+    out_schema = T.StructType(list(key_fields) + payload_fields)
     names = out_schema.fieldNames()
+    key_names = [f"_lk_{k}" for k in left_keys] + [f"_rk_{k}" for k in right_keys]
 
     threshold = float(cascade.get("proxy_threshold", 1.0)) if cascade else None
 
@@ -321,18 +356,27 @@ def equijoin(
                 in_l = {c: r[f"_l_{c}"] for c in lcols}
                 in_r = {c: r[f"_r_{c}"] for c in rcols}
                 prompt = render_prompt(comparison_prompt, {"left": in_l, "right": in_r})
-                keys_out = {n: r[n] for n in names if n != "_is_match"}
                 if threshold is not None:
                     label, prob = backend.classify_logprob(prompt, ["true", "false"], (in_l, in_r))
                     if prob >= threshold:
-                        return {**keys_out, "_is_match": label == "true"}
-                ans = backend.complete(prompt, {"is_match": "bool"}, (in_l, in_r))
-                return {**keys_out, "_is_match": bool(ans.get("is_match"))}
+                        is_match = label == "true"
+                    else:
+                        is_match = bool(backend.complete(
+                            prompt, {"is_match": "bool"}, (in_l, in_r)).get("is_match"))
+                else:
+                    is_match = bool(backend.complete(
+                        prompt, {"is_match": "bool"}, (in_l, in_r)).get("is_match"))
+                if not is_match:
+                    return None
+                row = {n: r[n] for n in key_names}
+                row.update({l_out[c]: in_l[c] for c in lcols})
+                row.update({r_out[c]: in_r[c] for c in rcols})
+                return row
 
-            res = run_concurrently(backend, one, pdf.to_dict("records"))
+            res = [x for x in run_concurrently(backend, one, pdf.to_dict("records")) if x]
             yield pd.DataFrame(res, columns=names)
 
-    matched = joined.mapInPandas(run, schema=out_schema).filter(F.col("_is_match")).drop("_is_match")
+    matched = joined.mapInPandas(run, schema=out_schema)
 
     # per-side limits (equijoin.py:296-300): keep at most k matches per row
     limits = limits or {}
@@ -347,13 +391,4 @@ def equijoin(
         matched = matched.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= limits["right"]).drop("_rn")
 
-    # final assembly with collision suffixes
-    lo, ro = _suffix_collisions(left, right)
-    lkey_out = [k if k in lo.columns else f"{k}_left" for k in left_keys]
-    rkey_out = [k if k in ro.columns else f"{k}_right" for k in right_keys]
-    out = (
-        matched.join(lo, [F.col(f"_lk_{k}") == F.col(ko) for k, ko in zip(left_keys, lkey_out)])
-        .join(ro, [F.col(f"_rk_{k}") == F.col(ko) for k, ko in zip(right_keys, rkey_out)])
-        .drop(*[f"_lk_{k}" for k in left_keys], *[f"_rk_{k}" for k in right_keys])
-    )
-    return out
+    return matched.drop(*key_names)
