@@ -1468,6 +1468,40 @@ def events_asof_join(spark: SparkSession, sf_dir: str, *, hot_key_bucket: int | 
     )
 
 
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (the canonical Structured
+    Streaming join): a click stream inner-joins an error stream on
+    user_id where the error happened in the 30 minutes before the click.
+    Both sides watermark so buffered state evicts once no future match
+    is possible; append-mode drain. Oracle = the identical batch range
+    join — stream/batch parity is the check."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    clicks = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", "ts", "event_time")
+    errors = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "error"
+    ).select("user_id", "event_id", "ts", "event_time")
+    joined = stream_ops.stream_interval_join(
+        clicks, errors, on="user_id", lower_seconds=1800, upper_seconds=0,
+        exact_ns_col="ts",
+    ).select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("err_id"),
+        F.expr("l_ts DIV 1000000000").alias("click_epoch"),
+        F.expr("r_ts DIV 1000000000").alias("err_epoch"),
+    )
+    rows = stream_ops.run_available_now(
+        joined, checkpoint=tempfile.mkdtemp(prefix="ckpt_ivj_"), output_mode="append"
+    )
+    schema = "user_id long, click_id long, err_id long, click_epoch long, err_epoch long"
+    return stream_ops.drained_df(spark, rows, schema)
+
+
 def events_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-key skew escape hatch: same as-of semantics, windows
     partitioned by (user, 1h time bucket) with per-bucket carry-in rows —
@@ -1682,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunct_revenue": q19_disjunct_revenue,
         "events_asof_join": events_asof_join,
         "events_asof_join_bucketed": events_asof_join_bucketed,
+        "events_stream_interval_join": events_stream_interval_join,
         "events_range_join": events_range_join,
         "events_time_rollup": events_time_rollup,
     }
@@ -2943,4 +2978,15 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed (hot-key skew) as-of plan is result-identical to the
     # default plan by contract — same oracle locks the equivalence
     sql["events_asof_join_bucketed"] = sql["events_asof_join"]
+    # stream-stream interval join: oracle is the identical BATCH range
+    # join on exact nanos — stream/batch parity is the check
+    sql["events_stream_interval_join"] = """
+        SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+               epoch_ns(c.ts) // 1000000000 AS click_epoch,
+               epoch_ns(e.ts) // 1000000000 AS err_epoch
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND epoch_ns(e.ts) >= epoch_ns(c.ts) - 1800000000000
+         AND epoch_ns(e.ts) <= epoch_ns(c.ts)"""
     return sql

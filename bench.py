@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     "stream_semantic_map",
     "corpus_mixture_docs",
+    # round-5: watermarked stream-stream interval join
+    "events_stream_interval_join",
 ]
 
 

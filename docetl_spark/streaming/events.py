@@ -251,18 +251,74 @@ def drained_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=empty.schema)
 
 
-def run_available_now(stream_df: DataFrame, *, checkpoint: str, dedupe_keys: list[str] | None = None) -> list:
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    lower_seconds: int,
+    upper_seconds: int = 0,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    exact_ns_col: str | None = None,
+) -> DataFrame:
+    """Stream-stream INNER interval join: left rows pair with right rows
+    sharing ``on`` whose event_time lies in
+    ``[left.event_time - lower_seconds, left.event_time + upper_seconds]``.
+
+    This is Spark's canonical watermarked stream-stream join: BOTH sides
+    carry watermarks and the join condition includes the time range, so
+    the state store can evict a buffered row once no future arrival on
+    the other side could still match it — state is
+    O(rows inside watermark + range horizon), never O(stream history).
+    Output mode is append-only (matches become final rows; use
+    ``run_available_now(..., output_mode="append")``).
+
+    Columns arrive prefixed (``l_``/``r_``) so the two sides never
+    collide; the join key keeps the left prefix.
+
+    ``exact_ns_col``: name of an epoch-NANOS long column present on both
+    sides. When given, the semantic bounds are evaluated on the exact
+    integer nanos (timestamp columns are µs-rounded doubles upstream, so
+    a boundary pair could flip vs an exact oracle) and the watermarked
+    TIMESTAMP range — which Spark requires for state eviction — is
+    padded by 1 s each way to stay a strict superset."""
+    lsel = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    rsel = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    lt, rt = f"{left_prefix}event_time", f"{right_prefix}event_time"
+    lw = lsel.withWatermark(lt, left_watermark)
+    rw = rsel.withWatermark(rt, right_watermark)
+    pad = 1 if exact_ns_col else 0
+    cond = (
+        (F.col(f"{left_prefix}{on}") == F.col(f"{right_prefix}{on}"))
+        & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {int(lower_seconds) + pad} SECONDS"))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {int(upper_seconds) + pad} SECONDS"))
+    )
+    if exact_ns_col:
+        lns, rns = F.col(f"{left_prefix}{exact_ns_col}"), F.col(f"{right_prefix}{exact_ns_col}")
+        cond = cond & (rns >= lns - int(lower_seconds) * 1_000_000_000) & (
+            rns <= lns + int(upper_seconds) * 1_000_000_000
+        )
+    return lw.join(rw, cond, "inner").drop(f"{right_prefix}{on}")
+
+
+def run_available_now(stream_df: DataFrame, *, checkpoint: str,
+                      dedupe_keys: list[str] | None = None,
+                      output_mode: str = "update") -> list:
     """Drain the stream with the availableNow trigger into an in-memory
     sink and return the rows (test/verification harness). With
     ``dedupe_keys``, later updates replace earlier emissions (update-mode
-    sinks re-emit amended groups)."""
+    sinks re-emit amended groups). Stream-stream joins require
+    ``output_mode="append"``."""
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -170,3 +170,42 @@ def test_semantic_filter_stream_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="calibrat"):
         semantic_filter_stream(stream, "p", {"keep": "bool"}, be,
                                cascade={"guarantee": "recall", "target": 0.9})
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch range join on
+    exact nanos (boundary pairs included — the ns predicate, not the
+    µs-rounded timestamps, decides membership)."""
+    from docetl_spark.streaming.events import (
+        read_events_stream as _res,
+        run_available_now as _ran,
+        stream_interval_join,
+    )
+
+    def side(et):
+        return _res(spark, f"{EVENTS_DIR}/events.parquet").filter(
+            F.col("event_type") == et
+        ).select("user_id", "event_id", "ts", "event_time")
+
+    joined = stream_interval_join(
+        side("click"), side("error"), on="user_id",
+        lower_seconds=1800, upper_seconds=0, exact_ns_col="ts",
+    ).select("l_user_id", "l_event_id", "r_event_id")
+    rows = _ran(joined, checkpoint=str(tmp_path / "ckpt_ivj"), output_mode="append")
+    got = {(r["l_user_id"], r["l_event_id"], r["r_event_id"]) for r in rows}
+
+    ev = _batch_events(spark)
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts"))
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("eu"), F.col("event_id").alias("eid"), F.col("ts").alias("ets"))
+    want = {
+        (r["cu"], r["cid"], r["eid"])
+        for r in c.join(
+            e,
+            (F.col("cu") == F.col("eu"))
+            & (F.col("ets") >= F.col("cts") - 1800 * 10**9)
+            & (F.col("ets") <= F.col("cts")),
+        ).collect()
+    }
+    assert got == want and got
