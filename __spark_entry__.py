@@ -1468,6 +1468,24 @@ def events_asof_join(spark: SparkSession, sf_dir: str, *, hot_key_bucket: int | 
     )
 
 
+def pack_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split (next-fit) document packing (training.pack_documents):
+    whole documents laid into 256-token bins, 8 deterministic shards
+    (doc_id % 8), doc_id order; a doc that would overflow the open bin
+    starts the next one; docs over budget get their own flagged bin.
+    Oracle = a DuckDB recursive CTE replaying the next-fit recurrence."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents")
+    return training.pack_documents(
+        docs,
+        budget=256,
+        text_col="text",
+        id_cols=["doc_id"],
+        shard_expr=F.col("doc_id") % 8,
+    ).select("doc_id", "shard", "bin_id", "bin_off", "n_tokens", "overflow")
+
+
 def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (the canonical Structured
     Streaming join): a click stream inner-joins an error stream on
@@ -1717,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_asof_join_bucketed": events_asof_join_bucketed,
         "events_stream_interval_join": events_stream_interval_join,
+        "pack_documents_docs": pack_documents_docs,
         "events_range_join": events_range_join,
         "events_time_rollup": events_time_rollup,
     }
@@ -2989,4 +3008,29 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = e.user_id
          AND epoch_ns(e.ts) >= epoch_ns(c.ts) - 1800000000000
          AND epoch_ns(e.ts) <= epoch_ns(c.ts)"""
+    # next-fit packing: the sequential recurrence replays as a recursive CTE
+    sql["pack_documents_docs"] = """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+          FROM documents
+        ), nz AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM t WHERE n_tokens > 0
+        ), packed AS (
+          SELECT doc_id, shard, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
+                 n_tokens AS fill
+          FROM nz WHERE rn = 1
+          UNION ALL
+          SELECT nz.doc_id, nz.shard, nz.n_tokens, nz.rn,
+                 CASE WHEN p.fill + nz.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+                 CASE WHEN p.fill + nz.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+                 CASE WHEN p.fill + nz.n_tokens > 256 THEN nz.n_tokens ELSE p.fill + nz.n_tokens END
+          FROM packed p JOIN nz ON nz.shard = p.shard AND nz.rn = p.rn + 1
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin_id, bin_off, n_tokens,
+               n_tokens > 256 AS overflow
+        FROM packed"""
     return sql

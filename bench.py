@@ -106,8 +106,9 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     "stream_semantic_map",
     "corpus_mixture_docs",
-    # round-5: watermarked stream-stream interval join
+    # round-5: watermarked stream-stream interval join, no-split packing
     "events_stream_interval_join",
+    "pack_documents_docs",
 ]
 
 

@@ -67,7 +67,7 @@ _EXPORTABLE = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
     "code_reduce", "split", "gather", "unnest", "unnest_columns",
     "add_uuid", "sample", "topk", "rank", "extract", "resolve", "cluster",
-    "link_resolve", "limit", "pack_sequences", "sample_temperature",
+    "link_resolve", "limit", "pack_sequences", "pack_documents", "sample_temperature",
     "near_dup_minhash", "dedup_passages", "near_dup_grams",
 }
 
@@ -428,6 +428,19 @@ class SemanticFrame:
             "pack_sequences", budget=budget, **conf,
         )
 
+    def pack_documents(self, *, budget: int, **kw) -> "SemanticFrame":
+        """No-split next-fit packing (training.pack_documents): whole
+        docs into fixed-budget bins; oversized docs flagged."""
+        from .functions import training
+
+        conf = {k: v for k, v in kw.items() if k != "shard_expr"}
+        if kw.get("shard_expr") is not None:
+            conf["_shard_expr"] = True
+        return self._next(
+            training.pack_documents(self.df, budget=budget, **kw),
+            "pack_documents", budget=budget, **conf,
+        )
+
     def contamination(self, benchmark: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
         from .functions import training
 
@@ -719,9 +732,9 @@ class SemanticFrame:
                     f"{op} built from a bare callable cannot be exported; "
                     "pass the python source string instead"
                 )
-            if op == "pack_sequences" and conf.get("_shard_expr"):
+            if op in ("pack_sequences", "pack_documents") and conf.get("_shard_expr"):
                 raise ValueError(
-                    "pack_sequences built with a shard_expr Column cannot be "
+                    f"{op} built with a shard_expr Column cannot be "
                     "exported to YAML; use n_shards for replayable sharding"
                 )
             clean = {

@@ -362,6 +362,82 @@ def sample_temperature(
     return out
 
 
+def pack_documents(
+    df: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    token_col: str | None = None,
+    id_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    shard_expr: F.Column | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """NO-SPLIT (next-fit) document packing — the SFT/instruction-tuning
+    counterpart of :func:`pack_sequences`: documents stay intact; within
+    each shard they are laid into fixed-``budget`` bins in deterministic
+    order, and a document that would overflow the open bin CLOSES it and
+    starts the next one. Documents longer than the budget get a bin of
+    their own, flagged ``overflow`` (the caller truncates or drops).
+
+    Output: one row per document with ``shard, bin_id`` (bin key within
+    shard), ``bin_off`` (token offset inside the bin), ``n_tokens``,
+    ``overflow``.
+
+    The next-fit recurrence is sequential per shard: bin state threads
+    through an ``applyInPandas`` over each shard's rows (one linear pass,
+    numpy-free loop — packing is O(rows), not the bottleneck). Shards
+    bound both sort and state, as in pack_sequences; an independent
+    engine can replay the recurrence exactly (DuckDB recursive CTE — see
+    the pack_documents_docs oracle), so the whole op is hash-checkable.
+
+    Scale: ONE shuffle (groupBy shard); per-task memory is O(1) beyond
+    the Arrow batch. More shards = more parallelism.
+    """
+    ids = id_cols or [df.columns[0]]
+    order = order_cols or ids
+    toks = F.col(token_col) if token_col else token_count(F.col(text_col))
+    shard = (shard_expr if shard_expr is not None else F.pmod(F.xxhash64(*ids), F.lit(n_shards))).cast("long")
+    carry = list(dict.fromkeys([*ids, *order]))
+    base = df.select(*carry, shard.alias("shard"), toks.cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    id_fields = [base.schema[c] for c in carry]
+    out_schema = T.StructType(
+        id_fields
+        + [
+            T.StructField("shard", T.LongType(), True),
+            T.StructField("bin_id", T.LongType(), True),
+            T.StructField("bin_off", T.LongType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("overflow", T.BooleanType(), True),
+        ]
+    )
+    b = int(budget)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        bins, offs, flags = [], [], []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and fill + n > b:
+                bin_id += 1
+                fill = 0
+            first = False
+            bins.append(bin_id)
+            offs.append(fill)
+            flags.append(n > b)
+            fill += n
+        pdf["bin_id"] = bins
+        pdf["bin_off"] = offs
+        pdf["overflow"] = flags
+        return pdf[[*carry, "shard", "bin_id", "bin_off", "n_tokens", "overflow"]]
+
+    return base.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
 # ------------------------------------------------------------------ DSIR
 def _lower_tokens(col) -> F.Column:
     """Lowercased ASCII-whitespace tokens; parity shape:

@@ -133,6 +133,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     # training-pipeline ops (beyond-reference surface, COVERAGE.md)
     if t == "pack_sequences":
         return sf.pack_sequences(budget=c.pop("budget"), **c)
+    if t == "pack_documents":
+        return sf.pack_documents(budget=c.pop("budget"), **c)
     if t == "sample_temperature":
         return sf.sample_temperature(c.pop("group_col"), temperature=c.pop("temperature"), **c)
     if t == "sample_mixture":

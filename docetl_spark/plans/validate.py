@@ -25,7 +25,7 @@ _KNOWN_OPS = {
     "map", "parallel_map", "filter", "reduce", "code_map", "code_filter",
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
-    "equijoin", "step_boundary", "limit", "pack_sequences",
+    "equijoin", "step_boundary", "limit", "pack_sequences", "pack_documents",
     "sample_temperature", "sample_mixture", "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
@@ -134,8 +134,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
             issues.append(PlanIssue("error", name, f"topk method must be one of {sorted(_TOPK_METHODS)}"))
         if not op.get("k"):
             issues.append(PlanIssue("error", name, "topk needs `k`"))
-    if t == "pack_sequences" and not op.get("budget"):
-        issues.append(PlanIssue("error", name, "pack_sequences needs a positive `budget`"))
+    if t in ("pack_sequences", "pack_documents") and not op.get("budget"):
+        issues.append(PlanIssue("error", name, f"{t} needs a positive `budget`"))
     if t == "sample_temperature":
         for k in ("group_col", "temperature"):
             if not op.get(k):

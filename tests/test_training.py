@@ -530,3 +530,63 @@ def test_sample_mixture_frame_and_yaml(spark, tmp_path):
         yaml.safe_dump(cfg, f)
     got = run_yaml(spark, p, backend=FakeBackend())
     assert got.count() == out.df.count()
+
+
+def test_pack_documents_next_fit_invariants(spark):
+    """No-split packing: every doc appears once and intact; no bin except
+    an oversized singleton exceeds the budget; offsets tile each bin
+    contiguously from 0; next-fit order is doc order (a doc never skips
+    back into an earlier bin)."""
+    from docetl_spark.functions.training import pack_documents
+
+    rows = [
+        (i, " ".join(["w"] * n))
+        for i, n in enumerate([5, 9, 3, 20, 2, 2, 2, 7, 1, 16, 4])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_documents(df, budget=10, text_col="text", id_cols=["doc_id"],
+                         shard_expr=F.lit(0)).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(11))
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bid, members in by_bin.items():
+        members.sort(key=lambda r: r["bin_off"])
+        fill = 0
+        for m in members:
+            assert m["bin_off"] == fill
+            fill += m["n_tokens"]
+        if len(members) > 1:
+            assert fill <= 10
+        else:
+            assert fill <= 10 or members[0]["overflow"]
+    # oversized docs sit alone and are flagged
+    for r in out:
+        assert r["overflow"] == (r["n_tokens"] > 10)
+        if r["overflow"]:
+            assert len(by_bin[r["bin_id"]]) == 1
+    # bin ids follow doc order (next-fit never reopens a bin)
+    ordered = sorted(out, key=lambda r: r["doc_id"])
+    assert all(a["bin_id"] <= b["bin_id"] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_pack_documents_frame_verb_and_yaml(spark, tmp_path):
+    from docetl_spark import SemanticFrame
+    from docetl_spark.plans import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (3 + i % 5))) for i in range(40)], ["doc_id", "text"])
+    sf = SemanticFrame.from_df(docs).pack_documents(
+        budget=8, id_cols=["doc_id"], n_shards=4)
+    assert sf.df.count() == 40
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    cfg = {
+        "datasets": {"d": {"type": "file", "format": "parquet", "path": p}},
+        "operations": [{"name": "pk", "type": "pack_documents", "budget": 8,
+                        "id_cols": ["doc_id"], "n_shards": 4}],
+        "pipeline": {"steps": [{"name": "s1", "input": "d", "operations": ["pk"]}]},
+    }
+    out = run_pipeline(spark, cfg)
+    assert out.df.count() == 40
+    assert {"bin_id", "bin_off", "overflow"} <= set(out.df.columns)
