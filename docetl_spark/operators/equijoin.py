@@ -320,7 +320,12 @@ def equijoin(
     # it), so matching rows emit it back out with collision suffixes —
     # re-assembling via two more joins against the base tables costs two
     # extra shuffle/broadcast joins for data Arrow already holds
-    # (r5 spot-tightening of equijoin_limited).
+    # (r5 spot-tightening of equijoin_limited). Trade-off: Arrow-OUT
+    # bytes grow with match count x row width, vs the old keys-only
+    # output + 2 joins; matches are a blocking-bounded subset of pairs
+    # and the payload already paid the Arrow-IN cost, so emitting is
+    # cheaper than re-shuffling both base tables in every regime where
+    # the join sides aren't broadcast-small.
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns]
     lfull = lw.select(*[F.col(k).alias(f"_lk_{k}") for k in left_keys],

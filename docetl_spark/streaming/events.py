@@ -321,7 +321,11 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
     creates FOUR), so a small drain at 32 partitions pays 128 store
     init/commit cycles per micro-batch — measured 6.1 s -> 2.5 s on the
     interval-join drain at 8. Size it to the stateful parallelism the
-    data needs, not the session default."""
+    data needs, not the session default. The set/restore mutates the
+    SESSION conf for the query-start window: don't start other streaming
+    queries concurrently from the same session while a pinned drain is
+    starting (batch plans are unaffected — they read the conf at their
+    own action time)."""
     import uuid
 
     spark = stream_df.sparkSession
