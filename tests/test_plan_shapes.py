@@ -29,6 +29,7 @@ PLAN_ONLY = [
     "events_sessionize", "events_user_stats", "events_asof_join",
     "events_range_join", "events_time_rollup",
     "semdedup_embeddings", "corpus_mixture_plan", "corpus_mixture_docs",
+    "events_asof_join_bucketed", "pack_documents_docs",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -83,3 +84,45 @@ def test_apply_mixture_broadcasts_plan(spark):
     KB-sized dimension."""
     plan = entry.queries()["corpus_mixture_docs"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_equijoin_no_joins_above_adjudication(spark):
+    """r5: the adjudication stage emits the matched payload itself, so
+    NOTHING above the MapInPandas node may be a join — the old plan
+    re-assembled via two joins against the base tables. (The plan tree
+    prints root-first, so 'above' = before the first MapInPandas.)"""
+    df = entry.queries()["equijoin_part_supplier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("MapInPandas", 1)[0]
+    assert "MapInPandas" in plan
+    assert "Join" not in head, head
+
+
+def test_pack_documents_single_shuffle(spark):
+    """pack_documents = one groupBy-shard exchange feeding FlatMapGroups;
+    no joins, no extra exchanges above the packing stage."""
+    df = entry.queries()["pack_documents_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_asof_bucketed_windows_by_bucket(spark):
+    """The hot-key plan's final window partitions by (keys, _bkt), never
+    by the bare key over the unioned data."""
+    df = entry.queries()["events_asof_join_bucketed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every last()-carry window ordered by the row timestamp (_ats) must
+    # partition by (keys, _bkt) — a bare-key partition there would be the
+    # single-task-per-key shape this plan exists to avoid. (The one
+    # legitimate bare-key window is the carry-in pass over the BUCKET
+    # SUMMARY, which orders by _bkt, not _ats.)
+    found = 0
+    for m in re.finditer(r"Window \[[^\]]*last\([^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        part, order = m.group(1), m.group(2)
+        if "_ats" in order:
+            found += 1
+            assert "_bkt" in part, (part, order)
+    assert found >= 1, plan
