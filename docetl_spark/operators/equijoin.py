@@ -162,14 +162,6 @@ def stratified_limit_pairs(
     return out
 
 
-def _suffix_collisions(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Suffix only colliding names (equijoin.py:655-658)."""
-    collisions = set(left.columns) & set(right.columns)
-    lsel = [F.col(c).alias(f"{c}_left") if c in collisions else F.col(c) for c in left.columns]
-    rsel = [F.col(c).alias(f"{c}_right") if c in collisions else F.col(c) for c in right.columns]
-    return left.select(*lsel), right.select(*rsel)
-
-
 def equijoin(
     left: DataFrame,
     right: DataFrame,
