@@ -69,14 +69,43 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
                 h = memo[g] = zlib.crc32(g.encode("utf-8"))
             return h
 
-        out = []
-        for sh in s:
-            if sh is None or len(sh) == 0:
-                out.append(empty)
-                continue
-            h = np.fromiter((crc(g) for g in sh), dtype=np.uint64, count=len(sh))
-            perms = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
-            out.append(perms.min(axis=1).astype(np.int64).tolist())
+        # Slab-vectorized: docs are grouped until a slab holds ~64k
+        # shingles, then ONE (num_hashes x slab) permutation matrix +
+        # segment-min (reduceat) covers the whole group. Bounds peak
+        # memory at ~64 MB/slab while amortizing the per-document numpy
+        # dispatch (~2x vs the per-doc loop at sf0.1 doc sizes; an
+        # UNsliced whole-batch matrix was measured slower — 100M+ cells
+        # thrash the allocator).
+        slab_cap = 1 << 16
+        lists = s.tolist()
+        out: list = [empty] * len(lists)
+        i = 0
+        while i < len(lists):
+            j, total = i, 0
+            idxs: list[int] = []
+            lens: list[int] = []
+            while j < len(lists):
+                sh = lists[j]
+                n = len(sh) if sh is not None else 0
+                if n and total + n > slab_cap and idxs:
+                    break
+                if n:
+                    idxs.append(j)
+                    lens.append(n)
+                    total += n
+                j += 1
+            if total:
+                flat = np.fromiter(
+                    (crc(g) for k in idxs for g in lists[k]),
+                    dtype=np.uint64, count=total,
+                )
+                perms = (a[:, None] * flat[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+                starts = np.zeros(len(idxs), dtype=np.int64)
+                np.cumsum(np.array(lens[:-1], dtype=np.int64), out=starts[1:])
+                mins = np.minimum.reduceat(perms, starts, axis=1).astype(np.int64).T
+                for k, idx in enumerate(idxs):
+                    out[idx] = mins[k].tolist()
+            i = j
         return pd.Series(out)
 
     return sig(sh_col)
