@@ -336,11 +336,18 @@ class LiteLLMBackend(ModelBackend):
         msg = resp.choices[0].message
         if self.output_mode == "tools":
             calls = getattr(msg, "tool_calls", None) or []
-            if not calls:
-                # models occasionally answer in content despite the
-                # forced tool_choice — fall through to content parse
-                return json.loads(msg.content)
-            return json.loads(calls[0].function.arguments)
+            if calls:
+                return json.loads(calls[0].function.arguments)
+            # models occasionally answer in content despite the forced
+            # tool_choice — fall through to content parse
+        if msg.content is None:
+            # refusal / content-filter stop: surface a diagnosable error,
+            # not a TypeError from json.loads(None) inside an executor
+            raise ValueError(
+                f"model returned no {'tool call or ' if self.output_mode == 'tools' else ''}"
+                f"content (finish_reason="
+                f"{getattr(resp.choices[0], 'finish_reason', None)!r})"
+            )
         return json.loads(msg.content)
 
     def _call_object(self, messages: list, props: dict):

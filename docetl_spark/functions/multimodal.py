@@ -100,6 +100,12 @@ def parse_image_header(content: bytes) -> dict | None:
             if b[i] != 0xFF:
                 i += 1
                 continue
+            # JPEG pads with 0xFF fill bytes before a marker: skip runs
+            # so the fill byte isn't misread as a length-prefixed segment
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= len(b):
+                return None
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

@@ -53,7 +53,9 @@ def asof_join(
 
     Skew posture: the default plan puts each key's full timeline in ONE
     task — a key owning 10% of a 100 TB events table is a straggler (or
-    an OOM). ``hot_key_bucket`` (seconds) opts into the bucketed plan:
+    an OOM). ``hot_key_bucket`` — a bucket width in the SAME UNITS as the
+    ts columns after their cast to long (nanoseconds for epoch-ns
+    columns: one hour = 3600 * 10**9) — opts into the bucketed plan:
     windows partition by (key, ts-bucket) so the max task is one key's
     rows within one bucket, with per-bucket carry-in rows (the value a
     bucket inherits from earlier buckets, computed on the
@@ -65,7 +67,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     if hot_key_bucket is not None and hot_key_bucket <= 0:
-        raise ValueError("hot_key_bucket must be a positive number of seconds")
+        raise ValueError(
+            "hot_key_bucket must be a positive bucket width in the ts "
+            "columns' long units (ns for epoch-nanos timestamps)"
+        )
     rts_out = f"{right_ts}{suffix}"
     lt = left.withColumn("_ats", F.col(left_ts).cast("long")).withColumn("_side", F.lit(1))
     rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
@@ -100,8 +105,14 @@ def asof_join(
     else:
         backward = direction == "backward"
         width = int(hot_key_bucket)
-        u = u.withColumn("_bkt", F.floor(F.col("_ats") / width))
-        rt_b = rt.withColumn("_bkt", F.floor(F.col("_ats") / width))
+        # floor division in LONG arithmetic: `/` would go through double,
+        # whose 53-bit mantissa misbuckets ns-epoch values near bucket
+        # boundaries (e.g. 472399*3600e9 - 1 floors UP) — breaking the
+        # results-identical contract. (x - pmod(x, w)) DIV w is exact
+        # floor division for any sign.
+        bkt = F.expr(f"(_ats - pmod(_ats, {width})) DIV {width}")
+        u = u.withColumn("_bkt", bkt)
+        rt_b = rt.withColumn("_bkt", bkt)
 
         # (a) per-(key, bucket) carry-OUT: the carried values after the
         # bucket's final right row (in window order) — right rows only,

@@ -227,6 +227,20 @@ def test_tools_mode_content_fallback_parse(fake_litellm):
     assert LiteLLMBackend("gpt-4o-mini").complete("p", {"x": "str"}, None) == {"x": "c"}
 
 
+def test_no_tool_call_and_no_content_is_diagnosable(fake_litellm):
+    """A refusal (no tool_calls, content=None) must raise a clear error,
+    not TypeError from json.loads(None) inside an executor."""
+    msg = SimpleNamespace(content=None, tool_calls=None)
+    fake_litellm.next_response = SimpleNamespace(
+        choices=[SimpleNamespace(message=msg, finish_reason="content_filter")]
+    )
+    with pytest.raises(ValueError, match="content_filter"):
+        LiteLLMBackend("gpt-4o-mini").complete("p", {"x": "str"}, None)
+    with pytest.raises(ValueError, match="no content"):
+        LiteLLMBackend("gpt-4o-mini", output_mode="structured_output").complete(
+            "p", {"x": "str"}, None)
+
+
 def test_invalid_output_mode_rejected():
     with pytest.raises(ValueError, match="output mode"):
         LiteLLMBackend("gpt-4o-mini", output_mode="yaml")

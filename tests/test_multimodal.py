@@ -84,6 +84,15 @@ def _golden_webp_vp8x(w=40, h=20):
             + bytes(4) + int(w - 1).to_bytes(3, "little") + int(h - 1).to_bytes(3, "little"))
 
 
+def test_parse_image_header_jpeg_fill_bytes():
+    # JPEGs may pad with runs of 0xFF before a marker; the scan must not
+    # read a fill byte as a length-prefixed segment
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = b"\xff\xc0" + struct.pack(">H", 9) + bytes([8]) + struct.pack(">HH", 17, 31) + bytes([1])
+    padded = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof + b"\xff\xd9"
+    assert mm.parse_image_header(padded) == {"width": 31, "height": 17, "format": "jpeg"}
+
+
 def test_parse_image_header_goldens():
     assert mm.parse_image_header(_golden_png()) == {"width": 13, "height": 7, "format": "png"}
     assert mm.parse_image_header(_golden_gif()) == {"width": 21, "height": 9, "format": "gif"}

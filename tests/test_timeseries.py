@@ -150,6 +150,27 @@ def test_asof_hot_key_bucketed_identical_to_default(spark):
                      right_cols=["rv"], hot_key_bucket=0)
 
 
+def test_asof_bucketed_exact_at_ns_boundaries(spark):
+    """Bucket assignment must be LONG floor division: double-precision
+    division misbuckets epoch-ns values near bucket boundaries (e.g.
+    472399*3600e9 - 1 floors UP through a double), silently dropping the
+    match the default plan returns."""
+    W = 3_600_000_000_000  # 1h in ns
+    base = 472_398 * W
+    # right at the end of bucket 472398; left at the start of 472399
+    rows_r = [(1, base + W - 1, 7, 1.0)]
+    rows_l = [(1, base + W, 100), (1, base + W - 1, 101)]
+    left = spark.createDataFrame(rows_l, ["k", "t", "lid"])
+    right = spark.createDataFrame(rows_r, ["k", "t", "rid", "rv"])
+    kw = dict(on=["k"], left_ts="t", right_ts="t", right_cols=["rv"],
+              right_tiebreak="rid")
+    want = {r["lid"]: r["rv_r"] for r in ts.asof_join(left, right, **kw).collect()}
+    got = {r["lid"]: r["rv_r"]
+           for r in ts.asof_join(left, right, hot_key_bucket=W, **kw).collect()}
+    assert want == {100: 1.0, 101: 1.0}
+    assert got == want
+
+
 def test_range_join_matches_bruteforce_property(spark):
     import random
 
