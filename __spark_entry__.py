@@ -823,7 +823,9 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.streaming import events as stream_ops
 
     ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").withColumn(
-        "hour_epoch", (F.col("ts") / F.lit(1_000_000_000)).cast("long") - ((F.col("ts") / F.lit(1_000_000_000)).cast("long") % 3600)
+        # integer DIV: float division + cast misassigns hours for ts
+        # within double's ~256 ns error of a second boundary
+        "hour_epoch", F.expr("ts DIV 1000000000 - (ts DIV 1000000000) % 3600")
     )
     deduped = stream_ops.stream_dedup(
         ev, keys=["user_id", "event_type", "hour_epoch"], watermark="2 hours"

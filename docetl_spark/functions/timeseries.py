@@ -190,18 +190,29 @@ def range_join(
     ~ interval_len / bin_width + 1).
     """
     on = on or []
-    p = points.withColumn("_bin", (F.col(point_ts).cast("long") / bin_width).cast("long"))
+    w = int(bin_width)
+    # LONG floor division throughout: `/`+cast goes through double, whose
+    # 53-bit mantissa misbins epoch-ns values near bin boundaries (the
+    # same defect fixed in asof_join's hot-key bucketing)
+    p = points.withColumn("_pts", F.col(point_ts).cast("long")).withColumn(
+        "_bin", F.expr(f"(_pts - pmod(_pts, {w})) DIV {w}")
+    ).drop("_pts")
     # empty/inverted intervals match nothing — and would make sequence()
     # step backwards, exploding bins the interval does not cover
     intervals = intervals.filter(F.col(end_ts).cast("long") > F.col(start_ts).cast("long"))
-    iv = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                (F.col(start_ts).cast("long") / bin_width).cast("long"),
-                ((F.col(end_ts).cast("long") - 1) / bin_width).cast("long"),
-            )
-        ),
+    iv = (
+        intervals.withColumn("_ivs", F.col(start_ts).cast("long"))
+        .withColumn("_ive", F.col(end_ts).cast("long") - 1)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(_ivs - pmod(_ivs, {w})) DIV {w}"),
+                    F.expr(f"(_ive - pmod(_ive, {w})) DIV {w}"),
+                )
+            ),
+        )
+        .drop("_ivs", "_ive")
     )
     cond = [p["_bin"] == iv["_bin"]] + [p[k] == iv[k] for k in on]
     j = p.join(iv, cond, how).filter(

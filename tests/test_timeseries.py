@@ -193,3 +193,17 @@ def test_range_join_matches_bruteforce_property(spark):
         if pk == ik and s <= t < e
     )
     assert got == want
+
+
+def test_range_join_exact_at_ns_boundaries(spark):
+    """Bin assignment must be long floor division (double misbins epoch-ns
+    near bin boundaries, cf. the asof hot-key fix)."""
+    W = 3_600_000_000_000
+    b = 472_399 * W
+    points = spark.createDataFrame([(1, b - 1, 0), (1, b, 1)], ["k", "t", "pid"])
+    iv = spark.createDataFrame([(1, b - 10, b, 0), (1, b, b + 10, 1)], ["k", "s", "e", "iid"])
+    got = sorted((r["pid"], r["iid"]) for r in ts.range_join(
+        points, iv, point_ts="t", start_ts="s", end_ts="e", on=["k"],
+        bin_width=W).collect())
+    # p0 (t=b-1) is in [b-10, b) only; p1 (t=b) is in [b, b+10) only
+    assert got == [(0, 0), (1, 1)]
