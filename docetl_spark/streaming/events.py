@@ -52,7 +52,10 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = normalize_epoch_nanos(reader.parquet(path_dir))
     return stream.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
+        # exact µs construction: double division (ts/1e9) carries ~256 ns
+        # error at epoch-ns magnitudes, which can flip an event across a
+        # window/watermark boundary vs an exact-integer oracle
+        "event_time", F.expr("timestamp_micros(ts DIV 1000)")
     )
 
 
