@@ -102,20 +102,76 @@ def pptx_to_string(row: dict) -> list[dict]:
     return [{"text": "\n\n".join(slides)}]
 
 
-def azure_di_to_string(row: dict) -> list[dict]:
-    """Azure Document Intelligence parser (parsing_tools azure path).
-    Requires the azure-ai-formrecognizer SDK + credentials; gated like
-    the other heavy parsers."""
-    _require("azure.ai.formrecognizer", "azure_di_to_string")
-    raise RuntimeError(
-        "azure document intelligence requires network credentials not "
-        "available in this environment"
-    )
+def azure_di_to_string(row: dict, *, client=None) -> list[dict]:
+    """Azure Document Intelligence OCR parser (reference
+    parsing_tools.py:275-340): ``prebuilt-read`` analysis of the file at
+    ``row["path"]``, page text assembled line-by-line. The SDK client
+    builds from ``DOCUMENTINTELLIGENCE_ENDPOINT`` /
+    ``DOCUMENTINTELLIGENCE_API_KEY`` env vars behind an import probe (the
+    web_ops provider pattern); inject ``client`` to test the assembly
+    without network. One output row per document."""
+    if client is None:
+        import os  # noqa: PLC0415
+
+        _require("azure.ai.documentintelligence", "azure_di_to_string")
+        from azure.ai.documentintelligence import (  # noqa: PLC0415
+            DocumentIntelligenceClient,
+        )
+        from azure.core.credentials import AzureKeyCredential  # noqa: PLC0415
+
+        key = os.getenv("DOCUMENTINTELLIGENCE_API_KEY")
+        endpoint = os.getenv("DOCUMENTINTELLIGENCE_ENDPOINT")
+        if not key or not endpoint:
+            raise ValueError(
+                "azure_di_to_string needs DOCUMENTINTELLIGENCE_API_KEY and "
+                "DOCUMENTINTELLIGENCE_ENDPOINT environment variables"
+            )
+        client = DocumentIntelligenceClient(
+            endpoint=endpoint, credential=AzureKeyCredential(key)
+        )
+    with open(_local_path(row["path"]), "rb") as f:
+        poller = client.begin_analyze_document("prebuilt-read", f)
+    result = poller.result()
+    pages = []
+    for i, page in enumerate(getattr(result, "pages", None) or []):
+        lines = [ln.content for ln in (getattr(page, "lines", None) or [])]
+        pages.append(f"Page {i + 1}:\n" + "\n".join(lines))
+    text = "\n\n".join(pages) if pages else (getattr(result, "content", "") or "")
+    return [{"text": text}]
 
 
-def whisper_speech_to_text(row: dict) -> list[dict]:
-    _require("whisper", "whisper_speech_to_text")
-    raise RuntimeError("whisper transcription is not available in this environment")
+def whisper_speech_to_text(row: dict, *, transcribe_fn=None) -> list[dict]:
+    """Speech-to-text via litellm's whisper-1 transcription (reference
+    parsing_tools.py:53-96): files over 25 MB chunk into 10-minute
+    segments with 30-second overlap (pydub) and yield one output row per
+    chunk — the reference's list[str] return maps to the 1->N parser
+    contract. ``transcribe_fn(file_obj) -> str`` is injectable so the
+    chunking/merge plumbing tests without network."""
+    import os  # noqa: PLC0415
+
+    path = _local_path(row["path"])
+    if transcribe_fn is None:
+        litellm = _require("litellm", "whisper_speech_to_text")
+
+        def transcribe_fn(f):  # noqa: PLR0206 — provider default
+            return litellm.transcription(model="whisper-1", file=f).text
+
+    if os.path.getsize(path) > 25 * 1024 * 1024:
+        import io  # noqa: PLC0415
+
+        pydub = _require("pydub", "whisper_speech_to_text (>25MB chunking)")
+        audio = pydub.AudioSegment.from_file(path)
+        chunk_ms, overlap_ms = 10 * 60 * 1000, 30 * 1000
+        out = []
+        for i, start in enumerate(range(0, len(audio), chunk_ms - overlap_ms)):
+            buf = io.BytesIO()
+            buf.name = f"chunk_{i}_{os.path.basename(path)}.mp3"
+            audio[start : start + chunk_ms].export(buf, format="mp3")
+            buf.seek(0)
+            out.append({"chunk": i, "text": transcribe_fn(buf)})
+        return out
+    with open(path, "rb") as f:
+        return [{"text": transcribe_fn(f)}]
 
 
 def custom_parser(source: str, entry: str = "parse"):

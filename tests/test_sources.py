@@ -41,6 +41,49 @@ def test_custom_parser_from_source(spark, text_dir):
 def test_gated_parser_raises_clearly(spark):
     with pytest.raises(RuntimeError, match="fitz|pdf_to_string"):
         parsers.pdf_to_string({"path": "/nonexistent.pdf"})
+    # whisper/azure provider paths are gated the same way (litellm/SDK
+    # absent in this container) — clear errors, no silent stubs
+    with pytest.raises(RuntimeError, match="litellm|whisper"):
+        parsers.whisper_speech_to_text({"path": "/nonexistent.mp3"})
+    with pytest.raises(RuntimeError, match="azure"):
+        parsers.azure_di_to_string({"path": "/nonexistent.pdf"})
+
+
+def test_whisper_parser_with_injected_transcriber(tmp_path):
+    """Injected transcribe_fn exercises the small-file path end-to-end
+    (the reference shape: one output row with the transcript)."""
+    p = tmp_path / "clip.mp3"
+    p.write_bytes(b"\x00" * 100)
+    out = parsers.whisper_speech_to_text(
+        {"path": str(p)}, transcribe_fn=lambda f: f"transcript:{len(f.read())}"
+    )
+    assert out == [{"text": "transcript:100"}]
+
+
+def test_azure_di_parser_with_injected_client(tmp_path):
+    """Injected client exercises the prebuilt-read page/line assembly
+    (reference parsing_tools.py:275-340) without network."""
+    from types import SimpleNamespace
+
+    p = tmp_path / "scan.pdf"
+    p.write_bytes(b"%PDF-1.4")
+
+    result = SimpleNamespace(
+        content="ignored",
+        pages=[
+            SimpleNamespace(lines=[SimpleNamespace(content="hello"),
+                                   SimpleNamespace(content="world")]),
+            SimpleNamespace(lines=[SimpleNamespace(content="page two")]),
+        ],
+    )
+
+    class FakeClient:
+        def begin_analyze_document(self, model, f):
+            assert model == "prebuilt-read" and f.read().startswith(b"%PDF")
+            return SimpleNamespace(result=lambda: result)
+
+    out = parsers.azure_di_to_string({"path": str(p)}, client=FakeClient())
+    assert out == [{"text": "Page 1:\nhello\nworld\n\nPage 2:\npage two"}]
 
 
 def test_json_csv_roundtrip(spark, tmp_path):
