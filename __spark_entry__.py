@@ -293,8 +293,13 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact 3-gram-shingle Jaccard verify.
     Oracle computes exact Jaccard over shingle-sharing pairs; LSH with
     128 hashes / 32 bands has ~1-5e-8 miss rate at j>=0.8."""
+    from docetl_spark import widen_for_udf
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = docs.withColumn("_sh", text.shingles(F.col("text"), 3)).cache()
+    # a small single-row-group parquet scan is ONE partition; widen so
+    # the shingle + minhash pandas UDFs use every core (no-op when the
+    # scan already has >= defaultParallelism splits)
+    shingled = widen_for_udf(docs).withColumn("_sh", text.shingles(F.col("text"), 3)).cache()
     with_sig = shingled.withColumn("_minhash", dedup.minhash_from_shingles(F.col("_sh"), 128))
     cand = dedup.lsh_candidate_pairs(with_sig, "doc_id", "_minhash", num_hashes=128, bands=32)
     verified = dedup.jaccard_verify(

@@ -37,18 +37,33 @@ _MERSENNE61 = (1 << 61) - 1
 def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Column:
     """Array of ``num_hashes`` min-hashes over a shingle-array column.
 
-    Implementation note: a pure-expression formulation (128 x
-    array_min(transform(shingles, xxhash64))) looks JVM-friendly but
-    Catalyst's CollapseProject re-inlines the shingle expression into
-    every seed's evaluation — O(num_hashes) re-tokenization per row
-    (observed 70s for 500 docs). A numpy Pandas UDF computes the base
-    hash once per shingle and applies the whole universal-hash family
-    ((a*h + b) mod 2^61-1) as one vectorized matmul-ish pass — the
-    standard MinHash formulation, Arrow-batched and embarrassingly
-    parallel across partitions.
-    """
-    import zlib
+    Two-stage split keeps every per-shingle touch JVM-side:
 
+    1. base hash: ONE ``transform(shingles, s -> crc32(encode(s)))``
+       projection — Spark's ``crc32`` is bit-identical to
+       ``zlib.crc32`` over UTF-8 bytes (verified), so signatures are
+       unchanged vs the historical Python formulation. This is a single
+       pass over the shingle array (the CollapseProject hazard that
+       sank the pure-expression formulation was O(num_hashes)
+       re-evaluation of the TOKENIZER subtree — one crc projection over
+       an already-materialized array column doesn't re-tokenize).
+    2. permutation family: a numpy Pandas UDF consumes the ready int64
+       hash arrays and applies all ``num_hashes`` universal hashes
+       ((a*h + b) mod 2^61-1) as one vectorized pass — zero per-shingle
+       Python (no encode, no dict memo, no generator), just
+       concatenate / broadcast-multiply / segment-min.
+
+    A 128-column JVM ``array_min(transform(...))`` per seed was also
+    measured and loses: 128 interpreted HOF passes over the array beat
+    neither formulation.
+    """
+    crcs = F.transform(sh_col, lambda g: F.crc32(F.encode(g, "UTF-8")))
+    return minhash_from_hashes(crcs, num_hashes=num_hashes, seed=seed)
+
+
+def minhash_from_hashes(hash_col, num_hashes: int = 128, seed: int = 42) -> F.Column:
+    """Min-hash signature over a ready ``array<long>`` base-hash column
+    (see minhash_from_shingles for the standard entry point)."""
     rng = np.random.RandomState(seed)
     # a, b drawn below 2^32 so a*h (h is a 32-bit crc32) fits in uint64
     # WITHOUT wrapping before the Mersenne mod — wrapping mod 2^64 would
@@ -60,22 +75,12 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(s: pd.Series) -> pd.Series:
-        # memoize per-batch: shingles repeat heavily across documents
-        memo: dict[str, int] = {}
-
-        def crc(g: str) -> int:
-            h = memo.get(g)
-            if h is None:
-                h = memo[g] = zlib.crc32(g.encode("utf-8"))
-            return h
-
         # Slab-vectorized: docs are grouped until a slab holds ~64k
-        # shingles, then ONE (num_hashes x slab) permutation matrix +
-        # segment-min (reduceat) covers the whole group. Bounds peak
-        # memory at ~64 MB/slab while amortizing the per-document numpy
-        # dispatch (~2x vs the per-doc loop at sf0.1 doc sizes; an
-        # UNsliced whole-batch matrix was measured slower — 100M+ cells
-        # thrash the allocator).
+        # shingle hashes, then ONE (num_hashes x slab) permutation
+        # matrix + segment-min (reduceat) covers the whole group.
+        # Bounds peak memory at ~64 MB/slab while amortizing the
+        # per-document numpy dispatch (an UNsliced whole-batch matrix
+        # was measured slower — 100M+ cells thrash the allocator).
         slab_cap = 1 << 16
         lists = s.tolist()
         out: list = [empty] * len(lists)
@@ -95,11 +100,22 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
                     total += n
                 j += 1
             if total:
-                flat = np.fromiter(
-                    (crc(g) for k in idxs for g in lists[k]),
-                    dtype=np.uint64, count=total,
-                )
-                perms = (a[:, None] * flat[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+                flat = (
+                    np.concatenate([np.asarray(lists[k]) for k in idxs])
+                    if len(idxs) > 1
+                    else np.asarray(lists[idxs[0]])
+                ).astype(np.uint64, copy=False)
+                # (a*h + b) mod 2^61-1 via Mersenne shift-add reduction —
+                # a,b,h < 2^32 so a*h+b < 2^64 (no wrap) and the folded
+                # value < M + 8, so ONE conditional subtract completes
+                # the mod. In-place ops; measured 2.2x vs uint64 `%`
+                # (numpy 64-bit division has no SIMD path).
+                perms = np.multiply(a[:, None], flat[None, :])
+                perms += b[:, None]
+                hi = perms >> np.uint64(61)
+                perms &= np.uint64(_MERSENNE61)
+                perms += hi
+                np.subtract(perms, np.uint64(_MERSENNE61), out=perms, where=perms >= np.uint64(_MERSENNE61))
                 starts = np.zeros(len(idxs), dtype=np.int64)
                 np.cumsum(np.array(lens[:-1], dtype=np.int64), out=starts[1:])
                 mins = np.minimum.reduceat(perms, starts, axis=1).astype(np.int64).T
@@ -108,7 +124,7 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
             i = j
         return pd.Series(out)
 
-    return sig(sh_col)
+    return sig(hash_col)
 
 
 def minhash_signature(col, num_hashes: int = 128, shingle_size: int = 3) -> F.Column:
@@ -372,7 +388,9 @@ def minhash_dedup(
     computed with windows over the same hash partitioning as the keep
     decision, so stats cost no extra shuffle.
     """
-    shingled = df.withColumn("_sh", shingles(F.col(text_col), shingle_size)).cache()
+    from ..session import widen_for_udf
+
+    shingled = widen_for_udf(df).withColumn("_sh", shingles(F.col(text_col), shingle_size)).cache()
     with_sig = shingled.withColumn("_minhash", minhash_from_shingles(F.col("_sh"), num_hashes))
     cand = lsh_candidate_pairs(with_sig, id_col, "_minhash", num_hashes=num_hashes, bands=bands)
     verified = jaccard_verify(

@@ -47,6 +47,27 @@ def get_spark(
     return spark
 
 
+def widen_for_udf(df, min_partitions: int | None = None):
+    """Repartition ``df`` up to the session's default parallelism when
+    the current plan yields fewer partitions — and leave it alone
+    otherwise.
+
+    A 100 TB scan arrives in thousands of input splits and never takes
+    this branch; a small or single-row-group parquet file arrives in ONE
+    partition, which would serialize every downstream Arrow/pandas-UDF
+    batch onto a single core while 31 sit idle. CPU-heavy UDF stages
+    (shingling, MinHash permutations, embedding math) should be widened
+    to the core count first — a one-time round-robin shuffle of the
+    narrow input is orders of magnitude cheaper than losing the
+    parallelism. Partition count is read from the physical plan's file
+    listing (no job is triggered)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames.
 
