@@ -1753,18 +1753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": events_time_rollup,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
-    # (CORRECTNESS_r02-r04 == registry[:50] of that era), while the local
-    # pytest gate (test_oracle_gate.py) replays the WHOLE registry. Lead
-    # with the queries the driver has never verified plus a few core
-    # anchors for round-over-round continuity; everything else follows in
-    # the original order, so content and coverage are unchanged.
+    # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
+    # pytest gate (test_oracle_gate.py) replays the WHOLE registry.
+    # Rotation policy, as code: every key the driver has NEVER verified
+    # leads (so it lands inside the 50-key window this round), then a few
+    # core anchors for round-over-round continuity, then everything else
+    # in original order. tests/test_registry_rotation.py asserts the
+    # window invariant so registry growth can't silently push a
+    # never-verified query past position 50 again.
     anchors = [
         "q1_pricing_summary", "sem_map_sentiment", "sem_reduce_fold",
         "resolve_docs", "equijoin_part_supplier", "minhash_near_dup",
         "split_gather_docs", "events_sessionize", "ann_brute_force",
     ]
-    driver_unseen = [k for k in reg if k not in _DRIVER_VERIFIED_R2_R4]
-    lead = anchors + [k for k in driver_unseen if k not in anchors]
+    driver_unseen = [k for k in reg if k not in _DRIVER_VERIFIED]
+    lead = [k for k in driver_unseen if k not in anchors] + anchors
     return {k: reg[k] for k in lead} | {k: v for k, v in reg.items() if k not in lead}
 
 
@@ -1788,6 +1791,26 @@ _DRIVER_VERIFIED_R2_R4 = frozenset({
     "text_stats", "topk_embedding", "topk_fts",
     "unnest_columns_struct", "unnest_word_freq",
 })
+
+# the 50-key set the driver verified in round 5 (== CORRECTNESS_r05 keys)
+_DRIVER_VERIFIED_R5 = frozenset({
+    "q1_pricing_summary", "sem_map_sentiment", "sem_reduce_fold", "resolve_docs",
+    "equijoin_part_supplier", "minhash_near_dup", "split_gather_docs", "events_sessionize",
+    "ann_brute_force", "ann_ivf", "events_stream_rollup", "events_stream_dedup",
+    "stream_dedup_corpus", "events_stream_sessions", "multimodal_image_meta", "multimodal_frame_sample",
+    "pack_sequences_docs", "contamination_check", "sample_temperature_mix", "ann_lsh",
+    "pii_redact_docs", "repetition_stats_docs", "stream_decontaminate", "stream_semantic_map",
+    "corpus_mixture_plan", "corpus_mixture_docs", "sem_reduce_salted", "ann_pq",
+    "semdedup_embeddings", "rag_retrieve_context", "passage_dedup_docs", "gram_fingerprint_dups",
+    "dedup_incremental", "q4_priority_semijoin", "customers_without_orders", "set_ops_nations",
+    "fuzzy_dedup_corpus", "dsir_select_docs", "vocab_top_terms", "corpus_shard_manifest",
+    "lm_score_docs", "corpus_split_docs", "corpus_profile", "quality_model_score",
+    "q13_order_histogram", "q19_disjunct_revenue", "events_asof_join", "events_asof_join_bucketed",
+    "events_stream_interval_join", "pack_documents_docs",
+})
+
+# union ledger: everything with at least one driver-green CORRECTNESS row
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5
 
 
 def oracle_sql() -> dict[str, str]:

@@ -189,21 +189,29 @@ def main():
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     drift = round(control / CONTROL_REF_SEC, 3) if CONTROL_REF_SEC else None
+    # stdout carries ONE SHORT line: the r5 driver artifact still landed
+    # "parsed": null because a 75-query timing dict overflowed the
+    # driver's tail capture. Per-query timings live EXCLUSIVELY in
+    # bench_out.json; the stdout "queries" field holds only the 5
+    # slowest (the headline hot spots) to stay a few hundred bytes.
+    slowest = dict(sorted(
+        ((k, v) for k, v in timings.items() if v is not None),
+        key=lambda kv: -kv[1],
+    )[:5])
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
         "sf": sf,
         "control_sec": control,
         "host_drift": drift,
         "value_drift_normalized": round(total / drift, 3) if drift else None,
+        "artifact": "bench_out.json",
     }
-    # full artifact (incl. medians + reps) goes to a file the judge can
-    # read even if the driver's stdout tail-capture truncates; stdout
-    # carries ONE compact line (medians omitted to keep it small)
-    artifact = dict(payload, queries_median=medians, reps=reps,
-                    control_ref_sec=CONTROL_REF_SEC)
+    artifact = dict(payload, queries=timings, queries_median=medians,
+                    reps=reps, control_ref_sec=CONTROL_REF_SEC)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)

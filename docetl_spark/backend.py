@@ -277,27 +277,40 @@ class LiteLLMBackend(ModelBackend):
         fn = self._completion_fn or self._client().completion
         return fn(**kw)
 
-    def _complete_with_fallbacks(self, **kw) -> Any:
+    def _complete_with_fallbacks(self, messages: list, props_for_model) -> Any:
         """Try the primary model, then each fallback in order (the
-        reference's Router fallback chain, runner.py:39-88)."""
+        reference's Router fallback chain, runner.py:39-88).
+
+        The tools/response_format fragment is REBUILT per candidate
+        model: schema quirks are model-FAMILY-specific (gemini rejects
+        additionalProperties, claude rejects strict), so freezing the
+        primary's fragment would make a cross-family fallback (gpt
+        primary -> claude fallback) fail exactly when it is needed."""
         chain = [self.model] + self.fallback_models
         last_err: Exception | None = None
         for m in chain:
             try:
-                return self._completion(model=m, **kw)
+                return self._completion(
+                    model=m,
+                    messages=messages,
+                    **self._mode_kwargs(props_for_model(m), model=m),
+                    **self.kwargs,
+                )
             except Exception as e:  # noqa: BLE001 — provider errors vary
                 last_err = e
         raise last_err
 
     # -- request construction (api.py:760-900 parity) ------------------
-    def _props(self, output_schema: dict) -> dict:
+    def _props(self, output_schema: dict, model: str | None = None) -> dict:
         from .types import json_schema_of  # noqa: PLC0415
 
-        return {k: json_schema_of(v, model=self.model) for k, v in output_schema.items()}
+        return {k: json_schema_of(v, model=model or self.model) for k, v in output_schema.items()}
 
-    def _mode_kwargs(self, props: dict) -> dict:
+    def _mode_kwargs(self, props: dict, model: str | None = None) -> dict:
         """tools / response_format request fragment for one object schema
-        with the given properties (reference api.py:780-853)."""
+        with the given properties (reference api.py:780-853), gated on
+        the model ACTUALLY receiving the request (primary or fallback)."""
+        model = model or self.model
         parameters = {"type": "object", "properties": props, "required": list(props)}
         if self.output_mode == "structured_output":
             return {
@@ -312,7 +325,7 @@ class LiteLLMBackend(ModelBackend):
             }
         # tools mode (the reference default): gemini rejects
         # additionalProperties; claude rejects strict (api.py:786-838)
-        if "gemini" not in self.model and "claude" not in self.model:
+        if "gemini" not in model and "claude" not in model:
             parameters["additionalProperties"] = False
         tool = {
             "type": "function",
@@ -322,7 +335,7 @@ class LiteLLMBackend(ModelBackend):
                 "parameters": parameters,
             },
         }
-        if "claude" not in self.model:
+        if "claude" not in model:
             tool["additionalProperties"] = False
             tool["strict"] = True
         return {
@@ -337,7 +350,19 @@ class LiteLLMBackend(ModelBackend):
         if self.output_mode == "tools":
             calls = getattr(msg, "tool_calls", None) or []
             if calls:
-                return json.loads(calls[0].function.arguments)
+                args = calls[0].function.arguments
+                try:
+                    return json.loads(args)
+                except ValueError as e:
+                    # malformed tool args: carry model/finish_reason so the
+                    # executor-side failure is diagnosable (same treatment
+                    # as the no-content refusal path below)
+                    raise ValueError(
+                        f"model returned unparseable tool_call arguments "
+                        f"(model={getattr(resp, 'model', None)!r}, finish_reason="
+                        f"{getattr(resp.choices[0], 'finish_reason', None)!r}): "
+                        f"{str(args)[:200]}"
+                    ) from e
             # models occasionally answer in content despite the forced
             # tool_choice — fall through to content parse
         if msg.content is None:
@@ -350,10 +375,13 @@ class LiteLLMBackend(ModelBackend):
             )
         return json.loads(msg.content)
 
-    def _call_object(self, messages: list, props: dict):
-        return self._complete_with_fallbacks(
-            messages=messages, **self._mode_kwargs(props), **self.kwargs
-        )
+    def _call_object(self, messages: list, props_for_model):
+        """``props_for_model``: dict of ready properties, or a callable
+        (model -> properties) when the schema itself is model-dependent."""
+        if not callable(props_for_model):
+            fixed = props_for_model
+            props_for_model = lambda _m: fixed  # noqa: E731
+        return self._complete_with_fallbacks(messages, props_for_model)
 
     def complete_with_attachments(
         self, prompt: str, output_schema: dict, context: Any, attachments: list
@@ -362,24 +390,31 @@ class LiteLLMBackend(ModelBackend):
             {"type": "image_url", "image_url": {"url": a["data_url"]}} for a in attachments
         ] + [{"type": "text", "text": prompt}]
         resp = self._call_object(
-            [{"role": "user", "content": content}], self._props(output_schema)
+            [{"role": "user", "content": content}],
+            lambda m: self._props(output_schema, model=m),
         )
         return self._parse(resp)
 
     def complete(self, prompt: str, output_schema: dict, context: Any) -> dict:
         resp = self._call_object(
-            [{"role": "user", "content": prompt}], self._props(output_schema)
+            [{"role": "user", "content": prompt}],
+            lambda m: self._props(output_schema, model=m),
         )
         return self._parse(resp)
 
     def complete_batch(self, prompt: str, output_schema: dict, items: list) -> list[dict]:
-        props = self._props(output_schema)
-        item_schema = {"type": "object", "properties": props, "required": list(props)}
-        if "gemini" not in self.model:
-            item_schema["additionalProperties"] = False
+        def batch_props(m: str) -> dict:
+            item_schema = {
+                "type": "object",
+                "properties": self._props(output_schema, model=m),
+                "required": list(output_schema),
+            }
+            if "gemini" not in m:
+                item_schema["additionalProperties"] = False
+            return {"results": {"type": "array", "items": item_schema}}
+
         resp = self._call_object(
-            [{"role": "user", "content": prompt}],
-            {"results": {"type": "array", "items": item_schema}},
+            [{"role": "user", "content": prompt}], batch_props
         )
         results = self._parse(resp).get("results", [])
         # pad/truncate to the item count so row alignment is preserved

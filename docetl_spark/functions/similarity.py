@@ -423,9 +423,18 @@ def brute_force_pairs(
     # (an ungated collect would OOM the driver before any check fired).
     # ONE bounded job yields both the row count and the vector dim.
     probe = base.limit(max_broadcast_rows + 1).agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("_v")).alias("dim")
+        # size(null) = -1: clamp so an all-null vector column can't yield
+        # dim<0 -> est_bytes<=0, silently passing the byte gate and then
+        # surfacing as an opaque numpy shape error after the collect
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.greatest(F.size("_v"), F.lit(0))).alias("dim"),
     ).first()
     n, dim = probe["n"], probe["dim"] or 0
+    if n > 0 and dim <= 0:
+        raise ValueError(
+            f"brute_force_pairs: {vec_col!r} has no non-null/non-empty vectors "
+            f"in the first {n} rows — cannot compute cosine similarity"
+        )
     if n > max_broadcast_rows:
         raise ValueError(
             f"brute_force_pairs: {n} rows > max_broadcast_rows={max_broadcast_rows}; "

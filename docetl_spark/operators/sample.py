@@ -116,16 +116,25 @@ def sample_outliers(
     come from one aggregated row (per-dimension sums via posexplode +
     pivot-free groupBy) — no O(n) driver collect."""
     emb = F.col(embedding_col).cast("array<double>")
+    total: int | None = None
     if center is None or std is not None:
         stats = (
             df.select(F.posexplode(emb).alias("_pos", "_v"))
             .groupBy("_pos")
-            .agg(F.avg("_v").alias("mean"), F.avg(F.col("_v") * F.col("_v")).alias("meansq"))
+            .agg(
+                F.avg("_v").alias("mean"),
+                F.avg(F.col("_v") * F.col("_v")).alias("meansq"),
+                # row count rides the same agg (count per dim position ==
+                # row count) so the count-cutoff path below never scans
+                # the input a second time
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .orderBy("_pos")
             .collect()
         )
         means = [r["mean"] for r in stats]
         variances = [r["meansq"] - r["mean"] * r["mean"] for r in stats]
+        total = stats[0]["cnt"] if stats else 0
     if center is None:
         center = means
     dist = _euclidean(emb, center)
@@ -134,8 +143,9 @@ def sample_outliers(
     if std is not None:
         cutoff = math.sqrt(sum(max(v, 0.0) for v in variances)) * std
     else:
-        n = samples if isinstance(samples, int) else int(samples * df.count())
-        total = df.count()
+        if total is None:  # explicit center + count cutoff: one count job
+            total = df.count()
+        n = samples if isinstance(samples, int) else int(samples * total)
         kth = scored.select("_dist").orderBy("_dist").limit(min(n, total - 1) + 1).collect()
         cutoff = kth[-1]["_dist"]
 

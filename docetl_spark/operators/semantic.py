@@ -57,40 +57,12 @@ def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.Stru
 
 def widen_for_model_stage(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Model-call stages are Python-bound: their parallelism equals the
-    input partition count, and a small single-file parquet scan arrives
-    as ONE partition (below maxPartitionBytes Spark doesn't split it),
-    which would serialize every backend call onto one core. Round-robin
-    repartition scan-shaped inputs up to cluster parallelism before the
-    Python stage.
+    input partition count. Delegates to :func:`session.widen_for_udf`
+    (the canonical scan-width guard — see its docstring for the
+    width-giving-op skip rationale)."""
+    from ..session import widen_for_udf
 
-    Deliberately skipped when the plan already contains a width-giving
-    op (join/aggregate/sort/window/exchange): those inputs are at least
-    ``spark.sql.shuffle.partitions`` wide, the repartition would be a
-    pointless full shuffle at scale, and even inspecting
-    ``rdd.getNumPartitions()`` on such a plan can materialize AQE query
-    stages. Row-local semantics make the reshuffle result-invariant."""
-    if df.isStreaming:
-        return df  # .rdd is invalid on streams; micro-batch width rules apply
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism or 8
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        return df
-    # Node-header-anchored match: plan nodes print at line starts after
-    # the tree prefix ("+- ", ":  +- ", ...). A bare substring test would
-    # false-positive on user data (a column literal containing "Join")
-    # and silently skip the widening.
-    import re
-
-    if re.search(
-        r"^[\s+:|-]*(?:Join|Aggregate|Sort|Window|Repartition|RepartitionByExpression|Exchange)\b",
-        plan,
-        re.MULTILINE,
-    ):
-        return df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return widen_for_udf(df, min_partitions=min_parts)
 
 
 def run_concurrently(backend: ModelBackend, fn, items: list) -> list:

@@ -48,24 +48,46 @@ def get_spark(
 
 
 def widen_for_udf(df, min_partitions: int | None = None):
-    """Repartition ``df`` up to the session's default parallelism when
-    the current plan yields fewer partitions — and leave it alone
-    otherwise.
+    """Repartition scan-shaped ``df`` up to the session's default
+    parallelism when the plan yields fewer partitions — and leave it
+    alone otherwise. Canonical implementation behind
+    ``operators.semantic.widen_for_model_stage`` (model-call stages) and
+    the CPU-heavy Arrow-UDF stages (shingling, MinHash permutations,
+    embedding math).
 
     A 100 TB scan arrives in thousands of input splits and never takes
-    this branch; a small or single-row-group parquet file arrives in ONE
-    partition, which would serialize every downstream Arrow/pandas-UDF
-    batch onto a single core while 31 sit idle. CPU-heavy UDF stages
-    (shingling, MinHash permutations, embedding math) should be widened
-    to the core count first — a one-time round-robin shuffle of the
-    narrow input is orders of magnitude cheaper than losing the
-    parallelism. Partition count is read from the physical plan's file
-    listing (no job is triggered)."""
-    spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    the repartition branch; a small or single-row-group parquet file
+    arrives in ONE partition (below maxPartitionBytes Spark doesn't
+    split it), which would serialize every downstream Python batch onto
+    a single core while the rest sit idle. Deliberately skipped when the
+    plan already contains a width-giving op (join/aggregate/sort/window/
+    exchange): those inputs are at least ``spark.sql.shuffle.partitions``
+    wide, the repartition would be a pointless full shuffle at scale,
+    and even inspecting ``rdd.getNumPartitions()`` on such a plan can
+    materialize AQE query stages. Row-local semantics make the
+    round-robin reshuffle result-invariant."""
+    if df.isStreaming:
+        return df  # .rdd is invalid on streams; micro-batch width rules apply
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism or 8
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
         return df
-    return df.repartition(target)
+    # Node-header-anchored match: plan nodes print at line starts after
+    # the tree prefix ("+- ", ":  +- ", ...). A bare substring test would
+    # false-positive on user data (a column literal containing "Join")
+    # and silently skip the widening.
+    import re
+
+    if re.search(
+        r"^[\s+:|-]*(?:Join|Aggregate|Sort|Window|Repartition|RepartitionByExpression|Exchange)\b",
+        plan,
+        re.MULTILINE,
+    ):
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

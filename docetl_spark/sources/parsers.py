@@ -171,7 +171,10 @@ def whisper_speech_to_text(row: dict, *, transcribe_fn=None) -> list[dict]:
             out.append({"chunk": i, "text": transcribe_fn(buf)})
         return out
     with open(path, "rb") as f:
-        return [{"text": transcribe_fn(f)}]
+        # chunk=0 on the single-file path too: one dataset mixing large
+        # (chunked) and small audio files must yield ONE row schema, or
+        # downstream schema inference/union breaks
+        return [{"chunk": 0, "text": transcribe_fn(f)}]
 
 
 def custom_parser(source: str, entry: str = "parse"):

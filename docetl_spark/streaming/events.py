@@ -54,8 +54,11 @@ def read_events_stream(
     return stream.withColumn(
         # exact µs construction: double division (ts/1e9) carries ~256 ns
         # error at epoch-ns magnitudes, which can flip an event across a
-        # window/watermark boundary vs an exact-integer oracle
-        "event_time", F.expr("timestamp_micros(ts DIV 1000)")
+        # window/watermark boundary vs an exact-integer oracle. pmod
+        # first = exact FLOOR: bare DIV truncates toward zero, which
+        # rounds pre-1970 (negative) timestamps UP across a boundary —
+        # same pattern as the repo-wide (x - pmod(x, w)) DIV w bucketing.
+        "event_time", F.expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)")
     )
 
 

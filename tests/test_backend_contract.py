@@ -208,6 +208,44 @@ def test_fallback_chain_order_and_kwargs_ride_along(fake_litellm):
     assert seen[0]["tools"] == seen[1]["tools"] == seen[2]["tools"]
 
 
+def test_fallback_rebuilds_fragment_per_model_family(fake_litellm):
+    """Cross-family fallback (gpt primary -> claude fallback): the claude
+    attempt must NOT receive strict/additionalProperties, which claude
+    rejects — freezing the primary's fragment would make the fallback
+    fail exactly when it is needed."""
+    seen = []
+
+    def completion(**kw):
+        seen.append(kw)
+        if "claude" not in kw["model"]:
+            raise ConnectionError(f"{kw['model']} down")
+        return _tool_response({"x": "ok"})
+
+    fake_litellm.completion = completion
+    be = LiteLLMBackend("gpt-4o-mini", fallback_models=["claude-sonnet-4"])
+    assert be.complete("p", {"x": "str"}, None) == {"x": "ok"}
+    gpt_kw, claude_kw = seen
+    [gt] = gpt_kw["tools"]
+    assert gt["strict"] is True and gt["function"]["parameters"]["additionalProperties"] is False
+    [ct] = claude_kw["tools"]
+    assert "strict" not in ct and "additionalProperties" not in ct
+    assert "additionalProperties" not in ct["function"]["parameters"]
+
+
+def test_malformed_tool_arguments_are_diagnosable(fake_litellm):
+    """Truncated/garbage tool_call arguments must raise a ValueError that
+    carries finish_reason context, not a bare JSONDecodeError."""
+    call = SimpleNamespace(
+        function=SimpleNamespace(name="send_output", arguments='{"x": trunca')
+    )
+    msg = SimpleNamespace(content=None, tool_calls=[call])
+    fake_litellm.next_response = SimpleNamespace(
+        choices=[SimpleNamespace(message=msg, finish_reason="length")]
+    )
+    with pytest.raises(ValueError, match="length"):
+        LiteLLMBackend("gpt-4o-mini").complete("p", {"x": "str"}, None)
+
+
 def test_with_options_preserves_mode_and_adds_kwargs(fake_litellm):
     fake_litellm.next_response = _content_response({"x": "1"})
     be = LiteLLMBackend("gpt-4o-mini", output_mode="structured_output")

@@ -126,3 +126,26 @@ def test_asof_bucketed_windows_by_bucket(spark):
             found += 1
             assert "_bkt" in part, (part, order)
     assert found >= 1, plan
+
+
+def test_sample_outliers_single_scan_for_count_cutoff(spark, monkeypatch):
+    """The count-cutoff path must derive the row count from the per-dim
+    stats aggregate (one scan), never a separate df.count() — two counts
+    on the same lineage is a wasted full scan at 100 TB."""
+    from pyspark.sql import DataFrame
+
+    from docetl_spark.operators import sample as sample_op
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    out = sample_op.sample_outliers(emb, "embedding", samples=0.1)
+    rows = orig(out)  # materialize via the unpatched action
+    assert rows > 0
+    assert calls["n"] == 0, f"sample_outliers ran {calls['n']} df.count() jobs; stats agg should carry the row count"

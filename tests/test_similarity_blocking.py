@@ -427,6 +427,21 @@ def test_brute_force_pairs_byte_gate_high_dim(spark):
     assert out.count() == 0  # random gaussians aren't near-dups
 
 
+def test_brute_force_pairs_all_null_vectors_clear_error(spark):
+    # size(null) = -1: without clamping, an all-null vector column yields
+    # dim<0 -> est_bytes<=0, sails past the byte gate, and dies later as
+    # an opaque numpy shape error. Must be a clear ValueError up front.
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame([(1, None), (2, None)], schema)
+    with pytest.raises(ValueError, match="non-null"):
+        sim.brute_force_pairs(df, "vec_id", threshold=0.9)
+
+
 def test_semdedup_kmeans_path_drops_within_cluster_dups(vectors):
     # k-means fit path (bounded-sample collect): the 3 true clusters are
     # tight (cosine within a cluster ~1), so at a high threshold each

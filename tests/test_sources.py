@@ -57,7 +57,9 @@ def test_whisper_parser_with_injected_transcriber(tmp_path):
     out = parsers.whisper_speech_to_text(
         {"path": str(p)}, transcribe_fn=lambda f: f"transcript:{len(f.read())}"
     )
-    assert out == [{"text": "transcript:100"}]
+    # chunk=0 on the single-file path too: keeps ONE row schema across a
+    # dataset mixing chunked (>25MB) and small files
+    assert out == [{"chunk": 0, "text": "transcript:100"}]
 
 
 def test_azure_di_parser_with_injected_client(tmp_path):

@@ -26,6 +26,20 @@ def _batch_events(spark):
     return normalize_epoch_nanos(spark.read.parquet(f"{EVENTS_DIR}/events.parquet"))
 
 
+def test_event_time_floor_is_exact_for_negative_epoch_ns(spark):
+    """The stream reader's event_time expression must FLOOR epoch-ns to
+    microseconds: bare DIV truncates toward zero, rounding pre-1970
+    (negative) timestamps UP, which can shift an event across a
+    window/watermark boundary."""
+    df = spark.createDataFrame([(-1500,), (1500,), (-1000,), (0,)], ["ts"])
+    out = df.withColumn(
+        "event_time", F.expr("timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)")
+    ).withColumn("us", F.unix_micros("event_time")).orderBy("ts")
+    got = [r["us"] for r in out.collect()]
+    # floor(-1.5) = -2, floor(-1.0) = -1, floor(0) = 0, floor(1.5) = 1
+    assert got == [-2, -1, 0, 1]
+
+
 def test_windowed_rollup_matches_batch(spark, event_stream, tmp_path):
     out = run_available_now(
         windowed_rollup(event_stream, window="1 hour", watermark="2 hours"),
