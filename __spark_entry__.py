@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from docetl_spark import FakeBackend, ResilientBackend, SemanticFrame
-from docetl_spark.functions import dedup, similarity, text, training
+from docetl_spark.functions import dedup, similarity, text, timeseries, training
 from docetl_spark.operators import gather as gather_op, link_resolve as link_resolve_op, sample as sample_op
 
 # ---------------------------------------------------------------- helpers
@@ -387,23 +387,34 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(indexed, cents, qv, 10, n_probe=8, round_score=4)
 
 
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sessionization: 30-min-gap sessions per user (pure window exprs)."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    epoch = F.expr("ts DIV 1000000000")
-    with_gap = ev.withColumn("_prev", F.lag(epoch).over(w)).withColumn(
-        "_new", F.when(F.col("_prev").isNull() | ((epoch - F.col("_prev")) > 1800), 1).otherwise(0)
+def _sessionize_events(spark: SparkSession, sf_dir: str, hot_key_bucket: int | None) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("_e", F.expr("ts DIV 1000000000"))
+    sess = timeseries.sessionize(
+        ev, keys=["user_id"], ts_col="_e", gap=1800,
+        tiebreak="event_id", hot_key_bucket=hot_key_bucket,
     )
-    sess = with_gap.withColumn("session_id", F.sum("_new").over(w).cast("long"))
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min(epoch).alias("start_epoch"),
-            F.max(epoch).alias("end_epoch"),
+            F.min("_e").alias("start_epoch"),
+            F.max("_e").alias("end_epoch"),
         )
     )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionization: 30-min-gap sessions per user (pure window exprs;
+    timeseries.sessionize default plan — one window per key)."""
+    return _sessionize_events(spark, sf_dir, None)
+
+
+def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the skew-safe sessionize plan: 6-hour (key, bucket) windows with
+    summary-level carry/offset merge — results identical to
+    events_sessionize (same oracle), max task = one key's rows in one
+    bucket instead of one key's full timeline."""
+    return _sessionize_events(spark, sf_dir, 6 * 3600)
 
 
 def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents_docs": pack_documents_docs,
         "events_range_join": events_range_join,
         "events_time_rollup": events_time_rollup,
+        "events_sessionize_bucketed": events_sessionize_bucketed,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3069,4 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin_id, bin_off, n_tokens,
                n_tokens > 256 AS overflow
         FROM packed"""
+    # the bucketed sessionize plan is results-IDENTICAL to the default
+    # plan by construction — same oracle
+    sql["events_sessionize_bucketed"] = sql["events_sessionize"]
     return sql

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     # round-5: watermarked stream-stream interval join, no-split packing
     "events_stream_interval_join",
     "pack_documents_docs",
+    # round-6: skew-safe bucketed sessionize
+    "events_sessionize_bucketed",
 ]
 
 

@@ -259,3 +259,99 @@ def time_rollup(
     if n_extra:
         rolled = rolled.filter((F.col("_gid") < 8) | (F.col("_gid") % 8 == 7))
     return rolled.withColumn("grain", grain).drop("_gid")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    gap: int,
+    tiebreak: str | None = None,
+    hot_key_bucket: int | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: ``out_col`` counts session
+    starts (1-based) along each key's timeline; a row starts a new
+    session when it is the key's first row or arrives more than ``gap``
+    after its predecessor. ``ts_col`` is cast to long; ``gap`` is in the
+    same units. ``tiebreak`` orders equal timestamps deterministically.
+
+    Skew posture (reference sessionization is single-node and has no
+    equivalent): the default plan puts each key's full timeline in ONE
+    task — a key owning 10% of a 100 TB events table is a straggler or
+    an OOM. ``hot_key_bucket`` (a bucket width in ts units) opts into a
+    bucketed two-pass plan, results-IDENTICAL to the default:
+
+    1. windows partition by (key, ts-bucket): max task = one key's rows
+       in one bucket; a provisional session-start flag treats each
+       bucket's first row as a start;
+    2. a per-(key, bucket) summary (first_ts, last_ts, #starts — one row
+       per non-empty bucket, never per event) decides with a per-key
+       window whether each bucket's first row actually CONTINUES the
+       previous non-empty bucket's last session (first_ts - prev last_ts
+       <= gap), and prefix-sums the adjusted start counts into an
+       exclusive per-bucket offset;
+    3. joining the summary back on (key, bucket) turns the local cumsum
+       into the global id: offset + local - continues.
+
+    Sparse buckets need no special case: the summary's lag() skips empty
+    buckets, and the continuation test uses real timestamps.
+    """
+    order = [F.col("_sts").asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak is not None else []
+    )
+    base = df.withColumn("_sts", F.col(ts_col).cast("long"))
+
+    if hot_key_bucket is None:
+        w = W.partitionBy(*keys).orderBy(*order)
+        prev = F.lag("_sts").over(w)
+        new = F.when(prev.isNull() | ((F.col("_sts") - prev) > gap), 1).otherwise(0)
+        return (
+            base.withColumn("_new", new)
+            .withColumn(out_col, F.sum("_new").over(w).cast("long"))
+            .drop("_sts", "_new")
+        )
+
+    if hot_key_bucket <= 0:
+        raise ValueError("hot_key_bucket must be a positive width in ts units")
+    width = int(hot_key_bucket)
+    # exact LONG floor division (same defect class as asof/range bins:
+    # `/`+cast rounds through double and misbuckets near boundaries)
+    b = base.withColumn("_bkt", F.expr(f"(_sts - pmod(_sts, {width})) DIV {width}"))
+
+    wb = W.partitionBy(*keys, "_bkt").orderBy(*order)
+    prev = F.lag("_sts").over(wb)
+    local = (
+        b.withColumn(
+            "_new", F.when(prev.isNull() | ((F.col("_sts") - prev) > gap), 1).otherwise(0)
+        )
+        .withColumn("_loc", F.sum("_new").over(wb))
+    )
+
+    # bucket summary: one row per NON-EMPTY (key, bucket)
+    summ = local.groupBy(*keys, "_bkt").agg(
+        F.min("_sts").alias("_first"),
+        F.max("_sts").alias("_last"),
+        F.sum("_new").alias("_starts"),
+    )
+    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    prev_last = F.lag("_last").over(wk)
+    summ = summ.withColumn(
+        "_cont",
+        F.when(prev_last.isNotNull() & ((F.col("_first") - prev_last) <= gap), 1).otherwise(0),
+    )
+    adj = F.col("_starts") - F.col("_cont")
+    summ = summ.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum(adj).over(wk.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).select(*keys, "_bkt", "_cont", "_off")
+
+    out = (
+        local.join(summ, [*keys, "_bkt"])
+        .withColumn(out_col, (F.col("_off") + F.col("_loc") - F.col("_cont")).cast("long"))
+        .drop("_sts", "_bkt", "_new", "_loc", "_cont", "_off")
+    )
+    return out

@@ -12,6 +12,16 @@ doc length), so ``groupBy(doc_id).applyInPandas`` scales with the number
 of documents; rendering is pure Python string work on an already-local
 group. A window/collect_list formulation would move the same bytes —
 grouped apply keeps it one shuffle with no row duplication.
+
+Skew posture: the symmetric tail/head config takes the JVM window fast
+path, whose frames are all O(n) streaming (whole-partition or running —
+never a bounded-start/unboundedFollowing frame, which Spark recomputes
+per row = O(chunks^2) per doc); a hot doc is one spill-capable window
+task, not an OOM. The python renderer path (headers / middle sections /
+summary keys) DOES materialize one doc's chunks as one pandas frame —
+fine for split-produced chunk counts (doc_len / chunk_size), but don't
+feed it a synthetic doc_id that collapses millions of chunks into one
+group.
 """
 
 from __future__ import annotations
@@ -158,7 +168,19 @@ def _gather_window(
                        F.concat(F.lit("[Chunk "), F.lead(F.col(order_key), i).over(w).cast("string"),
                                 F.lit("]\n"), F.lead(c, i).over(w)))
             )
-    skip_next = F.sum(F.length(c)).over(w.rowsBetween(n + 1, W.unboundedFollowing))
+    # NOT sum().over(rowsBetween(n+1, unboundedFollowing)): Spark's
+    # unboundedFollowing frame recomputes the aggregate FROM SCRATCH for
+    # every row (UnboundedFollowingWindowFunctionFrame) — O(chunks^2) per
+    # document, minutes-per-task once a doc holds ~100k chunks. total -
+    # running-prefix uses only O(n) frames (whole-partition + growing);
+    # the count of rows beyond n following restores sum's empty-frame
+    # NULL semantics (no rows -> no marker, all-empty chunks -> "[... 0
+    # characters skipped ...]").
+    whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    total_len = F.sum(F.length(c)).over(whole)
+    prefix_incl = F.sum(F.length(c)).over(w.rowsBetween(W.unboundedPreceding, n))
+    beyond = F.count(F.lit(1)).over(whole) - F.row_number().over(w) - F.lit(n)
+    skip_next = F.when(beyond > 0, total_len - F.coalesce(prefix_incl, F.lit(0)))
     parts.append(
         F.when(skip_next.isNotNull(),
                F.concat(F.lit("[... "), skip_next.cast("string"), F.lit(" characters skipped ...]")))

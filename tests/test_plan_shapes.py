@@ -149,3 +149,21 @@ def test_sample_outliers_single_scan_for_count_cutoff(spark, monkeypatch):
     rows = orig(out)  # materialize via the unpatched action
     assert rows > 0
     assert calls["n"] == 0, f"sample_outliers ran {calls['n']} df.count() jobs; stats agg should carry the row count"
+
+
+def test_gather_fast_path_has_no_quadratic_window_frame(spark):
+    """Spark recomputes aggregates over (bounded, unboundedFollowing)
+    frames FROM SCRATCH per row — O(chunks^2) per document (a 300k-chunk
+    hot doc ran minutes). gather's next-context skip sum must come from
+    whole-partition total minus a running prefix; whole-partition frames
+    (unboundedpreceding, unboundedfollowing) evaluate once and stay."""
+    import re
+
+    df = entry.queries()["split_gather_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        m.group(0)
+        for m in re.finditer(r"specifiedwindowframe\(RowFrame, ([^,]+), unboundedfollowing\$\(\)\)", plan)
+        if "unboundedpreceding" not in m.group(1)
+    ]
+    assert not bad, f"quadratic unboundedFollowing frames in gather plan: {bad}"

@@ -207,3 +207,58 @@ def test_range_join_exact_at_ns_boundaries(spark):
         bin_width=W).collect())
     # p0 (t=b-1) is in [b-10, b) only; p1 (t=b) is in [b, b+10) only
     assert got == [(0, 0), (1, 1)]
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_sessionize_bucketed_identical_to_default(spark):
+    """Bucketed sessionize must reproduce the default plan exactly:
+    sessions spanning bucket boundaries, sparse (empty) buckets, equal
+    timestamps at a boundary, and a hot key owning most rows."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    # hot key: 300 events in bursts (sessions) across a wide span
+    t = 0
+    for _ in range(300):
+        t += rng.choice([5, 20, 50, 2_000, 9_000])  # mixes gaps > and < 1800
+        rows.append(("hot", t, eid)); eid += 1
+    # sparse keys: few events with huge gaps (empty buckets between)
+    for k in range(5):
+        t = rng.randrange(100)
+        for _ in range(rng.randrange(1, 8)):
+            rows.append((f"u{k}", t, eid)); eid += 1
+            t += rng.choice([10, 1800, 1801, 100_000])
+    # boundary ties: two events at the exact bucket edge
+    rows += [("edge", 7200, eid), ("edge", 7200, eid + 1), ("edge", 7201, eid + 2)]
+    df = spark.createDataFrame(rows, ["user_id", "e", "event_id"])
+
+    base = ts.sessionize(df, keys=["user_id"], ts_col="e", gap=1800, tiebreak="event_id")
+    for width in (600, 1800, 7200, 86_400):
+        b = ts.sessionize(
+            df, keys=["user_id"], ts_col="e", gap=1800,
+            tiebreak="event_id", hot_key_bucket=width,
+        )
+        assert _rows_set(b, ["user_id", "event_id", "session_id"]) == _rows_set(
+            base, ["user_id", "event_id", "session_id"]
+        ), f"bucketed sessionize diverged at width={width}"
+
+
+def test_sessionize_bucketed_plan_windows_by_bucket(spark):
+    """The heavy (per-row) windows of the bucketed plan partition by
+    (key, _bkt); only the tiny bucket-summary window may use the bare
+    key."""
+    df = spark.createDataFrame([("u", 1, 1), ("u", 2, 2)], ["user_id", "e", "event_id"])
+    out = ts.sessionize(df, keys=["user_id"], ts_col="e", gap=10,
+                        tiebreak="event_id", hot_key_bucket=100)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        exprs, part = m.group(1), m.group(2)
+        if "_sts" in m.group(3):  # row-level window (ordered by the row ts)
+            assert "_bkt" in part, (exprs, part)
