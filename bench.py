@@ -166,6 +166,30 @@ def main():
     )
     # JVM/codegen warmup on a trivial job
     spark.range(1000).agg(F.sum("id")).collect()
+    # streaming-machinery warmup: the FIRST streaming query in a session
+    # pays ~4s of one-time init (state store coordinator, listener bus,
+    # streaming codegen) that would otherwise land on whichever stream
+    # query runs first. One tiny stateful drain absorbs it. (PLANS.md
+    # round-6 drain-floor note: warm floor is ~0.3s stateless / ~0.6s
+    # stateful per availableNow drain — query-start latency, not data.)
+    import shutil
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        spark.range(10).write.mode("overwrite").parquet(f"{warm_dir}/in")
+        tiny = spark.read.parquet(f"{warm_dir}/in")
+        (
+            spark.readStream.schema(tiny.schema).parquet(f"{warm_dir}/in")
+            .groupBy((F.col("id") % 3).alias("k")).count()
+            .writeStream.format("memory").queryName("bench_stream_warm")
+            .outputMode("update").option("checkpointLocation", f"{warm_dir}/ck")
+            .trigger(availableNow=True).start().awaitTermination()
+        )
+    except Exception as e:  # pragma: no cover — warmup must never fail the bench
+        print(f"stream warmup skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
     control = run_control(spark)
 
     # N reps per query (default 2): this host's effective CPU drifts up
