@@ -1049,6 +1049,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8..16), reproducible in DuckDB via substr(md5(t),17,16), so the
     fingerprints — and therefore the pair set — are fully oracle-checked."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # narrow stays: with simhash_candidate_pairs' base cache the UDF runs
+    # ONCE, and at this corpus size one serial md5 pass beats paying a
+    # repartition (A/B: widened was ~1.7x slower warm)
     with_sh = docs.withColumn("_simhash", dedup.simhash64(F.col("text")))
     pairs = dedup.simhash_candidate_pairs(with_sh, "doc_id", "_simhash", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

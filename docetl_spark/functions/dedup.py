@@ -252,7 +252,10 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, sim_col: str = "_simhash
     chunks = [
         F.shiftright(F.col(sim_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"_c{i}") for i in range(4)
     ]
-    base = df.select(F.col(id_col).alias("_id"), F.col(sim_col).alias("_sh"), *chunks)
+    # cache: the 4 chunk self-joins reference this subtree 8 times, and
+    # without a cache each reference re-evaluates the (expensive) simhash
+    # UDF upstream. Tiny table: (id, fingerprint, 4 shorts) per row.
+    base = df.select(F.col(id_col).alias("_id"), F.col(sim_col).alias("_sh"), *chunks).cache()
     out = None
     for i in range(4):
         a, b = base.alias("a"), base.alias("b")

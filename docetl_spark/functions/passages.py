@@ -75,8 +75,11 @@ def passage_chunks(df: DataFrame, text_col: str, *, id_col: str, chunk_tokens: i
     def ch(s: pd.Series) -> pd.Series:
         return s.map(lambda t: passage_chunks_py(t, chunk_tokens))
 
+    from ..session import widen_for_udf
+
     return (
-        df.select(id_col, F.posexplode(ch(F.col(text_col))).alias("pos", "chunk"))
+        widen_for_udf(df)
+        .select(id_col, F.posexplode(ch(F.col(text_col))).alias("pos", "chunk"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
 
@@ -163,7 +166,9 @@ def sampled_gram_fps(
     def fps(s: pd.Series) -> pd.Series:
         return s.map(lambda t: sampled_gram_fps_py(t, k, prefixes))
 
-    return df.select(id_col, F.explode(fps(F.col(text_col))).alias("fp"))
+    from ..session import widen_for_udf
+
+    return widen_for_udf(df).select(id_col, F.explode(fps(F.col(text_col))).alias("fp"))
 
 
 def gram_fingerprint_pairs(

@@ -293,6 +293,10 @@ def decontaminate(
 
         return s.map(ok)
 
+    # NOT widened: the per-row kernel (hash a handful of n-grams, binary
+    # search a broadcast array) is too light to pay for a repartition at
+    # narrow-scan sizes (A/B: widening cost ~20%); wide inputs at scale
+    # parallelize naturally.
     return df.filter(clean(F.col(text_col).cast("string")))
 
 
