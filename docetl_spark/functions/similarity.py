@@ -164,10 +164,13 @@ def banded_candidate_pairs(
         threshold, target_recall=target_recall, rows_per_band=rows_per_band
     )
     planes = random_hyperplanes(vec_dim, b * rows_per_band, seed)
+    # cache: the self-join references this subtree twice, and without a
+    # cache each side re-evaluates the band-key projection (and any
+    # upstream embed stage feeding emb_col). Tiny: (id, band_key) rows.
     keyed = df.select(
         F.col(id_col).alias("_bid"),
         F.explode(lsh_band_keys(F.col(emb_col), planes, b)).alias("_bk"),
-    )
+    ).cache()
     ka, kb = keyed.alias("ba"), keyed.alias("bb")
     cand = (
         ka.join(kb, (F.col("ba._bk") == F.col("bb._bk")) & (F.col("ba._bid") < F.col("bb._bid")))

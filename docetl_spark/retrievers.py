@@ -248,11 +248,13 @@ def retrieve_context_join(
     # join-back (d * min(d, k) context entries of the same text).
     # md5 (128-bit) key: a 64-bit key's birthday collision at big-corpus
     # scale would silently DROP a distinct doc here.
+    # cache: referenced twice (embed pass + context join-back) — without
+    # it the corpus scan, md5 keying, and the dedup SHUFFLE all run twice
     c_base = (
         corpus_df.select(ctext.alias("_ctext"))
         .withColumn("_cid", F.md5(F.col("_ctext")))
         .dropDuplicates(["_cid"])
-    )
+    ).cache()
     c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
 
     if method == "lsh":
