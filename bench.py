@@ -109,8 +109,9 @@ BENCH_QUERIES = [
     # round-5: watermarked stream-stream interval join, no-split packing
     "events_stream_interval_join",
     "pack_documents_docs",
-    # round-6: skew-safe bucketed sessionize
+    # round-6: skew-safe bucketed sessionize, intra-doc repetition trim
     "events_sessionize_bucketed",
+    "trim_repeated_lines_docs",
 ]
 
 

@@ -184,6 +184,35 @@ def repetition_stats(col, ngram: int = 2) -> Column:
     return rep(col.cast("string"))
 
 
+def trim_repeated_lines(col, *, sep: str = "\n", keep_blank: bool = True) -> Column:
+    """C4/Gopher-style intra-document repetition cleanup: drop exact
+    duplicate lines, keeping the FIRST occurrence and the original
+    order. ``keep_blank=True`` (default) always keeps blank/whitespace
+    lines so paragraph structure survives; ``sep="\\n\\n"`` dedups at
+    paragraph granularity instead.
+
+    Pure JVM higher-order expressions — no UDF, no shuffle, row-local.
+    array_position inside the filter lambda makes it O(lines^2) per
+    document, which is fine at real document line counts (<= a few
+    thousand); CORPUS-wide duplicate passages are passage_dedup's job,
+    not this function's.
+
+    ``sep`` is a LITERAL separator (it is both split regex and join
+    delimiter), so regex metacharacters are escaped for the split.
+    """
+    import re as _re_mod
+
+    lines = F.split(col.cast("string"), _re_mod.escape(sep))
+
+    def keeper(x, i):
+        first = F.array_position(lines, x) == (i + F.lit(1)).cast("long")
+        if keep_blank:
+            return (F.trim(x) == "") | first
+        return first
+
+    return F.array_join(F.filter(lines, keeper), sep)
+
+
 def lang_id(col) -> Column:
     """Stopword-hit language heuristic over STOPWORDS; ties/zero -> 'und'.
 

@@ -590,3 +590,34 @@ def test_pack_documents_frame_verb_and_yaml(spark, tmp_path):
     out = run_pipeline(spark, cfg)
     assert out.df.count() == 40
     assert {"bin_id", "bin_off", "overflow"} <= set(out.df.columns)
+
+
+def test_trim_repeated_lines_semantics(spark):
+    """Exact duplicate lines drop (first kept, order preserved); blank
+    lines always survive with keep_blank; paragraph-mode dedups on the
+    blank-line separator; null/empty pass through."""
+    from docetl_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("a\nb\na\nc\nb",), ("x\n\n\nx\n\ny",), ("solo",), ("",), (None,)], ["t"]
+    )
+    got = [r["o"] for r in df.select(tx.trim_repeated_lines(F.col("t")).alias("o")).collect()]
+    assert got == ["a\nb\nc", "x\n\n\n\ny", "solo", "", None]
+
+    p = spark.createDataFrame([("p1\n\np2\n\np1\n\np3",)], ["t"])
+    assert p.select(tx.trim_repeated_lines(F.col("t"), sep="\n\n").alias("o")).first()["o"] == "p1\n\np2\n\np3"
+
+    nb = spark.createDataFrame([("a\n\n\na",)], ["t"])
+    assert nb.select(
+        tx.trim_repeated_lines(F.col("t"), keep_blank=False).alias("o")
+    ).first()["o"] == "a\n"
+
+
+def test_trim_repeated_lines_is_pure_expression(spark):
+    """No Python stage: the plan must contain no ArrowEvalPython/
+    BatchEvalPython node and no exchange."""
+    from docetl_spark.functions import text as tx
+
+    df = spark.range(5).select(F.concat(F.lit("l\nl\nm"), F.col("id").cast("string")).alias("t"))
+    plan = df.select(tx.trim_repeated_lines(F.col("t")).alias("o"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan, plan
