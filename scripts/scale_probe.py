@@ -237,6 +237,47 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             ).agg(F.count(F.lit(1)), F.sum("value_r")).collect()
         ))
 
+    # sessionize (round-6): default one-window plan; more history per
+    # user as the corpus grows
+    if want("sessionize") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path)).withColumn(
+            "_e", F.expr("ts DIV 1000000000")
+        )
+        res["sessionize"] = timed(lambda: (
+            timeseries.sessionize(
+                ev, keys=["user_id"], ts_col="_e", gap=1800, tiebreak="event_id"
+            ).agg(F.count(F.lit(1)), F.max("session_id")).collect()
+        ))
+
+    # gather fast path (round-6): per-doc window rendering; frames must
+    # stay O(n) (the quadratic unboundedFollowing regression lived here)
+    if want("gather_window"):
+        from docetl_spark.operators import gather as gather_op
+        from docetl_spark.operators import shape
+
+        def run_gather():
+            sp = shape.split(docs, "text", method="token_count",
+                             method_kwargs={"num_tokens": 20})
+            gather_op.gather(
+                sp, "text_chunk", "split_id", "split_chunk_num",
+                peripheral_chunks={"previous": {"tail": {"count": 1}},
+                                   "next": {"head": {"count": 1}}},
+            ).agg(F.count(F.lit(1)), F.sum(F.length("text_chunk_rendered"))).collect()
+
+        res["gather_window"] = timed(run_gather)
+
+    # intra-doc repetition trim (round-6): pure expression chain
+    if want("trim_lines"):
+        res["trim_lines"] = timed(lambda: (
+            docs.select(text.trim_repeated_lines(
+                F.regexp_replace(F.col("text"), r"\. ", "\n")).alias("c"))
+            .agg(F.sum(F.length("c"))).collect()
+        ))
+
     return res
 
 
