@@ -26,6 +26,14 @@ from docetl_spark.operators import gather as gather_op, link_resolve as link_res
 
 # ---------------------------------------------------------------- helpers
 
+def _epoch_s(c: str = "ts") -> F.Column:
+    """Epoch-ns -> epoch-s with exact FLOOR semantics: bare DIV truncates
+    toward zero, so pre-1970 (negative) nanos would round UP and diverge
+    from the DuckDB oracles' `//` floor division (the repo-wide
+    `(x - pmod(x, w)) DIV w` pattern)."""
+    return F.expr(f"({c} - pmod({c}, 1000000000)) DIV 1000000000")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
@@ -403,7 +411,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sessionize_events(spark: SparkSession, sf_dir: str, hot_key_bucket: int | None) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn("_e", F.expr("ts DIV 1000000000"))
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
     sess = timeseries.sessionize(
         ev, keys=["user_id"], ts_col="_e", gap=1800,
         tiebreak="event_id", hot_key_bucket=hot_key_bucket,
@@ -856,7 +864,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").withColumn(
         # integer DIV: float division + cast misassigns hours for ts
         # within double's ~256 ns error of a second boundary
-        "hour_epoch", F.expr("ts DIV 1000000000 - (ts DIV 1000000000) % 3600")
+        "hour_epoch", F.expr("(ts - pmod(ts, 1000000000)) DIV 1000000000 - ((ts - pmod(ts, 1000000000)) DIV 1000000000) % 3600")
     )
     deduped = stream_ops.stream_dedup(
         ev, keys=["user_id", "event_type", "hour_epoch"], watermark="2 hours"
@@ -1503,8 +1511,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str, *, hot_key_bucket: int | 
     )
     return out.select(
         "event_id", "user_id",
-        F.expr("ts DIV 1000000000").alias("click_epoch"),
-        F.expr("ts_r DIV 1000000000").alias("err_epoch"),
+        _epoch_s("ts").alias("click_epoch"),
+        _epoch_s("ts_r").alias("err_epoch"),
         F.col("value_r").alias("err_value"),
     )
 
@@ -1551,8 +1559,8 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_user_id").alias("user_id"),
         F.col("l_event_id").alias("click_id"),
         F.col("r_event_id").alias("err_id"),
-        F.expr("l_ts DIV 1000000000").alias("click_epoch"),
-        F.expr("r_ts DIV 1000000000").alias("err_epoch"),
+        _epoch_s("l_ts").alias("click_epoch"),
+        _epoch_s("r_ts").alias("err_epoch"),
     )
     rows = stream_ops.run_available_now(
         joined, checkpoint=tempfile.mkdtemp(prefix="ckpt_ivj_"), output_mode="append",
@@ -1581,10 +1589,10 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
     windows = (
         ev.groupBy("user_id")
-        .agg(F.min(F.expr("ts DIV 1000000000")).alias("w_start"))
+        .agg(F.min(_epoch_s("ts")).alias("w_start"))
         .withColumn("w_end", F.col("w_start") + 4 * 3600)
     )
-    pts = views.withColumn("e", F.expr("ts DIV 1000000000"))
+    pts = views.withColumn("e", _epoch_s("ts"))
     joined = tsf.range_join(
         pts, windows, point_ts="e", start_ts="w_start", end_ts="w_end",
         on=["user_id"], bin_width=3600,
@@ -1601,7 +1609,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer value cents per grain."""
     from docetl_spark.functions import timeseries as tsf
 
-    ev = _t(spark, sf_dir, "events").withColumn("e", F.expr("ts DIV 1000000000"))
+    ev = _t(spark, sf_dir, "events").withColumn("e", _epoch_s("ts"))
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     out = tsf.time_rollup(
         ev.withColumn("_cents", cents), "e",

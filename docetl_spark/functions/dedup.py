@@ -63,7 +63,15 @@ def minhash_from_shingles(sh_col, num_hashes: int = 128, seed: int = 42) -> F.Co
 
 def minhash_from_hashes(hash_col, num_hashes: int = 128, seed: int = 42) -> F.Column:
     """Min-hash signature over a ready ``array<long>`` base-hash column
-    (see minhash_from_shingles for the standard entry point)."""
+    (see minhash_from_shingles for the standard entry point).
+
+    PRECONDITION: base hashes must be 32-bit (0 <= h < 2^32, e.g.
+    crc32). The permutation family draws a,b < 2^32 so a*h+b stays
+    below 2^64 only for 32-bit h; a 64-bit hash (xxhash64, or a negative
+    long reinterpreted as uint64) would wrap mod 2^64 BEFORE the
+    Mersenne reduction, silently voiding the universal-hash collision
+    guarantee and degrading LSH recall. Enforced per slab (one cheap
+    ``max`` pass)."""
     rng = np.random.RandomState(seed)
     # a, b drawn below 2^32 so a*h (h is a 32-bit crc32) fits in uint64
     # WITHOUT wrapping before the Mersenne mod — wrapping mod 2^64 would
@@ -104,7 +112,15 @@ def minhash_from_hashes(hash_col, num_hashes: int = 128, seed: int = 42) -> F.Co
                     np.concatenate([np.asarray(lists[k]) for k in idxs])
                     if len(idxs) > 1
                     else np.asarray(lists[idxs[0]])
-                ).astype(np.uint64, copy=False)
+                )
+                if flat.size and (int(flat.max()) >= 1 << 32 or int(flat.min()) < 0):
+                    raise ValueError(
+                        "minhash_from_hashes: base hashes must be 32-bit "
+                        "(0 <= h < 2^32, e.g. crc32) — got a value outside "
+                        "that range; 64-bit hashes would wrap mod 2^64 and "
+                        "void the universal-hash guarantee"
+                    )
+                flat = flat.astype(np.uint64, copy=False)
                 # (a*h + b) mod 2^61-1 via Mersenne shift-add reduction —
                 # a,b,h < 2^32 so a*h+b < 2^64 (no wrap) and the folded
                 # value < M + 8, so ONE conditional subtract completes

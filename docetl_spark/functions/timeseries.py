@@ -66,7 +66,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-    if hot_key_bucket is not None and hot_key_bucket <= 0:
+    # int() FIRST: a fractional width in (0, 1) passes a bare > 0 check
+    # and then truncates to a divide-by-zero bucket expression
+    if hot_key_bucket is not None and int(hot_key_bucket) <= 0:
         raise ValueError(
             "hot_key_bucket must be a positive bucket width in the ts "
             "columns' long units (ns for epoch-nanos timestamps)"
@@ -313,9 +315,9 @@ def sessionize(
             .drop("_sts", "_new")
         )
 
-    if hot_key_bucket <= 0:
-        raise ValueError("hot_key_bucket must be a positive width in ts units")
     width = int(hot_key_bucket)
+    if width <= 0:  # int() FIRST: 0 < hot_key_bucket < 1 truncates to a /0 width
+        raise ValueError("hot_key_bucket must be a positive width in ts units")
     # exact LONG floor division (same defect class as asof/range bins:
     # `/`+cast rounds through double and misbuckets near boundaries)
     b = base.withColumn("_bkt", F.expr(f"(_sts - pmod(_sts, {width})) DIV {width}"))
@@ -349,9 +351,22 @@ def sessionize(
         ),
     ).select(*keys, "_bkt", "_cont", "_off")
 
+    # NULL-SAFE join back: windows partition NULL keys/timestamps into
+    # groups like any other value, but a bare equi-join would drop rows
+    # with a NULL key or NULL ts (NULL _bkt) — violating the
+    # results-identical contract. eqNullSafe keeps the join
+    # hash-partitionable (NULLs hash to one bucket).
+    sj = summ.select(
+        *[F.col(k).alias(f"_sj_{k}") for k in keys],
+        F.col("_bkt").alias("_sj_bkt"), "_cont", "_off",
+    )
+    cond = F.col("_bkt").eqNullSafe(F.col("_sj_bkt"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_sj_{k}"))
     out = (
-        local.join(summ, [*keys, "_bkt"])
+        local.join(sj, cond)
         .withColumn(out_col, (F.col("_off") + F.col("_loc") - F.col("_cont")).cast("long"))
-        .drop("_sts", "_bkt", "_new", "_loc", "_cont", "_off")
+        .drop("_sts", "_bkt", "_new", "_loc", "_cont", "_off",
+              "_sj_bkt", *[f"_sj_{k}" for k in keys])
     )
     return out

@@ -118,23 +118,29 @@ def sample_outliers(
     emb = F.col(embedding_col).cast("array<double>")
     total: int | None = None
     if center is None or std is not None:
+        # posexplode_OUTER: rows with a NULL/empty embedding yield one
+        # (_pos NULL) row, so the row count ridden on this agg equals
+        # df.count() exactly (a plain posexplode would silently shrink
+        # fraction-based sample sizes — and an all-null column would
+        # report 0 rows); the count-cutoff path below then never scans
+        # the input a second time
         stats = (
-            df.select(F.posexplode(emb).alias("_pos", "_v"))
+            df.select(F.posexplode_outer(emb).alias("_pos", "_v"))
             .groupBy("_pos")
             .agg(
                 F.avg("_v").alias("mean"),
                 F.avg(F.col("_v") * F.col("_v")).alias("meansq"),
-                # row count rides the same agg (count per dim position ==
-                # row count) so the count-cutoff path below never scans
-                # the input a second time
                 F.count(F.lit(1)).alias("cnt"),
             )
             .orderBy("_pos")
             .collect()
         )
-        means = [r["mean"] for r in stats]
-        variances = [r["meansq"] - r["mean"] * r["mean"] for r in stats]
-        total = stats[0]["cnt"] if stats else 0
+        # _pos NULL sorts first; real dims follow in order
+        null_cnt = sum(r["cnt"] for r in stats if r["_pos"] is None)
+        dim_rows = [r for r in stats if r["_pos"] is not None]
+        means = [r["mean"] for r in dim_rows]
+        variances = [r["meansq"] - r["mean"] * r["mean"] for r in dim_rows]
+        total = (dim_rows[0]["cnt"] if dim_rows else 0) + null_cnt
     if center is None:
         center = means
     dist = _euclidean(emb, center)

@@ -245,7 +245,7 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
         from docetl_spark.sources.readers import normalize_epoch_nanos
 
         ev = normalize_epoch_nanos(spark.read.parquet(events_path)).withColumn(
-            "_e", F.expr("ts DIV 1000000000")
+            "_e", F.expr("(ts - pmod(ts, 1000000000)) DIV 1000000000")
         )
         res["sessionize"] = timed(lambda: (
             timeseries.sessionize(

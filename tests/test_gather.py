@@ -112,3 +112,33 @@ def test_gather_with_doc_header_key_end_to_end(spark):
     assert by_rn[2].index("_Current Section:_") < by_rn[2].index("--- Begin Main Chunk ---")
     # rn=4 is level 1 (4 % 3 == 1): no breadcrumb
     assert "_Current Section:_" not in by_rn[4]
+
+
+def test_null_suffix_chunks_render_zero_skip_marker(spark):
+    """Chunks beyond the shown window whose content is NULL: the python
+    renderer counts len(None or '') = 0 and emits '[... 0 characters
+    skipped ...]'. The O(n) total-minus-prefix rewrite matches it (the
+    old unboundedFollowing sum returned NULL over an all-NULL frame and
+    wrongly omitted the marker)."""
+    rows = [
+        {"doc": 0, "rn": 1, "content": "head"},
+        {"doc": 0, "rn": 2, "content": "shown"},
+        {"doc": 0, "rn": 3, "content": None},
+        {"doc": 0, "rn": 4, "content": None},
+    ]
+    schema = T.StructType([
+        T.StructField("doc", T.LongType()),
+        T.StructField("rn", T.LongType()),
+        T.StructField("content", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    peripheral = {"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}}
+    fast = g.gather(df, "content", "doc", "rn", peripheral_chunks=peripheral)
+    got = {r["rn"]: r["content_rendered"] for r in fast.collect()}
+    # row 1 shows chunk 2 and skips the two NULL chunks -> 0-char marker
+    assert "[... 0 characters skipped ...]" in got[1], got[1]
+    # python renderer agrees on that row
+    chunks = sorted(rows, key=lambda r: r["rn"])
+    py = g.render_chunk(chunks, 0, peripheral, "content", "rn",
+                        "--- Begin Main Chunk ---", "--- End Main Chunk ---")
+    assert "[... 0 characters skipped ...]" in py

@@ -167,3 +167,26 @@ def test_gather_fast_path_has_no_quadratic_window_frame(spark):
         if "unboundedpreceding" not in m.group(1)
     ]
     assert not bad, f"quadratic unboundedFollowing frames in gather plan: {bad}"
+
+
+def test_sample_outliers_counts_null_embedding_rows(spark):
+    """Fraction-based sample size must be computed against ALL rows, not
+    just rows with a non-null embedding (posexplode_outer carries them);
+    an all-null column raises nothing and returns an empty result."""
+    from pyspark.sql import types as T
+
+    from docetl_spark.operators import sample as sample_op
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    rows = [(i, [float(i), 0.0]) for i in range(8)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, schema)
+    out = sample_op.sample_outliers(df, "embedding", samples=0.5)
+    # n = int(0.5 * 10-row total) = 5; NULL-distance rows sort first and
+    # occupy cutoff slots (historical df.count() semantics), so 4 real
+    # rows survive. The posexplode bug (total=8 -> n=4) would give 3.
+    assert out.count() == 4
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert sample_op.sample_outliers(allnull, "embedding", samples=0.5).count() == 0

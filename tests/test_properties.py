@@ -239,3 +239,17 @@ def test_sketch_profiling_tracks_exact_within_tolerance(spark, sf_dir):
     q_exact = docs.agg(F.expr("percentile(n_chars, 0.5)")).collect()[0][0]
     q_approx = docs.agg(F.percentile_approx("n_chars", 0.5, 1000)).collect()[0][0]
     assert abs(q_approx - q_exact) / q_exact < 0.05
+
+
+def test_minhash_from_hashes_rejects_64bit_hashes(spark):
+    """The permutation family's no-wrap guarantee only holds for 32-bit
+    base hashes; 64-bit inputs must raise, not silently degrade recall."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions import dedup
+
+    df = spark.createDataFrame([([1 << 40, 5],)], ["h"])
+    bad = df.select(dedup.minhash_from_hashes(F.col("h"), 8).alias("m"))
+    with _pytest.raises(Exception, match="32-bit"):
+        bad.collect()

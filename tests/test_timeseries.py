@@ -262,3 +262,40 @@ def test_sessionize_bucketed_plan_windows_by_bucket(spark):
         exprs, part = m.group(1), m.group(2)
         if "_sts" in m.group(3):  # row-level window (ordered by the row ts)
             assert "_bkt" in part, (exprs, part)
+
+
+def test_sessionize_bucketed_keeps_null_keys_and_timestamps(spark):
+    """NULL key / NULL ts rows group like any value in the default plan's
+    windows; the bucketed plan's summary join-back must be null-safe or
+    those rows vanish (code-review r6 finding, reproduced before fix)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("e", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    rows = [("u", 100, 1), ("u", 10_000, 2), (None, 100, 3), (None, 5_000, 4),
+            ("v", None, 5), (None, None, 6)]
+    df = spark.createDataFrame(rows, schema)
+    base = ts.sessionize(df, keys=["user_id"], ts_col="e", gap=1800, tiebreak="event_id")
+    b = ts.sessionize(df, keys=["user_id"], ts_col="e", gap=1800,
+                      tiebreak="event_id", hot_key_bucket=3600)
+    want = _rows_set(base, ["user_id", "event_id", "session_id"])
+    got = _rows_set(b, ["user_id", "event_id", "session_id"])
+    assert len(got) == len(rows), f"bucketed plan dropped rows: {got}"
+    assert got == want
+
+
+def test_hot_key_bucket_fractional_width_rejected(spark):
+    """0 < width < 1 must raise, not truncate to a divide-by-zero bucket
+    expression."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("u", 1, 1)], ["user_id", "e", "event_id"])
+    with _pytest.raises(ValueError, match="positive"):
+        ts.sessionize(df, keys=["user_id"], ts_col="e", gap=10,
+                      tiebreak="event_id", hot_key_bucket=0.5)
+    with _pytest.raises(ValueError, match="positive"):
+        ts.asof_join(df, df, on=["user_id"], left_ts="e", right_ts="e",
+                     right_cols=["event_id"], hot_key_bucket=0.5)
