@@ -214,8 +214,16 @@ def main():
             medians[name] = None
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
+    # bracket the run: co-tenant drift moves DURING the ~4-minute query
+    # loop, so a start-only control under-reports it (observed: clean
+    # start control, then untouched pure-JVM queries 1.3-1.7x slower
+    # mid-run). Report both ends; host_drift = the mean ratio.
+    control_end = run_control(spark)
     total = round(sum(v for v in timings.values() if v is not None), 3)
-    drift = round(control / CONTROL_REF_SEC, 3) if CONTROL_REF_SEC else None
+    drift = (
+        round((control + control_end) / (2 * CONTROL_REF_SEC), 3)
+        if CONTROL_REF_SEC else None
+    )
     # stdout carries ONE SHORT line: the r5 driver artifact still landed
     # "parsed": null because a 75-query timing dict overflowed the
     # driver's tail capture. Per-query timings live EXCLUSIVELY in
@@ -233,6 +241,7 @@ def main():
         "n_queries": len(timings),
         "sf": sf,
         "control_sec": control,
+        "control_end_sec": control_end,
         "host_drift": drift,
         "value_drift_normalized": round(total / drift, 3) if drift else None,
         "artifact": "bench_out.json",
