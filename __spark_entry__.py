@@ -345,6 +345,19 @@ def trim_repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 family;
+    functions/passages.py substring_dedup): every overlapping 8-token
+    window keeps its globally-first occurrence, other occurrences merge
+    into per-doc duplicated spans which are cut from the text. Unlike
+    passage_dedup's aligned chunks this removes verbatim duplication at
+    arbitrary offsets."""
+    from docetl_spark.functions import passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return passages.substring_dedup(docs, "text", id_col="doc_id", min_tokens=8)
+
+
 def sem_map_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic map with a deterministic rule backend (fast→positive,
     slow→negative, else neutral)."""
@@ -1790,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": events_time_rollup,
         "events_sessionize_bucketed": events_sessionize_bucketed,
         "trim_repeated_lines_docs": trim_repeated_lines_docs,
+        "substring_dedup_docs": substring_dedup_docs,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3133,4 +3147,44 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(line, chr(10) ORDER BY ord)
                           FILTER (WHERE rn = 1 OR trim(line) = ''), '') AS clean_text
         FROM kept GROUP BY doc_id"""
+    sql["substring_dedup_docs"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), t -> t <> '') AS tk
+          FROM documents
+        ), win AS (
+          SELECT doc_id, p - 1 AS pos,
+                 md5(array_to_string(tk[p:p+7], ' ')) AS wh
+          FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS g(p)
+          WHERE len(tk) >= 8
+        ), marked AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM win
+        ), covered AS (
+          SELECT DISTINCT doc_id, q AS cpos
+          FROM marked, UNNEST(generate_series(pos, pos + 7)) AS g(q)
+          WHERE rn > 1
+        ), stats AS (
+          SELECT doc_id, count(*) AS dup_tokens FROM covered GROUP BY doc_id
+        ), tok_rows AS (
+          SELECT doc_id, p - 1 AS pos, tk[p] AS tok
+          FROM toks, UNNEST(generate_series(1, len(tk))) AS g(p)
+        ), clean AS (
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM tok_rows t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos
+          )
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CASE WHEN len(d.tk) = 0 THEN 0.0
+                    ELSE CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / len(d.tk) END AS dup_frac,
+               coalesce(c.clean_text, '') AS clean_text
+        FROM toks d
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN clean c USING (doc_id)"""
     return sql

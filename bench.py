@@ -109,9 +109,11 @@ BENCH_QUERIES = [
     # round-5: watermarked stream-stream interval join, no-split packing
     "events_stream_interval_join",
     "pack_documents_docs",
-    # round-6: skew-safe bucketed sessionize, intra-doc repetition trim
+    # round-6: skew-safe bucketed sessionize, intra-doc repetition trim,
+    # exact-substring span dedup
     "events_sessionize_bucketed",
     "trim_repeated_lines_docs",
+    "substring_dedup_docs",
 ]
 
 

@@ -374,6 +374,17 @@ class SemanticFrame:
             "dedup_passages", text_col=text_col, id_col=id_col, chunk_tokens=chunk_tokens,
         )
 
+    def dedup_substrings(self, text_col: str, *, id_col: str, min_tokens: int = 8) -> "SemanticFrame":
+        """Exact-substring span dedup (Lee et al. 2022 family): cut every
+        non-first occurrence of any ``min_tokens``-token window, merging
+        overlapping windows into contiguous holes."""
+        from .functions import passages as passages_fn
+
+        return self._next(
+            passages_fn.substring_dedup(self.df, text_col, id_col=id_col, min_tokens=min_tokens),
+            "dedup_substrings", text_col=text_col, id_col=id_col, min_tokens=min_tokens,
+        )
+
     def near_dup_grams(self, id_col: str, text_col: str, **kw) -> "SemanticFrame":
         """Exact-substring overlap candidate pairs via sampled k-gram
         md5 fingerprints (MOSS-style)."""

@@ -16,6 +16,14 @@ pipelines:
   starts with a chosen prefix set, and join documents sharing >= m
   sampled fingerprints. Detects documents with long verbatim overlaps
   (exact-substring duplication) without comparing full texts.
+- **Exact-substring span dedup** (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better"): hash every OVERLAPPING
+  k-token window, keep the globally-first occurrence of each distinct
+  window, merge every other occurrence's [pos, pos+k) coverage into
+  per-document duplicated spans, and cut exactly those spans from the
+  text. Unlike the C4 chunk pass this removes duplicated text at
+  ARBITRARY offsets (the common case: a quote, license block, or
+  syndicated paragraph pasted mid-document), not just aligned chunks.
 
 Scale posture (the 100 TB question):
 - chunking / gram hashing is one Arrow-batched pandas pass per
@@ -131,6 +139,113 @@ def passage_dedup(
             F.coalesce("n_chunks_kept", F.lit(0)).cast("long").alias("n_chunks_kept"),
             "n_chunks_total",
         )
+    )
+
+
+_TOKENIZE_SQL = (
+    "filter(split(trim(coalesce({c}, '')), '\\\\s+'), t -> t != '')"
+)
+
+
+def substring_windows(
+    df: DataFrame, text_col: str, *, id_col: str, min_tokens: int = 8
+) -> DataFrame:
+    """(id_col, pos, wh) — md5 of every OVERLAPPING ``min_tokens``-token
+    window, pos = 0-based start token. Docs with < min_tokens tokens
+    emit nothing.
+
+    Pure JVM expression chain (split -> transform/slice/md5 ->
+    posexplode): O(tokens * k) codegen'd work per row, no Python. The
+    `sequence` upper bound is guarded so short docs never build a
+    descending sequence (Spark's sequence(0, -n) counts DOWN)."""
+    k = int(min_tokens)
+    if k < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
+    win = F.expr(
+        f"CASE WHEN size(_tk) >= {k} THEN "
+        f"transform(sequence(0, size(_tk) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(_tk, i + 1, {k})))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(id_col, tk.alias("_tk"))
+        .select(id_col, F.posexplode(win).alias("pos", "wh"))
+    )
+
+
+def substring_dedup(
+    df: DataFrame, text_col: str, *, id_col: str, min_tokens: int = 8
+) -> DataFrame:
+    """Corpus-wide exact-substring span dedup (Lee et al. 2022 family).
+
+    Every distinct ``min_tokens``-token window keeps exactly one
+    occurrence — the globally first by (id, pos) — and every OTHER
+    occurrence marks its k token positions as duplicated. Overlapping
+    marked windows merge naturally (position-set union), so a 40-token
+    verbatim span repeated elsewhere is cut as one contiguous hole, and
+    within-document self-repetition past the first occurrence is cut
+    too.
+
+    Returns (id_col, n_tokens, dup_tokens, dup_frac, clean_text) for
+    EVERY input document; clean_text is the original whitespace-token
+    sequence with duplicated positions removed (possibly '' when the
+    whole doc is covered).
+
+    Plan / 100 TB posture: window hashing is a codegen'd
+    transform+slice+md5 expression (no Python); the keeper election is
+    `groupBy(wh).agg(min(struct(id, pos)))` — map-side combinable, so a
+    boilerplate gram repeated a billion times partial-aggs per map task
+    instead of hot-keying a reducer (same design as passage_dedup); the
+    occurrence<->keeper comparison is an equi-join on the 128-bit md5
+    key (AQE skew-split handles mega-common grams); coverage explodes
+    dup occurrences k-fold then collect_set's per doc — bounded by doc
+    length, never by corpus size. Three shuffles total (election, join
+    back, per-doc coverage), all on hashed keys.
+
+    md5 (not xxhash64) so every step replays exactly in DuckDB for the
+    correctness oracle.
+
+    The source is scanned three times (window derivation feeds both
+    sides of the keeper join, plus the final rebuild), column-pruned to
+    (id, text) each time. That is deliberate: materializing the
+    exploded window table to avoid re-derivation would persist
+    ~n_tokens x 32-byte rows — larger than the corpus itself — so
+    re-scanning the pruned parquet is the cheaper side of the tradeoff
+    at 100 TB (callers with a hot cached corpus can pass a cached df)."""
+    k = int(min_tokens)
+    win = substring_windows(df, text_col, id_col=id_col, min_tokens=k)
+    keep = win.groupBy("wh").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("k")
+    )
+    dup = (
+        win.join(keep, "wh")
+        .filter(~((F.col(id_col) == F.col("k.i")) & (F.col("pos") == F.col("k.p"))))
+        .select(id_col, "pos")
+    )
+    covered = (
+        dup.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cpos")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("_cov"))
+    )
+    tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
+    base = df.select(id_col, tk.alias("_tk"))
+    n_tokens = F.size("_tk").cast("long")
+    cov = F.coalesce(F.col("_cov"), F.expr("array()").cast("array<int>"))
+    dup_tokens = F.size(cov).cast("long")
+    clean = F.concat_ws(
+        " ", F.filter("_tk", lambda t, i: ~F.array_contains(cov, i.cast("int")))
+    )
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(dup_tokens.cast("double") / n_tokens)
+        .alias("dup_frac"),
+        clean.alias("clean_text"),
     )
 
 

@@ -153,6 +153,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.dedup_semantic(c.pop("id_col"), **c)
     if t == "dedup_passages":
         return sf.dedup_passages(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "dedup_substrings":
+        return sf.dedup_substrings(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "near_dup_grams":
         return sf.near_dup_grams(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "dedup_incremental":

@@ -27,7 +27,7 @@ _KNOWN_OPS = {
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences", "pack_documents",
     "sample_temperature", "sample_mixture", "near_dup_minhash", "contamination", "decontaminate",
-    "dedup_passages", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
+    "dedup_passages", "dedup_substrings", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
 }
 
@@ -146,7 +146,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
                 issues.append(PlanIssue("error", name, f"near_dup_minhash needs `{k}`"))
     if t in ("contamination", "decontaminate") and not op.get("benchmark"):
         issues.append(PlanIssue("error", name, f"{t} needs a `benchmark` dataset ref"))
-    if t in ("dedup_passages", "near_dup_grams", "dedup_incremental"):
+    if t in ("dedup_passages", "dedup_substrings", "near_dup_grams", "dedup_incremental"):
         for k in ("id_col", "text_col"):
             if not op.get(k):
                 issues.append(PlanIssue("error", name, f"{t} needs `{k}`"))

@@ -278,6 +278,16 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             .agg(F.sum(F.length("c"))).collect()
         ))
 
+    # exact-substring span dedup (round-6): overlapping window hashes ->
+    # partial-agg keeper election -> coverage union
+    if want("substring_dedup"):
+        from docetl_spark.functions import passages
+
+        res["substring_dedup"] = timed(lambda: (
+            passages.substring_dedup(docs, "text", id_col="doc_id", min_tokens=8)
+            .agg(F.sum("dup_tokens"), F.sum(F.length("clean_text"))).collect()
+        ))
+
     return res
 
 

@@ -211,3 +211,127 @@ def test_yaml_pipeline_with_passage_ops(spark, tmp_path):
     }
     # store doc "terms of service apply" doesn't exactly match either doc -> both kept
     assert run_pipeline(spark, cfg2, backend=None).count() == 2
+
+
+# ------------------------------------------------- exact-substring dedup
+def _substring_ref(rows, k):
+    """Pure-python mirror of substring_dedup's contract."""
+    import re
+
+    ws = re.compile(r"\s+")
+    toks = {i: [t for t in ws.split((t or "").strip()) if t] for i, t in rows}
+    occ = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - k + 1):
+            occ.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+    cov = {i: set() for i in toks}
+    for lst in occ.values():
+        for (i, p) in sorted(lst)[1:]:
+            cov[i].update(range(p, p + k))
+    return {
+        i: (len(tk), len(cov[i]), " ".join(t for j, t in enumerate(tk) if j not in cov[i]))
+        for i, tk in toks.items()
+    }
+
+
+def test_substring_dedup_cuts_spans_at_arbitrary_offsets(spark):
+    span = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"one two three {span} four five"),  # same span, different offset
+        (3, "entirely unique words that never repeat anywhere else at all"),
+    ]
+    out = passages.substring_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", id_col="doc_id", min_tokens=8
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 is globally first -> untouched
+    assert got[1]["dup_tokens"] == 0 and span in got[1]["clean_text"]
+    # doc 2 loses exactly the 10-token span despite the offset mismatch
+    assert got[2]["dup_tokens"] == 10
+    assert got[2]["clean_text"] == "one two three four five"
+    assert got[3]["dup_tokens"] == 0
+
+
+def test_substring_dedup_edge_cases(spark):
+    rows = [
+        (1, "rep " * 16),          # within-doc self-repetition
+        (2, "too short"),          # < k tokens: untouched
+        (3, None),                 # null text
+        (4, "   "),                # whitespace-only
+    ]
+    out = passages.substring_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", id_col="doc_id", min_tokens=8
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 16x "rep": the 9 identical windows sit at pos 0..8; pos 0 is the
+    # keeper, pos 1..8 are dups whose [p, p+8) coverage unions to
+    # positions 1..15 — only the very first token survives
+    assert got[1]["n_tokens"] == 16 and got[1]["dup_tokens"] == 15
+    assert got[1]["clean_text"] == "rep"
+    assert got[2]["dup_tokens"] == 0 and got[2]["clean_text"] == "too short"
+    for d in (3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["clean_text"] == ""
+        assert got[d]["dup_frac"] == 0.0
+
+
+def test_substring_dedup_matches_python_mirror_random(spark):
+    """Randomized corpus with heavy cross-doc and within-doc repetition."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(12)) for _ in range(4)]
+    rows = []
+    for i in range(40):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        if rng.random() < 0.7:
+            parts.append(rng.choice(shared))
+        parts += [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows.append((i, " ".join(parts)))
+    out = passages.substring_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", id_col="doc_id", min_tokens=5
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["clean_text"]) for r in out.collect()}
+    assert got == _substring_ref(rows, 5)
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Keeper election must be a partial aggregate (not a window), and
+    window hashing must stay JVM-side (no python UDF evaluation)."""
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    out = passages.substring_dedup(df, "text", id_col="doc_id", min_tokens=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        passages.substring_dedup(df, "text", id_col="doc_id", min_tokens=0)
+
+
+def test_yaml_pipeline_dedup_substrings(spark, tmp_path):
+    import json
+
+    from docetl_spark import run_pipeline
+
+    span = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    data = tmp_path / "docs.json"
+    data.write_text(json.dumps([
+        {"doc_id": 0, "text": f"intro {span} outro"},
+        {"doc_id": 1, "text": f"other {span} words"},
+    ]))
+    cfg = {
+        "datasets": {"docs": {"type": "file", "path": str(data)}},
+        "operations": [
+            {"name": "sd", "type": "dedup_substrings", "text_col": "text",
+             "id_col": "doc_id", "min_tokens": 8},
+        ],
+        "pipeline": {"steps": [{"name": "clean", "input": "docs", "operations": ["sd"]}]},
+    }
+    got = {r["doc_id"]: r for r in run_pipeline(spark, cfg, backend=None).collect()}
+    assert got[0]["dup_tokens"] == 0
+    assert got[1]["dup_tokens"] == 9 and got[1]["clean_text"] == "other words"
