@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "events_sessionize_bucketed",
     "trim_repeated_lines_docs",
     "substring_dedup_docs",
+    "unimax_apply_docs",
 ]
 
 

@@ -498,6 +498,29 @@ class SemanticFrame:
             weight_col=weight_col, id_cols=id_cols, seed=seed,
         )
 
+    def sample_unimax(
+        self, group_col: str, *, budget: float, max_epochs: float = 1.0,
+        weight_col: str | None = None, id_cols: list | None = None, seed: str = "unimax",
+    ) -> "SemanticFrame":
+        """UniMax epoch-capped uniform sampling (Chung et al. 2023):
+        spread ``budget`` uniformly across groups, cap every group at
+        ``max_epochs`` repetitions, water-fill the freed budget; rows
+        emit floor(epochs) copies plus a deterministic fractional one
+        (upsampling included, unlike sample_mixture)."""
+        from .functions import training
+
+        src = self.df.persist()  # same double-scan hazard as sample_mixture
+        plan = training.unimax_plan(
+            src, group_col, budget=budget, max_epochs=max_epochs, weight_col=weight_col
+        )
+        out = training.apply_unimax(src, plan, group_col, id_cols=id_cols, seed=seed)
+        out._docetl_cached_input = src
+        return self._next(
+            out,
+            "sample_unimax", group_col=group_col, budget=budget, max_epochs=max_epochs,
+            weight_col=weight_col, id_cols=id_cols, seed=seed,
+        )
+
     def dsir_select(self, target: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, k: int, **kw) -> "SemanticFrame":
         """DSIR importance resampling: keep the k most target-like docs
         (hashed-unigram log-likelihood-ratio weights, deterministic

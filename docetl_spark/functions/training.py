@@ -825,3 +825,112 @@ def apply_mixture(
     draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
     out = joined.filter(draw < rate)
     return out.drop("_mx_rate") if not isinstance(plan, dict) else out
+
+
+def unimax_plan(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: float,
+    max_epochs: float = 1.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): spread a total training budget
+    UNIFORMLY across sources, except no source may repeat more than
+    ``max_epochs`` times — small sources saturate at their epoch cap and
+    the freed budget redistributes uniformly among the rest.
+
+    Closed form instead of the paper's sequential loop: with per-group
+    capacity ``cap_g = max_epochs * available_g``, the water-filling
+    solution is ``alloc_g = min(cap_g, L)`` where the level L satisfies
+    ``sum_g min(cap_g, L) = budget``. Sorting groups by capacity
+    ascending, group g is saturated iff ``cum_g + after_g * cap_g <=
+    budget`` (cum/after = running sum / groups strictly after), and
+    ``L = (budget - cum_sat) / n_unsat``. That is one tiny window pass
+    over the source-cardinality plan table — no driver loop, no
+    collect, and it replays exactly in ANSI SQL (identical ORDER BY =>
+    identical sequential double accumulation in both engines).
+
+    ``available_g`` is row count or ``sum(weight_col)`` (tokens).
+    Returns (group, available, capacity, allocated, epochs); epochs may
+    exceed 1 (upsampling) — feed to :func:`apply_unimax`. If ``budget >=
+    sum(cap)`` every group saturates and the plan under-fills; epochs
+    round to 9 decimals so the SQL replay agrees bit-for-bit."""
+    if budget <= 0:
+        raise ValueError("unimax_plan: budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("unimax_plan: max_epochs must be > 0")
+    avail_expr = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = df.groupBy(F.col(group_col).cast("string").alias("group")).agg(
+        avail_expr.cast("double").alias("available")
+    )
+    cap = F.round(F.col("available") * F.lit(float(max_epochs)), 9)
+    planned = counts.withColumn("capacity", cap)
+    # plan table is source-cardinality rows (dozens) by contract: global
+    # single-partition windows are the right plan, same as mixture_plan
+    w_ord = W.partitionBy().orderBy("capacity", "group")
+    cum = F.sum("capacity").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    n_all = F.count(F.lit(1)).over(W.partitionBy())
+    idx = F.row_number().over(w_ord)
+    after = n_all - idx
+    sat = cum + after * F.col("capacity") <= F.lit(float(budget))
+    staged = planned.select(
+        "group", "available", "capacity",
+        cum.alias("_cum"), after.alias("_after"), sat.alias("_sat"),
+    )
+    cum_sat = F.max(F.when(F.col("_sat"), F.col("_cum"))).over(W.partitionBy())
+    n_unsat = F.sum(F.when(F.col("_sat"), F.lit(0)).otherwise(F.lit(1))).over(W.partitionBy())
+    level = F.when(
+        F.col("_n_unsat") > 0,
+        (F.lit(float(budget)) - F.coalesce(F.col("_cum_sat"), F.lit(0.0))) / F.col("_n_unsat"),
+    )
+    alloc = F.when(F.col("_sat") | F.col("_level").isNull(), F.col("capacity")).otherwise(
+        F.least(F.col("capacity"), F.col("_level"))
+    )
+    return (
+        staged.withColumn("_cum_sat", cum_sat)
+        .withColumn("_n_unsat", n_unsat)
+        .withColumn("_level", level)
+        .withColumn("allocated", F.round(alloc, 6))
+        .withColumn(
+            "epochs",
+            F.when(F.col("available") > 0, F.round(F.col("allocated") / F.col("available"), 9))
+            .otherwise(F.lit(0.0)),
+        )
+        .select("group", "available", "capacity", "allocated", "epochs")
+    )
+
+
+def apply_unimax(
+    df: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    *,
+    id_cols: list[str] | None = None,
+    seed: str = "unimax",
+) -> DataFrame:
+    """Materialize a :func:`unimax_plan`, INCLUDING upsampling: each row
+    emits ``floor(epochs)`` full copies plus one more iff its
+    deterministic md5 draw falls under the fractional part (same
+    seed|ids convention as apply_mixture — SQL-replayable, no rand()).
+    Output rows carry a 1-based ``copy`` index; epochs < 1 degenerates
+    to the familiar keep/drop downsample. The plan joins in broadcast;
+    the corpus never shuffles."""
+    ids = id_cols or [df.columns[0]]
+    plan_k = plan.select(F.col("group").alias("_ux_group"), F.col("epochs").alias("_ux_epochs"))
+    joined = df.join(
+        F.broadcast(plan_k), df[group_col].cast("string") == F.col("_ux_group"), "left"
+    ).drop("_ux_group")
+    epochs = F.coalesce(F.col("_ux_epochs"), F.lit(0.0))
+    full = F.floor(epochs).cast("int")
+    frac = epochs - F.floor(epochs)
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in ids])
+    draw = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(float(16**6))
+    copies = full + F.when(draw < frac, F.lit(1)).otherwise(F.lit(0))
+    # sequence(1, 0) counts DOWN in Spark ([1, 0] — two rows!); rows with
+    # zero copies must explode an empty array and vanish
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    return joined.withColumn("copy", F.explode(seq)).drop("_ux_epochs")

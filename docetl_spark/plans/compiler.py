@@ -139,6 +139,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.sample_temperature(c.pop("group_col"), temperature=c.pop("temperature"), **c)
     if t == "sample_mixture":
         return sf.sample_mixture(c.pop("group_col"), c.pop("target_weights"), **c)
+    if t == "sample_unimax":
+        return sf.sample_unimax(c.pop("group_col"), budget=c.pop("budget"), **c)
     if t == "near_dup_minhash":
         return sf.near_dup_minhash(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "contamination":

@@ -26,7 +26,7 @@ _KNOWN_OPS = {
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences", "pack_documents",
-    "sample_temperature", "sample_mixture", "near_dup_minhash", "contamination", "decontaminate",
+    "sample_temperature", "sample_mixture", "sample_unimax", "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "dedup_substrings", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
 }
@@ -140,6 +140,10 @@ def _check_op(op: dict) -> list[PlanIssue]:
         for k in ("group_col", "temperature"):
             if not op.get(k):
                 issues.append(PlanIssue("error", name, f"sample_temperature needs `{k}`"))
+    if t == "sample_unimax":
+        for k in ("group_col", "budget"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"sample_unimax needs `{k}`"))
     if t == "near_dup_minhash":
         for k in ("id_col", "text_col"):
             if not op.get(k):

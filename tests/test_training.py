@@ -621,3 +621,89 @@ def test_trim_repeated_lines_is_pure_expression(spark):
     df = spark.range(5).select(F.concat(F.lit("l\nl\nm"), F.col("id").cast("string")).alias("t"))
     plan = df.select(tx.trim_repeated_lines(F.col("t")).alias("o"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- unimax
+def _unimax_ref(avail, budget, epochs):
+    """The paper's sequential water-filling loop (UniMax Alg. 1)."""
+    caps = sorted((epochs * c, g) for g, c in avail.items())
+    rem, n, out = budget, len(caps), {}
+    for i, (cap, g) in enumerate(caps):
+        share = rem / (n - i)
+        out[g] = min(cap, share)
+        rem -= out[g]
+    return out
+
+
+def test_unimax_plan_matches_paper_loop(spark):
+    avail = {"tiny": 10, "small": 50, "mid": 200, "big": 1000}
+    rows = [(f"d{g}{i}", g) for g, n in avail.items() for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    for budget, epochs in [(400, 2.0), (50, 1.0), (1200, 1.0), (10_000, 1.5)]:
+        plan = training.unimax_plan(df, "source", budget=budget, max_epochs=epochs)
+        got = {r["group"]: r["allocated"] for r in plan.collect()}
+        want = _unimax_ref(avail, budget, epochs)
+        assert all(abs(got[g] - want[g]) < 1e-6 for g in want), (budget, epochs, got, want)
+
+
+def test_unimax_plan_weight_col_and_epochs(spark):
+    rows = [("a", "s1", 100), ("b", "s1", 100), ("c", "s2", 1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    plan = {r["group"]: r for r in training.unimax_plan(
+        df, "source", budget=600.0, max_epochs=2.0, weight_col="n_tokens"
+    ).collect()}
+    # s1: 200 tokens, cap 400; share 300 -> saturates? 300 < 400 -> no:
+    # uniform split 300/300, s1 upsamples to 1.5 epochs, s2 downsamples
+    assert abs(plan["s1"]["allocated"] - 300.0) < 1e-6
+    assert abs(plan["s1"]["epochs"] - 1.5) < 1e-9
+    assert abs(plan["s2"]["epochs"] - 0.3) < 1e-9
+
+
+def test_apply_unimax_upsamples_and_downsamples(spark):
+    rows = [(f"d{g}{i}", g) for g, n in [("small", 20), ("big", 500)] for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    plan = training.unimax_plan(df, "source", budget=140, max_epochs=3.0)
+    # small saturates at 60 (3 epochs): every small row appears EXACTLY 3x
+    out = training.apply_unimax(df, plan, "source", id_cols=["doc_id"])
+    cnt = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert cnt["small"] == 60
+    # big gets 80 of 500 -> bernoulli around 80, never more than 1 copy
+    assert 40 <= cnt["big"] <= 120
+    assert out.filter((F.col("source") == "big") & (F.col("copy") > 1)).count() == 0
+    # copy indices on small are exactly {1,2,3} per doc
+    copies = out.filter(F.col("source") == "small").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs")
+    )
+    assert all(r["cs"] == [1, 2, 3] for r in copies.collect())
+
+
+def test_apply_unimax_zero_copy_rows_vanish(spark):
+    df = spark.createDataFrame([("a", "s"), ("b", "s")], ["doc_id", "source"])
+    plan = spark.createDataFrame([("s", 0.0)], ["group", "epochs"])
+    assert training.apply_unimax(df, plan, "source", id_cols=["doc_id"]).count() == 0
+    # unknown group (no plan row) also vanishes rather than erroring
+    plan2 = spark.createDataFrame([("other", 2.0)], ["group", "epochs"])
+    assert training.apply_unimax(df, plan2, "source", id_cols=["doc_id"]).count() == 0
+
+
+def test_unimax_plan_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a", "s")], ["doc_id", "source"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        training.unimax_plan(df, "source", budget=0)
+    with _pytest.raises(ValueError):
+        training.unimax_plan(df, "source", budget=10, max_epochs=0)
+
+
+def test_frame_verb_sample_unimax(spark):
+    from docetl_spark import SemanticFrame
+
+    rows = [(f"d{g}{i}", g) for g, n in [("small", 20), ("big", 500)] for i in range(n)]
+    sf = SemanticFrame.from_df(spark.createDataFrame(rows, ["doc_id", "source"]))
+    out = sf.sample_unimax("source", budget=140, max_epochs=3.0, id_cols=["doc_id"])
+    cnt = {r["source"]: r["n"] for r in
+           out.df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert cnt["small"] == 60 and 40 <= cnt["big"] <= 120
+    assert out.plan()[-1] == "sample_unimax"
