@@ -453,6 +453,27 @@ def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sessionize_events(spark, sf_dir, 6 * 3600)
 
 
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling-window features (timeseries.rolling_features):
+    event index, exact epoch-nanos gap to the previous event, and
+    trailing-10 count/value-cents sum — ONE shared window spec, one
+    shuffle on user_id, frames bounded at 10 rows."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = timeseries.rolling_features(
+        ev.withColumn("_cents", cents), "ts",
+        keys=["user_id"],
+        value_aggs={"rolling_cents": F.sum("_cents")},
+        lookback_rows=10,
+        tiebreak=["event_id"],
+    )
+    gap_ns = F.col("ts") - F.col("prev_ts")  # ts is epoch-nanos BIGINT
+    return out.select(
+        "event_id", "user_id", "event_idx",
+        gap_ns.alias("gap_ns"), "rolling_n", "rolling_cents",
+    )
+
+
 def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rollup: exact-integer value stats per (user, event_type)."""
     ev = _t(spark, sf_dir, "events")
@@ -1704,6 +1725,59 @@ def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from line items whose quantity is under
+    20% of the per-part average — the correlated-subquery de-correlated
+    into a per-part aggregate joined back (the plan a 100 TB scan
+    needs: one map-combinable agg at part cardinality, never a
+    per-row subquery). The threshold compare is done in EXACT decimal
+    cross-multiplied form (5*qty*cnt < sum_qty) so no double-rounding
+    boundary can flip a row between engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    # restrict BEFORE the per-part aggregate: the brand filter prunes
+    # ~96% of lineitem off the agg via the broadcast join
+    jli = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    per_part = jli.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(_dec("l_quantity")).alias("_sq"), F.count(F.lit(1)).alias("_cn")
+    )
+    j = jli.join(per_part, F.col("l_partkey") == F.col("_pk"))
+    small = (_dec("l_quantity") * F.lit(5) * F.col("_cn")) < F.col("_sq")
+    return j.filter(small).agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds 250, with
+    customer attribution — groupBy(orderkey) partial agg, HAVING on the
+    exact decimal sum, then broadcast-joined attribution and a
+    TakeOrderedAndProject top-100 (never a global sort)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > F.lit(250))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 _QM_WORDS = {"spark": 2.0, "join": 1.5, "merge": 1.0, "slow": -2.0}
 
 
@@ -1837,6 +1911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": substring_dedup_docs,
         "unimax_plan_docs": unimax_plan_docs,
         "unimax_apply_docs": unimax_apply_docs,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "events_rolling_features": events_rolling_features,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3266,4 +3343,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(c AS INT) AS copy
         FROM copies, UNNEST(generate_series(1, n_copies)) AS g(c)
         WHERE n_copies >= 1"""
+    sql["q17_small_quantity_revenue"] = """
+        WITH pp AS (
+          SELECT l.l_partkey,
+                 SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS sq,
+                 COUNT(*) AS cn
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#1'
+          GROUP BY l.l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+        JOIN pp ON pp.l_partkey = l.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * pp.cn < pp.sq"""
+    sql["q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               CAST(b.tq AS DOUBLE) AS total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY total_qty DESC, o.o_orderkey
+        LIMIT 100"""
+    sql["events_rolling_features"] = """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_idx,
+               epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w AS gap_ns,
+               CAST(COUNT(*) OVER f AS BIGINT) AS rolling_n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER f AS rolling_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+               f AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
     return sql

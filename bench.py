@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "trim_repeated_lines_docs",
     "substring_dedup_docs",
     "unimax_apply_docs",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "events_rolling_features",
 ]
 
 

@@ -370,3 +370,44 @@ def sessionize(
               "_sj_bkt", *[f"_sj_{k}" for k in keys])
     )
     return out
+
+
+def rolling_features(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    keys: list[str],
+    value_aggs: dict[str, Column] | None = None,
+    lookback_rows: int = 10,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-entity rolling-window feature engineering (the behavioral-ML
+    staple the reference has no operator for): for every event, its
+    1-based index in the entity's timeline, the gap to the previous
+    event, and each ``value_aggs`` aggregate over the trailing
+    ``lookback_rows`` events (current row inclusive).
+
+    ``value_aggs`` maps output name -> aggregate Column (e.g.
+    ``{"v_sum": F.sum("cents")}``); default adds a rolling count only.
+    ``tiebreak`` columns break ts ties deterministically (required for
+    reproducible features; defaults to the first key-distinct column
+    order Spark picks, so PASS one when ts collides).
+
+    Scale: ONE window spec shared by every feature — a single shuffle on
+    ``keys``, each frame bounded at ``lookback_rows`` so state per row is
+    O(lookback). A hot entity serializes into one spill-capable sort
+    task; for adversarial single-entity skew, bucket upstream (the
+    sessionize(hot_key_bucket=...) pattern) before deriving features."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
+    frame = w.rowsBetween(-(lookback_rows - 1), 0)
+    out = (
+        df.withColumn("event_idx", F.row_number().over(w).cast("long"))
+        .withColumn("prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "rolling_n", F.count(F.lit(1)).over(frame).cast("long")
+        )
+    )
+    for name, agg in (value_aggs or {}).items():
+        out = out.withColumn(name, agg.over(frame))
+    return out

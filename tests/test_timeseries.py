@@ -299,3 +299,48 @@ def test_hot_key_bucket_fractional_width_rejected(spark):
     with _pytest.raises(ValueError, match="positive"):
         ts.asof_join(df, df, on=["user_id"], left_ts="e", right_ts="e",
                      right_cols=["event_id"], hot_key_bucket=0.5)
+
+
+# ------------------------------------------------------- rolling features
+def test_rolling_features_semantics(spark):
+    from docetl_spark.functions import timeseries
+
+    rows = [
+        # user 1: ts 0, 10, 20, 30 with values 1..4
+        (1, 1, 0, 1.0), (2, 1, 10, 2.0), (3, 1, 20, 3.0), (4, 1, 30, 4.0),
+        # user 2: single event
+        (5, 2, 100, 9.0),
+        # ts tie inside user 3 -> event_id breaks it
+        (6, 3, 50, 1.0), (7, 3, 50, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "v"])
+    out = timeseries.rolling_features(
+        df, "ts", keys=["user_id"],
+        value_aggs={"v_sum": F.sum("v")},
+        lookback_rows=3, tiebreak=["event_id"],
+    )
+    got = {r["event_id"]: r for r in out.collect()}
+    assert [got[i]["event_idx"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert got[1]["prev_ts"] is None and got[2]["prev_ts"] == 0
+    # trailing-3 frame: event 4 sees values 2+3+4, not 1
+    assert got[4]["v_sum"] == 9.0 and got[4]["rolling_n"] == 3
+    assert got[3]["v_sum"] == 6.0 and got[1]["v_sum"] == 1.0
+    assert got[5]["rolling_n"] == 1 and got[5]["prev_ts"] is None
+    # tie broken by event_id: 6 before 7
+    assert got[6]["event_idx"] == 1 and got[7]["event_idx"] == 2
+    assert got[7]["prev_ts"] == 50
+
+
+def test_rolling_features_single_window_spec(spark):
+    """All features must share one window: exactly one Exchange/Sort in
+    the plan (one shuffle, one sort — the operator's scale contract)."""
+    from docetl_spark.functions import timeseries
+
+    df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "v"])
+    out = timeseries.rolling_features(
+        df, "ts", keys=["user_id"], value_aggs={"v_sum": F.sum("v")},
+        tiebreak=["event_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Window" in plan
