@@ -358,6 +358,35 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages.substring_dedup(docs, "text", id_col="doc_id", min_tokens=8)
 
 
+def quality_top_quartile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-quartile quality cut (training.select_top_frac;
+    the CCNet-style per-language keep-the-best selection): exact
+    percent_rank semantics with doc_id tiebreak, one window per
+    language."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.quality_score(F.col("text")).alias("quality")
+    )
+    return training.select_top_frac(
+        docs, "quality", 0.25, by=["lang"], tiebreak=["doc_id"]
+    )
+
+
+def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (training.cap_per_group; the RefinedWeb/
+    C4 anti-spam host cap): keep the 15 best-quality docs per source,
+    quality desc with doc_id tiebreak."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("quality")
+    )
+    return training.cap_per_group(
+        docs, ["source"], 15, order=[F.col("quality").desc(), F.col("doc_id")]
+    )
+
+
 def sem_map_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic map with a deterministic rule backend (fast→positive,
     slow→negative, else neutral)."""
@@ -1914,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "events_rolling_features": events_rolling_features,
+        "quality_top_quartile_docs": quality_top_quartile_docs,
+        "cap_per_source_docs": cap_per_source_docs,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3381,4 +3412,33 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
                f AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
+    _quality_cte = f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, text,
+                 CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                 {norm_tok.format(c='text')} AS ntoks
+          FROM documents
+        ), q AS (
+          SELECT doc_id, lang, source,
+                 ROUND(0.4 * least(len(toks) / 100.0, 1.0)
+                     + 0.2 * least((CASE WHEN len(ntoks) > 0 THEN len(list_filter(ntoks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))::DOUBLE / len(ntoks) ELSE 0.0 END) * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) >= 3.0
+                                    AND (CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.2 * (1.0 - least((CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 2.0
+                                        + (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END), 1.0)), 6) AS quality
+          FROM t
+        )"""
+    sql["quality_top_quartile_docs"] = _quality_cte + """
+        SELECT doc_id, lang, quality FROM (
+          SELECT doc_id, lang, quality,
+                 PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS pr
+          FROM q
+        ) WHERE pr < 0.25"""
+    sql["cap_per_source_docs"] = _quality_cte + """
+        SELECT doc_id, source, quality FROM (
+          SELECT doc_id, source, quality,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+          FROM q
+        ) WHERE rn <= 15"""
     return sql

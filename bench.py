@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "events_rolling_features",
+    "quality_top_quartile_docs",
 ]
 
 

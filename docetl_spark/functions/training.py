@@ -934,3 +934,66 @@ def apply_unimax(
         F.expr("array()").cast("array<int>")
     )
     return joined.withColumn("copy", F.explode(seq)).drop("_ux_epochs")
+
+
+# ------------------------------------------------ per-group curation cuts
+def select_top_frac(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    *,
+    by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` (per ``by`` group
+    when given) — the standard per-language/per-domain quality cut
+    (CCNet keeps the best-perplexity tercile per language; C4 keeps
+    above-threshold quality).
+
+    Exact rank semantics, not an approximate quantile: a row survives
+    iff its percent_rank (ties broken by ``tiebreak``, which you should
+    always pass for reproducibility) is strictly under ``frac`` — the
+    best row of every group survives for any frac > 0, and the
+    definition replays bit-for-bit in ANSI SQL because percent_rank is
+    (rank-1)/(n-1) over integers in both engines.
+
+    Scale: one window per group — a hot group serializes into one
+    spill-capable sort task. When groups are balanced (languages,
+    domains) this is the right plan; for a single giant group prefer an
+    approx-quantile threshold + filter (two scans, no per-group sort)."""
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"select_top_frac: frac must be in [0, 1], got {frac}")
+    direction = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+    order = [direction] + [F.col(c) for c in (tiebreak or [])]
+    w = W.partitionBy(*(by or [])).orderBy(*order)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") < F.lit(float(frac)))
+        .drop("_pr")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    *,
+    order: list | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order``
+    (column names or Columns; pass a deterministic total order) — the
+    RefinedWeb/C4 anti-spam host cap: no single domain may dominate the
+    corpus no matter how many pages it contributes.
+
+    One row_number window per group; a mega-group costs one
+    spill-capable sort task bounded by that group's rows."""
+    if n < 1:
+        raise ValueError(f"cap_per_group: n must be >= 1, got {n}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in (order or group_cols)]
+    w = W.partitionBy(*group_cols).orderBy(*cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -707,3 +707,46 @@ def test_frame_verb_sample_unimax(spark):
            out.df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert cnt["small"] == 60 and 40 <= cnt["big"] <= 120
     assert out.plan()[-1] == "sample_unimax"
+
+
+# -------------------------------------------------- per-group curation cuts
+def test_select_top_frac_exact_rank_semantics(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 9)]  # scores 1..8
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    # top 25% of 8 rows: percent_rank over desc = (rank-1)/7 < 0.25
+    # -> ranks 1 and 2 -> scores 8, 7
+    out = training.select_top_frac(df, "score", 0.25, by=["grp"], tiebreak=["id"])
+    assert sorted(r["score"] for r in out.collect()) == [7.0, 8.0]
+    # lower-is-better flips the direction
+    low = training.select_top_frac(
+        df, "score", 0.25, by=["grp"], tiebreak=["id"], higher_is_better=False
+    )
+    assert sorted(r["score"] for r in low.collect()) == [1.0, 2.0]
+    # the best row always survives for any frac > 0 (singleton group)
+    one = spark.createDataFrame([(1, "x", 5.0)], ["id", "grp", "score"])
+    assert training.select_top_frac(one, "score", 0.01, by=["grp"]).count() == 1
+    # frac = 0 keeps nothing; bad frac raises
+    assert training.select_top_frac(df, "score", 0.0, by=["grp"]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        training.select_top_frac(df, "score", 1.5)
+
+
+def test_cap_per_group_keeps_best_n(spark):
+    rows = [(f"d{g}{i}", g, float(i)) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    out = training.cap_per_group(
+        df, ["grp"], 3, order=[F.col("score").desc(), F.col("id")]
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], []).append(r["score"])
+    assert sorted(got["a"]) == [7.0, 8.0, 9.0] and sorted(got["b"]) == [7.0, 8.0, 9.0]
+    # groups under the cap pass through whole
+    small = spark.createDataFrame([("x", "c", 1.0)], ["id", "grp", "score"])
+    assert training.cap_per_group(small, ["grp"], 3).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        training.cap_per_group(df, ["grp"], 0)
