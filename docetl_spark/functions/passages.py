@@ -235,8 +235,17 @@ def substring_dedup(
     n_tokens = F.size("_tk").cast("long")
     cov = F.coalesce(F.col("_cov"), F.expr("array()").cast("array<int>"))
     dup_tokens = F.size(cov).cast("long")
+    # kept positions via hash-based array_except (O(n + |cov|)), NOT an
+    # array_contains scan per token (O(n * |cov|) — quadratic on a
+    # mostly-duplicated mega-doc). array_except preserves first-array
+    # order and sequence() is ascending, so token order survives; the
+    # size guard keeps sequence() from counting DOWN on empty docs.
+    kept = F.when(
+        F.size("_tk") > 0,
+        F.array_except(F.sequence(F.lit(0), F.size("_tk") - 1), cov),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     clean = F.concat_ws(
-        " ", F.filter("_tk", lambda t, i: ~F.array_contains(cov, i.cast("int")))
+        " ", F.transform(kept, lambda p: F.element_at("_tk", p + 1))
     )
     return base.join(covered, id_col, "left").select(
         id_col,

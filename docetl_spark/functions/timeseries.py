@@ -398,6 +398,16 @@ def rolling_features(
     O(lookback). A hot entity serializes into one spill-capable sort
     task; for adversarial single-entity skew, bucket upstream (the
     sessionize(hot_key_bucket=...) pattern) before deriving features."""
+    if lookback_rows < 1:
+        raise ValueError(f"rolling_features: lookback_rows must be >= 1, got {lookback_rows}")
+    reserved = {"event_idx", "prev_ts", "rolling_n", *(value_aggs or {})}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"rolling_features: output column(s) {sorted(clash)} already exist on the "
+            "input and would be silently overwritten — rename them upstream or pick "
+            "different value_aggs names"
+        )
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
     w = W.partitionBy(*keys).orderBy(*order)
     frame = w.rowsBetween(-(lookback_rows - 1), 0)

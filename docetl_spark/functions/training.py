@@ -964,6 +964,10 @@ def select_top_frac(
     approx-quantile threshold + filter (two scans, no per-group sort)."""
     if not (0.0 <= frac <= 1.0):
         raise ValueError(f"select_top_frac: frac must be in [0, 1], got {frac}")
+    if frac >= 1.0:
+        # identity, NOT a filter: the last-ranked row has percent_rank
+        # exactly 1.0 and a strict < 1.0 would silently drop it
+        return df
     direction = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
     order = [direction] + [F.col(c) for c in (tiebreak or [])]
     w = W.partitionBy(*(by or [])).orderBy(*order)
@@ -979,18 +983,28 @@ def cap_per_group(
     group_cols: list[str],
     n: int,
     *,
-    order: list | None = None,
+    order: list,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, best-first by ``order``
-    (column names or Columns; pass a deterministic total order) — the
-    RefinedWeb/C4 anti-spam host cap: no single domain may dominate the
-    corpus no matter how many pages it contributes.
+    (column names or Columns) — the RefinedWeb/C4 anti-spam host cap:
+    no single domain may dominate the corpus no matter how many pages
+    it contributes.
+
+    ``order`` is REQUIRED and must be a deterministic total order
+    within each group (end it with a unique id): ordering by the
+    partition columns alone would tie every row and let row_number pick
+    an arbitrary, run-dependent subset.
 
     One row_number window per group; a mega-group costs one
     spill-capable sort task bounded by that group's rows."""
     if n < 1:
         raise ValueError(f"cap_per_group: n must be >= 1, got {n}")
-    cols = [F.col(c) if isinstance(c, str) else c for c in (order or group_cols)]
+    if not order:
+        raise ValueError(
+            "cap_per_group: `order` is required — a deterministic total order "
+            "(ending in a unique id) decides WHICH n rows survive"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
     w = W.partitionBy(*group_cols).orderBy(*cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))

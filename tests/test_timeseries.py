@@ -344,3 +344,21 @@ def test_rolling_features_single_window_spec(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Window" in plan
+
+
+def test_rolling_features_validates_args(spark):
+    from docetl_spark.functions import timeseries
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "v"])
+    with _pytest.raises(ValueError):
+        timeseries.rolling_features(df, "ts", keys=["user_id"], lookback_rows=0)
+    # output-name collision raises instead of silently overwriting
+    clash = df.withColumnRenamed("v", "rolling_n")
+    with _pytest.raises(ValueError, match="rolling_n"):
+        timeseries.rolling_features(clash, "ts", keys=["user_id"])
+    with _pytest.raises(ValueError, match="v_sum"):
+        timeseries.rolling_features(
+            df.withColumnRenamed("v", "v_sum"), "ts", keys=["user_id"],
+            value_aggs={"v_sum": F.sum("v_sum")},
+        )

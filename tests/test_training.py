@@ -725,8 +725,10 @@ def test_select_top_frac_exact_rank_semantics(spark):
     # the best row always survives for any frac > 0 (singleton group)
     one = spark.createDataFrame([(1, "x", 5.0)], ["id", "grp", "score"])
     assert training.select_top_frac(one, "score", 0.01, by=["grp"]).count() == 1
-    # frac = 0 keeps nothing; bad frac raises
+    # frac = 0 keeps nothing; frac = 1.0 is identity (the last-ranked
+    # row has percent_rank exactly 1.0 — a strict filter would drop it)
     assert training.select_top_frac(df, "score", 0.0, by=["grp"]).count() == 0
+    assert training.select_top_frac(df, "score", 1.0, by=["grp"]).count() == 8
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -745,8 +747,12 @@ def test_cap_per_group_keeps_best_n(spark):
     assert sorted(got["a"]) == [7.0, 8.0, 9.0] and sorted(got["b"]) == [7.0, 8.0, 9.0]
     # groups under the cap pass through whole
     small = spark.createDataFrame([("x", "c", 1.0)], ["id", "grp", "score"])
-    assert training.cap_per_group(small, ["grp"], 3).count() == 1
+    assert training.cap_per_group(small, ["grp"], 3, order=["id"]).count() == 1
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        training.cap_per_group(df, ["grp"], 0)
+        training.cap_per_group(df, ["grp"], 0, order=["id"])
+    # order is REQUIRED: without it row_number ties on the partition
+    # cols and the surviving subset is run-dependent
+    with _pytest.raises(ValueError):
+        training.cap_per_group(df, ["grp"], 3, order=[])
