@@ -503,6 +503,29 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_features_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the skew-safe rolling-features plan (hot_key_bucket=6h): global
+    index from (key, ts-bucket) windows + trailing-k frames inside
+    <=2k-row (key, index-bucket) partitions with full-previous-bucket
+    carry — results identical to events_rolling_features (same oracle);
+    for keys whose timeline outgrows one task."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = timeseries.rolling_features(
+        ev.withColumn("_cents", cents), "ts",
+        keys=["user_id"],
+        value_aggs={"rolling_cents": F.sum("_cents")},
+        lookback_rows=10,
+        tiebreak=["event_id"],
+        hot_key_bucket=6 * 3600 * 1_000_000_000,  # 6h in epoch-nanos
+    )
+    gap_ns = F.col("ts") - F.col("prev_ts")
+    return out.select(
+        "event_id", "user_id", "event_idx",
+        gap_ns.alias("gap_ns"), "rolling_n", "rolling_cents",
+    )
+
+
 def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rollup: exact-integer value stats per (user, event_type)."""
     ev = _t(spark, sf_dir, "events")
@@ -1943,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "events_rolling_features": events_rolling_features,
+        "events_rolling_features_bucketed": events_rolling_features_bucketed,
         "quality_top_quartile_docs": quality_top_quartile_docs,
         "cap_per_source_docs": cap_per_source_docs,
     }
@@ -3435,6 +3459,9 @@ def oracle_sql() -> dict[str, str]:
                  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS pr
           FROM q
         ) WHERE pr < 0.25"""
+    # the bucketed rolling plan is results-IDENTICAL by construction —
+    # same oracle (the sessionize_bucketed convention)
+    sql["events_rolling_features_bucketed"] = sql["events_rolling_features"]
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

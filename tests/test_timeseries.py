@@ -362,3 +362,45 @@ def test_rolling_features_validates_args(spark):
             df.withColumnRenamed("v", "v_sum"), "ts", keys=["user_id"],
             value_aggs={"v_sum": F.sum("v_sum")},
         )
+
+
+def test_rolling_features_bucketed_equivalence(spark):
+    """hot_key_bucket must be results-IDENTICAL to the default plan:
+    random timelines with ties, sparse buckets, null ts and null keys,
+    swept over bucket widths and lookbacks."""
+    import random
+
+    from docetl_spark.functions import timeseries
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(400):
+        uid = rng.choice([1, 1, 1, 1, 2, 3, None])  # hot key + null key
+        ts = rng.choice([None] if rng.random() < 0.03 else [rng.randrange(0, 5000)])
+        rows.append((i, uid, ts, float(i % 7)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, v double")
+
+    def run(**kw):
+        out = timeseries.rolling_features(
+            df, "ts", keys=["user_id"],
+            value_aggs={"v_sum": F.sum("v")},
+            tiebreak=["event_id"], **kw,
+        )
+        return sorted(
+            (r["event_id"], r["event_idx"], r["prev_ts"], r["rolling_n"], r["v_sum"])
+            for r in out.collect()
+        )
+
+    for k in (1, 3, 10):
+        want = run(lookback_rows=k)
+        for width in (1, 7, 400, 10_000):
+            assert run(lookback_rows=k, hot_key_bucket=width) == want, (k, width)
+
+
+def test_rolling_features_bucketed_rejects_bad_width(spark):
+    from docetl_spark.functions import timeseries
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "v"])
+    with _pytest.raises(ValueError):
+        timeseries.rolling_features(df, "ts", keys=["user_id"], hot_key_bucket=0)
