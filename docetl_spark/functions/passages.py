@@ -161,6 +161,8 @@ def substring_windows(
     k = int(min_tokens)
     if k < 1:
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    from ..session import widen_for_udf
+
     tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
     win = F.expr(
         f"CASE WHEN size(_tk) >= {k} THEN "
@@ -168,8 +170,13 @@ def substring_windows(
         f"i -> md5(concat_ws(' ', slice(_tk, i + 1, {k})))) "
         f"ELSE array() END"
     )
+    # widen: the O(tokens*k) hash work otherwise runs on however few
+    # partitions the scan yields (ONE for a small parquet — measured
+    # 0.74s single-core vs ~0.1s wide at sf0.1); a real multi-split
+    # scan skips the repartition (widen_for_udf contract)
     return (
-        df.select(id_col, tk.alias("_tk"))
+        widen_for_udf(df.select(id_col, F.col(text_col)))
+        .select(id_col, tk.alias("_tk"))
         .select(id_col, F.posexplode(win).alias("pos", "wh"))
     )
 
@@ -230,8 +237,12 @@ def substring_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("cpos").alias("_cov"))
     )
+    from ..session import widen_for_udf
+
     tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
-    base = df.select(id_col, tk.alias("_tk"))
+    base = widen_for_udf(df.select(id_col, F.col(text_col))).select(
+        id_col, tk.alias("_tk")
+    )
     n_tokens = F.size("_tk").cast("long")
     cov = F.coalesce(F.col("_cov"), F.expr("array()").cast("array<int>"))
     dup_tokens = F.size(cov).cast("long")
