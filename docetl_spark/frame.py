@@ -521,6 +521,32 @@ class SemanticFrame:
             weight_col=weight_col, id_cols=id_cols, seed=seed,
         )
 
+    def select_top_frac(self, score_col: str, frac: float, *, by: list[str] | None = None,
+                        tiebreak: list[str] | None = None, higher_is_better: bool = True) -> "SemanticFrame":
+        """Per-group exact percent-rank quality cut (CCNet-style keep
+        the best ``frac`` per language/domain)."""
+        from .functions import training
+
+        return self._next(
+            training.select_top_frac(
+                self.df, score_col, frac, by=by, tiebreak=tiebreak,
+                higher_is_better=higher_is_better,
+            ),
+            "select_top_frac", score_col=score_col, frac=frac, by=by,
+            tiebreak=tiebreak, higher_is_better=higher_is_better,
+        )
+
+    def cap_per_group(self, group_cols: list[str], n: int, *, order: list) -> "SemanticFrame":
+        """Keep at most n rows per group, best-first by ``order`` (the
+        RefinedWeb/C4 anti-spam host cap); order must be a deterministic
+        total order."""
+        from .functions import training
+
+        return self._next(
+            training.cap_per_group(self.df, group_cols, n, order=order),
+            "cap_per_group", group_cols=list(group_cols), n=n,
+        )
+
     def dsir_select(self, target: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, k: int, **kw) -> "SemanticFrame":
         """DSIR importance resampling: keep the k most target-like docs
         (hashed-unigram log-likelihood-ratio weights, deterministic

@@ -141,6 +141,10 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.sample_mixture(c.pop("group_col"), c.pop("target_weights"), **c)
     if t == "sample_unimax":
         return sf.sample_unimax(c.pop("group_col"), budget=c.pop("budget"), **c)
+    if t == "select_top_frac":
+        return sf.select_top_frac(c.pop("score_col"), c.pop("frac"), **c)
+    if t == "cap_per_group":
+        return sf.cap_per_group(c.pop("group_cols"), c.pop("n"), order=c.pop("order"))
     if t == "near_dup_minhash":
         return sf.near_dup_minhash(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "contamination":

@@ -26,7 +26,8 @@ _KNOWN_OPS = {
     "code_reduce", "split", "gather", "unnest", "unnest_columns", "add_uuid",
     "sample", "topk", "rank", "extract", "resolve", "cluster", "link_resolve",
     "equijoin", "step_boundary", "limit", "pack_sequences", "pack_documents",
-    "sample_temperature", "sample_mixture", "sample_unimax", "near_dup_minhash", "contamination", "decontaminate",
+    "sample_temperature", "sample_mixture", "sample_unimax", "select_top_frac", "cap_per_group",
+    "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "dedup_substrings", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
 }
@@ -144,6 +145,14 @@ def _check_op(op: dict) -> list[PlanIssue]:
         for k in ("group_col", "budget"):
             if not op.get(k):
                 issues.append(PlanIssue("error", name, f"sample_unimax needs `{k}`"))
+    if t == "select_top_frac":
+        for k in ("score_col", "frac"):
+            if op.get(k) is None:
+                issues.append(PlanIssue("error", name, f"select_top_frac needs `{k}`"))
+    if t == "cap_per_group":
+        for k in ("group_cols", "n", "order"):
+            if not op.get(k):
+                issues.append(PlanIssue("error", name, f"cap_per_group needs `{k}`"))
     if t == "near_dup_minhash":
         for k in ("id_col", "text_col"):
             if not op.get(k):

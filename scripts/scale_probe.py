@@ -253,6 +253,21 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             ).agg(F.count(F.lit(1)), F.max("session_id")).collect()
         ))
 
+    # per-entity rolling features (round-6): one bounded window
+    if want("rolling") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+        res["rolling"] = timed(lambda: (
+            timeseries.rolling_features(
+                ev.select("event_id", "user_id", "ts", "value"), "ts",
+                keys=["user_id"], value_aggs={"v_sum": F.sum("value")},
+                tiebreak=["event_id"],
+            ).agg(F.count(F.lit(1)), F.sum("rolling_n")).collect()
+        ))
+
     # gather fast path (round-6): per-doc window rendering; frames must
     # stay O(n) (the quadratic unboundedFollowing regression lived here)
     if want("gather_window"):

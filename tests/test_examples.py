@@ -78,3 +78,24 @@ def test_optimize_pipeline_example_runs(spark, sf_dir):
     assert out["winning_ops"][0] == "scan"
     v = out["verdict"]
     assert hasattr(v, "should_optimize") and hasattr(v, "rationale")
+
+
+def test_curate_mixture_example_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/curate_mixture.yaml")
+    rows = out.collect()
+    assert rows, "curation pipeline produced no rows"
+    cols = set(out.df.columns)
+    assert {"doc_id", "lang", "quality", "copy"} <= cols
+    # host cap: at most 60 docs per synthetic source survive pre-unimax
+    # stages, so no source exceeds 60 DISTINCT docs in the output
+    from collections import Counter
+
+    per_source = Counter()
+    for r in rows:
+        per_source[(r["source"], r["doc_id"])] = 1
+    src_counts = Counter(s for (s, _) in per_source)
+    assert max(src_counts.values()) <= 60
+    # unimax copies are 1-based and bounded by the 1.5 epoch cap
+    assert all(1 <= r["copy"] <= 2 for r in rows)
