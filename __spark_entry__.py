@@ -482,11 +482,7 @@ def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sessionize_events(spark, sf_dir, 6 * 3600)
 
 
-def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user rolling-window features (timeseries.rolling_features):
-    event index, exact epoch-nanos gap to the previous event, and
-    trailing-10 count/value-cents sum — ONE shared window spec, one
-    shuffle on user_id, frames bounded at 10 rows."""
+def _rolling_events(spark: SparkSession, sf_dir: str, hot_key_bucket: int | None) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     out = timeseries.rolling_features(
@@ -495,6 +491,7 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_aggs={"rolling_cents": F.sum("_cents")},
         lookback_rows=10,
         tiebreak=["event_id"],
+        hot_key_bucket=hot_key_bucket,
     )
     gap_ns = F.col("ts") - F.col("prev_ts")  # ts is epoch-nanos BIGINT
     return out.select(
@@ -503,27 +500,21 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling-window features (timeseries.rolling_features):
+    event index, exact epoch-nanos gap to the previous event, and
+    trailing-10 count/value-cents sum — ONE shared window spec, one
+    shuffle on user_id, frames bounded at 10 rows."""
+    return _rolling_events(spark, sf_dir, None)
+
+
 def events_rolling_features_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the skew-safe rolling-features plan (hot_key_bucket=6h): global
     index from (key, ts-bucket) windows + trailing-k frames inside
     <=2k-row (key, index-bucket) partitions with full-previous-bucket
     carry — results identical to events_rolling_features (same oracle);
     for keys whose timeline outgrows one task."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    out = timeseries.rolling_features(
-        ev.withColumn("_cents", cents), "ts",
-        keys=["user_id"],
-        value_aggs={"rolling_cents": F.sum("_cents")},
-        lookback_rows=10,
-        tiebreak=["event_id"],
-        hot_key_bucket=6 * 3600 * 1_000_000_000,  # 6h in epoch-nanos
-    )
-    gap_ns = F.col("ts") - F.col("prev_ts")
-    return out.select(
-        "event_id", "user_id", "event_idx",
-        gap_ns.alias("gap_ns"), "rolling_n", "rolling_cents",
-    )
+    return _rolling_events(spark, sf_dir, 6 * 3600 * 1_000_000_000)  # 6h in ns
 
 
 def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

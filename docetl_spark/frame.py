@@ -542,9 +542,14 @@ class SemanticFrame:
         total order."""
         from .functions import training
 
+        # Column-object order entries aren't YAML-serializable; record
+        # names when possible, a marker otherwise (the shard_expr pattern)
+        order_conf = (
+            [c for c in order] if all(isinstance(c, str) for c in order) else "_columns"
+        )
         return self._next(
             training.cap_per_group(self.df, group_cols, n, order=order),
-            "cap_per_group", group_cols=list(group_cols), n=n,
+            "cap_per_group", group_cols=list(group_cols), n=n, order=order_conf,
         )
 
     def dsir_select(self, target: "SemanticFrame | DataFrame", text_col: str, *, id_col: str, k: int, **kw) -> "SemanticFrame":

@@ -263,6 +263,26 @@ def time_rollup(
     return rolled.withColumn("grain", grain).drop("_gid")
 
 
+def _join_bucket_summary(
+    local: DataFrame, summ: DataFrame, keys: list[str], payload: list[str]
+) -> DataFrame:
+    """NULL-SAFE (key, _bkt) summary join-back shared by the bucketed
+    sessionize and rolling_features plans: windows partition NULL
+    keys/timestamps into groups like any other value, but a bare
+    equi-join would drop rows with a NULL key or NULL ts (NULL _bkt) —
+    violating the results-identical contract. eqNullSafe keeps the join
+    hash-partitionable (NULLs hash to one bucket). ``payload`` columns
+    ride along from the summary onto every joined row."""
+    sj = summ.select(
+        *[F.col(k).alias(f"_sj_{k}") for k in keys],
+        F.col("_bkt").alias("_sj_bkt"), *payload,
+    )
+    cond = F.col("_bkt").eqNullSafe(F.col("_sj_bkt"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_sj_{k}"))
+    return local.join(sj, cond).drop("_sj_bkt", *[f"_sj_{k}" for k in keys])
+
+
 def sessionize(
     df: DataFrame,
     *,
@@ -351,23 +371,10 @@ def sessionize(
         ),
     ).select(*keys, "_bkt", "_cont", "_off")
 
-    # NULL-SAFE join back: windows partition NULL keys/timestamps into
-    # groups like any other value, but a bare equi-join would drop rows
-    # with a NULL key or NULL ts (NULL _bkt) — violating the
-    # results-identical contract. eqNullSafe keeps the join
-    # hash-partitionable (NULLs hash to one bucket).
-    sj = summ.select(
-        *[F.col(k).alias(f"_sj_{k}") for k in keys],
-        F.col("_bkt").alias("_sj_bkt"), "_cont", "_off",
-    )
-    cond = F.col("_bkt").eqNullSafe(F.col("_sj_bkt"))
-    for k in keys:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"_sj_{k}"))
     out = (
-        local.join(sj, cond)
+        _join_bucket_summary(local, summ, keys, ["_cont", "_off"])
         .withColumn(out_col, (F.col("_off") + F.col("_loc") - F.col("_cont")).cast("long"))
-        .drop("_sts", "_bkt", "_new", "_loc", "_cont", "_off",
-              "_sj_bkt", *[f"_sj_{k}" for k in keys])
+        .drop("_sts", "_bkt", "_new", "_loc", "_cont", "_off")
     )
     return out
 
@@ -450,12 +457,26 @@ def rolling_features(
     width = int(hot_key_bucket)
     if width <= 0:
         raise ValueError("hot_key_bucket must be a positive width in ts units")
+    internals = {"_rts", "_bkt", "_rn", "_gidx", "_ibkt", "_carry"} | {
+        f"_sj_{c}" for c in keys
+    }
+    internal_clash = internals & set(df.columns)
+    if internal_clash:
+        raise ValueError(
+            f"rolling_features(hot_key_bucket=...): input column(s) "
+            f"{sorted(internal_clash)} collide with the bucketed plan's internal "
+            "names — rename them upstream"
+        )
 
-    # ---- pass 1: global per-key index, bucket-bounded (sessionize form)
+    # ---- pass 1: global per-key index, bucket-bounded (sessionize form).
+    # _rts (long) ONLY assigns buckets; ordering uses the RAW ts column so
+    # sub-second timestamp types order identically to the default plan
+    # (truncation is monotonic, so bucket assignment stays consistent
+    # with the raw order and the global index is exact either way).
     b = df.withColumn("_rts", F.col(ts_col).cast("long")).withColumn(
         "_bkt", F.expr(f"(_rts - pmod(_rts, {width})) DIV {width}")
     )
-    order_local = [F.col("_rts").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    order_local = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     wb = W.partitionBy(*keys, "_bkt").orderBy(*order_local)
     local = b.withColumn("_rn", F.row_number().over(wb))
     wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
@@ -469,19 +490,10 @@ def rolling_features(
             ),
         )
     )
-    # null-safe join back (same contract as sessionize: NULL keys/ts
-    # must survive the bucketed path exactly as they do the default one)
-    sj = summ.select(
-        *[F.col(c).alias(f"_sj_{c}") for c in keys],
-        F.col("_bkt").alias("_sj_bkt"), "_roff",
-    )
-    cond = F.col("_bkt").eqNullSafe(F.col("_sj_bkt"))
-    for c in keys:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_sj_{c}"))
     g = (
-        local.join(sj, cond)
+        _join_bucket_summary(local, summ, keys, ["_roff"])
         .withColumn("_gidx", (F.col("_roff") + F.col("_rn")).cast("long"))
-        .drop("_sj_bkt", "_roff", "_rn", *[f"_sj_{c}" for c in keys])
+        .drop("_roff", "_rn")
     )
 
     # ---- pass 2: trailing-k windows inside (key, index-bucket) with a

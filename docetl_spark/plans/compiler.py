@@ -144,7 +144,7 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "select_top_frac":
         return sf.select_top_frac(c.pop("score_col"), c.pop("frac"), **c)
     if t == "cap_per_group":
-        return sf.cap_per_group(c.pop("group_cols"), c.pop("n"), order=c.pop("order"))
+        return sf.cap_per_group(c.pop("group_cols"), c.pop("n"), order=c.pop("order"), **c)
     if t == "near_dup_minhash":
         return sf.near_dup_minhash(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "contamination":

@@ -404,3 +404,51 @@ def test_rolling_features_bucketed_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "v"])
     with _pytest.raises(ValueError):
         timeseries.rolling_features(df, "ts", keys=["user_id"], hot_key_bucket=0)
+
+
+def test_rolling_features_bucketed_equivalence_timestamp_ts(spark):
+    """Sub-second TIMESTAMP ts: bucket assignment may truncate to whole
+    seconds but ORDERING must use the raw timestamp, or events inside
+    the same second would tie in the bucketed path only."""
+    from docetl_spark.functions import timeseries
+
+    rows = [
+        # three events inside the same second, deliberately out of
+        # event_id order so a truncated sort would scramble them
+        (1, 1, "2024-01-01 00:00:01.900", 1.0),
+        (2, 1, "2024-01-01 00:00:01.100", 2.0),
+        (3, 1, "2024-01-01 00:00:01.500", 3.0),
+        (4, 1, "2024-01-01 00:00:05.250", 4.0),
+        (5, 2, "2024-01-01 00:00:01.750", 5.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, user_id long, ts string, v double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+    def run(**kw):
+        out = timeseries.rolling_features(
+            df, "ts", keys=["user_id"],
+            value_aggs={"v_sum": F.sum("v")},
+            lookback_rows=2, tiebreak=["event_id"], **kw,
+        )
+        return sorted(
+            (r["event_id"], r["event_idx"], r["prev_ts"], r["rolling_n"], r["v_sum"])
+            for r in out.collect()
+        )
+
+    want = run()
+    # event order must be 2 (.1s), 3 (.5s), 1 (.9s), 4 — by RAW ts
+    by_id = {e: idx for (e, idx, *_rest) in want}
+    assert by_id[2] == 1 and by_id[3] == 2 and by_id[1] == 3 and by_id[4] == 4
+    for width in (1, 2, 60):
+        assert run(hot_key_bucket=width) == want, width
+
+
+def test_rolling_features_bucketed_internal_clash_raises(spark):
+    from docetl_spark.functions import timeseries
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "_bkt"])
+    with _pytest.raises(ValueError, match="_bkt"):
+        timeseries.rolling_features(df, "ts", keys=["user_id"], hot_key_bucket=10)
