@@ -945,6 +945,7 @@ def select_top_frac(
     by: list[str] | None = None,
     tiebreak: list[str] | None = None,
     higher_is_better: bool = True,
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """Keep the top ``frac`` of rows by ``score_col`` (per ``by`` group
     when given) — the standard per-language/per-domain quality cut
@@ -960,14 +961,38 @@ def select_top_frac(
 
     Scale: one window per group — a hot group serializes into one
     spill-capable sort task. When groups are balanced (languages,
-    domains) this is the right plan; for a single giant group prefer an
-    approx-quantile threshold + filter (two scans, no per-group sort)."""
+    domains) this is the right plan; for a single giant group pass
+    ``approx_threshold=True``: a per-group ``approx_percentile``
+    threshold (map-side-combinable sketch agg, default 1e-4 relative
+    error) broadcast-joins back and the corpus filters in place — two
+    scans, NO per-group sort, at the cost of rank exactness at the
+    boundary (kept fraction is frac +/- the sketch error, and boundary
+    ties all keep). The exact mode stays the oracle-checked default."""
     if not (0.0 <= frac <= 1.0):
         raise ValueError(f"select_top_frac: frac must be in [0, 1], got {frac}")
     if frac >= 1.0:
         # identity, NOT a filter: the last-ranked row has percent_rank
         # exactly 1.0 and a strict < 1.0 would silently drop it
         return df
+    if approx_threshold:
+        # threshold = the (1-frac) quantile for higher-is-better (keep
+        # scores >= it), the frac quantile otherwise (keep <= it)
+        q = 1.0 - frac if higher_is_better else frac
+        grp = [F.col(c) for c in (by or [])]
+        thr_agg = F.percentile_approx(F.col(score_col), F.lit(float(q)), F.lit(10_000))
+        if by:
+            thr = df.groupBy(*grp).agg(thr_agg.alias("_thr"))
+            joined = df.join(F.broadcast(thr), by, "left")
+        else:
+            joined = df.crossJoin(F.broadcast(df.agg(thr_agg.alias("_thr"))))
+        keep = (
+            F.col(score_col) >= F.col("_thr")
+            if higher_is_better
+            else F.col(score_col) <= F.col("_thr")
+        )
+        # NULL threshold (all-null scores in a group) keeps nothing,
+        # matching the exact path where null scores sort last
+        return joined.filter(keep).drop("_thr")
     direction = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
     order = [direction] + [F.col(c) for c in (tiebreak or [])]
     w = W.partitionBy(*(by or [])).orderBy(*order)

@@ -756,3 +756,30 @@ def test_cap_per_group_keeps_best_n(spark):
     # cols and the surviving subset is run-dependent
     with _pytest.raises(ValueError):
         training.cap_per_group(df, ["grp"], 3, order=[])
+
+
+def test_select_top_frac_approx_threshold_mode(spark):
+    """The no-sort scale path: approx-percentile threshold + broadcast
+    filter. On a clean integer score distribution the sketch is exact
+    enough to keep the same fraction as the rank path."""
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    out = training.select_top_frac(
+        df, "score", 0.25, by=["grp"], approx_threshold=True
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], []).append(r["score"])
+    # each group has 100 rows; top-quartile threshold keeps ~25
+    for g, scores in got.items():
+        assert 23 <= len(scores) <= 27, (g, len(scores))
+        assert min(scores) >= 140.0  # top quartile of that group's range
+    # global (no by) works and lower-is-better flips the side
+    low = training.select_top_frac(
+        df, "score", 0.1, approx_threshold=True, higher_is_better=False
+    )
+    ls = [r["score"] for r in low.collect()]
+    assert ls and max(ls) <= 25.0
+    # no Window/sort in the plan — the property the mode exists for
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
