@@ -30,6 +30,12 @@ PLAN_ONLY = [
     "events_range_join", "events_time_rollup",
     "semdedup_embeddings", "corpus_mixture_plan", "corpus_mixture_docs",
     "events_asof_join_bucketed", "pack_documents_docs",
+    # round-6 additions
+    "substring_dedup_docs", "unimax_plan_docs", "unimax_apply_docs",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "events_rolling_features", "events_rolling_features_bucketed",
+    "quality_top_quartile_docs", "cap_per_source_docs",
+    "trim_repeated_lines_docs", "events_sessionize_bucketed",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -190,3 +196,47 @@ def test_sample_outliers_counts_null_embedding_rows(spark):
     assert out.count() == 4
     allnull = spark.createDataFrame([(1, None), (2, None)], schema)
     assert sample_op.sample_outliers(allnull, "embedding", samples=0.5).count() == 0
+
+
+def test_substring_dedup_keeper_election_is_partial_agg(spark):
+    """The keeper election must be an aggregate (map-side combinable),
+    never a row_number window, and all hashing stays JVM-side."""
+    df = entry.queries()["substring_dedup_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unimax_plan_is_collect_free_summary_windows(spark):
+    """UniMax's water-filling closed form is one window pass over the
+    source-cardinality table — no Python, no iterative driver loop."""
+    df = entry.queries()["unimax_plan_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan  # the saturation/prefix pass
+
+
+def test_unimax_apply_broadcasts_plan_table(spark):
+    df = entry.queries()["unimax_apply_docs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus never shuffles
+    assert "Generate" in plan  # explode(sequence) upsampling
+
+
+def test_q17_filters_before_per_part_agg(spark):
+    """The brand filter must prune lineitem BEFORE the per-part
+    aggregate (via the broadcast join), not after."""
+    df = entry.queries()["q17_small_quantity_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the correlated subquery is decorrelated: no SubqueryExec per row
+    assert "Subquery" not in plan
+
+
+def test_rolling_features_single_exchange(spark):
+    """Default rolling plan: every feature shares ONE window — one
+    shuffle on the entity key."""
+    df = entry.queries()["events_rolling_features"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # scan normalize + the key shuffle
+    assert "Window" in plan
