@@ -358,6 +358,20 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages.substring_dedup(docs, "text", id_col="doc_id", min_tokens=8)
 
 
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing duplicate-candidate pairs (passages.winnowed_pairs;
+    Schleimer et al. 2003): min-hash-per-sliding-window fingerprints
+    (rightmost tie rule) with the deterministic guarantee that any
+    verbatim overlap of window+k-1 = 8 tokens shares a fingerprint;
+    pairs share >= 2 fps, boilerplate fps capped at 20 docs."""
+    from docetl_spark.functions import passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return passages.winnowed_pairs(
+        docs, "text", id_col="doc_id", k=5, window=4, min_common=2, max_doc_freq=20
+    )
+
+
 def quality_top_quartile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-quartile quality cut (training.select_top_frac;
     the CCNet-style per-language keep-the-best selection): exact
@@ -1960,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_features_bucketed": events_rolling_features_bucketed,
         "quality_top_quartile_docs": quality_top_quartile_docs,
         "cap_per_source_docs": cap_per_source_docs,
+        "winnow_dup_pairs": winnow_dup_pairs,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3453,6 +3468,33 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed rolling plan is results-IDENTICAL by construction —
     # same oracle (the sessionize_bucketed convention)
     sql["events_rolling_features_bucketed"] = sql["events_rolling_features"]
+    sql["winnow_dup_pairs"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), t -> t <> '') AS tk
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, p - 1 AS pos, md5(array_to_string(tk[p:p+4], ' ')) AS gh
+          FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(p)
+          WHERE len(tk) >= 5
+        ), win AS (
+          SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                 MIN(ROW(gh, -pos)) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+          FROM grams
+        ), fps AS (
+          SELECT DISTINCT doc_id, struct_extract(pick, 1) AS fp
+          FROM win WHERE pos <= n - 4 OR pos = 0
+        ), capped AS (
+          SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20
+        ), keep AS (
+          SELECT f.doc_id, f.fp FROM fps f JOIN capped USING (fp)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

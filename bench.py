@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "events_rolling_features",
     "quality_top_quartile_docs",
+    "winnow_dup_pairs",
 ]
 
 

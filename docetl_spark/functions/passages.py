@@ -343,6 +343,79 @@ def gram_fingerprint_pairs(
     )
 
 
+def winnowed_gram_fps(
+    df: DataFrame, text_col: str, *, id_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(id_col, fp) — winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the actual MOSS selection rule): hash every k-token gram, then
+    in every sliding window of ``window`` consecutive gram positions
+    keep the minimum hash (rightmost on ties), distinct per document.
+
+    Guarantee the hex-prefix sampling in :func:`sampled_gram_fps` can't
+    give: any verbatim overlap of at least ``window + k - 1`` tokens
+    shares at least one fingerprint — no probabilistic miss. Expected
+    density ~= 2/(window+1) of gram positions.
+
+    Plan: gram hashing is the same codegen'd transform/slice/md5 chain
+    as substring_windows; the winnow min is ONE bounded per-doc window
+    frame (``rowsBetween(0, window-1)`` over gram positions — state
+    O(window), task bounded by doc length); distinct is a partial-agg.
+    md5 hex compares identically in Spark and DuckDB, so the selection
+    replays exactly for the oracle."""
+    if k < 1 or window < 1:
+        raise ValueError(f"winnowed_gram_fps: k and window must be >= 1 (got {k}, {window})")
+    grams = substring_windows(df, text_col, id_col=id_col, min_tokens=k)
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    n_grams = F.count(F.lit(1)).over(w_doc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    frame = w_doc.rowsBetween(0, window - 1)
+    # min by (hash asc, pos desc): struct comparison is lexicographic in
+    # both engines; -pos makes ties pick the RIGHTMOST gram (the
+    # published rule, which stabilizes selection across windows)
+    pick = F.min(F.struct(F.col("wh").alias("h"), (-F.col("pos")).alias("np"))).over(frame)
+    return (
+        grams.withColumn("_n", n_grams)
+        .withColumn("_pick", pick)
+        # only FULL windows select (start pos <= n_grams - window);
+        # shorter docs (< window grams) keep their global min once
+        .filter((F.col("pos") <= F.col("_n") - window) | (F.col("pos") == 0))
+        .select(id_col, F.col("_pick.h").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowed_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_common: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
+    winnowing fingerprints. Same equi-join + boilerplate-cap shape as
+    :func:`gram_fingerprint_pairs`, but with MOSS's deterministic
+    detection guarantee instead of hex-prefix sampling."""
+    fps = winnowed_gram_fps(df, text_col, id_col=id_col, k=k, window=window)
+    if max_doc_freq is not None:
+        ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_doc_freq
+        )
+        fps = fps.join(ok.select("fp"), "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     store_df: DataFrame,

@@ -335,3 +335,68 @@ def test_yaml_pipeline_dedup_substrings(spark, tmp_path):
     got = {r["doc_id"]: r for r in run_pipeline(spark, cfg, backend=None).collect()}
     assert got[0]["dup_tokens"] == 0
     assert got[1]["dup_tokens"] == 9 and got[1]["clean_text"] == "other words"
+
+
+# ------------------------------------------------------------- winnowing
+def _winnow_ref(rows, k, w):
+    import re
+
+    ws = re.compile(r"\s+")
+    out = {}
+    for i, t in rows:
+        toks = [x for x in ws.split((t or "").strip()) if x]
+        hs = [
+            hashlib.md5(" ".join(toks[p : p + k]).encode()).hexdigest()
+            for p in range(len(toks) - k + 1)
+        ]
+        n, fps = len(hs), set()
+        if n:
+            if n < w:
+                fps.add(min((hs[p], -p) for p in range(n))[0])
+            else:
+                for s in range(n - w + 1):
+                    fps.add(min((hs[p], -p) for p in range(s, s + w))[0])
+        out[i] = fps
+    return out
+
+
+def test_winnowed_fps_match_published_rule(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{j}" for j in range(15)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))) for i in range(40)]
+    rows += [(90, None), (91, "a b c"), (92, "x " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((5, 4), (3, 2)):
+        got = {}
+        for r in passages.winnowed_gram_fps(df, "text", id_col="doc_id", k=k, window=w).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        want = {i: s for i, s in _winnow_ref(rows, k, w).items() if s}
+        assert got == want, (k, w)
+
+
+def test_winnowed_pairs_detection_guarantee(spark):
+    """Any verbatim overlap of >= window+k-1 tokens MUST share a
+    fingerprint — the property hex-prefix sampling can't promise."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens = window+k-1 for (5,4)
+    rows = [
+        (1, f"a b c {shared} d e"),
+        (2, f"p q {shared} r s t"),
+        (3, "totally unrelated content with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = passages.winnowed_pairs(
+        df, "text", id_col="doc_id", k=5, window=4, min_common=1
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowed_fps_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        passages.winnowed_gram_fps(df, "text", id_col="doc_id", k=0)
+    with pytest.raises(ValueError):
+        passages.winnowed_gram_fps(df, "text", id_col="doc_id", window=0)
