@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "events_rolling_features",
     "quality_top_quartile_docs",
     "winnow_dup_pairs",
+    "sn_blocking_pairs",
 ]
 
 

@@ -57,6 +57,50 @@ def embed_column(
     return widen_for_model_stage(df).withColumn(out_col, embed(text))
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    key: str,
+    window: int = 5,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): rank the
+    whole table by ``key`` (a SQL expression — typically a normalized
+    prefix like ``lower(substring(name, 1, 8))``), pair every two rows
+    within ``window`` positions of each other. The classic complement
+    to LSH blocking: catches near-duplicates whose similarity lives in
+    the SORT key (typos late in the string, prefix-stable entities)
+    without any embedding.
+
+    Scalable form: the global rank comes from rank.py's range-partition
+    + offset-map machinery (never a 1-partition window), and neighbors
+    meet via rank-buckets of width ``window`` — every pair with rank
+    distance <= window-1 is in the same or adjacent bucket, so the
+    pairing is two equi-joins on bucket id, never O(n^2). Returns
+    (id_a, id_b), id_a < id_b."""
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
+    from .rank import _global_row_number
+
+    tb = [c for c in (tiebreak or []) if c != id_col] + [id_col]
+    base = df.select(id_col, F.expr(key).alias("_snk"), *[c for c in tb if c != id_col])
+    order = [F.col("_snk").asc()] + [F.col(c).asc() for c in tb]
+    ranked = _global_row_number(base, order, "_rnk").select(
+        id_col, "_rnk", F.expr(f"(_rnk - 1) DIV {int(window)}").alias("_b")
+    )
+    a = ranked.select(F.col(id_col).alias("_ia"), F.col("_rnk").alias("_ra"), F.col("_b").alias("_ba"))
+    b = ranked.select(F.col(id_col).alias("_ib"), F.col("_rnk").alias("_rb"), F.col("_b").alias("_bb"))
+    same = a.join(b, (F.col("_ba") == F.col("_bb")) & (F.col("_ra") < F.col("_rb")))
+    adj = a.join(b, (F.col("_ba") + 1 == F.col("_bb"))).filter(
+        F.col("_rb") - F.col("_ra") <= window - 1
+    )
+    pairs = same.unionByName(adj).select(
+        F.least("_ia", "_ib").alias("id_a"), F.greatest("_ia", "_ib").alias("id_b")
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -64,6 +108,7 @@ def candidate_pairs(
     blocking_keys: list[str] | None = None,
     blocking_threshold: float | None = None,
     blocking_conditions: list[str] | None = None,
+    sorted_neighborhood: dict | None = None,
     backend: ModelBackend | None = None,
     embedding_col: str | None = None,
     n_planes: int = 8,
@@ -72,14 +117,16 @@ def candidate_pairs(
     target_recall: float = 0.95,
     bands: int | None = None,
 ) -> DataFrame:
-    """Union of three pruning strategies, deduplicated: (a) exact
+    """Union of four pruning strategies, deduplicated: (a) exact
     blocking-key equality, (b) embedding-cosine >= threshold via banded
     sign-LSH OR-amplification (bands auto-planned so recall at the
     threshold meets ``target_recall`` — the reference's
     blocking_target_recall contract, resolve.py:361), (c) arbitrary pair
-    predicates (SQL exprs over ``a.``/``b.`` prefixed columns). Returns
-    (id_a, id_b), id_a < id_b. ``n_planes`` is the per-band plane count
-    (selectivity: each band has 2^n_planes buckets)."""
+    predicates (SQL exprs over ``a.``/``b.`` prefixed columns),
+    (d) ``sorted_neighborhood={"key": <sql expr>, "window": N}`` —
+    classic rank-window blocking (see sorted_neighborhood_pairs).
+    Returns (id_a, id_b), id_a < id_b. ``n_planes`` is the per-band
+    plane count (selectivity: each band has 2^n_planes buckets)."""
     a = df.alias("a")
     b = df.alias("b")
     lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -120,6 +167,9 @@ def candidate_pairs(
             ors = c if ors is None else (ors | c)
         parts.append(a.join(b, cond & ors).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+
+    if sorted_neighborhood:
+        parts.append(sorted_neighborhood_pairs(df, id_col, **sorted_neighborhood))
 
     if not parts:
         # no blocking configured: all pairs. The reference allows this for
@@ -263,6 +313,7 @@ def resolve(
     blocking_keys: list[str] | None = None,
     blocking_threshold: float | str | None = None,
     blocking_conditions: list[str] | None = None,
+    sorted_neighborhood: dict | None = None,
     embedding_keys: list[str] | None = None,
     blocking_target_recall: float = 0.95,
     cascade: dict | None = None,
@@ -338,10 +389,12 @@ def resolve(
         blocking_keys=None,  # covered by star edges above
         blocking_threshold=blocking_threshold,
         blocking_conditions=blocking_conditions,
+        sorted_neighborhood=sorted_neighborhood,
         embedding_col=embedding_col,
         target_recall=blocking_target_recall,
         dim=vec_dim,
-    ) if (blocking_threshold is not None or blocking_conditions or not blocking_keys) else None
+    ) if (blocking_threshold is not None or blocking_conditions
+          or sorted_neighborhood or not blocking_keys) else None
 
     if pairs is not None and log_blocking_stats:
         # comparisons-saved metric (resolve.py:619-624): opt-in — the

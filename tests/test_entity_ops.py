@@ -573,3 +573,68 @@ def test_extract_suffix_alias(spark):
         extraction_key_suffix="_spans",
     )
     assert "body_spans" in out.columns
+
+
+# ------------------------------------------------- sorted-neighborhood
+def test_sorted_neighborhood_pairs_match_bruteforce(spark):
+    from docetl_spark.operators import resolve as resolve_op
+
+    rows = [(i, f"name{(i * 7) % 13:02d} person {i}") for i in range(60)]
+    rows += [(100, None), (101, "")]  # null/empty keys must survive
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (2, 5, 9):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in resolve_op.sorted_neighborhood_pairs(
+                df, "doc_id", key="lower(substring(coalesce(text, ''), 1, 6))", window=w
+            ).collect()
+        }
+        # brute-force mirror: rank by (key, id), pair within w positions
+        keyed = sorted(((t or "").lower()[:6], i) for i, t in rows)
+        want = set()
+        for a in range(len(keyed)):
+            for b in range(a + 1, min(a + w, len(keyed))):
+                ia, ib = keyed[a][1], keyed[b][1]
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want, w
+
+
+def test_sorted_neighborhood_in_candidate_pairs_and_resolve(spark):
+    from docetl_spark import FakeBackend
+    from docetl_spark.operators import resolve as resolve_op
+
+    rows = [
+        (1, "acme corp"), (2, "acme corp."), (3, "acme inc"),
+        (4, "zeta systems"), (5, "zeta system"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "name"])
+    pairs = resolve_op.candidate_pairs(
+        df, "doc_id",
+        sorted_neighborhood={"key": "lower(substring(name, 1, 4))", "window": 3},
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # acme* cluster and zeta* cluster are rank-adjacent
+    assert {(1, 2), (2, 3), (4, 5)} <= got
+    # full resolve path accepts the config (equality-rule backend)
+    be = FakeBackend(rules={
+        "is_match": lambda ctx: ctx[0]["name"][:4] == ctx[1]["name"][:4],
+    })
+    out = resolve_op.resolve(
+        df, be, id_col="doc_id",
+        comparison_prompt="same? {{ input1.name }} {{ input2.name }}",
+        output_schema={"name": "str"},
+        compare_cols=["name"],
+        sorted_neighborhood={"key": "lower(substring(name, 1, 4))", "window": 3},
+    )
+    res = {r["doc_id"]: r["_cluster_id"] for r in out.collect()}
+    assert res[1] == res[2] == res[3]  # acme cluster
+    assert res[4] == res[5]
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    from docetl_spark.operators import resolve as resolve_op
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        resolve_op.sorted_neighborhood_pairs(df, "doc_id", key="text", window=1)
