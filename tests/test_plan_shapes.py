@@ -36,6 +36,7 @@ PLAN_ONLY = [
     "events_rolling_features", "events_rolling_features_bucketed",
     "quality_top_quartile_docs", "cap_per_source_docs",
     "trim_repeated_lines_docs", "events_sessionize_bucketed",
+    "winnow_dup_pairs", "sn_blocking_pairs",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
