@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "quality_top_quartile_docs",
     "winnow_dup_pairs",
     "sn_blocking_pairs",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q22_idle_above_avg",
 ]
 
 

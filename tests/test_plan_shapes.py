@@ -37,6 +37,7 @@ PLAN_ONLY = [
     "quality_top_quartile_docs", "cap_per_source_docs",
     "trim_repeated_lines_docs", "events_sessionize_bucketed",
     "winnow_dup_pairs", "sn_blocking_pairs",
+    "q7_nation_volume", "q10_returned_revenue", "q22_idle_above_avg",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
