@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q10_returned_revenue",
     "q22_idle_above_avg",
+    "events_stream_rolling",
 ]
 
 

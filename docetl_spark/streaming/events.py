@@ -16,6 +16,7 @@ evicting idle users.
 
 from __future__ import annotations
 
+import math
 from typing import Iterable
 
 import pandas as pd
@@ -165,6 +166,93 @@ def sessionize_stateful(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROLLING_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_idx", T.LongType()),
+        T.StructField("gap_ns", T.LongType()),
+        T.StructField("rolling_n", T.LongType()),
+        T.StructField("rolling_cents", T.LongType()),
+    ]
+)
+_ROLL_STATE_SCHEMA = "idx LONG, prev_ts LONG, win ARRAY<LONG>"
+
+
+def rolling_features_stateful(
+    events: DataFrame,
+    *,
+    lookback_rows: int = 10,
+) -> DataFrame:
+    """Custom stateful operator: real-time per-user rolling features via
+    applyInPandasWithState — the streaming counterpart of
+    timeseries.rolling_features. Every event emits exactly once with its
+    1-based index in the user's timeline, the exact epoch-nanos gap to
+    the previous event, and trailing-``lookback_rows`` count / cents
+    sum.
+
+    State per user = (index counter, previous ts, the last k cents) —
+    O(lookback) regardless of history length, the online analogue of the
+    batch operator's bounded window frame. Rows inside a micro-batch are
+    ordered by (ts, event_id) before folding, so an availableNow drain
+    over ts-ordered files reproduces the batch operator exactly (the
+    oracle contract all stream queries here follow)."""
+    k = int(lookback_rows)
+    if k < 1:
+        raise ValueError(f"rolling_features_stateful: lookback_rows must be >= 1, got {k}")
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            idx, prev_ts, win = state.get
+            win = list(win)
+        else:
+            idx, prev_ts, win = 0, None, []
+        ids, idxs, gaps, ns, sums = [], [], [], [], []
+        for pdf in pdfs:
+            rows = sorted(
+                zip(pdf["event_id"], pdf["ts"], pdf["value"]),
+                key=lambda r: (int(r[1]), int(r[0])),
+            )
+            for eid, ts, val in rows:
+                ts = int(ts)
+                idx += 1
+                # same expression as the batch query: floor(value*100 + .5)
+                cents = int(math.floor(float(val) * 100 + 0.5))
+                win.append(cents)
+                if len(win) > k:
+                    win.pop(0)
+                ids.append(int(eid))
+                idxs.append(idx)
+                gaps.append(None if prev_ts is None else ts - prev_ts)
+                ns.append(len(win))
+                sums.append(sum(win))
+                prev_ts = ts
+        state.update((idx, prev_ts, win))
+        if ids:
+            out = pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "user_id": [int(user_id)] * len(ids),
+                    "event_idx": idxs,
+                    "gap_ns": pd.array(gaps, dtype="Int64"),
+                    "rolling_n": ns,
+                    "rolling_cents": sums,
+                }
+            )
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ROLLING_SCHEMA,
+        stateStructType=_ROLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -223,3 +223,91 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_rolling_features_stateful_matches_batch(spark, event_stream, tmp_path):
+    """The online rolling-features state machine must reproduce the
+    batch window-function operator exactly (index, gap, trailing-k)."""
+    from docetl_spark.functions import timeseries
+    from docetl_spark.streaming.events import rolling_features_stateful
+
+    out = run_available_now(
+        rolling_features_stateful(
+            event_stream.select("event_id", "user_id", "ts", "value"), lookback_rows=10
+        ),
+        checkpoint=str(tmp_path / "ckroll"),
+        dedupe_keys=["event_id"],
+    )
+    ev = _batch_events(spark)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    batch = timeseries.rolling_features(
+        ev.select("event_id", "user_id", "ts", "value").withColumn("_c", cents),
+        "ts", keys=["user_id"], value_aggs={"rolling_cents": F.sum("_c")},
+        lookback_rows=10, tiebreak=["event_id"],
+    ).select(
+        "event_id", "user_id", "event_idx",
+        (F.col("ts") - F.col("prev_ts")).alias("gap_ns"), "rolling_n", "rolling_cents",
+    ).collect()
+    b = sorted(tuple(r) for r in batch)
+    s = sorted(
+        (r["event_id"], r["user_id"], r["event_idx"], r["gap_ns"], r["rolling_n"], r["rolling_cents"])
+        for r in out
+    )
+    assert s == b
+
+
+def test_rolling_features_stateful_carries_state_across_batches(spark, tmp_path):
+    """Two availableNow drains over a growing directory: the second
+    batch's features must continue from the first batch's state (index,
+    prev_ts, trailing window) — the property that distinguishes the
+    stateful op from a per-batch map."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        read_events_stream, rolling_features_stateful, run_available_now,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write(batch_id, rows):
+        pd.DataFrame(rows, columns=cols).to_parquet(d / f"b{batch_id}.parquet")
+
+    base = 1_700_000_000 * 1_000_000_000
+    write(0, [(1, base + 1_000, 7, "a", 1.0, ""), (2, base + 2_000, 7, "a", 2.0, "")])
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        # memory sinks refuse checkpoint recovery, so the second drain
+        # must go through foreachBatch (recovery-capable) to observe the
+        # state carried across restarts
+        captured = []
+        ev = read_events_stream(spark, str(d))
+        feat = rolling_features_stateful(
+            ev.select("event_id", "user_id", "ts", "value"), lookback_rows=2
+        )
+        (
+            feat.writeStream.foreachBatch(
+                lambda df, _id: captured.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return captured
+
+    first = {r["event_id"]: r for r in drain()}
+    assert first[1]["event_idx"] == 1 and first[1]["gap_ns"] is None
+    assert first[2]["event_idx"] == 2 and first[2]["gap_ns"] == 1_000
+    assert first[2]["rolling_cents"] == 300  # 1.00 + 2.00 in cents
+
+    write(1, [(3, base + 5_000, 7, "a", 4.0, "")])
+    second = {r["event_id"]: r for r in drain()}
+    r3 = second[3]
+    # state carried: index continues, gap measured against batch-0's
+    # last event, trailing-2 window holds (2.0, 4.0)
+    assert r3["event_idx"] == 3 and r3["gap_ns"] == 3_000
+    assert r3["rolling_n"] == 2 and r3["rolling_cents"] == 600
