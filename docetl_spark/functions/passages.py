@@ -306,27 +306,16 @@ def sampled_gram_fps(
     return widen_for_udf(df).select(id_col, F.explode(fps(F.col(text_col))).alias("fp"))
 
 
-def gram_fingerprint_pairs(
-    df: DataFrame,
-    text_col: str,
-    *,
-    id_col: str,
-    k: int = 8,
-    sample_prefixes: tuple[str, ...] = ("0",),
-    min_common: int = 2,
-    max_doc_freq: int | None = None,
+def _fp_pairs(
+    fps: DataFrame, id_col: str, *, min_common: int, max_doc_freq: int | None
 ) -> DataFrame:
-    """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
-    sampled k-gram fingerprints; exact-substring overlap candidates.
+    """(id_a, id_b, n_common) from a (id, fp) table — the shared pair
+    shape behind gram_fingerprint_pairs and winnowed_pairs.
 
     ``max_doc_freq`` drops fingerprints present in more than that many
     documents BEFORE the self-join (boilerplate-gram suppression): a
     fingerprint in d docs fans out to d*(d-1)/2 pairs, so the cap
-    bounds the join's worst bucket — at corpus scale leave it set.
-    """
-    fps = sampled_gram_fps(
-        df, text_col, id_col=id_col, k=k, sample_prefixes=sample_prefixes
-    )
+    bounds the join's worst bucket — at corpus scale leave it set."""
     if max_doc_freq is not None:
         ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
             F.col("_df") <= max_doc_freq
@@ -341,6 +330,25 @@ def gram_fingerprint_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def gram_fingerprint_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    k: int = 8,
+    sample_prefixes: tuple[str, ...] = ("0",),
+    min_common: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
+    sampled k-gram fingerprints; exact-substring overlap candidates.
+    Boilerplate suppression via ``max_doc_freq`` (see _fp_pairs)."""
+    fps = sampled_gram_fps(
+        df, text_col, id_col=id_col, k=k, sample_prefixes=sample_prefixes
+    )
+    return _fp_pairs(fps, id_col, min_common=min_common, max_doc_freq=max_doc_freq)
 
 
 def winnowed_gram_fps(
@@ -397,23 +405,10 @@ def winnowed_pairs(
 ) -> DataFrame:
     """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
     winnowing fingerprints. Same equi-join + boilerplate-cap shape as
-    :func:`gram_fingerprint_pairs`, but with MOSS's deterministic
-    detection guarantee instead of hex-prefix sampling."""
+    :func:`gram_fingerprint_pairs` (shared _fp_pairs), but with MOSS's
+    deterministic detection guarantee instead of hex-prefix sampling."""
     fps = winnowed_gram_fps(df, text_col, id_col=id_col, k=k, window=window)
-    if max_doc_freq is not None:
-        ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
-            F.col("_df") <= max_doc_freq
-        )
-        fps = fps.join(ok.select("fp"), "fp")
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-    )
+    return _fp_pairs(fps, id_col, min_common=min_common, max_doc_freq=max_doc_freq)
 
 
 def incremental_dedup(

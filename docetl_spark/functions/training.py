@@ -975,14 +975,29 @@ def select_top_frac(
         # exactly 1.0 and a strict < 1.0 would silently drop it
         return df
     if approx_threshold:
+        if frac <= 0.0:
+            # parity with the exact path (percent_rank < 0 keeps nothing);
+            # without this, q=1.0 would keep every max-tied row per group
+            return df.limit(0)
         # threshold = the (1-frac) quantile for higher-is-better (keep
         # scores >= it), the frac quantile otherwise (keep <= it)
         q = 1.0 - frac if higher_is_better else frac
-        grp = [F.col(c) for c in (by or [])]
         thr_agg = F.percentile_approx(F.col(score_col), F.lit(float(q)), F.lit(10_000))
         if by:
-            thr = df.groupBy(*grp).agg(thr_agg.alias("_thr"))
-            joined = df.join(F.broadcast(thr), by, "left")
+            # NULL-SAFE group join: a NULL group key is a real group in
+            # the exact path's partitionBy; a bare equi-join would drop
+            # its rows entirely
+            thr = df.groupBy(*[F.col(c) for c in by]).agg(thr_agg.alias("_thr"))
+            tj = thr.select(
+                *[F.col(c).alias(f"_tf_{c}") for c in by], "_thr"
+            )
+            cond = None
+            for c in by:
+                e = F.col(c).eqNullSafe(F.col(f"_tf_{c}"))
+                cond = e if cond is None else cond & e
+            joined = df.join(F.broadcast(tj), cond, "left").drop(
+                *[f"_tf_{c}" for c in by]
+            )
         else:
             joined = df.crossJoin(F.broadcast(df.agg(thr_agg.alias("_thr"))))
         keep = (
@@ -990,8 +1005,11 @@ def select_top_frac(
             if higher_is_better
             else F.col(score_col) <= F.col("_thr")
         )
-        # NULL threshold (all-null scores in a group) keeps nothing,
-        # matching the exact path where null scores sort last
+        # NULL-score rows are DROPPED in approx mode (the sketch cannot
+        # rank them; the comparison evaluates NULL) — this diverges from
+        # the exact path, which follows SQL null ordering (nulls sort
+        # LAST under desc / FIRST under asc). Filter nulls upstream when
+        # that difference matters.
         return joined.filter(keep).drop("_thr")
     direction = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
     order = [direction] + [F.col(c) for c in (tiebreak or [])]

@@ -146,8 +146,15 @@ def sessionize_stateful(
         else:
             sid, n, start, end = 0, 0, None, None
         out = []
-        for pdf in pdfs:
-            epochs = sorted(int(e) // 1_000_000_000 for e in pdf["ts"])
+        # applyInPandasWithState hands a group over as an ITERATOR of
+        # Arrow chunks (split at arrow.maxRecordsPerBatch, ~10k rows)
+        # with no cross-chunk ordering guarantee — sorting each chunk
+        # separately would fold a >10k-event user out of time order.
+        # Concat first, sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allts = pd.concat([c["ts"] for c in chunks], ignore_index=True)
+            epochs = sorted(int(e) // 1_000_000_000 for e in allts)
             for e in epochs:
                 if end is not None and e - end > gap_seconds:
                     out.append((user_id, sid, n, start, end))
@@ -216,25 +223,33 @@ def rolling_features_stateful(
         else:
             idx, prev_ts, win = 0, None, []
         ids, idxs, gaps, ns, sums = [], [], [], [], []
+        # concat the group's Arrow chunks and sort ONCE: per-chunk sorts
+        # would misorder a >maxRecordsPerBatch user (see sessionize_stateful)
+        rows = []
         for pdf in pdfs:
-            rows = sorted(
-                zip(pdf["event_id"], pdf["ts"], pdf["value"]),
-                key=lambda r: (int(r[1]), int(r[0])),
+            rows.extend(
+                (None if pd.isna(t) else int(t),
+                 int(e),
+                 None if pd.isna(v) else float(v))
+                for e, t, v in zip(pdf["event_id"], pdf["ts"], pdf["value"])
             )
-            for eid, ts, val in rows:
-                ts = int(ts)
-                idx += 1
-                # same expression as the batch query: floor(value*100 + .5)
-                cents = int(math.floor(float(val) * 100 + 0.5))
-                win.append(cents)
-                if len(win) > k:
-                    win.pop(0)
-                ids.append(int(eid))
-                idxs.append(idx)
-                gaps.append(None if prev_ts is None else ts - prev_ts)
-                ns.append(len(win))
-                sums.append(sum(win))
-                prev_ts = ts
+        # NULLS FIRST on ts, then event_id — the batch window's asc order
+        rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
+        for ts, eid, val in rows:
+            idx += 1
+            # same expression as the batch query: floor(value*100 + .5);
+            # NULL value occupies a window slot (the batch frame counts
+            # the row) but contributes nothing to the null-skipping sum
+            cents = None if val is None else int(math.floor(val * 100 + 0.5))
+            win.append(cents)
+            if len(win) > k:
+                win.pop(0)
+            ids.append(eid)
+            idxs.append(idx)
+            gaps.append(None if (prev_ts is None or ts is None) else ts - prev_ts)
+            ns.append(len(win))
+            sums.append(sum(c for c in win if c is not None) if any(c is not None for c in win) else None)
+            prev_ts = ts
         state.update((idx, prev_ts, win))
         if ids:
             out = pd.DataFrame(
@@ -244,7 +259,7 @@ def rolling_features_stateful(
                     "event_idx": idxs,
                     "gap_ns": pd.array(gaps, dtype="Int64"),
                     "rolling_n": ns,
-                    "rolling_cents": sums,
+                    "rolling_cents": pd.array(sums, dtype="Int64"),
                 }
             )
             yield out

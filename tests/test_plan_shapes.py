@@ -36,7 +36,10 @@ PLAN_ONLY = [
     "events_rolling_features", "events_rolling_features_bucketed",
     "quality_top_quartile_docs", "cap_per_source_docs",
     "trim_repeated_lines_docs", "events_sessionize_bucketed",
-    "winnow_dup_pairs", "sn_blocking_pairs",
+    "winnow_dup_pairs",
+    # NOT sn_blocking_pairs: its distributed-rank construction runs real
+    # jobs (range-boundary sampling + per-partition count collect), which
+    # violates this list's plan-only contract
     "q7_nation_volume", "q10_returned_revenue", "q22_idle_above_avg",
 ]
 

@@ -311,3 +311,31 @@ def test_rolling_features_stateful_carries_state_across_batches(spark, tmp_path)
     # last event, trailing-2 window holds (2.0, 4.0)
     assert r3["event_idx"] == 3 and r3["gap_ns"] == 3_000
     assert r3["rolling_n"] == 2 and r3["rolling_cents"] == 600
+
+
+def test_rolling_features_stateful_tolerates_null_value(spark, tmp_path):
+    """NULL value must occupy a window slot without crashing the stream
+    (the batch frame counts the row; the null-skipping SUM ignores it)."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        read_events_stream, rolling_features_stateful, run_available_now,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000 * 1_000_000_000
+    pd.DataFrame(
+        [(1, base + 1_000, 3, "a", 1.0, ""), (2, base + 2_000, 3, "a", None, ""),
+         (3, base + 3_000, 3, "a", 2.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    out = {r["event_id"]: r for r in run_available_now(
+        rolling_features_stateful(
+            read_events_stream(spark, str(d)).select("event_id", "user_id", "ts", "value"),
+            lookback_rows=2,
+        ),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["event_id"],
+    )}
+    assert out[2]["rolling_n"] == 2 and out[2]["rolling_cents"] == 100  # null skipped in sum
+    assert out[3]["rolling_n"] == 2 and out[3]["rolling_cents"] == 200  # window slid past
