@@ -339,3 +339,48 @@ def test_rolling_features_stateful_tolerates_null_value(spark, tmp_path):
     )}
     assert out[2]["rolling_n"] == 2 and out[2]["rolling_cents"] == 100  # null skipped in sum
     assert out[3]["rolling_n"] == 2 and out[3]["rolling_cents"] == 200  # window slid past
+
+
+def test_stateful_ops_sort_across_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState hands groups over as MULTIPLE Arrow chunks
+    once a batch exceeds arrow.maxRecordsPerBatch; events must still
+    fold in global (ts, event_id) order, not per-chunk order."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        read_events_stream, rolling_features_stateful, run_available_now,
+    )
+
+    base = 1_700_000_000 * 1_000_000_000
+    n = 400
+    # write deliberately ts-DESCENDING so any unsorted fold is wrong
+    rows = [
+        (i, base + (n - i) * 1_000, 1, "a", float(i % 7), "")
+        for i in range(n)
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(d / "b0.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        out = run_available_now(
+            rolling_features_stateful(
+                read_events_stream(spark, str(d)).select("event_id", "user_id", "ts", "value"),
+                lookback_rows=3,
+            ),
+            checkpoint=str(tmp_path / "ck"), dedupe_keys=["event_id"],
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r["event_id"]: r for r in out}
+    assert len(got) == n
+    # ts ascending means event_id DESCENDING: event n-1 is first
+    assert got[n - 1]["event_idx"] == 1 and got[n - 1]["gap_ns"] is None
+    assert got[0]["event_idx"] == n
+    # every consecutive gap is exactly 1000ns — any chunk-local fold
+    # would produce a negative or >1000 gap somewhere
+    assert all(got[i]["gap_ns"] == 1_000 for i in range(n - 1))
