@@ -1961,6 +1961,346 @@ def q22_idle_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per-part minimum-cost supplier via decorrelated
+    arg-min. The dataset has no partsupp table, so 'cost' adapts to
+    s_acctbal over the suppliers that actually shipped the part (distinct
+    (l_partkey, l_suppkey) from lineitem); tie-break on s_suppkey keeps
+    the arg-min total. One shuffle on p_partkey; part/supplier/nation
+    dims broadcast. Reference parity: docetl has no relational core —
+    this covers the correlated-min shape its pipelines lower to."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_size")
+        .filter(F.col("p_size").between(30, 40))
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    j = (
+        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), ps["l_suppkey"] == sup["s_suppkey"])
+    )
+    best = j.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct("s_acctbal", "s_suppkey", "s_name", "s_nationkey")).alias("_b")
+    )
+    return (
+        best.join(F.broadcast(nation), F.col("_b.s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name",
+            F.col("_b.s_name").alias("s_name"),
+            F.col("_b.s_acctbal").alias("s_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's market share of PROMO-part revenue
+    sold to ASIA-region customers, per order year. The share is exact
+    integer basis points — numerator*10000 DIV denominator in decimal,
+    truncation-matched to the DuckDB HUGEINT oracle — so no double
+    division can flip a hash bit. Dims broadcast; one shuffle (the
+    groupBy on year)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .filter(F.col("p_type") == "PROMO")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sname")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_snk"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("_sname") == "NATION_3", rev).otherwise(F.lit(0))).alias("_n"),
+        F.sum(rev).alias("_d"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr(
+            "CAST((CAST(_n AS DECIMAL(38,8)) * 10000) DIV CAST(_d AS DECIMAL(38,8)) AS BIGINT)"
+        ).alias("share_bp"),
+        F.col("_n").cast("double").alias("nation_volume"),
+        F.col("_d").cast("double").alias("total_volume"),
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation and order year over
+    parts named like widgets. No partsupp, so supply cost adapts to
+    0.5 * p_retailprice * l_quantity — kept in exact decimal (0.5 is a
+    DECIMAL(2,1) literal, never a double) so the subtraction is
+    bit-stable. Dims broadcast around the lineitem->orders chain."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .filter(F.col("p_name").like("%widget%"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity") * F.lit("0.5").cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose revenue exceeds 1.5x the average
+    part's share of global revenue — a HAVING against a global scalar
+    subquery, decorrelated to a broadcast single-row aggregate. The
+    threshold is scale-invariant (spec Q11 scales its fraction by SF)
+    and compares in exact cross-multiplied decimal/int form
+    (rev_part * n_parts * 2 > rev_total * 3), so no double fraction
+    sits on the boundary."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("_rev"))
+    # Non-foldable constant keys (pmod of a column) keep the 1-row scalar
+    # as a BroadcastHashJoin; a literal key folds away and Catalyst
+    # falls back to BroadcastNestedLoopJoin.
+    total = per_part.agg(
+        F.sum("_rev").alias("_total"), F.count(F.lit(1)).alias("_np")
+    ).withColumn("_k", F.pmod(F.col("_np"), F.lit(1)))
+    return (
+        per_part.withColumn("_k", F.pmod(F.col("l_partkey"), F.lit(1)))
+        .join(F.broadcast(total), "_k")
+        .filter(F.col("_rev") * F.col("_np") * F.lit(2) > F.col("_total") * F.lit(3))
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select("p_partkey", "p_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: conditional priority counting per line class.
+    The dataset has no l_shipmode, so the grouping adapts to
+    l_linestatus; the CASE split on o_orderpriority is the Q12 shape.
+    Filter on ship year is pushed to the lineitem scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .filter(F.year("l_shipdate") == 1998)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: PROMO revenue share for one ship month, as
+    exact integer basis points (decimal DIV, truncation-matched to the
+    HUGEINT oracle). Single row out; part dim broadcast; the month
+    filter pushes to the lineitem scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-03-01"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01"))
+        )
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("_n"),
+            F.sum(rev).alias("_d"),
+        )
+    )
+    return agg.select(
+        F.expr(
+            "CAST((CAST(_n AS DECIMAL(38,8)) * 10000) DIV CAST(_d AS DECIMAL(38,8)) AS BIGINT)"
+        ).alias("promo_share_bp"),
+        F.col("_n").cast("double").alias("promo_revenue"),
+        F.col("_d").cast("double").alias("total_revenue"),
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with maximum quarterly revenue
+    — the view + scalar-max shape, decorrelated to a broadcast one-row
+    max joined back with EXACT decimal equality (doubles never compare
+    on the boundary). Ties all surface, as in the spec."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx")).withColumn("_k", F.lit(1))
+    return (
+        per_supp.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")  # 1-row scalar as a hash join, not BNLJ
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue"))
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier counts per part attribute
+    class, excluding a brand and a supplier blacklist. No partsupp, so
+    the part-supplier relation adapts to distinct (l_partkey, l_suppkey)
+    from lineitem; the NOT IN blacklist (suppliers with negative
+    balance) lowers to a broadcast anti-join, never a cross product."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .filter((F.col("p_brand") != "Brand#13") & (F.col("p_size") <= 25))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad"))
+    )
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps["l_suppkey"] == F.col("_bad"), "left_anti")
+        .join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: the nested semi-join chain — suppliers who
+    shipped more than 1.5x the per-supplier average quantity of some
+    bolt part in 1997. availqty adapts to shipped quantity (no
+    partsupp); the inner threshold compares cross-multiplied in exact
+    decimal (2 * qty_sp * n_supp > 3 * total_qty). The qualifying
+    supplier set semi-joins the supplier dim."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .filter(F.year("l_shipdate") == 1997)
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .filter(F.col("p_name").like("%bolt%"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sp = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+    )
+    per_part = sp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_q").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    heavy = (
+        sp.join(F.broadcast(per_part), sp["l_partkey"] == F.col("_pk"))
+        .filter(F.col("_q") * F.col("_n") * F.lit(2) > F.col("_tot") * F.lit(3))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(heavy, sup["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+def q21_sole_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: the EXISTS / NOT-EXISTS self-join pair on
+    lineitem. No commitdate/receiptdate, so 'kept waiting' adapts to
+    returns: suppliers with a returned line on a finished order where
+    ANOTHER supplier was on the order (EXISTS -> left_semi) but no
+    other supplier had a returned line (NOT EXISTS -> left_anti).
+    Count per supplier, deterministic top-25."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(F.col("o_orderstatus") == "F")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == F.col("_ok2")) & (l1["l_suppkey"] != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3")) & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
 _QM_WORDS = {"spark": 2.0, "join": 1.5, "merge": 1.0, "slow": -2.0}
 
 
@@ -2106,6 +2446,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q22_idle_above_avg": q22_idle_above_avg,
         "events_stream_rolling": events_stream_rolling,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_part_concentration": q11_part_concentration,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_heavy_shippers": q20_heavy_shippers,
+        "q21_sole_returners": q21_sole_returners,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -3682,6 +4032,159 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey
         WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * nav.n > nav.s
           AND COALESCE(cnt.n_orders, 0) < 8"""
+    sql["q2_min_cost_supplier"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        j AS (
+          SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, s.s_nationkey,
+                 ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                    ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+          FROM ps
+          JOIN part p ON p.p_partkey = ps.l_partkey
+          JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+          WHERE p.p_size BETWEEN 30 AND 40
+        )
+        SELECT j.p_partkey, j.p_name, j.s_name, j.s_acctbal, n.n_name
+        FROM j JOIN nation n ON n.n_nationkey = j.s_nationkey
+        WHERE j.rn = 1"""
+    sql["q8_market_share"] = """
+        WITH agg AS (
+          SELECT YEAR(o.o_orderdate) AS o_year,
+                 SUM(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                     ELSE 0 END) AS n,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS d
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+          JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+          GROUP BY YEAR(o.o_orderdate)
+        )
+        SELECT o_year,
+               CAST((CAST(n * 100000000 AS HUGEINT) * 10000)
+                    // CAST(d * 100000000 AS HUGEINT) AS BIGINT) AS share_bp,
+               CAST(n AS DOUBLE) AS nation_volume,
+               CAST(d AS DOUBLE) AS total_volume
+        FROM agg"""
+    sql["q9_product_profit"] = """
+        SELECT ns.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                        - CAST(p.p_retailprice AS DECIMAL(18,4))
+                          * CAST(l.l_quantity AS DECIMAL(18,4))
+                          * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        GROUP BY ns.n_name, YEAR(o.o_orderdate)"""
+    sql["q11_part_concentration"] = """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+          FROM lineitem GROUP BY l_partkey
+        ), t AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM per_part)
+        SELECT p.p_partkey, p.p_name, CAST(pp.rev AS DOUBLE) AS revenue
+        FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+        WHERE pp.rev * (SELECT np FROM t) * 2 > (SELECT tot FROM t) * 3"""
+    sql["q12_priority_by_status"] = """
+        SELECT l.l_linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE YEAR(l.l_shipdate) = 1998
+        GROUP BY l.l_linestatus"""
+    sql["q14_promo_share"] = """
+        WITH agg AS (
+          SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                     ELSE 0 END) AS n,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS d
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-04-01'
+        )
+        SELECT CAST((CAST(n * 100000000 AS HUGEINT) * 10000)
+                    // CAST(d * 100000000 AS HUGEINT) AS BIGINT) AS promo_share_bp,
+               CAST(n AS DOUBLE) AS promo_revenue,
+               CAST(d AS DOUBLE) AS total_revenue
+        FROM agg"""
+    sql["q15_top_supplier"] = """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(ps.rev AS DOUBLE) AS total_revenue
+        FROM per_supp ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.rev = (SELECT MAX(rev) FROM per_supp)"""
+    sql["q16_supplier_count"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#13' AND p.p_size <= 25
+          AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size"""
+    sql["q20_heavy_shippers"] = """
+        WITH sp AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS q
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+          WHERE YEAR(l.l_shipdate) = 1997
+          GROUP BY l.l_partkey, l.l_suppkey
+        ), per_part AS (
+          SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS n FROM sp GROUP BY l_partkey
+        )
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, nn.n_name
+        FROM supplier s
+        JOIN nation nn ON nn.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT sp.l_suppkey FROM sp
+          JOIN per_part pp ON pp.l_partkey = sp.l_partkey
+          WHERE sp.q * pp.n * 2 > pp.tot * 3
+        )"""
+    sql["q21_sole_returners"] = """
+        WITH l1 AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        ), waited AS (
+          SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')
+        )
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        FROM waited w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey LIMIT 25"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

@@ -125,6 +125,16 @@ BENCH_QUERIES = [
     "q10_returned_revenue",
     "q22_idle_above_avg",
     "events_stream_rolling",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_part_concentration",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_heavy_shippers",
+    "q21_sole_returners",
 ]
 
 

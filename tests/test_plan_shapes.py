@@ -41,6 +41,10 @@ PLAN_ONLY = [
     # jobs (range-boundary sampling + per-partition count collect), which
     # violates this list's plan-only contract
     "q7_nation_volume", "q10_returned_revenue", "q22_idle_above_avg",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_part_concentration", "q12_priority_by_status", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
+    "q21_sole_returners",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
