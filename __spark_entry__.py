@@ -2327,6 +2327,41 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("quality_prob", 4).alias("quality_prob"))
 
 
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k over the documents table for three fixed
+    queries — the full-text complement to rag_retrieve_context's
+    embedding path (see retrievers.bm25_topk for the plan analysis:
+    postings pruned by a broadcast query-term semi-join BEFORE the tf
+    shuffle, doc length computed pre-explode, decimal-summed scores)."""
+    from docetl_spark import retrievers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [
+            ("q1", "spark join performance"),
+            ("q2", "slow merge batch"),
+            ("q3", "window sort hash"),
+        ],
+        ["query_id", "query"],
+    )
+    return retrievers.bm25_topk(docs, queries, k=5)
+
+
+def corpus_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified train/val/test assignment per language —
+    cumulative-floor integer quotas (450/25/25 out of a 500-doc
+    stratum at 18/1/1, exactly), deterministic md5 ordering. The
+    probabilistic sibling is corpus_split_docs (independent md5
+    draws)."""
+    from docetl_spark.functions import training
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return training.assign_splits_exact(
+        docs, id_cols=["doc_id"], weights={"train": 18, "val": 1, "test": 1},
+        strata=["lang"],
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2456,6 +2491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_heavy_shippers": q20_heavy_shippers,
         "q21_sole_returners": q21_sole_returners,
+        "bm25_search_docs": bm25_search_docs,
+        "corpus_split_exact": corpus_split_exact,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4185,6 +4222,67 @@ def oracle_sql() -> dict[str, str]:
         FROM waited w JOIN supplier s ON s.s_suppkey = w.l_suppkey
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY numwait DESC, s.s_suppkey LIMIT 25"""
+    sql["bm25_search_docs"] = """
+        WITH q(query_id, query) AS (VALUES
+          ('q1', 'spark join performance'),
+          ('q2', 'slow merge batch'),
+          ('q3', 'window sort hash')),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents),
+        stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sl FROM base),
+        qt AS (
+          SELECT query_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(lower(query), '[^a-z0-9]+'),
+                   t -> t <> ''))) AS term
+          FROM q),
+        toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+        posting AS (
+          SELECT doc_id, term, dl, COUNT(*) AS tf
+          FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+          GROUP BY doc_id, term, dl),
+        dft AS (SELECT term, COUNT(*) AS dfreq FROM posting GROUP BY term),
+        scored AS (
+          SELECT qt.query_id, p.doc_id,
+                 ROUND(SUM(CAST(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + ((s.n - d.dfreq) + CAST(0.5 AS DOUBLE))
+                        / (d.dfreq + CAST(0.5 AS DOUBLE)))
+                   * (p.tf * CAST(2.2 AS DOUBLE)
+                      / (p.tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE) * p.dl
+                              / (CAST(s.sl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+                 AS DECIMAL(28,12))), 6) AS score_dec
+          FROM posting p
+          JOIN dft d ON d.term = p.term
+          JOIN qt ON qt.term = p.term
+          CROSS JOIN stats s
+          GROUP BY qt.query_id, p.doc_id)
+        SELECT query_id, doc_id, rank, CAST(score_dec AS DOUBLE) AS score
+        FROM (
+          SELECT query_id, doc_id, score_dec,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_dec DESC, doc_id) AS rank
+          FROM scored)
+        WHERE rank <= 5"""
+    sql["corpus_split_exact"] = """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat_ws('|', 'split', CAST(doc_id AS VARCHAR))),
+                            concat_ws('|', 'split', CAST(doc_id AS VARCHAR))) AS rnk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN rnk * 20 <= n * 18 THEN 'train'
+                    WHEN rnk * 20 <= n * 19 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

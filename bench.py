@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "q16_supplier_count",
     "q20_heavy_shippers",
     "q21_sole_returners",
+    "bm25_search_docs",
+    "corpus_split_exact",
 ]
 
 

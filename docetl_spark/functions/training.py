@@ -724,6 +724,54 @@ def assign_splits(
     return df.withColumn("split", expr)
 
 
+def assign_splits_exact(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    weights: dict[str, int] | None = None,
+    strata: list[str] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Exact-quota train/val/test assignment: per stratum of ``strata``
+    (or globally), split sizes are EXACT cumulative-floor quotas of the
+    integer ``weights`` — split i gets rows floor(n*cum_i/W) -
+    floor(n*cum_{i-1}/W), which always sums to n (the gap
+    ``assign_splits``'s independent md5 draws leave open: a 500-row
+    stratum at 90/5/5 can come out 459/22/19 there, and is exactly
+    450/25/25 here). Rows are ordered inside each stratum by a salted
+    md5 of ``id_cols`` (then by the key itself for md5 ties), so
+    assignment is deterministic across runs, engines, and partitioning.
+
+    The boundary test is pure integer math (rank * W <= n * cum_i), so
+    an oracle replays it bit-for-bit — no float fraction sits on a
+    quota line. Scale note: the rank is a per-stratum window; a single
+    giant stratum serialises into one task (same bound as
+    select_top_frac's exact path — see rank.py's _global_row_number
+    pattern or select_top_frac(approx_threshold=...) when one stratum
+    owns the corpus).
+    """
+    weights = weights or {"train": 18, "val": 1, "test": 1}
+    if not weights or any((not isinstance(v, int)) or v <= 0 for v in weights.values()):
+        raise ValueError("weights must be positive integers")
+    names = list(weights)
+    total = sum(weights.values())
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    part = [F.col(c) for c in (strata or [])]
+    w = W.partitionBy(*part).orderBy(F.md5(key), key) if part else W.orderBy(F.md5(key), key)
+    out = df.withColumn("_rnk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(*part))
+    )
+    expr = None
+    cum = 0
+    for n in names[:-1]:
+        cum += weights[n]
+        # rank r goes to the first split with r*W <= n*cum  <=>  r <= floor(n*cum/W)
+        cond = F.col("_rnk") * F.lit(total) <= F.col("_n") * F.lit(cum)
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return out.withColumn("split", expr).drop("_rnk", "_n")
+
+
 # ------------------------------------------------------- mixture planning
 def mixture_plan(
     df: DataFrame,

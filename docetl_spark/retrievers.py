@@ -293,3 +293,122 @@ def retrieve_context_join(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .drop("_rk")
     )
+
+
+def bm25_topk(
+    corpus_df,
+    queries_df,
+    k: int = 10,
+    *,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Distributed BM25 full-text top-k retrieval (Robertson-Sparck
+    Jones probabilistic idf in Lucene's ``ln(1 + ...)`` always-positive
+    form) — the lexical complement to ``retrieve_context_join``'s
+    embedding path. Reference parity: docetl's sample/topk "fts" method
+    (docetl/operations/sample.py) ranks by lexical match; this is the
+    corpus-scale generalisation with real tf/idf/length normalisation.
+
+    Plan (scale posture): tokenisation is a pure projection; doc length
+    is ``size(tokens)`` computed BEFORE the explode, so no shuffle ever
+    carries it. Exploded tokens semi-join the (tiny, broadcast) distinct
+    query-term set immediately — only query-matching postings reach the
+    (doc, term) tf shuffle, so shuffle volume is bounded by query
+    selectivity, not corpus size. Document frequency and the corpus
+    stats (N, avg doc length) are one tiny term-agg and one
+    column-pruned scan-agg. Scoring is all JVM double arithmetic; the
+    only cross-engine wobble is ``ln`` (JVM vs libm differ by 1 ulp on
+    ~2% of inputs), so scores are rounded to ``round_dp`` BEFORE the
+    per-query rank — ranking on the rounded score with a doc-id
+    tie-break keeps top-k cut lines bit-stable.
+
+    Query terms are deduplicated per query (qtf is not modelled).
+    Returns (query_id, doc_id, rank, score) with rank 1..k.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(F.col(corpus_text)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    base = corpus_df.select(
+        F.col(corpus_id).alias("_did"), toks.alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    # one column-pruned pass for the two corpus scalars
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sl")
+    ).withColumn("_k", F.pmod(F.col("_n"), F.lit(1)))  # non-foldable key: scalar joins stay hash joins
+    qterms = queries_df.select(
+        F.col(query_id).alias("_qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(query_text)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("_term"),
+    )
+    all_qterms = qterms.select("_term").distinct()
+    posting = (
+        base.select("_did", "_dl", F.explode("_toks").alias("_term"))
+        .join(F.broadcast(all_qterms), "_term")  # prune before the tf shuffle
+        .groupBy("_did", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    df_t = posting.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        posting.join(F.broadcast(df_t), "_term")
+        .withColumn("_k", F.pmod(F.col("_tf"), F.lit(1)))
+        .join(F.broadcast(stats), "_k")
+        .join(F.broadcast(qterms), "_term")
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfn",
+            F.col("_tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl") / (F.col("_sl").cast("double") / F.col("_n").cast("double"))
+                )
+            ),
+        )
+        .groupBy("_qid", "_did")
+        # double-sum order differs per engine/partitioning, so each term's
+        # contribution casts to DECIMAL(28,12) first (rounding the exact
+        # binary value — never near a half at digit 12) and the sum is
+        # order-independent decimal arithmetic; the final ROUND(_, dp)
+        # is decimal half-up in both Spark and DuckDB (positive scores).
+        .agg(
+            F.round(
+                F.sum((F.col("_idf") * F.col("_tfn")).cast("decimal(28,12)")), round_dp
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_did").alias(corpus_id),
+            "rank",
+            "score",
+        )
+    )

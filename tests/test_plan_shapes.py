@@ -44,7 +44,7 @@ PLAN_ONLY = [
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_part_concentration", "q12_priority_by_status", "q14_promo_share",
     "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
-    "q21_sole_returners",
+    "q21_sole_returners", "bm25_search_docs", "corpus_split_exact",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -174,3 +174,94 @@ def test_semantic_map_rejects_missing_context_col(spark):
     with pytest.raises(ValueError, match="not in input columns"):
         semantic_map(df, "{{ retrieved_context }}", {"a": "str"}, FakeBackend(),
                      retrieved_context_col="_typo")
+
+
+# ------------------------------------------------------------- BM25
+
+
+def _bm25_ref(docs, queries, k1=1.2, b=0.75):
+    """Independent pure-Python BM25 (Lucene +1 idf) for cross-checking."""
+    import math
+    import re
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    corpus = {d: tok(t) for d, t in docs}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    out = {}
+    for qid, q in queries:
+        scores = {}
+        for term in dict.fromkeys(tok(q)):
+            df = sum(1 for v in corpus.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, v in corpus.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                scores[d] = scores.get(d, 0.0) + idf * tfn
+        out[qid] = scores
+    return out
+
+
+def test_bm25_topk_matches_reference_math(spark):
+    from docetl_spark.retrievers import bm25_topk
+
+    docs = [
+        (1, "spark join performance tuning"),
+        (2, "slow merge sort on the cluster"),
+        (3, "join join join everywhere join"),
+        (4, "completely unrelated text about cats"),
+        (5, "performance of the spark engine and spark shuffles"),
+    ]
+    queries = [("a", "spark join"), ("b", "merge performance")]
+    got = bm25_topk(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        spark.createDataFrame(queries, ["query_id", "query"]),
+        k=3,
+    ).collect()
+    ref = _bm25_ref(docs, queries)
+    for r in got:
+        assert abs(ref[r["query_id"]][r["doc_id"]] - r["score"]) < 1e-6
+    # per-query ranking matches the reference ordering
+    for qid in ("a", "b"):
+        mine = [r["doc_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"])]
+        want = [d for d, _ in sorted(
+            ref[qid].items(), key=lambda kv: (-round(kv[1], 6), kv[0]))][: len(mine)]
+        assert mine == want
+
+
+def test_bm25_topk_repeated_query_terms_dedupe(spark):
+    from docetl_spark.retrievers import bm25_topk
+
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "alpha alpha")], ["doc_id", "text"])
+    q1 = spark.createDataFrame([("q", "alpha")], ["query_id", "query"])
+    q2 = spark.createDataFrame([("q", "alpha alpha alpha")], ["query_id", "query"])
+    s1 = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q1, k=5).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q2, k=5).collect()}
+    assert s1 == s2  # qtf is not modelled; terms dedupe per query
+
+
+def test_bm25_topk_no_match_query_yields_no_rows(spark):
+    from docetl_spark.retrievers import bm25_topk
+
+    docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    qs = spark.createDataFrame([("q", "zzz qqq")], ["query_id", "query"])
+    assert bm25_topk(docs, qs, k=5).count() == 0
+
+
+def test_bm25_topk_k_cuts_per_query(spark):
+    from docetl_spark.retrievers import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha common{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    qs = spark.createDataFrame([("q", "alpha")], ["query_id", "query"])
+    rows = bm25_topk(docs, qs, k=4).collect()
+    assert len(rows) == 4
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+    # equal scores tie-break by doc_id ascending
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [0, 1, 2, 3]

@@ -783,3 +783,60 @@ def test_select_top_frac_approx_threshold_mode(spark):
     # no Window/sort in the plan — the property the mode exists for
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------- exact-quota splits
+
+
+def test_assign_splits_exact_quotas(spark):
+    from docetl_spark.functions.training import assign_splits_exact
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 100 else "fr") for i in range(140)], ["id", "lang"]
+    )
+    out = assign_splits_exact(
+        df, id_cols=["id"], weights={"train": 8, "val": 1, "test": 1}, strata=["lang"]
+    )
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    # en: 100 rows -> exactly 80/10/10; fr: 40 rows -> exactly 32/4/4
+    assert counts[("en", "train")] == 80 and counts[("en", "val")] == 10 and counts[("en", "test")] == 10
+    assert counts[("fr", "train")] == 32 and counts[("fr", "val")] == 4 and counts[("fr", "test")] == 4
+
+
+def test_assign_splits_exact_uneven_remainder_sums(spark):
+    from docetl_spark.functions.training import assign_splits_exact
+
+    # 7 rows at 3:2:2 -> floors 3/2/2 (cumulative-floor always sums to n)
+    df = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    out = assign_splits_exact(df, id_cols=["id"], weights={"a": 3, "b": 2, "c": 2})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == 7
+    assert counts == {"a": 3, "b": 2, "c": 2}
+
+
+def test_assign_splits_exact_deterministic_and_disjoint(spark):
+    from docetl_spark.functions.training import assign_splits_exact
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["id"]).repartition(7)
+    a = {r["id"]: r["split"] for r in
+         assign_splits_exact(df, id_cols=["id"], weights={"t": 9, "v": 1}).collect()}
+    b = {r["id"]: r["split"] for r in
+         assign_splits_exact(df.repartition(3), id_cols=["id"], weights={"t": 9, "v": 1}).collect()}
+    assert a == b  # partitioning-independent
+    assert sum(1 for s in a.values() if s == "t") == 45
+
+
+def test_assign_splits_exact_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from docetl_spark.functions.training import assign_splits_exact
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with _pytest.raises(ValueError):
+        assign_splits_exact(df, id_cols=["id"], weights={"a": 0, "b": 1})
+    with _pytest.raises(ValueError):
+        assign_splits_exact(df, id_cols=["id"], weights={"a": 1.5, "b": 1})
