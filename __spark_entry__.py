@@ -2279,14 +2279,20 @@ def q21_sole_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
     )
+    # merge hints: l2/l3 derive from the FACT table, so they scale with
+    # it and must never broadcast — Spark's file-size estimate of the
+    # 2-column pruned scan undershoots the threshold and picks a
+    # broadcast build that measured 16x super-linear at a 10x blow-up
+    # (and would OOM outright at cluster scale). SMJ on l_orderkey
+    # shares one partitioning across both self-joins.
     waited = (
         l1.join(
-            l2,
+            l2.hint("merge"),
             (l1["l_orderkey"] == F.col("_ok2")) & (l1["l_suppkey"] != F.col("_sk2")),
             "left_semi",
         )
         .join(
-            l3,
+            l3.hint("merge"),
             (F.col("l_orderkey") == F.col("_ok3")) & (F.col("l_suppkey") != F.col("_sk3")),
             "left_anti",
         )

@@ -1,0 +1,69 @@
+"""Distribution diagnostics for partition/shuffle planning.
+
+The skew escape hatches elsewhere in the engine (timeseries.asof_join /
+rolling_features ``hot_key_bucket``, the bucketed sessionize, salted
+reduce ``distribute_folds``) all need the same input to be used well:
+which keys are hot, and how hot. ``skew_profile`` produces that report
+as one aggregation — cheap enough to run ad hoc on a 100 TB table
+because nothing ever leaves the executors except the top-N rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
+    """Key-distribution skew report for a prospective join/groupBy key.
+
+    Returns the ``top`` heaviest key values with exact row counts and
+    integer basis-point shares, plus the global context a planner needs:
+
+    - ``n_rows`` — rows under this key value
+    - ``share_bp`` — exact floor(n_rows / total * 10000): pure bigint
+      math, no doubles near a threshold
+    - ``cum_share_bp`` — cumulative share of ranks 1..r
+    - ``total_rows`` / ``n_keys`` — table row count and distinct-key
+      count, repeated per row so the report is self-contained
+
+    Reading it: ``share_bp`` of the rank-1 key >> 10000/n_partitions
+    means one task owns that key under a hash shuffle — route the
+    operator through its ``hot_key_bucket`` variant or salt the key.
+    ``n_keys`` close to ``total_rows`` means the key is near-unique and
+    skew is structurally impossible.
+
+    Plan: one groupBy on the key (map-side combinable count), a tiny
+    second agg for (total, n_keys) joined back broadcast on a
+    non-foldable constant key (stays a hash join), and a
+    TakeOrderedAndProject for the top-N — the cumulative window runs
+    AFTER the limit, over at most ``top`` rows in one partition. No
+    collect, no full-key-space materialisation on the driver.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    ).withColumn("_k", F.pmod(F.col("n_keys"), F.lit(1)))
+    ranked = (
+        per_key.withColumn("_k", F.pmod(F.col("n_rows"), F.lit(1)))
+        .join(F.broadcast(totals), "_k")
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top)
+    )
+    w = W.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .withColumn("share_bp", F.expr("n_rows * 10000 DIV total_rows"))
+        .withColumn(
+            "cum_share_bp",
+            F.expr("sum(n_rows)")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("_cum")
+            * F.lit(10000),
+        )
+        .withColumn("cum_share_bp", F.expr("cum_share_bp DIV total_rows"))
+        .select(*keys, "rank", "n_rows", "share_bp", "cum_share_bp", "total_rows", "n_keys")
+    )

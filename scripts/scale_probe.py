@@ -175,6 +175,58 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
 
         res["qurk_membership"] = timed(run_qurk)
 
+    # TPC-H Q2/Q16 core: distinct (part, supp) pairs from lineitem — one
+    # shuffle whose width is the distinct-pair count
+    if want("distinct_pairs"):
+        res["distinct_pairs"] = timed(lambda: (
+            line.select("l_partkey", "l_suppkey").distinct()
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
+    # TPC-H Q21 core: EXISTS/NOT-EXISTS self-join pair on lineitem
+    # (semi + anti on orderkey with a suppkey inequality residual)
+    if want("exists_selfjoin"):
+        def run_q21():
+            l1 = (line.filter(F.col("l_returnflag") == "R")
+                  .select("l_orderkey", "l_suppkey").distinct())
+            l2 = line.select(F.col("l_orderkey").alias("_ok2"),
+                             F.col("l_suppkey").alias("_sk2"))
+            l3 = line.filter(F.col("l_returnflag") == "R").select(
+                F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+            (l1.join(l2.hint("merge"), (l1["l_orderkey"] == F.col("_ok2"))
+                     & (l1["l_suppkey"] != F.col("_sk2")), "left_semi")
+             .join(l3.hint("merge"), (F.col("l_orderkey") == F.col("_ok3"))
+                   & (F.col("l_suppkey") != F.col("_sk3")), "left_anti")
+             .agg(F.count(F.lit(1))).collect())
+
+        res["exists_selfjoin"] = timed(run_q21)
+
+    # BM25: postings pruned by broadcast query-term semi-join before the
+    # tf shuffle — shuffle volume tracks query selectivity, not corpus
+    if want("bm25"):
+        from docetl_spark.retrievers import bm25_topk
+
+        def run_bm25():
+            qs = spark.createDataFrame(
+                [("q1", "spark join performance"), ("q2", "slow merge batch"),
+                 ("q3", "window sort hash")], ["query_id", "query"])
+            bm25_topk(docs, qs, k=10).agg(F.count(F.lit(1))).collect()
+
+        res["bm25"] = timed(run_bm25)
+
+    # exact-quota splits: per-stratum rank window (16 hash strata so the
+    # blow-up grows rows-per-stratum 10x, probing the window's scaling)
+    if want("split_exact"):
+        from docetl_spark.functions import training
+
+        def run_split():
+            d = docs.withColumn("_s", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("string"))
+            training.assign_splits_exact(
+                d, id_cols=["doc_id"], weights={"t": 8, "v": 1, "e": 1}, strata=["_s"],
+            ).agg(F.count(F.lit(1))).collect()
+
+        res["split_exact"] = timed(run_split)
+
     # contamination scan: corpus explode + broadcast benchmark key join.
     # The benchmark is FIXED-SIZE (real benchmarks don't grow with the
     # corpus) so the probe measures corpus-side scaling only.
