@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q21_sole_returners",
     "bm25_search_docs",
     "corpus_split_exact",
+    "events_skew_profile",
 ]
 
 

@@ -45,6 +45,7 @@ PLAN_ONLY = [
     "q11_part_concentration", "q12_priority_by_status", "q14_promo_share",
     "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
     "q21_sole_returners", "bm25_search_docs", "corpus_split_exact",
+    "events_skew_profile",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
