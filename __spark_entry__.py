@@ -2380,6 +2380,44 @@ def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, ["user_id"], top=20)
 
 
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT length quantiles via the scale-safe windowed
+    rank-select (stats.exact_quantiles) — quantile_cont semantics
+    without percentile()'s per-group value buffering. The DuckDB oracle
+    IS quantile_cont, so this checks the interpolation formula
+    bit-for-bit."""
+    from docetl_spark.functions.stats import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars", [0.5, 0.9, 0.99], by=["lang"])
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot shape: per-user event counts spread across one column per
+    event type (explicit value list, so no extra distinct-scan job),
+    plus exact-decimal purchase value. Lowers to ONE groupBy with
+    conditional aggregates — same plan as the CASE WHEN oracle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    types = ["click", "view", "purchase", "signup", "error"]
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = counts.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_dec("value")).cast("double").alias("purchase_value"))
+    )
+    return out.join(purchase, "user_id", "left").withColumn(
+        "purchase_value", F.coalesce(F.col("purchase_value"), F.lit(0.0))
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2512,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "corpus_split_exact": corpus_split_exact,
         "events_skew_profile": events_skew_profile,
+        "corpus_length_quantiles": corpus_length_quantiles,
+        "events_pivot_by_type": events_pivot_by_type,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4319,6 +4359,26 @@ def oracle_sql() -> dict[str, str]:
                t.total_rows, t.n_keys
         FROM ranked r CROSS JOIN t
         WHERE r.rank <= 20"""
+    sql["corpus_length_quantiles"] = """
+        SELECT lang, COUNT(n_chars) AS n,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.9) AS p90,
+               quantile_cont(n_chars, 0.99) AS p99
+        FROM documents GROUP BY lang"""
+    sql["events_pivot_by_type"] = """
+        WITH c AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                 SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS pv
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_click, n_view, n_purchase, n_signup, n_error,
+               CAST(pv AS DOUBLE) AS purchase_value
+        FROM c"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "bm25_search_docs",
     "corpus_split_exact",
     "events_skew_profile",
+    "corpus_length_quantiles",
+    "events_pivot_by_type",
 ]
 
 

@@ -67,3 +67,63 @@ def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
         .withColumn("cum_share_bp", F.expr("cum_share_bp DIV total_rows"))
         .select(*keys, "rank", "n_rows", "share_bp", "cum_share_bp", "total_rows", "n_keys")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT interpolated quantiles (``quantile_cont`` semantics) that
+    stay scale-safe: Spark's built-in ``percentile()`` aggregate buffers
+    every group value in the agg buffer (OOM on a 100 TB group), while
+    this formulation is one sorted window (streaming rank, O(1) task
+    state) plus a conditional aggregation that keeps only the two
+    neighbor rows of each quantile position.
+
+    Per group of ``by`` (or globally), for each p in ``ps``: position
+    pos = (n-1)*p, and the result interpolates the rank-floor(pos) and
+    rank-ceil(pos) values as (1-f)*v_lo + f*v_hi with f = pos - lo —
+    bit-for-bit the formula Spark's percentile() and DuckDB's
+    quantile_cont use (the algebraically-equal v_lo + f*(v_hi - v_lo)
+    differs in the last ulp and fails a hash oracle; unit-tested equal
+    to the built-in).
+
+    Output: ``by`` columns plus ``n`` and one ``p{...}`` double column
+    per quantile (p50-style names, dots stripped).
+    """
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("ps must be fractions in [0, 1]")
+    part = [F.col(c) for c in (by or [])]
+    v = F.col(value_col).cast("double")
+    wrank = (W.partitionBy(*part) if part else W.partitionBy()).orderBy(v.asc())
+    wall = W.partitionBy(*part) if part else W.partitionBy()
+    # nulls excluded, matching percentile()/quantile_cont semantics
+    ranked = df.filter(v.isNotNull()).select(
+        *(by or []),
+        v.alias("_v"),
+        (F.row_number().over(wrank) - F.lit(1)).alias("_r"),  # 0-based
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    names = []
+    for p in ps:
+        pos = (F.col("_n") - F.lit(1)).cast("double") * F.lit(float(p))
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        pct = p * 100.0
+        tag = f"p{int(pct)}" if pct == int(pct) else "p" + str(p).replace(".", "_")
+        names.append(tag)
+        aggs.append(F.min(F.when(F.col("_r") == lo, F.col("_v"))).alias(f"_lo_{tag}"))
+        aggs.append(F.min(F.when(F.col("_r") == hi, F.col("_v"))).alias(f"_hi_{tag}"))
+        aggs.append(F.min(F.when(F.col("_r") == lo, pos - lo.cast("double"))).alias(f"_f_{tag}"))
+    out = ranked.groupBy(*(by or [])).agg(*aggs)
+    for tag in names:
+        out = out.withColumn(
+            tag,
+            (F.lit(1.0) - F.col(f"_f_{tag}")) * F.col(f"_lo_{tag}")
+            + F.col(f"_f_{tag}") * F.col(f"_hi_{tag}"),
+        ).drop(f"_lo_{tag}", f"_hi_{tag}", f"_f_{tag}")
+    return out

@@ -41,3 +41,55 @@ def test_skew_profile_near_unique_key(spark):
     out = skew_profile(df, ["x"], top=5).collect()
     assert len(out) == 5
     assert all(r["n_keys"] == 50 and r["share_bp"] == 200 for r in out)
+
+
+# ------------------------------------------------------ exact quantiles
+
+
+def test_exact_quantiles_matches_builtin_percentile(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.stats import exact_quantiles
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", rng.uniform(-100, 100)) for i in range(257)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    mine = {r["g"]: r for r in exact_quantiles(df, "v", ps, by=["g"]).collect()}
+    builtin = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", p).alias(f"b{i}") for i, p in enumerate(ps)])
+        .collect()
+    }
+    tags = ["p0", "p25", "p50", "p90", "p99", "p100"]
+    for g in mine:
+        for i, tag in enumerate(tags):
+            # bit-for-bit, not approx — the formula must be the engine's
+            assert repr(mine[g][tag]) == repr(builtin[g][f"b{i}"]), (g, tag)
+
+
+def test_exact_quantiles_global_ignores_nulls(spark):
+    from docetl_spark.functions.stats import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,), (3.0,), (None,)], "v double"
+    )
+    out = exact_quantiles(df, "v", [0.5]).collect()
+    assert len(out) == 1 and out[0]["n"] == 3 and out[0]["p50"] == 2.0
+
+
+def test_exact_quantiles_single_row_and_validation(spark):
+    import pytest as _pytest
+
+    from docetl_spark.functions.stats import exact_quantiles
+
+    df = spark.createDataFrame([(5.0,)], "v double")
+    out = exact_quantiles(df, "v", [0.0, 0.5, 1.0]).collect()[0]
+    assert out["p0"] == out["p50"] == out["p100"] == 5.0
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", [])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", [1.5])
