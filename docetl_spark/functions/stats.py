@@ -93,20 +93,45 @@ def exact_quantiles(
 
     Output: ``by`` columns plus ``n`` and one ``p{...}`` double column
     per quantile (p50-style names, dots stripped).
+
+    Scale bounds: with ``by``, each group sorts in one task (the same
+    per-group bound as every exact order statistic — parallelism across
+    groups); a single giant group wants ``approx_percentile`` instead.
+    WITHOUT ``by``, a bare ``W.partitionBy()`` window would drag the
+    whole table into ONE partition, so the global path rides the
+    distributed range-partitioned rank from rank.py instead (boundary
+    sampling + per-partition offsets; runs two small jobs, so it is not
+    plan-only).
     """
     if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
         raise ValueError("ps must be fractions in [0, 1]")
     part = [F.col(c) for c in (by or [])]
     v = F.col(value_col).cast("double")
-    wrank = (W.partitionBy(*part) if part else W.partitionBy()).orderBy(v.asc())
-    wall = W.partitionBy(*part) if part else W.partitionBy()
     # nulls excluded, matching percentile()/quantile_cont semantics
-    ranked = df.filter(v.isNotNull()).select(
-        *(by or []),
-        v.alias("_v"),
-        (F.row_number().over(wrank) - F.lit(1)).alias("_r"),  # 0-based
-        F.count(F.lit(1)).over(wall).alias("_n"),
-    )
+    nn = df.filter(v.isNotNull())
+    if part:
+        wrank = W.partitionBy(*part).orderBy(v.asc())
+        wall = W.partitionBy(*part)
+        ranked = nn.select(
+            *(by or []),
+            v.alias("_v"),
+            (F.row_number().over(wrank) - F.lit(1)).alias("_r"),  # 0-based
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+    else:
+        from ..operators.rank import _global_row_number
+
+        base = nn.select(v.alias("_v"))
+        g = _global_row_number(base, [F.col("_v").asc()], "_r1")
+        tot = g.agg(F.count(F.lit(1)).alias("_n")).withColumn(
+            "_j", F.pmod(F.col("_n"), F.lit(1))
+        )
+        ranked = (
+            g.withColumn("_r", F.col("_r1") - F.lit(1))
+            .withColumn("_j", F.pmod(F.col("_r1"), F.lit(1)))
+            .join(F.broadcast(tot), "_j")
+            .select("_v", "_r", "_n")
+        )
     aggs = [F.max("_n").alias("n")]
     names = []
     for p in ps:
