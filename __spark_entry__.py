@@ -2418,6 +2418,21 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user (timeseries.funnel):
+    k chained running-min window columns over ONE (user, ts, event_id)
+    sort — no self-joins, no per-step passes. Returns first-completion
+    epoch-ns per step and steps reached."""
+    from docetl_spark.functions.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"],
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id",
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2552,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": events_skew_profile,
         "corpus_length_quantiles": corpus_length_quantiles,
         "events_pivot_by_type": events_pivot_by_type,
+        "events_funnel": events_funnel,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4379,6 +4395,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n_click, n_view, n_purchase, n_signup, n_error,
                CAST(pv AS DOUBLE) AS purchase_value
         FROM c"""
+    sql["events_funnel"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS ns, event_type, event_id FROM events
+        ), w1 AS (
+          SELECT user_id, ns, event_type, event_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+          FROM e
+        ), w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                        THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+          FROM w1
+        ), w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                        THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+          FROM w2
+        )
+        SELECT user_id, MIN(t1) AS step1_ts, MIN(t2) AS step2_ts,
+               MIN(t3) AS step3_ts,
+               CAST((CASE WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN MIN(t2) IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
+        FROM w3 GROUP BY user_id"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "events_skew_profile",
     "corpus_length_quantiles",
     "events_pivot_by_type",
+    "events_funnel",
 ]
 
 

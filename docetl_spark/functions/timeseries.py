@@ -515,3 +515,59 @@ def rolling_features(
     return out.filter(F.col("_carry") == 0).drop(
         "_rts", "_bkt", "_gidx", "_ibkt", "_carry"
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Ordered-sequence funnel: per entity, the first time each step of
+    ``steps`` completed GIVEN every earlier step already had (the
+    classic view -> click -> purchase product-analytics question, a
+    MATCH_RECOGNIZE-lite Spark SQL lacks natively).
+
+    One shuffle total: all k steps chain through running-min window
+    columns over a single (user, ts) sort — step i's candidate rows
+    qualify when their own row-local step-(i-1) running min is non-null,
+    so no self-joins and no per-step passes over the events. ROWS
+    frames with a ``tiebreak`` column keep tie handling identical to
+    the ANSI oracle (RANGE vs ROWS differ exactly on ts ties).
+
+    Returns one row per entity: ``step{i}_ts`` epoch values (null =
+    never reached) and ``reached`` (0..k).
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cur = df.select(user_col, ts_col, type_col, *( [tiebreak] if tiebreak else [] ))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            # in ts order, a non-null running min of the previous step
+            # means "some step-(i-1) completion at or before this row"
+            cond = cond & F.col(prev).isNotNull()
+        cur = cur.withColumn(
+            f"_t{i + 1}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"_t{i + 1}"
+    agg = cur.groupBy(user_col).agg(
+        *[F.min(f"_t{i + 1}").alias(f"step{i + 1}_ts") for i in range(len(steps))]
+    )
+    # step i+1 requires step i, so nullity is monotone down the chain:
+    # reached = how many step timestamps are non-null
+    reached = sum(
+        (F.col(f"step{i + 1}_ts").isNotNull().cast("int") for i in range(len(steps))),
+        F.lit(0),
+    )
+    return agg.withColumn("reached", reached.cast("int"))

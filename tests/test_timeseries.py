@@ -452,3 +452,67 @@ def test_rolling_features_bucketed_internal_clash_raises(spark):
     df = spark.createDataFrame([(1, 1, 0, 1.0)], ["event_id", "user_id", "ts", "_bkt"])
     with _pytest.raises(ValueError, match="_bkt"):
         timeseries.rolling_features(df, "ts", keys=["user_id"], hot_key_bucket=10)
+
+
+# ------------------------------------------------------------- funnels
+
+
+def test_funnel_ordering_enforced(spark):
+    from docetl_spark.functions.timeseries import funnel
+
+    # u1 completes in order; u2 purchases BEFORE clicking (step 3 must
+    # not count); u3 only views
+    rows = [
+        (1, "u1", 100, "view"), (2, "u1", 200, "click"), (3, "u1", 300, "purchase"),
+        (4, "u2", 100, "view"), (5, "u2", 150, "purchase"), (6, "u2", 200, "click"),
+        (7, "u3", 100, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in funnel(
+        df, ["view", "click", "purchase"], tiebreak="event_id").collect()}
+    assert out["u1"]["reached"] == 3 and out["u1"]["step3_ts"] == 300
+    assert out["u2"]["reached"] == 2 and out["u2"]["step3_ts"] is None
+    assert out["u3"]["reached"] == 1 and out["u3"]["step2_ts"] is None
+
+
+def test_funnel_same_ts_counts_via_tiebreak_order(spark):
+    from docetl_spark.functions.timeseries import funnel
+
+    # click at the SAME ts as view: the running min sees the view row
+    # first only when the tiebreak orders it first
+    rows = [(1, "u", 100, "view"), (2, "u", 100, "click")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = funnel(df, ["view", "click"], tiebreak="event_id").collect()[0]
+    assert out["reached"] == 2 and out["step2_ts"] == 100
+    # reversed ids: click row sorts before the view -> never qualifies
+    rows = [(2, "u", 100, "view"), (1, "u", 100, "click")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = funnel(df, ["view", "click"], tiebreak="event_id").collect()[0]
+    assert out["reached"] == 1 and out["step2_ts"] is None
+
+
+def test_funnel_single_shuffle_plan(spark):
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.timeseries import funnel
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 10).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("event_type"),
+    )
+    plan = funnel(df, ["view", "click"], tiebreak="event_id")._jdf.queryExecution().executedPlan().toString()
+    # the k chained window columns + final agg must share ONE
+    # hash-partitioning on user_id: exactly one exchange, no joins
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest as _pytest
+
+    from docetl_spark.functions.timeseries import funnel
+
+    df = spark.createDataFrame([(1, "u", 1, "view")], ["event_id", "user_id", "ts", "event_type"])
+    with _pytest.raises(ValueError):
+        funnel(df, [])
