@@ -642,6 +642,58 @@ class SemanticFrame:
             "time_rollup", ts_col=ts_col, _aggs=True, **kw,
         )
 
+    def funnel(self, steps: list[str], **kw) -> "SemanticFrame":
+        """Ordered-sequence funnel per entity (chained running-min
+        windows, one exchange, no self-joins) — see
+        functions/timeseries.funnel."""
+        from .functions import timeseries as tsf
+
+        return self._next(tsf.funnel(self.df, steps, **kw), "funnel", steps=list(steps), **kw)
+
+    def skew_profile(self, keys: list[str], *, top: int = 20) -> "SemanticFrame":
+        """Top-N heavy keys with exact basis-point shares — the planning
+        input for hot_key_bucket/salting — see functions/stats.skew_profile."""
+        from .functions import stats
+
+        return self._next(
+            stats.skew_profile(self.df, keys, top=top),
+            "skew_profile", keys=list(keys), top=top,
+        )
+
+    def exact_quantiles(self, value_col: str, ps: list[float], *, by: list[str] | None = None) -> "SemanticFrame":
+        """quantile_cont-exact interpolated quantiles without per-group
+        value buffering — see functions/stats.exact_quantiles."""
+        from .functions import stats
+
+        return self._next(
+            stats.exact_quantiles(self.df, value_col, ps, by=by),
+            "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
+        )
+
+    def split_exact(self, *, id_cols: list[str], weights: dict[str, int] | None = None,
+                    strata: list[str] | None = None, salt: str = "split") -> "SemanticFrame":
+        """Exact-quota stratified train/val/test assignment
+        (cumulative-floor integer quotas) — see
+        functions/training.assign_splits_exact."""
+        from .functions import training
+
+        return self._next(
+            training.assign_splits_exact(
+                self.df, id_cols=id_cols, weights=weights, strata=strata, salt=salt,
+            ),
+            "split_exact", id_cols=list(id_cols), weights=weights, strata=strata, salt=salt,
+        )
+
+    def bm25_topk(self, queries: "SemanticFrame | DataFrame", k: int = 10, **kw) -> "SemanticFrame":
+        """Lexical BM25 top-k retrieval against this frame as the corpus
+        — see retrievers.bm25_topk."""
+        from . import retrievers
+
+        qdf = queries.df if isinstance(queries, SemanticFrame) else queries
+        return self._next(
+            retrievers.bm25_topk(self.df, qdf, k, **kw), "bm25_topk", k=k, **kw
+        )
+
     def quality_model(self, weights: dict, *, text_col: str, id_col: str, **kw) -> "SemanticFrame":
         """Score docs with a fitted (or injected) hashed-feature linear
         quality classifier — see functions/quality_model.py for the

@@ -83,3 +83,30 @@ def test_frame_sample_smart_and_stratified_methods(spark):
     )
     per = strat.df.groupBy("lang").count().collect()
     assert all(r["count"] == 2 for r in per)
+
+
+def test_frame_analytics_verbs_chain(spark):
+    """The round-6 analytics verbs compose through the Frame API and
+    keep memoized lineage (config chain grows per verb)."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark import SemanticFrame
+
+    ev = spark.createDataFrame(
+        [(1, "u1", 100, "view", 1.0), (2, "u1", 200, "click", 2.0),
+         (3, "u2", 100, "view", 3.0), (4, "u2", 150, "view", 1.5)],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    fr = SemanticFrame(ev)
+    fun = fr.funnel(["view", "click"], tiebreak="event_id")
+    assert {r["user_id"]: r["reached"] for r in fun.df.collect()} == {"u1": 2, "u2": 1}
+    sk = fr.skew_profile(["user_id"], top=1)
+    assert sk.df.collect()[0]["n_rows"] == 2
+    q = fr.exact_quantiles("value", [0.5], by=["user_id"])
+    got = {r["user_id"]: r["p50"] for r in q.df.collect()}
+    assert got == {"u1": 1.5, "u2": 2.25}
+    sp = fr.split_exact(id_cols=["event_id"], weights={"t": 3, "v": 1})
+    assert sp.df.filter(F.col("split") == "t").count() == 3
+    docs = SemanticFrame(spark.createDataFrame([(1, "alpha beta"), (2, "alpha")], ["doc_id", "text"]))
+    qs = spark.createDataFrame([("q", "alpha")], ["query_id", "query"])
+    assert docs.bm25_topk(qs, k=1).df.count() == 1
