@@ -227,6 +227,29 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
 
         res["split_exact"] = timed(run_split)
 
+    # ordered-sequence funnel: k chained running-min windows, 1 exchange
+    if want("funnel") and events_path:
+        from docetl_spark.functions.timeseries import funnel as _funnel
+
+        ev = spark.read.parquet(events_path)
+        res["funnel"] = timed(lambda: (
+            _funnel(ev, ["view", "click", "purchase"], tiebreak="event_id")
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
+    # grouped exact quantiles: per-stratum sorted window + neighbor agg
+    if want("grouped_quantiles"):
+        from docetl_spark.functions.stats import exact_quantiles
+
+        def run_q():
+            d = docs.withColumn(
+                "_s", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("string")
+            ).withColumn("_len", F.length("text"))
+            exact_quantiles(d, "_len", [0.5, 0.9], by=["_s"]) \
+                .agg(F.count(F.lit(1))).collect()
+
+        res["grouped_quantiles"] = timed(run_q)
+
     # contamination scan: corpus explode + broadcast benchmark key join.
     # The benchmark is FIXED-SIZE (real benchmarks don't grow with the
     # corpus) so the probe measures corpus-side scaling only.
