@@ -1983,8 +1983,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(sup), ps["l_suppkey"] == sup["s_suppkey"])
     )
+    # NULL balances must lose the arg-min: Spark struct ordering puts
+    # NULL fields FIRST, but the oracle's ROW_NUMBER ORDER BY s_acctbal
+    # is NULLS LAST — a leading null-coalesced sort field (+inf) aligns
+    # them (latent with this testdata, which has no null balances).
     best = j.groupBy("p_partkey", "p_name").agg(
-        F.min(F.struct("s_acctbal", "s_suppkey", "s_name", "s_nationkey")).alias("_b")
+        F.min(
+            F.struct(
+                F.coalesce(F.col("s_acctbal"), F.lit(float("inf"))).alias("_ord"),
+                "s_suppkey", "s_acctbal", "s_name", "s_nationkey",
+            )
+        ).alias("_b")
     )
     return (
         best.join(F.broadcast(nation), F.col("_b.s_nationkey") == F.col("n_nationkey"))
@@ -2092,16 +2101,21 @@ def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("_rev"))
-    # Non-foldable constant keys (pmod of a column) keep the 1-row scalar
-    # as a BroadcastHashJoin; a literal key folds away and Catalyst
-    # falls back to BroadcastNestedLoopJoin.
     total = per_part.agg(
         F.sum("_rev").alias("_total"), F.count(F.lit(1)).alias("_np")
-    ).withColumn("_k", F.pmod(F.col("_np"), F.lit(1)))
+    )
+    from docetl_spark.functions.stats import broadcast_scalar_join
+
+    # The threshold multiplies at SCALE 0: decimal(38,8) * bigint would
+    # exceed precision 38 and Spark rounds both sides HALF_UP at 1e-6
+    # (allowPrecisionLoss), while the oracle compares exactly — so scale
+    # the sums to integers first (exact: the revenue products have at
+    # most 8 decimals) and cross-multiply those.
+    rev8 = F.expr("CAST(_rev * 100000000 AS DECIMAL(38,0))")
+    tot8 = F.expr("CAST(_total * 100000000 AS DECIMAL(38,0))")
     return (
-        per_part.withColumn("_k", F.pmod(F.col("l_partkey"), F.lit(1)))
-        .join(F.broadcast(total), "_k")
-        .filter(F.col("_rev") * F.col("_np") * F.lit(2) > F.col("_total") * F.lit(3))
+        broadcast_scalar_join(per_part, total, df_col="l_partkey", scalar_col="_np")
+        .filter(rev8 * F.col("_np") * F.lit(2) > tot8 * F.lit(3))
         .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
         .select("p_partkey", "p_name", F.col("_rev").cast("double").alias("revenue"))
     )
@@ -2395,26 +2409,25 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot shape: per-user event counts spread across one column per
     event type (explicit value list, so no extra distinct-scan job),
-    plus exact-decimal purchase value. Lowers to ONE groupBy with
-    conditional aggregates — same plan as the CASE WHEN oracle."""
+    plus exact-decimal purchase value — both measures in ONE pivot
+    aggregation, the same single-groupBy plan as the CASE WHEN
+    oracle."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
     types = ["click", "view", "purchase", "signup", "error"]
-    counts = (
+    # BOTH measures ride the one pivot aggregation (count + decimal sum
+    # per type) — a separate purchase-only agg + join would scan and
+    # shuffle the fact table twice for no reason
+    wide = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("v"))
     )
-    out = counts.select(
+    return wide.select(
         "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
-    )
-    purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.sum(_dec("value")).cast("double").alias("purchase_value"))
-    )
-    return out.join(purchase, "user_id", "left").withColumn(
-        "purchase_value", F.coalesce(F.col("purchase_value"), F.lit(0.0))
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        F.coalesce(F.col("purchase_v"), F.lit(0).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("purchase_value"),
     )
 
 
@@ -4206,7 +4219,8 @@ def oracle_sql() -> dict[str, str]:
         ), t AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM per_part)
         SELECT p.p_partkey, p.p_name, CAST(pp.rev AS DOUBLE) AS revenue
         FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
-        WHERE pp.rev * (SELECT np FROM t) * 2 > (SELECT tot FROM t) * 3"""
+        WHERE CAST(pp.rev * 100000000 AS HUGEINT) * (SELECT np FROM t) * 2
+            > CAST((SELECT tot FROM t) * 100000000 AS HUGEINT) * 3"""
     sql["q12_priority_by_status"] = """
         SELECT l.l_linestatus,
                SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')

@@ -13,6 +13,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def broadcast_scalar_join(
+    df: DataFrame, scalar_df: DataFrame, *, df_col: str, scalar_col: str
+) -> DataFrame:
+    """Attach a one-row aggregate to every row of ``df`` as a
+    BroadcastHashJoin. A LITERAL join key constant-folds away and
+    Catalyst falls back to BroadcastNestedLoopJoin (a 1-row build is
+    harmless, but the plan sweep forbids the strategy outright), so both
+    sides derive the constant from a non-foldable expression on one of
+    their OWN columns: pmod(xxhash64(col), 1) == 0 for every row, but
+    the optimizer cannot prove it. This is the single home for the
+    idiom — it was independently re-derived at four call sites before
+    being factored here."""
+    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
+    return (
+        df.withColumn("_sk", k(df_col))
+        .join(F.broadcast(scalar_df.withColumn("_sk", k(scalar_col))), "_sk")
+        .drop("_sk")
+    )
+
+
 def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
     """Key-distribution skew report for a prospective join/groupBy key.
 
@@ -46,24 +66,18 @@ def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
     )
     totals = per_key.agg(
         F.sum("n_rows").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
-    ).withColumn("_k", F.pmod(F.col("n_keys"), F.lit(1)))
+    )
     ranked = (
-        per_key.withColumn("_k", F.pmod(F.col("n_rows"), F.lit(1)))
-        .join(F.broadcast(totals), "_k")
+        broadcast_scalar_join(per_key, totals, df_col="n_rows", scalar_col="n_keys")
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
         .limit(top)
     )
     w = W.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    cum = F.sum("n_rows").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
         ranked.withColumn("rank", F.row_number().over(w))
         .withColumn("share_bp", F.expr("n_rows * 10000 DIV total_rows"))
-        .withColumn(
-            "cum_share_bp",
-            F.expr("sum(n_rows)")
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .alias("_cum")
-            * F.lit(10000),
-        )
+        .withColumn("cum_share_bp", cum * F.lit(10000))
         .withColumn("cum_share_bp", F.expr("cum_share_bp DIV total_rows"))
         .select(*keys, "rank", "n_rows", "share_bp", "cum_share_bp", "total_rows", "n_keys")
     )
@@ -107,32 +121,31 @@ def exact_quantiles(
         raise ValueError("ps must be fractions in [0, 1]")
     part = [F.col(c) for c in (by or [])]
     v = F.col(value_col).cast("double")
-    # nulls excluded, matching percentile()/quantile_cont semantics
-    nn = df.filter(v.isNotNull())
     if part:
-        wrank = W.partitionBy(*part).orderBy(v.asc())
+        # NULL values rank LAST and are excluded from _n (count(col)
+        # skips nulls) — an all-NULL group then has _n = 0, so every
+        # quantile position misses and the group still surfaces as
+        # (group, n=0, NULLs), matching percentile()/quantile_cont
+        # instead of silently vanishing (a pre-filter dropped it).
+        wrank = W.partitionBy(*part).orderBy(v.asc_nulls_last())
         wall = W.partitionBy(*part)
-        ranked = nn.select(
+        ranked = df.select(
             *(by or []),
             v.alias("_v"),
             (F.row_number().over(wrank) - F.lit(1)).alias("_r"),  # 0-based
-            F.count(F.lit(1)).over(wall).alias("_n"),
+            F.count(v).over(wall).alias("_n"),
         )
     else:
         from ..operators.rank import _global_row_number
 
-        base = nn.select(v.alias("_v"))
+        base = df.filter(v.isNotNull()).select(v.alias("_v"))
         g = _global_row_number(base, [F.col("_v").asc()], "_r1")
-        tot = g.agg(F.count(F.lit(1)).alias("_n")).withColumn(
-            "_j", F.pmod(F.col("_n"), F.lit(1))
-        )
-        ranked = (
-            g.withColumn("_r", F.col("_r1") - F.lit(1))
-            .withColumn("_j", F.pmod(F.col("_r1"), F.lit(1)))
-            .join(F.broadcast(tot), "_j")
-            .select("_v", "_r", "_n")
-        )
-    aggs = [F.max("_n").alias("n")]
+        tot = g.agg(F.count(F.lit(1)).alias("_n"))
+        ranked = broadcast_scalar_join(
+            g.withColumn("_r", F.col("_r1") - F.lit(1)),
+            tot, df_col="_r1", scalar_col="_n",
+        ).select("_v", "_r", "_n")
+    aggs = [F.coalesce(F.max("_n"), F.lit(0)).alias("n")]
     names = []
     for p in ps:
         pos = (F.col("_n") - F.lit(1)).cast("double") * F.lit(float(p))

@@ -744,11 +744,12 @@ def assign_splits_exact(
 
     The boundary test is pure integer math (rank * W <= n * cum_i), so
     an oracle replays it bit-for-bit — no float fraction sits on a
-    quota line. Scale note: the rank is a per-stratum window; a single
-    giant stratum serialises into one task (same bound as
-    select_top_frac's exact path — see rank.py's _global_row_number
-    pattern or select_top_frac(approx_threshold=...) when one stratum
-    owns the corpus).
+    quota line. Scale notes: with ``strata`` the rank is a per-stratum
+    window, so a single giant stratum serialises into one task (same
+    bound as select_top_frac's exact path); WITHOUT strata the rank
+    rides rank.py's distributed range-partitioned _global_row_number —
+    a bare W.orderBy() window would drag the whole corpus into one
+    partition.
     """
     weights = weights or {"train": 18, "val": 1, "test": 1}
     if not weights or any((not isinstance(v, int)) or v <= 0 for v in weights.values()):
@@ -756,11 +757,24 @@ def assign_splits_exact(
     names = list(weights)
     total = sum(weights.values())
     key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
-    part = [F.col(c) for c in (strata or [])]
-    w = W.partitionBy(*part).orderBy(F.md5(key), key) if part else W.orderBy(F.md5(key), key)
-    out = df.withColumn("_rnk", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(W.partitionBy(*part))
-    )
+    if strata:
+        part = [F.col(c) for c in strata]
+        w = W.partitionBy(*part).orderBy(F.md5(key), key)
+        out = df.withColumn("_rnk", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(W.partitionBy(*part))
+        )
+    else:
+        from ..operators.rank import _global_row_number
+        from .stats import broadcast_scalar_join
+
+        keyed = df.withColumn("_mk", F.md5(key)).withColumn("_kk", key)
+        ranked = _global_row_number(
+            keyed, [F.col("_mk").asc(), F.col("_kk").asc()], "_rnk"
+        )
+        tot = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        out = broadcast_scalar_join(
+            ranked, tot, df_col="_rnk", scalar_col="_n"
+        ).drop("_mk", "_kk")
     expr = None
     cum = 0
     for n in names[:-1]:

@@ -341,9 +341,7 @@ def bm25_topk(
         F.col(corpus_id).alias("_did"), toks.alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
     # one column-pruned pass for the two corpus scalars
-    stats = base.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sl")
-    ).withColumn("_k", F.pmod(F.col("_n"), F.lit(1)))  # non-foldable key: scalar joins stay hash joins
+    stats = base.agg(F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sl"))
     qterms = queries_df.select(
         F.col(query_id).alias("_qid"),
         F.explode(
@@ -363,10 +361,13 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
     )
     df_t = posting.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    from .functions.stats import broadcast_scalar_join
+
     scored = (
-        posting.join(F.broadcast(df_t), "_term")
-        .withColumn("_k", F.pmod(F.col("_tf"), F.lit(1)))
-        .join(F.broadcast(stats), "_k")
+        broadcast_scalar_join(
+            posting.join(F.broadcast(df_t), "_term"),
+            stats, df_col="_tf", scalar_col="_n",
+        )
         .join(F.broadcast(qterms), "_term")
         .withColumn(
             "_idf",

@@ -93,3 +93,37 @@ def test_exact_quantiles_single_row_and_validation(spark):
         exact_quantiles(df, "v", [])
     with _pytest.raises(ValueError):
         exact_quantiles(df, "v", [1.5])
+
+
+def test_exact_quantiles_keeps_all_null_groups(spark):
+    """Review repro: an all-NULL group must surface as (group, n=0,
+    NULL quantiles) — percentile()/quantile_cont semantics — not vanish."""
+    from docetl_spark.functions.stats import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)], "g string, v double"
+    )
+    out = {r["g"]: r for r in exact_quantiles(df, "v", [0.5], by=["g"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 2 and out["a"]["p50"] == 1.5
+    assert out["b"]["n"] == 0 and out["b"]["p50"] is None
+
+
+def test_exact_quantiles_mixed_nulls_in_group(spark):
+    from docetl_spark.functions.stats import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 4.0), ("a", 2.0), ("a", None)], "g string, v double"
+    )
+    out = exact_quantiles(df, "v", [0.5, 1.0], by=["g"]).collect()[0]
+    assert out["n"] == 2 and out["p50"] == 3.0 and out["p100"] == 4.0
+
+
+def test_skew_profile_plan_is_hash_join(spark):
+    """The 1-row totals join must stay a BroadcastHashJoin via the
+    shared non-foldable-key helper (a literal key folds to BNLJ)."""
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], ["k"])
+    from docetl_spark.functions.stats import skew_profile
+
+    plan = skew_profile(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

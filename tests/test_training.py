@@ -840,3 +840,22 @@ def test_assign_splits_exact_rejects_bad_weights(spark):
         assign_splits_exact(df, id_cols=["id"], weights={"a": 0, "b": 1})
     with _pytest.raises(ValueError):
         assign_splits_exact(df, id_cols=["id"], weights={"a": 1.5, "b": 1})
+
+
+def test_assign_splits_exact_global_path_distributed_and_stable(spark):
+    """The unstratified path rides the distributed rank: same
+    assignments as before, no single-partition window, and exact global
+    quotas."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.training import assign_splits_exact
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"]).repartition(8)
+    out = assign_splits_exact(df, id_cols=["id"], weights={"t": 8, "v": 1, "e": 1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"t": 80, "v": 10, "e": 10}
+    # schema untouched beyond the split column
+    assert set(out.columns) == {"id", "split"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
