@@ -2446,6 +2446,33 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time funnel tracking via applyInPandasWithState
+    (streaming/events.py funnel_stateful): per-user first-completion
+    timestamps of view -> click -> purchase, O(k) state per user. The
+    oracle is the BATCH funnel SQL — the online state machine must
+    reproduce the chained-window plan exactly over an availableNow
+    drain."""
+    import tempfile
+
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    fun = stream_ops.funnel_stateful(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        ["view", "click", "purchase"],
+    )
+    rows = stream_ops.run_available_now(
+        fun,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_funnel_"),
+        dedupe_keys=["user_id"],
+        shuffle_partitions=8,
+    )
+    schema = ("user_id long, step1_ts long, step2_ts long, step3_ts long, "
+              "reached int")
+    return stream_ops.drained_df(spark, rows, schema)
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2581,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": corpus_length_quantiles,
         "events_pivot_by_type": events_pivot_by_type,
         "events_funnel": events_funnel,
+        "events_stream_funnel": events_stream_funnel,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4437,6 +4465,7 @@ def oracle_sql() -> dict[str, str]:
                   + (CASE WHEN MIN(t2) IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
         FROM w3 GROUP BY user_id"""
+    sql["events_stream_funnel"] = sql["events_funnel"]
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "corpus_length_quantiles",
     "events_pivot_by_type",
     "events_funnel",
+    "events_stream_funnel",
 ]
 
 

@@ -525,3 +525,81 @@ def semantic_filter_stream(
     from ..operators.semantic import semantic_filter
 
     return semantic_filter(stream_df, prompt, output_schema, backend, **kw)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Real-time ordered-sequence funnel via applyInPandasWithState —
+    the streaming counterpart of timeseries.funnel. State per user is
+    ONE array of k first-completion timestamps (O(k) regardless of
+    history), updated by folding each micro-batch's rows in (ts,
+    event_id) order: step i records its first event whose user already
+    completed step i-1 (earlier batch or earlier row). Each batch emits
+    the user's current (step timestamps, reached) row; update-mode
+    sinks keep the latest.
+
+    Same drain contract as the other stateful ops here: rows within a
+    batch fold in global event-time order (chunks concatenated then
+    sorted once), so an availableNow drain over time-ordered files
+    reproduces the batch funnel exactly — the registry oracle IS the
+    batch funnel SQL. Cross-batch LATE data is out of contract: a step-1
+    event arriving after a later step was already folded cannot
+    retroactively qualify it (the batch operator replays history; the
+    online one does not)."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType())]
+        + [T.StructField(f"step{i + 1}_ts", T.LongType()) for i in range(k)]
+        + [T.StructField("reached", T.IntegerType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_steps = [None if pd.isna(t) else int(t) for t in state.get[0]]
+        else:
+            ts_steps = [None] * k
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (None if pd.isna(t) else int(t), int(e), et)
+                for e, t, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"])
+            )
+        # whole-group sort across Arrow chunks, NULLS FIRST — the batch
+        # window's (ts, event_id) asc order
+        rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
+        for ts, _eid, et in rows:
+            i = step_idx.get(et)
+            if i is None or ts_steps[i] is not None:
+                continue
+            if i == 0 or ts_steps[i - 1] is not None:
+                ts_steps[i] = ts
+        state.update((ts_steps,))
+        reached = sum(1 for t in ts_steps if t is not None)
+        yield pd.DataFrame(
+            {
+                user_col: [int(user_id)],
+                **{
+                    f"step{i + 1}_ts": pd.array([ts_steps[i]], dtype="Int64")
+                    for i in range(k)
+                },
+                "reached": [reached],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="ts_steps ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -384,3 +384,93 @@ def test_stateful_ops_sort_across_arrow_chunks(spark, tmp_path):
     # every consecutive gap is exactly 1000ns — any chunk-local fold
     # would produce a negative or >1000 gap somewhere
     assert all(got[i]["gap_ns"] == 1_000 for i in range(n - 1))
+
+
+def test_funnel_stateful_state_carries_across_batches(spark, tmp_path):
+    """Step 1 in batch 0, step 2 in batch 1: the user's state array must
+    carry so the later batch's click qualifies."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        funnel_stateful, read_events_stream, run_available_now,
+    )
+
+    base = 1_700_000_000 * 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        [(1, base + 100, 7, "view", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    pd.DataFrame(
+        [(2, base + 200, 7, "click", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b1.parquet")
+    out = run_available_now(
+        funnel_stateful(
+            read_events_stream(
+                spark, str(d), max_files_per_trigger=1
+            ).select("event_id", "user_id", "ts", "event_type"),
+            ["view", "click"],
+        ),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["user_id"],
+    )
+    (row,) = out
+    assert row["reached"] == 2
+    assert row["step1_ts"] == base + 100 and row["step2_ts"] == base + 200
+
+
+def test_funnel_stateful_out_of_order_within_batch_sorted(spark, tmp_path):
+    """A click written BEFORE the view in file order but after in event
+    time must still qualify — rows fold in (ts, event_id) order."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        funnel_stateful, read_events_stream, run_available_now,
+    )
+
+    base = 1_700_000_000 * 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        [(2, base + 200, 7, "click", 0.0, ""), (1, base + 100, 7, "view", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    out = run_available_now(
+        funnel_stateful(
+            read_events_stream(spark, str(d)).select(
+                "event_id", "user_id", "ts", "event_type"),
+            ["view", "click"],
+        ),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["user_id"],
+    )
+    assert out[0]["reached"] == 2
+
+
+def test_funnel_stateful_wrong_order_never_qualifies(spark, tmp_path):
+    """purchase before click (in event time) must not count as step 2
+    even though both types occur."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        funnel_stateful, read_events_stream, run_available_now,
+    )
+
+    base = 1_700_000_000 * 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        [(1, base + 100, 7, "purchase", 0.0, ""), (2, base + 200, 7, "click", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    out = run_available_now(
+        funnel_stateful(
+            read_events_stream(spark, str(d)).select(
+                "event_id", "user_id", "ts", "event_type"),
+            ["click", "purchase"],
+        ),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["user_id"],
+    )
+    (row,) = out
+    assert row["reached"] == 1 and row["step1_ts"] == base + 200
+    assert row["step2_ts"] is None
