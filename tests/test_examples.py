@@ -99,3 +99,14 @@ def test_curate_mixture_example_runs(spark):
     assert max(src_counts.values()) <= 60
     # unimax copies are 1-based and bounded by the 1.5 epoch cap
     assert all(1 <= r["copy"] <= 2 for r in rows)
+
+
+def test_event_analytics_example_runs(spark):
+    from examples.event_analytics import main
+
+    out = main(spark)
+    assert out["hot_user_share_bp"] > 0
+    assert sum(out["funnel_counts"].values()) > 0
+    assert set(out["split_counts"]) <= {"train", "holdout"}
+    n = sum(out["split_counts"].values())
+    assert out["split_counts"].get("train", 0) == (n * 4) // 5
