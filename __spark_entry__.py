@@ -2696,10 +2696,15 @@ def oracle_sql() -> dict[str, str]:
     )
     sql = {
         "q1_pricing_summary": f"""
+            -- decimal->double via VARCHAR: DuckDB's direct DECIMAL cast
+            -- double-rounds (hugeint->double, then /10^scale) and lands
+            -- 1 ulp off Spark's correctly-rounded BigDecimal cast once
+            -- the scaled sum exceeds 2^53 (sf0.1 full-lineitem sums do;
+            -- string->double parse is correctly rounded in both)
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(SUM({rev}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
