@@ -2710,7 +2710,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus""",
         "q3_top_orders": f"""
             SELECT l_orderkey, o_orderpriority,
-                   CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   CAST(CAST(SUM({rev}) AS VARCHAR) AS DOUBLE) AS revenue,
                    strftime(MIN(o_orderdate), '%Y-%m-%d') AS o_orderdate_s
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                  JOIN customer ON o_custkey = c_custkey
@@ -2720,7 +2720,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
         "q5_nation_revenue": f"""
-            SELECT n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue,
+            SELECT n_name, CAST(CAST(SUM({rev}) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(DISTINCT l_orderkey) AS n_orders
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                  JOIN customer ON o_custkey = c_custkey
@@ -2729,7 +2729,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name""",
         "q6_revenue_delta": """
-            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -3644,7 +3644,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority""",
         "customers_without_orders": """
             SELECT n_name, count(*) AS num_customers,
-                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+                   CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_bal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_acctbal > 0
               AND NOT EXISTS (SELECT 1 FROM orders o
@@ -3884,8 +3884,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count""",
         "q19_disjunct_revenue": """
-            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_returnflag IN ('N', 'R')
@@ -4052,7 +4052,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE p.p_brand = 'Brand#1'
           GROUP BY l.l_partkey
         )
-        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
@@ -4065,7 +4065,7 @@ def oracle_sql() -> dict[str, str]:
           HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
         )
         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-               CAST(b.tq AS DOUBLE) AS total_qty
+               CAST(CAST(b.tq AS VARCHAR) AS DOUBLE) AS total_qty
         FROM big b
         JOIN orders o ON o.o_orderkey = b.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -4150,8 +4150,8 @@ def oracle_sql() -> dict[str, str]:
           ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4"""
     sql["q7_nation_volume"] = """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS volume,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4174,7 +4174,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE l.l_returnflag = 'R'
           GROUP BY c.c_custkey, c.c_name, n.n_name
         )
-        SELECT c_custkey, c_name, nation, CAST(rev AS DOUBLE) AS revenue, n_items
+        SELECT c_custkey, c_name, nation, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue, n_items
         FROM agg ORDER BY rev DESC, c_custkey LIMIT 20"""
     sql["q22_idle_above_avg"] = """
         WITH nav AS (
@@ -4226,16 +4226,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_year,
                CAST((CAST(n * 100000000 AS HUGEINT) * 10000)
                     // CAST(d * 100000000 AS HUGEINT) AS BIGINT) AS share_bp,
-               CAST(n AS DOUBLE) AS nation_volume,
-               CAST(d AS DOUBLE) AS total_volume
+               CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nation_volume,
+               CAST(CAST(d AS VARCHAR) AS DOUBLE) AS total_volume
         FROM agg"""
     sql["q9_product_profit"] = """
         SELECT ns.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
                         - CAST(p.p_retailprice AS DECIMAL(18,4))
                           * CAST(l.l_quantity AS DECIMAL(18,4))
-                          * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit,
+                          * CAST(0.5 AS DECIMAL(2,1))) AS VARCHAR) AS DOUBLE) AS profit,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
@@ -4250,7 +4250,7 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
           FROM lineitem GROUP BY l_partkey
         ), t AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM per_part)
-        SELECT p.p_partkey, p.p_name, CAST(pp.rev AS DOUBLE) AS revenue
+        SELECT p.p_partkey, p.p_name, CAST(CAST(pp.rev AS VARCHAR) AS DOUBLE) AS revenue
         FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
         WHERE CAST(pp.rev * 100000000 AS HUGEINT) * (SELECT np FROM t) * 2
             > CAST((SELECT tot FROM t) * 100000000 AS HUGEINT) * 3"""
@@ -4279,8 +4279,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST((CAST(n * 100000000 AS HUGEINT) * 10000)
                     // CAST(d * 100000000 AS HUGEINT) AS BIGINT) AS promo_share_bp,
-               CAST(n AS DOUBLE) AS promo_revenue,
-               CAST(d AS DOUBLE) AS total_revenue
+               CAST(CAST(n AS VARCHAR) AS DOUBLE) AS promo_revenue,
+               CAST(CAST(d AS VARCHAR) AS DOUBLE) AS total_revenue
         FROM agg"""
     sql["q15_top_supplier"] = """
         WITH per_supp AS (
@@ -4292,7 +4292,7 @@ def oracle_sql() -> dict[str, str]:
             AND l_shipdate <  TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, CAST(ps.rev AS DOUBLE) AS total_revenue
+        SELECT s.s_suppkey, s.s_name, CAST(CAST(ps.rev AS VARCHAR) AS DOUBLE) AS total_revenue
         FROM per_supp ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
         WHERE ps.rev = (SELECT MAX(rev) FROM per_supp)"""
     sql["q16_supplier_count"] = """
@@ -4440,7 +4440,7 @@ def oracle_sql() -> dict[str, str]:
                      THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS pv
           FROM events GROUP BY user_id)
         SELECT user_id, n_click, n_view, n_purchase, n_signup, n_error,
-               CAST(pv AS DOUBLE) AS purchase_value
+               CAST(CAST(pv AS VARCHAR) AS DOUBLE) AS purchase_value
         FROM c"""
     sql["events_funnel"] = """
         WITH e AS (
