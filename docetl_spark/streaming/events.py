@@ -223,19 +223,8 @@ def rolling_features_stateful(
         else:
             idx, prev_ts, win = 0, None, []
         ids, idxs, gaps, ns, sums = [], [], [], [], []
-        # concat the group's Arrow chunks and sort ONCE: per-chunk sorts
-        # would misorder a >maxRecordsPerBatch user (see sessionize_stateful)
-        rows = []
-        for pdf in pdfs:
-            rows.extend(
-                (None if pd.isna(t) else int(t),
-                 int(e),
-                 None if pd.isna(v) else float(v))
-                for e, t, v in zip(pdf["event_id"], pdf["ts"], pdf["value"])
-            )
-        # NULLS FIRST on ts, then event_id — the batch window's asc order
-        rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
-        for ts, eid, val in rows:
+        for ts, eid, _v in _rows_in_event_order(pdfs, ("ts", "event_id", "value")):
+            val = None if pd.isna(_v) else float(_v)
             idx += 1
             # same expression as the batch query: floor(value*100 + .5);
             # NULL value occupies a window slot (the batch frame counts
@@ -350,14 +339,27 @@ def drained_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     through the driver (measured ~2s for 95k sessionization rows at
     sf0.1); routing through a pandas frame uses the Arrow path
     (~100ms). Columns are reordered to the schema before conversion —
-    pandas->Spark zips by POSITION, not name."""
+    pandas->Spark zips by POSITION, not name.
+
+    Integer schema fields build as pandas NULLABLE Int64 arrays: a bare
+    pd.DataFrame(rows) infers float64 for a column mixing None and
+    ints, which silently corrupts epoch-nanos values above 2^53
+    (1700000000123456791 -> ...768) before the Arrow cast back to long
+    — a funnel drain where any user misses a step hits exactly that
+    mix."""
     import pandas as pd
 
     empty = spark.createDataFrame([], schema=schema)
     if not rows:
         return empty
-    pdf = pd.DataFrame(rows)[[f.name for f in empty.schema.fields]]
-    return spark.createDataFrame(pdf, schema=empty.schema)
+    data = {}
+    for f in empty.schema.fields:
+        vals = [r.get(f.name) for r in rows]
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            data[f.name] = pd.array(vals, dtype="Int64")
+        else:
+            data[f.name] = vals
+    return spark.createDataFrame(pd.DataFrame(data), schema=empty.schema)
 
 
 def stream_interval_join(
@@ -527,6 +529,27 @@ def semantic_filter_stream(
     return semantic_filter(stream_df, prompt, output_schema, backend, **kw)
 
 
+def _rows_in_event_order(pdfs: "Iterable[pd.DataFrame]", cols: tuple) -> list:
+    """Concatenate a group's Arrow chunks and return row tuples sorted
+    by the leading (ts, tiebreak) pair — NULLS FIRST on ts, then
+    tiebreak asc: the batch window's order. applyInPandasWithState
+    splits one group at arrow.maxRecordsPerBatch with NO cross-chunk
+    ordering guarantee, so per-chunk sorts fold a >10k-row group out of
+    time order (pinned by test_stateful_ops_sort_across_arrow_chunks).
+    The first two ``cols`` must be (ts, tiebreak) — normalized to
+    int-or-None / int; trailing columns pass through raw (callers
+    normalize at use: NaN != None for float columns)."""
+    rows = []
+    for pdf in pdfs:
+        series = [pdf[c] for c in cols]
+        rows.extend(
+            (None if pd.isna(vals[0]) else int(vals[0]), int(vals[1]), *vals[2:])
+            for vals in zip(*series)
+        )
+    rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
+    return rows
+
+
 def funnel_stateful(
     events: DataFrame,
     steps: list[str],
@@ -554,8 +577,10 @@ def funnel_stateful(
         raise ValueError("steps must name at least one event type")
     k = len(steps)
     step_idx = {s: i for i, s in enumerate(steps)}
+    # key column keeps ITS OWN type (string session keys work) — only
+    # the step timestamps are pinned to long epoch-nanos
     out_schema = T.StructType(
-        [T.StructField(user_col, T.LongType())]
+        [T.StructField(user_col, events.schema[user_col].dataType)]
         + [T.StructField(f"step{i + 1}_ts", T.LongType()) for i in range(k)]
         + [T.StructField("reached", T.IntegerType())]
     )
@@ -568,16 +593,7 @@ def funnel_stateful(
             ts_steps = [None if pd.isna(t) else int(t) for t in state.get[0]]
         else:
             ts_steps = [None] * k
-        rows = []
-        for pdf in pdfs:
-            rows.extend(
-                (None if pd.isna(t) else int(t), int(e), et)
-                for e, t, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"])
-            )
-        # whole-group sort across Arrow chunks, NULLS FIRST — the batch
-        # window's (ts, event_id) asc order
-        rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
-        for ts, _eid, et in rows:
+        for ts, _eid, et in _rows_in_event_order(pdfs, ("ts", "event_id", "event_type")):
             i = step_idx.get(et)
             if i is None or ts_steps[i] is not None:
                 continue
@@ -587,7 +603,7 @@ def funnel_stateful(
         reached = sum(1 for t in ts_steps if t is not None)
         yield pd.DataFrame(
             {
-                user_col: [int(user_id)],
+                user_col: [user_id],
                 **{
                     f"step{i + 1}_ts": pd.array([ts_steps[i]], dtype="Int64")
                     for i in range(k)

@@ -474,3 +474,76 @@ def test_funnel_stateful_wrong_order_never_qualifies(spark, tmp_path):
     (row,) = out
     assert row["reached"] == 1 and row["step1_ts"] == base + 200
     assert row["step2_ts"] is None
+
+
+def test_drained_df_preserves_nullable_epoch_nanos(spark):
+    """Review repro: pd.DataFrame(rows) infers float64 for a None+int
+    column and corrupts epoch-ns above 2^53 (…791 -> …768); drained_df
+    must build nullable Int64 columns instead."""
+    from docetl_spark.streaming.events import drained_df
+
+    ns = 1_700_000_000_123_456_791
+    rows = [
+        {"user_id": 1, "t": ns, "s": "a"},
+        {"user_id": 2, "t": None, "s": None},
+    ]
+    out = {r["user_id"]: r for r in
+           drained_df(spark, rows, "user_id long, t long, s string").collect()}
+    assert out[1]["t"] == ns  # exact, not 1_700_000_000_123_456_768
+    assert out[2]["t"] is None and out[2]["s"] is None
+
+
+def test_funnel_drain_exact_ns_with_missing_step(spark, tmp_path):
+    """End-to-end through drained_df: one user misses the click step, so
+    the step2_ts column mixes None with >2^53 ns values — they must
+    survive exactly."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        drained_df, funnel_stateful, read_events_stream, run_available_now,
+    )
+
+    ns = 1_700_000_000_123_456_791
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        [(1, ns, 7, "view", 0.0, ""), (2, ns + 7, 7, "click", 0.0, ""),
+         (3, ns + 3, 8, "view", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    rows = run_available_now(
+        funnel_stateful(
+            read_events_stream(spark, str(d)).select(
+                "event_id", "user_id", "ts", "event_type"),
+            ["view", "click"],
+        ),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["user_id"],
+    )
+    got = {r["user_id"]: r for r in drained_df(
+        spark, rows, "user_id long, step1_ts long, step2_ts long, reached int"
+    ).collect()}
+    assert got[7]["step2_ts"] == ns + 7  # exact through the None-mixed column
+    assert got[8]["step2_ts"] is None and got[8]["step1_ts"] == ns + 3
+
+
+def test_funnel_stateful_string_keys(spark, tmp_path):
+    """The key column keeps its input type — string session keys work."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import funnel_stateful, run_available_now
+
+    base = 1_700_000_000 * 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame(
+        [(1, base, "sess-a", "view"), (2, base + 1, "sess-a", "click")],
+        columns=["event_id", "ts", "session_key", "event_type"],
+    ).to_parquet(d / "b0.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = run_available_now(
+        funnel_stateful(stream, ["view", "click"], user_col="session_key"),
+        checkpoint=str(tmp_path / "ck"), dedupe_keys=["session_key"],
+    )
+    (row,) = out
+    assert row["session_key"] == "sess-a" and row["reached"] == 2
