@@ -47,6 +47,22 @@ def render_prompt(template: str, context: dict) -> str:
     return _compiled(template).render(**context)
 
 
+def typed_output_frame(rows: list[dict], schema: T.StructType) -> pd.DataFrame:
+    """Build an Arrow batch with nullable Int64 for integer-typed
+    fields. A plain pd.DataFrame(rows) infers float64 when a column
+    mixes None (an error-policy row, a model no-answer) with ints,
+    silently corrupting values above 2^53 before the cast back to long
+    — the same hazard streaming's drained_df closes for drain rows."""
+    data = {}
+    for f in schema.fields:
+        vals = [r.get(f.name) for r in rows]
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            data[f.name] = pd.array(vals, dtype="Int64")
+        else:
+            data[f.name] = vals
+    return pd.DataFrame(data, columns=schema.fieldNames())
+
+
 def _merged_schema(df: DataFrame, output_schema: dict, drop: set[str]) -> T.StructType:
     declared = schema_of(output_schema)
     fields = [
@@ -419,7 +435,7 @@ def semantic_map(
                             return _failed(row, e)
 
                 out.extend(r for r in run_concurrently(backend, fn, rows) if r is not None)
-            yield pd.DataFrame(out, columns=out_names)
+            yield typed_output_frame(out, out_schema)
 
     return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 
@@ -448,7 +464,7 @@ def semantic_parallel_map(
                     rendered = render_prompt(spec["prompt"], {"input": row})
                     merged.update(backend.complete(rendered, sub_schema, row))
                 out.append({k: merged.get(k) for k in out_names})
-            yield pd.DataFrame(out, columns=out_names)
+            yield typed_output_frame(out, out_schema)
 
     return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)
 

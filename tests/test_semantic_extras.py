@@ -495,3 +495,29 @@ def test_reduce_merge_batch_size_must_be_at_least_two(spark):
                 df, "grp", "c", {"total": "int"}, FakeBackend(), name="r",
                 fold_prompt="f", merge_prompt="m", merge_batch_size=bad,
             )
+
+
+def test_map_error_quarantine_preserves_big_ints(spark):
+    """error_col quarantine keeps the failed row with NULL outputs — the
+    resulting None+int column must not flip to float64 (which silently
+    corrupts int64 values above 2^53)."""
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    big = 1_700_000_000_123_456_791
+
+    def snowflake(row):
+        if row["id"] == 1:
+            raise RuntimeError("boom")
+        return big + row["id"]
+
+    be = FakeBackend(rules={"snowflake_id": snowflake})
+    df = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["id", "text"])
+    out = (
+        SemanticFrame(df, backend=be)
+        .map("ids for {{ input.text }}", {"snowflake_id": "int"}, error_col="_err")
+        .df.collect()
+    )
+    got = {r["id"]: r for r in out}
+    assert got[0]["snowflake_id"] == big  # exact, not corrupted by float64
+    assert got[2]["snowflake_id"] == big + 2
+    assert got[1]["snowflake_id"] is None and "boom" in got[1]["_err"]
