@@ -253,3 +253,79 @@ def test_minhash_from_hashes_rejects_64bit_hashes(spark):
     bad = df.select(dedup.minhash_from_hashes(F.col("h"), 8).alias("m"))
     with _pytest.raises(Exception, match="32-bit"):
         bad.collect()
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=2, max_size=5),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=25, deadline=None)
+def test_split_exact_quota_property(weights, n):
+    """Cumulative-floor property (pure python mirror of the operator's
+    integer rule): counts always sum to n and each split's count is
+    within 1 of its exact share — for ANY weights and group size."""
+    W = sum(weights)
+    cuts = []
+    cum = 0
+    for w in weights:
+        cum += w
+        cuts.append(cum)
+    # rank r (1-based) goes to the first i with r*W <= n*cum_i
+    counts = [0] * len(weights)
+    for r in range(1, n + 1):
+        for i, c in enumerate(cuts):
+            if r * W <= n * c:
+                counts[i] += 1
+                break
+        else:
+            counts[-1] += 1
+    assert sum(counts) == n
+    for w, got in zip(weights, counts):
+        assert abs(got - n * w / W) < 1, (weights, n, counts)
+
+
+def _funnel_brute(rows, steps):
+    """Independent per-user funnel: first completion of step i among
+    events at-or-after step i-1's completion, in (ts, eid) order."""
+    out = {}
+    by_user = {}
+    for eid, user, ts, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    for user, evs in by_user.items():
+        evs.sort()
+        ts_steps = [None] * len(steps)
+        for ts, _eid, et in evs:
+            for i, s in enumerate(steps):
+                if et == s and ts_steps[i] is None and (i == 0 or ts_steps[i - 1] is not None):
+                    break
+            else:
+                continue
+            ts_steps[i] = ts
+        out[user] = ts_steps
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user
+            st.integers(min_value=0, max_value=30),  # ts
+            st.sampled_from(["a", "b", "c", "x"]),   # type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_funnel_matches_brute_force(spark, events):
+    # session-scoped fixture: allowed inside @given (hypothesis only
+    # rejects function-scoped fixtures)
+    from docetl_spark.functions.timeseries import funnel
+    rows = [(i, f"u{u}", ts, et) for i, (u, ts, et) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: [r["step1_ts"], r["step2_ts"], r["step3_ts"]]
+        for r in funnel(df, ["a", "b", "c"], tiebreak="event_id").collect()
+    }
+    want = _funnel_brute(rows, ["a", "b", "c"])
+    assert got == want
