@@ -547,3 +547,51 @@ def test_funnel_stateful_string_keys(spark, tmp_path):
     )
     (row,) = out
     assert row["session_key"] == "sess-a" and row["reached"] == 2
+
+
+def test_funnel_stateful_state_survives_restart(spark, tmp_path):
+    """Two SEPARATE availableNow queries over one checkpoint (a real
+    restart, not one query's micro-batches): the step-1 completion from
+    the first run must still qualify a click that only arrives in the
+    second run. foreachBatch sink — memory sinks refuse checkpoint
+    recovery."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import funnel_stateful, read_events_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = 1_700_000_000 * 1_000_000_000
+    pd.DataFrame(
+        [(1, base + 100, 7, "view", 0.0, "")], columns=cols
+    ).to_parquet(d / "b0.parquet")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        captured = []
+        fun = funnel_stateful(
+            read_events_stream(spark, str(d)).select(
+                "event_id", "user_id", "ts", "event_type"),
+            ["view", "click"],
+        )
+        (
+            fun.writeStream.foreachBatch(lambda df, _id: captured.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return captured
+
+    first = drain()
+    assert first[-1]["reached"] == 1 and first[-1]["step2_ts"] is None
+
+    pd.DataFrame(
+        [(2, base + 200, 7, "click", 0.0, "")], columns=cols
+    ).to_parquet(d / "b1.parquet")
+    second = drain()
+    r = second[-1]
+    assert r["reached"] == 2  # view from the FIRST query's state qualified it
+    assert r["step1_ts"] == base + 100 and r["step2_ts"] == base + 200
