@@ -2473,6 +2473,24 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.drained_df(spark, rows, schema)
 
 
+def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (timeseries.hopping_rollup): 1-hour windows
+    sliding every 15 minutes, so each event lands in exactly 4
+    overlapping windows — the batch analogue of streaming
+    window(size, slide), in exact integer ns math. One explode + one
+    groupBy."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return tsf.hopping_rollup(
+        ev.withColumn("_cents", cents),
+        {"n_events": F.count(F.lit(1)), "value_cents": F.sum("_cents")},
+        ts_col="ts", every_ns=900 * 10**9, size_ns=3600 * 10**9,
+        group_cols=["event_type"],
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2609,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_by_type": events_pivot_by_type,
         "events_funnel": events_funnel,
         "events_stream_funnel": events_stream_funnel,
+        "events_hopping_rollup": events_hopping_rollup,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4471,6 +4490,20 @@ def oracle_sql() -> dict[str, str]:
                   + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
         FROM w3 GROUP BY user_id"""
     sql["events_stream_funnel"] = sql["events_funnel"]
+    sql["events_hopping_rollup"] = """
+        WITH e AS (
+          SELECT epoch_ns(ts) AS ns, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ), w AS (
+          SELECT event_type, cents,
+                 unnest(generate_series(
+                   ns - ns % 900000000000 - 3 * 900000000000,
+                   ns - ns % 900000000000, 900000000000)) AS window_start
+          FROM e)
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events, SUM(cents) AS value_cents
+        FROM w GROUP BY window_start, event_type"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (
           SELECT doc_id, source, quality,

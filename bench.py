@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "events_pivot_by_type",
     "events_funnel",
     "events_stream_funnel",
+    "events_hopping_rollup",
 ]
 
 

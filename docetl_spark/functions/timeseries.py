@@ -571,3 +571,47 @@ def funnel(
         F.lit(0),
     )
     return agg.withColumn("reached", reached.cast("int"))
+
+
+def hopping_rollup(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    *,
+    ts_col: str = "ts",
+    every_ns: int,
+    size_ns: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hopping (sliding) window aggregation in batch: windows of
+    ``size_ns`` starting every ``every_ns`` (size must be a multiple of
+    every), so each row lands in exactly size/every overlapping windows
+    — the batch analogue of Structured Streaming's
+    ``window(ts, size, slide)``, kept in exact integer nanosecond math
+    (the timestamp variant rounds through microseconds; epoch-ns longs
+    DIV/pmod exactly, the repo-wide bucketing convention).
+
+    Plan: each row explodes into its size/every window starts (pure JVM
+    ``explode(sequence(...))`` — every generated start is valid by
+    construction, no post-filter), then ONE groupBy on
+    (window_start, *group_cols). Shuffle volume = rows x (size/every):
+    bounded and known up front; at 100 TB pick the overlap factor
+    consciously (4 for 1h/15m).
+
+    Requires non-negative epoch timestamps (pmod vs % diverge below
+    zero — same contract as the other ns bucketing here).
+    Output: ``window_start`` (epoch-ns long) + group cols + aggs.
+    """
+    every, size = int(every_ns), int(size_ns)
+    if every <= 0 or size <= 0 or size % every != 0:
+        raise ValueError("size_ns must be a positive multiple of every_ns")
+    n = size // every
+    floor0 = F.expr(f"{ts_col} - pmod({ts_col}, {every})")
+    starts = F.sequence(
+        floor0 - F.lit((n - 1) * every), floor0, F.lit(every).cast("long")
+    )
+    g = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.withColumn("window_start", F.explode(starts))
+        .groupBy(F.col("window_start"), *g)
+        .agg(*[a.alias(name) for name, a in aggs.items()])
+    )

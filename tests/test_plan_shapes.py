@@ -46,7 +46,7 @@ PLAN_ONLY = [
     "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
     "q21_sole_returners", "bm25_search_docs", "corpus_split_exact",
     "events_skew_profile", "corpus_length_quantiles", "events_pivot_by_type",
-    "events_funnel",
+    "events_funnel", "events_hopping_rollup",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

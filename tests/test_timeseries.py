@@ -516,3 +516,57 @@ def test_funnel_rejects_empty_steps(spark):
     df = spark.createDataFrame([(1, "u", 1, "view")], ["event_id", "user_id", "ts", "event_type"])
     with _pytest.raises(ValueError):
         funnel(df, [])
+
+
+# ------------------------------------------------------ hopping windows
+
+
+def test_hopping_rollup_overlap_count(spark):
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.timeseries import hopping_rollup
+
+    # one event at ts=10_000 with every=1000, size=4000 -> exactly 4
+    # windows: starts 7000..10000
+    df = spark.createDataFrame([(10_000, 1.0)], ["ts", "value"])
+    out = hopping_rollup(
+        df, {"n": F.count(F.lit(1))}, ts_col="ts", every_ns=1000, size_ns=4000
+    ).collect()
+    assert sorted(r["window_start"] for r in out) == [7000, 8000, 9000, 10000]
+    assert all(r["n"] == 1 for r in out)
+
+
+def test_hopping_rollup_window_membership_exact(spark):
+    """Every event counts in window s iff s <= ts < s + size."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.timeseries import hopping_rollup
+
+    rows = [(t,) for t in [0, 999, 1000, 3999, 4000, 7500]]
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {
+        (r["window_start"]): r["n"]
+        for r in hopping_rollup(
+            df, {"n": F.count(F.lit(1))}, ts_col="ts", every_ns=1000, size_ns=2000
+        ).collect()
+    }
+    # brute force
+    want = {}
+    for (t,) in rows:
+        for s in range(((t // 1000) - 1) * 1000, (t // 1000) * 1000 + 1, 1000):
+            if s <= t < s + 2000:
+                want[s] = want.get(s, 0) + 1
+    assert out == want
+
+
+def test_hopping_rollup_validates_params(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.timeseries import hopping_rollup
+
+    df = spark.createDataFrame([(1,)], ["ts"])
+    for every, size in [(0, 1000), (1000, 0), (1000, 2500)]:
+        with _pytest.raises(ValueError):
+            hopping_rollup(df, {"n": F.count(F.lit(1))}, ts_col="ts",
+                           every_ns=every, size_ns=size)
