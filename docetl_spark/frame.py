@@ -642,6 +642,17 @@ class SemanticFrame:
             "time_rollup", ts_col=ts_col, _aggs=True, **kw,
         )
 
+    def hopping_rollup(self, aggs: dict, **kw) -> "SemanticFrame":
+        """Hopping/sliding window aggregation (exact integer-ns starts)
+        — see functions/timeseries.hopping_rollup. ``aggs`` holds Column
+        expressions — not YAML-serializable."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.hopping_rollup(self.df, aggs, **kw),
+            "hopping_rollup", _aggs=True, **kw,
+        )
+
     def funnel(self, steps: list[str], **kw) -> "SemanticFrame":
         """Ordered-sequence funnel per entity (chained running-min
         windows, one exchange, no self-joins) — see

@@ -110,3 +110,6 @@ def test_frame_analytics_verbs_chain(spark):
     docs = SemanticFrame(spark.createDataFrame([(1, "alpha beta"), (2, "alpha")], ["doc_id", "text"]))
     qs = spark.createDataFrame([("q", "alpha")], ["query_id", "query"])
     assert docs.bm25_topk(qs, k=1).df.count() == 1
+    hop = fr.hopping_rollup({"n": F.count(F.lit(1))}, ts_col="ts",
+                            every_ns=100, size_ns=200)
+    assert hop.df.filter(F.col("window_start") == 100).count() == 1
