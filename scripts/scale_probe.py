@@ -227,6 +227,22 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
 
         res["split_exact"] = timed(run_split)
 
+    # hopping windows: 4x explode + one groupBy — shuffle multiplier is
+    # the overlap factor, expected linear
+    if want("hopping_rollup") and events_path:
+        from docetl_spark.functions.timeseries import hopping_rollup as _hop
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev2 = normalize_epoch_nanos(spark.read.parquet(events_path))
+        res["hopping_rollup"] = timed(lambda: (
+            _hop(ev2.withColumn("_c", F.floor(F.col("value") * 100 + 0.5).cast("long")),
+                 {"n": F.count(F.lit(1)), "c": F.sum("_c")},
+                 ts_col="ts", every_ns=900 * 10**9, size_ns=3600 * 10**9,
+                 group_cols=["event_type"])
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
     # ordered-sequence funnel: k chained running-min windows, 1 exchange
     if want("funnel") and events_path:
         from docetl_spark.functions.timeseries import funnel as _funnel
