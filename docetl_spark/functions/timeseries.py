@@ -604,8 +604,18 @@ def hopping_rollup(
     every, size = int(every_ns), int(size_ns)
     if every <= 0 or size <= 0 or size % every != 0:
         raise ValueError("size_ns must be a positive multiple of every_ns")
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    if "window_start" in df.columns:
+        raise ValueError(
+            "input already has a window_start column — rename it before "
+            "hopping_rollup (a silent replace would group on the wrong data)"
+        )
     n = size // every
-    floor0 = F.expr(f"{ts_col} - pmod({ts_col}, {every})")
+    # F.col, not an f-string into F.expr: interpolated names break on
+    # columns needing backticks and mis-resolve dotted names
+    ts = F.col(ts_col).cast("long")
+    floor0 = ts - F.pmod(ts, F.lit(every).cast("long"))
     starts = F.sequence(
         floor0 - F.lit((n - 1) * every), floor0, F.lit(every).cast("long")
     )

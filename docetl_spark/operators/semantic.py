@@ -47,12 +47,51 @@ def render_prompt(template: str, context: dict) -> str:
     return _compiled(template).render(**context)
 
 
+def _int_field_names(schema: T.StructType) -> frozenset[str]:
+    return frozenset(
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+    )
+
+
+def check_int_outputs(res: dict, int_fields: frozenset[str]) -> dict:
+    """Raise (inside the per-row error policy, so error_col/skip can
+    quarantine the ROW instead of the batch build killing the JOB) when
+    an integer-typed output is not a real int. The same rule as
+    types.py's _value_conforms: bools and numeric strings are NOT ints
+    — pandas' Int64 cast would silently coerce '42'->42 / True->1 and
+    hide backend schema drift; non-coercible values ('3.7', 2**70)
+    would otherwise surface as an opaque stage-killing TypeError at
+    yield time. numbers.Integral (not bare int) so numpy integers from
+    passthrough values pass; int64-range-checked so 2**70 raises here,
+    not as an OverflowError in the batch build."""
+    import numbers
+
+    for k in int_fields:
+        v = res.get(k)
+        if v is None:
+            continue
+        if (
+            isinstance(v, bool)
+            or not isinstance(v, numbers.Integral)
+            or not (-(2**63) <= int(v) < 2**63)
+        ):
+            raise ValueError(
+                f"output field {k!r} declared int but model returned {v!r} "
+                f"({type(v).__name__})"
+            )
+    return res
+
+
 def typed_output_frame(rows: list[dict], schema: T.StructType) -> pd.DataFrame:
     """Build an Arrow batch with nullable Int64 for integer-typed
     fields. A plain pd.DataFrame(rows) infers float64 when a column
     mixes None (an error-policy row, a model no-answer) with ints,
     silently corrupting values above 2^53 before the cast back to long
-    — the same hazard streaming's drained_df closes for drain rows."""
+    — the same hazard streaming's drained_df closes for drain rows.
+    Callers validate int fields per row FIRST (check_int_outputs) so a
+    bad value raises inside the error policy, not here."""
     data = {}
     for f in schema.fields:
         vals = [r.get(f.name) for r in rows]
@@ -350,6 +389,9 @@ def semantic_map(
     if error_col:
         out_schema = T.StructType(list(out_schema.fields) + [T.StructField(error_col, T.StringType(), True)])
     out_names = out_schema.fieldNames()
+    # int-typed fields the BACKEND fills: checked per row so a bad value
+    # raises inside the error policy (quarantinable), not at batch build
+    declared_ints = _int_field_names(schema_of(output_schema)) & set(out_names)
     # pdf attachments need the per-row path (one attachment per call)
     use_batch = batch_prompt is not None and not (
         validate or gleaning or strict_types or retriever or agent or pdf_url_key
@@ -386,7 +428,16 @@ def semantic_map(
                             merged[obs_col] = rendered
                         if error_col:
                             merged[error_col] = ""
-                        out.append({k: merged.get(k) for k in out_names})
+                        try:
+                            out.append(check_int_outputs(
+                                {k: merged.get(k) for k in out_names}, declared_ints
+                            ))
+                        except Exception as e:  # noqa: BLE001 — policy decides
+                            if not (skip_on_error or error_col):
+                                raise
+                            r = _failed(row, e)
+                            if r is not None:
+                                out.append(r)
             else:
                 def one(row):
                     ctx = {"input": row}
@@ -424,7 +475,9 @@ def semantic_map(
                         merged[ret_col] = ctx.get("retrieved_context", "")
                     if error_col:
                         merged[error_col] = ""
-                    return {k: merged.get(k) for k in out_names}
+                    return check_int_outputs(
+                        {k: merged.get(k) for k in out_names}, declared_ints
+                    )
 
                 fn = one
                 if skip_on_error or error_col:
@@ -453,6 +506,7 @@ def semantic_parallel_map(
     drop = set(drop_keys or [])
     out_schema = _merged_schema(df, output_schema, drop)
     out_names = out_schema.fieldNames()
+    declared_ints = _int_field_names(schema_of(output_schema)) & set(out_names)
 
     def run(batches):
         for pdf in batches:
@@ -463,7 +517,11 @@ def semantic_parallel_map(
                     sub_schema = {k: output_schema[k] for k in spec["output_keys"]}
                     rendered = render_prompt(spec["prompt"], {"input": row})
                     merged.update(backend.complete(rendered, sub_schema, row))
-                out.append({k: merged.get(k) for k in out_names})
+                # no error policy here — raise a DIAGNOSABLE error per
+                # row rather than a batch-build TypeError
+                out.append(check_int_outputs(
+                    {k: merged.get(k) for k in out_names}, declared_ints
+                ))
             yield typed_output_frame(out, out_schema)
 
     return widen_for_model_stage(df).mapInPandas(run, schema=out_schema)

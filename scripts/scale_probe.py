@@ -233,7 +233,8 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
         from docetl_spark.functions.timeseries import hopping_rollup as _hop
         from docetl_spark.sources.readers import normalize_epoch_nanos
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is already set session-wide by measure(); only the
+        # micros->timestamp generations need the normalize here
         ev2 = normalize_epoch_nanos(spark.read.parquet(events_path))
         res["hopping_rollup"] = timed(lambda: (
             _hop(ev2.withColumn("_c", F.floor(F.col("value") * 100 + 0.5).cast("long")),

@@ -270,15 +270,18 @@ def test_split_exact_quota_property(weights, n):
     for w in weights:
         cum += w
         cuts.append(cum)
-    # rank r (1-based) goes to the first i with r*W <= n*cum_i
+    # rank r (1-based) goes to the first i with r*W <= n*cum_i; the last
+    # cut always satisfies r*W <= n*W, so every rank lands. This mirrors
+    # training.assign_splits_exact's integer rule — the OPERATOR itself
+    # is pinned against concrete quotas in test_training (including the
+    # Spark expression), this property covers the rule across arbitrary
+    # weights/sizes.
     counts = [0] * len(weights)
     for r in range(1, n + 1):
         for i, c in enumerate(cuts):
             if r * W <= n * c:
                 counts[i] += 1
                 break
-        else:
-            counts[-1] += 1
     assert sum(counts) == n
     for w, got in zip(weights, counts):
         assert abs(got - n * w / W) < 1, (weights, n, counts)

@@ -521,3 +521,24 @@ def test_map_error_quarantine_preserves_big_ints(spark):
     assert got[0]["snowflake_id"] == big  # exact, not corrupted by float64
     assert got[2]["snowflake_id"] == big + 2
     assert got[1]["snowflake_id"] is None and "boom" in got[1]["_err"]
+
+
+def test_map_error_quarantine_catches_noninteger_output(spark):
+    """A model answering 3.7 (or '42', or True) for an int field must
+    quarantine THAT ROW under error_col — not kill the stage at Arrow
+    batch build — and numeric strings/bools must never silently coerce."""
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    vals = {0: 7, 1: 3.7, 2: "42", 3: True, 4: 2**70}
+
+    be = FakeBackend(rules={"n": lambda row: vals[row["id"]]})
+    df = spark.createDataFrame([(i, "t") for i in range(5)], ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in SemanticFrame(df, backend=be)
+        .map("x {{ input.text }}", {"n": "int"}, error_col="_err")
+        .df.collect()
+    }
+    assert out[0]["n"] == 7 and out[0]["_err"] == ""
+    for bad in (1, 2, 3, 4):
+        assert out[bad]["n"] is None and "declared int" in out[bad]["_err"], out[bad]
