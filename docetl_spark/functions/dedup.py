@@ -288,7 +288,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, sim_col: str = "_simhash
 # ------------------------------------------------- connected components
 def connected_components(
     edges: DataFrame,
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     id_col: str,
     *,
     max_iter: int = 20,
@@ -296,7 +296,12 @@ def connected_components(
 ) -> DataFrame:
     """Component id = min reachable vertex id. Returns (id_col, component).
 
-    edges: (id_a, id_b); vertices: df with id_col.
+    edges: (id_a, id_b); vertices: df with id_col, or ``None`` to label
+    only the edge endpoints (callers then coalesce component to the id
+    for isolated vertices). ``None`` matters when the edge lineage is
+    expensive (LSH + verify): the local path already holds every
+    endpoint in the collected sample, so enumerating them from the
+    DataFrame would re-run the whole candidate pipeline a second time.
 
     Two physical strategies:
     - edge sets under ``local_edge_gate`` (the overwhelmingly common
@@ -331,16 +336,26 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         labels = [(v, find(v)) for v in parent]
-        spark = vertices.sparkSession
+        spark = edges.sparkSession
+        id_type = edges.schema["id_a"].dataType
+        schema = T.StructType(
+            [T.StructField(id_col, id_type), T.StructField("component", id_type)]
+        )
+        if vertices is None:
+            return spark.createDataFrame(labels, schema=schema)
         if not labels:
             return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
-        ltab = spark.createDataFrame(
-            labels, schema=vertices.select(id_col, F.col(id_col).alias("component")).schema
-        )
+        ltab = spark.createDataFrame(labels, schema=schema)
         return (
             vertices.select(id_col)
             .join(F.broadcast(ltab), id_col, "left")
             .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        )
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("id_a").alias(id_col))
+            .unionByName(edges.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
     labels = vertices.select(F.col(id_col).alias("_v"), F.col(id_col).alias("component"))
     sym = edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")).unionByName(
@@ -416,15 +431,13 @@ def minhash_dedup(
         cand, shingled, id_col, text_col, threshold=jaccard_threshold, shingle_col="_sh"
     )
     edges = verified.select("id_a", "id_b")
-    # CC only over edge endpoints: duplicate pairs are sparse, so the
-    # label-propagation iterations run on O(|pairs|) rows instead of
-    # O(N) — isolated docs are their own component via the coalesce
-    touched = (
-        edges.select(F.col("id_a").alias(id_col))
-        .unionByName(edges.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    comp = connected_components(edges, touched, id_col)
+    # CC over edge endpoints only (vertices=None): duplicate pairs are
+    # sparse, so labels cover O(|pairs|) rows instead of O(N) — isolated
+    # docs become their own component via the coalesce below. On the
+    # local union-find path this also means the expensive LSH+verify
+    # lineage is evaluated exactly ONCE (the gate collect); the final
+    # plan joins a driver-built label table, not a recomputed edge set.
+    comp = connected_components(edges, None, id_col)
     labeled = (
         df.join(comp, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
