@@ -2491,6 +2491,75 @@ def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user 6-hour rollup with LOCF (timeseries.gap_fill,
+    TimescaleDB time_bucket_gapfill+locf parity): every user's bucket
+    range becomes a dense grid; gap buckets get n_events=0 and carry the
+    last observed value_cents forward. Raw events are touched once (the
+    rollup shuffle); grid/join/LOCF all run on bucket-count-sized data."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = tsf.gap_fill(
+        ev.withColumn("_cents", cents), "ts",
+        keys=["user_id"], bucket_width=21600 * 10**9,
+        aggs={"n_events": F.count(F.lit(1)), "value_cents": F.sum("_cents")},
+        locf_cols=["value_cents"],
+    )
+    return out.select(
+        "user_id", "bucket_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "value_cents", "value_cents_filled",
+    )
+
+
+def events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average value per user
+    (timeseries.time_weighted_avg, TimescaleDB time_weight parity):
+    irregular samples weighted by the interval they span, in exact
+    decimal(38,0) segment sums so the result is partitioning-independent.
+    ONE shuffle: the lead window and final agg share the user_id
+    partitioning."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = tsf.time_weighted_avg(
+        ev.withColumn("_cents", cents), "ts", "_cents",
+        keys=["user_id"], order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", F.round("twa", 6).alias("twa_cents"), "n_samples", "duration"
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (timeseries.cohort_retention):
+    users cohorted by first-event week; cells count users active k weeks
+    later with retention % against the cohort size. The raw table
+    collapses to per-user rows before any join."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.cohort_retention(ev, "ts", "user_id", period=604800 * 10**9)
+
+
+def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence / collocation mining over the top-50-df
+    vocabulary (text.cooccurrence_stats): document pair counts and
+    association lift (PMI's argument, log-free so the value is a
+    deterministic exact-integer ratio). Pair blow-up is vocabulary-
+    capped: per-doc distinct terms semi-join the broadcast vocab BEFORE
+    the doc-id self-join."""
+    from docetl_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textf.cooccurrence_stats(
+        docs, "text", id_col="doc_id", vocab_size=50, top_pairs=100
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2628,6 +2697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_stream_funnel": events_stream_funnel,
         "events_hopping_rollup": events_hopping_rollup,
+        "events_gap_fill": events_gap_fill,
+        "events_time_weighted": events_time_weighted,
+        "events_cohort_retention": events_cohort_retention,
+        "docs_cooccurrence": docs_cooccurrence,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4510,4 +4583,95 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
           FROM q
         ) WHERE rn <= 15"""
+    sql["events_gap_fill"] = """
+        WITH b AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - epoch_ns(ts) % 21600000000000) // 21600000000000 AS bkt,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, MIN(bkt) AS lo, MAX(bkt) AS hi FROM b GROUP BY 1
+        ), grid AS (
+          SELECT user_id, unnest(range(lo, hi + 1)) AS bkt FROM span
+        ), j AS (
+          SELECT g.user_id, g.bkt, b.n, b.cents
+          FROM grid g LEFT JOIN b USING (user_id, bkt)
+        )
+        SELECT user_id, bkt * 21600000000000 AS bucket_start,
+               COALESCE(n, 0) AS n_events, cents AS value_cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_cents_filled
+        FROM j"""
+    sql["events_time_weighted"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS t, event_id,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        ), l AS (
+          SELECT user_id, t, c,
+                 LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS tn,
+                 LEAD(c) OVER (PARTITION BY user_id ORDER BY t, event_id) AS cn
+          FROM e
+        ), a AS (
+          SELECT user_id,
+                 SUM(CAST(c + cn AS HUGEINT) * CAST(tn - t AS HUGEINT)) AS num,
+                 MIN(t) AS lo, MAX(t) AS hi, AVG(c) AS mean,
+                 COUNT(*) AS n_samples
+          FROM l GROUP BY 1
+        )
+        SELECT user_id,
+               ROUND(CASE WHEN hi > lo
+                 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                      / (CAST(hi - lo AS DOUBLE) * 2.0)
+                 ELSE mean END, 6) AS twa_cents,
+               n_samples, hi - lo AS duration
+        FROM a"""
+    sql["events_cohort_retention"] = """
+        WITH e AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - epoch_ns(ts) % 604800000000000) // 604800000000000 AS p
+          FROM events
+        ), f AS (
+          SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1
+        ), act AS (
+          SELECT DISTINCT user_id, p FROM e
+        ), cells AS (
+          SELECT cohort, p - cohort AS period_offset, COUNT(*) AS n_active
+          FROM act JOIN f USING (user_id) GROUP BY 1, 2
+        ), sz AS (
+          SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1
+        )
+        SELECT cohort * 604800000000000 AS cohort_period, period_offset,
+               n_active, cohort_size,
+               ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+                     * 100.0, 4) AS retention_pct
+        FROM cells JOIN sz USING (cohort)"""
+    sql["docs_cooccurrence"] = """
+        WITH toks AS (
+          SELECT DISTINCT doc_id AS d,
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM toks GROUP BY 1
+        ), vocab AS (
+          SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 50
+        ), vt AS (
+          SELECT t.d, t.term, v.df FROM toks t JOIN vocab v USING (term)
+        ), pairs AS (
+          SELECT a.term AS t_a, b.term AS t_b,
+                 COUNT(*) AS df_ab, MIN(a.df) AS df_a, MIN(b.df) AS df_b
+          FROM vt a JOIN vt b ON a.d = b.d AND a.term < b.term
+          GROUP BY 1, 2
+        ), n AS (
+          SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        )
+        SELECT t_a, t_b, df_ab, df_a, df_b, n_docs,
+               ROUND(CAST(n_docs * df_ab AS DOUBLE)
+                     / CAST(df_a * df_b AS DOUBLE), 6) AS lift
+        FROM pairs, n
+        ORDER BY df_ab DESC, t_a, t_b LIMIT 100"""
     return sql

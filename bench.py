@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_stream_funnel",
     "events_hopping_rollup",
+    "events_gap_fill",
+    "events_time_weighted",
+    "events_cohort_retention",
+    "docs_cooccurrence",
 ]
 
 

@@ -661,6 +661,60 @@ class SemanticFrame:
 
         return self._next(tsf.funnel(self.df, steps, **kw), "funnel", steps=list(steps), **kw)
 
+    def gap_fill(self, ts_col: str, *, keys: list[str], bucket_width: int,
+                 aggs: dict, locf_cols: list[str] | None = None) -> "SemanticFrame":
+        """Dense per-key time grid with LOCF gap interpolation
+        (TimescaleDB time_bucket_gapfill+locf) — see
+        functions/timeseries.gap_fill. ``aggs`` holds Column
+        expressions — not YAML-serializable."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.gap_fill(self.df, ts_col, keys=keys, bucket_width=bucket_width,
+                         aggs=aggs, locf_cols=locf_cols),
+            "gap_fill", ts_col=ts_col, keys=list(keys),
+            bucket_width=bucket_width, _aggs=True, locf_cols=locf_cols,
+        )
+
+    def time_weighted_avg(self, ts_col: str, value_col: str, *, keys: list[str],
+                          order_cols: list[str] | None = None) -> "SemanticFrame":
+        """Trapezoidal time-weighted average per key (exact decimal
+        segment sums; integral value_col) — see
+        functions/timeseries.time_weighted_avg."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.time_weighted_avg(self.df, ts_col, value_col, keys=keys,
+                                  order_cols=order_cols),
+            "time_weighted_avg", ts_col=ts_col, value_col=value_col,
+            keys=list(keys), order_cols=order_cols,
+        )
+
+    def cohort_retention(self, ts_col: str, user_col: str, *, period: int) -> "SemanticFrame":
+        """Cohort retention matrix: users cohorted by first-event
+        period, cells = active users per offset with retention % — see
+        functions/timeseries.cohort_retention."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.cohort_retention(self.df, ts_col, user_col, period=period),
+            "cohort_retention", ts_col=ts_col, user_col=user_col, period=period,
+        )
+
+    def cooccurrence_stats(self, text_col: str, *, id_col: str, vocab_size: int = 100,
+                           top_pairs: int | None = None) -> "SemanticFrame":
+        """Term co-occurrence document counts + association lift over
+        the top-df vocabulary (vocabulary-capped pair blow-up) — see
+        functions/text.cooccurrence_stats."""
+        from .functions import text as text_fn
+
+        return self._next(
+            text_fn.cooccurrence_stats(self.df, text_col, id_col=id_col,
+                                       vocab_size=vocab_size, top_pairs=top_pairs),
+            "cooccurrence_stats", text_col=text_col, id_col=id_col,
+            vocab_size=vocab_size, top_pairs=top_pairs,
+        )
+
     def skew_profile(self, keys: list[str], *, top: int = 20) -> "SemanticFrame":
         """Top-N heavy keys with exact basis-point shares — the planning
         input for hot_key_bucket/salting — see functions/stats.skew_profile."""

@@ -303,3 +303,83 @@ def term_stats(df, text_col: str, *, id_col: str, top_n: int | None = None):
     if top_n is not None:
         stats = stats.orderBy(F.col("tf").desc(), F.col("term")).limit(top_n)
     return stats
+
+
+def cooccurrence_stats(
+    df,
+    text_col: str,
+    *,
+    id_col: str,
+    vocab_size: int = 100,
+    top_pairs: int | None = None,
+):
+    """Term co-occurrence statistics over the top-``vocab_size`` terms
+    (by document frequency): for every vocabulary pair appearing
+    together in a document, the pair's document count, each term's
+    document count, and the association lift ``N * df_ab / (df_a *
+    df_b)`` (PMI's argument, reported WITHOUT the log so the value is a
+    deterministic ratio of exact integers — ln() differs by 1 ulp
+    between libm and the JVM on ~2% of inputs; callers wanting PMI take
+    ``log(lift)`` themselves). Collocation mining / topic-drift
+    diagnostics for corpus builds; nothing in the reference computes
+    corpus-level term association.
+
+    Scale posture: the O(L^2) pair blow-up is capped by the vocabulary,
+    never document length — per-doc distinct terms are semi-joined
+    against the broadcast top-V table BEFORE the self-join, so a doc
+    contributes at most C(V,2) pairs regardless of size. The self-join
+    is an equi-join on the doc id (one shuffle, both sides the same
+    pruned projection), ``t_a < t_b`` halves the output, and pair
+    counting is map-side combinable. ``top_pairs`` bounds the result
+    via TakeOrderedAndProject (per-partition top-k), not a global sort.
+
+    Output: ``t_a``, ``t_b`` (t_a < t_b), ``df_ab``, ``df_a``,
+    ``df_b``, ``n_docs``, ``lift`` (double, 6dp).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.array_distinct(tokens(F.trim(F.lower(F.col(text_col)))))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # cache: both self-join sides broadcast this table, and without the
+    # cache each side re-runs the full corpus term-frequency aggregate.
+    # Tiny by construction (vocab_size rows), so no release handle.
+    vocab = (
+        dfreq.orderBy(F.col("_df").desc(), F.col("term"))
+        .limit(int(vocab_size))
+        .cache()
+    )
+    vt = toks.join(F.broadcast(vocab), "term")
+    pairs = (
+        vt.alias("a")
+        .join(vt.alias("b"), "_doc")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("t_a"),
+            F.col("b.term").alias("t_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("df_ab"),
+            F.first(F.col("a._df")).alias("df_a"),
+            F.first(F.col("b._df")).alias("df_b"),
+        )
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumnRenamed("n", "n_docs")
+    out = pairs.crossJoin(F.broadcast(n_docs)).withColumn(
+        "lift",
+        F.round(
+            (F.col("n_docs") * F.col("df_ab")).cast("double")
+            / (F.col("df_a") * F.col("df_b")).cast("double"),
+            6,
+        ),
+    )
+    if top_pairs is not None:
+        out = out.orderBy(
+            F.col("df_ab").desc(), F.col("t_a"), F.col("t_b")
+        ).limit(int(top_pairs))
+    return out

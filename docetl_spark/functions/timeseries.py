@@ -625,3 +625,193 @@ def hopping_rollup(
         .groupBy(F.col("window_start"), *g)
         .agg(*[a.alias(name) for name, a in aggs.items()])
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    keys: list[str],
+    bucket_width: int,
+    aggs: dict[str, Column],
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dense per-key time grid with LOCF interpolation (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``; the reference is batch-only with
+    no time-series surface at all — SURVEY.md §1.4).
+
+    Buckets ``ts_col`` (epoch long, any unit) into ``bucket_width``-wide
+    bins, aggregates per (keys, bucket), then EXPANDS each key's bucket
+    range to a gapless grid and carries the last observed value forward
+    into the gap rows for every column in ``locf_cols`` (names must be
+    keys of ``aggs``).
+
+    Output: keys + ``bucket_start`` (epoch long, bucket lower edge) +
+    one column per agg (NULL on gap rows) + ``<c>_filled`` per locf col.
+
+    Scale posture: the raw table is touched ONCE (the partial-agg
+    shuffle); everything after runs on the rolled-up grid, whose size is
+    sum over keys of (key time-span / bucket_width) — caller-controlled
+    via ``bucket_width``, never data-volume-bound. Three narrow shuffles
+    total on grid-sized data: the rollup agg, the grid left join on
+    (keys, bucket), and the per-key LOCF window. Exact-floor bucketing
+    ``(ts - pmod(ts, w)) DIV w`` keeps pre-epoch timestamps on the
+    correct side of bucket edges (the repo-wide ns-bucketing pattern).
+    """
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    bad = [c for c in (locf_cols or []) if c not in aggs]
+    if bad:
+        raise ValueError(f"locf_cols not in aggs: {bad}")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    # fixed temp name, then expr: interpolating ts_col into SQL breaks on
+    # names needing backticks, and Column-API `/` routes longs through
+    # double (loses ns precision past 2^53) — DIV needs expr
+    bkt = F.expr(f"(_gf_ts - pmod(_gf_ts, {w})) DIV {w}")
+    rolled = (
+        df.withColumn("_gf_ts", F.col(ts_col).cast("long"))
+        .withColumn("_bkt", bkt)
+        .groupBy(*keys, "_bkt")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    span = rolled.groupBy(*keys).agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    )
+    grid = span.select(
+        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_bkt")
+    )
+    filled = grid.join(rolled, [*keys, "_bkt"], "left")
+    if locf_cols:
+        lw = (
+            W.partitionBy(*keys)
+            .orderBy("_bkt")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for c in locf_cols:
+            filled = filled.withColumn(
+                f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(lw)
+            )
+    return filled.withColumn(
+        "bucket_start", F.col("_bkt") * F.lit(w).cast("long")
+    ).drop("_bkt")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trapezoidal time-weighted average per key (TimescaleDB
+    ``time_weight('Linear')`` hyperfunction; no reference or Spark
+    built-in equivalent): consecutive samples contribute
+    ``(v_i + v_{i+1})/2 * (t_{i+1} - t_i)``, normalised by the key's
+    observed duration. A key with a single sample (or zero duration)
+    falls back to the plain mean.
+
+    ``value_col`` must be an INTEGRAL column (scale floats to
+    cents/micros upstream): segment terms accumulate in decimal(38,0),
+    so the sum is exact and engine-order-independent — a double sum
+    here would make results depend on partitioning. ``order_cols``
+    breaks timestamp ties deterministically; tied samples contribute a
+    zero-width segment either way, so ties never change the value.
+
+    Output: keys + ``twa`` (double, value units) + ``n_samples`` +
+    ``duration`` (ts units). ONE shuffle on keys: the lead window and
+    the final agg share the same partitioning.
+    """
+    ow = W.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
+    ts = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("long")
+    nxt_ts = F.lead(ts).over(ow)
+    nxt_v = F.lead(v).over(ow)
+    seg = (v + nxt_v).cast("decimal(38,0)") * (nxt_ts - ts)
+    agg = (
+        df.withColumn("_seg", seg)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_seg").alias("_num"),
+            F.min(ts).alias("_lo"),
+            F.max(ts).alias("_hi"),
+            F.avg(v).alias("_mean"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    dur = F.col("_hi") - F.col("_lo")
+    twa = F.when(
+        dur > 0, F.col("_num").cast("double") / (dur.cast("double") * 2.0)
+    ).otherwise(F.col("_mean"))
+    return agg.select(
+        *keys,
+        twa.alias("twa"),
+        F.col("n_samples"),
+        dur.alias("duration"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    *,
+    period: int,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each cell counts how many of a cohort's users
+    were active ``offset`` periods later, with the retention percentage
+    against the cohort size. The product-analytics staple (Amplitude/
+    Mixpanel retention) the reference has no surface for.
+
+    ``ts_col``: epoch long (any unit); ``period``: cohort width in the
+    same unit. Exact-floor period indexing (pre-epoch-safe, as
+    everywhere in this module).
+
+    Scale posture: the raw table collapses FIRST — one partial-agg
+    shuffle to per-user first-ts and one distinct to per-(user, period)
+    activity rows (both map-side combinable); the cohort join and the
+    cell aggregation then run on user-count-sized data. Cohort sizes
+    broadcast back onto the (tiny) matrix. Count is ``count(*)``, not
+    countDistinct: activity rows are already distinct per (user,
+    period), so each user hits a cell at most once.
+
+    Output: ``cohort_period`` (epoch long, period start),
+    ``period_offset``, ``n_active``, ``cohort_size``, ``retention_pct``
+    (double, rounded 4dp).
+    """
+    p = int(period)
+    if p <= 0:
+        raise ValueError("period must be positive")
+    # exact integer period index: Column-API `/` would go through double
+    # and misindex ns-scale epochs near period edges (the repo-wide
+    # bucketing class bug) — fixed temp name + DIV, as in gap_fill
+    pidx = F.expr(f"(_cr_ts - pmod(_cr_ts, {p})) DIV {p}")
+    base = df.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).cast("long").alias("_cr_ts")
+    ).withColumn("_p", pidx)
+    first = base.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    activity = base.select("_u", "_p").distinct()
+    cells = (
+        activity.join(first, "_u")
+        .groupBy("_cohort", (F.col("_p") - F.col("_cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "_cohort")
+        .select(
+            (F.col("_cohort") * p).alias("cohort_period"),
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+                * 100.0,
+                4,
+            ).alias("retention_pct"),
+        )
+    )

@@ -385,6 +385,65 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             .agg(F.sum(F.length("c"))).collect()
         ))
 
+    # gap-fill (round-6): rollup shuffle on raw data, then grid/join/LOCF
+    # on bucket-count-sized rows — blow-up multiplies rollup input but
+    # not the grid (same users, same time range), so growth must be
+    # driven by the one partial agg
+    if want("gap_fill") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+        res["gap_fill"] = timed(lambda: (
+            timeseries.gap_fill(
+                ev.select("user_id", "ts", "value"), "ts",
+                keys=["user_id"], bucket_width=21600 * 10**9,
+                aggs={"n": F.count(F.lit(1)), "s": F.sum("value")},
+                locf_cols=["s"],
+            ).agg(F.count(F.lit(1)), F.sum("n")).collect()
+        ))
+
+    # time-weighted avg (round-6): ONE user_id shuffle (lead window +
+    # agg share partitioning); decimal segment sums
+    if want("time_weighted") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+        res["time_weighted"] = timed(lambda: (
+            timeseries.time_weighted_avg(
+                ev.select("user_id", "ts", "event_id")
+                .withColumn("_c", F.col("event_id") % 1000),
+                "ts", "_c", keys=["user_id"], order_cols=["event_id"],
+            ).agg(F.count(F.lit(1)), F.sum("n_samples")).collect()
+        ))
+
+    # cohort retention (round-6): collapses to per-user rows before any
+    # join; cells are period-count-sized
+    if want("cohort") and events_path:
+        from docetl_spark.functions import timeseries
+
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+        res["cohort"] = timed(lambda: (
+            timeseries.cohort_retention(
+                ev.select("user_id", "ts"), "ts", "user_id",
+                period=604800 * 10**9,
+            ).agg(F.sum("n_active")).collect()
+        ))
+
+    # term co-occurrence (round-6): vocabulary-capped pair blow-up; the
+    # doc-id self-join input is (docs x <=V) rows, never corpus tokens
+    if want("cooccurrence"):
+        res["cooccurrence"] = timed(lambda: (
+            text.cooccurrence_stats(
+                docs, "text", id_col="doc_id", vocab_size=50, top_pairs=100,
+            ).agg(F.sum("df_ab")).collect()
+        ))
+
     # exact-substring span dedup (round-6): overlapping window hashes ->
     # partial-agg keeper election -> coverage union
     if want("substring_dedup"):

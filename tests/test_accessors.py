@@ -113,3 +113,36 @@ def test_frame_analytics_verbs_chain(spark):
     hop = fr.hopping_rollup({"n": F.count(F.lit(1))}, ts_col="ts",
                             every_ns=100, size_ns=200)
     assert hop.df.filter(F.col("window_start") == 100).count() == 1
+
+
+def test_round6_timeseries_and_cooccurrence_verbs(spark):
+    """gap_fill / time_weighted_avg / cohort_retention / cooccurrence_stats
+    as SemanticFrame verbs: thin delegations to the functions modules."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark import SemanticFrame
+
+    ev = SemanticFrame(spark.createDataFrame(
+        [(1, 5, 10), (1, 42, 7), (2, 30, 1)], ["user_id", "ts", "v"]))
+    gf = ev.gap_fill("ts", keys=["user_id"], bucket_width=10,
+                     aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+                     locf_cols=["s"])
+    rows = {(r["user_id"], r["bucket_start"]): r["s_filled"] for r in gf.df.collect()}
+    assert rows[(1, 20)] == 10 and len(rows) == 6
+
+    twa = ev.time_weighted_avg("ts", "v", keys=["user_id"])
+    got = {r["user_id"]: r["twa"] for r in twa.df.collect()}
+    assert got[2] == 1.0  # single sample -> mean
+    # u1: (10+7)/2 * 37 / 37 = 8.5
+    assert got[1] == 8.5
+
+    co = ev.cohort_retention("ts", "user_id", period=10)
+    cells = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+             for r in co.df.collect()}
+    assert cells[(0, 0)] == 1 and cells[(0, 4)] == 1 and cells[(30, 0)] == 1
+
+    docs = SemanticFrame(spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b c")], ["doc_id", "text"]))
+    cs = docs.cooccurrence_stats("text", id_col="doc_id", vocab_size=5)
+    pairs = {(r["t_a"], r["t_b"]): r["df_ab"] for r in cs.df.collect()}
+    assert pairs == {("a", "b"): 2, ("b", "c"): 1}

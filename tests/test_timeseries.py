@@ -570,3 +570,104 @@ def test_hopping_rollup_validates_params(spark):
         with _pytest.raises(ValueError):
             hopping_rollup(df, {"n": F.count(F.lit(1))}, ts_col="ts",
                            every_ns=every, size_ns=size)
+
+
+# ---------------------------------------------------------------- gap_fill
+
+def test_gap_fill_dense_grid_and_locf(spark):
+    # key 1: buckets 0,1,4 observed -> grid 0..4, gaps 2,3 carry bucket-1 sum
+    df = spark.createDataFrame(
+        [(1, 5, 10), (1, 15, 20), (1, 42, 7), (2, 30, 1)],
+        ["k", "t", "v"],
+    )
+    out = ts.gap_fill(
+        df, "t", keys=["k"], bucket_width=10,
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")}, locf_cols=["s"],
+    )
+    rows = {(r["k"], r["bucket_start"]): (r["n"], r["s"], r["s_filled"])
+            for r in out.collect()}
+    assert rows[(1, 0)] == (1, 10, 10)
+    assert rows[(1, 10)] == (1, 20, 20)
+    assert rows[(1, 20)] == (None, None, 20)   # gap: locf carries 20
+    assert rows[(1, 30)] == (None, None, 20)
+    assert rows[(1, 40)] == (1, 7, 7)
+    assert rows[(2, 30)] == (1, 1, 1)          # single-bucket key: no gaps
+    assert len(rows) == 6
+
+
+def test_gap_fill_negative_ts_floor(spark):
+    # pre-epoch: -5 must land in bucket [-10, 0), not [0, 10)
+    df = spark.createDataFrame([(1, -5, 1), (1, 14, 2)], ["k", "t", "v"])
+    out = ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                      aggs={"n": F.count(F.lit(1))})
+    starts = sorted(r["bucket_start"] for r in out.collect())
+    assert starts == [-10, 0, 10]
+
+
+def test_gap_fill_validates_args(spark):
+    df = spark.createDataFrame([(1, 1, 1)], ["k", "t", "v"])
+    import pytest
+    with pytest.raises(ValueError, match="aggs"):
+        ts.gap_fill(df, "t", keys=["k"], bucket_width=10, aggs={})
+    with pytest.raises(ValueError, match="locf_cols"):
+        ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                    aggs={"n": F.count(F.lit(1))}, locf_cols=["nope"])
+    with pytest.raises(ValueError, match="bucket_width"):
+        ts.gap_fill(df, "t", keys=["k"], bucket_width=0,
+                    aggs={"n": F.count(F.lit(1))})
+
+
+# ------------------------------------------------------- time_weighted_avg
+
+def test_time_weighted_avg_trapezoid(spark):
+    # v: 0 at t=0, 10 at t=10, 10 at t=20
+    # segments: (0+10)/2*10 = 50, (10+10)/2*10 = 100 -> 150/20 = 7.5
+    df = spark.createDataFrame([(1, 0, 0), (1, 10, 10), (1, 20, 10)],
+                               ["k", "t", "v"])
+    r = ts.time_weighted_avg(df, "t", "v", keys=["k"]).collect()[0]
+    assert r["twa"] == 7.5
+    assert r["n_samples"] == 3
+    assert r["duration"] == 20
+
+
+def test_time_weighted_avg_single_sample_falls_back_to_mean(spark):
+    df = spark.createDataFrame([(1, 5, 42), (2, 0, 1), (2, 0, 3)],
+                               ["k", "t", "v"])
+    rows = {r["k"]: r["twa"]
+            for r in ts.time_weighted_avg(
+                df, "t", "v", keys=["k"], order_cols=["v"]).collect()}
+    assert rows[1] == 42.0        # single sample
+    assert rows[2] == 2.0         # zero duration -> plain mean
+
+
+def test_time_weighted_avg_irregular_sampling_weights_by_interval(spark):
+    # constant 100 for a long interval then a brief 0 spike: twa near 100,
+    # plain mean would say 50
+    df = spark.createDataFrame([(1, 0, 100), (1, 90, 100), (1, 100, 0)],
+                               ["k", "t", "v"])
+    r = ts.time_weighted_avg(df, "t", "v", keys=["k"]).collect()[0]
+    assert r["twa"] == (100 * 90 + 50 * 10) / 100.0  # 95.0
+
+
+# -------------------------------------------------------- cohort_retention
+
+def test_cohort_retention_matrix(spark):
+    # period 10: u1 first p0 active p0,p1,p2; u2 first p0 active p0,p2;
+    # u3 first p1 active p1
+    rows = [(1, 1), (1, 12), (1, 25), (2, 3), (2, 22), (3, 15), (3, 16)]
+    df = spark.createDataFrame(rows, ["u", "t"])
+    out = {(r["cohort_period"], r["period_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention_pct"])
+           for r in ts.cohort_retention(df, "t", "u", period=10).collect()}
+    assert out[(0, 0)] == (2, 2, 100.0)
+    assert out[(0, 1)] == (1, 2, 50.0)
+    assert out[(0, 2)] == (2, 2, 100.0)
+    assert out[(10, 0)] == (1, 1, 100.0)
+    assert len(out) == 4
+
+
+def test_cohort_retention_validates_period(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 1)], ["u", "t"])
+    with pytest.raises(ValueError, match="period"):
+        ts.cohort_retention(df, "t", "u", period=0)

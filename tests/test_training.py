@@ -859,3 +859,46 @@ def test_assign_splits_exact_global_path_distributed_and_stable(spark):
     assert set(out.columns) == {"id", "split"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_stats_counts_and_lift(spark):
+    from docetl_spark.functions.text import cooccurrence_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b b c")],
+        ["doc_id", "text"],
+    )
+    out = {(r["t_a"], r["t_b"]): (r["df_ab"], r["df_a"], r["df_b"], r["lift"])
+           for r in cooccurrence_stats(
+               docs, "text", id_col="doc_id", vocab_size=10).collect()}
+    # df: a=3 b=3 c=2, N=4
+    assert out[("a", "b")] == (2, 3, 3, round(4 * 2 / 9, 6))
+    assert out[("a", "c")] == (1, 3, 2, round(4 * 1 / 6, 6))
+    assert out[("b", "c")] == (1, 3, 2, round(4 * 1 / 6, 6))
+    assert len(out) == 3  # repeated "b b" in doc4 counts once per doc
+
+
+def test_cooccurrence_vocab_cap_excludes_rare_terms(spark):
+    from docetl_spark.functions.text import cooccurrence_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b rare1"), (2, "a b rare2"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    out = cooccurrence_stats(docs, "text", id_col="doc_id", vocab_size=2).collect()
+    terms = {t for r in out for t in (r["t_a"], r["t_b"])}
+    assert terms == {"a", "b"}  # rare terms never reach the self-join
+
+
+def test_cooccurrence_top_pairs_deterministic(spark):
+    from docetl_spark.functions.text import cooccurrence_stats
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(5)] + [(9, "x q")], ["doc_id", "text"]
+    )
+    out = cooccurrence_stats(
+        docs, "text", id_col="doc_id", vocab_size=10, top_pairs=2).collect()
+    got = [(r["t_a"], r["t_b"], r["df_ab"]) for r in out]
+    # ties broken by (t_a, t_b): x-y and x-z both df_ab=5, y-z dropped? no -
+    # all three are 5; top-2 by (df_ab desc, t_a, t_b) = (x,y), (x,z)
+    assert got == [("x", "y", 5), ("x", "z", 5)]
