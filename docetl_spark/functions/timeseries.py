@@ -666,6 +666,15 @@ def gap_fill(
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+    reserved = {"_gf_ts", "_bkt", "bucket_start"} | {
+        f"{c}_filled" for c in (locf_cols or [])
+    }
+    clash = sorted(reserved & (set(df.columns) | set(aggs)))
+    if clash:
+        raise ValueError(
+            f"gap_fill reserves column names {clash} — rename the input/"
+            "agg columns (a silent replace would fill the wrong data)"
+        )
     # fixed temp name, then expr: interpolating ts_col into SQL breaks on
     # names needing backticks, and Column-API `/` routes longs through
     # double (loses ns precision past 2^53) — DIV needs expr
@@ -724,6 +733,15 @@ def time_weighted_avg(
     ``duration`` (ts units). ONE shuffle on keys: the lead window and
     the final agg share the same partitioning.
     """
+    from pyspark.sql import types as T
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"time_weighted_avg: value_col {value_col!r} is {vtype.simpleString()}; "
+            "an integral column is required for exact segment sums — scale "
+            "floats upstream (e.g. F.floor(value * 100 + 0.5).cast('long'))"
+        )
     ow = W.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
     ts = F.col(ts_col).cast("long")
     v = F.col(value_col).cast("long")

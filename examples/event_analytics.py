@@ -52,11 +52,37 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .df.groupBy("split").count().collect()
     )
 
+    # 5. Engagement-over-time reporting: weekly cohort retention, a
+    #    gap-filled daily activity series (LOCF carries the last observed
+    #    spend into silent days), and the time-weighted average spend —
+    #    irregular sampling weighted by how long each level persisted.
+    retention = ev.cohort_retention("ts", "user_id", period=604800 * 10**9)
+    week0 = (
+        retention.df.filter(F.col("period_offset") == 1)
+        .orderBy("cohort_period").collect()
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.with_columns(_cents=cents).gap_fill(
+        "ts", keys=["user_id"], bucket_width=86400 * 10**9,
+        aggs={"n": F.count(F.lit(1)), "cents": F.sum("_cents")},
+        locf_cols=["cents"],
+    )
+    gap_days = daily.df.filter(F.col("n").isNull()).count()
+    twa = (
+        ev.with_columns(_cents=cents)
+        .time_weighted_avg("ts", "_cents", keys=["user_id"],
+                           order_cols=["event_id"])
+        .df.agg(F.avg("twa").alias("avg_twa_cents")).collect()[0]
+    )
+
     out = {
         "hot_user_share_bp": hot_share_bp,
         "funnel_counts": {r["reached"]: r["count"] for r in conv},
         "purchase_value_p50": q[0]["p50"] if q else None,
         "split_counts": {r["split"]: r["count"] for r in splits},
+        "week1_retention_pct": [r["retention_pct"] for r in week0],
+        "gap_days_filled": gap_days,
+        "avg_twa_cents": twa["avg_twa_cents"],
     }
     if own_spark:
         spark.stop()

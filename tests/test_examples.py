@@ -110,3 +110,6 @@ def test_event_analytics_example_runs(spark):
     assert set(out["split_counts"]) <= {"train", "holdout"}
     n = sum(out["split_counts"].values())
     assert out["split_counts"].get("train", 0) == (n * 4) // 5
+    assert all(0 < p <= 100 for p in out["week1_retention_pct"])
+    assert out["gap_days_filled"] >= 0
+    assert out["avg_twa_cents"] > 0

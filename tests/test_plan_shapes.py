@@ -47,6 +47,8 @@ PLAN_ONLY = [
     "q21_sole_returners", "bm25_search_docs", "corpus_split_exact",
     "events_skew_profile", "corpus_length_quantiles", "events_pivot_by_type",
     "events_funnel", "events_hopping_rollup",
+    "events_gap_fill", "events_time_weighted", "events_cohort_retention",
+    "docs_cooccurrence",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

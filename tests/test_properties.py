@@ -332,3 +332,141 @@ def test_funnel_matches_brute_force(spark, events):
     }
     want = _funnel_brute(rows, ["a", "b", "c"])
     assert got == want
+
+
+# ------------------------------------------------- round-6 analytics ops
+
+def _twa_brute(rows):
+    """Per-key trapezoid: sum((v_i+v_{i+1})/2 * dt) / duration, mean when
+    duration is zero. Pure-python twin of timeseries.time_weighted_avg."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, v in rows:
+        by_key[k].append((t, v))
+    out = {}
+    for k, pts in by_key.items():
+        pts.sort()
+        dur = pts[-1][0] - pts[0][0]
+        if dur == 0:
+            out[k] = sum(v for _, v in pts) / len(pts)
+            continue
+        num = sum(
+            (pts[i][1] + pts[i + 1][1]) * (pts[i + 1][0] - pts[i][0])
+            for i in range(len(pts) - 1)
+        )
+        out[k] = num / (2.0 * dur)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=-10**6, max_value=10**6),  # ts
+            st.integers(min_value=-1000, max_value=1000),    # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # unique ts per key: brute sorts by ts only
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_time_weighted_avg_matches_brute_force(spark, rows):
+    from docetl_spark.functions.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {r["k"]: r["twa"]
+           for r in time_weighted_avg(df, "t", "v", keys=["k"]).collect()}
+    want = _twa_brute(rows)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),           # key
+            st.integers(min_value=-100, max_value=100),      # ts
+            st.integers(min_value=0, max_value=9),           # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_gap_fill_grid_is_dense_and_locf_total(spark, rows):
+    """Invariants: per key the bucket grid is gapless min..max; observed
+    buckets keep their exact sum; gap rows carry the previous observed
+    sum; n/sum are never lost (total preserved)."""
+    import pyspark.sql.functions as F
+
+    from docetl_spark.functions.timeseries import gap_fill
+
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = gap_fill(df, "t", keys=["k"], bucket_width=7,
+                   aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+                   locf_cols=["s"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    # brute buckets (floor division matches the exact-floor DIV pattern)
+    from collections import defaultdict
+    want = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for k, t, v in rows:
+        b = t // 7
+        want[k][b][0] += 1
+        want[k][b][1] += v
+    assert by_key.keys() == want.keys()
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["bucket_start"])
+        starts = [r["bucket_start"] for r in rs]
+        lo, hi = min(want[k]), max(want[k])
+        assert starts == [b * 7 for b in range(lo, hi + 1)]  # dense grid
+        last_seen = None
+        for r in rs:
+            b = r["bucket_start"] // 7
+            if b in want[k]:
+                assert (r["n"], r["s"]) == tuple(want[k][b])
+                last_seen = r["s"]
+                assert r["s_filled"] == r["s"]
+            else:
+                assert r["n"] is None and r["s"] is None
+                assert r["s_filled"] == last_seen  # LOCF carries forward
+        assert sum(r["n"] or 0 for r in rs) == sum(c for c, _ in want[k].values())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # user
+            st.integers(min_value=-50, max_value=50),    # ts
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_cohort_retention_matches_brute_force(spark, rows):
+    from collections import defaultdict
+
+    from docetl_spark.functions.timeseries import cohort_retention
+
+    df = spark.createDataFrame(rows, ["u", "t"])
+    got = {(r["cohort_period"], r["period_offset"]): (r["n_active"], r["cohort_size"])
+           for r in cohort_retention(df, "t", "u", period=10).collect()}
+    first = {}
+    active = defaultdict(set)
+    for u, t in rows:
+        p = t // 10
+        first[u] = min(first.get(u, p), p)
+        active[u].add(p)
+    sizes = defaultdict(int)
+    for u, c in first.items():
+        sizes[c] += 1
+    want = defaultdict(int)
+    for u, ps in active.items():
+        for p in ps:
+            want[(first[u] * 10, p - first[u])] += 1
+    assert got == {k: (n, sizes[k[0] // 10]) for k, n in want.items()}

@@ -671,3 +671,23 @@ def test_cohort_retention_validates_period(spark):
     df = spark.createDataFrame([(1, 1)], ["u", "t"])
     with pytest.raises(ValueError, match="period"):
         ts.cohort_retention(df, "t", "u", period=0)
+
+
+def test_time_weighted_avg_rejects_float_values(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 0, 1.5)], ["k", "t", "v"])
+    with pytest.raises(TypeError, match="integral"):
+        ts.time_weighted_avg(df, "t", "v", keys=["k"])
+
+
+def test_gap_fill_reserved_name_collision(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 1, 1)], ["k", "t", "bucket_start"])
+    with pytest.raises(ValueError, match="reserves"):
+        ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                    aggs={"n": F.count(F.lit(1))})
+    # locf output name clashing with an input column
+    df3 = spark.createDataFrame([(1, 1, 1, 0)], ["k", "t", "s", "s_filled"])
+    with pytest.raises(ValueError, match="reserves"):
+        ts.gap_fill(df3, "t", keys=["k"], bucket_width=10,
+                    aggs={"s": F.sum("s")}, locf_cols=["s"])
