@@ -24,6 +24,19 @@ from .ir import OpSpec, lift, lower
 from .rewrite import rewrite
 
 
+def _expr_aggs(aggs: dict) -> dict:
+    """YAML aggregate encoding -> Column dict: values are SQL expression
+    strings (``{"n": "count(1)", "cents": "sum(_cents)"}``)."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(aggs, dict) or not all(isinstance(v, str) for v in aggs.values()):
+        raise ValueError(
+            "YAML aggs must be a {name: 'sql expression'} mapping, got "
+            f"{aggs!r}"
+        )
+    return {name: F.expr(expr) for name, expr in aggs.items()}
+
+
 def _exec_code(source: str, entry: str):
     ns: dict[str, Any] = {}
     exec(source, ns)  # noqa: S102 — trusted pipeline config, reference parity
@@ -179,6 +192,41 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.lm_score(text_col=c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "assign_splits":
         return sf.assign_splits(id_cols=c.pop("id_cols"), **c)
+    # time-series / analytics ops (beyond-reference surface, COVERAGE.md).
+    # YAML carries aggregates as {name: "sql expression"} strings,
+    # compiled with F.expr — the one encoding a pipeline file can hold
+    # (the SemanticFrame verbs take Column objects directly).
+    if t == "time_rollup":
+        return sf.time_rollup(c.pop("ts_col"), _expr_aggs(c.pop("aggs")), **c)
+    if t == "hopping_rollup":
+        return sf.hopping_rollup(
+            _expr_aggs(c.pop("aggs")), ts_col=c.pop("ts_col"),
+            every_ns=c.pop("every_ns"), size_ns=c.pop("size_ns"), **c)
+    if t == "gap_fill":
+        return sf.gap_fill(
+            c.pop("ts_col"), keys=c.pop("keys"),
+            bucket_width=c.pop("bucket_width"),
+            aggs=_expr_aggs(c.pop("aggs")), **c)
+    if t == "time_weighted_avg":
+        return sf.time_weighted_avg(
+            c.pop("ts_col"), c.pop("value_col"), keys=c.pop("keys"), **c)
+    if t == "cohort_retention":
+        return sf.cohort_retention(
+            c.pop("ts_col"), c.pop("user_col"), period=c.pop("period"), **c)
+    if t == "funnel":
+        return sf.funnel(c.pop("steps"), **c)
+    if t == "skew_profile":
+        return sf.skew_profile(c.pop("keys"), **c)
+    if t == "exact_quantiles":
+        return sf.exact_quantiles(c.pop("value_col"), c.pop("ps"), **c)
+    if t == "cooccurrence_stats":
+        return sf.cooccurrence_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "asof_join":
+        right = datasets[c.pop("right")]
+        return sf.asof_join(right, **c)
+    if t == "range_join":
+        intervals = datasets[c.pop("intervals")]
+        return sf.range_join(intervals, **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

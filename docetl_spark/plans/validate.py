@@ -30,6 +30,9 @@ _KNOWN_OPS = {
     "near_dup_minhash", "contamination", "decontaminate",
     "dedup_passages", "dedup_substrings", "near_dup_grams", "dedup_incremental", "dedup_semantic", "embed",
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
+    "time_rollup", "hopping_rollup", "gap_fill", "time_weighted_avg",
+    "cohort_retention", "funnel", "skew_profile", "exact_quantiles",
+    "cooccurrence_stats", "asof_join", "range_join",
 }
 
 

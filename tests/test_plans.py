@@ -372,3 +372,80 @@ def test_profiled_frame_observes_rows_and_selectivity(spark, sf_dir):
     plain = SemanticFrame.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     with _pytest.raises(ValueError):
         plain.profile_stats()
+
+
+ANALYTICS_PIPELINE = {
+    "datasets": {
+        "events": {
+            "type": "memory",
+            "data": [
+                {"u": 1, "t": 5, "v": 10},
+                {"u": 1, "t": 15, "v": 20},
+                {"u": 1, "t": 42, "v": 7},
+                {"u": 2, "t": 30, "v": 1},
+            ],
+        }
+    },
+    "operations": [
+        {
+            "name": "daily", "type": "gap_fill", "ts_col": "t",
+            "keys": ["u"], "bucket_width": 10,
+            "aggs": {"n": "count(1)", "s": "sum(v)"}, "locf_cols": ["s"],
+        },
+    ],
+    "pipeline": {
+        "steps": [{"name": "grid", "input": "events", "operations": ["daily"]}],
+    },
+}
+
+
+def test_analytics_ops_compile_from_yaml_specs(spark):
+    """The analytics family is pipeline-spec drivable: aggs travel as
+    {name: sql-expression} strings and compile via F.expr."""
+    out = run_pipeline(spark, ANALYTICS_PIPELINE)
+    rows = {(r["u"], r["bucket_start"]): (r["n"], r["s"], r["s_filled"])
+            for r in out.df.collect()}
+    assert rows[(1, 20)] == (None, None, 20)   # gap bucket, LOCF carries
+    assert rows[(1, 40)] == (1, 7, 7)
+    assert len(rows) == 6
+
+    cfg = dict(ANALYTICS_PIPELINE)
+    cfg["operations"] = [
+        {"name": "twa", "type": "time_weighted_avg", "ts_col": "t",
+         "value_col": "v", "keys": ["u"]},
+    ]
+    cfg["pipeline"] = {
+        "steps": [{"name": "s", "input": "events", "operations": ["twa"]}],
+    }
+    got = {r["u"]: r["twa"] for r in run_pipeline(spark, cfg).df.collect()}
+    assert got[2] == 1.0
+
+    cfg["operations"] = [
+        {"name": "coh", "type": "cohort_retention", "ts_col": "t",
+         "user_col": "u", "period": 10},
+    ]
+    cfg["pipeline"]["steps"] = [
+        {"name": "s", "input": "events", "operations": ["coh"]}]
+    cells = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+             for r in run_pipeline(spark, cfg).df.collect()}
+    assert cells[(0, 0)] == 1 and cells[(30, 0)] == 1
+
+    cfg["operations"] = [
+        {"name": "roll", "type": "hopping_rollup", "ts_col": "t",
+         "every_ns": 10, "size_ns": 20, "aggs": {"n": "count(1)"}},
+    ]
+    cfg["pipeline"]["steps"] = [
+        {"name": "s", "input": "events", "operations": ["roll"]}]
+    hop = run_pipeline(spark, cfg).df
+    assert hop.filter("window_start = 10").collect()[0]["n"] == 1
+
+    # bad aggs encoding fails loudly, not silently
+    import pytest
+    cfg["operations"] = [
+        {"name": "bad", "type": "time_rollup", "ts_col": "t",
+         "aggs": {"n": 123}},
+    ]
+    cfg["pipeline"]["steps"] = [
+        {"name": "s", "input": "events", "operations": ["bad"]}]
+    with pytest.raises(ValueError, match="sql expression"):
+        run_pipeline(spark, cfg)
