@@ -661,6 +661,31 @@ class SemanticFrame:
 
         return self._next(tsf.funnel(self.df, steps, **kw), "funnel", steps=list(steps), **kw)
 
+    def sessionize(self, *, keys: list[str], ts_col: str, gap: int, **kw) -> "SemanticFrame":
+        """Gap-based session ids per key (one window pass; hot_key_bucket
+        two-pass skew plan) — see functions/timeseries.sessionize."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.sessionize(self.df, keys=keys, ts_col=ts_col, gap=gap, **kw),
+            "sessionize", keys=list(keys), ts_col=ts_col, gap=gap, **kw,
+        )
+
+    def rolling_features(self, ts_col: str, *, keys: list[str],
+                         value_aggs: dict | None = None, **kw) -> "SemanticFrame":
+        """Per-entity trailing-window features (event index, gap to
+        previous, rolling aggregates; hot_key_bucket skew plan) — see
+        functions/timeseries.rolling_features. ``value_aggs`` holds
+        Column expressions — not YAML-serializable."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.rolling_features(self.df, ts_col, keys=keys,
+                                 value_aggs=value_aggs, **kw),
+            "rolling_features", ts_col=ts_col, keys=list(keys),
+            _aggs=value_aggs is not None, **kw,
+        )
+
     def gap_fill(self, ts_col: str, *, keys: list[str], bucket_width: int,
                  aggs: dict, locf_cols: list[str] | None = None) -> "SemanticFrame":
         """Dense per-key time grid with LOCF gap interpolation

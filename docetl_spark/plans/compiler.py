@@ -221,6 +221,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.exact_quantiles(c.pop("value_col"), c.pop("ps"), **c)
     if t == "cooccurrence_stats":
         return sf.cooccurrence_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "sessionize":
+        return sf.sessionize(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                             gap=c.pop("gap"), **c)
+    if t == "rolling_features":
+        if "value_aggs" in c:
+            c["value_aggs"] = _expr_aggs(c.pop("value_aggs"))
+        return sf.rolling_features(c.pop("ts_col"), keys=c.pop("keys"), **c)
     if t == "asof_join":
         right = datasets[c.pop("right")]
         return sf.asof_join(right, **c)

@@ -32,7 +32,8 @@ _KNOWN_OPS = {
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
     "time_rollup", "hopping_rollup", "gap_fill", "time_weighted_avg",
     "cohort_retention", "funnel", "skew_profile", "exact_quantiles",
-    "cooccurrence_stats", "asof_join", "range_join",
+    "cooccurrence_stats", "asof_join", "range_join", "sessionize",
+    "rolling_features",
 }
 
 

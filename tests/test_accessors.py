@@ -146,3 +146,23 @@ def test_round6_timeseries_and_cooccurrence_verbs(spark):
     cs = docs.cooccurrence_stats("text", id_col="doc_id", vocab_size=5)
     pairs = {(r["t_a"], r["t_b"]): r["df_ab"] for r in cs.df.collect()}
     assert pairs == {("a", "b"): 2, ("b", "c"): 1}
+
+
+def test_sessionize_and_rolling_features_verbs(spark):
+    from pyspark.sql import functions as F
+
+    from docetl_spark import SemanticFrame
+
+    ev = SemanticFrame(spark.createDataFrame(
+        [(1, "u1", 100, 5), (2, "u1", 130, 3), (3, "u1", 500, 2), (4, "u2", 10, 1)],
+        ["event_id", "user_id", "ts", "v"]))
+    ses = ev.sessionize(keys=["user_id"], ts_col="ts", gap=100,
+                        tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in ses.df.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    roll = ev.rolling_features("ts", keys=["user_id"],
+                               value_aggs={"v_sum": F.sum("v")},
+                               lookback_rows=2, tiebreak=["event_id"])
+    rows = {r["event_id"]: (r["event_idx"], r["v_sum"]) for r in roll.df.collect()}
+    assert rows[2] == (2, 8) and rows[3] == (3, 5)

@@ -449,3 +449,25 @@ def test_analytics_ops_compile_from_yaml_specs(spark):
         {"name": "s", "input": "events", "operations": ["bad"]}]
     with pytest.raises(ValueError, match="sql expression"):
         run_pipeline(spark, cfg)
+
+
+def test_sessionize_and_rolling_from_yaml_specs(spark):
+    cfg = {
+        "datasets": {"events": {"type": "memory", "data": [
+            {"id": 1, "u": "a", "t": 100, "v": 5},
+            {"id": 2, "u": "a", "t": 130, "v": 3},
+            {"id": 3, "u": "a", "t": 500, "v": 2},
+        ]}},
+        "operations": [
+            {"name": "ses", "type": "sessionize", "keys": ["u"],
+             "ts_col": "t", "gap": 100, "tiebreak": "id"},
+            {"name": "roll", "type": "rolling_features", "ts_col": "t",
+             "keys": ["u"], "value_aggs": {"v_sum": "sum(v)"},
+             "lookback_rows": 2, "tiebreak": ["id"]},
+        ],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "events", "operations": ["ses", "roll"]}]},
+    }
+    rows = {r["id"]: (r["session_id"], r["v_sum"])
+            for r in run_pipeline(spark, cfg).df.collect()}
+    assert rows == {1: (1, 5), 2: (1, 8), 3: (2, 5)}
