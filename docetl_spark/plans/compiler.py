@@ -320,7 +320,19 @@ def run_pipeline(
             fmt = d.get("format") or path.rsplit(".", 1)[-1]
             reader = {"json": SemanticFrame.read_json, "csv": SemanticFrame.read_csv,
                       "parquet": SemanticFrame.read_parquet}[fmt]
-            datasets[name] = reader(spark, path, backend=backend)
+            sfd = reader(spark, path, backend=backend)
+            # epoch_nanos: [col, ...] — fold timestamp-ish columns to
+            # epoch-ns BIGINT (wall-clock arithmetic, session-timezone
+            # independent) so the time-series ops' integer math has one
+            # canonical representation. TIMESTAMP_NTZ cannot even
+            # cast("long"), so specs over raw parquet need this.
+            for col in d.get("epoch_nanos") or []:
+                from ..sources.readers import normalize_epoch_nanos
+
+                sfd = sfd._next(
+                    normalize_epoch_nanos(sfd.df, col), "epoch_nanos", col=col
+                )
+            datasets[name] = sfd
 
     optimize_cfg = config.get("optimize")
     last: SemanticFrame | None = None

@@ -113,3 +113,19 @@ def test_event_analytics_example_runs(spark):
     assert all(0 < p <= 100 for p in out["week1_retention_pct"])
     assert out["gap_days_filled"] >= 0
     assert out["avg_twa_cents"] > 0
+
+
+def test_event_analytics_yaml_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/event_analytics.yaml")
+    rows = out.df.collect()
+    assert rows, "retention matrix is empty"
+    assert all(0 < r["retention_pct"] <= 100 for r in rows)
+    assert any(r["period_offset"] > 0 for r in rows)
+    # intermediate step registered as a queryable view; gap rows carry
+    # LOCF cents but no observed events
+    grid = spark.sql(
+        "SELECT * FROM user_grid WHERE n_events IS NULL AND cents_filled IS NOT NULL"
+    )
+    assert grid.count() > 0
