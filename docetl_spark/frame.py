@@ -364,6 +364,40 @@ class SemanticFrame:
             "near_dup_minhash", **conf,
         )
 
+    def near_dup_simhash(self, id_col: str, text_col: str, *,
+                         max_hamming: int = 3, sim_col: str = "_simhash") -> "SemanticFrame":
+        """SimHash near-dup candidate pairs (pigeonhole 16-bit chunk
+        blocking, full-hamming verify) — returns (id_a, id_b, hamming)
+        like near_dup_grams returns pairs, not a deduplicated frame."""
+        from .functions import dedup as dedup_fn
+
+        with_sh = self.df.withColumn(sim_col, dedup_fn.simhash64(F.col(text_col)))
+        return self._next(
+            dedup_fn.simhash_candidate_pairs(
+                with_sh, id_col, sim_col, max_hamming=max_hamming
+            ),
+            "near_dup_simhash", id_col=id_col, text_col=text_col,
+            max_hamming=max_hamming,
+        )
+
+    def retrieve_context(self, corpus: "SemanticFrame | DataFrame", *,
+                         text_keys: list[str], k: int = 5, **kw) -> "SemanticFrame":
+        """Distributed per-row RAG context (retrievers.
+        retrieve_context_join): both sides embed executor-side via the
+        frame's backend, candidates from an LSH bucket equi-join (no
+        broadcast, no driver index), context assembled JVM-side into
+        ``_retrieved_context`` for map(retrieved_context_col=...)."""
+        from . import retrievers
+
+        be = self._require_backend("retrieve_context")
+        cdf = corpus.df if isinstance(corpus, SemanticFrame) else corpus
+        return self._next(
+            retrievers.retrieve_context_join(
+                self.df, cdf, be, text_keys=text_keys, k=k, **kw
+            ),
+            "retrieve_context", text_keys=list(text_keys), k=k, **kw,
+        )
+
     def dedup_passages(self, text_col: str, *, id_col: str, chunk_tokens: int = 50) -> "SemanticFrame":
         """C4-style corpus-wide duplicate-passage removal (keep-first per
         distinct chunk, docs rebuilt from survivors)."""

@@ -160,6 +160,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.cap_per_group(c.pop("group_cols"), c.pop("n"), order=c.pop("order"), **c)
     if t == "near_dup_minhash":
         return sf.near_dup_minhash(c.pop("id_col"), c.pop("text_col"), **c)
+    if t == "near_dup_simhash":
+        return sf.near_dup_simhash(c.pop("id_col"), c.pop("text_col"), **c)
+    if t == "retrieve_context":
+        corpus = datasets[c.pop("corpus")]
+        return sf.retrieve_context(corpus, text_keys=c.pop("text_keys"), **c)
     if t == "contamination":
         bench = datasets[c.pop("benchmark")]
         return sf.contamination(bench, **c)

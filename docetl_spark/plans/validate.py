@@ -33,7 +33,7 @@ _KNOWN_OPS = {
     "time_rollup", "hopping_rollup", "gap_fill", "time_weighted_avg",
     "cohort_retention", "funnel", "skew_profile", "exact_quantiles",
     "cooccurrence_stats", "asof_join", "range_join", "sessionize",
-    "rolling_features",
+    "rolling_features", "near_dup_simhash", "retrieve_context",
 }
 
 

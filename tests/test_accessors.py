@@ -166,3 +166,24 @@ def test_sessionize_and_rolling_features_verbs(spark):
                                lookback_rows=2, tiebreak=["event_id"])
     rows = {r["event_id"]: (r["event_idx"], r["v_sum"]) for r in roll.df.collect()}
     assert rows[2] == (2, 8) and rows[3] == (3, 5)
+
+
+def test_near_dup_simhash_and_retrieve_context_verbs(spark):
+    from docetl_spark import FakeBackend, SemanticFrame
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = SemanticFrame(spark.createDataFrame(
+        [(1, base), (2, base),  # identical -> hamming 0, inside the guarantee
+         (3, "completely different words appear in this text")],
+        ["doc_id", "text"]))
+    pairs = docs.near_dup_simhash("doc_id", "text", max_hamming=3).df.collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
+
+    rag = SemanticFrame(docs.df, backend=FakeBackend())
+    corpus = spark.createDataFrame([("fox",), ("cat",)], ["ctext"])
+    out = rag.retrieve_context(corpus, text_keys=["ctext"],
+                               query_keys=["text"], k=1, id_col="doc_id",
+                               method="brute")
+    got = out.df.collect()
+    assert len(got) == 3
+    assert all(r["_retrieved_context"].startswith("[doc 1] ") for r in got)
