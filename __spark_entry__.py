@@ -4585,8 +4585,13 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 15"""
     sql["events_gap_fill"] = """
         WITH b AS (
+          -- ((e % W) + W) % W emulates pmod: DuckDB % truncates toward
+          -- zero, so the bare (e - e % W) // W form would shift
+          -- pre-epoch timestamps one bucket up vs the Spark side's
+          -- exact floor (post-epoch testdata is unaffected)
           SELECT user_id,
-                 (epoch_ns(ts) - epoch_ns(ts) % 21600000000000) // 21600000000000 AS bkt,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000) % 21600000000000)
+                   // 21600000000000 AS bkt,
                  COUNT(*) AS n,
                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
           FROM events GROUP BY 1, 2
@@ -4631,8 +4636,10 @@ def oracle_sql() -> dict[str, str]:
         FROM a"""
     sql["events_cohort_retention"] = """
         WITH e AS (
+          -- pmod emulation for exact floor (see events_gap_fill oracle)
           SELECT user_id,
-                 (epoch_ns(ts) - epoch_ns(ts) % 604800000000000) // 604800000000000 AS p
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 604800000000000) + 604800000000000) % 604800000000000)
+                   // 604800000000000 AS p
           FROM events
         ), f AS (
           SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1

@@ -346,15 +346,14 @@ def cooccurrence_stats(
         .filter(F.col("term") != "")
     )
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    # cache: both self-join sides broadcast this table, and without the
-    # cache each side re-runs the full corpus term-frequency aggregate.
-    # Tiny by construction (vocab_size rows), so no release handle.
-    vocab = (
-        dfreq.orderBy(F.col("_df").desc(), F.col("term"))
-        .limit(int(vocab_size))
-        .cache()
-    )
-    vt = toks.join(F.broadcast(vocab), "term")
+    vocab = dfreq.orderBy(F.col("_df").desc(), F.col("term")).limit(int(vocab_size))
+    # cache: the self-join references this subtree twice and the vocab
+    # aggregate feeds it — without the cache the corpus is scanned and
+    # tokenized THREE times (vocab pass + both join sides). Bounded at
+    # n_docs x vocab_size narrow rows; MEMORY_AND_DISK default spills
+    # rather than evicting into recompute at corpus scale. Released via
+    # the _docetl_cached_input handle when the caller materializes.
+    vt = toks.join(F.broadcast(vocab), "term").cache()
     pairs = (
         vt.alias("a")
         .join(vt.alias("b"), "_doc")
@@ -369,8 +368,15 @@ def cooccurrence_stats(
             F.first(F.col("b._df")).alias("df_b"),
         )
     )
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumnRenamed("n", "n_docs")
-    out = pairs.crossJoin(F.broadcast(n_docs)).withColumn(
+    from .stats import broadcast_scalar_join
+
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # broadcast_scalar_join, not crossJoin: a literal-keyed 1-row join
+    # constant-folds into BroadcastNestedLoopJoin, which the plan sweep
+    # forbids outright (stats.py:15-32 is the factored idiom)
+    out = broadcast_scalar_join(
+        pairs, n_docs, df_col="df_ab", scalar_col="n_docs"
+    ).withColumn(
         "lift",
         F.round(
             (F.col("n_docs") * F.col("df_ab")).cast("double")
@@ -382,4 +388,5 @@ def cooccurrence_stats(
         out = out.orderBy(
             F.col("df_ab").desc(), F.col("t_a"), F.col("t_b")
         ).limit(int(top_pairs))
+    out._docetl_cached_input = vt  # release handle: .unpersist() when materialized
     return out

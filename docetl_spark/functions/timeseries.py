@@ -742,12 +742,23 @@ def time_weighted_avg(
             "an integral column is required for exact segment sums — scale "
             "floats upstream (e.g. F.floor(value * 100 + 0.5).cast('long'))"
         )
+    reserved = {"_seg", "twa", "n_samples", "duration"}
+    clash = sorted(reserved & (set(keys) | ({"_seg"} & set(df.columns))))
+    if clash:
+        raise ValueError(
+            f"time_weighted_avg reserves column names {clash} — rename "
+            "the key/input columns (the output carries twa/n_samples/"
+            "duration next to the keys)"
+        )
     ow = W.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
     ts = F.col(ts_col).cast("long")
     v = F.col(value_col).cast("long")
     nxt_ts = F.lead(ts).over(ow)
     nxt_v = F.lead(v).over(ow)
-    seg = (v + nxt_v).cast("decimal(38,0)") * (nxt_ts - ts)
+    # cast each operand BEFORE adding: a long + long of two near-2^63
+    # samples would overflow (ANSI error at best) before the decimal
+    # cast could make the promised exact sum
+    seg = (v.cast("decimal(38,0)") + nxt_v.cast("decimal(38,0)")) * (nxt_ts - ts)
     agg = (
         df.withColumn("_seg", seg)
         .groupBy(*keys)
