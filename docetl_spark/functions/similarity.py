@@ -252,6 +252,70 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _plane_dots(vec_col, planes: list[list[float]]) -> F.Column:
+    """Per-plane dot products as array<double> (one-hot planes skip the
+    multiply, same fast path as lsh_bucket)."""
+    v = vec_col.cast("array<double>")
+    dots = []
+    for p in planes:
+        hot = [j for j, x in enumerate(p) if x != 0.0]
+        if len(hot) == 1 and p[hot[0]] > 0:
+            dots.append(F.get(v, hot[0]))
+        else:
+            dots.append(
+                F.aggregate(
+                    F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            )
+    return F.array(*dots)
+
+
+def lsh_probe_buckets(vec_col, planes: list[list[float]], n_probes: int) -> F.Column:
+    """Multi-probe LSH bucket sequence (Lv et al. 2007, VLDB): the base
+    sign-bit bucket plus ``n_probes - 1`` neighbor buckets, flipping the
+    planes with the SMALLEST absolute projection first — the bits most
+    likely to be on the wrong side for a true near neighbor. Returns
+    array<long> of DISTINCT bucket ids, so an exploded query never
+    pairs with the same corpus row twice.
+
+    Pure expressions: one dots array, base bucket bit-packed from the
+    signs, probe order from array_sort over (|dot|, plane-index)
+    structs. Cost model: query-side rows multiply by ``n_probes``; the
+    corpus side (the big one) is untouched — the standard trade of
+    probing more buckets instead of building more tables."""
+    n = len(planes)
+    if not 1 <= n_probes <= n + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1] = [1, {n + 1}], got {n_probes}"
+        )
+    darr = _plane_dots(vec_col, planes)
+    bit = lambda i: F.when(F.get(darr, i) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    base = F.lit(0).cast("long")
+    for i in range(n):
+        base = base + F.shiftleft(bit(i), i)
+    if n_probes == 1:
+        return F.array(base)
+    by_margin = F.transform(
+        F.array_sort(
+            F.array(*[
+                F.struct(
+                    F.abs(F.get(darr, i)).alias("m"), F.lit(i).alias("i")
+                )
+                for i in range(n)
+            ])
+        ),
+        lambda s: s["i"],
+    )
+    powers = F.lit([1 << i for i in range(n)]).cast("array<long>")
+    flipped = F.transform(
+        F.slice(by_margin, 1, n_probes - 1),
+        lambda i: base.bitwiseXOR(F.element_at(powers, i + 1)),
+    )
+    return F.concat(F.array(base), flipped)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -266,6 +330,7 @@ def lsh_topk(
     query_vec: str = "embedding",
     planes: list[list[float]] | None = None,
     broadcast_queries: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query.
     Trades recall for turning the scan into an equi-join on bucket id —
@@ -277,7 +342,13 @@ def lsh_topk(
 
     ``broadcast_queries=False`` for big-queries x big-corpus retrieval
     (e.g. per-row RAG context for a whole table): the bucket equi-join
-    shuffles both sides on the bucket id instead of broadcasting."""
+    shuffles both sides on the bucket id instead of broadcasting.
+
+    ``n_probes > 1`` turns on multi-probe LSH (see lsh_probe_buckets):
+    each query also visits the ``n_probes - 1`` buckets across its
+    lowest-margin hyperplanes, recovering most of the recall a single
+    bucket loses at the cost of multiplying QUERY-side rows only — the
+    corpus is never re-hashed or re-partitioned."""
     planes = planes if planes is not None else random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
@@ -286,7 +357,13 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("_qv"),
-    ).withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))
+    )
+    if n_probes > 1:
+        q = q.withColumn(
+            "_bucket", F.explode(lsh_probe_buckets(F.col("_qv"), planes, n_probes))
+        )
+    else:
+        q = q.withColumn("_bucket", lsh_bucket(F.col("_qv"), planes))
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = c.join(q_side, "_bucket").withColumn(
         "score", F.round(cosine_sim(F.col("_cv"), F.col("_qv")), 6)

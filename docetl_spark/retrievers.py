@@ -191,6 +191,7 @@ def retrieve_context_join(
     query_keys: list[str] | None = None,
     method: str = "lsh",
     n_planes: int = 8,
+    n_probes: int = 1,
     seed: int = 42,
     out_col: str = "_retrieved_context",
     id_col: str | None = None,
@@ -261,7 +262,7 @@ def retrieve_context_join(
         dim = len(backend.embed(["dimension probe"])[0])
         topk = similarity.lsh_topk(
             c_emb, q_emb, k, dim=dim,
-            n_planes=n_planes, seed=seed,
+            n_planes=n_planes, seed=seed, n_probes=n_probes,
             corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
             broadcast_queries=False,
         )

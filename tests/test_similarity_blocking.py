@@ -529,3 +529,98 @@ def test_semdedup_yaml_op(spark, tmp_path):
     n_in = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
     assert 0 < out.count() <= n_in
     assert "cluster_id" in out.df.columns
+
+
+# ------------------------------------------------------- multi-probe LSH
+
+def test_lsh_probe_buckets_margin_order(spark):
+    """Probe sequence = base bucket, then neighbors flipping the
+    smallest-|projection| plane first."""
+    from docetl_spark.functions import similarity
+
+    planes = similarity.axis_planes(3, 3)
+    df = spark.createDataFrame([([0.9, 0.05, -0.4],)], ["v"])
+    got = df.select(
+        similarity.lsh_probe_buckets(F.col("v"), planes, 4).alias("p")
+    ).collect()[0]["p"]
+    # signs (+,+,-) -> base 0b011 = 3; margins 0.05 < 0.4 < 0.9 ->
+    # flip bit1 (-> 1), then bit2 (-> 7), then bit0 (-> 2)
+    assert got == [3, 1, 7, 2]
+
+
+def test_lsh_probe_buckets_validates_n_probes(spark):
+    import pytest
+
+    from docetl_spark.functions import similarity
+
+    planes = similarity.axis_planes(2, 2)
+    with pytest.raises(ValueError, match="n_probes"):
+        similarity.lsh_probe_buckets(F.col("v"), planes, 0)
+    with pytest.raises(ValueError, match="n_probes"):
+        similarity.lsh_probe_buckets(F.col("v"), planes, 4)
+
+
+def test_lsh_topk_multiprobe_recovers_boundary_neighbor(spark):
+    """A query sitting barely on the other side of one hyperplane from
+    its true nearest neighbor: single-probe misses, 2 probes find it."""
+    from docetl_spark.functions import similarity
+
+    planes = similarity.axis_planes(2, 2)
+    corpus = spark.createDataFrame(
+        [(10, [-0.05, 1.0]), (20, [5.0, -5.0])], ["vec_id", "embedding"]
+    )
+    q = spark.createDataFrame([(1, [0.05, 1.0])], ["query_id", "embedding"])
+    single = similarity.lsh_topk(
+        corpus, q, 1, dim=2, planes=planes, n_probes=1
+    ).collect()
+    multi = similarity.lsh_topk(
+        corpus, q, 1, dim=2, planes=planes, n_probes=2
+    ).collect()
+    assert single == []                       # bucket 0b11 holds no corpus vec
+    assert [r["vec_id"] for r in multi] == [10]
+    # the extra probe multiplies only the query side, never pairs a
+    # (corpus, query) couple twice: one candidate row per couple
+    assert len(multi) == 1
+
+
+def test_lsh_topk_multiprobe_recall_vs_brute(spark):
+    """Recall@1 against brute force on random vectors is monotonically
+    recovered by probing: n_probes=n_planes+1 must beat n_probes=1."""
+    import numpy as np
+
+    from docetl_spark.functions import similarity
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 120
+    mat = rng.standard_normal((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    qmat = rng.standard_normal((25, dim))
+    queries = spark.createDataFrame(
+        [(i, qmat[i].tolist()) for i in range(25)], ["query_id", "embedding"]
+    )
+    exact = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.brute_force_topk(
+            corpus, queries, 1, corpus_id="vec_id", query_id="query_id",
+            corpus_vec="embedding", query_vec="embedding",
+        ).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in similarity.lsh_topk(
+                corpus, queries, 1, dim=dim, n_planes=8, seed=3,
+                n_probes=n_probes,
+            ).collect()
+            if r["rank"] == 1
+        }
+        return sum(got.get(q) == v for q, v in exact.items()) / len(exact)
+
+    r1, r5, r9 = recall(1), recall(5), recall(9)
+    # deterministic (fixed seeds): measured curve 0.04 -> 0.40 -> 0.44;
+    # assert the monotone recovery with slack for float-order jitter
+    assert r1 <= r5 <= r9
+    assert r9 >= r1 + 0.2  # probing must recover real recall, not noise
