@@ -147,10 +147,15 @@ def cluster(
     """Annotate each row with its root->leaf path of cluster summaries.
     ``embedding_col`` uses a precomputed vector column instead of
     embedding ``embedding_keys`` through the backend."""
+    owned_cache = None
     if embedding_col:
         emb = df.withColumn("_emb", F.col(embedding_col).cast(T.ArrayType(T.DoubleType())))
     elif embedding_keys:
-        emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+        # persist: the gate count and the fetch below would otherwise
+        # each run the embed MODEL stage — double the backend calls for
+        # the same rows (same class as the minhash CC double-evaluation)
+        emb = embed_column(df, embedding_keys, backend, out_col="_emb").persist()
+        owned_cache = emb
     else:
         raise ValueError("cluster: provide embedding_keys or embedding_col")
     # gate BEFORE the fetch; limit(n+1) lets the count stop early, so the
@@ -158,11 +163,15 @@ def cluster(
     # over-sized input would OOM the driver before the check fires)
     n_rows = emb.limit(max_local_size + 1).count()
     if n_rows > max_local_size:
+        if owned_cache is not None:
+            owned_cache.unpersist()
         raise ValueError(
             f"cluster: {n_rows} rows exceeds max_local_size={max_local_size}; "
             "use cluster_distributed, or pre-partition (e.g. LSH buckets) and cluster per group"
         )
     rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
+    if owned_cache is not None:
+        owned_cache.unpersist()  # everything is driver-side from here
     ids = [r[id_col] for r in rows]
     vecs = np.array([r["_emb"] for r in rows])
     merges = _agglomerative(vecs) if len(ids) > 1 else []
@@ -231,17 +240,25 @@ def cluster_distributed(
     """
     from ..functions.similarity import ivf_index
 
+    owned_cache = None
     if embedding_col:
         emb = df.withColumn("_emb", F.col(embedding_col).cast(T.ArrayType(T.DoubleType())))
     elif embedding_keys:
         if backend is None:
             raise ValueError("cluster_distributed: embedding_keys needs a backend")
-        emb = embed_column(df, embedding_keys, backend, out_col="_emb")
+        # persist: the total count, the IVF sample fit and the list-
+        # assignment pass each consume this lineage — unpersisted, the
+        # embed MODEL stage would re-bill the backend up to 3x for the
+        # same rows (same class as the minhash CC double-evaluation)
+        emb = embed_column(df, embedding_keys, backend, out_col="_emb").persist()
+        owned_cache = emb
     else:
         raise ValueError("cluster_distributed: provide embedding_keys or embedding_col")
 
     total = emb.count()
     if total == 0:
+        if owned_cache is not None:
+            owned_cache.unpersist()
         return df.withColumn(output_key, F.lit(None).cast(T.ArrayType(T.StringType())))
     if n_buckets is None:
         n_buckets = max(1, -(-total // max(1, max_local_size // 2)))  # ceil-div
@@ -307,6 +324,10 @@ def cluster_distributed(
         .orderBy("_bucket")
         .collect()
     )
+    if owned_cache is not None:
+        # `local` (persisted) is materialized by the stats collect above;
+        # nothing downstream re-reads the embed lineage
+        owned_cache.unpersist()
     buckets = [r["_bucket"] for r in stats]
     sizes = [r["_n"] for r in stats]
     roots = [r["_root_summary"] if r["_root_summary"] is not None else "cluster[1]" for r in stats]

@@ -638,3 +638,40 @@ def test_sorted_neighborhood_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         resolve_op.sorted_neighborhood_pairs(df, "doc_id", key="text", window=1)
+
+
+def test_cluster_embed_stage_runs_once_per_row(spark):
+    """With embedding_keys the embed MODEL stage is persisted: the gate
+    count / IVF fit / assignment must not re-bill the backend for the
+    same rows (the minhash-CC double-evaluation class, model edition)."""
+    import tempfile
+
+    from docetl_spark.backend import FakeBackend
+    from docetl_spark.operators.cluster import cluster, cluster_distributed
+
+    class CB(FakeBackend):
+        # tally through a file: the embed UDF runs in executor worker
+        # processes, so an in-memory counter would not make it back
+        def embed(self, texts):
+            with open(CB.path, "a") as f:
+                f.write(f"{len(texts)}\n")
+            return super().embed(texts)
+
+    CB.path = tempfile.mktemp(prefix="embed_calls_")
+    open(CB.path, "w").close()
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(40)], ["doc_id", "text"]
+    ).coalesce(2)
+
+    cluster(df, id_col="doc_id", embedding_keys=["text"], backend=CB()).collect()
+    n_local = sum(int(x) for x in open(CB.path).read().split())
+    # one embed pass = 40 rows (+1 slack for an empty-batch probe)
+    assert n_local <= 41, f"embed billed {n_local} rows for a 40-row cluster()"
+
+    open(CB.path, "w").close()
+    cluster_distributed(
+        df, id_col="doc_id", embedding_keys=["text"], backend=CB(),
+        max_local_size=16, seed=1,
+    ).collect()
+    n_dist = sum(int(x) for x in open(CB.path).read().split())
+    assert n_dist <= 41, f"embed billed {n_dist} rows for a 40-row cluster_distributed()"
