@@ -721,18 +721,20 @@ class SemanticFrame:
         )
 
     def gap_fill(self, ts_col: str, *, keys: list[str], bucket_width: int,
-                 aggs: dict, locf_cols: list[str] | None = None) -> "SemanticFrame":
-        """Dense per-key time grid with LOCF gap interpolation
-        (TimescaleDB time_bucket_gapfill+locf) — see
+                 aggs: dict, locf_cols: list[str] | None = None,
+                 interp_cols: list[str] | None = None) -> "SemanticFrame":
+        """Dense per-key time grid with LOCF / linear gap interpolation
+        (TimescaleDB time_bucket_gapfill + locf/interpolate) — see
         functions/timeseries.gap_fill. ``aggs`` holds Column
         expressions — not YAML-serializable."""
         from .functions import timeseries as tsf
 
         return self._next(
             tsf.gap_fill(self.df, ts_col, keys=keys, bucket_width=bucket_width,
-                         aggs=aggs, locf_cols=locf_cols),
+                         aggs=aggs, locf_cols=locf_cols, interp_cols=interp_cols),
             "gap_fill", ts_col=ts_col, keys=list(keys),
             bucket_width=bucket_width, _aggs=True, locf_cols=locf_cols,
+            interp_cols=interp_cols,
         )
 
     def time_weighted_avg(self, ts_col: str, value_col: str, *, keys: list[str],

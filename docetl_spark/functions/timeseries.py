@@ -635,6 +635,7 @@ def gap_fill(
     bucket_width: int,
     aggs: dict[str, Column],
     locf_cols: list[str] | None = None,
+    interp_cols: list[str] | None = None,
 ) -> DataFrame:
     """Dense per-key time grid with LOCF interpolation (TimescaleDB
     ``time_bucket_gapfill`` + ``locf``; the reference is batch-only with
@@ -646,8 +647,14 @@ def gap_fill(
     into the gap rows for every column in ``locf_cols`` (names must be
     keys of ``aggs``).
 
+    ``interp_cols`` (TimescaleDB ``interpolate``) instead draws the
+    straight line between the surrounding observed buckets; one-sided
+    edges (no observation before/after) fall back to the side that
+    exists. LOCF and interpolation can be requested for the same column.
+
     Output: keys + ``bucket_start`` (epoch long, bucket lower edge) +
-    one column per agg (NULL on gap rows) + ``<c>_filled`` per locf col.
+    one column per agg (NULL on gap rows) + ``<c>_filled`` per locf col
+    + ``<c>_interp`` (double) per interp col.
 
     Scale posture: the raw table is touched ONCE (the partial-agg
     shuffle); everything after runs on the rolled-up grid, whose size is
@@ -663,12 +670,17 @@ def gap_fill(
     bad = [c for c in (locf_cols or []) if c not in aggs]
     if bad:
         raise ValueError(f"locf_cols not in aggs: {bad}")
+    bad = [c for c in (interp_cols or []) if c not in aggs]
+    if bad:
+        raise ValueError(f"interp_cols not in aggs: {bad}")
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
-    reserved = {"_gf_ts", "_bkt", "bucket_start"} | {
-        f"{c}_filled" for c in (locf_cols or [])
-    }
+    reserved = (
+        {"_gf_ts", "_bkt", "bucket_start"}
+        | {f"{c}_filled" for c in (locf_cols or [])}
+        | {f"{c}_interp" for c in (interp_cols or [])}
+    )
     clash = sorted(reserved & (set(df.columns) | set(aggs)))
     if clash:
         raise ValueError(
@@ -701,6 +713,39 @@ def gap_fill(
         for c in locf_cols:
             filled = filled.withColumn(
                 f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(lw)
+            )
+    if interp_cols:
+        lw = (
+            W.partitionBy(*keys)
+            .orderBy("_bkt")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fw = (
+            W.partitionBy(*keys)
+            .orderBy("_bkt")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        for c in interp_cols:
+            v = F.col(c).cast("double")
+            prev_v = F.last(v, ignorenulls=True).over(lw)
+            prev_b = F.last(
+                F.when(F.col(c).isNotNull(), F.col("_bkt")), ignorenulls=True
+            ).over(lw)
+            nxt_v = F.first(v, ignorenulls=True).over(fw)
+            nxt_b = F.first(
+                F.when(F.col(c).isNotNull(), F.col("_bkt")), ignorenulls=True
+            ).over(fw)
+            frac = (F.col("_bkt") - prev_b).cast("double") / (
+                (nxt_b - prev_b).cast("double")
+            )
+            filled = filled.withColumn(
+                f"{c}_interp",
+                F.when(F.col(c).isNotNull(), v)
+                .when(
+                    prev_v.isNotNull() & nxt_v.isNotNull(),
+                    prev_v + (nxt_v - prev_v) * frac,
+                )
+                .otherwise(F.coalesce(prev_v, nxt_v)),
             )
     return filled.withColumn(
         "bucket_start", F.col("_bkt") * F.lit(w).cast("long")

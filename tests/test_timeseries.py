@@ -691,3 +691,46 @@ def test_gap_fill_reserved_name_collision(spark):
     with pytest.raises(ValueError, match="reserves"):
         ts.gap_fill(df3, "t", keys=["k"], bucket_width=10,
                     aggs={"s": F.sum("s")}, locf_cols=["s"])
+
+
+def test_gap_fill_linear_interpolation(spark):
+    # key 1: s=10 at bucket 0, s=40 at bucket 3 -> gaps 1,2 get 20, 30
+    df = spark.createDataFrame([(1, 5, 10), (1, 35, 40)], ["k", "t", "v"])
+    out = ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                      aggs={"s": F.sum("v")}, interp_cols=["s"])
+    rows = {r["bucket_start"]: r["s_interp"] for r in out.collect()}
+    assert rows == {0: 10.0, 10: 20.0, 20: 30.0, 30: 40.0}
+
+
+def test_gap_fill_interp_one_sided_edges(spark):
+    # s observed only at bucket 1 (middle of the n-driven grid): buckets
+    # before it fall back to the next value, after it to the previous
+    df = spark.createDataFrame(
+        [(1, 5, None), (1, 15, 7), (1, 25, None)], ["k", "t", "v"]
+    )
+    out = ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                      aggs={"s": F.sum("v")}, interp_cols=["s"])
+    rows = {r["bucket_start"]: r["s_interp"] for r in out.collect()}
+    assert rows == {0: 7.0, 10: 7.0, 20: 7.0}
+
+
+def test_gap_fill_locf_and_interp_same_column(spark):
+    df = spark.createDataFrame([(1, 0, 0), (1, 20, 20)], ["k", "t", "v"])
+    out = ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                      aggs={"s": F.sum("v")},
+                      locf_cols=["s"], interp_cols=["s"])
+    rows = {r["bucket_start"]: (r["s_filled"], r["s_interp"])
+            for r in out.collect()}
+    assert rows[10] == (0, 10.0)   # locf holds, interpolation bridges
+
+
+def test_gap_fill_interp_validates(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 1, 1)], ["k", "t", "v"])
+    with pytest.raises(ValueError, match="interp_cols"):
+        ts.gap_fill(df, "t", keys=["k"], bucket_width=10,
+                    aggs={"n": F.count(F.lit(1))}, interp_cols=["x"])
+    df2 = spark.createDataFrame([(1, 1, 1, 2.0)], ["k", "t", "v", "s_interp"])
+    with pytest.raises(ValueError, match="reserves"):
+        ts.gap_fill(df2, "t", keys=["k"], bucket_width=10,
+                    aggs={"s": F.sum("v")}, interp_cols=["s"])
