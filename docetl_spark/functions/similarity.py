@@ -229,37 +229,34 @@ def banded_candidate_pairs_two_sided(
 
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id from random hyperplanes (pure expressions).
-    One-hot (axis) planes skip the dot product — the bit is just the
-    sign of one element, so the per-row cost drops from
-    O(planes x dim) multiplies to O(planes) lookups."""
-    v = vec_col.cast("array<double>")
+    Sign-packs :func:`_plane_dots` — ONE shared per-plane dot
+    implementation, so the corpus-side buckets and the query-side
+    multi-probe margins can never drift apart."""
+    darr = _plane_dots(vec_col, planes)
     bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        hot = [j for j, x in enumerate(p) if x != 0.0]
-        if len(hot) == 1 and p[hot[0]] > 0:
-            # F.get (0-based) returns null past the end of a malformed
-            # short vector, so the row buckets at bit 0 instead of the
-            # whole job failing with INVALID_ARRAY_INDEX under Spark 4's
-            # default ANSI mode (element_at would throw).
-            dot = F.get(v, hot[0])
-        else:
-            dot = F.aggregate(
-                F.zip_with(v, F.lit(p).cast("array<double>"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        bucket = bucket + F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+    for i in range(len(planes)):
+        bucket = bucket + F.shiftleft(
+            F.when(F.get(darr, i) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+        )
     return bucket
 
 
 def _plane_dots(vec_col, planes: list[list[float]]) -> F.Column:
-    """Per-plane dot products as array<double> (one-hot planes skip the
-    multiply, same fast path as lsh_bucket)."""
+    """Per-plane dot products as array<double> — the single home for
+    plane arithmetic (lsh_bucket sign-packs it; lsh_probe_buckets reads
+    the magnitudes as flip-order margins). The element fast path
+    requires weight == 1.0 EXACTLY: a positive non-unit one-hot plane
+    has the same sign but a scaled magnitude, which would silently skew
+    the multi-probe margin ordering."""
     v = vec_col.cast("array<double>")
     dots = []
     for p in planes:
         hot = [j for j, x in enumerate(p) if x != 0.0]
-        if len(hot) == 1 and p[hot[0]] > 0:
+        if len(hot) == 1 and p[hot[0]] == 1.0:
+            # F.get (0-based) returns null past the end of a malformed
+            # short vector, so the row buckets at bit 0 instead of the
+            # whole job failing with INVALID_ARRAY_INDEX under Spark 4's
+            # default ANSI mode (element_at would throw).
             dots.append(F.get(v, hot[0]))
         else:
             dots.append(
@@ -358,7 +355,10 @@ def lsh_topk(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("_qv"),
     )
-    if n_probes > 1:
+    if n_probes != 1:
+        # != 1, not > 1: an invalid n_probes (0, negative, too large)
+        # must hit lsh_probe_buckets' ValueError instead of being
+        # silently reinterpreted as single-probe
         q = q.withColumn(
             "_bucket", F.explode(lsh_probe_buckets(F.col("_qv"), planes, n_probes))
         )

@@ -160,18 +160,20 @@ def cluster(
         raise ValueError("cluster: provide embedding_keys or embedding_col")
     # gate BEFORE the fetch; limit(n+1) lets the count stop early, so the
     # gate costs O(max_local_size) rows (an ungated collect of an
-    # over-sized input would OOM the driver before the check fires)
-    n_rows = emb.limit(max_local_size + 1).count()
-    if n_rows > max_local_size:
+    # over-sized input would OOM the driver before the check fires).
+    # try/finally: a failing gate, collect, or embed UDF must not leave
+    # the cached embeddings pinned for the session's lifetime
+    try:
+        n_rows = emb.limit(max_local_size + 1).count()
+        if n_rows > max_local_size:
+            raise ValueError(
+                f"cluster: {n_rows} rows exceeds max_local_size={max_local_size}; "
+                "use cluster_distributed, or pre-partition (e.g. LSH buckets) and cluster per group"
+            )
+        rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
+    finally:
         if owned_cache is not None:
-            owned_cache.unpersist()
-        raise ValueError(
-            f"cluster: {n_rows} rows exceeds max_local_size={max_local_size}; "
-            "use cluster_distributed, or pre-partition (e.g. LSH buckets) and cluster per group"
-        )
-    rows = emb.select(id_col, "_emb").orderBy(id_col).collect()
-    if owned_cache is not None:
-        owned_cache.unpersist()  # everything is driver-side from here
+            owned_cache.unpersist()  # everything is driver-side from here
     ids = [r[id_col] for r in rows]
     vecs = np.array([r["_emb"] for r in rows])
     merges = _agglomerative(vecs) if len(ids) > 1 else []
@@ -255,79 +257,81 @@ def cluster_distributed(
     else:
         raise ValueError("cluster_distributed: provide embedding_keys or embedding_col")
 
-    total = emb.count()
-    if total == 0:
+    # try/finally: a failing count, IVF fit, or per-bucket linkage must
+    # not leave the cached embeddings pinned for the session's lifetime.
+    # The finally runs after the stats collect has materialized the
+    # persisted `local`, so nothing downstream re-reads the embed lineage.
+    try:
+        total = emb.count()
+        if total == 0:
+            return df.withColumn(output_key, F.lit(None).cast(T.ArrayType(T.StringType())))
+        if n_buckets is None:
+            n_buckets = max(1, -(-total // max(1, max_local_size // 2)))  # ceil-div
+
+        indexed, _cents = ivf_index(emb, "_emb", n_lists=n_buckets, seed=seed)
+
+        id_type = df.schema[id_col].dataType
+        local_schema = T.StructType([
+            T.StructField("_bucket", T.LongType(), True),
+            T.StructField(id_col, id_type, True),
+            T.StructField("_local_path", T.ArrayType(T.StringType()), True),
+            T.StructField("_bucket_centroid", T.ArrayType(T.DoubleType()), True),
+        ])
+        prompt = summary_prompt
+        be = backend if summary_prompt else None  # only pickle the backend when needed
+
+        def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd  # noqa: F811 — executor-side import
+
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            ids = pdf[id_col].tolist()
+            vecs = np.array(pdf["_emb"].tolist(), dtype=float)
+            merges = _agglomerative(vecs) if len(ids) > 1 else []
+
+            def summarize(node: int, leaf_idx: list[int]) -> str:
+                if prompt and be is not None:
+                    items = [{"id": ids[i]} for i in leaf_idx]
+                    rendered = render_prompt(prompt, {"inputs": items})
+                    return str(be.complete(rendered, {"summary": "str"}, items).get("summary"))
+                return f"cluster[{len(leaf_idx)}]"
+
+            paths = _tree_paths(len(ids), merges, summarize)
+            centroid = vecs.mean(axis=0).tolist()
+            return pd.DataFrame({
+                "_bucket": pdf["_ivf_list"],
+                id_col: ids,
+                "_local_path": paths,
+                "_bucket_centroid": [centroid] * len(ids),
+            })
+
+        # Project to the 3 needed columns BEFORE the pandas barrier (column
+        # pruning stops at applyInPandas), and persist: `local` is consumed
+        # twice (bucket stats collect + the path join) and each recompute
+        # would re-run the linkage and any LLM summary calls.
+        local = (
+            indexed.select(id_col, "_emb", "_ivf_list")
+            .groupBy("_ivf_list")
+            .applyInPandas(per_bucket, schema=local_schema)
+            .persist()
+        )
+        # Tiny per-bucket stats for the top tree: <= n_buckets rows. The
+        # bucket's root label is _local_path[0] of any member (paths are
+        # uniform at depth 1 within a bucket); size-1 buckets have an
+        # empty local path — their label is cluster[1] by construction.
+        stats = (
+            local.groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.first("_bucket_centroid").alias("_centroid"),
+                # try_: a size-1 bucket has an empty local path (ANSI element_at throws)
+                F.first(F.try_element_at("_local_path", F.lit(1))).alias("_root_summary"),
+            )
+            .orderBy("_bucket")
+            .collect()
+        )
+    finally:
         if owned_cache is not None:
             owned_cache.unpersist()
-        return df.withColumn(output_key, F.lit(None).cast(T.ArrayType(T.StringType())))
-    if n_buckets is None:
-        n_buckets = max(1, -(-total // max(1, max_local_size // 2)))  # ceil-div
-
-    indexed, _cents = ivf_index(emb, "_emb", n_lists=n_buckets, seed=seed)
-
-    id_type = df.schema[id_col].dataType
-    local_schema = T.StructType([
-        T.StructField("_bucket", T.LongType(), True),
-        T.StructField(id_col, id_type, True),
-        T.StructField("_local_path", T.ArrayType(T.StringType()), True),
-        T.StructField("_bucket_centroid", T.ArrayType(T.DoubleType()), True),
-    ])
-    prompt = summary_prompt
-    be = backend if summary_prompt else None  # only pickle the backend when needed
-
-    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd  # noqa: F811 — executor-side import
-
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = pdf[id_col].tolist()
-        vecs = np.array(pdf["_emb"].tolist(), dtype=float)
-        merges = _agglomerative(vecs) if len(ids) > 1 else []
-
-        def summarize(node: int, leaf_idx: list[int]) -> str:
-            if prompt and be is not None:
-                items = [{"id": ids[i]} for i in leaf_idx]
-                rendered = render_prompt(prompt, {"inputs": items})
-                return str(be.complete(rendered, {"summary": "str"}, items).get("summary"))
-            return f"cluster[{len(leaf_idx)}]"
-
-        paths = _tree_paths(len(ids), merges, summarize)
-        centroid = vecs.mean(axis=0).tolist()
-        return pd.DataFrame({
-            "_bucket": pdf["_ivf_list"],
-            id_col: ids,
-            "_local_path": paths,
-            "_bucket_centroid": [centroid] * len(ids),
-        })
-
-    # Project to the 3 needed columns BEFORE the pandas barrier (column
-    # pruning stops at applyInPandas), and persist: `local` is consumed
-    # twice (bucket stats collect + the path join) and each recompute
-    # would re-run the linkage and any LLM summary calls.
-    local = (
-        indexed.select(id_col, "_emb", "_ivf_list")
-        .groupBy("_ivf_list")
-        .applyInPandas(per_bucket, schema=local_schema)
-        .persist()
-    )
-    # Tiny per-bucket stats for the top tree: <= n_buckets rows. The
-    # bucket's root label is _local_path[0] of any member (paths are
-    # uniform at depth 1 within a bucket); size-1 buckets have an
-    # empty local path — their label is cluster[1] by construction.
-    stats = (
-        local.groupBy("_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.first("_bucket_centroid").alias("_centroid"),
-            # try_: a size-1 bucket has an empty local path (ANSI element_at throws)
-            F.first(F.try_element_at("_local_path", F.lit(1))).alias("_root_summary"),
-        )
-        .orderBy("_bucket")
-        .collect()
-    )
-    if owned_cache is not None:
-        # `local` (persisted) is materialized by the stats collect above;
-        # nothing downstream re-reads the embed lineage
-        owned_cache.unpersist()
     buckets = [r["_bucket"] for r in stats]
     sizes = [r["_n"] for r in stats]
     roots = [r["_root_summary"] if r["_root_summary"] is not None else "cluster[1]" for r in stats]

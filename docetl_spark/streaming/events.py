@@ -459,13 +459,19 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     tbl = stream_df.sparkSession.table(name)
-    has_temporal = any(
-        f.dataType.typeName().startswith(("timestamp", "date"))
+    # Arrow fast path only for FLAT ATOMIC non-temporal schemas:
+    # temporal types come back tz-aware where Row gives session-naive,
+    # and nested types change representation (struct -> dict instead of
+    # Row, map -> list of pairs) — and can hide temporals inside. Every
+    # drained stream query here emits flat longs/strings, so the fast
+    # path still covers the hot cases.
+    _nested = ("struct", "array", "map")
+    flat_atomic = all(
+        not f.dataType.typeName().startswith(("timestamp", "date"))
+        and f.dataType.typeName() not in _nested
         for f in tbl.schema.fields
     )
-    if has_temporal:
-        # Row.asDict gives session-naive datetimes; Arrow gives tz-aware
-        # ones — keep the legacy representation for temporal outputs
+    if not flat_atomic:
         rows = [r.asDict() for r in tbl.collect()]
     else:
         try:
