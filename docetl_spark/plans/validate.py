@@ -185,6 +185,28 @@ def _check_op(op: dict) -> list[PlanIssue]:
                 issues.append(PlanIssue("error", name, f"lm_score needs `{k}`"))
     if t == "assign_splits" and not op.get("id_cols"):
         issues.append(PlanIssue("error", name, "assign_splits needs `id_cols`"))
+    # analytics family: required keys checked here so a spec typo fails
+    # with a named PlanIssue instead of a bare KeyError at compile time
+    _ANALYTICS_REQUIRED = {
+        "time_rollup": ("ts_col", "aggs"),
+        "hopping_rollup": ("ts_col", "aggs", "every_ns", "size_ns"),
+        "gap_fill": ("ts_col", "keys", "bucket_width", "aggs"),
+        "time_weighted_avg": ("ts_col", "value_col", "keys"),
+        "cohort_retention": ("ts_col", "user_col", "period"),
+        "funnel": ("steps",),
+        "skew_profile": ("keys",),
+        "exact_quantiles": ("value_col", "ps"),
+        "cooccurrence_stats": ("text_col", "id_col"),
+        "asof_join": ("right", "on", "left_ts", "right_ts", "right_cols"),
+        "range_join": ("intervals", "point_ts", "start_ts", "end_ts"),
+        "sessionize": ("keys", "ts_col", "gap"),
+        "rolling_features": ("ts_col", "keys"),
+        "near_dup_simhash": ("id_col", "text_col"),
+        "retrieve_context": ("corpus", "text_keys"),
+    }
+    for k in _ANALYTICS_REQUIRED.get(t, ()):
+        if op.get(k) is None:
+            issues.append(PlanIssue("error", name, f"{t} needs `{k}`"))
     return issues
 
 

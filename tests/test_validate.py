@@ -82,3 +82,21 @@ def test_plugin_type_is_opaque_info():
         assert issues and all(i.level == "info" for i in issues)
     finally:
         unregister_operator("mystery")
+
+
+def test_analytics_ops_required_keys():
+    from docetl_spark.plans.validate import validate_config
+
+    cfg = {
+        "datasets": {"d": {"type": "memory", "data": [{"x": 1}]}},
+        "operations": [
+            {"name": "g", "type": "gap_fill", "ts_col": "t"},  # missing keys/width/aggs
+            {"name": "s", "type": "sessionize", "keys": ["u"], "ts_col": "t", "gap": 10},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "d", "operations": ["g", "s"]}]},
+    }
+    errs = [str(i) for i in validate_config(cfg) if i.level == "error"]
+    assert any("gap_fill needs `keys`" in e for e in errs)
+    assert any("gap_fill needs `bucket_width`" in e for e in errs)
+    assert any("gap_fill needs `aggs`" in e for e in errs)
+    assert not any("sessionize" in e for e in errs)  # complete spec passes
