@@ -40,9 +40,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # testdata generations (Spark 4 rejects it unless read as raw
         # nanos BIGINT) and TIMESTAMP(MICROS)->TIMESTAMP_NTZ in others;
         # normalize both to epoch-nanos BIGINT for integer epoch math.
-        from docetl_spark.sources.readers import normalize_epoch_nanos
+        # The nanosAsLong conf is footer-sniffed and only set when the
+        # file truly carries nanos — no global mutation otherwise.
+        from docetl_spark.sources.readers import (
+            normalize_epoch_nanos, set_nanos_conf_if_needed,
+        )
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        set_nanos_conf_if_needed(spark, f"{sf_dir}/{name}.parquet")
         return normalize_epoch_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -2716,8 +2720,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_docs", "equijoin_part_supplier", "minhash_near_dup",
         "split_gather_docs", "events_sessionize", "ann_brute_force",
     ]
-    driver_unseen = [k for k in reg if k not in _DRIVER_VERIFIED]
-    lead = [k for k in driver_unseen if k not in anchors] + anchors
+    # Driver-RED keys lead the whole window: a key with a red row needs a
+    # fresh driver verdict even more than a never-seen key does (the r6
+    # reds were oracle HUGEINT-typing artifacts, fixed this round — see
+    # tests/test_oracle_types.py — and must show green driver rows).
+    red_first = [k for k in _DRIVER_RED_R6 if k in reg]
+    driver_unseen = [
+        k for k in reg if k not in _DRIVER_VERIFIED and k not in red_first
+    ]
+    lead = red_first + [k for k in driver_unseen if k not in anchors] + anchors
     return {k: reg[k] for k in lead} | {k: v for k, v in reg.items() if k not in lead}
 
 
@@ -2759,8 +2770,40 @@ _DRIVER_VERIFIED_R5 = frozenset({
     "events_stream_interval_join", "pack_documents_docs",
 })
 
+# the 43 keys the driver verified green in round 6 (== CORRECTNESS_r06
+# rows with hash_match true)
+_DRIVER_VERIFIED_R6 = frozenset({
+    "ann_brute_force", "bm25_search_docs", "cap_per_source_docs",
+    "corpus_length_quantiles", "corpus_split_exact", "docs_cooccurrence",
+    "equijoin_part_supplier", "events_cohort_retention", "events_funnel",
+    "events_gap_fill", "events_range_join", "events_sessionize",
+    "events_sessionize_bucketed", "events_stream_funnel", "events_time_rollup",
+    "events_time_weighted", "minhash_near_dup", "q10_returned_revenue",
+    "q11_part_concentration", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "q1_pricing_summary", "q20_heavy_shippers", "q21_sole_returners",
+    "q22_idle_above_avg", "q2_min_cost_supplier", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "quality_top_quartile_docs",
+    "resolve_docs", "sem_map_sentiment", "sem_reduce_fold", "sn_blocking_pairs",
+    "split_gather_docs", "substring_dedup_docs", "trim_repeated_lines_docs",
+    "unimax_apply_docs", "unimax_plan_docs", "winnow_dup_pairs",
+})
+
+# the 7 round-6 driver-RED keys (6 hash mismatches + 1 crash). Root
+# causes fixed in round 7: the 6 mismatches were uncast HUGEINT columns
+# in the DuckDB oracles (representation-sensitive under a .df()/.arrow()
+# fetch — perfect red/green separation, see tests/test_oracle_types.py);
+# the crash was drained_df's dependence on the Arrow session conf
+# (streaming/events.py now builds a pyarrow.Table directly). These lead
+# queries() until a green driver row lands.
+_DRIVER_RED_R6 = (
+    "events_rolling_features", "events_rolling_features_bucketed",
+    "events_stream_rolling", "q12_priority_by_status",
+    "events_skew_profile", "events_pivot_by_type", "events_hopping_rollup",
+)
+
 # union ledger: everything with at least one driver-green CORRECTNESS row
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4168,7 +4211,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_idx,
                epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w AS gap_ns,
                CAST(COUNT(*) OVER f AS BIGINT) AS rolling_n,
-               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER f AS rolling_cents
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER f
+                    AS BIGINT) AS rolling_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
                f AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
@@ -4348,10 +4392,10 @@ def oracle_sql() -> dict[str, str]:
             > CAST((SELECT tot FROM t) * 100000000 AS HUGEINT) * 3"""
     sql["q12_priority_by_status"] = """
         SELECT l.l_linestatus,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                   THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                   THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE YEAR(l.l_shipdate) = 1998
@@ -4500,7 +4544,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_skew_profile"] = """
         WITH per_key AS (
           SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
-        ), t AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM per_key),
+        ), t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                        COUNT(*) AS n_keys FROM per_key),
         ranked AS (
           SELECT user_id, n_rows,
                  ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
@@ -4523,11 +4568,11 @@ def oracle_sql() -> dict[str, str]:
     sql["events_pivot_by_type"] = """
         WITH c AS (
           SELECT user_id,
-                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                 SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                 CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                  SUM(CASE WHEN event_type = 'purchase'
                      THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS pv
           FROM events GROUP BY user_id)
@@ -4575,7 +4620,7 @@ def oracle_sql() -> dict[str, str]:
                    ns - ns % 900000000000, 900000000000)) AS window_start
           FROM e)
         SELECT window_start, event_type,
-               COUNT(*) AS n_events, SUM(cents) AS value_cents
+               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS value_cents
         FROM w GROUP BY window_start, event_type"""
     sql["cap_per_source_docs"] = _quality_cte + """
         SELECT doc_id, source, quality FROM (

@@ -282,7 +282,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, sim_col: str = "_simhash
             hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
         )
         out = p if out is None else out.unionByName(p)
-    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+    out = out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+    out._docetl_cached_input = base  # release handle: .unpersist() when materialized
+    return out
 
 
 # ------------------------------------------------- connected components

@@ -163,7 +163,11 @@ def substring_windows(
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     from ..session import widen_for_udf
 
-    tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
+    # alias the text column to a fixed internal name BEFORE the SQL
+    # interpolation: a column name needing backticks (space, hyphen,
+    # dotted) would break _TOKENIZE_SQL parsing — the hazard the
+    # gap_fill/cohort reserved-name aliasing already guards against
+    tk = F.expr(_TOKENIZE_SQL.format(c="_txt"))
     win = F.expr(
         f"CASE WHEN size(_tk) >= {k} THEN "
         f"transform(sequence(0, size(_tk) - {k}), "
@@ -175,7 +179,7 @@ def substring_windows(
     # 0.74s single-core vs ~0.1s wide at sf0.1); a real multi-split
     # scan skips the repartition (widen_for_udf contract)
     return (
-        widen_for_udf(df.select(id_col, F.col(text_col)))
+        widen_for_udf(df.select(id_col, F.col(text_col).alias("_txt")))
         .select(id_col, tk.alias("_tk"))
         .select(id_col, F.posexplode(win).alias("pos", "wh"))
     )
@@ -239,8 +243,10 @@ def substring_dedup(
     )
     from ..session import widen_for_udf
 
-    tk = F.expr(_TOKENIZE_SQL.format(c=text_col))
-    base = widen_for_udf(df.select(id_col, F.col(text_col))).select(
+    # same fixed-alias guard as substring_windows: never interpolate a
+    # user column name into the tokenize SQL
+    tk = F.expr(_TOKENIZE_SQL.format(c="_txt"))
+    base = widen_for_udf(df.select(id_col, F.col(text_col).alias("_txt"))).select(
         id_col, tk.alias("_tk")
     )
     n_tokens = F.size("_tk").cast("long")

@@ -178,12 +178,14 @@ def banded_candidate_pairs(
         .dropDuplicates()
     )
     ev = df.select(F.col(id_col).alias("_eid"), F.col(emb_col).cast("array<double>").alias("_ev"))
-    return (
+    out = (
         cand.join(ev.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_ev_a")), "id_a")
         .join(ev.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_ev_b")), "id_b")
         .filter(cosine_sim(F.col("_ev_a"), F.col("_ev_b")) >= threshold)
         .select("id_a", "id_b")
     )
+    out._docetl_cached_input = keyed  # release handle: .unpersist() when materialized
+    return out
 
 
 def banded_candidate_pairs_two_sided(

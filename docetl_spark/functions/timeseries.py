@@ -549,7 +549,11 @@ def funnel(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cur = df.select(user_col, ts_col, type_col, *( [tiebreak] if tiebreak else [] ))
+    # dedupe the projection: tiebreak == ts_col (e.g. tiebreak="ts") or
+    # == type_col would select the column twice and fail the window
+    # resolution with an opaque AMBIGUOUS_REFERENCE instead of working
+    cols = list(dict.fromkeys([user_col, ts_col, type_col] + ([tiebreak] if tiebreak else [])))
+    cur = df.select(*cols)
     prev = None
     for i, s in enumerate(steps):
         cond = F.col(type_col) == s
@@ -636,6 +640,7 @@ def gap_fill(
     aggs: dict[str, Column],
     locf_cols: list[str] | None = None,
     interp_cols: list[str] | None = None,
+    max_buckets_per_key: int = 2_000_000,
 ) -> DataFrame:
     """Dense per-key time grid with LOCF interpolation (TimescaleDB
     ``time_bucket_gapfill`` + ``locf``; the reference is batch-only with
@@ -651,6 +656,14 @@ def gap_fill(
     straight line between the surrounding observed buckets; one-sided
     edges (no observation before/after) fall back to the side that
     exists. LOCF and interpolation can be requested for the same column.
+
+    ``max_buckets_per_key`` guards the grid explode: ONE corrupt
+    timestamp outlier (an epoch-0 row from a parse bug, a year-9999
+    sentinel) makes that key's span/width blow past Spark's max array
+    length and fail deep inside ``sequence()`` with an opaque internal
+    error. The per-key span is asserted BEFORE the explode, so the
+    failure is a named gap_fill error carrying the span — raise the cap
+    explicitly if a multi-million-bucket grid is really intended.
 
     Output: keys + ``bucket_start`` (epoch long, bucket lower edge) +
     one column per agg (NULL on gap rows) + ``<c>_filled`` per locf col
@@ -700,8 +713,25 @@ def gap_fill(
     span = rolled.groupBy(*keys).agg(
         F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
     )
+    # assert_true rides inside the sequence's lower bound so Catalyst
+    # cannot prune it: span checks run exactly once per key, before any
+    # explode work
+    n_buckets = F.col("_hi") - F.col("_lo") + 1
+    span_ok = F.assert_true(
+        n_buckets <= F.lit(int(max_buckets_per_key)),
+        F.concat(
+            F.lit("gap_fill: key bucket span "),
+            n_buckets.cast("string"),
+            F.lit(f" exceeds max_buckets_per_key={int(max_buckets_per_key)}"
+                  " — likely a corrupt timestamp outlier (epoch-0 / "
+                  "far-future row); fix the data or raise the cap"),
+        ),
+    )
     grid = span.select(
-        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_bkt")
+        *keys,
+        F.explode(
+            F.sequence(F.when(span_ok.isNull(), F.col("_lo")), F.col("_hi"))
+        ).alias("_bkt"),
     )
     filled = grid.join(rolled, [*keys, "_bkt"], "left")
     if locf_cols:

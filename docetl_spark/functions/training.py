@@ -1061,7 +1061,15 @@ def select_top_frac(
                 *[f"_tf_{c}" for c in by]
             )
         else:
-            joined = df.crossJoin(F.broadcast(df.agg(thr_agg.alias("_thr"))))
+            # crossJoin(broadcast(1-row)) constant-folds to a
+            # BroadcastNestedLoopJoin — the strategy the plan sweep
+            # forbids; route through the non-foldable-key scalar-join
+            # idiom instead (BroadcastHashJoin)
+            from .stats import broadcast_scalar_join
+
+            joined = broadcast_scalar_join(
+                df, df.agg(thr_agg.alias("_thr")), df_col=score_col, scalar_col="_thr"
+            )
         keep = (
             F.col(score_col) >= F.col("_thr")
             if higher_is_better

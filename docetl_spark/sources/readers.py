@@ -9,6 +9,7 @@ explicit schema), ``binaryFile``/``text`` for directories, and
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable
 
 import pandas as pd
@@ -32,6 +33,35 @@ def read_csv(spark: SparkSession, path: str, *, schema: dict | None = None) -> D
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def set_nanos_conf_if_needed(spark: SparkSession, path: str, col: str = "ts") -> None:
+    """Set ``spark.sql.legacy.parquet.nanosAsLong`` ONLY when ``path``
+    actually stores ``col`` as parquet TIMESTAMP(NANOS) (Spark 4
+    refuses to read nanos timestamps without it; it then surfaces them
+    as raw epoch-nanos BIGINT, which is what the epoch-math pipeline
+    wants anyway).
+
+    The conf is consulted at scan time, not just schema inference, so
+    when it IS needed it must stay set for the session — but for
+    MICROS-generation data (the common case) this makes the read fully
+    self-contained: no session conf is touched at all. Round 6 set it
+    unconditionally, which is exactly the mutate-global-conf-at-read
+    pattern that made drained_df environment-sensitive."""
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    if p.is_dir():
+        files = sorted(p.glob("*.parquet"))
+        if not files:
+            return
+        p = files[0]
+    try:
+        field = pq.read_schema(str(p)).field(col)
+    except (KeyError, OSError):
+        return
+    if getattr(field.type, "unit", None) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:

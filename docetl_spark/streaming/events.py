@@ -38,9 +38,9 @@ def read_events_stream(
     ``event_time`` for watermarks."""
     import os
 
-    from ..sources.readers import normalize_epoch_nanos
+    from ..sources.readers import normalize_epoch_nanos, set_nanos_conf_if_needed
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_conf_if_needed(spark, path_dir)
     if schema is None:
         schema = spark.read.parquet(path_dir).schema
     reader = spark.readStream.schema(schema)
@@ -333,33 +333,46 @@ def stream_to_parquet(
 
 
 def drained_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """Rebuild a DataFrame from drained rows via ONE Arrow batch.
+    """Rebuild a DataFrame from drained rows via ONE Arrow table.
 
     ``spark.createDataFrame(list_of_dicts)`` serializes row-by-row
     through the driver (measured ~2s for 95k sessionization rows at
-    sf0.1); routing through a pandas frame uses the Arrow path
-    (~100ms). Columns are reordered to the schema before conversion —
-    pandas->Spark zips by POSITION, not name.
+    sf0.1); handing pyspark a ``pyarrow.Table`` takes the Arrow batch
+    path (~100ms) UNCONDITIONALLY — unlike the pandas argument form,
+    whose behavior depends on ``spark.sql.execution.arrow.pyspark
+    .enabled``. Round 6's driver gate crashed exactly there: under a
+    default SparkSession (Arrow conf unset) the pandas fallback walks
+    rows through type verification and a nullable Int64 column's
+    ``pd.NA`` arrives as float ``nan``, raising
+    ``FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME field gap_ns``. Building
+    the pa.Table ourselves keeps exact int64 (no float64 inference
+    corrupting epoch-nanos above 2^53, e.g. 1700000000123456791 ->
+    ...768) with true nulls, under ANY session conf.
 
-    Integer schema fields build as pandas NULLABLE Int64 arrays: a bare
-    pd.DataFrame(rows) infers float64 for a column mixing None and
-    ints, which silently corrupts epoch-nanos values above 2^53
-    (1700000000123456791 -> ...768) before the Arrow cast back to long
-    — a funnel drain where any user misses a step hits exactly that
-    mix."""
-    import pandas as pd
+    Non-flat/temporal schemas fall back to None-preserving tuples
+    (exact, conf-independent, just slower) — no drained stream here
+    emits them; the guard keeps the function total."""
+    import pyarrow as pa
 
     empty = spark.createDataFrame([], schema=schema)
     if not rows:
         return empty
-    data = {}
-    for f in empty.schema.fields:
-        vals = [r.get(f.name) for r in rows]
-        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
-            data[f.name] = pd.array(vals, dtype="Int64")
-        else:
-            data[f.name] = vals
-    return spark.createDataFrame(pd.DataFrame(data), schema=empty.schema)
+    _PA = {
+        T.LongType: pa.int64(), T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(), T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(), T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+    }
+    fields = empty.schema.fields
+    if any(type(f.dataType) not in _PA for f in fields):
+        data = [tuple(r.get(f.name) for f in fields) for r in rows]
+        return spark.createDataFrame(data, schema=empty.schema)
+    table = pa.Table.from_arrays(
+        [pa.array([r.get(f.name) for r in rows], type=_PA[type(f.dataType)])
+         for f in fields],
+        names=[f.name for f in fields],
+    )
+    return spark.createDataFrame(table, schema=empty.schema)
 
 
 def stream_interval_join(
