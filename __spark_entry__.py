@@ -941,7 +941,6 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger (streaming/events.py): parquet-directory source -> 1-hour
     tumbling windows with a 2-hour watermark -> memory sink. The oracle is
     the batch-SQL equivalent — streaming/batch parity is the check."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -954,7 +953,7 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = stream_ops.run_available_now(
         rolled,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_rollup_"),
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_rollup_"),
         dedupe_keys=["window_start_epoch", "event_type"],
         shuffle_partitions=8,
     )
@@ -968,7 +967,6 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-hour watermark are dropped and key state is evicted past it. Only
     the key columns are emitted, so the result is arrival-order
     independent and the oracle is a batch SELECT DISTINCT."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -981,7 +979,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id", "event_type", "hour_epoch"], watermark="2 hours"
     ).select("user_id", "event_type", "hour_epoch")
     rows = stream_ops.run_available_now(
-        deduped, checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_"),
+        deduped, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_dedup_"),
         shuffle_partitions=8,
     )
     schema = "user_id long, event_type string, hour_epoch long"
@@ -995,7 +993,6 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — stateless stream-static join, no growing state store; the
     training-pipeline shape for deduping new data against an existing
     100 TB corpus via its (tiny) fingerprint table."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -1007,7 +1004,7 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fp.alias("_fp"))
     )
     fresh = stream_ops.stream_dedup_against_corpus(stream, corpus, on="_fp").select("doc_id")
-    rows = stream_ops.run_available_now(fresh, checkpoint=tempfile.mkdtemp(prefix="ckpt_sdc_"), shuffle_partitions=8)
+    rows = stream_ops.run_available_now(fresh, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sdc_"), shuffle_partitions=8)
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
@@ -1017,7 +1014,6 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow. Oracle = the batch window-function sessionization —
     the streaming state machine must reproduce it exactly (state sid is
     0-based; +1 aligns with the batch cumulative-sum ids)."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -1025,7 +1021,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = stream_ops.sessionize_stateful(ev, gap_seconds=1800)
     rows = stream_ops.run_available_now(
         sess,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_sess_"),
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sess_"),
         dedupe_keys=["user_id", "session_id"],
         shuffle_partitions=8,
     )
@@ -1042,7 +1038,6 @@ def events_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, every event emitted once. Oracle = the batch
     events_rolling_features SQL: the online state machine must
     reproduce the window-function plan exactly."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -1052,7 +1047,7 @@ def events_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = stream_ops.run_available_now(
         feat,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_roll_"),
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_roll_"),
         dedupe_keys=["event_id"],
         shuffle_partitions=8,
     )
@@ -1389,7 +1384,6 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected once (bounded) and broadcast, so the stream filter is
     row-local and STATELESS — no state store, no join; identical
     semantics on batch and stream, which is what the oracle checks."""
-    import tempfile
 
     from docetl_spark.functions import training
     from docetl_spark.streaming import events as stream_ops
@@ -1402,7 +1396,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
     clean = training.decontaminate(stream, bench, n=13).select("doc_id")
     rows = stream_ops.run_available_now(
-        clean, checkpoint=tempfile.mkdtemp(prefix="ckpt_decon_"),
+        clean, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_decon_"),
         shuffle_partitions=8,
     )
     return stream_ops.drained_df(spark, rows, "doc_id long")
@@ -1470,7 +1464,6 @@ def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents arrive as a parquet stream, each micro-batch runs the
     SAME stateless mapInPandas model stage as batch semantic_map — the
     oracle is therefore identical to sem_map_sentiment's."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -1486,7 +1479,7 @@ def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "Classify the sentiment of: {{ input.text }}", {"sentiment": "str"}, be
     ).select("doc_id", "sentiment")
     rows = stream_ops.run_available_now(
-        enriched, checkpoint=tempfile.mkdtemp(prefix="ckpt_semmap_"),
+        enriched, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_semmap_"),
         shuffle_partitions=8,
     )
     return stream_ops.drained_df(spark, rows, "doc_id long, sentiment string")
@@ -1710,7 +1703,6 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides watermark so buffered state evicts once no future match
     is possible; append-mode drain. Oracle = the identical batch range
     join — stream/batch parity is the check."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -1731,7 +1723,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _epoch_s("r_ts").alias("err_epoch"),
     )
     rows = stream_ops.run_available_now(
-        joined, checkpoint=tempfile.mkdtemp(prefix="ckpt_ivj_"), output_mode="append",
+        joined, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_ivj_"), output_mode="append",
         shuffle_partitions=8,
     )
     schema = "user_id long, click_id long, err_id long, click_epoch long, err_epoch long"
@@ -2457,7 +2449,6 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the BATCH funnel SQL — the online state machine must
     reproduce the chained-window plan exactly over an availableNow
     drain."""
-    import tempfile
 
     from docetl_spark.streaming import events as stream_ops
 
@@ -2468,7 +2459,7 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = stream_ops.run_available_now(
         fun,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_funnel_"),
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_funnel_"),
         dedupe_keys=["user_id"],
         shuffle_partitions=8,
     )

@@ -24,6 +24,56 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry
 from docetl_spark import get_spark
 
+# Registry queries deliberately NOT benched (a decision, not an
+# accident — tests/test_bench_coverage.py pins this list against the
+# registry so additions must be classified). Three exclusion classes:
+#   variant   — same physical plan as a benched query modulo a
+#               parameter; benching both would double-count one shape:
+#               events_rolling_features_bucketed (bucketed twin of
+#               events_rolling_features), sample_first20/
+#               sample_uniform_hash/sample_custom_keys (limit/hash-
+#               filter trivia vs sample_stratified/outliers/temperature),
+#               split_grouped (split_words + a group key), gather_headers
+#               (gather_events + header rendering), sem_map_batch/
+#               sem_map_agent/sem_filter_mentions/sem_reduce_lang/
+#               sem_filter_cascade_calibrated/parallel_map_docs
+#               (FakeBackend semantic variants of the benched
+#               sem_map_sentiment/sem_filter_cascade/sem_reduce_fold
+#               family — backend-bound, not engine-bound),
+#               cap_per_source_docs (same window family as
+#               quality_top_quartile_docs).
+#   plan-only — output is a tiny plan/manifest table, runtime is
+#               dominated by fixed driver overhead, a throughput rep
+#               measures nothing: corpus_mixture_plan, unimax_plan_docs.
+#   micro     — sub-50ms expression shapes that only add noise rows:
+#               events_user_stats, link_resolve_langs,
+#               unnest_columns_struct, add_uuid_det, quality_filter_rules.
+#   gated     — cluster_docs: the size-gated LOCAL path (driver numpy on
+#               <=gate rows); cluster_docs_distributed IS benched.
+BENCH_EXCLUDED = {
+    "events_rolling_features_bucketed": "variant",
+    "split_grouped": "variant",
+    "sample_first20": "variant",
+    "sample_uniform_hash": "variant",
+    "sample_custom_keys": "variant",
+    "gather_headers": "variant",
+    "sem_map_agent": "variant",
+    "sem_map_batch": "variant",
+    "sem_filter_mentions": "variant",
+    "sem_filter_cascade_calibrated": "variant",
+    "sem_reduce_lang": "variant",
+    "parallel_map_docs": "variant",
+    "cap_per_source_docs": "variant",
+    "corpus_mixture_plan": "plan-only",
+    "unimax_plan_docs": "plan-only",
+    "events_user_stats": "micro",
+    "link_resolve_langs": "micro",
+    "unnest_columns_struct": "micro",
+    "add_uuid_det": "micro",
+    "quality_filter_rules": "micro",
+    "cluster_docs": "gated",
+}
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",

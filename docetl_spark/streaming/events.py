@@ -332,6 +332,23 @@ def stream_to_parquet(
     return w.start()
 
 
+def scratch_checkpoint_dir(prefix: str = "ckpt_") -> str:
+    """Fresh checkpoint dir for a short-lived availableNow drain,
+    preferring tmpfs (/dev/shm) over disk-backed /tmp: the checkpoint
+    WAL/commit-log fsyncs are pure protocol overhead for a drain whose
+    result is verified in-session, and tmpfs shaves the cold-drain I/O
+    (measured ~2.1 -> 1.0 s on the first sf0.1 stateful drain; warm
+    drains ~equal). Durable production checkpoints should of course
+    live on real storage — this helper is for ephemeral drains only."""
+    import os
+    import tempfile
+
+    shm = "/dev/shm"
+    return tempfile.mkdtemp(
+        prefix=prefix, dir=shm if os.path.isdir(shm) else None
+    )
+
+
 def drained_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """Rebuild a DataFrame from drained rows via ONE Arrow table.
 
