@@ -2555,6 +2555,157 @@ def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks (timeseries.streaks): maximal
+    runs of consecutive active 6-hour buckets per user. Raw rows
+    touched once (the (user, bucket) partial-agg shuffle); the island
+    window and agg run on bucket-count-sized data."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.streaks(
+        ev, "ts", keys=["user_id"], bucket_width=21600 * 10**9, min_buckets=2
+    )
+
+
+def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (timeseries.attribute_conversions):
+    every purchase credited to the latest click/view at-or-before it
+    within 24 hours — a backward as-of join (union+window, ONE shuffle,
+    no join operator), deterministic via event_id tiebreak."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.attribute_conversions(
+        ev, conversion_type="purchase", touch_types=["click", "view"],
+        horizon=24 * 3600 * 10**9, tiebreak="event_id", carry_cols=["event_id"],
+    )
+
+
+def events_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: the EARLIEST click/view inside the
+    24-hour lookback window before each purchase — a FORWARD as-of
+    launched from conv_ts - horizon (same one-shuffle union+window
+    plan, opposite scan direction)."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.attribute_conversions(
+        ev, conversion_type="purchase", touch_types=["click", "view"],
+        horizon=24 * 3600 * 10**9, model="first_touch",
+        tiebreak="event_id", carry_cols=["event_id"],
+    )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 event types + __other__ tail rollup
+    (stats.heavy_hitters, the ClickHouse topK report shape): one
+    map-side-combinable groupBy on raw data, then rank/tail/share on
+    distinct-value-sized rows. Exact integer basis-point shares."""
+    from docetl_spark.functions.stats import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", by=["user_id"], top=3)
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust z-score outlier flags in EXACT
+    integer/decimal math (stats.robust_outliers): cents fixed-point,
+    decimal moments, cross-multiplied |x-mean| > 3*stddev — no doubles
+    anywhere near the threshold, replays bit-for-bit in the oracle."""
+    from docetl_spark.functions.stats import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_outliers(ev, "value", by=["event_type"], z_threshold_centi=300)
+    return out.select("event_id", "event_type", "is_outlier")
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: typed extraction from the JSON
+    ``props`` column (shape.json_extract_columns — pure
+    get_json_object codegen, only the requested path is parsed) then a
+    per-type rollup. Malformed/missing paths yield NULL, counted."""
+    from docetl_spark.operators.shape import json_extract_columns
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    typed = json_extract_columns(ev, "props", {"k": "k:long"})
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+    )
+
+
+def events_melt_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (shape.melt over Spark's native Expand-node
+    unpivot — each row fans out in place, NO shuffle, NO re-scan per
+    value column): the pivot-by-type counts back in long form."""
+    from docetl_spark.operators.shape import melt
+
+    wide = events_pivot_by_type(spark, sf_dir).drop("purchase_value")
+    return melt(
+        wide, ["user_id"],
+        ["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        var_name="metric", value_name="n",
+    )
+
+
+def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (status x priority): all four
+    aggregation levels share ONE partial aggregation pass (Spark Expand
+    + single shuffle, not four scans). grouping_id disambiguates
+    rolled-up NULLs from data NULLs; decimal-exact revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def docs_tfdf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (text.tfdf_keywords): top-3
+    distinctive terms by the exact-integer tf-idf surrogate
+    tf * ((n_docs * 1e6) DIV df) — integer DIV instead of ln() (the
+    1-ulp libm-vs-JVM hazard), rank ties broken by term."""
+    from docetl_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textf.tfdf_keywords(docs, "text", id_col="doc_id", top=3)
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard scores over sorted-neighborhood candidate
+    pairs: the blocking stage reuses resolve's SN rank-bucket plan
+    (never 1-partition), the verify stage is JVM set math on the pair
+    table only, and the similarity surfaces as exact integer basis
+    points (|∩| * 10000 DIV |∪|) so the hash oracle replays it."""
+    from docetl_spark.functions.text import shingles
+    from docetl_spark.operators.resolve import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = sorted_neighborhood_pairs(
+        docs, "doc_id",
+        key="lower(substring(coalesce(text, ''), 1, 12))",
+        window=3,
+    )
+    shingled = docs.select("doc_id", shingles(F.col("text"), 3).alias("_sh"))
+    a = shingled.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = shingled.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    uni = F.size(F.array_union("_sa", "_sb")).cast("long")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(uni > 0, F.expr(
+                "size(array_intersect(_sa, _sb)) * CAST(10000 AS BIGINT) "
+                "DIV size(array_union(_sa, _sb))"
+            )).otherwise(F.lit(0)).cast("long").alias("jaccard_bp"),
+        )
+    )
+
+
 # ----------------------------------------------------------- driver hooks
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2696,6 +2847,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted": events_time_weighted,
         "events_cohort_retention": events_cohort_retention,
         "docs_cooccurrence": docs_cooccurrence,
+        "events_streaks": events_streaks,
+        "events_attribution_last": events_attribution_last,
+        "events_attribution_first": events_attribution_first,
+        "events_heavy_hitters": events_heavy_hitters,
+        "events_value_outliers": events_value_outliers,
+        "events_json_props": events_json_props,
+        "events_melt_pivot": events_melt_pivot,
+        "orders_cube_status_priority": orders_cube_status_priority,
+        "docs_tfdf_keywords": docs_tfdf_keywords,
+        "docs_ngram_jaccard": docs_ngram_jaccard,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4717,4 +4878,160 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(df_a * df_b AS DOUBLE), 6) AS lift
         FROM pairs, n
         ORDER BY df_ab DESC, t_a, t_b LIMIT 100"""
+    sql["events_streaks"] = """
+        WITH pb AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000) % 21600000000000)
+                   // 21600000000000 AS bkt,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), isl AS (
+          SELECT user_id, bkt, n,
+                 bkt - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bkt) AS g
+          FROM pb
+        )
+        SELECT user_id,
+               CAST(MIN(bkt) * 21600000000000 AS BIGINT) AS streak_start,
+               CAST(MAX(bkt) * 21600000000000 AS BIGINT) AS streak_end,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, g
+        HAVING COUNT(*) >= 2"""
+    _attr_base = """
+        WITH conv AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS cts
+          FROM events WHERE event_type = 'purchase'
+        ), tch AS (
+          SELECT user_id, epoch_ns(ts) AS tts, event_type AS tty, event_id AS tid
+          FROM events WHERE event_type IN ('click', 'view')
+        )
+        SELECT user_id, conversion_ts, event_id, touch_ts, touch_type, lag_ns
+        FROM (
+          SELECT c.user_id, c.cts AS conversion_ts, c.event_id,
+                 t.tts AS touch_ts, t.tty AS touch_type,
+                 c.cts - t.tts AS lag_ns,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.user_id, c.event_id
+                   ORDER BY {order}
+                 ) AS rn
+          FROM conv c LEFT JOIN tch t
+            ON t.user_id = c.user_id
+           AND t.tts <= c.cts AND t.tts >= c.cts - 86400000000000
+        ) WHERE rn = 1"""
+    sql["events_attribution_last"] = _attr_base.format(
+        order="t.tts DESC NULLS LAST, t.tid DESC"
+    )
+    sql["events_attribution_first"] = _attr_base.format(
+        order="t.tts ASC NULLS LAST, t.tid ASC"
+    )
+    sql["events_heavy_hitters"] = """
+        WITH counts AS (
+          SELECT user_id, CAST(event_type AS VARCHAR) AS v, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT user_id, v, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, v) AS rk,
+                 CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+          FROM counts
+        ), head AS (
+          SELECT user_id, v AS value, CAST(rk AS BIGINT) AS rank,
+                 n AS n_rows, tot
+          FROM ranked WHERE rk <= 3
+        ), tail AS (
+          SELECT user_id, '__other__' AS value, CAST(4 AS BIGINT) AS rank,
+                 CAST(SUM(n) AS BIGINT) AS n_rows, MAX(tot) AS tot
+          FROM ranked WHERE rk > 3 GROUP BY user_id
+        ), u AS (
+          SELECT * FROM head UNION ALL SELECT * FROM tail
+        )
+        SELECT user_id, value, rank, n_rows,
+               CAST(n_rows * 10000 // tot AS BIGINT) AS share_bp
+        FROM u"""
+    sql["events_value_outliers"] = """
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS x
+          FROM events
+        ), m AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x) AS s, SUM(x * x) AS ss
+          FROM e GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type,
+               CASE WHEN m.n > 1 AND (m.n * m.ss - m.s * m.s) > 0
+                         AND (e.x * m.n - m.s) * (e.x * m.n - m.s) * 10000 * (m.n - 1)
+                             > 90000 * m.n * (m.n * m.ss - m.s * m.s)
+                    THEN true ELSE false END AS is_outlier
+        FROM e JOIN m USING (event_type)"""
+    sql["events_json_props"] = """
+        WITH e AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MAX(k) AS max_k,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM e GROUP BY event_type"""
+    sql["events_melt_pivot"] = """
+        WITH c AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                 CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+          FROM events GROUP BY user_id)
+        SELECT user_id, 'n_click' AS metric, n_click AS n FROM c
+        UNION ALL SELECT user_id, 'n_view', n_view FROM c
+        UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM c
+        UNION ALL SELECT user_id, 'n_signup', n_signup FROM c
+        UNION ALL SELECT user_id, 'n_error', n_error FROM c"""
+    sql["orders_cube_status_priority"] = """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["docs_tfdf_keywords"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+          FROM documents
+        ), pd AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pd GROUP BY 1
+        ), nd AS (
+          SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+        ), s AS (
+          SELECT pd.doc_id, pd.term, pd.tf, dft.df,
+                 CAST(pd.tf * ((nd.n * 1000000) // dft.df) AS BIGINT) AS score
+          FROM pd JOIN dft USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tf, df, score, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+          FROM s
+        ) WHERE rank <= 3"""
+    sql["docs_ngram_jaccard"] = f"""
+        WITH ranked AS (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY lower(substring(coalesce(text, ''), 1, 12)), doc_id) AS rnk
+          FROM documents
+        ), pairs AS (
+          SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                 GREATEST(a.doc_id, b.doc_id) AS id_b
+          FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 2
+        ), sh AS (
+          SELECT doc_id, {shingles3} AS s FROM documents
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                    THEN len(list_intersect(sa.s, sb.s)) * 10000
+                         // len(list_distinct(list_concat(sa.s, sb.s)))
+                    ELSE 0 END AS BIGINT) AS jaccard_bp
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b"""
     return sql

@@ -72,6 +72,9 @@ BENCH_EXCLUDED = {
     "add_uuid_det": "micro",
     "quality_filter_rules": "micro",
     "cluster_docs": "gated",
+    # first-touch attribution = the benched last-touch plan with the
+    # opposite as-of scan direction (one shuffle either way)
+    "events_attribution_first": "variant",
 }
 
 BENCH_QUERIES = [
@@ -197,6 +200,15 @@ BENCH_QUERIES = [
     "events_time_weighted",
     "events_cohort_retention",
     "docs_cooccurrence",
+    "events_streaks",
+    "events_attribution_last",
+    "events_heavy_hitters",
+    "events_value_outliers",
+    "events_json_props",
+    "events_melt_pivot",
+    "orders_cube_status_priority",
+    "docs_tfdf_keywords",
+    "docs_ngram_jaccard",
 ]
 
 

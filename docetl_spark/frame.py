@@ -796,6 +796,84 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def streaks(self, ts_col: str, *, keys: list[str], bucket_width: int, **kw) -> "SemanticFrame":
+        """Gaps-and-islands runs of consecutive active buckets per key —
+        see functions/timeseries.streaks."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.streaks(self.df, ts_col, keys=keys, bucket_width=bucket_width, **kw),
+            "streaks", ts_col=ts_col, keys=list(keys), bucket_width=bucket_width, **kw,
+        )
+
+    def attribute_conversions(self, *, conversion_type: str, touch_types: list[str],
+                              horizon: int, **kw) -> "SemanticFrame":
+        """First/last-touch attribution via the as-of union+window plan —
+        see functions/timeseries.attribute_conversions."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.attribute_conversions(
+                self.df, conversion_type=conversion_type,
+                touch_types=touch_types, horizon=horizon, **kw,
+            ),
+            "attribute_conversions", conversion_type=conversion_type,
+            touch_types=list(touch_types), horizon=horizon, **kw,
+        )
+
+    def heavy_hitters(self, value_col: str, *, by: list[str] | None = None,
+                      top: int = 5, **kw) -> "SemanticFrame":
+        """Top-k most frequent values (+ __other__ rollup) with exact
+        basis-point shares — see functions/stats.heavy_hitters."""
+        from .functions import stats
+
+        return self._next(
+            stats.heavy_hitters(self.df, value_col, by=by, top=top, **kw),
+            "heavy_hitters", value_col=value_col, by=by, top=top, **kw,
+        )
+
+    def flag_outliers(self, value_col: str, *, by: list[str] | None = None,
+                      **kw) -> "SemanticFrame":
+        """Exact-arithmetic per-group z-score outlier flags — see
+        functions/stats.robust_outliers."""
+        from .functions import stats
+
+        return self._next(
+            stats.robust_outliers(self.df, value_col, by=by, **kw),
+            "flag_outliers", value_col=value_col, by=by, **kw,
+        )
+
+    def melt(self, id_cols: list[str], value_cols: list[str], **kw) -> "SemanticFrame":
+        """Wide-to-long unpivot (Spark Expand node, no shuffle) — see
+        operators/shape.melt."""
+        from .operators import shape
+
+        return self._next(
+            shape.melt(self.df, id_cols, value_cols, **kw),
+            "melt", id_cols=list(id_cols), value_cols=list(value_cols), **kw,
+        )
+
+    def json_extract(self, json_col: str, fields: dict[str, str], **kw) -> "SemanticFrame":
+        """Typed columns out of a JSON-string column (get_json_object
+        chains; malformed rows yield NULL) — see
+        operators/shape.json_extract_columns."""
+        from .operators import shape
+
+        return self._next(
+            shape.json_extract_columns(self.df, json_col, fields, **kw),
+            "json_extract", json_col=json_col, fields=dict(fields), **kw,
+        )
+
+    def keywords(self, text_col: str, *, id_col: str, top: int = 5) -> "SemanticFrame":
+        """Per-document top-k distinctive terms by the exact-integer
+        tf-idf surrogate — see functions/text.tfdf_keywords."""
+        from .functions import text as text_fn
+
+        return self._next(
+            text_fn.tfdf_keywords(self.df, text_col, id_col=id_col, top=top),
+            "keywords", text_col=text_col, id_col=id_col, top=top,
+        )
+
     def split_exact(self, *, id_cols: list[str], weights: dict[str, int] | None = None,
                     strata: list[str] | None = None, salt: str = "split") -> "SemanticFrame":
         """Exact-quota stratified train/val/test assignment

@@ -165,3 +165,133 @@ def exact_quantiles(
             + F.col(f"_f_{tag}") * F.col(f"_hi_{tag}"),
         ).drop(f"_lo_{tag}", f"_hi_{tag}", f"_f_{tag}")
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    top: int = 5,
+    with_other: bool = True,
+) -> DataFrame:
+    """Top-``top`` most frequent ``value_col`` values per group (or
+    globally), optionally with one ``__other__`` row rolling up the
+    tail — the ClickHouse ``topK`` report shape, exactly.
+
+    Output: ``by`` + ``value`` (string; ``__other__`` for the rollup
+    row) + ``rank`` (tail row gets top+1) + ``n_rows`` + ``share_bp``
+    (exact integer basis points of the group's total — bigint DIV, no
+    doubles near a threshold).
+
+    Plan: ONE groupBy on (by, value) — map-side combinable counts on
+    the raw data — then everything else runs on distinct-value-sized
+    rows: a rank window per group, a conditional re-agg for the tail,
+    and a broadcast-sized per-group total join. Ties rank
+    deterministically by (count desc, value asc). No driver collect;
+    a group's distinct values sort in one task (parallelism across
+    groups — the exact-order-statistic bound shared with
+    exact_quantiles)."""
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    part = [F.col(c) for c in (by or [])]
+    val = F.col(value_col).cast("string")
+    counts = df.groupBy(*part, val.alias("_hv")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wr = W.partitionBy(*part).orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
+    wall = W.partitionBy(*part)
+    ranked = counts.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "_tot", F.sum("n_rows").over(wall)
+    )
+    head = ranked.filter(F.col("rank") <= top)
+    if with_other:
+        tail = (
+            ranked.filter(F.col("rank") > top)
+            .groupBy(*part)
+            .agg(F.sum("n_rows").alias("n_rows"), F.max("_tot").alias("_tot"))
+            .withColumn("_hv", F.lit("__other__"))
+            .withColumn("rank", F.lit(top + 1).cast("int"))
+        )
+        head = head.unionByName(tail.select(*head.columns))
+    return head.select(
+        *(by or []),
+        F.col("_hv").alias("value"),
+        F.col("rank").cast("long").alias("rank"),
+        "n_rows",
+        F.expr("n_rows * 10000 DIV _tot").alias("share_bp"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+    z_threshold_centi: int = 300,
+) -> DataFrame:
+    """Per-group z-score outlier flags in EXACT integer/decimal math —
+    no doubles anywhere near the threshold, so the decision replays
+    bit-for-bit in any engine.
+
+    ``value_col`` is fixed-pointed as round(value * scale) (cents by
+    default). Per group: n, sum, sum of squares (decimal — exact,
+    associative, partition-order-independent, unlike a double stddev).
+    A row is an outlier when |x*n - sum| > (z/100) * sqrt-free bound,
+    evaluated as the cross-multiplied EXACT comparison::
+
+        (x*n - sum)^2 * 100^2 * (n-1)  >  z_centi^2 * n * (n*ssq - sum^2)
+
+    which is |x - mean| > z * stddev_samp with every division cleared —
+    the repo's decimal-threshold idiom (q11/q17/bm25). Output: input
+    rows + ``is_outlier`` boolean (groups with n < 2 or zero variance
+    flag nothing).
+
+    Plan: one map-side-combinable groupBy for the moments (decimal
+    sums), broadcast back per group, one filter-free projection.
+    The raw table is scanned twice (moments + flags) — cache upstream
+    if the input lineage is expensive."""
+    part = [F.col(c) for c in (by or [])]
+    # floor(x*scale + 0.5), not round(): the repo's proven fixed-point
+    # idiom — both engines evaluate it on the identical input double,
+    # while round()'s half-up tie handling routes through different
+    # decimal representations (java BigDecimal-of-string vs libm)
+    x = F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("decimal(38,0)")
+    moments = df.select(*part, x.alias("_x")).groupBy(*part).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("_ss"),
+    )
+    if by:
+        # null-safe group join: a NULL group key is a real group in the
+        # moments pass; a bare equi-join would silently drop its rows
+        mj = moments.select(
+            *[F.col(c).alias(f"_mg_{c}") for c in by], "_n", "_s", "_ss"
+        )
+        cond = None
+        for c in by:
+            e = F.col(c).eqNullSafe(F.col(f"_mg_{c}"))
+            cond = e if cond is None else cond & e
+        flagged = df.withColumn("_x", x).join(F.broadcast(mj), cond).drop(
+            *[f"_mg_{c}" for c in by]
+        )
+    else:
+        flagged = broadcast_scalar_join(
+            df.withColumn("_x", x), moments, df_col="_x", scalar_col="_n"
+        )
+    dev = F.col("_x") * F.col("_n") - F.col("_s")
+    var_n = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    z2 = F.lit(int(z_threshold_centi) ** 2).cast("decimal(38,0)")
+    lhs = (dev * dev).cast("decimal(38,0)") * F.lit(10000).cast("decimal(38,0)") * (F.col("_n") - F.lit(1).cast("decimal(38,0)"))
+    rhs = z2 * F.col("_n") * var_n
+    is_out = (
+        (F.col("_n") > F.lit(1).cast("decimal(38,0)"))
+        & (var_n > F.lit(0).cast("decimal(38,0)"))
+        & (lhs > rhs)
+    )
+    # NULL values can't be outliers (a NULL comparison would leak a
+    # NULL boolean into the output)
+    return flagged.withColumn(
+        "is_outlier", F.coalesce(is_out, F.lit(False))
+    ).drop("_x", "_n", "_s", "_ss")

@@ -9,7 +9,7 @@ and push down/prune like any built-in function.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, functions as F, types as T
+from pyspark.sql import Column, Window as W, functions as F, types as T
 
 WS_SPLIT = r"\s+"
 
@@ -390,3 +390,51 @@ def cooccurrence_stats(
         ).limit(int(top_pairs))
     out._docetl_cached_input = vt  # release handle: .unpersist() when materialized
     return out
+
+
+def tfdf_keywords(df, text_col: str, *, id_col: str, top: int = 5):
+    """Top-``top`` distinctive terms per document — keyword extraction
+    by an EXACT-integer tf-idf surrogate::
+
+        score = tf * ((n_docs * 1_000_000) DIV df)
+
+    i.e. term frequency times a fixed-point inverse document frequency.
+    The classic ``tf * ln(N/df)`` ranks identically for fixed tf (ln is
+    monotone) but ln() differs by 1 ulp between libm and the JVM on ~2%
+    of inputs (the cooccurrence_stats lesson) — integer DIV replays
+    bit-for-bit in any engine. Rare-term degenerates (df=1 hapax) rank
+    first by construction, as with any unsmoothed idf.
+
+    Scale: one explode + map-side-combinable (doc, term) count; the df
+    rollup aggregates at vocabulary cardinality; the df join back is
+    one shuffle on the term key over (doc x distinct-term) rows; the
+    scalar n_docs rides a broadcast hash join (non-foldable key); the
+    final per-doc top-k is a bounded window over each doc's distinct
+    terms. No driver state.
+
+    Output: id_col, term, tf, df, score, rank (1..top; ties broken by
+    term asc).
+    """
+    from .stats import broadcast_scalar_join
+
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.trim(F.lower(F.col(text_col))))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    scored = broadcast_scalar_join(
+        per_doc.join(dfreq, "term"), n_docs, df_col="tf", scalar_col="_nd"
+    ).withColumn("score", F.expr("tf * ((_nd * 1000000) DIV df)"))
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -577,6 +577,140 @@ def funnel(
     return agg.withColumn("reached", reached.cast("int"))
 
 
+def streaks(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    keys: list[str],
+    bucket_width: int,
+    min_buckets: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: runs of CONSECUTIVE active buckets per key
+    (the SQL classic; product-analytics "activity streaks", sensor
+    uptime segments). A bucket is active when the key has >= 1 row in
+    it; an island is a maximal run of consecutive active buckets.
+
+    Returns one row per island: keys + ``streak_start``/``streak_end``
+    (bucket lower edges, epoch long) + ``n_buckets`` + ``n_events``
+    (rows inside the island), islands shorter than ``min_buckets``
+    dropped.
+
+    Plan: raw rows are touched ONCE (the (keys, bucket) partial-agg
+    shuffle); the island trick (bucket_idx - row_number is constant
+    within a run) and the island agg both run on bucket-count-sized
+    data. The per-key window sees #active-buckets rows — span/width
+    bounded, never data-volume bound. Exact-floor bucketing via the
+    repo-wide ``(ts - pmod(ts, w)) DIV w``.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    if not keys:
+        raise ValueError("streaks requires at least one key column")
+    reserved = {"_st_ts", "_bkt", "streak_start", "streak_end", "n_buckets", "n_events"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"streaks reserves column names {clash} — rename the inputs")
+    bkt = F.expr(f"(_st_ts - pmod(_st_ts, {w})) DIV {w}")
+    per_bucket = (
+        df.withColumn("_st_ts", F.col(ts_col).cast("long"))
+        .withColumn("_bkt", bkt)
+        .groupBy(*keys, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    islands = per_bucket.withColumn(
+        "_isl", F.col("_bkt") - F.row_number().over(wk)
+    )
+    out = (
+        islands.groupBy(*keys, "_isl")
+        .agg(
+            (F.min("_bkt") * w).alias("streak_start"),
+            (F.max("_bkt") * w).alias("streak_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("_n").alias("n_events"),
+        )
+        .drop("_isl")
+    )
+    if int(min_buckets) > 1:
+        out = out.filter(F.col("n_buckets") >= int(min_buckets))
+    return out
+
+
+def attribute_conversions(
+    df: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    horizon: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    model: str = "last_touch",
+    tiebreak: str | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Marketing attribution: credit each ``conversion_type`` event to
+    one preceding ``touch_types`` event within ``horizon`` (same units
+    as ``ts_col``'s long cast — ns for epoch-nanos).
+
+    ``model='last_touch'`` credits the latest touch at-or-before the
+    conversion; ``'first_touch'`` the earliest touch inside the
+    lookback window ``[conv_ts - horizon, conv_ts]``.
+
+    Pure composition over :func:`asof_join` (the union+window as-of —
+    ONE shuffle, no join operator): last-touch is a backward as-of with
+    ``tolerance=horizon``; first-touch is a FORWARD as-of launched from
+    the shifted timestamp ``conv_ts - horizon`` with the same
+    tolerance — the nearest touch at-or-after the window's left edge IS
+    the first touch inside it. Same skew posture as asof_join.
+
+    Output: every conversion row's ``user/ts`` plus ``carry_cols``,
+    with ``touch_ts`` / ``touch_type`` (NULL = unattributed) and
+    ``lag_ns`` (conversion minus touch, NULL when unattributed).
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError("model must be 'last_touch' or 'first_touch'")
+    h = int(horizon)
+    if h < 0:
+        raise ValueError("horizon must be >= 0")
+    carry = list(carry_cols or [])
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        user_col, F.col(ts_col).cast("long").alias("_cts"), *carry
+    )
+    touches = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        user_col,
+        F.col(ts_col).cast("long").alias("_tts"),
+        F.col(type_col).alias("_tty"),
+        *( [tiebreak] if tiebreak and tiebreak not in (user_col,) else [] ),
+    )
+    if model == "last_touch":
+        left = conv.withColumn("_asof_ts", F.col("_cts"))
+        direction = "backward"
+    else:
+        left = conv.withColumn("_asof_ts", F.col("_cts") - F.lit(h))
+        direction = "forward"
+    joined = asof_join(
+        left,
+        touches,
+        on=[user_col],
+        left_ts="_asof_ts",
+        right_ts="_tts",
+        right_cols=["_tty"],
+        direction=direction,
+        tolerance=h,
+        right_tiebreak=tiebreak,
+    )
+    return joined.select(
+        F.col(user_col),
+        F.col("_cts").alias("conversion_ts"),
+        *carry,
+        F.col("_tts_r").alias("touch_ts"),
+        F.col("_tty_r").alias("touch_type"),
+        (F.col("_cts") - F.col("_tts_r")).alias("lag_ns"),
+    )
+
+
 def hopping_rollup(
     df: DataFrame,
     aggs: dict[str, Column],

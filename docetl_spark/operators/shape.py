@@ -191,3 +191,65 @@ def add_uuid(df: DataFrame, id_key: str = "uuid_id", *, deterministic_from: str 
     if deterministic_from:
         return df.withColumn(id_key, F.md5(F.col(deterministic_from).cast("string")))
     return df.withColumn(id_key, F.expr("uuid()"))
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide-to-long unpivot (pandas ``melt`` / SQL UNPIVOT): one output
+    row per (input row, value column), the inverse of the pivot shape.
+    Thin wrapper over Spark's native ``unpivot`` (whole-stage-codegen
+    Expand node — each input row fans out in place, NO shuffle, NO
+    union-of-selects re-scanning the input len(value_cols) times).
+    Value columns must share a least common type (Spark casts; mixing
+    string and numeric raises)."""
+    if not value_cols:
+        raise ValueError("melt requires at least one value column")
+    missing = [c for c in id_cols + value_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"melt: unknown columns {missing}")
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
+
+
+def json_extract_columns(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    *,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Extract typed columns from a JSON-string column: ``fields`` maps
+    output column name -> "path[:cast_type]" (path is a JSONPath-lite
+    dotted path WITHOUT the leading $., e.g. ``"k:long"``,
+    ``"user.name"``). Malformed JSON / missing paths yield NULL, never
+    an error — semi-structured columns at corpus scale always contain
+    garbage rows.
+
+    Plan: pure ``get_json_object`` expression chains (JVM, codegen,
+    column-pruned) — no from_json schema materialisation, so only the
+    requested paths are parsed. For HOT paths extracted repeatedly,
+    prefer one ``from_json`` with an explicit schema upstream; this
+    operator is the ad-hoc projection form."""
+    out = df
+    for name, spec in fields.items():
+        path, _, cast_t = spec.partition(":")
+        col = F.get_json_object(F.col(json_col), f"$.{path}")
+        if cast_t:
+            # try_cast: a non-numeric value in a numeric path yields
+            # NULL under ANSI mode instead of failing the whole job —
+            # garbage rows are a given in semi-structured corpora
+            col = col.try_cast(cast_t)
+        out = out.withColumn(name, col)
+    if drop_source:
+        out = out.drop(json_col)
+    return out

@@ -1,0 +1,170 @@
+"""Round-7 analytics/shape additions: streaks, attribution, heavy
+hitters, robust outliers, melt, JSON extraction, tf-df keywords.
+Registry-level oracle parity is covered by test_oracle_gate; these pin
+the operator semantics on synthetic edges the testdata doesn't hit."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from docetl_spark.functions.stats import heavy_hitters, robust_outliers
+from docetl_spark.functions.timeseries import attribute_conversions, streaks
+from docetl_spark.functions.text import tfdf_keywords
+from docetl_spark.operators.shape import json_extract_columns, melt
+
+
+def test_streaks_islands_and_min_buckets(spark):
+    W = 10
+    rows = [(1, b * W + off) for b in (0, 1, 2, 5, 6) for off in (1, 7)] + [(2, 3 * W)]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r["user_id"], r["streak_start"]): r
+        for r in streaks(df, "ts", keys=["user_id"], bucket_width=W).collect()
+    }
+    assert len(out) == 3
+    a = out[(1, 0)]
+    assert (a["streak_end"], a["n_buckets"], a["n_events"]) == (20, 3, 6)
+    b = out[(1, 50)]
+    assert (b["streak_end"], b["n_buckets"], b["n_events"]) == (60, 2, 4)
+    assert out[(2, 30)]["n_buckets"] == 1
+    kept = streaks(df, "ts", keys=["user_id"], bucket_width=W, min_buckets=2).count()
+    assert kept == 2
+
+
+def test_streaks_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+    with pytest.raises(ValueError):
+        streaks(df, "ts", keys=[], bucket_width=10)
+    with pytest.raises(ValueError):
+        streaks(df, "ts", keys=["user_id"], bucket_width=0)
+
+
+def _attr_events(spark):
+    # user 1: click@10, view@20, purchase@25 (last=view, first=click
+    # inside horizon 20); user 2: click@1, purchase@100 (outside h=20)
+    rows = [
+        (101, 1, 10, "click"), (102, 1, 20, "view"), (103, 1, 25, "purchase"),
+        (104, 2, 1, "click"), (105, 2, 100, "purchase"),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+
+
+def test_attribution_last_and_first_touch(spark):
+    ev = _attr_events(spark)
+    last = {r["event_id"]: r for r in attribute_conversions(
+        ev, conversion_type="purchase", touch_types=["click", "view"],
+        horizon=20, tiebreak="event_id", carry_cols=["event_id"],
+    ).collect()}
+    assert last[103]["touch_type"] == "view" and last[103]["lag_ns"] == 5
+    assert last[105]["touch_ts"] is None and last[105]["lag_ns"] is None
+
+    first = {r["event_id"]: r for r in attribute_conversions(
+        ev, conversion_type="purchase", touch_types=["click", "view"],
+        horizon=20, model="first_touch", tiebreak="event_id",
+        carry_cols=["event_id"],
+    ).collect()}
+    # window [5, 25]: click@10 is the first touch
+    assert first[103]["touch_type"] == "click" and first[103]["lag_ns"] == 15
+    assert first[105]["touch_ts"] is None
+
+
+def test_attribution_rejects_bad_model(spark):
+    ev = _attr_events(spark)
+    with pytest.raises(ValueError):
+        attribute_conversions(ev, conversion_type="purchase",
+                              touch_types=["click"], horizon=1, model="shapley")
+
+
+def test_heavy_hitters_other_rollup_and_shares(spark):
+    rows = [("g", v) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + ["d"] * 1]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["value"]: r for r in heavy_hitters(
+        df, "v", by=["grp"], top=2).collect()}
+    assert out["a"]["rank"] == 1 and out["a"]["n_rows"] == 5
+    assert out["a"]["share_bp"] == 5000
+    assert out["__other__"]["rank"] == 3 and out["__other__"]["n_rows"] == 2
+    assert out["__other__"]["share_bp"] == 2000
+    no_other = heavy_hitters(df, "v", by=["grp"], top=2, with_other=False)
+    assert no_other.count() == 2
+
+
+def test_robust_outliers_flags_and_edges(spark):
+    # 20 inliers + one 100x value: z = |1000-57|/216 = 4.4 > 3
+    # (with only 4 inliers the outlier inflates stddev to z=1.8 — not
+    # flagged, correctly)
+    rows = [("a", float(v)) for v in [10] * 20 + [1000]] + [
+        ("b", 5.0),            # n=1: never flags
+        (None, 3.0), (None, 3.0),  # NULL group key must survive (zero variance)
+        ("a", None),           # NULL value: false, not NULL
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = robust_outliers(df, "value", by=["grp"]).collect()
+    flags = {(r["grp"], r["value"]): r["is_outlier"] for r in out}
+    assert len(out) == len(rows)  # null-safe join keeps every row
+    assert flags[("a", 1000.0)] is True
+    assert flags[("a", 10.0)] is False
+    assert flags[("b", 5.0)] is False
+    assert flags[(None, 3.0)] is False
+    assert flags[("a", None)] is False
+
+
+def test_melt_roundtrips_wide_row(spark):
+    df = spark.createDataFrame([(1, 10, 20)], "id long, x long, y long")
+    out = melt(df, ["id"], ["x", "y"], var_name="m", value_name="v")
+    got = {(r["id"], r["m"]): r["v"] for r in out.collect()}
+    assert got == {(1, "x"): 10, (1, "y"): 20}
+    with pytest.raises(ValueError):
+        melt(df, ["id"], [])
+    with pytest.raises(ValueError):
+        melt(df, ["id"], ["nope"])
+
+
+def test_json_extract_nulls_on_garbage(spark):
+    rows = [('{"k": 7, "u": {"n": "ann"}}',), ("not json",), (None,), ('{"k": "x"}',)]
+    df = spark.createDataFrame(rows, "props string")
+    out = json_extract_columns(
+        df, "props", {"k": "k:long", "name": "u.n"}, drop_source=True
+    ).collect()
+    ks = sorted((r["k"] is not None, r["name"] is not None) for r in out)
+    assert out[0].__fields__ == ["k", "name"]
+    # exactly one row yields k=7, one yields name='ann'; garbage -> NULLs
+    vals = [(r["k"], r["name"]) for r in out]
+    assert (7, "ann") in vals
+    assert sum(1 for k, n in vals if k is None) == 3  # 'x' fails try_cast too
+
+
+def test_tfdf_keywords_ranks_rare_terms_first(spark):
+    rows = [
+        (1, "common rare common"),
+        (2, "common common other"),
+        (3, "common filler words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfdf_keywords(df, "text", id_col="doc_id", top=2)
+    top1 = {r["doc_id"]: r["term"] for r in out.collect() if r["rank"] == 1}
+    # 'rare' (df=1) outranks 'common' (df=3) in doc 1 despite lower tf
+    assert top1[1] == "rare"
+    with pytest.raises(ValueError):
+        tfdf_keywords(df, "text", id_col="doc_id", top=0)
+
+
+def test_frame_verbs_chain(spark):
+    from docetl_spark import SemanticFrame
+
+    ev = spark.createDataFrame(
+        [(1, 5, "a", '{"k": 3}'), (1, 15, "a", '{"k": 4}'), (2, 7, "b", "{}")],
+        "user_id long, ts long, v string, props string",
+    )
+    sf = SemanticFrame.from_df(ev)
+    # user 1's buckets 0,1 are consecutive -> ONE island; user 2 -> one
+    assert sf.streaks("ts", keys=["user_id"], bucket_width=10).count() == 2
+    assert sf.heavy_hitters("v", top=1).count() >= 1
+    assert sf.json_extract("props", {"k": "k:long"}).df.schema["k"].simpleString() == "k:bigint"
+    assert sf.flag_outliers("ts", by=["user_id"]).count() == 3
+    assert sf.melt(["user_id"], ["ts"]).count() == 3

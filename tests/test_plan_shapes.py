@@ -49,6 +49,11 @@ PLAN_ONLY = [
     "events_funnel", "events_hopping_rollup",
     "events_gap_fill", "events_time_weighted", "events_cohort_retention",
     "docs_cooccurrence",
+    # round-7 additions (docs_ngram_jaccard excluded like
+    # sn_blocking_pairs: the SN rank construction runs real jobs)
+    "events_streaks", "events_attribution_last", "events_attribution_first",
+    "events_heavy_hitters", "events_value_outliers", "events_json_props",
+    "events_melt_pivot", "orders_cube_status_priority", "docs_tfdf_keywords",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
