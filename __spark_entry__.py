@@ -2555,6 +2555,19 @@ def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user final EWMA of event value (timeseries.ewma, pandas
+    ewm(adjust=False) last-row semantics): one JVM aggregate() fold
+    over the time-ordered value array — bit-exact vs the DuckDB
+    list_reduce oracle because both engines fold identical doubles in
+    identical order (alpha=0.3; 1-alpha embeds as the same literal)."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.ewma(ev, "ts", "value", keys=["user_id"], alpha=0.3,
+                    tiebreak="event_id")
+
+
 def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands activity streaks (timeseries.streaks): maximal
     runs of consecutive active 6-hour buckets per user. Raw rows
@@ -2847,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted": events_time_weighted,
         "events_cohort_retention": events_cohort_retention,
         "docs_cooccurrence": docs_cooccurrence,
+        "events_ewma_value": events_ewma_value,
         "events_streaks": events_streaks,
         "events_attribution_last": events_attribution_last,
         "events_attribution_first": events_attribution_first,
@@ -4878,6 +4892,14 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(df_a * df_b AS DOUBLE), 6) AS lift
         FROM pairs, n
         ORDER BY df_ab DESC, t_a, t_b LIMIT 100"""
+    sql["events_ewma_value"] = """
+        SELECT user_id, COUNT(value) AS n,
+               list_reduce(
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_ns(ts), event_id)
+                   FILTER (WHERE value IS NOT NULL),
+                 (acc, x) -> acc * CAST(0.7 AS DOUBLE)
+                           + x * CAST(0.3 AS DOUBLE)) AS ewma
+        FROM events GROUP BY user_id"""
     sql["events_streaks"] = """
         WITH pb AS (
           SELECT user_id,

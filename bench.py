@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "orders_cube_status_priority",
     "docs_tfdf_keywords",
     "docs_ngram_jaccard",
+    "events_ewma_value",
 ]
 
 

@@ -796,6 +796,19 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def ewma(self, ts_col: str, value_col: str, *, keys: list[str],
+             alpha: float, **kw) -> "SemanticFrame":
+        """Final per-key exponentially-weighted moving average — see
+        functions/timeseries.ewma (exact sequential fold; per-key
+        history bound documented there)."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.ewma(self.df, ts_col, value_col, keys=keys, alpha=alpha, **kw),
+            "ewma", ts_col=ts_col, value_col=value_col, keys=list(keys),
+            alpha=alpha, **kw,
+        )
+
     def streaks(self, ts_col: str, *, keys: list[str], bucket_width: int, **kw) -> "SemanticFrame":
         """Gaps-and-islands runs of consecutive active buckets per key —
         see functions/timeseries.streaks."""

@@ -577,6 +577,75 @@ def funnel(
     return agg.withColumn("reached", reached.cast("int"))
 
 
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: list[str],
+    alpha: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    y_0 = x_0, y_i = (1-alpha)*y_{i-1} + alpha*x_i over the key's
+    events in (ts, tiebreak) order — the smoothed-latest-value report
+    (pandas ``ewm(alpha=..., adjust=False)``'s last row per group).
+
+    The recurrence is inherently sequential, so it runs as ONE
+    ``aggregate()`` fold over the key's time-ordered value array
+    (collect_list + array_sort, pure JVM) — a deliberate, documented
+    state bound: one key's full history must fit one aggregation
+    buffer. That is the honest cost of an exact sequential recurrence;
+    at 100 TB, either the per-key history is naturally bounded
+    (devices, users) or the caller pre-buckets time and chains bucket
+    EWMAs. No Python, no driver state; one shuffle on the keys.
+
+    Determinism: both engines fold identical IEEE doubles in an
+    identical order, so the result is bit-exact across Spark and a SQL
+    ``list_reduce`` oracle — PROVIDED the (1-alpha) literal is the same
+    double on both sides (embed ``repr(1 - alpha)`` in the SQL).
+
+    Output: keys + ``n`` + ``ewma`` (double; NULL inputs are dropped
+    from the fold like pandas ewm ignore_na)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not keys:
+        raise ValueError("ewma requires at least one key column")
+    one_minus = 1.0 - float(alpha)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(
+                    F.col(ts_col).cast("long").alias("t"),
+                    tb.alias("tb"),
+                    F.col(value_col).cast("double").alias("v"),
+                ),
+            )
+        )
+    )
+    out = (
+        df.groupBy(*keys)
+        .agg(F.count(F.col(value_col)).alias("n"), arr.alias("_arr"))
+        .withColumn("_vals", F.transform(F.col("_arr"), lambda s: s["v"]))
+        .withColumn(
+            "ewma",
+            # F.get (0-based) is NULL-safe on the all-NULL-values empty
+            # array, where element_at would throw under ANSI mode
+            F.when(
+                F.size("_vals") > 1,
+                F.aggregate(
+                    F.expr("slice(_vals, 2, size(_vals) - 1)"),
+                    F.get(F.col("_vals"), 0),
+                    lambda acc, x: acc * F.lit(one_minus) + x * F.lit(float(alpha)),
+                ),
+            ).otherwise(F.get(F.col("_vals"), 0)),
+        )
+    )
+    return out.select(*keys, "n", "ewma")
+
+
 def streaks(
     df: DataFrame,
     ts_col: str,

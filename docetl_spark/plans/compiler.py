@@ -239,6 +239,26 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "range_join":
         intervals = datasets[c.pop("intervals")]
         return sf.range_join(intervals, **c)
+    if t == "ewma":
+        return sf.ewma(c.pop("ts_col"), c.pop("value_col"),
+                       keys=c.pop("keys"), alpha=c.pop("alpha"), **c)
+    if t == "streaks":
+        return sf.streaks(c.pop("ts_col"), keys=c.pop("keys"),
+                          bucket_width=c.pop("bucket_width"), **c)
+    if t == "attribute_conversions":
+        return sf.attribute_conversions(
+            conversion_type=c.pop("conversion_type"),
+            touch_types=c.pop("touch_types"), horizon=c.pop("horizon"), **c)
+    if t == "heavy_hitters":
+        return sf.heavy_hitters(c.pop("value_col"), **c)
+    if t == "flag_outliers":
+        return sf.flag_outliers(c.pop("value_col"), **c)
+    if t == "melt":
+        return sf.melt(c.pop("id_cols"), c.pop("value_cols"), **c)
+    if t == "json_extract":
+        return sf.json_extract(c.pop("json_col"), c.pop("fields"), **c)
+    if t == "keywords":
+        return sf.keywords(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     # plugin operators: entry-point group docetl_spark.operators or
     # register_operator() (reference operations/__init__.py:54-76)
     from ..plugins import get_operator

@@ -34,6 +34,8 @@ _KNOWN_OPS = {
     "cohort_retention", "funnel", "skew_profile", "exact_quantiles",
     "cooccurrence_stats", "asof_join", "range_join", "sessionize",
     "rolling_features", "near_dup_simhash", "retrieve_context",
+    "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
+    "melt", "json_extract", "keywords", "ewma",
 }
 
 
@@ -203,6 +205,14 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "rolling_features": ("ts_col", "keys"),
         "near_dup_simhash": ("id_col", "text_col"),
         "retrieve_context": ("corpus", "text_keys"),
+        "ewma": ("ts_col", "value_col", "keys", "alpha"),
+        "streaks": ("ts_col", "keys", "bucket_width"),
+        "attribute_conversions": ("conversion_type", "touch_types", "horizon"),
+        "heavy_hitters": ("value_col",),
+        "flag_outliers": ("value_col",),
+        "melt": ("id_cols", "value_cols"),
+        "json_extract": ("json_col", "fields"),
+        "keywords": ("text_col", "id_col"),
     }
     for k in _ANALYTICS_REQUIRED.get(t, ()):
         if op.get(k) is None:

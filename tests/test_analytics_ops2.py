@@ -154,6 +154,25 @@ def test_tfdf_keywords_ranks_rare_terms_first(spark):
         tfdf_keywords(df, "text", id_col="doc_id", top=0)
 
 
+def test_ewma_recurrence_nulls_and_edges(spark):
+    from docetl_spark.functions.timeseries import ewma
+
+    rows = [
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, None),  # NULL dropped from fold
+        (2, 1, 5.0),                               # single value: ewma = x0
+        (3, 1, None),                              # all-NULL: n=0, ewma NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = {r["k"]: r for r in ewma(df, "ts", "v", keys=["k"], alpha=0.5).collect()}
+    assert out[1]["n"] == 2 and out[1]["ewma"] == 10.0 * 0.5 + 20.0 * 0.5
+    assert out[2]["n"] == 1 and out[2]["ewma"] == 5.0
+    assert out[3]["n"] == 0 and out[3]["ewma"] is None
+    with pytest.raises(ValueError):
+        ewma(df, "ts", "v", keys=["k"], alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, "ts", "v", keys=[], alpha=0.5)
+
+
 def test_frame_verbs_chain(spark):
     from docetl_spark import SemanticFrame
 
