@@ -2555,6 +2555,56 @@ def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_scd2_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> SCD2 validity intervals (timeseries.changelog_to_scd2):
+    each user's event_type change points become versions with
+    valid_from/valid_to/is_current; consecutive same-type events
+    compress (null-safe lag comparison). Two windows over ONE
+    (user, ts) sort, no self-join."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    return tsf.changelog_to_scd2(
+        ev, keys=["user_id"], ts_col="ts", attrs=["event_type"],
+        tiebreak="event_id",
+    )
+
+
+def docs_winsorize_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized document length (stats.winsorize):
+    n_chars clipped at the EXACT [p5, p95] quantile_cont bounds —
+    the exact_quantiles machinery, so the clamp replays bit-for-bit
+    against quantile_cont in the oracle."""
+    from docetl_spark.functions.stats import winsorize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize(docs, "n_chars", by=["lang"], lower=0.05, upper=0.95)
+
+
+def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters twin: exactly-once per-(user, type)
+    counts maintained by an update-mode streaming aggregation, drained
+    availableNow, then finished through the IDENTICAL batch rank/tail
+    plan via heavy_hitters(weight_col=...). Oracle = the batch
+    heavy-hitters SQL — streaming/batch parity is the check."""
+    from docetl_spark.functions.stats import heavy_hitters
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id", "event_type").count()
+    rows = stream_ops.run_available_now(
+        counts,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_hh_"),
+        dedupe_keys=["user_id", "event_type"],
+        shuffle_partitions=8,
+    )
+    drained = stream_ops.drained_df(
+        spark, rows, "user_id long, event_type string, count long"
+    )
+    return heavy_hitters(drained, "event_type", by=["user_id"], top=3,
+                         weight_col="count")
+
+
 def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user final EWMA of event value (timeseries.ewma, pandas
     ewm(adjust=False) last-row semantics): one JVM aggregate() fold
@@ -2861,6 +2911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "docs_cooccurrence": docs_cooccurrence,
         "events_ewma_value": events_ewma_value,
+        "events_scd2_type": events_scd2_type,
+        "docs_winsorize_len": docs_winsorize_len,
+        "events_stream_heavy_hitters": events_stream_heavy_hitters,
         "events_streaks": events_streaks,
         "events_attribution_last": events_attribution_last,
         "events_attribution_first": events_attribution_first,
@@ -4900,6 +4953,33 @@ def oracle_sql() -> dict[str, str]:
                  (acc, x) -> acc * CAST(0.7 AS DOUBLE)
                            + x * CAST(0.3 AS DOUBLE)) AS ewma
         FROM events GROUP BY user_id"""
+    sql["events_scd2_type"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS vf, event_type, event_id FROM events
+        ), o AS (
+          SELECT user_id, vf, event_type, event_id,
+                 LAG(event_type) OVER w AS prev,
+                 ROW_NUMBER() OVER w AS rn
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        ), s AS (
+          SELECT user_id, vf, event_type, event_id
+          FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        )
+        SELECT user_id, vf AS valid_from, event_type,
+               LEAD(vf) OVER w2 AS valid_to,
+               (LEAD(vf) OVER w2) IS NULL AS is_current
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY vf, event_id)"""
+    sql["docs_winsorize_len"] = """
+        WITH b AS (
+          SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                 quantile_cont(n_chars, 0.95) AS hi
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS n_chars_w
+        FROM documents d JOIN b USING (lang)"""
     sql["events_streaks"] = """
         WITH pb AS (
           SELECT user_id,
@@ -4969,6 +5049,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, value, rank, n_rows,
                CAST(n_rows * 10000 // tot AS BIGINT) AS share_bp
         FROM u"""
+    # the streaming twin must reproduce the batch heavy-hitters table
+    sql["events_stream_heavy_hitters"] = sql["events_heavy_hitters"]
     sql["events_value_outliers"] = """
         WITH e AS (
           SELECT event_id, event_type,

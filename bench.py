@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "docs_tfdf_keywords",
     "docs_ngram_jaccard",
     "events_ewma_value",
+    "events_scd2_type",
+    "docs_winsorize_len",
+    "events_stream_heavy_hitters",
 ]
 
 

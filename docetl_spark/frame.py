@@ -796,6 +796,31 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def changelog_to_scd2(self, *, keys: list[str], ts_col: str,
+                          attrs: list[str], **kw) -> "SemanticFrame":
+        """Change log -> SCD2 validity intervals (valid_from/valid_to/
+        is_current, compressed change points) — see
+        functions/timeseries.changelog_to_scd2."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.changelog_to_scd2(self.df, keys=keys, ts_col=ts_col,
+                                  attrs=attrs, **kw),
+            "changelog_to_scd2", keys=list(keys), ts_col=ts_col,
+            attrs=list(attrs), **kw,
+        )
+
+    def winsorize(self, value_col: str, *, by: list[str] | None = None,
+                  **kw) -> "SemanticFrame":
+        """Quantile-clip a numeric column at exact per-group bounds —
+        see functions/stats.winsorize."""
+        from .functions import stats
+
+        return self._next(
+            stats.winsorize(self.df, value_col, by=by, **kw),
+            "winsorize", value_col=value_col, by=by, **kw,
+        )
+
     def ewma(self, ts_col: str, value_col: str, *, keys: list[str],
              alpha: float, **kw) -> "SemanticFrame":
         """Final per-key exponentially-weighted moving average — see

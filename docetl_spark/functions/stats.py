@@ -174,6 +174,7 @@ def heavy_hitters(
     by: list[str] | None = None,
     top: int = 5,
     with_other: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Top-``top`` most frequent ``value_col`` values per group (or
     globally), optionally with one ``__other__`` row rolling up the
@@ -191,14 +192,20 @@ def heavy_hitters(
     deterministically by (count desc, value asc). No driver collect;
     a group's distinct values sort in one task (parallelism across
     groups — the exact-order-statistic bound shared with
-    exact_quantiles)."""
+    exact_quantiles).
+
+    ``weight_col``: input rows already carry a count/weight (e.g. a
+    drained streaming counts table) — sum it instead of counting rows,
+    so a streaming twin can finish through the identical rank/tail
+    plan."""
     if top < 1:
         raise ValueError("top must be >= 1")
     part = [F.col(c) for c in (by or [])]
     val = F.col(value_col).cast("string")
-    counts = df.groupBy(*part, val.alias("_hv")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    measure = (
+        F.sum(F.col(weight_col)).cast("long") if weight_col else F.count(F.lit(1))
     )
+    counts = df.groupBy(*part, val.alias("_hv")).agg(measure.alias("n_rows"))
     wr = W.partitionBy(*part).orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
     wall = W.partitionBy(*part)
     ranked = counts.withColumn("rank", F.row_number().over(wr)).withColumn(
@@ -295,3 +302,64 @@ def robust_outliers(
     return flagged.withColumn(
         "is_outlier", F.coalesce(is_out, F.lit(False))
     ).drop("_x", "_n", "_s", "_ss")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Winsorize (quantile-clip) a numeric column per group: values
+    below the exact ``lower`` quantile clamp up to it, above ``upper``
+    clamp down — the standard heavy-tail tamer for score/length
+    features before they feed mixtures or quality thresholds.
+
+    The clip points are EXACT interpolated quantiles via
+    :func:`exact_quantiles` (quantile_cont semantics, the formula
+    unit-tested bit-equal to percentile()/quantile_cont) — so the
+    clamped values replay exactly in a SQL oracle, unlike an
+    approx-sketch cut. Adds ``{value_col}{suffix}`` (double); NULLs
+    stay NULL.
+
+    Plan: the exact_quantiles pass (one sorted window per group), then
+    the group-count-sized clip bounds broadcast back and clamp in one
+    projection. Two scans of the input — cache upstream if the lineage
+    is expensive. Same per-group sort bound as every exact order
+    statistic."""
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    out_col = f"{value_col}{suffix}"
+    if out_col in df.columns:
+        raise ValueError(f"winsorize output column {out_col!r} already exists")
+    q = exact_quantiles(df, value_col, [lower, upper], by=by)
+
+    def _tag(p: float) -> str:  # exact_quantiles' output naming
+        pct = p * 100.0
+        return f"p{int(pct)}" if pct == int(pct) else "p" + str(p).replace(".", "_")
+
+    lo_tag, hi_tag = _tag(lower), _tag(upper)
+    v = F.col(value_col).cast("double")
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("_lo_q")), F.col("_hi_q")))
+    if by:
+        bounds = q.select(
+            *[F.col(c).alias(f"_wg_{c}") for c in by],
+            F.col(lo_tag).alias("_lo_q"), F.col(hi_tag).alias("_hi_q"),
+        )
+        cond = None
+        for c in by:
+            e = F.col(c).eqNullSafe(F.col(f"_wg_{c}"))
+            cond = e if cond is None else cond & e
+        joined = df.join(F.broadcast(bounds), cond).drop(*[f"_wg_{c}" for c in by])
+    else:
+        joined = broadcast_scalar_join(
+            df,
+            q.select(F.col(lo_tag).alias("_lo_q"), F.col(hi_tag).alias("_hi_q")),
+            df_col=value_col, scalar_col="_lo_q",
+        )
+    return joined.withColumn(out_col, clipped).drop("_lo_q", "_hi_q")

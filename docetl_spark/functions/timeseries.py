@@ -577,6 +577,58 @@ def funnel(
     return agg.withColumn("reached", reached.cast("int"))
 
 
+def changelog_to_scd2(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    tiebreak: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 validity intervals from a
+    change log: per key ordered by (ts, tiebreak), each (surviving) row
+    becomes a version with ``valid_from`` = its ts and ``valid_to`` =
+    the next version's ts (NULL on the current version, flagged
+    ``is_current``). The standard warehouse changelog→dimension fold,
+    which Spark has no built-in for.
+
+    ``compress=True`` (default) first drops rows whose ``attrs`` all
+    equal the previous row's — consecutive no-op updates collapse into
+    one version, so interval boundaries are true CHANGE points.
+    Equality is null-safe (NULL -> NULL is not a change).
+
+    Plan: one shuffle on the keys; compression is a lag() comparison
+    and the interval close is a lead() over the survivors — two window
+    passes over the same (keys, ts) sort, no self-join. Per-key history
+    sorts in one task (the usual exact-order bound; parallelism across
+    keys)."""
+    if not keys or not attrs:
+        raise ValueError("changelog_to_scd2 requires keys and attrs")
+    overlap = set(keys) & set(attrs)
+    if overlap:
+        raise ValueError(f"attrs overlap keys: {sorted(overlap)}")
+    reserved = {"valid_from", "valid_to", "is_current", "_chg"}
+    clash = sorted(reserved & (set(df.columns)))
+    if clash:
+        raise ValueError(f"changelog_to_scd2 reserves {clash} — rename the inputs")
+    tb = [tiebreak] if tiebreak and tiebreak not in keys and tiebreak not in attrs else []
+    base = df.select(
+        *keys, F.col(ts_col).cast("long").alias("valid_from"), *attrs, *tb
+    )
+    order = [F.col("valid_from").asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    wv = W.partitionBy(*keys).orderBy(*order)
+    if compress:
+        changed = F.lit(False)
+        for a in attrs:
+            # null-safe change test: NOT (prev <=> cur)
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(wv))
+        first = F.row_number().over(wv) == 1
+        base = base.withColumn("_chg", first | changed).filter(F.col("_chg")).drop("_chg")
+    out = base.withColumn("valid_to", F.lead("valid_from").over(wv))
+    return out.withColumn("is_current", F.col("valid_to").isNull()).drop(*tb)
+
+
 def ewma(
     df: DataFrame,
     ts_col: str,

@@ -239,6 +239,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "range_join":
         intervals = datasets[c.pop("intervals")]
         return sf.range_join(intervals, **c)
+    if t == "changelog_to_scd2":
+        return sf.changelog_to_scd2(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                    attrs=c.pop("attrs"), **c)
+    if t == "winsorize":
+        return sf.winsorize(c.pop("value_col"), **c)
     if t == "ewma":
         return sf.ewma(c.pop("ts_col"), c.pop("value_col"),
                        keys=c.pop("keys"), alpha=c.pop("alpha"), **c)

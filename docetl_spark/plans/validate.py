@@ -35,7 +35,8 @@ _KNOWN_OPS = {
     "cooccurrence_stats", "asof_join", "range_join", "sessionize",
     "rolling_features", "near_dup_simhash", "retrieve_context",
     "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
-    "melt", "json_extract", "keywords", "ewma",
+    "melt", "json_extract", "keywords", "ewma", "changelog_to_scd2",
+    "winsorize",
 }
 
 
@@ -206,6 +207,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "near_dup_simhash": ("id_col", "text_col"),
         "retrieve_context": ("corpus", "text_keys"),
         "ewma": ("ts_col", "value_col", "keys", "alpha"),
+        "changelog_to_scd2": ("keys", "ts_col", "attrs"),
+        "winsorize": ("value_col",),
         "streaks": ("ts_col", "keys", "bucket_width"),
         "attribute_conversions": ("conversion_type", "touch_types", "horizon"),
         "heavy_hitters": ("value_col",),

@@ -154,6 +154,71 @@ def test_tfdf_keywords_ranks_rare_terms_first(spark):
         tfdf_keywords(df, "text", id_col="doc_id", top=0)
 
 
+def test_changelog_to_scd2_compression_and_intervals(spark):
+    from docetl_spark.functions.timeseries import changelog_to_scd2
+
+    rows = [
+        (1, 10, "a", 100), (1, 20, "a", 101),  # no-op update compresses
+        (1, 30, "b", 102), (1, 40, None, 103), (1, 50, None, 104),  # NULL run = one version
+        (2, 5, "x", 200),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string, eid long")
+    out = changelog_to_scd2(df, keys=["k"], ts_col="ts", attrs=["attr"],
+                            tiebreak="eid")
+    got = sorted(
+        ((r["k"], r["valid_from"], r["attr"], r["valid_to"], r["is_current"])
+         for r in out.collect())
+    )
+    assert got == [
+        (1, 10, "a", 30, False),
+        (1, 30, "b", 40, False),
+        (1, 40, None, None, True),
+        (2, 5, "x", None, True),
+    ]
+    # compress=False keeps every changelog row as a version
+    assert changelog_to_scd2(df, keys=["k"], ts_col="ts", attrs=["attr"],
+                             tiebreak="eid", compress=False).count() == 6
+    with pytest.raises(ValueError):
+        changelog_to_scd2(df, keys=["k"], ts_col="ts", attrs=["k"])
+
+
+def test_winsorize_clips_at_exact_bounds(spark):
+    from docetl_spark.functions.stats import winsorize
+
+    vals = list(range(1, 101))  # p5 interpolates to 5.95, p95 to 95.05
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {r["x"]: r["x_w"] for r in winsorize(
+        df, "x", lower=0.05, upper=0.95).collect()}
+    import math
+
+    def q(p):  # exact_quantiles' own arithmetic, ulp-for-ulp
+        pos = (100 - 1) * p
+        f = pos - math.floor(pos)
+        v_lo, v_hi = vals[math.floor(pos)], vals[math.ceil(pos)]
+        return (1.0 - f) * v_lo + f * v_hi
+
+    lo, hi = q(0.05), q(0.95)
+    assert out[1] == lo and out[3] == lo
+    assert out[100] == hi and out[99] == hi
+    assert out[50] == 50.0
+    with pytest.raises(ValueError):
+        winsorize(df, "x", lower=0.9, upper=0.1)
+
+
+def test_heavy_hitters_weight_col_matches_raw(spark):
+    from docetl_spark.functions.stats import heavy_hitters
+
+    raw = spark.createDataFrame(
+        [("g", v) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 2],
+        "grp string, v string",
+    )
+    pre = raw.groupBy("grp", "v").count()
+    a = sorted(tuple(r) for r in heavy_hitters(raw, "v", by=["grp"], top=2).collect())
+    b = sorted(tuple(r) for r in heavy_hitters(
+        pre, "v", by=["grp"], top=2, weight_col="count").collect())
+    assert a == b
+
+
 def test_ewma_recurrence_nulls_and_edges(spark):
     from docetl_spark.functions.timeseries import ewma
 
