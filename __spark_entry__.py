@@ -2555,6 +2555,54 @@ def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (timeseries.transitions): per-user lag() over one (user, ts) sort,
+    then a map-side-combinable count at state-pair cardinality."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.transitions(
+        ev, keys=["user_id"], ts_col="ts", state_col="event_type",
+        tiebreak="event_id",
+    )
+
+
+def docs_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (stats.quantile_buckets, NTILE
+    semantics with a doc_id tiebreak for a total order) — the
+    stratifier quality-decile mixtures sample from."""
+    from docetl_spark.functions.stats import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_buckets(docs, "n_chars", 10, by=["lang"], tiebreak=["doc_id"])
+
+
+def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted orders x customer equi-join (joins.salted_join):
+    hot customer keys split across 8 reducers via a (key, salt)
+    composite; the oracle is the PLAIN join — salting must be
+    result-identical, only the shuffle distribution changes."""
+    from docetl_spark.functions.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(orders, cust, ["o_custkey"], salt=8)
+
+
+def docs_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with total + document frequency
+    (text.ngram_stats): tokenize once into a materialized array, JVM
+    transform over its index sequence, two-level partial aggregate —
+    the LM-table building block above term_stats' unigrams."""
+    from docetl_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textf.ngram_stats(docs, "text", id_col="doc_id", n=2, top_n=50)
+
+
 def events_scd2_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog -> SCD2 validity intervals (timeseries.changelog_to_scd2):
     each user's event_type change points become versions with
@@ -2911,6 +2959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "docs_cooccurrence": docs_cooccurrence,
         "events_ewma_value": events_ewma_value,
+        "events_transitions": events_transitions,
+        "docs_quantile_buckets": docs_quantile_buckets,
+        "orders_salted_join": orders_salted_join,
+        "docs_ngram_stats": docs_ngram_stats,
         "events_scd2_type": events_scd2_type,
         "docs_winsorize_len": docs_winsorize_len,
         "events_stream_heavy_hitters": events_stream_heavy_hitters,
@@ -4953,6 +5005,40 @@ def oracle_sql() -> dict[str, str]:
                  (acc, x) -> acc * CAST(0.7 AS DOUBLE)
                            + x * CAST(0.3 AS DOUBLE)) AS ewma
         FROM events GROUP BY user_id"""
+    sql["events_transitions"] = """
+        WITH o AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ) AS prev
+          FROM events
+        )
+        SELECT prev AS from_state, event_type AS to_state, COUNT(*) AS n
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    sql["docs_quantile_buckets"] = """
+        SELECT doc_id, lang, n_chars,
+               CAST(NTILE(10) OVER (
+                 PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        FROM documents"""
+    sql["orders_salted_join"] = """
+        SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
+    sql["docs_ngram_stats"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [] END) AS gram
+          FROM tok
+        ), pd AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT gram, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+        FROM pd GROUP BY gram ORDER BY tf DESC, gram LIMIT 50"""
     sql["events_scd2_type"] = """
         WITH e AS (
           SELECT user_id, epoch_ns(ts) AS vf, event_type, event_id FROM events

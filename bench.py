@@ -213,6 +213,10 @@ BENCH_QUERIES = [
     "events_scd2_type",
     "docs_winsorize_len",
     "events_stream_heavy_hitters",
+    "events_transitions",
+    "docs_quantile_buckets",
+    "orders_salted_join",
+    "docs_ngram_stats",
 ]
 
 

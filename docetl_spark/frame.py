@@ -796,6 +796,52 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def transitions(self, *, keys: list[str], ts_col: str, state_col: str,
+                    **kw) -> "SemanticFrame":
+        """First-order state-transition counts (Markov matrix) — see
+        functions/timeseries.transitions."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.transitions(self.df, keys=keys, ts_col=ts_col,
+                            state_col=state_col, **kw),
+            "transitions", keys=list(keys), ts_col=ts_col,
+            state_col=state_col, **kw,
+        )
+
+    def quantile_buckets(self, value_col: str, n: int, *, by: list[str] | None = None,
+                         **kw) -> "SemanticFrame":
+        """Equal-count NTILE buckets (distributed-rank global path) —
+        see functions/stats.quantile_buckets."""
+        from .functions import stats
+
+        return self._next(
+            stats.quantile_buckets(self.df, value_col, n, by=by, **kw),
+            "quantile_buckets", value_col=value_col, n=n, by=by, **kw,
+        )
+
+    def salted_join(self, right: "SemanticFrame | DataFrame", on: list[str], *,
+                    salt: int, how: str = "inner") -> "SemanticFrame":
+        """Result-identical skew-salted equi-join — see
+        functions/joins.salted_join."""
+        from .functions.joins import salted_join as _sj
+
+        rdf = right.df if isinstance(right, SemanticFrame) else right
+        return self._next(
+            _sj(self.df, rdf, on, salt=salt, how=how),
+            "salted_join", on=list(on), salt=salt, how=how,
+        )
+
+    def ngram_stats(self, text_col: str, *, id_col: str, n: int = 2,
+                    top_n: int | None = None) -> "SemanticFrame":
+        """Corpus n-gram frequency table — see functions/text.ngram_stats."""
+        from .functions import text as text_fn
+
+        return self._next(
+            text_fn.ngram_stats(self.df, text_col, id_col=id_col, n=n, top_n=top_n),
+            "ngram_stats", text_col=text_col, id_col=id_col, n=n, top_n=top_n,
+        )
+
     def changelog_to_scd2(self, *, keys: list[str], ts_col: str,
                           attrs: list[str], **kw) -> "SemanticFrame":
         """Change log -> SCD2 validity intervals (valid_from/valid_to/

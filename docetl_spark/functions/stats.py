@@ -363,3 +363,45 @@ def winsorize(
             df_col=value_col, scalar_col="_lo_q",
         )
     return joined.withColumn(out_col, clipped).drop("_lo_q", "_hi_q")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    *,
+    by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-count quantile buckets (NTILE semantics: the first
+    ``total % n`` buckets get the extra row) — the stratifier for
+    quality-decile mixtures and per-bucket sampling plans.
+
+    Pass ``tiebreak`` columns ending in a unique id: NTILE is an
+    ORDER-based assignment, so equal values straddling a bucket edge
+    land deterministically only under a total order.
+
+    With ``by``: Spark's ntile window per group (one sorted task per
+    group, the exact-order bound). WITHOUT ``by``, a bare global window
+    would drag the table into ONE partition — the global path instead
+    rides the distributed range-partitioned rank (rank.py) and computes
+    the bucket as ``(rank-1) * n DIV total + 1``, which is exactly the
+    NTILE assignment (the first total%n buckets come out one larger).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if bucket_col in df.columns:
+        raise ValueError(f"bucket column {bucket_col!r} already exists")
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    if by:
+        w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+        return df.withColumn(bucket_col, F.ntile(n).over(w).cast("long"))
+    from ..operators.rank import _global_row_number
+
+    g = _global_row_number(df, order, "_qr")
+    tot = g.agg(F.count(F.lit(1)).alias("_qt"))
+    out = broadcast_scalar_join(g, tot, df_col="_qr", scalar_col="_qt")
+    return out.withColumn(
+        bucket_col, F.expr(f"(_qr - 1) * {int(n)} DIV _qt + 1")
+    ).drop("_qr", "_qt")

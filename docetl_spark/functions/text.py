@@ -438,3 +438,42 @@ def tfdf_keywords(df, text_col: str, *, id_col: str, top: int = 5):
         .filter(F.col("rank") <= top)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def ngram_stats(df, text_col: str, *, id_col: str, n: int = 2, top_n: int | None = None):
+    """Corpus n-gram table (the LM-building block above term_stats'
+    unigrams): per space-joined word n-gram, total occurrence count
+    (``tf``, repeats within a doc count) and document frequency
+    (``df``). Docs with < n tokens contribute nothing.
+
+    Plan: tokenize ONCE into a materialized array column, then a pure
+    JVM transform over its index sequence (the two-step select keeps
+    the tokenizer out of the higher-order lambda — embedded, it
+    re-evaluates per gram position: the substring_windows lesson), one
+    explode, and the same two-level map-side-combinable aggregate as
+    term_stats. ``top_n`` bounds output via TakeOrderedAndProject."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from ..session import widen_for_udf
+
+    tk = tokens(F.trim(F.lower(F.col(text_col))))
+    grams = F.expr(
+        f"CASE WHEN size(_tk) >= {int(n)} THEN "
+        f"transform(sequence(1, size(_tk) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {int(n)}))) "
+        f"ELSE array() END"
+    )
+    per_doc = (
+        widen_for_udf(df.select(F.col(id_col), F.col(text_col)))
+        .select(id_col, tk.alias("_tk"))
+        .select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+    )
+    stats = per_doc.groupBy("gram").agg(
+        F.sum("count").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    if top_n is not None:
+        stats = stats.orderBy(F.col("tf").desc(), F.col("gram")).limit(int(top_n))
+    return stats

@@ -577,6 +577,40 @@ def funnel(
     return agg.withColumn("reached", reached.cast("int"))
 
 
+def transitions(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """First-order state-transition counts (the Markov matrix of a
+    product-analytics event stream): per key ordered by (ts, tiebreak),
+    every consecutive (state_{i-1} -> state_i) pair, counted.
+
+    Output: ``by`` (optional extra grouping, e.g. a cohort column) +
+    ``from_state`` / ``to_state`` + ``n`` — each key's first event has
+    no predecessor and contributes nothing.
+
+    Plan: one lag() window over the (keys, ts) sort, one map-side-
+    combinable count on state-pair cardinality — the raw stream is
+    touched once. Same per-key sort bound as sessionize."""
+    if not keys:
+        raise ValueError("transitions requires at least one key column")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    pairs = df.select(
+        *(by or []),
+        F.lag(F.col(state_col)).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    return pairs.groupBy(*(by or []), "from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def changelog_to_scd2(
     df: DataFrame,
     *,

@@ -239,6 +239,16 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "range_join":
         intervals = datasets[c.pop("intervals")]
         return sf.range_join(intervals, **c)
+    if t == "transitions":
+        return sf.transitions(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                              state_col=c.pop("state_col"), **c)
+    if t == "quantile_buckets":
+        return sf.quantile_buckets(c.pop("value_col"), c.pop("n"), **c)
+    if t == "salted_join":
+        right = datasets[c.pop("right")]
+        return sf.salted_join(right, c.pop("on"), salt=c.pop("salt"), **c)
+    if t == "ngram_stats":
+        return sf.ngram_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "changelog_to_scd2":
         return sf.changelog_to_scd2(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                     attrs=c.pop("attrs"), **c)

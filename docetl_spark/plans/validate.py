@@ -36,7 +36,8 @@ _KNOWN_OPS = {
     "rolling_features", "near_dup_simhash", "retrieve_context",
     "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
     "melt", "json_extract", "keywords", "ewma", "changelog_to_scd2",
-    "winsorize",
+    "winsorize", "transitions", "quantile_buckets", "salted_join",
+    "ngram_stats",
 }
 
 
@@ -209,6 +210,10 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "ewma": ("ts_col", "value_col", "keys", "alpha"),
         "changelog_to_scd2": ("keys", "ts_col", "attrs"),
         "winsorize": ("value_col",),
+        "transitions": ("keys", "ts_col", "state_col"),
+        "quantile_buckets": ("value_col", "n"),
+        "salted_join": ("right", "on", "salt"),
+        "ngram_stats": ("text_col", "id_col"),
         "streaks": ("ts_col", "keys", "bucket_width"),
         "attribute_conversions": ("conversion_type", "touch_types", "horizon"),
         "heavy_hitters": ("value_col",),

@@ -238,6 +238,66 @@ def test_ewma_recurrence_nulls_and_edges(spark):
         ewma(df, "ts", "v", keys=[], alpha=0.5)
 
 
+def test_transitions_counts_consecutive_pairs(spark):
+    from docetl_spark.functions.timeseries import transitions
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (2, 1, "a")]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    out = {(r["from_state"], r["to_state"]): r["n"] for r in transitions(
+        df, keys=["k"], ts_col="ts", state_col="s").collect()}
+    # user 2's single event contributes nothing
+    assert out == {("a", "b"): 1, ("b", "b"): 1}
+    with pytest.raises(ValueError):
+        transitions(df, keys=[], ts_col="ts", state_col="s")
+
+
+def test_quantile_buckets_global_matches_ntile(spark):
+    from docetl_spark.functions.stats import quantile_buckets
+
+    df = spark.createDataFrame([(i,) for i in range(1, 8)], "x long")
+    # grouped path on a constant group == Spark's own ntile
+    grouped = quantile_buckets(
+        df.withColumn("g", F.lit(1)), "x", 3, by=["g"], tiebreak=["x"]
+    ).select("x", "bucket")
+    global_ = quantile_buckets(df, "x", 3, tiebreak=["x"])
+    a = sorted((r["x"], r["bucket"]) for r in grouped.collect())
+    b = sorted((r["x"], r["bucket"]) for r in global_.collect())
+    assert a == b  # the DIV formula IS the NTILE assignment
+    assert [x[1] for x in a] == [1, 1, 1, 2, 2, 3, 3]  # first bucket gets the extra
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "x", 0)
+
+
+def test_salted_join_result_identical(spark):
+    from docetl_spark.functions.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2, 3) for i in range(2)], "k long, li long"
+    )
+    right = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, rv string")
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(left, right, ["k"], salt=4).collect())
+    assert plain == salted
+    plain_l = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
+    salted_l = sorted(tuple(r) for r in salted_join(left, right, ["k"], salt=4, how="left").collect())
+    assert plain_l == salted_l
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], salt=2, how="outer")
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["nope"], salt=2)
+
+
+def test_ngram_stats_counts_repeats_and_short_docs(spark):
+    from docetl_spark.functions.text import ngram_stats
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: (r["tf"], r["df"]) for r in ngram_stats(
+        df, "text", id_col="doc_id", n=2).collect()}
+    # doc 1: "a b","b a","a b" -> tf(a b)=2 there; doc 3 (<2 tokens) emits nothing
+    assert out == {"a b": (3, 2), "b a": (1, 1)}
+
+
 def test_frame_verbs_chain(spark):
     from docetl_spark import SemanticFrame
 
