@@ -333,8 +333,9 @@ def winsorize(
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
     out_col = f"{value_col}{suffix}"
-    if out_col in df.columns:
-        raise ValueError(f"winsorize output column {out_col!r} already exists")
+    clash = sorted({out_col, "_lo_q", "_hi_q"} & set(df.columns))
+    if clash:
+        raise ValueError(f"winsorize reserves column names {clash} — rename the inputs")
     q = exact_quantiles(df, value_col, [lower, upper], by=by)
 
     def _tag(p: float) -> str:  # exact_quantiles' output naming
@@ -391,8 +392,9 @@ def quantile_buckets(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    if bucket_col in df.columns:
-        raise ValueError(f"bucket column {bucket_col!r} already exists")
+    clash = sorted({bucket_col, "_qr", "_qt"} & set(df.columns))
+    if clash:
+        raise ValueError(f"quantile_buckets reserves column names {clash} — rename the inputs")
     order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     if by:
         w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
