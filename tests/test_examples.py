@@ -129,3 +129,22 @@ def test_event_analytics_yaml_runs(spark):
         "SELECT * FROM user_grid WHERE n_events IS NULL AND cents_filled IS NOT NULL"
     )
     assert grid.count() > 0
+
+
+def test_product_analytics_yaml_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/product_analytics.yaml")
+    # final step: SCD2 history — exactly one current version per user
+    rows = out.df.collect()
+    assert rows
+    current = [r for r in rows if r["is_current"]]
+    users = {r["user_id"] for r in rows}
+    assert len(current) == len(users)
+    assert all(r["valid_to"] is None for r in current)
+    # step views: attributed purchases and top-type report
+    attr = spark.sql("SELECT * FROM attributed_purchases").collect()
+    assert attr and any(r["touch_type"] in ("click", "view") for r in attr)
+    assert all(r["lag_ns"] is None or 0 <= r["lag_ns"] <= 86400000000000 for r in attr)
+    top = spark.sql("SELECT * FROM user_top_types").collect()
+    assert top and all(1 <= r["rank"] <= 4 for r in top)
