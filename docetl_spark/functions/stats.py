@@ -200,6 +200,10 @@ def heavy_hitters(
     plan."""
     if top < 1:
         raise ValueError("top must be >= 1")
+    reserved = {"value", "rank", "n_rows", "share_bp", "_hv", "_tot"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"heavy_hitters reserves column names {clash} — rename the group columns")
     part = [F.col(c) for c in (by or [])]
     val = F.col(value_col).cast("string")
     measure = (
@@ -217,6 +221,11 @@ def heavy_hitters(
             ranked.filter(F.col("rank") > top)
             .groupBy(*part)
             .agg(F.sum("n_rows").alias("n_rows"), F.max("_tot").alias("_tot"))
+            # the GLOBAL groupBy() of an empty tail still emits one
+            # all-NULL row (SQL global-aggregate semantics) — without
+            # this filter, <= top distinct values yields a spurious
+            # ('__other__', NULL, NULL) row
+            .filter(F.col("n_rows").isNotNull())
             .withColumn("_hv", F.lit("__other__"))
             .withColumn("rank", F.lit(top + 1).cast("int"))
         )
@@ -259,6 +268,10 @@ def robust_outliers(
     sums), broadcast back per group, one filter-free projection.
     The raw table is scanned twice (moments + flags) — cache upstream
     if the input lineage is expensive."""
+    reserved = {"_x", "_n", "_s", "_ss", "is_outlier"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"robust_outliers reserves column names {clash} — rename the inputs")
     part = [F.col(c) for c in (by or [])]
     # floor(x*scale + 0.5), not round(): the repo's proven fixed-point
     # idiom — both engines evaluate it on the identical input double,

@@ -599,6 +599,9 @@ def transitions(
     touched once. Same per-key sort bound as sessionize."""
     if not keys:
         raise ValueError("transitions requires at least one key column")
+    clash = sorted({"from_state", "to_state", "n"} & set(by or []))
+    if clash:
+        raise ValueError(f"transitions reserves column names {clash} — rename the `by` columns")
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     pairs = df.select(
@@ -1004,13 +1007,16 @@ def gap_fill(
     )
     # assert_true rides inside the sequence's lower bound so Catalyst
     # cannot prune it: span checks run exactly once per key, before any
-    # explode work
+    # explode work. A NULL span (all-NULL ts for a key) must PASS the
+    # assert — sequence(NULL, ...) skips that key, the pre-guard
+    # behavior — and the message operands coalesce so a violation never
+    # raises with a NULL message.
     n_buckets = F.col("_hi") - F.col("_lo") + 1
     span_ok = F.assert_true(
-        n_buckets <= F.lit(int(max_buckets_per_key)),
+        n_buckets.isNull() | (n_buckets <= F.lit(int(max_buckets_per_key))),
         F.concat(
             F.lit("gap_fill: key bucket span "),
-            n_buckets.cast("string"),
+            F.coalesce(n_buckets.cast("string"), F.lit("?")),
             F.lit(f" exceeds max_buckets_per_key={int(max_buckets_per_key)}"
                   " — likely a corrupt timestamp outlier (epoch-0 / "
                   "far-future row); fix the data or raise the cap"),

@@ -58,7 +58,10 @@ def set_nanos_conf_if_needed(spark: SparkSession, path: str, col: str = "ts") ->
         p = files[0]
     try:
         field = pq.read_schema(str(p)).field(col)
-    except (KeyError, OSError):
+    except Exception:
+        # the sniff is ADVISORY: a corrupt/truncated footer (pyarrow
+        # ArrowInvalid, a ValueError) must fall through to
+        # spark.read.parquet, whose error names the real problem
         return
     if getattr(field.type, "unit", None) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -343,10 +343,15 @@ def scratch_checkpoint_dir(prefix: str = "ckpt_") -> str:
     import os
     import tempfile
 
+    import atexit
+    import shutil
+
     shm = "/dev/shm"
-    return tempfile.mkdtemp(
-        prefix=prefix, dir=shm if os.path.isdir(shm) else None
-    )
+    path = tempfile.mkdtemp(prefix=prefix, dir=shm if os.path.isdir(shm) else None)
+    # drains never recover across processes, and tmpfs is RAM: reclaim
+    # at interpreter exit so repeated bench/gate runs can't fill /dev/shm
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def drained_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:

@@ -148,8 +148,14 @@ def check_all(spark, sf_dir: str, only: set[str] | None = None,
             try:
                 rep_s, rep_d = pandas_rep_hashes(sdf, con.execute(oracles[name]))
             except Exception as e:
+                # stop here: a second failures entry from the value-hash
+                # comparison would double-count the query, and a forensic
+                # dump with null pandas hashes would masquerade as
+                # "rep check not requested"
+                spark.catalog.clearCache()
                 failures.append(name)
                 print(f"FAIL  {name}: rep-check error: {str(e)[:200]}")
+                continue
         # operator-internal cache handles (shingles, lm bigrams,
         # sample inputs) must not accumulate across 80+ queries
         spark.catalog.clearCache()

@@ -131,7 +131,6 @@ def test_json_extract_nulls_on_garbage(spark):
     out = json_extract_columns(
         df, "props", {"k": "k:long", "name": "u.n"}, drop_source=True
     ).collect()
-    ks = sorted((r["k"] is not None, r["name"] is not None) for r in out)
     assert out[0].__fields__ == ["k", "name"]
     # exactly one row yields k=7, one yields name='ann'; garbage -> NULLs
     vals = [(r["k"], r["name"]) for r in out]
@@ -203,6 +202,37 @@ def test_winsorize_clips_at_exact_bounds(spark):
     assert out[50] == 50.0
     with pytest.raises(ValueError):
         winsorize(df, "x", lower=0.9, upper=0.1)
+
+
+def test_heavy_hitters_global_no_spurious_other(spark):
+    from docetl_spark.functions.stats import heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    rows = heavy_hitters(df, "v", top=5).collect()
+    # <= top distinct values: the empty global tail must NOT emit a
+    # ('__other__', NULL, NULL) row (review-pass repro)
+    assert sorted(r["value"] for r in rows) == ["a", "b"]
+    assert all(r["n_rows"] is not None and r["share_bp"] is not None for r in rows)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", by=["rank"])
+
+
+def test_gap_fill_null_ts_key_skipped_not_crashed(spark):
+    from docetl_spark.functions.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 1), (2, None, 1)], "k long, ts long, c long"
+    )
+    out = gap_fill(df, "ts", keys=["k"], bucket_width=10,
+                   aggs={"n": F.count(F.lit(1))}, max_buckets_per_key=100)
+    rows = out.collect()
+    # key 2 (all-NULL ts) drops silently, the pre-guard behavior; the
+    # guard itself still fires with a NAMED message on a real outlier
+    assert {r["k"] for r in rows} == {1}
+    bad = spark.createDataFrame([(1, 0, 1), (1, 10**15, 1)], "k long, ts long, c long")
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        gap_fill(bad, "ts", keys=["k"], bucket_width=10,
+                 aggs={"n": F.count(F.lit(1))}, max_buckets_per_key=100).collect()
 
 
 def test_heavy_hitters_weight_col_matches_raw(spark):
