@@ -2555,6 +2555,63 @@ def docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (timeseries.snapshot_latest): the
+    latest event per user by (ts, event_id) — one row_number window,
+    one shuffle."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return tsf.snapshot_latest(ev, keys=["user_id"], ts_col="ts", tiebreak="event_id")
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (timeseries.interval_join): per-user
+    6-hour activity spans x ±30-minute purchase windows, met through
+    ONE (user, time-bin) equi-join with each overlapping pair
+    attributed to the canonical bin of its overlap start — exactly-once
+    pair emission with NO dropDuplicates and no theta join."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    w6 = 21600 * 10**9
+    li = ev.groupBy(
+        "user_id", F.expr(f"(ts - pmod(ts, {w6})) DIV {w6}").alias("bkt")
+    ).agg(F.min("ts").alias("a_start"), (F.max("ts") + 1).alias("a_end"))
+    half = 1800 * 10**9
+    ri = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - half).alias("p_start"), (F.col("ts") + half).alias("p_end"),
+    )
+    return tsf.interval_join(
+        li, ri, on=["user_id"], left_start="a_start", left_end="a_end",
+        right_start="p_start", right_end="p_end", bin_width=3600 * 10**9,
+    )
+
+
+def events_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov-transition twin (streaming/events.py
+    transitions_stateful): O(1) (last_ts, last_state) state per user,
+    append-mode pair emission bridging micro-batch boundaries; the
+    drained pairs count to the BATCH transitions oracle exactly."""
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    pairs = stream_ops.transitions_stateful(
+        ev.select("user_id", "ts", "event_id", "event_type")
+    )
+    rows = stream_ops.run_available_now(
+        pairs,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_trans_"),
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+    drained = stream_ops.drained_df(spark, rows, "from_state string, to_state string")
+    return drained.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream
     (timeseries.transitions): per-user lag() over one (user, ts) sort,
@@ -2959,6 +3016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "docs_cooccurrence": docs_cooccurrence,
         "events_ewma_value": events_ewma_value,
+        "events_snapshot_latest": events_snapshot_latest,
+        "events_interval_join": events_interval_join,
+        "events_stream_transitions": events_stream_transitions,
         "events_transitions": events_transitions,
         "docs_quantile_buckets": docs_quantile_buckets,
         "orders_salted_join": orders_salted_join,
@@ -5005,6 +5065,33 @@ def oracle_sql() -> dict[str, str]:
                  (acc, x) -> acc * CAST(0.7 AS DOUBLE)
                            + x * CAST(0.3 AS DOUBLE)) AS ewma
         FROM events GROUP BY user_id"""
+    sql["events_snapshot_latest"] = """
+        SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        ) WHERE rn = 1"""
+    sql["events_interval_join"] = """
+        WITH li AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000) % 21600000000000)
+                   // 21600000000000 AS bkt,
+                 MIN(epoch_ns(ts)) AS a_start,
+                 MAX(epoch_ns(ts)) + 1 AS a_end
+          FROM events GROUP BY 1, 2
+        ), ri AS (
+          SELECT user_id, event_id AS purchase_id,
+                 epoch_ns(ts) - 1800000000000 AS p_start,
+                 epoch_ns(ts) + 1800000000000 AS p_end
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT li.user_id, li.bkt, li.a_start, li.a_end,
+               ri.purchase_id AS purchase_id_r,
+               ri.p_start AS p_start_r, ri.p_end AS p_end_r
+        FROM li JOIN ri ON ri.user_id = li.user_id
+         AND li.a_start < ri.p_end AND ri.p_start < li.a_end"""
     sql["events_transitions"] = """
         WITH o AS (
           SELECT event_type,
@@ -5015,6 +5102,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT prev AS from_state, event_type AS to_state, COUNT(*) AS n
         FROM o WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    # the streaming twin must count to the identical batch matrix
+    sql["events_stream_transitions"] = sql["events_transitions"]
     sql["docs_quantile_buckets"] = """
         SELECT doc_id, lang, n_chars,
                CAST(NTILE(10) OVER (

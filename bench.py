@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     "docs_winsorize_len",
     "events_stream_heavy_hitters",
     "events_transitions",
+    "events_snapshot_latest",
+    "events_interval_join",
+    "events_stream_transitions",
     "docs_quantile_buckets",
     "orders_salted_join",
     "docs_ngram_stats",

@@ -796,6 +796,33 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def snapshot_latest(self, *, keys: list[str], ts_col: str, **kw) -> "SemanticFrame":
+        """CDC compaction: latest row per key — see
+        functions/timeseries.snapshot_latest."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.snapshot_latest(self.df, keys=keys, ts_col=ts_col, **kw),
+            "snapshot_latest", keys=list(keys), ts_col=ts_col, **kw,
+        )
+
+    def interval_join(self, right: "SemanticFrame | DataFrame", *, on: list[str],
+                      left_start: str, left_end: str, right_start: str,
+                      right_end: str, bin_width: int, **kw) -> "SemanticFrame":
+        """Interval-overlap equi-join via canonical time bins — see
+        functions/timeseries.interval_join."""
+        from .functions import timeseries as tsf
+
+        rdf = right.df if isinstance(right, SemanticFrame) else right
+        return self._next(
+            tsf.interval_join(self.df, rdf, on=on, left_start=left_start,
+                              left_end=left_end, right_start=right_start,
+                              right_end=right_end, bin_width=bin_width, **kw),
+            "interval_join", on=list(on), left_start=left_start,
+            left_end=left_end, right_start=right_start, right_end=right_end,
+            bin_width=bin_width, **kw,
+        )
+
     def transitions(self, *, keys: list[str], ts_col: str, state_col: str,
                     **kw) -> "SemanticFrame":
         """First-order state-transition counts (Markov matrix) — see

@@ -577,6 +577,104 @@ def funnel(
     return agg.withColumn("reached", reached.cast("int"))
 
 
+def snapshot_latest(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC changelog compaction: the latest row per key by (ts,
+    tiebreak) — the point-in-time snapshot a change stream folds into
+    (the `is_current` slice of changelog_to_scd2 without building the
+    history). One row_number window over one shuffle on the keys; pass
+    a ``tiebreak`` for a total order when timestamps can tie."""
+    if not keys:
+        raise ValueError("snapshot_latest requires at least one key column")
+    if "_rn" in df.columns:
+        raise ValueError("snapshot_latest reserves the column name '_rn'")
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak).desc()] if tiebreak else []
+    )
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """INTERVAL-overlap equi-join: pair every left interval
+    [left_start, left_end) with every right interval of the same
+    ``on`` keys it overlaps (half-open: ``ls < re AND rs < le``).
+    range_join's interval x POINT sibling — Spark's built-ins cover
+    neither without a theta join.
+
+    Plan: both sides explode to the ``bin_width`` time bins they cover
+    and meet in ONE equi-join on (keys, bin). An overlapping pair
+    shares every bin its overlap covers, so pairs are attributed to
+    exactly ONE canonical bin — the bin containing the overlap START
+    ``greatest(ls, rs)``, which both intervals provably cover — via a
+    post-join filter: no dropDuplicates, no pair-identity columns
+    needed, each pair emitted exactly once. Explode factor =
+    interval span / bin_width (pick the width near the typical span);
+    empty/invalid intervals (end <= start) drop.
+
+    Right columns arrive suffixed. Timestamps must be non-negative
+    epoch longs (the pmod floor convention)."""
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    if not on:
+        raise ValueError("interval_join requires at least one key column")
+    clash = [c for c in ("_bin", "_ls", "_le", "_rs", "_re") if c in left.columns or c in right.columns]
+    if clash:
+        raise ValueError(f"interval_join reserves column names {clash}")
+
+    def bins(s, e):
+        lo = F.expr(f"({s} - pmod({s}, {w})) DIV {w}")
+        hi = F.expr(f"(({e} - 1) - pmod(({e} - 1), {w})) DIV {w}")
+        return F.explode(F.sequence(lo, hi))
+
+    lt = (
+        left.withColumn("_ls", F.col(left_start).cast("long"))
+        .withColumn("_le", F.col(left_end).cast("long"))
+        .filter(F.col("_le") > F.col("_ls"))
+        .withColumn("_bin", bins("_ls", "_le"))
+    )
+    rsel = [F.col(k) for k in on] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right.columns if c not in on
+    ]
+    rt = (
+        right.select(*rsel,
+                     F.col(right_start).cast("long").alias("_rs"),
+                     F.col(right_end).cast("long").alias("_re"))
+        .filter(F.col("_re") > F.col("_rs"))
+        .withColumn("_bin", bins("_rs", "_re"))
+    )
+    canon_bin = F.expr(
+        f"(greatest(_ls, _rs) - pmod(greatest(_ls, _rs), {w})) DIV {w}"
+    )
+    joined = lt.join(rt, [*on, "_bin"]).filter(
+        (F.col("_ls") < F.col("_re"))
+        & (F.col("_rs") < F.col("_le"))
+        & (F.col("_bin") == canon_bin)
+    )
+    return joined.drop("_bin", "_ls", "_le", "_rs", "_re")
+
+
 def transitions(
     df: DataFrame,
     *,

@@ -239,6 +239,14 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "range_join":
         intervals = datasets[c.pop("intervals")]
         return sf.range_join(intervals, **c)
+    if t == "snapshot_latest":
+        return sf.snapshot_latest(keys=c.pop("keys"), ts_col=c.pop("ts_col"), **c)
+    if t == "interval_join":
+        right = datasets[c.pop("right")]
+        return sf.interval_join(
+            right, on=c.pop("on"), left_start=c.pop("left_start"),
+            left_end=c.pop("left_end"), right_start=c.pop("right_start"),
+            right_end=c.pop("right_end"), bin_width=c.pop("bin_width"), **c)
     if t == "transitions":
         return sf.transitions(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                               state_col=c.pop("state_col"), **c)

@@ -37,7 +37,7 @@ _KNOWN_OPS = {
     "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
     "melt", "json_extract", "keywords", "ewma", "changelog_to_scd2",
     "winsorize", "transitions", "quantile_buckets", "salted_join",
-    "ngram_stats",
+    "ngram_stats", "snapshot_latest", "interval_join",
 }
 
 
@@ -211,6 +211,9 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "changelog_to_scd2": ("keys", "ts_col", "attrs"),
         "winsorize": ("value_col",),
         "transitions": ("keys", "ts_col", "state_col"),
+        "snapshot_latest": ("keys", "ts_col"),
+        "interval_join": ("right", "on", "left_start", "left_end",
+                          "right_start", "right_end", "bin_width"),
         "quantile_buckets": ("value_col", "n"),
         "salted_join": ("right", "on", "salt"),
         "ngram_stats": ("text_col", "id_col"),

@@ -608,6 +608,59 @@ def _rows_in_event_order(pdfs: "Iterable[pd.DataFrame]", cols: tuple) -> list:
     return rows
 
 
+def transitions_stateful(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Real-time state-transition extraction via applyInPandasWithState
+    — the streaming counterpart of timeseries.transitions. State per
+    key is ONE (last_ts, last_state) pair (O(1) regardless of history);
+    each micro-batch folds its rows in (ts, event_id) order and EMITS
+    one (from_state, to_state) row per consecutive pair, bridging the
+    batch boundary through the carried last event. Drained rows are
+    final (never amended): collect them all and count downstream — the
+    batch transitions() aggregate over the drained pairs reproduces the
+    batch Markov matrix exactly on an in-order availableNow drain
+    (cross-batch LATE data is out of contract, as with the other
+    stateful ops here)."""
+    out_schema = T.StructType([
+        T.StructField("from_state", T.StringType()),
+        T.StructField("to_state", T.StringType()),
+    ])
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            last_ts, last_st = state.get
+            last_ts = None if pd.isna(last_ts) else int(last_ts)
+        else:
+            last_ts, last_st = None, None
+        froms, tos = [], []
+        for ts, _eid, st in _rows_in_event_order(pdfs, ("ts", "event_id", state_col)):
+            st = None if (isinstance(st, float) and pd.isna(st)) else st
+            # emit only when the predecessor's state is known — the
+            # batch side's `WHERE from_state IS NOT NULL` drops both
+            # the first-event case and NULL-state predecessors
+            if last_st is not None:
+                froms.append(last_st)
+                tos.append(st)
+            last_ts, last_st = ts, st
+        state.update((last_ts, last_st))
+        if froms:
+            yield pd.DataFrame({"from_state": froms, "to_state": tos})
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_ts LONG, last_state STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_stateful(
     events: DataFrame,
     steps: list[str],

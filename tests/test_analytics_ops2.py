@@ -328,6 +328,76 @@ def test_ngram_stats_counts_repeats_and_short_docs(spark):
     assert out == {"a b": (3, 2), "b a": (1, 1)}
 
 
+def test_snapshot_latest_keeps_one_per_key(spark):
+    from docetl_spark.functions.timeseries import snapshot_latest
+
+    rows = [(1, 10, "a", 1), (1, 20, "b", 2), (1, 20, "c", 3), (2, 5, "x", 4)]
+    df = spark.createDataFrame(rows, "k long, ts long, v string, eid long")
+    out = {r["k"]: r for r in snapshot_latest(
+        df, keys=["k"], ts_col="ts", tiebreak="eid").collect()}
+    assert out[1]["v"] == "c"  # ts tie broken by eid desc
+    assert out[2]["v"] == "x"
+    with pytest.raises(ValueError):
+        snapshot_latest(df, keys=[], ts_col="ts")
+
+
+def test_interval_join_exactly_once_pairs(spark):
+    from docetl_spark.functions.timeseries import interval_join
+
+    # left interval spans MANY bins; right overlaps it across several —
+    # the canonical-bin rule must emit the pair exactly once
+    left = spark.createDataFrame(
+        [(1, 0, 100, "L1"), (1, 200, 210, "L2"), (2, 0, 50, "L3")],
+        "k long, s long, e long, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 205, "R1"), (1, 500, 600, "R2"), (2, 50, 60, "R3")],
+        "k long, s long, e long, rid string",
+    )
+    out = interval_join(
+        left, right, on=["k"], left_start="s", left_end="e",
+        right_start="s", right_end="e", bin_width=10,
+    )
+    pairs = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    # L1 x R1 overlap [90,100); L2 x R1 overlap [200,205); R2 no match;
+    # L3 x R3: half-open [0,50) vs [50,60) do NOT overlap
+    assert pairs == [("L1", "R1"), ("L2", "R1")]
+    with pytest.raises(ValueError):
+        interval_join(left, right, on=[], left_start="s", left_end="e",
+                      right_start="s", right_end="e", bin_width=10)
+
+
+def test_stream_transitions_matches_batch(spark):
+    import tempfile
+
+    from docetl_spark.functions.timeseries import transitions
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 3, t)
+         for i, t in enumerate(["view", "click", "view", "purchase", "click",
+                                "view", "click", "purchase", "view"])],
+        "event_id long, ts long, user_id long, event_type string",
+    )
+    path = tempfile.mkdtemp(prefix="st_trans_")
+    ev.write.mode("overwrite").parquet(f"{path}/in")
+    stream = stream_ops.read_events_stream(spark, f"{path}/in")
+    pairs = stream_ops.transitions_stateful(
+        stream.select("user_id", "ts", "event_id", "event_type"))
+    rows = stream_ops.run_available_now(
+        pairs, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_ttest_"),
+        output_mode="append", shuffle_partitions=4,
+    )
+    got = {}
+    for r in rows:
+        key = (r["from_state"], r["to_state"])
+        got[key] = got.get(key, 0) + 1
+    want = {(r["from_state"], r["to_state"]): r["n"] for r in transitions(
+        ev, keys=["user_id"], ts_col="ts", state_col="event_type",
+        tiebreak="event_id").collect()}
+    assert got == want
+
+
 def test_frame_verbs_chain(spark):
     from docetl_spark import SemanticFrame
 
