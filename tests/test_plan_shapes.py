@@ -49,11 +49,15 @@ PLAN_ONLY = [
     "events_funnel", "events_hopping_rollup",
     "events_gap_fill", "events_time_weighted", "events_cohort_retention",
     "docs_cooccurrence",
-    # round-7 additions (docs_ngram_jaccard excluded like
-    # sn_blocking_pairs: the SN rank construction runs real jobs)
+    # round-7 additions (excluded like sn_blocking_pairs for running
+    # real jobs at plan time: docs_ngram_jaccard + docs_quantile_buckets'
+    # global path [SN/distributed rank]; stream_* queries drain streams)
     "events_streaks", "events_attribution_last", "events_attribution_first",
     "events_heavy_hitters", "events_value_outliers", "events_json_props",
     "events_melt_pivot", "orders_cube_status_priority", "docs_tfdf_keywords",
+    "events_ewma_value", "events_scd2_type", "docs_winsorize_len",
+    "events_transitions", "docs_quantile_buckets", "orders_salted_join",
+    "docs_ngram_stats", "events_snapshot_latest", "events_interval_join",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
