@@ -172,6 +172,31 @@ def asof_join(
     return out
 
 
+def _bin_floor(col_name: str, width: int) -> Column:
+    """Exact LONG floor-division bin id: ``(x - pmod(x, w)) DIV w``.
+    The single home for the idiom in this module — `/`+cast routes
+    through double, whose 53-bit mantissa misbins epoch-ns values near
+    bin boundaries (the defect fixed once in asof_join's hot-key
+    bucketing; range_join and interval_join share this helper so the
+    two interval operators can never drift)."""
+    w = int(width)
+    return F.expr(f"({col_name} - pmod({col_name}, {w})) DIV {w}")
+
+
+def _bins_covered(start_col: str, end_col: str, width: int) -> Column:
+    """Explode to every bin a HALF-OPEN ``[start, end)`` interval
+    covers: bin(start) .. bin(end - 1). Callers must pre-filter
+    ``end > start`` (an inverted range would make sequence() count
+    DOWN into bins the interval does not cover)."""
+    w = int(width)
+    return F.explode(
+        F.sequence(
+            _bin_floor(start_col, w),
+            F.expr(f"(({end_col} - 1) - pmod(({end_col} - 1), {w})) DIV {w}"),
+        )
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -197,23 +222,15 @@ def range_join(
     # 53-bit mantissa misbins epoch-ns values near bin boundaries (the
     # same defect fixed in asof_join's hot-key bucketing)
     p = points.withColumn("_pts", F.col(point_ts).cast("long")).withColumn(
-        "_bin", F.expr(f"(_pts - pmod(_pts, {w})) DIV {w}")
+        "_bin", _bin_floor("_pts", w)
     ).drop("_pts")
     # empty/inverted intervals match nothing — and would make sequence()
     # step backwards, exploding bins the interval does not cover
     intervals = intervals.filter(F.col(end_ts).cast("long") > F.col(start_ts).cast("long"))
     iv = (
         intervals.withColumn("_ivs", F.col(start_ts).cast("long"))
-        .withColumn("_ive", F.col(end_ts).cast("long") - 1)
-        .withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    F.expr(f"(_ivs - pmod(_ivs, {w})) DIV {w}"),
-                    F.expr(f"(_ive - pmod(_ive, {w})) DIV {w}"),
-                )
-            ),
-        )
+        .withColumn("_ive", F.col(end_ts).cast("long"))
+        .withColumn("_bin", _bins_covered("_ivs", "_ive", w))
         .drop("_ivs", "_ive")
     )
     cond = [p["_bin"] == iv["_bin"]] + [p[k] == iv[k] for k in on]
@@ -642,17 +659,23 @@ def interval_join(
     clash = [c for c in ("_bin", "_ls", "_le", "_rs", "_re") if c in left.columns or c in right.columns]
     if clash:
         raise ValueError(f"interval_join reserves column names {clash}")
-
-    def bins(s, e):
-        lo = F.expr(f"({s} - pmod({s}, {w})) DIV {w}")
-        hi = F.expr(f"(({e} - 1) - pmod(({e} - 1), {w})) DIV {w}")
-        return F.explode(F.sequence(lo, hi))
-
+    # suffixed right columns must not silently shadow left columns —
+    # fail HERE with a named error, not downstream with an
+    # AMBIGUOUS_REFERENCE far from the join
+    collide = sorted(
+        f"{c}{suffix}" for c in right.columns
+        if c not in on and f"{c}{suffix}" in left.columns
+    )
+    if collide:
+        raise ValueError(
+            f"interval_join: suffixed right columns collide with left columns {collide}"
+            " — pick another suffix or rename"
+        )
     lt = (
         left.withColumn("_ls", F.col(left_start).cast("long"))
         .withColumn("_le", F.col(left_end).cast("long"))
         .filter(F.col("_le") > F.col("_ls"))
-        .withColumn("_bin", bins("_ls", "_le"))
+        .withColumn("_bin", _bins_covered("_ls", "_le", w))
     )
     rsel = [F.col(k) for k in on] + [
         F.col(c).alias(f"{c}{suffix}") for c in right.columns if c not in on
@@ -662,11 +685,9 @@ def interval_join(
                      F.col(right_start).cast("long").alias("_rs"),
                      F.col(right_end).cast("long").alias("_re"))
         .filter(F.col("_re") > F.col("_rs"))
-        .withColumn("_bin", bins("_rs", "_re"))
+        .withColumn("_bin", _bins_covered("_rs", "_re", w))
     )
-    canon_bin = F.expr(
-        f"(greatest(_ls, _rs) - pmod(greatest(_ls, _rs), {w})) DIV {w}"
-    )
+    canon_bin = _bin_floor("greatest(_ls, _rs)", w)
     joined = lt.join(rt, [*on, "_bin"]).filter(
         (F.col("_ls") < F.col("_re"))
         & (F.col("_rs") < F.col("_le"))

@@ -367,35 +367,56 @@ def test_interval_join_exactly_once_pairs(spark):
                       right_start="s", right_end="e", bin_width=10)
 
 
-def test_stream_transitions_matches_batch(spark):
-    import tempfile
-
+def test_stream_transitions_matches_batch_across_micro_batches(spark, tmp_path):
+    """Batch parity INCLUDING the cross-batch state carry: the input is
+    two parquet files drained with max_files_per_trigger=1, so every
+    user's last event from batch 0 must bridge into batch 1 through the
+    (last_ts, last_state) state — the operator's headline claim."""
     from docetl_spark.functions.timeseries import transitions
     from docetl_spark.streaming import events as stream_ops
 
-    ev = spark.createDataFrame(
-        [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 3, t)
-         for i, t in enumerate(["view", "click", "view", "purchase", "click",
-                                "view", "click", "purchase", "view"])],
-        "event_id long, ts long, user_id long, event_type string",
-    )
-    path = tempfile.mkdtemp(prefix="st_trans_")
-    ev.write.mode("overwrite").parquet(f"{path}/in")
-    stream = stream_ops.read_events_stream(spark, f"{path}/in")
+    import pandas as pd
+
+    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 3, t)
+            for i, t in enumerate(["view", "click", "view", "purchase", "click",
+                                   "view", "click", "purchase", "view"])]
+    schema = "event_id long, ts long, user_id long, event_type string"
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = spark.createDataFrame(rows, schema)
+    # time-split single-file parquets: earlier half lands in micro-batch 0
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame(rows[:5], columns=cols).to_parquet(d / "b0.parquet")
+    pd.DataFrame(rows[5:], columns=cols).to_parquet(d / "b1.parquet")
+    stream = stream_ops.read_events_stream(
+        spark, str(d), max_files_per_trigger=1)
     pairs = stream_ops.transitions_stateful(
         stream.select("user_id", "ts", "event_id", "event_type"))
-    rows = stream_ops.run_available_now(
+    rows_out = stream_ops.run_available_now(
         pairs, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_ttest_"),
         output_mode="append", shuffle_partitions=4,
     )
     got = {}
-    for r in rows:
+    for r in rows_out:
         key = (r["from_state"], r["to_state"])
         got[key] = got.get(key, 0) + 1
     want = {(r["from_state"], r["to_state"]): r["n"] for r in transitions(
         ev, keys=["user_id"], ts_col="ts", state_col="event_type",
         tiebreak="event_id").collect()}
     assert got == want
+    # the carry is actually load-bearing: cross-file pairs exist
+    # (every user has events on both sides of the split)
+    batch0_only = {}
+    for r in transitions(spark.createDataFrame(rows[:5], schema),
+                         keys=["user_id"], ts_col="ts",
+                         state_col="event_type", tiebreak="event_id").collect():
+        batch0_only[(r["from_state"], r["to_state"])] = r["n"]
+    for r in transitions(spark.createDataFrame(rows[5:], schema),
+                         keys=["user_id"], ts_col="ts",
+                         state_col="event_type", tiebreak="event_id").collect():
+        k = (r["from_state"], r["to_state"])
+        batch0_only[k] = batch0_only.get(k, 0) + r["n"]
+    assert batch0_only != want  # per-batch-only pairs would be WRONG
 
 
 def test_frame_verbs_chain(spark):
