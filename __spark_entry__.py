@@ -2649,6 +2649,23 @@ def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, cust, ["o_custkey"], salt=8)
 
 
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease signals (text.readability):
+    word/sentence/syllable counts (public vowel-group heuristic) and
+    the Flesch score — pure JVM expression chain, one scan."""
+    from docetl_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = textf.readability(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["flesch"].alias("flesch"),
+    )
+
+
 def docs_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus bigrams with total + document frequency
     (text.ngram_stats): tokenize once into a materialized array, JVM
@@ -3023,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quantile_buckets": docs_quantile_buckets,
         "orders_salted_join": orders_salted_join,
         "docs_ngram_stats": docs_ngram_stats,
+        "docs_readability": docs_readability,
         "events_scd2_type": events_scd2_type,
         "docs_winsorize_len": docs_winsorize_len,
         "events_stream_heavy_hitters": events_stream_heavy_hitters,
@@ -5112,6 +5130,29 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_salted_join"] = """
         SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
+    sql["docs_readability"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk,
+                 len(list_filter(string_split_regex(text, '[.!?]'), s -> trim(s) <> '')) AS raw_sents
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(COALESCE(list_sum(list_transform(tk,
+                        w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0) AS BIGINT) AS syll,
+                 CAST(raw_sents AS BIGINT) AS raw_sents
+          FROM t
+        )
+        SELECT doc_id, n_words,
+               CAST(CASE WHEN n_words > 0 THEN greatest(raw_sents, 1) ELSE raw_sents END AS BIGINT) AS n_sentences,
+               CASE WHEN n_words > 0 THEN syll ELSE 0 END AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(raw_sents, 1) AS DOUBLE))
+                       - 84.6 * (CAST(syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+               END AS flesch
+        FROM m"""
     sql["docs_ngram_stats"] = """
         WITH tok AS (
           SELECT doc_id,

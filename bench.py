@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "docs_quantile_buckets",
     "orders_salted_join",
     "docs_ngram_stats",
+    "docs_readability",
 ]
 
 

@@ -859,6 +859,16 @@ class SemanticFrame:
             "salted_join", on=list(on), salt=salt, how=how,
         )
 
+    def readability(self, text_col: str, *, out_col: str = "readability") -> "SemanticFrame":
+        """Attach Flesch reading-ease signals as a struct column — see
+        functions/text.readability."""
+        from .functions import text as text_fn
+
+        return self._next(
+            self.df.withColumn(out_col, text_fn.readability(F.col(text_col))),
+            "readability", text_col=text_col, out_col=out_col,
+        )
+
     def ngram_stats(self, text_col: str, *, id_col: str, n: int = 2,
                     top_n: int | None = None) -> "SemanticFrame":
         """Corpus n-gram frequency table — see functions/text.ngram_stats."""

@@ -267,7 +267,14 @@ def robust_outliers(
     Plan: one map-side-combinable groupBy for the moments (decimal
     sums), broadcast back per group, one filter-free projection.
     The raw table is scanned twice (moments + flags) — cache upstream
-    if the input lineage is expensive."""
+    if the input lineage is expensive.
+
+    Exactness bound: the cross-multiplied comparison needs
+    ``z^2 * n * (n*ssq - s^2)`` to fit decimal(38,0) — roughly
+    ``n^3 * x_max^2 < 1e33``, i.e. ~10M rows/group at cent-scale
+    values. Past that the job fails LOUDLY (ANSI decimal overflow),
+    never silently misflags; for planet-scale groups compute double
+    moments instead and accept approximate flags near the threshold."""
     reserved = {"_x", "_n", "_s", "_ss", "is_outlier"}
     clash = sorted(reserved & set(df.columns))
     if clash:

@@ -477,3 +477,39 @@ def ngram_stats(df, text_col: str, *, id_col: str, n: int = 2, top_n: int | None
     if top_n is not None:
         stats = stats.orderBy(F.col("tf").desc(), F.col("gram")).limit(int(top_n))
     return stats
+
+
+def readability(col) -> Column:
+    """Flesch reading-ease signals as a struct: ``n_words``,
+    ``n_sentences`` (non-empty [.!?] splits, floored at 1 when words
+    exist), ``n_syllables`` (per-word vowel-group count ``[aeiouy]+``,
+    floored at 1 — the standard public heuristic), and ``flesch`` =
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    (NULL for empty text). Pure JVM expressions; the vowel-group regex
+    and the fixed left-to-right double arithmetic replay exactly in a
+    SQL oracle. Complements quality_score/quality_rules for
+    readability-targeted corpus cuts."""
+    toks = tokens(F.lower(col))
+    n_words = F.size(toks).cast("long")
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sents = F.size(F.filter(F.split(col, r"[.!?]"), lambda s: F.trim(s) != "")).cast("long")
+    sents_f = F.greatest(sents, F.lit(1).cast("long"))
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / sents_f.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / n_words.cast("double")),
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sents_f).otherwise(sents).alias("n_sentences"),
+        F.when(n_words > 0, syll).otherwise(F.lit(0).cast("long")).alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

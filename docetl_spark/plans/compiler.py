@@ -255,6 +255,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "salted_join":
         right = datasets[c.pop("right")]
         return sf.salted_join(right, c.pop("on"), salt=c.pop("salt"), **c)
+    if t == "readability":
+        return sf.readability(c.pop("text_col"), **c)
     if t == "ngram_stats":
         return sf.ngram_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "changelog_to_scd2":

@@ -37,7 +37,7 @@ _KNOWN_OPS = {
     "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
     "melt", "json_extract", "keywords", "ewma", "changelog_to_scd2",
     "winsorize", "transitions", "quantile_buckets", "salted_join",
-    "ngram_stats", "snapshot_latest", "interval_join",
+    "ngram_stats", "snapshot_latest", "interval_join", "readability",
 }
 
 
@@ -217,6 +217,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "quantile_buckets": ("value_col", "n"),
         "salted_join": ("right", "on", "salt"),
         "ngram_stats": ("text_col", "id_col"),
+        "readability": ("text_col",),
         "streaks": ("ts_col", "keys", "bucket_width"),
         "attribute_conversions": ("conversion_type", "touch_types", "horizon"),
         "heavy_hitters": ("value_col",),

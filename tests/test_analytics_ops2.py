@@ -419,6 +419,23 @@ def test_stream_transitions_matches_batch_across_micro_batches(spark, tmp_path):
     assert batch0_only != want  # per-batch-only pairs would be WRONG
 
 
+def test_readability_counts_and_empty(spark):
+    from docetl_spark.functions.text import readability
+
+    rows = [(1, "The cat sat. It purred!"), (2, ""), (3, "xyz pqrst")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", readability(F.col("text")).alias("r")).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 5 and r1["n_sentences"] == 2
+    # the/cat/sat./it/purred! -> vowel groups 1+1+1+1+2 = 6
+    assert r1["n_syllables"] == 6
+    assert abs(r1["flesch"] - (206.835 - 1.015 * 2.5 - 84.6 * 1.2)) < 1e-6
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+    # vowel-less words floor at 1 syllable
+    assert out[3]["n_syllables"] == 2 and out[3]["n_sentences"] == 1
+
+
 def test_frame_verbs_chain(spark):
     from docetl_spark import SemanticFrame
 

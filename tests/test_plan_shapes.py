@@ -58,6 +58,7 @@ PLAN_ONLY = [
     "events_ewma_value", "events_scd2_type", "docs_winsorize_len",
     "events_transitions", "docs_quantile_buckets", "orders_salted_join",
     "docs_ngram_stats", "events_snapshot_latest", "events_interval_join",
+    "docs_readability",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
