@@ -3069,11 +3069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_docs", "equijoin_part_supplier", "minhash_near_dup",
         "split_gather_docs", "events_sessionize", "ann_brute_force",
     ]
-    # Driver-RED keys lead the whole window: a key with a red row needs a
-    # fresh driver verdict even more than a never-seen key does (the r6
-    # reds were oracle HUGEINT-typing artifacts, fixed this round — see
-    # tests/test_oracle_types.py — and must show green driver rows).
-    red_first = [k for k in _DRIVER_RED_R6 if k in reg]
+    # Driver-RED keys would lead the whole window (a key with a red row
+    # needs a fresh driver verdict even more than a never-seen key does);
+    # as of CORRECTNESS_r07 every registry key's latest driver row is
+    # green, so the red set is empty and never-seen keys lead.
+    red_first = [k for k in _DRIVER_RED if k in reg]
     driver_unseen = [
         k for k in reg if k not in _DRIVER_VERIFIED and k not in red_first
     ]
@@ -3138,21 +3138,35 @@ _DRIVER_VERIFIED_R6 = frozenset({
     "unimax_apply_docs", "unimax_plan_docs", "winnow_dup_pairs",
 })
 
-# the 7 round-6 driver-RED keys (6 hash mismatches + 1 crash). Root
-# causes fixed in round 7: the 6 mismatches were uncast HUGEINT columns
-# in the DuckDB oracles (representation-sensitive under a .df()/.arrow()
-# fetch — perfect red/green separation, see tests/test_oracle_types.py);
-# the crash was drained_df's dependence on the Arrow session conf
-# (streaming/events.py now builds a pyarrow.Table directly). These lead
-# queries() until a green driver row lands.
-_DRIVER_RED_R6 = (
-    "events_rolling_features", "events_rolling_features_bucketed",
-    "events_stream_rolling", "q12_priority_by_status",
-    "events_skew_profile", "events_pivot_by_type", "events_hopping_rollup",
-)
+# the 50-key set the driver verified green in round 7 (== CORRECTNESS_r07;
+# all 50 rows green — including the 7 round-6 reds, confirming the
+# HUGEINT-oracle-typing and Arrow-conf root causes fixed that round).
+_DRIVER_VERIFIED_R7 = frozenset({
+    "ann_brute_force", "code_filter_highvalue", "code_map_enrich", "code_reduce_nation",
+    "docs_ngram_jaccard", "docs_ngram_stats", "docs_quantile_buckets", "docs_readability",
+    "docs_tfdf_keywords", "docs_winsorize_len", "equijoin_part_supplier",
+    "events_attribution_first", "events_attribution_last", "events_ewma_value",
+    "events_heavy_hitters", "events_hopping_rollup", "events_interval_join",
+    "events_json_props", "events_melt_pivot", "events_pivot_by_type", "events_rolling_features",
+    "events_rolling_features_bucketed", "events_scd2_type", "events_sessionize",
+    "events_skew_profile", "events_snapshot_latest", "events_streaks", "events_stream_heavy_hitters",
+    "events_stream_rolling", "events_stream_transitions", "events_transitions",
+    "events_value_outliers", "gather_events", "minhash_near_dup", "orders_cube_status_priority",
+    "orders_salted_join", "q12_priority_by_status", "q1_pricing_summary",
+    "q3_top_orders", "q5_nation_revenue", "q6_revenue_delta", "resolve_docs",
+    "sample_first20", "sample_uniform_hash", "sem_map_sentiment", "sem_reduce_fold",
+    "split_gather_docs", "split_grouped", "split_words", "unnest_word_freq",
+})
+
+# keys whose LATEST driver row is red — empty since round 7 (the r6 reds
+# all came back green in CORRECTNESS_r07).
+_DRIVER_RED: tuple[str, ...] = ()
 
 # union ledger: everything with at least one driver-green CORRECTNESS row
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
+    | _DRIVER_VERIFIED_R7
+)
 
 
 def oracle_sql() -> dict[str, str]:
