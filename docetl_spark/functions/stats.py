@@ -220,12 +220,19 @@ def heavy_hitters(
         tail = (
             ranked.filter(F.col("rank") > top)
             .groupBy(*part)
-            .agg(F.sum("n_rows").alias("n_rows"), F.max("_tot").alias("_tot"))
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.max("_tot").alias("_tot"),
+                F.count(F.lit(1)).alias("_tailn"),
+            )
             # the GLOBAL groupBy() of an empty tail still emits one
-            # all-NULL row (SQL global-aggregate semantics) — without
-            # this filter, <= top distinct values yields a spurious
-            # ('__other__', NULL, NULL) row
-            .filter(F.col("n_rows").isNotNull())
+            # all-NULL row (SQL global-aggregate semantics). Guard on
+            # the tail's ROW count, not the summed measure's nullness:
+            # in the weight_col path a genuine tail whose weights are
+            # all NULL sums to NULL and must still surface as an
+            # __other__ row (with NULL n_rows), not vanish.
+            .filter(F.col("_tailn") > 0)
+            .drop("_tailn")
             .withColumn("_hv", F.lit("__other__"))
             .withColumn("rank", F.lit(top + 1).cast("int"))
         )
@@ -317,10 +324,26 @@ def robust_outliers(
         & (var_n > F.lit(0).cast("decimal(38,0)"))
         & (lhs > rhs)
     )
-    # NULL values can't be outliers (a NULL comparison would leak a
-    # NULL boolean into the output)
+    # NULL values can't be outliers — but only a NULL *value* may yield
+    # False here. With ANSI off, a decimal overflow surfaces as a NULL
+    # comparison on a NON-null value; blanket coalesce(False) would
+    # silently mark every row of an overflowing group non-outlier, so
+    # that case raises instead (ANSI-on sessions raise at the overflow
+    # itself — same loud contract either way).
+    overflow_guard = F.assert_true(
+        F.lit(False),
+        F.lit(
+            "robust_outliers: exact decimal comparison overflowed"
+            " decimal(38,0) (group exceeds the ~n^3*x_max^2 < 1e33"
+            " bound documented in the docstring); refusing to silently"
+            " misflag — reduce `scale` or compute double moments."
+        ),
+    ).cast("boolean")
     return flagged.withColumn(
-        "is_outlier", F.coalesce(is_out, F.lit(False))
+        "is_outlier",
+        F.when(F.col("_x").isNull(), F.lit(False)).otherwise(
+            F.coalesce(is_out, overflow_guard)
+        ),
     ).drop("_x", "_n", "_s", "_ss")
 
 

@@ -52,7 +52,10 @@ def set_nanos_conf_if_needed(spark: SparkSession, path: str, col: str = "ts") ->
 
     p = Path(path)
     if p.is_dir():
-        files = sorted(p.glob("*.parquet"))
+        # recursive: partitioned layouts (key=.../part-*.parquet) and
+        # nested dirs store their footers below the top level — a
+        # top-level-only glob would silently skip the sniff there
+        files = sorted(p.glob("*.parquet")) or sorted(p.rglob("*.parquet"))
         if not files:
             return
         p = files[0]

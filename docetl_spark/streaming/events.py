@@ -613,11 +613,13 @@ def transitions_stateful(
     *,
     user_col: str = "user_id",
     state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Real-time state-transition extraction via applyInPandasWithState
     — the streaming counterpart of timeseries.transitions. State per
     key is ONE (last_ts, last_state) pair (O(1) regardless of history);
-    each micro-batch folds its rows in (ts, event_id) order and EMITS
+    each micro-batch folds its rows in (ts_col, id_col) order and EMITS
     one (from_state, to_state) row per consecutive pair, bridging the
     batch boundary through the carried last event. Drained rows are
     final (never amended): collect them all and count downstream — the
@@ -639,7 +641,7 @@ def transitions_stateful(
         else:
             last_ts, last_st = None, None
         froms, tos = [], []
-        for ts, _eid, st in _rows_in_event_order(pdfs, ("ts", "event_id", state_col)):
+        for ts, _eid, st in _rows_in_event_order(pdfs, (ts_col, id_col, state_col)):
             st = None if (isinstance(st, float) and pd.isna(st)) else st
             # emit only when the predecessor's state is known — the
             # batch side's `WHERE from_state IS NOT NULL` drops both

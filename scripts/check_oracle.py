@@ -226,12 +226,16 @@ def _conf(spark, key):
 
 def main():
     args = sys.argv[1:]
-    rep_check = "--rep" in args
     forensic_dir = None
     if "--forensic" in args:
         i = args.index("--forensic")
+        if i + 1 >= len(args):
+            sys.exit("--forensic requires a directory argument")
         forensic_dir = args[i + 1]
         del args[i:i + 2]
+    # detect flags AFTER the forensic pair is removed, so a forensic dir
+    # that happens to be spelled like a flag can't toggle modes
+    rep_check = "--rep" in args
     if rep_check:
         args.remove("--rep")
     vanilla = "--vanilla" in args

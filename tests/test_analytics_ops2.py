@@ -450,3 +450,68 @@ def test_frame_verbs_chain(spark):
     assert sf.json_extract("props", {"k": "k:long"}).df.schema["k"].simpleString() == "k:bigint"
     assert sf.flag_outliers("ts", by=["user_id"]).count() == 3
     assert sf.melt(["user_id"], ["ts"]).count() == 3
+
+
+def test_heavy_hitters_weighted_null_tail_surfaces_other(spark):
+    """ADVICE r7: in the weight_col path a genuine __other__ group whose
+    weights are ALL NULL must surface (with NULL n_rows), not silently
+    vanish through the empty-tail nullness filter."""
+    rows = [("a", 10), ("b", 5), ("c", None), ("d", None)]
+    df = spark.createDataFrame(rows, "v string, w long")
+    out = {r["value"]: r for r in heavy_hitters(
+        df, "v", top=2, weight_col="w").collect()}
+    assert "__other__" in out
+    assert out["__other__"]["n_rows"] is None
+    # and the empty-tail guard still holds: <= top distinct values
+    # yields NO __other__ row even when some weights are NULL
+    small = spark.createDataFrame([("a", None), ("b", 3)], "v string, w long")
+    vals = [r["value"] for r in heavy_hitters(
+        small, "v", top=5, weight_col="w").collect()]
+    assert "__other__" not in vals
+
+
+def test_robust_outliers_overflow_raises_non_ansi(spark):
+    """ADVICE r7: with ANSI off, decimal overflow yields NULL comparisons;
+    the operator must raise loudly instead of silently flagging the whole
+    group non-outlier. NULL *values* still flag False quietly."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        big = spark.createDataFrame(
+            [(1, 1.0e6), (2, 2.0e6), (3, 9.0e6)], "id long, value double")
+        with pytest.raises(Exception, match="overflow"):
+            # scale=10^12 makes dev^2*1e4*(n-1) blow past decimal(38,0)
+            robust_outliers(big, "value", scale=10**12).collect()
+        ok = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, None)], "id long, value double")
+        got = {r["id"]: r["is_outlier"] for r in robust_outliers(
+            ok, "value").collect()}
+        assert got == {1: False, 2: False, 3: False}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_transitions_stateful_custom_column_names(spark, tmp_path):
+    """ADVICE r7: ts_col/id_col thread through to the executor-side fold
+    (they were hardcoded to 'ts'/'event_id')."""
+    from docetl_spark.streaming import events as stream_ops
+
+    import pandas as pd
+
+    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9, 1, t)
+            for i, t in enumerate(["view", "click", "purchase"])]
+    cols = ["eid", "when_ns", "uid", "etype"]
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame(rows, columns=cols).to_parquet(d / "b0.parquet")
+    stream = (spark.readStream.schema(
+        "eid long, when_ns long, uid long, etype string").parquet(str(d)))
+    pairs = stream_ops.transitions_stateful(
+        stream, user_col="uid", state_col="etype",
+        ts_col="when_ns", id_col="eid")
+    rows_out = stream_ops.run_available_now(
+        pairs, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_tcols_"),
+        output_mode="append", shuffle_partitions=4,
+    )
+    got = sorted((r["from_state"], r["to_state"]) for r in rows_out)
+    assert got == [("click", "purchase"), ("view", "click")]
