@@ -426,11 +426,40 @@ def run_pipeline(
                     specs, stats, backend=agent, evaluate=evaluate,
                     max_iterations=int(opts.get("max_iterations", 12)),
                 )
+                best = result.best(opts.get("objective", "cost"))
+                specs = best.ops
+                rewrites_fired += [f"directive:{name}" for name, _ in best.applied]
+            elif opts.get("method") == "fast_decompose":
+                # reference FastDecomposer flow (optimizers/
+                # fast_decomposer.py): directive candidates for ONE map
+                # op, run on samples, selected by pairwise judging. The
+                # target is `opts["target"]` or the step's first map op.
+                from .fast_decomposer import fast_decompose
+
+                target = opts.get("target") or next(
+                    (s.config.get("name") for s in specs if s.type == "map"), None
+                )
+                if target is not None and sf is not None:
+                    dec = fast_decompose(
+                        sf, specs, target,
+                        backend=backend, datasets=datasets, stats=stats,
+                        sample_size=int(opts.get("sample_size", 5)),
+                        agent_instantiation=bool(opts.get("agentic")),
+                    )
+                    if dec.winning_directive != "original":
+                        idx = next(
+                            i for i, s in enumerate(specs)
+                            if s.config.get("name") == target
+                        )
+                        specs = specs[:idx] + dec.decomposed_ops + specs[idx + 1:]
+                        rewrites_fired.append(
+                            f"fast_decompose:{dec.winning_directive}"
+                        )
             else:
                 result = optimize_ops(specs, stats, backend=agent)
-            best = result.best(opts.get("objective", "cost"))
-            specs = best.ops
-            rewrites_fired += [f"directive:{name}" for name, _ in best.applied]
+                best = result.best(opts.get("objective", "cost"))
+                specs = best.ops
+                rewrites_fired += [f"directive:{name}" for name, _ in best.applied]
         specs, fired = rewrite(specs)
         rewrites_fired += fired
         for spec in lower(specs):
