@@ -796,6 +796,18 @@ class SemanticFrame:
             "exact_quantiles", value_col=value_col, ps=list(ps), by=by,
         )
 
+    def approx_quantiles(self, value_col: str, ps: list[float], *,
+                         by: list[str] | None = None, accuracy: int = 10_000) -> "SemanticFrame":
+        """Sketch-mode quantiles (bounded per-task state at ANY group
+        size) — see functions/stats.approx_quantiles."""
+        from .functions import stats
+
+        return self._next(
+            stats.approx_quantiles(self.df, value_col, ps, by=by, accuracy=accuracy),
+            "approx_quantiles", value_col=value_col, ps=list(ps), by=by,
+            accuracy=accuracy,
+        )
+
     def snapshot_latest(self, *, keys: list[str], ts_col: str, **kw) -> "SemanticFrame":
         """CDC compaction: latest row per key — see
         functions/timeseries.snapshot_latest."""
@@ -915,6 +927,19 @@ class SemanticFrame:
             tsf.ewma(self.df, ts_col, value_col, keys=keys, alpha=alpha, **kw),
             "ewma", ts_col=ts_col, value_col=value_col, keys=list(keys),
             alpha=alpha, **kw,
+        )
+
+    def ewma_bucketed(self, ts_col: str, value_col: str, *, keys: list[str],
+                      alpha: float, bucket_width: int, **kw) -> "SemanticFrame":
+        """EWMA via affine bucket chaining — the unbounded-history
+        escape hatch; see functions/timeseries.ewma_bucketed."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.ewma_bucketed(self.df, ts_col, value_col, keys=keys,
+                              alpha=alpha, bucket_width=bucket_width, **kw),
+            "ewma_bucketed", ts_col=ts_col, value_col=value_col,
+            keys=list(keys), alpha=alpha, bucket_width=bucket_width, **kw,
         )
 
     def streaks(self, ts_col: str, *, keys: list[str], bucket_width: int, **kw) -> "SemanticFrame":

@@ -167,6 +167,47 @@ def exact_quantiles(
     return out
 
 
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    *,
+    by: list[str] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-mode quantiles: same output shape as
+    :func:`exact_quantiles` (``by`` + ``n`` + one ``p{...}`` column per
+    requested fraction) but computed with Spark's
+    ``percentile_approx`` — the Greenwald-Khanna-style mergeable sketch
+    that runs as ONE map-side-combinable aggregation with bounded
+    per-task state, no windows, no per-group sort tasks.
+
+    This is the documented escape hatch for exact_quantiles' order-
+    statistic bound: exact mode sorts each group in one task (or runs
+    the two-job distributed global rank), which a single planet-scale
+    group defeats; the sketch's state is O(accuracy) per group
+    REGARDLESS of group size. Guarantee: the returned value's rank is
+    within ``n/accuracy`` of the true rank (accuracy=10000 ==
+    0.01-percentile rank error). Values are actual data points (no
+    interpolation), so results are engine-specific — there is no DuckDB
+    hash oracle for this by nature; correctness is pinned by rank-error
+    bound tests against exact_quantiles.
+    """
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("ps must be fractions in [0, 1]")
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(v).alias("n")]
+    for p in ps:
+        pct = p * 100.0
+        tag = f"p{int(pct)}" if pct == int(pct) else "p" + str(p).replace(".", "_")
+        aggs.append(
+            F.percentile_approx(v, F.lit(float(p)), F.lit(int(accuracy))).alias(tag)
+        )
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -192,7 +233,11 @@ def heavy_hitters(
     deterministically by (count desc, value asc). No driver collect;
     a group's distinct values sort in one task (parallelism across
     groups — the exact-order-statistic bound shared with
-    exact_quantiles).
+    exact_quantiles). The GLOBAL case (no ``by``) would put every
+    distinct value in one window task, so it instead runs a distributed
+    top-k (orderBy+limit == TakeOrderedAndProject: per-partition heaps)
+    plus scalar aggregates, ranking only the k winners — same output,
+    no single-task sort at any size.
 
     ``weight_col``: input rows already carry a count/weight (e.g. a
     drained streaming counts table) — sum it instead of counting rows,
@@ -210,6 +255,61 @@ def heavy_hitters(
         F.sum(F.col(weight_col)).cast("long") if weight_col else F.count(F.lit(1))
     )
     counts = df.groupBy(*part, val.alias("_hv")).agg(measure.alias("n_rows"))
+    if not by:
+        # GLOBAL path: a bare partitionBy() window drags every distinct
+        # value into ONE task. The head is a distributed top-k instead
+        # (orderBy + limit == TakeOrderedAndProject: per-partition heaps,
+        # k rows to the driver-side merge), the window then ranks only
+        # those k rows, and the tail derives from (total - head) scalars
+        # — no single-task distinct-value sort anywhere. Identical
+        # output to the window formulation (same deterministic order).
+        # distinct-value-sized cache: both the totals scalar and the
+        # top-k read it, and recomputing would scan the raw table twice
+        counts = counts.cache()
+        totals = counts.groupBy().agg(
+            F.sum("n_rows").alias("_tot"),
+            F.count("n_rows").alias("_tot_nn"),
+            F.count(F.lit(1)).alias("_nv"),
+        )
+        head_k = counts.orderBy(F.col("n_rows").desc(), F.col("_hv").asc()).limit(top)
+        wr_k = W.partitionBy().orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
+        head = broadcast_scalar_join(
+            head_k.withColumn("rank", F.row_number().over(wr_k)),
+            totals, df_col="n_rows", scalar_col="_tot",
+        )
+        out_cols = [
+            F.col("_hv").alias("value"),
+            F.col("rank").cast("long").alias("rank"),
+            "n_rows",
+            F.expr("n_rows * 10000 DIV _tot").alias("share_bp"),
+        ]
+        if not with_other:
+            return head.select(*out_cols)
+        head_sums = head.groupBy().agg(
+            F.sum("n_rows").alias("_head_n"),
+            F.count("n_rows").alias("_head_nn"),
+            F.count(F.lit(1)).alias("_head_k"),
+            F.max("_tot").alias("_tot"), F.max("_tot_nn").alias("_tot_nn"),
+            F.max("_nv").alias("_nv"),
+        )
+        # weight_col path NULL-honesty, matching the per-group window
+        # formulation exactly: the tail EXISTS when distinct values
+        # outnumber the head (_nv > _head_k), and its summed measure is
+        # NULL when every tail weight is NULL (_tot_nn == _head_nn),
+        # else total-minus-head over the non-NULL sums
+        tail = (
+            head_sums.filter(F.col("_nv") > F.col("_head_k"))
+            .select(
+                F.lit("__other__").alias("_hv"),
+                F.lit(top + 1).cast("int").alias("rank"),
+                F.when(
+                    F.col("_tot_nn") > F.col("_head_nn"),
+                    F.col("_tot") - F.coalesce(F.col("_head_n"), F.lit(0)),
+                ).alias("n_rows"),
+                F.col("_tot"),
+            )
+        )
+        return head.select("_hv", "rank", "n_rows", "_tot").unionByName(tail).select(*out_cols)
     wr = W.partitionBy(*part).orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
     wall = W.partitionBy(*part)
     ranked = counts.withColumn("rank", F.row_number().over(wr)).withColumn(

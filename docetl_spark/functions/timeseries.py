@@ -854,6 +854,107 @@ def ewma(
     return out.select(*keys, "n", "ewma")
 
 
+def ewma_bucketed(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    keys: list[str],
+    alpha: float,
+    bucket_width: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`ewma` with the per-key history bound broken in two — the
+    escape hatch the ewma docstring names for keys whose full history
+    cannot fit one aggregation buffer.
+
+    The recurrence y_i = (1-a)*y_{i-1} + a*x_i is affine in the running
+    state, so a whole time bucket composes to ONE affine map
+    y_out = A*y_in + B with A = (1-a)^m (computed by the same repeated
+    multiply, not pow()) and B the bucket's zero-seeded fold. Stage 1
+    folds each (key, bucket) independently — buffer bound: one BUCKET's
+    rows, caller-chosen via ``bucket_width``; stage 2 chains the bucket
+    maps per key in bucket order — buffer bound: the key's BUCKET
+    COUNT (time span / width), independent of row volume. Both stages
+    are pure JVM array folds; two shuffles total ((keys, bucket), then
+    keys).
+
+    Exactness: algebraically identical to :func:`ewma`, but the
+    floating-point regrouping (A*y + B versus the interleaved fold)
+    differs from the sequential result in the last few ulps — this is a
+    SCALE escape hatch, not a bit-exact twin; tests pin agreement to
+    1e-9 relative. Same output shape: keys + ``n`` + ``ewma``; NULL
+    values are dropped from the fold; an all-NULL key surfaces with
+    n = 0 and NULL ewma, exactly like ewma()."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not keys:
+        raise ValueError("ewma_bucketed requires at least one key column")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    c = F.lit(1.0 - float(alpha))
+    a = F.lit(float(alpha))
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    t = F.col(ts_col).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(t.alias("t"), tb.alias("tb"),
+                         F.col(value_col).cast("double").alias("v")),
+            )
+        )
+    )
+    per_bucket = (
+        df.groupBy(*keys, F.expr(
+            f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {w})) DIV {w}"
+        ).alias("_bkt"))
+        .agg(F.count(F.col(value_col)).alias("_m"), arr.alias("_arr"))
+        .withColumn("_vals", F.transform(F.col("_arr"), lambda s: s["v"]))
+        .withColumn("_A", F.aggregate("_vals", F.lit(1.0), lambda acc, x: acc * c))
+        .withColumn("_B", F.aggregate("_vals", F.lit(0.0), lambda acc, x: acc * c + x * a))
+        # seed fold for whichever bucket turns out to be the key's first:
+        # y = fold(tail, init = first value) — the ewma() base case
+        .withColumn(
+            "_S",
+            F.when(
+                F.size("_vals") > 0,
+                F.aggregate(
+                    F.expr("slice(_vals, 2, size(_vals) - 1)"),
+                    F.get(F.col("_vals"), 0),
+                    lambda acc, x: acc * c + x * a,
+                ),
+            ),
+        )
+    )
+    maps = F.array_sort(
+        F.collect_list(F.struct(
+            F.col("_bkt").alias("bk"), F.col("_m").alias("m"),
+            F.col("_A").alias("am"), F.col("_B").alias("bm"), F.col("_S").alias("sm"),
+        ))
+    )
+    chained = (
+        per_bucket.groupBy(*keys)
+        .agg(F.sum("_m").alias("n"), maps.alias("_maps"))
+        # empty buckets (all-NULL values) are affine identities but would
+        # poison the seed — chain only the non-empty ones, keep the key
+        .withColumn("_live", F.filter(F.col("_maps"), lambda b: b["m"] > 0))
+        .withColumn(
+            "ewma",
+            F.when(
+                F.size("_live") > 0,
+                F.aggregate(
+                    F.expr("slice(_live, 2, size(_live) - 1)"),
+                    F.get(F.col("_live"), 0)["sm"],
+                    lambda acc, b: b["am"] * acc + b["bm"],
+                ),
+            ),
+        )
+    )
+    return chained.select(*keys, F.coalesce(F.col("n"), F.lit(0)).alias("n"), "ewma")
+
+
 def streaks(
     df: DataFrame,
     ts_col: str,

@@ -224,6 +224,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.skew_profile(c.pop("keys"), **c)
     if t == "exact_quantiles":
         return sf.exact_quantiles(c.pop("value_col"), c.pop("ps"), **c)
+    if t == "approx_quantiles":
+        return sf.approx_quantiles(c.pop("value_col"), c.pop("ps"), **c)
     if t == "cooccurrence_stats":
         return sf.cooccurrence_stats(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "sessionize":
@@ -267,6 +269,10 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "ewma":
         return sf.ewma(c.pop("ts_col"), c.pop("value_col"),
                        keys=c.pop("keys"), alpha=c.pop("alpha"), **c)
+    if t == "ewma_bucketed":
+        return sf.ewma_bucketed(c.pop("ts_col"), c.pop("value_col"),
+                                keys=c.pop("keys"), alpha=c.pop("alpha"),
+                                bucket_width=c.pop("bucket_width"), **c)
     if t == "streaks":
         return sf.streaks(c.pop("ts_col"), keys=c.pop("keys"),
                           bucket_width=c.pop("bucket_width"), **c)

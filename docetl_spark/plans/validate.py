@@ -32,6 +32,7 @@ _KNOWN_OPS = {
     "dsir_select", "term_stats", "shard_manifest", "lm_score", "assign_splits",
     "time_rollup", "hopping_rollup", "gap_fill", "time_weighted_avg",
     "cohort_retention", "funnel", "skew_profile", "exact_quantiles",
+    "approx_quantiles", "ewma_bucketed",
     "cooccurrence_stats", "asof_join", "range_join", "sessionize",
     "rolling_features", "near_dup_simhash", "retrieve_context",
     "streaks", "attribute_conversions", "heavy_hitters", "flag_outliers",
@@ -200,6 +201,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "funnel": ("steps",),
         "skew_profile": ("keys",),
         "exact_quantiles": ("value_col", "ps"),
+        "approx_quantiles": ("value_col", "ps"),
         "cooccurrence_stats": ("text_col", "id_col"),
         "asof_join": ("right", "on", "left_ts", "right_ts", "right_cols"),
         "range_join": ("intervals", "point_ts", "start_ts", "end_ts"),
@@ -208,6 +210,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "near_dup_simhash": ("id_col", "text_col"),
         "retrieve_context": ("corpus", "text_keys"),
         "ewma": ("ts_col", "value_col", "keys", "alpha"),
+        "ewma_bucketed": ("ts_col", "value_col", "keys", "alpha", "bucket_width"),
         "changelog_to_scd2": ("keys", "ts_col", "attrs"),
         "winsorize": ("value_col",),
         "transitions": ("keys", "ts_col", "state_col"),
