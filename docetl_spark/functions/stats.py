@@ -550,3 +550,160 @@ def quantile_buckets(
     return out.withColumn(
         bucket_col, F.expr(f"(_qr - 1) * {int(n)} DIV _qt + 1")
     ).drop("_qr", "_qt")
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bin_width: float,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Fixed-width histogram in EXACT integer math: values fixed-point
+    at ``scale`` (cents by default), bin edges at multiples of
+    ``bin_width``, floor division that rounds toward negative infinity
+    on both engines (the repo's ``(c - pmod(c, w)) DIV w`` idiom — a
+    plain integer division truncates toward zero and splits the bin
+    that straddles 0).
+
+    Output: ``by`` + ``bin_lo`` (the bin's inclusive lower edge, as a
+    fixed-point long: lo*scale) + ``n_rows`` + ``share_bp`` (exact
+    integer basis points of the group total). NULL values are dropped.
+
+    Plan: ONE map-side-combinable groupBy on (by, bin) — partial
+    aggregation collapses each partition to its occupied-bin counts
+    before the shuffle — plus a broadcast-sized per-group total join.
+    Bin count bounds the shuffle, not row count; no windows, no sort.
+    """
+    w = int(round(bin_width * scale))
+    if w <= 0:
+        raise ValueError("bin_width * scale must round to a positive integer")
+    reserved = {"bin_lo", "n_rows", "share_bp", "_hc", "_tot"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"histogram reserves column names {clash}")
+    c = F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long")
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*(by or []), ((c - F.pmod(c, F.lit(w)))).alias("bin_lo"))
+        .groupBy(*(by or []), "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    if by:
+        wall = W.partitionBy(*by)
+        out = binned.withColumn("_tot", F.sum("n_rows").over(wall))
+    else:
+        totals = binned.groupBy().agg(F.sum("n_rows").alias("_tot"))
+        out = broadcast_scalar_join(binned, totals, df_col="n_rows", scalar_col="_tot")
+    return out.select(
+        *(by or []), "bin_lo", "n_rows",
+        F.expr("n_rows * 10000 DIV _tot").alias("share_bp"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    k_centi: int = 300,
+) -> DataFrame:
+    """Median/MAD robust outlier flags — the heavy-tail-safe sibling of
+    :func:`robust_outliers` (a single extreme value drags a mean/stddev
+    z-score but barely moves the median/MAD). A row is an outlier when
+    ``|x - median| * 100 > k_centi * MAD`` with MAD = median(|x -
+    median|); k_centi=300 is the classic 3-MAD cut.
+
+    Exactness: both medians come from :func:`exact_quantiles`
+    (bit-identical to quantile_cont across engines, proven by the hash
+    oracles), the deviations are the same IEEE doubles on both sides,
+    and the threshold comparison multiplies by integers only — so the
+    flag replays exactly in a SQL oracle despite double arithmetic.
+    NULL values flag False. Zero-MAD groups (>=50% identical values)
+    flag only rows strictly unequal to the median when k*0 < |dev|,
+    i.e. any deviation at all — the standard MAD degenerate case.
+
+    Plan: two exact-quantile passes (each: per-group sort task or the
+    distributed global rank) + two broadcast joins + one projection.
+    Order-statistic bound per group as documented in exact_quantiles;
+    the sketch escape hatch is :func:`approx_quantiles` medians glued
+    on by the caller.
+    """
+    reserved = {"_mo_med", "_mo_dev", "_mo_mad", "is_outlier"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"mad_outliers reserves column names {clash}")
+    v = F.col(value_col).cast("double")
+
+    def _attach(base: DataFrame, q: DataFrame, alias: str) -> DataFrame:
+        qq = q.select(*(by or []), F.col("p50").alias(alias))
+        if by:
+            return base.join(F.broadcast(qq), by, "left")
+        return broadcast_scalar_join(
+            base.withColumn("_mo_k", F.lit(1)), qq.withColumn("_mo_k2", F.lit(1)),
+            df_col="_mo_k", scalar_col="_mo_k2",
+        ).drop("_mo_k", "_mo_k2")
+
+    med = exact_quantiles(df, value_col, [0.5], by=by)
+    with_med = _attach(df, med, "_mo_med").withColumn(
+        "_mo_dev", F.abs(v - F.col("_mo_med"))
+    )
+    mad = exact_quantiles(with_med, "_mo_dev", [0.5], by=by)
+    flagged = _attach(with_med, mad, "_mo_mad")
+    is_out = (F.col("_mo_dev") * F.lit(100.0)) > (F.lit(float(int(k_centi))) * F.col("_mo_mad"))
+    return flagged.withColumn(
+        "is_outlier",
+        F.when(v.isNull(), F.lit(False)).otherwise(F.coalesce(is_out, F.lit(False))),
+    ).drop("_mo_med", "_mo_dev", "_mo_mad")
+
+
+def running_totals(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key ordered cumulative sum + exact cumulative share — the
+    pareto/cumulative-contribution report ("the first 20% of this
+    user's events carry 80% of the value"). Values fixed-point at
+    ``scale`` so the running sum is exact integer math, immune to
+    float accumulation-order drift.
+
+    Output: input columns + ``cum_value`` (fixed-point long running
+    sum, NULL values contribute 0) + ``cum_share_bp`` (exact integer
+    basis points of the key's total; NULL when the key total is 0).
+
+    Plan: ONE shuffle on ``keys`` feeding two frames over the same
+    sort order — the running frame is streaming (O(1) task state), the
+    total frame is whole-partition. ``order_by`` must be a
+    deterministic total order within each key (include a tiebreak
+    column) or the cumulative path itself is ill-defined.
+    """
+    if not keys or not order_by:
+        raise ValueError("running_totals requires keys and order_by")
+    reserved = {"cum_value", "cum_share_bp", "_rt_c", "_rt_tot"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"running_totals reserves column names {clash}")
+    c = F.coalesce(
+        F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    ordering = [F.col(o) for o in order_by]
+    wrun = W.partitionBy(*keys).orderBy(*ordering).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(*keys)
+    return (
+        df.withColumn("_rt_c", c)
+        .withColumn("cum_value", F.sum("_rt_c").over(wrun))
+        .withColumn("_rt_tot", F.sum("_rt_c").over(wall))
+        .withColumn(
+            "cum_share_bp",
+            F.expr("CASE WHEN _rt_tot != 0 THEN cum_value * 10000 DIV _rt_tot END"),
+        )
+        .drop("_rt_c", "_rt_tot")
+    )

@@ -253,3 +253,50 @@ def json_extract_columns(
     if drop_source:
         out = out.drop(json_col)
     return out
+
+
+def group_concat(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    sep: str = ",",
+    limit: int | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Per-group sorted string concatenation (SQL ``string_agg`` /
+    ``group_concat``) — the denormalized-report shape ("one row per
+    nation with its supplier names"). Values sort ascending (binary
+    UTF-8 order, engine-independent) so the output string is
+    deterministic regardless of shuffle order; ``limit`` keeps only the
+    first N sorted values, bounding the output row size.
+
+    Output: ``group_cols`` + ``n_values`` (distinct or total values in
+    the group, pre-limit) + ``joined`` (the concatenation; empty string
+    for all-NULL groups — NULL values never contribute).
+
+    Plan: one map-side-combinable groupBy (collect_set partials merge
+    at the combiner); sort + slice + join run on the collected array.
+    The per-group array is the documented state bound — a group's
+    (distinct) value set must fit one agg buffer; with ``limit``, cap
+    cardinality upstream (e.g. topk first) if groups are unbounded.
+    """
+    if not group_cols:
+        raise ValueError("group_concat requires at least one group column")
+    reserved = {"n_values", "joined", "_gc_arr"}
+    clash = sorted(reserved & set(group_cols))
+    if clash:
+        raise ValueError(f"group_concat reserves column names {clash}")
+    v = F.col(value_col).cast("string")
+    coll = F.collect_set(v) if distinct else F.collect_list(v)
+    out = df.groupBy(*group_cols).agg(
+        F.array_sort(coll).alias("_gc_arr")
+    ).withColumn("n_values", F.size("_gc_arr").cast("long"))
+    arr = F.col("_gc_arr")
+    if limit is not None:
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        arr = F.slice(arr, 1, int(limit))
+    return out.select(
+        *group_cols, "n_values", F.array_join(arr, sep).alias("joined")
+    )

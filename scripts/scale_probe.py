@@ -454,6 +454,88 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
             .agg(F.sum("dup_tokens"), F.sum(F.length("clean_text"))).collect()
         ))
 
+    # round-7 analytics quartet (judge r8 ask): interval_join canonical-bin
+    # pair emission, ngram-Jaccard over SN blocking, GLOBAL heavy hitters
+    # (TakeOrderedAndProject path), and the sequential ewma fold — the
+    # per-key history is what the events blow-up multiplies, so ewma
+    # probes exactly its documented bound
+    if want("interval_join") and events_path:
+        from docetl_spark.functions import timeseries as tsf
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        def run_ij():
+            ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+            w6 = 21600 * 10**9
+            li = ev.groupBy(
+                "user_id", F.expr(f"(ts - pmod(ts, {w6})) DIV {w6}").alias("bkt")
+            ).agg(F.min("ts").alias("a_start"), (F.max("ts") + 1).alias("a_end"))
+            half = 1800 * 10**9
+            ri = ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"),
+                (F.col("ts") - half).alias("p_start"), (F.col("ts") + half).alias("p_end"),
+            )
+            tsf.interval_join(
+                li, ri, on=["user_id"], left_start="a_start", left_end="a_end",
+                right_start="p_start", right_end="p_end", bin_width=3600 * 10**9,
+            ).agg(F.count(F.lit(1))).collect()
+
+        res["interval_join"] = timed(run_ij)
+
+    if want("ngram_jaccard"):
+        from docetl_spark.operators.resolve import sorted_neighborhood_pairs
+
+        def run_nj():
+            pairs = sorted_neighborhood_pairs(
+                docs, "doc_id",
+                key="lower(substring(coalesce(text, ''), 1, 12))", window=3,
+            )
+            shingled = docs.select("doc_id", text.shingles(F.col("text"), 3).alias("_sh"))
+            a = shingled.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+            b = shingled.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+            uni = F.size(F.array_union("_sa", "_sb")).cast("long")
+            (pairs.join(a, "id_a").join(b, "id_b")
+             .select(F.when(uni > 0, F.expr(
+                 "size(array_intersect(_sa, _sb)) * CAST(10000 AS BIGINT) "
+                 "DIV size(array_union(_sa, _sb))")).otherwise(F.lit(0)).alias("j"))
+             .agg(F.count(F.lit(1)), F.sum("j")).collect())
+
+        res["ngram_jaccard"] = timed(run_nj)
+
+    if want("heavy_hitters_global") and events_path:
+        from docetl_spark.functions.stats import heavy_hitters
+
+        def run_hh():
+            ev = spark.read.parquet(events_path)
+            # value-derived cents as the hit value: ~distinct-per-row, the
+            # worst case for the counts shuffle AND the global top-k
+            d = ev.select(F.floor(F.col("value") * 100).cast("long").alias("v"))
+            heavy_hitters(d, "v", top=10).collect()
+
+        res["heavy_hitters_global"] = timed(run_hh)
+
+    if want("ewma") and events_path:
+        from docetl_spark.functions import timeseries as tsf
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        def run_ewma():
+            ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+            tsf.ewma(ev, "ts", "value", keys=["user_id"], alpha=0.3,
+                     tiebreak="event_id").agg(F.count(F.lit(1))).collect()
+
+        res["ewma"] = timed(run_ewma)
+
+    if want("ewma_bucketed") and events_path:
+        from docetl_spark.functions import timeseries as tsf
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        def run_ewmab():
+            ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+            tsf.ewma_bucketed(ev, "ts", "value", keys=["user_id"], alpha=0.3,
+                              bucket_width=21600 * 10**9,
+                              tiebreak="event_id").agg(F.count(F.lit(1))).collect()
+
+        res["ewma_bucketed"] = timed(run_ewmab)
+
     return res
 
 

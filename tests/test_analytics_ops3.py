@@ -1,0 +1,114 @@
+"""Round-8 analytics/shape additions: data_diff, histogram,
+mad_outliers, running_totals, group_concat, time_profile. Registry
+oracle parity is covered by test_oracle_gate; these pin semantics on
+synthetic edges the testdata doesn't hit."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from docetl_spark.functions.joins import data_diff
+from docetl_spark.functions.stats import histogram, mad_outliers, running_totals
+from docetl_spark.functions.timeseries import time_profile
+from docetl_spark.operators.shape import group_concat
+
+
+def test_data_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "id long, s string, v long")
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, None, 31), (4, "x", 41), (5, "e", 50)],
+        "id long, s string, v long")
+    out = {r["id"]: r for r in data_diff(old, new, ["id"]).collect()}
+    assert out[1]["diff_status"] == "removed" and out[1]["changed_cols"] == []
+    assert out[2]["diff_status"] == "unchanged"
+    # NULL == NULL is not a change; 30 -> 31 is
+    assert out[3]["diff_status"] == "changed" and out[3]["changed_cols"] == ["v"]
+    assert out[4]["changed_cols"] == ["s", "v"]
+    assert out[5]["diff_status"] == "added"
+    # compare subset: v-only diff vanishes
+    sub = {r["id"]: r for r in data_diff(old, new, ["id"], compare=["s"]).collect()}
+    assert sub[3]["diff_status"] == "unchanged"
+    with pytest.raises(ValueError, match="key column"):
+        data_diff(old, new.drop("id"), ["id"])
+
+
+def test_histogram_bins_and_negatives(spark):
+    # bin straddling zero must floor toward -inf, not truncate toward 0
+    df = spark.createDataFrame(
+        [(-1.5,), (-0.5,), (0.5,), (1.5,), (None,)], "v double")
+    out = {r["bin_lo"]: r["n_rows"] for r in histogram(
+        df, "v", bin_width=1.0).collect()}
+    assert out == {-200: 1, -100: 1, 0: 1, 100: 1}
+    shares = {r["bin_lo"]: r["share_bp"] for r in histogram(
+        df, "v", bin_width=2.0).collect()}
+    assert shares == {-200: 5000, 0: 5000}
+    g = histogram(df.withColumn("g", F.lit("x")), "v", bin_width=1.0, by=["g"])
+    assert g.count() == 4
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram(df, "v", bin_width=0.001, scale=100)
+
+
+def test_mad_outliers_robustness(spark):
+    # one wild value: mean/stddev z would drag, median/MAD flags it alone
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 12, 11, 10, 11, 1000])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v").collect()}
+    assert out[6] is True and sum(out.values()) == 1
+    # zero-MAD group: any deviation from the median flags
+    z = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0), (4, 6.0)], "id long, v double")
+    zo = {r["id"]: r["is_outlier"] for r in mad_outliers(z, "v").collect()}
+    assert zo == {1: False, 2: False, 3: False, 4: True}
+    # NULL values flag False; grouped path keeps every row
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "g string, v double")
+    go = mad_outliers(g, "v", by=["g"]).collect()
+    assert len(go) == 3 and all(r["is_outlier"] is False for r in go)
+
+
+def test_running_totals_exact_shares(spark):
+    rows = [("u", 1, 1.0), ("u", 2, 2.0), ("u", 3, None), ("u", 4, 1.0), ("w", 1, 0.0)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    out = {(r["k"], r["seq"]): r for r in running_totals(
+        df, "v", keys=["k"], order_by=["seq"]).collect()}
+    assert [out[("u", i)]["cum_value"] for i in (1, 2, 3, 4)] == [100, 300, 300, 400]
+    assert out[("u", 4)]["cum_share_bp"] == 10000
+    assert out[("u", 1)]["cum_share_bp"] == 2500
+    # zero-total key: share NULL, not a division error
+    assert out[("w", 1)]["cum_share_bp"] is None
+
+
+def test_group_concat_sorted_capped(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "b"), ("g", None), ("h", None)],
+        "k string, s string")
+    out = {r["k"]: r for r in group_concat(df, ["k"], "s").collect()}
+    assert out["g"]["joined"] == "a,b" and out["g"]["n_values"] == 2
+    assert out["h"]["joined"] == "" and out["h"]["n_values"] == 0
+    cap = {r["k"]: r for r in group_concat(
+        df, ["k"], "s", limit=1, distinct=False, sep="|").collect()}
+    assert cap["g"]["joined"] == "a" and cap["g"]["n_values"] == 3
+
+
+def test_time_profile_dow_hod(spark):
+    day = 86_400 * 10**9
+    hour = 3_600 * 10**9
+    # 1970-01-01 is a Thursday (dow 3); one pre-epoch row lands Wednesday
+    rows = [(0,), (day,), (4 * day + 5 * hour,), (-hour,)]
+    df = spark.createDataFrame(rows, "ts long")
+    out = {(r["dow"], r["hod"]): r["n_rows"] for r in time_profile(df, "ts").collect()}
+    assert out[(3, 0)] == 1   # epoch: Thu 00
+    assert out[(4, 0)] == 1   # Fri 00
+    assert out[(0, 5)] == 1   # Mon 05
+    assert out[(2, 23)] == 1  # Wed 23 (pre-epoch floor, not trunc)
+    withv = time_profile(
+        df.withColumn("v", F.lit(2.0)), "ts",
+        aggs={"v_sum": F.sum(F.col("v"))})
+    assert withv.columns == ["dow", "hod", "n_rows", "v_sum"]
