@@ -2893,6 +2893,107 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- driver hooks
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram (stats.histogram): 0.25-wide value
+    bins per event type, cents fixed-point with floor-toward-negative-
+    infinity bin edges, exact integer basis-point shares. ONE map-side-
+    combinable groupBy on (type, bin) — shuffle width is the occupied
+    bin count, not the row count."""
+    from docetl_spark.functions.stats import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", bin_width=0.25, by=["event_type"])
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags (stats.mad_outliers), the
+    heavy-tail-safe sibling of the z-score flags: both medians ride the
+    exact_quantiles formulation that is bit-identical to quantile_cont,
+    so the |x-med|*100 > 300*MAD cut replays exactly in the oracle."""
+    from docetl_spark.functions.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", by=["event_type"], k_centi=300).select(
+        "event_id", "event_type", "is_outlier"
+    )
+
+
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value + exact cumulative share
+    (stats.running_totals): cents fixed-point running sum over the
+    (ts, event_id) order — one shuffle on user_id, streaming running
+    frame, integer basis points via bigint DIV."""
+    from docetl_spark.functions.stats import running_totals
+
+    ev = _t(spark, sf_dir, "events")
+    return running_totals(
+        ev, "value", keys=["user_id"], order_by=["ts", "event_id"]
+    ).select("user_id", "event_id", "cum_value", "cum_share_bp")
+
+
+def orders_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (joins.data_diff): two deterministic
+    variants of orders (old drops orderkey%7==0; new drops %5==0 and
+    doubles totalprice on %3==0) diffed on the key — added/removed/
+    changed/unchanged with the changed-column list, from ONE full-outer
+    equi-join. changed_cols surfaces comma-joined for hash stability."""
+    from docetl_spark.functions.joins import data_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    return data_diff(old, new, ["o_orderkey"]).select(
+        "o_orderkey", "diff_status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+def nation_supplier_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation sorted supplier-name roster (shape.group_concat):
+    distinct names sorted binary-UTF8, capped at 5, one map-side-
+    combinable collect_set groupBy — shuffle-order independent."""
+    from docetl_spark.operators.shape import group_concat
+
+    sup = _t(spark, sf_dir, "supplier")
+    return group_concat(sup, ["s_nationkey"], "s_name", limit=5)
+
+
+def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality grid per event type
+    (timeseries.time_profile): pure integer floor-division epoch math
+    (no doubles near bucket edges, pre-epoch safe), ONE combinable
+    groupBy with <=168 cells per type, plus an exact cents sum."""
+    from docetl_spark.functions.timeseries import time_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return time_profile(
+        ev, "ts", by=["event_type"],
+        aggs={"cents": F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )},
+    )
+
+
+def docs_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mode length quantiles (stats.approx_quantiles,
+    percentile_approx): the bounded-state escape hatch for the exact
+    order-statistic paths. Values are engine-specific sketch outputs by
+    nature — registered WITHOUT a SQL oracle (rows-only check);
+    rank-error bounds vs exact_quantiles are pinned in
+    tests/test_sketch_modes.py."""
+    from docetl_spark.functions.stats import approx_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("lang", F.length("text").cast("double").alias("len"))
+    return approx_quantiles(d, "len", [0.5, 0.9], by=["lang"], accuracy=10_000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3054,6 +3155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_status_priority": orders_cube_status_priority,
         "docs_tfdf_keywords": docs_tfdf_keywords,
         "docs_ngram_jaccard": docs_ngram_jaccard,
+        "events_value_histogram": events_value_histogram,
+        "events_mad_outliers": events_mad_outliers,
+        "events_running_totals": events_running_totals,
+        "orders_data_diff": orders_data_diff,
+        "nation_supplier_concat": nation_supplier_concat,
+        "events_time_profile": events_time_profile,
+        "docs_approx_quantiles": docs_approx_quantiles,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -5368,4 +5476,107 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p
         JOIN sh sa ON sa.doc_id = p.id_a
         JOIN sh sb ON sb.doc_id = p.id_b"""
+    sql["events_value_histogram"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT event_type,
+                 c - ((c % 25) + 25) % 25 AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM b GROUP BY 1, 2
+        )
+        SELECT event_type, bin_lo, n_rows,
+               CAST(n_rows * 10000 // SUM(n_rows) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_bp
+        FROM g"""
+    sql["events_mad_outliers"] = """
+        WITH med AS (
+          SELECT event_type,
+                 quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+          FROM events GROUP BY 1
+        ), dev AS (
+          SELECT e.event_id, e.event_type,
+                 CAST(e.value AS DOUBLE) AS v,
+                 ABS(CAST(e.value AS DOUBLE) - med.m) AS d
+          FROM events e JOIN med USING (event_type)
+        ), mad AS (
+          SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+        )
+        SELECT dev.event_id, dev.event_type,
+               CASE WHEN dev.v IS NULL THEN false
+                    WHEN dev.d * 100.0 > 300.0 * mad.mad THEN true
+                    ELSE false END AS is_outlier
+        FROM dev JOIN mad USING (event_type)"""
+    sql["events_running_totals"] = """
+        WITH c AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                 COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0) AS cent
+          FROM events
+        ), r AS (
+          SELECT user_id, event_id,
+                 SUM(cent) OVER (
+                   PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_value,
+                 SUM(cent) OVER (PARTITION BY user_id) AS tot
+          FROM c
+        )
+        SELECT user_id, event_id, CAST(cum_value AS BIGINT) AS cum_value,
+               CASE WHEN tot != 0
+                    THEN CAST(cum_value * 10000 // tot AS BIGINT) END AS cum_share_bp
+        FROM r"""
+    sql["orders_data_diff"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 != 0
+        ), n AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 5 != 0
+        ), j AS (
+          SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 o.o_orderkey IS NULL AS is_add,
+                 n.o_orderkey IS NULL AS is_rem,
+                 o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS ds,
+                 o.o_totalprice IS DISTINCT FROM n.o_totalprice AS dp
+          FROM o FULL OUTER JOIN n USING (o_orderkey)
+        )
+        SELECT o_orderkey,
+               CASE WHEN is_add THEN 'added' WHEN is_rem THEN 'removed'
+                    WHEN ds OR dp THEN 'changed' ELSE 'unchanged' END AS diff_status,
+               CASE WHEN NOT is_add AND NOT is_rem AND (ds OR dp)
+                    THEN concat_ws(',',
+                         CASE WHEN ds THEN 'o_orderstatus' END,
+                         CASE WHEN dp THEN 'o_totalprice' END)
+                    ELSE '' END AS changed_cols
+        FROM j"""
+    sql["nation_supplier_concat"] = """
+        SELECT s_nationkey,
+               CAST(COUNT(DISTINCT s_name) AS BIGINT) AS n_values,
+               array_to_string(list_sort(list(DISTINCT s_name))[1:5], ',') AS joined
+        FROM supplier GROUP BY s_nationkey"""
+    sql["events_time_profile"] = """
+        WITH e AS (
+          SELECT event_type, epoch_ns(ts) AS t,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cent
+          FROM events
+        ), f AS (
+          SELECT event_type, cent,
+                 (t - ((t % 86400000000000) + 86400000000000) % 86400000000000)
+                   // 86400000000000 AS days,
+                 (((t % 86400000000000) + 86400000000000) % 86400000000000)
+                   // 3600000000000 AS hod
+          FROM e
+        )
+        SELECT event_type,
+               CAST((((days + 3) % 7) + 7) % 7 AS BIGINT) AS dow,
+               CAST(hod AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cent) AS BIGINT) AS cents
+        FROM f GROUP BY 1, 2, 3"""
+    # docs_approx_quantiles: intentionally NO oracle — sketch outputs
+    # are engine-specific by nature; the driver records its rows-only
+    # check and tests/test_sketch_modes.py pins the rank-error bound.
     return sql

@@ -989,6 +989,76 @@ class SemanticFrame:
             "flag_outliers", value_col=value_col, by=by, **kw,
         )
 
+    def flag_outliers_mad(self, value_col: str, *, by: list[str] | None = None,
+                          **kw) -> "SemanticFrame":
+        """Median/MAD robust outlier flags (heavy-tail-safe) — see
+        functions/stats.mad_outliers."""
+        from .functions import stats
+
+        return self._next(
+            stats.mad_outliers(self.df, value_col, by=by, **kw),
+            "flag_outliers_mad", value_col=value_col, by=by, **kw,
+        )
+
+    def histogram(self, value_col: str, *, bin_width: float,
+                  by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Exact fixed-width histogram (one combinable groupBy) — see
+        functions/stats.histogram."""
+        from .functions import stats
+
+        return self._next(
+            stats.histogram(self.df, value_col, bin_width=bin_width, by=by, **kw),
+            "histogram", value_col=value_col, bin_width=bin_width, by=by, **kw,
+        )
+
+    def running_totals(self, value_col: str, *, keys: list[str],
+                       order_by: list[str], **kw) -> "SemanticFrame":
+        """Per-key cumulative sum + exact cumulative share — see
+        functions/stats.running_totals."""
+        from .functions import stats
+
+        return self._next(
+            stats.running_totals(self.df, value_col, keys=keys,
+                                 order_by=order_by, **kw),
+            "running_totals", value_col=value_col, keys=list(keys),
+            order_by=list(order_by), **kw,
+        )
+
+    def diff_against(self, new: "SemanticFrame | DataFrame", keys: list[str],
+                     **kw) -> "SemanticFrame":
+        """Row-level reconciliation vs a newer snapshot (added/removed/
+        changed + changed column list) — see functions/joins.data_diff;
+        self is the OLD side."""
+        from .functions import joins
+
+        other = new.df if hasattr(new, "df") else new
+        return self._next(
+            joins.data_diff(self.df, other, keys, **kw),
+            "diff_against", keys=list(keys), **kw,
+        )
+
+    def group_concat(self, group_cols: list[str], value_col: str,
+                     **kw) -> "SemanticFrame":
+        """Per-group sorted string concatenation — see
+        operators/shape.group_concat."""
+        from .operators import shape
+
+        return self._next(
+            shape.group_concat(self.df, group_cols, value_col, **kw),
+            "group_concat", group_cols=list(group_cols), value_col=value_col, **kw,
+        )
+
+    def time_profile(self, ts_col: str, *, by: list[str] | None = None,
+                     **kw) -> "SemanticFrame":
+        """Day-of-week × hour-of-day activity grid — see
+        functions/timeseries.time_profile."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.time_profile(self.df, ts_col, by=by, **kw),
+            "time_profile", ts_col=ts_col, by=by, **kw,
+        )
+
     def melt(self, id_cols: list[str], value_cols: list[str], **kw) -> "SemanticFrame":
         """Wide-to-long unpivot (Spark Expand node, no shuffle) — see
         operators/shape.melt."""

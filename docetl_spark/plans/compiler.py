@@ -284,6 +284,21 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.heavy_hitters(c.pop("value_col"), **c)
     if t == "flag_outliers":
         return sf.flag_outliers(c.pop("value_col"), **c)
+    if t == "flag_outliers_mad":
+        return sf.flag_outliers_mad(c.pop("value_col"), **c)
+    if t == "histogram":
+        return sf.histogram(c.pop("value_col"), bin_width=c.pop("bin_width"), **c)
+    if t == "running_totals":
+        return sf.running_totals(c.pop("value_col"), keys=c.pop("keys"),
+                                 order_by=c.pop("order_by"), **c)
+    if t == "data_diff":
+        return sf.diff_against(datasets[c.pop("right")], c.pop("keys"), **c)
+    if t == "group_concat":
+        return sf.group_concat(c.pop("group_cols"), c.pop("value_col"), **c)
+    if t == "time_profile":
+        _aggs = c.pop("aggs", None)
+        return sf.time_profile(
+            c.pop("ts_col"), aggs=_expr_aggs(_aggs) if _aggs else None, **c)
     if t == "melt":
         return sf.melt(c.pop("id_cols"), c.pop("value_cols"), **c)
     if t == "json_extract":

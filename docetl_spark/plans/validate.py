@@ -39,6 +39,8 @@ _KNOWN_OPS = {
     "melt", "json_extract", "keywords", "ewma", "changelog_to_scd2",
     "winsorize", "transitions", "quantile_buckets", "salted_join",
     "ngram_stats", "snapshot_latest", "interval_join", "readability",
+    "flag_outliers_mad", "histogram", "running_totals", "data_diff",
+    "group_concat", "time_profile",
 }
 
 
@@ -218,6 +220,12 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "interval_join": ("right", "on", "left_start", "left_end",
                           "right_start", "right_end", "bin_width"),
         "quantile_buckets": ("value_col", "n"),
+        "flag_outliers_mad": ("value_col",),
+        "histogram": ("value_col", "bin_width"),
+        "running_totals": ("value_col", "keys", "order_by"),
+        "data_diff": ("right", "keys"),
+        "group_concat": ("group_cols", "value_col"),
+        "time_profile": ("ts_col",),
         "salted_join": ("right", "on", "salt"),
         "ngram_stats": ("text_col", "id_col"),
         "readability": ("text_col",),

@@ -112,3 +112,32 @@ def test_time_profile_dow_hod(spark):
         df.withColumn("v", F.lit(2.0)), "ts",
         aggs={"v_sum": F.sum(F.col("v"))})
     assert withv.columns == ["dow", "hod", "n_rows", "v_sum"]
+
+
+def test_r8_verbs_and_yaml_specs(spark):
+    from docetl_spark import SemanticFrame
+    from docetl_spark.plans.compiler import apply_op
+    from docetl_spark.plans.ir import OpSpec
+
+    rows = [("a", 1, 100, 1.0), ("a", 2, 5000, 9.0), ("b", 1, 100, 2.0)]
+    sf = SemanticFrame.from_df(
+        spark.createDataFrame(rows, "k string, seq long, ts long, v double"))
+    assert sf.flag_outliers_mad("v").df.columns[-1] == "is_outlier"
+    assert sf.histogram("v", bin_width=1.0).df.columns == ["bin_lo", "n_rows", "share_bp"]
+    assert sf.running_totals("v", keys=["k"], order_by=["seq"]).count() == 3
+    assert sf.group_concat(["k"], "seq").df.columns == ["k", "n_values", "joined"]
+    assert sf.time_profile("ts").df.columns == ["dow", "hod", "n_rows"]
+    assert sf.diff_against(sf, ["k", "seq"]).df.columns == [
+        "k", "seq", "diff_status", "changed_cols"]
+    # YAML spec path, incl. the dataset-ref data_diff and expr aggs
+    for spec in (
+        OpSpec("flag_outliers_mad", {"value_col": "v"}),
+        OpSpec("histogram", {"value_col": "v", "bin_width": 1.0}),
+        OpSpec("running_totals", {"value_col": "v", "keys": ["k"], "order_by": ["seq"]}),
+        OpSpec("group_concat", {"group_cols": ["k"], "value_col": "seq"}),
+        OpSpec("time_profile", {"ts_col": "ts", "aggs": {"v_sum": "sum(v)"}}),
+    ):
+        assert apply_op(sf, spec, {}).df.count() >= 1
+    d = apply_op(sf, OpSpec("data_diff", {"right": "newer", "keys": ["k", "seq"]}),
+                 {"newer": sf})
+    assert d.df.filter(F.col("diff_status") == "unchanged").count() == 3

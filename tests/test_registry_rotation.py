@@ -42,10 +42,20 @@ def test_ledger_matches_recorded_correctness_artifacts():
     assert not phantom, f"ledger keys with no green CORRECTNESS row: {sorted(phantom)}"
 
 
+# Queries whose output is engine-specific by NATURE (approximation
+# sketches) and therefore deliberately ship without a SQL oracle — the
+# driver records its weaker rows-only check, and a dedicated bound test
+# pins correctness instead. Every entry here must name that test.
+ORACLE_EXEMPT = {
+    # tests/test_sketch_modes.py::test_approx_quantiles_rank_error_bound
+    "docs_approx_quantiles",
+}
+
+
 def test_registry_is_fully_oracle_covered():
     keys = set(entry.queries().keys())
     osql = set(entry.oracle_sql().keys())
     assert osql <= keys, f"oracle_sql keys missing from queries(): {sorted(osql - keys)}"
-    uncovered = keys - osql
-    # genuinely non-SQL-expressible ops may be absent; today there are none
+    uncovered = keys - osql - ORACLE_EXEMPT
     assert not uncovered, f"queries without an oracle_sql entry: {sorted(uncovered)}"
+    assert not (ORACLE_EXEMPT & osql), "exempt queries must not ALSO have oracles"
