@@ -2980,6 +2980,22 @@ def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-chained EWMA (timeseries.ewma_bucketed): the per-key
+    history bound of ewma() split into 6-hour-bucket folds plus a
+    bucket-count-sized chain. The oracle replays the SAME two-stage
+    fold (per-bucket list_reduce, then an affine chain over the bucket
+    maps), so the floating-point regrouping hashes bit-exact — both
+    engines execute the identical operation sequence."""
+    from docetl_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.ewma_bucketed(
+        ev, "ts", "value", keys=["user_id"], alpha=0.3,
+        bucket_width=21600 * 10**9, tiebreak="event_id",
+    )
+
+
 def docs_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-mode length quantiles (stats.approx_quantiles,
     percentile_approx): the bounded-state escape hatch for the exact
@@ -3161,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_data_diff": orders_data_diff,
         "nation_supplier_concat": nation_supplier_concat,
         "events_time_profile": events_time_profile,
+        "events_ewma_bucketed": events_ewma_bucketed,
         "docs_approx_quantiles": docs_approx_quantiles,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
@@ -5576,6 +5593,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(cent) AS BIGINT) AS cents
         FROM f GROUP BY 1, 2, 3"""
+    sql["events_ewma_bucketed"] = """
+        WITH v AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000) % 21600000000000)
+                   // 21600000000000 AS bkt,
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_ns(ts), event_id)
+                   FILTER (WHERE value IS NOT NULL) AS vals,
+                 COUNT(value) AS m
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT user_id, bkt, m,
+                 list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
+                             (acc, x) -> acc * 0.7) AS am,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                             (acc, x) -> acc * 0.7 + x * 0.3) AS bm,
+                 CASE WHEN m > 0
+                      THEN list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)
+                 END AS sm
+          FROM v
+        )
+        SELECT user_id, CAST(SUM(m) AS BIGINT) AS n,
+               struct_extract(
+                 list_reduce(
+                   list_prepend(
+                     {'am': CAST(NULL AS DOUBLE), 'bm': CAST(NULL AS DOUBLE),
+                      'sm': CAST(NULL AS DOUBLE)},
+                     list({'am': am, 'bm': bm, 'sm': sm} ORDER BY bkt)
+                       FILTER (WHERE m > 0)
+                   ),
+                   (acc, x) -> {'am': CAST(1.0 AS DOUBLE), 'bm': CAST(0.0 AS DOUBLE),
+                                'sm': CASE WHEN struct_extract(acc, 'am') IS NULL
+                                           THEN struct_extract(x, 'sm')
+                                           ELSE struct_extract(x, 'am') * struct_extract(acc, 'sm')
+                                                + struct_extract(x, 'bm') END}
+                 ), 'sm') AS ewma
+        FROM b GROUP BY user_id"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.
