@@ -75,6 +75,9 @@ BENCH_EXCLUDED = {
     # first-touch attribution = the benched last-touch plan with the
     # opposite as-of scan direction (one shuffle either way)
     "events_attribution_first": "variant",
+    # percentile_approx wrapper: one combinable agg, engine-specific
+    # sketch output; perf is Spark-built-in, bound-tested not benched
+    "docs_approx_quantiles": "micro",
 }
 
 BENCH_QUERIES = [
@@ -221,6 +224,13 @@ BENCH_QUERIES = [
     "orders_salted_join",
     "docs_ngram_stats",
     "docs_readability",
+    "events_value_histogram",
+    "events_mad_outliers",
+    "events_running_totals",
+    "orders_data_diff",
+    "nation_supplier_concat",
+    "events_time_profile",
+    "events_ewma_bucketed",
 ]
 
 

@@ -59,6 +59,12 @@ PLAN_ONLY = [
     "events_transitions", "docs_quantile_buckets", "orders_salted_join",
     "docs_ngram_stats", "events_snapshot_latest", "events_interval_join",
     "docs_readability",
+    # round-8 additions — all construct plan-only (the grouped
+    # exact_quantiles inside mad_outliers never touches the
+    # distributed-rank job path)
+    "events_value_histogram", "events_mad_outliers", "events_running_totals",
+    "orders_data_diff", "nation_supplier_concat", "events_time_profile",
+    "events_ewma_bucketed", "docs_approx_quantiles",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
