@@ -3010,6 +3010,46 @@ def docs_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_quantiles(d, "len", [0.5, 0.9], by=["lang"], accuracy=10_000)
 
 
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the corpus table (dq.profile_columns): exact
+    per-column null and distinct counts from ONE Expand-strategy
+    aggregation over one scan — the schema-rot tripwire in front of
+    every corpus refresh."""
+    from docetl_spark.functions.dq import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative invariant gate (dq.check_constraints): three
+    business rules folded into ONE combinable aggregation; false OR
+    NULL both count as violations (the dbt-test convention)."""
+    from docetl_spark.functions.dq import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_constraints(orders, {
+        "price_positive": "o_totalprice > 0",
+        "status_known": "o_orderstatus IN ('F', 'O', 'P')",
+        "priority_prefixed": "o_orderpriority LIKE '%-%'",
+    })
+
+
+def lineitem_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scan (dq.fk_violations): lineitem rows
+    whose (synthetically thinned) orders parent is missing — one LEFT
+    ANTI join against the pruned key projection; NULL FKs orphan by
+    LEFT ANTI semantics. Parent thinned by orderkey%97 so the check
+    has real hits at every SF."""
+    from docetl_spark.functions.dq import fk_violations
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    parent = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
+    return fk_violations(li, parent, {"l_orderkey": "o_orderkey"})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3178,6 +3218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_concat": nation_supplier_concat,
         "events_time_profile": events_time_profile,
         "events_ewma_bucketed": events_ewma_bucketed,
+        "docs_profile": docs_profile,
+        "orders_constraints": orders_constraints,
+        "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
@@ -5629,6 +5672,44 @@ def oracle_sql() -> dict[str, str]:
                                                 + struct_extract(x, 'bm') END}
                  ), 'sm') AS ewma
         FROM b GROUP BY user_id"""
+    sql["docs_profile"] = """
+        WITH w AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS null_doc_id,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dist_doc_id,
+            CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+            CAST(COUNT(DISTINCT text) AS BIGINT) AS dist_text,
+            CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS dist_lang,
+            CAST(COUNT(*) - COUNT(source) AS BIGINT) AS null_source,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS dist_source,
+            CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS null_n_chars,
+            CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS dist_n_chars
+          FROM documents
+        )
+        SELECT 'doc_id' AS column, n_rows, null_doc_id AS n_null, dist_doc_id AS n_distinct FROM w
+        UNION ALL SELECT 'text', n_rows, null_text, dist_text FROM w
+        UNION ALL SELECT 'lang', n_rows, null_lang, dist_lang FROM w
+        UNION ALL SELECT 'source', n_rows, null_source, dist_source FROM w
+        UNION ALL SELECT 'n_chars', n_rows, null_n_chars, dist_n_chars FROM w"""
+    sql["orders_constraints"] = """
+        WITH w AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+            CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+            CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('F', 'O', 'P'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
+            CAST(SUM(CASE WHEN COALESCE(o_orderpriority LIKE '%-%', false) THEN 0 ELSE 1 END) AS BIGINT) AS v_prio
+          FROM orders
+        )
+        SELECT 'price_positive' AS constraint_name, n_checked, v_price AS n_violations FROM w
+        UNION ALL SELECT 'status_known', n_checked, v_status FROM w
+        UNION ALL SELECT 'priority_prefixed', n_checked, v_prio FROM w"""
+    sql["lineitem_fk_orphans"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem l
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 97 != 0
+        )"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "nation_supplier_concat",
     "events_time_profile",
     "events_ewma_bucketed",
+    "docs_profile",
+    "orders_constraints",
+    "lineitem_fk_orphans",
 ]
 
 

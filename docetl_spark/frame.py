@@ -1059,6 +1059,38 @@ class SemanticFrame:
             "time_profile", ts_col=ts_col, by=by, **kw,
         )
 
+    def profile_columns(self, columns: list[str] | None = None) -> "SemanticFrame":
+        """Per-column n/null/distinct profile (one Expand-strategy
+        aggregation) — see functions/dq.profile_columns."""
+        from .functions import dq
+
+        return self._next(
+            dq.profile_columns(self.df, columns),
+            "profile_columns", columns=list(columns) if columns else None,
+        )
+
+    def check_constraints(self, constraints: dict[str, str]) -> "SemanticFrame":
+        """Declarative invariant gate (one combinable aggregation) —
+        see functions/dq.check_constraints."""
+        from .functions import dq
+
+        return self._next(
+            dq.check_constraints(self.df, constraints),
+            "check_constraints", constraints=dict(constraints),
+        )
+
+    def fk_violations(self, parent: "SemanticFrame | DataFrame",
+                      on: list[str] | dict[str, str]) -> "SemanticFrame":
+        """Orphan rows vs a parent table (one LEFT ANTI join) — see
+        functions/dq.fk_violations."""
+        from .functions import dq
+
+        p = parent.df if hasattr(parent, "df") else parent
+        return self._next(
+            dq.fk_violations(self.df, p, on),
+            "fk_violations", on=on if isinstance(on, list) else dict(on),
+        )
+
     def melt(self, id_cols: list[str], value_cols: list[str], **kw) -> "SemanticFrame":
         """Wide-to-long unpivot (Spark Expand node, no shuffle) — see
         operators/shape.melt."""

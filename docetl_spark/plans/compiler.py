@@ -295,6 +295,12 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.diff_against(datasets[c.pop("right")], c.pop("keys"), **c)
     if t == "group_concat":
         return sf.group_concat(c.pop("group_cols"), c.pop("value_col"), **c)
+    if t == "profile_columns":
+        return sf.profile_columns(c.pop("columns", None))
+    if t == "check_constraints":
+        return sf.check_constraints(c.pop("constraints"))
+    if t == "fk_violations":
+        return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
     if t == "time_profile":
         _aggs = c.pop("aggs", None)
         return sf.time_profile(

@@ -40,7 +40,8 @@ _KNOWN_OPS = {
     "winsorize", "transitions", "quantile_buckets", "salted_join",
     "ngram_stats", "snapshot_latest", "interval_join", "readability",
     "flag_outliers_mad", "histogram", "running_totals", "data_diff",
-    "group_concat", "time_profile",
+    "group_concat", "time_profile", "profile_columns", "check_constraints",
+    "fk_violations",
 }
 
 
@@ -226,6 +227,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),
         "time_profile": ("ts_col",),
+        "check_constraints": ("constraints",),
+        "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),
         "ngram_stats": ("text_col", "id_col"),
         "readability": ("text_col",),

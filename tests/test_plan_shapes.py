@@ -65,6 +65,7 @@ PLAN_ONLY = [
     "events_value_histogram", "events_mad_outliers", "events_running_totals",
     "orders_data_diff", "nation_supplier_concat", "events_time_profile",
     "events_ewma_bucketed", "docs_approx_quantiles",
+    "docs_profile", "orders_constraints", "lineitem_fk_orphans",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
