@@ -3050,6 +3050,58 @@ def lineitem_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk_violations(li, parent, {"l_orderkey": "o_orderkey"})
 
 
+def events_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram twin: stateless cents+bin projection feeds
+    an update-mode exactly-once count per (type, bin); the drained bin
+    table finishes through the IDENTICAL batch share plan via
+    histogram(weight_col=...). Oracle = the batch histogram SQL —
+    streaming/batch parity is the check."""
+    from docetl_spark.functions.stats import histogram
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    binned = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", (c - F.pmod(c, F.lit(25))).alias("bin_lo")
+    )
+    counts = binned.groupBy("event_type", "bin_lo").count()
+    rows = stream_ops.run_available_now(
+        counts,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_hist_"),
+        dedupe_keys=["event_type", "bin_lo"],
+        shuffle_partitions=8,
+    )
+    drained = stream_ops.drained_df(
+        spark, rows, "event_type string, bin_lo long, count long"
+    )
+    return histogram(
+        drained.withColumn("_v", F.col("bin_lo") / 100.0),
+        "_v", bin_width=0.25, by=["event_type"], weight_col="count",
+    )
+
+
+def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cumulative-value twin (running_totals_stateful):
+    O(1) fixed-point state per user, append-mode per-event emission
+    bridging micro-batch boundaries; an in-order availableNow drain
+    reproduces the batch running frame exactly (oracle = the batch
+    window SQL, shares omitted — no online meaning)."""
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = stream_ops.running_totals_stateful(
+        ev.select("user_id", "ts", "event_id", "value")
+    )
+    rows = stream_ops.run_available_now(
+        out,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_srt_"),
+        output_mode="append", shuffle_partitions=8,
+    )
+    return stream_ops.drained_df(
+        spark, rows, "user_id long, event_id long, cum_value long"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3219,6 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_profile": events_time_profile,
         "events_ewma_bucketed": events_ewma_bucketed,
         "docs_profile": docs_profile,
+        "events_stream_histogram": events_stream_histogram,
+        "events_stream_running_totals": events_stream_running_totals,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -5710,6 +5764,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM orders o
           WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 97 != 0
         )"""
+    sql["events_stream_histogram"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT event_type,
+                 c - ((c % 25) + 25) % 25 AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM b GROUP BY 1, 2
+        )
+        SELECT event_type, bin_lo, n_rows,
+               CAST(n_rows * 10000 // SUM(n_rows) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_bp
+        FROM g"""
+    sql["events_stream_running_totals"] = """
+        SELECT user_id, event_id,
+               CAST(SUM(COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+        FROM events"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "docs_profile",
     "orders_constraints",
     "lineitem_fk_orphans",
+    "events_stream_histogram",
+    "events_stream_running_totals",
 ]
 
 

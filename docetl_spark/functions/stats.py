@@ -559,6 +559,7 @@ def histogram(
     bin_width: float,
     by: list[str] | None = None,
     scale: int = 100,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-width histogram in EXACT integer math: values fixed-point
     at ``scale`` (cents by default), bin edges at multiples of
@@ -570,6 +571,10 @@ def histogram(
     Output: ``by`` + ``bin_lo`` (the bin's inclusive lower edge, as a
     fixed-point long: lo*scale) + ``n_rows`` + ``share_bp`` (exact
     integer basis points of the group total). NULL values are dropped.
+
+    ``weight_col``: input rows already carry counts (e.g. a drained
+    streaming bin-count table) — sum it instead of counting rows, so a
+    streaming twin finishes through the identical share plan.
 
     Plan: ONE map-side-combinable groupBy on (by, bin) — partial
     aggregation collapses each partition to its occupied-bin counts
@@ -584,11 +589,15 @@ def histogram(
     if clash:
         raise ValueError(f"histogram reserves column names {clash}")
     c = F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long")
+    measure = (
+        F.sum(F.col(weight_col)).cast("long") if weight_col else F.count(F.lit(1))
+    )
     binned = (
         df.filter(F.col(value_col).isNotNull())
-        .select(*(by or []), ((c - F.pmod(c, F.lit(w)))).alias("bin_lo"))
+        .select(*(by or []), ((c - F.pmod(c, F.lit(w)))).alias("bin_lo"),
+                *([weight_col] if weight_col else []))
         .groupBy(*(by or []), "bin_lo")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(measure.alias("n_rows"))
     )
     if by:
         wall = W.partitionBy(*by)

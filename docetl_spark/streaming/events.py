@@ -663,6 +663,60 @@ def transitions_stateful(
     )
 
 
+def running_totals_stateful(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Real-time per-key cumulative value via applyInPandasWithState —
+    the streaming counterpart of stats.running_totals' running frame.
+    State per key is ONE fixed-point long (O(1) regardless of
+    history); each micro-batch folds its rows in (ts_col, id_col)
+    order and emits one (key, id, cum_value) row per event, bridging
+    batch boundaries through the carried sum. Values fixed-point at
+    ``scale`` exactly like the batch operator (floor(v*scale + 0.5) on
+    the identical IEEE double; NULLs contribute 0), so an in-order
+    availableNow drain reproduces the batch cum_value column exactly —
+    the registry oracle IS the batch window SQL. The group-total share
+    column has no online meaning and is deliberately absent."""
+    import math
+
+    out_schema = T.StructType([
+        T.StructField(user_col, events.schema[user_col].dataType),
+        T.StructField(id_col, events.schema[id_col].dataType),
+        T.StructField("cum_value", T.LongType()),
+    ])
+    s = int(scale)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        ids, cums = [], []
+        for _ts, eid, v in _rows_in_event_order(pdfs, (ts_col, id_col, value_col)):
+            if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                cum += int(math.floor(float(v) * s + 0.5))
+            ids.append(eid)
+            cums.append(cum)
+        state.update((cum,))
+        if ids:
+            yield pd.DataFrame({
+                user_col: [key[0]] * len(ids), id_col: ids, "cum_value": cums,
+            })
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="cum LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_stateful(
     events: DataFrame,
     steps: list[str],

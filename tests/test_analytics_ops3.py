@@ -141,3 +141,41 @@ def test_r8_verbs_and_yaml_specs(spark):
     d = apply_op(sf, OpSpec("data_diff", {"right": "newer", "keys": ["k", "seq"]}),
                  {"newer": sf})
     assert d.df.filter(F.col("diff_status") == "unchanged").count() == 3
+
+
+def test_histogram_weight_col_matches_raw(spark):
+    raw = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.6), ("a", 1.5), ("b", 0.5)], "g string, v double")
+    pre = raw.groupBy("g", "v").agg(F.count(F.lit(1)).alias("w"))
+    a = sorted(tuple(r) for r in histogram(raw, "v", bin_width=1.0, by=["g"]).collect())
+    b = sorted(tuple(r) for r in histogram(
+        pre, "v", bin_width=1.0, by=["g"], weight_col="w").collect())
+    assert a == b
+
+
+def test_stream_running_totals_matches_batch_across_batches(spark, tmp_path):
+    """Cross-batch state carry: two single-file micro-batches; every
+    key's cum must continue from batch 0 into batch 1."""
+    from docetl_spark.streaming import events as stream_ops
+
+    import pandas as pd
+
+    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 2, float(v) if v is not None else None)
+            for i, v in enumerate([1.0, 2.0, None, 4.0, 0.5, 3.0])]
+    cols = ["event_id", "ts", "user_id", "value"]
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame(rows[:3], columns=cols).to_parquet(d / "b0.parquet")
+    pd.DataFrame(rows[3:], columns=cols).to_parquet(d / "b1.parquet")
+    stream = stream_ops.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = stream_ops.running_totals_stateful(
+        stream.select("user_id", "ts", "event_id", "value"))
+    rows_out = stream_ops.run_available_now(
+        out, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_rt_"),
+        output_mode="append", shuffle_partitions=4,
+    )
+    got = {r["event_id"]: r["cum_value"] for r in rows_out}
+    ev = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+    want = {r["event_id"]: r["cum_value"] for r in running_totals(
+        ev, "value", keys=["user_id"], order_by=["ts", "event_id"]).collect()}
+    assert got == want and len(got) == 6
