@@ -3102,6 +3102,18 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling DAU/WAU/MAU (timeseries.active_users): raw events
+    collapse to distinct user-days ONCE, fan out x30 on the collapsed
+    table only, then one multi-distinct aggregation (Expand) per report
+    day; quiet manufactured days semi-joined away. The textbook exact
+    sliding-distinct plan — cost bounded by users x days, not events."""
+    from docetl_spark.functions.timeseries import active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return active_users(ev, "ts", user_col="user_id", windows=(1, 7, 30))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3273,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_profile": docs_profile,
         "events_stream_histogram": events_stream_histogram,
         "events_stream_running_totals": events_stream_running_totals,
+        "events_active_users": events_active_users,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -5785,6 +5798,27 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
         FROM events"""
+    sql["events_active_users"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000) + 86400000000000) % 86400000000000)
+                   // 86400000000000 AS d
+          FROM events WHERE ts IS NOT NULL
+        ), ex AS (
+          SELECT ud.u, t.off, ud.d + t.off AS day
+          FROM ud, (SELECT UNNEST(range(0, 30)) AS off) t
+        ), c AS (
+          SELECT day,
+                 COUNT(DISTINCT CASE WHEN off < 1 THEN u END) AS au_1d,
+                 COUNT(DISTINCT CASE WHEN off < 7 THEN u END) AS au_7d,
+                 COUNT(DISTINCT CASE WHEN off < 30 THEN u END) AS au_30d
+          FROM ex GROUP BY day
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(au_1d AS BIGINT) AS au_1d,
+               CAST(au_7d AS BIGINT) AS au_7d,
+               CAST(au_30d AS BIGINT) AS au_30d
+        FROM c WHERE day IN (SELECT d FROM ud)"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "lineitem_fk_orphans",
     "events_stream_histogram",
     "events_stream_running_totals",
+    "events_active_users",
 ]
 
 

@@ -1091,6 +1091,16 @@ class SemanticFrame:
             "fk_violations", on=on if isinstance(on, list) else dict(on),
         )
 
+    def active_users(self, ts_col: str, *, user_col: str, **kw) -> "SemanticFrame":
+        """Exact rolling DAU/WAU/MAU over observed days — see
+        functions/timeseries.active_users."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.active_users(self.df, ts_col, user_col=user_col, **kw),
+            "active_users", ts_col=ts_col, user_col=user_col, **kw,
+        )
+
     def melt(self, id_cols: list[str], value_cols: list[str], **kw) -> "SemanticFrame":
         """Wide-to-long unpivot (Spark Expand node, no shuffle) — see
         operators/shape.melt."""

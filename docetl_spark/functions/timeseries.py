@@ -1474,3 +1474,66 @@ def time_profile(
     for name, col in (aggs or {}).items():
         measures.append(col.alias(name))
     return df.groupBy(*(by or []), dow, hod).agg(*measures)
+
+
+def active_users(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    user_col: str,
+    day_ns: int = 86_400 * 10**9,
+    windows: tuple[int, ...] = (1, 7, 30),
+) -> DataFrame:
+    """Exact rolling active-user counts (the DAU/WAU/MAU product
+    staple): for every OBSERVED activity day, the distinct users seen
+    in the trailing 1/7/30-day windows ending that day.
+
+    Exact sliding-window distinct counts are the textbook hard case —
+    a naive per-day window over raw events re-scans 30 days of data
+    per day. The scalable exact plan used here:
+
+    1. collapse raw events to DISTINCT (user, day) — one combinable
+       shuffle; everything after runs on user-days, which is bounded by
+       users × days regardless of event volume;
+    2. explode each user-day to the max(windows) report days it can
+       contribute to (a ×max(window) fan-out of the already-collapsed
+       table — the explicit, bounded cost of exactness);
+    3. ONE groupBy(report_day) with a conditional count-distinct per
+       window (offset < w) — Spark's Expand strategy handles the
+       multi-distinct in a single aggregation;
+    4. semi-join back to observed days so quiet trailing days (which
+       step 2 manufactures) don't appear.
+
+    Beyond ~90-day windows the fan-out dominates and the sketch path
+    (per-day HLL sketches merged over the window) is the escape hatch;
+    at the standard 1/7/30 this exact plan is the right trade.
+
+    Output: ``day`` (epoch-day long) + one ``au_{w}d`` long per window.
+    """
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError("windows must be positive day counts")
+    wmax = ws[-1]
+    d = int(day_ns)
+    t = F.col(ts_col).cast("long")
+    day = F.expr(f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {d})) DIV {d}")
+    user_days = (
+        df.filter(t.isNotNull())
+        .select(F.col(user_col).alias("_au_u"), day.alias("_au_d"))
+        .distinct()
+    )
+    exploded = user_days.select(
+        "_au_u", "_au_d",
+        F.explode(F.sequence(F.lit(0), F.lit(wmax - 1)).cast("array<long>")).alias("_au_off"),
+    ).select(
+        "_au_u", "_au_off", (F.col("_au_d") + F.col("_au_off")).alias("day")
+    )
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("_au_off") < F.lit(w), F.col("_au_u"))
+        ).alias(f"au_{w}d")
+        for w in ws
+    ]
+    counts = exploded.groupBy("day").agg(*aggs)
+    observed = user_days.select(F.col("_au_d").alias("day")).distinct()
+    return counts.join(observed, "day", "left_semi")

@@ -301,6 +301,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.check_constraints(c.pop("constraints"))
     if t == "fk_violations":
         return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
+    if t == "active_users":
+        kw = dict(c)
+        return sf.active_users(kw.pop("ts_col"), user_col=kw.pop("user_col"),
+                               **{k: tuple(v) if k == "windows" else v
+                                  for k, v in kw.items()})
     if t == "time_profile":
         _aggs = c.pop("aggs", None)
         return sf.time_profile(

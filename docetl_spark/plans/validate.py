@@ -41,6 +41,7 @@ _KNOWN_OPS = {
     "ngram_stats", "snapshot_latest", "interval_join", "readability",
     "flag_outliers_mad", "histogram", "running_totals", "data_diff",
     "group_concat", "time_profile", "profile_columns", "check_constraints",
+    "active_users",
     "fk_violations",
 }
 
@@ -227,6 +228,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),
         "time_profile": ("ts_col",),
+        "active_users": ("ts_col", "user_col"),
         "check_constraints": ("constraints",),
         "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),

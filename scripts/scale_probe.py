@@ -536,6 +536,70 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
 
         res["ewma_bucketed"] = timed(run_ewmab)
 
+    # round-8 report/dq ops — all expected flat-to-linear: combinable
+    # aggs (histogram/time_profile/dq), one window shuffle
+    # (running_totals), one full-outer join (data_diff), two
+    # exact-quantile passes (mad_outliers)
+    if want("histogram") and events_path:
+        from docetl_spark.functions.stats import histogram as _hist
+
+        ev_h = spark.read.parquet(events_path)
+        res["histogram"] = timed(lambda: (
+            _hist(ev_h, "value", bin_width=0.25, by=["event_type"])
+            .agg(F.count(F.lit(1))).collect()
+        ))
+
+    if want("mad_outliers") and events_path:
+        from docetl_spark.functions.stats import mad_outliers as _mad
+
+        ev_m = spark.read.parquet(events_path)
+        res["mad_outliers"] = timed(lambda: (
+            _mad(ev_m, "value", by=["event_type"])
+            .agg(F.sum(F.col("is_outlier").cast("long"))).collect()
+        ))
+
+    if want("running_totals") and events_path:
+        from docetl_spark.functions.stats import running_totals as _rt
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        def run_rt():
+            ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+            _rt(ev, "value", keys=["user_id"], order_by=["ts", "event_id"])                 .agg(F.max("cum_value")).collect()
+
+        res["running_totals"] = timed(run_rt)
+
+    if want("data_diff"):
+        from docetl_spark.functions.joins import data_diff as _dd
+
+        def run_dd():
+            old = docs.filter(F.col("doc_id") % 7 != 0)
+            new = docs.filter(F.col("doc_id") % 5 != 0)
+            _dd(old, new, ["doc_id"]).groupBy("diff_status")                 .agg(F.count(F.lit(1))).collect()
+
+        res["data_diff"] = timed(run_dd)
+
+    if want("dq_suite"):
+        from docetl_spark.functions.dq import check_constraints, profile_columns
+
+        def run_dq():
+            profile_columns(docs, ["doc_id", "text"]).collect()
+            check_constraints(docs, {
+                "has_text": "text IS NOT NULL",
+                "id_positive": "doc_id >= 0",
+            }).collect()
+
+        res["dq_suite"] = timed(run_dq)
+
+    if want("time_profile") and events_path:
+        from docetl_spark.functions.timeseries import time_profile as _tp
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        def run_tp():
+            ev = normalize_epoch_nanos(spark.read.parquet(events_path))
+            _tp(ev, "ts", by=["event_type"]).agg(F.count(F.lit(1))).collect()
+
+        res["time_profile"] = timed(run_tp)
+
     return res
 
 

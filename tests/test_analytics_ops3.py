@@ -179,3 +179,22 @@ def test_stream_running_totals_matches_batch_across_batches(spark, tmp_path):
     want = {r["event_id"]: r["cum_value"] for r in running_totals(
         ev, "value", keys=["user_id"], order_by=["ts", "event_id"]).collect()}
     assert got == want and len(got) == 6
+
+
+def test_active_users_rolling_windows(spark):
+    from docetl_spark.functions.timeseries import active_users
+
+    D = 100
+    # users: u1 active days 0,1; u2 day 0; u3 day 9 (gap days 2-8 quiet)
+    rows = [(1, 5), (1, 150), (2, 50), (3, 9 * D + 1), (1, None)]
+    df = spark.createDataFrame(rows, "u long, ts long")
+    out = {r["day"]: r for r in active_users(
+        df, "ts", user_col="u", day_ns=D, windows=(1, 7)).collect()}
+    # quiet days manufactured by the fan-out must NOT appear
+    assert set(out) == {0, 1, 9}
+    assert out[0]["au_1d"] == 2 and out[0]["au_7d"] == 2
+    assert out[1]["au_1d"] == 1 and out[1]["au_7d"] == 2
+    # day 9: only u3 within 7d (u1's last activity was day 1, 8 days back)
+    assert out[9]["au_1d"] == 1 and out[9]["au_7d"] == 1
+    with pytest.raises(ValueError, match="windows"):
+        active_users(df, "ts", user_col="u", windows=())
