@@ -5627,7 +5627,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.event_id, e.event_type,
                  CAST(e.value AS DOUBLE) AS v,
                  ABS(CAST(e.value AS DOUBLE) - med.m) AS d
-          FROM events e JOIN med USING (event_type)
+          FROM events e JOIN med
+            ON e.event_type IS NOT DISTINCT FROM med.event_type
         ), mad AS (
           SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
         )
@@ -5635,7 +5636,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN dev.v IS NULL THEN false
                     WHEN dev.d * 100.0 > 300.0 * mad.mad THEN true
                     ELSE false END AS is_outlier
-        FROM dev JOIN mad USING (event_type)"""
+        FROM dev JOIN mad
+          ON dev.event_type IS NOT DISTINCT FROM mad.event_type"""
     sql["events_running_totals"] = """
         WITH c AS (
           SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -5762,9 +5764,9 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_constraints"] = """
         WITH w AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
-            CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
-            CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('F', 'O', 'P'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
-            CAST(SUM(CASE WHEN COALESCE(o_orderpriority LIKE '%-%', false) THEN 0 ELSE 1 END) AS BIGINT) AS v_prio
+            CAST(COALESCE(SUM(CASE WHEN COALESCE(o_totalprice > 0, false) THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_price,
+            CAST(COALESCE(SUM(CASE WHEN COALESCE(o_orderstatus IN ('F', 'O', 'P'), false) THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_status,
+            CAST(COALESCE(SUM(CASE WHEN COALESCE(o_orderpriority LIKE '%-%', false) THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_prio
           FROM orders
         )
         SELECT 'price_positive' AS constraint_name, n_checked, v_price AS n_violations FROM w

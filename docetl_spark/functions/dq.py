@@ -30,19 +30,23 @@ def profile_columns(
     ``approx_count_distinct`` per column is the sketch escape hatch
     (one ordinary agg, no Expand).
     """
-    cols = columns or df.columns
+    cols = list(columns) if columns is not None else df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing}")
     if not cols:
         raise ValueError("profile_columns requires at least one column")
+    # column names are data, not identifiers: positional aliases +
+    # escaped string literals keep arbitrary names (spaces, dashes,
+    # quotes, dots) out of the SQL-identifier grammar entirely
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"_null_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append((F.count(F.lit(1)) - F.count(df[c])).alias(f"_null_{i}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"_dist_{i}"))
     wide = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}" for c in cols
+        "'{lit}', _null_{i}, _dist_{i}".format(lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i)
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         "n_rows",
@@ -70,8 +74,14 @@ def check_constraints(
             raise ValueError(f"constraint name {name!r} must be an identifier")
     for name, expr in constraints.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(F.expr(expr), F.lit(False)), 0).otherwise(1)
+            # coalesce the SUM too: an empty table must report 0
+            # violations, not NULL — a gate that returns NULL on the
+            # accidentally-empty refresh silently passes `> 0` checks
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(F.expr(expr), F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).cast("long").alias(f"_v_{name}")
         )
     wide = df.agg(*aggs)

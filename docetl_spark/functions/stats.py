@@ -236,8 +236,10 @@ def heavy_hitters(
     exact_quantiles). The GLOBAL case (no ``by``) would put every
     distinct value in one window task, so it instead runs a distributed
     top-k (orderBy+limit == TakeOrderedAndProject: per-partition heaps)
-    plus scalar aggregates, ranking only the k winners — same output,
-    no single-task sort at any size.
+    plus a scalar aggregate — two bounded actions AT CALL TIME (k-row
+    and 1-row collects, the repo's allowed classes) with the
+    rank/share/tail arithmetic on driver rows: same output, no
+    single-task sort at any size, and no cached plan left behind.
 
     ``weight_col``: input rows already carry a count/weight (e.g. a
     drained streaming counts table) — sum it instead of counting rows,
@@ -257,59 +259,54 @@ def heavy_hitters(
     counts = df.groupBy(*part, val.alias("_hv")).agg(measure.alias("n_rows"))
     if not by:
         # GLOBAL path: a bare partitionBy() window drags every distinct
-        # value into ONE task. The head is a distributed top-k instead
-        # (orderBy + limit == TakeOrderedAndProject: per-partition heaps,
-        # k rows to the driver-side merge), the window then ranks only
-        # those k rows, and the tail derives from (total - head) scalars
-        # — no single-task distinct-value sort anywhere. Identical
-        # output to the window formulation (same deterministic order).
-        # distinct-value-sized cache: both the totals scalar and the
-        # top-k read it, and recomputing would scan the raw table twice
+        # value into ONE task. Instead: one TakeOrderedAndProject top-k
+        # (per-partition heaps, k rows to the driver merge) + one scalar
+        # aggregate over the distinct-value counts, then rank/share/tail
+        # arithmetic on the <= top+1 DRIVER rows. The collects are
+        # limit-gated (k rows) and scalar-agg — the repo's allowed
+        # collect classes; the counts cache lives only between the two
+        # actions (try/finally unpersist — a lazily returned cached plan
+        # would pin executor storage for the application lifetime).
         counts = counts.cache()
-        totals = counts.groupBy().agg(
-            F.sum("n_rows").alias("_tot"),
-            F.count("n_rows").alias("_tot_nn"),
-            F.count(F.lit(1)).alias("_nv"),
-        )
-        head_k = counts.orderBy(F.col("n_rows").desc(), F.col("_hv").asc()).limit(top)
-        wr_k = W.partitionBy().orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
-        head = broadcast_scalar_join(
-            head_k.withColumn("rank", F.row_number().over(wr_k)),
-            totals, df_col="n_rows", scalar_col="_tot",
-        )
-        out_cols = [
-            F.col("_hv").alias("value"),
-            F.col("rank").cast("long").alias("rank"),
-            "n_rows",
-            F.expr("n_rows * 10000 DIV _tot").alias("share_bp"),
-        ]
-        if not with_other:
-            return head.select(*out_cols)
-        head_sums = head.groupBy().agg(
-            F.sum("n_rows").alias("_head_n"),
-            F.count("n_rows").alias("_head_nn"),
-            F.count(F.lit(1)).alias("_head_k"),
-            F.max("_tot").alias("_tot"), F.max("_tot_nn").alias("_tot_nn"),
-            F.max("_nv").alias("_nv"),
-        )
-        # weight_col path NULL-honesty, matching the per-group window
-        # formulation exactly: the tail EXISTS when distinct values
-        # outnumber the head (_nv > _head_k), and its summed measure is
-        # NULL when every tail weight is NULL (_tot_nn == _head_nn),
-        # else total-minus-head over the non-NULL sums
-        tail = (
-            head_sums.filter(F.col("_nv") > F.col("_head_k"))
-            .select(
-                F.lit("__other__").alias("_hv"),
-                F.lit(top + 1).cast("int").alias("rank"),
-                F.when(
-                    F.col("_tot_nn") > F.col("_head_nn"),
-                    F.col("_tot") - F.coalesce(F.col("_head_n"), F.lit(0)),
-                ).alias("n_rows"),
-                F.col("_tot"),
+        try:
+            tot, tot_nn, nv = counts.groupBy().agg(
+                F.sum("n_rows"), F.count("n_rows"), F.count(F.lit(1))
+            ).collect()[0]
+            head_rows = (
+                counts.orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
+                .limit(top).collect()
             )
+        finally:
+            counts.unpersist()
+
+        def div_trunc(a: int, b: int) -> int:
+            # Spark's integral DIV truncates toward zero; Python //
+            # floors — they differ on negative weighted sums
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        out = [
+            (r["_hv"], i + 1, r["n_rows"],
+             None if (r["n_rows"] is None or tot is None)
+             else div_trunc(r["n_rows"] * 10000, tot))
+            for i, r in enumerate(head_rows)
+        ]
+        if with_other and nv > len(head_rows):
+            # NULL-honest weighted tail, matching the window
+            # formulation: summed measure is NULL when every tail
+            # weight is NULL, else total minus the non-NULL head sums
+            head_nn = sum(1 for r in head_rows if r["n_rows"] is not None)
+            head_n = sum(r["n_rows"] for r in head_rows if r["n_rows"] is not None)
+            tail_n = (tot - head_n) if tot_nn > head_nn else None
+            out.append((
+                "__other__", top + 1, tail_n,
+                None if (tail_n is None or tot is None) else div_trunc(tail_n * 10000, tot),
+            ))
+        spark = df.sparkSession
+        schema = (
+            "value string, rank long, n_rows long, share_bp long"
         )
-        return head.select("_hv", "rank", "n_rows", "_tot").unionByName(tail).select(*out_cols)
+        return spark.createDataFrame(out, schema)
     wr = W.partitionBy(*part).orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
     wall = W.partitionBy(*part)
     ranked = counts.withColumn("rank", F.row_number().over(wr)).withColumn(
@@ -646,13 +643,27 @@ def mad_outliers(
     v = F.col(value_col).cast("double")
 
     def _attach(base: DataFrame, q: DataFrame, alias: str) -> DataFrame:
-        qq = q.select(*(by or []), F.col("p50").alias(alias))
+        qq = q.select(
+            *[F.col(c).alias(f"_mg_{c}") for c in (by or [])],
+            F.col("p50").alias(alias),
+        )
         if by:
-            return base.join(F.broadcast(qq), by, "left")
-        return broadcast_scalar_join(
-            base.withColumn("_mo_k", F.lit(1)), qq.withColumn("_mo_k2", F.lit(1)),
-            df_col="_mo_k", scalar_col="_mo_k2",
-        ).drop("_mo_k", "_mo_k2")
+            # null-safe group join: a NULL group key is a real group in
+            # the quantile pass; a bare equi-join would silently detach
+            # its median and mark every row of the group non-outlier
+            # (the robust_outliers idiom)
+            cond = None
+            for c in by:
+                e = F.col(c).eqNullSafe(F.col(f"_mg_{c}"))
+                cond = e if cond is None else cond & e
+            return base.join(F.broadcast(qq), cond, "left").drop(
+                *[f"_mg_{c}" for c in by]
+            )
+        # non-foldable keys on BOTH sides (real columns, not lit(1)) —
+        # a foldable key constant-folds and Catalyst falls back to the
+        # forbidden BroadcastNestedLoopJoin (broadcast_scalar_join's
+        # documented contract)
+        return broadcast_scalar_join(base, qq, df_col=value_col, scalar_col=alias)
 
     med = exact_quantiles(df, value_col, [0.5], by=by)
     with_med = _attach(df, med, "_mo_med").withColumn(

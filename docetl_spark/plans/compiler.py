@@ -471,7 +471,14 @@ def run_pipeline(
                 target = opts.get("target") or next(
                     (s.config.get("name") for s in specs if s.type == "map"), None
                 )
-                if target is not None and sf is not None:
+                # optimize runs PER STEP: a step that doesn't contain a
+                # map op with the target name simply isn't decomposed —
+                # raising would abort multi-step pipelines whose target
+                # lives in a later step
+                step_has_target = any(
+                    s.config.get("name") == target and s.type == "map" for s in specs
+                )
+                if target is not None and sf is not None and step_has_target:
                     dec = fast_decompose(
                         sf, specs, target,
                         backend=backend, datasets=datasets, stats=stats,

@@ -288,14 +288,29 @@ def fast_decompose(
         or target.config.get("output_schema")
         or {}
     )
-    if len(with_outputs) == 1 or original is None or backend is None:
+    judge_be = counted if counted is not None else backend
+    if len(with_outputs) == 1 or backend is None:
         winner = with_outputs[0]
+    elif original is None:
+        # the original failed its sampled run but several challengers
+        # survived: round-robin among them (skipping the judging
+        # entirely would crown catalog position, not quality)
+        wins = {c.name: 0 for c in with_outputs}
+        for i, a in enumerate(with_outputs):
+            for b in with_outputs[i + 1:]:
+                try:
+                    won_name, _ = _judge(judge_be, a, b, original_prompt, output_schema)
+                except Exception:
+                    won_name = a.name
+                wins[won_name] += 1
+        best = max(wins.values())
+        winner = next(c for c in with_outputs if wins[c.name] == best)
     else:
         challengers = [c for c in with_outputs if c.name != "original"]
         beat_original: list[Candidate] = []
         for ch in challengers:
             try:
-                won_name, rationale = _judge(backend, original, ch, original_prompt, output_schema)
+                won_name, rationale = _judge(judge_be, original, ch, original_prompt, output_schema)
             except Exception:
                 won_name, rationale = original.name, "judge call failed"
             if won_name == ch.name:
@@ -313,7 +328,7 @@ def fast_decompose(
             for i, a in enumerate(beat_original):
                 for b in beat_original[i + 1:]:
                     try:
-                        won_name, _ = _judge(backend, a, b, original_prompt, output_schema)
+                        won_name, _ = _judge(judge_be, a, b, original_prompt, output_schema)
                     except Exception:
                         won_name = a.name
                     wins[won_name] += 1

@@ -198,3 +198,56 @@ def test_active_users_rolling_windows(spark):
     assert out[9]["au_1d"] == 1 and out[9]["au_7d"] == 1
     with pytest.raises(ValueError, match="windows"):
         active_users(df, "ts", user_col="u", windows=())
+
+
+def test_mad_outliers_null_group_key_flags(spark):
+    """Review r8: a NULL by-key is a real group — the median join must
+    be null-safe or every row of that group silently unflags."""
+    from docetl_spark.functions.stats import mad_outliers
+
+    rows = [(None, float(v)) for v in list(range(10)) + [1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert mad_outliers(df, "v", by=["g"]).filter(F.col("is_outlier")).count() == 1
+    # global path must not plan a BroadcastNestedLoopJoin
+    plan = mad_outliers(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_global_no_lingering_cache(spark):
+    from docetl_spark.functions.stats import heavy_hitters
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    rows = {r["value"]: r for r in heavy_hitters(df, "v", top=1).collect()}
+    assert rows["a"]["n_rows"] == 2 and rows["__other__"]["n_rows"] == 1
+    assert rows["a"]["share_bp"] == 6666
+    # the two-action global path must unpersist its scratch cache
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_fast_decompose_skips_steps_without_target(spark):
+    """Review r8: per-step optimize must skip steps that don't contain
+    the target map instead of aborting the pipeline."""
+    from docetl_spark import FakeBackend, run_pipeline
+
+    be = FakeBackend(rules={"winner": lambda ctx: "A"})
+    config = {
+        "default_model": "fake",
+        "datasets": {"docs": {"type": "memory", "data": [
+            {"doc_id": 1, "text": "alpha"}]}},
+        "operations": [
+            {"type": "code_map", "name": "pre",
+             "code": "def transform(d): return {'n_chars': len(d.get('text') or '')}",
+             "output": {"schema": {"n_chars": "int"}}},
+            {"type": "map", "name": "summ", "prompt": "Summarize {{ input.text }}",
+             "output": {"schema": {"summary": "str"}}},
+        ],
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "docs", "operations": ["pre"]},
+            {"name": "s2", "operations": ["summ"]},
+        ]},
+        "optimize": {"method": "fast_decompose", "target": "summ", "sample_size": 1},
+    }
+    out = run_pipeline(spark, config, backend=be)
+    assert out.df.count() == 1

@@ -55,3 +55,22 @@ def test_fk_violations(spark):
     assert fk_violations(child, same, ["fk"]).count() == 2
     with pytest.raises(ValueError, match="unknown"):
         fk_violations(child, parent, {"nope": "pk"})
+
+
+def test_profile_columns_hostile_names_and_empty_list(spark):
+    """Review r8: column names are data — spaces, dashes, quotes, dots
+    must survive the stack(); an explicit empty list must raise, not
+    silently profile everything."""
+    df = spark.createDataFrame(
+        [(1, "x")], ["first-seen", "user name's"])
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"first-seen", "user name's"}
+    assert out["first-seen"]["n_distinct"] == 1
+    with pytest.raises(ValueError, match="at least one"):
+        profile_columns(df, [])
+
+
+def test_check_constraints_empty_table_zero_not_null(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = check_constraints(df, {"v_pos": "v > 0"}).collect()
+    assert out[0]["n_checked"] == 0 and out[0]["n_violations"] == 0
