@@ -3114,6 +3114,33 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users(ev, "ts", user_col="user_id", windows=(1, 7, 30))
 
 
+def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sampling (training.sample_pps):
+    ~20 docs per language, selection probability proportional to
+    n_chars — exact integer boundary crossings (cum*n DIV tot), no
+    libm ln(), replays bit-for-bit in the oracle. One shuffle on the
+    stratum; multiplicity surfaces as n_copies."""
+    from docetl_spark.functions.training import sample_pps
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_pps(
+        docs, "n_chars", 20, order_by=["doc_id"], strata=["lang"]
+    ).select("lang", "doc_id", "n_copies")
+
+
+def docs_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-(lang, source) percentile rank of document length as
+    exact integer basis points (training.percentile_normalize) — the
+    cross-source score equalizer; PERCENT_RANK's formula with the
+    double division cleared, ties share ranks exactly."""
+    from docetl_spark.functions.training import percentile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return percentile_normalize(
+        docs, "n_chars", by=["lang", "source"]
+    ).select("doc_id", "lang", "source", "pct_bp")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3286,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_histogram": events_stream_histogram,
         "events_stream_running_totals": events_stream_running_totals,
         "events_active_users": events_active_users,
+        "docs_pps_sample": docs_pps_sample,
+        "docs_percentile_normalize": docs_percentile_normalize,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -5821,6 +5850,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(au_7d AS BIGINT) AS au_7d,
                CAST(au_30d AS BIGINT) AS au_30d
         FROM c WHERE day IN (SELECT d FROM ud)"""
+    sql["docs_pps_sample"] = """
+        WITH c AS (
+          SELECT lang, doc_id,
+                 COALESCE(CAST(FLOOR(n_chars * 100 + 0.5) AS BIGINT), 0) AS cent
+          FROM documents
+        ), r AS (
+          SELECT lang, doc_id, cent,
+                 SUM(cent) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cent) OVER (PARTITION BY lang) AS tot
+          FROM c
+        )
+        SELECT lang, doc_id,
+               CAST(cum * 20 // tot - (cum - cent) * 20 // tot AS BIGINT) AS n_copies
+        FROM r
+        WHERE tot > 0 AND cum * 20 // tot - (cum - cent) * 20 // tot > 0"""
+    sql["docs_percentile_normalize"] = """
+        WITH r AS (
+          SELECT doc_id, lang, source, n_chars,
+                 RANK() OVER (PARTITION BY lang, source
+                              ORDER BY n_chars ASC NULLS LAST) AS rk,
+                 COUNT(n_chars) OVER (PARTITION BY lang, source) AS n
+          FROM documents
+        )
+        SELECT doc_id, lang, source,
+               CASE WHEN n_chars IS NULL THEN NULL
+                    WHEN n > 1 THEN CAST((rk - 1) * 10000 // (n - 1) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS pct_bp
+        FROM r"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

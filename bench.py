@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "events_stream_histogram",
     "events_stream_running_totals",
     "events_active_users",
+    "docs_pps_sample",
+    "docs_percentile_normalize",
 ]
 
 

@@ -1091,6 +1091,28 @@ class SemanticFrame:
             "fk_violations", on=on if isinstance(on, list) else dict(on),
         )
 
+    def sample_pps(self, weight_col: str, n: int, *, order_by: list[str],
+                   **kw) -> "SemanticFrame":
+        """Deterministic systematic PPS sampling (exact integer
+        boundary crossings) — see functions/training.sample_pps."""
+        from .functions import training
+
+        return self._next(
+            training.sample_pps(self.df, weight_col, n, order_by=order_by, **kw),
+            "sample_pps", weight_col=weight_col, n=n, order_by=list(order_by), **kw,
+        )
+
+    def percentile_normalize(self, value_col: str, *, by: list[str] | None = None,
+                             **kw) -> "SemanticFrame":
+        """Within-group percentile rank as exact integer basis points —
+        see functions/training.percentile_normalize."""
+        from .functions import training
+
+        return self._next(
+            training.percentile_normalize(self.df, value_col, by=by, **kw),
+            "percentile_normalize", value_col=value_col, by=by, **kw,
+        )
+
     def active_users(self, ts_col: str, *, user_col: str, **kw) -> "SemanticFrame":
         """Exact rolling DAU/WAU/MAU over observed days — see
         functions/timeseries.active_users."""

@@ -1124,3 +1124,118 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def sample_pps(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    *,
+    order_by: list[str],
+    strata: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Deterministic systematic PPS sampling (probability proportional
+    to size): pick ~``n`` rows per stratum with selection probability
+    proportional to ``weight_col`` — the quality-weighted corpus
+    subsampling primitive ("keep 1M docs, favoring high quality"),
+    without the ln(u)/w exponential-race trick whose libm ln() is a
+    cross-engine 1-ulp hazard.
+
+    The classic systematic rule, in EXACT integer math: fixed-point
+    weights (cents), per-stratum running sum over ``order_by``; a row
+    is selected iff the running total crosses one of the n equally
+    spaced boundaries — ``floor(cum*n/tot) > floor(prev_cum*n/tot)``,
+    evaluated as bigint multiply-then-DIV so both engines agree
+    bit-for-bit. Exactly n selections per stratum when every weight is
+    positive (the n boundary crossings); a single row heavier than
+    tot/n crosses several boundaries — it is emitted once with
+    ``n_copies`` recording its multiplicity (upsample downstream with
+    explode(sequence) if PPS-with-replacement is wanted). Zero/NULL
+    weights are never selected.
+
+    ``order_by`` must be a deterministic total order (hash the id for
+    an unbiased spread; sort by quality for a stratified-by-rank
+    spread). Output: input columns + ``n_copies`` (long) on selected
+    rows only.
+
+    Plan: ONE shuffle on (strata) for two frames over the same sort
+    order (running sum + stratum total); selection is a pure JVM
+    projection. Per-stratum sort task — the usual per-group window
+    bound; strata-less calls ride a single partition ONLY through the
+    window, so pass strata (or a hash-bucket pseudo-stratum) at scale.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not order_by:
+        raise ValueError("sample_pps requires a deterministic order_by")
+    reserved = {"n_copies", "_pps_c", "_pps_cum", "_pps_tot"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"sample_pps reserves column names {clash}")
+    part = [F.col(c) for c in (strata or [])]
+    ordering = [F.col(c) for c in order_by]
+    c = F.coalesce(
+        F.floor(F.col(weight_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    wrun = W.partitionBy(*part).orderBy(*ordering).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(*part)
+    out = (
+        df.withColumn("_pps_c", c)
+        .withColumn("_pps_cum", F.sum("_pps_c").over(wrun))
+        .withColumn("_pps_tot", F.sum("_pps_c").over(wall))
+        .withColumn(
+            "n_copies",
+            F.expr(f"_pps_cum * {int(n)} DIV _pps_tot")
+            - F.expr(f"(_pps_cum - _pps_c) * {int(n)} DIV _pps_tot"),
+        )
+        .filter((F.col("_pps_tot") > 0) & (F.col("n_copies") > 0))
+        .drop("_pps_c", "_pps_cum", "_pps_tot")
+    )
+    return out
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    out_col: str = "pct_bp",
+) -> DataFrame:
+    """Quantile-normalize a score within each group: every row gets its
+    within-group percentile rank as EXACT integer basis points —
+    ``(rank-1) * 10000 DIV (n-1)`` (PERCENT_RANK's formula with the
+    double division cleared), ties sharing the same rank exactly like
+    SQL RANK(). The cross-source score equalizer: heterogeneous quality
+    scores (different models, different scales) become comparable
+    before a global mixing/selection cut.
+
+    NULL values get NULL. Single-row groups (n=1) get 0 (PERCENT_RANK
+    convention). One shuffle on ``by``; per-group sort-task bound as
+    with every exact rank; for the global case prefer a hash-bucket
+    pseudo-group or the distributed-rank path (quantile_buckets).
+    """
+    reserved = {out_col, "_pn_r", "_pn_n"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"percentile_normalize reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    v = F.col(value_col)
+    wr = W.partitionBy(*part).orderBy(v.asc_nulls_last())
+    wall = W.partitionBy(*part)
+    return (
+        df.withColumn("_pn_r", F.rank().over(wr))
+        .withColumn("_pn_n", F.count(v).over(wall))
+        .withColumn(
+            out_col,
+            F.when(v.isNull(), F.lit(None).cast("long")).otherwise(
+                F.when(F.col("_pn_n") > 1,
+                       F.expr("(_pn_r - 1) * 10000 DIV (_pn_n - 1)"))
+                .otherwise(F.lit(0))
+            ),
+        )
+        .drop("_pn_r", "_pn_n")
+    )

@@ -301,6 +301,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.check_constraints(c.pop("constraints"))
     if t == "fk_violations":
         return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
+    if t == "sample_pps":
+        return sf.sample_pps(c.pop("weight_col"), c.pop("n"),
+                             order_by=c.pop("order_by"), **c)
+    if t == "percentile_normalize":
+        return sf.percentile_normalize(c.pop("value_col"), **c)
     if t == "active_users":
         kw = dict(c)
         return sf.active_users(kw.pop("ts_col"), user_col=kw.pop("user_col"),

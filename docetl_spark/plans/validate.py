@@ -41,7 +41,7 @@ _KNOWN_OPS = {
     "ngram_stats", "snapshot_latest", "interval_join", "readability",
     "flag_outliers_mad", "histogram", "running_totals", "data_diff",
     "group_concat", "time_profile", "profile_columns", "check_constraints",
-    "active_users",
+    "active_users", "sample_pps", "percentile_normalize",
     "fk_violations",
 }
 
@@ -229,6 +229,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "group_concat": ("group_cols", "value_col"),
         "time_profile": ("ts_col",),
         "active_users": ("ts_col", "user_col"),
+        "sample_pps": ("weight_col", "n", "order_by"),
+        "percentile_normalize": ("value_col",),
         "check_constraints": ("constraints",),
         "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),

@@ -251,3 +251,44 @@ def test_fast_decompose_skips_steps_without_target(spark):
     }
     out = run_pipeline(spark, config, backend=be)
     assert out.df.count() == 1
+
+
+def test_sample_pps_exact_count_and_multiplicity(spark):
+    from docetl_spark.functions.training import sample_pps
+
+    rows = [(i, 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = sample_pps(df, "w", 5, order_by=["id"]).collect()
+    # equal weights: exactly n selections, one copy each
+    assert len(out) == 5 and all(r["n_copies"] == 1 for r in out)
+    assert sum(r["n_copies"] for r in out) == 5
+    # one dominant weight crosses several boundaries -> multiplicity
+    heavy = spark.createDataFrame(
+        [(1, 1.0), (2, 80.0), (3, 1.0)], "id long, w double")
+    h = {r["id"]: r["n_copies"] for r in sample_pps(
+        heavy, "w", 4, order_by=["id"]).collect()}
+    assert h[2] >= 3 and sum(h.values()) == 4
+    # zero/NULL weights never selected; empty-weight strata vanish
+    z = spark.createDataFrame(
+        [("a", 1, 0.0), ("a", 2, None), ("b", 3, 2.0)], "s string, id long, w double")
+    got = sample_pps(z, "w", 2, order_by=["id"], strata=["s"]).collect()
+    assert {r["id"] for r in got} == {3}
+    with pytest.raises(ValueError, match="order_by"):
+        sample_pps(df, "w", 3, order_by=[])
+
+
+def test_percentile_normalize_exact_bp(spark):
+    from docetl_spark.functions.training import percentile_normalize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("a", None), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = percentile_normalize(df, "v", by=["g"]).collect()
+    got = sorted(
+        ((r["g"], r["v"], r["pct_bp"]) for r in out),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0.0),
+    )
+    # n=4 non-null in a: ranks 1,2,2,4 -> (r-1)*10000 DIV 3
+    assert got == [
+        ("a", None, None), ("a", 1.0, 0), ("a", 2.0, 3333),
+        ("a", 2.0, 3333), ("a", 4.0, 10000), ("b", 9.0, 0),
+    ]

@@ -66,7 +66,7 @@ PLAN_ONLY = [
     "orders_data_diff", "nation_supplier_concat", "events_time_profile",
     "events_ewma_bucketed", "docs_approx_quantiles",
     "docs_profile", "orders_constraints", "lineitem_fk_orphans",
-    "events_active_users",
+    "events_active_users", "docs_pps_sample", "docs_percentile_normalize",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
