@@ -3141,6 +3141,23 @@ def docs_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "pct_bp")
 
 
+def events_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (timeseries.merge_rollup):
+    the per-user state built from 80% of events (event_id%5 != 0) is
+    folded with the remaining 20% as a raw delta — one combinable
+    groupBy over the DELTA plus one full-outer key join, never
+    rescanning the base. Oracle = the full recompute, which the merge
+    must equal EXACTLY (commutative/associative states only)."""
+    from docetl_spark.functions.timeseries import merge_rollup, rollup_state
+
+    ev = _t(spark, sf_dir, "events")
+    aggs = {"n": ("count", "value"), "sum_cents": ("sum", "value"),
+            "min_value": ("min", "value"), "max_value": ("max", "value")}
+    base = rollup_state(ev.filter(F.col("event_id") % 5 != 0), ["user_id"], aggs)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    return merge_rollup(base, delta, ["user_id"], aggs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3315,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": events_active_users,
         "docs_pps_sample": docs_pps_sample,
         "docs_percentile_normalize": docs_percentile_normalize,
+        "events_merge_rollup": events_merge_rollup,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -5879,6 +5897,13 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n > 1 THEN CAST((rk - 1) * 10000 // (n - 1) AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS pct_bp
         FROM r"""
+    sql["events_merge_rollup"] = """
+        SELECT user_id,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

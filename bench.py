@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "events_active_users",
     "docs_pps_sample",
     "docs_percentile_normalize",
+    "events_merge_rollup",
 ]
 
 

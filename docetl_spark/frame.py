@@ -1113,6 +1113,29 @@ class SemanticFrame:
             "percentile_normalize", value_col=value_col, by=by, **kw,
         )
 
+    def merge_rollup(self, delta: "SemanticFrame | DataFrame", keys: list[str],
+                     aggs: dict) -> "SemanticFrame":
+        """Incremental aggregate maintenance: fold raw delta rows into
+        this per-key aggregate state — see
+        functions/timeseries.merge_rollup (self is the BASE state)."""
+        from .functions import timeseries as tsf
+
+        d = delta.df if hasattr(delta, "df") else delta
+        return self._next(
+            tsf.merge_rollup(self.df, d, keys, aggs),
+            "merge_rollup", keys=list(keys), aggs=dict(aggs),
+        )
+
+    def rollup_state(self, keys: list[str], aggs: dict) -> "SemanticFrame":
+        """Mergeable per-key aggregate state (sum/count/min/max) — see
+        functions/timeseries.rollup_state."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.rollup_state(self.df, keys, aggs),
+            "rollup_state", keys=list(keys), aggs=dict(aggs),
+        )
+
     def active_users(self, ts_col: str, *, user_col: str, **kw) -> "SemanticFrame":
         """Exact rolling DAU/WAU/MAU over observed days — see
         functions/timeseries.active_users."""

@@ -301,6 +301,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.check_constraints(c.pop("constraints"))
     if t == "fk_violations":
         return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
+    if t == "rollup_state":
+        return sf.rollup_state(c.pop("keys"), {k: tuple(v) for k, v in c.pop("aggs").items()})
+    if t == "merge_rollup":
+        return sf.merge_rollup(datasets[c.pop("delta")], c.pop("keys"),
+                               {k: tuple(v) for k, v in c.pop("aggs").items()})
     if t == "sample_pps":
         return sf.sample_pps(c.pop("weight_col"), c.pop("n"),
                              order_by=c.pop("order_by"), **c)

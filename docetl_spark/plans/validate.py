@@ -42,6 +42,7 @@ _KNOWN_OPS = {
     "flag_outliers_mad", "histogram", "running_totals", "data_diff",
     "group_concat", "time_profile", "profile_columns", "check_constraints",
     "active_users", "sample_pps", "percentile_normalize",
+    "rollup_state", "merge_rollup",
     "fk_violations",
 }
 
@@ -231,6 +232,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "active_users": ("ts_col", "user_col"),
         "sample_pps": ("weight_col", "n", "order_by"),
         "percentile_normalize": ("value_col",),
+        "rollup_state": ("keys", "aggs"),
+        "merge_rollup": ("delta", "keys", "aggs"),
         "check_constraints": ("constraints",),
         "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),

@@ -292,3 +292,25 @@ def test_percentile_normalize_exact_bp(spark):
         ("a", None, None), ("a", 1.0, 0), ("a", 2.0, 3333),
         ("a", 2.0, 3333), ("a", 4.0, 10000), ("b", 9.0, 0),
     ]
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    from docetl_spark.functions.timeseries import merge_rollup, rollup_state
+
+    aggs = {"n": ("count", "v"), "s": ("sum", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v")}
+    rows = [(i % 4, float(i) if i % 5 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    old = df.filter(F.col("v").isNull() | (F.col("v") < 20))
+    new = df.subtract(old)
+    merged = merge_rollup(rollup_state(old, ["k"], aggs), new, ["k"], aggs)
+    full = rollup_state(df, ["k"], aggs)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # delta introduces a brand-new key; base-only keys survive untouched
+    extra = spark.createDataFrame([(99, 1.0)], "k long, v double")
+    m2 = {r["k"]: r for r in merge_rollup(
+        rollup_state(old, ["k"], aggs), extra, ["k"], aggs).collect()}
+    assert m2[99]["n"] == 1 and m2[0]["n"] is not None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not mergeable"):
+        rollup_state(df, ["k"], {"a": ("avg", "v")})

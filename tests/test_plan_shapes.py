@@ -67,6 +67,7 @@ PLAN_ONLY = [
     "events_ewma_bucketed", "docs_approx_quantiles",
     "docs_profile", "orders_constraints", "lineitem_fk_orphans",
     "events_active_users", "docs_pps_sample", "docs_percentile_normalize",
+    "events_merge_rollup",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
