@@ -148,3 +148,18 @@ def test_product_analytics_yaml_runs(spark):
     assert all(r["lag_ns"] is None or 0 <= r["lag_ns"] <= 86400000000000 for r in attr)
     top = spark.sql("SELECT * FROM user_top_types").collect()
     assert top and all(1 <= r["rank"] <= 4 for r in top)
+
+
+def test_quality_weighted_mix_example(spark):
+    from docetl_spark import run_yaml
+
+    out = run_yaml(spark, "examples/quality_weighted_mix.yaml")
+    rows = out.collect()
+    # histogram report per lang: bins carry exact shares
+    assert rows and all(0 <= r["share_bp"] <= 10000 for r in rows)
+    assert set(out.df.columns) == {"lang", "bin_lo", "n_rows", "share_bp"}
+    # the side steps registered as views: profile + constraint gates ran
+    assert spark.table("profile_report").count() == 5
+    gates = {r["constraint_name"]: r["n_violations"]
+             for r in spark.table("gate_report").collect()}
+    assert gates["has_text"] == 0 and gates["chars_match"] == 0
