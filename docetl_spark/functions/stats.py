@@ -33,6 +33,21 @@ def broadcast_scalar_join(
     )
 
 
+def to_cents(col, scale: int = 100):
+    """The repo's fixed-point idiom, in ONE place: floor(x*scale + 0.5)
+    as a long. Both engines evaluate it on the identical input double
+    (round()'s half-up tie handling routes through different decimal
+    representations per engine — proven hash-oracle hazard). Callers:
+    histogram/running_totals here, training.sample_pps,
+    timeseries.rollup_state; streaming/events.py inlines the same
+    expression executor-side (keep them rounding-identical)."""
+    from pyspark.sql import functions as _F
+
+    return _F.floor(_F.col(col) * _F.lit(int(scale)) + _F.lit(0.5)).cast("long") \
+        if isinstance(col, str) else \
+        _F.floor(col * _F.lit(int(scale)) + _F.lit(0.5)).cast("long")
+
+
 def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
     """Key-distribution skew report for a prospective join/groupBy key.
 
@@ -585,7 +600,7 @@ def histogram(
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"histogram reserves column names {clash}")
-    c = F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long")
+    c = to_cents(value_col, scale)
     measure = (
         F.sum(F.col(weight_col)).cast("long") if weight_col else F.count(F.lit(1))
     )
@@ -708,10 +723,7 @@ def running_totals(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"running_totals reserves column names {clash}")
-    c = F.coalesce(
-        F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long"),
-        F.lit(0),
-    )
+    c = F.coalesce(to_cents(value_col, scale), F.lit(0))
     ordering = [F.col(o) for o in order_by]
     wrun = W.partitionBy(*keys).orderBy(*ordering).rowsBetween(
         W.unboundedPreceding, W.currentRow

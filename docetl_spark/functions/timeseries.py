@@ -1546,14 +1546,16 @@ def rollup_state(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    *,
+    scale: int = 100,
 ) -> DataFrame:
     """Build the mergeable per-key aggregate state ``merge_rollup``
     consumes: ``aggs`` maps output column -> (kind, value_col) with
     kind in {sum, count, min, max} — exactly the commutative/
     associative kinds whose states merge losslessly, so incremental
     maintenance is EXACT, not approximate. sum runs on fixed-point
-    cents (long) to stay accumulation-order-exact. One combinable
-    groupBy."""
+    longs (``scale``, cents by default — the shared stats.to_cents
+    idiom) to stay accumulation-order-exact. One combinable groupBy."""
     if not keys:
         raise ValueError("rollup_state requires at least one key column")
     cols = []
@@ -1565,8 +1567,9 @@ def rollup_state(
         if kind == "count":
             cols.append(F.count(F.col(vc)).alias(out))
         elif kind == "sum":
-            cents = F.floor(F.col(vc) * 100 + F.lit(0.5)).cast("long")
-            cols.append(F.sum(cents).alias(out))
+            from .stats import to_cents
+
+            cols.append(F.sum(to_cents(vc, scale)).alias(out))
         elif kind == "min":
             cols.append(F.min(F.col(vc)).alias(out))
         else:
@@ -1579,6 +1582,8 @@ def merge_rollup(
     delta: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    *,
+    scale: int = 100,
 ) -> DataFrame:
     """Incremental aggregate maintenance: fold a DELTA of raw rows into
     an existing per-key aggregate table WITHOUT rescanning the base
@@ -1599,22 +1604,41 @@ def merge_rollup(
     base table on ``keys`` at write time and the join shuffles only
     the delta.
     """
-    d = rollup_state(delta, keys, aggs)
-    b = base.select(*keys, *[F.col(o).alias(f"_b_{o}") for o in aggs])
-    dd = d.select(*keys, *[F.col(o).alias(f"_d_{o}") for o in aggs])
-    j = b.join(dd, keys, "full_outer")
-    out_cols = list(keys)
+    d = rollup_state(delta, keys, aggs, scale=scale)
+    b = base.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(o).alias(f"_b_{o}") for o in aggs],
+    )
+    dd = d.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        *[F.col(o).alias(f"_d_{o}") for o in aggs],
+    )
+    # null-safe key join: a NULL group key is ONE state on each side
+    # and must merge to ONE row — a bare equi-join would emit two
+    # partial rows and silently split its counts (the same class as
+    # the mad_outliers group join, fixed to the house standard)
+    cond = None
+    for k in keys:
+        e = F.col(f"_bk_{k}").eqNullSafe(F.col(f"_dk_{k}"))
+        cond = e if cond is None else cond & e
+    j = b.join(dd, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"_bk_{k}"), F.col(f"_dk_{k}")).alias(k) for k in keys
+    ]
     for out, (kind, _vc) in aggs.items():
         a, c = F.col(f"_b_{out}"), F.col(f"_d_{out}")
         if kind in ("sum", "count"):
+            # the when-chain is load-bearing here: NULL must act as
+            # identity for an ABSENT side but a present NULL sum (an
+            # all-NULL-values key) must not be zero-coerced
             merged = (
                 F.when(a.isNull(), c)
                 .when(c.isNull(), a)
                 .otherwise(a + c)
             )
         elif kind == "min":
-            merged = F.when(a.isNull(), c).when(c.isNull(), a).otherwise(F.least(a, c))
+            merged = F.least(a, c)  # least/greatest skip NULLs natively
         else:
-            merged = F.when(a.isNull(), c).when(c.isNull(), a).otherwise(F.greatest(a, c))
+            merged = F.greatest(a, c)
         out_cols.append(merged.alias(out))
     return j.select(*out_cols)

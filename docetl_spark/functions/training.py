@@ -1173,26 +1173,45 @@ def sample_pps(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"sample_pps reserves column names {clash}")
+    from .stats import to_cents
+
     part = [F.col(c) for c in (strata or [])]
     ordering = [F.col(c) for c in order_by]
-    c = F.coalesce(
-        F.floor(F.col(weight_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long"),
-        F.lit(0),
+    # negative weights would make the running sum non-monotonic and
+    # silently corrupt the boundary crossings — fail LOUDLY instead
+    # (the assert branch only evaluates on offending rows)
+    raw = to_cents(weight_col, scale)
+    guarded = (
+        F.when(raw.isNull(), F.lit(0))  # NULL weight: never selected
+        .when(raw >= 0, raw)
+        .otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit("sample_pps: negative weight — weights must be >= 0"),
+            ).cast("long")
+        )
     )
+    c = F.coalesce(guarded, F.lit(0))
     wrun = W.partitionBy(*part).orderBy(*ordering).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     wall = W.partitionBy(*part)
+    # decimal(38,0) for the cum*n product: a bigint multiply overflows
+    # at (stratum cents) * n > 2^63 — well inside the operator's own
+    # advertised scale. The zero-total guard is STRUCTURAL (CaseWhen),
+    # not an order-dependent filter conjunct.
+    nc = (
+        f"CASE WHEN _pps_tot > 0 THEN CAST("
+        f"CAST(_pps_cum AS DECIMAL(38,0)) * {int(n)} DIV CAST(_pps_tot AS DECIMAL(38,0))"
+        f" - CAST(_pps_cum - _pps_c AS DECIMAL(38,0)) * {int(n)} DIV CAST(_pps_tot AS DECIMAL(38,0))"
+        f" AS BIGINT) END"
+    )
     out = (
         df.withColumn("_pps_c", c)
         .withColumn("_pps_cum", F.sum("_pps_c").over(wrun))
         .withColumn("_pps_tot", F.sum("_pps_c").over(wall))
-        .withColumn(
-            "n_copies",
-            F.expr(f"_pps_cum * {int(n)} DIV _pps_tot")
-            - F.expr(f"(_pps_cum - _pps_c) * {int(n)} DIV _pps_tot"),
-        )
-        .filter((F.col("_pps_tot") > 0) & (F.col("n_copies") > 0))
+        .withColumn("n_copies", F.expr(nc))
+        .filter(F.col("n_copies") > 0)
         .drop("_pps_c", "_pps_cum", "_pps_tot")
     )
     return out

@@ -311,6 +311,11 @@ def test_merge_rollup_equals_full_recompute(spark):
     m2 = {r["k"]: r for r in merge_rollup(
         rollup_state(old, ["k"], aggs), extra, ["k"], aggs).collect()}
     assert m2[99]["n"] == 1 and m2[0]["n"] is not None
-    import pytest as _pt
-    with _pt.raises(ValueError, match="not mergeable"):
+    with pytest.raises(ValueError, match="not mergeable"):
         rollup_state(df, ["k"], {"a": ("avg", "v")})
+    # NULL key is ONE state per side and must merge to ONE row
+    nb = spark.createDataFrame([(None, 1.0), (None, 2.0)], "k string, v double")
+    nd = spark.createDataFrame([(None, 3.0)], "k string, v double")
+    aggs2 = {"n": ("count", "v"), "s": ("sum", "v")}
+    m = merge_rollup(rollup_state(nb, ["k"], aggs2), nd, ["k"], aggs2).collect()
+    assert len(m) == 1 and m[0]["n"] == 3 and m[0]["s"] == 600
