@@ -3158,6 +3158,52 @@ def events_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup(base, delta, ["user_id"], aggs)
 
 
+def orders_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics (timeseries.apply_cdc): a synthetic
+    changelog (two change generations per %6==0 key, deletes on
+    %15==0, inserts of never-seen keys via the %5 base split) folds
+    into the base snapshot through one changelog-compaction window +
+    ONE null-safe full-outer key join — the base is never rescanned."""
+    from docetl_spark.functions.timeseries import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    gen1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("change_ts"), F.lit(1).alias("change_id"),
+        F.when(F.col("o_orderkey") % 15 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("change_ts"), F.lit(2).alias("change_id"),
+        F.lit("U").alias("op"),
+        F.lit("Y").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 3.0).alias("o_totalprice"),
+    )
+    return apply_cdc(
+        base, gen1.unionByName(gen2), keys=["o_orderkey"],
+        ts_col="change_ts", tiebreak="change_id",
+    )
+
+
+def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state report (timeseries.state_durations): per (user,
+    event_type), visits and total nanoseconds until the next event —
+    LEAD-closed intervals, ONE shuffle on the user key, pure integer
+    epoch subtraction (dangling final visits contribute NULL-honestly)."""
+    from docetl_spark.functions.timeseries import state_durations
+
+    ev = _t(spark, sf_dir, "events")
+    return state_durations(
+        ev, keys=["user_id"], ts_col="ts", state_col="event_type",
+        tiebreak="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3333,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pps_sample": docs_pps_sample,
         "docs_percentile_normalize": docs_percentile_normalize,
         "events_merge_rollup": events_merge_rollup,
+        "orders_apply_cdc": orders_apply_cdc,
+        "events_state_durations": events_state_durations,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -5904,6 +5952,45 @@ def oracle_sql() -> dict[str, str]:
                MIN(value) AS min_value,
                MAX(value) AS max_value
         FROM events GROUP BY user_id"""
+    sql["orders_apply_cdc"] = """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 5 != 0
+        ), ch AS (
+          SELECT o_orderkey, 1 AS change_ts, 1 AS change_id,
+                 CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op,
+                 'X' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, 2, 2, 'U', 'Y', o_totalprice * 3.0
+          FROM orders WHERE o_orderkey % 6 = 0
+        ), latest AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY o_orderkey ORDER BY change_ts DESC, change_id DESC
+            ) AS rn FROM ch
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+               CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN latest l
+          ON b.o_orderkey IS NOT DISTINCT FROM l.o_orderkey
+        WHERE l.op IS NULL OR l.op != 'D'"""
+    sql["events_state_durations"] = """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 LEAD(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ) - epoch_ns(ts) AS gap
+          FROM events
+        )
+        SELECT user_id, event_type AS state,
+               CAST(COUNT(*) AS BIGINT) AS n_visits,
+               CAST(SUM(gap) AS BIGINT) AS total_ns
+        FROM o GROUP BY 1, 2"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "docs_pps_sample",
     "docs_percentile_normalize",
     "events_merge_rollup",
+    "orders_apply_cdc",
+    "events_state_durations",
 ]
 
 

@@ -1136,6 +1136,31 @@ class SemanticFrame:
             "rollup_state", keys=list(keys), aggs=dict(aggs),
         )
 
+    def apply_cdc(self, changes: "SemanticFrame | DataFrame", *, keys: list[str],
+                  ts_col: str, **kw) -> "SemanticFrame":
+        """MERGE-INTO: fold a CDC changelog into this snapshot — see
+        functions/timeseries.apply_cdc (self is the BASE snapshot)."""
+        from .functions import timeseries as tsf
+
+        ch = changes.df if hasattr(changes, "df") else changes
+        return self._next(
+            tsf.apply_cdc(self.df, ch, keys=keys, ts_col=ts_col, **kw),
+            "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
+        )
+
+    def state_durations(self, *, keys: list[str], ts_col: str, state_col: str,
+                        **kw) -> "SemanticFrame":
+        """Total time-in-state per key (LEAD-closed intervals) — see
+        functions/timeseries.state_durations."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.state_durations(self.df, keys=keys, ts_col=ts_col,
+                                state_col=state_col, **kw),
+            "state_durations", keys=list(keys), ts_col=ts_col,
+            state_col=state_col, **kw,
+        )
+
     def active_users(self, ts_col: str, *, user_col: str, **kw) -> "SemanticFrame":
         """Exact rolling DAU/WAU/MAU over observed days — see
         functions/timeseries.active_users."""

@@ -1642,3 +1642,113 @@ def merge_rollup(
             merged = F.greatest(a, c)
         out_cols.append(merged.alias(out))
     return j.select(*out_cols)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """MERGE-INTO semantics as a plan: fold a CDC changelog into a
+    snapshot. ``changes`` carries the key columns, an event time, an
+    op code ('I'/'U' upsert, 'D' delete) and the full payload; the
+    result is the new snapshot — base rows without changes pass
+    through, each changed key takes its LATEST change's payload, and a
+    key whose latest change is a delete disappears (whether or not it
+    ever existed in the base). Insert vs update need no distinction
+    beyond non-delete, exactly like SQL MERGE's WHEN [NOT] MATCHED
+    pair with identical bodies.
+
+    Payload columns are base's non-key columns; ``changes`` must carry
+    the same names. Key joins are NULL-SAFE (a NULL key is a real key
+    — house rule).
+
+    Plan: one window compacts the changelog to its latest row per key
+    (changelog-sized, not base-sized), then ONE full-outer equi-join
+    against the base. Co-partition/bucket the base on ``keys`` at
+    write time and only the compacted changelog shuffles — the
+    incremental-refresh pattern merge_rollup uses for aggregates,
+    applied to row state.
+    """
+    if not keys:
+        raise ValueError("apply_cdc requires at least one key column")
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in keys + payload + [ts_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"apply_cdc: changes is missing columns {missing}")
+    latest = snapshot_latest(
+        changes.select(
+            *keys, ts_col, op_col, *payload,
+            *([tiebreak] if tiebreak and tiebreak not in payload else []),
+        ),
+        keys=keys, ts_col=ts_col, tiebreak=tiebreak,
+    )
+    b = base.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in payload],
+    )
+    ch = latest.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        F.col(op_col).alias("_c_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in payload],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_bk_{k}").eqNullSafe(F.col(f"_ck_{k}"))
+        cond = e if cond is None else cond & e
+    j = b.join(ch, cond, "full_outer")
+    alive = F.col("_c_op").isNull() | (F.col("_c_op") != F.lit("D"))
+    picked = [
+        F.coalesce(F.col(f"_bk_{k}"), F.col(f"_ck_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("_c_op").isNotNull(), F.col(f"_c_{c}"))
+        .otherwise(F.col(f"_b_{c}")).alias(c)
+        for c in payload
+    ]
+    return j.filter(alive).select(*picked)
+
+
+def state_durations(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Total time spent in each state per key — the time-in-state
+    report behind device-uptime, order-lifecycle, and user-journey
+    dashboards. Each event opens its state at its timestamp; the state
+    closes at the key's NEXT event (LEAD); the key's final event has no
+    close and contributes nothing (standard open-interval convention —
+    pass a synthetic end-of-observation event to close it).
+
+    Output: keys + ``state`` + ``n_visits`` (rows that opened the
+    state) + ``total_ns`` (closed time only, exact long arithmetic;
+    NULL when every visit is the dangling last event).
+
+    Plan: ONE shuffle on the keys — the LEAD window and the (keys,
+    state) re-aggregation both ride it; durations are pure integer
+    subtraction on the epoch-long, no doubles near any boundary.
+    """
+    if not keys:
+        raise ValueError("state_durations requires at least one key column")
+    reserved = {"state", "n_visits", "total_ns", "_sd_next"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"state_durations reserves column names {clash}")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    t = F.col(ts_col).cast("long")
+    opened = df.withColumn("_sd_next", F.lead(t).over(w) - t)
+    return (
+        opened.groupBy(*keys, F.col(state_col).cast("string").alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.sum("_sd_next").alias("total_ns"),
+        )
+    )

@@ -301,6 +301,12 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.check_constraints(c.pop("constraints"))
     if t == "fk_violations":
         return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
+    if t == "apply_cdc":
+        return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
+                            ts_col=c.pop("ts_col"), **c)
+    if t == "state_durations":
+        return sf.state_durations(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                  state_col=c.pop("state_col"), **c)
     if t == "rollup_state":
         return sf.rollup_state(c.pop("keys"), {k: tuple(v) for k, v in c.pop("aggs").items()})
     if t == "merge_rollup":

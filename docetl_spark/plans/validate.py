@@ -42,7 +42,7 @@ _KNOWN_OPS = {
     "flag_outliers_mad", "histogram", "running_totals", "data_diff",
     "group_concat", "time_profile", "profile_columns", "check_constraints",
     "active_users", "sample_pps", "percentile_normalize",
-    "rollup_state", "merge_rollup",
+    "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
     "fk_violations",
 }
 
@@ -234,6 +234,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "percentile_normalize": ("value_col",),
         "rollup_state": ("keys", "aggs"),
         "merge_rollup": ("delta", "keys", "aggs"),
+        "apply_cdc": ("changes", "keys", "ts_col"),
+        "state_durations": ("keys", "ts_col", "state_col"),
         "check_constraints": ("constraints",),
         "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),

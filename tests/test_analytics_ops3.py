@@ -319,3 +319,46 @@ def test_merge_rollup_equals_full_recompute(spark):
     aggs2 = {"n": ("count", "v"), "s": ("sum", "v")}
     m = merge_rollup(rollup_state(nb, ["k"], aggs2), nd, ["k"], aggs2).collect()
     assert len(m) == 1 and m[0]["n"] == 3 and m[0]["s"] == 600
+
+
+def test_apply_cdc_merge_semantics(spark):
+    from docetl_spark.functions.timeseries import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 0.0)],
+        "id long, s string, v double")
+    changes = spark.createDataFrame(
+        [
+            (2, 100, 1, "U", "b2", 21.0),   # update
+            (2, 50, 2, "U", "bX", 99.0),    # older change loses
+            (3, 100, 3, "D", None, None),   # delete existing
+            (4, 100, 4, "I", "d", 40.0),    # insert new key
+            (5, 100, 5, "D", None, None),   # delete of a never-seen key
+            (None, 100, 6, "U", "n2", 1.0), # NULL key is a real key
+        ],
+        "id long, ts long, cid long, op string, s string, v double")
+    out = {r["id"]: r for r in apply_cdc(
+        base, changes, keys=["id"], ts_col="ts", tiebreak="cid").collect()}
+    assert set(out) == {1, 2, 4, None}
+    assert out[1]["s"] == "a"                       # untouched passthrough
+    assert out[2]["s"] == "b2" and out[2]["v"] == 21.0
+    assert out[4]["s"] == "d"                       # insert
+    assert out[None]["s"] == "n2"                   # null-safe key merge
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_cdc(base, changes.drop("v"), keys=["id"], ts_col="ts")
+
+
+def test_state_durations(spark):
+    from docetl_spark.functions.timeseries import state_durations
+
+    rows = [
+        (1, 0, "idle"), (1, 100, "run"), (1, 250, "idle"), (1, 400, "run"),
+        (2, 0, "run"),  # dangling only
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, st string")
+    out = {(r["k"], r["state"]): r for r in state_durations(
+        df, keys=["k"], ts_col="ts", state_col="st").collect()}
+    assert out[(1, "idle")]["total_ns"] == 100 + 150
+    assert out[(1, "idle")]["n_visits"] == 2
+    assert out[(1, "run")]["total_ns"] == 150  # final run visit dangles
+    assert out[(2, "run")]["total_ns"] is None and out[(2, "run")]["n_visits"] == 1

@@ -67,7 +67,7 @@ PLAN_ONLY = [
     "events_ewma_bucketed", "docs_approx_quantiles",
     "docs_profile", "orders_constraints", "lineitem_fk_orphans",
     "events_active_users", "docs_pps_sample", "docs_percentile_normalize",
-    "events_merge_rollup",
+    "events_merge_rollup", "orders_apply_cdc", "events_state_durations",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
