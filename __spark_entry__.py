@@ -2996,6 +2996,20 @@ def events_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mode DAU/WAU/MAU (timeseries.active_users_approx):
+    mergeable HLL day sketches unioned per window — every post-day cost
+    is DAY-count sized, the named escape hatch for active_users'
+    x-window fan-out at 90/365-day windows. Estimates are
+    engine-specific by nature: registered WITHOUT a SQL oracle
+    (rows-only check); the error bound vs the exact operator is pinned
+    in tests/test_sketch_modes.py."""
+    from docetl_spark.functions.timeseries import active_users_approx
+
+    ev = _t(spark, sf_dir, "events")
+    return active_users_approx(ev, "ts", user_col="user_id", windows=(1, 7, 30))
+
+
 def docs_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-mode length quantiles (stats.approx_quantiles,
     percentile_approx): the bounded-state escape hatch for the exact
@@ -3381,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_merge_rollup": events_merge_rollup,
         "orders_apply_cdc": orders_apply_cdc,
         "events_state_durations": events_state_durations,
+        "events_active_users_approx": events_active_users_approx,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "events_merge_rollup",
     "orders_apply_cdc",
     "events_state_durations",
+    "events_active_users_approx",
 ]
 
 

@@ -1136,6 +1136,16 @@ class SemanticFrame:
             "rollup_state", keys=list(keys), aggs=dict(aggs),
         )
 
+    def active_users_approx(self, ts_col: str, *, user_col: str, **kw) -> "SemanticFrame":
+        """HLL-sketch rolling active users (day-count-sized beyond the
+        per-day pass) — see functions/timeseries.active_users_approx."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.active_users_approx(self.df, ts_col, user_col=user_col, **kw),
+            "active_users_approx", ts_col=ts_col, user_col=user_col, **kw,
+        )
+
     def apply_cdc(self, changes: "SemanticFrame | DataFrame", *, keys: list[str],
                   ts_col: str, **kw) -> "SemanticFrame":
         """MERGE-INTO: fold a CDC changelog into this snapshot — see

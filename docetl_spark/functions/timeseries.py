@@ -1752,3 +1752,58 @@ def state_durations(
             F.sum("_sd_next").alias("total_ns"),
         )
     )
+
+
+def active_users_approx(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    user_col: str,
+    day_ns: int = 86_400 * 10**9,
+    windows: tuple[int, ...] = (1, 7, 30),
+    lgk: int = 12,
+) -> DataFrame:
+    """Sketch-mode rolling active users — the escape hatch
+    :func:`active_users` names for long windows: exact sliding
+    distincts fan the user-day table out ×max(window), while this
+    builds ONE HyperLogLog sketch per day (Spark's mergeable
+    ``hll_sketch_agg``, ~(2^lgk) bytes of state regardless of users)
+    and unions day sketches over each window. After the per-day pass,
+    every cost is DAY-count sized — event- and user-volume independent
+    — so 90/365-day windows are as cheap as 7-day ones.
+
+    Accuracy: standard HLL relative error ~1.04/sqrt(2^lgk) (~1.6% at
+    the default lgk=12); estimates are engine-specific by nature, so
+    there is no SQL oracle — the error bound vs :func:`active_users`
+    is pinned in tests. Same output shape: ``day`` + ``au_{w}d`` longs
+    over OBSERVED days only.
+
+    Plan: one (day) groupBy over raw events -> day-sketch table; ×max
+    (window) explode of THAT table; one union-agg per report day with
+    a conditional union per window (NULL sketches are skipped).
+    """
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError("windows must be positive day counts")
+    wmax = ws[-1]
+    d = int(day_ns)
+    t = F.col(ts_col).cast("long")
+    day = F.expr(f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {d})) DIV {d}")
+    day_sketch = (
+        df.filter(t.isNotNull())
+        .groupBy(day.alias("_au_d"))
+        .agg(F.hll_sketch_agg(F.col(user_col), F.lit(int(lgk))).alias("_au_sk"))
+    )
+    exploded = day_sketch.select(
+        "_au_d", "_au_sk",
+        F.explode(F.sequence(F.lit(0), F.lit(wmax - 1)).cast("array<long>")).alias("_au_off"),
+    ).select("_au_sk", "_au_off", (F.col("_au_d") + F.col("_au_off")).alias("day"))
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col("_au_off") < F.lit(w), F.col("_au_sk")))
+        ).alias(f"au_{w}d")
+        for w in ws
+    ]
+    counts = exploded.groupBy("day").agg(*aggs)
+    observed = day_sketch.select(F.col("_au_d").alias("day"))
+    return counts.join(observed, "day", "left_semi")

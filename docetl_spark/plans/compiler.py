@@ -317,6 +317,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                              order_by=c.pop("order_by"), **c)
     if t == "percentile_normalize":
         return sf.percentile_normalize(c.pop("value_col"), **c)
+    if t == "active_users_approx":
+        kw = dict(c)
+        return sf.active_users_approx(
+            kw.pop("ts_col"), user_col=kw.pop("user_col"),
+            **{k: tuple(v) if k == "windows" else v for k, v in kw.items()})
     if t == "active_users":
         kw = dict(c)
         return sf.active_users(kw.pop("ts_col"), user_col=kw.pop("user_col"),

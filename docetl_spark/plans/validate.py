@@ -43,6 +43,7 @@ _KNOWN_OPS = {
     "group_concat", "time_profile", "profile_columns", "check_constraints",
     "active_users", "sample_pps", "percentile_normalize",
     "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
+    "active_users_approx",
     "fk_violations",
 }
 
@@ -230,6 +231,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "group_concat": ("group_cols", "value_col"),
         "time_profile": ("ts_col",),
         "active_users": ("ts_col", "user_col"),
+        "active_users_approx": ("ts_col", "user_col"),
         "sample_pps": ("weight_col", "n", "order_by"),
         "percentile_normalize": ("value_col",),
         "rollup_state": ("keys", "aggs"),

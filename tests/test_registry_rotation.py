@@ -49,6 +49,8 @@ def test_ledger_matches_recorded_correctness_artifacts():
 ORACLE_EXEMPT = {
     # tests/test_sketch_modes.py::test_approx_quantiles_rank_error_bound
     "docs_approx_quantiles",
+    # tests/test_sketch_modes.py::test_active_users_approx_error_bound
+    "events_active_users_approx",
 }
 
 

@@ -105,3 +105,29 @@ def test_sketch_verbs_and_yaml_specs(spark):
         "ts_col": "ts", "value_col": "v", "keys": ["k"],
         "alpha": 0.5, "bucket_width": 1000}), {})
     assert e.df.count() == 2
+
+
+def test_active_users_approx_error_bound(spark, sf_dir):
+    from docetl_spark.sources.readers import normalize_epoch_nanos, set_nanos_conf_if_needed
+    from docetl_spark.functions.timeseries import active_users, active_users_approx
+
+    set_nanos_conf_if_needed(spark, f"{sf_dir}/events.parquet")
+    ev = normalize_epoch_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    exact = {r["day"]: r for r in active_users(
+        ev, "ts", user_col="user_id", windows=(1, 7)).collect()}
+    approx = {r["day"]: r for r in active_users_approx(
+        ev, "ts", user_col="user_id", windows=(1, 7), lgk=12).collect()}
+    assert set(exact) == set(approx)
+    for day, e in exact.items():
+        a = approx[day]
+        for col in ("au_1d", "au_7d"):
+            # HLL rel error ~1.6% at lgk=12; tiny counts are near-exact
+            assert abs(a[col] - e[col]) <= max(2, 0.05 * e[col])
+
+
+def test_active_users_approx_validates(spark):
+    from docetl_spark.functions.timeseries import active_users_approx
+
+    df = spark.createDataFrame([(1, 5)], "u long, ts long")
+    with pytest.raises(ValueError, match="windows"):
+        active_users_approx(df, "ts", user_col="u", windows=(0,))
