@@ -3010,6 +3010,32 @@ def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users_approx(ev, "ts", user_col="user_id", windows=(1, 7, 30))
 
 
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user debounce (timeseries.debounce): events
+    within 2 hours of the user's previous RAW event collapse to the
+    leading edge — one LAG window, integer epoch subtraction."""
+    from docetl_spark.functions.timeseries import debounce
+
+    ev = _t(spark, sf_dir, "events")
+    return debounce(
+        ev, keys=["user_id"], ts_col="ts",
+        min_gap_ns=7200 * 10**9, tiebreak="event_id",
+    ).select("event_id", "user_id", "ts", "event_type")
+
+
+def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate-limit sampling (timeseries.throttle): at
+    most 3 earliest events per (user, 6-hour window) — replayable
+    bounded-volume telemetry sampling; exact-floor bucketing."""
+    from docetl_spark.functions.timeseries import throttle
+
+    ev = _t(spark, sf_dir, "events")
+    return throttle(
+        ev, keys=["user_id"], ts_col="ts", window_ns=21600 * 10**9,
+        max_per_window=3, tiebreak="event_id",
+    ).select("event_id", "user_id", "ts", "event_type")
+
+
 def docs_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-mode length quantiles (stats.approx_quantiles,
     percentile_approx): the bounded-state escape hatch for the exact
@@ -3396,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_apply_cdc": orders_apply_cdc,
         "events_state_durations": events_state_durations,
         "events_active_users_approx": events_active_users_approx,
+        "events_debounce": events_debounce,
+        "events_throttle": events_throttle,
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
@@ -6006,6 +6034,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_visits,
                CAST(SUM(gap) AS BIGINT) AS total_ns
         FROM o GROUP BY 1, 2"""
+    sql["events_debounce"] = """
+        WITH o AS (
+          SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type,
+                 LAG(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ) AS prev
+          FROM events
+        )
+        SELECT event_id, user_id, tns AS ts, event_type
+        FROM o WHERE prev IS NULL OR tns - prev >= 7200000000000"""
+    sql["events_throttle"] = """
+        WITH o AS (
+          SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                     (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000) % 21600000000000)
+                       // 21600000000000
+                   ORDER BY epoch_ns(ts), event_id
+                 ) AS rn
+          FROM events
+        )
+        SELECT event_id, user_id, tns AS ts, event_type
+        FROM o WHERE rn <= 3"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "orders_apply_cdc",
     "events_state_durations",
     "events_active_users_approx",
+    "events_debounce",
+    "events_throttle",
 ]
 
 

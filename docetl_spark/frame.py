@@ -1146,6 +1146,32 @@ class SemanticFrame:
             "active_users_approx", ts_col=ts_col, user_col=user_col, **kw,
         )
 
+    def debounce(self, *, keys: list[str], ts_col: str, min_gap_ns: int,
+                 **kw) -> "SemanticFrame":
+        """Gap-based per-key event deduplication (leading edge) — see
+        functions/timeseries.debounce."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.debounce(self.df, keys=keys, ts_col=ts_col,
+                         min_gap_ns=min_gap_ns, **kw),
+            "debounce", keys=list(keys), ts_col=ts_col,
+            min_gap_ns=min_gap_ns, **kw,
+        )
+
+    def throttle(self, *, keys: list[str], ts_col: str, window_ns: int,
+                 max_per_window: int, **kw) -> "SemanticFrame":
+        """Deterministic per-key rate-limit sampling — see
+        functions/timeseries.throttle."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.throttle(self.df, keys=keys, ts_col=ts_col,
+                         window_ns=window_ns, max_per_window=max_per_window, **kw),
+            "throttle", keys=list(keys), ts_col=ts_col,
+            window_ns=window_ns, max_per_window=max_per_window, **kw,
+        )
+
     def apply_cdc(self, changes: "SemanticFrame | DataFrame", *, keys: list[str],
                   ts_col: str, **kw) -> "SemanticFrame":
         """MERGE-INTO: fold a CDC changelog into this snapshot — see

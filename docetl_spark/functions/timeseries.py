@@ -1807,3 +1807,82 @@ def active_users_approx(
     counts = exploded.groupBy("day").agg(*aggs)
     observed = day_sketch.select(F.col("_au_d").alias("day"))
     return counts.join(observed, "day", "left_semi")
+
+
+def debounce(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    min_gap_ns: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based per-key deduplication (the log-pipeline "debounce"):
+    keep an event iff the key's PREVIOUS event is at least
+    ``min_gap_ns`` older — repeated alerts, retry storms, and
+    double-clicks collapse to their leading edge. Gap semantics are
+    versus the previous RAW event (one LAG — a pure plan), not versus
+    the previously KEPT event (chained semantics are inherently
+    sequential; use sessionize + first-per-session for that contract).
+
+    Output: the surviving input rows. One shuffle on the keys; integer
+    epoch subtraction only.
+    """
+    if not keys:
+        raise ValueError("debounce requires at least one key column")
+    if int(min_gap_ns) <= 0:
+        raise ValueError("min_gap_ns must be positive")
+    if "_db_prev" in df.columns:
+        raise ValueError("debounce reserves the column name '_db_prev'")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    t = F.col(ts_col).cast("long")
+    return (
+        df.withColumn("_db_prev", F.lag(t).over(w))
+        .filter(
+            F.col("_db_prev").isNull()
+            | (t - F.col("_db_prev") >= F.lit(int(min_gap_ns)))
+        )
+        .drop("_db_prev")
+    )
+
+
+def throttle(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    window_ns: int,
+    max_per_window: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Deterministic rate-limit sampling: at most ``max_per_window``
+    events per key per fixed time window (exact-floor bucketing via the
+    repo's ``(t - pmod(t, w)) DIV w`` idiom), keeping the EARLIEST
+    events of each window — the bounded-volume log/telemetry sampler
+    whose output is replayable (unlike random sampling, reruns keep
+    the same rows).
+
+    One shuffle on the keys; the row_number window frames per
+    (key, bucket) so task state is O(1).
+    """
+    if not keys:
+        raise ValueError("throttle requires at least one key column")
+    if int(window_ns) <= 0 or int(max_per_window) < 1:
+        raise ValueError("window_ns must be positive and max_per_window >= 1")
+    reserved = {"_th_bkt", "_th_rn"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"throttle reserves column names {clash}")
+    wns = int(window_ns)
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    bkt = F.expr(
+        f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {wns})) DIV {wns}"
+    )
+    w = W.partitionBy(*keys, F.col("_th_bkt")).orderBy(*order)
+    return (
+        df.withColumn("_th_bkt", bkt)
+        .withColumn("_th_rn", F.row_number().over(w))
+        .filter(F.col("_th_rn") <= int(max_per_window))
+        .drop("_th_bkt", "_th_rn")
+    )

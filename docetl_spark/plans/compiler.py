@@ -301,6 +301,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.check_constraints(c.pop("constraints"))
     if t == "fk_violations":
         return sf.fk_violations(datasets[c.pop("parent")], c.pop("on"))
+    if t == "debounce":
+        return sf.debounce(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                           min_gap_ns=c.pop("min_gap_ns"), **c)
+    if t == "throttle":
+        return sf.throttle(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                           window_ns=c.pop("window_ns"),
+                           max_per_window=c.pop("max_per_window"), **c)
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)

@@ -43,7 +43,7 @@ _KNOWN_OPS = {
     "group_concat", "time_profile", "profile_columns", "check_constraints",
     "active_users", "sample_pps", "percentile_normalize",
     "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
-    "active_users_approx",
+    "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
 
@@ -238,6 +238,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "merge_rollup": ("delta", "keys", "aggs"),
         "apply_cdc": ("changes", "keys", "ts_col"),
         "state_durations": ("keys", "ts_col", "state_col"),
+        "debounce": ("keys", "ts_col", "min_gap_ns"),
+        "throttle": ("keys", "ts_col", "window_ns", "max_per_window"),
         "check_constraints": ("constraints",),
         "fk_violations": ("parent", "on"),
         "salted_join": ("right", "on", "salt"),

@@ -362,3 +362,30 @@ def test_state_durations(spark):
     assert out[(1, "idle")]["n_visits"] == 2
     assert out[(1, "run")]["total_ns"] == 150  # final run visit dangles
     assert out[(2, "run")]["total_ns"] is None and out[(2, "run")]["n_visits"] == 1
+
+
+def test_debounce_gap_semantics(spark):
+    from docetl_spark.functions.timeseries import debounce
+
+    rows = [(1, 0, 1), (1, 50, 2), (1, 100, 3), (1, 250, 4), (2, 10, 5)]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    kept = sorted(r["eid"] for r in debounce(
+        df, keys=["k"], ts_col="ts", min_gap_ns=100, tiebreak="eid").collect())
+    # gap vs previous RAW event: 0 keeps, 50 drops (gap 50), 100 keeps
+    # (gap 50 vs raw prev at 50... no: gap 100-50=50 -> drops), 250 keeps
+    assert kept == [1, 4, 5]
+    with pytest.raises(ValueError, match="min_gap_ns"):
+        debounce(df, keys=["k"], ts_col="ts", min_gap_ns=0)
+
+
+def test_throttle_earliest_k_per_window(spark):
+    from docetl_spark.functions.timeseries import throttle
+
+    rows = [(1, t, i) for i, t in enumerate([0, 1, 2, 9, 10, 11, 12])] + [(2, 5, 99)]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    kept = sorted(r["eid"] for r in throttle(
+        df, keys=["k"], ts_col="ts", window_ns=10,
+        max_per_window=2, tiebreak="eid").collect())
+    # window [0,10): events 0,1,2,9 -> keep first 2 (eid 0,1);
+    # window [10,20): 10,11,12 -> keep 4,5; key 2 keeps its only event
+    assert kept == [0, 1, 4, 5, 99]

@@ -68,7 +68,7 @@ PLAN_ONLY = [
     "docs_profile", "orders_constraints", "lineitem_fk_orphans",
     "events_active_users", "docs_pps_sample", "docs_percentile_normalize",
     "events_merge_rollup", "orders_apply_cdc", "events_state_durations",
-    "events_active_users_approx",
+    "events_active_users_approx", "events_debounce", "events_throttle",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
