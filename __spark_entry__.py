@@ -3531,14 +3531,45 @@ _DRIVER_VERIFIED_R7 = frozenset({
     "split_gather_docs", "split_grouped", "split_words", "unnest_word_freq",
 })
 
+# the 48 keys the driver verified green in round 8 (== CORRECTNESS_r08
+# rows with hash_match true; the window's other 2 rows are the declared
+# ORACLE_EXEMPT sketches — docs_approx_quantiles and
+# events_active_users_approx — whose `err: no_oracle` is by design, each
+# pinned by an error-bound test in tests/test_sketch_modes.py).
+_DRIVER_VERIFIED_R8 = frozenset({
+    "ann_brute_force", "code_filter_highvalue", "code_map_enrich",
+    "code_reduce_nation", "dedup_exact", "docs_percentile_normalize",
+    "docs_pps_sample", "docs_profile", "equijoin_part_supplier",
+    "events_active_users", "events_debounce", "events_ewma_bucketed",
+    "events_mad_outliers", "events_merge_rollup", "events_running_totals",
+    "events_sessionize", "events_state_durations", "events_stream_histogram",
+    "events_stream_running_totals", "events_throttle", "events_time_profile",
+    "events_value_histogram", "gather_events", "lineitem_fk_orphans",
+    "minhash_near_dup", "nation_supplier_concat", "orders_apply_cdc",
+    "orders_constraints", "orders_data_diff", "q1_pricing_summary",
+    "q3_top_orders", "q5_nation_revenue", "q6_revenue_delta",
+    "quality_filter_rules", "resolve_docs", "sample_first20",
+    "sample_stratified", "sample_uniform_hash", "sem_map_agent",
+    "sem_map_sentiment", "sem_reduce_fold", "split_gather_docs",
+    "split_grouped", "split_words", "text_stats", "topk_embedding",
+    "topk_fts", "unnest_word_freq",
+})
+
 # keys whose LATEST driver row is red — empty since round 7 (the r6 reds
 # all came back green in CORRECTNESS_r07).
 _DRIVER_RED: tuple[str, ...] = ()
 
+# The two ORACLE_EXEMPT sketches are deliberately *not* in the verified
+# ledger (their driver rows can never be hash-green); keeping them out
+# would make them lead the window forever, so they are treated as seen:
+_SKETCH_EXEMPT_SEEN = frozenset({
+    "docs_approx_quantiles", "events_active_users_approx",
+})
+
 # union ledger: everything with at least one driver-green CORRECTNESS row
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
-    | _DRIVER_VERIFIED_R7
+    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _SKETCH_EXEMPT_SEEN
 )
 
 
