@@ -294,9 +294,13 @@ def heavy_hitters(
         finally:
             counts.unpersist()
 
-        def div_trunc(a: int, b: int) -> int:
+        def div_trunc(a: int, b: int) -> int | None:
             # Spark's integral DIV truncates toward zero; Python //
-            # floors — they differ on negative weighted sums
+            # floors — they differ on negative weighted sums. A zero
+            # total (all-zero weights) yields NULL share_bp, matching
+            # the grouped path's structural zero guard.
+            if b == 0:
+                return None
             q = abs(a) // abs(b)
             return q if (a >= 0) == (b >= 0) else -q
 
@@ -354,7 +358,11 @@ def heavy_hitters(
         F.col("_hv").alias("value"),
         F.col("rank").cast("long").alias("rank"),
         "n_rows",
-        F.expr("n_rows * 10000 DIV _tot").alias("share_bp"),
+        # structural zero guard INSIDE the expression (a filter conjunct
+        # could be reordered under ANSI): zero group total -> NULL share
+        F.expr(
+            "CASE WHEN _tot = 0 THEN NULL ELSE n_rows * 10000 DIV _tot END"
+        ).alias("share_bp"),
     )
 
 
@@ -596,6 +604,16 @@ def histogram(
     w = int(round(bin_width * scale))
     if w <= 0:
         raise ValueError("bin_width * scale must round to a positive integer")
+    if abs(bin_width * scale - w) > 1e-9:
+        # e.g. bin_width=0.125 at scale=100 would silently produce
+        # 0.12-wide bins; the docstring promises edges at multiples of
+        # bin_width, so a non-integral width at this scale is an error —
+        # pass a finer `scale` instead.
+        raise ValueError(
+            f"bin_width={bin_width!r} is not an integral number of 1/{scale} "
+            f"units (bin_width*scale={bin_width * scale!r}); pass a larger "
+            f"`scale` so bin edges land exactly on multiples of bin_width"
+        )
     reserved = {"bin_lo", "n_rows", "share_bp", "_hc", "_tot"}
     clash = sorted(reserved & set(by or []))
     if clash:

@@ -1460,9 +1460,13 @@ def time_profile(
     day = 86_400 * 10**9
     hour = 3_600 * 10**9
     reserved = {"dow", "hod", "n_rows", "_tp_t"}
-    clash = sorted(reserved & set(by or []))
+    # check the whole input schema, not just `by` — an existing _tp_t/
+    # dow/hod column would be silently overwritten or shadowed, which
+    # can corrupt caller-supplied aggs that reference those columns
+    # (the same rule state_durations/throttle/running_totals apply)
+    clash = sorted(reserved & (set(by or []) | set(df.columns)))
     if clash:
-        raise ValueError(f"time_profile reserves column names {clash}")
+        raise ValueError(f"time_profile reserves column names {clash} — rename the inputs")
     # integer DIV throughout — long/long `/` routes through double and
     # misbuckets epoch-nanos near boundaries (the repo's proven ns-
     # precision hazard class)
@@ -1680,6 +1684,20 @@ def apply_cdc(
     missing = [c for c in keys + payload + [ts_col, op_col] if c not in changes.columns]
     if missing:
         raise ValueError(f"apply_cdc: changes is missing columns {missing}")
+    # Validate op codes LOUDLY, plan-side: a NULL or unknown op is a
+    # corrupt changelog, not a no-op (a NULL op must never be read as
+    # "no change for this key"). coalesce in the message — raise_error
+    # with a NULL message is its own crash class (the gap_fill lesson).
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"apply_cdc: invalid {op_col!r} code "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(" (expected 'I'/'U'/'D')"),
+            ))
+        ),
+    )
     latest = snapshot_latest(
         changes.select(
             *keys, ts_col, op_col, *payload,
@@ -1691,9 +1709,14 @@ def apply_cdc(
         *[F.col(k).alias(f"_bk_{k}") for k in keys],
         *[F.col(c).alias(f"_b_{c}") for c in payload],
     )
+    # Explicit presence marker on the changelog side: "a change row
+    # exists for this key" must not be inferred from any payload/op
+    # column's nullness (op is validated non-NULL above, but the marker
+    # keeps change-detection correct even if that contract loosens).
     ch = latest.select(
         *[F.col(k).alias(f"_ck_{k}") for k in keys],
         F.col(op_col).alias("_c_op"),
+        F.lit(1).alias("_cdc_present"),
         *[F.col(c).alias(f"_c_{c}") for c in payload],
     )
     cond = None
@@ -1701,12 +1724,12 @@ def apply_cdc(
         e = F.col(f"_bk_{k}").eqNullSafe(F.col(f"_ck_{k}"))
         cond = e if cond is None else cond & e
     j = b.join(ch, cond, "full_outer")
-    alive = F.col("_c_op").isNull() | (F.col("_c_op") != F.lit("D"))
+    present = F.col("_cdc_present").isNotNull()
+    alive = ~present | (F.col("_c_op") != F.lit("D"))
     picked = [
         F.coalesce(F.col(f"_bk_{k}"), F.col(f"_ck_{k}")).alias(k) for k in keys
     ] + [
-        F.when(F.col("_c_op").isNotNull(), F.col(f"_c_{c}"))
-        .otherwise(F.col(f"_b_{c}")).alias(c)
+        F.when(present, F.col(f"_c_{c}")).otherwise(F.col(f"_b_{c}")).alias(c)
         for c in payload
     ]
     return j.filter(alive).select(*picked)

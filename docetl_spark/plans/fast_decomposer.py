@@ -219,15 +219,29 @@ def fast_decompose(
             " decomposition only supports 'map' operations"
         )
 
-    sample_df = sf.df.limit(sample_size).cache()
-    sample_rows = [r.asDict(recursive=True) for r in sample_df.collect()]
-    sc = sample_df.sparkSession.sparkContext
+    sc = sf.df.sparkSession.sparkContext
     metrics = BackendMetrics(sc)
     counted = (
         ResilientBackend(backend, namespace="fast_decompose", bypass_cache=True, metrics=metrics)
         if backend is not None
         else None
     )
+
+    # Candidates execute only the REPLACEMENT ops, so the sample they
+    # run on must be the TARGET's input, not the step's: when the target
+    # sits after upstream ops that create the fields it reads, a raw
+    # step-input sample would make every candidate (including the
+    # original) fail or judge on the wrong schema. Run the step's
+    # preceding ops over the sample first — the reference's throwaway
+    # runner feeds its candidates the same way. Sampling BEFORE the
+    # prefix keeps any semantic prefix ops to sample_size backend calls.
+    from .compiler import apply_op
+
+    staged = SemanticFrame.from_df(sf.df.limit(sample_size), backend=counted)
+    for spec in ops[:target_idx]:
+        staged = apply_op(staged, spec, datasets)
+    sample_df = staged.df.cache()
+    sample_rows = [r.asDict(recursive=True) for r in sample_df.collect()]
 
     # ------------------------------------------------ candidate generation
     candidates: list[Candidate] = [Candidate("original", list(ops))]
@@ -258,8 +272,6 @@ def fast_decompose(
         )
 
     # ------------------------------------------------- sampled execution
-    from .compiler import apply_op
-
     for cand in valid:
         to_run = extract_ops_to_run(ops, cand.ops, op_name)
         trial = SemanticFrame.from_df(sample_df, backend=counted)
