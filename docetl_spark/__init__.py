@@ -10,6 +10,34 @@ Public surface:
 __version__ = "0.2.0"
 
 from .agents import Agent, AgentTool, Tool, run_agent, tool
+from .api import (
+    ClusterOp,
+    CodeFilterOp,
+    CodeMapOp,
+    CodeReduceOp,
+    Dataset,
+    EquijoinOp,
+    ExtractOp,
+    FilterOp,
+    GatherOp,
+    LinkResolveOp,
+    MapOp,
+    ParallelMapOp,
+    ParsingTool,
+    Pipeline,
+    PipelineOutput,
+    PipelineSpec,
+    PipelineStep,
+    RankOp,
+    ReduceOp,
+    ResolveOp,
+    SampleOp,
+    SplitOp,
+    TopkOp,
+    UnnestColumnsOp,
+    UnnestOp,
+    WebSearchOp,
+)
 from .backend import FakeBackend, LiteLLMBackend, ModelBackend
 from .checkpoint import Checkpointer
 from .evaluation import evaluate_candidates, identify_pareto_frontier, load_custom_evaluate_func, register_eval
@@ -22,6 +50,32 @@ from .session import get_spark, load_tables, widen_for_udf
 __all__ = [
     "Agent",
     "AgentTool",
+    "ClusterOp",
+    "CodeFilterOp",
+    "CodeMapOp",
+    "CodeReduceOp",
+    "Dataset",
+    "EquijoinOp",
+    "ExtractOp",
+    "FilterOp",
+    "GatherOp",
+    "LinkResolveOp",
+    "MapOp",
+    "ParallelMapOp",
+    "ParsingTool",
+    "Pipeline",
+    "PipelineOutput",
+    "PipelineSpec",
+    "PipelineStep",
+    "RankOp",
+    "ReduceOp",
+    "ResolveOp",
+    "SampleOp",
+    "SplitOp",
+    "TopkOp",
+    "UnnestColumnsOp",
+    "UnnestOp",
+    "WebSearchOp",
     "BackendMetrics",
     "BroadcastRetriever",
     "Checkpointer",

@@ -545,7 +545,9 @@ def run_pipeline(
         last = sf
 
     out = config["pipeline"].get("output")
-    if out and last is not None:
+    # empty path = "return the frame, write nothing" (the typed API's
+    # PipelineOutput defaults to path="" like the reference's)
+    if out and out.get("path") and last is not None:
         path = out["path"]
         if path.endswith(".json"):
             last.write_json(path)
