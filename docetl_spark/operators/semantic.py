@@ -642,7 +642,7 @@ def semantic_reduce(
     merge_batch_size: int | None = None,
     num_parallel_folds: int = 4,
     associative: bool = True,
-    distribute_folds: bool = False,
+    distribute_folds: bool | str = False,
     lineage_keys: list[str] | None = None,
     value_sampling: dict | None = None,
     limit: int | None = None,
@@ -700,6 +700,13 @@ def semantic_reduce(
     max task size is group/num_parallel_folds. The fold/merge contract
     is associative by definition (reduce.py:987-1053), which is what
     makes the two-stage plan faithful.
+
+    ``distribute_folds="auto"`` gates the promotion on an associativity
+    probe (plans/reduce_probe.py; reference reduce_optimizer.py
+    _is_associative :953-1018): an agent verdict on the prompts PLUS an
+    empirical replay of the fold over one sampled group in two input
+    orders. Both must agree the fold commutes; otherwise the reduce
+    falls back to a single ordered chain (``associative=False``).
     """
     backend = _apply_backend_options(backend, model, timeout, litellm_completion_kwargs)
     if merge_batch_size is not None and merge_batch_size < 2:
@@ -815,6 +822,27 @@ def semantic_reduce(
             row[inter_col] = trace or []
         return pd.DataFrame([{k: row.get(k) for k in out_names}], columns=out_names)
 
+    if distribute_folds == "auto":
+        # associativity-gated promotion (reference reduce_optimizer
+        # _is_associative :953-1018 tags its synthesized fold plans):
+        # probe ONE sampled group — agent verdict + an empirical replay
+        # of the fold under two reorderings — and distribute only when
+        # both agree the fold commutes. A wrong promotion is a silent
+        # correctness bug, so the gate is conservative.
+        if not (fold_prompt and merge_prompt):
+            raise ValueError("distribute_folds='auto' needs fold_prompt + merge_prompt")
+        from ..plans.reduce_probe import should_parallelize_fold
+
+        probe = should_parallelize_fold(
+            df, backend, reduce_key=keys, prompt=prompt, fold_prompt=fold_prompt,
+            output_schema=output_schema, fold_batch_size=fold_batch_size,
+            sort_within_group=sort_within_group,
+        )
+        distribute_folds = probe.parallelize
+        if not probe.parallelize:
+            # the same evidence also invalidates the IN-TASK parallel
+            # fold+merge plan — fall back to one ordered chain
+            associative = False
     if distribute_folds:
         if not (fold_prompt and merge_prompt):
             raise ValueError("distribute_folds needs fold_prompt + merge_prompt")
