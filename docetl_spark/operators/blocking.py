@@ -132,3 +132,282 @@ def auto_blocking_threshold_pairs(
     if not match_sims:
         return None
     return float(np.quantile(np.array(match_sims), 1.0 - target_recall, method="lower"))
+
+
+# ------------------------------------------------------------------ synthesis
+#
+# Blocking-RULE synthesis: the front half the reference's JoinOptimizer
+# runs before its threshold calibration (join_optimizer.py:1253-1370
+# _generate_blocking_rules -> _test_blocking_rule -> _verify_blocking_rule,
+# and :1506-1675 for equijoin): label a sample of pairs with the real
+# comparison model, propose candidate blocking rules, measure each rule's
+# recall (true matches kept) and selectivity (pairs kept) on that labeled
+# sample, and keep only a rule whose recall clears the target.
+#
+# The reference asks an agent to WRITE a one-line Python rule and evals
+# it per pair; that shape can't run distributed. Here candidates come
+# from a deterministic template catalog over the comparison columns —
+# exact / normalized / prefix / first-token equality — each emitted as a
+# SQL expression the blocking join executes JVM-side on the cluster, so
+# a synthesized rule is a real equi-joinable predicate at 100 TB, not a
+# driver-side lambda. (The LLM proposes nothing; the labeled sample is
+# still the judge, which is the part that made the reference's loop
+# trustworthy.)
+
+from dataclasses import dataclass as _dataclass
+import re as _re
+
+
+def _norm_str(v) -> str | None:
+    if v is None:
+        return None
+    return str(v).strip().lower()
+
+
+def _py_eq(x, y):
+    return x is not None and y is not None and str(x) == str(y)
+
+
+def _py_norm_eq(x, y):
+    nx, ny = _norm_str(x), _norm_str(y)
+    return nx is not None and nx == ny
+
+
+def _py_prefix4(x, y):
+    nx, ny = _norm_str(x), _norm_str(y)
+    return nx is not None and ny is not None and nx[:4] == ny[:4]
+
+
+def _py_token1(x, y):
+    nx, ny = _norm_str(x), _norm_str(y)
+    if not nx or not ny:
+        return False
+    return _re.split(r"\s+", nx)[0] == _re.split(r"\s+", ny)[0]
+
+
+# (rule_name, sql_template, python_predicate). SQL templates must mirror
+# the python predicates exactly — the sample verdict only transfers to
+# the cluster if both evaluate the same function. {a}/{b} are the join
+# aliases; {ka}/{kb} the per-side columns.
+_S = "lower(trim(CAST({side}.{col} AS STRING)))"
+_RULE_CATALOG = [
+    ("key_eq", "{a}.{ka} = {b}.{kb}", _py_eq),
+    ("norm_eq", _S.format(side="{a}", col="{ka}") + " = " + _S.format(side="{b}", col="{kb}"), _py_norm_eq),
+    ("prefix4_eq",
+     "substring(" + _S.format(side="{a}", col="{ka}") + ", 1, 4) = "
+     "substring(" + _S.format(side="{b}", col="{kb}") + ", 1, 4)", _py_prefix4),
+    ("token1_eq",
+     "element_at(split(" + _S.format(side="{a}", col="{ka}") + ", '\\\\s+'), 1) = "
+     "element_at(split(" + _S.format(side="{b}", col="{kb}") + ", '\\\\s+'), 1)", _py_token1),
+]
+
+
+@_dataclass
+class BlockingSynthesis:
+    """Outcome of blocking-rule synthesis over a labeled sample."""
+
+    blocking_conditions: list[str]
+    blocking_threshold: float | None
+    rule_names: list[str]
+    rule_recall: float | None  # recall of the chosen conditions on the sample
+    rule_selectivity: float | None  # fraction of sampled pairs a rule keeps
+    n_pairs: int
+    n_matches: int
+    explanation: str
+
+
+def _synthesize_from_labeled(
+    pairs: list[tuple[dict, dict, bool]],
+    key_pairs: list[tuple[str, str]],
+    *,
+    aliases: tuple[str, str],
+    target_recall: float,
+    sims: list[float] | None = None,
+) -> BlockingSynthesis:
+    """Score the rule catalog against labeled pairs; pick the most
+    selective rule (or OR of two) whose recall >= target. ``sims``
+    (cosine per pair, aligned with ``pairs``) adds the threshold
+    fallback when no rule clears the bar."""
+    a, b = aliases
+    n_pairs = len(pairs)
+    matches = [(l, r) for l, r, m in pairs if m]
+    n_matches = len(matches)
+    notes: list[str] = [f"labeled {n_pairs} pairs, {n_matches} true matches"]
+
+    scored: list[tuple[float, float, str, str]] = []  # (selectivity, -recall, name, sql)
+    evaluated: dict[str, list[bool]] = {}
+    if n_matches:
+        for ka, kb in key_pairs:
+            for rname, sql_tpl, pred in _RULE_CATALOG:
+                keep = [pred(l.get(ka), r.get(kb)) for l, r, _ in pairs]
+                kept_matches = sum(
+                    1 for (l, r, m), k in zip(pairs, keep) if m and k
+                )
+                recall = kept_matches / n_matches
+                selectivity = sum(keep) / n_pairs if n_pairs else 1.0
+                full = f"{rname}:{ka}/{kb}"
+                evaluated[full] = keep
+                if recall >= target_recall and selectivity < 1.0:
+                    sql = sql_tpl.format(a=a, b=b, ka=ka, kb=kb)
+                    scored.append((selectivity, -recall, full, sql))
+
+    chosen: list[tuple[str, str]] = []
+    rule_recall = rule_sel = None
+    if scored:
+        scored.sort()
+        sel, neg_rec, full, sql = scored[0]
+        chosen = [(full, sql)]
+        rule_recall, rule_sel = -neg_rec, sel
+        notes.append(f"rule {full}: recall={-neg_rec:.3f} selectivity={sel:.3f}")
+    elif n_matches and evaluated:
+        # no single rule clears the bar: try OR of the two highest-recall
+        # rules (the reference's agent writes OR-chains for the same reason)
+        def rec(keep):
+            return sum(1 for (l, r, m), k in zip(pairs, keep) if m and k) / n_matches
+
+        by_recall = sorted(evaluated.items(), key=lambda kv: -rec(kv[1]))[:4]
+        best = None
+        for i in range(len(by_recall)):
+            for j in range(i + 1, len(by_recall)):
+                keep = [x or y for x, y in zip(by_recall[i][1], by_recall[j][1])]
+                r_, s_ = rec(keep), sum(keep) / n_pairs
+                if r_ >= target_recall and s_ < 1.0 and (best is None or s_ < best[0]):
+                    best = (s_, r_, by_recall[i][0], by_recall[j][0])
+        if best is not None:
+            s_, r_, f1, f2 = best
+
+            def _sql_of(full_name: str) -> str:
+                rname, kk = full_name.split(":", 1)
+                ka, kb = kk.split("/", 1)
+                tpl = next(t for n, t, _ in _RULE_CATALOG if n == rname)
+                return tpl.format(a=a, b=b, ka=ka, kb=kb)
+
+            chosen = [(f1, _sql_of(f1)), (f2, _sql_of(f2))]
+            rule_recall, rule_sel = r_, s_
+            notes.append(f"OR-rule {f1} | {f2}: recall={r_:.3f} selectivity={s_:.3f}")
+
+    threshold = None
+    if not chosen and sims is not None and n_matches:
+        match_sims = np.array([s for (l, r, m), s in zip(pairs, sims) if m])
+        threshold = float(np.quantile(match_sims, 1.0 - target_recall, method="lower"))
+        kept = sum(1 for s in sims if s >= threshold)
+        notes.append(
+            f"no rule met recall>={target_recall}; threshold fallback "
+            f"{threshold:.4f} keeps {kept}/{n_pairs} sampled pairs"
+        )
+    elif not chosen:
+        notes.append("no rule met the recall target and no similarity fallback available")
+
+    return BlockingSynthesis(
+        blocking_conditions=[sql for _, sql in chosen],
+        blocking_threshold=threshold,
+        rule_names=[nm for nm, _ in chosen],
+        rule_recall=rule_recall,
+        rule_selectivity=rule_sel,
+        n_pairs=n_pairs,
+        n_matches=n_matches,
+        explanation="; ".join(notes),
+    )
+
+
+def synthesize_blocking(
+    df: DataFrame,
+    backend: ModelBackend,
+    *,
+    id_col: str,
+    comparison_prompt: str,
+    compare_cols: list[str],
+    embedding_keys: list[str] | None = None,
+    target_recall: float = 0.95,
+    sample_size: int = 30,
+    seed: int = 42,
+    embed_backend: ModelBackend | None = None,
+) -> BlockingSynthesis:
+    """Self-join (resolve) blocking synthesis: label C(sample,2) pairs
+    with the comparison model, then pick the most selective catalog rule
+    meeting the recall target; falls back to a calibrated cosine
+    threshold when no rule qualifies. Bounded driver work by
+    construction (limit-gated collect), like auto_blocking_threshold."""
+    keys = embedding_keys or compare_cols
+    projected = df.select(id_col, *set(compare_cols) | set(keys))
+    rows = [r.asDict() for r in projected.limit(sample_size * 4).collect()]
+    rng = np.random.RandomState(seed)
+    if len(rows) > sample_size:
+        idx = rng.choice(len(rows), size=sample_size, replace=False)
+        rows = [rows[i] for i in idx]
+    if len(rows) < 2:
+        return BlockingSynthesis([], None, [], None, None, 0, 0, "sample too small")
+
+    texts = [" ".join(str(r.get(k)) for k in keys) for r in rows]
+    vecs = np.array((embed_backend or backend).embed(texts), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    simmat = (vecs @ vecs.T) / np.outer(norms, norms)
+
+    pairs: list[tuple[dict, dict, bool]] = []
+    sims: list[float] = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            in1 = {c: rows[i].get(c) for c in compare_cols}
+            in2 = {c: rows[j].get(c) for c in compare_cols}
+            prompt = render_prompt(comparison_prompt, {"input1": in1, "input2": in2})
+            ans = backend.complete(prompt, {"is_match": "bool"}, (in1, in2))
+            pairs.append((rows[i], rows[j], bool(ans.get("is_match"))))
+            sims.append(float(simmat[i, j]))
+
+    key_pairs = [(c, c) for c in compare_cols]
+    return _synthesize_from_labeled(
+        pairs, key_pairs, aliases=("a", "b"), target_recall=target_recall, sims=sims
+    )
+
+
+def synthesize_blocking_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    backend: ModelBackend,
+    *,
+    comparison_prompt: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    target_recall: float = 0.95,
+    sample_size: int = 20,
+    seed: int = 42,
+    embed_backend: ModelBackend | None = None,
+) -> BlockingSynthesis:
+    """Two-table (equijoin) variant: label the sampled cross product,
+    then synthesize ``left.x = right.y`` catalog rules over the key
+    pairing (join_optimizer.py:1506-1675)."""
+    l_rows = [r.asDict() for r in left.limit(sample_size * 4).collect()]
+    r_rows = [r.asDict() for r in right.limit(sample_size * 4).collect()]
+    rng = np.random.RandomState(seed)
+    if len(l_rows) > sample_size:
+        l_rows = [l_rows[i] for i in rng.choice(len(l_rows), sample_size, replace=False)]
+    if len(r_rows) > sample_size:
+        r_rows = [r_rows[i] for i in rng.choice(len(r_rows), sample_size, replace=False)]
+    if not l_rows or not r_rows:
+        return BlockingSynthesis([], None, [], None, None, 0, 0, "sample too small")
+
+    eb = embed_backend or backend
+    lv = np.array(eb.embed([" ".join(str(r.get(k)) for k in left_keys) for r in l_rows]))
+    rv = np.array(eb.embed([" ".join(str(r.get(k)) for k in right_keys) for r in r_rows]))
+    ln = np.linalg.norm(lv, axis=1); ln[ln == 0] = 1.0
+    rn = np.linalg.norm(rv, axis=1); rn[rn == 0] = 1.0
+    simmat = (lv @ rv.T) / np.outer(ln, rn)
+
+    pairs: list[tuple[dict, dict, bool]] = []
+    sims: list[float] = []
+    for i, lr in enumerate(l_rows):
+        for j, rr in enumerate(r_rows):
+            prompt = render_prompt(comparison_prompt, {"left": lr, "right": rr})
+            ans = backend.complete(prompt, {"is_match": "bool"}, (lr, rr))
+            pairs.append((lr, rr, bool(ans.get("is_match"))))
+            sims.append(float(simmat[i, j]))
+
+    key_pairs = list(zip(left_keys, right_keys))
+    # same-named columns on both sides are candidate keys too
+    shared = (set(left.columns) & set(right.columns)) - {k for k, _ in key_pairs}
+    key_pairs += [(c, c) for c in sorted(shared)]
+    return _synthesize_from_labeled(
+        pairs, key_pairs, aliases=("left", "right"),
+        target_recall=target_recall, sims=sims,
+    )

@@ -170,6 +170,7 @@ def equijoin(
     comparison_prompt: str,
     left_keys: list[str],
     right_keys: list[str],
+    blocking: str | None = None,
     blocking_conditions: list[str] | None = None,
     blocking_threshold: float | str | None = None,
     embedding_keys_left: list[str] | None = None,
@@ -196,6 +197,29 @@ def equijoin(
     emb_backend = backend.with_options(embedding_model=embedding_model) if embedding_model else backend
     if comparison_model:
         backend = backend.with_options(model=comparison_model)
+    if blocking == "auto":
+        # blocking-rule synthesis from a labeled sample (reference
+        # join_optimizer.py:1506-1675 equijoin path): catalog rules over
+        # the key pairing + same-named shared columns, threshold fallback
+        if blocking_conditions or blocking_threshold is not None:
+            raise ValueError(
+                "blocking='auto' synthesizes the blocking config — do not also "
+                "pass blocking_conditions/blocking_threshold"
+            )
+        from .blocking import synthesize_blocking_pairs
+
+        synth = synthesize_blocking_pairs(
+            left, right, backend,
+            comparison_prompt=comparison_prompt,
+            left_keys=left_keys, right_keys=right_keys,
+            target_recall=blocking_target_recall,
+            embed_backend=emb_backend,
+        )
+        logging.getLogger(__name__).info("equijoin blocking synthesis: %s", synth.explanation)
+        if synth.blocking_conditions:
+            blocking_conditions = synth.blocking_conditions
+        elif synth.blocking_threshold is not None:
+            blocking_threshold = synth.blocking_threshold
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold_pairs
 

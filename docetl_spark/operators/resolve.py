@@ -310,6 +310,7 @@ def resolve(
     output_schema: dict,
     resolution_prompt: str | None = None,
     compare_cols: list[str] | None = None,
+    blocking: str | None = None,
     blocking_keys: list[str] | None = None,
     blocking_threshold: float | str | None = None,
     blocking_conditions: list[str] | None = None,
@@ -336,6 +337,31 @@ def resolve(
     embeddings (resolve.py:430-431)."""
     cmp_backend = backend.with_options(model=comparison_model) if comparison_model else backend
     emb_backend = backend.with_options(embedding_model=embedding_model) if embedding_model else backend
+    if blocking == "auto":
+        # blocking-rule synthesis (reference join_optimizer.py:1253-1370):
+        # label a sample with the real comparison model, keep the most
+        # selective catalog rule meeting the recall target, fall back to
+        # a calibrated cosine threshold when no rule qualifies
+        if blocking_keys or blocking_conditions or blocking_threshold is not None:
+            raise ValueError(
+                "blocking='auto' synthesizes the blocking config — do not also "
+                "pass blocking_keys/blocking_threshold/blocking_conditions"
+            )
+        from .blocking import synthesize_blocking
+
+        synth = synthesize_blocking(
+            df, cmp_backend,
+            id_col=id_col, comparison_prompt=comparison_prompt,
+            compare_cols=compare_cols or [c for c in df.columns if c != id_col],
+            embedding_keys=embedding_keys,
+            target_recall=blocking_target_recall,
+            embed_backend=emb_backend,
+        )
+        logging.getLogger(__name__).info("resolve blocking synthesis: %s", synth.explanation)
+        if synth.blocking_conditions:
+            blocking_conditions = synth.blocking_conditions
+        elif synth.blocking_threshold is not None:
+            blocking_threshold = synth.blocking_threshold
     if blocking_threshold == "auto":
         from .blocking import auto_blocking_threshold
 

@@ -761,7 +761,37 @@ def _d_arbitrary_rewrite(ops, i, stats, backend):
     return new_ops
 
 
+def _blocking_unconfigured(op: OpSpec) -> bool:
+    c = op.config
+    return not any(
+        c.get(k) is not None
+        for k in ("blocking", "blocking_keys", "blocking_threshold",
+                  "blocking_conditions", "sorted_neighborhood")
+    )
+
+
+def _d_synthesize_blocking(ops, i, stats, backend):
+    """JoinOptimizer front half (reference optimizers/join_optimizer.py
+    :1253-1675): an unblocked resolve/equijoin gets ``blocking: auto`` —
+    at run time the op labels a sample with its own comparison model,
+    keeps the most selective catalog rule meeting the recall target
+    (operators/blocking.py synthesize_blocking*), and falls back to a
+    calibrated cosine threshold. The directive stays config-only; the
+    data-driven synthesis runs where the data is."""
+    new = replace(ops[i], config={**ops[i].config, "blocking": "auto"})
+    return ops[:i] + [new] + ops[i + 1 :]
+
+
 DIRECTIVES: list[Directive] = [
+    Directive(
+        "synthesize_blocking",
+        lambda ops, i, stats, be: (
+            ops[i].type in ("resolve", "equijoin")
+            and bool(ops[i].config.get("comparison_prompt"))
+            and _blocking_unconfigured(ops[i])
+        ),
+        _d_synthesize_blocking,
+    ),
     Directive(
         "cascade_filtering",
         lambda ops, i, stats, be: ops[i].type == "filter" and not ops[i].config.get("cascade"),

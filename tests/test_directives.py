@@ -399,9 +399,13 @@ def test_change_model_heuristic_direction():
     assert out2[0].config["model"] == "gpt-4o"  # long prompt -> stronger
 
 
-def test_catalog_is_complete_24():
+def test_catalog_is_complete():
+    """All 24 reference directive names plus the engine's additions
+    (synthesize_blocking — the JoinOptimizer front half, round 9)."""
     from docetl_spark.plans.directives import DIRECTIVES
-    assert len({d.name for d in DIRECTIVES}) == 24
+    names = {d.name for d in DIRECTIVES}
+    assert len(names) == 25
+    assert "synthesize_blocking" in names
 
 
 def test_moar_search_improves_on_root():
