@@ -3244,6 +3244,42 @@ def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (stats.weighted_quantiles): per event
+    type, the value at 25/50/90% of cumulative (fixed-point) weight —
+    duplicate values collapse map-side, the cumulative window rides the
+    same shuffle, the quantile cut is the cross-multiplied integer
+    comparison cum*10000 >= q_bp*total (no doubles near the cut)."""
+    from docetl_spark.functions.stats import weighted_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return weighted_quantiles(
+        ev, "value", "value", qs_bp=[2500, 5000, 9000], by=["event_type"]
+    )
+
+
+def events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend (stats.trend_fit): slope of value-cents per
+    second as an exact integer (1e6-scaled, cross-multiplied OLS sums in
+    decimal(38,0); x centered on the group min so n*Sxx stays in 38
+    digits). Two map-side-combinable exchanges, no window, no sort."""
+    from docetl_spark.functions.stats import trend_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_fit(ev, "ts", "value", by=["event_type"])
+
+
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen (stats.benford_profile): digit from
+    the FIXED-POINT STRING (never log10 doubles), expected shares as
+    pinned integer literals, deviation in integer basis points. One
+    9-cells-per-group aggregation."""
+    from docetl_spark.functions.stats import benford_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return benford_profile(ev, "value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3427,6 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_constraints": orders_constraints,
         "lineitem_fk_orphans": lineitem_fk_orphans,
         "docs_approx_quantiles": docs_approx_quantiles,
+        "events_weighted_quantiles": events_weighted_quantiles,
+        "events_trend_fit": events_trend_fit,
+        "events_benford": events_benford,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -6088,6 +6127,65 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, tns AS ts, event_type
         FROM o WHERE rn <= 3"""
+    sql["events_weighted_quantiles"] = """
+        WITH c AS (
+          SELECT event_type, value,
+                 SUM(CAST(floor(value*100 + 0.5) AS DECIMAL(38,0))) AS w
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, value,
+                 SUM(w) OVER (PARTITION BY event_type ORDER BY value) AS cumw,
+                 SUM(w) OVER (PARTITION BY event_type) AS tot
+          FROM c
+        )
+        SELECT event_type, q_bp, MIN(value) AS value
+        FROM cum CROSS JOIN (VALUES (2500), (5000), (9000)) qs(q_bp)
+        WHERE cumw * 10000 >= q_bp * tot
+        GROUP BY 1, 2"""
+    # DECIMAL // ROUNDS in DuckDB while Spark DIV truncates toward zero
+    # — route the slope division through HUGEINT, whose // truncates
+    # identically (the proven r6 TPC-H share-query discipline)
+    sql["events_trend_fit"] = """
+        WITH r AS (
+          SELECT event_type, epoch_ns(ts) AS xs,
+                 CAST(floor(value*100 + 0.5) AS DECIMAL(38,0)) AS yc
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), m AS (
+          SELECT event_type, MIN(xs) AS minx FROM r GROUP BY 1
+        ), s AS (
+          SELECT r.event_type,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(CAST((r.xs - m.minx) // 1000000000 AS DECIMAL(38,0))) AS sx,
+                 SUM(r.yc) AS sy,
+                 SUM(CAST((r.xs - m.minx) // 1000000000 AS DECIMAL(38,0)) * r.yc) AS sxy,
+                 SUM(CAST((r.xs - m.minx) // 1000000000 AS DECIMAL(38,0))
+                     * CAST((r.xs - m.minx) // 1000000000 AS DECIMAL(38,0))) AS sxx
+          FROM r JOIN m USING (event_type) GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0 THEN
+                 CAST(CAST((n*sxy - sx*sy) * 1000000 AS HUGEINT)
+                      // CAST(n*sxx - sx*sx AS HUGEINT) AS BIGINT)
+               END AS slope_micro
+        FROM s"""
+    sql["events_benford"] = """
+        WITH c AS (
+          SELECT regexp_extract(
+                   CAST(abs(CAST(floor(value*100 + 0.5) AS BIGINT)) AS VARCHAR),
+                   '[1-9]') AS d
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT CAST(d AS INT) AS digit, COUNT(*) AS n_rows
+          FROM c WHERE d <> '' GROUP BY 1
+        ), t AS (SELECT SUM(n_rows) AS tot FROM g),
+        e(digit, expected_bp) AS (VALUES
+          (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+          (6, 669), (7, 580), (8, 512), (9, 458))
+        SELECT g.digit, CAST(g.n_rows AS BIGINT) AS n_rows,
+               CAST(g.n_rows * 10000 // t.tot AS BIGINT) AS share_bp,
+               CAST(e.expected_bp AS BIGINT) AS expected_bp,
+               CAST(g.n_rows * 10000 // t.tot - e.expected_bp AS BIGINT) AS deviation_bp
+        FROM g CROSS JOIN t JOIN e ON e.digit = g.digit"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     "events_merge_rollup",
     "orders_apply_cdc",
     "events_state_durations",
+    "events_weighted_quantiles",
+    "events_trend_fit",
+    "events_benford",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

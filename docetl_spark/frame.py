@@ -1011,6 +1011,42 @@ class SemanticFrame:
             "histogram", value_col=value_col, bin_width=bin_width, by=by, **kw,
         )
 
+    def weighted_quantiles(self, value_col: str, weight_col: str, *,
+                           qs_bp: list[int], by: list[str] | None = None,
+                           **kw) -> "SemanticFrame":
+        """Exact weighted quantiles (cross-multiplied integer cut) — see
+        functions/stats.weighted_quantiles."""
+        from .functions import stats
+
+        return self._next(
+            stats.weighted_quantiles(self.df, value_col, weight_col,
+                                     qs_bp=qs_bp, by=by, **kw),
+            "weighted_quantiles", value_col=value_col, weight_col=weight_col,
+            qs_bp=list(qs_bp), by=by, **kw,
+        )
+
+    def trend_fit(self, x_col: str, y_col: str, *,
+                  by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Per-group OLS slope in exact integer math — see
+        functions/stats.trend_fit."""
+        from .functions import stats
+
+        return self._next(
+            stats.trend_fit(self.df, x_col, y_col, by=by, **kw),
+            "trend_fit", x_col=x_col, y_col=y_col, by=by, **kw,
+        )
+
+    def benford_profile(self, value_col: str, *,
+                        by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Benford leading-digit screen (fixed-point-string digits) —
+        see functions/stats.benford_profile."""
+        from .functions import stats
+
+        return self._next(
+            stats.benford_profile(self.df, value_col, by=by, **kw),
+            "benford_profile", value_col=value_col, by=by, **kw,
+        )
+
     def running_totals(self, value_col: str, *, keys: list[str],
                        order_by: list[str], **kw) -> "SemanticFrame":
         """Per-key cumulative sum + exact cumulative share — see

@@ -757,3 +757,183 @@ def running_totals(
         )
         .drop("_rt_c", "_rt_tot")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    *,
+    qs_bp: list[int],
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """EXACT weighted quantiles per group: for each q (basis points),
+    the smallest value whose cumulative weight reaches q of the group's
+    total — the lower weighted-quantile definition, decided by the
+    cross-multiplied integer comparison ``cum * 10000 >= q_bp * total``
+    (no doubles near the cut). Weights fixed-point at ``scale``;
+    NULL values drop, NULL weights count 0.
+
+    Output: ``by`` + ``q_bp`` + ``value``.
+
+    Plan: ONE groupBy on (by, value) collapses duplicates map-side, a
+    cumulative-sum window per group rides the same shuffle, then a
+    small explode over the requested quantiles and a min() re-agg — all
+    bounded by distinct-value count, never row count. The per-group
+    sort bound is the repo's exact-order-statistic posture (shared with
+    exact_quantiles); for sketch-grade cuts at unbounded cardinality
+    use approx_quantiles.
+    """
+    if not qs_bp:
+        raise ValueError("weighted_quantiles needs at least one q (basis points)")
+    bad = [q for q in qs_bp if not (0 < int(q) <= 10000)]
+    if bad:
+        raise ValueError(f"q_bp values must be in (0, 10000]: {bad}")
+    reserved = {"q_bp", "value", "_wq_w", "_wq_cum", "_wq_tot"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"weighted_quantiles reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    w = F.coalesce(to_cents(weight_col, scale), F.lit(0)).cast("decimal(38,0)")
+    collapsed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*part, F.col(value_col).alias("value"))
+        .agg(F.sum(w).alias("_wq_w"))
+    )
+    wcum = W.partitionBy(*part).orderBy(F.col("value").asc())
+    wall = W.partitionBy(*part)
+    cum = (
+        collapsed.withColumn("_wq_cum", F.sum("_wq_w").over(wcum))
+        .withColumn("_wq_tot", F.sum("_wq_w").over(wall))
+    )
+    qlit = F.explode(F.array(*[F.lit(int(q)) for q in sorted(set(int(q) for q in qs_bp))]))
+    hit = (
+        cum.select(*part, "value", "_wq_cum", "_wq_tot", qlit.alias("q_bp"))
+        .filter(F.col("_wq_cum") * 10000 >= F.col("q_bp").cast("decimal(38,0)") * F.col("_wq_tot"))
+    )
+    return (
+        hit.groupBy(*(by or []), "q_bp")
+        .agg(F.min("value").alias("value"))
+    )
+
+
+def trend_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: list[str] | None = None,
+    x_unit: int = 10**9,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group OLS trend in EXACT integer math: slope of y (fixed-point
+    cents) against x (epoch-long downscaled by ``x_unit``, ns->s by
+    default), emitted as ``slope_micro`` = 1e6 * (n*Sxy - Sx*Sy) DIV
+    (n*Sxx - Sx*Sx) — cents-per-x-unit scaled by a million, integer
+    truncation, replayable bit-for-bit in any engine (a double regr_slope
+    differs across summation orders).
+
+    x is CENTERED on the group's min before the sums so ``n*Sxx`` stays
+    inside decimal(38,0) at advertised scale (raw epoch-ns squares
+    overflow 38 digits around 1e5 rows). Degenerate groups (n < 2 or
+    zero x-variance) emit NULL slope. NULL x or y rows drop.
+
+    Output: ``by`` + n + slope_micro.
+
+    Plan: one pre-shuffle min(x) per group (map-side combinable), one
+    groupBy for the five sums riding the same key — two exchanges total,
+    no window, no sort.
+    """
+    reserved = {"n", "slope_micro", "_tf_x", "_tf_y", "_tf_minx"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"trend_fit reserves column names {clash}")
+    part = by or []
+    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    minx = rows.groupBy(*part).agg(F.min(F.col(x_col).cast("long")).alias("_tf_minx"))
+    if part:
+        j = rows.join(minx, on=part, how="inner")
+    else:
+        j = broadcast_scalar_join(rows, minx, df_col=x_col, scalar_col="_tf_minx")
+    x = F.expr(f"(CAST({x_col} AS BIGINT) - _tf_minx) DIV {int(x_unit)}").cast("decimal(38,0)")
+    y = to_cents(y_col, scale).cast("decimal(38,0)")
+    sums = j.groupBy(*part).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return sums.select(
+        *part,
+        F.col("_n").cast("long").alias("n"),
+        # zero-variance / degenerate guard INSIDE the CaseWhen
+        # (structural — a filter conjunct could reorder under ANSI)
+        F.when(
+            (F.col("_n") >= 2) & (den != 0),
+            F.expr(
+                "CAST((_n * _sxy - _sx * _sy) * 1000000 DIV "
+                "(_n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("slope_micro"),
+    )
+
+
+# Benford expected shares (basis points of log10(1 + 1/d)), exact
+# literals so both engines join the same constants instead of each
+# evaluating log10 in its own libm.
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Leading-digit distribution of ``value_col`` vs Benford's law —
+    the classic fabricated-data / instrumentation-bug screen.
+
+    The leading digit comes from the FIXED-POINT STRING of the value
+    (first nonzero digit of CAST(cents AS STRING)) — never log10/pow
+    doubles, whose boundary rounding differs per engine. Zero/NULL
+    values drop (no leading digit). Expected shares are pinned integer
+    literals of log10(1+1/d) in basis points.
+
+    Output: ``by`` + digit + n_rows + share_bp + expected_bp +
+    deviation_bp (share - expected; integer DIV semantics).
+
+    Plan: ONE map-side-combinable groupBy on (by, digit) — at most 9
+    cells per group leave each partition — plus the per-group total
+    window on those <=9 rows.
+    """
+    reserved = {"digit", "n_rows", "share_bp", "expected_bp", "deviation_bp", "_bf_tot"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"benford_profile reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    cents = to_cents(value_col, scale)
+    digit = F.regexp_extract(F.abs(cents).cast("string"), "[1-9]", 0)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*part, digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy(*part, "digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    wall = W.partitionBy(*part)
+    expected = F.create_map(
+        *[x for d, bp in _BENFORD_BP.items() for x in (F.lit(str(d)), F.lit(bp))]
+    )
+    out = counts.withColumn("_bf_tot", F.sum("n_rows").over(wall))
+    return out.select(
+        *(by or []),
+        F.col("digit").cast("int").alias("digit"),
+        "n_rows",
+        F.expr("n_rows * 10000 DIV _bf_tot").alias("share_bp"),
+        expected[F.col("digit")].cast("long").alias("expected_bp"),
+        (F.expr("n_rows * 10000 DIV _bf_tot") - expected[F.col("digit")]).cast("long").alias("deviation_bp"),
+    )

@@ -291,6 +291,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "running_totals":
         return sf.running_totals(c.pop("value_col"), keys=c.pop("keys"),
                                  order_by=c.pop("order_by"), **c)
+    if t == "weighted_quantiles":
+        return sf.weighted_quantiles(c.pop("value_col"), c.pop("weight_col"),
+                                     qs_bp=c.pop("qs_bp"), **c)
+    if t == "trend_fit":
+        return sf.trend_fit(c.pop("x_col"), c.pop("y_col"), **c)
+    if t == "benford_profile":
+        return sf.benford_profile(c.pop("value_col"), **c)
     if t == "data_diff":
         return sf.diff_against(datasets[c.pop("right")], c.pop("keys"), **c)
     if t == "group_concat":

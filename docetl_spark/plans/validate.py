@@ -43,6 +43,7 @@ _KNOWN_OPS = {
     "group_concat", "time_profile", "profile_columns", "check_constraints",
     "active_users", "sample_pps", "percentile_normalize",
     "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
+    "weighted_quantiles", "trend_fit", "benford_profile",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -226,6 +227,9 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "quantile_buckets": ("value_col", "n"),
         "flag_outliers_mad": ("value_col",),
         "histogram": ("value_col", "bin_width"),
+        "weighted_quantiles": ("value_col", "weight_col", "qs_bp"),
+        "trend_fit": ("x_col", "y_col"),
+        "benford_profile": ("value_col",),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

@@ -1,0 +1,89 @@
+"""Scale-slice bench: the most expensive bench queries at 10x the bench
+scale (emulated sf1, scripts/make_sf1.py -> /tmp/sf1), with the same
+bracketed host controls as bench.py so drift is measurable.
+
+Purpose (VERDICT r8 ask #6): the per-op 100x probes are micro-probes;
+this is ONE end-to-end artifact grounding the "plans survive scale-up"
+claim for the streaming drains and the LSH/RAG paths. Compares each
+query's sf1 time against its sf0.1 time from bench_out.json: a healthy
+plan lands well under 10x (sublinear shuffle/scan scaling + fixed
+overheads); anything >3x beyond the streaming drain floor is a finding.
+
+Usage: python scripts/bench_sf1.py [out_json] (default BENCH_SF1_r09.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from docetl_spark import get_spark  # noqa: E402
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+# the 10 most expensive bench queries per the round-8 artifact, spanning
+# the families the verdict called out: RAG/LSH retrieval, stream drains,
+# banded-LSH joins, minhash dedup, n-gram jaccard, and a TPC-H join shape
+QUERIES = [
+    "rag_retrieve_context",
+    "events_stream_interval_join",
+    "events_stream_sessions",
+    "events_stream_rolling",
+    "equijoin_limited",
+    "fuzzy_dedup_corpus",
+    "minhash_near_dup",
+    "stream_decontaminate",
+    "docs_ngram_jaccard",
+    "q7_nation_volume",
+]
+
+
+def main(out_path: str = "BENCH_SF1_r09.json") -> None:
+    spark = get_spark(
+        "docetl-spark-bench-sf1",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    control = bench.run_control(spark)
+    results: dict[str, float] = {}
+    for name in QUERIES:
+        results[name] = round(bench.run_one(spark, name, SF1_DIR), 3)
+        print(f"{results[name]:7.2f}  {name}", file=sys.stderr)
+    control_end = bench.run_control(spark)
+    drift = round((control + control_end) / (2 * bench.CONTROL_REF_SEC), 3)
+
+    sf01 = {}
+    try:
+        sf01 = json.load(open(os.path.join(os.path.dirname(__file__), "..", "bench_out.json")))
+        sf01 = sf01.get("queries", {})
+    except Exception:
+        pass
+    ratios = {
+        k: round(v / sf01[k], 2) for k, v in results.items() if sf01.get(k)
+    }
+
+    payload = {
+        "sf": 1.0,
+        "sf_emulated": True,
+        "source": "scripts/make_sf1.py (10x sf0.1, offset keys, perturbed docs)",
+        "total_sec": round(sum(results.values()), 3),
+        "control_sec": control,
+        "control_end_sec": control_end,
+        "host_drift": drift,
+        "queries": results,
+        "ratio_vs_sf0.1": ratios,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps({k: payload[k] for k in
+                      ("total_sec", "host_drift", "ratio_vs_sf0.1")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r09.json")

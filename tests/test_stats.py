@@ -127,3 +127,82 @@ def test_skew_profile_plan_is_hash_join(spark):
 
     plan = skew_profile(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ── round-9 ops: weighted_quantiles / trend_fit / benford_profile ──
+
+
+def test_weighted_quantiles_exact_cuts(spark):
+    from docetl_spark.functions.stats import weighted_quantiles
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0), ("a", 10.0, 0.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {(r["g"], r["q_bp"]): r["value"] for r in
+           weighted_quantiles(df, "v", "w", qs_bp=[2500, 5000, 10000], by=["g"]).collect()}
+    # total weight 4.0: 25% -> first value whose cum >= 1.0 (v=1),
+    # 50% -> cum >= 2.0 (v=2), 100% -> v=10 is zero-weight but cum
+    # reaches total at v=3 already -> 3.0
+    assert out == {("a", 2500): 1.0, ("a", 5000): 2.0, ("a", 10000): 3.0}
+
+
+def test_weighted_quantiles_validates(spark):
+    from docetl_spark.functions.stats import weighted_quantiles
+
+    df = spark.createDataFrame([(1.0, 1.0)], "v double, w double")
+    with pytest.raises(ValueError, match="at least one q"):
+        weighted_quantiles(df, "v", "w", qs_bp=[])
+    with pytest.raises(ValueError, match="in \\(0, 10000\\]"):
+        weighted_quantiles(df, "v", "w", qs_bp=[0])
+
+
+def test_trend_fit_known_slope(spark):
+    from docetl_spark.functions.stats import trend_fit
+
+    # y = 2*x cents exactly: x in seconds 0..4 (ns inputs), y = 0.02*x dollars
+    rows = [("a", i * 10**9, 0.02 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = {r["g"]: r for r in trend_fit(df, "ts", "v", by=["g"]).collect()}
+    assert out["a"]["n"] == 5
+    assert out["a"]["slope_micro"] == 2_000_000  # 2 cents/sec * 1e6
+
+
+def test_trend_fit_degenerate_groups_null(spark):
+    from docetl_spark.functions.stats import trend_fit
+
+    rows = [("one", 10**9, 1.0),                    # n=1
+            ("flat", 5 * 10**9, 1.0), ("flat", 5 * 10**9, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = {r["g"]: r["slope_micro"] for r in trend_fit(df, "ts", "v", by=["g"]).collect()}
+    assert out == {"one": None, "flat": None}
+
+
+def test_trend_fit_global_negative_slope(spark):
+    from docetl_spark.functions.stats import trend_fit
+
+    rows = [(i * 10**9, -0.01 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts long, v double")
+    r = trend_fit(df, "ts", "v").collect()[0]
+    assert r["n"] == 10 and r["slope_micro"] == -1_000_000
+
+
+def test_benford_profile_digits_and_expectation(spark):
+    from docetl_spark.functions.stats import benford_profile
+
+    # cents strings: 123.45 -> 12345 -> digit 1; -0.07 -> 7; 0.0 -> dropped
+    rows = [(123.45,), (-0.07,), (0.0,), (None,), (2.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == {1, 2, 7}
+    assert out[1]["expected_bp"] == 3010
+    assert out[1]["share_bp"] == 3333  # 1 of 3 kept rows
+    assert out[7]["deviation_bp"] == 3333 - 580
+
+
+def test_benford_profile_grouped(spark):
+    from docetl_spark.functions.stats import benford_profile
+
+    rows = [("a", 1.0), ("a", 1.5), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["digit"]): r["share_bp"] for r in
+           benford_profile(df, "v", by=["g"]).collect()}
+    assert out == {("a", 1): 10000, ("b", 9): 10000}
