@@ -3280,6 +3280,76 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(ev, "value")
 
 
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (timeseries.interval_union): synthetic
+    [ts, ts + cents*1e7 ns] intervals per user (fixed-point duration —
+    a bare double*1e9 cast truncates in Spark but ROUNDS in DuckDB),
+    unioned by the gaps-and-islands window cascade on ONE shuffle."""
+    from docetl_spark.functions.timeseries import interval_union
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts")
+         + F.floor(F.abs(F.col("value")) * 100 + 0.5).cast("long") * 10_000_000
+         ).alias("e"),
+    )
+    return interval_union(iv, keys=["user_id"], start_col="s", end_col="e")
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session path prefixes (timeseries.session_paths): each user's
+    first 4 event types joined '>', global top-25 by frequency — rank
+    window + per-session fold on ONE key shuffle, then a single
+    TakeOrderedAndProject (never a bare global window)."""
+    from docetl_spark.functions.timeseries import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, session_keys=["user_id"], state_col="event_type", ts_col="ts",
+        tiebreak="event_id", max_len=4, top=25,
+    )
+
+
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 AR coefficient per user (timeseries.autocorr_lag): OLS of
+    v_t on v_{t-1} in exact decimal sums, emitted as the integer
+    ar_micro (cross-multiplied DIV — bit-replayable, unlike double
+    corr()). LAG window + five-sum agg on ONE shuffle."""
+    from docetl_spark.functions.timeseries import autocorr_lag
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorr_lag(ev, "value", keys=["user_id"], ts_col="ts",
+                        lag=1, tiebreak="event_id")
+
+
+def events_null_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-NULL-run screen (timeseries.null_runs): NULLs
+    injected deterministically (event_id % 7), runs found by the
+    rn-difference gaps-and-islands trick on ONE shuffle; keys with no
+    NULLs still surface as zero rows."""
+    from docetl_spark.functions.timeseries import null_runs
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "val", F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+    )
+    return null_runs(ev, "val", keys=["user_id"], ts_col="ts", tiebreak="event_id")
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward CUSUM level-shift detector (timeseries.changepoint_cusum):
+    the max(0, s+d) recursion via its closed form cum - running_min(cum),
+    n-scaled so the per-key mean stays an exact rational; alarm is the
+    cross-multiplied integer comparison. ONE key shuffle, window-only."""
+    from docetl_spark.functions.timeseries import changepoint_cusum
+
+    ev = _t(spark, sf_dir, "events")
+    return changepoint_cusum(ev, "value", keys=["user_id"], ts_col="ts",
+                             threshold=50.0, tiebreak="event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3466,6 +3536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weighted_quantiles": events_weighted_quantiles,
         "events_trend_fit": events_trend_fit,
         "events_benford": events_benford,
+        "events_interval_union": events_interval_union,
+        "events_session_paths": events_session_paths,
+        "events_autocorr": events_autocorr,
+        "events_null_runs": events_null_runs,
+        "events_cusum": events_cusum,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -6186,6 +6261,120 @@ def oracle_sql() -> dict[str, str]:
                CAST(e.expected_bp AS BIGINT) AS expected_bp,
                CAST(g.n_rows * 10000 // t.tot - e.expected_bp AS BIGINT) AS deviation_bp
         FROM g CROSS JOIN t JOIN e ON e.digit = g.digit"""
+    sql["events_interval_union"] = """
+        WITH iv AS (
+          SELECT user_id, epoch_ns(ts) AS s,
+                 epoch_ns(ts)
+                   + CAST(floor(abs(value)*100 + 0.5) AS BIGINT) * 10000000 AS e
+          FROM events WHERE value IS NOT NULL
+        ), f AS (
+          SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+          FROM iv
+        ), g AS (
+          SELECT user_id, s, e,
+                 SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM f
+        ), isles AS (
+          SELECT user_id, isl, COUNT(*) AS n, MIN(s) AS ms, MAX(e) AS me
+          FROM g GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_merged,
+               CAST(SUM(me - ms) AS BIGINT) AS covered_ns,
+               CAST(MAX(me) - MIN(ms) AS BIGINT) AS span_ns
+        FROM isles GROUP BY 1"""
+    sql["events_session_paths"] = """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+          FROM events
+        ), p AS (
+          SELECT user_id,
+                 string_agg(COALESCE(event_type, 'null'), '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 4 GROUP BY 1
+        ), c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+        SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+        FROM c ORDER BY n_sessions DESC, path LIMIT 25"""
+    sql["events_autocorr"] = """
+        WITH v AS (
+          SELECT user_id,
+                 CAST(floor(value*100 + 0.5) AS DECIMAL(38,0)) AS y,
+                 LAG(CAST(floor(value*100 + 0.5) AS DECIMAL(38,0))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS x
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*y) AS sxy, SUM(x*x) AS sxx
+          FROM v WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0 THEN
+                 CAST(CAST((n*sxy - sx*sy) * 1000000 AS HUGEINT)
+                      // CAST(n*sxx - sx*sx AS HUGEINT) AS BIGINT)
+               END AS ar_micro
+        FROM s"""
+    sql["events_null_runs"] = """
+        WITH v AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val
+          FROM events
+        ), m AS (
+          SELECT user_id, (val IS NULL) AS is_n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tns, event_id)
+                 - ROW_NUMBER() OVER (
+                     PARTITION BY user_id, (val IS NULL) ORDER BY tns, event_id) AS grp
+          FROM v
+        ), runs AS (
+          SELECT user_id, grp, COUNT(*) AS len FROM m WHERE is_n GROUP BY 1, 2
+        ), pk AS (
+          SELECT user_id, SUM(len) AS n_nulls, COUNT(*) AS n_runs, MAX(len) AS max_run
+          FROM runs GROUP BY 1
+        )
+        SELECT u.user_id,
+               CAST(COALESCE(pk.n_nulls, 0) AS BIGINT) AS n_nulls,
+               CAST(COALESCE(pk.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(COALESCE(pk.max_run, 0) AS BIGINT) AS max_run
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN pk USING (user_id)"""
+    sql["events_cusum"] = """
+        WITH v AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                 CAST(floor(value*100 + 0.5) AS DECIMAL(38,0)) AS c
+          FROM events
+        ), t AS (
+          SELECT user_id, event_id, tns, c,
+                 CAST(COUNT(c) OVER (PARTITION BY user_id) AS DECIMAL(38,0)) AS n,
+                 SUM(c) OVER (PARTITION BY user_id) AS sx
+          FROM v
+        ), cu AS (
+          SELECT user_id, event_id, tns, n,
+                 SUM(CASE WHEN c IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                          ELSE c * n - sx END)
+                   OVER (PARTITION BY user_id ORDER BY tns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        ), mn AS (
+          SELECT user_id, tns, n, cum,
+                 MIN(LEAST(cum, CAST(0 AS DECIMAL(38,0))))
+                   OVER (PARTITION BY user_id ORDER BY tns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mncum
+          FROM cu
+        )
+        SELECT user_id, tns AS ts,
+               CASE WHEN n > 0 THEN
+                 CAST(CAST((cum - mncum) * 1000 AS HUGEINT)
+                      // CAST(n * 100 AS HUGEINT) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS cusum_milli,
+               ((cum - mncum) > n * 5000) AS alarm
+        FROM mn"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

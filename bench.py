@@ -245,6 +245,11 @@ BENCH_QUERIES = [
     "events_weighted_quantiles",
     "events_trend_fit",
     "events_benford",
+    "events_interval_union",
+    "events_session_paths",
+    "events_autocorr",
+    "events_null_runs",
+    "events_cusum",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

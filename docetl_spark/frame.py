@@ -1220,6 +1220,68 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def interval_union(self, *, keys: list[str], start_col: str,
+                       end_col: str, **kw) -> "SemanticFrame":
+        """Merged-interval coverage per key — see
+        functions/timeseries.interval_union."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.interval_union(self.df, keys=keys, start_col=start_col,
+                               end_col=end_col, **kw),
+            "interval_union", keys=list(keys), start_col=start_col,
+            end_col=end_col, **kw,
+        )
+
+    def session_paths(self, *, session_keys: list[str], state_col: str,
+                      ts_col: str, **kw) -> "SemanticFrame":
+        """Top-k session path prefixes — see
+        functions/timeseries.session_paths."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.session_paths(self.df, session_keys=session_keys,
+                              state_col=state_col, ts_col=ts_col, **kw),
+            "session_paths", session_keys=list(session_keys),
+            state_col=state_col, ts_col=ts_col, **kw,
+        )
+
+    def autocorr_lag(self, value_col: str, *, keys: list[str], ts_col: str,
+                     **kw) -> "SemanticFrame":
+        """Per-key lag-k AR coefficient in exact integer math — see
+        functions/timeseries.autocorr_lag."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.autocorr_lag(self.df, value_col, keys=keys, ts_col=ts_col, **kw),
+            "autocorr_lag", value_col=value_col, keys=list(keys),
+            ts_col=ts_col, **kw,
+        )
+
+    def null_runs(self, value_col: str, *, keys: list[str], ts_col: str,
+                  **kw) -> "SemanticFrame":
+        """Consecutive-NULL-run report per key — see
+        functions/timeseries.null_runs."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.null_runs(self.df, value_col, keys=keys, ts_col=ts_col, **kw),
+            "null_runs", value_col=value_col, keys=list(keys), ts_col=ts_col, **kw,
+        )
+
+    def changepoint_cusum(self, value_col: str, *, keys: list[str],
+                          ts_col: str, threshold: float, **kw) -> "SemanticFrame":
+        """Upward CUSUM level-shift detector — see
+        functions/timeseries.changepoint_cusum."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.changepoint_cusum(self.df, value_col, keys=keys, ts_col=ts_col,
+                                  threshold=threshold, **kw),
+            "changepoint_cusum", value_col=value_col, keys=list(keys),
+            ts_col=ts_col, threshold=threshold, **kw,
+        )
+
     def state_durations(self, *, keys: list[str], ts_col: str, state_col: str,
                         **kw) -> "SemanticFrame":
         """Total time-in-state per key (LEAD-closed intervals) — see

@@ -1909,3 +1909,310 @@ def throttle(
         .filter(F.col("_th_rn") <= int(max_per_window))
         .drop("_th_bkt", "_th_rn")
     )
+
+
+def interval_union(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merged-interval coverage per key — union overlapping/touching
+    [start, end] intervals and report how much of the line each key
+    actually covers (device uptime, incident duration, booked time).
+
+    Output: keys + ``n_intervals`` (input rows) + ``n_merged`` (islands
+    after union) + ``covered_ns`` (total length of the union, exact long
+    arithmetic) + ``span_ns`` (max end - min start; covered/span is the
+    utilization ratio, left to the caller as an exact pair).
+
+    Gaps-and-islands as ONE window cascade on ONE shuffle: order by
+    (start, end), island boundary where start > running max(end) over
+    preceding rows, island id = running count of boundaries, then two
+    re-aggregations (per island, per key) that ride the same partition.
+    Touching intervals (start == prev end) merge; zero-length intervals
+    count toward n but add nothing. NULL start/end rows are rejected
+    loudly (a silent drop would under-report coverage); end < start is
+    rejected as corrupt.
+    """
+    if not keys:
+        raise ValueError("interval_union requires at least one key column")
+    reserved = {"n_intervals", "n_merged", "covered_ns", "span_ns",
+                "_iu_s", "_iu_e", "_iu_maxe", "_iu_new", "_iu_isl"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"interval_union reserves column names {clash}")
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    checked = df.select(
+        *keys,
+        F.when(s.isNull() | e.isNull(), F.raise_error(F.lit(
+            "interval_union: NULL start/end (drop or repair before the union)"
+        ))).when(e < s, F.raise_error(F.concat(
+            F.lit("interval_union: end < start for key "),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+        ))).otherwise(s).alias("_iu_s"),
+        e.alias("_iu_e"),
+    )
+    word = W.partitionBy(*keys).orderBy(F.col("_iu_s").asc(), F.col("_iu_e").asc())
+    wprev = word.rowsBetween(W.unboundedPreceding, -1)
+    wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = checked.withColumn(
+        "_iu_maxe", F.max("_iu_e").over(wprev)
+    ).withColumn(
+        "_iu_new",
+        F.when(F.col("_iu_maxe").isNull() | (F.col("_iu_s") > F.col("_iu_maxe")), 1)
+        .otherwise(0),
+    ).withColumn("_iu_isl", F.sum("_iu_new").over(wrun))
+    islands = flagged.groupBy(*keys, "_iu_isl").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_iu_s").alias("_s"),
+        F.max("_iu_e").alias("_e"),
+    )
+    return islands.groupBy(*keys).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum(F.col("_e") - F.col("_s")).alias("covered_ns"),
+        (F.max("_e") - F.min("_s")).alias("span_ns"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    *,
+    session_keys: list[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak: str | None = None,
+    max_len: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Top-k session path prefixes: each session's first ``max_len``
+    states in time order joined with '>' — the "what do users do first"
+    report behind onboarding and navigation analysis.
+
+    Output: ``path`` + ``n_sessions`` + ``rank`` (ties broken by path
+    asc, deterministic).
+
+    Plan: ONE shuffle on the session keys (rank window + the per-session
+    fold both ride it); the in-order path string is built JVM-side by
+    sorting the collected (rn, state) structs — collect_list alone has
+    no order guarantee — then ONE TakeOrderedAndProject for the global
+    top-k (per-partition heaps, k rows to the driver merge; no bare
+    global window). NULL states render as the literal 'null' so a path
+    through a missing state stays visible.
+    """
+    if not session_keys:
+        raise ValueError("session_paths requires at least one session key")
+    if max_len < 1 or top < 1:
+        raise ValueError("max_len and top must be >= 1")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*session_keys).orderBy(*order)
+    prefix = (
+        df.withColumn("_sp_rn", F.row_number().over(w))
+        .filter(F.col("_sp_rn") <= int(max_len))
+        .groupBy(*session_keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("_sp_rn").alias("rn"),
+                        F.coalesce(F.col(state_col).cast("string"), F.lit("null")).alias("st"),
+                    ))),
+                    lambda x: x["st"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = prefix.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    topk = counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(int(top))
+    wr = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return topk.withColumn("rank", F.row_number().over(wr)).select(
+        "path", "n_sessions", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: list[str],
+    ts_col: str,
+    lag: int = 1,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key lag-``lag`` AR coefficient in EXACT integer math: the OLS
+    slope of v_t against v_{t-lag} (the AR(1) estimate when lag=1),
+    emitted as ``ar_micro`` = 1e6 * (n*Sxy - Sx*Sy) DIV (n*Sxx - Sx*Sx)
+    over the lagged pairs — same cross-multiplied formulation as
+    trend_fit, so it replays bit-for-bit in any engine (a double
+    corr() differs across summation orders). Output: keys + ``n_pairs``
+    + ``ar_micro`` (NULL when < 2 pairs or zero lag-variance).
+
+    Plan: ONE shuffle on the keys — the LAG window and the five-sum
+    aggregation both ride it; values fixed-point at ``scale``.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    reserved = {"n_pairs", "ar_micro", "_ac_x", "_ac_y"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"autocorr_lag reserves column names {clash}")
+    from .stats import to_cents
+
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    y = to_cents(value_col, scale).cast("decimal(38,0)")
+    paired = df.withColumn("_ac_y", y).withColumn("_ac_x", F.lag("_ac_y", lag).over(w))
+    pairs = paired.filter(F.col("_ac_x").isNotNull() & F.col("_ac_y").isNotNull())
+    sums = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_ac_x").alias("_sx"),
+        F.sum("_ac_y").alias("_sy"),
+        F.sum(F.col("_ac_x") * F.col("_ac_y")).alias("_sxy"),
+        F.sum(F.col("_ac_x") * F.col("_ac_x")).alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return sums.select(
+        *keys,
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("_n") >= 2) & (den != 0),
+            F.expr(
+                "CAST((_n * _sxy - _sx * _sy) * 1000000 DIV "
+                "(_n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("ar_micro"),
+    )
+
+
+def null_runs(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Consecutive-NULL-run report per key — the sensor-outage /
+    instrumentation-gap screen: how many NULL stretches, how long the
+    worst one ran (in rows), and the total NULL count.
+
+    Output: keys + ``n_nulls`` + ``n_runs`` + ``max_run`` (0s when the
+    key has no NULLs — keys always surface, a silent drop would read as
+    "no data problems").
+
+    Plan: gaps-and-islands on ONE shuffle — run id = row_number minus
+    the NULL-only row_number (the classic rn-difference trick), one
+    re-aggregation per run and one per key, all riding the key
+    partition.
+    """
+    if not keys:
+        raise ValueError("null_runs requires at least one key column")
+    reserved = {"n_nulls", "n_runs", "max_run", "_nr_rn", "_nr_nrn", "_nr_grp"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"null_runs reserves column names {clash}")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    isnull = F.col(value_col).isNull()
+    wn = W.partitionBy(*keys, isnull).orderBy(*order)
+    marked = df.select(
+        *keys,
+        isnull.alias("_isnull"),
+        (F.row_number().over(w) - F.row_number().over(wn)).alias("_nr_grp"),
+    )
+    runs = (
+        marked.filter(F.col("_isnull"))
+        .groupBy(*keys, "_nr_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    per_key = runs.groupBy(*keys).agg(
+        F.sum("_len").alias("n_nulls"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("_len").alias("max_run"),
+    )
+    all_keys = df.select(*keys).distinct()
+    return (
+        all_keys.join(per_key, on=keys, how="left")
+        .select(
+            *keys,
+            F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+            F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+            F.coalesce("max_run", F.lit(0)).alias("max_run"),
+        )
+    )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: list[str],
+    ts_col: str,
+    threshold: float,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided (upward) CUSUM level-shift detector per key, in EXACT
+    integer math. The textbook recursion s_t = max(0, s_{t-1} + (x_t -
+    mean)) is not window-expressible, but its closed form is: s_t =
+    C_t - min(C_j, j <= t) with C = cumsum(x - mean). The per-key mean
+    is the exact rational Sx/n, cleared by working n-scaled:
+    d_i = x_i*n - Sx, so every quantity stays a decimal integer and the
+    alarm comparison is s_t > threshold * n * scale, cross-multiplied —
+    no doubles anywhere near the alarm.
+
+    Output: one row per input event — keys + ts + ``cusum_milli`` (the
+    classical statistic in milli-value-units: s*1000 DIV (n*scale) —
+    integer truncation, bounded by value magnitude so it stays
+    BIGINT-safe at any key size; the alarm itself never goes through
+    this projection) + ``alarm`` (boolean, the exact cross-multiplied
+    comparison). NULL values contribute a zero deviation (the statistic
+    holds), matching the batch EWMA family's NULL posture.
+
+    Plan: ONE shuffle on the keys; the per-key total rides a window on
+    the same partition, then cumsum + running-min windows — no second
+    exchange, no sort beyond the key partition's (ts, tiebreak).
+    """
+    if not keys:
+        raise ValueError("changepoint_cusum requires at least one key column")
+    reserved = {"cusum_num", "alarm", "_cp_c", "_cp_cum", "_cp_min", "_cp_n", "_cp_sx"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"changepoint_cusum reserves column names {clash}")
+    from .stats import to_cents
+
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    wall = W.partitionBy(*keys)
+    word = W.partitionBy(*keys).orderBy(*order)
+    wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cents = to_cents(value_col, scale).cast("decimal(38,0)")
+    # mean over NON-NULL values only; a NULL row's deviation is exactly
+    # zero (the statistic holds), not "value 0" (that would be a real
+    # deviation of -mean per NULL row)
+    staged = df.withColumn("_cp_c", cents).withColumn(
+        "_cp_n", F.count("_cp_c").over(wall).cast("decimal(38,0)")
+    ).withColumn("_cp_sx", F.sum("_cp_c").over(wall))
+    dev = F.when(
+        F.col("_cp_c").isNull(), F.lit(0).cast("decimal(38,0)")
+    ).otherwise(F.col("_cp_c") * F.col("_cp_n") - F.col("_cp_sx"))
+    cum = staged.withColumn("_cp_cum", F.sum(dev).over(wrun)).withColumn(
+        "_cp_min", F.min(F.least(F.col("_cp_cum"), F.lit(0).cast("decimal(38,0)"))).over(wrun)
+    )
+    s = F.col("_cp_cum") - F.col("_cp_min")
+    thr_cents = int(round(float(threshold) * scale))
+    # structural zero guard: an all-NULL key has _cp_n = 0
+    milli = F.when(
+        F.col("_cp_n") > 0,
+        F.expr(f"CAST((_cp_cum - _cp_min) * 1000 DIV (_cp_n * {int(scale)}) AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return cum.select(
+        *keys,
+        F.col(ts_col),
+        milli.alias("cusum_milli"),
+        (s > F.col("_cp_n") * F.lit(thr_cents)).alias("alarm"),
+    )

@@ -318,6 +318,21 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "interval_union":
+        return sf.interval_union(keys=c.pop("keys"), start_col=c.pop("start_col"),
+                                 end_col=c.pop("end_col"), **c)
+    if t == "session_paths":
+        return sf.session_paths(session_keys=c.pop("session_keys"),
+                                state_col=c.pop("state_col"), ts_col=c.pop("ts_col"), **c)
+    if t == "autocorr_lag":
+        return sf.autocorr_lag(c.pop("value_col"), keys=c.pop("keys"),
+                               ts_col=c.pop("ts_col"), **c)
+    if t == "null_runs":
+        return sf.null_runs(c.pop("value_col"), keys=c.pop("keys"),
+                            ts_col=c.pop("ts_col"), **c)
+    if t == "changepoint_cusum":
+        return sf.changepoint_cusum(c.pop("value_col"), keys=c.pop("keys"),
+                                    ts_col=c.pop("ts_col"), threshold=c.pop("threshold"), **c)
     if t == "state_durations":
         return sf.state_durations(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                   state_col=c.pop("state_col"), **c)

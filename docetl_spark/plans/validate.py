@@ -44,6 +44,8 @@ _KNOWN_OPS = {
     "active_users", "sample_pps", "percentile_normalize",
     "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
     "weighted_quantiles", "trend_fit", "benford_profile",
+    "interval_union", "session_paths", "autocorr_lag", "null_runs",
+    "changepoint_cusum",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -230,6 +232,11 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "weighted_quantiles": ("value_col", "weight_col", "qs_bp"),
         "trend_fit": ("x_col", "y_col"),
         "benford_profile": ("value_col",),
+        "interval_union": ("keys", "start_col", "end_col"),
+        "session_paths": ("session_keys", "state_col", "ts_col"),
+        "autocorr_lag": ("value_col", "keys", "ts_col"),
+        "null_runs": ("value_col", "keys", "ts_col"),
+        "changepoint_cusum": ("value_col", "keys", "ts_col", "threshold"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

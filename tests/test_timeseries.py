@@ -1,5 +1,6 @@
 """Time-series operators: as-of join, binned range join, time rollup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from docetl_spark.functions import timeseries as ts
@@ -734,3 +735,116 @@ def test_gap_fill_interp_validates(spark):
     with pytest.raises(ValueError, match="reserves"):
         ts.gap_fill(df2, "t", keys=["k"], bucket_width=10,
                     aggs={"s": F.sum("v")}, interp_cols=["s"])
+
+
+# ── round-9 ops ──────────────────────────────────────────────────
+
+
+def test_interval_union_merges_overlaps(spark):
+    from docetl_spark.functions.timeseries import interval_union
+
+    rows = [("a", 0, 10), ("a", 5, 20), ("a", 20, 25),   # one island (touching merges)
+            ("a", 40, 50),                                # second island
+            ("b", 0, 0)]                                  # zero-length
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {r["k"]: r for r in interval_union(df, keys=["k"], start_col="s", end_col="e").collect()}
+    assert out["a"]["n_intervals"] == 4 and out["a"]["n_merged"] == 2
+    assert out["a"]["covered_ns"] == 25 + 10 and out["a"]["span_ns"] == 50
+    assert out["b"]["covered_ns"] == 0 and out["b"]["n_merged"] == 1
+
+
+def test_interval_union_contained_interval(spark):
+    from docetl_spark.functions.timeseries import interval_union
+
+    # second interval entirely inside the first: running-max over PRECEDING
+    # (not lag) is what keeps the third from opening a false island
+    rows = [("a", 0, 100), ("a", 10, 20), ("a", 30, 40)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = interval_union(df, keys=["k"], start_col="s", end_col="e").collect()[0]
+    assert r["n_merged"] == 1 and r["covered_ns"] == 100
+
+
+def test_interval_union_rejects_corrupt(spark):
+    from docetl_spark.functions.timeseries import interval_union
+
+    df = spark.createDataFrame([("a", 10, 5)], "k string, s long, e long")
+    with pytest.raises(Exception, match="end < start"):
+        interval_union(df, keys=["k"], start_col="s", end_col="e").collect()
+    dfn = spark.createDataFrame([("a", None, 5)], "k string, s long, e long")
+    with pytest.raises(Exception, match="NULL start/end"):
+        interval_union(dfn, keys=["k"], start_col="s", end_col="e").collect()
+
+
+def test_session_paths_order_and_ties(spark):
+    from docetl_spark.functions.timeseries import session_paths
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+            (2, 1, "a"), (2, 2, "b"),
+            (3, 5, "x"), (3, 6, None)]
+    df = spark.createDataFrame(rows, "sid long, ts long, st string")
+    out = [(r["path"], r["n_sessions"], r["rank"]) for r in
+           session_paths(df, session_keys=["sid"], state_col="st", ts_col="ts",
+                         max_len=3, top=10).collect()]
+    assert out[0] == ("a>b", 1, 1) or out[0][2] == 1
+    paths = {p for p, _, _ in out}
+    assert "a>b>c" in paths            # max_len truncates the 4th state
+    assert "x>null" in paths           # NULL state stays visible
+
+
+def test_autocorr_lag_perfect_ar1(spark):
+    from docetl_spark.functions.timeseries import autocorr_lag
+
+    # v_t = v_{t-1} exactly -> AR coefficient 1.0 (1_000_000 micro)
+    rows = [("a", t, 5.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    r = autocorr_lag(df, "v", keys=["k"], ts_col="ts").collect()[0]
+    assert r["n_pairs"] == 5 and r["ar_micro"] is None  # zero variance -> NULL
+
+    rows2 = [("a", t, float(2 * t)) for t in range(6)]
+    df2 = spark.createDataFrame(rows2, "k string, ts long, v double")
+    r2 = autocorr_lag(df2, "v", keys=["k"], ts_col="ts").collect()[0]
+    assert r2["ar_micro"] == 1_000_000  # linear series: slope exactly 1
+
+
+def test_null_runs_counts_runs(spark):
+    from docetl_spark.functions.timeseries import null_runs
+
+    rows = [("a", 1, None), ("a", 2, None), ("a", 3, 1.0), ("a", 4, None),
+            ("b", 1, 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {r["k"]: r for r in null_runs(df, "v", keys=["k"], ts_col="ts").collect()}
+    assert out["a"]["n_nulls"] == 3 and out["a"]["n_runs"] == 2 and out["a"]["max_run"] == 2
+    assert out["b"]["n_nulls"] == 0 and out["b"]["n_runs"] == 0 and out["b"]["max_run"] == 0
+
+
+def test_changepoint_cusum_detects_level_shift(spark):
+    from docetl_spark.functions.timeseries import changepoint_cusum
+
+    # flat at 10 then a +100 level shift: alarms only after the shift
+    rows = [("a", t, 10.0) for t in range(10)] + [("a", t, 110.0) for t in range(10, 20)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {r["ts"]: r["alarm"] for r in
+           changepoint_cusum(df, "v", keys=["k"], ts_col="ts", threshold=30.0).collect()}
+    assert not any(out[t] for t in range(10))
+    assert out[19]  # cusum accumulated well past the threshold by the end
+
+
+def test_changepoint_cusum_matches_recursion(spark):
+    import random
+
+    from docetl_spark.functions.timeseries import changepoint_cusum
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-50, 50), 2) for _ in range(40)]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r["ts"]: r["cusum_milli"] for r in
+           changepoint_cusum(df, "v", keys=["k"], ts_col="ts", threshold=10.0).collect()}
+    # naive recursion on n-scaled integers, then the same milli projection
+    import math
+    cents = [int(math.floor(v * 100 + 0.5)) for v in vals]
+    n, sx = len(cents), sum(cents)
+    s = 0
+    for t, c in enumerate(cents):
+        s = max(0, s + (c * n - sx))
+        assert got[t] == (s * 1000) // (n * 100), f"t={t}"
