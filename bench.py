@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "events_autocorr",
     "events_null_runs",
     "events_cusum",
+    "lineitem_basket_pairs",
+    "events_audience_overlap",
+    "customer_rfm",
+    "part_fuzzy_names",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -1220,6 +1220,49 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def basket_pairs(self, basket_col: str, item_col: str, **kw) -> "SemanticFrame":
+        """Market-basket pair mining (support/confidence/lift in exact
+        integer fixed point) — see functions/stats.basket_pairs."""
+        from .functions import stats
+
+        return self._next(
+            stats.basket_pairs(self.df, basket_col, item_col, **kw),
+            "basket_pairs", basket_col=basket_col, item_col=item_col, **kw,
+        )
+
+    def audience_overlap(self, entity_col: str, group_col: str, **kw) -> "SemanticFrame":
+        """Segment-overlap matrix with exact Jaccard bp — see
+        functions/stats.audience_overlap."""
+        from .functions import stats
+
+        return self._next(
+            stats.audience_overlap(self.df, entity_col, group_col, **kw),
+            "audience_overlap", entity_col=entity_col, group_col=group_col, **kw,
+        )
+
+    def rfm_segments(self, *, keys: list[str], ts_col: str, amount_col: str,
+                     **kw) -> "SemanticFrame":
+        """RFM segmentation via the distributed NTILE formulation — see
+        functions/stats.rfm_segments."""
+        from .functions import stats
+
+        return self._next(
+            stats.rfm_segments(self.df, keys=keys, ts_col=ts_col,
+                               amount_col=amount_col, **kw),
+            "rfm_segments", keys=list(keys), ts_col=ts_col,
+            amount_col=amount_col, **kw,
+        )
+
+    def edit_distance_pairs(self, id_col: str, text_col: str, **kw) -> "SemanticFrame":
+        """Affix-blocked Levenshtein matcher — see
+        functions/dedup.edit_distance_pairs."""
+        from .functions import dedup as ddp
+
+        return self._next(
+            ddp.edit_distance_pairs(self.df, id_col, text_col, **kw),
+            "edit_distance_pairs", id_col=id_col, text_col=text_col, **kw,
+        )
+
     def interval_union(self, *, keys: list[str], start_col: str,
                        end_col: str, **kw) -> "SemanticFrame":
         """Merged-interval coverage per key — see

@@ -457,3 +457,79 @@ def minhash_dedup(
         kept = kept.drop("component", "cluster_size")
     kept._docetl_cached_input = shingled  # release handle: .unpersist() when materialized
     return kept
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 1,
+    prefix_len: int = 4,
+    block: str = "prefix",
+) -> DataFrame:
+    """Affix-blocked Levenshtein matcher: all pairs whose normalized
+    texts share the first (``block="prefix"``) or last
+    (``block="suffix"``) ``prefix_len`` characters, differ in length by
+    at most ``max_distance``, and sit within ``max_distance`` edits —
+    the typo-clustering / variant-spelling screen over a vocabulary or
+    name column.
+
+    Contract: affix blocking is part of the SEMANTICS (a pair that
+    diverges inside the blocked affix is not a candidate — standard
+    prefix blocking, like the reference's containment blocking rules;
+    suffix mode suits "adjective noun" vocabularies where variants share
+    the head noun); the length-difference bound is implied by
+    Levenshtein itself, so within a block recall is exact.
+
+    Output: ``id_a`` < ``id_b`` + ``distance`` (long).
+
+    Plan: normalized texts bucket by length DIV (d+1); each row joins
+    its own and the two adjacent buckets (explode of 3 keys), so every
+    |len_a - len_b| <= d pair meets in exactly one executor-local
+    (prefix, bucket-pair) cell — candidates scale with block density,
+    never n². levenshtein() runs JVM-side on candidates only.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1 (unblocked matching is O(n^2))")
+    if block not in ("prefix", "suffix"):
+        raise ValueError(f"block must be 'prefix' or 'suffix', got {block!r}")
+    d = int(max_distance)
+    width = d + 1
+    norm = F.lower(F.trim(F.col(text_col).cast("string")))
+    affix = (
+        F.substring("_tx", 1, int(prefix_len)) if block == "prefix"
+        else F.expr(f"right(_tx, {int(prefix_len)})")
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), norm.alias("_tx"))
+        .withColumn("_pfx", affix)
+        .withColumn("_bkt", F.expr(f"length(_tx) DIV {width}"))
+    )
+    # probe side visits its own + adjacent buckets; build side stays put,
+    # so every candidate pair meets exactly once (no post-join dedupe)
+    probe = base.withColumn(
+        "_pb", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1))
+    )
+    a = probe.alias("a")
+    b = base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._pfx") == F.col("b._pfx"))
+        & (F.col("a._pb") == F.col("b._bkt"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    return (
+        cand.filter(
+            (F.abs(F.length(F.col("a._tx")) - F.length(F.col("b._tx"))) <= d)
+            & (F.levenshtein(F.col("a._tx"), F.col("b._tx")) <= d)
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.levenshtein(F.col("a._tx"), F.col("b._tx")).cast("long").alias("distance"),
+        )
+    )

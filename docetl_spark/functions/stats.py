@@ -937,3 +937,170 @@ def benford_profile(
         expected[F.col("digit")].cast("long").alias("expected_bp"),
         (F.expr("n_rows * 10000 DIV _bf_tot") - expected[F.col("digit")]).cast("long").alias("deviation_bp"),
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Market-basket pair mining: for every pair of items that co-occur
+    in a basket, exact support / confidence / lift in integer fixed
+    point — the association-rule report behind "bought together".
+
+    Output: ``item_a`` < ``item_b`` (string) + ``pair_n`` (baskets with
+    both) + ``n_a``/``n_b`` (baskets with each) + ``support_bp``
+    (pair_n/n_baskets) + ``conf_ab_bp``/``conf_ba_bp`` (pair_n/n_a,
+    pair_n/n_b) + ``lift_micro`` (1e6 * pair_n * n_baskets DIV
+    (n_a * n_b)) — every ratio an exact integer DIV, no doubles.
+
+    Plan: collapse to DISTINCT (basket, item) first (map-side
+    combinable), self-equi-join on the basket key for the pair counts —
+    work is Σ items²/basket, bounded by basket width, never by table
+    size — then two broadcast-sized joins for the per-item counts and
+    one scalar for the basket total. A pathologically wide basket
+    (thousands of items) dominates its task; cap upstream if baskets
+    are unbounded.
+    """
+    reserved = {"item_a", "item_b", "pair_n", "n_a", "n_b",
+                "support_bp", "conf_ab_bp", "conf_ba_bp", "lift_micro"}
+    if item_col in reserved or basket_col in reserved:
+        raise ValueError(f"basket_pairs reserves column names {sorted(reserved)}")
+    bi = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_bk"),
+                F.col(item_col).cast("string").alias("_it"))
+        .distinct()
+    )
+    n_baskets = bi.select("_bk").distinct().count()
+    if n_baskets == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame([], (
+            "item_a string, item_b string, pair_n long, n_a long, n_b long, "
+            "support_bp long, conf_ab_bp long, conf_ba_bp long, lift_micro long"
+        ))
+    item_n = bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_n"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._it") < F.col("b._it")))
+        .groupBy(F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= int(min_pair_count))
+    )
+    out = (
+        pairs.join(F.broadcast(item_n.select(F.col("_it").alias("item_a"),
+                                             F.col("_n").alias("n_a"))), "item_a")
+        .join(F.broadcast(item_n.select(F.col("_it").alias("item_b"),
+                                        F.col("_n").alias("n_b"))), "item_b")
+    )
+    return out.select(
+        "item_a", "item_b", "pair_n", "n_a", "n_b",
+        F.expr(f"pair_n * 10000 DIV {int(n_baskets)}").alias("support_bp"),
+        F.expr("pair_n * 10000 DIV n_a").alias("conf_ab_bp"),
+        F.expr("pair_n * 10000 DIV n_b").alias("conf_ba_bp"),
+        # lift numerator = pair_n * n_baskets * 1e6 — routes through
+        # decimal(38,0) (three longs multiplied overflow bigint under
+        # ANSI at advertised scale); DIV yields a bounded long
+        F.expr(
+            f"CAST(pair_n AS DECIMAL(38,0)) * {int(n_baskets)} * 1000000 "
+            "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+        ).cast("long").alias("lift_micro"),
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Audience overlap matrix: for every pair of groups, how many
+    entities belong to both, to either, and the exact Jaccard in basis
+    points — the segment-overlap report behind campaign planning.
+
+    Output: ``group_a`` < ``group_b`` + ``n_a``/``n_b`` + ``n_both`` +
+    ``n_either`` (inclusion–exclusion) + ``jaccard_bp`` (integer DIV).
+    Group pairs with zero shared entities still appear (cross of the
+    group list, LEFT join from it) — an invisible empty overlap reads
+    as "forgot to check".
+
+    Plan: collapse to DISTINCT (entity, group), self-equi-join on the
+    ENTITY key for pair counts (work = Σ groups²/entity — bounded by
+    groups-per-entity, never table size), then broadcast joins against
+    the per-group distinct counts; the group list itself is by
+    definition small (it's the report's axis).
+    """
+    eg = (
+        df.filter(F.col(entity_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(entity_col).alias("_en"),
+                F.col(group_col).cast("string").alias("_gr"))
+        .distinct()
+    )
+    counts = eg.groupBy("_gr").agg(F.count(F.lit(1)).alias("_n"))
+    a = eg.alias("a")
+    b = eg.alias("b")
+    both = (
+        a.join(b, (F.col("a._en") == F.col("b._en")) & (F.col("a._gr") < F.col("b._gr")))
+        .groupBy(F.col("a._gr").alias("group_a"), F.col("b._gr").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = counts.select(F.col("_gr").alias("group_a"), F.col("_n").alias("n_a"))
+    cb = counts.select(F.col("_gr").alias("group_b"), F.col("_n").alias("n_b"))
+    grid = ca.crossJoin(cb).filter(F.col("group_a") < F.col("group_b"))
+    out = grid.join(both, ["group_a", "group_b"], "left").withColumn(
+        "n_both", F.coalesce("n_both", F.lit(0))
+    ).withColumn("n_either", F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_both", "n_either",
+        F.expr("CASE WHEN n_either = 0 THEN NULL "
+               "ELSE n_both * 10000 DIV n_either END").alias("jaccard_bp"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM segmentation: per key, recency (latest activity), frequency
+    (row count), monetary (exact cents sum), each scored 1..n_tiles by
+    the distributed NTILE formulation ((rank-1)*n DIV total + 1 —
+    proven equal to SQL NTILE), plus the combined ``segment`` string
+    'R{r}F{f}M{m}'. Higher score = more recent / more frequent / more
+    spend; ties break by the key columns, fully deterministic.
+
+    Plan: one groupBy collapses to key grain, then three
+    quantile_buckets passes over that (already small) aggregate — each
+    is the distributed global-rank path, never a bare one-partition
+    NTILE window.
+    """
+    if not keys:
+        raise ValueError("rfm_segments requires at least one key column")
+    if n_tiles < 2:
+        raise ValueError("n_tiles must be >= 2")
+    reserved = {"recency_ts", "frequency", "monetary_cents", "r_score",
+                "f_score", "m_score", "segment"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"rfm_segments reserves column names {clash}")
+    base = df.groupBy(*keys).agg(
+        F.max(F.col(ts_col).cast("long")).alias("recency_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(to_cents(amount_col, scale)).alias("monetary_cents"),
+    )
+    out = base
+    for col, score in (("recency_ts", "r_score"), ("frequency", "f_score"),
+                       ("monetary_cents", "m_score")):
+        out = quantile_buckets(out, col, n_tiles, bucket_col=score, tiebreak=keys)
+    return out.withColumn(
+        "segment",
+        F.concat(F.lit("R"), F.col("r_score").cast("string"),
+                 F.lit("F"), F.col("f_score").cast("string"),
+                 F.lit("M"), F.col("m_score").cast("string")),
+    )

@@ -318,6 +318,15 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "basket_pairs":
+        return sf.basket_pairs(c.pop("basket_col"), c.pop("item_col"), **c)
+    if t == "audience_overlap":
+        return sf.audience_overlap(c.pop("entity_col"), c.pop("group_col"), **c)
+    if t == "rfm_segments":
+        return sf.rfm_segments(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                               amount_col=c.pop("amount_col"), **c)
+    if t == "edit_distance_pairs":
+        return sf.edit_distance_pairs(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "interval_union":
         return sf.interval_union(keys=c.pop("keys"), start_col=c.pop("start_col"),
                                  end_col=c.pop("end_col"), **c)

@@ -45,7 +45,8 @@ _KNOWN_OPS = {
     "rollup_state", "merge_rollup", "apply_cdc", "state_durations",
     "weighted_quantiles", "trend_fit", "benford_profile",
     "interval_union", "session_paths", "autocorr_lag", "null_runs",
-    "changepoint_cusum",
+    "changepoint_cusum", "basket_pairs", "audience_overlap",
+    "rfm_segments", "edit_distance_pairs",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -237,6 +238,10 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "autocorr_lag": ("value_col", "keys", "ts_col"),
         "null_runs": ("value_col", "keys", "ts_col"),
         "changepoint_cusum": ("value_col", "keys", "ts_col", "threshold"),
+        "basket_pairs": ("basket_col", "item_col"),
+        "audience_overlap": ("entity_col", "group_col"),
+        "rfm_segments": ("keys", "ts_col", "amount_col"),
+        "edit_distance_pairs": ("id_col", "text_col"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

@@ -389,3 +389,43 @@ def test_throttle_earliest_k_per_window(spark):
     # window [0,10): events 0,1,2,9 -> keep first 2 (eid 0,1);
     # window [10,20): 10,11,12 -> keep 4,5; key 2 keeps its only event
     assert kept == [0, 1, 4, 5, 99]
+
+
+def test_edit_distance_pairs_prefix_and_suffix_blocks(spark):
+    from docetl_spark.functions.dedup import edit_distance_pairs
+
+    rows = [(1, "cold gear"), (2, "Cold Gears"), (3, "red gear"),
+            (4, "bolt"), (5, "colt"), (6, None)]
+    df = spark.createDataFrame(rows, "id int, t string")
+    # prefix mode: (1,2) share 'cold' (case/space-normalized, d=1);
+    # (4,5) diverge at char 2 -> NOT candidates under prefix blocking
+    pre = {(r["id_a"], r["id_b"]): r["distance"] for r in
+           edit_distance_pairs(df, "id", "t", max_distance=1, prefix_len=4).collect()}
+    assert pre == {(1, 2): 1}
+    # suffix mode: 'gear(s)' tails — (1,3) differ by 3 > d, (1,2) share
+    # nothing at the tail ('gear' vs 'ears')
+    suf = {(r["id_a"], r["id_b"]): r["distance"] for r in
+           edit_distance_pairs(df, "id", "t", max_distance=3, prefix_len=4,
+                               block="suffix").collect()}
+    assert (1, 3) in suf and suf[(1, 3)] == 3
+
+
+def test_edit_distance_pairs_length_bucket_adjacency(spark):
+    from docetl_spark.functions.dedup import edit_distance_pairs
+
+    # lengths 9 and 10 land in different DIV-2 buckets; the adjacent-
+    # bucket explode is what lets them meet (and exactly once)
+    rows = [(1, "abcdefghi"), (2, "abcdefghij")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = edit_distance_pairs(df, "id", "t", max_distance=1, prefix_len=4).collect()
+    assert len(out) == 1 and out[0]["distance"] == 1
+
+
+def test_edit_distance_pairs_validates(spark):
+    from docetl_spark.functions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x")], "id int, t string")
+    with pytest.raises(ValueError, match="'prefix' or 'suffix'"):
+        edit_distance_pairs(df, "id", "t", block="middle")
+    with pytest.raises(ValueError, match="unblocked"):
+        edit_distance_pairs(df, "id", "t", prefix_len=0)

@@ -206,3 +206,59 @@ def test_benford_profile_grouped(spark):
     out = {(r["g"], r["digit"]): r["share_bp"] for r in
            benford_profile(df, "v", by=["g"]).collect()}
     assert out == {("a", 1): 10000, ("b", 9): 10000}
+
+
+def test_basket_pairs_exact_metrics(spark):
+    from docetl_spark.functions.stats import basket_pairs
+
+    # baskets: 1={x,y}, 2={x,y}, 3={x}, 4={z} ; duplicate rows collapse
+    rows = [(1, "x"), (1, "y"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {(r["item_a"], r["item_b"]): r for r in basket_pairs(df, "bk", "it").collect()}
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r["pair_n"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+    assert r["support_bp"] == 5000            # 2 of 4 baskets
+    assert r["conf_ab_bp"] == 6666            # 2/3 trunc
+    assert r["conf_ba_bp"] == 10000
+    assert r["lift_micro"] == 2 * 4 * 1_000_000 // (3 * 2)
+
+
+def test_basket_pairs_min_pair_count_and_empty(spark):
+    from docetl_spark.functions.stats import basket_pairs
+
+    rows = [(1, "x"), (1, "y")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    assert basket_pairs(df, "bk", "it", min_pair_count=2).count() == 0
+    empty = spark.createDataFrame([], "bk int, it string")
+    assert basket_pairs(empty, "bk", "it").count() == 0
+
+
+def test_audience_overlap_grid_includes_empty(spark):
+    from docetl_spark.functions.stats import audience_overlap
+
+    rows = [(1, "a"), (2, "a"), (1, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "u int, g string")
+    out = {(r["group_a"], r["group_b"]): r for r in audience_overlap(df, "u", "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 1 and ab["n_either"] == 2 and ab["jaccard_bp"] == 5000
+    ac = out[("a", "c")]
+    assert ac["n_both"] == 0 and ac["jaccard_bp"] == 0   # empty overlap surfaces
+
+
+def test_rfm_segments_scores(spark):
+    from docetl_spark.functions.stats import rfm_segments
+
+    # 5 customers, strictly increasing on every dimension -> scores 1..5
+    rows = []
+    for c in range(1, 6):
+        for i in range(c):  # frequency = c
+            rows.append((c, c * 1000, float(c)))
+    df = spark.createDataFrame(rows, "cust int, ts long, amt double")
+    out = {r["cust"]: r for r in
+           rfm_segments(df, keys=["cust"], ts_col="ts", amount_col="amt").collect()}
+    for c in range(1, 6):
+        assert out[c]["r_score"] == c and out[c]["f_score"] == c and out[c]["m_score"] == c
+        assert out[c]["segment"] == f"R{c}F{c}M{c}"
+        assert out[c]["monetary_cents"] == c * c * 100
