@@ -3402,6 +3402,86 @@ def part_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_distance=2, prefix_len=4, block="suffix")
 
 
+def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration (stats.gini_bp): order-value inequality
+    per priority class — ascending rank window + three decimal sums on
+    ONE shuffle, figure emitted as integer basis points."""
+    from docetl_spark.functions.stats import gini_bp
+
+    orders = _t(spark, sf_dir, "orders")
+    return gini_bp(orders, "o_totalprice", by=["o_orderpriority"])
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (stats.skyline_2d): cheapest-per-size
+    frontier (minimize retail price, maximize size) via the sort-scan
+    window — one shuffle, no n² dominance join; p_partkey tiebreak pins
+    which exact-duplicate point survives."""
+    from docetl_spark.functions.stats import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice", "p_size", "p_partkey"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size", by=["p_brand"],
+                      tiebreak=["p_partkey"])
+
+
+def events_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week comparison (timeseries.period_over_period): weekly
+    fixed-point sums per event type with exact bp change vs the
+    IMMEDIATELY preceding week (bucket-adjacency LAG guard — a gap week
+    yields NULL, not a comparison against the last nonempty week)."""
+    from docetl_spark.functions.timeseries import period_over_period
+
+    ev = _t(spark, sf_dir, "events")
+    return period_over_period(
+        ev, "ts", "value", width_ns=7 * 86_400 * 10**9, by=["event_type"]
+    )
+
+
+def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM twin (streaming.cusum_stateful): O(1) integer
+    state per user, fixed reference level (an online detector cannot
+    know the future mean), append-mode per-event emission; an in-order
+    drain replays the batch closed form with the same fixed reference
+    bit-for-bit (oracle = that SQL)."""
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = stream_ops.cusum_stateful(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ref_value=50.0, threshold=500.0,
+    )
+    rows = stream_ops.run_available_now(
+        out,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_scu_"),
+        output_mode="append", shuffle_partitions=8,
+    )
+    return stream_ops.drained_df(
+        spark, rows, "user_id long, event_id long, cusum_cents long, alarm boolean"
+    )
+
+
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quantiles: a pure composition query —
+    lineitem joined to orders (both date-typed, TZ-free day arithmetic),
+    per-priority EXACT p50/p90/p99 of the latency in days through the
+    scale-safe exact_quantiles formulation (sorted window + two-neighbor
+    conditional agg, never a value-buffering percentile())."""
+    from docetl_spark.functions.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date")).cast("double").alias("lat_days"),
+    )
+    return exact_quantiles(j, "lat_days", [0.5, 0.9, 0.99], by=["o_orderpriority"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3597,6 +3677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": events_audience_overlap,
         "customer_rfm": customer_rfm,
         "part_fuzzy_names": part_fuzzy_names,
+        "orders_gini": orders_gini,
+        "part_skyline": part_skyline,
+        "events_pop": events_pop,
+        "events_stream_cusum": events_stream_cusum,
+        "orders_ship_latency": orders_ship_latency,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -6503,6 +6588,99 @@ def oracle_sql() -> dict[str, str]:
          AND right(lower(trim(a.nm)), 4) = right(lower(trim(b.nm)), 4)
          AND abs(length(lower(trim(a.nm))) - length(lower(trim(b.nm)))) <= 2
          AND levenshtein(lower(trim(a.nm)), lower(trim(b.nm))) <= 2"""
+    sql["orders_gini"] = """
+        WITH x AS (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice*100 + 0.5) AS DECIMAL(38,0)) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY floor(o_totalprice*100 + 0.5)) AS r
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), s AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(c) AS sx, SUM(CAST(r AS DECIMAL(38,0)) * c) AS srx
+          FROM x GROUP BY 1
+        )
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               CAST(sx AS BIGINT) AS total_cents,
+               CASE WHEN sx > 0 THEN
+                 CAST(CAST((2*srx - (n + 1)*sx) * 10000 AS HUGEINT)
+                      // CAST(n * sx AS HUGEINT) AS BIGINT)
+               END AS gini_bp
+        FROM s"""
+    sql["part_skyline"] = """
+        WITH s AS (
+          SELECT p_brand, p_retailprice, p_size, p_partkey,
+                 MAX(p_size) OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+          FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        )
+        SELECT p_brand, p_retailprice, p_size, p_partkey
+        FROM s WHERE best IS NULL OR p_size > best"""
+    sql["events_pop"] = """
+        WITH r AS (
+          SELECT event_type,
+                 epoch_ns(ts)
+                   - ((epoch_ns(ts) % 604800000000000) + 604800000000000)
+                     % 604800000000000 AS bucket_ns,
+                 CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cur_cents
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), l AS (
+          SELECT event_type, bucket_ns, cur_cents,
+                 LAG(cur_cents) OVER (
+                   PARTITION BY event_type ORDER BY bucket_ns) AS pv,
+                 LAG(bucket_ns) OVER (
+                   PARTITION BY event_type ORDER BY bucket_ns) AS pb
+          FROM r
+        )
+        SELECT event_type, bucket_ns, cur_cents,
+               CASE WHEN pb = bucket_ns - 604800000000000 THEN pv END
+                 AS prev_cents,
+               cur_cents - CASE WHEN pb = bucket_ns - 604800000000000 THEN pv END
+                 AS delta_cents,
+               CASE WHEN pb = bucket_ns - 604800000000000
+                         AND pv IS NOT NULL AND pv <> 0
+                    THEN CAST((cur_cents - pv) * 10000 // pv AS BIGINT)
+               END AS pct_change_bp
+        FROM l"""
+    sql["events_stream_cusum"] = """
+        WITH v AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                 CASE WHEN value IS NULL THEN 0
+                      ELSE CAST(floor(value*100 + 0.5) AS BIGINT) - 5000 END AS d
+          FROM events
+        ), c AS (
+          SELECT user_id, event_id, tns,
+                 SUM(d) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM v
+        ), m AS (
+          SELECT user_id, event_id, cum,
+                 MIN(LEAST(cum, 0)) OVER (
+                   PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS UNBOUNDED PRECEDING) AS mn
+          FROM c
+        )
+        SELECT user_id, event_id,
+               CAST(cum - mn AS BIGINT) AS cusum_cents,
+               (cum - mn) > 50000 AS alarm
+        FROM m"""
+    sql["orders_ship_latency"] = """
+        SELECT o.o_orderpriority, COUNT(lat) AS n,
+               quantile_cont(lat, 0.5) AS p50,
+               quantile_cont(lat, 0.9) AS p90,
+               quantile_cont(lat, 0.99) AS p99
+        FROM (
+          SELECT l_orderkey,
+                 CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                      AS DOUBLE) AS lat,
+                 o_orderpriority
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ) o
+        GROUP BY 1"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

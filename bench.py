@@ -254,6 +254,11 @@ BENCH_QUERIES = [
     "events_audience_overlap",
     "customer_rfm",
     "part_fuzzy_names",
+    "orders_gini",
+    "part_skyline",
+    "events_pop",
+    "events_stream_cusum",
+    "orders_ship_latency",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

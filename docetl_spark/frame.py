@@ -1220,6 +1220,43 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def gini(self, value_col: str, *, by: list[str] | None = None,
+             **kw) -> "SemanticFrame":
+        """Exact Gini concentration in basis points — see
+        functions/stats.gini_bp."""
+        from .functions import stats
+
+        return self._next(
+            stats.gini_bp(self.df, value_col, by=by, **kw),
+            "gini", value_col=value_col, by=by, **kw,
+        )
+
+    def skyline(self, x_col: str, y_col: str, *, by: list[str] | None = None,
+                **kw) -> "SemanticFrame":
+        """Per-group 2-D Pareto frontier (sort-scan window) — see
+        functions/stats.skyline_2d."""
+        from .functions import stats
+
+        return self._next(
+            stats.skyline_2d(self.df, x_col, y_col, by=by, **kw),
+            "skyline", x_col=x_col, y_col=y_col, by=by, **kw,
+        )
+
+    def period_over_period(self, ts_col: str, value_col: str, *,
+                           width_ns: int, by: list[str] | None = None,
+                           **kw) -> "SemanticFrame":
+        """Period-over-period fixed-point comparison with adjacency-
+        guarded previous period — see
+        functions/timeseries.period_over_period."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.period_over_period(self.df, ts_col, value_col,
+                                   width_ns=width_ns, by=by, **kw),
+            "period_over_period", ts_col=ts_col, value_col=value_col,
+            width_ns=width_ns, by=by, **kw,
+        )
+
     def basket_pairs(self, basket_col: str, item_col: str, **kw) -> "SemanticFrame":
         """Market-basket pair mining (support/confidence/lift in exact
         integer fixed point) — see functions/stats.basket_pairs."""

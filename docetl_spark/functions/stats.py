@@ -1104,3 +1104,109 @@ def rfm_segments(
                  F.lit("F"), F.col("f_score").cast("string"),
                  F.lit("M"), F.col("m_score").cast("string")),
     )
+
+
+def gini_bp(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact Gini concentration coefficient per group, in basis points:
+    G = (2*Σ(i*x_i) - (n+1)*Σx) DIV (n*Σx) over ascending-ranked
+    fixed-point values — the inequality/concentration screen behind
+    revenue-concentration and fairness dashboards, with zero doubles
+    anywhere near the figure.
+
+    Values must be non-negative (Gini is undefined below zero) — a
+    negative value raises loudly. NULLs drop. Groups with zero total
+    (all zeros) emit NULL gini_bp; ties rank by value order (the
+    standard ranked-sum estimator).
+
+    Output: ``by`` + ``n`` + ``total_cents`` + ``gini_bp``.
+
+    Plan: ONE shuffle on the group key — the ascending rank window and
+    the three-sum aggregation both ride it. The per-group sort is the
+    exact-order-statistic bound shared with exact_quantiles.
+    """
+    reserved = {"n", "total_cents", "gini_bp", "_gi_x", "_gi_r"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"gini_bp reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    cents = to_cents(value_col, scale)
+    x = F.when(
+        cents < 0,
+        F.raise_error(F.lit("gini_bp: negative values are undefined for Gini")),
+    ).otherwise(cents).cast("decimal(38,0)")
+    w = W.partitionBy(*part).orderBy(F.col("_gi_x").asc())
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*(by or []), x.alias("_gi_x"))
+        .withColumn("_gi_r", F.row_number().over(w).cast("decimal(38,0)"))
+    )
+    sums = ranked.groupBy(*(by or [])).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_gi_x").alias("_sx"),
+        F.sum(F.col("_gi_r") * F.col("_gi_x")).alias("_srx"),
+    )
+    return sums.select(
+        *(by or []),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("total_cents"),
+        F.when(
+            F.col("_sx") > 0,
+            F.expr("CAST((2*_srx - (_n + 1)*_sx) * 10000 DIV (_n * _sx) AS BIGINT)"),
+        ).alias("gini_bp"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: list[str] | None = None,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group 2-D skyline (Pareto frontier): rows not dominated by
+    any other row — dominated means the other row is at least as good
+    on both axes and strictly better on one. Directions default to
+    minimize x / maximize y; flip with the flags. Exact duplicates on
+    both axes keep only their first occurrence (strict skyline).
+    NULL x or y rows drop (no dominance order for NULL).
+
+    Output: the input rows that survive, all columns preserved. When
+    duplicate (x, y) points exist with different payload columns, pass
+    ``tiebreak`` to pin WHICH duplicate survives (otherwise the survivor
+    among exact ties is partition-order dependent).
+
+    Plan: the classic sort-scan as ONE window — order by (x best-first,
+    y best-first); a row survives iff its y strictly beats the running
+    best y over all preceding rows. One shuffle on the group key, no
+    self-join, no n² dominance test.
+    """
+    reserved = {"_sk_best"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"skyline_2d reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    xo = F.col(x_col).asc() if minimize_x else F.col(x_col).desc()
+    yo = F.col(y_col).desc() if maximize_y else F.col(y_col).asc()
+    order = [xo, yo] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = W.partitionBy(*part).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    best_prev = (F.max(F.col(y_col)) if maximize_y else F.min(F.col(y_col))).over(w)
+    staged = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("_sk_best", best_prev)  # window must materialize first —
+        # a window expression is illegal directly inside a WHERE clause
+    )
+    keep = (
+        F.col("_sk_best").isNull()
+        | ((F.col(y_col) > F.col("_sk_best")) if maximize_y
+           else (F.col(y_col) < F.col("_sk_best")))
+    )
+    return staged.filter(keep).drop("_sk_best")

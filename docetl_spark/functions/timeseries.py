@@ -2216,3 +2216,67 @@ def changepoint_cusum(
         milli.alias("cusum_milli"),
         (s > F.col("_cp_n") * F.lit(thr_cents)).alias("alarm"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    width_ns: int,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Period-over-period comparison: per (group, time bucket), the
+    fixed-point sum vs the IMMEDIATELY PRECEDING period — delta and
+    exact basis-point change. A missing previous period yields NULL
+    change (not a comparison against the last period that happened to
+    have data — the LAG guard checks bucket adjacency explicitly).
+
+    Output: ``by`` + ``bucket_ns`` (inclusive lower edge) + ``cur_cents``
+    + ``prev_cents`` (NULL when the previous period is empty/absent) +
+    ``delta_cents`` + ``pct_change_bp`` ((cur-prev)*10000 DIV prev;
+    NULL when prev is NULL or zero — structural CASE guard).
+
+    Plan: ONE map-side-combinable groupBy on (by, bucket) — partial
+    aggregation collapses rows before the shuffle — then a LAG window
+    over the (already bucket-sized) rollup riding the same key. Bucket
+    floor is the repo's exact (t - pmod(t, w)) idiom (correct for
+    pre-epoch timestamps).
+    """
+    if width_ns <= 0:
+        raise ValueError("width_ns must be positive")
+    reserved = {"bucket_ns", "cur_cents", "prev_cents", "delta_cents",
+                "pct_change_bp", "_pp_b", "_pp_prev", "_pp_prevb"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"period_over_period reserves column names {clash}")
+    from .stats import to_cents
+
+    t = F.col(ts_col).cast("long")
+    w = int(width_ns)
+    bucket = (t - F.pmod(t, F.lit(w)))
+    rolled = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*(by or []), bucket.alias("bucket_ns"))
+        .agg(F.sum(to_cents(value_col, scale)).alias("cur_cents"))
+    )
+    word = W.partitionBy(*[F.col(c) for c in (by or [])]).orderBy(F.col("bucket_ns").asc())
+    out = rolled.withColumn("_pp_prev", F.lag("cur_cents").over(word)).withColumn(
+        "_pp_prevb", F.lag("bucket_ns").over(word)
+    )
+    prev = F.when(F.col("_pp_prevb") == F.col("bucket_ns") - w, F.col("_pp_prev"))
+    return out.select(
+        *(by or []),
+        "bucket_ns",
+        "cur_cents",
+        prev.alias("prev_cents"),
+        (F.col("cur_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("cur_cents") - prev) * 10000
+        ).alias("_num"),
+    ).withColumn(
+        "pct_change_bp",
+        F.expr("CASE WHEN _num IS NULL THEN NULL ELSE _num DIV prev_cents END"),
+    ).drop("_num")

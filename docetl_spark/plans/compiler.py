@@ -318,6 +318,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "gini":
+        return sf.gini(c.pop("value_col"), **c)
+    if t == "skyline":
+        return sf.skyline(c.pop("x_col"), c.pop("y_col"), **c)
+    if t == "period_over_period":
+        return sf.period_over_period(c.pop("ts_col"), c.pop("value_col"),
+                                     width_ns=c.pop("width_ns"), **c)
     if t == "basket_pairs":
         return sf.basket_pairs(c.pop("basket_col"), c.pop("item_col"), **c)
     if t == "audience_overlap":

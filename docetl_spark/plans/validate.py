@@ -46,7 +46,8 @@ _KNOWN_OPS = {
     "weighted_quantiles", "trend_fit", "benford_profile",
     "interval_union", "session_paths", "autocorr_lag", "null_runs",
     "changepoint_cusum", "basket_pairs", "audience_overlap",
-    "rfm_segments", "edit_distance_pairs",
+    "rfm_segments", "edit_distance_pairs", "gini", "skyline",
+    "period_over_period",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -242,6 +243,9 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "audience_overlap": ("entity_col", "group_col"),
         "rfm_segments": ("keys", "ts_col", "amount_col"),
         "edit_distance_pairs": ("id_col", "text_col"),
+        "gini": ("value_col",),
+        "skyline": ("x_col", "y_col"),
+        "period_over_period": ("ts_col", "value_col", "width_ns"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

@@ -786,3 +786,68 @@ def funnel_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stateful(
+    events: DataFrame,
+    *,
+    ref_value: float,
+    threshold: float,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Real-time one-sided CUSUM per key via applyInPandasWithState —
+    the streaming counterpart of timeseries.changepoint_cusum with one
+    honest difference: an online detector cannot know the key's future
+    mean, so the reference level is a FIXED ``ref_value`` (the
+    textbook deployment: target/baseline known a priori). State per
+    key is the single integer statistic s (O(1) regardless of
+    history); each micro-batch folds its rows in (ts, id) order with
+    s = max(0, s + (cents - ref_cents)) — the recursion directly,
+    since a stream IS sequential — and emits (key, id, cusum_cents,
+    alarm). Cents rounding is the identical floor(v*scale + 0.5) the
+    batch side uses, so an in-order drain replays the batch closed
+    form with the same fixed reference bit-for-bit.
+    """
+    import math
+
+    out_schema = T.StructType([
+        T.StructField(user_col, events.schema[user_col].dataType),
+        T.StructField(id_col, events.schema[id_col].dataType),
+        T.StructField("cusum_cents", T.LongType()),
+        T.StructField("alarm", T.BooleanType()),
+    ])
+    ref_cents = int(math.floor(float(ref_value) * scale + 0.5))
+    thr_cents = int(math.floor(float(threshold) * scale + 0.5))
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0
+        ids, stats = [], []
+        for _ts, eid, v in _rows_in_event_order(pdfs, (ts_col, id_col, value_col)):
+            if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                s = max(0, s + (int(math.floor(float(v) * scale + 0.5)) - ref_cents))
+            # NULL value: the statistic holds (zero deviation), but the
+            # row still emits its current level, like the batch op
+            ids.append(eid)
+            stats.append(s)
+        state.update((s,))
+        if ids:
+            yield pd.DataFrame({
+                user_col: [key[0]] * len(ids),
+                id_col: ids,
+                "cusum_cents": stats,
+                "alarm": [x > thr_cents for x in stats],
+            })
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="s LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

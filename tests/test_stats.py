@@ -262,3 +262,48 @@ def test_rfm_segments_scores(spark):
         assert out[c]["r_score"] == c and out[c]["f_score"] == c and out[c]["m_score"] == c
         assert out[c]["segment"] == f"R{c}F{c}M{c}"
         assert out[c]["monetary_cents"] == c * c * 100
+
+
+def test_gini_bp_known_values(spark):
+    from docetl_spark.functions.stats import gini_bp
+
+    # perfect equality -> 0; [0,0,0,10] -> G = (2*40 - 5*10)/(4*10) = 0.75
+    rows = [("eq", 5.0)] * 4 + [("uneq", 0.0)] * 3 + [("uneq", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in gini_bp(df, "v", by=["g"]).collect()}
+    assert out["eq"]["gini_bp"] == 0
+    assert out["uneq"]["gini_bp"] == 7500
+    assert out["uneq"]["total_cents"] == 1000
+
+
+def test_gini_bp_zero_total_and_negative(spark):
+    from docetl_spark.functions.stats import gini_bp
+
+    zeros = spark.createDataFrame([("z", 0.0), ("z", 0.0)], "g string, v double")
+    assert gini_bp(zeros, "v", by=["g"]).collect()[0]["gini_bp"] is None
+    neg = spark.createDataFrame([("n", -1.0)], "g string, v double")
+    with pytest.raises(Exception, match="negative values"):
+        gini_bp(neg, "v", by=["g"]).collect()
+
+
+def test_skyline_2d_dominance(spark):
+    from docetl_spark.functions.stats import skyline_2d
+
+    # minimize x, maximize y: (1,5) and (3,8) survive; (2,4) dominated by
+    # (1,5); (3,8) duplicate keeps only the first by tiebreak
+    rows = [("g", 1, 5, 1), ("g", 2, 4, 2), ("g", 3, 8, 3), ("g", 3, 8, 4)]
+    df = spark.createDataFrame(rows, "g string, x int, y int, id int")
+    got = {(r["x"], r["y"], r["id"]) for r in
+           skyline_2d(df, "x", "y", by=["g"], tiebreak=["id"]).collect()}
+    assert got == {(1, 5, 1), (3, 8, 3)}
+
+
+def test_skyline_2d_direction_flags(spark):
+    from docetl_spark.functions.stats import skyline_2d
+
+    rows = [(1, 5), (2, 4), (3, 8)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    # maximize x, minimize y: (3,8) in; (2,4) in (better y); (1,5) dominated by (2,4)
+    got = {(r["x"], r["y"]) for r in
+           skyline_2d(df, "x", "y", minimize_x=False, maximize_y=False).collect()}
+    assert got == {(3, 8), (2, 4)}

@@ -848,3 +848,28 @@ def test_changepoint_cusum_matches_recursion(spark):
     for t, c in enumerate(cents):
         s = max(0, s + (c * n - sx))
         assert got[t] == (s * 1000) // (n * 100), f"t={t}"
+
+
+def test_period_over_period_adjacency_guard(spark):
+    from docetl_spark.functions.timeseries import period_over_period
+
+    W = 100
+    rows = [("a", 10, 1.0), ("a", 110, 3.0),            # adjacent buckets
+            ("a", 350, 5.0)]                            # gap: bucket 300, prev 200 empty
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = {r["bucket_ns"]: r for r in
+           period_over_period(df, "ts", "v", width_ns=W, by=["g"]).collect()}
+    assert out[0]["prev_cents"] is None
+    assert out[100]["prev_cents"] == 100 and out[100]["delta_cents"] == 200
+    assert out[100]["pct_change_bp"] == 20000
+    assert out[300]["prev_cents"] is None and out[300]["pct_change_bp"] is None
+
+
+def test_period_over_period_zero_prev(spark):
+    from docetl_spark.functions.timeseries import period_over_period
+
+    rows = [("a", 10, 0.0), ("a", 110, 3.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    r = {x["bucket_ns"]: x for x in
+         period_over_period(df, "ts", "v", width_ns=100, by=["g"]).collect()}
+    assert r[100]["prev_cents"] == 0 and r[100]["pct_change_bp"] is None
