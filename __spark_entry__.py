@@ -3482,6 +3482,41 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(j, "lat_days", [0.5, 0.9, 0.99], by=["o_orderpriority"])
 
 
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags (stats.seasonal_outliers):
+    exact-z outliers per (event_type, dow, hod) cell — 'high for 3am
+    Sunday', not 'high'; dow/hod via the integer floor-division idiom,
+    flag via the cross-multiplied decimal comparison."""
+    from docetl_spark.functions.stats import seasonal_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    return seasonal_outliers(ev, "value", "ts", by=["event_type"])
+
+
+def docs_blocker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level blocker evaluation (stats.pair_metrics): a cheap
+    32-char-prefix blocker's predicted duplicate pairs scored against
+    exact-duplicate truth (identical normalized text) — TP/FP/FN and
+    integer precision/recall/F1 bp, full-data (the reference judges
+    blocking rules on sampled counts; this is the distributed version)."""
+    from docetl_spark.functions.stats import pair_metrics
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pred = a.join(
+        b,
+        (F.expr("substring(a.t, 1, 32)") == F.expr("substring(b.t, 1, 32)"))
+        & (F.expr("a.doc_id") < F.expr("b.doc_id")),
+    ).select(F.expr("a.doc_id").alias("id_a"), F.expr("b.doc_id").alias("id_b"))
+    truth = a.join(
+        b,
+        (F.expr("a.t") == F.expr("b.t")) & (F.expr("a.doc_id") < F.expr("b.doc_id")),
+    ).select(F.expr("a.doc_id").alias("id_a"), F.expr("b.doc_id").alias("id_b"))
+    return pair_metrics(pred, truth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3678,6 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": customer_rfm,
         "part_fuzzy_names": part_fuzzy_names,
         "orders_gini": orders_gini,
+        "events_seasonal_outliers": events_seasonal_outliers,
+        "docs_blocker_metrics": docs_blocker_metrics,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -6681,6 +6718,61 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ) o
         GROUP BY 1"""
+    sql["events_seasonal_outliers"] = """
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) AS ts, event_type, value,
+                 ((((epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000)
+                      + 86400000000000) % 86400000000000)
+                    // 86400000000000) + 3) % 7 + 7) % 7 AS dow,
+                 (((epoch_ns(ts) % 86400000000000) + 86400000000000)
+                    % 86400000000000) // 3600000000000 AS hod,
+                 CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS x
+          FROM events
+        ), m AS (
+          SELECT event_type, dow, hod, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x) AS s, SUM(x * x) AS ss
+          FROM e GROUP BY 1, 2, 3
+        )
+        SELECT e.event_id, e.ts, e.event_type, e.value,
+               CAST(e.dow AS BIGINT) AS dow, CAST(e.hod AS BIGINT) AS hod,
+               CASE WHEN m.n > 1 AND (m.n * m.ss - m.s * m.s) > 0
+                         AND (e.x * m.n - m.s) * (e.x * m.n - m.s) * 10000 * (m.n - 1)
+                             > 90000 * m.n * (m.n * m.ss - m.s * m.s)
+                    THEN true ELSE false END AS is_outlier
+        FROM e JOIN m USING (event_type, dow, hod)"""
+    sql["docs_blocker_metrics"] = """
+        WITH d AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+        ), pred AS (
+          SELECT DISTINCT least(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS pa,
+                 greatest(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS pb
+          FROM d a JOIN d b
+            ON substr(a.t, 1, 32) = substr(b.t, 1, 32) AND a.doc_id < b.doc_id
+        ), tr AS (
+          SELECT DISTINCT least(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS pa,
+                 greatest(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS pb
+          FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id
+        ), j AS (
+          SELECT COALESCE(pred.pa, tr.pa) AS pa,
+                 (pred.pa IS NOT NULL) AS inp, (tr.pa IS NOT NULL) AS intr
+          FROM pred FULL OUTER JOIN tr USING (pa, pb)
+        ), c AS (
+          SELECT CAST(SUM(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+                 CAST(SUM(CASE WHEN intr THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                 CAST(SUM(CASE WHEN inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN inp AND NOT intr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN NOT inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM j
+        )
+        SELECT n_pred, n_true, tp, fp, fn,
+               CASE WHEN n_pred = 0 THEN NULL
+                    ELSE CAST(tp * 10000 // n_pred AS BIGINT) END AS precision_bp,
+               CASE WHEN n_true = 0 THEN NULL
+                    ELSE CAST(tp * 10000 // n_true AS BIGINT) END AS recall_bp,
+               CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+                    ELSE CAST(2 * tp * 10000 // (2*tp + fp + fn) AS BIGINT)
+               END AS f1_bp
+        FROM c"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "events_pop",
     "events_stream_cusum",
     "orders_ship_latency",
+    "events_seasonal_outliers",
+    "docs_blocker_metrics",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -1220,6 +1220,27 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def seasonal_outliers(self, value_col: str, ts_col: str, *,
+                          by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Exact-z outliers per (by, dow, hod) seasonal cell — see
+        functions/stats.seasonal_outliers."""
+        from .functions import stats
+
+        return self._next(
+            stats.seasonal_outliers(self.df, value_col, ts_col, by=by, **kw),
+            "seasonal_outliers", value_col=value_col, ts_col=ts_col, by=by, **kw,
+        )
+
+    def pair_metrics(self, truth: "SemanticFrame | DataFrame", **kw) -> "SemanticFrame":
+        """Score this frame's (id_a, id_b) pairs against labeled truth —
+        see functions/stats.pair_metrics."""
+        from .functions import stats
+
+        t = truth.df if isinstance(truth, SemanticFrame) else truth
+        return self._next(
+            stats.pair_metrics(self.df, t, **kw), "pair_metrics", **kw,
+        )
+
     def gini(self, value_col: str, *, by: list[str] | None = None,
              **kw) -> "SemanticFrame":
         """Exact Gini concentration in basis points — see

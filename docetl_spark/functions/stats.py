@@ -1221,3 +1221,104 @@ def skyline_2d(
            else (F.col(y_col) < F.col("_sk_best")))
     )
     return staged.filter(keep).drop("_sk_best")
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+    z_threshold_centi: int = 300,
+) -> DataFrame:
+    """Seasonality-aware outlier flags: a row is anomalous relative to
+    its (day-of-week x hour-of-day) cell's distribution, not the global
+    one — "high for 3am Sunday" instead of "high" (the time_profile
+    baseline turned into a detector).
+
+    dow/hod derive with the exact epoch-ns floor-division idiom
+    (time_profile's — integer DIV, pre-epoch-safe, session-timezone
+    free); the flag itself is robust_outliers' cross-multiplied exact-z
+    comparison per (by, dow, hod) cell.
+
+    Output: input rows + ``dow`` (0=Monday) + ``hod`` + ``is_outlier``.
+    Cells with n < 2 or zero variance flag nothing.
+
+    Plan: one map-side-combinable moments pass over at most
+    |by|x168 cells, broadcast back — same shape as robust_outliers.
+    """
+    reserved = {"dow", "hod", "is_outlier"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"seasonal_outliers reserves column names {clash}")
+    day = 86_400 * 10**9
+    hour = 3_600 * 10**9
+    staged = df.withColumn(
+        "dow", F.pmod(F.expr(f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {day})) DIV {day}") + F.lit(3), F.lit(7))
+    ).withColumn(
+        "hod", F.expr(f"pmod(CAST({ts_col} AS BIGINT), {day}) DIV {hour}")
+    )
+    return robust_outliers(
+        staged, value_col, by=(by or []) + ["dow", "hod"],
+        scale=scale, z_threshold_centi=z_threshold_centi,
+    )
+
+
+def pair_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pair-level evaluation of a matcher/blocker against labeled truth:
+    TP/FP/FN plus exact integer precision/recall/F1 in basis points —
+    the standard entity-resolution / dedup scorecard (the reference's
+    optimizers judge blocking rules on exactly these sampled counts;
+    this is the distributed, full-data version).
+
+    Pairs are order-normalized (least, greatest) on both sides, so
+    (a,b) and (b,a) count once; duplicate pair rows collapse.
+    F1 = 2*tp / (2*tp + fp + fn), division cleared to integer DIV;
+    empty denominators yield NULL (structural guard).
+
+    Output: ONE row — n_pred, n_true, tp, fp, fn, precision_bp,
+    recall_bp, f1_bp.
+
+    Plan: two distinct-collapses + one null-safe full-outer equi-join on
+    the normalized pair key, then a single scalar aggregation; never
+    materializes the pair universe.
+    """
+    def canon(df):
+        a, b = F.col(id_a).cast("string"), F.col(id_b).cast("string")
+        # a pair with a NULL id is not a pair — drop it (least/greatest
+        # SKIP NULLs, which would silently fold (NULL, b) into (b, b))
+        return (
+            df.filter(a.isNotNull() & b.isNotNull())
+            .select(F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb"))
+            .distinct()
+        )
+
+    p = canon(pred).withColumn("_inp", F.lit(1))
+    t = canon(truth).withColumn("_int", F.lit(1))
+    j = p.join(t, ["_pa", "_pb"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("_inp").isNotNull(), 1).otherwise(0)).alias("n_pred"),
+        F.sum(F.when(F.col("_int").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNotNull(), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNull(), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_inp").isNull() & F.col("_int").isNotNull(), 1)
+              .otherwise(0)).alias("fn"),
+    )
+    return agg.select(
+        "n_pred", "n_true", "tp", "fp", "fn",
+        F.expr("CASE WHEN n_pred = 0 THEN NULL ELSE tp * 10000 DIV n_pred END")
+        .alias("precision_bp"),
+        F.expr("CASE WHEN n_true = 0 THEN NULL ELSE tp * 10000 DIV n_true END")
+        .alias("recall_bp"),
+        F.expr("CASE WHEN 2*tp + fp + fn = 0 THEN NULL "
+               "ELSE 2 * tp * 10000 DIV (2*tp + fp + fn) END").alias("f1_bp"),
+    )

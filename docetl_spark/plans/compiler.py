@@ -318,6 +318,10 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "seasonal_outliers":
+        return sf.seasonal_outliers(c.pop("value_col"), c.pop("ts_col"), **c)
+    if t == "pair_metrics":
+        return sf.pair_metrics(datasets[c.pop("truth")], **c)
     if t == "gini":
         return sf.gini(c.pop("value_col"), **c)
     if t == "skyline":

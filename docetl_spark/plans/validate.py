@@ -47,7 +47,7 @@ _KNOWN_OPS = {
     "interval_union", "session_paths", "autocorr_lag", "null_runs",
     "changepoint_cusum", "basket_pairs", "audience_overlap",
     "rfm_segments", "edit_distance_pairs", "gini", "skyline",
-    "period_over_period",
+    "period_over_period", "seasonal_outliers", "pair_metrics",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -246,6 +246,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "gini": ("value_col",),
         "skyline": ("x_col", "y_col"),
         "period_over_period": ("ts_col", "value_col", "width_ns"),
+        "seasonal_outliers": ("value_col", "ts_col"),
+        "pair_metrics": ("truth",),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

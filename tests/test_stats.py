@@ -307,3 +307,41 @@ def test_skyline_2d_direction_flags(spark):
     got = {(r["x"], r["y"]) for r in
            skyline_2d(df, "x", "y", minimize_x=False, maximize_y=False).collect()}
     assert got == {(3, 8), (2, 4)}
+
+
+def test_seasonal_outliers_flags_cell_relative(spark):
+    from docetl_spark.functions.stats import seasonal_outliers
+
+    HOUR = 3_600 * 10**9
+    # hour-0 cell: mostly 10s with one 100 (outlier IN ITS CELL);
+    # hour-1 cell: all 100s (so 100 is normal there)
+    rows = ([(i, i * 1000, 10.0) for i in range(30)] + [(30, 31_000, 100.0)]
+            + [(40 + i, HOUR + i * 1000, 100.0) for i in range(5)])
+    df = spark.createDataFrame(rows, "event_id long, ts long, v double")
+    out = {r["event_id"]: r for r in seasonal_outliers(df, "v", "ts").collect()}
+    assert out[30]["is_outlier"] is True          # 100 vs 30 tens: z ~ 5.4
+    assert all(not out[40 + i]["is_outlier"] for i in range(5))
+    assert out[30]["hod"] == 0 and out[40]["hod"] == 1
+
+
+def test_pair_metrics_counts(spark):
+    from docetl_spark.functions.stats import pair_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 1), (None, 7)], "id_a int, id_b int")
+    truth = spark.createDataFrame([(2, 1), (3, 4), (8, 9)], "id_a int, id_b int")
+    r = pair_metrics(pred, truth).collect()[0]
+    # pred collapses to {(1,2),(3,4),(5,6)} (reversed dup + NULL dropped)
+    assert r["n_pred"] == 3 and r["n_true"] == 3
+    assert r["tp"] == 2 and r["fp"] == 1 and r["fn"] == 1
+    assert r["precision_bp"] == 6666 and r["recall_bp"] == 6666
+    assert r["f1_bp"] == 2 * 2 * 10000 // (4 + 1 + 1)
+
+
+def test_pair_metrics_empty_sides(spark):
+    from docetl_spark.functions.stats import pair_metrics
+
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    truth = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    r = pair_metrics(empty, truth).collect()[0]
+    assert r["n_pred"] == 0 and r["precision_bp"] is None and r["recall_bp"] == 0
