@@ -77,6 +77,7 @@ PLAN_ONLY = [
     "events_null_runs", "events_cusum", "lineitem_basket_pairs",
     "events_audience_overlap", "customer_rfm", "part_fuzzy_names",
     "orders_gini", "part_skyline", "events_pop", "orders_ship_latency",
+    "events_seasonal_outliers", "docs_blocker_metrics",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
