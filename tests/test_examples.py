@@ -163,3 +163,16 @@ def test_quality_weighted_mix_example(spark):
     gates = {r["constraint_name"]: r["n_violations"]
              for r in spark.table("gate_report").collect()}
     assert gates["has_text"] == 0 and gates["chars_match"] == 0
+
+
+def test_behavior_analytics_example(spark):
+    """Round-9 family end to end: seasonal anomaly flags -> filter ->
+    week-over-week comparison, all through the YAML surface."""
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/behavior_analytics.yaml")
+    rows = out.collect()
+    assert rows and {"event_type", "bucket_ns", "cur_cents",
+                     "prev_cents", "pct_change_bp"} <= set(rows[0])
+    # weekly buckets per type; at least one adjacent-week comparison fires
+    assert any(r["pct_change_bp"] is not None for r in rows)
