@@ -1571,6 +1571,39 @@ class SemanticFrame:
     def to_pandas(self):
         return self.df.toPandas()
 
+    def plan_report(self) -> dict:
+        """Scale-readiness audit of the physical plan, as data — the
+        checklist the repo's plan reviews run by hand (PLANS.md):
+        exchange count (every one is a shuffle), join strategies
+        (CartesianProduct / BroadcastNestedLoopJoin are the forbidden
+        unbounded ones), filter pushdown and column pruning at the
+        scans, and whole-stage-codegen span count (wider = more of the
+        plan stays JVM-compiled). Inspect before shipping a new
+        pipeline to a large cluster; tests/test_plan_shapes.py runs the
+        same checks as regression gates."""
+        import contextlib
+        import io
+        import re
+
+        plan = self.df._jdf.queryExecution().executedPlan().toString()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.df.explain("formatted")
+        formatted = buf.getvalue()
+        return {
+            "exchanges": len(re.findall(r"\bExchange\b", plan)),
+            "forbidden": [
+                b for b in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                if b in plan
+            ],
+            "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
+            "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", formatted),
+            # executedPlan marks codegen stages as `*(n)` prefixes
+            "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        }
+
     def cache(self) -> "SemanticFrame":
         return self._next(self.df.cache(), "cache")
 

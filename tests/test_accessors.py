@@ -187,3 +187,20 @@ def test_near_dup_simhash_and_retrieve_context_verbs(spark):
     got = out.df.collect()
     assert len(got) == 3
     assert all(r["_retrieved_context"].startswith("[doc 1] ") for r in got)
+
+
+def test_plan_report_shape(spark, sf_dir):
+    from docetl_spark import SemanticFrame
+
+    sf = (SemanticFrame.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+          .code_filter("l_quantity > 10"))
+    rep = sf.plan_report()
+    assert rep["forbidden"] == []
+    assert rep["exchanges"] == 0              # pure scan+filter: no shuffle
+    assert rep["codegen_stages"] >= 1
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+
+    # a groupBy adds exactly one exchange
+    agg = sf.df.groupBy("l_returnflag").count()
+    rep2 = SemanticFrame.from_df(agg).plan_report()
+    assert rep2["exchanges"] == 1
