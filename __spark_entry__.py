@@ -3517,6 +3517,42 @@ def docs_blocker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_metrics(pred, truth)
 
 
+def events_cohort_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV table (timeseries.cohort_values): users cohort by
+    first-seen week; per (cohort, age) the period cents and the
+    cohort's cumulative value — first-seen rides the entity shuffle,
+    cumulative window rides the week-sized rollup."""
+    from docetl_spark.functions.timeseries import cohort_values
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_values(ev, entity_col="user_id", ts_col="ts",
+                         value_col="value", width_ns=7 * 86_400 * 10**9)
+
+
+def events_decade_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude histogram (stats.decade_histogram): bucket =
+    digit count of the fixed-point STRING (exact floor(log10)+1, no
+    libm), per event type with integer bp shares."""
+    from docetl_spark.functions.stats import decade_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return decade_histogram(ev, "value", by=["event_type"])
+
+
+def events_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration quantiles: a composition query — sessionize ->
+    per-session duration (exact second arithmetic) -> global EXACT
+    p50/p90/p99 through the scale-safe exact_quantiles path (the
+    distributed rank, never a one-partition global window)."""
+    from docetl_spark.functions.stats import exact_quantiles
+
+    sess = _sessionize_events(spark, sf_dir, None)
+    dur = sess.select(
+        (F.col("end_epoch") - F.col("start_epoch")).cast("double").alias("dur_s")
+    )
+    return exact_quantiles(dur, "dur_s", [0.5, 0.9, 0.99])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3715,6 +3751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gini": orders_gini,
         "events_seasonal_outliers": events_seasonal_outliers,
         "docs_blocker_metrics": docs_blocker_metrics,
+        "events_cohort_values": events_cohort_values,
+        "events_decade_histogram": events_decade_histogram,
+        "events_session_quantiles": events_session_quantiles,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -6773,6 +6812,67 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(2 * tp * 10000 // (2*tp + fp + fn) AS BIGINT)
                END AS f1_bp
         FROM c"""
+    sql["events_cohort_values"] = """
+        WITH b AS (
+          SELECT user_id,
+                 epoch_ns(ts) - ((epoch_ns(ts) % 604800000000000)
+                   + 604800000000000) % 604800000000000 AS bkt,
+                 value
+          FROM events WHERE ts IS NOT NULL
+        ), f AS (
+          SELECT user_id, bkt, value,
+                 MIN(bkt) OVER (PARTITION BY user_id) AS first_b
+          FROM b
+        ), r AS (
+          SELECT first_b AS cohort_ns, (bkt - first_b) // 604800000000000 AS age,
+                 COUNT(DISTINCT user_id) AS n_entities,
+                 SUM(COALESCE(CAST(floor(value*100 + 0.5) AS BIGINT), 0)) AS pc
+          FROM f GROUP BY 1, 2
+        )
+        SELECT cohort_ns, CAST(age AS BIGINT) AS age,
+               CAST(n_entities AS BIGINT) AS n_entities,
+               CAST(pc AS BIGINT) AS period_cents,
+               CAST(SUM(pc) OVER (PARTITION BY cohort_ns ORDER BY age
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM r"""
+    sql["events_decade_histogram"] = """
+        WITH c AS (
+          SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT event_type,
+                 CAST(CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS INT) AS sign,
+                 CAST(CASE WHEN x = 0 THEN 0 ELSE length(CAST(abs(x) AS VARCHAR)) END AS BIGINT) AS decade,
+                 COUNT(*) AS n_rows
+          FROM c GROUP BY 1, 2, 3
+        )
+        SELECT event_type, sign, decade, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_rows * 10000 // SUM(n_rows) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_bp
+        FROM g"""
+    sql["events_session_quantiles"] = """
+        WITH g AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS ns,
+                 epoch_ns(ts) // 1000000000 AS e,
+                 CASE WHEN LAG(epoch_ns(ts) // 1000000000) OVER w IS NULL
+                      OR epoch_ns(ts) // 1000000000
+                         - LAG(epoch_ns(ts) // 1000000000) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, e,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ), d AS (
+          SELECT CAST(MAX(e) - MIN(e) AS DOUBLE) AS dur_s
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT COUNT(dur_s) AS n,
+               quantile_cont(dur_s, 0.5) AS p50,
+               quantile_cont(dur_s, 0.9) AS p90,
+               quantile_cont(dur_s, 0.99) AS p99
+        FROM d"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "orders_ship_latency",
     "events_seasonal_outliers",
     "docs_blocker_metrics",
+    "events_cohort_values",
+    "events_decade_histogram",
+    "events_session_quantiles",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -1220,6 +1220,30 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def cohort_values(self, *, entity_col: str, ts_col: str, value_col: str,
+                      width_ns: int, **kw) -> "SemanticFrame":
+        """Cohort LTV table (first-seen cohorts, cumulative value) — see
+        functions/timeseries.cohort_values."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.cohort_values(self.df, entity_col=entity_col, ts_col=ts_col,
+                              value_col=value_col, width_ns=width_ns, **kw),
+            "cohort_values", entity_col=entity_col, ts_col=ts_col,
+            value_col=value_col, width_ns=width_ns, **kw,
+        )
+
+    def decade_histogram(self, value_col: str, *, by: list[str] | None = None,
+                         **kw) -> "SemanticFrame":
+        """Order-of-magnitude histogram (digit-count buckets) — see
+        functions/stats.decade_histogram."""
+        from .functions import stats
+
+        return self._next(
+            stats.decade_histogram(self.df, value_col, by=by, **kw),
+            "decade_histogram", value_col=value_col, by=by, **kw,
+        )
+
     def seasonal_outliers(self, value_col: str, ts_col: str, *,
                           by: list[str] | None = None, **kw) -> "SemanticFrame":
         """Exact-z outliers per (by, dow, hod) seasonal cell — see

@@ -1322,3 +1322,50 @@ def pair_metrics(
         F.expr("CASE WHEN 2*tp + fp + fn = 0 THEN NULL "
                "ELSE 2 * tp * 10000 DIV (2*tp + fp + fn) END").alias("f1_bp"),
     )
+
+
+def decade_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Order-of-magnitude histogram: values bucket by the DIGIT COUNT of
+    their fixed-point representation — floor(log10)+1 computed exactly
+    as string length, never a log() double whose boundary rounding
+    differs per engine. The "how big are these values" screen for
+    anything spanning decades (latencies, revenues, token counts).
+
+    Output: ``by`` + ``sign`` (-1/0/+1) + ``decade`` (digits of
+    |cents|; 0 for exact zero) + ``n_rows`` + ``share_bp`` (exact
+    integer basis points of the group total). NULLs drop.
+
+    Plan: ONE map-side-combinable groupBy on (by, sign, decade) — at
+    most ~40 cells per group leave each partition — plus the per-group
+    total window on those cells.
+    """
+    reserved = {"sign", "decade", "n_rows", "share_bp", "_dh_tot"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"decade_histogram reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    cents = to_cents(value_col, scale)
+    sign = F.when(cents > 0, 1).when(cents < 0, -1).otherwise(0).cast("int")
+    decade = F.when(
+        cents == 0, F.lit(0)
+    ).otherwise(F.length(F.abs(cents).cast("string"))).cast("long")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*part, sign.alias("sign"), decade.alias("decade"))
+        .groupBy(*part, "sign", "decade")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    wall = W.partitionBy(*part)
+    return (
+        counts.withColumn("_dh_tot", F.sum("n_rows").over(wall))
+        .select(
+            *(by or []), "sign", "decade", "n_rows",
+            F.expr("n_rows * 10000 DIV _dh_tot").alias("share_bp"),
+        )
+    )

@@ -2280,3 +2280,56 @@ def period_over_period(
         "pct_change_bp",
         F.expr("CASE WHEN _num IS NULL THEN NULL ELSE _num DIV prev_cents END"),
     ).drop("_num")
+
+
+def cohort_values(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    width_ns: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Cohort value curves (the LTV table): entities cohort by their
+    FIRST-seen period; per (cohort, age-in-periods), the period's
+    fixed-point value sum and the cohort's cumulative value — exact
+    integer throughout.
+
+    Output: ``cohort_ns`` (the cohort's first-period lower edge) +
+    ``age`` (periods since first seen, 0-based) + ``n_entities``
+    (distinct entities active at this age) + ``period_cents`` +
+    ``cum_cents`` (running total over ages within the cohort).
+
+    Plan: one min-bucket window per entity rides the entity shuffle
+    (first-seen is a per-entity aggregate over the SAME key the events
+    already group by), one (cohort, age) groupBy, then a cumulative
+    window over the (already period-sized) rollup. NULL values count 0
+    toward sums but the entity still counts as active.
+    """
+    if width_ns <= 0:
+        raise ValueError("width_ns must be positive")
+    reserved = {"cohort_ns", "age", "n_entities", "period_cents", "cum_cents",
+                "_cv_b", "_cv_first"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"cohort_values reserves column names {clash}")
+    from .stats import to_cents
+
+    w = int(width_ns)
+    t = F.col(ts_col).cast("long")
+    bucket = (t - F.pmod(t, F.lit(w)))
+    staged = df.filter(F.col(ts_col).isNotNull()).withColumn("_cv_b", bucket)
+    went = W.partitionBy(entity_col)
+    staged = staged.withColumn("_cv_first", F.min("_cv_b").over(went))
+    rolled = staged.groupBy(
+        F.col("_cv_first").alias("cohort_ns"),
+        F.expr(f"(_cv_b - _cv_first) DIV {w}").alias("age"),
+    ).agg(
+        F.count_distinct(F.col(entity_col)).alias("n_entities"),
+        F.sum(F.coalesce(to_cents(value_col, scale), F.lit(0))).alias("period_cents"),
+    )
+    wcum = W.partitionBy("cohort_ns").orderBy(F.col("age").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return rolled.withColumn("cum_cents", F.sum("period_cents").over(wcum))

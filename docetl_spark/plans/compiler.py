@@ -318,6 +318,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "cohort_values":
+        return sf.cohort_values(entity_col=c.pop("entity_col"), ts_col=c.pop("ts_col"),
+                                value_col=c.pop("value_col"), width_ns=c.pop("width_ns"), **c)
+    if t == "decade_histogram":
+        return sf.decade_histogram(c.pop("value_col"), **c)
     if t == "seasonal_outliers":
         return sf.seasonal_outliers(c.pop("value_col"), c.pop("ts_col"), **c)
     if t == "pair_metrics":

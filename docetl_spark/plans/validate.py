@@ -48,6 +48,7 @@ _KNOWN_OPS = {
     "changepoint_cusum", "basket_pairs", "audience_overlap",
     "rfm_segments", "edit_distance_pairs", "gini", "skyline",
     "period_over_period", "seasonal_outliers", "pair_metrics",
+    "cohort_values", "decade_histogram",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -248,6 +249,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "period_over_period": ("ts_col", "value_col", "width_ns"),
         "seasonal_outliers": ("value_col", "ts_col"),
         "pair_metrics": ("truth",),
+        "cohort_values": ("entity_col", "ts_col", "value_col", "width_ns"),
+        "decade_histogram": ("value_col",),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

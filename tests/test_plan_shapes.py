@@ -78,6 +78,8 @@ PLAN_ONLY = [
     "events_audience_overlap", "customer_rfm", "part_fuzzy_names",
     "orders_gini", "part_skyline", "events_pop", "orders_ship_latency",
     "events_seasonal_outliers", "docs_blocker_metrics",
+    "events_cohort_values", "events_decade_histogram",
+    "events_session_quantiles",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

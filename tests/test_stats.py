@@ -345,3 +345,14 @@ def test_pair_metrics_empty_sides(spark):
     truth = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
     r = pair_metrics(empty, truth).collect()[0]
     assert r["n_pred"] == 0 and r["precision_bp"] is None and r["recall_bp"] == 0
+
+
+def test_decade_histogram_buckets(spark):
+    from docetl_spark.functions.stats import decade_histogram
+
+    rows = [(0.05,), (0.5,), (5.0,), (50.0,), (-5.0,), (0.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {(r["sign"], r["decade"]): r["n_rows"] for r in
+           decade_histogram(df, "v").collect()}
+    # cents: 5, 50, 500, 5000, -500, 0 -> decades 1,2,3,4 / (-1,3) / (0,0)
+    assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 1, (-1, 3): 1, (0, 0): 1}

@@ -873,3 +873,30 @@ def test_period_over_period_zero_prev(spark):
     r = {x["bucket_ns"]: x for x in
          period_over_period(df, "ts", "v", width_ns=100, by=["g"]).collect()}
     assert r[100]["prev_cents"] == 0 and r[100]["pct_change_bp"] is None
+
+
+def test_cohort_values_ltv_curve(spark):
+    from docetl_spark.functions.timeseries import cohort_values
+
+    W = 100
+    rows = [  # user 1 first seen period 0, active 0 and 2; user 2 first seen period 1
+        (1, 10, 1.0), (1, 50, 2.0), (1, 210, 4.0),
+        (2, 110, 10.0), (2, 150, None),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, v double")
+    out = {(r["cohort_ns"], r["age"]): r for r in
+           cohort_values(df, entity_col="u", ts_col="ts", value_col="v",
+                         width_ns=W).collect()}
+    assert out[(0, 0)]["period_cents"] == 300 and out[(0, 0)]["n_entities"] == 1
+    assert (0, 1) not in out                      # inactive age rows absent
+    assert out[(0, 2)]["period_cents"] == 400 and out[(0, 2)]["cum_cents"] == 700
+    assert out[(100, 0)]["period_cents"] == 1000  # NULL value counts 0
+    assert out[(100, 0)]["n_entities"] == 1
+
+
+def test_cohort_values_validates(spark):
+    from docetl_spark.functions.timeseries import cohort_values
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "u long, ts long, v double")
+    with pytest.raises(ValueError, match="positive"):
+        cohort_values(df, entity_col="u", ts_col="ts", value_col="v", width_ns=0)
