@@ -853,7 +853,17 @@ def trend_fit(
     rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     minx = rows.groupBy(*part).agg(F.min(F.col(x_col).cast("long")).alias("_tf_minx"))
     if part:
-        j = rows.join(minx, on=part, how="inner")
+        # null-safe group join — a NULL group key is a real group in the
+        # min pass; a bare equi-join would silently drop its rows (house
+        # rule: EVERY group/key join is eqNullSafe unless argued otherwise)
+        mj = minx.select(
+            *[F.col(c).alias(f"_tfg_{c}") for c in part], "_tf_minx"
+        )
+        cond = None
+        for c in part:
+            e = F.col(c).eqNullSafe(F.col(f"_tfg_{c}"))
+            cond = e if cond is None else cond & e
+        j = rows.join(F.broadcast(mj), cond).drop(*[f"_tfg_{c}" for c in part])
     else:
         j = broadcast_scalar_join(rows, minx, df_col=x_col, scalar_col="_tf_minx")
     x = F.expr(f"(CAST({x_col} AS BIGINT) - _tf_minx) DIV {int(x_unit)}").cast("decimal(38,0)")

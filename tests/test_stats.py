@@ -356,3 +356,14 @@ def test_decade_histogram_buckets(spark):
            decade_histogram(df, "v").collect()}
     # cents: 5, 50, 500, 5000, -500, 0 -> decades 1,2,3,4 / (-1,3) / (0,0)
     assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 1, (-1, 3): 1, (0, 0): 1}
+
+
+def test_trend_fit_null_group_key_survives(spark):
+    from docetl_spark.functions.stats import trend_fit
+
+    rows = [(None, 0, 0.0), (None, 10**9, 0.02), ("a", 0, 1.0), ("a", 10**9, 1.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = {r["g"]: r for r in trend_fit(df, "ts", "v", by=["g"]).collect()}
+    assert None in out and out[None]["n"] == 2
+    assert out[None]["slope_micro"] == 2_000_000
+    assert out["a"]["slope_micro"] == 0  # flat y over varying x: slope exactly 0
