@@ -1313,15 +1313,17 @@ def pair_metrics(
     p = canon(pred).withColumn("_inp", F.lit(1))
     t = canon(truth).withColumn("_int", F.lit(1))
     j = p.join(t, ["_pa", "_pb"], "full_outer")
+    # coalesce: an empty pred AND truth must score as zeros, not as the
+    # all-NULL row a global aggregate over zero rows emits
     agg = j.agg(
-        F.sum(F.when(F.col("_inp").isNotNull(), 1).otherwise(0)).alias("n_pred"),
-        F.sum(F.when(F.col("_int").isNotNull(), 1).otherwise(0)).alias("n_true"),
-        F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNotNull(), 1)
-              .otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNull(), 1)
-              .otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("_inp").isNull() & F.col("_int").isNotNull(), 1)
-              .otherwise(0)).alias("fn"),
+        F.coalesce(F.sum(F.when(F.col("_inp").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum(F.when(F.col("_int").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNotNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_inp").isNotNull() & F.col("_int").isNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_inp").isNull() & F.col("_int").isNotNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("fn"),
     )
     return agg.select(
         "n_pred", "n_true", "tp", "fp", "fn",

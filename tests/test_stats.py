@@ -367,3 +367,12 @@ def test_trend_fit_null_group_key_survives(spark):
     assert None in out and out[None]["n"] == 2
     assert out[None]["slope_micro"] == 2_000_000
     assert out["a"]["slope_micro"] == 0  # flat y over varying x: slope exactly 0
+
+
+def test_pair_metrics_both_empty_scores_zero(spark):
+    from docetl_spark.functions.stats import pair_metrics
+
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    r = pair_metrics(empty, empty).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"], r["fp"], r["fn"]) == (0, 0, 0, 0, 0)
+    assert r["precision_bp"] is None and r["f1_bp"] is None
