@@ -509,9 +509,14 @@ class Pipeline:
         if not cfg["pipeline"]["output"].get("path"):
             cfg["pipeline"].pop("output")
         # memory datasets: reference from_list stores the rows in `path`
-        for ds in cfg["datasets"].values():
+        for name, ds in cfg["datasets"].items():
             if ds.get("type") == "memory" and "data" not in ds:
-                ds["data"] = ds.pop("path")
+                rows = ds.pop("path", None)
+                if rows is None:
+                    raise ValueError(
+                        f"memory dataset {name!r} has neither `data` nor `path` rows"
+                    )
+                ds["data"] = rows
         if self.default_model:
             for op in cfg["operations"]:
                 op.setdefault("model", self.default_model)
