@@ -3553,6 +3553,21 @@ def events_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(dur, "dur_s", [0.5, 0.9, 0.99])
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment scorecard (stats.ab_test_summary):
+    per-user purchase conversion across a derived variant split, pooled
+    z² in its cleared-fraction integer form — the significance decision
+    is a cross-multiplied comparison, bit-replayable in any engine."""
+    from docetl_spark.functions.stats import ab_test_summary
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_test_summary(ev, "variant", "converted", entity_col="user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3754,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_values": events_cohort_values,
         "events_decade_histogram": events_decade_histogram,
         "events_session_quantiles": events_session_quantiles,
+        "events_ab_test": events_ab_test,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -6873,6 +6889,38 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur_s, 0.9) AS p90,
                quantile_cont(dur_s, 0.99) AS p99
         FROM d"""
+    sql["events_ab_test"] = """
+        WITH pe AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+                 user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+          FROM events GROUP BY 1, 2
+        ), cnt AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS c
+          FROM pe GROUP BY 1
+        ), g AS (
+          SELECT a.v AS variant_a, a.n AS n_a, a.c AS c_a,
+                 b.v AS variant_b, b.n AS n_b, b.c AS c_b
+          FROM cnt a JOIN cnt b ON a.v < b.v
+        ), z AS (
+          SELECT *,
+                 (CAST(c_a AS HUGEINT)*n_b - CAST(c_b AS HUGEINT)*n_a) AS d,
+                 CAST(n_a AS HUGEINT) + n_b AS n,
+                 CAST(c_a AS HUGEINT) + c_b AS c
+          FROM g
+        )
+        SELECT variant_a, variant_b, n_a, c_a,
+               CAST(c_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+               n_b, c_b,
+               CAST(c_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+               CAST(c_a * 10000 // n_a - c_b * 10000 // n_b AS BIGINT) AS diff_bp,
+               CASE WHEN CAST(n_a AS HUGEINT)*n_b*c*(n - c) > 0 THEN
+                 CAST(d*d*n*1000 // (CAST(n_a AS HUGEINT)*n_b*c*(n - c)) AS BIGINT)
+               END AS z2_milli,
+               CASE WHEN CAST(n_a AS HUGEINT)*n_b*c*(n - c) > 0 THEN
+                 d*d*n*1000 > 3841 * CAST(n_a AS HUGEINT)*n_b*c*(n - c)
+               END AS significant
+        FROM z"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

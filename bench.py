@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "events_cohort_values",
     "events_decade_histogram",
     "events_session_quantiles",
+    "events_ab_test",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -1220,6 +1220,16 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def ab_test_summary(self, variant_col: str, success_col: str, **kw) -> "SemanticFrame":
+        """Exact-integer two-proportion experiment scorecard — see
+        functions/stats.ab_test_summary."""
+        from .functions import stats
+
+        return self._next(
+            stats.ab_test_summary(self.df, variant_col, success_col, **kw),
+            "ab_test_summary", variant_col=variant_col, success_col=success_col, **kw,
+        )
+
     def cohort_values(self, *, entity_col: str, ts_col: str, value_col: str,
                       width_ns: int, **kw) -> "SemanticFrame":
         """Cohort LTV table (first-seen cohorts, cumulative value) — see

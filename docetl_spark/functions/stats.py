@@ -1381,3 +1381,77 @@ def decade_histogram(
             F.expr("n_rows * 10000 DIV _dh_tot").alias("share_bp"),
         )
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    *,
+    entity_col: str | None = None,
+    z2_milli_threshold: int = 3841,
+) -> DataFrame:
+    """Two-proportion A/B comparison in EXACT integer math — the
+    experiment scorecard with the significance decision replayable
+    bit-for-bit (a double z-test flips near the threshold across
+    engines).
+
+    Each variant's conversion rate comes from DISTINCT entities when
+    ``entity_col`` is given (a user converting twice counts once),
+    else from rows. For every variant pair (a < b), the pooled
+    two-proportion z² statistic in its cleared-fraction form::
+
+        z² = (c_a*n_b - c_b*n_a)² * n  /  (n_a * n_b * c * (n - c))
+
+    with n = n_a+n_b, c = c_a+c_b — every quantity an integer, the
+    significance cut the cross-multiplied comparison
+    ``num * 1000 > threshold * den`` (default 3841 ≈ 1000*z²₀.₀₅).
+
+    Output: ``variant_a``/``variant_b`` + per-side n/c/rate_bp +
+    ``diff_bp`` (rate_a - rate_b) + ``z2_milli`` (exact integer DIV;
+    NULL when a side is empty or the pooled rate is degenerate 0/100%)
+    + ``significant`` (boolean, NULL-honest with the same guard).
+
+    Plan: one (entity-collapse +) per-variant aggregation, then the
+    variant-pair grid via the non-foldable-constant BroadcastHashJoin
+    idiom — variants are by definition few; nothing driver-side.
+    """
+    base = df.filter(F.col(variant_col).isNotNull())
+    succ = F.when(F.col(success_col).cast("boolean"), 1).otherwise(0)
+    if entity_col is not None:
+        per_ent = base.groupBy(
+            F.col(variant_col).alias("_v"), F.col(entity_col).alias("_e")
+        ).agg(F.max(succ).alias("_s"))
+    else:
+        per_ent = base.select(F.col(variant_col).alias("_v"), succ.alias("_s"))
+    counts = per_ent.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_c")
+    )
+    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
+    ca = counts.select(F.col("_v").alias("variant_a"), F.col("_n").alias("n_a"),
+                       F.col("_c").alias("c_a"), k("_v").alias("_k"))
+    cb = counts.select(F.col("_v").alias("variant_b"), F.col("_n").alias("n_b"),
+                       F.col("_c").alias("c_b"), k("_v").alias("_k"))
+    grid = (
+        ca.join(F.broadcast(cb), "_k")
+        .filter(F.col("variant_a") < F.col("variant_b"))
+        .drop("_k")
+    )
+    D = 'CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a'
+    N = '(CAST(n_a AS DECIMAL(38,0)) + n_b)'
+    C = '(CAST(c_a AS DECIMAL(38,0)) + c_b)'
+    den = f"CAST(n_a AS DECIMAL(38,0)) * n_b * {C} * ({N} - {C})"
+    num = f"({D}) * ({D}) * {N}"
+    return grid.select(
+        "variant_a", "variant_b", "n_a", "c_a",
+        F.expr("c_a * 10000 DIV n_a").alias("rate_a_bp"),
+        "n_b", "c_b",
+        F.expr("c_b * 10000 DIV n_b").alias("rate_b_bp"),
+        F.expr("c_a * 10000 DIV n_a - c_b * 10000 DIV n_b").alias("diff_bp"),
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN CAST(({num}) * 1000 DIV ({den}) AS BIGINT) END"
+        ).alias("z2_milli"),
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN ({num}) * 1000 > {int(z2_milli_threshold)} * ({den}) END"
+        ).alias("significant"),
+    )

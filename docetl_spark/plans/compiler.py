@@ -318,6 +318,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "ab_test_summary":
+        return sf.ab_test_summary(c.pop("variant_col"), c.pop("success_col"), **c)
     if t == "cohort_values":
         return sf.cohort_values(entity_col=c.pop("entity_col"), ts_col=c.pop("ts_col"),
                                 value_col=c.pop("value_col"), width_ns=c.pop("width_ns"), **c)

@@ -48,7 +48,7 @@ _KNOWN_OPS = {
     "changepoint_cusum", "basket_pairs", "audience_overlap",
     "rfm_segments", "edit_distance_pairs", "gini", "skyline",
     "period_over_period", "seasonal_outliers", "pair_metrics",
-    "cohort_values", "decade_histogram",
+    "cohort_values", "decade_histogram", "ab_test_summary",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -251,6 +251,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "pair_metrics": ("truth",),
         "cohort_values": ("entity_col", "ts_col", "value_col", "width_ns"),
         "decade_histogram": ("value_col",),
+        "ab_test_summary": ("variant_col", "success_col"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

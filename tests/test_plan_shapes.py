@@ -79,7 +79,7 @@ PLAN_ONLY = [
     "orders_gini", "part_skyline", "events_pop", "orders_ship_latency",
     "events_seasonal_outliers", "docs_blocker_metrics",
     "events_cohort_values", "events_decade_histogram",
-    "events_session_quantiles",
+    "events_session_quantiles", "events_ab_test",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

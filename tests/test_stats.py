@@ -376,3 +376,38 @@ def test_pair_metrics_both_empty_scores_zero(spark):
     r = pair_metrics(empty, empty).collect()[0]
     assert (r["n_pred"], r["n_true"], r["tp"], r["fp"], r["fn"]) == (0, 0, 0, 0, 0)
     assert r["precision_bp"] is None and r["f1_bp"] is None
+
+
+def test_ab_test_summary_matches_manual_z2(spark):
+    from docetl_spark.functions.stats import ab_test_summary
+
+    # A: 100 users, 30 convert; B: 120 users, 20 convert
+    rows = ([("A", i, i < 30) for i in range(100)]
+            + [("B", 1000 + i, i < 20) for i in range(120)])
+    df = spark.createDataFrame(rows, "variant string, uid long, won boolean")
+    r = ab_test_summary(df, "variant", "won", entity_col="uid").collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (100, 30, 120, 20)
+    assert r["rate_a_bp"] == 3000 and r["rate_b_bp"] == 1666
+    n_a, c_a, n_b, c_b = 100, 30, 120, 20
+    d = c_a * n_b - c_b * n_a
+    n, c = n_a + n_b, c_a + c_b
+    want = d * d * n * 1000 // (n_a * n_b * c * (n - c))
+    assert r["z2_milli"] == want
+    # z^2 ~ 5.6 > 3.84 -> significant at 95%
+    assert r["significant"] is True and want > 3841
+
+
+def test_ab_test_summary_entity_dedup_and_degenerate(spark):
+    from docetl_spark.functions.stats import ab_test_summary
+
+    # the same user converting twice counts once
+    rows = [("A", 1, True), ("A", 1, True), ("A", 2, False),
+            ("B", 3, False), ("B", 4, False)]
+    df = spark.createDataFrame(rows, "variant string, uid long, won boolean")
+    r = ab_test_summary(df, "variant", "won", entity_col="uid").collect()[0]
+    assert r["n_a"] == 2 and r["c_a"] == 1
+    # all-false pool on one side is fine; all-false on BOTH -> degenerate NULL
+    allf = spark.createDataFrame([("A", 1, False), ("B", 2, False)],
+                                 "variant string, uid long, won boolean")
+    r2 = ab_test_summary(allf, "variant", "won", entity_col="uid").collect()[0]
+    assert r2["z2_milli"] is None and r2["significant"] is None
