@@ -3568,6 +3568,21 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_summary(ev, "variant", "converted", entity_col="user_id")
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (timeseries.funnel within_ns): steps
+    2..k only count within 3 days of the user's FIRST view — the
+    running-min chain already carries the anchor, so the window is one
+    extra predicate, not a join."""
+    from docetl_spark.functions.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"],
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id", within_ns=3 * 86_400 * 10**9,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3770,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decade_histogram": events_decade_histogram,
         "events_session_quantiles": events_session_quantiles,
         "events_ab_test": events_ab_test,
+        "events_funnel_windowed": events_funnel_windowed,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -6921,6 +6937,34 @@ def oracle_sql() -> dict[str, str]:
                  d*d*n*1000 > 3841 * CAST(n_a AS HUGEINT)*n_b*c*(n - c)
                END AS significant
         FROM z"""
+    sql["events_funnel_windowed"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS ns, event_type, event_id FROM events
+        ), w1 AS (
+          SELECT user_id, ns, event_type, event_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+          FROM e
+        ), w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                        AND ns <= t1 + 259200000000000 THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+          FROM w1
+        ), w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                        AND ns <= t1 + 259200000000000 THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+          FROM w2
+        )
+        SELECT user_id, MIN(t1) AS step1_ts, MIN(t2) AS step2_ts,
+               MIN(t3) AS step3_ts,
+               CAST((CASE WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN MIN(t2) IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
+        FROM w3 GROUP BY user_id"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

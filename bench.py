@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "events_decade_histogram",
     "events_session_quantiles",
     "events_ab_test",
+    "events_funnel_windowed",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -542,11 +542,18 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak: str | None = None,
+    within_ns: int | None = None,
 ) -> DataFrame:
     """Ordered-sequence funnel: per entity, the first time each step of
     ``steps`` completed GIVEN every earlier step already had (the
     classic view -> click -> purchase product-analytics question, a
     MATCH_RECOGNIZE-lite Spark SQL lacks natively).
+
+    ``within_ns`` adds the conversion-window constraint: steps 2..k only
+    count within ``within_ns`` of the entity's FIRST step-1 event (the
+    "convert within 7 days of entry" formulation) — the running min of
+    step 1 is already on every row, so the window costs one extra
+    predicate, not a join.
 
     One shuffle total: all k steps chain through running-min window
     columns over a single (user, ts) sort — step i's candidate rows
@@ -578,6 +585,13 @@ def funnel(
             # in ts order, a non-null running min of the previous step
             # means "some step-(i-1) completion at or before this row"
             cond = cond & F.col(prev).isNotNull()
+            if within_ns is not None:
+                # anchor = the entity's earliest step-1 (the running min
+                # _t1 at this row IS the global earliest once non-null)
+                cond = cond & (
+                    F.col(ts_col).cast("long")
+                    <= F.col("_t1") + F.lit(int(within_ns))
+                )
         cur = cur.withColumn(
             f"_t{i + 1}", F.min(F.when(cond, F.col(ts_col))).over(w)
         )

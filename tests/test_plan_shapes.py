@@ -80,6 +80,7 @@ PLAN_ONLY = [
     "events_seasonal_outliers", "docs_blocker_metrics",
     "events_cohort_values", "events_decade_histogram",
     "events_session_quantiles", "events_ab_test",
+    "events_funnel_windowed",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

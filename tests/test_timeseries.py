@@ -900,3 +900,26 @@ def test_cohort_values_validates(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "u long, ts long, v double")
     with pytest.raises(ValueError, match="positive"):
         cohort_values(df, entity_col="u", ts_col="ts", value_col="v", width_ns=0)
+
+
+def test_funnel_within_ns_conversion_window(spark):
+    from docetl_spark.functions.timeseries import funnel
+
+    rows = [  # user 1: click inside the window, purchase outside it
+        (1, 0, "view"), (1, 50, "click"), (1, 200, "purchase"),
+        # user 2: everything inside
+        (2, 0, "view"), (2, 10, "click"), (2, 20, "purchase"),
+        # user 3: a SECOND view inside the window must not re-anchor
+        (3, 0, "view"), (3, 90, "view"), (3, 150, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"], within_ns=100).collect()}
+    assert out[1]["reached"] == 2 and out[1]["step3_ts"] is None
+    assert out[2]["reached"] == 3
+    # user 3's click at 150 is outside [0, 100] of the FIRST view
+    assert out[3]["reached"] == 1
+    # without the window, all three complete further
+    plain = {r["user_id"]: r["reached"] for r in
+             funnel(df, ["view", "click", "purchase"]).collect()}
+    assert plain[1] == 3 and plain[3] == 2
