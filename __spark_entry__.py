@@ -3583,6 +3583,49 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_collapse_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse (stats.collapse_rare): sources below 5%
+    of docs fold to __other__ before a per-source report — one value
+    count, broadcast keep-list, cross-multiplied integer cut."""
+    from docetl_spark.functions.stats import collapse_rare
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = collapse_rare(docs, "source", min_share_bp=500)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def events_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (stats.target_encode_loo): each
+    event's type encoded as the type's mean value EXCLUDING the row
+    itself, integer milli-cents — the leakage-controlled categorical
+    feature, one aggregation + null-safe broadcast join."""
+    from docetl_spark.functions.stats import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return target_encode_loo(ev, "event_type", "value")
+
+
+def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-rate report: a composition query — the
+    windowed funnel's per-user outcomes rolled to step counts with
+    exact cumulative conversion bp (n_reached_k * 10000 DIV n_entered)."""
+    fw = events_funnel_windowed(spark, sf_dir)
+    by_step = fw.groupBy("reached").agg(F.count(F.lit(1)).alias("n_users"))
+    # users at step >= k, for k = 0..3, via a small conditional agg
+    agg = fw.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("reached") >= 1, 1).otherwise(0)).alias("n_ge1"),
+        F.sum(F.when(F.col("reached") >= 2, 1).otherwise(0)).alias("n_ge2"),
+        F.sum(F.when(F.col("reached") >= 3, 1).otherwise(0)).alias("n_ge3"),
+    )
+    return agg.select(
+        "n_total", "n_ge1", "n_ge2", "n_ge3",
+        F.expr("n_ge1 * 10000 DIV n_total").alias("rate1_bp"),
+        F.expr("CASE WHEN n_ge1 = 0 THEN NULL ELSE n_ge2 * 10000 DIV n_ge1 END").alias("rate2_of_1_bp"),
+        F.expr("CASE WHEN n_ge2 = 0 THEN NULL ELSE n_ge3 * 10000 DIV n_ge2 END").alias("rate3_of_2_bp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3786,6 +3829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_quantiles": events_session_quantiles,
         "events_ab_test": events_ab_test,
         "events_funnel_windowed": events_funnel_windowed,
+        "docs_collapse_rare": docs_collapse_rare,
+        "events_target_encode": events_target_encode,
+        "events_funnel_rates": events_funnel_rates,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -6965,6 +7011,78 @@ def oracle_sql() -> dict[str, str]:
                   + (CASE WHEN MIN(t2) IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
         FROM w3 GROUP BY user_id"""
+    sql["docs_collapse_rare"] = """
+        WITH c AS (
+          SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS n
+          FROM documents WHERE source IS NOT NULL GROUP BY 1
+        ), t AS (SELECT SUM(n) AS tot FROM c),
+        lab AS (
+          SELECT doc_id,
+                 CASE WHEN source IS NULL THEN NULL
+                      WHEN EXISTS (SELECT 1 FROM c, t
+                                   WHERE c.v = CAST(documents.source AS VARCHAR)
+                                     AND c.n * 10000 >= 500 * t.tot)
+                      THEN source ELSE '__other__' END AS source
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lab GROUP BY 1"""
+    sql["events_target_encode"] = """
+        WITH a AS (
+          SELECT event_type AS c,
+                 SUM(CAST(floor(value*100 + 0.5) AS HUGEINT)) AS s,
+                 CAST(COUNT(*) AS HUGEINT) AS n
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.event_type IS NOT NULL AND e.value IS NOT NULL
+                         AND a.n >= 2
+                    THEN CAST((a.s - CAST(floor(e.value*100 + 0.5) AS HUGEINT))
+                              * 1000 // (a.n - 1) AS BIGINT)
+               END AS te_milli
+        FROM events e LEFT JOIN a
+          ON (e.event_type = a.c OR (e.event_type IS NULL AND a.c IS NULL))"""
+    sql["events_funnel_rates"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS ns, event_type, event_id FROM events
+        ), w1 AS (
+          SELECT user_id, ns, event_type, event_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+          FROM e
+        ), w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                        AND ns <= t1 + 259200000000000 THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+          FROM w1
+        ), w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                        AND ns <= t1 + 259200000000000 THEN ns END) OVER
+                   (PARTITION BY user_id ORDER BY ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+          FROM w2
+        ), per_user AS (
+          SELECT user_id,
+                 (CASE WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN MIN(t2) IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN MIN(t3) IS NOT NULL THEN 1 ELSE 0 END) AS reached
+          FROM w3 GROUP BY user_id
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge1,
+                 CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge2,
+                 CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge3
+          FROM per_user
+        )
+        SELECT n_total, n_ge1, n_ge2, n_ge3,
+               CAST(n_ge1 * 10000 // n_total AS BIGINT) AS rate1_bp,
+               CASE WHEN n_ge1 = 0 THEN NULL
+                    ELSE CAST(n_ge2 * 10000 // n_ge1 AS BIGINT) END AS rate2_of_1_bp,
+               CASE WHEN n_ge2 = 0 THEN NULL
+                    ELSE CAST(n_ge3 * 10000 // n_ge2 AS BIGINT) END AS rate3_of_2_bp
+        FROM agg"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

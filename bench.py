@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "events_session_quantiles",
     "events_ab_test",
     "events_funnel_windowed",
+    "docs_collapse_rare",
+    "events_target_encode",
+    "events_funnel_rates",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

@@ -1220,6 +1220,25 @@ class SemanticFrame:
             "apply_cdc", keys=list(keys), ts_col=ts_col, **kw,
         )
 
+    def collapse_rare(self, col: str, **kw) -> "SemanticFrame":
+        """Rare-category collapse to __other__ — see
+        functions/stats.collapse_rare."""
+        from .functions import stats
+
+        return self._next(
+            stats.collapse_rare(self.df, col, **kw), "collapse_rare", col=col, **kw,
+        )
+
+    def target_encode_loo(self, category_col: str, target_col: str, **kw) -> "SemanticFrame":
+        """Leave-one-out target encoding in exact integer milli-units —
+        see functions/stats.target_encode_loo."""
+        from .functions import stats
+
+        return self._next(
+            stats.target_encode_loo(self.df, category_col, target_col, **kw),
+            "target_encode_loo", category_col=category_col, target_col=target_col, **kw,
+        )
+
     def ab_test_summary(self, variant_col: str, success_col: str, **kw) -> "SemanticFrame":
         """Exact-integer two-proportion experiment scorecard — see
         functions/stats.ab_test_summary."""

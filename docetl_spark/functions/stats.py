@@ -1455,3 +1455,104 @@ def ab_test_summary(
             f"CASE WHEN {den} > 0 THEN ({num}) * 1000 > {int(z2_milli_threshold)} * ({den}) END"
         ).alias("significant"),
     )
+
+
+def collapse_rare(
+    df: DataFrame,
+    col: str,
+    *,
+    min_count: int | None = None,
+    min_share_bp: int | None = None,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Rare-category collapse: values of ``col`` below the support floor
+    map to ``other_label`` — the standard cardinality-control step
+    before encoding/grouping a high-cardinality categorical at scale
+    (a 100 TB groupBy on a million-value column wants its tail folded).
+
+    The floor is ``min_count`` rows and/or ``min_share_bp`` (exact
+    integer basis points of non-NULL rows; cross-multiplied — no
+    doubles at the cut). NULLs stay NULL (they are not a category).
+
+    Plan: ONE map-side-combinable value count, the keep-list broadcast
+    back (a semi-join against distinct values — keep-list size is
+    bounded by the floor, never by row count), values rewritten with a
+    null-safe membership check.
+    """
+    if min_count is None and min_share_bp is None:
+        raise ValueError("collapse_rare needs min_count and/or min_share_bp")
+    reserved = {"_cr_n", "_cr_tot", "_cr_keep"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"collapse_rare reserves column names {clash}")
+    v = F.col(col).cast("string")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("_cr_v"))
+        .agg(F.count(F.lit(1)).alias("_cr_n"))
+    )
+    keep = counts
+    if min_share_bp is not None:
+        totals = counts.groupBy().agg(F.sum("_cr_n").alias("_cr_tot"))
+        keep = broadcast_scalar_join(keep, totals, df_col="_cr_n", scalar_col="_cr_tot")
+        keep = keep.filter(
+            F.col("_cr_n") * 10000 >= F.lit(int(min_share_bp)) * F.col("_cr_tot")
+        ).drop("_cr_tot")
+    if min_count is not None:
+        keep = keep.filter(F.col("_cr_n") >= int(min_count))
+    keep_list = keep.select(F.col("_cr_v"), F.lit(True).alias("_cr_keep"))
+    out = df.join(
+        F.broadcast(keep_list), v.eqNullSafe(F.col("_cr_v")), "left"
+    ).withColumn(
+        col,
+        F.when(F.col(col).isNull(), F.col(col))
+        .when(F.col("_cr_keep"), F.col(col))
+        .otherwise(F.lit(other_label)),
+    ).drop("_cr_v", "_cr_keep")
+    return out
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    *,
+    out_col: str = "te_milli",
+    scale: int = 100,
+) -> DataFrame:
+    """Leave-one-out target encoding in EXACT integer math: each row
+    gets its category's mean target EXCLUDING ITSELF, as
+    ``(sum_cents - own_cents) * 1000 DIV (n - 1)`` — the standard
+    leakage-controlled categorical encoder for model features, with the
+    division cleared to integer milli-units so the feature replays
+    bit-for-bit.
+
+    Rows whose category has a single non-NULL target (nothing to leave
+    out), a NULL category, or a NULL target get NULL — a silent global
+    fallback would leak the overall rate into exactly the rows where
+    the category signal is weakest.
+
+    Plan: ONE map-side-combinable per-category aggregation broadcast
+    back with a null-safe key join, then per-row arithmetic — no
+    windows, no second shuffle.
+    """
+    reserved = {out_col, "_te_s", "_te_n", "_te_x"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"target_encode_loo reserves column names {clash}")
+    x = to_cents(target_col, scale).cast("decimal(38,0)")
+    agg = (
+        df.filter(F.col(target_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_te_c"))
+        .agg(F.sum(x).alias("_te_s"),
+             F.count(F.lit(1)).cast("decimal(38,0)").alias("_te_n"))
+    )
+    j = df.withColumn("_te_x", x).join(
+        F.broadcast(agg), F.col(category_col).eqNullSafe(F.col("_te_c")), "left"
+    )
+    enc = F.when(
+        F.col(category_col).isNotNull() & F.col("_te_x").isNotNull()
+        & (F.col("_te_n") >= 2),
+        F.expr("CAST((_te_s - _te_x) * 1000 DIV (_te_n - 1) AS BIGINT)"),
+    )
+    return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")

@@ -318,6 +318,10 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "apply_cdc":
         return sf.apply_cdc(datasets[c.pop("changes")], keys=c.pop("keys"),
                             ts_col=c.pop("ts_col"), **c)
+    if t == "collapse_rare":
+        return sf.collapse_rare(c.pop("col"), **c)
+    if t == "target_encode_loo":
+        return sf.target_encode_loo(c.pop("category_col"), c.pop("target_col"), **c)
     if t == "ab_test_summary":
         return sf.ab_test_summary(c.pop("variant_col"), c.pop("success_col"), **c)
     if t == "cohort_values":

@@ -49,6 +49,7 @@ _KNOWN_OPS = {
     "rfm_segments", "edit_distance_pairs", "gini", "skyline",
     "period_over_period", "seasonal_outliers", "pair_metrics",
     "cohort_values", "decade_histogram", "ab_test_summary",
+    "collapse_rare", "target_encode_loo",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
 }
@@ -252,6 +253,8 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "cohort_values": ("entity_col", "ts_col", "value_col", "width_ns"),
         "decade_histogram": ("value_col",),
         "ab_test_summary": ("variant_col", "success_col"),
+        "collapse_rare": ("col",),
+        "target_encode_loo": ("category_col", "target_col"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

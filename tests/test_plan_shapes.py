@@ -80,7 +80,8 @@ PLAN_ONLY = [
     "events_seasonal_outliers", "docs_blocker_metrics",
     "events_cohort_values", "events_decade_histogram",
     "events_session_quantiles", "events_ab_test",
-    "events_funnel_windowed",
+    "events_funnel_windowed", "docs_collapse_rare",
+    "events_target_encode", "events_funnel_rates",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -411,3 +411,34 @@ def test_ab_test_summary_entity_dedup_and_degenerate(spark):
                                  "variant string, uid long, won boolean")
     r2 = ab_test_summary(allf, "variant", "won", entity_col="uid").collect()[0]
     assert r2["z2_milli"] is None and r2["significant"] is None
+
+
+def test_collapse_rare_floors(spark):
+    from docetl_spark.functions.stats import collapse_rare
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare(df, "cat", min_count=3)
+    got = {r["cat"] for r in out.collect()}
+    assert got == {"a", "b", "__other__", None}   # NULL stays NULL
+    # share floor: c is 10% of 10 non-null rows; 1500bp folds c AND b? b=30%
+    out2 = {r["cat"] for r in collapse_rare(df, "cat", min_share_bp=1500).collect()}
+    assert out2 == {"a", "b", "__other__", None}
+    with pytest.raises(ValueError, match="min_count and/or"):
+        collapse_rare(df, "cat")
+
+
+def test_target_encode_loo_exact(spark):
+    from docetl_spark.functions.stats import target_encode_loo
+
+    rows = [(1, "x", 1.0), (2, "x", 2.0), (3, "x", 3.0),
+            (4, "solo", 9.0), (5, None, 1.0), (6, "x", None)]
+    df = spark.createDataFrame(rows, "id long, cat string, v double")
+    out = {r["id"]: r["te_milli"] for r in target_encode_loo(df, "cat", "v").collect()}
+    # x sums to 600 cents over 3 rows: loo means (500/2, 400/2, 300/2)*10
+    assert out[1] == (600 - 100) * 1000 // 2
+    assert out[2] == (600 - 200) * 1000 // 2
+    assert out[3] == (600 - 300) * 1000 // 2
+    assert out[4] is None       # singleton category
+    assert out[5] is None       # NULL category
+    assert out[6] is None       # NULL target
