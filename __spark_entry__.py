@@ -3626,6 +3626,60 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness: a composition over the exact rolling
+    active_users table — per report day, dau * 10000 DIV mau (exact
+    integer; engagement's favorite ratio)."""
+    from docetl_spark.functions.timeseries import active_users
+
+    ev = _t(spark, sf_dir, "events")
+    au = active_users(ev, "ts", user_col="user_id")
+    return au.select(
+        "day", "au_1d", "au_30d",
+        F.expr("CASE WHEN au_30d = 0 THEN NULL ELSE au_1d * 10000 DIV au_30d END")
+        .alias("stickiness_bp"),
+    )
+
+
+def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning weekly split: users first seen this week vs
+    active-but-older — one first-seen window on the user shuffle, one
+    (week)-grain aggregation; the growth-accounting table."""
+    W_NS = 7 * 86_400 * 10**9
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    t = F.col("ts").cast("long")
+    b = (t - F.pmod(t, F.lit(W_NS))).alias("week_ns")
+    wk = ev.select("user_id", b)
+    from pyspark.sql import Window as _W
+
+    first = wk.withColumn("_first", F.min("week_ns").over(_W.partitionBy("user_id")))
+    per = first.select("user_id", "week_ns", "_first").distinct()
+    return (
+        per.groupBy("week_ns")
+        .agg(
+            F.sum(F.when(F.col("week_ns") == F.col("_first"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("week_ns") != F.col("_first"), 1).otherwise(0)).alias("n_returning"),
+        )
+    )
+
+
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution: per-user LAG gaps in seconds fed to
+    the exact fixed-width histogram (composition — one user shuffle for
+    the gaps, one combinable groupBy for the bins)."""
+    from docetl_spark.functions.stats import histogram
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.withColumn(
+        "gap_s",
+        ((F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+         / F.lit(1_000_000_000.0)),
+    ).filter(F.col("gap_s").isNotNull())
+    return histogram(gaps, "gap_s", bin_width=3600.0, scale=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3832,6 +3886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_collapse_rare": docs_collapse_rare,
         "events_target_encode": events_target_encode,
         "events_funnel_rates": events_funnel_rates,
+        "events_stickiness": events_stickiness,
+        "events_new_returning": events_new_returning,
+        "events_gap_histogram": events_gap_histogram,
         "part_skyline": part_skyline,
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
@@ -7083,6 +7140,60 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_ge2 = 0 THEN NULL
                     ELSE CAST(n_ge3 * 10000 // n_ge2 AS BIGINT) END AS rate3_of_2_bp
         FROM agg"""
+    sql["events_stickiness"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u,
+                 (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000) + 86400000000000) % 86400000000000)
+                   // 86400000000000 AS d
+          FROM events WHERE ts IS NOT NULL
+        ), ex AS (
+          SELECT ud.u, t.off, ud.d + t.off AS day
+          FROM ud, (SELECT UNNEST(range(0, 30)) AS off) t
+        ), c AS (
+          SELECT day,
+                 COUNT(DISTINCT CASE WHEN off < 1 THEN u END) AS au_1d,
+                 COUNT(DISTINCT CASE WHEN off < 30 THEN u END) AS au_30d
+          FROM ex GROUP BY day
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(au_1d AS BIGINT) AS au_1d,
+               CAST(au_30d AS BIGINT) AS au_30d,
+               CASE WHEN au_30d = 0 THEN NULL
+                    ELSE CAST(au_1d * 10000 // au_30d AS BIGINT) END AS stickiness_bp
+        FROM c WHERE day IN (SELECT d FROM ud)"""
+    sql["events_new_returning"] = """
+        WITH wk AS (
+          SELECT DISTINCT user_id,
+                 epoch_ns(ts) - ((epoch_ns(ts) % 604800000000000)
+                   + 604800000000000) % 604800000000000 AS week_ns
+          FROM events WHERE ts IS NOT NULL
+        ), f AS (
+          SELECT user_id, week_ns,
+                 MIN(week_ns) OVER (PARTITION BY user_id) AS first_w
+          FROM wk
+        )
+        SELECT week_ns,
+               CAST(SUM(CASE WHEN week_ns = first_w THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN week_ns <> first_w THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        FROM f GROUP BY 1"""
+    sql["events_gap_histogram"] = """
+        WITH g AS (
+          SELECT (epoch_ns(ts)
+                  - LAG(epoch_ns(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+                 / 1000000000.0 AS gap_s
+          FROM events
+        ), c AS (
+          SELECT CAST(floor(gap_s * 1 + 0.5) AS BIGINT) AS cents
+          FROM g WHERE gap_s IS NOT NULL
+        ), b AS (
+          SELECT cents - ((cents % 3600) + 3600) % 3600 AS bin_lo,
+                 COUNT(*) AS n_rows
+          FROM c GROUP BY 1
+        )
+        SELECT bin_lo, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_rows * 10000 // SUM(n_rows) OVER () AS BIGINT) AS share_bp
+        FROM b"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "docs_collapse_rare",
     "events_target_encode",
     "events_funnel_rates",
+    "events_stickiness",
+    "events_new_returning",
+    "events_gap_histogram",
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",

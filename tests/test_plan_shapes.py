@@ -82,6 +82,7 @@ PLAN_ONLY = [
     "events_session_quantiles", "events_ab_test",
     "events_funnel_windowed", "docs_collapse_rare",
     "events_target_encode", "events_funnel_rates",
+    "events_stickiness", "events_new_returning", "events_gap_histogram",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
