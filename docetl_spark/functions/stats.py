@@ -1481,7 +1481,7 @@ def collapse_rare(
     """
     if min_count is None and min_share_bp is None:
         raise ValueError("collapse_rare needs min_count and/or min_share_bp")
-    reserved = {"_cr_n", "_cr_tot", "_cr_keep"}
+    reserved = {"_cr_n", "_cr_tot", "_cr_keep", "_cr_v"}
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"collapse_rare reserves column names {clash}")
@@ -1536,7 +1536,7 @@ def target_encode_loo(
     back with a null-safe key join, then per-row arithmetic — no
     windows, no second shuffle.
     """
-    reserved = {out_col, "_te_s", "_te_n", "_te_x"}
+    reserved = {out_col, "_te_s", "_te_n", "_te_x", "_te_c"}
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"target_encode_loo reserves column names {clash}")
