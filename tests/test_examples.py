@@ -176,3 +176,17 @@ def test_behavior_analytics_example(spark):
                      "prev_cents", "pct_change_bp"} <= set(rows[0])
     # weekly buckets per type; at least one adjacent-week comparison fires
     assert any(r["pct_change_bp"] is not None for r in rows)
+
+
+def test_experiment_analysis_example(spark):
+    """Round-9 second wave end to end: rare-category fold -> LOO target
+    encoding -> derived variant/conversion -> exact A/B scorecard."""
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/experiment_analysis.yaml")
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["variant_a"] == "A" and r["variant_b"] == "B"
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["rate_a_bp"] is not None and r["rate_b_bp"] is not None
