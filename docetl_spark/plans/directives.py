@@ -1264,9 +1264,17 @@ def should_optimize(
     collect). The verdict feeds :func:`optimize_ops` / :func:`moar_search`
     as a cheap gate: skip the whole search when the probe says no.
 
-    The reference only supports map ops (fast_should_optimize.py:258-262);
-    same here.
+    The reference's FAST probe only supports map ops
+    (fast_should_optimize.py:258-262); reduce ops route through
+    :func:`should_optimize_reduce` (the ReduceOptimizer validator loop)
+    when ``inputs`` is supplied, else raise like the reference.
     """
+    if op.type == "reduce":
+        raise ValueError(
+            "reduce ops need their input DataFrame for group-level "
+            "validation — call should_optimize_reduce(op, inputs, outputs, "
+            "backend) instead"
+        )
     if op.type not in ("map", "filter"):
         raise ValueError(
             f"should_optimize supports map-shaped ops, got {op.type!r}; "
@@ -1310,3 +1318,84 @@ def should_optimize(
         [str(s) for s in improvements] if go else [],
         len(rows),
     )
+
+
+def should_optimize_reduce(
+    op: OpSpec,
+    inputs,
+    outputs,
+    backend,
+    *,
+    max_groups: int = 5,
+    max_sample_chars: int = 2000,
+) -> ShouldOptimizeVerdict:
+    """Reduce-shaped "is this op worth decomposing?" probe, mirroring
+    the reference ReduceOptimizer's validator loop
+    (reduce_optimizer.py:63-157): synthesize a VALIDATOR PROMPT from the
+    reduce config plus a sampled output, then judge each sampled
+    (group inputs, group output) pair against it — needs_improvement
+    when at least half the judged groups report issues.
+
+    ``inputs``/``outputs`` are the op's input and output DataFrames;
+    sampling is bounded ``limit()`` collects (never full scans). One
+    synthesis call + at most ``max_groups`` validation calls.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    if op.type != "reduce":
+        raise ValueError(f"should_optimize_reduce needs a reduce op, got {op.type!r}")
+    rk = op.config.get("reduce_key")
+    keys = [rk] if isinstance(rk, str) else list(rk or [])
+    out_rows = [r.asDict(recursive=True) for r in outputs.limit(max_groups).collect()]
+    if not out_rows:
+        return ShouldOptimizeVerdict(False, "", [], 0)
+
+    synth = backend.complete(
+        "Generate a validation prompt for judging one output of the "
+        "following reduce (group-aggregation) operation. The validator "
+        "will see the group's input items and the produced output, and "
+        "must report concrete issues (missing information, inconsistency, "
+        "hallucination) and suggestions.\n\n"
+        f"Reduce prompt:\n{str(op.config.get('prompt', ''))[:3000]}\n\n"
+        f"Sample output:\n{_json.dumps(out_rows[0], default=str)[:max_sample_chars]}",
+        {"validator_prompt": "str"},
+        {"probe": "reduce_validator_synthesis"},
+    )
+    validator_prompt = str(synth.get("validator_prompt", ""))
+
+    # sample each judged group's input items via a bounded semi-filtered
+    # collect (groups are judged independently, like the reference's
+    # _create_validation_inputs)
+    issues_all: list[str] = []
+    suggestions_all: list[str] = []
+    flagged = 0
+    for row in out_rows:
+        cond = None
+        for k in keys:
+            if k == "_all":
+                continue
+            e = F.col(k).eqNullSafe(F.lit(row.get(k)))
+            cond = e if cond is None else cond & e
+        grp = inputs if cond is None else inputs.filter(cond)
+        in_rows = [r.asDict(recursive=True) for r in grp.limit(10).collect()]
+        ans = backend.complete(
+            f"{validator_prompt}\n\n"
+            f"## Group inputs\n{_json.dumps(in_rows, default=str)[:max_sample_chars]}\n\n"
+            f"## Produced output\n{_json.dumps(row, default=str)[:max_sample_chars]}",
+            {"issues": "list[string]", "suggestions": "list[string]"},
+            {"group": {k: row.get(k) for k in keys}},
+        )
+        iss = [str(i) for i in (ans.get("issues") or []) if str(i).strip()]
+        sug = [str(s) for s in (ans.get("suggestions") or []) if str(s).strip()]
+        if iss:
+            flagged += 1
+            issues_all.extend(iss)
+        suggestions_all.extend(sug)
+
+    go = flagged * 2 >= len(out_rows)  # at least half the groups flagged
+    rationale = "; ".join(
+        f"Issues: {i}" for i in issues_all[:6]
+    ) if go else ""
+    return ShouldOptimizeVerdict(go, rationale, suggestions_all if go else [], len(out_rows))

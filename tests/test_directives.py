@@ -617,3 +617,40 @@ def test_frame_should_optimize_probe(spark):
 
     with pytest.raises(ValueError, match="map/filter"):
         docs.should_optimize()
+
+
+def test_should_optimize_reduce_flags_and_clears(spark):
+    from docetl_spark import FakeBackend, SemanticFrame
+    from docetl_spark.plans.directives import should_optimize, should_optimize_reduce
+    from docetl_spark.plans.ir import lift
+
+    op = lift([{"type": "reduce", "name": "summ", "reduce_key": "g",
+                "prompt": "Summarize {{ inputs }}",
+                "output": {"schema": {"summary": "str"}}}])[0]
+    rows = [{"g": "a", "t": "x"}, {"g": "a", "t": "y"}, {"g": "b", "t": "z"}]
+    inputs = spark.createDataFrame(rows)
+    outputs = spark.createDataFrame([{"g": "a", "summary": "s1"},
+                                     {"g": "b", "summary": "s2"}])
+
+    # validator that always finds issues -> needs improvement
+    be_bad = FakeBackend(rules={
+        "validator_prompt": lambda ctx: "Judge the output.",
+        "issues": lambda ctx: ["missing detail"],
+        "suggestions": lambda ctx: ["decompose"],
+    })
+    v = should_optimize_reduce(op, inputs, outputs, be_bad)
+    assert v.should_optimize and "missing detail" in v.rationale
+    assert v.num_docs_analyzed == 2 and v.suggested_improvements == ["decompose", "decompose"]
+
+    # clean validator -> no
+    be_ok = FakeBackend(rules={
+        "validator_prompt": lambda ctx: "Judge the output.",
+        "issues": lambda ctx: [],
+        "suggestions": lambda ctx: [],
+    })
+    v2 = should_optimize_reduce(op, inputs, outputs, be_ok)
+    assert not v2.should_optimize and v2.rationale == ""
+
+    # the fast probe routes reduce ops away with a pointer
+    with pytest.raises(ValueError, match="should_optimize_reduce"):
+        should_optimize(op, outputs, be_ok)
