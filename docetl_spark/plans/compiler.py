@@ -575,6 +575,37 @@ def run_pipeline(
                         rewrites_fired.append(
                             f"fast_decompose:{dec.winning_directive}"
                         )
+            elif opts.get("method") == "reduce_plans":
+                # ReduceOptimizer plan search (optimizers/reduce_optimizer.py
+                # :1273-1370): fold prompts + batch sizes, sampled runs,
+                # pairwise-judged winner. Target = opts["target"] or the
+                # step's first reduce op; steps without it pass through.
+                from .reduce_plan_search import reduce_plan_search
+
+                target = opts.get("target") or next(
+                    (s.config.get("name") for s in specs if s.type == "reduce"), None
+                )
+                step_has_target = any(
+                    s.config.get("name") == target and s.type == "reduce"
+                    for s in specs
+                )
+                if target is not None and sf is not None and step_has_target:
+                    res = reduce_plan_search(
+                        sf, specs, target,
+                        backend=backend,
+                        sample_groups=int(opts.get("sample_groups", 2)),
+                        rows_per_group=int(opts.get("rows_per_group", 8)),
+                        context_limit_tokens=int(
+                            opts.get("context_limit_tokens", 128_000)
+                        ),
+                    )
+                    if res.winning_plan != "original":
+                        idx = next(
+                            i for i, s in enumerate(specs)
+                            if s.config.get("name") == target
+                        )
+                        specs = specs[:idx] + [OpSpec("reduce", res.config)] + specs[idx + 1:]
+                        rewrites_fired.append(f"reduce_plans:{res.winning_plan}")
             else:
                 result = optimize_ops(specs, stats, backend=agent)
                 best = result.best(opts.get("objective", "cost"))
