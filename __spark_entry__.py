@@ -3610,7 +3610,6 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed funnel's per-user outcomes rolled to step counts with
     exact cumulative conversion bp (n_reached_k * 10000 DIV n_entered)."""
     fw = events_funnel_windowed(spark, sf_dir)
-    by_step = fw.groupBy("reached").agg(F.count(F.lit(1)).alias("n_users"))
     # users at step >= k, for k = 0..3, via a small conditional agg
     agg = fw.agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -6567,7 +6566,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type, q_bp, MIN(value) AS value
         FROM cum CROSS JOIN (VALUES (2500), (5000), (9000)) qs(q_bp)
-        WHERE cumw * 10000 >= q_bp * tot
+        WHERE tot > 0 AND cumw * 10000 >= q_bp * tot
         GROUP BY 1, 2"""
     # DECIMAL // ROUNDS in DuckDB while Spark DIV truncates toward zero
     # — route the slope division through HUGEINT, whose // truncates

@@ -606,7 +606,7 @@ class Pipeline:
                 )
             )
 
-        return Pipeline.from_dict(
+        out = Pipeline.from_dict(
             {
                 "datasets": cfg["datasets"],
                 "operations": new_operations,
@@ -619,3 +619,11 @@ class Pipeline:
             },
             name=self.name,
         )
+        # the optimized pipeline must stay fully equivalent outside the
+        # rewritten ops — parsing tools, rate limits, and unknown config
+        # ride through unchanged (reference optimize() returns a complete
+        # updated Pipeline)
+        out.parsing_tools = list(self.parsing_tools)
+        out.rate_limits = self.rate_limits
+        out.other_config = dict(self.other_config)
+        return out

@@ -25,12 +25,18 @@ def broadcast_scalar_join(
     the optimizer cannot prove it. This is the single home for the
     idiom — it was independently re-derived at four call sites before
     being factored here."""
-    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
     return (
-        df.withColumn("_sk", k(df_col))
-        .join(F.broadcast(scalar_df.withColumn("_sk", k(scalar_col))), "_sk")
+        df.withColumn("_sk", nonfoldable_const_key(df_col))
+        .join(F.broadcast(scalar_df.withColumn("_sk", nonfoldable_const_key(scalar_col))), "_sk")
         .drop("_sk")
     )
+
+
+def nonfoldable_const_key(col):
+    """The constant-0 join key Catalyst cannot fold: pmod(xxhash64(own
+    column), 1). THE single home — broadcast_scalar_join and every
+    all-pairs grid (audience_overlap, ab_test_summary) key on this."""
+    return F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col), F.lit(1))
 
 
 def to_cents(col, scale: int = 100):
@@ -604,7 +610,7 @@ def histogram(
     w = int(round(bin_width * scale))
     if w <= 0:
         raise ValueError("bin_width * scale must round to a positive integer")
-    if abs(bin_width * scale - w) > 1e-9:
+    if abs(bin_width * scale - w) > 1e-9 * max(1.0, abs(bin_width * scale)):
         # e.g. bin_width=0.125 at scale=100 would silently produce
         # 0.12-wide bins; the docstring promises edges at multiples of
         # bin_width, so a non-integral width at this scale is an error —
@@ -773,7 +779,8 @@ def weighted_quantiles(
     total — the lower weighted-quantile definition, decided by the
     cross-multiplied integer comparison ``cum * 10000 >= q_bp * total``
     (no doubles near the cut). Weights fixed-point at ``scale``;
-    NULL values drop, NULL weights count 0.
+    NULL values drop, NULL weights count 0, negative weights raise,
+    and a zero-total group vanishes (no mass, no quantile).
 
     Output: ``by`` + ``q_bp`` + ``value``.
 
@@ -795,7 +802,14 @@ def weighted_quantiles(
     if clash:
         raise ValueError(f"weighted_quantiles reserves column names {clash}")
     part = [F.col(c) for c in (by or [])]
-    w = F.coalesce(to_cents(weight_col, scale), F.lit(0)).cast("decimal(38,0)")
+    wc = to_cents(weight_col, scale)
+    # negative weights break cumulative monotonicity — raise loudly
+    # (the gini_bp posture); NULL weights count 0
+    w = F.coalesce(
+        F.when(wc < 0, F.raise_error(F.lit(
+            "weighted_quantiles: negative weights are invalid"))).otherwise(wc),
+        F.lit(0),
+    ).cast("decimal(38,0)")
     collapsed = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*part, F.col(value_col).alias("value"))
@@ -810,7 +824,13 @@ def weighted_quantiles(
     qlit = F.explode(F.array(*[F.lit(int(q)) for q in sorted(set(int(q) for q in qs_bp))]))
     hit = (
         cum.select(*part, "value", "_wq_cum", "_wq_tot", qlit.alias("q_bp"))
-        .filter(F.col("_wq_cum") * 10000 >= F.col("q_bp").cast("decimal(38,0)") * F.col("_wq_tot"))
+        # zero-total groups have no mass to take a quantile of — they
+        # VANISH (documented), rather than emitting min(value) (the
+        # vacuous 0 >= 0 cut) for every q
+        .filter(
+            (F.col("_wq_tot") > 0)
+            & (F.col("_wq_cum") * 10000 >= F.col("q_bp").cast("decimal(38,0)") * F.col("_wq_tot"))
+        )
     )
     return (
         hit.groupBy(*(by or []), "q_bp")
@@ -975,7 +995,7 @@ def basket_pairs(
     are unbounded.
     """
     reserved = {"item_a", "item_b", "pair_n", "n_a", "n_b",
-                "support_bp", "conf_ab_bp", "conf_ba_bp", "lift_micro"}
+                "support_bp", "conf_ab_bp", "conf_ba_bp", "lift_micro", "_bp_nb"}
     if item_col in reserved or basket_col in reserved:
         raise ValueError(f"basket_pairs reserves column names {sorted(reserved)}")
     bi = (
@@ -984,14 +1004,11 @@ def basket_pairs(
                 F.col(item_col).cast("string").alias("_it"))
         .distinct()
     )
-    n_baskets = bi.select("_bk").distinct().count()
-    if n_baskets == 0:
-        spark = df.sparkSession
-        return spark.createDataFrame([], (
-            "item_a string, item_b string, pair_n long, n_a long, n_b long, "
-            "support_bp long, conf_ab_bp long, conf_ba_bp long, lift_micro long"
-        ))
     item_n = bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_n"))
+    # the basket total stays LAZY: a one-row distinct-count aggregate
+    # attached via the broadcast-scalar idiom (an eager .count() here
+    # would scan a 100 TB input at CALL time and again at action time)
+    totals = bi.agg(F.count_distinct("_bk").alias("_bp_nb"))
     a = bi.alias("a")
     b = bi.alias("b")
     pairs = (
@@ -1006,16 +1023,17 @@ def basket_pairs(
         .join(F.broadcast(item_n.select(F.col("_it").alias("item_b"),
                                         F.col("_n").alias("n_b"))), "item_b")
     )
+    out = broadcast_scalar_join(out, totals, df_col="pair_n", scalar_col="_bp_nb")
     return out.select(
         "item_a", "item_b", "pair_n", "n_a", "n_b",
-        F.expr(f"pair_n * 10000 DIV {int(n_baskets)}").alias("support_bp"),
+        F.expr("pair_n * 10000 DIV _bp_nb").alias("support_bp"),
         F.expr("pair_n * 10000 DIV n_a").alias("conf_ab_bp"),
         F.expr("pair_n * 10000 DIV n_b").alias("conf_ba_bp"),
         # lift numerator = pair_n * n_baskets * 1e6 — routes through
         # decimal(38,0) (three longs multiplied overflow bigint under
         # ANSI at advertised scale); DIV yields a bounded long
         F.expr(
-            f"CAST(pair_n AS DECIMAL(38,0)) * {int(n_baskets)} * 1000000 "
+            "CAST(pair_n AS DECIMAL(38,0)) * _bp_nb * 1000000 "
             "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
         ).cast("long").alias("lift_micro"),
     )
@@ -1057,14 +1075,12 @@ def audience_overlap(
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     # all-pairs grid of the (by-definition small) group list WITHOUT a
-    # CartesianProduct node: both sides join on a non-foldable constant
-    # (pmod(xxhash64, 1) == 0 for every row, unprovable to Catalyst), so
-    # the plan stays a BroadcastHashJoin — the broadcast_scalar_join idiom
-    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
+    # CartesianProduct node: both sides join on the non-foldable constant
+    # key, so the plan stays a BroadcastHashJoin
     ca = counts.select(F.col("_gr").alias("group_a"), F.col("_n").alias("n_a"),
-                       k("_gr").alias("_k"))
+                       nonfoldable_const_key("_gr").alias("_k"))
     cb = counts.select(F.col("_gr").alias("group_b"), F.col("_n").alias("n_b"),
-                       k("_gr").alias("_k"))
+                       nonfoldable_const_key("_gr").alias("_k"))
     grid = (
         ca.join(F.broadcast(cb), "_k")
         .filter(F.col("group_a") < F.col("group_b"))
@@ -1427,11 +1443,10 @@ def ab_test_summary(
     counts = per_ent.groupBy("_v").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_c")
     )
-    k = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1))  # noqa: E731
     ca = counts.select(F.col("_v").alias("variant_a"), F.col("_n").alias("n_a"),
-                       F.col("_c").alias("c_a"), k("_v").alias("_k"))
+                       F.col("_c").alias("c_a"), nonfoldable_const_key("_v").alias("_k"))
     cb = counts.select(F.col("_v").alias("variant_b"), F.col("_n").alias("n_b"),
-                       F.col("_c").alias("c_b"), k("_v").alias("_k"))
+                       F.col("_c").alias("c_b"), nonfoldable_const_key("_v").alias("_k"))
     grid = (
         ca.join(F.broadcast(cb), "_k")
         .filter(F.col("variant_a") < F.col("variant_b"))

@@ -2150,8 +2150,17 @@ def null_runs(
         F.max("_len").alias("max_run"),
     )
     all_keys = df.select(*keys).distinct()
+    # null-safe group join — a NULL key is a real group (house rule);
+    # a bare equi-join would zero out the NULL group's real counts
+    pk = per_key.select(
+        *[F.col(k).alias(f"_nrg_{k}") for k in keys], "n_nulls", "n_runs", "max_run"
+    )
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"_nrg_{k}"))
+        cond = e if cond is None else cond & e
     return (
-        all_keys.join(per_key, on=keys, how="left")
+        all_keys.join(pk, cond, "left")
         .select(
             *keys,
             F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),

@@ -185,7 +185,10 @@ def reduce_plan_search(
     champion_cfg = dict(target.config)
     evaluated = 1
     rationale = "original plan retained"
-    max_group = max(len(g) for g in chosen) if chosen else 0
+    # the SAMPLED group size, not the raw head group size — eval_bs
+    # derived from an uncapped group can exceed the sample and fold
+    # everything in one batch, judging identical outputs
+    max_group = max(min(len(g), rows_per_group) for g in chosen) if chosen else 0
     for fi, fp in enumerate(fold_prompts):
         for bs in sizes:
             # judge the FOLD STRUCTURE on the sample: a production batch

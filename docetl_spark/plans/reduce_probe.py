@@ -157,7 +157,12 @@ def probe_fold_associativity(
             order_matters = True
             notes.append(f"agent analysis failed ({e}); treating as order-sensitive")
 
-    parallelize = (empirical is not False) and (order_matters is not True)
+    # promotion needs POSITIVE empirical agreement: a skipped or
+    # degenerate replay (None) must not promote on the agent verdict
+    # alone — the gate's documented contract is "both layers agree"
+    parallelize = (empirical is True) and (order_matters is not True)
+    if empirical is None:
+        notes.append("no empirical evidence -> not promoting")
     return AssociativityProbe(
         parallelize=parallelize,
         empirical_match=empirical,
@@ -195,7 +200,12 @@ def should_parallelize_fold(
         rows = head
     if sort_within_group:
         rows = sorted(rows, key=lambda r: tuple(r.get(c) for c in sort_within_group))
-    rows = rows[:sample_size]
+    if len(rows) > sample_size:
+        # strided subsample across the group's span — a sorted prefix
+        # would blind the probe to order-sensitivity that only
+        # manifests in later rows
+        stride = len(rows) // sample_size
+        rows = rows[::stride][:sample_size]
     rk = {k: rows[0][k] for k in keys if rows and k in rows[0]} if keys else {}
     return probe_fold_associativity(
         rows,
@@ -204,6 +214,10 @@ def should_parallelize_fold(
         output_schema=output_schema,
         backend=backend,
         reduce_key=rk,
-        fold_batch_size=fold_batch_size or max(1, len(rows) // 3) or 1,
+        # cap the probe's batch at a third of the sample so the replay
+        # exercises at least ~3 fold steps — a caller batch size >= the
+        # sample would fold everything in ONE base-prompt batch and the
+        # "reorder replay" would never run the fold_prompt at all
+        fold_batch_size=max(1, min(fold_batch_size or len(rows), max(1, len(rows) // 3))),
         agent_check=agent_check,
     )
