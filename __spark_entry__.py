@@ -3679,6 +3679,135 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(gaps, "gap_s", bin_width=3600.0, scale=1)
 
 
+def events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (stats.auc_rank): how well does event value
+    separate purchases from everything else — Mann-Whitney midrank
+    sums on ONE distinct-score shuffle, figure decided by integer DIV
+    (doubled midranks keep every intermediate an integer)."""
+    from docetl_spark.functions.stats import auc_rank
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "label", (F.col("event_type") == "purchase").cast("int")
+    )
+    return auc_rank(ev, "value", "label")
+
+
+def events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence (stats.chi_square_bp): is event type
+    independent of day-of-week — full r×c grid INCLUDING zero-observed
+    cells via the broadcast marginal join, every cell term an integer
+    DIV with the e = r·c/n division cleared."""
+    from docetl_spark.functions.stats import chi_square_bp
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow", F.expr("CAST((ts DIV 86400000000000 + 4) % 7 AS INT)")
+    )
+    return chi_square_bp(ev, "event_type", "dow")
+
+
+def events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (stats.ks_statistic): purchase vs
+    view value distributions — cross-multiplied integer CDF gap on one
+    distinct-value shuffle, max re-agg, zero doubles near the figure."""
+    from docetl_spark.functions.stats import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(ev, "value", "event_type",
+                        group_a="purchase", group_b="view")
+
+
+def orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (stats.concentration_hhi): per priority
+    class, how concentrated is order value across customers — HHI and
+    top-share in integer bp, two combinable aggs, no windows/joins."""
+    from docetl_spark.functions.stats import concentration_hhi
+
+    orders = _t(spark, sf_dir, "orders")
+    return concentration_hhi(orders, "o_totalprice", "o_custkey",
+                             by=["o_orderpriority"])
+
+
+def users_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity (stats.diversity_simpson): per-user unbiased
+    Simpson index over event types — the without-replacement form is a
+    ratio of integers by construction (no entropy logs), one combinable
+    count + one re-agg."""
+    from docetl_spark.functions.stats import diversity_simpson
+
+    ev = _t(spark, sf_dir, "events")
+    return diversity_simpson(ev, "event_type", by=["user_id"])
+
+
+def events_mode_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user mode (stats.mode_by): each user's most
+    frequent event type (smallest-value tiebreak) with exact count and
+    integer-bp share — count agg + one window over the collapsed
+    distinct-value table."""
+    from docetl_spark.functions.stats import mode_by
+
+    ev = _t(spark, sf_dir, "events")
+    return mode_by(ev, "event_type", by=["user_id"])
+
+
+def events_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (stats.lift_table): value-ranked deciles vs the
+    purchase label — global NTILE via the distributed range-partitioned
+    rank (never a bare global window), cumulative lift as integer bp."""
+    from docetl_spark.functions.stats import lift_table
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "label", (F.col("event_type") == "purchase").cast("int")
+    )
+    return lift_table(ev, "value", "label", buckets=10, tiebreak=["event_id"])
+
+
+def docs_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per language (text.vocab_profile): tokens,
+    types, hapax legomena, TTR/hapax bp — vocabulary-cardinality
+    shuffle after map-side combine, two pruned scans."""
+    from docetl_spark.functions.text import vocab_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_profile(docs, "text", id_col="doc_id", by=["lang"])
+
+
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup planning report (dedup.dup_cluster_sizes): exact-duplicate
+    cluster-size distribution over the corpus doubled with an upper-cased
+    variant (same construction as dedup_exact's test bed — every doc's
+    fingerprint cluster has >= 2 members, plus any real dups on top).
+    Two combinable aggs; the second shuffle moves one row per cluster."""
+    from docetl_spark.functions.dedup import dup_cluster_sizes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(docs.withColumn("text", F.upper(F.col("text"))))
+    return dup_cluster_sizes(doubled, "text")
+
+
+def events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak burst rate (timeseries.bursts): each user's max event count
+    in any sliding 1-hour window plus the earliest peak start — one
+    RANGE window on epoch-ns longs riding the per-user shuffle."""
+    from docetl_spark.functions.timeseries import bursts
+
+    ev = _t(spark, sf_dir, "events")
+    return bursts(ev, keys=["user_id"], ts_col="ts", window_ns=3600 * 10**9)
+
+
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix with probabilities
+    (timeseries.transition_probs): per-user event streams rolled to the
+    global from->to matrix, P(to|from) as integer bp via one window
+    over the state-pair-cardinality counts."""
+    from docetl_spark.functions.timeseries import transition_probs
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_probs(
+        ev, keys=["user_id"], ts_col="ts", state_col="event_type",
+        tiebreak="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3892,6 +4021,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pop": events_pop,
         "events_stream_cusum": events_stream_cusum,
         "orders_ship_latency": orders_ship_latency,
+        "events_auc": events_auc,
+        "events_chi2": events_chi2,
+        "events_ks": events_ks,
+        "orders_hhi": orders_hhi,
+        "users_event_diversity": users_event_diversity,
+        "events_mode_by": events_mode_by,
+        "events_lift": events_lift,
+        "docs_vocab_profile": docs_vocab_profile,
+        "docs_dup_clusters": docs_dup_clusters,
+        "events_bursts": events_bursts,
+        "events_markov": events_markov,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -7193,6 +7333,209 @@ def oracle_sql() -> dict[str, str]:
         SELECT bin_lo, CAST(n_rows AS BIGINT) AS n_rows,
                CAST(n_rows * 10000 // SUM(n_rows) OVER () AS BIGINT) AS share_bp
         FROM b"""
+    sql["events_auc"] = """
+        WITH e AS (
+          SELECT value v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END l
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), s AS (
+          SELECT v, CAST(SUM(l) AS HUGEINT) p, CAST(COUNT(*) AS HUGEINT) c
+          FROM e GROUP BY 1
+        ), c AS (
+          SELECT p, c, SUM(c) OVER (ORDER BY v) cum FROM s
+        ), a AS (
+          SELECT SUM(p) np, SUM(c) - SUM(p) nn,
+                 SUM(p * (2*cum - c + 1)) s2
+          FROM c
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               CASE WHEN np > 0 AND nn > 0 THEN
+                 CAST((s2 - np*(np + 1)) * 10000 // (2*np*nn) AS BIGINT)
+               END AS auc_bp
+        FROM a"""
+    sql["events_chi2"] = """
+        WITH e AS (
+          SELECT event_type a,
+                 CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) b
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+          SELECT a, b, CAST(COUNT(*) AS HUGEINT) o FROM e GROUP BY 1, 2
+        ), r AS (SELECT a, SUM(o) r FROM cells GROUP BY 1),
+        c AS (SELECT b, SUM(o) c FROM cells GROUP BY 1),
+        grid AS (
+          SELECT r.a, c.b, r.r, c.c,
+                 COALESCE(cells.o, CAST(0 AS HUGEINT)) o,
+                 SUM(COALESCE(cells.o, CAST(0 AS HUGEINT))) OVER () n
+          FROM r CROSS JOIN c
+          LEFT JOIN cells ON r.a = cells.a AND c.b = cells.b
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+               (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+               CAST(SUM((o*n - r*c) * (o*n - r*c) * 10000 // (r*c*n))
+                    AS BIGINT) AS chi2_bp
+        FROM grid"""
+    sql["events_ks"] = """
+        WITH e AS (
+          SELECT value v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END ia,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END ib
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+        ), s AS (
+          SELECT v, CAST(SUM(ia) AS HUGEINT) a, CAST(SUM(ib) AS HUGEINT) b
+          FROM e GROUP BY 1
+        ), c AS (
+          SELECT SUM(a) OVER (ORDER BY v) ca, SUM(b) OVER (ORDER BY v) cb,
+                 SUM(a) OVER () na, SUM(b) OVER () nb
+          FROM s
+        ), m AS (
+          SELECT MAX(na) na, MAX(nb) nb, MAX(ABS(ca*nb - cb*na)) g FROM c
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(g AS BIGINT) AS ks_num,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(g * 10000 // (na*nb) AS BIGINT)
+               END AS ks_bp
+        FROM m"""
+    sql["orders_hhi"] = """
+        WITH x AS (
+          SELECT o_orderpriority, o_custkey,
+                 SUM(COALESCE(CAST(floor(o_totalprice*100 + 0.5) AS HUGEINT), 0))
+                   AS x
+          FROM orders GROUP BY 1, 2
+        ), s AS (
+          SELECT o_orderpriority, COUNT(*) n_entities, SUM(x) t, MAX(x) m,
+                 SUM(x*x) s2
+          FROM x GROUP BY 1
+        )
+        SELECT o_orderpriority, n_entities, CAST(t AS BIGINT) AS total_cents,
+               CAST(m AS BIGINT) AS top_cents,
+               CASE WHEN t > 0 THEN CAST(s2 * 10000 // (t*t) AS BIGINT) END
+                 AS hhi_bp,
+               CASE WHEN t > 0 THEN CAST(m * 10000 // t AS BIGINT) END
+                 AS top_share_bp
+        FROM s"""
+    sql["users_event_diversity"] = """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS HUGEINT) c
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT user_id, SUM(c) n, COUNT(*) n_categories,
+                 SUM(c*(c - 1)) same
+          FROM c GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n, n_categories,
+               CASE WHEN n > 1 THEN
+                 CAST((n*(n-1) - same) * 10000 // (n*(n-1)) AS BIGINT)
+               END AS simpson_bp
+        FROM s"""
+    sql["events_mode_by"] = """
+        WITH c AS (
+          SELECT user_id, event_type v, COUNT(*) n FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT user_id, v, n,
+                 CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) total,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, v ASC NULLS LAST) rn
+          FROM c
+        )
+        SELECT user_id, v AS mode, n, total,
+               CAST(CAST(n AS HUGEINT) * 10000 // CAST(total AS HUGEINT)
+                    AS BIGINT) AS share_bp
+        FROM r WHERE rn = 1"""
+    sql["events_lift"] = """
+        WITH e AS (
+          SELECT value s, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END l
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), r AS (
+          SELECT l, ROW_NUMBER() OVER (ORDER BY s DESC, event_id ASC) rn,
+                 COUNT(*) OVER () t
+          FROM e
+        ), b AS (
+          SELECT CAST((rn - 1) * 10 // t + 1 AS BIGINT) bucket,
+                 CAST(COUNT(*) AS HUGEINT) n, CAST(SUM(l) AS HUGEINT) p
+          FROM r GROUP BY 1
+        ), c AS (
+          SELECT bucket, n, p,
+                 SUM(n) OVER (ORDER BY bucket) cn, SUM(p) OVER (ORDER BY bucket) cp,
+                 SUM(n) OVER () tn, SUM(p) OVER () tp
+          FROM b
+        )
+        SELECT bucket, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+               CAST(p * 10000 // n AS BIGINT) AS rate_bp,
+               CAST(cp * 10000 // cn AS BIGINT) AS cum_rate_bp,
+               CASE WHEN tp > 0 THEN
+                 CAST(cp * tn * 10000 // (cn*tp) AS BIGINT)
+               END AS lift_bp
+        FROM c"""
+    sql["docs_vocab_profile"] = r"""
+        WITH tok AS (
+          SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) t
+          FROM documents
+        ), tk AS (SELECT lang, t FROM tok WHERE t <> ''),
+        pt AS (SELECT lang, t, CAST(COUNT(*) AS HUGEINT) c FROM tk GROUP BY 1, 2),
+        s AS (
+          SELECT lang, SUM(c) tokc, CAST(COUNT(*) AS HUGEINT) typ,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT) hap
+          FROM pt GROUP BY 1
+        ), d AS (
+          SELECT lang, COUNT(DISTINCT doc_id) n_docs FROM documents
+          WHERE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) > 0
+          GROUP BY 1
+        )
+        SELECT s.lang, d.n_docs, CAST(tokc AS BIGINT) AS n_tokens,
+               CAST(typ AS BIGINT) AS n_types, CAST(hap AS BIGINT) AS n_hapax,
+               CAST(typ * 10000 // tokc AS BIGINT) AS ttr_bp,
+               CAST(hap * 10000 // typ AS BIGINT) AS hapax_bp
+        FROM s LEFT JOIN d ON s.lang = d.lang"""
+    sql["docs_dup_clusters"] = r"""
+        WITH variants AS (
+          SELECT text FROM documents
+          UNION ALL
+          SELECT upper(text) FROM documents
+        ), fp AS (
+          SELECT md5(array_to_string(list_filter(list_transform(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+                   t -> t <> ''), ' ')) f
+          FROM variants
+        ), cl AS (SELECT f, COUNT(*) sz FROM fp GROUP BY 1)
+        SELECT sz AS size, COUNT(*) AS n_clusters,
+               sz * COUNT(*) AS n_rows,
+               (sz - 1) * COUNT(*) AS rows_removed
+        FROM cl GROUP BY 1"""
+    sql["events_bursts"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) t FROM events WHERE ts IS NOT NULL
+        ), c AS (
+          SELECT user_id, t,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN CURRENT ROW AND 3599999999999 FOLLOWING) n
+          FROM e
+        ), m AS (SELECT user_id, MAX(n) peak_n FROM c GROUP BY 1)
+        SELECT m.user_id, CAST(m.peak_n AS BIGINT) AS peak_n,
+               CAST(MIN(c.t) AS BIGINT) AS peak_start_ns
+        FROM m JOIN c ON c.user_id = m.user_id AND c.n = m.peak_n
+        GROUP BY 1, 2"""
+    sql["events_markov"] = """
+        WITH p AS (
+          SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) f,
+                 event_type t
+          FROM events
+        ), c AS (
+          SELECT f from_state, t to_state, COUNT(*) n
+          FROM p WHERE f IS NOT NULL GROUP BY 1, 2
+        ), w AS (
+          SELECT from_state, to_state, n,
+                 CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) ft
+          FROM c
+        )
+        SELECT from_state, to_state, n, ft AS from_total,
+               CAST(CAST(n AS HUGEINT) * 10000 // CAST(ft AS HUGEINT)
+                    AS BIGINT) AS prob_bp
+        FROM w"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -275,6 +275,17 @@ BENCH_QUERIES = [
     "events_active_users_approx",
     "events_debounce",
     "events_throttle",
+    "events_auc",
+    "events_chi2",
+    "events_ks",
+    "orders_hhi",
+    "users_event_diversity",
+    "events_mode_by",
+    "events_lift",
+    "docs_vocab_profile",
+    "docs_dup_clusters",
+    "events_bursts",
+    "events_markov",
 ]
 
 

@@ -1526,6 +1526,131 @@ class SemanticFrame:
             weights={int(k): float(v) for k, v in weights.items()}, **kw,
         )
 
+    def auc(self, score_col: str, label_col: str, *,
+            by: list[str] | None = None) -> "SemanticFrame":
+        """Exact ROC-AUC (Mann-Whitney midranks) in integer bp — see
+        functions/stats.auc_rank."""
+        from .functions import stats
+
+        return self._next(
+            stats.auc_rank(self.df, score_col, label_col, by=by),
+            "auc", score_col=score_col, label_col=label_col, by=by,
+        )
+
+    def chi_square(self, col_a: str, col_b: str, *,
+                   by: list[str] | None = None) -> "SemanticFrame":
+        """Chi-square independence statistic in integer bp — see
+        functions/stats.chi_square_bp."""
+        from .functions import stats
+
+        return self._next(
+            stats.chi_square_bp(self.df, col_a, col_b, by=by),
+            "chi_square", col_a=col_a, col_b=col_b, by=by,
+        )
+
+    def ks_test(self, value_col: str, group_col: str, *, group_a, group_b,
+                by: list[str] | None = None) -> "SemanticFrame":
+        """Two-sample Kolmogorov-Smirnov statistic, exact integer
+        formulation — see functions/stats.ks_statistic."""
+        from .functions import stats
+
+        return self._next(
+            stats.ks_statistic(self.df, value_col, group_col,
+                               group_a=group_a, group_b=group_b, by=by),
+            "ks_test", value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b, by=by,
+        )
+
+    def concentration(self, value_col: str, entity_col: str, *,
+                      by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Herfindahl-Hirschman concentration + top share in bp — see
+        functions/stats.concentration_hhi."""
+        from .functions import stats
+
+        return self._next(
+            stats.concentration_hhi(self.df, value_col, entity_col, by=by, **kw),
+            "concentration", value_col=value_col, entity_col=entity_col,
+            by=by, **kw,
+        )
+
+    def diversity(self, category_col: str, *,
+                  by: list[str] | None = None) -> "SemanticFrame":
+        """Unbiased Simpson diversity in bp — see
+        functions/stats.diversity_simpson."""
+        from .functions import stats
+
+        return self._next(
+            stats.diversity_simpson(self.df, category_col, by=by),
+            "diversity", category_col=category_col, by=by,
+        )
+
+    def mode(self, value_col: str, *,
+             by: list[str] | None = None) -> "SemanticFrame":
+        """Deterministic per-group mode with count and bp share — see
+        functions/stats.mode_by."""
+        from .functions import stats
+
+        return self._next(
+            stats.mode_by(self.df, value_col, by=by),
+            "mode", value_col=value_col, by=by,
+        )
+
+    def lift_table(self, score_col: str, label_col: str, **kw) -> "SemanticFrame":
+        """Decile lift table (exact bp figures, distributed global
+        NTILE) — see functions/stats.lift_table."""
+        from .functions import stats
+
+        return self._next(
+            stats.lift_table(self.df, score_col, label_col, **kw),
+            "lift_table", score_col=score_col, label_col=label_col, **kw,
+        )
+
+    def vocab_profile(self, text_col: str, *, id_col: str,
+                      by: list[str] | None = None) -> "SemanticFrame":
+        """Lexical-richness profile (tokens/types/hapax, TTR bp) — see
+        functions/text.vocab_profile."""
+        from .functions import text as textf
+
+        return self._next(
+            textf.vocab_profile(self.df, text_col, id_col=id_col, by=by),
+            "vocab_profile", text_col=text_col, id_col=id_col, by=by,
+        )
+
+    def dup_cluster_sizes(self, text_col: str, *,
+                          by: list[str] | None = None) -> "SemanticFrame":
+        """Exact-duplicate cluster-size distribution (dedup planning
+        report) — see functions/dedup.dup_cluster_sizes."""
+        from .functions import dedup as dedupf
+
+        return self._next(
+            dedupf.dup_cluster_sizes(self.df, text_col, by=by),
+            "dup_cluster_sizes", text_col=text_col, by=by,
+        )
+
+    def bursts(self, *, keys: list[str], ts_col: str,
+               window_ns: int) -> "SemanticFrame":
+        """Peak sliding-window burst rate per key — see
+        functions/timeseries.bursts."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.bursts(self.df, keys=keys, ts_col=ts_col, window_ns=window_ns),
+            "bursts", keys=keys, ts_col=ts_col, window_ns=window_ns,
+        )
+
+    def transition_probs(self, *, keys: list[str], ts_col: str,
+                         state_col: str, **kw) -> "SemanticFrame":
+        """Markov transition matrix with integer-bp conditional
+        probabilities — see functions/timeseries.transition_probs."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.transition_probs(self.df, keys=keys, ts_col=ts_col,
+                                 state_col=state_col, **kw),
+            "transition_probs", keys=keys, ts_col=ts_col,
+            state_col=state_col, **kw,
+        )
+
     # --------------------------------------------------- external-IO ops
     def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
         return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")

@@ -533,3 +533,45 @@ def edit_distance_pairs(
             F.levenshtein(F.col("a._tx"), F.col("b._tx")).cast("long").alias("distance"),
         )
     )
+
+
+def dup_cluster_sizes(
+    df: DataFrame,
+    text_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: group rows by the
+    normalized-text fingerprint (the exact_dedup key) and report, for
+    each cluster size s, how many clusters have that size and how many
+    rows they hold — the dedup PLANNING report run before the dedup
+    itself ("how much will exact dedup remove, and is the mass in a few
+    giant clusters or a long tail of pairs?"). ``rows_removed`` per
+    size is (s−1)·n_clusters — summing it over the table is the exact
+    row count exact_dedup would drop.
+
+    NULL texts share one fingerprint cluster (they are exact duplicates
+    of each other under normalization). Output: ``by`` + ``size`` +
+    ``n_clusters`` + ``n_rows`` + ``rows_removed``.
+
+    Plan: two map-side-combinable aggregations — rows → (by,
+    fingerprint) counts → (by, size) counts. The second shuffle moves
+    one row per CLUSTER, the third one row per distinct size; nothing
+    is ever collected, and no window touches the raw stream. Safe at
+    any scale the fingerprint groupBy itself is safe at.
+    """
+    reserved = {"size", "n_clusters", "n_rows", "rows_removed", "_dc_f"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"dup_cluster_sizes reserves column names {clash}")
+    per_cluster = (
+        df.select(*(by or []), fingerprint(F.col(text_col)).alias("_dc_f"))
+        .groupBy(*(by or []), "_dc_f")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return (
+        per_cluster.groupBy(*(by or []), "size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_rows", F.col("size") * F.col("n_clusters"))
+        .withColumn("rows_removed", (F.col("size") - 1) * F.col("n_clusters"))
+    )

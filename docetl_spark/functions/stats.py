@@ -1571,3 +1571,455 @@ def target_encode_loo(
         F.expr("CAST((_te_s - _te_x) * 1000 DIV (_te_n - 1) AS BIGINT)"),
     )
     return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")
+
+
+def auc_rank(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT ROC-AUC per group via the Mann-Whitney rank-sum identity,
+    in integer basis points: AUC = (Σ 2·midrank(pos) − n_pos·(n_pos+1))
+    / (2·n_pos·n_neg), with ties handled by midranks. Doubling the
+    midrank keeps every intermediate an integer (a tie group's midrank
+    is the only half-integer in the classic formula), so the figure is
+    decided by one integer DIV — no doubles anywhere near the cut.
+
+    ``label_col`` must be 0/1 (ints or booleans); any other non-NULL
+    value raises loudly. Rows with a NULL score or NULL label drop.
+    Groups missing a class (n_pos or n_neg = 0) emit NULL auc_bp —
+    AUC is undefined there, and a silent 0 or 10000 would read as a
+    (perfectly bad/good) model.
+
+    Output: ``by`` + ``n_pos`` + ``n_neg`` + ``auc_bp``.
+
+    Plan: ONE shuffle on (by, score) collapses the stream to distinct
+    scores map-side (pos/total counts per score), a cumulative window
+    per group rides the same shuffle to place each tie-group's rank
+    range, and a final re-agg sums Σ 2·midrank over positives. Cost is
+    bounded by DISTINCT score count per group, never row count — the
+    exact-order-statistic posture shared with exact_quantiles.
+    """
+    reserved = {"n_pos", "n_neg", "auc_bp", "_auc_p", "_auc_c", "_auc_cum", "_auc_s2"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"auc_rank reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    lab = F.col(label_col).cast("long")
+    checked = F.when(
+        ~lab.isin(0, 1),
+        F.raise_error(F.lit("auc_rank: label_col must be 0/1")),
+    ).otherwise(lab)
+    per_score = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(*(by or []), F.col(score_col).alias("_auc_v"), checked.alias("_auc_l"))
+        .groupBy(*part, "_auc_v")
+        .agg(
+            F.sum("_auc_l").cast("decimal(38,0)").alias("_auc_p"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_auc_c"),
+        )
+    )
+    wcum = W.partitionBy(*part).orderBy(F.col("_auc_v").asc())
+    cum = per_score.withColumn("_auc_cum", F.sum("_auc_c").over(wcum))
+    # a tie group occupying ranks (cum-c, cum] has 2*midrank = 2*cum - c + 1
+    sums = cum.groupBy(*(by or [])).agg(
+        F.sum("_auc_p").alias("_np"),
+        (F.sum("_auc_c") - F.sum("_auc_p")).alias("_nn"),
+        F.sum(
+            F.col("_auc_p") * (F.lit(2) * F.col("_auc_cum") - F.col("_auc_c") + F.lit(1))
+        ).alias("_auc_s2"),
+    )
+    return sums.select(
+        *(by or []),
+        F.col("_np").cast("long").alias("n_pos"),
+        F.col("_nn").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("_np") > 0) & (F.col("_nn") > 0),
+            F.expr("CAST((_auc_s2 - _np * (_np + 1)) * 10000 DIV (2 * _np * _nn) AS BIGINT)"),
+        ).alias("auc_bp"),
+    )
+
+
+def chi_square_bp(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Chi-square independence statistic between two categorical
+    columns, in EXACT integer basis points: with o the observed count
+    of cell (a,b), r/c the marginals and n the total,
+    Σ (o·n − r·c)² · 10000 DIV (r·c·n) — each cell's term is the
+    classic (o−e)²/e with the double division cleared (e = r·c/n), so
+    the figure is a sum of integer DIVs, reproducible bit-for-bit.
+
+    The sum runs over the FULL r×c grid including zero-observed cells
+    (whose term is the full expected count r·c·10000 DIV n) — dropping
+    them understates the statistic exactly where dependence is
+    strongest. NULL categories drop (they are missingness, not a
+    level). Output: ``by`` + ``n`` + ``n_cells`` + ``dof`` + ``chi2_bp``.
+
+    Plan: one count aggregation per observed cell, two marginal re-aggs,
+    and the full grid materialized as a broadcast join of the (small,
+    category-cardinality) marginal tables via the non-foldable constant
+    key — the raw stream is shuffled ONCE; everything after is bounded
+    by category cardinality, never row count.
+    """
+    reserved = {"n", "n_cells", "dof", "chi2_bp", "_c2_a", "_c2_b", "_c2_o",
+                "_c2_r", "_c2_c", "_c2_n"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"chi_square_bp reserves column names {clash}")
+    bys = list(by or [])
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(*bys, F.col(col_a).alias("_c2_a"), F.col(col_b).alias("_c2_b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c2_o"))
+    )
+    rows = cells.groupBy(*bys, "_c2_a").agg(F.sum("_c2_o").alias("_c2_r"))
+    colsm = cells.groupBy(*bys, "_c2_b").agg(F.sum("_c2_o").alias("_c2_c"))
+    if bys:
+        grid = rows.join(colsm, bys)
+    else:
+        grid = (
+            rows.withColumn("_gk", nonfoldable_const_key("_c2_a"))
+            .join(F.broadcast(colsm.withColumn("_gk", nonfoldable_const_key("_c2_b"))), "_gk")
+            .drop("_gk")
+        )
+    full = grid.join(cells, bys + ["_c2_a", "_c2_b"], "left").withColumn(
+        "_c2_o", F.coalesce(F.col("_c2_o"), F.lit(0).cast("decimal(38,0)"))
+    )
+    wall = W.partitionBy(*[F.col(c) for c in bys]) if bys else W.partitionBy(F.lit(1))
+    withn = full.withColumn("_c2_n", F.sum(
+        F.col("_c2_o")).over(wall))
+    term = F.expr(
+        "(_c2_o * _c2_n - _c2_r * _c2_c) * (_c2_o * _c2_n - _c2_r * _c2_c) * 10000"
+        " DIV (_c2_r * _c2_c * _c2_n)"
+    )
+    return (
+        withn.groupBy(*bys)
+        .agg(
+            F.max("_c2_n").cast("long").alias("n"),
+            F.count(F.lit(1)).alias("n_cells"),
+            ((F.countDistinct("_c2_a") - 1) * (F.countDistinct("_c2_b") - 1)).alias("dof"),
+            F.sum(term).cast("long").alias("chi2_bp"),
+        )
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    group_a,
+    group_b,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two populations, EXACT: D = max_x |F_a(x) − F_b(x)|
+    decided on the cross-multiplied integers |cum_a·n_b − cum_b·n_a|
+    (denominator n_a·n_b cleared), reported as ``ks_bp`` = the max
+    numerator · 10000 DIV (n_a·n_b) plus the raw integer pair — the
+    drift detector behind train/serve skew and A/B sanity checks, with
+    zero doubles near the decision.
+
+    Rows outside the two groups or with NULL values drop. If either
+    side is empty the group emits NULL ks_bp (the statistic is
+    undefined, not 0). Output: ``by`` + ``n_a`` + ``n_b`` + ``ks_num``
+    + ``ks_bp``.
+
+    Plan: ONE shuffle on (by, value) collapses to distinct pooled
+    values with per-side counts map-side; the two cumulative sums ride
+    one window over that shuffle; a final max re-agg. Bounded by
+    distinct-value count — the exact-order-statistic posture.
+    """
+    reserved = {"n_a", "n_b", "ks_num", "ks_bp", "_ks_a", "_ks_b"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"ks_statistic reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    g = F.col(group_col)
+    per_val = (
+        df.filter(F.col(value_col).isNotNull() & g.isin(group_a, group_b))
+        .select(
+            *(by or []),
+            F.col(value_col).alias("_ks_v"),
+            F.when(g == F.lit(group_a), 1).otherwise(0).cast("decimal(38,0)").alias("_ks_ia"),
+            F.when(g == F.lit(group_b), 1).otherwise(0).cast("decimal(38,0)").alias("_ks_ib"),
+        )
+        .groupBy(*part, "_ks_v")
+        .agg(F.sum("_ks_ia").alias("_ks_a"), F.sum("_ks_ib").alias("_ks_b"))
+    )
+    wcum = W.partitionBy(*part).orderBy(F.col("_ks_v").asc())
+    wall = W.partitionBy(*part)
+    cum = (
+        per_val.withColumn("_ca", F.sum("_ks_a").over(wcum))
+        .withColumn("_cb", F.sum("_ks_b").over(wcum))
+        .withColumn("_na", F.sum("_ks_a").over(wall))
+        .withColumn("_nb", F.sum("_ks_b").over(wall))
+    )
+    gap = F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
+    return (
+        cum.withColumn("_gap", gap)
+        .groupBy(*(by or []))
+        .agg(
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+            F.max("_gap").cast("long").alias("ks_num"),
+        )
+        .withColumn("ks_bp", F.expr(
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            " CAST(ks_num AS DECIMAL(38,0)) * 10000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
+            " END AS BIGINT)"))
+    )
+
+
+def concentration_hhi(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group, EXACT in
+    integer basis points: with x_i the fixed-point total of entity i and
+    T the group total, HHI = Σ x_i² · 10000 DIV T² — the
+    market-concentration / key-skew figure (10000 = monopoly,
+    10000/k = k equal entities) with the share squaring done on
+    integers, never on per-entity double shares.
+
+    Also emits ``top_share_bp`` (largest single entity's share) — the
+    companion figure regulators and skew dashboards quote next to HHI.
+    Negative values raise (shares lose meaning below zero, the gini_bp
+    posture); NULL values count 0; NULL entities are a real entity
+    level (missingness concentration is still concentration). Zero- or
+    negative-total groups emit NULL figures.
+
+    Output: ``by`` + ``n_entities`` + ``total_cents`` + ``top_cents``
+    + ``hhi_bp`` + ``top_share_bp``.
+
+    Plan: one map-side-combinable aggregation to (by, entity) totals,
+    one re-agg to the group — bounded by entity cardinality after the
+    first combine; no windows, no joins.
+    """
+    reserved = {"n_entities", "total_cents", "top_cents", "hhi_bp",
+                "top_share_bp", "_hh_x", "_hh_e"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"concentration_hhi reserves column names {clash}")
+    cents = to_cents(value_col, scale)
+    x = F.coalesce(
+        F.when(
+            cents < 0,
+            F.raise_error(F.lit("concentration_hhi: negative values are invalid")),
+        ).otherwise(cents),
+        F.lit(0),
+    ).cast("decimal(38,0)")
+    per_entity = (
+        df.select(*(by or []), F.col(entity_col).alias("_hh_e"), x.alias("_hh_x"))
+        .groupBy(*(by or []), "_hh_e")
+        .agg(F.sum("_hh_x").alias("_hh_x"))
+    )
+    sums = per_entity.groupBy(*(by or [])).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("_hh_x").alias("_t"),
+        F.max("_hh_x").alias("_m"),
+        F.sum(F.col("_hh_x") * F.col("_hh_x")).alias("_s2"),
+    )
+    return sums.select(
+        *(by or []),
+        "n_entities",
+        F.col("_t").cast("long").alias("total_cents"),
+        F.col("_m").cast("long").alias("top_cents"),
+        F.when(F.col("_t") > 0,
+               F.expr("CAST(_s2 * 10000 DIV (_t * _t) AS BIGINT)")).alias("hhi_bp"),
+        F.when(F.col("_t") > 0,
+               F.expr("CAST(_m * 10000 DIV _t AS BIGINT)")).alias("top_share_bp"),
+    )
+
+
+def diversity_simpson(
+    df: DataFrame,
+    category_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Unbiased Simpson diversity per group, EXACT in integer basis
+    points: 1 − Σ c_i(c_i−1) / (n(n−1)) — the probability two draws
+    WITHOUT replacement differ in category. The finite-sample form is
+    a ratio of integers by construction (unlike Shannon entropy, whose
+    logs would put doubles in the figure), so the bp value is one
+    integer DIV: (n(n−1) − Σ c_i(c_i−1)) · 10000 DIV (n(n−1)).
+
+    The behavioral-diversity screen: 0 = every observation the same
+    category, →10000 = all distinct. NULL categories are a real level
+    (same posture as concentration_hhi). Groups with n < 2 emit NULL
+    (no pair to draw). Output: ``by`` + ``n`` + ``n_categories`` +
+    ``simpson_bp``.
+
+    Plan: one map-side-combinable count to (by, category), one re-agg —
+    bounded by category cardinality after the first combine.
+    """
+    reserved = {"n", "n_categories", "simpson_bp", "_dv_c"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"diversity_simpson reserves column names {clash}")
+    per_cat = (
+        df.groupBy(*(by or []), F.col(category_col).alias("_dv_cat"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_dv_c"))
+    )
+    sums = per_cat.groupBy(*(by or [])).agg(
+        F.sum("_dv_c").alias("_n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("_dv_c") * (F.col("_dv_c") - 1)).alias("_same"),
+    )
+    return sums.select(
+        *(by or []),
+        F.col("_n").cast("long").alias("n"),
+        "n_categories",
+        F.when(
+            F.col("_n") > 1,
+            F.expr("CAST((_n * (_n - 1) - _same) * 10000 DIV (_n * (_n - 1)) AS BIGINT)"),
+        ).alias("simpson_bp"),
+    )
+
+
+def mode_by(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic mode per group: the most frequent value, ties
+    broken by smallest value — plus its exact count and share in basis
+    points (n · 10000 DIV total). NULL values are a real level and can
+    win (missingness being the most common state is worth surfacing);
+    a NULL mode with share_bp answers "how dominant is the dominant
+    value" either way.
+
+    Output: ``by`` + ``mode`` + ``n`` + ``total`` + ``share_bp``.
+
+    Plan: one map-side-combinable count to (by, value), then a
+    row_number window + total sum riding the SAME (by)-keyed shuffle —
+    bounded by distinct-value cardinality after the first combine.
+    """
+    reserved = {"mode", "n", "total", "share_bp", "_md_v", "_md_n"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"mode_by reserves column names {clash}")
+    part = [F.col(c) for c in (by or [])]
+    counts = (
+        df.groupBy(*(by or []), F.col(value_col).alias("_md_v"))
+        .agg(F.count(F.lit(1)).alias("_md_n"))
+    )
+    wr = W.partitionBy(*part).orderBy(
+        F.col("_md_n").desc(), F.col("_md_v").asc_nulls_last()
+    )
+    wall = W.partitionBy(*part)
+    return (
+        counts.withColumn("_r", F.row_number().over(wr))
+        .withColumn("total", F.sum("_md_n").over(wall))
+        .filter(F.col("_r") == 1)
+        .select(
+            *(by or []),
+            F.col("_md_v").alias("mode"),
+            F.col("_md_n").alias("n"),
+            "total",
+            F.expr("CAST(CAST(_md_n AS DECIMAL(38,0)) * 10000"
+                   " DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    buckets: int = 10,
+    tiebreak: list[str] | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Decile lift table for a score against a 0/1 label, EXACT: rows
+    rank by score DESC (NTILE semantics — the first total%buckets
+    buckets take the extra row), and each bucket reports its positive
+    count, rate, cumulative rate, and cumulative lift vs the base rate,
+    every figure an integer-DIV basis-point value. The model-targeting
+    report ("mail the top 2 deciles") with no doubles near any figure:
+    lift_bp = cum_pos · total_n · 10000 DIV (cum_n · total_pos).
+
+    Pass ``tiebreak`` ending in a unique id — NTILE is an order-based
+    assignment, so equal scores straddling a bucket edge land
+    deterministically only under a total order. Labels must be 0/1
+    (raises otherwise); NULL scores/labels drop. All-negative groups
+    emit NULL lift_bp (base rate 0 — lift undefined).
+
+    Output: ``by`` + ``bucket`` + ``n`` + ``n_pos`` + ``rate_bp`` +
+    ``cum_rate_bp`` + ``lift_bp``.
+
+    Plan: with ``by``, the ntile window per group (one sorted task per
+    group); WITHOUT ``by``, the distributed range-partitioned global
+    rank (rank.py) — never a bare global window — then one count-
+    bounded aggregation to ``buckets`` rows and two cumulative windows
+    over those.
+    """
+    if buckets < 1:
+        raise ValueError("lift_table needs buckets >= 1")
+    reserved = {"bucket", "n", "n_pos", "rate_bp", "cum_rate_bp", "lift_bp",
+                "_lt_l", "_lt_r", "_lt_t"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"lift_table reserves column names {clash}")
+    lab = F.col(label_col).cast("long")
+    checked = F.when(
+        ~lab.isin(0, 1),
+        F.raise_error(F.lit("lift_table: label_col must be 0/1")),
+    ).otherwise(lab)
+    base = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(*(by or []), F.col(score_col).alias("_lt_s"), checked.alias("_lt_l"),
+                *[F.col(c) for c in (tiebreak or [])])
+    )
+    order = [F.col("_lt_s").desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    if by:
+        w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+        bucketed = base.withColumn("bucket", F.ntile(buckets).over(w).cast("long"))
+    else:
+        from ..operators.rank import _global_row_number
+
+        g = _global_row_number(base, order, "_lt_r")
+        tot = g.agg(F.count(F.lit(1)).alias("_lt_t"))
+        bucketed = broadcast_scalar_join(
+            g, tot, df_col="_lt_r", scalar_col="_lt_t"
+        ).withColumn(
+            "bucket", F.expr(f"(_lt_r - 1) * {int(buckets)} DIV _lt_t + 1")
+        ).drop("_lt_r", "_lt_t")
+    per_bucket = bucketed.groupBy(*(by or []), "bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_lt_l").cast("decimal(38,0)").alias("_p"),
+    )
+    part = [F.col(c) for c in (by or [])]
+    wcum = W.partitionBy(*part).orderBy(F.col("bucket").asc())
+    wall = W.partitionBy(*part)
+    cum = (
+        per_bucket.withColumn("_cn", F.sum("_n").over(wcum))
+        .withColumn("_cp", F.sum("_p").over(wcum))
+        .withColumn("_tn", F.sum("_n").over(wall))
+        .withColumn("_tp", F.sum("_p").over(wall))
+    )
+    return cum.select(
+        *(by or []),
+        "bucket",
+        F.col("_n").cast("long").alias("n"),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.expr("CAST(_p * 10000 DIV _n AS BIGINT)").alias("rate_bp"),
+        F.expr("CAST(_cp * 10000 DIV _cn AS BIGINT)").alias("cum_rate_bp"),
+        F.when(F.col("_tp") > 0, F.expr(
+            "CAST(_cp * _tn * 10000 DIV (_cn * _tp) AS BIGINT)")).alias("lift_bp"),
+    )

@@ -513,3 +513,66 @@ def readability(col) -> Column:
         F.when(n_words > 0, syll).otherwise(F.lit(0).cast("long")).alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+def vocab_profile(df, text_col: str, *, id_col: str, by: list[str] | None = None):
+    """Lexical-richness profile per corpus slice: total token count,
+    distinct types, hapax legomena (frequency-1 types), and the EXACT
+    integer-bp type-token and hapax ratios (types·10000 DIV tokens,
+    hapax·10000 DIV types). The corpus-health companion to term_stats —
+    a collapsing TTR flags boilerplate/duplication, a collapsing hapax
+    share flags template text, language slices compare directly.
+
+    Empty/whitespace-only docs contribute nothing; a slice with zero
+    tokens vanishes (no vocabulary to profile). Output: ``by`` +
+    ``n_docs`` + ``n_tokens`` + ``n_types`` + ``n_hapax`` + ``ttr_bp``
+    + ``hapax_bp``.
+
+    Scale: explode → per-(by, term) count (map-side combinable: the
+    shuffle moves vocabulary-cardinality rows, not token-cardinality)
+    → one re-agg; n_docs is a second pass over the (id, text)
+    projection — two pruned scans beat dragging the doc dimension
+    through the vocabulary shuffle.
+    """
+    reserved = {"n_docs", "n_tokens", "n_types", "n_hapax", "ttr_bp",
+                "hapax_bp", "_vp_t", "_vp_n"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"vocab_profile reserves column names {clash}")
+    per_term = (
+        df.select(
+            *(by or []),
+            F.explode(tokens(F.trim(F.lower(F.col(text_col))))).alias("_vp_t"),
+        )
+        .filter(F.col("_vp_t") != "")
+        .groupBy(*(by or []), "_vp_t")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_vp_n"))
+    )
+    sums = per_term.groupBy(*(by or [])).agg(
+        F.sum("_vp_n").alias("_tok"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_typ"),
+        F.sum(F.when(F.col("_vp_n") == 1, 1).otherwise(0)).cast("decimal(38,0)").alias("_hap"),
+    )
+    # distinct contributing docs per slice (docs with >=1 token)
+    docs = (
+        df.select(*(by or []), F.col(id_col).alias("_vp_id"))
+        .filter(F.size(F.filter(tokens(F.trim(F.lower(F.col(text_col)))),
+                                lambda t: t != "")) > 0)
+        .groupBy(*(by or []))
+        .agg(F.countDistinct("_vp_id").alias("n_docs"))
+    )
+    if by:
+        joined = sums.join(docs, by, "left")
+    else:
+        from .stats import broadcast_scalar_join
+
+        joined = broadcast_scalar_join(sums, docs, df_col="_tok", scalar_col="n_docs")
+    return joined.select(
+        *(by or []),
+        "n_docs",
+        F.col("_tok").cast("long").alias("n_tokens"),
+        F.col("_typ").cast("long").alias("n_types"),
+        F.col("_hap").cast("long").alias("n_hapax"),
+        F.expr("CAST(_typ * 10000 DIV _tok AS BIGINT)").alias("ttr_bp"),
+        F.expr("CAST(_hap * 10000 DIV _typ AS BIGINT)").alias("hapax_bp"),
+    )

@@ -2356,3 +2356,101 @@ def cohort_values(
         W.unboundedPreceding, W.currentRow
     )
     return rolled.withColumn("cum_cents", F.sum("period_cents").over(wcum))
+
+
+def bursts(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    window_ns: int,
+) -> DataFrame:
+    """Peak burst rate per key: the maximum number of events falling in
+    ANY sliding window of width ``window_ns`` that starts at an event —
+    the classic exact formulation (every maximal burst's window starts
+    at some event), plus the earliest window start achieving the peak.
+    The rate-anomaly screen behind abuse detection and hot-session
+    triage: "this user fired 400 events in one minute" is a burst count,
+    not an average.
+
+    Events with NULL timestamps drop (no position on the axis). Output:
+    ``keys`` + ``peak_n`` + ``peak_start_ns`` (epoch nanoseconds of the
+    earliest peak window's first event). ``ts_col`` follows this
+    module's convention: an epoch-nanos long (the readers normalize
+    timestamps to that), so the long cast is exact — never a
+    double-multiply, whose 53-bit mantissa misplaces ns edges.
+
+    Plan: ONE shuffle on the key — a RANGE window (current ts to
+    ts + window_ns − 1, in long nanoseconds) counts each candidate
+    window on the sorted per-key stream, and the max/argmin re-agg
+    rides the same partitioning. Per-key state is the window's event
+    span, never the whole key history; the per-key sort is the same
+    bound as sessionize.
+    """
+    if not keys:
+        raise ValueError("bursts requires at least one key column")
+    if int(window_ns) <= 0:
+        raise ValueError("bursts needs window_ns > 0")
+    reserved = {"peak_n", "peak_start_ns", "_bu_t", "_bu_n"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"bursts reserves column names {clash}")
+    tns = F.col(ts_col).cast("long")
+    w = (
+        W.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("_bu_t").asc())
+        .rangeBetween(0, int(window_ns) - 1)
+    )
+    counted = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*keys, tns.alias("_bu_t"))
+        .withColumn("_bu_n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        counted.groupBy(*keys)
+        .agg(
+            F.max("_bu_n").alias("peak_n"),
+            F.min_by("_bu_t", F.struct(
+                (-F.col("_bu_n")).alias("a"), F.col("_bu_t").alias("b"))
+            ).alias("peak_start_ns"),
+        )
+    )
+
+
+def transition_probs(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix with probabilities: the
+    ``transitions`` counts plus each row's EXACT integer-bp conditional
+    probability P(to|from) = n · 10000 DIV Σ_from n — the
+    product-analytics "where do users go from here" table with no
+    doubles in the figure.
+
+    Output: ``by`` + ``from_state`` + ``to_state`` + ``n`` +
+    ``from_total`` + ``prob_bp``.
+
+    Plan: the transitions lag-window + count (one raw-stream shuffle),
+    then the per-from_state total as a window over the counted matrix —
+    bounded by state-pair cardinality, never row count.
+    """
+    counts = transitions(
+        df, keys=keys, ts_col=ts_col, state_col=state_col,
+        tiebreak=tiebreak, by=by,
+    )
+    reserved = {"from_total", "prob_bp"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"transition_probs reserves column names {clash}")
+    wfrom = W.partitionBy(*[F.col(c) for c in (by or [])], F.col("from_state"))
+    return (
+        counts.withColumn("from_total", F.sum("n").over(wfrom))
+        .withColumn("prob_bp", F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 10000"
+            " DIV CAST(from_total AS DECIMAL(38,0)) AS BIGINT)"))
+    )

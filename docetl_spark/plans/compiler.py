@@ -344,6 +344,31 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.basket_pairs(c.pop("basket_col"), c.pop("item_col"), **c)
     if t == "audience_overlap":
         return sf.audience_overlap(c.pop("entity_col"), c.pop("group_col"), **c)
+    if t == "auc":
+        return sf.auc(c.pop("score_col"), c.pop("label_col"), **c)
+    if t == "chi_square":
+        return sf.chi_square(c.pop("col_a"), c.pop("col_b"), **c)
+    if t == "ks_test":
+        return sf.ks_test(c.pop("value_col"), c.pop("group_col"),
+                          group_a=c.pop("group_a"), group_b=c.pop("group_b"), **c)
+    if t == "concentration":
+        return sf.concentration(c.pop("value_col"), c.pop("entity_col"), **c)
+    if t == "diversity":
+        return sf.diversity(c.pop("category_col"), **c)
+    if t == "mode":
+        return sf.mode(c.pop("value_col"), **c)
+    if t == "lift_table":
+        return sf.lift_table(c.pop("score_col"), c.pop("label_col"), **c)
+    if t == "vocab_profile":
+        return sf.vocab_profile(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "dup_cluster_sizes":
+        return sf.dup_cluster_sizes(c.pop("text_col"), **c)
+    if t == "bursts":
+        return sf.bursts(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                         window_ns=c.pop("window_ns"))
+    if t == "transition_probs":
+        return sf.transition_probs(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                   state_col=c.pop("state_col"), **c)
     if t == "rfm_segments":
         return sf.rfm_segments(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                amount_col=c.pop("amount_col"), **c)

@@ -52,6 +52,9 @@ _KNOWN_OPS = {
     "collapse_rare", "target_encode_loo",
     "active_users_approx", "debounce", "throttle",
     "fk_violations",
+    "auc", "chi_square", "ks_test", "concentration", "diversity",
+    "mode", "lift_table", "vocab_profile", "dup_cluster_sizes",
+    "bursts", "transition_probs",
 }
 
 

@@ -1,0 +1,279 @@
+"""Round-9 (second wave) analytics additions: auc_rank, chi_square_bp,
+ks_statistic, concentration_hhi, diversity_simpson, mode_by, lift_table,
+vocab_profile, dup_cluster_sizes, bursts, transition_probs. Registry
+oracle parity is covered by test_oracle_gate; these pin semantics on
+synthetic edges the testdata doesn't hit (tie midranks, zero-observed
+chi2 cells, missing KS classes, monopoly HHI, singleton diversity,
+burst windows at the boundary)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from docetl_spark.functions.dedup import dup_cluster_sizes
+from docetl_spark.functions.stats import (
+    auc_rank,
+    chi_square_bp,
+    concentration_hhi,
+    diversity_simpson,
+    ks_statistic,
+    lift_table,
+    mode_by,
+)
+from docetl_spark.functions.text import vocab_profile
+from docetl_spark.functions.timeseries import bursts, transition_probs
+
+
+# ------------------------------------------------------------ auc_rank
+
+def test_auc_perfect_and_reversed(spark):
+    # perfect separation -> 10000; reversed labels -> 0
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, l int")
+    assert auc_rank(df, "s", "l").collect()[0]["auc_bp"] == 10000
+    rev = df.withColumn("l", 1 - F.col("l"))
+    assert auc_rank(rev, "s", "l").collect()[0]["auc_bp"] == 0
+
+
+def test_auc_ties_midrank(spark):
+    # all scores tied -> AUC exactly 1/2 (midranks make this exact)
+    df = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "s double, l int")
+    r = auc_rank(df, "s", "l").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_bp"]) == (2, 2, 5000)
+
+
+def test_auc_single_class_null_and_label_check(spark):
+    one = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, l int")
+    assert auc_rank(one, "s", "l").collect()[0]["auc_bp"] is None
+    bad = spark.createDataFrame([(1.0, 2)], "s double, l int")
+    with pytest.raises(Exception, match="0/1"):
+        auc_rank(bad, "s", "l").collect()
+    with pytest.raises(ValueError, match="reserves"):
+        auc_rank(one.withColumnRenamed("s", "auc_bp"), "l", "l", by=["auc_bp"])
+
+
+def test_auc_hand_checked_value(spark):
+    # scores 1..5, labels 0,0,1,0,1: pairs won = (2 above score3's 2 negs
+    # below)... brute force on the definition instead:
+    rows = [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "s double, l int")
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    expect = int(wins * 10000 // (len(pos) * len(neg)))
+    assert auc_rank(df, "s", "l").collect()[0]["auc_bp"] == expect
+
+
+# ------------------------------------------------------- chi_square_bp
+
+def test_chi2_independent_is_zero(spark):
+    # perfectly proportional table -> every o == e -> chi2 exactly 0
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_bp(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_cells"], r["dof"], r["chi2_bp"]) == (20, 4, 1, 0)
+
+
+def test_chi2_includes_zero_cells(spark):
+    # diagonal-only 2x2: zero-observed off-diagonal cells contribute
+    # their full expected mass; chi2/n -> 1 for a perfect association
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_bp(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 4  # grid, not just the 2 observed cells
+    # exact: each cell term = (o*n - r*c)^2 * 10000 DIV (r*c*n)
+    # = (10*20-10*10)^2*10000 DIV (10*10*20) = 50000 for all 4 cells
+    assert r["chi2_bp"] == 200000
+
+
+def test_chi2_by_groups(spark):
+    rows = [("g1", "x", "u")] * 4 + [("g1", "y", "v")] * 4 + \
+           [("g2", "x", "u")] * 2 + [("g2", "x", "v")] * 2
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = {r["g"]: r for r in chi_square_bp(df, "a", "b", by=["g"]).collect()}
+    assert out["g1"]["dof"] == 1 and out["g1"]["chi2_bp"] > 0
+    assert out["g2"]["dof"] == 0 and out["g2"]["chi2_bp"] == 0
+
+
+# ------------------------------------------------------- ks_statistic
+
+def test_ks_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b")], "v double, g string")
+    r = ks_statistic(same, "v", "g", group_a="a", group_b="b").collect()[0]
+    assert r["ks_bp"] == 0
+    disj = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "v double, g string")
+    r = ks_statistic(disj, "v", "g", group_a="a", group_b="b").collect()[0]
+    assert r["ks_bp"] == 10000 and r["ks_num"] == 4  # |2*2 - 0*2|
+
+
+def test_ks_missing_class_is_null(spark):
+    df = spark.createDataFrame([(1.0, "a"), (2.0, "a")], "v double, g string")
+    r = ks_statistic(df, "v", "g", group_a="a", group_b="b").collect()[0]
+    assert r["n_b"] == 0 and r["ks_bp"] is None
+
+
+# --------------------------------------------------- concentration_hhi
+
+def test_hhi_monopoly_and_equal_split(spark):
+    mono = spark.createDataFrame([("e1", 10.0), ("e1", 5.0)], "e string, v double")
+    r = concentration_hhi(mono, "v", "e").collect()[0]
+    assert (r["hhi_bp"], r["top_share_bp"]) == (10000, 10000)
+    eq = spark.createDataFrame(
+        [("e1", 5.0), ("e2", 5.0), ("e3", 5.0), ("e4", 5.0)], "e string, v double")
+    r = concentration_hhi(eq, "v", "e").collect()[0]
+    assert (r["n_entities"], r["hhi_bp"], r["top_share_bp"]) == (4, 2500, 2500)
+
+
+def test_hhi_zero_total_and_negative(spark):
+    zero = spark.createDataFrame([("e1", 0.0), ("e2", None)], "e string, v double")
+    r = concentration_hhi(zero, "v", "e").collect()[0]
+    assert r["hhi_bp"] is None and r["total_cents"] == 0
+    neg = spark.createDataFrame([("e1", -1.0)], "e string, v double")
+    with pytest.raises(Exception, match="negative"):
+        concentration_hhi(neg, "v", "e").collect()
+
+
+# --------------------------------------------------- diversity_simpson
+
+def test_simpson_uniform_single_and_singleton(spark):
+    # all same category -> 0; all distinct -> 10000 (unbiased form)
+    same = spark.createDataFrame([("c",)] * 5, "c string")
+    assert diversity_simpson(same, "c").collect()[0]["simpson_bp"] == 0
+    dist = spark.createDataFrame([("a",), ("b",), ("c",)], "c string")
+    assert diversity_simpson(dist, "c").collect()[0]["simpson_bp"] == 10000
+    single = spark.createDataFrame([("a",)], "c string")
+    assert diversity_simpson(single, "c").collect()[0]["simpson_bp"] is None
+
+
+def test_simpson_null_is_a_level(spark):
+    df = spark.createDataFrame([("a",), (None,)], "c string")
+    r = diversity_simpson(df, "c").collect()[0]
+    assert r["n_categories"] == 2 and r["simpson_bp"] == 10000
+
+
+# ------------------------------------------------------------ mode_by
+
+def test_mode_tiebreak_and_share(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")], "g int, v string")
+    r = mode_by(df, "v", by=["g"]).collect()[0]
+    # tie between a and b at 2 -> smallest value wins
+    assert (r["mode"], r["n"], r["total"], r["share_bp"]) == ("a", 2, 5, 4000)
+
+
+def test_mode_null_can_win(spark):
+    df = spark.createDataFrame([(None,), (None,), ("x",)], "v string")
+    r = mode_by(df, "v").collect()[0]
+    assert r["mode"] is None and r["n"] == 2
+
+
+# ---------------------------------------------------------- lift_table
+
+def test_lift_table_exact_buckets(spark):
+    # 10 rows, 2 buckets of 5; positives concentrated in the top scores
+    rows = [(float(s), 1 if s > 7 else 0, s) for s in range(1, 11)]
+    df = spark.createDataFrame(rows, "s double, l int, id int")
+    out = {r["bucket"]: r for r in lift_table(
+        df, "s", "l", buckets=2, tiebreak=["id"]).collect()}
+    assert out[1]["n"] == 5 and out[1]["n_pos"] == 3
+    assert out[1]["rate_bp"] == 6000 and out[1]["lift_bp"] == 20000
+    assert out[2]["n_pos"] == 0 and out[2]["cum_rate_bp"] == 3000
+    assert out[2]["lift_bp"] == 10000  # full population = base rate
+
+
+def test_lift_table_label_check_and_all_negative(spark):
+    bad = spark.createDataFrame([(1.0, 3, 1)], "s double, l int, id int")
+    with pytest.raises(Exception, match="0/1"):
+        lift_table(bad, "s", "l", tiebreak=["id"]).collect()
+    allneg = spark.createDataFrame(
+        [(float(i), 0, i) for i in range(4)], "s double, l int, id int")
+    out = lift_table(allneg, "s", "l", buckets=2, tiebreak=["id"]).collect()
+    assert all(r["lift_bp"] is None for r in out)
+
+
+# ------------------------------------------------------- vocab_profile
+
+def test_vocab_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "the dog", "en"), (3, "", "en"),
+         (4, None, "en")],
+        "doc_id long, text string, lang string")
+    r = vocab_profile(df, "text", id_col="doc_id", by=["lang"]).collect()[0]
+    # tokens: the,cat,sat,the,dog -> 5; types: the,cat,sat,dog -> 4;
+    # hapax: cat,sat,dog -> 3; docs with tokens: 2
+    assert (r["n_docs"], r["n_tokens"], r["n_types"], r["n_hapax"]) == (2, 5, 4, 3)
+    assert r["ttr_bp"] == 8000 and r["hapax_bp"] == 7500
+
+
+def test_vocab_profile_global(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string")
+    r = vocab_profile(df, "text", id_col="doc_id").collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["n_types"], r["n_hapax"]) == (2, 5, 3, 1)
+
+
+# --------------------------------------------------- dup_cluster_sizes
+
+def test_dup_cluster_sizes_distribution(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "unique one"),
+         (4, "HELLO world."), (5, "another")],
+        "id long, text string")
+    out = {r["size"]: r for r in dup_cluster_sizes(df, "text").collect()}
+    # hello-world cluster of 3; two singletons
+    assert out[3]["n_clusters"] == 1 and out[3]["rows_removed"] == 2
+    assert out[1]["n_clusters"] == 2 and out[1]["rows_removed"] == 0
+    assert sum(r["n_rows"] for r in out.values()) == 5
+
+
+def test_dup_cluster_sizes_null_texts_cluster(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, text string")
+    out = dup_cluster_sizes(df, "text").collect()
+    assert len(out) == 1 and out[0]["size"] == 2
+
+
+# ------------------------------------------------------------- bursts
+
+def test_bursts_window_boundary(spark):
+    # events at t=0, 50, 99, 100 with window 100: window starting at 0
+    # covers [0, 99] -> 3 events; window at 50 covers [50,149] -> 3 too;
+    # peak start must be the EARLIEST (0)
+    df = spark.createDataFrame(
+        [(1, 0), (1, 50), (1, 99), (1, 100)], "k int, ts long")
+    r = bursts(df, keys=["k"], ts_col="ts", window_ns=100).collect()[0]
+    assert (r["peak_n"], r["peak_start_ns"]) == (3, 0)
+
+
+def test_bursts_validation(spark):
+    df = spark.createDataFrame([(1, 0)], "k int, ts long")
+    with pytest.raises(ValueError, match="window_ns"):
+        bursts(df, keys=["k"], ts_col="ts", window_ns=0)
+    with pytest.raises(ValueError, match="at least one key"):
+        bursts(df, keys=[], ts_col="ts", window_ns=10)
+
+
+# ----------------------------------------------------- transition_probs
+
+def test_transition_probs_sum_to_one_ish(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+         (2, 1, "a"), (2, 2, "b")],
+        "k int, ts long, s string")
+    out = transition_probs(df, keys=["k"], ts_col="ts", state_col="s").collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r["from_state"], []).append(r)
+    a_rows = {r["to_state"]: r for r in by_from["a"]}
+    # from a: ->b twice, ->c once
+    assert a_rows["b"]["n"] == 2 and a_rows["b"]["from_total"] == 3
+    assert a_rows["b"]["prob_bp"] == 6666 and a_rows["c"]["prob_bp"] == 3333
