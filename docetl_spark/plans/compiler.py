@@ -631,6 +631,35 @@ def run_pipeline(
                         )
                         specs = specs[:idx] + [OpSpec("reduce", res.config)] + specs[idx + 1:]
                         rewrites_fired.append(f"reduce_plans:{res.winning_plan}")
+            elif opts.get("method") == "map_plans":
+                # MapOptimizer plan search (optimizers/map_optimizer/
+                # plan_generators.py :48-366, :541-574): the chunk-size
+                # ladder + gleaning-round plans, sampled runs, pairwise-
+                # judged winner. Target = opts["target"] or the step's
+                # first map op; steps without it pass through.
+                from .map_plan_search import map_plan_search
+
+                target = opts.get("target") or next(
+                    (s.config.get("name") for s in specs if s.type == "map"), None
+                )
+                step_has_target = any(
+                    s.config.get("name") == target and s.type == "map"
+                    for s in specs
+                )
+                if target is not None and sf is not None and step_has_target:
+                    res = map_plan_search(
+                        sf, specs, target,
+                        backend=backend, datasets=datasets,
+                        sample_size=int(opts.get("sample_size", 5)),
+                        num_chunk_sizes=int(opts.get("num_chunk_sizes", 4)),
+                        context_limit_tokens=int(
+                            opts.get("context_limit_tokens", 128_000)
+                        ),
+                        validator_prompt=opts.get("validator_prompt"),
+                    )
+                    if res.winning_plan != "original":
+                        specs = res.ops
+                        rewrites_fired.append(f"map_plans:{res.winning_plan}")
             else:
                 result = optimize_ops(specs, stats, backend=agent)
                 best = result.best(opts.get("objective", "cost"))

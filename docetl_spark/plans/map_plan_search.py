@@ -1,0 +1,242 @@
+"""Map plan search: the MapOptimizer's sample-run-evaluate loop.
+
+Reference parity: ``docetl/optimizers/map_optimizer/plan_generators.py``
+(``_generate_chunk_size_plans`` :48-366 — a LADDER of concrete chunk
+sizes derived from the token budget, each expanded to the
+split → gather → map-per-chunk → combine pipeline;
+``_generate_gleaning_plans`` :541-574 — a gleaning-round ladder with an
+agent-written validator prompt) plus ``map_optimizer/evaluator.py``
+(run every plan on one bounded sample, compare outputs, keep the
+winner) and ``config_generators._generate_chunk_sizes`` :412-446 (the
+word-limit ladder formula).
+
+``fast_decompose`` covers the DIRECTIVE-level rewrites (chaining,
+isolating subtasks, compression, one chunking plan at the default
+size); this search completes the reference's map-plan surface by
+evaluating the chunk-size ladder and gleaning rounds champion-style —
+the same judging seam ``reduce_plan_search`` uses for fold plans, so
+the three agentic optimizer loops (map / reduce / join) share one
+evaluation discipline.
+
+Everything data-touching is a bounded ``limit()`` sample staged through
+the step's preceding ops (the thrown-away-runner posture); candidate
+executions run through the real compiler so judged outputs are what
+production would produce. Nothing here scans the full table — search
+cost is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from .directives import PlanStats, _d_doc_chunking
+from .ir import OpSpec
+
+DEFAULT_CONTEXT_LIMIT_TOKENS = 128_000
+_DEFAULT_VALIDATOR = (
+    "Evaluate whether the output fully and faithfully satisfies the "
+    "original task. Point out anything missing, wrong, or unsupported."
+)
+
+
+@dataclass
+class MapPlanResult:
+    """Winning map plan + evidence."""
+
+    ops: list  # the full (possibly rewritten) op list
+    winning_plan: str  # 'original' | 'chunk_{N}' | 'gleaning_{r}_rounds'
+    plans_evaluated: int
+    outputs: list[dict] = field(default_factory=list)
+    rationale: str = ""
+    calls: int = 0
+
+
+def candidate_chunk_sizes(
+    sample_rows: list[dict],
+    split_key: str,
+    *,
+    context_limit_tokens: int = DEFAULT_CONTEXT_LIMIT_TOKENS,
+    num_chunks: int = 4,
+) -> list[int]:
+    """Chunk-size ladder from the word budget (reference
+    config_generators._generate_chunk_sizes :412-446: word_limit =
+    min(0.75·token_limit, avg_doc_words), ladder from 15% of the limit
+    up to the limit). Sizes that would not actually split the average
+    document (>= avg words) drop — a 1-chunk plan is the original with
+    overhead. Tokens estimated at 4 chars/token, the repo's
+    deterministic stand-in for a tokenizer."""
+    docs = [str(r.get(split_key) or "") for r in sample_rows]
+    if not docs:
+        return []
+    avg_words = max(1, sum(len(d.split()) for d in docs) // len(docs))
+    word_limit = min(int(context_limit_tokens * 0.75), avg_words)
+    lo = max(20, int(0.15 * word_limit))
+    if num_chunks < 2 or word_limit <= lo:
+        ladder = [lo]
+    else:
+        step = (word_limit - lo) / (num_chunks - 1)
+        ladder = [int(lo + i * step) for i in range(num_chunks)]
+    return sorted({s for s in ladder if s < avg_words})
+
+
+def synthesize_validator_prompt(
+    op_config: dict,
+    sample_rows: list[dict],
+    backend,
+    *,
+    max_retries: int = 2,
+) -> str:
+    """Agent-written validation prompt for gleaning plans (reference
+    map_optimizer/prompt_generators.py _generate_validator_prompt):
+    retry-until-nonempty, falling back to the generic validator rather
+    than aborting the search."""
+    import json
+
+    for _ in range(max_retries):
+        ans = backend.complete(
+            "Write a short VALIDATION prompt an LLM judge can use to "
+            "check one output of this map operation for completeness "
+            "and faithfulness.\n\n"
+            f"Map prompt:\n{str(op_config.get('prompt', ''))[:3000]}\n\n"
+            f"Sample input:\n{json.dumps(sample_rows[:2], default=str)[:1200]}",
+            {"validator_prompt": "str"},
+            {},
+        )
+        v = str(ans.get("validator_prompt", "")).strip()
+        if v:
+            return v
+    return _DEFAULT_VALIDATOR
+
+
+def map_plan_search(
+    sf,
+    ops: list[OpSpec],
+    op_name: str,
+    *,
+    backend=None,
+    datasets: dict | None = None,
+    sample_size: int = 5,
+    gleaning_rounds: tuple[int, ...] = (1,),
+    num_chunk_sizes: int = 4,
+    context_limit_tokens: int = DEFAULT_CONTEXT_LIMIT_TOKENS,
+    validator_prompt: str | None = None,
+) -> MapPlanResult:
+    """Sample-run-evaluate over map plans for ONE map op of ``ops``:
+    the original single-call plan vs the chunk-size ladder (each size
+    expanded through the doc_chunking rewrite — split → gather →
+    map-per-chunk → combine) vs gleaning-round plans, every candidate
+    executed on the SAME staged sample through the real compiler and
+    judged pairwise champion-style. Returns the winning full op list
+    (the original list when nothing beats it)."""
+    from ..frame import SemanticFrame
+    from ..resilience import BackendMetrics, ResilientBackend
+    from .compiler import apply_op
+    from .fast_decomposer import Candidate, _judge, extract_ops_to_run
+
+    datasets = datasets or {}
+    target_idx = next(
+        (i for i, o in enumerate(ops) if o.config.get("name") == op_name), None
+    )
+    if target_idx is None:
+        raise ValueError(f"Operation '{op_name}' not found in ops")
+    target = ops[target_idx]
+    if target.type != "map":
+        raise ValueError(
+            f"Operation '{op_name}' is type '{target.type}', but map plan "
+            "search only supports 'map' operations"
+        )
+    backend = backend if backend is not None else sf.backend
+    metrics = BackendMetrics(sf.df.sparkSession.sparkContext)
+    counted = ResilientBackend(
+        backend, namespace="map_plan_search", bypass_cache=True, metrics=metrics
+    )
+
+    # stage the sample through the step's preceding ops (the
+    # fast_decompose posture: candidates replace only the target, so
+    # they must see the target's INPUT schema, and sampling before the
+    # prefix bounds any semantic prefix ops to sample_size calls)
+    staged = SemanticFrame.from_df(sf.df.limit(sample_size), backend=counted)
+    for spec in ops[:target_idx]:
+        staged = apply_op(staged, spec, datasets)
+    sample_df = staged.df.cache()
+    try:
+        sample_rows = [r.asDict(recursive=True) for r in sample_df.collect()]
+        if not sample_rows:
+            return MapPlanResult(list(ops), "original", 0,
+                                 rationale="empty sample", calls=0)
+
+        # ------------------------------------------- candidate generation
+        candidates: list[Candidate] = [Candidate("original", list(ops))]
+        doc_key = sorted(target.fields_read() or {"text"})[0]
+        for size in candidate_chunk_sizes(
+            sample_rows, doc_key,
+            context_limit_tokens=context_limit_tokens,
+            num_chunks=num_chunk_sizes,
+        ):
+            stats = PlanStats(chunk_tokens=int(size))
+            try:
+                candidates.append(Candidate(
+                    f"chunk_{size}",
+                    _d_doc_chunking(ops, target_idx, stats, counted),
+                ))
+            except Exception as e:
+                candidates.append(Candidate(f"chunk_{size}", None, error=str(e)))
+        vp = validator_prompt or synthesize_validator_prompt(
+            target.config, sample_rows, counted
+        )
+        for rounds in gleaning_rounds:
+            glean_cfg = {
+                **target.config,
+                "gleaning": {"num_rounds": int(rounds), "validation_prompt": vp},
+            }
+            candidates.append(Candidate(
+                f"gleaning_{rounds}_rounds",
+                ops[:target_idx] + [replace(target, config=glean_cfg)]
+                + ops[target_idx + 1:],
+            ))
+
+        # --------------------------------------------- sampled execution
+        champion = None
+        champion_rationale = "original plan retained"
+        evaluated = 0
+        for cand in candidates:
+            if cand.ops is None:
+                continue
+            to_run = extract_ops_to_run(ops, cand.ops, op_name)
+            trial = SemanticFrame.from_df(sample_df, backend=counted)
+            try:
+                for spec in to_run:
+                    trial = apply_op(trial, spec, datasets)
+                cand.outputs = [r.asDict(recursive=True) for r in trial.df.collect()]
+            except Exception as e:
+                cand.outputs = []
+                cand.error = str(e)
+                continue
+            if not cand.outputs:
+                continue
+            evaluated += 1
+            if champion is None:
+                champion = cand  # the original runs first
+                continue
+            winner, why = _judge(
+                counted, champion, cand,
+                str(target.config.get("prompt", "")),
+                target.config.get("output", {}).get("schema")
+                or target.config.get("output_schema") or {},
+            )
+            if winner == cand.name:
+                champion, champion_rationale = cand, why
+
+        if champion is None:
+            return MapPlanResult(
+                list(ops), "original", 0, [],
+                "All map plan candidates failed to execute.",
+                int(metrics.snapshot()["calls"]),
+            )
+        return MapPlanResult(
+            list(champion.ops), champion.name, evaluated,
+            outputs=champion.outputs, rationale=champion_rationale,
+            calls=int(metrics.snapshot()["calls"]),
+        )
+    finally:
+        sample_df.unpersist()

@@ -83,6 +83,13 @@ PLAN_ONLY = [
     "events_funnel_windowed", "docs_collapse_rare",
     "events_target_encode", "events_funnel_rates",
     "events_stickiness", "events_new_returning", "events_gap_histogram",
+    # round-9 second wave (events_lift runs the distributed-rank
+    # sampling jobs at plan time, fine at this SF; the chi2 marginal
+    # grid must compile to BroadcastHashJoin via the non-foldable key)
+    "events_auc", "events_chi2", "events_ks", "orders_hhi",
+    "users_event_diversity", "events_mode_by", "events_lift",
+    "docs_vocab_profile", "docs_dup_clusters", "events_bursts",
+    "events_markov",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
