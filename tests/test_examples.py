@@ -190,3 +190,17 @@ def test_experiment_analysis_example(spark):
     assert r["variant_a"] == "A" and r["variant_b"] == "B"
     assert r["n_a"] > 0 and r["n_b"] > 0
     assert r["rate_a_bp"] is not None and r["rate_b_bp"] is not None
+
+
+def test_model_evaluation_example(spark):
+    """Round-9 third-wave end to end: code-map label -> exact decile
+    lift table (integer-bp rates, cumulative lift)."""
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/model_evaluation.yaml")
+    rows = sorted(out.collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4, 5]
+    assert sum(r["n"] for r in rows) == 1000  # sf0.001 events
+    last = rows[-1]
+    assert last["lift_bp"] == 10000  # full population = base rate
+    assert all(0 <= r["rate_bp"] <= 10000 for r in rows)
