@@ -3375,8 +3375,9 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (stats.rfm_segments): per customer recency /
-    frequency / monetary quintiles via the distributed NTILE formulation
-    ((rank-1)*n DIV total + 1), segment = 'R{r}F{f}M{m}'."""
+    frequency / monetary quintiles via the distributed EXACT-NTILE
+    closed form (_ntile_from_rank — first total%k buckets take the
+    extra row), segment = 'R{r}F{f}M{m}'."""
     from docetl_spark.functions.stats import rfm_segments
 
     orders = _t(spark, sf_dir, "orders").withColumn(
@@ -7448,11 +7449,10 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END l
           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         ), r AS (
-          SELECT l, ROW_NUMBER() OVER (ORDER BY s DESC, event_id ASC) rn,
-                 COUNT(*) OVER () t
+          SELECT l, NTILE(10) OVER (ORDER BY s DESC, event_id ASC) bkt
           FROM e
         ), b AS (
-          SELECT CAST((rn - 1) * 10 // t + 1 AS BIGINT) bucket,
+          SELECT CAST(bkt AS BIGINT) bucket,
                  CAST(COUNT(*) AS HUGEINT) n, CAST(SUM(l) AS HUGEINT) p
           FROM r GROUP BY 1
         ), c AS (

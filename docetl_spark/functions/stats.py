@@ -556,8 +556,12 @@ def quantile_buckets(
     group, the exact-order bound). WITHOUT ``by``, a bare global window
     would drag the table into ONE partition — the global path instead
     rides the distributed range-partitioned rank (rank.py) and computes
-    the bucket as ``(rank-1) * n DIV total + 1``, which is exactly the
-    NTILE assignment (the first total%n buckets come out one larger).
+    the EXACT NTILE assignment from the rank in closed form: with
+    q = total DIV n and rem = total % n, the first rem buckets take
+    q+1 rows and the rest take q. (The tempting one-liner
+    ``(rank-1)*n DIV total + 1`` is NOT NTILE when total % n != 0 —
+    it interleaves the big and small buckets — a latent divergence
+    that testdata with total % n == 0 never exposes.)
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -574,8 +578,26 @@ def quantile_buckets(
     tot = g.agg(F.count(F.lit(1)).alias("_qt"))
     out = broadcast_scalar_join(g, tot, df_col="_qr", scalar_col="_qt")
     return out.withColumn(
-        bucket_col, F.expr(f"(_qr - 1) * {int(n)} DIV _qt + 1")
+        bucket_col, _ntile_from_rank("_qr", "_qt", int(n))
     ).drop("_qr", "_qt")
+
+
+def _ntile_from_rank(rank_col: str, total_col: str, k: int):
+    """EXACT NTILE bucket from a 1-based dense row number, in closed
+    form: the first ``total % k`` buckets take ``total DIV k + 1`` rows,
+    the rest take ``total DIV k``. The single home for the idiom —
+    quantile_buckets' distributed global path and lift_table share it so
+    the rank-based paths can never drift from the window-NTILE paths.
+    The ELSE branch's ``DIV (total DIV k)`` is unreachable when
+    total < k (CASE evaluates lazily), so no ANSI division-by-zero."""
+    q = f"({total_col} DIV {k})"
+    rem = f"({total_col} % {k})"
+    cut = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {cut}"
+        f" THEN ({rank_col} - 1) DIV ({q} + 1) + 1"
+        f" ELSE {rem} + ({rank_col} - {cut} - 1) DIV {q} + 1 END AS BIGINT)"
+    )
 
 
 def histogram(
@@ -1573,6 +1595,19 @@ def target_encode_loo(
     return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")
 
 
+def _checked_binary_label(label_col: str, op: str):
+    """0/1 label domain check on the RAW value, shared by auc_rank and
+    lift_table: the cast-then-check ordering (cast('long') first)
+    silently truncates 0.9 -> 0 and NULLs non-numeric strings, exactly
+    the wrong-column mistakes the loud contract exists to catch."""
+    raw = F.col(label_col)
+    d = raw.cast("double")
+    return F.when(
+        raw.isNotNull() & (d.isNull() | ~d.isin(0.0, 1.0)),
+        F.raise_error(F.lit(f"{op}: label_col must be 0/1")),
+    ).otherwise(d.cast("long"))
+
+
 def auc_rank(
     df: DataFrame,
     score_col: str,
@@ -1588,10 +1623,14 @@ def auc_rank(
     decided by one integer DIV — no doubles anywhere near the cut.
 
     ``label_col`` must be 0/1 (ints or booleans); any other non-NULL
-    value raises loudly. Rows with a NULL score or NULL label drop.
+    value raises loudly — the check runs on the RAW value before any
+    integer cast, so a probability column (0.9 truncating to 0) or a
+    non-numeric string (casting to NULL) cannot slip through as a
+    silently wrong label. Rows with a NULL score or NULL label drop.
     Groups missing a class (n_pos or n_neg = 0) emit NULL auc_bp —
     AUC is undefined there, and a silent 0 or 10000 would read as a
-    (perfectly bad/good) model.
+    (perfectly bad/good) model. An entirely empty input vanishes
+    (no rows, not an all-NULL global row).
 
     Output: ``by`` + ``n_pos`` + ``n_neg`` + ``auc_bp``.
 
@@ -1602,16 +1641,13 @@ def auc_rank(
     bounded by DISTINCT score count per group, never row count — the
     exact-order-statistic posture shared with exact_quantiles.
     """
-    reserved = {"n_pos", "n_neg", "auc_bp", "_auc_p", "_auc_c", "_auc_cum", "_auc_s2"}
+    reserved = {"n_pos", "n_neg", "auc_bp", "_auc_v", "_auc_l", "_auc_p",
+                "_auc_c", "_auc_cum", "_auc_s2", "_np", "_nn", "_sk"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"auc_rank reserves column names {clash}")
     part = [F.col(c) for c in (by or [])]
-    lab = F.col(label_col).cast("long")
-    checked = F.when(
-        ~lab.isin(0, 1),
-        F.raise_error(F.lit("auc_rank: label_col must be 0/1")),
-    ).otherwise(lab)
+    checked = _checked_binary_label(label_col, "auc_rank")
     per_score = (
         df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(*(by or []), F.col(score_col).alias("_auc_v"), checked.alias("_auc_l"))
@@ -1631,7 +1667,9 @@ def auc_rank(
             F.col("_auc_p") * (F.lit(2) * F.col("_auc_cum") - F.col("_auc_c") + F.lit(1))
         ).alias("_auc_s2"),
     )
-    return sums.select(
+    # an empty input would leave the global (no-by) aggregate emitting
+    # one all-NULL row — "no data, no figure": it vanishes instead
+    return sums.filter(F.col("_np").isNotNull()).select(
         *(by or []),
         F.col("_np").cast("long").alias("n_pos"),
         F.col("_nn").cast("long").alias("n_neg"),
@@ -1660,7 +1698,16 @@ def chi_square_bp(
     (whose term is the full expected count r·c·10000 DIV n) — dropping
     them understates the statistic exactly where dependence is
     strongest. NULL categories drop (they are missingness, not a
-    level). Output: ``by`` + ``n`` + ``n_cells`` + ``dof`` + ``chi2_bp``.
+    level); a group with zero usable rows vanishes (no categories, no
+    statistic — not a spurious dof=1 row). Output: ``by`` + ``n`` +
+    ``n_cells`` + ``dof`` + ``chi2_bp``.
+
+    Exact-arithmetic bound: the per-cell numerator (o·n − r·c)²·10⁴
+    must fit decimal(38,0), which holds for any group with
+    n ≤ 6·10⁸ rows; beyond that the figure would need >38 digits, so
+    the function RAISES loudly (the robust_outliers posture) rather
+    than silently overflowing — pre-aggregate or sample a larger
+    group before testing independence on it.
 
     Plan: one count aggregation per observed cell, two marginal re-aggs,
     and the full grid materialized as a broadcast join of the (small,
@@ -1669,7 +1716,7 @@ def chi_square_bp(
     by category cardinality, never row count.
     """
     reserved = {"n", "n_cells", "dof", "chi2_bp", "_c2_a", "_c2_b", "_c2_o",
-                "_c2_r", "_c2_c", "_c2_n"}
+                "_c2_r", "_c2_c", "_c2_n", "_gk"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"chi_square_bp reserves column names {clash}")
@@ -1695,11 +1742,16 @@ def chi_square_bp(
     wall = W.partitionBy(*[F.col(c) for c in bys]) if bys else W.partitionBy(F.lit(1))
     withn = full.withColumn("_c2_n", F.sum(
         F.col("_c2_o")).over(wall))
-    term = F.expr(
+    term = F.when(
+        F.col("_c2_n") > F.lit(600_000_000),
+        F.raise_error(F.lit(
+            "chi_square_bp: group exceeds the decimal(38,0) exact range"
+            " (n > 6e8) — pre-aggregate or sample before testing")),
+    ).otherwise(F.expr(
         "(_c2_o * _c2_n - _c2_r * _c2_c) * (_c2_o * _c2_n - _c2_r * _c2_c) * 10000"
         " DIV (_c2_r * _c2_c * _c2_n)"
-    )
-    return (
+    ))
+    out = (
         withn.groupBy(*bys)
         .agg(
             F.max("_c2_n").cast("long").alias("n"),
@@ -1708,6 +1760,9 @@ def chi_square_bp(
             F.sum(term).cast("long").alias("chi2_bp"),
         )
     )
+    # zero usable rows: the global aggregate would emit a dof=1 row for
+    # a table with no categories at all — it vanishes instead
+    return out.filter(F.col("n_cells") > 0)
 
 
 def ks_statistic(
@@ -1729,15 +1784,16 @@ def ks_statistic(
 
     Rows outside the two groups or with NULL values drop. If either
     side is empty the group emits NULL ks_bp (the statistic is
-    undefined, not 0). Output: ``by`` + ``n_a`` + ``n_b`` + ``ks_num``
-    + ``ks_bp``.
+    undefined, not 0); an entirely empty input vanishes. Output:
+    ``by`` + ``n_a`` + ``n_b`` + ``ks_num`` + ``ks_bp``.
 
     Plan: ONE shuffle on (by, value) collapses to distinct pooled
     values with per-side counts map-side; the two cumulative sums ride
     one window over that shuffle; a final max re-agg. Bounded by
     distinct-value count — the exact-order-statistic posture.
     """
-    reserved = {"n_a", "n_b", "ks_num", "ks_bp", "_ks_a", "_ks_b"}
+    reserved = {"n_a", "n_b", "ks_num", "ks_bp", "_ks_v", "_ks_ia", "_ks_ib",
+                "_ks_a", "_ks_b", "_ca", "_cb", "_na", "_nb", "_gap"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"ks_statistic reserves column names {clash}")
@@ -1766,6 +1822,8 @@ def ks_statistic(
     return (
         cum.withColumn("_gap", gap)
         .groupBy(*(by or []))
+        # empty input: the global aggregate's all-NULL row vanishes
+        # ("no data, no figure") via the max-is-NULL filter below
         .agg(
             F.max("_na").cast("long").alias("n_a"),
             F.max("_nb").cast("long").alias("n_b"),
@@ -1776,6 +1834,7 @@ def ks_statistic(
             " CAST(ks_num AS DECIMAL(38,0)) * 10000"
             " DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
             " END AS BIGINT)"))
+        .filter(F.col("n_a").isNotNull())
     )
 
 
@@ -1809,7 +1868,7 @@ def concentration_hhi(
     first combine; no windows, no joins.
     """
     reserved = {"n_entities", "total_cents", "top_cents", "hhi_bp",
-                "top_share_bp", "_hh_x", "_hh_e"}
+                "top_share_bp", "_hh_x", "_hh_e", "_t", "_m", "_s2"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"concentration_hhi reserves column names {clash}")
@@ -1832,7 +1891,9 @@ def concentration_hhi(
         F.max("_hh_x").alias("_m"),
         F.sum(F.col("_hh_x") * F.col("_hh_x")).alias("_s2"),
     )
-    return sums.select(
+    # empty input: "no data, no figure" — the global aggregate's
+    # zero-entity row vanishes
+    return sums.filter(F.col("n_entities") > 0).select(
         *(by or []),
         "n_entities",
         F.col("_t").cast("long").alias("total_cents"),
@@ -1866,7 +1927,8 @@ def diversity_simpson(
     Plan: one map-side-combinable count to (by, category), one re-agg —
     bounded by category cardinality after the first combine.
     """
-    reserved = {"n", "n_categories", "simpson_bp", "_dv_c"}
+    reserved = {"n", "n_categories", "simpson_bp", "_dv_cat", "_dv_c",
+                "_n", "_same"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"diversity_simpson reserves column names {clash}")
@@ -1879,7 +1941,8 @@ def diversity_simpson(
         F.count(F.lit(1)).alias("n_categories"),
         F.sum(F.col("_dv_c") * (F.col("_dv_c") - 1)).alias("_same"),
     )
-    return sums.select(
+    # empty input: the global aggregate's zero-category row vanishes
+    return sums.filter(F.col("n_categories") > 0).select(
         *(by or []),
         F.col("_n").cast("long").alias("n"),
         "n_categories",
@@ -1909,7 +1972,7 @@ def mode_by(
     row_number window + total sum riding the SAME (by)-keyed shuffle —
     bounded by distinct-value cardinality after the first combine.
     """
-    reserved = {"mode", "n", "total", "share_bp", "_md_v", "_md_n"}
+    reserved = {"mode", "n", "total", "share_bp", "_md_v", "_md_n", "_r"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"mode_by reserves column names {clash}")
@@ -1956,31 +2019,32 @@ def lift_table(
 
     Pass ``tiebreak`` ending in a unique id — NTILE is an order-based
     assignment, so equal scores straddling a bucket edge land
-    deterministically only under a total order. Labels must be 0/1
-    (raises otherwise); NULL scores/labels drop. All-negative groups
-    emit NULL lift_bp (base rate 0 — lift undefined).
+    deterministically only under a total order. Labels must be 0/1,
+    checked on the RAW value before any cast (a probability column or a
+    string label raises instead of silently truncating/NULLing); NULL
+    scores/labels drop. All-negative groups emit NULL lift_bp (base
+    rate 0 — lift undefined).
 
     Output: ``by`` + ``bucket`` + ``n`` + ``n_pos`` + ``rate_bp`` +
     ``cum_rate_bp`` + ``lift_bp``.
 
     Plan: with ``by``, the ntile window per group (one sorted task per
     group); WITHOUT ``by``, the distributed range-partitioned global
-    rank (rank.py) — never a bare global window — then one count-
-    bounded aggregation to ``buckets`` rows and two cumulative windows
-    over those.
+    rank (rank.py) — never a bare global window — mapped to the EXACT
+    NTILE assignment via the shared closed form (_ntile_from_rank, so
+    the two paths can never diverge), then one count-bounded
+    aggregation to ``buckets`` rows and two cumulative windows over
+    those.
     """
     if buckets < 1:
         raise ValueError("lift_table needs buckets >= 1")
     reserved = {"bucket", "n", "n_pos", "rate_bp", "cum_rate_bp", "lift_bp",
-                "_lt_l", "_lt_r", "_lt_t"}
-    clash = sorted(reserved & set(by or []))
+                "_lt_s", "_lt_l", "_lt_r", "_lt_t",
+                "_n", "_p", "_cn", "_cp", "_tn", "_tp", "_sk"}
+    clash = sorted(reserved & set((by or []) + (tiebreak or [])))
     if clash:
         raise ValueError(f"lift_table reserves column names {clash}")
-    lab = F.col(label_col).cast("long")
-    checked = F.when(
-        ~lab.isin(0, 1),
-        F.raise_error(F.lit("lift_table: label_col must be 0/1")),
-    ).otherwise(lab)
+    checked = _checked_binary_label(label_col, "lift_table")
     base = (
         df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(*(by or []), F.col(score_col).alias("_lt_s"), checked.alias("_lt_l"),
@@ -1998,7 +2062,7 @@ def lift_table(
         bucketed = broadcast_scalar_join(
             g, tot, df_col="_lt_r", scalar_col="_lt_t"
         ).withColumn(
-            "bucket", F.expr(f"(_lt_r - 1) * {int(buckets)} DIV _lt_t + 1")
+            "bucket", _ntile_from_rank("_lt_r", "_lt_t", int(buckets))
         ).drop("_lt_r", "_lt_t")
     per_bucket = bucketed.groupBy(*(by or []), "bucket").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),

@@ -535,7 +535,8 @@ def vocab_profile(df, text_col: str, *, id_col: str, by: list[str] | None = None
     through the vocabulary shuffle.
     """
     reserved = {"n_docs", "n_tokens", "n_types", "n_hapax", "ttr_bp",
-                "hapax_bp", "_vp_t", "_vp_n"}
+                "hapax_bp", "_vp_t", "_vp_n", "_vp_id", "_tok", "_typ",
+                "_hap", "_sk"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"vocab_profile reserves column names {clash}")
@@ -561,6 +562,10 @@ def vocab_profile(df, text_col: str, *, id_col: str, by: list[str] | None = None
         .groupBy(*(by or []))
         .agg(F.countDistinct("_vp_id").alias("n_docs"))
     )
+    # a zero-token corpus vanishes in BOTH paths: the by-path slice has
+    # no per_term rows; the global path filters the all-NULL aggregate
+    # row a grouping-keyless groupBy().agg() always emits
+    sums = sums.filter(F.col("_tok").isNotNull())
     if by:
         joined = sums.join(docs, by, "left")
     else:

@@ -58,25 +58,27 @@ def candidate_chunk_sizes(
     context_limit_tokens: int = DEFAULT_CONTEXT_LIMIT_TOKENS,
     num_chunks: int = 4,
 ) -> list[int]:
-    """Chunk-size ladder from the word budget (reference
-    config_generators._generate_chunk_sizes :412-446: word_limit =
-    min(0.75·token_limit, avg_doc_words), ladder from 15% of the limit
-    up to the limit). Sizes that would not actually split the average
-    document (>= avg words) drop — a 1-chunk plan is the original with
-    overhead. Tokens estimated at 4 chars/token, the repo's
-    deterministic stand-in for a tokenizer."""
+    """Chunk-size ladder IN TOKENS (reference
+    config_generators._generate_chunk_sizes :412-446: limit =
+    min(0.75·token_limit, avg_doc_size), ladder from 15% of the limit
+    up to the limit — the reference ladders word counts; the sizes here
+    feed split's ``token_count`` chunker, so the whole computation runs
+    in the same unit, tokens, estimated at 4 chars/token — the repo's
+    deterministic stand-in for a tokenizer). Sizes that would not
+    actually split the average document (>= its token count) drop —
+    a 1-chunk plan is the original with overhead."""
     docs = [str(r.get(split_key) or "") for r in sample_rows]
     if not docs:
         return []
-    avg_words = max(1, sum(len(d.split()) for d in docs) // len(docs))
-    word_limit = min(int(context_limit_tokens * 0.75), avg_words)
-    lo = max(20, int(0.15 * word_limit))
-    if num_chunks < 2 or word_limit <= lo:
+    avg_tokens = max(1, sum(len(d) for d in docs) // (4 * len(docs)))
+    limit = min(int(context_limit_tokens * 0.75), avg_tokens)
+    lo = max(20, int(0.15 * limit))
+    if num_chunks < 2 or limit <= lo:
         ladder = [lo]
     else:
-        step = (word_limit - lo) / (num_chunks - 1)
+        step = (limit - lo) / (num_chunks - 1)
         ladder = [int(lo + i * step) for i in range(num_chunks)]
-    return sorted({s for s in ladder if s < avg_words})
+    return sorted({s for s in ladder if s < avg_tokens})
 
 
 def synthesize_validator_prompt(
@@ -181,9 +183,13 @@ def map_plan_search(
                 ))
             except Exception as e:
                 candidates.append(Candidate(f"chunk_{size}", None, error=str(e)))
-        vp = validator_prompt or synthesize_validator_prompt(
-            target.config, sample_rows, counted
-        )
+        # the validator prompt only exists for gleaning candidates —
+        # with an empty ladder the synthesis call would be pure waste
+        vp = None
+        if gleaning_rounds:
+            vp = validator_prompt or synthesize_validator_prompt(
+                target.config, sample_rows, counted
+            )
         for rounds in gleaning_rounds:
             glean_cfg = {
                 **target.config,

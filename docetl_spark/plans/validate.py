@@ -284,6 +284,17 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "melt": ("id_cols", "value_cols"),
         "json_extract": ("json_col", "fields"),
         "keywords": ("text_col", "id_col"),
+        "auc": ("score_col", "label_col"),
+        "chi_square": ("col_a", "col_b"),
+        "ks_test": ("value_col", "group_col", "group_a", "group_b"),
+        "concentration": ("value_col", "entity_col"),
+        "diversity": ("category_col",),
+        "mode": ("value_col",),
+        "lift_table": ("score_col", "label_col"),
+        "vocab_profile": ("text_col", "id_col"),
+        "dup_cluster_sizes": ("text_col",),
+        "bursts": ("keys", "ts_col", "window_ns"),
+        "transition_probs": ("keys", "ts_col", "state_col"),
     }
     for k in _ANALYTICS_REQUIRED.get(t, ()):
         if op.get(k) is None:

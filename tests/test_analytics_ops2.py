@@ -292,10 +292,29 @@ def test_quantile_buckets_global_matches_ntile(spark):
     global_ = quantile_buckets(df, "x", 3, tiebreak=["x"])
     a = sorted((r["x"], r["bucket"]) for r in grouped.collect())
     b = sorted((r["x"], r["bucket"]) for r in global_.collect())
-    assert a == b  # the DIV formula IS the NTILE assignment
+    assert a == b  # the closed form IS the NTILE assignment
     assert [x[1] for x in a] == [1, 1, 1, 2, 2, 3, 3]  # first bucket gets the extra
     with pytest.raises(ValueError):
         quantile_buckets(df, "x", 0)
+    # the divergent case the one-liner (rank-1)*k DIV n + 1 gets wrong:
+    # 10 rows / 4 buckets -> NTILE sizes (3,3,2,2), the one-liner's
+    # (3,2,3,2) interleaves big and small buckets
+    df10 = spark.createDataFrame([(i,) for i in range(1, 11)], "x long")
+    g10 = quantile_buckets(
+        df10.withColumn("g", F.lit(1)), "x", 4, by=["g"], tiebreak=["x"]
+    ).select("x", "bucket")
+    gl10 = quantile_buckets(df10, "x", 4, tiebreak=["x"])
+    assert sorted((r["x"], r["bucket"]) for r in g10.collect()) == \
+        sorted((r["x"], r["bucket"]) for r in gl10.collect())
+    sizes = {}
+    for r in gl10.collect():
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert [sizes[b] for b in sorted(sizes)] == [3, 3, 2, 2]
+    # n < buckets: NTILE gives bucket == rank, no skipped ids
+    df2 = spark.createDataFrame([(1,), (2,)], "x long")
+    got = sorted(r["bucket"] for r in quantile_buckets(
+        df2, "x", 10, tiebreak=["x"]).collect())
+    assert got == [1, 2]
 
 
 def test_salted_join_result_identical(spark):

@@ -277,3 +277,94 @@ def test_transition_probs_sum_to_one_ish(spark):
     # from a: ->b twice, ->c once
     assert a_rows["b"]["n"] == 2 and a_rows["b"]["from_total"] == 3
     assert a_rows["b"]["prob_bp"] == 6666 and a_rows["c"]["prob_bp"] == 3333
+
+
+# -------------------------------------------- closing review regressions
+
+def test_auc_and_lift_raw_label_domain_check(spark):
+    # a probability column must RAISE, not truncate 0.9 -> 0 (the
+    # cast-then-check ordering bug): checked on the raw value
+    from docetl_spark.functions.stats import auc_rank, lift_table
+
+    prob = spark.createDataFrame(
+        [(1.0, 0.9, 1), (2.0, 0.2, 2), (3.0, 1.0, 3)], "s double, l double, id int")
+    with pytest.raises(Exception, match="0/1"):
+        auc_rank(prob, "s", "l").collect()
+    with pytest.raises(Exception, match="0/1"):
+        lift_table(prob, "s", "l", tiebreak=["id"]).collect()
+    # exact 0.0/1.0 doubles are legitimate boolean-ish labels
+    ok = spark.createDataFrame(
+        [(1.0, 0.0, 1), (2.0, 1.0, 2)], "s double, l double, id int")
+    assert auc_rank(ok, "s", "l").collect()[0]["auc_bp"] == 10000
+
+
+def test_lift_table_global_matches_ntile_by_path(spark):
+    # 10 rows / 4 buckets: the by path (Spark ntile) and the global
+    # path (closed-form NTILE over the distributed rank) must assign
+    # identical buckets — the one-liner rank formula interleaved them
+    from docetl_spark.functions.stats import lift_table
+    from pyspark.sql import functions as F
+
+    rows = [(float(i), i % 2, i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "s double, l int, id int")
+    glob = {r["bucket"]: (r["n"], r["n_pos"]) for r in lift_table(
+        df, "s", "l", buckets=4, tiebreak=["id"]).collect()}
+    by = {r["bucket"]: (r["n"], r["n_pos"]) for r in lift_table(
+        df.withColumn("g", F.lit(1)), "s", "l", buckets=4,
+        tiebreak=["id"], by=["g"]).collect()}
+    assert glob == by
+    assert [glob[b][0] for b in sorted(glob)] == [3, 3, 2, 2]
+    # n < buckets: bucket ids are 1..n, never skipped
+    two = spark.createDataFrame(rows[:2], "s double, l int, id int")
+    got = sorted(r["bucket"] for r in lift_table(
+        two, "s", "l", buckets=10, tiebreak=["id"]).collect())
+    assert got == [1, 2]
+
+
+def test_empty_inputs_vanish_not_null_rows(spark):
+    # "no data, no figure": the global (no-by) aggregates must emit
+    # ZERO rows on empty/all-NULL input, not one all-NULL row
+    from docetl_spark.functions.stats import (
+        auc_rank, chi_square_bp, concentration_hhi, diversity_simpson,
+        ks_statistic,
+    )
+    from docetl_spark.functions.text import vocab_profile
+
+    empty = spark.createDataFrame([], "s double, l int, g string")
+    assert auc_rank(empty, "s", "l").count() == 0
+    assert ks_statistic(empty, "s", "g", group_a="a", group_b="b").count() == 0
+    assert chi_square_bp(empty, "g", "l").count() == 0
+    assert concentration_hhi(empty, "s", "g").count() == 0
+    assert diversity_simpson(empty, "g").count() == 0
+    allnull = spark.createDataFrame(
+        [(None, None)], "a string, b string")
+    assert chi_square_bp(allnull, "a", "b").count() == 0
+    blank_docs = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string")
+    assert vocab_profile(blank_docs, "text", id_col="doc_id").count() == 0
+
+
+def test_reserved_internal_names_raise(spark):
+    from docetl_spark.functions.stats import ks_statistic, lift_table
+
+    df = spark.createDataFrame([(1.0, "a", 1)], "v double, g string, _ca int")
+    with pytest.raises(ValueError, match="reserves"):
+        ks_statistic(df, "v", "g", group_a="a", group_b="b", by=["_ca"])
+    df2 = spark.createDataFrame([(1.0, 1, 1)], "s double, l int, _lt_r int")
+    with pytest.raises(ValueError, match="reserves"):
+        lift_table(df2, "s", "l", tiebreak=["_lt_r"])
+
+
+def test_new_op_types_validate_required_keys():
+    from docetl_spark.plans.validate import validate_config
+
+    cfg = {
+        "datasets": {"d": {"type": "memory", "data": [{"x": 1}]}},
+        "operations": [{"name": "a", "type": "auc"}],  # missing cols
+        "pipeline": {"steps": [{"name": "s", "input": "d",
+                                "operations": ["a"]}]},
+    }
+    issues = validate_config(cfg)
+    msgs = [i.message for i in issues if i.level == "error"]
+    assert any("score_col" in m for m in msgs) and any(
+        "label_col" in m for m in msgs)

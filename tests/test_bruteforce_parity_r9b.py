@@ -127,9 +127,13 @@ def test_lift_table_matches_sorted_walk(spark, seed):
         df, "s", "l", buckets=10, tiebreak=["id"]).collect()}
     ordered = sorted(rows, key=lambda r: (-r["s"], r["id"]))
     n = len(ordered)
+    # NTILE from the definition: first n%k buckets take n//k+1 rows
+    q, rem = divmod(n, 10)
+    cut = rem * (q + 1)
     buckets = defaultdict(list)
     for i, r in enumerate(ordered):
-        buckets[i * 10 // n + 1].append(r["l"])
+        b = i // (q + 1) + 1 if i < cut else rem + (i - cut) // q + 1
+        buckets[b].append(r["l"])
     tp = sum(r["l"] for r in rows)
     cn = cp = 0
     for b in sorted(buckets):

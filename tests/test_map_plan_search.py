@@ -29,10 +29,11 @@ def test_candidate_chunk_sizes_ladder_and_gating():
     rows = [{"text": " ".join(["w"] * 100)}] * 4
     sizes = candidate_chunk_sizes(rows, "text", context_limit_tokens=200,
                                   num_chunks=4)
-    # word_limit = min(150, 100) = 100; ladder 20..100; sizes >= avg
-    # words (100) drop — every kept size genuinely splits the avg doc
+    # 199 chars -> ~49 tokens; limit = min(150, 49) = 49; ladder
+    # 20..49; sizes >= the avg doc's token count drop — every kept
+    # size genuinely splits the avg doc IN THE CHUNKER'S UNIT (tokens)
     assert sizes and sizes == sorted(set(sizes))
-    assert all(20 <= s < 100 for s in sizes)
+    assert all(20 <= s < 49 for s in sizes)
     # tiny docs: nothing splits -> empty ladder
     short = [{"text": "a b c"}] * 4
     assert candidate_chunk_sizes(short, "text") == []
