@@ -837,12 +837,21 @@ def weighted_quantiles(
         .groupBy(*part, F.col(value_col).alias("value"))
         .agg(F.sum(w).alias("_wq_w"))
     )
-    wcum = W.partitionBy(*part).orderBy(F.col("value").asc())
-    wall = W.partitionBy(*part)
-    cum = (
-        collapsed.withColumn("_wq_cum", F.sum("_wq_w").over(wcum))
-        .withColumn("_wq_tot", F.sum("_wq_w").over(wall))
-    )
+    if by:
+        wcum = W.partitionBy(*part).orderBy(F.col("value").asc())
+        wall = W.partitionBy(*part)
+        cum = (
+            collapsed.withColumn("_wq_cum", F.sum("_wq_w").over(wcum))
+            .withColumn("_wq_tot", F.sum("_wq_w").over(wall))
+        )
+    else:
+        # a bare global window would collapse the distinct-value table
+        # (≈ row count for continuous values) into ONE partition — ride
+        # the distributed range-partitioned prefix sum instead
+        cum = _global_cumsum(collapsed, "value", ["_wq_w"]) \
+            .withColumnRenamed("_wq_w_cum", "_wq_cum")
+        tot = cum.agg(F.sum("_wq_w").alias("_wq_tot"))
+        cum = broadcast_scalar_join(cum, tot, df_col="value", scalar_col="_wq_tot")
     qlit = F.explode(F.array(*[F.lit(int(q)) for q in sorted(set(int(q) for q in qs_bp))]))
     hit = (
         cum.select(*part, "value", "_wq_cum", "_wq_tot", qlit.alias("q_bp"))
@@ -1595,6 +1604,58 @@ def target_encode_loo(
     return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")
 
 
+def _global_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]) -> DataFrame:
+    """Distributed global cumulative sums over a total order on
+    ``order_col`` — the prefix-sum twin of rank.py's _global_row_number.
+    A bare ``W.orderBy(...)`` without a partition key moves every row
+    into ONE partition (fine on a distinct-collapsed table at test
+    scale, fatal when the key is a continuous double whose distinct
+    count tracks row count). Instead: range-repartition on the key,
+    per-partition running sums, plus a tiny driver-side per-partition
+    offset map per column (offsets carried as exact Python ints ->
+    decimal literals, so nothing overflows at any scale decimal(38,0)
+    itself supports).
+
+    PRECONDITION: ``order_col`` values are unique per row (callers pass
+    a groupBy-collapsed table) — range partitioning may split ties
+    across partition boundaries, which would misplace a tied row's
+    prefix. Appends ``<col>_cum`` for each requested column.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism or 8
+    src = df.persist()
+    s = (
+        src.repartitionByRange(parts, F.col(order_col).asc())
+        .sortWithinPartitions(F.col(order_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    rows = s.groupBy("_pid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    src.unpersist()
+    offs: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        for c in sum_cols:
+            offs[c][r["_pid"]] = acc[c]
+            acc[c] += int(r[c] or 0)
+    w = W.partitionBy("_pid").orderBy(F.col(order_col).asc())
+    out = s
+    for c in sum_cols:
+        if offs[c]:
+            omap = F.create_map(*[
+                F.lit(x) for pid, off in offs[c].items() for x in (pid, str(off))
+            ])
+            offset = F.coalesce(
+                omap[F.col("_pid")].cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        else:
+            offset = F.lit(0).cast("decimal(38,0)")
+        out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + offset)
+    return out.drop("_pid")
+
+
 def _checked_binary_label(label_col: str, op: str):
     """0/1 label domain check on the RAW value, shared by auc_rank and
     lift_table: the cast-then-check ordering (cast('long') first)
@@ -1635,11 +1696,14 @@ def auc_rank(
     Output: ``by`` + ``n_pos`` + ``n_neg`` + ``auc_bp``.
 
     Plan: ONE shuffle on (by, score) collapses the stream to distinct
-    scores map-side (pos/total counts per score), a cumulative window
-    per group rides the same shuffle to place each tie-group's rank
-    range, and a final re-agg sums Σ 2·midrank over positives. Cost is
-    bounded by DISTINCT score count per group, never row count — the
-    exact-order-statistic posture shared with exact_quantiles.
+    scores map-side (pos/total counts per score), a cumulative sum over
+    the distinct scores places each tie-group's rank range, and a final
+    re-agg sums Σ 2·midrank over positives. With ``by``, the cumulative
+    sum is a window riding the group shuffle; WITHOUT ``by`` — where a
+    bare global window would drag every distinct score (≈ row count for
+    a continuous score) into ONE partition — it runs through the
+    distributed range-partitioned prefix sum (_global_cumsum), the same
+    posture as rank.py's global rank.
     """
     reserved = {"n_pos", "n_neg", "auc_bp", "_auc_v", "_auc_l", "_auc_p",
                 "_auc_c", "_auc_cum", "_auc_s2", "_np", "_nn", "_sk"}
@@ -1657,8 +1721,12 @@ def auc_rank(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("_auc_c"),
         )
     )
-    wcum = W.partitionBy(*part).orderBy(F.col("_auc_v").asc())
-    cum = per_score.withColumn("_auc_cum", F.sum("_auc_c").over(wcum))
+    if by:
+        wcum = W.partitionBy(*part).orderBy(F.col("_auc_v").asc())
+        cum = per_score.withColumn("_auc_cum", F.sum("_auc_c").over(wcum))
+    else:
+        cum = _global_cumsum(per_score, "_auc_v", ["_auc_c"]) \
+            .withColumnRenamed("_auc_c_cum", "_auc_cum")
     # a tie group occupying ranks (cum-c, cum] has 2*midrank = 2*cum - c + 1
     sums = cum.groupBy(*(by or [])).agg(
         F.sum("_auc_p").alias("_np"),
@@ -1789,8 +1857,11 @@ def ks_statistic(
 
     Plan: ONE shuffle on (by, value) collapses to distinct pooled
     values with per-side counts map-side; the two cumulative sums ride
-    one window over that shuffle; a final max re-agg. Bounded by
-    distinct-value count — the exact-order-statistic posture.
+    one window over that shuffle (with ``by``) or the distributed
+    range-partitioned prefix sum (_global_cumsum, WITHOUT ``by`` —
+    a continuous value column's distinct count tracks row count, so a
+    bare global window would collapse to one partition); a final max
+    re-agg, with the side totals attached as a broadcast scalar.
     """
     reserved = {"n_a", "n_b", "ks_num", "ks_bp", "_ks_v", "_ks_ia", "_ks_ib",
                 "_ks_a", "_ks_b", "_ca", "_cb", "_na", "_nb", "_gap"}
@@ -1810,14 +1881,23 @@ def ks_statistic(
         .groupBy(*part, "_ks_v")
         .agg(F.sum("_ks_ia").alias("_ks_a"), F.sum("_ks_ib").alias("_ks_b"))
     )
-    wcum = W.partitionBy(*part).orderBy(F.col("_ks_v").asc())
-    wall = W.partitionBy(*part)
-    cum = (
-        per_val.withColumn("_ca", F.sum("_ks_a").over(wcum))
-        .withColumn("_cb", F.sum("_ks_b").over(wcum))
-        .withColumn("_na", F.sum("_ks_a").over(wall))
-        .withColumn("_nb", F.sum("_ks_b").over(wall))
-    )
+    if by:
+        wcum = W.partitionBy(*part).orderBy(F.col("_ks_v").asc())
+        wall = W.partitionBy(*part)
+        cum = (
+            per_val.withColumn("_ca", F.sum("_ks_a").over(wcum))
+            .withColumn("_cb", F.sum("_ks_b").over(wcum))
+            .withColumn("_na", F.sum("_ks_a").over(wall))
+            .withColumn("_nb", F.sum("_ks_b").over(wall))
+        )
+    else:
+        cum = (
+            _global_cumsum(per_val, "_ks_v", ["_ks_a", "_ks_b"])
+            .withColumnRenamed("_ks_a_cum", "_ca")
+            .withColumnRenamed("_ks_b_cum", "_cb")
+        )
+        tot = cum.agg(F.sum("_ks_a").alias("_na"), F.sum("_ks_b").alias("_nb"))
+        cum = broadcast_scalar_join(cum, tot, df_col="_ks_v", scalar_col="_na")
     gap = F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
     return (
         cum.withColumn("_gap", gap)
