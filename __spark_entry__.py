@@ -3809,6 +3809,59 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC coverage (stats.pareto_coverage): per priority class,
+    how many top customers cover 50/80/90% of order value — descending
+    cumulative-share window on the entity rollup, cross-multiplied
+    integer threshold cut, min-k re-agg."""
+    from docetl_spark.functions.stats import pareto_coverage
+
+    orders = _t(spark, sf_dir, "orders")
+    return pareto_coverage(
+        orders, "o_totalprice", "o_custkey",
+        thresholds_bp=(5000, 8000, 9000), by=["o_orderpriority"],
+    )
+
+
+def lineitem_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact r² (stats.correlation_r2): quantity vs extended price per
+    return flag, in whole units (x_scale=y_scale=1 keeps the six-sum
+    arithmetic inside decimal(38,0) at bench scale) — num²·10⁴ DIV
+    (dx·dy), one combinable aggregation, loud beyond the exact range."""
+    from docetl_spark.functions.stats import correlation_r2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_r2(
+        li, "l_quantity", "l_extendedprice",
+        by=["l_returnflag"], x_scale=1, y_scale=1,
+    )
+
+
+def events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (timeseries.sequence_ngrams): the 25
+    most common 3-step behavior paths across user event streams — one
+    lead-window pass, state-tuple-cardinality count, TakeOrdered top-k
+    with a full deterministic tiebreak."""
+    from docetl_spark.functions.timeseries import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_ngrams(
+        ev, keys=["user_id"], ts_col="ts", state_col="event_type",
+        n=3, tiebreak="event_id", top_n=25,
+    )
+
+
+def docs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic (text.zipf_profile): top-30 corpus terms
+    with rank, rank·tf (constant under ideal Zipf), and share of the
+    top term in bp — TakeOrdered vocabulary top-k, then rank over the
+    k-row table only."""
+    from docetl_spark.functions.text import zipf_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_profile(docs, "text", id_col="doc_id", top_n=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4033,6 +4086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": docs_dup_clusters,
         "events_bursts": events_bursts,
         "events_markov": events_markov,
+        "orders_pareto": orders_pareto,
+        "lineitem_r2": lineitem_r2,
+        "events_trigrams": events_trigrams,
+        "docs_zipf": docs_zipf,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -4043,10 +4100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in original order. tests/test_registry_rotation.py asserts the
     # window invariant so registry growth can't silently push a
     # never-verified query past position 50 again.
+    # one anchor per operator family (relational / semantic / dedup /
+    # timeseries / ANN) — trimmed from 9 in round 9 to keep the
+    # wave-3 additions inside the 50-key driver window; the cumulative
+    # ledger still covers every previously-verified key
     anchors = [
-        "q1_pricing_summary", "sem_map_sentiment", "sem_reduce_fold",
-        "resolve_docs", "equijoin_part_supplier", "minhash_near_dup",
-        "split_gather_docs", "events_sessionize", "ann_brute_force",
+        "q1_pricing_summary", "sem_reduce_fold", "minhash_near_dup",
+        "events_sessionize", "ann_brute_force",
     ]
     # Driver-RED keys would lead the whole window (a key with a red row
     # needs a fresh driver verdict even more than a never-seen key does);
@@ -7518,6 +7578,88 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(c.t) AS BIGINT) AS peak_start_ns
         FROM m JOIN c ON c.user_id = m.user_id AND c.n = m.peak_n
         GROUP BY 1, 2"""
+    sql["orders_pareto"] = """
+        WITH x AS (
+          SELECT o_orderpriority pr, o_custkey e,
+                 SUM(COALESCE(CAST(floor(o_totalprice*100 + 0.5) AS HUGEINT), 0))
+                   AS x
+          FROM orders GROUP BY 1, 2
+        ), r AS (
+          SELECT pr, x,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY pr ORDER BY x DESC, e ASC NULLS LAST) k,
+                 SUM(x) OVER (
+                   PARTITION BY pr ORDER BY x DESC, e ASC NULLS LAST) cum,
+                 SUM(x) OVER (PARTITION BY pr) tot
+          FROM x
+        ), h AS (
+          SELECT pr, k, cum, tot, t.tbp
+          FROM r CROSS JOIN (VALUES (5000), (8000), (9000)) t(tbp)
+          WHERE tot > 0 AND cum * 10000 >= tbp * tot
+        )
+        SELECT pr AS o_orderpriority, CAST(tbp AS INT) AS threshold_bp,
+               CAST(MIN(k) AS BIGINT) AS k,
+               ARG_MIN(CAST(cum * 10000 // tot AS BIGINT), k) AS share_bp
+        FROM h GROUP BY 1, 2"""
+    sql["lineitem_r2"] = """
+        WITH p AS (
+          SELECT l_returnflag f,
+                 CAST(floor(l_quantity*1 + 0.5) AS HUGEINT) x,
+                 CAST(floor(l_extendedprice*1 + 0.5) AS HUGEINT) y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), s AS (
+          SELECT f, CAST(COUNT(*) AS HUGEINT) n, SUM(x) sx, SUM(y) sy,
+                 SUM(x*y) sxy, SUM(x*x) sxx, SUM(y*y) syy
+          FROM p GROUP BY 1
+        )
+        SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                         WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS INT)
+                 AS sign,
+               CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                 THEN CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 10000
+                           // ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT)
+               END AS r2_bp
+        FROM s"""
+    sql["events_trigrams"] = """
+        WITH g AS (
+          SELECT event_type s1,
+                 LEAD(event_type, 1) OVER w s2,
+                 LEAD(event_type, 2) OVER w s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ), c AS (
+          SELECT s1 state_1, s2 state_2, s3 state_3, COUNT(*) support
+          FROM g WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT state_1, state_2, state_3, CAST(support AS BIGINT) AS support
+        FROM c
+        ORDER BY support DESC, state_1, state_2, state_3
+        LIMIT 25"""
+    sql["docs_zipf"] = r"""
+        WITH per_doc AS (
+          SELECT doc_id, t AS term, COUNT(*) cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) t
+            FROM documents)
+          WHERE t <> '' GROUP BY 1, 2
+        ), stats AS (
+          SELECT term, CAST(SUM(cnt) AS BIGINT) tf, CAST(COUNT(*) AS BIGINT) df
+          FROM per_doc GROUP BY 1
+        ), top AS (
+          SELECT * FROM stats ORDER BY tf DESC, term LIMIT 30
+        ), ranked AS (
+          SELECT term, tf, df,
+                 ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) rank,
+                 MAX(tf) OVER () mx
+          FROM top
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, term, tf, df,
+               CAST(rank * tf AS BIGINT) AS rank_tf,
+               CAST(CAST(tf AS HUGEINT) * 10000 // CAST(mx AS HUGEINT)
+                    AS BIGINT) AS share_of_top_bp
+        FROM ranked"""
     sql["events_markov"] = """
         WITH p AS (
           SELECT LAG(event_type) OVER (

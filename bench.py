@@ -286,6 +286,10 @@ BENCH_QUERIES = [
     "docs_dup_clusters",
     "events_bursts",
     "events_markov",
+    "orders_pareto",
+    "lineitem_r2",
+    "events_trigrams",
+    "docs_zipf",
 ]
 
 

@@ -1651,6 +1651,51 @@ class SemanticFrame:
             state_col=state_col, **kw,
         )
 
+    def pareto_coverage(self, value_col: str, entity_col: str,
+                        **kw) -> "SemanticFrame":
+        """Pareto/ABC coverage: min top-k entities reaching each share
+        threshold — see functions/stats.pareto_coverage."""
+        from .functions import stats
+
+        return self._next(
+            stats.pareto_coverage(self.df, value_col, entity_col, **kw),
+            "pareto_coverage", value_col=value_col, entity_col=entity_col, **kw,
+        )
+
+    def correlation_r2(self, x_col: str, y_col: str, **kw) -> "SemanticFrame":
+        """Exact integer-bp coefficient of determination — see
+        functions/stats.correlation_r2."""
+        from .functions import stats
+
+        return self._next(
+            stats.correlation_r2(self.df, x_col, y_col, **kw),
+            "correlation_r2", x_col=x_col, y_col=y_col, **kw,
+        )
+
+    def sequence_ngrams(self, *, keys: list[str], ts_col: str,
+                        state_col: str, **kw) -> "SemanticFrame":
+        """Sequential n-step pattern mining over key streams — see
+        functions/timeseries.sequence_ngrams."""
+        from .functions import timeseries as tsf
+
+        return self._next(
+            tsf.sequence_ngrams(self.df, keys=keys, ts_col=ts_col,
+                                state_col=state_col, **kw),
+            "sequence_ngrams", keys=keys, ts_col=ts_col,
+            state_col=state_col, **kw,
+        )
+
+    def zipf_profile(self, text_col: str, *, id_col: str,
+                     top_n: int = 50) -> "SemanticFrame":
+        """Zipf's-law vocabulary diagnostic — see
+        functions/text.zipf_profile."""
+        from .functions import text as textf
+
+        return self._next(
+            textf.zipf_profile(self.df, text_col, id_col=id_col, top_n=top_n),
+            "zipf_profile", text_col=text_col, id_col=id_col, top_n=top_n,
+        )
+
     # --------------------------------------------------- external-IO ops
     def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
         return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")

@@ -1604,28 +1604,34 @@ def target_encode_loo(
     return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")
 
 
-def _global_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]) -> DataFrame:
+def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str]) -> DataFrame:
     """Distributed global cumulative sums over a total order on
-    ``order_col`` — the prefix-sum twin of rank.py's _global_row_number.
-    A bare ``W.orderBy(...)`` without a partition key moves every row
-    into ONE partition (fine on a distinct-collapsed table at test
-    scale, fatal when the key is a continuous double whose distinct
-    count tracks row count). Instead: range-repartition on the key,
-    per-partition running sums, plus a tiny driver-side per-partition
-    offset map per column (offsets carried as exact Python ints ->
-    decimal literals, so nothing overflows at any scale decimal(38,0)
-    itself supports).
+    ``order_col`` (one Column/name or a list — compound keys order
+    lexicographically) — the prefix-sum twin of rank.py's
+    _global_row_number. A bare ``W.orderBy(...)`` without a partition
+    key moves every row into ONE partition (fine on a
+    distinct-collapsed table at test scale, fatal when the key is a
+    continuous double whose distinct count tracks row count). Instead:
+    range-repartition on the key, per-partition running sums, plus a
+    tiny driver-side per-partition offset map per column (offsets
+    carried as exact Python ints -> decimal literals, so nothing
+    overflows at any scale decimal(38,0) itself supports).
 
-    PRECONDITION: ``order_col`` values are unique per row (callers pass
-    a groupBy-collapsed table) — range partitioning may split ties
-    across partition boundaries, which would misplace a tied row's
-    prefix. Appends ``<col>_cum`` for each requested column.
+    PRECONDITION: the order key is unique per row (callers pass a
+    groupBy-collapsed table, or append a tiebreak column) — range
+    partitioning may split ties across partition boundaries, which
+    would misplace a tied row's prefix. Appends ``<col>_cum`` for each
+    requested column.
     """
+    order = [
+        (F.col(c).asc() if isinstance(c, str) else c)
+        for c in (order_col if isinstance(order_col, (list, tuple)) else [order_col])
+    ]
     parts = df.sparkSession.sparkContext.defaultParallelism or 8
     src = df.persist()
     s = (
-        src.repartitionByRange(parts, F.col(order_col).asc())
-        .sortWithinPartitions(F.col(order_col).asc())
+        src.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
@@ -1639,7 +1645,7 @@ def _global_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]) -> DataFr
         for c in sum_cols:
             offs[c][r["_pid"]] = acc[c]
             acc[c] += int(r[c] or 0)
-    w = W.partitionBy("_pid").orderBy(F.col(order_col).asc())
+    w = W.partitionBy("_pid").orderBy(*order)
     out = s
     for c in sum_cols:
         if offs[c]:
@@ -2166,4 +2172,184 @@ def lift_table(
         F.expr("CAST(_cp * 10000 DIV _cn AS BIGINT)").alias("cum_rate_bp"),
         F.when(F.col("_tp") > 0, F.expr(
             "CAST(_cp * _tn * 10000 DIV (_cn * _tp) AS BIGINT)")).alias("lift_bp"),
+    )
+
+
+def pareto_coverage(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    *,
+    thresholds_bp: tuple[int, ...] = (5000, 8000, 9000),
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Pareto / ABC coverage per group, EXACT: for each threshold t (in
+    basis points), the minimum number k of TOP entities (by fixed-point
+    total, descending, entity-value tiebreak) whose cumulative share
+    reaches t of the group total, plus that k-th entity's actual
+    cumulative share — the "how many customers make 80% of revenue"
+    figure, decided by the cross-multiplied integer comparison
+    ``cum · 10000 >= t · total`` (no doubles near the cut).
+
+    Negative values raise (shares lose meaning, the gini_bp posture);
+    NULL values count 0; NULL entities are a real level. Groups with
+    zero total vanish (no mass to cover). Output: ``by`` +
+    ``threshold_bp`` + ``k`` + ``share_bp``.
+
+    Plan: one map-side-combinable rollup to (by, entity) totals —
+    bounded by entity cardinality — then the descending cumulative
+    share: a window riding the group shuffle (with ``by``) or the
+    distributed range-partitioned prefix sum (_global_cumsum, WITHOUT
+    ``by`` — entity cardinality can approach row count, e.g. a user-id
+    entity, so a bare global window is not an option), a small explode
+    over the thresholds, and a min-k re-agg.
+    """
+    ts = sorted({int(t) for t in thresholds_bp})
+    if not ts or ts[0] <= 0 or ts[-1] > 10000:
+        raise ValueError("thresholds_bp must be in (0, 10000]")
+    reserved = {"threshold_bp", "k", "share_bp", "_pc_e", "_pc_x", "_pc_k",
+                "_pc_cum", "_pc_tot", "_pc_one", "_sk"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"pareto_coverage reserves column names {clash}")
+    cents = to_cents(value_col, scale)
+    x = F.coalesce(
+        F.when(
+            cents < 0,
+            F.raise_error(F.lit("pareto_coverage: negative values are invalid")),
+        ).otherwise(cents),
+        F.lit(0),
+    ).cast("decimal(38,0)")
+    per_entity = (
+        df.select(*(by or []), F.col(entity_col).alias("_pc_e"), x.alias("_pc_x"))
+        .groupBy(*(by or []), "_pc_e")
+        .agg(F.sum("_pc_x").alias("_pc_x"))
+    )
+    order = [F.col("_pc_x").desc(), F.col("_pc_e").asc_nulls_last()]
+    if by:
+        part = [F.col(c) for c in by]
+        w = W.partitionBy(*part).orderBy(*order)
+        wall = W.partitionBy(*part)
+        cum = (
+            per_entity.withColumn("_pc_k", F.row_number().over(w).cast("long"))
+            .withColumn("_pc_cum", F.sum("_pc_x").over(w))
+            .withColumn("_pc_tot", F.sum("_pc_x").over(wall))
+        )
+    else:
+        cum = (
+            _global_cumsum(
+                per_entity.withColumn("_pc_one", F.lit(1).cast("decimal(38,0)")),
+                order, ["_pc_x", "_pc_one"],
+            )
+            .withColumnRenamed("_pc_x_cum", "_pc_cum")
+            .withColumn("_pc_k", F.col("_pc_one_cum").cast("long"))
+        )
+        tot = cum.agg(F.sum("_pc_x").alias("_pc_tot"))
+        cum = broadcast_scalar_join(cum, tot, df_col="_pc_k", scalar_col="_pc_tot")
+    tlit = F.explode(F.array(*[F.lit(t) for t in ts]))
+    hit = (
+        cum.select(*(by or []), "_pc_k", "_pc_cum", "_pc_tot",
+                   tlit.alias("threshold_bp"))
+        .filter(
+            (F.col("_pc_tot") > 0)
+            & (F.col("_pc_cum") * 10000
+               >= F.col("threshold_bp").cast("decimal(38,0)") * F.col("_pc_tot"))
+        )
+    )
+    return (
+        hit.groupBy(*(by or []), "threshold_bp")
+        .agg(
+            F.min("_pc_k").alias("k"),
+            F.min_by(
+                F.expr("CAST(_pc_cum * 10000 DIV _pc_tot AS BIGINT)"),
+                F.col("_pc_k"),
+            ).alias("share_bp"),
+        )
+    )
+
+
+def correlation_r2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: list[str] | None = None,
+    x_scale: int = 100,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Coefficient of determination r² between two numeric columns per
+    group, EXACT in integer basis points: with fixed-point sums
+    Sx Sy Sxy Sxx Syy, num = n·Sxy − Sx·Sy, dx = n·Sxx − Sx²,
+    dy = n·Syy − Sy², r² = num² / (dx·dy) — every figure one integer
+    DIV (num²·10⁴ DIV (dx·dy)), plus the covariance sign — the
+    linear-association screen next to trend_fit's slope (which shares
+    the same sums but emits no fit quality).
+
+    Rows with either value NULL drop; groups with n < 2 or a
+    zero-variance side (dx or dy = 0 — r² undefined) emit NULL r2_bp.
+    An empty input vanishes.
+
+    Exact-arithmetic bound: num²·10⁴ must fit decimal(38,0), so
+    |num| ≤ ~9.9·10¹⁶ (and dx·dy < 10³⁸) — RAISES loudly beyond (the
+    chi_square_bp posture). num grows as n²·cov(x,y) in fixed-point
+    units², so pick ``x_scale``/``y_scale`` to the coarsest unit the
+    analysis needs (e.g. whole units instead of cents) before
+    correlating billions of rows; the error message says exactly that.
+
+    Output: ``by`` + ``n`` + ``sign`` (-1/0/1 of the covariance) +
+    ``r2_bp``. Plan: ONE map-side-combinable aggregation — six sums —
+    then per-group scalar arithmetic; no windows, no joins.
+    """
+    reserved = {"n", "sign", "r2_bp", "_r2_x", "_r2_y", "_n", "_sx", "_sy",
+                "_sxy", "_sxx", "_syy"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"correlation_r2 reserves column names {clash}")
+    x = to_cents(x_col, x_scale).cast("decimal(38,0)")
+    y = to_cents(y_col, y_scale).cast("decimal(38,0)")
+    sums = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*(by or []), x.alias("_r2_x"), y.alias("_r2_y"))
+        .groupBy(*(by or []))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_r2_x").alias("_sx"),
+            F.sum("_r2_y").alias("_sy"),
+            F.sum(F.col("_r2_x") * F.col("_r2_y")).alias("_sxy"),
+            F.sum(F.col("_r2_x") * F.col("_r2_x")).alias("_sxx"),
+            F.sum(F.col("_r2_y") * F.col("_r2_y")).alias("_syy"),
+        )
+    )
+    num = F.expr("_n * _sxy - _sx * _sy")
+    dx = F.expr("_n * _sxx - _sx * _sx")
+    dy = F.expr("_n * _syy - _sy * _sy")
+    guarded = F.when(
+        F.abs(num) > F.lit(99 * 10**15).cast("decimal(38,0)"),
+        F.raise_error(F.lit(
+            "correlation_r2: |n*Sxy - Sx*Sy| exceeds the decimal(38,0)"
+            " exact range — use coarser x_scale/y_scale units or sample")),
+    ).otherwise(num)
+    staged = (
+        # count over an empty global aggregate is 0 (not NULL) — the
+        # "no data, no figure" vanish needs the strict > 0 cut
+        sums.filter(F.col("_n") > 0)
+        .withColumn("_num", guarded)
+        .withColumn(
+            "r2_bp",
+            F.when(
+                (F.col("_n") >= 2) & (dx > 0) & (dy > 0),
+                F.expr(
+                    "CAST((_num * _num * 10000) DIV"
+                    " ((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy))"
+                    " AS BIGINT)"
+                ),
+            ),
+        )
+    )
+    return staged.select(
+        *(by or []),
+        F.col("_n").cast("long").alias("n"),
+        F.signum(F.col("_num").cast("double")).cast("int").alias("sign"),
+        "r2_bp",
     )

@@ -581,3 +581,37 @@ def vocab_profile(df, text_col: str, *, id_col: str, by: list[str] | None = None
         F.expr("CAST(_typ * 10000 DIV _tok AS BIGINT)").alias("ttr_bp"),
         F.expr("CAST(_hap * 10000 DIV _typ AS BIGINT)").alias("hapax_bp"),
     )
+
+
+def zipf_profile(df, text_col: str, *, id_col: str, top_n: int = 50):
+    """Zipf's-law diagnostic over the corpus vocabulary: the ``top_n``
+    terms by total frequency with their 1-based rank, the rank·tf
+    product (constant under an ideal Zipf distribution — a collapsing
+    or exploding column flags templated/boilerplate corpora), and each
+    term's share of the TOP term's frequency in exact integer bp
+    (tf·10000 DIV max_tf ≈ 10000/rank under Zipf).
+
+    Output: ``rank`` + ``term`` + ``tf`` + ``df`` + ``rank_tf`` +
+    ``share_of_top_bp``, rank ascending.
+
+    Plan: term_stats' vocabulary aggregate with its TakeOrdered top-k
+    (per-partition top-k + k-row merge, never a vocabulary sort); the
+    rank window and max-tf then run over the LIMIT-k table — k rows by
+    construction, so the partitionless window is bounded by ``top_n``,
+    not by vocabulary size.
+    """
+    from pyspark.sql import Window as W
+
+    top = term_stats(df, text_col, id_col=id_col, top_n=int(top_n))
+    w = W.orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("_max_tf", F.max("tf").over(W.partitionBy()))
+    )
+    return ranked.select(
+        "rank", "term", "tf", "df",
+        (F.col("rank") * F.col("tf")).alias("rank_tf"),
+        F.expr("CAST(CAST(tf AS DECIMAL(38,0)) * 10000"
+               " DIV CAST(_max_tf AS DECIMAL(38,0)) AS BIGINT)")
+        .alias("share_of_top_bp"),
+    ).orderBy("rank")

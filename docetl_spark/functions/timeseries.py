@@ -2454,3 +2454,60 @@ def transition_probs(
             "CAST(CAST(n AS DECIMAL(38,0)) * 10000"
             " DIV CAST(from_total AS DECIMAL(38,0)) AS BIGINT)"))
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    n: int = 3,
+    tiebreak: str | None = None,
+    by: list[str] | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Sequential pattern mining, order-n: every run of ``n``
+    CONSECUTIVE states per key stream (ordered by ts, tiebreak),
+    counted — the generalization of ``transitions`` (n=2) that answers
+    "what three-step behavior paths are most common". Unlike
+    session_paths (whole-path rollup) this counts every SLIDING window
+    of n steps, so long sessions contribute all their sub-patterns.
+
+    Output: ``by`` + ``state_1`` .. ``state_n`` + ``support``. Streams
+    shorter than n contribute nothing. ``top_n`` keeps the highest-
+    support patterns (support desc, states asc — deterministic) via
+    TakeOrderedAndProject, never a global sort.
+
+    Plan: one lag/lead window pass over the (keys, ts) sort — n−1 LEAD
+    projections riding ONE window spec — then a map-side-combinable
+    count on state-tuple cardinality. Same per-key sort bound as
+    sessionize/transitions.
+    """
+    if n < 2:
+        raise ValueError("sequence_ngrams needs n >= 2 (n=1 is a value count)")
+    if not keys:
+        raise ValueError("sequence_ngrams requires at least one key column")
+    state_cols = [f"state_{i + 1}" for i in range(n)]
+    reserved = set(state_cols) | {"support"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"sequence_ngrams reserves column names {clash}")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    grams = df.select(
+        *(by or []),
+        F.col(state_col).alias("state_1"),
+        *[F.lead(F.col(state_col), i).over(w).alias(f"state_{i + 1}")
+          for i in range(1, n)],
+    ).filter(F.col(f"state_{n}").isNotNull())
+    out = grams.groupBy(*(by or []), *state_cols).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    if top_n is not None:
+        # NULLS LAST matches ANSI/DuckDB ASC default, so a NULL state at
+        # the LIMIT boundary cannot diverge between engines
+        out = out.orderBy(
+            F.col("support").desc(), *[F.col(c).asc_nulls_last() for c in state_cols]
+        ).limit(int(top_n))
+    return out

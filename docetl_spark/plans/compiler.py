@@ -369,6 +369,18 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "transition_probs":
         return sf.transition_probs(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                    state_col=c.pop("state_col"), **c)
+    if t == "pareto_coverage":
+        kw = dict(c)
+        return sf.pareto_coverage(
+            kw.pop("value_col"), kw.pop("entity_col"),
+            **{k: tuple(v) if k == "thresholds_bp" else v for k, v in kw.items()})
+    if t == "correlation_r2":
+        return sf.correlation_r2(c.pop("x_col"), c.pop("y_col"), **c)
+    if t == "sequence_ngrams":
+        return sf.sequence_ngrams(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                  state_col=c.pop("state_col"), **c)
+    if t == "zipf_profile":
+        return sf.zipf_profile(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "rfm_segments":
         return sf.rfm_segments(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                amount_col=c.pop("amount_col"), **c)

@@ -55,6 +55,7 @@ _KNOWN_OPS = {
     "auc", "chi_square", "ks_test", "concentration", "diversity",
     "mode", "lift_table", "vocab_profile", "dup_cluster_sizes",
     "bursts", "transition_probs",
+    "pareto_coverage", "correlation_r2", "sequence_ngrams", "zipf_profile",
 }
 
 
@@ -295,6 +296,10 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "dup_cluster_sizes": ("text_col",),
         "bursts": ("keys", "ts_col", "window_ns"),
         "transition_probs": ("keys", "ts_col", "state_col"),
+        "pareto_coverage": ("value_col", "entity_col"),
+        "correlation_r2": ("x_col", "y_col"),
+        "sequence_ngrams": ("keys", "ts_col", "state_col"),
+        "zipf_profile": ("text_col", "id_col"),
     }
     for k in _ANALYTICS_REQUIRED.get(t, ()):
         if op.get(k) is None:

@@ -368,3 +368,106 @@ def test_new_op_types_validate_required_keys():
     msgs = [i.message for i in issues if i.level == "error"]
     assert any("score_col" in m for m in msgs) and any(
         "label_col" in m for m in msgs)
+
+
+# ------------------------------------------------------------- wave 3
+
+def test_pareto_coverage_hand_checked(spark):
+    from docetl_spark.functions.stats import pareto_coverage
+
+    # entity totals: a=50, b=30, c=15, d=5 (total 100)
+    rows = [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)]
+    df = spark.createDataFrame(rows, "e string, v double")
+    out = {r["threshold_bp"]: r for r in pareto_coverage(
+        df, "v", "e", thresholds_bp=(5000, 8000, 9500, 10000)).collect()}
+    assert (out[5000]["k"], out[5000]["share_bp"]) == (1, 5000)
+    assert (out[8000]["k"], out[8000]["share_bp"]) == (2, 8000)
+    assert (out[9500]["k"], out[9500]["share_bp"]) == (3, 9500)
+    assert (out[10000]["k"], out[10000]["share_bp"]) == (4, 10000)
+    with pytest.raises(ValueError, match="thresholds_bp"):
+        pareto_coverage(df, "v", "e", thresholds_bp=(0,))
+    with pytest.raises(Exception, match="negative"):
+        pareto_coverage(spark.createDataFrame([("a", -1.0)], "e string, v double"),
+                        "v", "e").collect()
+
+
+def test_pareto_coverage_global_matches_by_path(spark):
+    # the _global_cumsum desc-order path must agree with the window path
+    from docetl_spark.functions.stats import pareto_coverage
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"e{i}", round(rng.uniform(0, 100), 2)) for i in range(37)]
+    df = spark.createDataFrame(rows, "e string, v double")
+    glob = {r["threshold_bp"]: (r["k"], r["share_bp"]) for r in
+            pareto_coverage(df, "v", "e").collect()}
+    by = {r["threshold_bp"]: (r["k"], r["share_bp"]) for r in
+          pareto_coverage(df.withColumn("g", F.lit(1)), "v", "e",
+                          by=["g"]).collect()}
+    assert glob == by and len(glob) == 3
+
+
+def test_correlation_r2_exact_cases(spark):
+    from docetl_spark.functions.stats import correlation_r2
+
+    # perfect positive line -> 10000, sign 1
+    pos = spark.createDataFrame(
+        [(float(i), float(2 * i + 3)) for i in range(1, 6)], "x double, y double")
+    r = correlation_r2(pos, "x", "y").collect()[0]
+    assert (r["r2_bp"], r["sign"]) == (10000, 1)
+    # perfect negative line -> 10000, sign -1
+    neg = spark.createDataFrame(
+        [(float(i), float(-3 * i)) for i in range(1, 6)], "x double, y double")
+    r = correlation_r2(neg, "x", "y").collect()[0]
+    assert (r["r2_bp"], r["sign"]) == (10000, -1)
+    # zero variance side -> NULL
+    flat = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert correlation_r2(flat, "x", "y").collect()[0]["r2_bp"] is None
+    # n=1 -> NULL; empty vanishes
+    one = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    assert correlation_r2(one, "x", "y").collect()[0]["r2_bp"] is None
+    assert correlation_r2(one.filter("x < 0"), "x", "y").count() == 0
+
+
+def test_correlation_r2_range_guard(spark):
+    from docetl_spark.functions.stats import correlation_r2
+
+    big = spark.createDataFrame(
+        [(1e7, 1e7), (2e7, 2.1e7), (3e7, 2.9e7)], "x double, y double")
+    with pytest.raises(Exception, match="exact range"):
+        correlation_r2(big, "x", "y").collect()  # cents of 1e7 overflow
+    # the documented remedy: coarser units bring it back in range
+    r = correlation_r2(big, "x", "y", x_scale=1, y_scale=1).collect()[0]
+    assert r["r2_bp"] is not None and 9000 < r["r2_bp"] <= 10000
+
+
+def test_sequence_ngrams_hand_checked(spark):
+    from docetl_spark.functions.timeseries import sequence_ngrams
+
+    rows = [(1, i, s) for i, s in enumerate("abab")] + \
+           [(2, i, s) for i, s in enumerate("ab")]  # key 2 too short for n=3
+    df = spark.createDataFrame(rows, "k int, ts long, s string")
+    out = {(r["state_1"], r["state_2"], r["state_3"]): r["support"]
+           for r in sequence_ngrams(df, keys=["k"], ts_col="ts",
+                                    state_col="s", n=3).collect()}
+    assert out == {("a", "b", "a"): 1, ("b", "a", "b"): 1}
+    with pytest.raises(ValueError, match="n >= 2"):
+        sequence_ngrams(df, keys=["k"], ts_col="ts", state_col="s", n=1)
+    top = sequence_ngrams(df, keys=["k"], ts_col="ts", state_col="s",
+                          n=2, top_n=1).collect()
+    # (a,b): twice in key 1's "abab" + once in key 2's "ab"
+    assert len(top) == 1 and top[0]["support"] == 3
+
+
+def test_zipf_profile_hand_checked(spark):
+    from docetl_spark.functions.text import zipf_profile
+
+    df = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x y")], "doc_id long, text string")
+    rows = {r["rank"]: r for r in zipf_profile(
+        df, "text", id_col="doc_id", top_n=10).collect()}
+    assert (rows[1]["term"], rows[1]["tf"], rows[1]["df"]) == ("x", 4, 2)
+    assert (rows[2]["term"], rows[2]["tf"]) == ("y", 3)
+    assert rows[2]["rank_tf"] == 6 and rows[2]["share_of_top_bp"] == 7500
+    assert rows[3]["share_of_top_bp"] == 2500  # z: 1/4

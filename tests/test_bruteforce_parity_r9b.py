@@ -195,3 +195,72 @@ def test_transition_probs_matches_sequential_walk(spark, seed):
         assert got[key]["n"] == n
         assert got[key]["from_total"] == from_tot[key[0]]
         assert got[key]["prob_bp"] == n * 10000 // from_tot[key[0]]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pareto_coverage_matches_cumulative_walk(spark, seed):
+    from docetl_spark.functions.stats import pareto_coverage
+
+    rng = random.Random(seed)
+    rows = [(f"e{rng.randrange(12)}", round(rng.uniform(0, 80), 2))
+            for _ in range(50)]
+    df = spark.createDataFrame(rows, "e string, v double")
+    ts = (2500, 5000, 9000)
+    got = {r["threshold_bp"]: (r["k"], r["share_bp"]) for r in
+           pareto_coverage(df, "v", "e", thresholds_bp=ts).collect()}
+    tot = defaultdict(int)
+    for e, v in rows:
+        tot[e] += int(math.floor(v * 100 + 0.5))
+    ordered = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))
+    T = sum(tot.values())
+    for t in ts:
+        cum = 0
+        for k, (e, x) in enumerate(ordered, start=1):
+            cum += x
+            if cum * 10000 >= t * T:
+                assert got[t] == (k, cum * 10000 // T)
+                break
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_correlation_r2_matches_integer_sums(spark, seed):
+    from docetl_spark.functions.stats import correlation_r2
+
+    rng = random.Random(seed)
+    rows = [(round(rng.uniform(0, 50), 2),
+             round(rng.uniform(0, 50), 2)) for _ in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = correlation_r2(df, "x", "y").collect()[0]
+    xs = [int(math.floor(x * 100 + 0.5)) for x, _ in rows]
+    ys = [int(math.floor(y * 100 + 0.5)) for _, y in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    assert got["n"] == n
+    assert got["sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+    assert got["r2_bp"] == num * num * 10000 // (dx * dy)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_sequence_ngrams_matches_sliding_windows(spark, seed):
+    from docetl_spark.functions.timeseries import sequence_ngrams
+
+    rng = random.Random(seed)
+    rows = [{"k": rng.randrange(5), "ts": i, "s": f"s{rng.randrange(3)}"}
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "k int, ts long, s string")
+    got = {(r["state_1"], r["state_2"], r["state_3"]): r["support"]
+           for r in sequence_ngrams(df, keys=["k"], ts_col="ts",
+                                    state_col="s", n=3).collect()}
+    by_k = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["ts"]):
+        by_k[r["k"]].append(r["s"])
+    ref = Counter()
+    for seq in by_k.values():
+        for i in range(len(seq) - 2):
+            ref[tuple(seq[i:i + 3])] += 1
+    assert got == dict(ref)

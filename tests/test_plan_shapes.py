@@ -90,6 +90,7 @@ PLAN_ONLY = [
     "users_event_diversity", "events_mode_by", "events_lift",
     "docs_vocab_profile", "docs_dup_clusters", "events_bursts",
     "events_markov",
+    "orders_pareto", "lineitem_r2", "events_trigrams", "docs_zipf",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
