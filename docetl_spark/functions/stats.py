@@ -847,11 +847,12 @@ def weighted_quantiles(
     else:
         # a bare global window would collapse the distinct-value table
         # (≈ row count for continuous values) into ONE partition — ride
-        # the distributed range-partitioned prefix sum instead
-        cum = _global_cumsum(collapsed, "value", ["_wq_w"]) \
-            .withColumnRenamed("_wq_w_cum", "_wq_cum")
-        tot = cum.agg(F.sum("_wq_w").alias("_wq_tot"))
-        cum = broadcast_scalar_join(cum, tot, df_col="value", scalar_col="_wq_tot")
+        # the distributed range-partitioned prefix sum instead; the
+        # grand total comes back from its driver loop as an exact int,
+        # attached as a literal (no extra agg job, no join)
+        cum, tots = _global_cumsum(collapsed, "value", ["_wq_w"], with_totals=True)
+        cum = cum.withColumnRenamed("_wq_w_cum", "_wq_cum").withColumn(
+            "_wq_tot", F.lit(str(tots["_wq_w"])).cast("decimal(38,0)"))
     qlit = F.explode(F.array(*[F.lit(int(q)) for q in sorted(set(int(q) for q in qs_bp))]))
     hit = (
         cum.select(*part, "value", "_wq_cum", "_wq_tot", qlit.alias("q_bp"))
@@ -1604,7 +1605,8 @@ def target_encode_loo(
     return j.withColumn(out_col, enc).drop("_te_c", "_te_s", "_te_n", "_te_x")
 
 
-def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str]) -> DataFrame:
+def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str],
+                   *, with_totals: bool = False):
     """Distributed global cumulative sums over a total order on
     ``order_col`` (one Column/name or a list — compound keys order
     lexicographically) — the prefix-sum twin of rank.py's
@@ -1621,7 +1623,18 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str]) -> DataFrame:
     groupBy-collapsed table, or append a tiebreak column) — range
     partitioning may split ties across partition boundaries, which
     would misplace a tied row's prefix. Appends ``<col>_cum`` for each
-    requested column.
+    requested column. With ``with_totals=True`` returns
+    ``(df, {col: grand_total})`` — the driver loop already holds the
+    exact totals, so callers can attach them as literals instead of
+    paying another aggregation job plus a broadcast join.
+
+    The repartitioned-and-sorted table stays CACHED for the session
+    (the rank.py posture): the cache is load-bearing, not a leftover —
+    it pins the sampled range boundaries so the offset map (computed in
+    job 1) describes exactly the partitions the final windowed job
+    reads; an eager unpersist would let job 2 re-sample boundaries from
+    recomputed lineage. Cached blocks sit in evictable storage memory,
+    so long sessions degrade to recompute under pressure, never OOM.
     """
     order = [
         (F.col(c).asc() if isinstance(c, str) else c)
@@ -1659,7 +1672,8 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str]) -> DataFrame:
         else:
             offset = F.lit(0).cast("decimal(38,0)")
         out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + offset)
-    return out.drop("_pid")
+    out = out.drop("_pid")
+    return (out, dict(acc)) if with_totals else out
 
 
 def _checked_binary_label(label_col: str, op: str):
@@ -1897,13 +1911,16 @@ def ks_statistic(
             .withColumn("_nb", F.sum("_ks_b").over(wall))
         )
     else:
-        cum = (
-            _global_cumsum(per_val, "_ks_v", ["_ks_a", "_ks_b"])
-            .withColumnRenamed("_ks_a_cum", "_ca")
-            .withColumnRenamed("_ks_b_cum", "_cb")
+        cum, tots = _global_cumsum(
+            per_val, "_ks_v", ["_ks_a", "_ks_b"], with_totals=True
         )
-        tot = cum.agg(F.sum("_ks_a").alias("_na"), F.sum("_ks_b").alias("_nb"))
-        cum = broadcast_scalar_join(cum, tot, df_col="_ks_v", scalar_col="_na")
+        cum = (
+            cum.withColumnRenamed("_ks_a_cum", "_ca")
+            .withColumnRenamed("_ks_b_cum", "_cb")
+            # side totals from the helper's driver loop, as literals
+            .withColumn("_na", F.lit(str(tots["_ks_a"])).cast("decimal(38,0)"))
+            .withColumn("_nb", F.lit(str(tots["_ks_b"])).cast("decimal(38,0)"))
+        )
     gap = F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
     return (
         cum.withColumn("_gap", gap)
@@ -2237,16 +2254,16 @@ def pareto_coverage(
             .withColumn("_pc_tot", F.sum("_pc_x").over(wall))
         )
     else:
-        cum = (
-            _global_cumsum(
-                per_entity.withColumn("_pc_one", F.lit(1).cast("decimal(38,0)")),
-                order, ["_pc_x", "_pc_one"],
-            )
-            .withColumnRenamed("_pc_x_cum", "_pc_cum")
-            .withColumn("_pc_k", F.col("_pc_one_cum").cast("long"))
+        cum, tots = _global_cumsum(
+            per_entity.withColumn("_pc_one", F.lit(1).cast("decimal(38,0)")),
+            order, ["_pc_x", "_pc_one"], with_totals=True,
         )
-        tot = cum.agg(F.sum("_pc_x").alias("_pc_tot"))
-        cum = broadcast_scalar_join(cum, tot, df_col="_pc_k", scalar_col="_pc_tot")
+        cum = (
+            cum.withColumnRenamed("_pc_x_cum", "_pc_cum")
+            .withColumn("_pc_k", F.col("_pc_one_cum").cast("long"))
+            # group total from the helper's driver loop, as a literal
+            .withColumn("_pc_tot", F.lit(str(tots["_pc_x"])).cast("decimal(38,0)"))
+        )
     tlit = F.explode(F.array(*[F.lit(t) for t in ts]))
     hit = (
         cum.select(*(by or []), "_pc_k", "_pc_cum", "_pc_tot",
@@ -2291,11 +2308,17 @@ def correlation_r2(
     An empty input vanishes.
 
     Exact-arithmetic bound: num²·10⁴ must fit decimal(38,0), so
-    |num| ≤ ~9.9·10¹⁶ (and dx·dy < 10³⁸) — RAISES loudly beyond (the
-    chi_square_bp posture). num grows as n²·cov(x,y) in fixed-point
-    units², so pick ``x_scale``/``y_scale`` to the coarsest unit the
-    analysis needs (e.g. whole units instead of cents) before
+    |num| ≤ ~9.9·10¹⁶, and the dx·dy product must fit too, so each
+    variance term ≤ 9·10¹⁸ — ALL THREE are guarded and RAISE loudly
+    with a named message beyond (the chi_square_bp posture; a bare
+    guard on num alone would let a representable r² die in a raw
+    decimal-overflow on the denominator product, or return a silent
+    NULL on a non-ANSI session). num grows as n²·cov(x,y) in
+    fixed-point units², so pick ``x_scale``/``y_scale`` to the coarsest
+    unit the analysis needs (e.g. whole units instead of cents) before
     correlating billions of rows; the error message says exactly that.
+    (Inputs so extreme that a SUM itself exceeds 38 digits still die in
+    Spark's own ANSI overflow before these guards can name them.)
 
     Output: ``by`` + ``n`` + ``sign`` (-1/0/1 of the covariance) +
     ``r2_bp``. Plan: ONE map-side-combinable aggregation — six sums —
@@ -2324,11 +2347,14 @@ def correlation_r2(
     num = F.expr("_n * _sxy - _sx * _sy")
     dx = F.expr("_n * _sxx - _sx * _sx")
     dy = F.expr("_n * _syy - _sy * _sy")
+    oob = F.lit(
+        "correlation_r2: sums exceed the decimal(38,0) exact range"
+        " — use coarser x_scale/y_scale units or sample")
     guarded = F.when(
-        F.abs(num) > F.lit(99 * 10**15).cast("decimal(38,0)"),
-        F.raise_error(F.lit(
-            "correlation_r2: |n*Sxy - Sx*Sy| exceeds the decimal(38,0)"
-            " exact range — use coarser x_scale/y_scale units or sample")),
+        (F.abs(num) > F.lit(99 * 10**15).cast("decimal(38,0)"))
+        | (dx > F.lit(9 * 10**18).cast("decimal(38,0)"))
+        | (dy > F.lit(9 * 10**18).cast("decimal(38,0)")),
+        F.raise_error(oob),
     ).otherwise(num)
     staged = (
         # count over an empty global aggregate is 0 (not NULL) — the

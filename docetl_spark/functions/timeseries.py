@@ -735,7 +735,11 @@ def transitions(
     clash = sorted({"from_state", "to_state", "n"} & set(by or []))
     if clash:
         raise ValueError(f"transitions reserves column names {clash} — rename the `by` columns")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    # NULLS LAST: Spark's bare .asc() is NULLS FIRST, ANSI/DuckDB
+    # default NULLS LAST — a NULL ts row would transition in a
+    # different stream position per engine (latent until NULL ts data)
+    order = [F.col(ts_col).asc_nulls_last()] + (
+        [F.col(tiebreak).asc_nulls_last()] if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     pairs = df.select(
         *(by or []),
@@ -2493,7 +2497,12 @@ def sequence_ngrams(
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"sequence_ngrams reserves column names {clash}")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    # NULLS LAST in the stream order too (not just the top_n sort):
+    # Spark's bare .asc() is NULLS FIRST while ANSI/DuckDB default is
+    # NULLS LAST, so a NULL ts/tiebreak row would sequence differently
+    # per engine and silently shuffle every gram it touches
+    order = [F.col(ts_col).asc_nulls_last()] + (
+        [F.col(tiebreak).asc_nulls_last()] if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     grams = df.select(
         *(by or []),

@@ -51,35 +51,21 @@ def _likert_scores(
 def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
     """Distributed global 1-based rank. ``W.orderBy(...)`` without a
     partition key moves every row into ONE partition — fine at test
-    scale, fatal at 100 TB. Instead: range-repartition on the sort key
-    (Spark samples boundaries), sort within partitions, then rank =
-    per-partition row_number + the cumulative count of earlier
-    partitions (tiny driver-side offset map). Requires a total order
-    (callers pass tiebreak columns), so output is deterministic."""
-    parts = df.sparkSession.sparkContext.defaultParallelism or 8
-    # repartitionByRange runs a separate boundary-sampling job over the
-    # input; without a persist that job recomputes the full upstream
-    # lineage (for likert/comparison ranks that is the Python scoring
-    # stage — model calls paid twice). Persist the input so sampling and
-    # the real exchange read one materialization.
-    src = df.persist()
-    s = (
-        src.repartitionByRange(parts, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
+    scale, fatal at 100 TB. Implemented as the lit-1 case of
+    stats._global_cumsum (the SINGLE home for the range-repartition +
+    per-partition-run + driver-offset-map mechanism: persist-for-
+    boundary-sampling discipline, cached-sort boundary pinning, and any
+    future tie/precondition fix live there once). Requires a total
+    order (callers pass tiebreak columns), so output is deterministic."""
+    from ..functions.stats import _global_cumsum
+
+    one = "_grn_one"
+    out = _global_cumsum(
+        df.withColumn(one, F.lit(1).cast("decimal(38,0)")), order, [one]
     )
-    counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    src.unpersist()
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
-    w = W.partitionBy("_pid").orderBy(*order)
-    return s.withColumn(
-        rank_col, (F.row_number().over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long")
-    ).drop("_pid")
+    return out.withColumn(
+        rank_col, F.col(f"{one}_cum").cast("long")
+    ).drop(one, f"{one}_cum")
 
 
 def _calibrated_embedding_rank(

@@ -471,3 +471,27 @@ def test_zipf_profile_hand_checked(spark):
     assert (rows[2]["term"], rows[2]["tf"]) == ("y", 3)
     assert rows[2]["rank_tf"] == 6 and rows[2]["share_of_top_bp"] == 7500
     assert rows[3]["share_of_top_bp"] == 2500  # z: 1/4
+
+
+def test_correlation_r2_denominator_guard_is_named(spark):
+    # review repro: num == 0 (true r2 representable) but dx*dy would
+    # overflow decimal(38,0) — must die in the NAMED guard, not a raw
+    # SparkArithmeticException from the denominator product
+    from docetl_spark.functions.stats import correlation_r2
+
+    df = spark.createDataFrame(
+        [(-1e10, 1e10), (0.0, 0.0), (1e10, 1e10)], "x double, y double")
+    with pytest.raises(Exception, match="exact range"):
+        correlation_r2(df, "x", "y", x_scale=1, y_scale=1).collect()
+
+
+def test_sequence_ngrams_null_ts_orders_last(spark):
+    # NULL ts must sort LAST (ANSI/DuckDB parity), not first
+    from docetl_spark.functions.timeseries import sequence_ngrams
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, None, "z")], "k int, ts long, s string")
+    out = {(r["state_1"], r["state_2"]): r["support"] for r in
+           sequence_ngrams(df, keys=["k"], ts_col="ts", state_col="s",
+                           n=2).collect()}
+    assert out == {("a", "b"): 1, ("b", "z"): 1}  # z last, never first
