@@ -1619,11 +1619,21 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str],
     carried as exact Python ints -> decimal literals, so nothing
     overflows at any scale decimal(38,0) itself supports).
 
-    PRECONDITION: the order key is unique per row (callers pass a
-    groupBy-collapsed table, or append a tiebreak column) — range
-    partitioning may split ties across partition boundaries, which
-    would misplace a tied row's prefix. Appends ``<col>_cum`` for each
-    requested column. With ``with_totals=True`` returns
+    The running sum uses an explicit ROWS frame, not the window
+    default: the default RANGE frame includes ALL PEERS of the current
+    order value, so tied rows would share one cumulative value — which
+    breaks the lit-1 row-number case (rank.py's _global_row_number
+    delegates here and needs DISTINCT ranks under ties, exactly what
+    ROW_NUMBER gave; exact_quantiles' rank-equality probe finds no row
+    otherwise). Under ties the per-tie order is arbitrary-but-valid,
+    matching ROW_NUMBER's contract.
+
+    PRECONDITION for the by-VALUE cumulative reading: the order key is
+    unique per row (callers pass a groupBy-collapsed table, or append a
+    tiebreak column) — range partitioning may split ties across
+    partition boundaries, and with the ROWS frame a tied row's prefix
+    covers an arbitrary subset of its peers. Appends ``<col>_cum`` for
+    each requested column. With ``with_totals=True`` returns
     ``(df, {col: grand_total})`` — the driver loop already holds the
     exact totals, so callers can attach them as literals instead of
     paying another aggregation job plus a broadcast join.
@@ -1658,7 +1668,10 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str],
         for c in sum_cols:
             offs[c][r["_pid"]] = acc[c]
             acc[c] += int(r[c] or 0)
-    w = W.partitionBy("_pid").orderBy(*order)
+    w = (
+        W.partitionBy("_pid").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     out = s
     for c in sum_cols:
         if offs[c]:
