@@ -162,3 +162,37 @@ def test_transition_probs_rows_conserve_counts(spark, cats):
         rows_per[r["from_state"]] += 1
     for f, s in probs.items():
         assert 10000 - rows_per[f] < s <= 10000
+
+
+TIE_VALS = st.lists(st.integers(min_value=0, max_value=3), min_size=3,
+                    max_size=30)
+
+
+@given(vals=TIE_VALS)
+@settings(**SPARK_SETTINGS)
+def test_global_quantiles_survive_heavy_ties(spark, vals):
+    # the ROWS-frame regression shape: few distinct values, many ties —
+    # the global (distributed-rank) median must equal the sorted
+    # middle, and every rank 1..n must be assigned exactly once
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.stats import exact_quantiles
+    from docetl_spark.operators.rank import _global_row_number
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double")
+    got = exact_quantiles(df, "v", [0.5]).collect()[0]["p50"]
+    s = sorted(float(v) for v in vals)
+    import math
+    # exact_quantiles implements the interpolating percentile
+    # definition: index i = p*(n-1), linear between the two
+    # order statistics it straddles
+    i = 0.5 * (len(s) - 1)
+    f, c = math.floor(i), math.ceil(i)
+    assert got == s[f] + (s[c] - s[f]) * (i - f)
+    ranked = _global_row_number(df, [F.col("v").asc()], "r").collect()
+    assert sorted(r["r"] for r in ranked) == list(range(1, len(vals) + 1))
+    # ranks respect the value order even across tie groups
+    by_rank = {r["r"]: r["v"] for r in ranked}
+    seq = [by_rank[i] for i in range(1, len(vals) + 1)]
+    assert seq == sorted(seq)
