@@ -1894,7 +1894,9 @@ def ks_statistic(
     range-partitioned prefix sum (_global_cumsum, WITHOUT ``by`` —
     a continuous value column's distinct count tracks row count, so a
     bare global window would collapse to one partition); a final max
-    re-agg, with the side totals attached as a broadcast scalar.
+    re-agg. The global path's side totals come back from the prefix
+    sum's own driver loop and attach as exact-int literals (no extra
+    aggregation job, no join).
     """
     reserved = {"n_a", "n_b", "ks_num", "ks_bp", "_ks_v", "_ks_ia", "_ks_ib",
                 "_ks_a", "_ks_b", "_ca", "_cb", "_na", "_nb", "_gap"}
@@ -2320,18 +2322,21 @@ def correlation_r2(
     zero-variance side (dx or dy = 0 — r² undefined) emit NULL r2_bp.
     An empty input vanishes.
 
-    Exact-arithmetic bound: num²·10⁴ must fit decimal(38,0), so
-    |num| ≤ ~9.9·10¹⁶, and the dx·dy product must fit too, so each
-    variance term ≤ 9·10¹⁸ — ALL THREE are guarded and RAISE loudly
-    with a named message beyond (the chi_square_bp posture; a bare
-    guard on num alone would let a representable r² die in a raw
-    decimal-overflow on the denominator product, or return a silent
-    NULL on a non-ANSI session). num grows as n²·cov(x,y) in
-    fixed-point units², so pick ``x_scale``/``y_scale`` to the coarsest
-    unit the analysis needs (e.g. whole units instead of cents) before
+    Exact-arithmetic bounds, guarded in LAYERS that raise loudly with a
+    named message (the chi_square_bp posture): digit-count pre-checks
+    that every product feeding num/dx/dy fits decimal(38,0)
+    (digits(a)+digits(b) ≤ 38 — a check that can never overflow itself,
+    conservative by at most one order of magnitude at the boundary; it
+    runs as an earlier CaseWhen branch, so the later arithmetic is not
+    evaluated when it fails), then ``|num| ≤ ~9.9·10¹⁶`` (num²·10⁴
+    must fit) and digits(dx)+digits(dy) ≤ 38 (the denominator product —
+    a per-factor cap would mis-reject asymmetric dx/dy pairs the
+    arithmetic handles fine). num grows as n²·cov(x,y) in fixed-point
+    units², so pick ``x_scale``/``y_scale`` to the coarsest unit the
+    analysis needs (e.g. whole units instead of cents) before
     correlating billions of rows; the error message says exactly that.
-    (Inputs so extreme that a SUM itself exceeds 38 digits still die in
-    Spark's own ANSI overflow before these guards can name them.)
+    (Only an individual SUM exceeding 38 digits can still die in
+    Spark's own ANSI overflow before these guards name it.)
 
     Output: ``by`` + ``n`` + ``sign`` (-1/0/1 of the covariance) +
     ``r2_bp``. Plan: ONE map-side-combinable aggregation — six sums —
@@ -2357,18 +2362,47 @@ def correlation_r2(
             F.sum(F.col("_r2_y") * F.col("_r2_y")).alias("_syy"),
         )
     )
-    num = F.expr("_n * _sxy - _sx * _sy")
-    dx = F.expr("_n * _sxx - _sx * _sx")
-    dy = F.expr("_n * _syy - _sy * _sy")
+    # ---- layered overflow pre-checks via DIGIT COUNTS, which can
+    # never overflow themselves (a 38-digit cap means a·b fits whenever
+    # digits(a)+digits(b) <= 38; the check is conservative by at most
+    # one order of magnitude at the boundary). Two earlier attempts
+    # document the trap space: a per-factor cap (9e18 each) mis-rejects
+    # asymmetric dx~1e24 · dy~1e12 cases the arithmetic handles fine,
+    # and a division-based check (a > MAX DIV b) silently breaks
+    # because Spark's DIV returns BIGINT — a 3.3e37 quotient wraps
+    # negative and the guard fires on perfectly small sums.
+    def _digits(expr: str) -> str:
+        return f"length(CAST(abs({expr}) AS STRING))"
+
+    pre_oob = F.expr(
+        f"{_digits('_n')} + {_digits('_sxx')} > 38"
+        f" OR {_digits('_n')} + {_digits('_syy')} > 38"
+        f" OR {_digits('_n')} + {_digits('_sxy')} > 38"
+        f" OR {_digits('_sx')} + {_digits('_sy')} > 38"
+        f" OR 2 * {_digits('_sx')} > 38 OR 2 * {_digits('_sy')} > 38"
+    )
     oob = F.lit(
         "correlation_r2: sums exceed the decimal(38,0) exact range"
         " — use coarser x_scale/y_scale units or sample")
-    guarded = F.when(
+    num = F.expr("_n * _sxy - _sx * _sy")
+    dx = F.expr("_n * _sxx - _sx * _sx")
+    dy = F.expr("_n * _syy - _sy * _sy")
+    post_oob = (
         (F.abs(num) > F.lit(99 * 10**15).cast("decimal(38,0)"))
-        | (dx > F.lit(9 * 10**18).cast("decimal(38,0)"))
-        | (dy > F.lit(9 * 10**18).cast("decimal(38,0)")),
-        F.raise_error(oob),
-    ).otherwise(num)
+        | F.expr(
+            f"{_digits('_n * _sxx - _sx * _sx')}"
+            f" + {_digits('_n * _syy - _sy * _sy')} > 38")
+    )
+    # SEQUENTIAL CaseWhen branches, not a single OR: CaseWhen evaluates
+    # conditions in order and stops at the first match, so post_oob's
+    # dx/dy arithmetic is never evaluated when pre_oob already failed
+    # (an OR might evaluate both sides under codegen and die in the raw
+    # overflow the pre-check exists to pre-empt)
+    guarded = (
+        F.when(pre_oob, F.raise_error(oob))
+        .when(post_oob, F.raise_error(oob))
+        .otherwise(num)
+    )
     staged = (
         # count over an empty global aggregate is 0 (not NULL) — the
         # "no data, no figure" vanish needs the strict > 0 cut

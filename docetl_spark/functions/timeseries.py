@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 _LAST_ROWS = W.unboundedPreceding, W.currentRow
 
 
+def _stream_order(*cols) -> list:
+    """ANSI/DuckDB-parity stream ordering: every ASC sort key NULLS
+    LAST, in ONE place. Spark's bare ``.asc()`` is NULLS FIRST while
+    every SQL oracle the driver replays (and the ANSI default) orders
+    NULLS LAST — a NULL ts/tiebreak row would take a different stream
+    position per engine and silently shift every window it touches.
+    Accepts column names or Columns; descending keys stay per-site
+    (``.desc()`` already defaults NULLS LAST on both engines)."""
+    return [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in cols
+    ]
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -337,8 +350,8 @@ def sessionize(
     Sparse buckets need no special case: the summary's lag() skips empty
     buckets, and the continuation test uses real timestamps.
     """
-    order = [F.col("_sts").asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak is not None else []
+    order = _stream_order("_sts") + (
+        _stream_order(tiebreak) if tiebreak is not None else []
     )
     base = df.withColumn("_sts", F.col(ts_col).cast("long"))
 
@@ -374,11 +387,24 @@ def sessionize(
         F.max("_sts").alias("_last"),
         F.sum("_new").alias("_starts"),
     )
-    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    # NULLS LAST on the bucket axis too: a NULL ts row has a NULL
+    # bucket, and the cross-bucket chain must place it where the
+    # default plan's _stream_order does (after every real bucket)
+    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc_nulls_last())
     prev_last = F.lag("_last").over(wk)
+    # continuation must mirror the default plan's NULL semantics
+    # exactly: plain "new" is prev.isNull() OR (diff > gap), so a
+    # NULL-ts row after a real row CONTINUES (NULL > gap is not true).
+    # The NULL bucket sorts last, its _first is NULL, and a
+    # `diff <= gap` test would read NULL as "don't continue" — the
+    # negated-coalesce form keeps the two plans identical there.
     summ = summ.withColumn(
         "_cont",
-        F.when(prev_last.isNotNull() & ((F.col("_first") - prev_last) <= gap), 1).otherwise(0),
+        F.when(
+            prev_last.isNotNull()
+            & ~F.coalesce((F.col("_first") - prev_last) > gap, F.lit(False)),
+            1,
+        ).otherwise(0),
     )
     adj = F.col("_starts") - F.col("_cont")
     summ = summ.withColumn(
@@ -457,7 +483,7 @@ def rolling_features(
     k = int(lookback_rows)
 
     if hot_key_bucket is None:
-        order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+        order = _stream_order(ts_col, *(tiebreak or []))
         w = W.partitionBy(*keys).orderBy(*order)
         frame = w.rowsBetween(-(k - 1), 0)
         out = (
@@ -493,10 +519,13 @@ def rolling_features(
     b = df.withColumn("_rts", F.col(ts_col).cast("long")).withColumn(
         "_bkt", F.expr(f"(_rts - pmod(_rts, {width})) DIV {width}")
     )
-    order_local = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    order_local = _stream_order(ts_col, *(tiebreak or []))
     wb = W.partitionBy(*keys, "_bkt").orderBy(*order_local)
     local = b.withColumn("_rn", F.row_number().over(wb))
-    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    # NULLS LAST on the bucket axis too: a NULL ts row has a NULL
+    # bucket, and the cross-bucket chain must place it where the
+    # default plan's _stream_order does (after every real bucket)
+    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc_nulls_last())
     summ = (
         local.groupBy(*keys, "_bkt")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -567,7 +596,8 @@ def funnel(
     """
     if not steps:
         raise ValueError("steps must name at least one event type")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = (
         W.partitionBy(user_col)
         .orderBy(*order)
@@ -738,8 +768,8 @@ def transitions(
     # NULLS LAST: Spark's bare .asc() is NULLS FIRST, ANSI/DuckDB
     # default NULLS LAST — a NULL ts row would transition in a
     # different stream position per engine (latent until NULL ts data)
-    order = [F.col(ts_col).asc_nulls_last()] + (
-        [F.col(tiebreak).asc_nulls_last()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     pairs = df.select(
         *(by or []),
@@ -790,7 +820,8 @@ def changelog_to_scd2(
     base = df.select(
         *keys, F.col(ts_col).cast("long").alias("valid_from"), *attrs, *tb
     )
-    order = [F.col("valid_from").asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order("valid_from") + (
+        _stream_order(tiebreak) if tiebreak else [])
     wv = W.partitionBy(*keys).orderBy(*order)
     if compress:
         changed = F.lit(False)
@@ -1014,7 +1045,10 @@ def streaks(
         .groupBy(*keys, "_bkt")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    # NULLS LAST on the bucket axis too: a NULL ts row has a NULL
+    # bucket, and the cross-bucket chain must place it where the
+    # default plan's _stream_order does (after every real bucket)
+    wk = W.partitionBy(*keys).orderBy(F.col("_bkt").asc_nulls_last())
     islands = per_bucket.withColumn(
         "_isl", F.col("_bkt") - F.row_number().over(wk)
     )
@@ -1358,7 +1392,7 @@ def time_weighted_avg(
             "the key/input columns (the output carries twa/n_samples/"
             "duration next to the keys)"
         )
-    ow = W.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
+    ow = W.partitionBy(*keys).orderBy(*_stream_order(ts_col, *(order_cols or [])))
     ts = F.col(ts_col).cast("long")
     v = F.col(value_col).cast("long")
     nxt_ts = F.lead(ts).over(ow)
@@ -1782,7 +1816,8 @@ def state_durations(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"state_durations reserves column names {clash}")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     t = F.col(ts_col).cast("long")
     opened = df.withColumn("_sd_next", F.lead(t).over(w) - t)
@@ -1875,7 +1910,8 @@ def debounce(
         raise ValueError("min_gap_ns must be positive")
     if "_db_prev" in df.columns:
         raise ValueError("debounce reserves the column name '_db_prev'")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     t = F.col(ts_col).cast("long")
     return (
@@ -1916,7 +1952,8 @@ def throttle(
     if clash:
         raise ValueError(f"throttle reserves column names {clash}")
     wns = int(window_ns)
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     bkt = F.expr(
         f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {wns})) DIV {wns}"
     )
@@ -2025,7 +2062,8 @@ def session_paths(
         raise ValueError("session_paths requires at least one session key")
     if max_len < 1 or top < 1:
         raise ValueError("max_len and top must be >= 1")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*session_keys).orderBy(*order)
     prefix = (
         df.withColumn("_sp_rn", F.row_number().over(w))
@@ -2081,7 +2119,8 @@ def autocorr_lag(
         raise ValueError(f"autocorr_lag reserves column names {clash}")
     from .stats import to_cents
 
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     y = to_cents(value_col, scale).cast("decimal(38,0)")
     paired = df.withColumn("_ac_y", y).withColumn("_ac_x", F.lag("_ac_y", lag).over(w))
@@ -2134,7 +2173,8 @@ def null_runs(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"null_runs reserves column names {clash}")
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     isnull = F.col(value_col).isNull()
     wn = W.partitionBy(*keys, isnull).orderBy(*order)
@@ -2213,7 +2253,8 @@ def changepoint_cusum(
         raise ValueError(f"changepoint_cusum reserves column names {clash}")
     from .stats import to_cents
 
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     wall = W.partitionBy(*keys)
     word = W.partitionBy(*keys).orderBy(*order)
     wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -2501,8 +2542,8 @@ def sequence_ngrams(
     # Spark's bare .asc() is NULLS FIRST while ANSI/DuckDB default is
     # NULLS LAST, so a NULL ts/tiebreak row would sequence differently
     # per engine and silently shuffle every gram it touches
-    order = [F.col(ts_col).asc_nulls_last()] + (
-        [F.col(tiebreak).asc_nulls_last()] if tiebreak else [])
+    order = _stream_order(ts_col) + (
+        _stream_order(tiebreak) if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order)
     grams = df.select(
         *(by or []),

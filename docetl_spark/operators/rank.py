@@ -60,6 +60,11 @@ def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
     from ..functions.stats import _global_cumsum
 
     one = "_grn_one"
+    clash = sorted({one, f"{one}_cum", "_pid"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"_global_row_number reserves column names {clash} — rename the inputs"
+        )
     out = _global_cumsum(
         df.withColumn(one, F.lit(1).cast("decimal(38,0)")), order, [one]
     )
