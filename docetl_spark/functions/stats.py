@@ -1646,6 +1646,11 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str],
     recomputed lineage. Cached blocks sit in evictable storage memory,
     so long sessions degrade to recompute under pressure, never OOM.
     """
+    clash = sorted(({"_pid"} | {f"{c}_cum" for c in sum_cols}) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"_global_cumsum reserves column names {clash} — rename the inputs"
+        )
     order = [
         (F.col(c).asc() if isinstance(c, str) else c)
         for c in (order_col if isinstance(order_col, (list, tuple)) else [order_col])
@@ -2387,42 +2392,45 @@ def correlation_r2(
     num = F.expr("_n * _sxy - _sx * _sy")
     dx = F.expr("_n * _sxx - _sx * _sx")
     dy = F.expr("_n * _syy - _sy * _sy")
+    def _col_digits(col):
+        return F.length(F.abs(col).cast("string"))
+
+    # post-check reuses the SAME dx/dy Column objects the value branch
+    # divides by — a hand-spelled SQL copy here could silently drift
+    # from the expression actually checked
     post_oob = (
         (F.abs(num) > F.lit(99 * 10**15).cast("decimal(38,0)"))
-        | F.expr(
-            f"{_digits('_n * _sxx - _sx * _sx')}"
-            f" + {_digits('_n * _syy - _sy * _sy')} > 38")
+        | (_col_digits(dx) + _col_digits(dy) > 38)
     )
+
     # SEQUENTIAL CaseWhen branches, not a single OR: CaseWhen evaluates
     # conditions in order and stops at the first match, so post_oob's
-    # dx/dy arithmetic is never evaluated when pre_oob already failed
-    # (an OR might evaluate both sides under codegen and die in the raw
-    # overflow the pre-check exists to pre-empt)
-    guarded = (
-        F.when(pre_oob, F.raise_error(oob))
-        .when(post_oob, F.raise_error(oob))
-        .otherwise(num)
-    )
-    staged = (
-        # count over an empty global aggregate is 0 (not NULL) — the
-        # "no data, no figure" vanish needs the strict > 0 cut
-        sums.filter(F.col("_n") > 0)
-        .withColumn("_num", guarded)
-        .withColumn(
-            "r2_bp",
-            F.when(
-                (F.col("_n") >= 2) & (dx > 0) & (dy > 0),
-                F.expr(
-                    "CAST((_num * _num * 10000) DIV"
-                    " ((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy))"
-                    " AS BIGINT)"
-                ),
-            ),
+    # dx/dy arithmetic is never evaluated when pre_oob already failed.
+    # The guard chain is embedded in EVERY output expression (not just
+    # one helper column): Catalyst prunes unreferenced columns, so a
+    # caller selecting only r2_bp must still hit the named guard — a
+    # guard living solely in a pruned sibling column would silently
+    # vanish with it.
+    def _guarded(val):
+        return (
+            F.when(pre_oob, F.raise_error(oob))
+            .when(post_oob, F.raise_error(oob))
+            .otherwise(val)
         )
+
+    r2_val = F.when(
+        (F.col("_n") >= 2) & (dx > 0) & (dy > 0),
+        F.expr(
+            "CAST(((_n * _sxy - _sx * _sy) * (_n * _sxy - _sx * _sy) * 10000)"
+            " DIV ((_n * _sxx - _sx * _sx) * (_n * _syy - _sy * _sy))"
+            " AS BIGINT)"
+        ),
     )
-    return staged.select(
+    # count over an empty global aggregate is 0 (not NULL) — the
+    # "no data, no figure" vanish needs the strict > 0 cut
+    return sums.filter(F.col("_n") > 0).select(
         *(by or []),
         F.col("_n").cast("long").alias("n"),
-        F.signum(F.col("_num").cast("double")).cast("int").alias("sign"),
-        "r2_bp",
+        _guarded(F.signum(num.cast("double")).cast("int")).alias("sign"),
+        _guarded(r2_val).alias("r2_bp"),
     )

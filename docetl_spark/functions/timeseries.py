@@ -30,10 +30,13 @@ def _stream_order(*cols) -> list:
     every SQL oracle the driver replays (and the ANSI default) orders
     NULLS LAST — a NULL ts/tiebreak row would take a different stream
     position per engine and silently shift every window it touches.
-    Accepts column names or Columns; descending keys stay per-site
-    (``.desc()`` already defaults NULLS LAST on both engines)."""
+    Accepts column names or Columns and SKIPS None (so call sites pass
+    an optional tiebreak straight through); descending keys stay
+    per-site (``.desc()`` already defaults NULLS LAST on both
+    engines)."""
     return [
-        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in cols
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last()
+        for c in cols if c is not None
     ]
 
 
@@ -350,9 +353,7 @@ def sessionize(
     Sparse buckets need no special case: the summary's lag() skips empty
     buckets, and the continuation test uses real timestamps.
     """
-    order = _stream_order("_sts") + (
-        _stream_order(tiebreak) if tiebreak is not None else []
-    )
+    order = _stream_order("_sts", tiebreak)
     base = df.withColumn("_sts", F.col(ts_col).cast("long"))
 
     if hot_key_bucket is None:
@@ -596,8 +597,7 @@ def funnel(
     """
     if not steps:
         raise ValueError("steps must name at least one event type")
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = (
         W.partitionBy(user_col)
         .orderBy(*order)
@@ -768,8 +768,7 @@ def transitions(
     # NULLS LAST: Spark's bare .asc() is NULLS FIRST, ANSI/DuckDB
     # default NULLS LAST — a NULL ts row would transition in a
     # different stream position per engine (latent until NULL ts data)
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     pairs = df.select(
         *(by or []),
@@ -800,7 +799,12 @@ def changelog_to_scd2(
     ``compress=True`` (default) first drops rows whose ``attrs`` all
     equal the previous row's — consecutive no-op updates collapse into
     one version, so interval boundaries are true CHANGE points.
-    Equality is null-safe (NULL -> NULL is not a change).
+    Equality is null-safe (NULL -> NULL is not a change). A NULL
+    ``ts_col`` RAISES loudly (the apply_cdc posture): a changelog row
+    without a timestamp has no place on the validity axis, and under
+    NULLS LAST ordering it would otherwise silently produce TWO
+    is_current=true rows per key (itself and the true latest version,
+    whose lead(valid_from) becomes the NULL row's NULL).
 
     Plan: one shuffle on the keys; compression is a lag() comparison
     and the interval close is a lead() over the survivors — two window
@@ -817,11 +821,14 @@ def changelog_to_scd2(
     if clash:
         raise ValueError(f"changelog_to_scd2 reserves {clash} — rename the inputs")
     tb = [tiebreak] if tiebreak and tiebreak not in keys and tiebreak not in attrs else []
-    base = df.select(
-        *keys, F.col(ts_col).cast("long").alias("valid_from"), *attrs, *tb
-    )
-    order = _stream_order("valid_from") + (
-        _stream_order(tiebreak) if tiebreak else [])
+    vfrom = F.when(
+        F.col(ts_col).isNull(),
+        F.raise_error(F.lit(
+            "changelog_to_scd2: NULL ts_col — a changelog row without a"
+            " timestamp has no validity interval; fix or filter the data")),
+    ).otherwise(F.col(ts_col).cast("long"))
+    base = df.select(*keys, vfrom.alias("valid_from"), *attrs, *tb)
+    order = _stream_order("valid_from", tiebreak)
     wv = W.partitionBy(*keys).orderBy(*order)
     if compress:
         changed = F.lit(False)
@@ -1816,8 +1823,7 @@ def state_durations(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"state_durations reserves column names {clash}")
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     t = F.col(ts_col).cast("long")
     opened = df.withColumn("_sd_next", F.lead(t).over(w) - t)
@@ -1910,8 +1916,7 @@ def debounce(
         raise ValueError("min_gap_ns must be positive")
     if "_db_prev" in df.columns:
         raise ValueError("debounce reserves the column name '_db_prev'")
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     t = F.col(ts_col).cast("long")
     return (
@@ -1952,8 +1957,7 @@ def throttle(
     if clash:
         raise ValueError(f"throttle reserves column names {clash}")
     wns = int(window_ns)
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     bkt = F.expr(
         f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), {wns})) DIV {wns}"
     )
@@ -2062,8 +2066,7 @@ def session_paths(
         raise ValueError("session_paths requires at least one session key")
     if max_len < 1 or top < 1:
         raise ValueError("max_len and top must be >= 1")
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*session_keys).orderBy(*order)
     prefix = (
         df.withColumn("_sp_rn", F.row_number().over(w))
@@ -2119,8 +2122,7 @@ def autocorr_lag(
         raise ValueError(f"autocorr_lag reserves column names {clash}")
     from .stats import to_cents
 
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     y = to_cents(value_col, scale).cast("decimal(38,0)")
     paired = df.withColumn("_ac_y", y).withColumn("_ac_x", F.lag("_ac_y", lag).over(w))
@@ -2173,8 +2175,7 @@ def null_runs(
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"null_runs reserves column names {clash}")
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     isnull = F.col(value_col).isNull()
     wn = W.partitionBy(*keys, isnull).orderBy(*order)
@@ -2253,8 +2254,7 @@ def changepoint_cusum(
         raise ValueError(f"changepoint_cusum reserves column names {clash}")
     from .stats import to_cents
 
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     wall = W.partitionBy(*keys)
     word = W.partitionBy(*keys).orderBy(*order)
     wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -2542,8 +2542,7 @@ def sequence_ngrams(
     # Spark's bare .asc() is NULLS FIRST while ANSI/DuckDB default is
     # NULLS LAST, so a NULL ts/tiebreak row would sequence differently
     # per engine and silently shuffle every gram it touches
-    order = _stream_order(ts_col) + (
-        _stream_order(tiebreak) if tiebreak else [])
+    order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
     grams = df.select(
         *(by or []),

@@ -495,3 +495,29 @@ def test_sequence_ngrams_null_ts_orders_last(spark):
            sequence_ngrams(df, keys=["k"], ts_col="ts", state_col="s",
                            n=2).collect()}
     assert out == {("a", "b"): 1, ("b", "z"): 1}  # z last, never first
+
+
+def test_correlation_r2_guard_survives_column_pruning(spark):
+    # the guard is embedded in r2_bp itself: selecting ONLY r2_bp (so
+    # Catalyst prunes the sign column) must still hit the named error
+    from docetl_spark.functions.stats import correlation_r2
+
+    big = spark.createDataFrame([(1e7, 1e7), (2e7, 2.1e7), (3e7, 2.9e7)],
+                                "x double, y double")
+    with pytest.raises(Exception, match="exact range"):
+        correlation_r2(big, "x", "y").select("r2_bp").collect()
+
+
+def test_scd2_null_ts_raises_loudly(spark):
+    # a NULL-ts changelog row would create two is_current rows per key
+    # under NULLS LAST ordering — it raises instead
+    from docetl_spark.functions.timeseries import changelog_to_scd2
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, None, "c")], "k int, ts long, v string")
+    with pytest.raises(Exception, match="NULL ts_col"):
+        changelog_to_scd2(df, keys=["k"], ts_col="ts", attrs=["v"]).collect()
+    ok = changelog_to_scd2(
+        df.filter("ts IS NOT NULL"), keys=["k"], ts_col="ts", attrs=["v"]
+    ).collect()
+    assert sum(1 for r in ok if r["is_current"]) == 1
