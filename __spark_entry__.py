@@ -4100,13 +4100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in original order. tests/test_registry_rotation.py asserts the
     # window invariant so registry growth can't silently push a
     # never-verified query past position 50 again.
-    # one anchor per operator family (relational / semantic / dedup /
-    # timeseries / ANN) — trimmed from 9 in round 9 to keep the
-    # wave-3 additions inside the 50-key driver window; the cumulative
-    # ledger still covers every previously-verified key
+    # one anchor per operator family — round 10 rotated two slots
+    # (events_sessionize -> events_stream_cusum, ann_brute_force ->
+    # events_weighted_quantiles) toward the most regression-prone
+    # families: streaming batch/stream twins and the `_global_cumsum`
+    # distributed-prefix-sum consumers (VERDICT r9 ask #8). The rotated-
+    # out keys stay in the cumulative ledger, so they remain verified.
     anchors = [
         "q1_pricing_summary", "sem_reduce_fold", "minhash_near_dup",
-        "events_sessionize", "ann_brute_force",
+        "events_stream_cusum", "events_weighted_quantiles",
     ]
     # Driver-RED keys would lead the whole window (a key with a red row
     # needs a fresh driver verdict even more than a never-seen key does);
@@ -4221,6 +4223,29 @@ _DRIVER_VERIFIED_R8 = frozenset({
     "topk_fts", "unnest_word_freq",
 })
 
+# the 50-key set the driver verified green in round 9 (== CORRECTNESS_r09;
+# all 50 rows rows+schema+hash green — the 45 wave-2/3 analytics keys plus
+# the 5 anchors of that era). Folding them here frees the rotation window
+# for round-10 additions (VERDICT r9 ask #1).
+_DRIVER_VERIFIED_R9 = frozenset({
+    "ann_brute_force", "customer_rfm", "docs_blocker_metrics",
+    "docs_collapse_rare", "docs_dup_clusters", "docs_vocab_profile",
+    "docs_zipf", "events_ab_test", "events_auc", "events_audience_overlap",
+    "events_autocorr", "events_benford", "events_bursts", "events_chi2",
+    "events_cohort_values", "events_cusum", "events_decade_histogram",
+    "events_funnel_rates", "events_funnel_windowed", "events_gap_histogram",
+    "events_interval_union", "events_ks", "events_lift", "events_markov",
+    "events_mode_by", "events_new_returning", "events_null_runs",
+    "events_pop", "events_seasonal_outliers", "events_session_paths",
+    "events_session_quantiles", "events_sessionize", "events_stickiness",
+    "events_stream_cusum", "events_target_encode", "events_trend_fit",
+    "events_trigrams", "events_weighted_quantiles", "lineitem_basket_pairs",
+    "lineitem_r2", "minhash_near_dup", "orders_gini", "orders_hhi",
+    "orders_pareto", "orders_ship_latency", "part_fuzzy_names",
+    "part_skyline", "q1_pricing_summary", "sem_reduce_fold",
+    "users_event_diversity",
+})
+
 # keys whose LATEST driver row is red — empty since round 7 (the r6 reds
 # all came back green in CORRECTNESS_r07).
 _DRIVER_RED: tuple[str, ...] = ()
@@ -4235,7 +4260,8 @@ _SKETCH_EXEMPT_SEEN = frozenset({
 # union ledger: everything with at least one driver-green CORRECTNESS row
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
-    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _SKETCH_EXEMPT_SEEN
+    | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
+    | _SKETCH_EXEMPT_SEEN
 )
 
 
@@ -7626,12 +7652,15 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
           SELECT event_type s1,
                  LEAD(event_type, 1) OVER w s2,
-                 LEAD(event_type, 2) OVER w s3
+                 LEAD(event_type, 2) OVER w s3,
+                 -- end-of-stream sentinel, NOT s3 IS NOT NULL: a genuine
+                 -- NULL state in the last gram slot must still count
+                 LEAD(1, 2) OVER w eos
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         ), c AS (
           SELECT s1 state_1, s2 state_2, s3 state_3, COUNT(*) support
-          FROM g WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+          FROM g WHERE eos IS NOT NULL GROUP BY 1, 2, 3
         )
         SELECT state_1, state_2, state_3, CAST(support AS BIGINT) AS support
         FROM c

@@ -1138,9 +1138,11 @@ def rfm_segments(
     scale: int = 100,
 ) -> DataFrame:
     """RFM segmentation: per key, recency (latest activity), frequency
-    (row count), monetary (exact cents sum), each scored 1..n_tiles by
-    the distributed NTILE formulation ((rank-1)*n DIV total + 1 —
-    proven equal to SQL NTILE), plus the combined ``segment`` string
+    (row count), monetary (exact cents sum), each scored 1..n_tiles via
+    quantile_buckets' shared `_ntile_from_rank` closed form (the first
+    total%k buckets take ceil(total/k) rows, the rest floor(total/k) —
+    SQL NTILE's exact split; note (rank-1)*k DIV total + 1 is NOT
+    equivalent when total%k != 0), plus the combined ``segment`` string
     'R{r}F{f}M{m}'. Higher score = more recent / more frequent / more
     spend; ties break by the key columns, fully deterministic.
 
@@ -2091,33 +2093,48 @@ def mode_by(
 
     Output: ``by`` + ``mode`` + ``n`` + ``total`` + ``share_bp``.
 
-    Plan: one map-side-combinable count to (by, value), then a
-    row_number window + total sum riding the SAME (by)-keyed shuffle —
-    bounded by distinct-value cardinality after the first combine.
+    Plan: one map-side-combinable count to (by, value), then the
+    argmax as a SECOND map-side-combinable aggregation — ``min`` of an
+    ordering struct (-n, value IS NULL, value), which encodes "largest
+    count, ties to smallest value, NULL losing ties" lexicographically.
+    No window and no sort anywhere: the previous formulation ran
+    row_number + a total-sum over a bare partitionless window on the
+    GLOBAL path (by=None), collapsing the whole distinct-value table
+    into one partition when the value column is high-cardinality (r9
+    ADVICE) — the exact posture _global_cumsum exists to avoid. The
+    aggregation pair is flat in distinct-value cardinality on both
+    paths and partial-aggregates executor-side.
     """
-    reserved = {"mode", "n", "total", "share_bp", "_md_v", "_md_n", "_r"}
+    reserved = {"mode", "n", "total", "share_bp", "_md_v", "_md_n", "_pick"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"mode_by reserves column names {clash}")
-    part = [F.col(c) for c in (by or [])]
     counts = (
         df.groupBy(*(by or []), F.col(value_col).alias("_md_v"))
         .agg(F.count(F.lit(1)).alias("_md_n"))
     )
-    wr = W.partitionBy(*part).orderBy(
-        F.col("_md_n").desc(), F.col("_md_v").asc_nulls_last()
-    )
-    wall = W.partitionBy(*part)
+    # struct fields compare lexicographically: minimize -n (= maximize
+    # count), then NULL-ness (false < true, so a non-NULL value beats
+    # NULL on ties — asc_nulls_last), then the value itself (smallest
+    # wins). NULL *can* still be the mode when its count is strictly
+    # larger: -n decides before the NULL-ness field is reached.
+    pick = F.min(F.struct(
+        (-F.col("_md_n")).alias("nn"),
+        F.col("_md_v").isNull().alias("vnull"),
+        F.col("_md_v").alias("v"),
+    )).alias("_pick")
     return (
-        counts.withColumn("_r", F.row_number().over(wr))
-        .withColumn("total", F.sum("_md_n").over(wall))
-        .filter(F.col("_r") == 1)
+        counts.groupBy(*(by or []))
+        .agg(pick, F.sum("_md_n").alias("total"))
+        # a global agg over zero rows yields one all-NULL row; the
+        # grouped path never does — "no data, no row" either way
+        .filter(F.col("total").isNotNull())
         .select(
             *(by or []),
-            F.col("_md_v").alias("mode"),
-            F.col("_md_n").alias("n"),
+            F.col("_pick.v").alias("mode"),
+            (-F.col("_pick.nn")).cast("long").alias("n"),
             "total",
-            F.expr("CAST(CAST(_md_n AS DECIMAL(38,0)) * 10000"
+            F.expr("CAST(CAST(-_pick.nn AS DECIMAL(38,0)) * 10000"
                    " DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)").alias("share_bp"),
         )
     )
@@ -2379,11 +2396,22 @@ def correlation_r2(
     def _digits(expr: str) -> str:
         return f"length(CAST(abs({expr}) AS STRING))"
 
+    # The two products forming num = n*sxy - sx*sy get ONE GUARD DIGIT
+    # (<= 37, not 38): they can carry opposite signs, so the subtraction
+    # can reach the SUM of their magnitudes (~2e38) before any algebraic
+    # cancellation argument applies, and an overflow inside post_oob's
+    # own |num| evaluation would surface as Spark's generic ANSI error
+    # instead of this named guard. (Cauchy-Schwarz in fact bounds
+    # |num| <= sqrt(dx*dy) < 1e38 under the dx/dy digit caps, but the
+    # guard digit makes the named-error contract hold unconditionally
+    # rather than via that proof.) dx/dy need no guard digit: both
+    # their terms are non-negative and n*sxx >= sx*sx, so the
+    # difference never exceeds the larger term.
     pre_oob = F.expr(
         f"{_digits('_n')} + {_digits('_sxx')} > 38"
         f" OR {_digits('_n')} + {_digits('_syy')} > 38"
-        f" OR {_digits('_n')} + {_digits('_sxy')} > 38"
-        f" OR {_digits('_sx')} + {_digits('_sy')} > 38"
+        f" OR {_digits('_n')} + {_digits('_sxy')} > 37"
+        f" OR {_digits('_sx')} + {_digits('_sy')} > 37"
         f" OR 2 * {_digits('_sx')} > 38 OR 2 * {_digits('_sy')} > 38"
     )
     oob = F.lit(

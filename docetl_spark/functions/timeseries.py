@@ -2520,7 +2520,10 @@ def sequence_ngrams(
     of n steps, so long sessions contribute all their sub-patterns.
 
     Output: ``by`` + ``state_1`` .. ``state_n`` + ``support``. Streams
-    shorter than n contribute nothing. ``top_n`` keeps the highest-
+    shorter than n contribute nothing; grams are gated by an
+    end-of-stream sentinel (not a NULL check on state_n), so a genuine
+    NULL state anywhere in the window still counts — the true
+    generalization of ``transitions``, which keeps (A -> NULL) pairs. ``top_n`` keeps the highest-
     support patterns (support desc, states asc — deterministic) via
     TakeOrderedAndProject, never a global sort.
 
@@ -2544,12 +2547,19 @@ def sequence_ngrams(
     # per engine and silently shuffle every gram it touches
     order = _stream_order(ts_col, tiebreak)
     w = W.partitionBy(*keys).orderBy(*order)
+    # End-of-stream is detected by a SENTINEL lead over a literal — not
+    # by `state_n IS NOT NULL`, which would conflate a genuine NULL
+    # state in the last gram position with lead()'s end-of-stream
+    # padding and silently drop (A -> NULL) grams that transitions()
+    # keeps (r9 ADVICE). lead(lit(1), n-1) is NULL exactly when no row
+    # exists n-1 ahead, regardless of state values.
     grams = df.select(
         *(by or []),
         F.col(state_col).alias("state_1"),
         *[F.lead(F.col(state_col), i).over(w).alias(f"state_{i + 1}")
           for i in range(1, n)],
-    ).filter(F.col(f"state_{n}").isNotNull())
+        F.lead(F.lit(1), n - 1).over(w).alias("_eos"),
+    ).filter(F.col("_eos").isNotNull()).drop("_eos")
     out = grams.groupBy(*(by or []), *state_cols).agg(
         F.count(F.lit(1)).alias("support")
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-from .directives import PlanStats, _d_doc_chunking
+from .directives import PlanStats, _d_doc_chunking, _d_isolating_subtasks
 from .ir import OpSpec
 
 DEFAULT_CONTEXT_LIMIT_TOKENS = 128_000
@@ -44,7 +44,7 @@ class MapPlanResult:
     """Winning map plan + evidence."""
 
     ops: list  # the full (possibly rewritten) op list
-    winning_plan: str  # 'original' | 'chunk_{N}' | 'gleaning_{r}_rounds'
+    winning_plan: str  # 'original' | 'chunk_{N}' | 'gleaning_{r}_rounds' | 'proj_synthesis'
     plans_evaluated: int
     outputs: list[dict] = field(default_factory=list)
     rationale: str = ""
@@ -79,6 +79,33 @@ def candidate_chunk_sizes(
         step = (limit - lo) / (num_chunks - 1)
         ladder = [int(lo + i * step) for i in range(num_chunks)]
     return sorted({s for s in ladder if s < avg_tokens})
+
+
+def _pick_doc_key(target: OpSpec, sample_rows: list[dict]) -> str:
+    """The column the chunk ladder should measure and split on: an
+    explicit ``split_key`` in the op config wins; otherwise the
+    LONGEST-average-length string field among the fields the prompt
+    reads (falling back to all sampled fields). Alphabetical choice —
+    the pre-r10 behavior — derived the ladder from whatever field
+    sorted first (e.g. 'category' over 'text' for a map reading both),
+    producing degenerate chunk candidates (r9 ADVICE)."""
+    explicit = target.config.get("split_key")
+    if explicit:
+        return str(explicit)
+    fields = sorted(target.fields_read() or set())
+    if not fields and sample_rows:
+        fields = sorted(sample_rows[0].keys())
+    if not fields:
+        return "text"
+    if len(fields) == 1:
+        return fields[0]
+    avg: dict[str, float] = {}
+    for f in fields:
+        lens = [len(r[f]) for r in sample_rows if isinstance(r.get(f), str)]
+        avg[f] = sum(lens) / len(lens) if lens else -1.0
+    # ties (and the no-sample case) stay deterministic: longest avg
+    # first, then alphabetically-first name
+    return min(fields, key=lambda f: (-avg[f], f))
 
 
 def synthesize_validator_prompt(
@@ -169,7 +196,7 @@ def map_plan_search(
 
         # ------------------------------------------- candidate generation
         candidates: list[Candidate] = [Candidate("original", list(ops))]
-        doc_key = sorted(target.fields_read() or {"text"})[0]
+        doc_key = _pick_doc_key(target, sample_rows)
         for size in candidate_chunk_sizes(
             sample_rows, doc_key,
             context_limit_tokens=context_limit_tokens,
@@ -200,6 +227,24 @@ def map_plan_search(
                 ops[:target_idx] + [replace(target, config=glean_cfg)]
                 + ops[target_idx + 1:],
             ))
+        # projection-synthesis plan (reference plan_generators.py
+        # _generate_parallel_plans: decompose a multi-field map into one
+        # focused prompt per output field + a synthesis pass). Before
+        # round 10 this family lived only in fast_decompose's directive
+        # loop, so `optimize: {method: map_plans}` could never pick it
+        # even when decomposition beats chunking (r9 VERDICT ask #3);
+        # here it enters the SAME judged pool as the ladders. Gated on
+        # >= 2 output fields — a single-field map decomposes to itself.
+        out_fields = (target.config.get("output", {}).get("schema")
+                      or target.config.get("output_schema") or {})
+        if len(out_fields) >= 2:
+            try:
+                candidates.append(Candidate(
+                    "proj_synthesis",
+                    _d_isolating_subtasks(ops, target_idx, PlanStats(), counted),
+                ))
+            except Exception as e:
+                candidates.append(Candidate("proj_synthesis", None, error=str(e)))
 
         # --------------------------------------------- sampled execution
         champion = None

@@ -485,6 +485,24 @@ def test_correlation_r2_denominator_guard_is_named(spark):
         correlation_r2(df, "x", "y", x_scale=1, y_scale=1).collect()
 
 
+def test_sequence_ngrams_keeps_null_state_grams(spark):
+    # r9 ADVICE: a genuine NULL *state* in the last gram slot must count
+    # (transitions() keeps (A -> NULL) pairs); only lead()'s
+    # end-of-stream padding is dropped, via the _eos sentinel
+    from docetl_spark.functions.timeseries import sequence_ngrams
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, "b")], "k int, ts long, s string")
+    out = {(r["state_1"], r["state_2"]): r["support"] for r in
+           sequence_ngrams(df, keys=["k"], ts_col="ts", state_col="s",
+                           n=2).collect()}
+    assert out == {("a", None): 1, (None, "b"): 1}
+    out3 = {(r["state_1"], r["state_2"], r["state_3"]): r["support"]
+            for r in sequence_ngrams(df, keys=["k"], ts_col="ts",
+                                     state_col="s", n=3).collect()}
+    assert out3 == {("a", None, "b"): 1}
+
+
 def test_sequence_ngrams_null_ts_orders_last(spark):
     # NULL ts must sort LAST (ANSI/DuckDB parity), not first
     from docetl_spark.functions.timeseries import sequence_ngrams

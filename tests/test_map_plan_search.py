@@ -96,6 +96,53 @@ def test_map_plan_search_keeps_original_when_judge_prefers_it(spark):
     assert [o.type for o in res.ops] == ["map"]
 
 
+def test_map_plan_search_proj_synthesis_candidate(spark):
+    # r9 VERDICT ask #3: a decomposable multi-concern map must be able
+    # to pick the projection-synthesis plan INSIDE the judged search,
+    # not only via fast_decompose's directive loop
+    be = FakeBackend(rules={
+        "title": lambda ctx: "t",
+        "tone": lambda ctx: "calm",
+        "validator_prompt": lambda ctx: "v",
+        "winner": lambda ctx: "B",       # the challenger always wins
+        "rationale": lambda ctx: "isolated prompts read cleaner",
+    })
+    multi = {"type": "map", "name": "summ",
+             "prompt": "Title and tone of: {{ input.text }}",
+             "output": {"schema": {"title": "str", "tone": "str"}}}
+    sf = _frame(spark, be, words=4)  # too short to chunk
+    res = map_plan_search(sf, lift([multi]), "summ", backend=be,
+                          sample_size=3, gleaning_rounds=())
+    assert res.winning_plan == "proj_synthesis"
+    assert [o.type for o in res.ops] == ["parallel_map", "map"]
+    # single-field maps never get the candidate (decompose to themselves)
+    be2 = FakeBackend(rules={
+        "summary": lambda ctx: "s", "validator_prompt": lambda ctx: "v",
+        "winner": lambda ctx: "B", "rationale": lambda ctx: "r"})
+    sf2 = _frame(spark, be2, words=4)
+    res2 = map_plan_search(sf2, lift([MAP]), "summ", backend=be2,
+                           sample_size=3, gleaning_rounds=())
+    assert res2.winning_plan == "original"
+
+
+def test_pick_doc_key_prefers_longest_string_field():
+    from docetl_spark.plans.map_plan_search import _pick_doc_key
+    from docetl_spark.plans.ir import lift as _lift
+
+    multi = _lift([{"type": "map", "name": "m",
+                    "prompt": "For {{ input.category }} and {{ input.text }}",
+                    "output": {"schema": {"s": "str"}}}])[0]
+    rows = [{"category": "ads", "text": "x" * 400},
+            {"category": "news", "text": "y" * 300}]
+    # pre-r10 the alphabetically-first field ('category') drove the
+    # chunk ladder; the document column must win instead
+    assert _pick_doc_key(multi, rows) == "text"
+    explicit = _lift([{"type": "map", "name": "m", "split_key": "category",
+                       "prompt": "For {{ input.category }} and {{ input.text }}",
+                       "output": {"schema": {"s": "str"}}}])[0]
+    assert _pick_doc_key(explicit, rows) == "category"
+
+
 def test_map_plan_search_validates_target(spark):
     be = FakeBackend()
     sf = _frame(spark, be)
