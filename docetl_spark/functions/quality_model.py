@@ -140,23 +140,21 @@ def fit_quality_classifier(
 
 
 def quality_auc(scored: DataFrame, *, label_col: str, score_col: str) -> float:
-    """AUC via the rank-sum (Mann-Whitney) identity — one window pass,
-    no threshold sweep. Diagnostic for the fitted classifier."""
-    from pyspark.sql import Window as W
+    """AUC via the rank-sum (Mann-Whitney) identity — delegates to
+    stats.auc_rank, the distributed midrank formulation (global
+    cumulative counts through the range-partitioned prefix sum). The
+    pre-r10 inline version ranked through a bare partitionless window —
+    dragging the whole eval set into ONE task — and broke score ties by
+    label order, overstating AUC on tied scores; midranks are the
+    correct Mann-Whitney treatment. Diagnostic for the fitted
+    classifier; NaN when either class is absent or the input is empty,
+    resolution 1 bp (auc_bp / 10000)."""
+    from .stats import auc_rank
 
-    ranked = scored.withColumn(
-        "_rk", F.row_number().over(W.orderBy(F.col(score_col), F.col(label_col)))
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col(label_col) == 1, F.col("_rk"))).alias("rs"),
-        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("np"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    np_, n = agg["np"], agg["n"]
-    nn = n - np_
-    if not np_ or not nn:
+    rows = auc_rank(scored, score_col, label_col).collect()
+    if not rows or rows[0]["auc_bp"] is None:
         return float("nan")
-    return (agg["rs"] - np_ * (np_ + 1) / 2) / (np_ * nn)
+    return rows[0]["auc_bp"] / 10000.0
 
 
 def sigmoid(x: float) -> float:

@@ -465,7 +465,8 @@ def ivf_topk(
     if round_score is not None:
         score = F.round(score, round_score)
     scored = cand.withColumn("score", score)
-    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    from .stats import bounded_global_window
+    w = bounded_global_window(id_col, F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -685,7 +686,8 @@ def pq_topk(
     if round_score is not None:
         dist = F.round(dist, round_score)
     scored = indexed.withColumn("distance", dist)
-    w = W.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    from .stats import bounded_global_window
+    w = bounded_global_window(id_col, F.col("distance").asc(), F.col(id_col).asc())
     return (
         scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))

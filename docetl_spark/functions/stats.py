@@ -39,6 +39,30 @@ def nonfoldable_const_key(col):
     return F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col), F.lit(1))
 
 
+def bounded_global_window(anchor_col, *order):
+    """A window over the WHOLE frame for tables that are BOUNDED BY
+    CONTRACT — post-``limit(k)`` rank stamps, source-cardinality plan
+    tables (unimax/mixture), top-N vocabularies. Partitioning on the
+    non-foldable constant key (every row hashes to the same value, but
+    Catalyst cannot prove it) is physically identical to the bare
+    global window — one partition holds all rows, which is exactly the
+    intended plan here — while keeping WindowExec's partition spec
+    non-empty, so the executor does NOT log its "No Partition Defined"
+    warning. That warning is this repo's tripwire for REAL
+    single-partition scale bugs (it exposed the r9 auc/ks global-cumsum
+    one); routing the benign-by-contract frames through this helper
+    keeps the signal hard (r9 VERDICT ask #4). NEVER use this on a
+    row-cardinality frame — that's _global_cumsum / _global_row_number
+    territory; tests/test_no_bare_global_windows.py lints the package
+    so every global window is one or the other, explicitly.
+
+    ``anchor_col`` is any always-present column of the frame (the hash
+    input). Pass ordering expressions to get an ordered window (frame
+    default applies — set rowsBetween explicitly for running sums)."""
+    w = W.partitionBy(nonfoldable_const_key(anchor_col))
+    return w.orderBy(*order) if order else w
+
+
 def to_cents(col, scale: int = 100):
     """The repo's fixed-point idiom, in ONE place: floor(x*scale + 0.5)
     as a long. Both engines evaluate it on the identical input double
@@ -93,7 +117,9 @@ def skew_profile(df: DataFrame, keys: list[str], *, top: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
         .limit(top)
     )
-    w = W.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    w = bounded_global_window(
+        "n_rows", F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]
+    )
     cum = F.sum("n_rows").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
         ranked.withColumn("rank", F.row_number().over(w))

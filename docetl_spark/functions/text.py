@@ -600,13 +600,13 @@ def zipf_profile(df, text_col: str, *, id_col: str, top_n: int = 50):
     construction, so the partitionless window is bounded by ``top_n``,
     not by vocabulary size.
     """
-    from pyspark.sql import Window as W
+    from .stats import bounded_global_window
 
     top = term_stats(df, text_col, id_col=id_col, top_n=int(top_n))
-    w = W.orderBy(F.col("tf").desc(), F.col("term").asc())
+    w = bounded_global_window("term", F.col("tf").desc(), F.col("term").asc())
     ranked = (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("_max_tf", F.max("tf").over(W.partitionBy()))
+        .withColumn("_max_tf", F.max("tf").over(bounded_global_window("term")))
     )
     return ranked.select(
         "rank", "term", "tf", "df",

@@ -2087,7 +2087,8 @@ def session_paths(
     )
     counts = prefix.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     topk = counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(int(top))
-    wr = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    from .stats import bounded_global_window
+    wr = bounded_global_window("path", F.col("n_sessions").desc(), F.col("path").asc())
     return topk.withColumn("rank", F.row_number().over(wr)).select(
         "path", "n_sessions", F.col("rank").cast("long").alias("rank")
     )

@@ -23,6 +23,7 @@ import re as _re
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from .stats import bounded_global_window
 from .text import token_count
 
 # ASCII \s only, matching JVM regex \s and DuckDB/RE2 semantics — a
@@ -562,7 +563,7 @@ def dsir_select(
         F.round("dsir_logw", 4).alias("dsir_logw"),
         F.round(score, 4).alias("dsir_score"),
     )
-    win = W.orderBy(F.col("dsir_score").desc(), F.col(id_col))
+    win = bounded_global_window(id_col, F.col("dsir_score").desc(), F.col(id_col))
     # global top-k: Spark's TakeOrderedAndProject does per-partition
     # top-k then a k-row merge on one reducer — the window formulation
     # below would single-partition ALL rows, so rank only the k kept.
@@ -838,7 +839,7 @@ def mixture_plan(
     t_expr = F.min(
         F.when((F.col("weight") > 0) & (F.col("available") > 0),
                F.col("available") / F.col("weight"))
-    ).over(W.partitionBy())
+    ).over(bounded_global_window("group"))
     return (
         planned.withColumn("_t", t_expr)
         .withColumn(
@@ -931,9 +932,9 @@ def unimax_plan(
     planned = counts.withColumn("capacity", cap)
     # plan table is source-cardinality rows (dozens) by contract: global
     # single-partition windows are the right plan, same as mixture_plan
-    w_ord = W.partitionBy().orderBy("capacity", "group")
+    w_ord = bounded_global_window("group", "capacity", "group")
     cum = F.sum("capacity").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
-    n_all = F.count(F.lit(1)).over(W.partitionBy())
+    n_all = F.count(F.lit(1)).over(bounded_global_window("group"))
     idx = F.row_number().over(w_ord)
     after = n_all - idx
     sat = cum + after * F.col("capacity") <= F.lit(float(budget))
@@ -941,8 +942,8 @@ def unimax_plan(
         "group", "available", "capacity",
         cum.alias("_cum"), after.alias("_after"), sat.alias("_sat"),
     )
-    cum_sat = F.max(F.when(F.col("_sat"), F.col("_cum"))).over(W.partitionBy())
-    n_unsat = F.sum(F.when(F.col("_sat"), F.lit(0)).otherwise(F.lit(1))).over(W.partitionBy())
+    cum_sat = F.max(F.when(F.col("_sat"), F.col("_cum"))).over(bounded_global_window("group"))
+    n_unsat = F.sum(F.when(F.col("_sat"), F.lit(0)).otherwise(F.lit(1))).over(bounded_global_window("group"))
     level = F.when(
         F.col("_n_unsat") > 0,
         (F.lit(float(budget)) - F.coalesce(F.col("_cum_sat"), F.lit(0.0))) / F.col("_n_unsat"),

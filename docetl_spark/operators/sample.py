@@ -197,7 +197,8 @@ def sample_top_embedding(
             .filter(F.col(f"_{name}_rank") <= samples)
         )
     top = scored.orderBy(*order).limit(samples)
-    w = W.orderBy(*order)  # k rows only — single-partition window is fine
+    from ..functions.stats import bounded_global_window
+    w = bounded_global_window(f"_{name}_score", *order)  # k rows only
     return top.withColumn(f"_{name}_rank", F.row_number().over(w).cast("long"))
 
 
@@ -317,7 +318,8 @@ def sample_top_fts(
             F.col(f"_{name}_rank") <= samples
         )
     top = scored.orderBy(*order).limit(samples)
-    w = W.orderBy(*order)
+    from ..functions.stats import bounded_global_window
+    w = bounded_global_window(score_col, *order)  # k rows only
     return top.withColumn(f"_{name}_rank", F.row_number().over(w).cast("long"))
 
 
