@@ -1,0 +1,596 @@
+"""Association, divergence, robust-location and survival statistics —
+the round-10 exact-analytics wave.
+
+Same contract as functions/stats.py (the wave-2/3 home): every decision
+figure is integer arithmetic in basis points / cents (never a double
+near a comparison), every global path avoids bare partitionless windows
+(distributed prefix sums or bounded-by-contract helpers), and every op
+ships with a DuckDB oracle replaying the identical formulation
+bit-for-bit. Reference parity: the reference engine (docetl) has no
+statistics layer — these extend the repo's training-data-pipeline
+surface (feature association for labeling QA, corpus drift monitoring,
+curriculum/survival analyses over event streams).
+
+The one double in this module is kaplan_meier's survival probability,
+computed as an ORDERED FOLD over per-interval factors — the
+events_ewma precedent: both engines execute the identical IEEE
+multiply sequence over identical inputs, so even doubles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .stats import (
+    _checked_binary_label,
+    _global_cumsum,
+    bounded_global_window,
+    broadcast_scalar_join,
+    chi_square_bp,
+    correlation_r2,
+    to_cents,
+)
+
+
+def _midrank2(df: DataFrame, value_col: str, out_col: str,
+              by: list[str] | None) -> DataFrame:
+    """Append ``out_col`` = 2·midrank of ``value_col`` (an exact
+    integer: a tie group spanning ranks s..s+c-1 has midrank s+(c-1)/2,
+    the only half-integer in rank statistics — doubling clears it).
+
+    Grouped: rank() + a tie-count window riding the (by) shuffle.
+    GLOBAL: collapse to distinct values (one map-side-combinable
+    count), distributed prefix sum over the value order
+    (_global_cumsum — never a bare global window), then a join back on
+    the value; 2·midrank of a tie group ending at cumulative count m
+    with c members is 2m − c + 1."""
+    if by:
+        r = F.rank().over(W.partitionBy(*by).orderBy(F.col(value_col).asc()))
+        c = F.count(F.lit(1)).over(W.partitionBy(*by, value_col))
+        return df.withColumn(out_col, (F.lit(2) * r + c - F.lit(1)).cast("long"))
+    dv = df.groupBy(F.col(value_col).alias("_mr_v")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_mr_c")
+    )
+    cum = _global_cumsum(dv, F.col("_mr_v").asc(), ["_mr_c"])
+    mr = cum.select(
+        F.col("_mr_v"),
+        (F.lit(2) * F.col("_mr_c_cum") - F.col("_mr_c") + F.lit(1))
+        .cast("long").alias(out_col),
+    )
+    return df.join(mr, df[value_col] == mr["_mr_v"]).drop("_mr_v")
+
+
+def spearman_by(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation, EXACT: Pearson on 2·midranks (the
+    standard tie-corrected rho — midranks ARE the tie correction), so
+    every sum is integer and the figure replays bit-for-bit. Output
+    mirrors correlation_r2: ``by`` + ``n`` + ``sign`` + ``rho2_bp``
+    (signed square in basis points — rho itself needs a sqrt, and a
+    double sqrt near a decision is the policy this family exists to
+    avoid; sign + rho² carries the same information).
+
+    Rows with a NULL in either column drop BEFORE ranking (a NULL
+    can't hold a rank; dropping after would shift every midrank).
+
+    Plan: midranks per column — grouped: two windows riding the (by)
+    shuffle; GLOBAL: two distinct-value collapses through the
+    distributed range-partitioned prefix sum + value joins (the
+    ks/auc posture — never a bare global window). The Pearson pass
+    reuses correlation_r2's guarded decimal(38,0) machinery (2·midrank
+    ≤ 2n is integer-exact in a double far past any realistic n).
+    """
+    reserved = {"n", "sign", "rho2_bp", "_sp_x", "_sp_y", "_mr_v", "_mr_c",
+                "_mr_c_cum", "_pid"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"spearman_by reserves column names {clash}")
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    ranked = _midrank2(base, x_col, "_sp_x", by)
+    ranked = _midrank2(ranked, y_col, "_sp_y", by)
+    out = correlation_r2(ranked, "_sp_x", "_sp_y", x_scale=1, y_scale=1, by=by)
+    return out.withColumnRenamed("r2_bp", "rho2_bp")
+
+
+def cramers_v2(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Cramér's V (association strength between two categoricals),
+    EXACT as the SQUARE in basis points: V² = chi² / (n·min(r−1,c−1)),
+    so v2_bp = chi2_bp DIV (n·min(r−1,c−1)) — chi2_bp already carries
+    the 10⁴ factor, making v2_bp one integer DIV on top of
+    chi_square_bp's guarded integer sum. V² is 0..1 with the same
+    reading as V (0 independent, 1 fully determined), minus the sqrt.
+
+    Output: ``by`` + ``n`` + ``r_levels`` + ``c_levels`` + ``chi2_bp``
+    + ``v2_bp``; v2_bp is NULL when either column has a single level
+    (min(r−1,c−1) = 0 — association undefined, and a silent 0 would
+    read as 'independent').
+
+    Plan: chi_square_bp's grid (one raw shuffle, category-bounded
+    after) joined with a tiny per-group level-count aggregate —
+    grouped on ``by``, global via the broadcast scalar join.
+    """
+    reserved = {"n", "r_levels", "c_levels", "chi2_bp", "v2_bp", "_sk"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"cramers_v2 reserves column names {clash}")
+    chi = chi_square_bp(df, col_a, col_b, by=by).drop("n_cells", "dof")
+    lv = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(*(by or []))
+        .agg(
+            F.countDistinct(col_a).alias("r_levels"),
+            F.countDistinct(col_b).alias("c_levels"),
+        )
+    )
+    if by:
+        j = chi.join(lv, list(by))
+    else:
+        j = broadcast_scalar_join(chi, lv, df_col="n", scalar_col="r_levels")
+    k = F.least(F.col("r_levels"), F.col("c_levels")) - F.lit(1)
+    return j.select(
+        *(by or []), "n", "r_levels", "c_levels", "chi2_bp",
+        F.when(k > 0, F.expr(
+            "CAST(CAST(chi2_bp AS DECIMAL(38,0)) DIV "
+            "(CAST(n AS DECIMAL(38,0)) * (least(r_levels, c_levels) - 1)) AS BIGINT)"
+        )).alias("v2_bp"),
+    )
+
+
+def impurity_by(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Gini impurity decomposition of a label by a candidate feature —
+    the decision-tree split criterion as a feature-usefulness report,
+    EXACT: parent impurity (n² − Σc²)·10⁴ DIV n², the
+    feature-weighted child impurity Σ_v (n_v² − Σc_v²)·10⁴ DIV (n_v·n)
+    (each value's term one integer DIV — deterministic, replayable),
+    and their difference — how much label uncertainty the feature
+    removes, in basis points. NULL features or labels drop.
+
+    Output: ``by`` + ``n`` + ``n_values`` + ``parent_gini_bp`` +
+    ``child_gini_bp`` + ``reduction_bp``.
+
+    Exact-arithmetic bound: n² must fit decimal(38,0) → n ≤ 10¹⁹ —
+    no realistic guard needed (the chi² family raises at 6·10⁸; Gini's
+    products are squares of counts only, never count·total·count).
+
+    Plan: one count per (by, feature, label) cell — everything after is
+    bounded by category cardinality: two re-aggs (per-value, per-label)
+    and a join of the (tiny) per-group total — grouped on ``by``,
+    global via the broadcast scalar join. One raw-stream shuffle.
+    """
+    reserved = {"n", "n_values", "parent_gini_bp", "child_gini_bp",
+                "reduction_bp", "_im_f", "_im_l", "_im_c", "_sk"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"impurity_by reserves column names {clash}")
+    bys = list(by or [])
+    cells = (
+        df.filter(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*bys, F.col(feature_col).alias("_im_f"),
+                 F.col(label_col).alias("_im_l"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_im_c"))
+    )
+    # per-(by, feature-value): rows and Σ label-count²
+    per_v = cells.groupBy(*bys, "_im_f").agg(
+        F.sum("_im_c").alias("_nv"),
+        F.sum(F.col("_im_c") * F.col("_im_c")).alias("_ssq_v"),
+    )
+    # per-(by): total and Σ (label-marginal)² — marginals need their own
+    # re-agg (summing per-feature Σc² would square the wrong counts)
+    lbl = cells.groupBy(*bys, "_im_l").agg(F.sum("_im_c").alias("_cl"))
+    parent = lbl.groupBy(*bys).agg(
+        F.sum("_cl").alias("_np"),
+        F.sum(F.col("_cl") * F.col("_cl")).alias("_ssq_p"),
+    )
+    if bys:
+        j = per_v.join(parent, bys)
+    else:
+        j = broadcast_scalar_join(per_v, parent, df_col="_nv", scalar_col="_np")
+    child_terms = j.withColumn(
+        "_child_term",
+        F.expr("(_nv * _nv - _ssq_v) * 10000 DIV (_nv * _np)"),
+    )
+    out = child_terms.groupBy(*bys).agg(
+        F.max("_np").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.max(F.expr("(_np * _np - _ssq_p) * 10000 DIV (_np * _np)"))
+        .cast("long").alias("parent_gini_bp"),
+        F.sum("_child_term").cast("long").alias("child_gini_bp"),
+    )
+    return out.withColumn(
+        "reduction_bp", F.col("parent_gini_bp") - F.col("child_gini_bp")
+    )
+
+
+def dist_drift(
+    df: DataFrame,
+    category_col: str,
+    period_col: str,
+    *,
+    base,
+    current,
+    by: list[str] | None = None,
+    detail: bool = False,
+) -> DataFrame:
+    """Categorical distribution drift between two period labels, EXACT
+    via total-variation distance in basis points: with p/q the floored
+    per-category shares (count·10⁴ DIV total) of the base/current
+    periods, tv_bp = Σ|p_bp − q_bp| DIV 2 — the L1 drift monitor
+    (PSI's ln() is a double near a decision; TV carries the same
+    monitoring signal in exact integers and is bounded 0..10000).
+    A NULL category is a REAL level (missingness drifting is exactly
+    what a corpus monitor must catch); rows from other periods are
+    ignored; a NULL period never matches either label.
+
+    Summary (default): ``by`` + ``n_base`` + ``n_current`` +
+    ``n_categories`` + ``tv_bp`` (NULL when either period is empty —
+    drift against nothing is undefined, and 0 would read as 'no
+    drift'). ``detail=True`` instead emits per-category rows:
+    ``by`` + ``category`` + ``n_base`` + ``n_current`` +
+    ``base_share_bp`` + ``current_share_bp`` + ``drift_bp`` (signed).
+
+    Plan: one filtered count per (by, category) with conditional sums
+    per side — a single raw shuffle; totals join grouped on ``by`` /
+    broadcast-scalar global; everything downstream is
+    category-cardinality-bounded.
+    """
+    reserved = {"n_base", "n_current", "n_categories", "tv_bp", "category",
+                "base_share_bp", "current_share_bp", "drift_bp", "_dd_c",
+                "_dd_a", "_dd_b", "_sk"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"dist_drift reserves column names {clash}")
+    bys = list(by or [])
+    src = df.filter(F.col(period_col).isin([base, current]))
+    cells = src.groupBy(*bys, F.col(category_col).alias("_dd_c")).agg(
+        F.sum(F.when(F.col(period_col) == base, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("_dd_a"),
+        F.sum(F.when(F.col(period_col) == current, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("_dd_b"),
+    )
+    tot = cells.groupBy(*bys).agg(
+        F.sum("_dd_a").alias("_ta"), F.sum("_dd_b").alias("_tb")
+    )
+    if bys:
+        j = cells.join(tot, bys)
+    else:
+        j = broadcast_scalar_join(cells, tot, df_col="_dd_a", scalar_col="_ta")
+    shares = j.select(
+        *bys, F.col("_dd_c"),
+        F.col("_dd_a").cast("long").alias("n_base"),
+        F.col("_dd_b").cast("long").alias("n_current"),
+        F.when(F.col("_ta") > 0, F.expr("CAST(_dd_a * 10000 DIV _ta AS BIGINT)"))
+        .alias("base_share_bp"),
+        F.when(F.col("_tb") > 0, F.expr("CAST(_dd_b * 10000 DIV _tb AS BIGINT)"))
+        .alias("current_share_bp"),
+    )
+    if detail:
+        return shares.select(
+            *bys, F.col("_dd_c").alias("category"), "n_base", "n_current",
+            "base_share_bp", "current_share_bp",
+            (F.coalesce("current_share_bp", F.lit(0))
+             - F.coalesce("base_share_bp", F.lit(0))).alias("drift_bp"),
+        )
+    return shares.groupBy(*bys).agg(
+        F.sum("n_base").alias("n_base"),
+        F.sum("n_current").alias("n_current"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.when(
+            (F.sum("n_base") > 0) & (F.sum("n_current") > 0),
+            (F.sum(F.abs(F.coalesce("current_share_bp", F.lit(0))
+                         - F.coalesce("base_share_bp", F.lit(0))))
+             / F.lit(2)).cast("long"),
+        ).alias("tv_bp"),
+    )
+
+
+def woe_table(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Evidence table for a categorical feature against a 0/1 label —
+    the weight-of-evidence report with the ln() removed: per feature
+    value, the positive/negative class shares (exact floored bp of
+    each CLASS total, the WOE convention) and the cross-multiplied
+    odds ratio odds_bp = n_pos·total_neg·10⁴ DIV (n_neg·total_pos)
+    (exact — NOT the ratio of the floored shares). WOE = ln(odds);
+    ln is monotone, so ranking/thresholding on odds_bp is ranking on
+    WOE with no double near the decision. odds_bp is NULL when the
+    value has no negatives (infinite odds) or the data has no
+    positives (undefined).
+
+    ``label_col`` must be 0/1 — checked on the RAW value
+    (_checked_binary_label: a probability column or a string label
+    raises instead of silently truncating). NULL features/labels drop.
+
+    Output: ``by`` + ``value`` + ``n`` + ``n_pos`` + ``n_neg`` +
+    ``pos_share_bp`` + ``neg_share_bp`` + ``odds_bp``.
+
+    Plan: one labeled count per (by, value) + a per-group class-total
+    join (grouped / broadcast-scalar global) — one raw shuffle,
+    value-cardinality-bounded after.
+    """
+    reserved = {"value", "n", "n_pos", "n_neg", "pos_share_bp",
+                "neg_share_bp", "odds_bp", "_we_v", "_we_l", "_sk"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"woe_table reserves column names {clash}")
+    bys = list(by or [])
+    lab = _checked_binary_label(label_col, "woe_table")
+    cells = (
+        df.filter(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(*bys, F.col(feature_col).alias("_we_v"), lab.alias("_we_l"))
+        .groupBy(*bys, "_we_v")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_we_l").cast("decimal(38,0)").alias("_npos"),
+        )
+        .withColumn("_nneg", F.col("_n") - F.col("_npos"))
+    )
+    tot = cells.groupBy(*bys).agg(
+        F.sum("_npos").alias("_tp"), F.sum("_nneg").alias("_tn")
+    )
+    if bys:
+        j = cells.join(tot, bys)
+    else:
+        j = broadcast_scalar_join(cells, tot, df_col="_n", scalar_col="_tp")
+    return j.select(
+        *bys, F.col("_we_v").alias("value"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_npos").cast("long").alias("n_pos"),
+        F.col("_nneg").cast("long").alias("n_neg"),
+        F.when(F.col("_tp") > 0, F.expr("CAST(_npos * 10000 DIV _tp AS BIGINT)"))
+        .alias("pos_share_bp"),
+        F.when(F.col("_tn") > 0, F.expr("CAST(_nneg * 10000 DIV _tn AS BIGINT)"))
+        .alias("neg_share_bp"),
+        F.when(
+            (F.col("_nneg") > 0) & (F.col("_tp") > 0),
+            F.expr("CAST(_npos * _tn * 10000 DIV (_nneg * _tp) AS BIGINT)"),
+        ).alias("odds_bp"),
+    )
+
+
+def trimmed_mean_by(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str],
+    trim_bp: int = 1000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group trimmed mean, EXACT in fixed-point cents: drop the
+    lowest and highest floor(n·trim_bp/10⁴) rows of each group by
+    value order and average the rest — the robust location estimate
+    between mean (trim 0) and median (trim → 5000). Values fix-point
+    at ``scale`` (to_cents) BEFORE summing, so the kept-sum is an
+    integer and the mean one integer DIV; which of several TIED rows
+    straddling a trim boundary get dropped is arbitrary, and harmless:
+    any choice removes the same value multiset, so the sum is
+    deterministic. trim_bp must leave at least one row conceptually
+    (< 5000); groups where trimming empties anyway (n·trim_bp·2 ≥
+    n·10⁴ never happens below 5000) keep ≥ 1 row. NULL values drop.
+
+    Output: ``by`` + ``n`` + ``n_trimmed_each`` + ``n_kept`` +
+    ``sum_kept_cents`` + ``trimmed_mean_cents``.
+
+    Plan: one (by)-shuffle carries the rank window and the count; the
+    per-group sort is the family's documented exact-order bound
+    (a single giant group serialises into one task — pre-bucket or
+    sample such groups). Requires ``by`` — a global trimmed mean over
+    a row-cardinality table needs the distributed-rank machinery;
+    compose quantile_buckets + filter for that.
+    """
+    if not by:
+        raise ValueError(
+            "trimmed_mean_by requires grouping keys; for a global trimmed "
+            "mean compose quantile_buckets (distributed rank) + filter"
+        )
+    if not (0 <= int(trim_bp) < 5000):
+        raise ValueError("trim_bp must be in [0, 5000)")
+    reserved = {"n", "n_trimmed_each", "n_kept", "sum_kept_cents",
+                "trimmed_mean_cents", "_tm_c", "_tm_r", "_tm_n"}
+    clash = sorted(reserved & set(by))
+    if clash:
+        raise ValueError(f"trimmed_mean_by reserves column names {clash}")
+    base = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_tm_c", to_cents(value_col, scale).cast("decimal(38,0)")
+    )
+    w = W.partitionBy(*by).orderBy(F.col("_tm_c").asc())
+    ranked = base.withColumn("_tm_r", F.row_number().over(w)).withColumn(
+        "_tm_n", F.count(F.lit(1)).over(W.partitionBy(*by))
+    )
+    k = F.expr(f"_tm_n * {int(trim_bp)} DIV 10000")
+    kept = ranked.filter((F.col("_tm_r") > k) & (F.col("_tm_r") <= F.col("_tm_n") - k))
+    return kept.groupBy(*by).agg(
+        F.max("_tm_n").cast("long").alias("n"),
+        F.max(k).cast("long").alias("n_trimmed_each"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("_tm_c").cast("long").alias("sum_kept_cents"),
+        F.expr("CAST(sum(_tm_c) DIV count(1) AS BIGINT)").alias("trimmed_mean_cents"),
+    )
+
+
+def mann_kendall_by(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    by: list[str],
+    max_group_rows: int = 2000,
+) -> DataFrame:
+    """Mann-Kendall trend statistic per group, EXACT: over every pair
+    of observations i<j (by time), S = #(v_j > v_i) − #(v_j < v_i) —
+    the non-parametric monotone-trend test's core, an integer. Emits
+    the pair decomposition too (n_up/n_down/n_tie) so a caller can
+    apply any significance recipe; the normal-approximation z needs a
+    sqrt and lives outside the exact contract.
+
+    PAIRS ARE QUADRATIC per group — the op is for PRE-AGGREGATED
+    series (daily rollups per user, weekly KPIs per region), and
+    RAISES loudly when a group exceeds ``max_group_rows`` (the chi²
+    posture: a named error beats an hour-long 10¹²-pair shuffle).
+    Equal-timestamp pairs are excluded (no order → no trend evidence);
+    NULL values/timestamps drop.
+
+    Output: ``by`` + ``n`` + ``n_pairs`` + ``n_up`` + ``n_down`` +
+    ``n_tie`` + ``s``.
+
+    Plan: a self equi-join ON the group keys with the time inequality
+    as the join filter — candidate pairs never cross groups, so the
+    shuffle is group-sized, and the guard keeps group size honest.
+    """
+    if not by:
+        raise ValueError("mann_kendall_by requires grouping keys")
+    reserved = {"n", "n_pairs", "n_up", "n_down", "n_tie", "s", "_mk_n"}
+    clash = sorted(reserved & set(by))
+    if clash:
+        raise ValueError(f"mann_kendall_by reserves column names {clash}")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*by, F.col(ts_col).alias("_mk_t"), F.col(value_col).alias("_mk_v"))
+    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_mk_n"))
+    guard = counts.withColumn(
+        "_mk_n",
+        F.when(
+            F.col("_mk_n") > int(max_group_rows),
+            F.raise_error(F.lit(
+                f"mann_kendall_by: a group exceeds max_group_rows="
+                f"{int(max_group_rows)} pre-aggregated observations — "
+                "pairs are quadratic; roll the series up first")),
+        ).otherwise(F.col("_mk_n")),
+    )
+    a = base.select(*by, F.col("_mk_t").alias("_ta"), F.col("_mk_v").alias("_va"))
+    b = base.select(*by, F.col("_mk_t").alias("_tb"), F.col("_mk_v").alias("_vb"))
+    pairs = a.join(b, list(by)).filter(F.col("_ta") < F.col("_tb"))
+    agg = pairs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("_vb") > F.col("_va"), 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("_vb") < F.col("_va"), 1).otherwise(0)).alias("n_down"),
+        F.sum(F.when(F.col("_vb") == F.col("_va"), 1).otherwise(0)).alias("n_tie"),
+    )
+    out = guard.join(agg, list(by), "left")
+    return out.select(
+        *by, F.col("_mk_n").cast("long").alias("n"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_up", F.lit(0)).alias("n_up"),
+        F.coalesce("n_down", F.lit(0)).alias("n_down"),
+        F.coalesce("n_tie", F.lit(0)).alias("n_tie"),
+        (F.coalesce("n_up", F.lit(0)) - F.coalesce("n_down", F.lit(0))).alias("s"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group: at each distinct
+    observed duration t, the risk set n_risk (subjects with duration
+    ≥ t), events d_t, censored c_t, and the product-limit survival
+    estimate S(t) = Π_{u ≤ t, event time} (n_risk(u) − d_u)/n_risk(u).
+
+    ``event_col`` is 1 = event observed at t, 0 = censored at t
+    (checked raw — _checked_binary_label); durations are non-negative
+    integers (day/week grain — the curve has one row per distinct
+    duration, which is what bounds the fold below). NULLs drop.
+
+    ``survival`` is the module's one double, by the events_ewma
+    precedent: each factor is ONE division of two exact integers, and
+    the curve is an ORDERED FOLD (slice + aggregate) over the factor
+    list — both engines run the identical IEEE sequence on identical
+    inputs, so even the doubles replay bit-for-bit. Censored-only
+    times contribute a factor of exactly 1.0 via (n−0)/n == 1.0 — the
+    estimate steps only at event times, as Kaplan-Meier requires.
+
+    Output: ``by`` + ``t`` + ``n_risk`` + ``n_events`` +
+    ``n_censored`` + ``survival``.
+
+    Plan: one count per (by, t); the risk set is an exclusive
+    cumulative sum over the per-group interval table (distinct-
+    duration-bounded window riding the (by) shuffle; global: one
+    bounded-by-contract partition — the interval table IS the output,
+    curve-length rows by construction); the prefix products fold over
+    a per-group sorted factor array (O(k²) in curve length k — day
+    grain keeps k in the thousands; resample coarser grain for more).
+    """
+    reserved = {"t", "n_risk", "n_events", "n_censored", "survival",
+                "_km_t", "_km_d", "_km_c", "_km_rm"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"kaplan_meier reserves column names {clash}")
+    bys = list(by or [])
+    lab = _checked_binary_label(event_col, "kaplan_meier")
+    base = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        *bys,
+        F.when(
+            F.col(duration_col).cast("long") < 0,
+            F.raise_error(F.lit("kaplan_meier: durations must be >= 0")),
+        ).otherwise(F.col(duration_col).cast("long")).alias("_km_t"),
+        lab.alias("_km_e"),
+    )
+    iv = base.groupBy(*bys, "_km_t").agg(
+        F.sum("_km_e").cast("long").alias("_km_d"),
+        F.sum(F.lit(1) - F.col("_km_e")).cast("long").alias("_km_c"),
+    )
+    wcum = (
+        (W.partitionBy(*bys) if bys else bounded_global_window("_km_t"))
+        .orderBy(F.col("_km_t").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(*bys) if bys else bounded_global_window("_km_t")
+    staged = (
+        iv.withColumn("_rm_incl", F.sum(F.col("_km_d") + F.col("_km_c")).over(wcum))
+        .withColumn("_total", F.sum(F.col("_km_d") + F.col("_km_c")).over(wall))
+        .withColumn("n_risk", F.col("_total") - F.col("_rm_incl")
+                    + F.col("_km_d") + F.col("_km_c"))
+        .withColumn(
+            "_factor",
+            (F.col("n_risk") - F.col("_km_d")).cast("double")
+            / F.col("n_risk").cast("double"),
+        )
+    )
+    curves = staged.groupBy(*bys).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_km_t").alias("t"), F.col("n_risk").alias("n_risk"),
+            F.col("_km_d").alias("d"), F.col("_km_c").alias("c"),
+            F.col("_factor").alias("f"),
+        ))).alias("_curve")
+    )
+    exploded = curves.select(
+        *bys, F.posexplode("_curve").alias("_pos", "_row"),
+        F.col("_curve").alias("_cv"),
+    )
+    return exploded.select(
+        *bys,
+        F.col("_row.t").alias("t"),
+        F.col("_row.n_risk").alias("n_risk"),
+        F.col("_row.d").alias("n_events"),
+        F.col("_row.c").alias("n_censored"),
+        F.expr(
+            "aggregate(transform(slice(_cv, 1, _pos + 1), s -> s.f), "
+            "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+        ).alias("survival"),
+    )

@@ -615,3 +615,68 @@ def zipf_profile(df, text_col: str, *, id_col: str, top_n: int = 50):
                " DIV CAST(_max_tf AS DECIMAL(38,0)) AS BIGINT)")
         .alias("share_of_top_bp"),
     ).orderBy("rank")
+
+
+def vocab_growth(df, text_col: str, *, id_col: str, step: int = 100):
+    """Heaps-law vocabulary growth curve: scanning documents in
+    ``id_col`` order, the cumulative token count and cumulative
+    DISTINCT-term count at every ``step``-th document (plus the final
+    document) — the corpus diagnostic that says whether more data is
+    still buying new vocabulary or only repeating it. Exact integers
+    end to end: a term's first document is min(id), so the number of
+    NEW terms a document contributes is a count, and the curve is a
+    pair of prefix sums over the per-document table.
+
+    Output: ``n_docs`` (position in id order) + ``doc_id`` +
+    ``cum_tokens`` + ``cum_vocab``.
+
+    Plan: one explode → per-(term) min(id) aggregation at vocabulary
+    cardinality, one count join back to the per-document grain, then
+    _global_cumsum (the distributed range-partitioned prefix sum —
+    the per-document table is row-cardinality, exactly the shape a
+    bare global window must not see). The checkpoint filter keeps the
+    output curve-length, not corpus-length.
+    """
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    from .stats import _global_cumsum
+
+    toks = (
+        df.select(F.col(id_col), F.explode(
+            tokens(F.trim(F.lower(F.col(text_col))))).alias("_vg_t"))
+        .filter(F.col("_vg_t") != "")
+    )
+    per_doc_tokens = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_vg_tok")
+    )
+    first_doc = toks.groupBy("_vg_t").agg(F.min(id_col).alias("_vg_first"))
+    new_terms = first_doc.groupBy(F.col("_vg_first").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_vg_new")
+    )
+    # every document appears (even zero-token ones, via the left join
+    # from the source id table) so positions count DOCUMENTS, not
+    # token-bearing documents
+    docs = df.select(id_col).distinct().join(per_doc_tokens, [id_col], "left") \
+        .join(new_terms, [id_col], "left").select(
+            F.col(id_col),
+            F.coalesce("_vg_tok", F.lit(0).cast("decimal(38,0)")).alias("_vg_tok"),
+            F.coalesce("_vg_new", F.lit(0).cast("decimal(38,0)")).alias("_vg_new"),
+            F.lit(1).cast("decimal(38,0)").alias("_vg_one"),
+        )
+    # with_totals: the prefix-sum driver loop already holds the exact
+    # totals — no second scan for the final-document checkpoint
+    cum, totals = _global_cumsum(
+        docs, F.col(id_col).asc(), ["_vg_tok", "_vg_new", "_vg_one"],
+        with_totals=True,
+    )
+    pos = F.col("_vg_one_cum").cast("long")
+    total = int(totals["_vg_one"])
+    return (
+        cum.filter((pos % int(step) == 0) | (pos == total))
+        .select(
+            pos.alias("n_docs"),
+            F.col(id_col).alias("doc_id"),
+            F.col("_vg_tok_cum").cast("long").alias("cum_tokens"),
+            F.col("_vg_new_cum").cast("long").alias("cum_vocab"),
+        )
+    )

@@ -2571,3 +2571,400 @@ def sequence_ngrams(
             F.col("support").desc(), *[F.col(c).asc_nulls_last() for c in state_cols]
         ).limit(int(top_n))
     return out
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Single best mean-shift changepoint per key stream, EXACT: over
+    every split k (left = first k observations by time), the
+    between-segment sum of squares (n_R·S_L − n_L·S_R)² / (n_L·n_R·n)
+    in fixed-point cents² — the classic binary-segmentation score with
+    the doubles cleared by cross-multiplication. The winning split is
+    the max score, ties to the EARLIEST split — via the min-of-
+    ordering-struct argmax (the mode_by idiom), one aggregation, no
+    second pass. Keys with < 2 usable rows vanish (no split exists).
+    NULL values/timestamps drop.
+
+    Output: ``keys`` + ``n`` + ``split_idx`` (size of the left
+    segment) + ``split_ts`` (last left-segment timestamp) + ``n_left``
+    + ``n_right`` + ``mean_left_cents`` + ``mean_right_cents`` +
+    ``score`` (the between-SS in cents², decimal — comparable across
+    splits of the SAME stream; not normalized across streams).
+
+    Exact-arithmetic bound: |n_R·S_L − n_L·S_R| ≤ n·Σ|v| must stay
+    within 19 digits so its square fits decimal(38,0) — checked per
+    key via digit counts (the correlation_r2 posture: a named raise,
+    never a silent ANSI overflow). Sub-cent `scale` or shorter streams
+    are the remedy.
+
+    Plan: ONE shuffle on the keys — the prefix-sum window (explicit
+    ROWS frame), per-key totals window, and the argmax aggregation all
+    ride it. Per-key stream length is the family's documented
+    exact-order bound.
+    """
+    if not keys:
+        raise ValueError("changepoint_mean_shift requires key columns")
+    reserved = {"n", "split_idx", "split_ts", "n_left", "n_right",
+                "mean_left_cents", "mean_right_cents", "score",
+                "_cp_c", "_cp_i", "_cp_cum", "_cp_n", "_cp_s", "_cp_ts"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"changepoint_mean_shift reserves column names {clash}")
+    from .stats import to_cents
+
+    order = _stream_order(ts_col, tiebreak)
+    w = W.partitionBy(*keys).orderBy(*order)
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy(*keys)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("_cp_c", to_cents(value_col, scale).cast("decimal(38,0)"))
+    staged = (
+        base.withColumn("_cp_i", F.row_number().over(w))
+        .withColumn("_cp_cum", F.sum("_cp_c").over(wrows))
+        .withColumn("_cp_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_cp_s", F.sum("_cp_c").over(wall))
+        .withColumn("_cp_abs", F.sum(F.abs("_cp_c")).over(wall))
+    )
+    splits = staged.filter(F.col("_cp_i") < F.col("_cp_n"))
+    # digit pre-checks (the correlation_r2 posture): |num| <= n * sum|v|
+    # needs <= 19 digits so num² fits decimal(38,0), and n needs <= 12
+    # digits so the k(n-k)n denominator product does (3 * 12 < 38) —
+    # the second bound matters exactly when values are all zeros (num=0
+    # but the denominator is still evaluated)
+    oob = F.expr(
+        "length(CAST(_cp_n AS STRING)) + length(CAST(_cp_abs + 1 AS STRING)) > 19"
+        " OR 3 * length(CAST(_cp_n AS STRING)) > 38"
+    )
+    score = F.expr(
+        "((_cp_n - _cp_i) * _cp_cum - _cp_i * (_cp_s - _cp_cum))"
+        " * ((_cp_n - _cp_i) * _cp_cum - _cp_i * (_cp_s - _cp_cum))"
+        " DIV (_cp_i * (_cp_n - _cp_i) * _cp_n)"
+    )
+    scored = splits.withColumn(
+        "_score",
+        F.when(oob, F.raise_error(F.lit(
+            "changepoint_mean_shift: stream magnitude exceeds the exact "
+            "decimal range for the squared score — use a coarser scale or "
+            "shorter streams"))).otherwise(score),
+    ).withColumn("_neg", -F.col("_score"))
+    pick = F.min(F.struct(
+        F.col("_neg").alias("ns"),
+        F.col("_cp_i").alias("k"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col("_cp_cum").alias("sl"),
+        F.col("_cp_n").alias("n"),
+        F.col("_cp_s").alias("s"),
+    )).alias("_pick")
+    return (
+        scored.groupBy(*keys).agg(pick)
+        .select(
+            *keys,
+            F.col("_pick.n").cast("long").alias("n"),
+            F.col("_pick.k").cast("long").alias("split_idx"),
+            F.col("_pick.ts").alias("split_ts"),
+            F.col("_pick.k").cast("long").alias("n_left"),
+            (F.col("_pick.n") - F.col("_pick.k")).cast("long").alias("n_right"),
+            F.expr("CAST(_pick.sl DIV _pick.k AS BIGINT)").alias("mean_left_cents"),
+            F.expr("CAST((_pick.s - _pick.sl) DIV (_pick.n - _pick.k) AS BIGINT)")
+            .alias("mean_right_cents"),
+            (-F.col("_pick.ns")).cast("decimal(38,0)").alias("score"),
+        )
+    )
+
+
+def sma_crossover(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    short_n: int = 3,
+    long_n: int = 7,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Moving-average crossover events per key stream, EXACT: at each
+    observation with a full long window, the short-window mean is
+    compared to the long-window mean by CROSS-MULTIPLICATION of the
+    fixed-point sums (sum_s·n_l vs sum_l·n_s — no division anywhere
+    near the comparison), and a row is emitted whenever the state
+    flips: 'golden' (short crosses above) or 'death' (short crosses
+    to not-above; ties count as not-above, so a touch-and-retreat is
+    not a double cross). The first full-window row never signals (no
+    previous state). NULL values/timestamps drop.
+
+    Output: ``keys`` + ``ts`` + ``direction`` + ``short_sum_cents`` +
+    ``long_sum_cents`` + ``short_mean_cents`` + ``long_mean_cents``.
+
+    Plan: ONE shuffle on the keys — both ROWS-frame sums, the
+    row_number, and the state lag all ride the same sorted window.
+    """
+    if not keys:
+        raise ValueError("sma_crossover requires key columns")
+    if not (0 < int(short_n) < int(long_n)):
+        raise ValueError("need 0 < short_n < long_n")
+    reserved = {"ts", "direction", "short_sum_cents", "long_sum_cents",
+                "short_mean_cents", "long_mean_cents",
+                "_sm_c", "_sm_i", "_sm_s", "_sm_l", "_sm_st"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"sma_crossover reserves column names {clash}")
+    from .stats import to_cents
+
+    s_n, l_n = int(short_n), int(long_n)
+    order = _stream_order(ts_col, tiebreak)
+    w = W.partitionBy(*keys).orderBy(*order)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("_sm_c", to_cents(value_col, scale).cast("decimal(38,0)"))
+    staged = (
+        base.withColumn("_sm_i", F.row_number().over(w))
+        .withColumn("_sm_s", F.sum("_sm_c").over(w.rowsBetween(-(s_n - 1), 0)))
+        .withColumn("_sm_l", F.sum("_sm_c").over(w.rowsBetween(-(l_n - 1), 0)))
+    )
+    full = staged.filter(F.col("_sm_i") >= l_n).withColumn(
+        "_sm_st",
+        F.when(F.col("_sm_s") * l_n > F.col("_sm_l") * s_n, 1).otherwise(0),
+    )
+    wprev = W.partitionBy(*keys).orderBy(*order)
+    flips = full.withColumn("_prev", F.lag("_sm_st").over(wprev)).filter(
+        F.col("_prev").isNotNull() & (F.col("_sm_st") != F.col("_prev"))
+    )
+    return flips.select(
+        *keys,
+        F.col(ts_col).cast("long").alias("ts"),
+        F.when(F.col("_sm_st") == 1, F.lit("golden")).otherwise(F.lit("death"))
+        .alias("direction"),
+        F.col("_sm_s").cast("long").alias("short_sum_cents"),
+        F.col("_sm_l").cast("long").alias("long_sum_cents"),
+        F.expr(f"CAST(_sm_s DIV {s_n} AS BIGINT)").alias("short_mean_cents"),
+        F.expr(f"CAST(_sm_l DIV {l_n} AS BIGINT)").alias("long_mean_cents"),
+    )
+
+
+def runs_by(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Runs analysis per key stream, EXACT: dichotomize each
+    observation as above the key's mean (STRICTLY — compared by
+    cross-multiplication v·n > Σv in fixed-point cents, ties land
+    'not above') and count the maximal runs of equal state — the
+    Wald-Wolfowitz runs count plus the longest run, the randomness /
+    clustering diagnostic for event streams. NULL values/timestamps
+    drop; single-row keys report one run of length 1.
+
+    Output: ``keys`` + ``n`` + ``n_above`` + ``n_runs`` +
+    ``longest_run``.
+
+    Plan: one shuffle on the keys carries the mean windows, the state
+    lag, and the run-id prefix sum (explicit ROWS frame); the run-
+    length collapse re-keys on (keys, run_id) — map-side combinable,
+    run-count rows after the partial aggregate.
+    """
+    if not keys:
+        raise ValueError("runs_by requires key columns")
+    reserved = {"n", "n_above", "n_runs", "longest_run",
+                "_rn_c", "_rn_st", "_rn_new", "_rn_id"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"runs_by reserves column names {clash}")
+    from .stats import to_cents
+
+    order = _stream_order(ts_col, tiebreak)
+    w = W.partitionBy(*keys).orderBy(*order)
+    wall = W.partitionBy(*keys)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("_rn_c", to_cents(value_col, scale).cast("decimal(38,0)"))
+    staged = (
+        base.withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_s", F.sum("_rn_c").over(wall))
+        .withColumn(
+            "_rn_st",
+            F.when(F.col("_rn_c") * F.col("_n") > F.col("_s"), 1).otherwise(0),
+        )
+        .withColumn(
+            "_rn_new",
+            F.when(
+                F.lag("_rn_st").over(w).isNull()
+                | (F.lag("_rn_st").over(w) != F.col("_rn_st")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_rn_id",
+            F.sum("_rn_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    runs = staged.groupBy(*keys, "_rn_id").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.max("_rn_st").alias("_st"),
+    )
+    return runs.groupBy(*keys).agg(
+        F.sum("_len").cast("long").alias("n"),
+        F.sum(F.when(F.col("_st") == 1, F.col("_len")).otherwise(0))
+        .cast("long").alias("n_above"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("_len").cast("long").alias("longest_run"),
+    )
+
+
+def acf_table(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    tiebreak: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Autocorrelation table per key: the lag-ℓ AR coefficient for
+    every ℓ = 1..max_lag in ONE pass, each in autocorr_lag's exact
+    integer formulation (ar_micro = 10⁶·(n·Sxy − Sx·Sy) DIV
+    (n·Sxx − Sx·Sx) over the lagged pairs — the OLS slope of v_t on
+    v_{t−ℓ}, bit-replayable; a double corr() is summation-order-
+    dependent). The seasonality screener: a daily series with weekly
+    rhythm shows the lag-7 spike here.
+
+    Output: ``keys`` + ``lag`` + ``n_pairs`` + ``ar_micro`` (NULL
+    when < 2 pairs or zero lag-variance).
+
+    Plan: ONE shuffle on the keys — all max_lag LAG projections ride
+    one window spec; the (lag, x) pairs then stack via an inline
+    explode (rows × max_lag, map-side) into a single map-side-
+    combinable five-sum aggregation on (keys, lag). One shuffle total
+    vs max_lag shuffles for repeated autocorr_lag calls.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if not keys:
+        raise ValueError("acf_table requires key columns")
+    reserved = {"lag", "n_pairs", "ar_micro", "_af_y", "_af_x"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(f"acf_table reserves column names {clash}")
+    from .stats import to_cents
+
+    order = _stream_order(ts_col, tiebreak)
+    w = W.partitionBy(*keys).orderBy(*order)
+    base = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_af_y", to_cents(value_col, scale).cast("decimal(38,0)")
+    )
+    # the window lags materialize in one projection (a generator can't
+    # host window expressions), then a second projection stacks them —
+    # both narrow, no extra shuffle
+    lagged = base.select(
+        *keys, "_af_y",
+        *[F.lag("_af_y", l).over(w).alias(f"_af_l{l}")
+          for l in range(1, int(max_lag) + 1)],
+    )
+    stacked = (
+        lagged.withColumn("_lx", F.explode(F.array(*[
+            F.struct(F.lit(l).alias("lag"), F.col(f"_af_l{l}").alias("x"))
+            for l in range(1, int(max_lag) + 1)
+        ])))
+        .select(*keys, F.col("_af_y"),
+                F.col("_lx.lag").alias("lag"), F.col("_lx.x").alias("_af_x"))
+        .filter(F.col("_af_x").isNotNull() & F.col("_af_y").isNotNull())
+    )
+    sums = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_af_x").alias("_sx"),
+        F.sum("_af_y").alias("_sy"),
+        F.sum(F.col("_af_x") * F.col("_af_y")).alias("_sxy"),
+        F.sum(F.col("_af_x") * F.col("_af_x")).alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return sums.select(
+        *keys, "lag",
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("_n") >= 2) & (den != 0),
+            F.expr("CAST((_n * _sxy - _sx * _sy) * 1000000 DIV "
+                   "(_n * _sxx - _sx * _sx) AS BIGINT)"),
+        ).alias("ar_micro"),
+    )
+
+
+def session_entry_exit(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    page_col: str,
+    gap: int,
+    tiebreak: str,
+    hot_key_bucket: int | None = None,
+) -> DataFrame:
+    """Entry/exit/bounce report per page (the web-analytics landing
+    table), EXACT: sessionize the stream (gap rule), take each
+    session's first and last page (min/max of the (ts, tiebreak, page)
+    ordering struct — ``tiebreak`` is REQUIRED and must be unique per
+    (key, ts) so first/last are deterministic), then per page: how
+    many sessions entered there, exited there, bounced there
+    (single-event sessions), with bounce_bp = bounces·10⁴ DIV entries.
+    Pages that only ever appear mid-session report zero entries/exits
+    and a NULL bounce_bp (no entries — rate undefined).
+
+    Output: ``page`` + ``n_entries`` + ``n_exits`` + ``n_bounces`` +
+    ``bounce_bp``.
+
+    Plan: sessionize's one keyed sort (``hot_key_bucket`` passes
+    through for skewed keys), one (key, session) aggregation riding
+    the same shuffle grain, then two page-grain counts merged with a
+    full outer join — page cardinality, never row cardinality.
+    """
+    if not keys:
+        raise ValueError("session_entry_exit requires key columns")
+    if not tiebreak:
+        raise ValueError(
+            "session_entry_exit requires a tiebreak column unique per "
+            "(key, ts) — first/last pages are undefined otherwise"
+        )
+    s = sessionize(
+        df, keys=keys, ts_col=ts_col, gap=gap, tiebreak=tiebreak,
+        hot_key_bucket=hot_key_bucket, out_col="_se_sid",
+    )
+    ordk = F.struct(
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(tiebreak).alias("tb"),
+        F.col(page_col).alias("page"),
+    )
+    per_session = s.groupBy(*keys, "_se_sid").agg(
+        F.min(ordk).alias("_first"),
+        F.max(ordk).alias("_last"),
+        F.count(F.lit(1)).alias("_n_events"),
+    )
+    entries = per_session.groupBy(F.col("_first.page").alias("page")).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.when(F.col("_n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+    )
+    exits = per_session.groupBy(F.col("_last.page").alias("page")).agg(
+        F.count(F.lit(1)).alias("n_exits")
+    )
+    merged = entries.join(exits, ["page"], "full_outer")
+    return merged.select(
+        "page",
+        F.coalesce("n_entries", F.lit(0)).alias("n_entries"),
+        F.coalesce("n_exits", F.lit(0)).alias("n_exits"),
+        F.coalesce("n_bounces", F.lit(0)).alias("n_bounces"),
+        F.when(
+            F.coalesce("n_entries", F.lit(0)) > 0,
+            F.expr("CAST(CAST(n_bounces AS DECIMAL(38,0)) * 10000"
+                   " DIV CAST(n_entries AS DECIMAL(38,0)) AS BIGINT)"),
+        ).alias("bounce_bp"),
+    )

@@ -1259,3 +1259,80 @@ def percentile_normalize(
         )
         .drop("_pn_r", "_pn_n")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    *,
+    id_cols: list[str],
+    n_tiers: int = 4,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Deterministic curriculum manifest: rows are assigned a
+    difficulty tier (exact distributed NTILE over ``score_col``, easy
+    = tier 1) and a global ``position`` that round-robins the tiers —
+    position k serves tier (k−1) % n_tiers + 1 — so consuming the
+    manifest in position order feeds the learner a steady easy→hard
+    mix instead of a sorted ramp, while each tier's internal order is
+    a salted-hash shuffle (md5 of the ids — deterministic across runs,
+    engines, partitionings). The anti-curriculum / curriculum ablation
+    pair is one ORDER BY flip away.
+
+    Output: ``id_cols`` + ``score_col`` + ``tier`` + ``position``
+    (1-based, dense, unique).
+
+    Positions are exact integer arithmetic on per-tier ranks: with
+    rows r_t in tier t ordered 1..n_t, position = (r_t − 1)·n_tiers +
+    t. When tiers are UNEQUAL (total % n_tiers != 0, or the score
+    distribution ties), the formula still yields unique positions but
+    the tail thins out to the larger tiers — exactly what round-robin
+    with exhausted tiers does.
+
+    Plan: quantile_buckets' distributed global NTILE (range-
+    partitioned rank, never a one-partition window), then ONE more
+    distributed global rank over (tier, hash) — contiguous per tier,
+    so per-tier rank falls out by subtracting each tier's offset,
+    which comes from a tier-cardinality count table joined broadcast.
+    No driver collect beyond the prefix-sum offset maps.
+    """
+    if n_tiers < 2:
+        raise ValueError("n_tiers must be >= 2")
+    if not id_cols:
+        raise ValueError("curriculum_order requires id columns")
+    reserved = {"tier", "position", "_cu_h", "_cu_r", "_cu_off"}
+    clash = sorted(reserved & set(id_cols))
+    if clash:
+        raise ValueError(f"curriculum_order reserves column names {clash}")
+    from ..operators.rank import _global_row_number
+    from .stats import quantile_buckets
+
+    tiered = quantile_buckets(
+        df.filter(F.col(score_col).isNotNull()), score_col, int(n_tiers),
+        tiebreak=list(id_cols), bucket_col="tier",
+    ).withColumn(
+        "_cu_h",
+        F.md5(F.concat_ws("|", F.lit(salt),
+                          *[F.col(c).cast("string") for c in id_cols])),
+    )
+    ranked = _global_row_number(
+        tiered,
+        [F.col("tier").asc(), F.col("_cu_h").asc()]
+        + [F.col(c).asc() for c in id_cols],
+        "_cu_r",
+    )
+    offsets = ranked.groupBy("tier").agg(F.count(F.lit(1)).alias("_n_t"))
+    woff = F.sum("_n_t").over(
+        bounded_global_window("tier", F.col("tier").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = offsets.withColumn("_cu_off", (woff - F.col("_n_t")).cast("long")) \
+        .select("tier", "_cu_off")
+    return (
+        ranked.join(F.broadcast(off), ["tier"])
+        .select(
+            *id_cols, score_col, F.col("tier").cast("long").alias("tier"),
+            ((F.col("_cu_r") - F.col("_cu_off") - 1) * int(n_tiers)
+             + F.col("tier")).cast("long").alias("position"),
+        )
+    )
