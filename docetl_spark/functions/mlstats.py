@@ -27,7 +27,6 @@ from .stats import (
     bounded_global_window,
     broadcast_scalar_join,
     chi_square_bp,
-    correlation_r2,
     to_cents,
 )
 
@@ -78,12 +77,23 @@ def spearman_by(
     Rows with a NULL in either column drop BEFORE ranking (a NULL
     can't hold a rank; dropping after would shift every midrank).
 
+    The arithmetic runs on CENTERED rank moments, derived
+    algebraically from the uncentered sums: Σ2mr = n(n+1) exactly, so
+    with m = n(n+1)², num = ΣXY − m, dx = ΣXX − m, dy = ΣYY − m (X/Y
+    the 2-midranks) — identical rational value to the textbook
+    n·Sxy − SxSy formulation (their common n factor cancels in the
+    DIV), but one factor of n SMALLER in magnitude, which is what
+    keeps sf-scale groups inside decimal(38,0): the delegation to
+    correlation_r2 this replaced overflowed its |num| guard at ~4.5k
+    rows per group; the centered form is exact to ~450k rows per
+    group, and RAISES the named guard beyond (rank statistics on
+    larger single groups should be computed on a coarser grain).
+
     Plan: midranks per column — grouped: two windows riding the (by)
     shuffle; GLOBAL: two distinct-value collapses through the
     distributed range-partitioned prefix sum + value joins (the
-    ks/auc posture — never a bare global window). The Pearson pass
-    reuses correlation_r2's guarded decimal(38,0) machinery (2·midrank
-    ≤ 2n is integer-exact in a double far past any realistic n).
+    ks/auc posture — never a bare global window) — then ONE
+    map-side-combinable three-sum aggregation.
     """
     reserved = {"n", "sign", "rho2_bp", "_sp_x", "_sp_y", "_mr_v", "_mr_c",
                 "_mr_c_cum", "_pid"}
@@ -93,8 +103,42 @@ def spearman_by(
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     ranked = _midrank2(base, x_col, "_sp_x", by)
     ranked = _midrank2(ranked, y_col, "_sp_y", by)
-    out = correlation_r2(ranked, "_sp_x", "_sp_y", x_scale=1, y_scale=1, by=by)
-    return out.withColumnRenamed("r2_bp", "rho2_bp")
+    x = F.col("_sp_x").cast("decimal(38,0)")
+    y = F.col("_sp_y").cast("decimal(38,0)")
+    sums = ranked.groupBy(*(by or [])).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    cen = sums.select(
+        *(by or []), "_n",
+        F.expr("_sxy - _n * (_n + 1) * (_n + 1)").alias("_num"),
+        F.expr("_sxx - _n * (_n + 1) * (_n + 1)").alias("_dx"),
+        F.expr("_syy - _n * (_n + 1) * (_n + 1)").alias("_dy"),
+    )
+    # num²·10⁴ must fit decimal(38,0): 17 digits of num is safe
+    # (2·17 + 4 = 38); dx·dy likewise bounded by the digit sum
+    oob = F.expr(
+        "2 * length(CAST(abs(_num) AS STRING)) > 34"
+        " OR length(CAST(_dx AS STRING)) + length(CAST(_dy AS STRING)) > 38"
+    )
+    err = F.lit(
+        "spearman_by: rank moments exceed the decimal(38,0) exact range"
+        " (group too large) — compute on a coarser grain or sample")
+    rho2 = F.when(
+        (F.col("_n") >= 2) & (F.col("_dx") > 0) & (F.col("_dy") > 0),
+        F.expr("CAST(_num * _num * 10000 DIV (_dx * _dy) AS BIGINT)"),
+    )
+    def _guarded(val):
+        return F.when(oob, F.raise_error(err)).otherwise(val)
+
+    return cen.filter(F.col("_n") > 0).select(
+        *(by or []),
+        F.col("_n").cast("long").alias("n"),
+        _guarded(F.signum(F.col("_num").cast("double")).cast("int")).alias("sign"),
+        _guarded(rho2).alias("rho2_bp"),
+    )
 
 
 def cramers_v2(
@@ -109,7 +153,10 @@ def cramers_v2(
     so v2_bp = chi2_bp DIV (n·min(r−1,c−1)) — chi2_bp already carries
     the 10⁴ factor, making v2_bp one integer DIV on top of
     chi_square_bp's guarded integer sum. V² is 0..1 with the same
-    reading as V (0 independent, 1 fully determined), minus the sqrt.
+    reading as V (0 independent, 1 fully determined), minus the sqrt;
+    because chi2_bp sums per-cell FLOORED DIVs, perfect association
+    reads a few bp under 10000 (truncation is always downward — the
+    figure never overstates association).
 
     Output: ``by`` + ``n`` + ``r_levels`` + ``c_levels`` + ``chi2_bp``
     + ``v2_bp``; v2_bp is NULL when either column has a single level

@@ -1873,7 +1873,11 @@ def chi_square_bp(
     full = grid.join(cells, bys + ["_c2_a", "_c2_b"], "left").withColumn(
         "_c2_o", F.coalesce(F.col("_c2_o"), F.lit(0).cast("decimal(38,0)"))
     )
-    wall = W.partitionBy(*[F.col(c) for c in bys]) if bys else W.partitionBy(F.lit(1))
+    # the grid is category-cardinality by construction, and a literal
+    # partition key constant-folds to an EMPTY spec (same WindowExec
+    # warning as a bare window) — the bounded helper keeps it silent
+    wall = (W.partitionBy(*[F.col(c) for c in bys]) if bys
+            else bounded_global_window("_c2_a"))
     withn = full.withColumn("_c2_n", F.sum(
         F.col("_c2_o")).over(wall))
     term = F.when(

@@ -25,11 +25,14 @@ import tokenize
 PKG = pathlib.Path(__file__).resolve().parent.parent / "docetl_spark"
 
 # A window spec built straight off the Window class with no partition
-# key: `W.orderBy(` (ordered global) or `W.partitionBy()` with EMPTY
-# parens. `somevar.orderBy(` (chaining onto a partitioned spec) and
+# key: `W.orderBy(` (ordered global), `W.partitionBy()` with EMPTY
+# parens, or `W.partitionBy(F.lit(...))` — a LITERAL key constant-folds
+# to an empty spec and warns identically (the chi_square_bp regression).
+# `somevar.orderBy(` (chaining onto a partitioned spec) and
 # `W.partitionBy(cols...)` stay legal.
 BARE = re.compile(
-    r"\b(?:W|Window)\s*\.\s*(?:orderBy\s*\(|partitionBy\s*\(\s*\))"
+    r"\b(?:W|Window)\s*\.\s*(?:orderBy\s*\(|partitionBy\s*\(\s*\)"
+    r"|partitionBy\s*\(\s*F\s*\.\s*lit\s*\()"
 )
 
 
