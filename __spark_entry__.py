@@ -3867,6 +3867,278 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------------
+# round-10 wave: association / drift / survival / stream analytics
+
+
+def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman (mlstats.spearman_by): quantity vs price
+    per return flag — grouped midrank windows + centered-rank integer
+    moments; sign + rho² in exact bp."""
+    from docetl_spark.functions.mlstats import spearman_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_by(li, "l_quantity", "l_extendedprice", by=["l_returnflag"])
+
+
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL Spearman over the day-grain series (daily event count vs
+    daily value cents) — exercises the distributed-prefix-sum midrank
+    path (never a bare global window)."""
+    from docetl_spark.functions.mlstats import spearman_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    daily = ev.groupBy(
+        F.expr("(_e - pmod(_e, 86400)) DIV 86400").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(F.expr(
+            "CAST(floor(value * 100 + 0.5) AS DECIMAL(38,0))")).alias("cents"),
+    )
+    return spearman_by(daily.withColumn("cents", F.col("cents").cast("double")),
+                       "n_ev", "cents")
+
+
+def orders_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V² (mlstats.cramers_v2) between order status and
+    priority — chi² grid + level counts, exact integer bp."""
+    from docetl_spark.functions.mlstats import cramers_v2
+
+    return cramers_v2(_t(spark, sf_dir, "orders"),
+                      "o_orderstatus", "o_orderpriority")
+
+
+def docs_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity decomposition (mlstats.impurity_by): how much the
+    document source tells you about language — parent/weighted-child/
+    reduction in exact bp, one raw shuffle."""
+    from docetl_spark.functions.mlstats import impurity_by
+
+    return impurity_by(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def _events_with_period(spark, sf_dir):
+    # epoch day 0 = Thursday, so d % 7 ∈ {2, 3} ⟺ Sat/Sun — pure
+    # integer on both engines (no timezone/dayofweek builtin drift)
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    return ev.withColumn(
+        "_day", F.expr("(_e - pmod(_e, 86400)) DIV 86400")
+    ).withColumn(
+        "period",
+        F.when(F.expr("pmod(_day, 7)").isin(2, 3), F.lit("weekend"))
+        .otherwise(F.lit("weekday")),
+    )
+
+
+def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distribution drift (mlstats.dist_drift) of the
+    event-type mix, weekday vs weekend — the exact-integer PSI
+    replacement; NULL category would be a real level."""
+    from docetl_spark.functions.mlstats import dist_drift
+
+    return dist_drift(_events_with_period(spark, sf_dir), "event_type",
+                      "period", base="weekday", current="weekend")
+
+
+def events_drift_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category drift detail (mlstats.dist_drift detail=True):
+    signed bp movement per event type, weekday -> weekend."""
+    from docetl_spark.functions.mlstats import dist_drift
+
+    return dist_drift(_events_with_period(spark, sf_dir), "event_type",
+                      "period", base="weekday", current="weekend", detail=True)
+
+
+def orders_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence table (mlstats.woe_table): order priority vs the
+    finished-status label — class shares + cross-multiplied exact odds
+    ratio (monotone-equivalent to WOE, no ln near a decision)."""
+    from docetl_spark.functions.mlstats import woe_table
+
+    od = _t(spark, sf_dir, "orders").withColumn(
+        "label", (F.col("o_orderstatus") == "F").cast("int"))
+    return woe_table(od, "o_orderpriority", "label")
+
+
+def lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean price per return flag
+    (mlstats.trimmed_mean_by): fixed-point cents, exact tail drop by
+    per-group rank."""
+    from docetl_spark.functions.mlstats import trimmed_mean_by
+
+    return trimmed_mean_by(_t(spark, sf_dir, "lineitem"),
+                           "l_extendedprice", by=["l_returnflag"], trim_bp=500)
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend (mlstats.mann_kendall_by) of each user's
+    DAILY event count — pre-aggregated to day grain (the documented
+    quadratic-pairs contract), exact S decomposition."""
+    from docetl_spark.functions.mlstats import mann_kendall_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    daily = ev.groupBy(
+        "user_id", F.expr("(_e - pmod(_e, 86400)) DIV 86400").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return mann_kendall_by(daily, "day", "n_ev", by=["user_id"])
+
+
+def customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime curve (mlstats.kaplan_meier):
+    duration = months between first and last order; a customer whose
+    last order predates the corpus horizon by > 60 days counts as a
+    churn event, else censored. Survival is the ordered-fold double
+    (the ewma cross-engine precedent)."""
+    from docetl_spark.functions.mlstats import kaplan_meier
+    from docetl_spark.functions.stats import broadcast_scalar_join
+
+    od = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")))
+    per_c = od.groupBy("o_custkey").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+    horizon = per_c.agg(F.max("last_day").alias("horizon"))
+    base = broadcast_scalar_join(per_c, horizon,
+                                 df_col="last_day", scalar_col="horizon")
+    labeled = base.select(
+        F.expr("(last_day - first_day) DIV 30").alias("months"),
+        (F.col("last_day") < F.col("horizon") - 60).cast("int").alias("churned"),
+    )
+    return kaplan_meier(labeled, "months", "churned")
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best mean-shift changepoint per user value stream
+    (timeseries.changepoint_mean_shift): prefix sums + argmax struct,
+    exact integer scoring; score cast long at the query grain."""
+    from docetl_spark.functions.timeseries import changepoint_mean_shift
+
+    ev = _t(spark, sf_dir, "events")
+    out = changepoint_mean_shift(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        tiebreak="event_id")
+    return out.withColumn("score", F.col("score").cast("long"))
+
+
+def events_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden/death SMA crossings per user value stream
+    (timeseries.sma_crossover): cross-multiplied window sums, one
+    keyed sort."""
+    from docetl_spark.functions.timeseries import sma_crossover
+
+    ev = _t(spark, sf_dir, "events")
+    return sma_crossover(ev, keys=["user_id"], ts_col="ts",
+                         value_col="value", short_n=3, long_n=7,
+                         tiebreak="event_id")
+
+
+def events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-mean runs per user value stream (timeseries.runs_by):
+    Wald-Wolfowitz runs count + longest run, exact cents comparison."""
+    from docetl_spark.functions.timeseries import runs_by
+
+    ev = _t(spark, sf_dir, "events")
+    return runs_by(ev, keys=["user_id"], ts_col="ts", value_col="value",
+                   tiebreak="event_id")
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation table lags 1-3 per user
+    (timeseries.acf_table): one window pass + one aggregation, exact
+    integer ar_micro per lag."""
+    from docetl_spark.functions.timeseries import acf_table
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_table(ev, keys=["user_id"], ts_col="ts", value_col="value",
+                     max_lag=3, tiebreak="event_id")
+
+
+def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit/bounce report per event type
+    (timeseries.session_entry_exit): 30-min gap sessionization, page
+    cardinality after one keyed sort."""
+    from docetl_spark.functions.timeseries import session_entry_exit
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    return session_entry_exit(
+        ev, keys=["user_id"], ts_col="_e", page_col="event_type",
+        gap=1800, tiebreak="event_id")
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (text.vocab_growth): cumulative
+    tokens vs distinct terms at 100-doc checkpoints, distributed
+    prefix sums."""
+    from docetl_spark.functions.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), "text",
+                        id_col="doc_id", step=100)
+
+
+def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest (training.curriculum_order): 4 length tiers
+    round-robined into a deterministic position order — distributed
+    exact NTILE + one global rank."""
+    from docetl_spark.functions.training import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"), "n_chars",
+                            id_cols=["doc_id"], n_tiers=4)
+
+
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ECDF of the value distribution at distinct-cents
+    grain: percent_rank and cume_dist in integer bp via the
+    distributed range-partitioned prefix sum over the distinct-value
+    table (the posture a bare PERCENT_RANK() window would violate)."""
+    from docetl_spark.functions.stats import _global_cumsum
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dv = ev.groupBy(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("value_cents")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    cum, totals = _global_cumsum(
+        dv, F.col("value_cents").asc(), ["_c"], with_totals=True)
+    n = int(totals["_c"])
+    return cum.select(
+        "value_cents",
+        F.col("_c").cast("long").alias("n"),
+        F.expr(f"CAST((_c_cum - _c) * 10000 DIV {max(n - 1, 1)} AS BIGINT)")
+        .alias("pct_rank_bp"),
+        F.expr(f"CAST(_c_cum * 10000 DIV {n} AS BIGINT)").alias("cume_bp"),
+    )
+
+
+def part_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 retail prices per brand WITH ties (dense_rank <= 3): the
+    per-group top-k-with-ties shape — one window per brand partition."""
+    pt = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        pt.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def orders_rollup_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID over (status, priority): subtotal grid
+    with machine-readable level markers, exact decimal totals."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(38,0))"))
+            .cast("long").alias("total_cents"),
+            # grouping_id() is only legal inside the rollup aggregate
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4090,6 +4362,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_r2": lineitem_r2,
         "events_trigrams": events_trigrams,
         "docs_zipf": docs_zipf,
+        "lineitem_spearman": lineitem_spearman,
+        "events_spearman_daily": events_spearman_daily,
+        "orders_cramers": orders_cramers,
+        "docs_impurity": docs_impurity,
+        "events_drift": events_drift,
+        "events_drift_detail": events_drift_detail,
+        "orders_woe": orders_woe,
+        "lineitem_trimmed_mean": lineitem_trimmed_mean,
+        "events_mann_kendall": events_mann_kendall,
+        "customer_survival": customer_survival,
+        "events_changepoint": events_changepoint,
+        "events_sma_crossover": events_sma_crossover,
+        "events_runs": events_runs,
+        "events_acf": events_acf,
+        "events_session_bounce": events_session_bounce,
+        "docs_vocab_growth": docs_vocab_growth,
+        "docs_curriculum": docs_curriculum,
+        "events_value_ecdf": events_value_ecdf,
+        "part_topk_ties": part_topk_ties,
+        "orders_rollup_gid": orders_rollup_gid,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -7707,6 +7999,472 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(n AS HUGEINT) * 10000 // CAST(ft AS HUGEINT)
                     AS BIGINT) AS prob_bp
         FROM w"""
+    # ---------------------------------------------------- round-10 wave
+    spearman_core = """
+        s AS (
+          SELECT {by} CAST(COUNT(*) AS HUGEINT) n,
+                 SUM(CAST(rx AS HUGEINT) * ry) sxy,
+                 SUM(CAST(rx AS HUGEINT) * rx) sxx,
+                 SUM(CAST(ry AS HUGEINT) * ry) syy
+          FROM ranked GROUP BY ALL
+        ), c AS (
+          SELECT {by} n, sxy - n*(n+1)*(n+1) AS num,
+                 sxx - n*(n+1)*(n+1) AS dx, syy - n*(n+1)*(n+1) AS dy
+          FROM s
+        )
+        SELECT {by} CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                    ELSE 0 END AS INT) AS sign,
+               CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+                 CAST(num * num * 10000 // (dx * dy) AS BIGINT) END AS rho2_bp
+        FROM c"""
+    sql["lineitem_spearman"] = (
+        """
+        WITH ranked AS (
+          SELECT l_returnflag,
+                 2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+                 2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),""" + spearman_core.format(by="l_returnflag,")
+    )
+    sql["events_spearman_daily"] = (
+        """
+        WITH daily AS (
+          SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+                 CAST(COUNT(*) AS BIGINT) n_ev,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS DECIMAL(38,0)))
+                      AS DOUBLE) cents
+          FROM events GROUP BY 1
+        ), ranked AS (
+          SELECT 2 * rank() OVER (ORDER BY n_ev)
+                   + count(*) OVER (PARTITION BY n_ev) - 1 AS rx,
+                 2 * rank() OVER (ORDER BY cents)
+                   + count(*) OVER (PARTITION BY cents) - 1 AS ry
+          FROM daily WHERE n_ev IS NOT NULL AND cents IS NOT NULL
+        ),""" + spearman_core.format(by="")
+    )
+    sql["orders_cramers"] = """
+        WITH cells AS (
+          SELECT o_orderstatus a, o_orderpriority b,
+                 CAST(COUNT(*) AS HUGEINT) o
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+          GROUP BY 1, 2
+        ), rm AS (SELECT a, SUM(o) r FROM cells GROUP BY 1),
+        cm AS (SELECT b, SUM(o) c FROM cells GROUP BY 1),
+        grid AS (
+          SELECT rm.a, cm.b, rm.r, cm.c, COALESCE(cells.o, 0) o
+          FROM rm CROSS JOIN cm LEFT JOIN cells
+            ON cells.a = rm.a AND cells.b = cm.b
+        ), wn AS (
+          SELECT *, SUM(o) OVER () n FROM grid
+        ), agg AS (
+          SELECT CAST(MAX(n) AS BIGINT) n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) r_levels,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) c_levels,
+                 CAST(SUM((o*n - r*c) * (o*n - r*c) * 10000 // (r*c*n))
+                      AS BIGINT) chi2_bp
+          FROM wn
+        )
+        SELECT n, r_levels, c_levels, chi2_bp,
+               CASE WHEN least(r_levels, c_levels) > 1 THEN
+                 CAST(CAST(chi2_bp AS HUGEINT)
+                      // (CAST(n AS HUGEINT) * (least(r_levels, c_levels) - 1))
+                      AS BIGINT) END AS v2_bp
+        FROM agg"""
+    sql["docs_impurity"] = """
+        WITH cells AS (
+          SELECT source f, lang l, CAST(COUNT(*) AS HUGEINT) c
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1, 2
+        ), perv AS (
+          SELECT f, SUM(c) nv, SUM(c*c) ssqv FROM cells GROUP BY 1
+        ), lbl AS (SELECT l, SUM(c) cl FROM cells GROUP BY 1),
+        par AS (SELECT SUM(cl) np, SUM(cl*cl) ssqp FROM lbl),
+        terms AS (
+          SELECT perv.*, par.np, par.ssqp,
+                 (nv*nv - ssqv) * 10000 // (nv * np) term
+          FROM perv CROSS JOIN par
+        ), agg AS (
+          SELECT CAST(MAX(np) AS BIGINT) n, COUNT(*) n_values,
+                 CAST(MAX((np*np - ssqp) * 10000 // (np*np)) AS BIGINT)
+                   parent_gini_bp,
+                 CAST(SUM(term) AS BIGINT) child_gini_bp
+          FROM terms
+        )
+        SELECT n, n_values, parent_gini_bp, child_gini_bp,
+               parent_gini_bp - child_gini_bp AS reduction_bp
+        FROM agg"""
+    drift_cells = """
+        src AS (
+          SELECT event_type cat,
+                 CASE WHEN (epoch_ns(ts) // 1000000000 // 86400) % 7 IN (2, 3)
+                      THEN 'weekend' ELSE 'weekday' END period
+          FROM events
+        ), cells AS (
+          SELECT cat,
+                 CAST(SUM(CASE WHEN period = 'weekday' THEN 1 ELSE 0 END)
+                      AS HUGEINT) a,
+                 CAST(SUM(CASE WHEN period = 'weekend' THEN 1 ELSE 0 END)
+                      AS HUGEINT) b
+          FROM src GROUP BY 1
+        ), tot AS (SELECT SUM(a) ta, SUM(b) tb FROM cells),
+        shares AS (
+          SELECT cat, CAST(a AS BIGINT) n_base, CAST(b AS BIGINT) n_current,
+                 CASE WHEN ta > 0 THEN CAST(a * 10000 // ta AS BIGINT) END
+                   base_share_bp,
+                 CASE WHEN tb > 0 THEN CAST(b * 10000 // tb AS BIGINT) END
+                   current_share_bp
+          FROM cells CROSS JOIN tot
+        )"""
+    sql["events_drift"] = (
+        "WITH " + drift_cells + """
+        SELECT CAST(SUM(n_base) AS BIGINT) n_base,
+               CAST(SUM(n_current) AS BIGINT) n_current,
+               COUNT(*) n_categories,
+               CASE WHEN SUM(n_base) > 0 AND SUM(n_current) > 0 THEN
+                 CAST(SUM(abs(COALESCE(current_share_bp, 0)
+                              - COALESCE(base_share_bp, 0))) / 2 AS BIGINT)
+               END AS tv_bp
+        FROM shares"""
+    )
+    sql["events_drift_detail"] = (
+        "WITH " + drift_cells + """
+        SELECT cat AS category, n_base, n_current, base_share_bp,
+               current_share_bp,
+               COALESCE(current_share_bp, 0) - COALESCE(base_share_bp, 0)
+                 AS drift_bp
+        FROM shares"""
+    )
+    sql["orders_woe"] = """
+        WITH cells AS (
+          SELECT o_orderpriority v,
+                 CAST(COUNT(*) AS HUGEINT) n,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS HUGEINT) npos
+          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+        ), w AS (
+          SELECT v, n, npos, n - npos nneg,
+                 SUM(npos) OVER () tp, SUM(n - npos) OVER () tn
+          FROM cells
+        )
+        SELECT v AS value, CAST(n AS BIGINT) n, CAST(npos AS BIGINT) n_pos,
+               CAST(nneg AS BIGINT) n_neg,
+               CASE WHEN tp > 0 THEN CAST(npos * 10000 // tp AS BIGINT) END
+                 pos_share_bp,
+               CASE WHEN tn > 0 THEN CAST(nneg * 10000 // tn AS BIGINT) END
+                 neg_share_bp,
+               CASE WHEN nneg > 0 AND tp > 0 THEN
+                 CAST(npos * tn * 10000 // (nneg * tp) AS BIGINT) END odds_bp
+        FROM w"""
+    sql["lineitem_trimmed_mean"] = """
+        WITH c AS (
+          SELECT l_returnflag g,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) cents
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), r AS (
+          SELECT g, cents,
+                 row_number() OVER (PARTITION BY g ORDER BY cents) rn,
+                 count(*) OVER (PARTITION BY g) n
+          FROM c
+        ), k AS (SELECT *, n * 500 // 10000 AS kk FROM r)
+        SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) n,
+               CAST(MAX(kk) AS BIGINT) n_trimmed_each,
+               CAST(COUNT(*) AS BIGINT) n_kept,
+               CAST(SUM(cents) AS BIGINT) sum_kept_cents,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) trimmed_mean_cents
+        FROM k WHERE rn > kk AND rn <= n - kk GROUP BY g"""
+    sql["events_mann_kendall"] = """
+        WITH d AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day,
+                 CAST(COUNT(*) AS BIGINT) n_ev
+          FROM events GROUP BY 1, 2
+        ), n AS (SELECT user_id, COUNT(*) nn FROM d GROUP BY 1),
+        pairs AS (
+          SELECT a.user_id,
+                 CASE WHEN b.n_ev > a.n_ev THEN 1 ELSE 0 END up,
+                 CASE WHEN b.n_ev < a.n_ev THEN 1 ELSE 0 END down,
+                 CASE WHEN b.n_ev = a.n_ev THEN 1 ELSE 0 END tie
+          FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day
+        ), agg AS (
+          SELECT user_id, COUNT(*) n_pairs, SUM(up) n_up, SUM(down) n_down,
+                 SUM(tie) n_tie
+          FROM pairs GROUP BY 1
+        )
+        SELECT n.user_id, CAST(n.nn AS BIGINT) n,
+               CAST(COALESCE(n_pairs, 0) AS BIGINT) n_pairs,
+               CAST(COALESCE(n_up, 0) AS BIGINT) n_up,
+               CAST(COALESCE(n_down, 0) AS BIGINT) n_down,
+               CAST(COALESCE(n_tie, 0) AS BIGINT) n_tie,
+               CAST(COALESCE(n_up, 0) - COALESCE(n_down, 0) AS BIGINT) s
+        FROM n LEFT JOIN agg ON n.user_id = agg.user_id"""
+    sql["customer_survival"] = """
+        WITH per_c AS (
+          SELECT o_custkey,
+                 MIN(datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))) first_day,
+                 MAX(datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))) last_day
+          FROM orders GROUP BY 1
+        ), hz AS (SELECT MAX(last_day) horizon FROM per_c),
+        labeled AS (
+          SELECT (last_day - first_day) // 30 AS t,
+                 CASE WHEN last_day < horizon - 60 THEN 1 ELSE 0 END e
+          FROM per_c CROSS JOIN hz
+        ), iv AS (
+          SELECT t, CAST(SUM(e) AS BIGINT) d,
+                 CAST(SUM(1 - e) AS BIGINT) c
+          FROM labeled GROUP BY 1
+        ), st AS (
+          SELECT t, d, c,
+                 SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) rm,
+                 SUM(d + c) OVER () tot,
+                 row_number() OVER (ORDER BY t) pos
+          FROM iv
+        ), wf AS (SELECT *, tot - rm + d + c AS n_risk FROM st),
+        fs AS (
+          SELECT list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      ORDER BY t) f
+          FROM wf
+        )
+        SELECT t, CAST(n_risk AS BIGINT) n_risk, d AS n_events,
+               c AS n_censored,
+               list_reduce(list_slice(fs.f, 1, pos), (a, b) -> a * b)
+                 AS survival
+        FROM wf CROSS JOIN fs"""
+    sql["events_changepoint"] = """
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) tsn, event_id,
+                 CAST(floor(value * 100 + 0.5) AS HUGEINT) c
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), r AS (
+          SELECT user_id, tsn, event_id, c,
+                 row_number() OVER w i,
+                 SUM(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) cum,
+                 count(*) OVER (PARTITION BY user_id) n,
+                 SUM(c) OVER (PARTITION BY user_id) s
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ), sp AS (
+          SELECT user_id, tsn, i, cum, n, s,
+                 ((n - i) * cum - i * (s - cum))
+                   * ((n - i) * cum - i * (s - cum))
+                   // (i * (n - i) * n) score
+          FROM r WHERE i < n
+        )
+        SELECT user_id, CAST(n AS BIGINT) n, CAST(i AS BIGINT) split_idx,
+               CAST(tsn AS BIGINT) split_ts, CAST(i AS BIGINT) n_left,
+               CAST(n - i AS BIGINT) n_right,
+               CAST(cum // i AS BIGINT) mean_left_cents,
+               CAST((s - cum) // (n - i) AS BIGINT) mean_right_cents,
+               CAST(score AS BIGINT) score
+        FROM sp
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY score DESC, i ASC) = 1"""
+    sql["events_sma_crossover"] = """
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) tsn, event_id,
+                 CAST(floor(value * 100 + 0.5) AS HUGEINT) c
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), r AS (
+          SELECT user_id, tsn, c,
+                 row_number() OVER w i,
+                 SUM(c) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ss,
+                 SUM(c) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) sl
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ), st AS (
+          SELECT user_id, tsn, ss, sl,
+                 CASE WHEN ss * 7 > sl * 3 THEN 1 ELSE 0 END state,
+                 LAG(CASE WHEN ss * 7 > sl * 3 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY tsn, i) prev
+          FROM r WHERE i >= 7
+        )
+        SELECT user_id, CAST(tsn AS BIGINT) ts,
+               CASE WHEN state = 1 THEN 'golden' ELSE 'death' END direction,
+               CAST(ss AS BIGINT) short_sum_cents,
+               CAST(sl AS BIGINT) long_sum_cents,
+               CAST(ss // 3 AS BIGINT) short_mean_cents,
+               CAST(sl // 7 AS BIGINT) long_mean_cents
+        FROM st WHERE prev IS NOT NULL AND state <> prev"""
+    sql["events_runs"] = """
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) tsn, event_id,
+                 CAST(floor(value * 100 + 0.5) AS HUGEINT) c
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), st AS (
+          SELECT user_id, tsn, event_id, c,
+                 count(*) OVER (PARTITION BY user_id) n,
+                 SUM(c) OVER (PARTITION BY user_id) s
+          FROM b
+        ), fl AS (
+          SELECT user_id, tsn, event_id,
+                 CASE WHEN c * n > s THEN 1 ELSE 0 END state,
+                 CASE WHEN LAG(CASE WHEN c * n > s THEN 1 ELSE 0 END)
+                        OVER w IS NULL
+                      OR LAG(CASE WHEN c * n > s THEN 1 ELSE 0 END)
+                        OVER w <> CASE WHEN c * n > s THEN 1 ELSE 0 END
+                      THEN 1 ELSE 0 END new_run
+          FROM st WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ), rid AS (
+          SELECT user_id, state,
+                 SUM(new_run) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+          FROM fl
+        ), runs AS (
+          SELECT user_id, run_id, COUNT(*) len, MAX(state) st
+          FROM rid GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(SUM(len) AS BIGINT) n,
+               CAST(SUM(CASE WHEN st = 1 THEN len ELSE 0 END) AS BIGINT)
+                 n_above,
+               COUNT(*) n_runs, CAST(MAX(len) AS BIGINT) longest_run
+        FROM runs GROUP BY 1"""
+    sql["events_acf"] = """
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) tsn, event_id,
+                 CAST(floor(value * 100 + 0.5) AS DECIMAL(38,0)) y
+          FROM events WHERE ts IS NOT NULL
+        ), l AS (
+          SELECT user_id, 1 AS lag, y,
+                 LAG(y, 1) OVER (PARTITION BY user_id
+                                 ORDER BY tsn, event_id) x FROM b
+          UNION ALL
+          SELECT user_id, 2, y, LAG(y, 2) OVER (PARTITION BY user_id
+                                 ORDER BY tsn, event_id) FROM b
+          UNION ALL
+          SELECT user_id, 3, y, LAG(y, 3) OVER (PARTITION BY user_id
+                                 ORDER BY tsn, event_id) FROM b
+        ), s AS (
+          SELECT user_id, lag, CAST(COUNT(*) AS DECIMAL(38,0)) n,
+                 SUM(x) sx, SUM(y) sy, SUM(x*y) sxy, SUM(x*x) sxx
+          FROM l WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT user_id, lag, CAST(n AS BIGINT) n_pairs,
+               CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0 THEN
+                 CAST(CAST((n*sxy - sx*sy) * 1000000 AS HUGEINT)
+                      // CAST(n*sxx - sx*sx AS HUGEINT) AS BIGINT)
+               END AS ar_micro
+        FROM s"""
+    sql["events_session_bounce"] = """
+        WITH e0 AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS e
+          FROM events
+        ), g AS (
+          SELECT user_id, event_id, event_type, e,
+                 CASE WHEN LAG(e) OVER w IS NULL
+                      OR e - LAG(e) OVER w > 1800
+                      THEN 1 ELSE 0 END new_s
+          FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+        ), s AS (
+          SELECT user_id, event_id, event_type, e,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+          FROM g
+        ), fi AS (
+          SELECT user_id, sid, event_type,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY e, event_id) rf,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY e DESC, event_id DESC) rl,
+                 count(*) OVER (PARTITION BY user_id, sid) ne
+          FROM s
+        ), entries AS (
+          SELECT event_type page, CAST(COUNT(*) AS BIGINT) n_entries,
+                 CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   n_bounces
+          FROM fi WHERE rf = 1 GROUP BY 1
+        ), exits AS (
+          SELECT event_type page, CAST(COUNT(*) AS BIGINT) n_exits
+          FROM fi WHERE rl = 1 GROUP BY 1
+        )
+        SELECT COALESCE(entries.page, exits.page) page,
+               COALESCE(n_entries, 0) n_entries,
+               COALESCE(n_exits, 0) n_exits,
+               COALESCE(n_bounces, 0) n_bounces,
+               CASE WHEN COALESCE(n_entries, 0) > 0 THEN
+                 CAST(CAST(COALESCE(n_bounces, 0) AS HUGEINT) * 10000
+                      // CAST(n_entries AS HUGEINT) AS BIGINT) END bounce_bp
+        FROM entries FULL OUTER JOIN exits ON entries.page = exits.page"""
+    sql["docs_vocab_growth"] = r"""
+        WITH tok AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) t
+            FROM documents)
+          WHERE t <> ''
+        ), pd AS (SELECT doc_id, COUNT(*) tk FROM tok GROUP BY 1),
+        fd AS (SELECT t, MIN(doc_id) f FROM tok GROUP BY 1),
+        nt AS (SELECT f doc_id, COUNT(*) nw FROM fd GROUP BY 1),
+        d AS (
+          SELECT ids.doc_id, COALESCE(pd.tk, 0) tk, COALESCE(nt.nw, 0) nw
+          FROM (SELECT DISTINCT doc_id FROM documents) ids
+          LEFT JOIN pd ON ids.doc_id = pd.doc_id
+          LEFT JOIN nt ON ids.doc_id = nt.doc_id
+        ), c AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) pos,
+                 SUM(tk) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ct,
+                 SUM(nw) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cv
+          FROM d
+        )
+        SELECT CAST(pos AS BIGINT) n_docs, doc_id,
+               CAST(ct AS BIGINT) cum_tokens, CAST(cv AS BIGINT) cum_vocab
+        FROM c
+        WHERE pos % 100 = 0 OR pos = (SELECT COUNT(*) FROM d)"""
+    sql["docs_curriculum"] = """
+        WITH tiered AS (
+          SELECT doc_id, n_chars,
+                 CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) tier,
+                 md5(concat_ws('|', 'curriculum', CAST(doc_id AS VARCHAR))) h
+          FROM documents WHERE n_chars IS NOT NULL
+        ), r AS (
+          SELECT doc_id, n_chars, tier,
+                 row_number() OVER (PARTITION BY tier
+                                    ORDER BY h, doc_id) rt
+          FROM tiered
+        )
+        SELECT doc_id, n_chars, tier,
+               CAST((rt - 1) * 4 + tier AS BIGINT) AS "position"
+        FROM r"""
+    sql["events_value_ecdf"] = """
+        WITH dv AS (
+          SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) value_cents,
+                 CAST(COUNT(*) AS HUGEINT) c
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), cum AS (
+          SELECT value_cents, c,
+                 SUM(c) OVER (ORDER BY value_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ci,
+                 SUM(c) OVER () n
+          FROM dv
+        )
+        SELECT value_cents, CAST(c AS BIGINT) n,
+               CAST((ci - c) * 10000 // greatest(n - 1, 1) AS BIGINT)
+                 pct_rank_bp,
+               CAST(ci * 10000 // n AS BIGINT) cume_bp
+        FROM cum"""
+    sql["part_topk_ties"] = """
+        SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) rnk
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 dense_rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC) rnk
+          FROM part
+        ) WHERE rnk <= 3"""
+    sql["orders_rollup_gid"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS DECIMAL(38,0))) AS BIGINT) total_cents,
+               CAST(2 * GROUPING(o_orderstatus)
+                    + GROUPING(o_orderpriority) AS BIGINT) gid
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -78,6 +78,9 @@ BENCH_EXCLUDED = {
     # percentile_approx wrapper: one combinable agg, engine-specific
     # sketch output; perf is Spark-built-in, bound-tested not benched
     "docs_approx_quantiles": "micro",
+    # same cells/totals/shares plan as the benched events_drift modulo
+    # the final summary-vs-detail projection
+    "events_drift_detail": "variant",
 }
 
 BENCH_QUERIES = [
@@ -290,6 +293,26 @@ BENCH_QUERIES = [
     "lineitem_r2",
     "events_trigrams",
     "docs_zipf",
+    # round-10 wave
+    "lineitem_spearman",
+    "events_spearman_daily",
+    "orders_cramers",
+    "docs_impurity",
+    "events_drift",
+    "orders_woe",
+    "lineitem_trimmed_mean",
+    "events_mann_kendall",
+    "customer_survival",
+    "events_changepoint",
+    "events_sma_crossover",
+    "events_runs",
+    "events_acf",
+    "events_session_bounce",
+    "docs_vocab_growth",
+    "docs_curriculum",
+    "events_value_ecdf",
+    "part_topk_ties",
+    "orders_rollup_gid",
 ]
 
 
