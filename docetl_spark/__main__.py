@@ -52,7 +52,8 @@ def cmd_run(args) -> int:
         except Exception:
             backend = None  # deterministic-only pipelines need no backend
     spark = _get_spark(args)
-    out = run_pipeline(spark, config, backend=backend)
+    out = run_pipeline(spark, config, backend=backend,
+                       progress=bool(args.progress))
     path = args.output or (config.get("pipeline", {}).get("output") or {}).get("path")
     if path:
         from .sources.readers import write_output
@@ -125,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--master", default=None)
     r.add_argument("--shuffle-partitions", default=None)
     r.add_argument("--limit", type=int, default=20, help="rows to print when no output path")
+    r.add_argument("--progress", action="store_true",
+                   help="print one line per executed op (rows out, wall)")
     r.set_defaults(fn=cmd_run)
 
     b = sub.add_parser("build", help="optimize a pipeline YAML offline (directive search)")

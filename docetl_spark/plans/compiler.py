@@ -14,6 +14,7 @@ trusted-config execution model, same as the reference.
 
 from __future__ import annotations
 
+import time
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -484,6 +485,7 @@ def run_pipeline(
     *,
     backend: ModelBackend | None = None,
     checkpointer=None,
+    progress=False,
 ) -> SemanticFrame:
     """Execute a reference-shaped pipeline config:
 
@@ -493,8 +495,20 @@ def run_pipeline(
                    output?: {path}}
 
     Returns the final step's SemanticFrame; writes output if configured.
+
+    ``progress`` (False | True | callable) emits one console line per
+    executed op — ``[step] type name -> rows, wall`` — the reference
+    console/progress surface at ~1% of its size (tui/app.py, 906 LoC).
+    It MATERIALIZES each op once to count rows: every intermediate is
+    persisted (evictable MEMORY_AND_DISK) so the chain executes O(k)
+    not O(k²), and the previous intermediate is released as soon as its
+    successor is counted. Semantic ops replay from the response cache
+    on the recount path, so model spend is unchanged; the honest cost
+    of --progress is one extra action per op. True prints; a callable
+    receives each line (tests inject a list.append).
     """
     backend = backend or FakeBackend()
+    emit = (print if progress is True else progress) if progress else None
     ops_by_name = {o["name"]: o for o in config.get("operations", [])}
 
     if config.get("validate", True):
@@ -679,6 +693,7 @@ def run_pipeline(
                 rewrites_fired += [f"directive:{name}" for name, _ in best.applied]
         specs, fired = rewrite(specs)
         rewrites_fired += fired
+        _prev_counted = None
         for spec in lower(specs):
             spec = OpSpec(spec["type"], {k: v for k, v in spec.items() if k != "type"})
             if checkpointer is not None:
@@ -686,9 +701,21 @@ def run_pipeline(
                 if cached is not None:
                     sf = cached
                     continue
+            _t0 = time.perf_counter() if emit is not None else 0.0
             sf = apply_op(sf, spec, datasets)
             if checkpointer is not None:
                 sf = checkpointer.store(sf)
+            if emit is not None:
+                sf.df.persist()
+                n_out = sf.df.count()
+                emit(
+                    f"[{step['name']}] {spec.type:<13} "
+                    f"{str(spec.config.get('name', '')):<24} -> "
+                    f"{n_out:>9,} rows  {time.perf_counter() - _t0:6.2f}s"
+                )
+                if _prev_counted is not None:
+                    _prev_counted.unpersist()
+                _prev_counted = sf.df
         # step boundary: register output as a named dataset (containers.py:514)
         datasets[step["name"]] = sf
         sf.df.createOrReplaceTempView(step["name"])

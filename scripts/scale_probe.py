@@ -28,12 +28,23 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/scale_probe"
 
 
-def blow_up(spark, table: str, n: int, id_col: str, text_col: str | None = None):
+def blow_up(spark, table: str, n: int, id_col: str, text_col: str | None = None,
+            jitter_cols: list[str] | None = None, suffix: str = ""):
     df = spark.read.parquet(f"{BASE}/{table}.parquet")
     base_count = df.count()
     copies = []
     for i in range(n):
         c = df.withColumn(id_col, F.col(id_col) + F.lit(i * (base_count + 1)))
+        if jitter_cols and i > 0:
+            # --jitter-values: per-copy offset on VALUE columns so the
+            # DISTINCT-value cardinality scales with N (a plain blow-up
+            # replicates values and keeps it flat — the round-9 probe
+            # blind spot: a value-ordered sort/rank/cumsum that
+            # single-partitions on distinct values looks linear under
+            # key-offset replication and falls over on real data).
+            # +i*0.0101 shifts the cents grid by ~i per copy.
+            for jc in jitter_cols:
+                c = c.withColumn(jc, F.col(jc) + F.lit(i * 0.0101))
         if text_col is not None and i > 0:
             # rewrite EVERY token per copy so copies are NOT near-duplicates
             # of copy 0 (a suffix salt only perturbs the last shingles and
@@ -48,7 +59,7 @@ def blow_up(spark, table: str, n: int, id_col: str, text_col: str | None = None)
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)
-    path = f"{OUT}/{table}_x{n}.parquet"
+    path = f"{OUT}/{table}_x{n}{suffix}.parquet"
     out.repartition(max(32, n * 4)).write.mode("overwrite").parquet(path)
     return path
 
@@ -600,6 +611,81 @@ def probe(spark, docs_path: str, emb_path: str, line_path: str, events_path: str
 
         res["time_profile"] = timed(run_tp)
 
+    # ---- value-ranking family: every op here sorts/ranks/cumsums on a
+    # VALUE column, so its scale hazard is DISTINCT-VALUE cardinality,
+    # not row count — probe with AND without --jitter-values and read
+    # both ratios (PLANS.md round-10 table). All global paths ride
+    # _global_cumsum / the distinct-collapse; flat-ish ratios expected.
+    if events_path:
+        from docetl_spark.sources.readers import normalize_epoch_nanos
+
+        evv = normalize_epoch_nanos(spark.read.parquet(events_path))
+
+        if want("global_quantiles"):
+            from docetl_spark.functions.stats import weighted_quantiles
+
+            res["global_quantiles"] = timed(lambda: (
+                weighted_quantiles(
+                    evv.withColumn("w", F.lit(1.0)), "value", "w",
+                    qs_bp=[2500, 5000, 9000],
+                ).collect()
+            ))
+
+        if want("auc_global"):
+            from docetl_spark.functions.stats import auc_rank
+
+            res["auc_global"] = timed(lambda: (
+                auc_rank(
+                    evv.withColumn(
+                        "label", (F.col("event_type") == "purchase").cast("int")),
+                    "value", "label",
+                ).collect()
+            ))
+
+        if want("ks_global"):
+            from docetl_spark.functions.stats import ks_statistic
+
+            res["ks_global"] = timed(lambda: (
+                ks_statistic(evv, "value", "event_type",
+                             group_a="click", group_b="purchase").collect()
+            ))
+
+        if want("value_ecdf"):
+            from docetl_spark.functions.stats import _global_cumsum
+
+            def run_ecdf():
+                dv = evv.filter(F.col("value").isNotNull()).groupBy(
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                    .alias("vc")
+                ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+                _global_cumsum(dv, F.col("vc").asc(), ["_c"]) \
+                    .agg(F.count(F.lit(1))).collect()
+
+            res["value_ecdf"] = timed(run_ecdf)
+
+        if want("mode_global"):
+            from docetl_spark.functions.stats import mode_by
+
+            res["mode_global"] = timed(lambda: (
+                mode_by(evv, "value").collect()
+            ))
+
+        if want("spearman_global"):
+            from docetl_spark.functions.mlstats import spearman_by
+
+            def run_sp():
+                # day-grain keeps the centered moments in exact range at
+                # any N; the midrank _global_cumsum path is what's probed
+                d = evv.withColumn(
+                    "_e", F.expr("(ts - pmod(ts, 1000000000)) DIV 1000000000"))
+                daily = d.groupBy(
+                    F.expr("(_e - pmod(_e, 86400)) DIV 86400").alias("day")
+                ).agg(F.count(F.lit(1)).alias("n_ev"),
+                      F.sum("value").alias("v"))
+                spearman_by(daily, "n_ev", "v").collect()
+
+            res["spearman_global"] = timed(run_sp)
+
     return res
 
 
@@ -630,7 +716,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         measure(*sys.argv[2:6])
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jitter = "--jitter-values" in sys.argv
+    n = int(args[0]) if args else 10
     spark = get_spark("scale-probe-build", shuffle_partitions=64)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shutil.rmtree(OUT, ignore_errors=True)
@@ -638,9 +726,15 @@ def main():
     emb_n = blow_up(spark, "embeddings", n, "vec_id")
     line_n = blow_up(spark, "lineitem", n, "l_orderkey")
     events_n = blow_up(spark, "events", n, "event_id")
+    if jitter:
+        # second events blow-up whose VALUE distinct-cardinality scales
+        # with N (plain copies keep it flat — the round-9 probe blind
+        # spot for value-ordered rank/cumsum plans)
+        events_jit = blow_up(spark, "events", n, "event_id",
+                             jitter_cols=["value"], suffix="_jit")
     spark.stop()
 
-    report = {"base_sf": 0.1}
+    report = {"base_sf": 0.1, "jitter_values": jitter}
     report["x1"] = _measure_subprocess(
         f"{BASE}/documents.parquet", f"{BASE}/embeddings.parquet",
         f"{BASE}/lineitem.parquet", f"{BASE}/events.parquet")
@@ -649,6 +743,13 @@ def main():
         k: round(report[f"x{n}"][k] / max(report["x1"][k], 1e-9), 1)
         for k in report["x1"]
     }
+    if jitter:
+        report[f"x{n}_jitter"] = _measure_subprocess(
+            docs_n, emb_n, line_n, events_jit)
+        report["scale_factors_jitter"] = {
+            k: round(report[f"x{n}_jitter"][k] / max(report["x1"][k], 1e-9), 1)
+            for k in report["x1"] if k in report[f"x{n}_jitter"]
+        }
     print(json.dumps(report))
 
 

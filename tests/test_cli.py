@@ -31,6 +31,27 @@ def test_cli_run_writes_output(spark, tmp_path):
     assert back.count() == 500 and "n_words" in back.columns
 
 
+def test_cli_run_progress_lines(tmp_path, capsys):
+    # console-lite progress (r9 VERDICT ask #9): one line per executed
+    # op with rows-out and wall seconds
+    cfg = dict(PIPE)
+    p = tmp_path / "pipe.yaml"
+    cfg["pipeline"] = {"steps": PIPE["pipeline"]["steps"], "output": {"path": ""}}
+    p.write_text(yaml.safe_dump(cfg))
+    assert main(["run", str(p), "--fake-backend", "--progress", "--limit", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "[s1] code_map" in out and "500 rows" in out and "s\n" in out
+
+
+def test_run_pipeline_progress_callable(spark):
+    from docetl_spark.plans import run_pipeline
+
+    lines: list[str] = []
+    run_pipeline(spark, PIPE, progress=lines.append)
+    assert len(lines) == 1
+    assert "code_map" in lines[0] and "500 rows" in lines[0]
+
+
 def test_cli_build_writes_optimized_yaml(tmp_path, capsys):
     cfg = {**PIPE, "operations": [
         {"name": "m", "type": "map", "prompt": "summarize {{ input.text }}",
