@@ -91,6 +91,19 @@ PLAN_ONLY = [
     "docs_vocab_profile", "docs_dup_clusters", "events_bursts",
     "events_markov",
     "orders_pareto", "lineitem_r2", "events_trigrams", "docs_zipf",
+    # round-10 wave (events_spearman_daily / events_value_ecdf /
+    # docs_vocab_growth / docs_curriculum run the distributed-rank /
+    # prefix-sum sampling jobs at plan time — fine at this SF; the
+    # cramers / impurity / woe / drift scalar attachments and the
+    # chi2-style global grids must all stay BroadcastHashJoin via the
+    # non-foldable key)
+    "lineitem_spearman", "events_spearman_daily", "orders_cramers",
+    "docs_impurity", "events_drift", "events_drift_detail", "orders_woe",
+    "lineitem_trimmed_mean", "events_mann_kendall", "customer_survival",
+    "events_changepoint", "events_sma_crossover", "events_runs",
+    "events_acf", "events_session_bounce", "docs_vocab_growth",
+    "docs_curriculum", "events_value_ecdf", "part_topk_ties",
+    "orders_rollup_gid",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
