@@ -1012,7 +1012,10 @@ def benford_profile(
         .groupBy(*part, "digit")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    wall = W.partitionBy(*part)
+    # the counts table is <= 9 digits per group by construction; the
+    # global path's runtime-empty partition list would emit the
+    # WindowExec warning the bounded helper exists to silence
+    wall = W.partitionBy(*part) if part else bounded_global_window("digit")
     expected = F.create_map(
         *[x for d, bp in _BENFORD_BP.items() for x in (F.lit(str(d)), F.lit(bp))]
     )
@@ -2238,9 +2241,13 @@ def lift_table(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum("_lt_l").cast("decimal(38,0)").alias("_p"),
     )
+    # per_bucket is <= `buckets` rows per group by construction; on the
+    # global path the runtime-empty partition list must route through
+    # the bounded helper (silent one-partition window, same plan)
     part = [F.col(c) for c in (by or [])]
-    wcum = W.partitionBy(*part).orderBy(F.col("bucket").asc())
-    wall = W.partitionBy(*part)
+    wcum = (W.partitionBy(*part) if part
+            else bounded_global_window("bucket")).orderBy(F.col("bucket").asc())
+    wall = W.partitionBy(*part) if part else bounded_global_window("bucket")
     cum = (
         per_bucket.withColumn("_cn", F.sum("_n").over(wcum))
         .withColumn("_cp", F.sum("_p").over(wcum))

@@ -40,6 +40,14 @@ QUERIES = [
     "stream_decontaminate",
     "docs_ngram_jaccard",
     "q7_nation_volume",
+    # round-10 ritual additions (VERDICT r9 ask #6): the newest
+    # scale-sensitive plans — the `_global_cumsum` distributed-prefix-
+    # sum consumers, the re-measured mad_outliers, and two r10 reps
+    "events_mad_outliers",
+    "events_weighted_quantiles",
+    "events_auc",
+    "events_value_ecdf",
+    "lineitem_spearman",
 ]
 
 
@@ -86,4 +94,9 @@ def main(out_path: str = "BENCH_SF1_r09.json") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r09.json")
+    # round ritual (VERDICT r9 ask #6): rebuild /tmp/sf1 via
+    # scripts/make_sf1.py, run bench.py for a fresh bench_out.json at
+    # sf0.1, then this script with the round's artifact name — a
+    # committed BENCH_SF1_r{N}.json per round makes 10x-scale
+    # regression detection continuous, not a one-off.
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r10.json")

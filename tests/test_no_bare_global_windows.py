@@ -67,6 +67,29 @@ def test_no_bare_global_window_specs_in_package():
     )
 
 
+def test_runtime_global_paths_have_no_empty_window_spec():
+    """The lint above is syntactic — `W.partitionBy(*part)` with a
+    runtime-empty `part` slips through (the events_lift/events_benford
+    bench-log finding: 34 warnings from exactly this shape). Pin the
+    two repaired global paths: no Window node with an empty partition
+    spec in their physical plans."""
+    from pyspark.sql import SparkSession
+
+    from docetl_spark.functions.stats import benford_profile, lift_table
+
+    spark = SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame(
+        [(float(i * 7 % 97 + 1), i % 2, i) for i in range(1, 60)],
+        "v double, l int, id int")
+    for out in (
+        benford_profile(df, "v"),
+        lift_table(df, "v", "l", buckets=3, tiebreak=["id"]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        bare = re.findall(r"Window \[[^\]]*\], \[\]", plan)
+        assert not bare, f"empty window partition spec:\n{plan}"
+
+
 def test_bounded_global_window_is_one_partition_and_silent():
     """The helper's contract: same result as a bare global window, and
     the physical plan's Window node carries a NON-empty partition spec
