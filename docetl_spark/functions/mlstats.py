@@ -641,3 +641,166 @@ def kaplan_meier(
             "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
         ).alias("survival"),
     )
+
+
+def kendall_tau_by(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    by: list[str],
+    max_group_rows: int = 2000,
+) -> DataFrame:
+    """Kendall's tau per group, EXACT in basis points: over all row
+    pairs, tau_a_bp = (concordant − discordant)·10⁴ DIV n_pairs — the
+    rank-agreement figure behind judge-vs-judge and model-vs-human
+    agreement checks, with its full pair decomposition (ties on x, on
+    y, on both) so tau-b is one formula away. The pair order never
+    matters: each unordered pair is counted once via an id-free
+    ordering trick (the self-join keeps a.rid < b.rid on a per-group
+    row_number), and concordance is sign(Δx)·sign(Δy).
+
+    Same quadratic-pairs contract as mann_kendall_by: pre-aggregated
+    series only, RAISES past ``max_group_rows``. NULLs in either
+    column drop. Groups with < 2 rows report zero pairs and NULL tau.
+
+    Output: ``by`` + ``n`` + ``n_pairs`` + ``n_concordant`` +
+    ``n_discordant`` + ``n_tie_x`` + ``n_tie_y`` + ``n_tie_both`` +
+    ``tau_a_bp``.
+
+    Plan: one per-group row_number window (the rid), a self equi-join
+    on the group keys filtered to rid_a < rid_b, one count aggregation.
+    """
+    if not by:
+        raise ValueError("kendall_tau_by requires grouping keys")
+    reserved = {"n", "n_pairs", "n_concordant", "n_discordant", "n_tie_x",
+                "n_tie_y", "n_tie_both", "tau_a_bp", "_kt_x", "_kt_y", "_kt_r"}
+    clash = sorted(reserved & set(by))
+    if clash:
+        raise ValueError(f"kendall_tau_by reserves column names {clash}")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*by, F.col(x_col).alias("_kt_x"), F.col(y_col).alias("_kt_y"))
+    w = W.partitionBy(*by).orderBy(F.col("_kt_x").asc(), F.col("_kt_y").asc())
+    rid = base.withColumn("_kt_r", F.row_number().over(w))
+    counts = rid.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
+    guard = counts.withColumn(
+        "_n",
+        F.when(
+            F.col("_n") > int(max_group_rows),
+            F.raise_error(F.lit(
+                f"kendall_tau_by: a group exceeds max_group_rows="
+                f"{int(max_group_rows)} — pairs are quadratic; "
+                "pre-aggregate first")),
+        ).otherwise(F.col("_n")),
+    )
+    a = rid.select(*by, F.col("_kt_r").alias("_ra"),
+                   F.col("_kt_x").alias("_xa"), F.col("_kt_y").alias("_ya"))
+    b = rid.select(*by, F.col("_kt_r").alias("_rb"),
+                   F.col("_kt_x").alias("_xb"), F.col("_kt_y").alias("_yb"))
+    pr = a.join(b, list(by)).filter(F.col("_ra") < F.col("_rb"))
+    sx = F.signum((F.col("_xb") - F.col("_xa")).cast("double"))
+    sy = F.signum((F.col("_yb") - F.col("_ya")).cast("double"))
+    agg = pr.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("n_concordant"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("n_discordant"),
+        F.sum(F.when((sx == 0) & (sy != 0), 1).otherwise(0)).alias("n_tie_x"),
+        F.sum(F.when((sx != 0) & (sy == 0), 1).otherwise(0)).alias("n_tie_y"),
+        F.sum(F.when((sx == 0) & (sy == 0), 1).otherwise(0)).alias("n_tie_both"),
+    )
+    out = guard.join(agg, list(by), "left")
+    z = F.lit(0)
+    return out.select(
+        *by, F.col("_n").cast("long").alias("n"),
+        F.coalesce("n_pairs", z).alias("n_pairs"),
+        F.coalesce("n_concordant", z).alias("n_concordant"),
+        F.coalesce("n_discordant", z).alias("n_discordant"),
+        F.coalesce("n_tie_x", z).alias("n_tie_x"),
+        F.coalesce("n_tie_y", z).alias("n_tie_y"),
+        F.coalesce("n_tie_both", z).alias("n_tie_both"),
+        F.when(
+            F.coalesce("n_pairs", z) > 0,
+            F.expr("CAST((CAST(n_concordant AS DECIMAL(38,0))"
+                   " - n_discordant) * 10000"
+                   " DIV CAST(n_pairs AS DECIMAL(38,0)) AS BIGINT)"),
+        ).alias("tau_a_bp"),
+    )
+
+
+def theil_sen_by(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    by: list[str],
+    slope_scale: int = 1000,
+    value_scale: int = 100,
+    max_group_rows: int = 2000,
+) -> DataFrame:
+    """Theil-Sen slope per group: the MEDIAN of all pairwise slopes
+    (v_j − v_i)/(t_j − t_i) over i<j by time — the robust trend
+    estimate (up to ~29% outliers cannot move it, unlike OLS). Each
+    slope materializes as an integer ``slope_milli`` =
+    Δcents·slope_scale DIV Δt (the documented fixed-point truncation —
+    both engines floor the same rational the same way), and the median
+    is the EXACT lower median of those integers (rank = (n_pairs+1)
+    DIV 2 — deterministic, no interpolation). Equal-timestamp pairs
+    drop (undefined slope); NULLs drop; groups with < 2 distinct-time
+    rows vanish from the slope table and report NULL slope.
+
+    Same quadratic-pairs contract as mann_kendall_by / kendall_tau_by:
+    pre-aggregated series only, RAISES past ``max_group_rows``.
+
+    Output: ``by`` + ``n`` + ``n_pairs`` + ``slope_milli`` (fixed-point
+    Δvalue-per-Δt·slope_scale, in value_scale units).
+
+    Plan: the guarded per-group pair join, slopes as integers, then the
+    lower median as a per-group rank window over the (bounded) slope
+    table — one sorted task per group, the family's documented bound.
+    """
+    if not by:
+        raise ValueError("theil_sen_by requires grouping keys")
+    reserved = {"n", "n_pairs", "slope_milli", "_th_t", "_th_c"}
+    clash = sorted(reserved & set(by))
+    if clash:
+        raise ValueError(f"theil_sen_by reserves column names {clash}")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *by, F.col(ts_col).cast("long").alias("_th_t"),
+        to_cents(value_col, value_scale).cast("decimal(38,0)").alias("_th_c"),
+    )
+    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
+    guard = counts.withColumn(
+        "_n",
+        F.when(
+            F.col("_n") > int(max_group_rows),
+            F.raise_error(F.lit(
+                f"theil_sen_by: a group exceeds max_group_rows="
+                f"{int(max_group_rows)} — pairs are quadratic; "
+                "pre-aggregate first")),
+        ).otherwise(F.col("_n")),
+    )
+    a = base.select(*by, F.col("_th_t").alias("_ta"), F.col("_th_c").alias("_ca"))
+    b = base.select(*by, F.col("_th_t").alias("_tb"), F.col("_th_c").alias("_cb"))
+    pairs = a.join(b, list(by)).filter(F.col("_ta") < F.col("_tb"))
+    slope = F.expr(
+        f"CAST((_cb - _ca) * {int(slope_scale)} AS DECIMAL(38,0))"
+        " DIV CAST(_tb - _ta AS DECIMAL(38,0))"
+    )
+    slopes = pairs.select(*by, slope.cast("long").alias("_sl"))
+    wr = W.partitionBy(*by).orderBy(F.col("_sl").asc())
+    ranked = (
+        slopes.withColumn("_r", F.row_number().over(wr))
+        .withColumn("_np", F.count(F.lit(1)).over(W.partitionBy(*by)))
+    )
+    med = ranked.filter(
+        F.col("_r") == F.expr("(_np + 1) DIV 2")
+    ).select(*by, F.col("_sl").alias("slope_milli"),
+             F.col("_np").cast("long").alias("n_pairs"))
+    return guard.join(med, list(by), "left").select(
+        *by, F.col("_n").cast("long").alias("n"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.col("slope_milli"),
+    )
