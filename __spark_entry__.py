@@ -4139,6 +4139,83 @@ def orders_rollup_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau (mlstats.kendall_tau_by) between monthly quantity
+    and monthly revenue per return flag — month-grain pre-aggregation
+    (the documented quadratic-pairs contract), full tie decomposition,
+    exact tau-a in bp."""
+    from docetl_spark.functions.mlstats import kendall_tau_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    # sums stay DECIMAL (never double): the tau comparisons are sign
+    # tests on differences, and a 1-ulp decimal->double divergence
+    # between engines could flip a tie into a concordance
+    monthly = li.groupBy(
+        "l_returnflag", F.expr("substring(CAST(l_shipdate AS STRING), 1, 7)")
+        .alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,4))")).alias("qty"),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))"))
+        .alias("rev_cents"),
+    )
+    return kendall_tau_by(monthly, "qty", "rev_cents", by=["l_returnflag"])
+
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope (mlstats.theil_sen_by) of each
+    user's daily event count — the median pairwise slope in exact
+    fixed-point milli-units over the day-grain series."""
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    daily = ev.groupBy(
+        "user_id", F.expr("(_e - pmod(_e, 86400)) DIV 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_ev"))
+    return theil_sen_by(daily, "day", "n_ev", by=["user_id"], value_scale=1)
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency histogram at hour grain: per
+    user, the first purchase AT/after the first signup; exact integer
+    bucketing and shares. The funnel-latency report at bounded output
+    cardinality."""
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("_e"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("_e"))).alias("p"),
+    )
+    lat = firsts.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    ).select(F.expr("(p - s) DIV 3600").alias("hours"))
+    counts = lat.groupBy("hours").agg(F.count(F.lit(1)).alias("n_users"))
+    from docetl_spark.functions.stats import broadcast_scalar_join
+
+    tot = counts.agg(F.sum("n_users").alias("_t"))
+    return broadcast_scalar_join(counts, tot, df_col="n_users", scalar_col="_t") \
+        .select("hours", "n_users",
+                F.expr("CAST(CAST(n_users AS DECIMAL(38,0)) * 10000"
+                       " DIV CAST(_t AS DECIMAL(38,0)) AS BIGINT)")
+                .alias("share_bp"))
+
+
+def users_event_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree histogram: how many users touch exactly k
+    event types — two map-side-combinable aggregations + a broadcast
+    scalar share."""
+    ev = _t(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("degree"))
+    counts = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_users"))
+    from docetl_spark.functions.stats import broadcast_scalar_join
+
+    tot = counts.agg(F.sum("n_users").alias("_t"))
+    return broadcast_scalar_join(counts, tot, df_col="n_users", scalar_col="_t") \
+        .select("degree", "n_users",
+                F.expr("CAST(CAST(n_users AS DECIMAL(38,0)) * 10000"
+                       " DIV CAST(_t AS DECIMAL(38,0)) AS BIGINT)")
+                .alias("share_bp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4382,6 +4459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_ecdf": events_value_ecdf,
         "part_topk_ties": part_topk_ties,
         "orders_rollup_gid": orders_rollup_gid,
+        "lineitem_kendall": lineitem_kendall,
+        "events_theil_sen": events_theil_sen,
+        "events_conversion_latency": events_conversion_latency,
+        "users_event_degree": users_event_degree,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -8449,6 +8530,93 @@ def oracle_sql() -> dict[str, str]:
                  pct_rank_bp,
                CAST(ci * 10000 // n AS BIGINT) cume_bp
         FROM cum"""
+    sql["lineitem_kendall"] = """
+        WITH m AS (
+          SELECT l_returnflag, substring(CAST(l_shipdate AS VARCHAR), 1, 7) mo,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) qty,
+                 SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) rev
+          FROM lineitem GROUP BY 1, 2
+        ), nn AS (SELECT l_returnflag, COUNT(*) n FROM m GROUP BY 1),
+        p AS (
+          SELECT x.l_returnflag g,
+                 CASE WHEN (y.qty > x.qty AND y.rev > x.rev)
+                        OR (y.qty < x.qty AND y.rev < x.rev)
+                      THEN 1 ELSE 0 END conc,
+                 CASE WHEN (y.qty > x.qty AND y.rev < x.rev)
+                        OR (y.qty < x.qty AND y.rev > x.rev)
+                      THEN 1 ELSE 0 END disc,
+                 CASE WHEN y.qty = x.qty AND y.rev <> x.rev THEN 1 ELSE 0 END tx,
+                 CASE WHEN y.qty <> x.qty AND y.rev = x.rev THEN 1 ELSE 0 END ty,
+                 CASE WHEN y.qty = x.qty AND y.rev = x.rev THEN 1 ELSE 0 END tb
+          FROM m x JOIN m y
+            ON x.l_returnflag = y.l_returnflag AND x.mo < y.mo
+        ), agg AS (
+          SELECT g, COUNT(*) np, SUM(conc) nc, SUM(disc) nd,
+                 SUM(tx) ntx, SUM(ty) nty, SUM(tb) ntb
+          FROM p GROUP BY 1
+        )
+        SELECT nn.l_returnflag, CAST(nn.n AS BIGINT) n,
+               CAST(COALESCE(np, 0) AS BIGINT) n_pairs,
+               CAST(COALESCE(nc, 0) AS BIGINT) n_concordant,
+               CAST(COALESCE(nd, 0) AS BIGINT) n_discordant,
+               CAST(COALESCE(ntx, 0) AS BIGINT) n_tie_x,
+               CAST(COALESCE(nty, 0) AS BIGINT) n_tie_y,
+               CAST(COALESCE(ntb, 0) AS BIGINT) n_tie_both,
+               CASE WHEN COALESCE(np, 0) > 0 THEN
+                 CAST(CAST((nc - nd) * 10000 AS HUGEINT)
+                      // CAST(np AS HUGEINT) AS BIGINT) END tau_a_bp
+        FROM nn LEFT JOIN agg ON nn.l_returnflag = agg.g"""
+    sql["events_theil_sen"] = """
+        WITH d AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS t,
+                 CAST(floor(COUNT(*) * 1 + 0.5) AS HUGEINT) c
+          FROM events GROUP BY 1, 2
+        ), nn AS (SELECT user_id, COUNT(*) n FROM d GROUP BY 1),
+        p AS (
+          SELECT x.user_id,
+                 CAST((y.c - x.c) * 1000 AS HUGEINT)
+                   // CAST(y.t - x.t AS HUGEINT) sl
+          FROM d x JOIN d y ON x.user_id = y.user_id AND x.t < y.t
+        ), r AS (
+          SELECT user_id, sl,
+                 row_number() OVER (PARTITION BY user_id ORDER BY sl) rn,
+                 COUNT(*) OVER (PARTITION BY user_id) np
+          FROM p
+        ), med AS (
+          SELECT user_id, CAST(sl AS BIGINT) slope_milli,
+                 CAST(np AS BIGINT) n_pairs
+          FROM r WHERE rn = (np + 1) // 2
+        )
+        SELECT nn.user_id, CAST(nn.n AS BIGINT) n,
+               COALESCE(n_pairs, 0) n_pairs, slope_milli
+        FROM nn LEFT JOIN med ON nn.user_id = med.user_id"""
+    sql["events_conversion_latency"] = """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup'
+                     THEN epoch_ns(ts) // 1000000000 END) s,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN epoch_ns(ts) // 1000000000 END) p
+          FROM events GROUP BY 1
+        ), lat AS (
+          SELECT (p - s) // 3600 AS hours FROM f
+          WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+        ), c AS (
+          SELECT hours, CAST(COUNT(*) AS HUGEINT) n_users FROM lat GROUP BY 1
+        )
+        SELECT hours, CAST(n_users AS BIGINT) n_users,
+               CAST(n_users * 10000 // SUM(n_users) OVER () AS BIGINT) share_bp
+        FROM c"""
+    sql["users_event_degree"] = """
+        WITH deg AS (
+          SELECT user_id, COUNT(DISTINCT event_type) degree
+          FROM events GROUP BY 1
+        ), c AS (
+          SELECT degree, CAST(COUNT(*) AS HUGEINT) n_users FROM deg GROUP BY 1
+        )
+        SELECT degree, CAST(n_users AS BIGINT) n_users,
+               CAST(n_users * 10000 // SUM(n_users) OVER () AS BIGINT) share_bp
+        FROM c"""
     sql["part_topk_ties"] = """
         SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) rnk
         FROM (

@@ -313,6 +313,10 @@ BENCH_QUERIES = [
     "events_value_ecdf",
     "part_topk_ties",
     "orders_rollup_gid",
+    "lineitem_kendall",
+    "events_theil_sen",
+    "events_conversion_latency",
+    "users_event_degree",
 ]
 
 

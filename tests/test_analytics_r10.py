@@ -389,3 +389,96 @@ def test_curriculum_order_round_robins_tiers(spark):
                    key=lambda r: r["position"])
     assert [(r["id"], r["position"]) for r in again] == \
         [(r["id"], r["position"]) for r in rows]
+
+
+# -------------------------------------------------------- kendall tau
+
+def test_kendall_tau_hand_checked(spark):
+    from docetl_spark.functions.mlstats import kendall_tau_by
+
+    # perfect agreement
+    up = spark.createDataFrame(
+        [(1, float(i), float(i * 2)) for i in range(5)], "g int, x double, y double")
+    r = kendall_tau_by(up, "x", "y", by=["g"]).collect()[0]
+    assert (r["n_pairs"], r["n_concordant"], r["tau_a_bp"]) == (10, 10, 10000)
+    # perfect disagreement
+    down = kendall_tau_by(
+        up.withColumn("y", -F.col("y")), "x", "y", by=["g"]).collect()[0]
+    assert (down["n_discordant"], down["tau_a_bp"]) == (10, -10000)
+    # ties decompose
+    t = spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 1.0, 2.0), (1, 2.0, 2.0)], "g int, x double, y double")
+    rt = kendall_tau_by(t, "x", "y", by=["g"]).collect()[0]
+    assert rt["n_pairs"] == 3 and rt["n_tie_x"] == 1 and rt["n_tie_y"] == 1
+    assert rt["n_concordant"] == 1 and rt["tau_a_bp"] == 3333
+    with pytest.raises(Exception, match="max_group_rows"):
+        kendall_tau_by(up, "x", "y", by=["g"], max_group_rows=3).collect()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kendall_tau_matches_bruteforce(spark, seed):
+    from docetl_spark.functions.mlstats import kendall_tau_by
+
+    rng = random.Random(seed)
+    rows = [(1, float(rng.randrange(6)), float(rng.randrange(6)))
+            for _ in range(30)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = kendall_tau_by(df, "x", "y", by=["g"]).collect()[0]
+    conc = disc = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            s = (rows[j][1] - rows[i][1]) * (rows[j][2] - rows[i][2])
+            conc += s > 0
+            disc += s < 0
+    n_pairs = len(rows) * (len(rows) - 1) // 2
+    assert (got["n_pairs"], got["n_concordant"], got["n_discordant"]) == \
+        (n_pairs, conc, disc)
+    num = (conc - disc) * 10000
+    assert got["tau_a_bp"] == (num // n_pairs if num >= 0
+                               else -((-num) // n_pairs))
+
+
+# --------------------------------------------------------- theil-sen
+
+def test_theil_sen_robust_to_outlier(spark):
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    # slope 2 cents/t with one wild outlier the median ignores
+    rows = [(1, t, 0.02 * t) for t in range(8)] + [(1, 8, 100.0)]
+    df = spark.createDataFrame(rows, "g int, t int, v double")
+    r = theil_sen_by(df, "t", "v", by=["g"]).collect()[0]
+    # slope_milli = Δcents*1000 DIV Δt = 2*1000 = 2000 for clean pairs
+    assert r["slope_milli"] == 2000
+    assert r["n"] == 9 and r["n_pairs"] == 36
+    # single-row group: NULL slope, zero pairs
+    one = spark.createDataFrame([(2, 0, 1.0)], "g int, t int, v double")
+    r1 = theil_sen_by(one, "t", "v", by=["g"]).collect()[0]
+    assert r1["n_pairs"] == 0 and r1["slope_milli"] is None
+    # equal-timestamp pairs drop (undefined slope)
+    eq = spark.createDataFrame(
+        [(3, 5, 1.0), (3, 5, 9.0), (3, 6, 2.0)], "g int, t int, v double")
+    re_ = theil_sen_by(eq, "t", "v", by=["g"]).collect()[0]
+    assert re_["n_pairs"] == 2
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_theil_sen_matches_bruteforce(spark, seed):
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    rng = random.Random(seed)
+    rows = [(1, t, rng.uniform(-5, 5)) for t in range(20)]
+    df = spark.createDataFrame(rows, "g int, t int, v double")
+    got = theil_sen_by(df, "t", "v", by=["g"]).collect()[0]
+    import math
+    cents = [(t, math.floor(v * 100 + 0.5)) for _, t, v in rows]
+    slopes = []
+    for i in range(len(cents)):
+        for j in range(i + 1, len(cents)):
+            dc = cents[j][1] - cents[i][1]
+            dt = cents[j][0] - cents[i][0]
+            q = dc * 1000 / dt
+            # Spark decimal DIV truncates toward zero
+            slopes.append(int(q) if q >= 0 else -int(-q))
+    slopes.sort()
+    assert got["n_pairs"] == len(slopes)
+    assert got["slope_milli"] == slopes[(len(slopes) + 1) // 2 - 1]

@@ -103,7 +103,8 @@ PLAN_ONLY = [
     "events_changepoint", "events_sma_crossover", "events_runs",
     "events_acf", "events_session_bounce", "docs_vocab_growth",
     "docs_curriculum", "events_value_ecdf", "part_topk_ties",
-    "orders_rollup_gid",
+    "orders_rollup_gid", "lineitem_kendall", "events_theil_sen",
+    "events_conversion_latency", "users_event_degree",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
