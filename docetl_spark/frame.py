@@ -1696,6 +1696,208 @@ class SemanticFrame:
             "zipf_profile", text_col=text_col, id_col=id_col, top_n=top_n,
         )
 
+    # -------------------------------------------- round-10 analytics ops
+    def spearman(self, x_col: str, y_col: str, *,
+                 by: list[str] | None = None) -> "SemanticFrame":
+        """Tie-corrected Spearman rank correlation (sign + rho² bp) —
+        see functions/mlstats.spearman_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.spearman_by(self.df, x_col, y_col, by=by),
+            "spearman", x_col=x_col, y_col=y_col, by=by,
+        )
+
+    def cramers_v2(self, col_a: str, col_b: str, *,
+                   by: list[str] | None = None) -> "SemanticFrame":
+        """Cramér's V² categorical association in exact bp — see
+        functions/mlstats.cramers_v2."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.cramers_v2(self.df, col_a, col_b, by=by),
+            "cramers_v2", col_a=col_a, col_b=col_b, by=by,
+        )
+
+    def impurity(self, feature_col: str, label_col: str, *,
+                 by: list[str] | None = None) -> "SemanticFrame":
+        """Gini impurity decomposition of a label by a feature — see
+        functions/mlstats.impurity_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.impurity_by(self.df, feature_col, label_col, by=by),
+            "impurity", feature_col=feature_col, label_col=label_col, by=by,
+        )
+
+    def dist_drift(self, category_col: str, period_col: str, *,
+                   base, current, **kw) -> "SemanticFrame":
+        """Exact total-variation categorical drift between two period
+        labels — see functions/mlstats.dist_drift."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.dist_drift(self.df, category_col, period_col,
+                               base=base, current=current, **kw),
+            "dist_drift", category_col=category_col, period_col=period_col,
+            base=base, current=current, **kw,
+        )
+
+    def woe_table(self, feature_col: str, label_col: str, *,
+                  by: list[str] | None = None) -> "SemanticFrame":
+        """Evidence table with exact odds ratios — see
+        functions/mlstats.woe_table."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.woe_table(self.df, feature_col, label_col, by=by),
+            "woe_table", feature_col=feature_col, label_col=label_col, by=by,
+        )
+
+    def trimmed_mean(self, value_col: str, *, by: list[str],
+                     **kw) -> "SemanticFrame":
+        """Per-group trimmed mean in fixed-point cents — see
+        functions/mlstats.trimmed_mean_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.trimmed_mean_by(self.df, value_col, by=by, **kw),
+            "trimmed_mean", value_col=value_col, by=by, **kw,
+        )
+
+    def mann_kendall(self, ts_col: str, value_col: str, *, by: list[str],
+                     **kw) -> "SemanticFrame":
+        """Mann-Kendall exact trend statistic over time pairs — see
+        functions/mlstats.mann_kendall_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.mann_kendall_by(self.df, ts_col, value_col, by=by, **kw),
+            "mann_kendall", ts_col=ts_col, value_col=value_col, by=by, **kw,
+        )
+
+    def kendall_tau(self, x_col: str, y_col: str, *, by: list[str],
+                    **kw) -> "SemanticFrame":
+        """Kendall's tau-a with full tie decomposition — see
+        functions/mlstats.kendall_tau_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.kendall_tau_by(self.df, x_col, y_col, by=by, **kw),
+            "kendall_tau", x_col=x_col, y_col=y_col, by=by, **kw,
+        )
+
+    def theil_sen(self, ts_col: str, value_col: str, *, by: list[str],
+                  **kw) -> "SemanticFrame":
+        """Theil-Sen robust slope (exact median pairwise slope) — see
+        functions/mlstats.theil_sen_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.theil_sen_by(self.df, ts_col, value_col, by=by, **kw),
+            "theil_sen", ts_col=ts_col, value_col=value_col, by=by, **kw,
+        )
+
+    def kaplan_meier(self, duration_col: str, event_col: str, *,
+                     by: list[str] | None = None) -> "SemanticFrame":
+        """Kaplan-Meier survival curve (ordered-fold survival) — see
+        functions/mlstats.kaplan_meier."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.kaplan_meier(self.df, duration_col, event_col, by=by),
+            "kaplan_meier", duration_col=duration_col, event_col=event_col,
+            by=by,
+        )
+
+    def changepoint_mean_shift(self, *, keys: list[str], ts_col: str,
+                               value_col: str, **kw) -> "SemanticFrame":
+        """Best between-SS mean-shift split per key stream — see
+        functions/timeseries.changepoint_mean_shift."""
+        from .functions import timeseries as ts
+
+        return self._next(
+            ts.changepoint_mean_shift(self.df, keys=keys, ts_col=ts_col,
+                                      value_col=value_col, **kw),
+            "changepoint_mean_shift", keys=keys, ts_col=ts_col,
+            value_col=value_col, **kw,
+        )
+
+    def sma_crossover(self, *, keys: list[str], ts_col: str,
+                      value_col: str, **kw) -> "SemanticFrame":
+        """Moving-average crossover signals — see
+        functions/timeseries.sma_crossover."""
+        from .functions import timeseries as ts
+
+        return self._next(
+            ts.sma_crossover(self.df, keys=keys, ts_col=ts_col,
+                             value_col=value_col, **kw),
+            "sma_crossover", keys=keys, ts_col=ts_col, value_col=value_col,
+            **kw,
+        )
+
+    def runs(self, *, keys: list[str], ts_col: str, value_col: str,
+             **kw) -> "SemanticFrame":
+        """Above-mean runs analysis per key stream — see
+        functions/timeseries.runs_by."""
+        from .functions import timeseries as ts
+
+        return self._next(
+            ts.runs_by(self.df, keys=keys, ts_col=ts_col,
+                       value_col=value_col, **kw),
+            "runs", keys=keys, ts_col=ts_col, value_col=value_col, **kw,
+        )
+
+    def acf_table(self, *, keys: list[str], ts_col: str, value_col: str,
+                  **kw) -> "SemanticFrame":
+        """Autocorrelation table, lags 1..max_lag in one pass — see
+        functions/timeseries.acf_table."""
+        from .functions import timeseries as ts
+
+        return self._next(
+            ts.acf_table(self.df, keys=keys, ts_col=ts_col,
+                         value_col=value_col, **kw),
+            "acf_table", keys=keys, ts_col=ts_col, value_col=value_col, **kw,
+        )
+
+    def session_entry_exit(self, *, keys: list[str], ts_col: str,
+                           page_col: str, gap: int, tiebreak: str,
+                           **kw) -> "SemanticFrame":
+        """Entry/exit/bounce report per page — see
+        functions/timeseries.session_entry_exit."""
+        from .functions import timeseries as ts
+
+        return self._next(
+            ts.session_entry_exit(self.df, keys=keys, ts_col=ts_col,
+                                  page_col=page_col, gap=gap,
+                                  tiebreak=tiebreak, **kw),
+            "session_entry_exit", keys=keys, ts_col=ts_col,
+            page_col=page_col, gap=gap, tiebreak=tiebreak, **kw,
+        )
+
+    def vocab_growth(self, text_col: str, *, id_col: str,
+                     step: int = 100) -> "SemanticFrame":
+        """Heaps-law vocabulary growth curve — see
+        functions/text.vocab_growth."""
+        from .functions import text as textf
+
+        return self._next(
+            textf.vocab_growth(self.df, text_col, id_col=id_col, step=step),
+            "vocab_growth", text_col=text_col, id_col=id_col, step=step,
+        )
+
+    def curriculum_order(self, score_col: str, *, id_cols: list[str],
+                         **kw) -> "SemanticFrame":
+        """Tier-round-robin curriculum manifest — see
+        functions/training.curriculum_order."""
+        from .functions import training
+
+        return self._next(
+            training.curriculum_order(self.df, score_col, id_cols=id_cols,
+                                      **kw),
+            "curriculum_order", score_col=score_col, id_cols=id_cols, **kw,
+        )
+
     # --------------------------------------------------- external-IO ops
     def web_search(self, *, query_col: str, **kw) -> "SemanticFrame":
         return self._next(web_ops.web_search(self.df, query_col=query_col, **kw), "web_search")

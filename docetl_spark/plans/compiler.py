@@ -385,6 +385,53 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
     if t == "rfm_segments":
         return sf.rfm_segments(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
                                amount_col=c.pop("amount_col"), **c)
+    if t == "spearman":
+        return sf.spearman(c.pop("x_col"), c.pop("y_col"), **c)
+    if t == "cramers_v2":
+        return sf.cramers_v2(c.pop("col_a"), c.pop("col_b"), **c)
+    if t == "impurity":
+        return sf.impurity(c.pop("feature_col"), c.pop("label_col"), **c)
+    if t == "dist_drift":
+        return sf.dist_drift(c.pop("category_col"), c.pop("period_col"),
+                             base=c.pop("base"), current=c.pop("current"), **c)
+    if t == "woe_table":
+        return sf.woe_table(c.pop("feature_col"), c.pop("label_col"), **c)
+    if t == "trimmed_mean":
+        return sf.trimmed_mean(c.pop("value_col"), by=c.pop("by"), **c)
+    if t == "mann_kendall":
+        return sf.mann_kendall(c.pop("ts_col"), c.pop("value_col"),
+                               by=c.pop("by"), **c)
+    if t == "kendall_tau":
+        return sf.kendall_tau(c.pop("x_col"), c.pop("y_col"),
+                              by=c.pop("by"), **c)
+    if t == "theil_sen":
+        return sf.theil_sen(c.pop("ts_col"), c.pop("value_col"),
+                            by=c.pop("by"), **c)
+    if t == "kaplan_meier":
+        return sf.kaplan_meier(c.pop("duration_col"), c.pop("event_col"), **c)
+    if t == "changepoint_mean_shift":
+        return sf.changepoint_mean_shift(keys=c.pop("keys"),
+                                         ts_col=c.pop("ts_col"),
+                                         value_col=c.pop("value_col"), **c)
+    if t == "sma_crossover":
+        return sf.sma_crossover(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                value_col=c.pop("value_col"), **c)
+    if t == "runs":
+        return sf.runs(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                       value_col=c.pop("value_col"), **c)
+    if t == "acf_table":
+        return sf.acf_table(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                            value_col=c.pop("value_col"), **c)
+    if t == "session_entry_exit":
+        return sf.session_entry_exit(keys=c.pop("keys"), ts_col=c.pop("ts_col"),
+                                     page_col=c.pop("page_col"),
+                                     gap=c.pop("gap"),
+                                     tiebreak=c.pop("tiebreak"), **c)
+    if t == "vocab_growth":
+        return sf.vocab_growth(c.pop("text_col"), id_col=c.pop("id_col"), **c)
+    if t == "curriculum_order":
+        return sf.curriculum_order(c.pop("score_col"),
+                                   id_cols=c.pop("id_cols"), **c)
     if t == "edit_distance_pairs":
         return sf.edit_distance_pairs(c.pop("id_col"), c.pop("text_col"), **c)
     if t == "interval_union":

@@ -56,6 +56,10 @@ _KNOWN_OPS = {
     "mode", "lift_table", "vocab_profile", "dup_cluster_sizes",
     "bursts", "transition_probs",
     "pareto_coverage", "correlation_r2", "sequence_ngrams", "zipf_profile",
+    "spearman", "cramers_v2", "impurity", "dist_drift", "woe_table",
+    "trimmed_mean", "mann_kendall", "kendall_tau", "theil_sen",
+    "kaplan_meier", "changepoint_mean_shift", "sma_crossover", "runs",
+    "acf_table", "session_entry_exit", "vocab_growth", "curriculum_order",
 }
 
 
@@ -259,6 +263,23 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "ab_test_summary": ("variant_col", "success_col"),
         "collapse_rare": ("col",),
         "target_encode_loo": ("category_col", "target_col"),
+        "spearman": ("x_col", "y_col"),
+        "cramers_v2": ("col_a", "col_b"),
+        "impurity": ("feature_col", "label_col"),
+        "dist_drift": ("category_col", "period_col", "base", "current"),
+        "woe_table": ("feature_col", "label_col"),
+        "trimmed_mean": ("value_col", "by"),
+        "mann_kendall": ("ts_col", "value_col", "by"),
+        "kendall_tau": ("x_col", "y_col", "by"),
+        "theil_sen": ("ts_col", "value_col", "by"),
+        "kaplan_meier": ("duration_col", "event_col"),
+        "changepoint_mean_shift": ("keys", "ts_col", "value_col"),
+        "sma_crossover": ("keys", "ts_col", "value_col"),
+        "runs": ("keys", "ts_col", "value_col"),
+        "acf_table": ("keys", "ts_col", "value_col"),
+        "session_entry_exit": ("keys", "ts_col", "page_col", "gap", "tiebreak"),
+        "vocab_growth": ("text_col", "id_col"),
+        "curriculum_order": ("score_col", "id_cols"),
         "running_totals": ("value_col", "keys", "order_by"),
         "data_diff": ("right", "keys"),
         "group_concat": ("group_cols", "value_col"),

@@ -482,3 +482,89 @@ def test_theil_sen_matches_bruteforce(spark, seed):
     slopes.sort()
     assert got["n_pairs"] == len(slopes)
     assert got["slope_milli"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+# ------------------------------------------------- YAML pipeline specs
+
+def _one_op_pipeline(data, op):
+    return {
+        "datasets": {"d": {"type": "memory", "data": data}},
+        "operations": [op],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "d", "operations": [op["name"]]}]},
+    }
+
+
+def test_r10_ops_compile_from_yaml_specs(spark):
+    """Every round-10 op is pipeline-spec drivable (the COVERAGE.md
+    'SemanticFrame verb AND validated YAML op' contract)."""
+    from docetl_spark import run_pipeline
+
+    xy = [{"g": 1, "x": float(i), "y": float(i * i), "t": i,
+           "id": i, "l": i % 2, "cat": "ab"[i % 2], "p": "wz"[i % 2]}
+          for i in range(1, 9)]
+    stream = [{"u": 1, "t": i, "v": float(i % 3), "id": i, "page": "AB"[i % 2]}
+              for i in range(12)]
+    docs = [{"doc_id": i, "text": f"w{i} common", "score": float(i)}
+            for i in range(8)]
+    km = [{"d": 1, "e": 1}, {"d": 2, "e": 0}, {"d": 3, "e": 1}]
+
+    cases = [
+        (xy, {"name": "o", "type": "spearman", "x_col": "x", "y_col": "y"},
+         lambda rows: rows[0]["rho2_bp"] == 10000),
+        (xy, {"name": "o", "type": "cramers_v2", "col_a": "cat", "col_b": "p"},
+         lambda rows: rows[0]["v2_bp"] is not None),
+        (xy, {"name": "o", "type": "impurity", "feature_col": "cat",
+              "label_col": "l"},
+         lambda rows: rows[0]["parent_gini_bp"] == 5000),
+        (xy, {"name": "o", "type": "dist_drift", "category_col": "cat",
+              "period_col": "p", "base": "w", "current": "z"},
+         lambda rows: rows[0]["tv_bp"] is not None),
+        (xy, {"name": "o", "type": "woe_table", "feature_col": "cat",
+              "label_col": "l"},
+         lambda rows: len(rows) == 2),
+        (xy, {"name": "o", "type": "trimmed_mean", "value_col": "x",
+              "by": ["g"], "trim_bp": 1500},
+         lambda rows: rows[0]["n_trimmed_each"] == 1),
+        (xy, {"name": "o", "type": "mann_kendall", "ts_col": "t",
+              "value_col": "x", "by": ["g"]},
+         lambda rows: rows[0]["s"] == rows[0]["n_pairs"]),
+        (xy, {"name": "o", "type": "kendall_tau", "x_col": "x",
+              "y_col": "y", "by": ["g"]},
+         lambda rows: rows[0]["tau_a_bp"] == 10000),
+        (xy, {"name": "o", "type": "theil_sen", "ts_col": "t",
+              "value_col": "x", "by": ["g"]},
+         lambda rows: rows[0]["slope_milli"] == 100000),
+        (km, {"name": "o", "type": "kaplan_meier", "duration_col": "d",
+              "event_col": "e"},
+         lambda rows: len(rows) == 3),
+        (stream, {"name": "o", "type": "changepoint_mean_shift",
+                  "keys": ["u"], "ts_col": "t", "value_col": "v",
+                  "tiebreak": "id"},
+         lambda rows: rows[0]["n"] == 12),
+        (stream, {"name": "o", "type": "sma_crossover", "keys": ["u"],
+                  "ts_col": "t", "value_col": "v", "short_n": 2,
+                  "long_n": 4, "tiebreak": "id"},
+         lambda rows: all(r["direction"] in ("golden", "death") for r in rows)),
+        (stream, {"name": "o", "type": "runs", "keys": ["u"],
+                  "ts_col": "t", "value_col": "v", "tiebreak": "id"},
+         lambda rows: rows[0]["n_runs"] >= 2),
+        (stream, {"name": "o", "type": "acf_table", "keys": ["u"],
+                  "ts_col": "t", "value_col": "v", "max_lag": 2,
+                  "tiebreak": "id"},
+         lambda rows: sorted(r["lag"] for r in rows) == [1, 2]),
+        (stream, {"name": "o", "type": "session_entry_exit", "keys": ["u"],
+                  "ts_col": "t", "page_col": "page", "gap": 100,
+                  "tiebreak": "id"},
+         lambda rows: sum(r["n_entries"] for r in rows) == 1),
+        (docs, {"name": "o", "type": "vocab_growth", "text_col": "text",
+                "id_col": "doc_id", "step": 4},
+         lambda rows: rows[-1]["cum_vocab"] == 9),
+        (docs, {"name": "o", "type": "curriculum_order",
+                "score_col": "score", "id_cols": ["doc_id"], "n_tiers": 2},
+         lambda rows: sorted(r["position"] for r in rows) == list(range(1, 9))),
+    ]
+    for data, op, check in cases:
+        out = run_pipeline(spark, _one_op_pipeline(data, op))
+        rows = sorted(out.df.collect(), key=lambda r: str(r))
+        assert check(rows), (op["type"], rows)
