@@ -204,3 +204,19 @@ def test_model_evaluation_example(spark):
     last = rows[-1]
     assert last["lift_bp"] == 10000  # full population = base rate
     assert all(0 <= r["rate_bp"] <= 10000 for r in rows)
+
+
+def test_association_audit_example_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/association_audit.yaml")
+    rows = out.collect()  # final step = the evidence table
+    assert {r["value"] for r in rows} >= {"purchase"}
+    # purchase IS the label -> all positives concentrate there
+    p = next(r for r in rows if r["value"] == "purchase")
+    assert p["pos_share_bp"] == 10000 and p["n_neg"] == 0
+    # intermediate step outputs are registered, queryable views
+    drift = spark.sql("SELECT * FROM drift_report").collect()
+    assert drift and all(r["base_share_bp"] is not None for r in drift)
+    imp = spark.sql("SELECT * FROM impurity_report").collect()[0]
+    assert 0 <= imp["reduction_bp"] <= imp["parent_gini_bp"]
