@@ -1307,8 +1307,14 @@ def curriculum_order(
     from ..operators.rank import _global_row_number
     from .stats import quantile_buckets
 
+    # project EARLY: the distributed-rank machinery persists its input
+    # frame to pin range boundaries, so an unprojected corpus would
+    # cache (and scan) every column — including the document text —
+    # for a manifest that needs only ids + score (caught by the r10
+    # plan audit: the curriculum scan read all 5 document columns)
+    slim = df.select(*id_cols, score_col)
     tiered = quantile_buckets(
-        df.filter(F.col(score_col).isNotNull()), score_col, int(n_tiers),
+        slim.filter(F.col(score_col).isNotNull()), score_col, int(n_tiers),
         tiebreak=list(id_cols), bucket_col="tier",
     ).withColumn(
         "_cu_h",

@@ -128,6 +128,23 @@ def test_q6_pushes_filters_to_scan(spark):
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
 
 
+def test_curriculum_prunes_text_at_scan(spark):
+    """curriculum_order projects BEFORE the persisted distributed-rank
+    frame — without it the cache pins every document column including
+    the text (r10 plan-audit finding)."""
+    import contextlib
+    import io
+    import re
+
+    df = entry.queries()["docs_curriculum"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", buf.getvalue()):
+        cols = [c.split(":")[0] for c in m.split(",") if c]
+        assert "text" not in cols, cols
+
+
 def test_q1_prunes_columns_at_scan(spark):
     import contextlib
     import io
