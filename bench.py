@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "events_theil_sen",
     "events_conversion_latency",
     "users_event_degree",
+    "events_stream_crossover",
 ]
 
 

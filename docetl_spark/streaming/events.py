@@ -851,3 +851,87 @@ def cusum_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sma_crossover_stateful(
+    events: DataFrame,
+    *,
+    short_n: int = 3,
+    long_n: int = 7,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Real-time moving-average crossover detector per key via
+    applyInPandasWithState — the streaming twin of
+    timeseries.sma_crossover. State per key is the last ``long_n``
+    fixed-point cents (O(long_n), independent of history) plus the
+    previous above/not-above bit; each micro-batch folds its rows in
+    (ts, id) order, compares the window means by CROSS-MULTIPLICATION
+    of the sums (sum_s·n_l vs sum_l·n_s — the batch op's exact integer
+    test), and emits a row ONLY on a state flip once the long window is
+    full. NULL-value rows are skipped entirely (the batch op filters
+    them before indexing, so they hold no window position). An in-order
+    drain replays the batch op bit-for-bit: same cents rounding, same
+    comparison, same first-full-window no-signal rule — the oracle is
+    the batch SQL.
+    """
+    import math
+
+    out_schema = T.StructType([
+        T.StructField(user_col, events.schema[user_col].dataType),
+        T.StructField("ts", T.LongType()),
+        T.StructField("direction", T.StringType()),
+        T.StructField("short_sum_cents", T.LongType()),
+        T.StructField("long_sum_cents", T.LongType()),
+        T.StructField("short_mean_cents", T.LongType()),
+        T.StructField("long_mean_cents", T.LongType()),
+    ])
+    s_n, l_n = int(short_n), int(long_n)
+    if not (0 < s_n < l_n):
+        raise ValueError("need 0 < short_n < long_n")
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            vals, prev = list(state.get[0]), state.get[1]
+        else:
+            vals, prev = [], -1  # -1 = no previous full-window state yet
+        out: list[tuple] = []
+        for ts, _eid, v in _rows_in_event_order(pdfs, (ts_col, id_col, value_col)):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue  # no window position, exactly like the batch filter
+            vals.append(int(math.floor(float(v) * scale + 0.5)))
+            if len(vals) > l_n:
+                vals.pop(0)
+            if len(vals) < l_n:
+                continue
+            ss, sl = sum(vals[-s_n:]), sum(vals)
+            st = 1 if ss * l_n > sl * s_n else 0
+            if prev >= 0 and st != prev:
+                # truncate-toward-zero division (Spark DIV), not
+                # Python's floor //: they differ on negative sums
+                tms = abs(ss) // s_n * (1 if ss >= 0 else -1)
+                tml = abs(sl) // l_n * (1 if sl >= 0 else -1)
+                out.append((
+                    key[0], int(ts), "golden" if st == 1 else "death",
+                    ss, sl, tms, tml,
+                ))
+            prev = st
+        state.update((vals, prev))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                user_col, "ts", "direction", "short_sum_cents",
+                "long_sum_cents", "short_mean_cents", "long_mean_cents",
+            ])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="vals ARRAY<LONG>, prev INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -595,3 +595,49 @@ def test_funnel_stateful_state_survives_restart(spark, tmp_path):
     r = second[-1]
     assert r["reached"] == 2  # view from the FIRST query's state qualified it
     assert r["step1_ts"] == base + 100 and r["step2_ts"] == base + 200
+
+
+def test_sma_crossover_stateful_state_carries_across_batches(spark, tmp_path):
+    """The window buffer and previous above/not-above bit must carry
+    across micro-batches: a cross whose flanks straddle the batch
+    boundary still signals exactly once, and matches the batch op."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        read_events_stream, run_available_now, scratch_checkpoint_dir,
+        sma_crossover_stateful,
+    )
+
+    base = 1_700_000_000 * 1_000_000_000
+    vals = [1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 1.0, 1.0, 1.0, 1.0]
+    d = tmp_path / "ev"
+    d.mkdir()
+    # split mid-stream so state must persist between batches
+    for bi, chunk in enumerate((vals[:5], vals[5:])):
+        pd.DataFrame(
+            [(bi * 5 + i, base + (bi * 5 + i) * 100, 3, "view", v, "")
+             for i, v in enumerate(chunk)],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).to_parquet(d / f"b{bi}.parquet")
+    rows = run_available_now(
+        sma_crossover_stateful(
+            read_events_stream(spark, str(d), max_files_per_trigger=1)
+            .select("event_id", "user_id", "ts", "value"),
+            short_n=2, long_n=4,
+        ),
+        checkpoint=scratch_checkpoint_dir("ckpt_smx_t_"),
+        output_mode="append",
+    )
+    got = sorted((r["ts"], r["direction"]) for r in rows)
+
+    # batch twin on the same rows
+    from docetl_spark.functions.timeseries import sma_crossover
+
+    bdf = spark.createDataFrame(
+        [(3, base + i * 100, i, float(v)) for i, v in enumerate(vals)],
+        "user_id long, ts long, event_id long, value double")
+    want = sorted((r["ts"], r["direction"]) for r in sma_crossover(
+        bdf, keys=["user_id"], ts_col="ts", value_col="value",
+        short_n=2, long_n=4, tiebreak="event_id").collect())
+    assert got == want and len(got) >= 2
+    assert [d_ for _, d_ in got][0] == "golden"
