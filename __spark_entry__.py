@@ -4644,6 +4644,29 @@ _DRIVER_VERIFIED_R9 = frozenset({
     "users_event_diversity",
 })
 
+# the 50-key set the driver verified green in round 10 (== CORRECTNESS_r10;
+# all 50 rows rows+schema+hash green — the 25 r10 analytics/streaming keys,
+# the 5 anchors of that era, and 20 cumulative-ledger keys). Folding them
+# frees the rotation window for round-11 additions.
+_DRIVER_VERIFIED_R10 = frozenset({
+    "code_filter_highvalue", "code_map_enrich", "code_reduce_nation",
+    "customer_survival", "dedup_exact", "docs_curriculum", "docs_impurity",
+    "docs_vocab_growth", "events_acf", "events_changepoint",
+    "events_conversion_latency", "events_drift", "events_drift_detail",
+    "events_mann_kendall", "events_runs", "events_session_bounce",
+    "events_sma_crossover", "events_spearman_daily", "events_stream_crossover",
+    "events_stream_cusum", "events_theil_sen", "events_value_ecdf",
+    "events_weighted_quantiles", "gather_events", "lineitem_kendall",
+    "lineitem_spearman", "lineitem_trimmed_mean", "minhash_near_dup",
+    "orders_cramers", "orders_rollup_gid", "orders_woe", "part_topk_ties",
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q6_revenue_delta", "quality_filter_rules", "sample_first20",
+    "sample_stratified", "sample_uniform_hash", "sem_map_agent",
+    "sem_map_sentiment", "sem_reduce_fold", "split_grouped", "split_words",
+    "text_stats", "topk_embedding", "topk_fts", "unnest_word_freq",
+    "users_event_degree",
+})
+
 # keys whose LATEST driver row is red — empty since round 7 (the r6 reds
 # all came back green in CORRECTNESS_r07).
 _DRIVER_RED: tuple[str, ...] = ()
@@ -4659,7 +4682,7 @@ _SKETCH_EXEMPT_SEEN = frozenset({
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R2_R4 | _DRIVER_VERIFIED_R5 | _DRIVER_VERIFIED_R6
     | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
-    | _SKETCH_EXEMPT_SEEN
+    | _DRIVER_VERIFIED_R10 | _SKETCH_EXEMPT_SEEN
 )
 
 
@@ -8232,8 +8255,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_current) AS BIGINT) n_current,
                COUNT(*) n_categories,
                CASE WHEN SUM(n_base) > 0 AND SUM(n_current) > 0 THEN
+                 -- integer // 2, matching the Spark side's DIV 2: DuckDB's
+                 -- CAST(x/2 AS BIGINT) ROUNDS (7/2->4) while Spark's cast
+                 -- truncates, so odd sums would diverge under /2-then-cast
                  CAST(SUM(abs(COALESCE(current_share_bp, 0)
-                              - COALESCE(base_share_bp, 0))) / 2 AS BIGINT)
+                              - COALESCE(base_share_bp, 0))) // 2 AS BIGINT)
                END AS tv_bp
         FROM shares"""
     )
@@ -8251,7 +8277,12 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) AS HUGEINT) n,
                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                       AS HUGEINT) npos
-          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+          -- o_orderstatus IS NOT NULL mirrors the Spark side, where a NULL
+          -- status makes the derived 0/1 label NULL and the row drops in
+          -- woe_table; counting NULL status as a negative here would be a
+          -- latent divergence (masked only because TPC-H status is NOT NULL)
+          FROM orders WHERE o_orderpriority IS NOT NULL
+            AND o_orderstatus IS NOT NULL GROUP BY 1
         ), w AS (
           SELECT v, n, npos, n - npos nneg,
                  SUM(npos) OVER () tp, SUM(n - npos) OVER () tn

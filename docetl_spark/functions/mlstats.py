@@ -340,9 +340,14 @@ def dist_drift(
         F.count(F.lit(1)).alias("n_categories"),
         F.when(
             (F.sum("n_base") > 0) & (F.sum("n_current") > 0),
-            (F.sum(F.abs(F.coalesce("current_share_bp", F.lit(0))
-                         - F.coalesce("base_share_bp", F.lit(0))))
-             / F.lit(2)).cast("long"),
+            # integer DIV, not float /2-then-cast: Spark's cast truncates
+            # (3.5→3) but DuckDB's CAST(x/2 AS BIGINT) rounds (3.5→4), so
+            # an odd Σ|drift_bp| would diverge cross-engine; DIV matches
+            # the oracle's `// 2` exactly for the non-negative sum here
+            F.expr(
+                "SUM(ABS(COALESCE(current_share_bp, 0)"
+                " - COALESCE(base_share_bp, 0))) DIV 2"
+            ).cast("long"),
         ).alias("tv_bp"),
     )
 

@@ -2599,10 +2599,14 @@ def changepoint_mean_shift(
     splits of the SAME stream; not normalized across streams).
 
     Exact-arithmetic bound: |n_R·S_L − n_L·S_R| ≤ n·Σ|v| must stay
-    within 19 digits so its square fits decimal(38,0) — checked per
-    key via digit counts (the correlation_r2 posture: a named raise,
-    never a silent ANSI overflow). Sub-cent `scale` or shorter streams
-    are the remedy.
+    within 19 digits so its square fits decimal(38,0), AND the
+    integral quotient num²/den must fit a BIGINT (Spark's DIV result
+    type) — both checked via digit counts, the second per split
+    (2·digits(|num|) − digits(den) + 1 ≤ 18 guarantees the quotient
+    < 10¹⁸ < Long.MAX), so the promise is a named raise, never a
+    silent ANSI overflow or a NULL score winning the argmax in
+    non-ANSI mode. Sub-cent `scale` or shorter streams are the
+    remedy.
 
     Plan: ONE shuffle on the keys — the prefix-sum window (explicit
     ROWS frame), per-key totals window, and the argmax aggregation all
@@ -2613,7 +2617,8 @@ def changepoint_mean_shift(
         raise ValueError("changepoint_mean_shift requires key columns")
     reserved = {"n", "split_idx", "split_ts", "n_left", "n_right",
                 "mean_left_cents", "mean_right_cents", "score",
-                "_cp_c", "_cp_i", "_cp_cum", "_cp_n", "_cp_s", "_cp_ts"}
+                "_cp_c", "_cp_i", "_cp_cum", "_cp_n", "_cp_s", "_cp_ts",
+                "_cp_num", "_cp_den"}
     clash = sorted(reserved & set(keys))
     if clash:
         raise ValueError(f"changepoint_mean_shift reserves column names {clash}")
@@ -2633,32 +2638,43 @@ def changepoint_mean_shift(
         .withColumn("_cp_s", F.sum("_cp_c").over(wall))
         .withColumn("_cp_abs", F.sum(F.abs("_cp_c")).over(wall))
     )
-    splits = staged.filter(F.col("_cp_i") < F.col("_cp_n"))
+    splits = (
+        staged.filter(F.col("_cp_i") < F.col("_cp_n"))
+        .withColumn("_cp_num", F.expr(
+            "(_cp_n - _cp_i) * _cp_cum - _cp_i * (_cp_s - _cp_cum)"))
+        .withColumn("_cp_den", F.expr("_cp_i * (_cp_n - _cp_i) * _cp_n"))
+    )
     # digit pre-checks (the correlation_r2 posture): |num| <= n * sum|v|
-    # needs <= 19 digits so num² fits decimal(38,0), and n needs <= 12
-    # digits so the k(n-k)n denominator product does (3 * 12 < 38) —
-    # the second bound matters exactly when values are all zeros (num=0
-    # but the denominator is still evaluated)
+    # needs <= 19 digits so num² fits decimal(38,0), n needs <= 12
+    # digits so the k(n-k)n denominator product does (3 * 12 < 38, and
+    # this bound matters exactly when values are all zeros: num=0 but
+    # the denominator is still evaluated), and — per split — the
+    # integral quotient num² DIV den must fit the BIGINT that Spark's
+    # DIV yields: num² < 10^(2·d_num) and den >= 10^(d_den - 1), so
+    # 2·d_num - d_den + 1 <= 18 guarantees quotient < 10^18 < Long.MAX
+    # (without this, e.g. n=2 with 19-digit num squares to ~1e38 over
+    # den=2 — an ANSI overflow, or a NULL score winning the argmax)
     oob = F.expr(
         "length(CAST(_cp_n AS STRING)) + length(CAST(_cp_abs + 1 AS STRING)) > 19"
         " OR 3 * length(CAST(_cp_n AS STRING)) > 38"
+        " OR 2 * length(CAST(abs(_cp_num) AS STRING))"
+        "   - length(CAST(_cp_den AS STRING)) + 1 > 18"
     )
-    score = F.expr(
-        "((_cp_n - _cp_i) * _cp_cum - _cp_i * (_cp_s - _cp_cum))"
-        " * ((_cp_n - _cp_i) * _cp_cum - _cp_i * (_cp_s - _cp_cum))"
-        " DIV (_cp_i * (_cp_n - _cp_i) * _cp_n)"
-    )
+    score = F.expr("_cp_num * _cp_num DIV _cp_den")
     scored = splits.withColumn(
         "_score",
         F.when(oob, F.raise_error(F.lit(
             "changepoint_mean_shift: stream magnitude exceeds the exact "
-            "decimal range for the squared score — use a coarser scale or "
-            "shorter streams"))).otherwise(score),
+            "range for the squared score (decimal(38,0) square or BIGINT "
+            "quotient) — use a coarser scale or shorter streams"))).otherwise(score),
     ).withColumn("_neg", -F.col("_score"))
     pick = F.min(F.struct(
         F.col("_neg").alias("ns"),
         F.col("_cp_i").alias("k"),
-        F.col(ts_col).cast("long").alias("ts"),
+        # ts keeps its input type (TIMESTAMP_NTZ can't cast to long and
+        # doesn't need to: _cp_i is unique per key, so struct-min never
+        # compares past it — ts is payload, not ordering)
+        F.col(ts_col).alias("ts"),
         F.col("_cp_cum").alias("sl"),
         F.col("_cp_n").alias("n"),
         F.col("_cp_s").alias("s"),
@@ -2778,7 +2794,8 @@ def runs_by(
     if not keys:
         raise ValueError("runs_by requires key columns")
     reserved = {"n", "n_above", "n_runs", "longest_run",
-                "_rn_c", "_rn_st", "_rn_new", "_rn_id"}
+                "_rn_c", "_rn_st", "_rn_new", "_rn_id",
+                "_rn_n", "_rn_s", "_rn_len"}
     clash = sorted(reserved & set(keys))
     if clash:
         raise ValueError(f"runs_by reserves column names {clash}")
@@ -2791,11 +2808,11 @@ def runs_by(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).withColumn("_rn_c", to_cents(value_col, scale).cast("decimal(38,0)"))
     staged = (
-        base.withColumn("_n", F.count(F.lit(1)).over(wall))
-        .withColumn("_s", F.sum("_rn_c").over(wall))
+        base.withColumn("_rn_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_rn_s", F.sum("_rn_c").over(wall))
         .withColumn(
             "_rn_st",
-            F.when(F.col("_rn_c") * F.col("_n") > F.col("_s"), 1).otherwise(0),
+            F.when(F.col("_rn_c") * F.col("_rn_n") > F.col("_rn_s"), 1).otherwise(0),
         )
         .withColumn(
             "_rn_new",
@@ -2810,15 +2827,15 @@ def runs_by(
         )
     )
     runs = staged.groupBy(*keys, "_rn_id").agg(
-        F.count(F.lit(1)).alias("_len"),
-        F.max("_rn_st").alias("_st"),
+        F.count(F.lit(1)).alias("_rn_len"),
+        F.max("_rn_st").alias("_rn_st"),
     )
     return runs.groupBy(*keys).agg(
-        F.sum("_len").cast("long").alias("n"),
-        F.sum(F.when(F.col("_st") == 1, F.col("_len")).otherwise(0))
+        F.sum("_rn_len").cast("long").alias("n"),
+        F.sum(F.when(F.col("_rn_st") == 1, F.col("_rn_len")).otherwise(0))
         .cast("long").alias("n_above"),
         F.count(F.lit(1)).alias("n_runs"),
-        F.max("_len").cast("long").alias("longest_run"),
+        F.max("_rn_len").cast("long").alias("longest_run"),
     )
 
 

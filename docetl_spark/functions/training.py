@@ -1280,14 +1280,16 @@ def curriculum_order(
     pair is one ORDER BY flip away.
 
     Output: ``id_cols`` + ``score_col`` + ``tier`` + ``position``
-    (1-based, dense, unique).
+    (1-based, unique, monotone-consumable — NOT dense: gaps appear
+    whenever tiers are unequal; sort by position, don't index by it).
 
     Positions are exact integer arithmetic on per-tier ranks: with
     rows r_t in tier t ordered 1..n_t, position = (r_t − 1)·n_tiers +
     t. When tiers are UNEQUAL (total % n_tiers != 0, or the score
     distribution ties), the formula still yields unique positions but
-    the tail thins out to the larger tiers — exactly what round-robin
-    with exhausted tiers does.
+    leaves gaps where exhausted tiers would have served — exactly
+    what round-robin with exhausted tiers does; consumers must treat
+    position as an ordering key, not a 1..N row index.
 
     Plan: quantile_buckets' distributed global NTILE (range-
     partitioned rank, never a one-partition window), then ONE more

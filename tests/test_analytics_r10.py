@@ -148,6 +148,18 @@ def test_dist_drift_summary_detail_and_null_level(spark):
     assert empty["tv_bp"] is None
 
 
+def test_dist_drift_odd_sum_truncates(spark):
+    # ODD Σ|drift_bp| pins the integer-DIV contract: Spark DIV truncates
+    # and the oracle's `// 2` must match — a float /2 then CAST would
+    # round in DuckDB (7/2→4) and truncate in Spark, a 1-bp divergence
+    rows = [("a", "w1"), ("b", "w1"), ("b", "w1"), ("a", "w2")]
+    df = spark.createDataFrame(rows, "cat string, period string")
+    s = dist_drift(df, "cat", "period", base="w1", current="w2").collect()[0]
+    # base shares: a 3333, b 6666; current: a 10000, b 0
+    # |drift| = 6667 + 6666 = 13333 (odd) -> tv = 13333 DIV 2 = 6666
+    assert s["tv_bp"] == 6666
+
+
 # ------------------------------------------------------------- woe
 
 def test_woe_table_exact_odds(spark):
@@ -287,6 +299,19 @@ def test_changepoint_matches_bruteforce(spark, seed):
     assert (int(got["score"]), got["split_idx"]) == best
 
 
+def test_changepoint_quotient_overflow_raises_named(spark):
+    # n=2, values sized so the 19-digit num guard passes but num² DIV den
+    # would exceed Long.MAX (den = 1·1·2): the per-split quotient digit
+    # check must fire the NAMED raise, not a generic ANSI overflow (or a
+    # NULL score winning the argmax in non-ANSI mode)
+    big = 4.0e16  # cents ≈ 4e18: num = 2·|Δ|/... within 19 digits, num²/2 ≫ Long.MAX
+    df = spark.createDataFrame(
+        [(1, 0, big), (1, 1, -big)], "k int, t int, v double")
+    with pytest.raises(Exception, match="changepoint_mean_shift"):
+        changepoint_mean_shift(
+            df, keys=["k"], ts_col="t", value_col="v").collect()
+
+
 # ------------------------------------------------------------- sma
 
 def test_sma_crossover_directions(spark):
@@ -320,6 +345,20 @@ def test_runs_alternating_vs_blocked(spark):
     flat = spark.createDataFrame([(1, i, 5.0) for i in range(4)], "k int, t int, v double")
     rfl = runs_by(flat, keys=["k"], ts_col="t", value_col="v").collect()[0]
     assert (rfl["n_runs"], rfl["n_above"]) == (1, 0)
+
+
+def test_runs_key_named_like_staging_reserved(spark):
+    # a key literally named _n or _s used to be silently overwritten by
+    # the staging withColumns, corrupting the above-mean test — now
+    # staged as _rn_n/_rn_s and both patterns are reserved
+    df = spark.createDataFrame(
+        [("a", 1, i, float(10 if i % 2 else 0)) for i in range(6)],
+        "_n string, k int, t int, v double")
+    r = runs_by(df, keys=["_n", "k"], ts_col="t", value_col="v").collect()[0]
+    assert (r["n_runs"], r["n_above"]) == (6, 3)
+    df2 = df.withColumnRenamed("_n", "_rn_n")
+    with pytest.raises(ValueError, match="reserves"):
+        runs_by(df2, keys=["_rn_n", "k"], ts_col="t", value_col="v")
 
 
 # ------------------------------------------------------------- acf
