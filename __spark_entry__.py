@@ -582,6 +582,22 @@ def resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def resolve_limited_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve's limit_comparisons pair budget (reference
+    resolve.py:526-547, deterministic variant): lang key buckets are
+    row-capped at the smallest K with K(K-1)/2 >= 500 (md5-of-id order,
+    K=33) BEFORE the self-join — the 100-TB guard against quadratic
+    blocked-pair tables — then the global deterministic cut keeps the
+    first 500 pairs by (md5('42|id_a|id_b'), ids). Every stage is
+    SQL-replayable, so the oracle reproduces the exact pair set."""
+    from docetl_spark.operators.resolve import candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return candidate_pairs(
+        docs, "doc_id", blocking_keys=["lang"], limit_comparisons=500,
+    )
+
+
 def equijoin_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """equijoin op: expression blocking -> UDF adjudication -> per-left
     match limit (row_number window)."""
@@ -4270,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_user_stats": events_user_stats,
         "resolve_docs": resolve_docs,
+        "resolve_limited_pairs": resolve_limited_pairs,
         "equijoin_part_supplier": equijoin_part_supplier,
         "equijoin_limited": equijoin_limited,
         "rank_likert_docs": rank_likert_docs,
@@ -5037,6 +5054,39 @@ def oracle_sql() -> dict[str, str]:
         "resolve_docs": """
             SELECT doc_id, lang, MIN(doc_id) OVER (PARTITION BY lang) AS _cluster_id
             FROM documents""",
+        # bucket row-cap (K=33: smallest K with K(K-1)/2 >= 500) by
+        # md5('42|id') order, then the global cut by md5('42|a|b') with
+        # id tiebreaks — both stages exactly as candidate_pairs documents
+        "resolve_limited_pairs": """
+            WITH base AS (
+              SELECT doc_id, lower(CAST(lang AS VARCHAR)) AS b
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            capped AS (
+              SELECT doc_id, b FROM (
+                SELECT doc_id, b,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY b
+                         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM base)
+              WHERE rn <= 33
+            ),
+            p AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM capped x JOIN capped y
+                ON x.b = y.b AND x.doc_id < y.doc_id
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM p),
+            r AS (
+              SELECT id_a, id_b,
+                     ROW_NUMBER() OVER (
+                       ORDER BY md5('42|' || CAST(id_a AS VARCHAR) || '|' ||
+                                    CAST(id_b AS VARCHAR)), id_a, id_b
+                     ) AS rn
+              FROM p
+            )
+            SELECT id_a, id_b FROM r, n WHERE n.cnt <= 500 OR rn <= 500""",
         "equijoin_part_supplier": """
             SELECT p_partkey, p_name, s_suppkey, s_name
             FROM part JOIN supplier ON p_partkey % 50 = s_suppkey % 50

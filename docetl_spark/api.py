@@ -168,6 +168,7 @@ class ResolveOp(_Op):
     output: dict[str, Any] | None = None
     blocking_threshold: float | None = None
     blocking_keys: list[str] | None = None
+    limit_comparisons: int | None = None
 
 
 class EquijoinOp(_Op):

@@ -24,6 +24,42 @@ from ..backend import ModelBackend
 from .semantic import render_prompt
 
 
+def bucket_top_k(
+    df: DataFrame,
+    bucket_cols: list[str],
+    order,
+    k: int,
+    *,
+    salt_cols: list[str],
+    rank_col: str = "_btk_rn",
+) -> DataFrame:
+    """Top-k rows per bucket, skew-safe: a plain window partitioned by
+    the bucket would sort each bucket in ONE task (20 buckets at 100 TB
+    = 20 tasks), so phase 1 salts the bucket by a crc32 of the
+    row-identifying ``salt_cols`` and takes top-k per (bucket, salt) —
+    linear, parallel — leaving <= n_salt*k rows per bucket for phase
+    2's exact per-bucket rank. ``order`` is the list of ordering
+    Columns; ties must be broken by the caller's order (include a
+    unique key). Adds ``rank_col`` (1-based) to the output.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    n_salt = df.sparkSession.sparkContext.defaultParallelism or 8
+    salt = F.crc32(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in salt_cols])
+    ) % n_salt
+    w1 = W.partitionBy(*bucket_cols, "_btk_salt").orderBy(*order)
+    w2 = W.partitionBy(*bucket_cols).orderBy(*order)
+    return (
+        df.withColumn("_btk_salt", salt)
+        .withColumn("_btk_p1", F.row_number().over(w1))
+        .filter(F.col("_btk_p1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_btk_salt", "_btk_p1")
+    )
+
+
 def probe_embed_dim(backend: ModelBackend) -> int:
     """Embedding dimension of a backend, from ONE driver-side embed of a
     short literal. Callers that pass the result as ``dim=`` into

@@ -162,6 +162,218 @@ def stratified_limit_pairs(
     return out
 
 
+def _parse_equi_blocking(cond: str) -> tuple[list[str], list[str]] | None:
+    """Parse a blocking condition that is a top-level conjunction of
+    equalities ``exprA = exprB`` where each equality has one side
+    referencing only ``left.`` columns and the other only ``right.``
+    columns. Returns (left_exprs, right_exprs) aligned by conjunct, or
+    None when the condition doesn't have that shape (OR, inequalities,
+    mixed-side expressions) — the caller falls back to the generic
+    theta-join path."""
+    def top_level_split(s: str, is_sep) -> list[str]:
+        # split at depth-0, outside single quotes; is_sep(s, i) returns
+        # the separator length at i or 0
+        parts, depth, quoted, start, i = [], 0, False, 0, 0
+        while i < len(s):
+            ch = s[i]
+            if quoted:
+                quoted = ch != "'"
+            elif ch == "'":
+                quoted = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0:
+                w = is_sep(s, i)
+                if w:
+                    parts.append(s[start:i])
+                    i += w
+                    start = i
+                    continue
+            i += 1
+        parts.append(s[start:])
+        return parts
+
+    def and_sep(s: str, i: int) -> int:
+        if s[i: i + 3].upper() == "AND":
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = i + 3
+            after_ok = after >= len(s) or not (s[after].isalnum() or s[after] == "_")
+            if before_ok and after_ok:
+                return 3
+        return 0
+
+    def eq_sep(s: str, i: int) -> int:
+        if s[i] != "=":
+            return 0
+        if i > 0 and s[i - 1] in "<>!=":
+            return 0
+        return 2 if i + 1 < len(s) and s[i + 1] == "=" else 1
+
+    import re
+
+    def side_of(expr: str) -> str | None:
+        # which alias does the expression reference (quotes stripped)?
+        bare = re.sub(r"'[^']*'", "", expr)
+        has_l = re.search(r"\bleft\s*\.", bare) is not None
+        has_r = re.search(r"\bright\s*\.", bare) is not None
+        if has_l and not has_r:
+            return "left"
+        if has_r and not has_l:
+            return "right"
+        return None
+
+    l_exprs: list[str] = []
+    r_exprs: list[str] = []
+    for conjunct in top_level_split(cond, and_sep):
+        sides = top_level_split(conjunct, eq_sep)
+        if len(sides) != 2:
+            return None
+        sa, sb = sides[0].strip(), sides[1].strip()
+        ca, cb = side_of(sa), side_of(sb)
+        if ca == "left" and cb == "right":
+            l_exprs.append(sa)
+            r_exprs.append(sb)
+        elif ca == "right" and cb == "left":
+            l_exprs.append(sb)
+            r_exprs.append(sa)
+        else:
+            return None
+    return (l_exprs, r_exprs) if l_exprs else None
+
+
+def bucketed_stratified_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    l_exprs: list[str],
+    r_exprs: list[str],
+    limit_comparisons: int,
+    *,
+    exclude_cols: set[str] = frozenset(),
+) -> DataFrame:
+    """``stratified_limit_pairs`` for a pure bucket equi-join, WITHOUT
+    ever materializing the blocked pair table — the 100-TB path. Under
+    a cardinality-fixed blocking key (e.g. ``left.x % 20 = right.y %
+    20``) the pair table is quadratic in the data long before the
+    global cap fires; this path produces the IDENTICAL kept-pair set
+    from linear-size per-side work:
+
+    - the full-pair-table stats decompose into per-bucket side
+      aggregates: n = Σ_b L_b·R_b, Σ l_len over pairs = Σ_b lsum_b·R_b
+      (each left row pairs with every right row of its bucket), so the
+      count, the key-side decision, and the group count are exact with
+      two groupBys and a tiny bucket-table join;
+    - within a bucket, EVERY stratum row sees the same counterpart
+      set, so the stratified sampler's per-stratum top-quota by
+      (counterpart length desc, counterpart key asc) equals the
+      bucket-level top-quota: ranking the counterpart TABLE per bucket
+      (two-phase salted top-k, skew-safe) and joining strata against
+      rank <= quota reproduces the exact pair set with O(strata ×
+      quota) pairs instead of O(L_b·R_b).
+
+    Exactness notes vs the generic path: the key-side decision
+    compares exact integer length sums (the generic path compares
+    float averages over the same denominator — equal except for float
+    round-off on pathological near-ties), and duplicate key rows
+    (inputs violating the row-identity contract of left_keys/
+    right_keys) are deduplicated on the stratum side. The per-bucket
+    hazard is logged loudly with the largest bucket's pair count.
+    """
+    log = logging.getLogger(__name__)
+    bcols = [f"_bk{i}" for i in range(len(l_exprs))]
+    lk = [f"_lk_{k}" for k in left_keys]
+    rk = [f"_rk_{k}" for k in right_keys]
+    # rows whose bucket expression is NULL can never satisfy the
+    # equality join — drop them up front, matching join semantics
+    L = left.alias("left").select(
+        *[F.col(k).alias(a) for k, a in zip(left_keys, lk)],
+        _doc_len(left, exclude=exclude_cols).alias("_l_len"),
+        *[F.expr(e).alias(b) for e, b in zip(l_exprs, bcols)],
+    ).na.drop(subset=bcols)
+    R = right.alias("right").select(
+        *[F.col(k).alias(a) for k, a in zip(right_keys, rk)],
+        _doc_len(right, exclude=exclude_cols).alias("_r_len"),
+        *[F.expr(e).alias(b) for e, b in zip(r_exprs, bcols)],
+    ).na.drop(subset=bcols)
+
+    lagg = L.groupBy(*bcols).agg(
+        F.count(F.lit(1)).alias("_lbn"),
+        F.sum(F.col("_l_len").cast("decimal(38,0)")).alias("_lbs"),
+    )
+    ragg = R.groupBy(*bcols).agg(
+        F.count(F.lit(1)).alias("_rbn"),
+        F.sum(F.col("_r_len").cast("decimal(38,0)")).alias("_rbs"),
+    )
+    buckets = lagg.join(ragg, bcols)
+    stats = buckets.agg(
+        F.sum(F.col("_lbn").cast("decimal(38,0)") * F.col("_rbn")).alias("n"),
+        F.sum(F.col("_lbs") * F.col("_rbn")).alias("lsum"),
+        F.sum(F.col("_rbs") * F.col("_lbn")).alias("rsum"),
+        F.max(F.col("_lbn").cast("decimal(38,0)") * F.col("_rbn")).alias("max_b"),
+    ).first()
+    n = int(stats["n"]) if stats["n"] is not None else 0
+    if n <= limit_comparisons:
+        # under budget: the kept set is ALL blocked pairs — emit the
+        # bucket equi-join lazily (linear inputs, bounded output)
+        return L.join(R, bcols).select(*lk, *rk)
+
+    # key side = larger average pair row length; same denominator n on
+    # both sides, so comparing the exact integer length sums is the
+    # average comparison without the float round-off
+    use_left = int(stats["lsum"] or 0) > int(stats["rsum"] or 0)
+    S = L if use_left else R
+    skeys = lk if use_left else rk
+    C, ckeys, clen = (R, rk, "_r_len") if use_left else (L, lk, "_l_len")
+
+    # stratum rows that can pair at all = rows in overlapping buckets;
+    # dedup on (keys, bucket) guards the row-identity contract
+    S2 = S.join(buckets.select(*bcols), bcols, "left_semi").dropDuplicates(
+        skeys + bcols
+    )
+    n_groups = S2.select(*skeys).distinct().count() or 1
+    base = limit_comparisons // n_groups
+    extra = limit_comparisons % n_groups
+    cap = base + (1 if extra else 0)
+    log.warning(
+        "equijoin: %d blocked pairs exceed limit_comparisons=%d "
+        "(largest blocking bucket alone generates %d pairs); pre-capping "
+        "the counterpart side to top-%d rows per bucket before the join",
+        n, limit_comparisons, int(stats["max_b"] or 0), cap,
+    )
+
+    # two-phase per-bucket top-cap on the counterpart table: a bucket
+    # window alone would sort each bucket in ONE task (20 buckets at
+    # 100 TB = 20 tasks); salting bounds phase-2 to n_salt*cap rows/bucket
+    from .blocking import bucket_top_k
+
+    order = [F.col(clen).desc()] + [F.col(c).asc() for c in ckeys]
+    capped = bucket_top_k(
+        C, bcols, order, cap, salt_cols=ckeys, rank_col="_crn"
+    )
+
+    joined = S2.join(capped, bcols)
+    if extra == 0:
+        out = joined.filter(F.col("_crn") <= base)
+    else:
+        from .rank import _global_row_number
+
+        gidx = _global_row_number(
+            S2.select(*skeys).distinct(), [F.col(c).asc() for c in skeys], "_gidx"
+        )
+        out = (
+            joined.join(gidx, skeys)
+            .withColumn(
+                "_quota",
+                F.lit(base) + F.when(F.col("_gidx") <= extra, 1).otherwise(0),
+            )
+            .filter(F.col("_crn") <= F.col("_quota"))
+        )
+    return out.select(*lk, *rk)
+
+
 def equijoin(
     left: DataFrame,
     right: DataFrame,
@@ -241,11 +453,27 @@ def equijoin(
         rw = embed_column(rw, embedding_keys_right or [], emb_backend, out_col="_emb_r")
         l_emb, r_emb = "_emb_l", "_emb_r"
 
+    # scale fast path: a SINGLE conjunctive-equality blocking condition
+    # with a limit cap never materializes the quadratic pair table —
+    # per-bucket side aggregates + counterpart-side pre-cap reproduce
+    # the stratified sampler's exact pair set from linear work
+    fast_equi = None
+    if (
+        limit_comparisons is not None
+        and blocking_threshold is None
+        and blocking_conditions
+        and len(blocking_conditions) == 1
+    ):
+        fast_equi = _parse_equi_blocking(blocking_conditions[0])
+
     # when the stratified cap will run and every pair strategy sees the
     # full rows (no banded-LSH part in the union), project the doc
     # lengths INTO the pair shuffle — stratified_limit_pairs then skips
     # two re-joins against the sides (r5 spot-tightening)
-    carry_lens = limit_comparisons is not None and blocking_threshold is None
+    carry_lens = (
+        limit_comparisons is not None and blocking_threshold is None
+        and fast_equi is None
+    )
     if carry_lens:
         lw = lw.withColumn("_l_len", _doc_len(lw, exclude={"_emb_l", "_emb_r"}))
         rw = rw.withColumn("_r_len", _doc_len(rw, exclude={"_emb_l", "_emb_r"}))
@@ -258,7 +486,14 @@ def equijoin(
         lsel = lsel + [F.col("left._l_len").alias("_l_len")]
         rsel = rsel + [F.col("right._r_len").alias("_r_len")]
 
-    if blocking_conditions:
+    if fast_equi is not None:
+        pair_parts.append(
+            bucketed_stratified_pairs(
+                lw, rw, left_keys, right_keys, fast_equi[0], fast_equi[1],
+                limit_comparisons, exclude_cols={"_emb_l", "_emb_r"},
+            )
+        )
+    elif blocking_conditions:
         ors = None
         for expr in blocking_conditions:
             c = F.expr(expr)
@@ -305,9 +540,10 @@ def equijoin(
         # dedup only when strategies were unioned — a single blocking
         # join cannot emit duplicate pairs, and this is a full shuffle
         pairs = pairs.dropDuplicates()
-    if limit_comparisons is not None:
+    if limit_comparisons is not None and fast_equi is None:
         # the cost-control knob (equijoin.py:397-421): every pair kept
-        # here is an LLM call later, so cap BEFORE adjudication
+        # here is an LLM call later, so cap BEFORE adjudication (the
+        # fast_equi path already produced the capped pair set)
         pairs = stratified_limit_pairs(
             pairs, lw, rw, left_keys, right_keys, limit_comparisons,
             exclude_cols={"_emb_l", "_emb_r"},

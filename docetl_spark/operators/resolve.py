@@ -116,6 +116,8 @@ def candidate_pairs(
     dim: int | None = None,
     target_recall: float = 0.95,
     bands: int | None = None,
+    limit_comparisons: int | None = None,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """Union of four pruning strategies, deduplicated: (a) exact
     blocking-key equality, (b) embedding-cosine >= threshold via banded
@@ -126,22 +128,87 @@ def candidate_pairs(
     (d) ``sorted_neighborhood={"key": <sql expr>, "window": N}`` —
     classic rank-window blocking (see sorted_neighborhood_pairs).
     Returns (id_a, id_b), id_a < id_b. ``n_planes`` is the per-band
-    plane count (selectivity: each band has 2^n_planes buckets)."""
+    plane count (selectivity: each band has 2^n_planes buckets).
+
+    ``limit_comparisons`` caps the pair count (reference
+    resolve.py:526-547: code-blocked pairs prioritized, the remainder
+    sampled from embedding pairs). Deterministic deviations from the
+    reference's ``random.sample`` (documented so a SQL oracle can
+    replay the pair set): the sample is the first ``limit`` pairs
+    ordered by (source priority asc — code 0, embedding 1 — then
+    md5('{seed}|id_a|id_b'), then ids), and before any pair is
+    generated the blocking-KEY buckets are row-capped at the smallest
+    K with K·(K−1)/2 >= limit (md5-of-id order), so a single hot
+    bucket can still fill the whole budget but can never materialize a
+    quadratic pair table the global cut would then throw away — the
+    100-TB guard, logged loudly when it fires.
+    """
     a = df.alias("a")
     b = df.alias("b")
     lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     parts: list[DataFrame] = []
+    srcs: list[int] = []  # 0 = code-blocked (prioritized), 1 = embedding
+    log = logging.getLogger(__name__)
 
     if blocking_keys:
-        # case-insensitive key equality, matching adjudicate_pairs'
-        # auto_match_keys predicate and the reference (resolve.py:216-223)
-        cond = lt
-        for k in blocking_keys:
-            cond = cond & (
-                F.lower(F.col(f"a.{k}").cast("string")) == F.lower(F.col(f"b.{k}").cast("string"))
+        if limit_comparisons is not None:
+            # pre-cap rows per (lowercased) key bucket BEFORE the self
+            # join: smallest K with K(K-1)/2 >= limit keeps any single
+            # bucket able to fill the whole pair budget while bounding
+            # the blocked-pair table linearly in the bucket count
+            import math
+
+            K = max(2, (1 + math.isqrt(1 + 8 * limit_comparisons)) // 2)
+            while K * (K - 1) < 2 * limit_comparisons:
+                K += 1
+            from .blocking import bucket_top_k
+
+            bcols = [f"_cpb{i}" for i in range(len(blocking_keys))]
+            base = df.select(
+                F.col(id_col),
+                *[
+                    F.lower(F.col(k).cast("string")).alias(c)
+                    for k, c in zip(blocking_keys, bcols)
+                ],
             )
-        parts.append(a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+            over = (
+                base.groupBy(*bcols).count().agg(
+                    F.sum(F.when(F.col("count") > K, 1).otherwise(0)).alias("nb"),
+                    F.max("count").alias("mx"),
+                ).first()
+            )
+            if over and (over["nb"] or 0) > 0:
+                log.warning(
+                    "resolve blocking: %d key bucket(s) exceed the %d-row "
+                    "pair budget cap (largest: %d rows = %d pairs); "
+                    "deterministically row-capping before the pair join",
+                    over["nb"], K, over["mx"],
+                    over["mx"] * (over["mx"] - 1) // 2,
+                )
+            h = F.md5(F.concat_ws(
+                "|", F.lit(str(sample_seed)), F.col(id_col).cast("string")))
+            capped = bucket_top_k(
+                base.withColumn("_cph", h), bcols,
+                [F.col("_cph").asc(), F.col(id_col).asc()], K,
+                salt_cols=[id_col],
+            )
+            ca = capped.select(F.col(id_col).alias("id_a"), *bcols)
+            cb = capped.select(F.col(id_col).alias("id_b"), *bcols)
+            parts.append(
+                ca.join(cb, bcols).filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+        else:
+            # case-insensitive key equality, matching adjudicate_pairs'
+            # auto_match_keys predicate and the reference (resolve.py:216-223)
+            cond = lt
+            for k in blocking_keys:
+                cond = cond & (
+                    F.lower(F.col(f"a.{k}").cast("string")) == F.lower(F.col(f"b.{k}").cast("string"))
+                )
+            parts.append(a.join(b, cond).select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+        srcs.append(0)
 
     if blocking_threshold is not None:
         emb = embedding_col
@@ -158,6 +225,7 @@ def candidate_pairs(
                 dim=dim,
             )
         )
+        srcs.append(1)
 
     if blocking_conditions:
         cond = lt
@@ -167,9 +235,11 @@ def candidate_pairs(
             ors = c if ors is None else (ors | c)
         parts.append(a.join(b, cond & ors).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+        srcs.append(0)
 
     if sorted_neighborhood:
         parts.append(sorted_neighborhood_pairs(df, id_col, **sorted_neighborhood))
+        srcs.append(0)
 
     if not parts:
         # no blocking configured: all pairs. The reference allows this for
@@ -186,13 +256,45 @@ def candidate_pairs(
             )
         parts.append(a.join(b, lt).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
+        srcs.append(0)
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    if limit_comparisons is None:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if len(parts) > 1:
+            out = out.dropDuplicates(["id_a", "id_b"])
+        return out
+
+    # deterministic budget cut (reference resolve.py:526-547, made
+    # replayable): dedup keeps the highest-priority source per pair,
+    # then the global top-``limit`` by (source, md5, ids) — all code
+    # pairs sort before any embedding pair, so "code pairs first, fill
+    # the rest from embedding" falls out of one distributed rank
+    out = parts[0].withColumn("_src", F.lit(srcs[0]))
+    for p, sc in zip(parts[1:], srcs[1:]):
+        out = out.unionByName(p.withColumn("_src", F.lit(sc)))
     if len(parts) > 1:
-        out = out.dropDuplicates(["id_a", "id_b"])
-    return out
+        out = out.groupBy("id_a", "id_b").agg(F.min("_src").alias("_src"))
+    n_pairs = out.count()
+    if n_pairs <= limit_comparisons:
+        return out.select("id_a", "id_b")
+    log.warning(
+        "resolve: %d blocked pairs exceed limit_comparisons=%d; keeping a "
+        "deterministic md5-ordered sample (code-blocked pairs first)",
+        n_pairs, limit_comparisons,
+    )
+    from .rank import _global_row_number
+
+    ranked = _global_row_number(
+        out.withColumn("_h", F.md5(F.concat_ws(
+            "|", F.lit(str(sample_seed)),
+            F.col("id_a").cast("string"), F.col("id_b").cast("string")))),
+        [F.col("_src").asc(), F.col("_h").asc(),
+         F.col("id_a").asc(), F.col("id_b").asc()],
+        "_grn",
+    )
+    return ranked.filter(F.col("_grn") <= limit_comparisons).select("id_a", "id_b")
 
 
 def adjudicate_pairs(
@@ -321,6 +423,7 @@ def resolve(
     log_blocking_stats: bool = False,
     comparison_model: str | None = None,
     embedding_model: str | None = None,
+    limit_comparisons: int | None = None,
 ) -> DataFrame:
     """Full resolve: block -> adjudicate -> cluster -> canonicalize ->
     annotate. Row count is preserved; declared output_schema columns are
@@ -419,6 +522,12 @@ def resolve(
         embedding_col=embedding_col,
         target_recall=blocking_target_recall,
         dim=vec_dim,
+        # caps ADJUDICATION pairs — the LLM-call budget the knob exists
+        # for (reference resolve.py:526-547). Key-equal auto-matches
+        # (star edges above) cost no model call, so they are not capped
+        # — a documented deviation from the reference, which samples
+        # before its auto-match shortcut.
+        limit_comparisons=limit_comparisons,
     ) if (blocking_threshold is not None or blocking_conditions
           or sorted_neighborhood or not blocking_keys) else None
 

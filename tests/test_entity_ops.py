@@ -675,3 +675,209 @@ def test_cluster_embed_stage_runs_once_per_row(spark):
     ).collect()
     n_dist = sum(int(x) for x in open(CB.path).read().split())
     assert n_dist <= 41, f"embed billed {n_dist} rows for a 40-row cluster_distributed()"
+
+
+def test_parse_equi_blocking_shapes(spark):
+    from docetl_spark.operators.equijoin import _parse_equi_blocking as p
+
+    assert p("left.a % 20 = right.b % 20") == (["left.a % 20"], ["right.b % 20"])
+    # swapped sides normalize to (left, right)
+    assert p("right.b = left.a") == (["left.a"], ["right.b"])
+    # conjunction of equalities
+    got = p("left.a = right.b AND lower(left.c) = lower(right.d)")
+    assert got == (["left.a", "lower(left.c)"], ["right.b", "lower(right.d)"])
+    # '==' also accepted
+    assert p("left.a == right.b") == (["left.a"], ["right.b"])
+    # not parseable: OR, inequality, same-side, mixed-side expressions
+    assert p("left.a = right.b OR left.c = right.d") is None
+    assert p("left.a >= right.b") is None
+    assert p("left.a != right.b") is None
+    assert p("left.a = left.b") is None
+    assert p("left.a + right.b = right.c") is None
+    # alias inside a string literal doesn't count as a reference
+    assert p("concat(left.a, 'right.x') = right.b") == (
+        ["concat(left.a, 'right.x')"], ["right.b"])
+
+
+def _pair_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("limit", [3, 7, 20, 1000])
+def test_bucketed_stratified_matches_generic(spark, limit):
+    """The bucket fast path must reproduce stratified_limit_pairs'
+    EXACT kept-pair set (the oracle-parity contract) across regimes:
+    extra==0, extra>0, n_groups>limit, under-budget passthrough."""
+    from docetl_spark.operators.equijoin import (
+        bucketed_stratified_pairs, stratified_limit_pairs)
+
+    left = spark.createDataFrame(
+        [{"lid": i, "ltext": "x" * (i % 5 + 1)} for i in range(30)])
+    right = spark.createDataFrame(
+        [{"rid": j, "rtext": "y" * (10 + j % 3)} for j in range(6)])
+    cond_l, cond_r = ["left.lid % 3"], ["right.rid % 3"]
+    generic_pairs = (
+        left.alias("left").join(
+            right.alias("right"), F.expr("left.lid % 3 = right.rid % 3"))
+        .select(F.col("left.lid").alias("_lk_lid"),
+                F.col("right.rid").alias("_rk_rid"))
+    )
+    want = stratified_limit_pairs(
+        generic_pairs, left, right, ["lid"], ["rid"], limit)
+    got = bucketed_stratified_pairs(
+        left, right, ["lid"], ["rid"], cond_l, cond_r, limit)
+    assert _pair_set(got.select("_lk_lid", "_rk_rid")) == _pair_set(
+        want.select("_lk_lid", "_rk_rid"))
+
+
+def test_bucketed_stratified_left_side_longer(spark):
+    """use_left flips when the LEFT side is longer: stratum = left key."""
+    from docetl_spark.operators.equijoin import (
+        bucketed_stratified_pairs, stratified_limit_pairs)
+
+    left = spark.createDataFrame(
+        [{"lid": i, "ltext": "x" * 40} for i in range(4)])
+    right = spark.createDataFrame(
+        [{"rid": j, "rtext": "y" * (j % 7 + 1)} for j in range(25)])
+    generic_pairs = (
+        left.alias("left").join(
+            right.alias("right"), F.expr("left.lid % 2 = right.rid % 2"))
+        .select(F.col("left.lid").alias("_lk_lid"),
+                F.col("right.rid").alias("_rk_rid"))
+    )
+    want = stratified_limit_pairs(generic_pairs, left, right, ["lid"], ["rid"], 9)
+    got = bucketed_stratified_pairs(
+        left, right, ["lid"], ["rid"], ["left.lid % 2"], ["right.rid % 2"], 9)
+    assert _pair_set(got.select("_lk_lid", "_rk_rid")) == _pair_set(
+        want.select("_lk_lid", "_rk_rid"))
+    # stratum side is left (4 strata), budget 9 -> quotas 3/2/2/2
+    by_lid = {}
+    for lid, rid in _pair_set(got.select("_lk_lid", "_rk_rid")):
+        by_lid.setdefault(lid, []).append(rid)
+    assert sorted(len(v) for v in by_lid.values()) == [2, 2, 2, 3]
+
+
+def test_bucketed_stratified_null_bucket_drops(spark):
+    """NULL bucket expressions never pair (equality-join semantics)."""
+    from docetl_spark.operators.equijoin import bucketed_stratified_pairs
+
+    left = spark.createDataFrame(
+        [{"lid": 1, "b": 0, "ltext": "aaaa"},
+         {"lid": 2, "b": None, "ltext": "aaaa"}])
+    right = spark.createDataFrame(
+        [{"rid": 10, "b": 0, "rtext": "zzzzzzzzzz"},
+         {"rid": 11, "b": None, "rtext": "zzzzzzzzzz"}])
+    got = bucketed_stratified_pairs(
+        left, right, ["lid"], ["rid"], ["left.b"], ["right.b"], 100)
+    assert _pair_set(got) == [(1, 10)]
+
+
+def test_equijoin_fast_path_end_to_end_matches_theta(spark):
+    """Full equijoin through the fast path equals the same join with the
+    condition written so the parser rejects it (generic theta path)."""
+    from docetl_spark.operators.equijoin import equijoin
+
+    left = spark.createDataFrame(
+        [{"lid": i, "ltext": f"left row {i} {'p' * (i % 4)}"} for i in range(24)])
+    right = spark.createDataFrame(
+        [{"rid": j, "rtext": f"right row {j} {'q' * 10}"} for j in range(8)])
+    be = FakeBackend(rules={"is_match": lambda ctx: (ctx[0]["lid"] + ctx[1]["rid"]) % 2 == 0})
+    kw = dict(
+        comparison_prompt="{{ left.lid }} vs {{ right.rid }}",
+        left_keys=["lid"], right_keys=["rid"], limit_comparisons=10,
+    )
+    fast = equijoin(left, right, be,
+                    blocking_conditions=["left.lid % 4 = right.rid % 4"], **kw)
+    # `0 + x = y` parses to same-side failure? no — force generic via OR
+    slow = equijoin(left, right, be,
+                    blocking_conditions=[
+                        "left.lid % 4 = right.rid % 4 OR left.lid % 4 = right.rid % 4"], **kw)
+    key = lambda r: (r["lid"], r["rid"])
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
+def _py_resolve_limited(rows, key, limit, seed=42):
+    """Python replica of candidate_pairs(blocking_keys=[key],
+    limit_comparisons=limit): bucket row-cap then global md5 cut."""
+    import hashlib
+    import math
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    K = max(2, (1 + math.isqrt(1 + 8 * limit)) // 2)
+    while K * (K - 1) < 2 * limit:
+        K += 1
+    buckets = {}
+    for r in rows:
+        b = r[key]
+        if b is None:
+            continue
+        buckets.setdefault(str(b).lower(), []).append(r["id"])
+    pairs = []
+    for ids in buckets.values():
+        keep = sorted(ids, key=lambda i: (md5(f"{seed}|{i}"), i))[:K]
+        pairs += [(x, y) for x in keep for y in keep if x < y]
+    if len(pairs) <= limit:
+        return sorted(pairs)
+    ordered = sorted(pairs, key=lambda p: (md5(f"{seed}|{p[0]}|{p[1]}"), p))
+    return sorted(ordered[:limit])
+
+
+@pytest.mark.parametrize("limit", [5, 40, 10000])
+def test_candidate_pairs_limit_matches_python_replica(spark, limit):
+    from docetl_spark.operators.resolve import candidate_pairs
+
+    rows = [{"id": i, "grp": f"g{i % 3}"} for i in range(40)]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(
+            df, "id", blocking_keys=["grp"], limit_comparisons=limit
+        ).collect()
+    )
+    assert got == _py_resolve_limited(rows, "grp", limit)
+    if limit < 260:  # 3 buckets of ~13-14 rows -> 234-ish pairs uncapped
+        assert len(got) <= limit
+
+
+def test_candidate_pairs_limit_prioritizes_code_pairs(spark):
+    """With conditions (code, src 0) + sorted_neighborhood (also code)
+    + an embedding LSH part (src 1), the cut keeps code pairs first."""
+    from docetl_spark.operators.resolve import candidate_pairs
+
+    rows = [
+        {"id": i, "txt": f"row {i}", "_embedding": [1.0, 0.0] if i < 6 else [0.0, 1.0]}
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    # code part: 3 specific pairs; embedding part: LSH buckets by vector
+    out = candidate_pairs(
+        df, "id",
+        blocking_conditions=["a.id + 3 = b.id"],
+        blocking_threshold=0.9, embedding_col="_embedding", dim=2,
+        limit_comparisons=9,
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert len(got) == 9
+    code = {(i, i + 3) for i in range(9)}
+    # every code pair must be in the kept set (code pairs: 9 == limit)
+    assert set(got) == code
+
+
+def test_resolve_with_limit_comparisons_end_to_end(spark):
+    from docetl_spark.operators.resolve import resolve
+
+    rows = [{"id": i, "name": f"entity {i % 4}", "txt": f"t{i}"} for i in range(16)]
+    df = spark.createDataFrame(rows)
+    be = FakeBackend(rules={"is_match": lambda ctx: ctx[0]["name"] == ctx[1]["name"]})
+    out = resolve(
+        df, be, id_col="id",
+        comparison_prompt="{{ input1.name }} vs {{ input2.name }}",
+        output_schema={"name": "string"},
+        blocking_conditions=["a.id % 4 = b.id % 4"],
+        limit_comparisons=10,
+    )
+    # row count preserved; deterministic across runs
+    assert out.count() == 16
+    a = sorted(tuple(r) for r in out.select("id", "_cluster_id").collect())
+    b = sorted(tuple(r) for r in out.select("id", "_cluster_id").collect())
+    assert a == b
