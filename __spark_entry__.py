@@ -4190,6 +4190,24 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_by(daily, "day", "n_ev", by=["user_id"], value_scale=1)
 
 
+def events_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen sampled-pairs SCALE path (mlstats.theil_sen_by
+    method='sampled'): each row draws 16 deterministic md5-offset
+    partners within its group, the slope median is exact over the
+    n·16 sampled pairs — linear, no quadratic pair join, and fully
+    SQL-replayable (the md5 draw is the rank_comparison idiom)."""
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    daily = ev.groupBy(
+        "user_id", F.expr("(_e - pmod(_e, 86400)) DIV 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_ev"))
+    return theil_sen_by(
+        daily, "day", "n_ev", by=["user_id"], value_scale=1,
+        method="sampled",
+    )
+
+
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-to-first-purchase latency histogram at hour grain: per
     user, the first purchase AT/after the first signup; exact integer
@@ -4502,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup_gid": orders_rollup_gid,
         "lineitem_kendall": lineitem_kendall,
         "events_theil_sen": events_theil_sen,
+        "events_theil_sen_sampled": events_theil_sen_sampled,
         "events_conversion_latency": events_conversion_latency,
         "users_event_degree": users_event_degree,
         "events_stream_crossover": events_stream_crossover,
@@ -8690,6 +8709,53 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY user_id ORDER BY sl) rn,
                  COUNT(*) OVER (PARTITION BY user_id) np
           FROM p
+        ), med AS (
+          SELECT user_id, CAST(sl AS BIGINT) slope_milli,
+                 CAST(np AS BIGINT) n_pairs
+          FROM r WHERE rn = (np + 1) // 2
+        )
+        SELECT nn.user_id, CAST(nn.n AS BIGINT) n,
+               COALESCE(n_pairs, 0) n_pairs, slope_milli
+        FROM nn LEFT JOIN med ON nn.user_id = med.user_id"""
+    # sampled Theil-Sen: md5-offset partner draws (the rank_comparison
+    # '0x'||substr(md5(...),1,8) idiom == Spark conv(substr(md5),16,10)),
+    # then the exact lower median over the sampled slopes; DuckDB //
+    # truncates toward zero exactly like Spark's decimal DIV
+    sql["events_theil_sen_sampled"] = """
+        WITH d AS (
+          SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS t,
+                 CAST(floor(COUNT(*) * 1 + 0.5) AS HUGEINT) c
+          FROM events GROUP BY 1, 2
+        ), nn AS (SELECT user_id, COUNT(*) n FROM d GROUP BY 1),
+        b AS (
+          SELECT user_id, t, c,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, c) i,
+                 COUNT(*) OVER (PARTITION BY user_id) ng
+          FROM d
+        ),
+        dr AS (
+          SELECT b.user_id, b.i, b.ng, b.t, b.c, js.dd,
+                 ('0x' || substr(md5('42|' || CAST(b.user_id AS VARCHAR)
+                   || '|' || CAST(b.i AS VARCHAR) || '|'
+                   || CAST(js.dd AS VARCHAR)), 1, 8))::BIGINT h
+          FROM b, (SELECT unnest(range(0, 16)) AS dd) js
+          WHERE b.ng >= 2
+        ),
+        pr AS (
+          SELECT d2.user_id, d2.t ta, d2.c ca, p.t tb, p.c cb
+          FROM (SELECT *, (i - 1 + 1 + h % (ng - 1)) % ng + 1 AS j FROM dr) d2
+          JOIN b p ON p.user_id = d2.user_id AND p.i = d2.j
+          WHERE d2.t <> p.t
+        ),
+        sl AS (
+          SELECT user_id, CAST((cb - ca) * 1000 AS HUGEINT)
+                   // CAST(tb - ta AS HUGEINT) sl
+          FROM pr
+        ), r AS (
+          SELECT user_id, sl,
+                 row_number() OVER (PARTITION BY user_id ORDER BY sl) rn,
+                 COUNT(*) OVER (PARTITION BY user_id) np
+          FROM sl
         ), med AS (
           SELECT user_id, CAST(sl AS BIGINT) slope_milli,
                  CAST(np AS BIGINT) n_pairs

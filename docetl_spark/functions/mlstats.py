@@ -481,13 +481,85 @@ def trimmed_mean_by(
     )
 
 
+def _merge_count_inversions(seq) -> int:
+    """Inversions of ``seq`` (strict: pairs i<j with seq[i] > seq[j]) —
+    Knight's merge-count, O(n log n), vectorized: the base case counts
+    all 64-wide blocks at once via a broadcast upper-triangle compare,
+    then bottom-up merges count cross-block inversions with one
+    ``searchsorted`` per merge. ``seq`` must be an int64 numpy array
+    (factorized codes keep comparisons exact for any orderable dtype)."""
+    import numpy as np
+
+    n = len(seq)
+    if n < 2:
+        return 0
+    w0 = 64
+    inv = 0
+    nb = n // w0
+    parts = []
+    if nb:
+        blocks = seq[: nb * w0].reshape(nb, w0)
+        iu, ju = np.triu_indices(w0, 1)
+        inv += int(np.sum(blocks[:, iu] > blocks[:, ju], dtype=np.int64))
+        parts.append(np.sort(blocks, axis=1).ravel())
+    tail = seq[nb * w0:]
+    if len(tail) > 1:
+        ti, tj = np.triu_indices(len(tail), 1)
+        inv += int(np.sum(tail[ti] > tail[tj], dtype=np.int64))
+    if len(tail):
+        parts.append(np.sort(tail))
+    buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    width = w0
+    while width < n:
+        for lo in range(0, n, 2 * width):
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            if mid >= hi:
+                continue
+            left, right = buf[lo:mid], buf[mid:hi]
+            # pairs (x in left, y in right) with x > y: per y, the count
+            # of left elements > y is len(left) - rank_right(y in left)
+            pos = np.searchsorted(left, right, side="right")
+            inv += int(len(left) * len(right) - pos.sum())
+            buf[lo:hi] = np.sort(np.concatenate([left, right]), kind="mergesort")
+        width *= 2
+    return inv
+
+
+def _grouped_inversions(
+    df: DataFrame, by: list[str], k1: str, k2: str, out_col: str
+) -> DataFrame:
+    """Per group: inversions of the ``k2`` sequence when rows are
+    ordered by (``k1`` asc, ``k2`` asc) — the count of strictly
+    discordant pairs (k1_a < k1_b, k2_a > k2_b; ties on k1 contribute
+    nothing because equal-k1 runs are k2-ascending). One applyInPandas
+    task per group (the family's documented exact-order bound — groups
+    parallelize, a group's O(n log n) count runs in one Arrow batch);
+    values are factorized to int64 codes first, so comparisons stay
+    exact for decimals/strings/timestamps alike."""
+    import pandas as pd
+    import numpy as np
+
+    fields = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by)
+    schema = f"{fields}, {out_col} long"
+
+    def count(key, pdf):
+        c1 = pd.factorize(pdf[k1], sort=True)[0]
+        c2 = pd.factorize(pdf[k2], sort=True)[0]
+        order = np.lexsort((c2, c1))
+        inv = _merge_count_inversions(c2[order].astype(np.int64))
+        return pd.DataFrame([[*key, inv]], columns=[*by, out_col])
+
+    return df.select(*by, k1, k2).groupBy(*by).applyInPandas(count, schema)
+
+
 def mann_kendall_by(
     df: DataFrame,
     ts_col: str,
     value_col: str,
     *,
     by: list[str],
-    max_group_rows: int = 2000,
+    max_group_rows: int = 500_000,
 ) -> DataFrame:
     """Mann-Kendall trend statistic per group, EXACT: over every pair
     of observations i<j (by time), S = #(v_j > v_i) − #(v_j < v_i) —
@@ -496,57 +568,81 @@ def mann_kendall_by(
     apply any significance recipe; the normal-approximation z needs a
     sqrt and lives outside the exact contract.
 
-    PAIRS ARE QUADRATIC per group — the op is for PRE-AGGREGATED
-    series (daily rollups per user, weekly KPIs per region), and
-    RAISES loudly when a group exceeds ``max_group_rows`` (the chi²
-    posture: a named error beats an hour-long 10¹²-pair shuffle).
+    O(n log n) per group — NOT pairwise: the tie terms decompose into
+    linear aggregations over the per-(group, t, v) count table
+    (n_pairs = C(n,2) − Σ_t C(c_t,2); ties-on-v likewise), and the
+    discordant count n_down is EXACTLY the inversion count of the
+    value sequence ordered by (t asc, v asc) — Knight's merge-count
+    (see _grouped_inversions), one vectorized Arrow task per group.
+    Then n_up = n_pairs − n_tie − n_down and S falls out. Identical
+    outputs to the pairwise definition, at log-linear cost.
+
+    ``max_group_rows`` keeps the one-task-per-group inversion count
+    honest (a named raise, the chi² posture) — the default allows
+    500k observations per group, 250× the old quadratic-join bound.
     Equal-timestamp pairs are excluded (no order → no trend evidence);
     NULL values/timestamps drop.
 
     Output: ``by`` + ``n`` + ``n_pairs`` + ``n_up`` + ``n_down`` +
     ``n_tie`` + ``s``.
 
-    Plan: a self equi-join ON the group keys with the time inequality
-    as the join filter — candidate pairs never cross groups, so the
-    shuffle is group-sized, and the guard keeps group size honest.
+    Plan: ONE shuffle to the (by, t, v) count grain feeds all tie
+    aggregations map-side-combinably; the inversion pass shuffles the
+    filtered rows once on the group keys. No self-join anywhere.
     """
     if not by:
         raise ValueError("mann_kendall_by requires grouping keys")
-    reserved = {"n", "n_pairs", "n_up", "n_down", "n_tie", "s", "_mk_n"}
+    reserved = {"n", "n_pairs", "n_up", "n_down", "n_tie", "s", "_mk_n",
+                "_mk_t", "_mk_v", "_mk_c", "_mk_inv"}
     clash = sorted(reserved & set(by))
     if clash:
         raise ValueError(f"mann_kendall_by reserves column names {clash}")
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(*by, F.col(ts_col).alias("_mk_t"), F.col(value_col).alias("_mk_v"))
-    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_mk_n"))
-    guard = counts.withColumn(
+    tv = base.groupBy(*by, "_mk_t", "_mk_v").agg(
+        F.count(F.lit(1)).alias("_mk_c"))
+    g = tv.groupBy(*by).agg(
+        F.sum("_mk_c").alias("_mk_n"),
+        F.sum(F.expr("_mk_c * (_mk_c - 1) DIV 2")).alias("_tie_tv"),
+    )
+    guard = g.withColumn(
         "_mk_n",
         F.when(
             F.col("_mk_n") > int(max_group_rows),
             F.raise_error(F.lit(
                 f"mann_kendall_by: a group exceeds max_group_rows="
                 f"{int(max_group_rows)} pre-aggregated observations — "
-                "pairs are quadratic; roll the series up first")),
+                "the inversion count runs one task per group; roll the "
+                "series up first or raise the bound")),
         ).otherwise(F.col("_mk_n")),
     )
-    a = base.select(*by, F.col("_mk_t").alias("_ta"), F.col("_mk_v").alias("_va"))
-    b = base.select(*by, F.col("_mk_t").alias("_tb"), F.col("_mk_v").alias("_vb"))
-    pairs = a.join(b, list(by)).filter(F.col("_ta") < F.col("_tb"))
-    agg = pairs.groupBy(*by).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("_vb") > F.col("_va"), 1).otherwise(0)).alias("n_up"),
-        F.sum(F.when(F.col("_vb") < F.col("_va"), 1).otherwise(0)).alias("n_down"),
-        F.sum(F.when(F.col("_vb") == F.col("_va"), 1).otherwise(0)).alias("n_tie"),
+    tie_t = (
+        tv.groupBy(*by, "_mk_t").agg(F.sum("_mk_c").alias("_ct"))
+        .groupBy(*by).agg(
+            F.sum(F.expr("_ct * (_ct - 1) DIV 2")).alias("_tie_t"))
     )
-    out = guard.join(agg, list(by), "left")
+    tie_v = (
+        tv.groupBy(*by, "_mk_v").agg(F.sum("_mk_c").alias("_cv"))
+        .groupBy(*by).agg(
+            F.sum(F.expr("_cv * (_cv - 1) DIV 2")).alias("_tie_v"))
+    )
+    inv = _grouped_inversions(base, list(by), "_mk_t", "_mk_v", "_mk_inv")
+    out = (
+        guard.join(tie_t, list(by)).join(tie_v, list(by))
+        .join(inv, list(by))
+        .withColumn("n_pairs", F.expr("_mk_n * (_mk_n - 1) DIV 2 - _tie_t"))
+        .withColumn("n_tie", F.col("_tie_v") - F.col("_tie_tv"))
+        .withColumn("n_down", F.col("_mk_inv"))
+        .withColumn("n_up", F.col("n_pairs") - F.col("n_tie") - F.col("n_down"))
+    )
     return out.select(
         *by, F.col("_mk_n").cast("long").alias("n"),
-        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-        F.coalesce("n_up", F.lit(0)).alias("n_up"),
-        F.coalesce("n_down", F.lit(0)).alias("n_down"),
-        F.coalesce("n_tie", F.lit(0)).alias("n_tie"),
-        (F.coalesce("n_up", F.lit(0)) - F.coalesce("n_down", F.lit(0))).alias("s"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("n_tie").cast("long").alias("n_tie"),
+        (F.col("n_up") - F.col("n_down")).cast("long").alias("s"),
     )
 
 
@@ -654,78 +750,99 @@ def kendall_tau_by(
     y_col: str,
     *,
     by: list[str],
-    max_group_rows: int = 2000,
+    max_group_rows: int = 500_000,
 ) -> DataFrame:
     """Kendall's tau per group, EXACT in basis points: over all row
     pairs, tau_a_bp = (concordant − discordant)·10⁴ DIV n_pairs — the
     rank-agreement figure behind judge-vs-judge and model-vs-human
     agreement checks, with its full pair decomposition (ties on x, on
-    y, on both) so tau-b is one formula away. The pair order never
-    matters: each unordered pair is counted once via an id-free
-    ordering trick (the self-join keeps a.rid < b.rid on a per-group
-    row_number), and concordance is sign(Δx)·sign(Δy).
+    y, on both) so tau-b is one formula away.
 
-    Same quadratic-pairs contract as mann_kendall_by: pre-aggregated
-    series only, RAISES past ``max_group_rows``. NULLs in either
-    column drop. Groups with < 2 rows report zero pairs and NULL tau.
+    O(n log n) per group — NOT pairwise (Knight 1966): the tie terms
+    decompose into linear aggregations over the per-(group, x, y)
+    count table (ties-on-x = Σ_x C(c_x,2), minus the both-tied term
+    Σ_{x,y} C(c_xy,2); y likewise), and the discordant count is
+    EXACTLY the inversion count of the y sequence ordered by (x asc,
+    y asc) — equal-x runs are y-ascending, so only strictly
+    opposite-ordered pairs invert (see _grouped_inversions). Then
+    concordant = C(n,2) − ties − discordant. Identical outputs to the
+    pairwise definition, at log-linear cost.
+
+    ``max_group_rows`` keeps the one-task-per-group inversion count
+    honest (named raise) — the default allows 500k rows per group,
+    250× the old quadratic-join bound. NULLs in either column drop.
+    Groups with < 2 rows report zero pairs and NULL tau.
 
     Output: ``by`` + ``n`` + ``n_pairs`` + ``n_concordant`` +
     ``n_discordant`` + ``n_tie_x`` + ``n_tie_y`` + ``n_tie_both`` +
     ``tau_a_bp``.
 
-    Plan: one per-group row_number window (the rid), a self equi-join
-    on the group keys filtered to rid_a < rid_b, one count aggregation.
+    Plan: ONE shuffle to the (by, x, y) count grain feeds all tie
+    aggregations; the inversion pass shuffles the filtered rows once
+    on the group keys. No self-join anywhere.
     """
     if not by:
         raise ValueError("kendall_tau_by requires grouping keys")
     reserved = {"n", "n_pairs", "n_concordant", "n_discordant", "n_tie_x",
-                "n_tie_y", "n_tie_both", "tau_a_bp", "_kt_x", "_kt_y", "_kt_r"}
+                "n_tie_y", "n_tie_both", "tau_a_bp", "_kt_x", "_kt_y",
+                "_kt_c", "_kt_inv"}
     clash = sorted(reserved & set(by))
     if clash:
         raise ValueError(f"kendall_tau_by reserves column names {clash}")
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(*by, F.col(x_col).alias("_kt_x"), F.col(y_col).alias("_kt_y"))
-    w = W.partitionBy(*by).orderBy(F.col("_kt_x").asc(), F.col("_kt_y").asc())
-    rid = base.withColumn("_kt_r", F.row_number().over(w))
-    counts = rid.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
-    guard = counts.withColumn(
+    xy = base.groupBy(*by, "_kt_x", "_kt_y").agg(
+        F.count(F.lit(1)).alias("_kt_c"))
+    g = xy.groupBy(*by).agg(
+        F.sum("_kt_c").alias("_n"),
+        F.sum(F.expr("_kt_c * (_kt_c - 1) DIV 2")).alias("_tie_xy"),
+    )
+    guard = g.withColumn(
         "_n",
         F.when(
             F.col("_n") > int(max_group_rows),
             F.raise_error(F.lit(
                 f"kendall_tau_by: a group exceeds max_group_rows="
-                f"{int(max_group_rows)} — pairs are quadratic; "
-                "pre-aggregate first")),
+                f"{int(max_group_rows)} — the inversion count runs one "
+                "task per group; pre-aggregate first or raise the bound")),
         ).otherwise(F.col("_n")),
     )
-    a = rid.select(*by, F.col("_kt_r").alias("_ra"),
-                   F.col("_kt_x").alias("_xa"), F.col("_kt_y").alias("_ya"))
-    b = rid.select(*by, F.col("_kt_r").alias("_rb"),
-                   F.col("_kt_x").alias("_xb"), F.col("_kt_y").alias("_yb"))
-    pr = a.join(b, list(by)).filter(F.col("_ra") < F.col("_rb"))
-    sx = F.signum((F.col("_xb") - F.col("_xa")).cast("double"))
-    sy = F.signum((F.col("_yb") - F.col("_ya")).cast("double"))
-    agg = pr.groupBy(*by).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("n_concordant"),
-        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("n_discordant"),
-        F.sum(F.when((sx == 0) & (sy != 0), 1).otherwise(0)).alias("n_tie_x"),
-        F.sum(F.when((sx != 0) & (sy == 0), 1).otherwise(0)).alias("n_tie_y"),
-        F.sum(F.when((sx == 0) & (sy == 0), 1).otherwise(0)).alias("n_tie_both"),
+    tie_x = (
+        xy.groupBy(*by, "_kt_x").agg(F.sum("_kt_c").alias("_cx"))
+        .groupBy(*by).agg(
+            F.sum(F.expr("_cx * (_cx - 1) DIV 2")).alias("_tie_x_all"))
     )
-    out = guard.join(agg, list(by), "left")
-    z = F.lit(0)
+    tie_y = (
+        xy.groupBy(*by, "_kt_y").agg(F.sum("_kt_c").alias("_cy"))
+        .groupBy(*by).agg(
+            F.sum(F.expr("_cy * (_cy - 1) DIV 2")).alias("_tie_y_all"))
+    )
+    inv = _grouped_inversions(base, list(by), "_kt_x", "_kt_y", "_kt_inv")
+    out = (
+        guard.join(tie_x, list(by)).join(tie_y, list(by))
+        .join(inv, list(by))
+        .withColumn("n_pairs", F.expr("_n * (_n - 1) DIV 2"))
+        .withColumn("n_tie_both", F.col("_tie_xy"))
+        .withColumn("n_tie_x", F.col("_tie_x_all") - F.col("_tie_xy"))
+        .withColumn("n_tie_y", F.col("_tie_y_all") - F.col("_tie_xy"))
+        .withColumn("n_discordant", F.col("_kt_inv"))
+        .withColumn(
+            "n_concordant",
+            F.col("n_pairs") - F.col("n_tie_x") - F.col("n_tie_y")
+            - F.col("n_tie_both") - F.col("n_discordant"),
+        )
+    )
     return out.select(
         *by, F.col("_n").cast("long").alias("n"),
-        F.coalesce("n_pairs", z).alias("n_pairs"),
-        F.coalesce("n_concordant", z).alias("n_concordant"),
-        F.coalesce("n_discordant", z).alias("n_discordant"),
-        F.coalesce("n_tie_x", z).alias("n_tie_x"),
-        F.coalesce("n_tie_y", z).alias("n_tie_y"),
-        F.coalesce("n_tie_both", z).alias("n_tie_both"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_concordant").cast("long").alias("n_concordant"),
+        F.col("n_discordant").cast("long").alias("n_discordant"),
+        F.col("n_tie_x").cast("long").alias("n_tie_x"),
+        F.col("n_tie_y").cast("long").alias("n_tie_y"),
+        F.col("n_tie_both").cast("long").alias("n_tie_both"),
         F.when(
-            F.coalesce("n_pairs", z) > 0,
+            F.col("n_pairs") > 0,
             F.expr("CAST((CAST(n_concordant AS DECIMAL(38,0))"
                    " - n_discordant) * 10000"
                    " DIV CAST(n_pairs AS DECIMAL(38,0)) AS BIGINT)"),
@@ -742,6 +859,9 @@ def theil_sen_by(
     slope_scale: int = 1000,
     value_scale: int = 100,
     max_group_rows: int = 2000,
+    method: str = "exact",
+    pairs_per_row: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Theil-Sen slope per group: the MEDIAN of all pairwise slopes
     (v_j − v_i)/(t_j − t_i) over i<j by time — the robust trend
@@ -754,22 +874,50 @@ def theil_sen_by(
     drop (undefined slope); NULLs drop; groups with < 2 distinct-time
     rows vanish from the slope table and report NULL slope.
 
-    Same quadratic-pairs contract as mann_kendall_by / kendall_tau_by:
-    pre-aggregated series only, RAISES past ``max_group_rows``.
+    ``method="exact"`` (default) keeps the quadratic-pairs contract of
+    the estimator's definition: pre-aggregated series only, RAISES
+    past ``max_group_rows`` (the exact pairwise median has no
+    subquadratic decomposition the repo's integer contract can
+    express).
+
+    ``method="sampled"`` is the documented SCALE PATH (the
+    approx_quantiles precedent — a sketch with a pinned error-bound
+    test, rows-only vs the oracle): each row draws ``pairs_per_row``
+    deterministic partners (md5-derived offsets within its group — no
+    randomness, replayable), slopes are computed over those m = n·D
+    sampled pairs only, and ``slope_milli`` is the exact lower median
+    OF THE SAMPLE. The sample median's rank among all C(n,2) slopes
+    concentrates at n_pairs/2 ± O(n_pairs/√m); duplicate sampled
+    pairs are kept (a documented property of the estimator, not
+    deduplicated). Linear in n·D — no guard needed; ``max_group_rows``
+    is ignored. n_pairs reports the SAMPLED pair count.
 
     Output: ``by`` + ``n`` + ``n_pairs`` + ``slope_milli`` (fixed-point
     Δvalue-per-Δt·slope_scale, in value_scale units).
 
-    Plan: the guarded per-group pair join, slopes as integers, then the
-    lower median as a per-group rank window over the (bounded) slope
-    table — one sorted task per group, the family's documented bound.
+    Plan (exact): the guarded per-group pair join, slopes as integers,
+    then the lower median as a per-group rank window over the
+    (bounded) slope table — one sorted task per group, the family's
+    documented bound. Plan (sampled): per-group row_number + count
+    windows ride one group shuffle, partners explode to n·D rows, ONE
+    self equi-join on (group, index) fetches partner payloads, median
+    as the same rank window over the linear slope table.
     """
     if not by:
         raise ValueError("theil_sen_by requires grouping keys")
-    reserved = {"n", "n_pairs", "slope_milli", "_th_t", "_th_c"}
+    if method not in ("exact", "sampled"):
+        raise ValueError(f"theil_sen_by: unknown method {method!r}")
+    reserved = {"n", "n_pairs", "slope_milli", "_th_t", "_th_c",
+                "_i", "_ng", "_d", "_h", "_j", "_tb", "_cb", "_sl", "_np"}
     clash = sorted(reserved & set(by))
     if clash:
         raise ValueError(f"theil_sen_by reserves column names {clash}")
+    if method == "sampled":
+        return _theil_sen_sampled(
+            df, ts_col, value_col, by=by, slope_scale=slope_scale,
+            value_scale=value_scale, pairs_per_row=int(pairs_per_row),
+            seed=int(seed),
+        )
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
@@ -806,6 +954,72 @@ def theil_sen_by(
              F.col("_np").cast("long").alias("n_pairs"))
     return guard.join(med, list(by), "left").select(
         *by, F.col("_n").cast("long").alias("n"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.col("slope_milli"),
+    )
+
+
+def _theil_sen_sampled(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    by: list[str],
+    slope_scale: int,
+    value_scale: int,
+    pairs_per_row: int,
+    seed: int,
+) -> DataFrame:
+    """theil_sen_by's linear sampled-pairs path (see its docstring).
+    Partner index for (row i, draw d) = ((i − 1 + 1 + h mod (n−1)) mod
+    n) + 1 with h = the first 8 md5 hex digits of '{seed}|{keys}|{i}|
+    {d}' — never self, uniform over the other n−1 rows, identical in
+    any engine."""
+    bys = list(by)
+    w = W.partitionBy(*bys).orderBy(F.col("_th_t").asc(), F.col("_th_c").asc())
+    wall = W.partitionBy(*bys)
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *bys, F.col(ts_col).cast("long").alias("_th_t"),
+        to_cents(value_col, value_scale).cast("decimal(38,0)").alias("_th_c"),
+    ).withColumn("_i", F.row_number().over(w)).withColumn(
+        "_ng", F.count(F.lit(1)).over(wall))
+    counts = base.groupBy(*bys).agg(F.count(F.lit(1)).alias("_n"))
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in bys])
+    draws = base.filter(F.col("_ng") >= 2).select(
+        *bys, "_i", "_ng", "_th_t", "_th_c",
+        F.explode(F.sequence(F.lit(0), F.lit(pairs_per_row - 1))).alias("_d"),
+    ).withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(seed)), key_str,
+            F.col("_i").cast("string"), F.col("_d").cast("string"))),
+            1, 8), 16, 10).cast("long"),
+    ).withColumn(
+        "_j",
+        (F.col("_i") - 1 + 1 + F.col("_h") % (F.col("_ng") - 1)) % F.col("_ng") + 1,
+    )
+    partner = base.select(
+        *bys, F.col("_i").alias("_j"),
+        F.col("_th_t").alias("_tb"), F.col("_th_c").alias("_cb"))
+    pairs = draws.join(partner, bys + ["_j"]).filter(F.col("_th_t") != F.col("_tb"))
+    slope = F.expr(
+        f"CAST((_cb - _th_c) * {int(slope_scale)} AS DECIMAL(38,0))"
+        " DIV CAST(_tb - _th_t AS DECIMAL(38,0))"
+    )
+    slopes = pairs.select(*bys, slope.cast("long").alias("_sl"))
+    wr = W.partitionBy(*bys).orderBy(F.col("_sl").asc())
+    ranked = (
+        slopes.withColumn("_r", F.row_number().over(wr))
+        .withColumn("_np", F.count(F.lit(1)).over(W.partitionBy(*bys)))
+    )
+    med = ranked.filter(
+        F.col("_r") == F.expr("(_np + 1) DIV 2")
+    ).select(*bys, F.col("_sl").alias("slope_milli"),
+             F.col("_np").cast("long").alias("n_pairs"))
+    return counts.join(med, bys, "left").select(
+        *bys, F.col("_n").cast("long").alias("n"),
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.col("slope_milli"),
     )

@@ -299,6 +299,59 @@ def test_changepoint_matches_bruteforce(spark, seed):
     assert (int(got["score"]), got["split_idx"]) == best
 
 
+def test_merge_count_inversions_matches_bruteforce():
+    from docetl_spark.functions.mlstats import _merge_count_inversions
+    import numpy as np
+
+    rng = random.Random(7)
+    for n in (0, 1, 2, 63, 64, 65, 128, 200, 513):
+        seq = np.array([rng.randrange(8) for _ in range(n)], dtype=np.int64)
+        want = sum(
+            1 for i in range(n) for j in range(i + 1, n) if seq[i] > seq[j])
+        assert _merge_count_inversions(seq) == want, n
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_mann_kendall_ties_heavy_bruteforce(spark, seed):
+    # heavy ties on BOTH t and v exercise every decomposition term
+    rng = random.Random(seed)
+    rows = [(1, rng.randrange(6), float(rng.randrange(4))) for _ in range(60)]
+    df = spark.createDataFrame(rows, "g int, t int, v double")
+    got = mann_kendall_by(df, "t", "v", by=["g"]).collect()[0]
+    up = down = tie = np_ = 0
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            if rows[i][1] < rows[j][1]:
+                np_ += 1
+                if rows[j][2] > rows[i][2]:
+                    up += 1
+                elif rows[j][2] < rows[i][2]:
+                    down += 1
+                else:
+                    tie += 1
+    assert (got["n_pairs"], got["n_up"], got["n_down"], got["n_tie"],
+            got["s"]) == (np_, up, down, tie, up - down)
+
+
+def test_kendall_and_mk_guard_lifted_past_2000(spark):
+    """The old quadratic-join bound was 2000; the O(n log n) rewrite
+    must handle a 5000-row group without the guard firing."""
+    from docetl_spark.functions.mlstats import kendall_tau_by
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(1, i, float((i * 37) % 101)) for i in range(n)],
+        "g int, t int, v double")
+    r = mann_kendall_by(df, "t", "v", by=["g"]).collect()[0]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["n_up"] + r["n_down"] + r["n_tie"] == r["n_pairs"]
+    k = kendall_tau_by(df, "t", "v", by=["g"]).collect()[0]
+    assert k["n_pairs"] == n * (n - 1) // 2
+    # t is strictly increasing and v has period-101 ties on a grid:
+    # the two decompositions must agree (same pair universe)
+    assert k["n_discordant"] == r["n_down"] and k["n_concordant"] == r["n_up"]
+
+
 def test_changepoint_quotient_overflow_raises_named(spark):
     # n=2, values sized so the 19-digit num guard passes but num² DIV den
     # would exceed Long.MAX (den = 1·1·2): the per-split quotient digit

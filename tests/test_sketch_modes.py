@@ -131,3 +131,72 @@ def test_active_users_approx_validates(spark):
     df = spark.createDataFrame([(1, 5)], "u long, ts long")
     with pytest.raises(ValueError, match="windows"):
         active_users_approx(df, "ts", user_col="u", windows=(0,))
+
+
+# ------------------------------------------------- theil_sen sampled
+
+def test_theil_sen_sampled_error_bound_pinned(spark):
+    """The sampled-pairs scale path (ORACLE_EXEMPT precedent): on a
+    200-row noisy-linear series, the sampled median slope's RANK among
+    all exact pairwise slopes must sit within n_pairs/2 ± 0.05*n_pairs
+    for the fixed seed — the pinned bound; and the clean-line case
+    recovers the exact slope."""
+    import random
+
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    # clean line: every pairwise slope identical -> sample median exact
+    clean = spark.createDataFrame(
+        [(1, t, 3.0 * t + 5.0) for t in range(50)], "g int, t int, v double")
+    # slope_milli = dcents*1000 per dt: 3.0/t = 300 cents/t -> 300000
+    rs = theil_sen_by(clean, "t", "v", by=["g"], method="sampled").collect()[0]
+    assert rs["slope_milli"] == 300000
+    assert rs["n_pairs"] == 50 * 16  # n * pairs_per_row, no equal-t drops
+
+    # noisy line: sampled median's rank among exact slopes within the bound
+    rng = random.Random(11)
+    rows = [(1, t, 2.0 * t + rng.uniform(-8, 8)) for t in range(200)]
+    df = spark.createDataFrame(rows, "g int, t int, v double")
+    got = theil_sen_by(df, "t", "v", by=["g"], method="sampled").collect()[0]
+    import math
+
+    cents = [(t, int(math.floor(v * 100 + 0.5))) for _, t, v in rows]
+
+    def tdiv(num, den):  # Spark decimal DIV truncates toward zero
+        q = abs(num) // abs(den)
+        return q if (num >= 0) == (den > 0) else -q
+
+    slopes = sorted(
+        tdiv((cb - ca) * 1000, tb - ta)
+        for i, (ta, ca) in enumerate(cents)
+        for tb, cb in cents[i + 1:]
+        if tb != ta
+    )
+    n_pairs = len(slopes)
+    import bisect
+
+    lo = bisect.bisect_left(slopes, got["slope_milli"])
+    hi = bisect.bisect_right(slopes, got["slope_milli"])
+    mid = (n_pairs + 1) // 2
+    tol = int(0.05 * n_pairs)
+    assert lo - tol <= mid <= hi + tol, (lo, hi, mid, n_pairs)
+
+
+def test_theil_sen_sampled_deterministic_and_seeded(spark):
+    from docetl_spark.functions.mlstats import theil_sen_by
+
+    df = spark.createDataFrame(
+        [(g, t, float((t * (g + 3)) % 17)) for g in range(3) for t in range(40)],
+        "g int, t int, v double")
+    a = sorted(tuple(r) for r in theil_sen_by(
+        df, "t", "v", by=["g"], method="sampled").collect())
+    b = sorted(tuple(r) for r in theil_sen_by(
+        df, "t", "v", by=["g"], method="sampled").collect())
+    assert a == b
+    c = sorted(tuple(r) for r in theil_sen_by(
+        df, "t", "v", by=["g"], method="sampled", seed=7).collect())
+    assert {x[0] for x in c} == {x[0] for x in a}  # same groups, any slopes
+    # single-row group: no partners, NULL slope, zero sampled pairs
+    one = spark.createDataFrame([(9, 0, 1.0)], "g int, t int, v double")
+    r1 = theil_sen_by(one, "t", "v", by=["g"], method="sampled").collect()[0]
+    assert (r1["n"], r1["n_pairs"], r1["slope_milli"]) == (1, 0, None)
