@@ -1345,6 +1345,31 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "_retrieved_context")
 
 
+def rag_retrieve_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HYBRID retrieval (retrievers.retrieve_context_join
+    method='hybrid' — reference retrievers/lancedb.py hybrid search,
+    RRF reranker): the vector top-1 (exact-text query ⇒ cosine 1.0 for
+    any embedder, the rag_retrieve_context trick) fuses with the
+    distributed BM25 top-3 over a corpus of single-lang and lang-pair
+    strings. The single wins both lists (2/61); the pairs carry only
+    their BM25 reciprocal ranks — so the fused top-2 is fully
+    SQL-replayable without replaying the embedder."""
+    from docetl_spark.retrievers import retrieve_context_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = ["en", "de", "zh", "fr", "es"]
+    pairs = ["en de", "de zh", "zh fr", "fr es", "es en"]
+    corpus = spark.createDataFrame(
+        [(t,) for t in langs + pairs], ["ctext"])
+    out = retrieve_context_join(
+        docs, corpus, FakeBackend(),
+        text_keys=["ctext"], query_keys=["lang"], k=2, id_col="doc_id",
+        method="hybrid", hybrid_vector_method="brute",
+        hybrid_k_vector=1, hybrid_k_fts=3,
+    )
+    return out.select("doc_id", "lang", "_retrieved_context")
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/text.py pii_redact/pii_counts): plant a
     synthetic email/IP/phone per doc (the corpus text itself is clean),
@@ -4348,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": ann_pq,
         "semdedup_embeddings": semdedup_embeddings,
         "rag_retrieve_context": rag_retrieve_context,
+        "rag_retrieve_hybrid": rag_retrieve_hybrid,
         "passage_dedup_docs": passage_dedup_docs,
         "gram_fingerprint_dups": gram_fingerprint_dups,
         "dedup_incremental": dedup_incremental,
@@ -5472,6 +5498,74 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 10""",
         # join-based RAG: each row's top-1 corpus doc is its own lang
         # string (identical text -> cosine 1.0 under any embedder)
+        # hybrid RRF replay: BM25 over the 10-string corpus (bm25_topk
+        # formula verbatim — the bm25_search_docs idiom), the vector list
+        # pinned to the exact-text match (cosine 1.0 ⇒ rank 1 for any
+        # embedder), fusion = 1/(60+rank) per list, ties by md5 text key
+        "rag_retrieve_hybrid": """
+            WITH c(text) AS (VALUES ('en'),('de'),('zh'),('fr'),('es'),
+                   ('en de'),('de zh'),('zh fr'),('fr es'),('es en')),
+            corp AS (
+              SELECT md5(text) cid, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), t -> t <> '') toks
+              FROM c),
+            stats AS (SELECT COUNT(*) n, SUM(len(toks)) sl FROM corp),
+            q AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+            qt AS (
+              SELECT lang, unnest(list_distinct(list_filter(
+                       regexp_split_to_array(lower(lang), '[^a-z0-9]+'),
+                       t -> t <> ''))) term
+              FROM q),
+            toks AS (SELECT cid, len(toks) dl, unnest(toks) term FROM corp),
+            posting AS (
+              SELECT cid, term, dl, COUNT(*) tf
+              FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY 1, 2, 3),
+            dft AS (SELECT term, COUNT(*) dfreq FROM posting GROUP BY 1),
+            scored AS (
+              SELECT qt.lang, p.cid,
+                     ROUND(SUM(CAST(
+                       ln(CAST(1.0 AS DOUBLE)
+                          + ((s.n - d.dfreq) + CAST(0.5 AS DOUBLE))
+                            / (d.dfreq + CAST(0.5 AS DOUBLE)))
+                       * (p.tf * CAST(2.2 AS DOUBLE)
+                          / (p.tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * p.dl
+                                  / (CAST(s.sl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+                     AS DECIMAL(28,12))), 6) score
+              FROM posting p
+              JOIN dft d ON d.term = p.term
+              JOIN qt ON qt.term = p.term
+              CROSS JOIN stats s
+              GROUP BY 1, 2),
+            fts AS (
+              SELECT lang, cid,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, cid) rl
+              FROM scored QUALIFY rl <= 3),
+            vec AS (SELECT lang, md5(lang) cid, 1 AS rv FROM q),
+            fused AS (
+              SELECT COALESCE(f.lang, v.lang) lang,
+                     COALESCE(f.cid, v.cid) cid,
+                     COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rv), 0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + f.rl), 0) rrf
+              FROM fts f FULL JOIN vec v
+                ON f.lang = v.lang AND f.cid = v.cid),
+            top2 AS (
+              SELECT lang, cid,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY rrf DESC, cid) rk
+              FROM fused QUALIFY rk <= 2),
+            ctx AS (
+              SELECT t.lang,
+                     string_agg('[doc ' || rk || '] ' || corp.text,
+                                e'\n\n' ORDER BY rk) _retrieved_context
+              FROM top2 t JOIN corp ON corp.cid = t.cid
+              GROUP BY 1)
+            SELECT d.doc_id, d.lang, ctx._retrieved_context
+            FROM documents d JOIN ctx ON d.lang = ctx.lang""",
         "rag_retrieve_context": """
             SELECT doc_id, lang, '[doc 1] ' || lang AS _retrieved_context
             FROM documents""",

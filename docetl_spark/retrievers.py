@@ -48,8 +48,12 @@ def _tokens(text: str) -> list[str]:
 class BroadcastRetriever:
     """Top-k retrieval over a broadcast corpus.
 
-    ``mode``: "vector" (cosine over backend embeddings) or "fts"
-    (BM25 over whitespace/alnum tokens; idf precomputed at index time).
+    ``mode``: "vector" (cosine over backend embeddings), "fts"
+    (BM25 over whitespace/alnum tokens; idf precomputed at index time),
+    or "hybrid" — reciprocal-rank fusion of the two (reference
+    retrievers/lancedb.py hybrid search, whose default reranker is
+    RRF): each modality contributes 1/(rrf_k + rank) for its top-k
+    list members, fused score descending, doc index ascending on ties.
     ``query_template`` is a Jinja template rendered with ``{"input": row}``
     to produce the query phrase (defaults to concatenated ``query_keys``
     values). Call :meth:`ensure_index` on the driver before shipping into
@@ -69,15 +73,16 @@ class BroadcastRetriever:
         max_broadcast_rows: int = 200_000,
         max_broadcast_bytes: int = 256 * 1024 * 1024,
     ):
-        if mode not in ("vector", "fts"):
+        if mode not in ("vector", "fts", "hybrid"):
             raise ValueError(f"unknown retriever mode {mode!r}")
-        if mode == "vector" and backend is None:
-            raise ValueError("vector retriever needs a backend for embeddings")
+        if mode in ("vector", "hybrid") and backend is None:
+            raise ValueError("vector/hybrid retriever needs a backend for embeddings")
         self.corpus_df = corpus_df
         self.backend = backend
         self.text_keys = list(text_keys)
         self.mode = mode
         self.k = int(k)
+        self.rrf_k = 60  # the standard RRF constant (and LanceDB's)
         self.query_template = query_template
         self.query_keys = list(query_keys or text_keys)
         self.max_broadcast_rows = int(max_broadcast_rows)
@@ -124,11 +129,11 @@ class BroadcastRetriever:
         # into UDF closures, and DataFrames don't
         self.corpus_df = None
         idx: dict[str, Any] = {"rows": rows}
-        if self.mode == "vector":
+        if self.mode in ("vector", "hybrid"):
             mat = np.array(self.backend.embed([self._content(r) for r in rows]), dtype=float)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             idx["matrix"] = mat
-        else:
+        if self.mode in ("fts", "hybrid"):
             doc_tokens = [_tokens(self._content(r)) for r in rows]
             dfreq: dict[str, int] = {}
             for toks in doc_tokens:
@@ -153,13 +158,14 @@ class BroadcastRetriever:
             self.ensure_index()
         idx = self._index
         q = self._query_phrase(row)
-        if self.mode == "vector":
+        v_order = l_order = None
+        sims = scores = None
+        if self.mode in ("vector", "hybrid"):
             qv = np.asarray(self.backend.embed([q])[0], dtype=float)
             qv /= max(float(np.linalg.norm(qv)), 1e-12)
             sims = idx["matrix"] @ qv
-            order = np.argsort(-sims, kind="stable")[: self.k]
-            docs = [{**idx["rows"][i], "_score": float(sims[i])} for i in order]
-        else:
+            v_order = np.argsort(-sims, kind="stable")[: self.k]
+        if self.mode in ("fts", "hybrid"):
             q_toks = _tokens(q)
             k1, b = 1.5, 0.75
             scores = []
@@ -173,8 +179,20 @@ class BroadcastRetriever:
                     w = idx["idf"].get(t, 0.0)
                     s += w * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / max(idx["avgdl"], 1e-9)))
                 scores.append(s)
-            order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[: self.k]
-            docs = [{**idx["rows"][i], "_score": float(scores[i])} for i in order]
+            l_order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[: self.k]
+        if self.mode == "vector":
+            docs = [{**idx["rows"][i], "_score": float(sims[i])} for i in v_order]
+        elif self.mode == "fts":
+            docs = [{**idx["rows"][i], "_score": float(scores[i])} for i in l_order]
+        else:
+            # RRF over the two top-k lists: absent-from-list contributes 0
+            fused: dict[int, float] = {}
+            for r, i in enumerate(v_order, start=1):
+                fused[int(i)] = fused.get(int(i), 0.0) + 1.0 / (self.rrf_k + r)
+            for r, i in enumerate(l_order, start=1):
+                fused[int(i)] = fused.get(int(i), 0.0) + 1.0 / (self.rrf_k + r)
+            order = sorted(fused, key=lambda i: (-fused[i], i))[: self.k]
+            docs = [{**idx["rows"][i], "_score": fused[i]} for i in order]
         rendered = "\n\n".join(
             f"[doc {j + 1}] " + self._content(d) for j, d in enumerate(docs)
         )
@@ -195,6 +213,10 @@ def retrieve_context_join(
     seed: int = 42,
     out_col: str = "_retrieved_context",
     id_col: str | None = None,
+    rrf_k: int = 60,
+    hybrid_k_vector: int | None = None,
+    hybrid_k_fts: int | None = None,
+    hybrid_vector_method: str = "lsh",
 ):
     """Distributed (join-based) RAG context: top-k corpus docs PER ROW of
     ``df``, rendered into ``out_col`` — the scale path past
@@ -208,6 +230,17 @@ def retrieve_context_join(
     JVM (collect_list of rank-ordered structs), and the result joins
     back on a deterministic row key — no driver-side index, no
     per-row model calls beyond the one embed pass.
+
+    ``method="hybrid"`` (reference retrievers/lancedb.py hybrid search
+    with its default RRF reranker, distributed): the vector top-k list
+    (``hybrid_k_vector``, default ``k``; candidates via
+    ``hybrid_vector_method`` — "lsh" scale path or "brute") and the
+    distributed BM25 top-k list (``hybrid_k_fts``, default ``k``; see
+    bm25_topk's plan) are fused by reciprocal rank — each list
+    contributes 1/(``rrf_k`` + rank) for its members, a full outer
+    join of two rank tables — and the final top-k re-ranks on (fused
+    score desc, doc key asc). Sums of at most two IEEE doubles are
+    order-independent, so the fusion is engine-replayable.
 
     Feed the result to ``semantic_map(retrieved_context_col=out_col)``
     so prompts use ``{{ retrieved_context }}`` without a per-row
@@ -239,10 +272,8 @@ def retrieve_context_join(
     qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
     # duplicate rows share a key; without the dropDuplicates their merged
     # candidate sets would let one doc fill several top-k rank slots
-    q_emb = embed_column(
-        queries.select("_rk", qtext.alias("_qtext")).dropDuplicates(["_rk"]),
-        ["_qtext"], backend, out_col="_qv"
-    )
+    qd = queries.select("_rk", qtext.alias("_qtext")).dropDuplicates(["_rk"])
+    q_emb = embed_column(qd, ["_qtext"], backend, out_col="_qv")
     ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
     # content-keyed dedup: a doc duplicated d times would otherwise
     # occupy min(d, k) rank slots AND multiply again through the
@@ -258,18 +289,50 @@ def retrieve_context_join(
     ).cache()
     c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
 
-    if method == "lsh":
-        dim = len(backend.embed(["dimension probe"])[0])
-        topk = similarity.lsh_topk(
-            c_emb, q_emb, k, dim=dim,
-            n_planes=n_planes, seed=seed, n_probes=n_probes,
-            corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
-            broadcast_queries=False,
+    def _vector_topk(kk: int, vmethod: str):
+        if vmethod == "lsh":
+            dim = len(backend.embed(["dimension probe"])[0])
+            return similarity.lsh_topk(
+                c_emb, q_emb, kk, dim=dim,
+                n_planes=n_planes, seed=seed, n_probes=n_probes,
+                corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
+                broadcast_queries=False,
+            )
+        if vmethod == "brute":
+            return similarity.brute_force_topk(
+                c_emb, q_emb, kk,
+                corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
+            )
+        raise ValueError(f"unknown retrieval method {vmethod!r}")
+
+    if method in ("lsh", "brute"):
+        topk = _vector_topk(k, method)
+    elif method == "hybrid":
+        kv = int(hybrid_k_vector or k)
+        kl = int(hybrid_k_fts or k)
+        v = _vector_topk(kv, hybrid_vector_method).select(
+            F.col("query_id").alias("_rk"), F.col("vec_id").alias("_cid"),
+            F.col("rank").alias("_rv"))
+        l = bm25_topk(
+            c_base.select("_cid", "_ctext"), qd, kl,
+            corpus_id="_cid", corpus_text="_ctext",
+            query_id="_rk", query_text="_qtext",
+        ).select("_rk", "_cid", F.col("rank").alias("_rl"))
+        fused = (
+            v.join(l, ["_rk", "_cid"], "full")
+            .withColumn(
+                "_rrf",
+                F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rv")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rl")), F.lit(0.0)),
+            )
         )
-    elif method == "brute":
-        topk = similarity.brute_force_topk(
-            c_emb, q_emb, k,
-            corpus_id="_cid", query_id="_rk", corpus_vec="_cv", query_vec="_qv",
+        from pyspark.sql import Window as W
+
+        wq = W.partitionBy("_rk").orderBy(F.col("_rrf").desc(), F.col("_cid").asc())
+        topk = (
+            fused.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_rk").alias("query_id"), F.col("_cid").alias("vec_id"), "rank")
         )
     else:
         raise ValueError(f"unknown retrieval method {method!r}")

@@ -265,3 +265,79 @@ def test_bm25_topk_k_cuts_per_query(spark):
     assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
     # equal scores tie-break by doc_id ascending
     assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [0, 1, 2, 3]
+
+
+# ----------------------------------------------------------- hybrid
+
+def test_hybrid_retrieve_rrf_fusion(spark, corpus):
+    """hybrid = RRF of the vector and fts top-k lists (reference
+    lancedb.py hybrid search): a doc that is rank-1 in BOTH lists must
+    fuse above docs present in only one list."""
+    be = FakeBackend()
+    r = BroadcastRetriever(corpus, be, text_keys=["fact"], mode="hybrid",
+                           k=2, query_keys=["fact"])
+    r.ensure_index()
+    # exact corpus text: vector rank 1 (cosine 1.0) AND fts rank 1
+    res = r.retrieve({"fact": "parquet stores columns with statistics"})
+    assert res.docs[0]["kb_id"] == 3
+    # fused score of the double-rank-1 winner = 2/(60+1)
+    assert res.docs[0]["_score"] == pytest.approx(2.0 / 61.0)
+    assert len(res.docs) == 2
+    # the double-rank-1 winner strictly dominates any other fusion
+    # (best possible runner-up is double-rank-2 = 2/62 < 2/61)
+    assert res.docs[1]["_score"] < res.docs[0]["_score"]
+
+
+def test_hybrid_requires_backend(spark, corpus):
+    with pytest.raises(ValueError, match="hybrid"):
+        BroadcastRetriever(corpus, None, text_keys=["fact"], mode="hybrid")
+
+
+def test_retrieve_context_join_hybrid(spark, corpus):
+    """Distributed hybrid: RRF of lsh/brute vector list + BM25 list."""
+    from docetl_spark.retrievers import retrieve_context_join
+
+    docs = spark.createDataFrame([
+        {"id": 1, "q": "spark shuffles on groupBy and join"},  # exact corpus text
+        {"id": 2, "q": "duckdb is an embedded analytics database"},
+    ])
+    out = retrieve_context_join(
+        docs, corpus.selectExpr("fact as ctext"), FakeBackend(),
+        text_keys=["ctext"], query_keys=["q"], k=2, id_col="id",
+        method="hybrid", hybrid_vector_method="brute",
+    ).collect()
+    by_id = {r["id"]: r["_retrieved_context"] for r in out}
+    # identical text wins both lists -> doc 1 of the fused context
+    assert by_id[1].startswith("[doc 1] spark shuffles on groupBy and join")
+    assert by_id[2].startswith("[doc 1] duckdb is an embedded analytics database")
+    assert "[doc 2]" in by_id[1]  # k=2 fused contexts render both slots
+
+
+def test_retrieve_context_hybrid_via_frame_and_yaml(spark, corpus):
+    """mode wiring: the SemanticFrame verb and the YAML op both accept
+    method='hybrid' through their open kwargs."""
+    from docetl_spark import SemanticFrame
+    from docetl_spark.plans.compiler import apply_op
+
+    docs = spark.createDataFrame(
+        [{"id": 1, "q": "parquet stores columns with statistics"}])
+    sf = SemanticFrame.from_df(docs, backend=FakeBackend())
+    out = sf.retrieve_context(
+        corpus.selectExpr("fact as ctext"), text_keys=["ctext"],
+        query_keys=["q"], k=1, id_col="id",
+        method="hybrid", hybrid_vector_method="brute",
+    ).collect()
+    assert out[0]["_retrieved_context"].startswith(
+        "[doc 1] parquet stores columns with statistics")
+    from docetl_spark.plans.ir import OpSpec
+
+    spec = OpSpec(type="retrieve_context", config={
+        "corpus": "kb", "text_keys": ["ctext"], "query_keys": ["q"],
+        "k": 1, "id_col": "id", "method": "hybrid",
+        "hybrid_vector_method": "brute",
+    })
+    kb = SemanticFrame.from_df(
+        corpus.selectExpr("fact as ctext"), backend=FakeBackend())
+    got = apply_op(sf, spec, {"kb": kb}).collect()
+    assert got[0]["_retrieved_context"].startswith(
+        "[doc 1] parquet stores columns with statistics")
