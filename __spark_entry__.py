@@ -486,6 +486,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(indexed, cents, qv, 10, n_probe=8, round_score=4)
 
 
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index artifact (functions/vector_index.py —
+    reference retrievers/lancedb.py persists and reuses its on-disk
+    index): build once, SAVE as parquet+manifest (assignments
+    partitioned by list id), then answer the query from the RELOADED
+    artifact — zero embed/fit work on the read path (the zero-call
+    contract is pinned by BackendMetrics in tests/test_vector_index).
+    Probing all lists makes the result exact, so the ann_ivf
+    brute-force SQL oracle applies verbatim."""
+    import tempfile
+
+    from docetl_spark.functions import vector_index as vx
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    indexed, cents = similarity.ivf_index(emb, n_lists=8)
+    path = tempfile.mkdtemp(prefix="ivf_artifact_")
+    vx.save_ivf_index(indexed, cents, path)
+    return vx.ivf_query(spark, path, qv, 10, n_probe=8, round_score=4)
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str, hot_key_bucket: int | None) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
     sess = timeseries.sessionize(
@@ -4353,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_docs": cluster_docs,
         "cluster_docs_distributed": cluster_docs_distributed,
         "ann_ivf": ann_ivf,
+        "ann_ivf_persisted": ann_ivf_persisted,
         "events_stream_rollup": events_stream_rollup,
         "events_stream_dedup": events_stream_dedup,
         "stream_dedup_corpus": stream_dedup_corpus,
@@ -5066,6 +5088,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored QUALIFY rank <= 10""",
+        # ann_ivf_persisted reloads the saved artifact and probes all
+        # lists -> exact; identical brute-force oracle as ann_ivf
+        "ann_ivf_persisted": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM embeddings e, q
+            )
+            SELECT vec_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_ivf": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (

@@ -314,7 +314,10 @@ class ResilientBackend(ModelBackend):
         batch, preserving input order."""
         if not self.cache_size:
             if not self.cache_dir:
-                return self._retry_embed(texts)
+                out = self._retry_embed(texts)
+                if self.metrics:
+                    self.metrics.calls += 1
+                return out
             # memory layer off but the persistent layer is configured:
             # serve/fill disk (complete() honors cache_dir in this
             # configuration — embed must not silently skip it)
@@ -334,6 +337,8 @@ class ResilientBackend(ModelBackend):
                 miss = still
             if miss:
                 vecs = self._retry_embed([texts[i] for i in miss])
+                if self.metrics:
+                    self.metrics.calls += 1
                 for i, v in zip(miss, vecs):
                     out[i] = v
                     self._disk_put(keys[i], v)
