@@ -3525,6 +3525,32 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift twin (streaming.dist_drift_stateful): per-day
+    TV distance vs a broadcast uniform reference distribution (2000 bp
+    per event type), state = per-window category count map, update-mode
+    emission deduped to each window's final row — which hash-matches
+    the batch share/TV SQL exactly (floored-bp shares, Σ|Δ| DIV 2)."""
+    from docetl_spark.streaming import events as stream_ops
+
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    day = F.expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000")
+    src = ev.select(day.alias("window_start"), "event_type")
+    ref = {"click": 2000, "error": 2000, "purchase": 2000,
+           "signup": 2000, "view": 2000}
+    out = stream_ops.dist_drift_stateful(src, ref_shares_bp=ref)
+    rows = stream_ops.run_available_now(
+        out,
+        checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sdr_"),
+        dedupe_keys=["window_start"], output_mode="update",
+        shuffle_partitions=8,
+    )
+    return stream_ops.drained_df(
+        spark, rows,
+        "window_start long, n long, n_categories long, tv_bp long",
+    )
+
+
 def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency quantiles: a pure composition query —
     lineitem joined to orders (both date-typed, TZ-free day arithmetic),
@@ -4572,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_latency": events_conversion_latency,
         "users_event_degree": users_event_degree,
         "events_stream_crossover": events_stream_crossover,
+        "events_stream_drift": events_stream_drift,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -8894,6 +8921,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT nn.user_id, CAST(nn.n AS BIGINT) n,
                COALESCE(n_pairs, 0) n_pairs, slope_milli
         FROM nn LEFT JOIN med ON nn.user_id = med.user_id"""
+    # streaming drift twin: final drained row per day == the batch
+    # share/TV SQL vs the literal uniform reference (floored-bp shares,
+    # Σ|Δ| DIV 2, union of observed and reference categories)
+    sql["events_stream_drift"] = """
+        WITH ref(cat, bp) AS (VALUES ('click', 2000), ('error', 2000),
+               ('purchase', 2000), ('signup', 2000), ('view', 2000)),
+        c AS (
+          SELECT epoch_ns(ts) // 1000000000 // 86400 AS d,
+                 event_type AS cat, CAST(COUNT(*) AS HUGEINT) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT d, SUM(n) total, COUNT(*) ncat FROM c GROUP BY 1),
+        s AS (
+          SELECT c.d, c.cat, CAST(c.n * 10000 // t.total AS BIGINT) AS share
+          FROM c JOIN t ON c.d = t.d),
+        rx AS (SELECT t.d, ref.cat, ref.bp FROM t CROSS JOIN ref),
+        u AS (
+          SELECT COALESCE(s.d, rx.d) AS d, COALESCE(s.share, 0) AS share,
+                 COALESCE(rx.bp, 0) AS bp
+          FROM s FULL JOIN rx ON s.d = rx.d AND s.cat = rx.cat)
+        SELECT t.d AS window_start, CAST(t.total AS BIGINT) AS n,
+               CAST(t.ncat AS BIGINT) AS n_categories,
+               CAST(SUM(abs(u.share - u.bp)) // 2 AS BIGINT) AS tv_bp
+        FROM u JOIN t ON u.d = t.d GROUP BY 1, 2, 3"""
     sql["events_conversion_latency"] = """
         WITH f AS (
           SELECT user_id,

@@ -935,3 +935,78 @@ def sma_crossover_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dist_drift_stateful(
+    events: DataFrame,
+    *,
+    ref_shares_bp: dict,
+    cat_col: str = "event_type",
+    window_col: str = "window_start",
+) -> DataFrame:
+    """Per-window total-variation drift monitor vs a BROADCAST reference
+    distribution — the streaming twin of mlstats.dist_drift with the
+    online substitution the family's other twins make: a live monitor
+    cannot know the base period's final counts, so the base is a FIXED
+    reference share map (deployment: yesterday's dist_drift detail, or
+    the training corpus profile), shipped in the closure (KBs).
+
+    Input must already carry ``window_col`` (e.g. the exact-floor day
+    bucket) and ``cat_col``. Keyed by the WINDOW: state is the
+    per-category count map (parallel arrays — bounded by category
+    cardinality, not event count), windows parallelize across state
+    partitions. Each micro-batch folds its rows in, then emits the
+    window's CURRENT summary in update mode: n (events so far),
+    n_categories (observed), and tv_bp = Σ|share_bp − ref_bp| DIV 2
+    over the UNION of observed and reference categories, where
+    share_bp = count·10⁴ DIV n — the batch op's exact floored-bp
+    integer arithmetic, so the final drained row per window
+    hash-matches a batch SQL replay. NULL categories are a real level
+    (they match the batch op; the reference map simply has no entry,
+    contributing |share − 0|). Drain with
+    ``run_available_now(dedupe_keys=[window_col])`` to keep each
+    window's final emission.
+    """
+    ref = {k: int(v) for k, v in ref_shares_bp.items()}
+    out_schema = T.StructType([
+        T.StructField(window_col, T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_categories", T.LongType()),
+        T.StructField("tv_bp", T.LongType()),
+    ])
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cats, cnts = state.get
+            d = dict(zip(list(cats), list(cnts)))
+        else:
+            d = {}
+        saw = False
+        for pdf in pdfs:
+            saw = True
+            for c, n in pdf[cat_col].value_counts(dropna=False).items():
+                ck = None if pd.isna(c) else str(c)
+                d[ck] = d.get(ck, 0) + int(n)
+        if not saw or not d:
+            return
+        state.update((list(d.keys()), [int(v) for v in d.values()]))
+        total = sum(d.values())
+        shares = {c: n * 10000 // total for c, n in d.items()}
+        union = set(shares) | set(ref)
+        tv = sum(abs(shares.get(c, 0) - ref.get(c, 0)) for c in union) // 2
+        yield pd.DataFrame({
+            window_col: [key[0]],
+            "n": [total],
+            "n_categories": [len(d)],
+            "tv_bp": [tv],
+        })
+
+    return events.groupBy(window_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="cats ARRAY<STRING>, cnts ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

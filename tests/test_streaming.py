@@ -641,3 +641,45 @@ def test_sma_crossover_stateful_state_carries_across_batches(spark, tmp_path):
         short_n=2, long_n=4, tiebreak="event_id").collect())
     assert got == want and len(got) >= 2
     assert [d_ for _, d_ in got][0] == "golden"
+
+
+# ------------------------------------------------------ drift twin
+
+def test_dist_drift_stateful_cross_batch_and_reference(spark, tmp_path):
+    """State (category count map) survives micro-batches: two files
+    drain to the same final TV as one; exact floored-bp arithmetic vs
+    the broadcast reference."""
+    import pandas as pd
+
+    from docetl_spark.streaming.events import (
+        dist_drift_stateful, read_events_stream, run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000 * 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    # one day window: 3 'a' + 1 'b' split across two files
+    pd.DataFrame(
+        [(1, base, 1, "a", 0.0, ""), (2, base + 1, 1, "a", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b0.parquet")
+    pd.DataFrame(
+        [(3, base + 2, 1, "a", 0.0, ""), (4, base + 3, 1, "b", 0.0, "")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "b1.parquet")
+    src = read_events_stream(spark, str(d), max_files_per_trigger=1).select(
+        F.expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000")
+        .alias("window_start"),
+        "event_type",
+    )
+    out = run_available_now(
+        dist_drift_stateful(src, ref_shares_bp={"a": 5000, "b": 3000, "c": 2000}),
+        checkpoint=str(tmp_path / "ck"),
+        dedupe_keys=["window_start"], output_mode="update",
+        shuffle_partitions=4,
+    )
+    (row,) = out
+    # shares: a = 30000//4 = 7500, b = 10000//4 = 2500
+    # tv = (|7500-5000| + |2500-3000| + |0-2000|) // 2 = 5000 // 2 = 2500
+    assert (row["n"], row["n_categories"], row["tv_bp"]) == (4, 2, 2500)
