@@ -4172,6 +4172,18 @@ def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
                             id_cols=["doc_id"], n_tiers=4)
 
 
+def docs_curriculum_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_order(dense_positions=True): the round-robin manifest
+    re-ranked by one more distributed global row_number so positions
+    are a true 1..N row index (the gapped default is ordering-only) —
+    ADVICE r10's suggested alternative, shipped as an option."""
+    from docetl_spark.functions.training import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"), "n_chars",
+                            id_cols=["doc_id"], n_tiers=4,
+                            dense_positions=True)
+
+
 def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global ECDF of the value distribution at distinct-cents
     grain: percent_rank and cume_dist in integer bp via the
@@ -4589,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_bounce": events_session_bounce,
         "docs_vocab_growth": docs_vocab_growth,
         "docs_curriculum": docs_curriculum,
+        "docs_curriculum_dense": docs_curriculum_dense,
         "events_value_ecdf": events_value_ecdf,
         "part_topk_ties": part_topk_ties,
         "orders_rollup_gid": orders_rollup_gid,
@@ -8797,6 +8810,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars, tier,
                CAST((rt - 1) * 4 + tier AS BIGINT) AS "position"
         FROM r"""
+    sql["docs_curriculum_dense"] = """
+        WITH tiered AS (
+          SELECT doc_id, n_chars,
+                 CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) tier,
+                 md5(concat_ws('|', 'curriculum', CAST(doc_id AS VARCHAR))) h
+          FROM documents WHERE n_chars IS NOT NULL
+        ), r AS (
+          SELECT doc_id, n_chars, tier,
+                 row_number() OVER (PARTITION BY tier
+                                    ORDER BY h, doc_id) rt
+          FROM tiered
+        ), gapped AS (
+          SELECT doc_id, n_chars, tier,
+                 CAST((rt - 1) * 4 + tier AS BIGINT) AS pos
+          FROM r
+        )
+        SELECT doc_id, n_chars, tier,
+               CAST(row_number() OVER (ORDER BY pos) AS BIGINT) AS "position"
+        FROM gapped"""
     sql["events_value_ecdf"] = """
         WITH dv AS (
           SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) value_cents,

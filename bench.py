@@ -318,6 +318,13 @@ BENCH_QUERIES = [
     "events_conversion_latency",
     "users_event_degree",
     "events_stream_crossover",
+    # round-11 additions: the lifted-cap and persistence plans
+    "resolve_limited_pairs",
+    "events_theil_sen_sampled",
+    "rag_retrieve_hybrid",
+    "ann_ivf_persisted",
+    "events_stream_drift",
+    "docs_curriculum_dense",
 ]
 
 

@@ -1268,6 +1268,7 @@ def curriculum_order(
     id_cols: list[str],
     n_tiers: int = 4,
     salt: str = "curriculum",
+    dense_positions: bool = False,
 ) -> DataFrame:
     """Deterministic curriculum manifest: rows are assigned a
     difficulty tier (exact distributed NTILE over ``score_col``, easy
@@ -1280,8 +1281,12 @@ def curriculum_order(
     pair is one ORDER BY flip away.
 
     Output: ``id_cols`` + ``score_col`` + ``tier`` + ``position``
-    (1-based, unique, monotone-consumable — NOT dense: gaps appear
-    whenever tiers are unequal; sort by position, don't index by it).
+    (1-based, unique, monotone-consumable — NOT dense by default: gaps
+    appear whenever tiers are unequal; sort by position, don't index
+    by it). ``dense_positions=True`` adds ONE more distributed global
+    rank over the gapped positions, yielding true 1..N row indices for
+    consumers that index rather than sort — same interleave order,
+    one extra shuffle.
 
     Positions are exact integer arithmetic on per-tier ranks: with
     rows r_t in tier t ordered 1..n_t, position = (r_t − 1)·n_tiers +
@@ -1336,7 +1341,7 @@ def curriculum_order(
     )
     off = offsets.withColumn("_cu_off", (woff - F.col("_n_t")).cast("long")) \
         .select("tier", "_cu_off")
-    return (
+    out = (
         ranked.join(F.broadcast(off), ["tier"])
         .select(
             *id_cols, score_col, F.col("tier").cast("long").alias("tier"),
@@ -1344,3 +1349,11 @@ def curriculum_order(
              + F.col("tier")).cast("long").alias("position"),
         )
     )
+    if dense_positions:
+        out = _global_row_number(
+            out, [F.col("position").asc()], "_cu_dense"
+        ).select(
+            *id_cols, score_col, "tier",
+            F.col("_cu_dense").cast("long").alias("position"),
+        )
+    return out

@@ -48,6 +48,14 @@ QUERIES = [
     "events_auc",
     "events_value_ecdf",
     "lineitem_spearman",
+    # round-11 ritual additions: the lifted-cap plans the verdict asked
+    # to re-measure — the pre-capped equijoin (was the one >20x probe),
+    # the O(n log n) Kendall/MK rewrite, the sampled Theil-Sen, hybrid
+    # RRF retrieval, and the streaming drift twin
+    "events_mann_kendall",
+    "events_theil_sen_sampled",
+    "rag_retrieve_hybrid",
+    "events_stream_drift",
 ]
 
 
@@ -99,4 +107,4 @@ if __name__ == "__main__":
     # sf0.1, then this script with the round's artifact name — a
     # committed BENCH_SF1_r{N}.json per round makes 10x-scale
     # regression detection continuous, not a one-off.
-    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r10.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r11.json")
