@@ -52,8 +52,19 @@ def cmd_run(args) -> int:
         except Exception:
             backend = None  # deterministic-only pipelines need no backend
     spark = _get_spark(args)
+    tracker = None
+    if args.progress:
+        # structured twin of the per-op lines: the run-summary table at
+        # the end (reference console/tui final screen, plain text)
+        from .progress import ProgressTracker
+
+        tracker = ProgressTracker()
     out = run_pipeline(spark, config, backend=backend,
-                       progress=bool(args.progress))
+                       progress=bool(args.progress), tracker=tracker)
+    if tracker is not None:
+        from .progress import render_table
+
+        print(render_table(tracker.snapshot()))
     path = args.output or (config.get("pipeline", {}).get("output") or {}).get("path")
     if path:
         from .sources.readers import write_output

@@ -533,6 +533,7 @@ def run_pipeline(
     backend: ModelBackend | None = None,
     checkpointer=None,
     progress=False,
+    tracker=None,
 ) -> SemanticFrame:
     """Execute a reference-shaped pipeline config:
 
@@ -553,10 +554,31 @@ def run_pipeline(
     on the recount path, so model spend is unchanged; the honest cost
     of --progress is one extra action per op. True prints; a callable
     receives each line (tests inject a list.append).
+
+    ``tracker`` (progress.ProgressTracker | None) records the same
+    lifecycle as structured state — the reference progress/tracker.py
+    surface: ops registered up front in pipeline order, op_start /
+    op_done with out_count and wall, pipeline_done; UIs poll
+    tracker.snapshot() (or .to_dict() for the JSON/websocket shape).
+    A tracker implies the per-op materialization too. If neither is
+    passed but progress.active_tracker() is set, that one is used.
     """
     backend = backend or FakeBackend()
     emit = (print if progress is True else progress) if progress else None
+    if tracker is None:
+        from ..progress import active_tracker
+
+        tracker = active_tracker()
+    count_rows = emit is not None or tracker is not None
     ops_by_name = {o["name"]: o for o in config.get("operations", [])}
+    if tracker is not None:
+        tracker.pipeline_start([
+            (step["name"], ops_by_name[n]["name"], ops_by_name[n]["type"],
+             ops_by_name[n].get("model"))
+            for step in config["pipeline"]["steps"]
+            for n in step.get("operations", [])
+            if n in ops_by_name
+        ])
 
     if config.get("validate", True):
         # lint before any Spark job (reference plan/analysis.py:152-160);
@@ -748,18 +770,24 @@ def run_pipeline(
                 if cached is not None:
                     sf = cached
                     continue
-            _t0 = time.perf_counter() if emit is not None else 0.0
+            _t0 = time.perf_counter() if count_rows else 0.0
+            _op_name = str(spec.config.get("name", ""))
+            if tracker is not None:
+                tracker.op_start(_op_name, spec.type, step=step["name"])
             sf = apply_op(sf, spec, datasets)
             if checkpointer is not None:
                 sf = checkpointer.store(sf)
-            if emit is not None:
+            if count_rows:
                 sf.df.persist()
                 n_out = sf.df.count()
-                emit(
-                    f"[{step['name']}] {spec.type:<13} "
-                    f"{str(spec.config.get('name', '')):<24} -> "
-                    f"{n_out:>9,} rows  {time.perf_counter() - _t0:6.2f}s"
-                )
+                if emit is not None:
+                    emit(
+                        f"[{step['name']}] {spec.type:<13} "
+                        f"{_op_name:<24} -> "
+                        f"{n_out:>9,} rows  {time.perf_counter() - _t0:6.2f}s"
+                    )
+                if tracker is not None:
+                    tracker.op_done(_op_name, out_count=n_out)
                 if _prev_counted is not None:
                     _prev_counted.unpersist()
                 _prev_counted = sf.df
@@ -781,6 +809,8 @@ def run_pipeline(
             last.write_parquet(path)
     if last is None:
         raise ValueError("pipeline has no steps")
+    if tracker is not None:
+        tracker.pipeline_done()
     object.__setattr__(last, "op_log", last.op_log + (("rewrites", {"fired": rewrites_fired}),))
     if validation_notes:
         object.__setattr__(last, "op_log", last.op_log + (("validation", tuple(validation_notes)),))
