@@ -356,6 +356,38 @@ def run_control(spark) -> float:
 CONTROL_REF_SEC = 0.62
 
 
+def run_sched_control(spark) -> float:
+    """Scheduler-bound control: 24 tiny jobs (each a 2-stage shuffle of
+    1k rows). The scan/shuffle control above measures CPU+memory
+    bandwidth but MISSES scheduler/driver contention — a degraded
+    window was observed (r11) where the scan control read 0.98 while
+    many-small-stage analytics queries ran 3x slow. This control's
+    wall is almost entirely DAG scheduling + task round-trips, the
+    regime most of the registry's small-stage queries live in. Min of
+    2 reps."""
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _j in range(24):
+            (
+                spark.range(0, 1000)
+                .groupBy((F.col("id") % 7).alias("k"))
+                .count()
+                .agg(F.count(F.lit(1)))
+                .collect()
+            )
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+# reference for run_sched_control measured on a calm window (round 11,
+# 2026-08-16, local[32], scan control at 0.73-1.0x of ITS reference,
+# min of 9 reps across 2 warm sessions: 2.89/3.13); sched_drift >1
+# means per-query times of small-stage queries are inflated by
+# scheduler contention even when host_drift looks calm.
+SCHED_CONTROL_REF_SEC = 2.9
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     fn = entry.queries()[name]
     start = time.perf_counter()
@@ -405,6 +437,7 @@ def main():
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
     control = run_control(spark)
+    sched_control = run_sched_control(spark)
 
     # N reps per query (default 2): this host's effective CPU drifts up
     # to 2x with co-tenant load even at zero local load (PLANS.md "Bench
@@ -432,6 +465,7 @@ def main():
     # start control, then untouched pure-JVM queries 1.3-1.7x slower
     # mid-run). Report both ends; host_drift = the mean ratio.
     control_end = run_control(spark)
+    sched_control_end = run_sched_control(spark)
     total = round(sum(v for v in timings.values() if v is not None), 3)
     drift = (
         round((control + control_end) / (2 * CONTROL_REF_SEC), 3)
@@ -456,6 +490,13 @@ def main():
         "control_sec": control,
         "control_end_sec": control_end,
         "host_drift": drift,
+        "sched_control_sec": sched_control,
+        "sched_control_end_sec": sched_control_end,
+        "sched_drift": (
+            round((sched_control + sched_control_end)
+                  / (2 * SCHED_CONTROL_REF_SEC), 3)
+            if SCHED_CONTROL_REF_SEC else None
+        ),
         "value_drift_normalized": round(total / drift, 3) if drift else None,
         "artifact": "bench_out.json",
     }

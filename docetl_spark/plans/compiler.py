@@ -77,6 +77,9 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
             skip_on_error=c.get("skip_on_error", False),
             error_col=c.get("error_col"),
             pdf_url_key=c.get("pdf_url_key"),
+            # precomputed-context RAG (retrieve_context step upstream):
+            # the verb accepted this all along; the YAML front dropped it
+            retrieved_context_col=c.get("retrieved_context_col"),
             **be_opts,
         )
     if t == "parallel_map":

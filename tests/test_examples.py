@@ -220,3 +220,18 @@ def test_association_audit_example_runs(spark):
     assert drift and all(r["base_share_bp"] is not None for r in drift)
     imp = spark.sql("SELECT * FROM impurity_report").collect()[0]
     assert 0 <= imp["reduction_bp"] <= imp["parent_gini_bp"]
+
+
+def test_rag_hybrid_example_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/rag_hybrid.yaml")
+    rows = {r["qid"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # exact-text query wins both lists -> fused rank 1 is itself
+    assert rows[1]["_retrieved_context"].startswith(
+        "[doc 1] spark shuffles on groupBy and join")
+    assert rows[2]["_retrieved_context"].startswith(
+        "[doc 1] parquet stores columns with statistics")
+    assert all("[doc 2]" in r["_retrieved_context"] for r in rows.values())
+    assert all(r["answer"] for r in rows.values())
