@@ -4292,6 +4292,55 @@ def events_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (mlstats.cohen_kappa_by):
+    rater A = the event type, rater B = a deterministic event_id-keyed
+    label draw over the same five categories — exact integer kappa
+    from ONE integral division (A·n − S) DIV (n² − S), never a ratio
+    of floored shares."""
+    from docetl_spark.functions.mlstats import cohen_kappa_by
+
+    ev = _t(spark, sf_dir, "events")
+    labels = F.array(*[F.lit(x) for x in
+                       ["click", "error", "purchase", "signup", "view"]])
+    df = ev.select(
+        F.col("event_type").alias("ra"),
+        F.element_at(labels, (F.pmod(F.col("event_id"), F.lit(5)) + 1)
+                     .cast("int")).alias("rb"),
+    )
+    return cohen_kappa_by(df, "ra", "rb")
+
+
+def events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-type mix, weekday vs
+    weekend (mlstats.psi_by): exact floored-bp shares (zeros smoothed
+    to 1 bp), per-category ln-terms rounded to DECIMAL(28,12) before
+    the order-independent sum — the industry drift score as a
+    bit-stable double (the bm25 double discipline)."""
+    from docetl_spark.functions.mlstats import psi_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    df = ev.withColumn(
+        "period",
+        F.when(F.expr("((_e - pmod(_e, 86400)) DIV 86400) % 7").isin(2, 3),
+               F.lit("weekend")).otherwise(F.lit("weekday")),
+    )
+    return psi_by(df, "event_type", "period",
+                  base="weekday", current="weekend")
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (text.ngram_novelty): the share of each
+    document's distinct trigrams whose corpus-first occurrence (min
+    doc_id) is this document — the incremental-dedup decision figure
+    as a per-doc score. One gram→min-id aggregation + equi-join back,
+    no pair table."""
+    from docetl_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textf.ngram_novelty(docs, "text", id_col="doc_id", n=3)
+
+
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-to-first-purchase latency histogram at hour grain: per
     user, the first purchase AT/after the first signup; exact integer
@@ -4612,6 +4661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_event_degree": users_event_degree,
         "events_stream_crossover": events_stream_crossover,
         "events_stream_drift": events_stream_drift,
+        "events_kappa": events_kappa,
+        "events_psi": events_psi,
+        "docs_ngram_novelty": docs_ngram_novelty,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -8976,6 +9028,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(t.ncat AS BIGINT) AS n_categories,
                CAST(SUM(abs(u.share - u.bp)) // 2 AS BIGINT) AS tv_bp
         FROM u JOIN t ON u.d = t.d GROUP BY 1, 2, 3"""
+    # kappa: exact integers — A agreements, S = Σ marginal products;
+    # kappa_bp = (A·n − S)·10⁴ // (n² − S), one truncating division
+    sql["events_kappa"] = """
+        WITH labs(i, lab) AS (VALUES (0, 'click'), (1, 'error'),
+               (2, 'purchase'), (3, 'signup'), (4, 'view')),
+        r AS (
+          SELECT e.event_type AS ra, labs.lab AS rb
+          FROM events e JOIN labs ON labs.i = e.event_id % 5
+          WHERE e.event_type IS NOT NULL
+        ),
+        ab AS (SELECT ra, rb, CAST(COUNT(*) AS HUGEINT) c FROM r GROUP BY 1, 2),
+        ca AS (SELECT ra AS k, SUM(c) ca FROM ab GROUP BY 1),
+        cb AS (SELECT rb AS k, SUM(c) cb FROM ab GROUP BY 1),
+        s AS (SELECT SUM(ca.ca * cb.cb) s FROM ca JOIN cb ON ca.k = cb.k),
+        g AS (SELECT SUM(c) n,
+                     SUM(CASE WHEN ra = rb THEN c ELSE 0 END) a
+              FROM ab)
+        SELECT CAST(g.n AS BIGINT) n, CAST(g.a AS BIGINT) n_agree,
+               CAST(g.a * 10000 // g.n AS BIGINT) po_bp,
+               CAST(s.s * 10000 // (g.n * g.n) AS BIGINT) pe_bp,
+               CASE WHEN g.n * g.n - s.s <> 0 THEN
+                 CAST((g.a * g.n - s.s) * 10000 // (g.n * g.n - s.s) AS BIGINT)
+               END AS kappa_bp
+        FROM g CROSS JOIN s"""
+    # psi: floored-bp shares (zeros -> 1 bp), term doubles cast to
+    # DECIMAL(28,12) (burying the 1-ulp ln() wobble), decimal SUM,
+    # round 6 — the bm25 idiom, so the double hash-matches
+    sql["events_psi"] = """
+        WITH src AS (
+          SELECT event_type AS cat,
+                 CASE WHEN (epoch_ns(ts) // 1000000000 // 86400) % 7 IN (2, 3)
+                      THEN 'weekend' ELSE 'weekday' END AS period
+          FROM events
+        ), cells AS (
+          SELECT cat,
+                 CAST(SUM(CASE WHEN period = 'weekday' THEN 1 ELSE 0 END)
+                      AS HUGEINT) a,
+                 CAST(SUM(CASE WHEN period = 'weekend' THEN 1 ELSE 0 END)
+                      AS HUGEINT) b
+          FROM src GROUP BY 1
+        ), tot AS (SELECT SUM(a) ta, SUM(b) tb FROM cells),
+        sh AS (
+          SELECT greatest(CAST(a * 10000 // ta AS BIGINT), 1) p,
+                 greatest(CAST(b * 10000 // tb AS BIGINT), 1) q,
+                 a, b
+          FROM cells CROSS JOIN tot
+        )
+        SELECT CAST(SUM(a) AS BIGINT) n_base, CAST(SUM(b) AS BIGINT) n_current,
+               COUNT(*) n_categories,
+               CASE WHEN SUM(a) > 0 AND SUM(b) > 0 THEN
+                 CAST(ROUND(SUM(CAST(
+                   (p - q) / CAST(10000.0 AS DOUBLE)
+                   * ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))
+                 AS DECIMAL(28,12))), 6) AS DOUBLE)
+               END AS psi
+        FROM sh"""
+    # novelty: per-doc distinct trigrams vs the gram -> min(doc_id)
+    # first-occurrence table (the docs_ngram_stats tokenization)
+    sql["docs_ngram_novelty"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(tk) >= 3
+                   THEN list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                   ELSE [] END)) AS gram
+          FROM tok
+        ), fo AS (SELECT gram, MIN(doc_id) AS first FROM g GROUP BY 1),
+        cnt AS (
+          SELECT g.doc_id, COUNT(*) AS n_ngrams,
+                 SUM(CASE WHEN g.doc_id = fo.first THEN 1 ELSE 0 END) AS n_novel
+          FROM g JOIN fo ON g.gram = fo.gram GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(cnt.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(cnt.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN cnt.n_ngrams > 0 THEN
+                 CAST(cnt.n_novel * 10000 // cnt.n_ngrams AS BIGINT)
+               END AS novelty_bp
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"""
     sql["events_conversion_latency"] = """
         WITH f AS (
           SELECT user_id,

@@ -325,6 +325,9 @@ BENCH_QUERIES = [
     "ann_ivf_persisted",
     "events_stream_drift",
     "docs_curriculum_dense",
+    "events_kappa",
+    "events_psi",
+    "docs_ngram_novelty",
 ]
 
 

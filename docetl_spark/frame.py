@@ -1754,6 +1754,42 @@ class SemanticFrame:
             "woe_table", feature_col=feature_col, label_col=label_col, by=by,
         )
 
+    def cohen_kappa(self, rater_a: str, rater_b: str, *,
+                    by: list[str] | None = None) -> "SemanticFrame":
+        """Inter-rater agreement, exact kappa in bp — see
+        functions/mlstats.cohen_kappa_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.cohen_kappa_by(self.df, rater_a, rater_b, by=by),
+            "cohen_kappa", rater_a=rater_a, rater_b=rater_b, by=by,
+        )
+
+    def psi(self, category_col: str, period_col: str, *,
+            base, current, **kw) -> "SemanticFrame":
+        """Population stability index between two period labels
+        (bit-stable double via the bm25 decimal discipline) — see
+        functions/mlstats.psi_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.psi_by(self.df, category_col, period_col,
+                           base=base, current=current, **kw),
+            "psi", category_col=category_col, period_col=period_col,
+            base=base, current=current, **kw,
+        )
+
+    def ngram_novelty(self, text_col: str, *, id_col: str,
+                      n: int = 3) -> "SemanticFrame":
+        """Per-doc share of corpus-first n-grams — see
+        functions/text.ngram_novelty."""
+        from .functions import text as textf
+
+        return self._next(
+            textf.ngram_novelty(self.df, text_col, id_col=id_col, n=n),
+            "ngram_novelty", text_col=text_col, id_col=id_col, n=n,
+        )
+
     def trimmed_mean(self, value_col: str, *, by: list[str],
                      **kw) -> "SemanticFrame":
         """Per-group trimmed mean in fixed-point cents — see

@@ -1023,3 +1023,159 @@ def _theil_sen_sampled(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.col("slope_milli"),
     )
+
+
+def cohen_kappa_by(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement per group, EXACT in basis
+    points: with A = #(a == b) agreements, n rows, and S = Σ_k
+    count_a(k)·count_b(k) the chance-agreement mass from the marginals,
+    kappa = (A/n − S/n²) / (1 − S/n²) = (A·n − S) / (n² − S) — ONE
+    integral division of two exact integers, never a ratio of floored
+    intermediate shares. The labeling-QA / judge-vs-judge figure that
+    po_bp alone overstates whenever the label distribution is skewed.
+
+    Output: ``by`` + ``n`` + ``n_agree`` + ``po_bp`` (floored observed
+    agreement) + ``pe_bp`` (floored chance agreement) + ``kappa_bp``
+    (NULL when n² == S — both raters constant on one category, kappa
+    undefined). NULL ratings on either side drop; category equality is
+    exact (cast to string on both sides so cross-type columns compare
+    the way the marginals group).
+
+    Plan: ONE shuffle to the (by, a, b) pair-count grain; agreements,
+    marginals, and S all re-aggregate from it map-side-combinably (the
+    kendall decomposition posture). No joins, no windows.
+    """
+    reserved = {"n", "n_agree", "po_bp", "pe_bp", "kappa_bp",
+                "_ck_a", "_ck_b", "_ck_c"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"cohen_kappa_by reserves column names {clash}")
+    bys = list(by or [])
+    base = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(
+        *bys,
+        F.col(rater_a).cast("string").alias("_ck_a"),
+        F.col(rater_b).cast("string").alias("_ck_b"),
+    )
+    ab = base.groupBy(*bys, "_ck_a", "_ck_b").agg(
+        F.count(F.lit(1)).alias("_ck_c"))
+    # marginal products per category: S = Σ_k ca_k * cb_k — join the two
+    # marginals on the category (bounded by category cardinality)
+    ca = ab.groupBy(*bys, F.col("_ck_a").alias("_k")).agg(
+        F.sum("_ck_c").alias("_ca"))
+    cb = ab.groupBy(*bys, F.col("_ck_b").alias("_k")).agg(
+        F.sum("_ck_c").alias("_cb"))
+    s = (
+        ca.join(cb, bys + ["_k"])
+        .groupBy(*bys)
+        .agg(F.sum(
+            F.col("_ca").cast("decimal(38,0)") * F.col("_cb")).alias("_s"))
+    )
+    g = ab.groupBy(*bys).agg(
+        F.sum("_ck_c").alias("_n"),
+        F.sum(F.when(F.col("_ck_a") == F.col("_ck_b"), F.col("_ck_c"))
+              .otherwise(0)).alias("_agree"),
+    )
+    out = g.join(s, bys) if bys else g.crossJoin(s)
+    return out.select(
+        *bys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_agree").cast("long").alias("n_agree"),
+        F.expr("CAST(CAST(_agree AS DECIMAL(38,0)) * 10000"
+               " DIV _n AS BIGINT)").alias("po_bp"),
+        F.expr("CAST(_s * 10000 DIV (CAST(_n AS DECIMAL(38,0)) * _n)"
+               " AS BIGINT)").alias("pe_bp"),
+        F.expr(
+            "CASE WHEN CAST(_n AS DECIMAL(38,0)) * _n - _s <> 0 THEN "
+            "CAST((CAST(_agree AS DECIMAL(38,0)) * _n - _s) * 10000 "
+            "DIV (CAST(_n AS DECIMAL(38,0)) * _n - _s) AS BIGINT) END"
+        ).alias("kappa_bp"),
+    )
+
+
+def psi_by(
+    df: DataFrame,
+    category_col: str,
+    period_col: str,
+    *,
+    base,
+    current,
+    by: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population stability index between two period labels — the
+    industry-standard drift score dist_drift's TV deliberately avoids,
+    shipped with the bm25_topk double-discipline so it still
+    hash-replays cross-engine: per-category shares are EXACT floored
+    basis points first (zero shares smoothed to 1 bp — the standard
+    PSI zero rule, deterministic), each term ((p−q)/10⁴)·ln(p/q) is a
+    double computed from those INTEGERS and cast to DECIMAL(28,12)
+    (burying the 1-ulp JVM-vs-libm ln() wobble far below the rounding
+    digit), and the per-group PSI is the order-independent decimal sum
+    rounded to ``round_dp``. Categories present in either period
+    participate; NULL category is a real level; NULL period matches
+    neither label.
+
+    Output: ``by`` + ``n_base`` + ``n_current`` + ``n_categories`` +
+    ``psi`` (double, NULL when either period is empty).
+
+    Plan: identical to dist_drift — one shuffle to the (by, category)
+    conditional-count grain, a broadcast scalar join for the totals,
+    one aggregation. The interpretation ladder (<0.1 stable, 0.1-0.25
+    moderate, >0.25 major) rides on a double that is bit-stable.
+    """
+    reserved = {"n_base", "n_current", "n_categories", "psi",
+                "_ps_c", "_ps_a", "_ps_b", "_ta", "_tb"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"psi_by reserves column names {clash}")
+    bys = list(by or [])
+    cells = df.select(
+        *bys, F.col(category_col).alias("_ps_c"),
+        F.when(F.col(period_col) == F.lit(base), 1).otherwise(0).alias("_in_a"),
+        F.when(F.col(period_col) == F.lit(current), 1).otherwise(0).alias("_in_b"),
+    ).filter((F.col("_in_a") == 1) | (F.col("_in_b") == 1)).groupBy(
+        *bys, "_ps_c"
+    ).agg(
+        F.sum("_in_a").alias("_ps_a"),
+        F.sum("_in_b").alias("_ps_b"),
+    )
+    if bys:
+        tot = cells.groupBy(*bys).agg(
+            F.sum("_ps_a").alias("_ta"), F.sum("_ps_b").alias("_tb"))
+        j = cells.join(tot, bys)
+    else:
+        tot = cells.agg(F.sum("_ps_a").alias("_ta"), F.sum("_ps_b").alias("_tb"))
+        j = broadcast_scalar_join(cells, tot, df_col="_ps_a", scalar_col="_ta")
+    shares = j.select(
+        *bys, "_ps_a", "_ps_b", "_ta", "_tb",
+        # floored bp shares, zeros smoothed to 1 bp (the PSI zero rule);
+        # an EMPTY period yields NULL shares (psi is NULL then anyway —
+        # the when-guard below — but ANSI DIV by zero must never fire)
+        F.when(F.col("_ta") > 0, F.greatest(
+            F.expr("CAST(_ps_a * 10000 DIV _ta AS BIGINT)"), F.lit(1)))
+        .alias("_p"),
+        F.when(F.col("_tb") > 0, F.greatest(
+            F.expr("CAST(_ps_b * 10000 DIV _tb AS BIGINT)"), F.lit(1)))
+        .alias("_q"),
+    )
+    term = (
+        (F.col("_p") - F.col("_q")).cast("double") / F.lit(10000.0)
+        * F.log(F.col("_p").cast("double") / F.col("_q").cast("double"))
+    ).cast("decimal(28,12)")
+    return shares.groupBy(*bys).agg(
+        F.sum("_ps_a").cast("long").alias("n_base"),
+        F.sum("_ps_b").cast("long").alias("n_current"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.when(
+            (F.sum("_ps_a") > 0) & (F.sum("_ps_b") > 0),
+            F.round(F.sum(term), int(round_dp)).cast("double"),
+        ).alias("psi"),
+    )

@@ -680,3 +680,61 @@ def vocab_growth(df, text_col: str, *, id_col: str, step: int = 100):
             F.col("_vg_new_cum").cast("long").alias("cum_vocab"),
         )
     )
+
+
+def ngram_novelty(df, text_col: str, *, id_col: str, n: int = 3):
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    word n-grams whose FIRST corpus occurrence (minimum ``id_col``) is
+    this document — the dedup-analytics profile behind "how much of
+    each incoming doc is new text", the incremental-dedup decision
+    figure as a per-doc score instead of a drop.
+
+    Output: ``id_col`` + ``n_ngrams`` (distinct grams in the doc) +
+    ``n_novel`` (grams this doc introduces) + ``novelty_bp``
+    (n_novel·10⁴ DIV n_ngrams; docs with < n tokens report 0 grams and
+    NULL novelty). Deterministic: ties on the first occurrence go to
+    the LOWEST id — "first" is by id order, the ingestion order key.
+
+    Plan (linear, the dedup posture): tokenize once, explode DISTINCT
+    grams per doc, ONE aggregation to (gram → min id) — map-side
+    combinable, gram-cardinality bounded — then an equi-join back on
+    the gram and a per-doc count. No pair table, no window.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from ..session import widen_for_udf
+
+    tk = tokens(F.trim(F.lower(F.col(text_col))))
+    grams = F.expr(
+        f"CASE WHEN size(_tk) >= {int(n)} THEN "
+        f"array_distinct(transform(sequence(1, size(_tk) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {int(n)})))) "
+        f"ELSE array() END"
+    )
+    ids = df.select(F.col(id_col))
+    per_doc = (
+        widen_for_udf(df.select(F.col(id_col), F.col(text_col)))
+        .select(id_col, tk.alias("_tk"))
+        .select(id_col, F.explode(grams).alias("_gram"))
+    )
+    first = per_doc.groupBy("_gram").agg(F.min(id_col).alias("_first"))
+    counts = (
+        per_doc.join(first, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col(id_col) == F.col("_first"), 1).otherwise(0))
+            .alias("n_novel"),
+        )
+    )
+    return (
+        ids.join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr("CASE WHEN n_ngrams > 0 THEN "
+                   "CAST(n_novel * 10000 DIV n_ngrams AS BIGINT) END")
+            .alias("novelty_bp"),
+        )
+    )

@@ -399,6 +399,13 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                              base=c.pop("base"), current=c.pop("current"), **c)
     if t == "woe_table":
         return sf.woe_table(c.pop("feature_col"), c.pop("label_col"), **c)
+    if t == "cohen_kappa":
+        return sf.cohen_kappa(c.pop("rater_a"), c.pop("rater_b"), **c)
+    if t == "psi":
+        return sf.psi(c.pop("category_col"), c.pop("period_col"),
+                      base=c.pop("base"), current=c.pop("current"), **c)
+    if t == "ngram_novelty":
+        return sf.ngram_novelty(c.pop("text_col"), id_col=c.pop("id_col"), **c)
     if t == "trimmed_mean":
         return sf.trimmed_mean(c.pop("value_col"), by=c.pop("by"), **c)
     if t == "mann_kendall":

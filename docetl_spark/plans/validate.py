@@ -57,6 +57,7 @@ _KNOWN_OPS = {
     "bursts", "transition_probs",
     "pareto_coverage", "correlation_r2", "sequence_ngrams", "zipf_profile",
     "spearman", "cramers_v2", "impurity", "dist_drift", "woe_table",
+    "cohen_kappa", "psi", "ngram_novelty",
     "trimmed_mean", "mann_kendall", "kendall_tau", "theil_sen",
     "kaplan_meier", "changepoint_mean_shift", "sma_crossover", "runs",
     "acf_table", "session_entry_exit", "vocab_growth", "curriculum_order",
@@ -268,6 +269,9 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "impurity": ("feature_col", "label_col"),
         "dist_drift": ("category_col", "period_col", "base", "current"),
         "woe_table": ("feature_col", "label_col"),
+        "cohen_kappa": ("rater_a", "rater_b"),
+        "psi": ("category_col", "period_col", "base", "current"),
+        "ngram_novelty": ("text_col", "id_col"),
         "trimmed_mean": ("value_col", "by"),
         "mann_kendall": ("ts_col", "value_col", "by"),
         "kendall_tau": ("x_col", "y_col", "by"),
