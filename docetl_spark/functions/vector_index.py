@@ -78,6 +78,11 @@ def save_ivf_index(
         os.path.join(path, "centroids.parquet"))
     (
         indexed.select(id_col, vec_col, "_ivf_list")
+        # repartition ON the partition column first: without it every
+        # input partition writes a file into every list directory
+        # (n_partitions x n_lists small files — the classic partitioned-
+        # write explosion); with it, one file per list
+        .repartition("_ivf_list")
         .write.mode("overwrite").partitionBy("_ivf_list")
         .parquet(os.path.join(path, "assignments"))
     )
@@ -140,7 +145,8 @@ def ivf_append(
         F.col(vc).cast("array<double>").alias(meta["vec_col"]),
     ).withColumn("_ivf_list", nearest_list(F.col(meta["vec_col"])))
     (
-        assigned.write.mode("append").partitionBy("_ivf_list")
+        assigned.repartition("_ivf_list")
+        .write.mode("append").partitionBy("_ivf_list")
         .parquet(os.path.join(path, "assignments"))
     )
     return meta
