@@ -4407,6 +4407,114 @@ def events_stream_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of event value across event types
+    (mlstats.kruskal_wallis_by): exact integer 2-midranks through the
+    distributed prefix-sum collapse, per-level micro terms floored in
+    DECIMAL (never Spark's BIGINT-typed div — the r11 overflow
+    lesson), tie-corrected H in bp from one integral division."""
+    from docetl_spark.functions.mlstats import kruskal_wallis_by
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis_by(ev, "value", "event_type")
+
+
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week
+    (mlstats.mutual_info_by): exact integer cell/marginal counts, each
+    ln-term rounded to DECIMAL(28,12) before the order-independent sum
+    — the psi/bm25 double discipline."""
+    from docetl_spark.functions.mlstats import mutual_info_by
+
+    ev = _t(spark, sf_dir, "events").withColumn("_e", _epoch_s("ts"))
+    df = ev.select(
+        "event_type",
+        F.expr("((_e - pmod(_e, 86400)) DIV 86400) % 7").alias("dow"))
+    return mutual_info_by(df, "event_type", "dow")
+
+
+def orders_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order totalprice across order priorities
+    (mlstats.anova_f_by): fixed-point cents, micro-floored level terms
+    in DECIMAL, F and eta² each ONE integral division of exact
+    integers."""
+    from docetl_spark.functions.mlstats import anova_f_by
+
+    orders = _t(spark, sf_dir, "orders")
+    return anova_f_by(orders, "o_totalprice", "o_orderpriority")
+
+
+def _part_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-order graph: undirected edges between parts appearing in
+    the same order — the co-occurrence graph construction of
+    text.cooccurrence_stats, at the lineitem grain. One self-join on
+    the order key (bounded by items-per-order, ~4 in TPC-H — never a
+    hub blowup), canonical (lo, hi) distinct."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
+        .distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation + clustering coefficient on the
+    part co-order graph (graphs.triangle_count): degree-ordered
+    orientation (Suri-Vassilvitskii) bounds wedge work at O(m^1.5)
+    regardless of degree skew; each triangle counted once at its
+    order-minimal corner; cc_bp one integral division."""
+    from docetl_spark.functions.graphs import triangle_count
+
+    e = _part_coorder_edges(spark, sf_dir)
+    return triangle_count(e, "pa", "pb").select(
+        F.col("node").alias("part"), "degree", "triangles", "cc_bp")
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-2-iteration PageRank over the (mirrored) part co-order
+    graph (graphs.pagerank): integer rank mass 10¹², every division an
+    integral DIV both engines floor identically, dangling/floored mass
+    documented-lost — bit-replayable influence scores."""
+    from docetl_spark.functions.graphs import pagerank
+
+    e = _part_coorder_edges(spark, sf_dir)
+    return pagerank(e, "pa", "pb", iters=2, damping_bp=8500,
+                    directed=False).select(
+        F.col("node").alias("part"), "rank_e12")
+
+
+def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-≥3 part co-order graph
+    (graphs.graph_components — the fuzzy-dedup CC machinery as a
+    public graph verb): thresholding on co-order support (the
+    basket_pairs idiom) sparsifies the graph the way near-dup edge
+    verification does before clustering. Oracle: DuckDB recursive-CTE
+    min-label closure."""
+    from docetl_spark.functions.graphs import graph_components
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
+        .distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"),
+                 F.col("b.l_partkey").alias("pb"))
+        .agg(F.countDistinct("l_orderkey").alias("sup"))
+        .filter(F.col("sup") >= 3)
+        .select("pa", "pb")
+    )
+    return graph_components(e, "pa", "pb").select(
+        F.col("node").alias("part"), "component")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4664,6 +4772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kappa": events_kappa,
         "events_psi": events_psi,
         "docs_ngram_novelty": docs_ngram_novelty,
+        "events_kruskal": events_kruskal,
+        "events_mutual_info": events_mutual_info,
+        "orders_anova": orders_anova,
+        "part_triangles": part_triangles,
+        "part_pagerank": part_pagerank,
+        "part_components": part_components,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -9155,6 +9269,192 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * GROUPING(o_orderstatus)
                     + GROUPING(o_orderpriority) AS BIGINT) gid
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+    # kruskal: global 2-midranks via window rank, per-level micro
+    # terms floored in HUGEINT (// mirrors Spark's truncating DIV —
+    # both truncate toward zero, verified), tie mass from the
+    # distinct-value grain
+    sql["events_kruskal"] = """
+        WITH base AS (
+          SELECT value AS v, event_type AS g FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), r AS (
+          SELECT g, 2 * RANK() OVER (ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY v) - 1 AS mr2
+          FROM base
+        ), pg AS (
+          SELECT g, CAST(COUNT(*) AS HUGEINT) ng,
+                 CAST(SUM(CAST(mr2 AS HUGEINT)) AS HUGEINT) sg
+          FROM r GROUP BY 1
+        ), agg AS (
+          SELECT CAST(SUM(ng) AS HUGEINT) n, COUNT(*) k,
+                 SUM(sg * sg * 1000000 // ng) sumterm
+          FROM pg
+        ), ties AS (
+          SELECT SUM(CAST(t AS HUGEINT) * t * t - t) tt
+          FROM (SELECT COUNT(*) t FROM base GROUP BY v)
+        )
+        SELECT CAST(n AS BIGINT) n, CAST(k AS INT) n_groups,
+               CASE WHEN n >= 2 AND k >= 2 THEN
+                 CAST(3 * (sumterm - 1000000 * n * (n + 1) * (n + 1))
+                      // (100 * n * (n + 1)) AS BIGINT) END AS h_bp,
+               CASE WHEN n >= 2 AND k >= 2
+                         AND n * n * n - n - tt > 0 THEN
+                 CAST((3 * (sumterm - 1000000 * n * (n + 1) * (n + 1))
+                       // (100 * n * (n + 1))) * (n * n * n - n)
+                      // (n * n * n - n - tt) AS BIGINT) END AS h_tie_bp
+        FROM agg CROSS JOIN ties"""
+    # mutual info: exact cell/marginal counts; term doubles cast to
+    # DECIMAL(28,12) before the order-independent sum (psi discipline)
+    sql["events_mutual_info"] = """
+        WITH src AS (
+          SELECT CAST(event_type AS VARCHAR) a,
+                 CAST((epoch_ns(ts) // 1000000000
+                       // 86400) % 7 AS VARCHAR) b
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+          SELECT a, b, CAST(COUNT(*) AS HUGEINT) c FROM src GROUP BY 1, 2
+        ), ca AS (SELECT a, SUM(c) ca FROM cells GROUP BY 1),
+        cb AS (SELECT b, SUM(c) cb FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(c) n FROM cells)
+        SELECT CAST(tot.n AS BIGINT) n, COUNT(*) n_cells,
+               CASE WHEN tot.n > 0 THEN
+                 CAST(ROUND(SUM(CAST(
+                   CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                   * ln(CAST(c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                        / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+                 AS DECIMAL(28,12))), 6) AS DOUBLE) END AS mi
+        FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+        GROUP BY tot.n"""
+    # anova: cents via floor(x*100 + 0.5) (the to_cents idiom), level
+    # micro terms floored in HUGEINT, F/eta2 single divisions
+    sql["orders_anova"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        ), pg AS (
+          SELECT g, CAST(COUNT(*) AS HUGEINT) ng, SUM(v) sg, SUM(v * v) qg
+          FROM base GROUP BY 1
+        ), agg AS (
+          SELECT CAST(SUM(ng) AS HUGEINT) n, COUNT(*) k,
+                 SUM(sg) s, SUM(qg) q,
+                 SUM(sg * sg * 1000000 // ng) sumterm
+          FROM pg
+        ), sq AS (
+          SELECT n, k,
+                 sumterm - s * s * 1000000 // n AS ssb,
+                 q * 1000000 - sumterm AS ssw
+          FROM agg
+        )
+        SELECT CAST(n AS BIGINT) n, CAST(k AS INT) n_groups,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+                 CAST(ssb * (n - k) * 10000 // (ssw * (k - 1)) AS BIGINT)
+               END AS f_bp,
+               CASE WHEN ssb + ssw > 0 THEN
+                 CAST(ssb * 10000 // (ssb + ssw) AS BIGINT)
+               END AS eta2_bp
+        FROM sq"""
+    # part co-order graph (shared CTE text): canonical distinct edges
+    # from the lineitem order self-join
+    _graph_edges = """
+        pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )"""
+    # triangles: replay the degree-ordered orientation exactly — each
+    # triangle generated once at its (degree, node)-minimal corner
+    sql["part_triangles"] = f"""
+        WITH {_graph_edges},
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) dg
+          FROM (SELECT s AS node FROM e0
+                UNION ALL SELECT d FROM e0) GROUP BY 1
+        ), o AS (
+          SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND e0.s < e0.d)
+                      THEN e0.s ELSE e0.d END lo,
+                 CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND e0.s < e0.d)
+                      THEN e0.d ELSE e0.s END hi,
+                 CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND e0.s < e0.d)
+                      THEN dd.dg ELSE ds.dg END dhi
+          FROM e0 JOIN deg ds ON ds.node = e0.s JOIN deg dd ON dd.node = e0.d
+        ), tri AS (
+          SELECT w.p, w.lo, w.hi
+          FROM (SELECT x.lo AS p, x.hi AS lo, y.hi AS hi
+                FROM o x JOIN o y ON x.lo = y.lo
+                WHERE x.dhi < y.dhi OR (x.dhi = y.dhi AND x.hi < y.hi)) w
+          JOIN o z ON z.lo = w.lo AND z.hi = w.hi
+        ), pn AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) triangles
+          FROM (SELECT p AS node FROM tri
+                UNION ALL SELECT lo FROM tri
+                UNION ALL SELECT hi FROM tri) GROUP BY 1
+        )
+        SELECT deg.node AS part, deg.dg AS degree,
+               CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN deg.dg >= 2 THEN
+                 CAST(2 * CAST(COALESCE(pn.triangles, 0) AS HUGEINT)
+                      * 10000 // (CAST(deg.dg AS HUGEINT) * (deg.dg - 1))
+                      AS BIGINT) END AS cc_bp
+        FROM deg LEFT JOIN pn ON deg.node = pn.node"""
+    # pagerank: 2 unrolled integer iterations over the mirrored graph,
+    # every division a truncating // on nonnegative mass
+    sql["part_pagerank"] = f"""
+        WITH {_graph_edges},
+        e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+        nodes AS (SELECT DISTINCT s AS node FROM e),
+        od AS (SELECT s AS node, CAST(COUNT(*) AS HUGEINT) od
+               FROM e GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS HUGEINT) n FROM nodes),
+        r0 AS (
+          SELECT node, CAST(1000000000000 AS HUGEINT) // tot.n AS rk,
+                 (10000 - 8500) * (CAST(1000000000000 AS HUGEINT) // tot.n)
+                   // 10000 AS base
+          FROM nodes CROSS JOIN tot
+        ),
+        c1 AS (
+          SELECT e.d AS node, SUM(r0.rk // od.od) cin
+          FROM e JOIN r0 ON r0.node = e.s JOIN od ON od.node = e.s
+          GROUP BY 1
+        ),
+        r1 AS (
+          SELECT r0.node, r0.base,
+                 r0.base + 8500 * COALESCE(c1.cin, 0) // 10000 AS rk
+          FROM r0 LEFT JOIN c1 ON c1.node = r0.node
+        ),
+        c2 AS (
+          SELECT e.d AS node, SUM(r1.rk // od.od) cin
+          FROM e JOIN r1 ON r1.node = e.s JOIN od ON od.node = e.s
+          GROUP BY 1
+        ),
+        r2 AS (
+          SELECT r1.node, r1.base + 8500 * COALESCE(c2.cin, 0) // 10000 AS rk
+          FROM r1 LEFT JOIN c2 ON c2.node = r1.node
+        )
+        SELECT node AS part, CAST(rk AS BIGINT) AS rank_e12 FROM r2"""
+    # components: min-label transitive closure by recursive CTE over
+    # the support->=3 sparsified graph (mirrored for both directions)
+    sql["part_components"] = """
+        WITH RECURSIVE
+        pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        es AS (
+          SELECT a.l_partkey AS s, b.l_partkey AS d
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(DISTINCT a.l_orderkey) >= 3
+        ),
+        e AS (SELECT s, d FROM es UNION ALL SELECT d, s FROM es),
+        reach(node, lbl) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+        )
+        SELECT node AS part, MIN(lbl) AS component
+        FROM reach GROUP BY 1"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

@@ -328,6 +328,12 @@ BENCH_QUERIES = [
     "events_kappa",
     "events_psi",
     "docs_ngram_novelty",
+    "events_kruskal",
+    "events_mutual_info",
+    "orders_anova",
+    "part_triangles",
+    "part_pagerank",
+    "part_components",
 ]
 
 

@@ -1846,6 +1846,69 @@ class SemanticFrame:
             by=by,
         )
 
+    def kruskal_wallis(self, value_col: str, group_col: str, *,
+                       by: list[str] | None = None) -> "SemanticFrame":
+        """Kruskal-Wallis H (rank one-way ANOVA), exact bp — see
+        functions/mlstats.kruskal_wallis_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.kruskal_wallis_by(self.df, value_col, group_col, by=by),
+            "kruskal_wallis", value_col=value_col, group_col=group_col, by=by,
+        )
+
+    def mutual_info(self, a_col: str, b_col: str, *,
+                    by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Mutual information (nats) between two categorical columns —
+        see functions/mlstats.mutual_info_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.mutual_info_by(self.df, a_col, b_col, by=by, **kw),
+            "mutual_info", a_col=a_col, b_col=b_col, by=by, **kw,
+        )
+
+    def anova_f(self, value_col: str, group_col: str, *,
+                by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """One-way ANOVA F + eta² in exact bp on fixed-point cents —
+        see functions/mlstats.anova_f_by."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.anova_f_by(self.df, value_col, group_col, by=by, **kw),
+            "anova_f", value_col=value_col, group_col=group_col, by=by, **kw,
+        )
+
+    def triangle_count(self, src: str, dst: str) -> "SemanticFrame":
+        """Per-node triangles + clustering coefficient (degree-ordered
+        orientation, O(m^1.5)) — see functions/graphs.triangle_count."""
+        from .functions import graphs
+
+        return self._next(
+            graphs.triangle_count(self.df, src, dst),
+            "triangle_count", src=src, dst=dst,
+        )
+
+    def pagerank(self, src: str, dst: str, **kw) -> "SemanticFrame":
+        """Fixed-iteration integer-mass PageRank — see
+        functions/graphs.pagerank."""
+        from .functions import graphs
+
+        return self._next(
+            graphs.pagerank(self.df, src, dst, **kw),
+            "pagerank", src=src, dst=dst, **kw,
+        )
+
+    def graph_components(self, src: str, dst: str, **kw) -> "SemanticFrame":
+        """Connected components (min member id) of the undirected
+        graph — see functions/graphs.graph_components."""
+        from .functions import graphs
+
+        return self._next(
+            graphs.graph_components(self.df, src, dst, **kw),
+            "graph_components", src=src, dst=dst, **kw,
+        )
+
     def changepoint_mean_shift(self, *, keys: list[str], ts_col: str,
                                value_col: str, **kw) -> "SemanticFrame":
         """Best between-SS mean-shift split per key stream — see

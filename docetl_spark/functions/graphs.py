@@ -1,0 +1,240 @@
+"""Distributed graph analytics over plain edge DataFrames — the
+round-11 wave-5 home. No reference analogue (the reference engine
+(docetl) has no graph layer); these extend the training-data-pipeline
+surface: dedup-cluster shape audits (degree/component profiles),
+co-occurrence graph structure (triangles / clustering coefficient as a
+community-density signal), and influence scores (PageRank over
+citation / co-edit / retrieval graphs) for curriculum weighting.
+
+Contract matches functions/stats.py: decision figures are integer
+arithmetic (basis points / fixed 10¹² rank mass — never a double near
+a comparison), no bare global windows, no all-pairs joins (triangle
+counting rides the degree-ordered orientation that bounds wedge work
+at O(m^1.5) regardless of skew), and every op replays bit-for-bit in
+the DuckDB oracle (same integral divisions, same orientation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .stats import broadcast_scalar_join
+
+
+def canonical_edges(
+    df: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Undirected edge canonicalization: (least, greatest) endpoint
+    pair, self-loops and NULL endpoints dropped, exact distinct.
+    Output columns ``src``/``dst`` with src < dst. One hash shuffle on
+    the canonical pair (the exact-dedup plan); everything downstream
+    keys on this grain."""
+    return (
+        df.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                  & (F.col(src) != F.col(dst)))
+        .select(F.least(F.col(src), F.col(dst)).alias("src"),
+                F.greatest(F.col(src), F.col(dst)).alias("dst"))
+        .distinct()
+    )
+
+
+def degree_table(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-node degree. Undirected (default): ``(node, degree)`` over
+    the union of both endpoints — callers pass canonical_edges output.
+    Directed: ``(node, out_degree, in_degree, degree)`` with degree =
+    out + in. ONE map-side-combinable aggregation over the endpoint
+    union; no joins."""
+    if not directed:
+        ends = edges.select(F.col(src).alias("node")).unionByName(
+            edges.select(F.col(dst).alias("node")))
+        return ends.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("degree"))
+    ends = edges.select(
+        F.col(src).alias("node"), F.lit(1).alias("_out"), F.lit(0).alias("_in")
+    ).unionByName(edges.select(
+        F.col(dst).alias("node"), F.lit(0).alias("_out"), F.lit(1).alias("_in")))
+    return ends.groupBy("node").agg(
+        F.sum("_out").cast("long").alias("out_degree"),
+        F.sum("_in").cast("long").alias("in_degree"),
+        F.count(F.lit(1)).cast("long").alias("degree"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over an UNDIRECTED graph (edges are canonicalized here; callers
+    may pass any (src, dst) pair table).
+
+    The Suri–Vassilvitskii degree-ordered orientation: each undirected
+    edge is directed from the endpoint that is SMALLER in the total
+    order (degree, node) to the larger, so every node's oriented
+    out-degree is O(√m) no matter how skewed the raw degrees are —
+    the wedge self-join (oriented edges joined on their source) then
+    does O(m^1.5) work total instead of Σdeg² (which a star graph
+    drives quadratic). Each triangle {a,b,c} is generated EXACTLY once,
+    at its order-minimal vertex, and closed by one equi-join of the
+    wedge pair against the oriented edge set.
+
+    Output: ``(node, degree, triangles, cc_bp)`` for every node of the
+    graph, where cc_bp = 2·triangles·10⁴ DIV (degree·(degree−1)) —
+    floored basis points, NULL for degree < 2. Isolated vertices are
+    not rows (no edges ⇒ not in the edge table).
+
+    Plan: canonical shuffle → degree agg → two broadcast-free
+    equi-joins (orientation stamp, wedge closure) → explode the 3
+    triangle corners → count. Every join keys on node ids; AQE handles
+    residual skew. Wedge pairs are ordered by the SAME (degree, node)
+    total order, so the closure probe is a single directed lookup.
+    """
+    e = canonical_edges(edges, src, dst)
+    deg = degree_table(e)
+    # stamp both endpoints with their (degree, node) order key
+    d1 = deg.select(F.col("node").alias("src"), F.col("degree").alias("_ds"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("degree").alias("_dd"))
+    stamped = e.join(d1, "src").join(d2, "dst")
+    lo_first = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst")))
+    oriented = stamped.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(lo_first, F.col("_dd")).otherwise(F.col("_ds")).alias("_dhi"),
+    )
+    # wedges at the order-minimal pivot: pair the pivot's out-neighbors,
+    # ordered by the same (degree, node) key so closure is directed
+    a = oriented.select(F.col("lo").alias("_p"), F.col("hi").alias("_a"),
+                        F.col("_dhi").alias("_da"))
+    b = oriented.select(F.col("lo").alias("_p"), F.col("hi").alias("_b"),
+                        F.col("_dhi").alias("_db"))
+    wedges = (
+        a.join(b, "_p")
+        .filter((F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))))
+        .select("_p", F.col("_a").alias("lo"), F.col("_b").alias("hi"))
+    )
+    tri = wedges.join(oriented.select("lo", "hi"), ["lo", "hi"])
+    corners = tri.select(
+        F.explode(F.array(F.col("_p"), F.col("lo"), F.col("hi"))).alias("node"))
+    per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles"))
+    return deg.join(per_node, "node", "left").select(
+        "node", "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("CAST(2 * CAST(coalesce(triangles, 0) AS DECIMAL(38,0))"
+                   " * 10000 DIV (CAST(degree AS DECIMAL(38,0))"
+                   " * (degree - 1)) AS BIGINT)"),
+        ).alias("cc_bp"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 3,
+    damping_bp: int = 8500,
+    directed: bool = True,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count, exact in integer rank
+    mass so it replays bit-for-bit cross-engine: total mass 10¹² is
+    spread uniformly (rank₀ = 10¹² DIV n per node), and each iteration
+    computes rank' = base + d·Σ_in (rank DIV outdeg) DIV 10⁴ with
+    base = (10⁴ − damping_bp)·(10¹² DIV n) DIV 10⁴ — every division an
+    integral DIV both engines floor identically. Mass lost to flooring
+    and to dangling nodes (out-degree 0) is NOT redistributed — the
+    documented variant: ranks are a lower bound on the limit ranks,
+    and their ORDER (the decision output) matches the standard variant
+    on graphs whose dangling mass is small; pass a strongly-connected
+    edge set when absolute values matter. Undirected mode mirrors each
+    edge first.
+
+    Output: ``(node, rank_e12)`` — rank in 10⁻¹² units of total mass
+    (BIGINT; Σ ≤ 10¹²). Fixed ``iters`` keeps the unrolled plan
+    Catalyst-sized (each iteration is one src-join + one dst-agg);
+    production graphs at 100 TB run iters ≤ ~10 with a localCheckpoint
+    every few rounds to cut lineage — beyond that, sum-convergence
+    should gate instead (out of scope for an exact-replay op).
+
+    Plan: nodes/out-degrees aggregate once; per iteration ONE shuffle
+    joining ranks to edges on src and ONE aggregation on dst (AQE
+    re-plans skewed hubs); the uniform base rides a broadcast scalar,
+    never a crossJoin.
+    """
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    if not (0 <= int(damping_bp) <= 10000):
+        raise ValueError("pagerank: damping_bp must be in [0, 10000]")
+    e = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    ).select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("_od"))
+    n_tot = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    base = broadcast_scalar_join(nodes, n_tot, df_col="node", scalar_col="_n")
+    state = base.select(
+        "node",
+        F.expr("CAST(1000000000000 DIV _n AS BIGINT)").alias("_r0"),
+        F.expr(f"CAST(({10000 - int(damping_bp)}"
+               f" * (1000000000000 DIV _n)) DIV 10000 AS BIGINT)")
+        .alias("_base"),
+    ).join(outdeg, "node", "left")
+    rank = state.select("node", F.col("_r0").alias("rank"), "_base", "_od")
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(rank.filter(F.col("_od").isNotNull()).select(
+                F.col("node").alias("src"),
+                F.expr("CAST(rank DIV _od AS BIGINT)").alias("_c")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        rank = rank.join(contrib, "node", "left").select(
+            "node",
+            F.expr(f"CAST(_base + {int(damping_bp)} * coalesce(_in, 0)"
+                   " DIV 10000 AS BIGINT)").alias("rank"),
+            "_base", "_od",
+        )
+    return rank.select("node", F.col("rank").alias("rank_e12"))
+
+
+def graph_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 20,
+    local_edge_gate: int = 2_000_000,
+) -> DataFrame:
+    """Connected components of the undirected graph — the public verb
+    over dedup.connected_components (component id = min member id;
+    driver union-find under ``local_edge_gate`` edges, distributed
+    min-label propagation beyond — the fuzzy-dedup machinery).
+    Output: ``(node, component)`` for every edge endpoint."""
+    e = canonical_edges(edges, src, dst).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    from .dedup import connected_components
+
+    verts = (e.select(F.col("id_a").alias("node"))
+             .unionByName(e.select(F.col("id_b").alias("node"))).distinct())
+    out = connected_components(
+        e, verts, "node", max_iter=max_iter, local_edge_gate=local_edge_gate)
+    return out.select("node", "component")

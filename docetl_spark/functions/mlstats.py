@@ -1179,3 +1179,313 @@ def psi_by(
             F.round(F.sum(term), int(round_dp)).cast("double"),
         ).alias("psi"),
     )
+
+
+def kruskal_wallis_by(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H (rank-based one-way ANOVA) per ``by`` cell,
+    EXACT in basis points: with 2·midranks r (integers — _midrank2, the
+    spearman machinery), S_g = Σ r within a level of ``group_col``, and
+    Σ_g S_g = n(n+1) exactly, H = 3·(Σ_g S_g²/n_g − n(n+1)²)/(n(n+1)).
+    Each per-level term is floored ONCE at micro precision
+    (S_g²·10⁶ DIV n_g — both engines floor identically, error < 1e-6
+    per level), then h_bp = 3·(Σterm − 10⁶·n(n+1)²) DIV (100·n(n+1)).
+    The tie-corrected figure divides by C = 1 − ΣT/(n³−n) with
+    T = Σ(t³−t) over value-tie groups: h_tie_bp = h_bp·(n³−n) DIV
+    (n³−n−ΣT), NULL when every value ties (C = 0, H undefined).
+
+    Output: ``by`` + ``n`` + ``n_groups`` + ``h_bp`` + ``h_tie_bp``.
+    Rows with NULL value or NULL group drop before ranking (a NULL
+    holds no rank; the reference population is the tested rows).
+
+    Plan: midranks — grouped: one window riding the (by) shuffle;
+    GLOBAL: the distributed prefix-sum collapse (never a bare global
+    window) — then ONE map-side-combinable aggregation to the
+    (by, group) grain and one more to (by); tie mass T re-aggregates
+    from the same distinct-value grain. Named exact-range guards (the
+    changepoint posture — never a silent ANSI overflow): per level,
+    S_g²·10⁶ must fit 38 digits and the quotient S_g²·10⁶/n_g the
+    10³² decimal-division capacity (≈ 10⁷–10⁸ rows per cell before the
+    raise); the tie-corrected quotient must fit BIGINT (raises when
+    the tie correction C → 0 on a nearly-all-tied cell).
+    """
+    reserved = {"n", "n_groups", "h_bp", "h_tie_bp", "_kw_r", "_kw_g",
+                "_mr_v", "_mr_c", "_mr_c_cum", "_pid"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"kruskal_wallis_by reserves column names {clash}")
+    bys = list(by or [])
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*bys, F.col(value_col).alias("_kw_v"),
+             F.col(group_col).cast("string").alias("_kw_g"))
+    ranked = _midrank2(base, "_kw_v", "_kw_r", bys or None)
+    # per-(by, group): rank sum and count; term floored at micro grain
+    per_g = ranked.groupBy(*bys, "_kw_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng"),
+        F.sum(F.col("_kw_r").cast("decimal(38,0)")).alias("_sg"),
+    )
+    err = F.lit(
+        "kruskal_wallis_by: rank moments exceed the exact decimal range"
+        " (cell too large) — compute on a coarser grain or sample")
+    # Per-level micro term S_g²·10⁶ DIV n_g computed in DECIMAL —
+    # Spark's `div` yields a BIGINT and silently/ANSI-overflows on the
+    # ~10²⁰⁺ quotients real rank sums produce (the r10 changepoint
+    # lesson): floor(x/b) = (x − pmod(x, b))/b stays decimal-exact up
+    # to the (38,6) division capacity of 10³². Digit guards keep both
+    # the product (≤ 38 digits) and the quotient (≤ 32) representable;
+    # the CASE keeps ANSI from ever evaluating an overflowing branch.
+    lvl_oob = (
+        "length(CAST(_sg AS STRING)) > 16"
+        " OR 2 * length(CAST(_sg AS STRING))"
+        " - length(CAST(_ng AS STRING)) > 25")
+    term = (
+        f"CASE WHEN {lvl_oob} THEN CAST(NULL AS DECIMAL(38,0))"
+        " ELSE CAST((_sg * _sg * 1000000"
+        " - pmod(_sg * _sg * 1000000, _ng)) / _ng AS DECIMAL(38,0)) END")
+    agg = per_g.groupBy(*bys).agg(
+        F.sum("_ng").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.expr(term)).alias("_sumterm"),
+        # guard rides INSIDE the output expressions below — a free-
+        # standing check column would be pruned away by Catalyst
+        F.max(F.expr(lvl_oob)).alias("_oob"),
+    )
+    # tie mass from the distinct-value grain of the same population
+    ties = base.groupBy(*bys, "_kw_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_t")
+    ).groupBy(*bys).agg(
+        F.sum(F.expr("_t * _t * _t - _t")).alias("_tt"))
+    j = (agg.join(ties, bys) if bys else
+         broadcast_scalar_join(agg, ties, df_col="_n", scalar_col="_tt"))
+    hnum = "(3 * (_sumterm - 1000000 * _n * (_n + 1) * (_n + 1)))"
+    hden = "(100 * _n * (_n + 1))"
+    # quotient = 10⁴·H ≤ 10⁴·n — BIGINT-safe for every n the per-level
+    # guard admits, so the plain DIV is exact here
+    h_bp = F.expr(f"CAST({hnum} DIV {hden} AS BIGINT)")
+    # tie-corrected: h_bp·(n³−n) DIV (n³−n−T); guard the product into
+    # 38 digits and the quotient (C → 0 blows it up) into BIGINT
+    tie_oob = (
+        f"length(CAST(abs(CAST({hnum} DIV {hden} AS BIGINT)) AS STRING))"
+        " + length(CAST(_n * _n * _n - _n AS STRING)) > 38"
+        f" OR length(CAST(abs(CAST({hnum} DIV {hden} AS BIGINT)) AS STRING))"
+        " + length(CAST(_n * _n * _n - _n AS STRING))"
+        " - length(CAST(_n * _n * _n - _n - _tt AS STRING)) + 1 > 18")
+    h_tie = F.expr(
+        f"CASE WHEN {tie_oob} THEN NULL ELSE "
+        f"CAST(CAST({hnum} DIV {hden} AS DECIMAL(38,0))"
+        " * (_n * _n * _n - _n)"
+        " DIV (_n * _n * _n - _n - _tt) AS BIGINT) END")
+
+    def _guarded(cond, val):
+        return F.when(cond, F.raise_error(err)).otherwise(val)
+
+    return j.select(
+        *bys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("int").alias("n_groups"),
+        _guarded(F.col("_oob"),
+                 F.when((F.col("_n") >= 2) & (F.col("_k") >= 2), h_bp))
+        .alias("h_bp"),
+        _guarded(
+            F.col("_oob") | (
+                (F.expr("_n * _n * _n - _n - _tt") > 0) & F.expr(tie_oob)),
+            F.when(
+                (F.col("_n") >= 2) & (F.col("_k") >= 2)
+                & (F.expr("_n * _n * _n - _n - _tt") > 0),
+                h_tie,
+            )).alias("h_tie_bp"),
+    )
+
+
+def mutual_info_by(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    by: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns per
+    ``by`` cell — the feature-association figure chi²/Cramér's V
+    doesn't give in information units, shipped with the psi_by double
+    discipline so it hash-replays cross-engine: every term
+    (c/n)·ln(c·n/(ca·cb)) is a double computed from EXACT integer
+    counts, cast to DECIMAL(28,12) (burying the 1-ulp ln() wobble),
+    order-independently summed as decimal, rounded to ``round_dp``.
+    NULL in either column drops the row (a missing label is not a
+    level here — cast NULLs to a sentinel upstream to count them).
+
+    Output: ``by`` + ``n`` + ``n_cells`` + ``mi`` (nats, ≥ 0 up to
+    rounding; NULL when n = 0).
+
+    Plan: the cohen_kappa decomposition — ONE shuffle to the
+    (by, a, b) pair-count grain; marginals re-aggregate from it
+    map-side-combinably and join back at the cell grain (bounded by
+    label-pair cardinality, never by rows).
+    """
+    reserved = {"n", "n_cells", "mi", "_mi_a", "_mi_b", "_mi_c",
+                "_ca", "_cb", "_n"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"mutual_info_by reserves column names {clash}")
+    bys = list(by or [])
+    cells = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(
+        *bys,
+        F.col(a_col).cast("string").alias("_mi_a"),
+        F.col(b_col).cast("string").alias("_mi_b"),
+    ).groupBy(*bys, "_mi_a", "_mi_b").agg(
+        F.count(F.lit(1)).alias("_mi_c"))
+    ca = cells.groupBy(*bys, "_mi_a").agg(F.sum("_mi_c").alias("_ca"))
+    cb = cells.groupBy(*bys, "_mi_b").agg(F.sum("_mi_c").alias("_cb"))
+    if bys:
+        tot = cells.groupBy(*bys).agg(F.sum("_mi_c").alias("_n"))
+        j = (cells.join(ca, bys + ["_mi_a"]).join(cb, bys + ["_mi_b"])
+             .join(tot, bys))
+    else:
+        tot = cells.agg(F.sum("_mi_c").alias("_n"))
+        j = broadcast_scalar_join(
+            cells.join(ca, ["_mi_a"]).join(cb, ["_mi_b"]),
+            tot, df_col="_mi_c", scalar_col="_n")
+    term = (
+        F.col("_mi_c").cast("double") / F.col("_n").cast("double")
+        * F.log(
+            F.col("_mi_c").cast("double") * F.col("_n").cast("double")
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double")))
+    ).cast("decimal(28,12)")
+    return j.groupBy(*bys).agg(
+        F.sum("_mi_c").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.when(F.sum("_mi_c") > 0,
+               F.round(F.sum(term), int(round_dp)).cast("double")).alias("mi"),
+    )
+
+
+def anova_f_by(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    by: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA F per ``by`` cell, EXACT in basis points on
+    fixed-point values (to_cents at ``scale``): with per-level sums
+    S_g = Σv, the between/within sum-of-squares decomposition runs on
+    micro-floored level terms t_g = S_g²·10⁶ DIV n_g (both engines
+    floor identically): SSB·10⁶ = Σt_g − S²·10⁶ DIV n and SSW·10⁶ =
+    10⁶·Σv² − Σt_g, so f_bp = SSB·(n−k)·10⁴ DIV (SSW·(k−1)) and the
+    effect size eta2_bp = SSB·10⁴ DIV (SSB+SSW) are single integral
+    divisions of exact integers. NULL value or group drops the row.
+
+    Output: ``by`` + ``n`` + ``n_groups`` + ``f_bp`` (NULL when SSW=0
+    — all within-level values identical — or k < 2 or n ≤ k) +
+    ``eta2_bp`` (NULL when SST = 0).
+
+    Plan: ONE shuffle to the (by, group) grain carrying (n, Σv, Σv²);
+    cell totals re-aggregate map-side-combinably. Named exact-range
+    guards (the changepoint posture): per level, S_g²·10⁶ must fit 38
+    digits and its n_g-quotient the 10³² decimal-division capacity;
+    the F quotient must fit BIGINT (raises when SSW → 0 with a huge
+    SSB instead of silently overflowing) — coarser grain or a smaller
+    scale beyond.
+    """
+    reserved = {"n", "n_groups", "f_bp", "eta2_bp", "_av_v", "_av_g"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"anova_f_by reserves column names {clash}")
+    bys = list(by or [])
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*bys, F.col(group_col).cast("string").alias("_av_g"),
+             to_cents(F.col(value_col), scale).alias("_av_v"))
+    per_g = base.groupBy(*bys, "_av_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng"),
+        F.sum(F.col("_av_v").cast("decimal(38,0)")).alias("_sg"),
+        F.sum(F.col("_av_v").cast("decimal(38,0)") * F.col("_av_v"))
+        .alias("_qg"),
+    )
+    err = F.lit(
+        "anova_f_by: level moments exceed the exact decimal range"
+        " (cell too large) — coarser grain or smaller scale")
+    # micro terms S²·10⁶ DIV n in DECIMAL (Spark's `div` yields BIGINT
+    # and overflows on real cents data — the kruskal/changepoint
+    # posture): floor(x/b) = (x − pmod(x, b))/b, digit-guarded into
+    # the 38-digit product and 10³² quotient capacity, CASE-protected
+    # so ANSI never evaluates an overflowing branch
+    lvl_oob = (
+        "length(CAST(abs(_sg) AS STRING)) > 16"
+        " OR 2 * length(CAST(abs(_sg) AS STRING))"
+        " - length(CAST(_ng AS STRING)) > 25")
+
+    def _microterm(s: str, b: str) -> str:
+        return (f"CAST(({s} * {s} * 1000000"
+                f" - pmod({s} * {s} * 1000000, {b})) / {b}"
+                " AS DECIMAL(38,0))")
+
+    agg = per_g.groupBy(*bys).agg(
+        F.sum("_ng").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_qg").alias("_q"),
+        F.sum(F.expr(
+            f"CASE WHEN {lvl_oob} THEN CAST(NULL AS DECIMAL(38,0))"
+            f" ELSE {_microterm('_sg', '_ng')} END")).alias("_sumterm"),
+        # guard rides INSIDE the output expressions below (pruning-safe)
+        F.max(F.expr(lvl_oob)).alias("_oob"),
+    ).select(
+        *bys, "_n", "_k",
+        (F.col("_oob") | F.expr(
+            "length(CAST(abs(_s) AS STRING)) > 16"
+            " OR 2 * length(CAST(abs(_s) AS STRING))"
+            " - length(CAST(_n AS STRING)) > 25")).alias("_oob"),
+        F.expr(
+            "CASE WHEN length(CAST(abs(_s) AS STRING)) > 16"
+            " OR 2 * length(CAST(abs(_s) AS STRING))"
+            " - length(CAST(_n AS STRING)) > 25 THEN NULL"
+            f" ELSE _sumterm - {_microterm('_s', '_n')} END").alias("_ssb"),
+        F.expr("_q * 1000000 - _sumterm").alias("_ssw"),
+    )
+    # F quotient must fit the BIGINT that DIV yields (SSW → 0 blows it
+    # up): digit-guard, named raise — never a silent ANSI overflow
+    f_oob = (
+        "length(CAST(abs(_ssb) AS STRING))"
+        " + length(CAST(_n - _k AS STRING)) + 4 > 38"
+        " OR length(CAST(_ssw AS STRING)) + length(CAST(_k - 1 AS STRING)) > 38"
+        " OR length(CAST(abs(_ssb) AS STRING))"
+        " + length(CAST(_n - _k AS STRING)) + 4"
+        " - (length(CAST(_ssw AS STRING))"
+        " + length(CAST(_k - 1 AS STRING)) - 1) + 1 > 18")
+
+    def _guarded(cond, val):
+        return F.when(cond, F.raise_error(err)).otherwise(val)
+
+    return agg.select(
+        *bys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("int").alias("n_groups"),
+        _guarded(
+            F.col("_oob") | (
+                (F.col("_k") >= 2) & (F.col("_n") > F.col("_k"))
+                & (F.col("_ssw") > 0) & F.expr(f_oob)),
+            F.when(
+                (F.col("_k") >= 2) & (F.col("_n") > F.col("_k"))
+                & (F.col("_ssw") > 0),
+                F.expr(f"CASE WHEN {f_oob} THEN NULL ELSE"
+                       " CAST(_ssb * (_n - _k) * 10000"
+                       " DIV (_ssw * (_k - 1)) AS BIGINT) END"),
+            )).alias("f_bp"),
+        _guarded(
+            F.col("_oob"),
+            F.when(
+                F.col("_ssb") + F.col("_ssw") > 0,
+                F.expr("CAST(_ssb * 10000 DIV (_ssb + _ssw) AS BIGINT)"),
+            )).alias("eta2_bp"),
+    )

@@ -419,6 +419,18 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                             by=c.pop("by"), **c)
     if t == "kaplan_meier":
         return sf.kaplan_meier(c.pop("duration_col"), c.pop("event_col"), **c)
+    if t == "kruskal_wallis":
+        return sf.kruskal_wallis(c.pop("value_col"), c.pop("group_col"), **c)
+    if t == "mutual_info":
+        return sf.mutual_info(c.pop("a_col"), c.pop("b_col"), **c)
+    if t == "anova_f":
+        return sf.anova_f(c.pop("value_col"), c.pop("group_col"), **c)
+    if t == "triangle_count":
+        return sf.triangle_count(c.pop("src"), c.pop("dst"))
+    if t == "pagerank":
+        return sf.pagerank(c.pop("src"), c.pop("dst"), **c)
+    if t == "graph_components":
+        return sf.graph_components(c.pop("src"), c.pop("dst"), **c)
     if t == "changepoint_mean_shift":
         return sf.changepoint_mean_shift(keys=c.pop("keys"),
                                          ts_col=c.pop("ts_col"),

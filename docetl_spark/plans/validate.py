@@ -61,6 +61,8 @@ _KNOWN_OPS = {
     "trimmed_mean", "mann_kendall", "kendall_tau", "theil_sen",
     "kaplan_meier", "changepoint_mean_shift", "sma_crossover", "runs",
     "acf_table", "session_entry_exit", "vocab_growth", "curriculum_order",
+    "kruskal_wallis", "mutual_info", "anova_f",
+    "triangle_count", "pagerank", "graph_components",
 }
 
 
@@ -278,6 +280,12 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "theil_sen": ("ts_col", "value_col", "by"),
         "kaplan_meier": ("duration_col", "event_col"),
         "changepoint_mean_shift": ("keys", "ts_col", "value_col"),
+        "kruskal_wallis": ("value_col", "group_col"),
+        "mutual_info": ("a_col", "b_col"),
+        "anova_f": ("value_col", "group_col"),
+        "triangle_count": ("src", "dst"),
+        "pagerank": ("src", "dst"),
+        "graph_components": ("src", "dst"),
         "sma_crossover": ("keys", "ts_col", "value_col"),
         "runs": ("keys", "ts_col", "value_col"),
         "acf_table": ("keys", "ts_col", "value_col"),
