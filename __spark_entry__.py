@@ -4489,30 +4489,67 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"), "rank_e12")
 
 
-def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the support-≥3 part co-order graph
-    (graphs.graph_components — the fuzzy-dedup CC machinery as a
-    public graph verb): thresholding on co-order support (the
-    basket_pairs idiom) sparsifies the graph the way near-dup edge
-    verification does before clustering. Oracle: DuckDB recursive-CTE
-    min-label closure."""
-    from docetl_spark.functions.graphs import graph_components
-
+def _part_support_edges(spark: SparkSession, sf_dir: str,
+                        min_support: int) -> DataFrame:
+    """Support-thresholded part co-order edges (the basket_pairs
+    sparsification idiom): parts co-occurring in ≥ min_support distinct
+    orders — how near-dup edge verification prunes a candidate graph
+    before clustering."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
         .distinct()
     a = li.alias("a")
     b = li.alias("b")
-    e = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .groupBy(F.col("a.l_partkey").alias("pa"),
                  F.col("b.l_partkey").alias("pb"))
         .agg(F.countDistinct("l_orderkey").alias("sup"))
-        .filter(F.col("sup") >= 3)
+        .filter(F.col("sup") >= int(min_support))
         .select("pa", "pb")
     )
+
+
+def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-≥3 part co-order graph
+    (graphs.graph_components — the fuzzy-dedup CC machinery as a
+    public graph verb). Oracle: DuckDB recursive-CTE min-label
+    closure."""
+    from docetl_spark.functions.graphs import graph_components
+
+    e = _part_support_edges(spark, sf_dir, 3)
     return graph_components(e, "pa", "pb").select(
         F.col("node").alias("part"), "component")
+
+
+def part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard similar part pairs on the support-≥2
+    co-order graph (graphs.jaccard_neighbors): the structural MinHash
+    analogue — parts similar because they co-occur with the same third
+    parts. Every-pivot wedge counting under the deterministic hub cut,
+    one integral division per pair."""
+    from docetl_spark.functions.graphs import jaccard_neighbors
+
+    e = _part_support_edges(spark, sf_dir, 2)
+    return jaccard_neighbors(e, "pa", "pb", min_common=1).select(
+        F.col("node_a").alias("part_a"), F.col("node_b").alias("part_b"),
+        "common", "degree_a", "degree_b", "jaccard_bp")
+
+
+def part_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised brand-label spreading over the support-≥2
+    co-order graph (graphs.label_propagation): 5% of parts seed their
+    p_brand, two synchronous rounds, most-frequent-neighbor-label with
+    the smallest-label tie-break — the propagate-scarce-human-labels
+    pattern, exactly replayable."""
+    from docetl_spark.functions.graphs import label_propagation
+
+    e = _part_support_edges(spark, sf_dir, 2)
+    part = _t(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    return label_propagation(e, seeds, "pa", "pb", iters=2).select(
+        F.col("node").alias("part"), "label", "is_seed")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4778,6 +4815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": part_triangles,
         "part_pagerank": part_pagerank,
         "part_components": part_components,
+        "part_jaccard": part_jaccard,
+        "part_label_prop": part_label_prop,
     }
     # The driver's per-round correctness gate checks the FIRST 50 keys
     # (CORRECTNESS_r02-r05 == registry[:50] of each era), while the local
@@ -9455,6 +9494,86 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS part, MIN(lbl) AS component
         FROM reach GROUP BY 1"""
+    # support->=2 sparsified co-order edges (shared CTE text for the
+    # jaccard / label-propagation oracles)
+    _sup2_edges = """
+        pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        es AS (
+          SELECT a.l_partkey AS s, b.l_partkey AS d
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+        ),
+        e AS (SELECT s, d FROM es UNION ALL SELECT d, s FROM es)"""
+    # neighborhood jaccard: every-pivot wedge count under the same
+    # deterministic hub cut (degree <= 10000), one // per pair
+    sql["part_jaccard"] = f"""
+        WITH {_sup2_edges},
+        deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) dg
+                FROM e GROUP BY 1),
+        adj AS (
+          SELECT e.s AS p, e.d AS nb
+          FROM e JOIN deg ON deg.node = e.s
+          WHERE deg.dg <= 10000
+        ),
+        pairs AS (
+          SELECT a.nb AS na, b.nb AS nb2, CAST(COUNT(*) AS BIGINT) c
+          FROM adj a JOIN adj b ON a.p = b.p AND a.nb < b.nb
+          GROUP BY 1, 2
+        )
+        SELECT na AS part_a, nb2 AS part_b, c AS common,
+               da.dg AS degree_a, db.dg AS degree_b,
+               CAST(CAST(c AS HUGEINT) * 10000
+                    // (da.dg + db.dg - c) AS BIGINT) AS jaccard_bp
+        FROM pairs JOIN deg da ON da.node = na JOIN deg db ON db.node = nb2"""
+    # label propagation: 2 unrolled synchronous rounds, most-frequent
+    # neighbor label, smallest-label tie-break, seeds clamped
+    sql["part_label_prop"] = f"""
+        WITH {_sup2_edges},
+        nodes AS (SELECT DISTINCT s AS n FROM e),
+        seed AS (
+          SELECT p_partkey AS n, CAST(p_brand AS VARCHAR) AS lbl
+          FROM part
+          WHERE p_partkey % 20 = 0
+            AND p_partkey IS NOT NULL AND p_brand IS NOT NULL
+        ),
+        cur0 AS (
+          SELECT nodes.n, seed.lbl AS sd, seed.lbl AS lbl
+          FROM nodes LEFT JOIN seed ON seed.n = nodes.n
+        ),
+        v1 AS (
+          SELECT e.s AS n, c.lbl AS nl, COUNT(*) c
+          FROM e JOIN cur0 c ON c.n = e.d
+          WHERE c.lbl IS NOT NULL GROUP BY 1, 2
+        ),
+        b1 AS (
+          SELECT n, nl FROM (
+            SELECT n, nl, ROW_NUMBER() OVER (
+              PARTITION BY n ORDER BY c DESC, nl ASC) rk FROM v1)
+          WHERE rk = 1
+        ),
+        cur1 AS (
+          SELECT cur0.n, cur0.sd, COALESCE(cur0.sd, b1.nl, cur0.lbl) AS lbl
+          FROM cur0 LEFT JOIN b1 ON b1.n = cur0.n
+        ),
+        v2 AS (
+          SELECT e.s AS n, c.lbl AS nl, COUNT(*) c
+          FROM e JOIN cur1 c ON c.n = e.d
+          WHERE c.lbl IS NOT NULL GROUP BY 1, 2
+        ),
+        b2 AS (
+          SELECT n, nl FROM (
+            SELECT n, nl, ROW_NUMBER() OVER (
+              PARTITION BY n ORDER BY c DESC, nl ASC) rk FROM v2)
+          WHERE rk = 1
+        ),
+        cur2 AS (
+          SELECT cur1.n, cur1.sd, COALESCE(cur1.sd, b2.nl, cur1.lbl) AS lbl
+          FROM cur1 LEFT JOIN b2 ON b2.n = cur1.n
+        )
+        SELECT n AS part, lbl AS label, sd IS NOT NULL AS is_seed
+        FROM cur2"""
     # docs_approx_quantiles: intentionally NO oracle — sketch outputs
     # are engine-specific by nature; the driver records its rows-only
     # check and tests/test_sketch_modes.py pins the rank-error bound.

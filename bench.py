@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "part_triangles",
     "part_pagerank",
     "part_components",
+    "part_jaccard",
+    "part_label_prop",
 ]
 
 

@@ -1909,6 +1909,29 @@ class SemanticFrame:
             "graph_components", src=src, dst=dst, **kw,
         )
 
+    def jaccard_neighbors(self, src: str, dst: str, **kw) -> "SemanticFrame":
+        """Neighborhood-Jaccard similar pairs (shared third parties) —
+        see functions/graphs.jaccard_neighbors."""
+        from .functions import graphs
+
+        return self._next(
+            graphs.jaccard_neighbors(self.df, src, dst, **kw),
+            "jaccard_neighbors", src=src, dst=dst, **kw,
+        )
+
+    def label_propagation(self, seeds, src: str, dst: str,
+                          **kw) -> "SemanticFrame":
+        """Fixed-iteration deterministic label spreading from seed
+        labels — see functions/graphs.label_propagation. ``seeds`` is a
+        DataFrame or SemanticFrame with (node, label) columns."""
+        from .functions import graphs
+
+        sdf = seeds.df if isinstance(seeds, SemanticFrame) else seeds
+        return self._next(
+            graphs.label_propagation(self.df, sdf, src, dst, **kw),
+            "label_propagation", src=src, dst=dst, **kw,
+        )
+
     def changepoint_mean_shift(self, *, keys: list[str], ts_col: str,
                                value_col: str, **kw) -> "SemanticFrame":
         """Best between-SS mean-shift split per key stream — see

@@ -98,8 +98,13 @@ def triangle_count(
     residual skew. Wedge pairs are ordered by the SAME (degree, node)
     total order, so the closure probe is a single directed lookup.
     """
+    # cache: deg feeds the stamp AND the final output join, and the
+    # oriented edge set is referenced three times (both wedge sides +
+    # the closure probe) — unpersisted, the whole upstream edge
+    # pipeline would replay for each (release handle on the result,
+    # the dedup/semdedup idiom)
     e = canonical_edges(edges, src, dst)
-    deg = degree_table(e)
+    deg = degree_table(e).cache()
     # stamp both endpoints with their (degree, node) order key
     d1 = deg.select(F.col("node").alias("src"), F.col("degree").alias("_ds"))
     d2 = deg.select(F.col("node").alias("dst"), F.col("degree").alias("_dd"))
@@ -110,7 +115,7 @@ def triangle_count(
         F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(lo_first, F.col("_dd")).otherwise(F.col("_ds")).alias("_dhi"),
-    )
+    ).cache()
     # wedges at the order-minimal pivot: pair the pivot's out-neighbors,
     # ordered by the same (degree, node) key so closure is directed
     a = oriented.select(F.col("lo").alias("_p"), F.col("hi").alias("_a"),
@@ -128,7 +133,7 @@ def triangle_count(
         F.explode(F.array(F.col("_p"), F.col("lo"), F.col("hi"))).alias("node"))
     per_node = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles"))
-    return deg.join(per_node, "node", "left").select(
+    out = deg.join(per_node, "node", "left").select(
         "node", "degree",
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         F.when(
@@ -138,6 +143,8 @@ def triangle_count(
                    " * (degree - 1)) AS BIGINT)"),
         ).alias("cc_bp"),
     )
+    out._docetl_cached_input = oriented  # release: .unpersist() when done
+    return out
 
 
 def pagerank(
@@ -185,6 +192,10 @@ def pagerank(
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # cache: referenced once per iteration plus the node/out-degree
+    # aggregations — unpersisted, the upstream edge pipeline replays
+    # 2 + iters times (release handle on the result)
+    e = e.cache()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node"))).distinct())
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
@@ -213,7 +224,9 @@ def pagerank(
                    " DIV 10000 AS BIGINT)").alias("rank"),
             "_base", "_od",
         )
-    return rank.select("node", F.col("rank").alias("rank_e12"))
+    out = rank.select("node", F.col("rank").alias("rank_e12"))
+    out._docetl_cached_input = e  # release: .unpersist() when done
+    return out
 
 
 def graph_components(
@@ -229,12 +242,178 @@ def graph_components(
     driver union-find under ``local_edge_gate`` edges, distributed
     min-label propagation beyond — the fuzzy-dedup machinery).
     Output: ``(node, component)`` for every edge endpoint."""
+    # cached: the union-find gate probe collects the edge sample AND
+    # the vertex enumeration reads it — unpersisted, the upstream edge
+    # pipeline replays twice (release handle on the result)
     e = canonical_edges(edges, src, dst).select(
-        F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")).cache()
     from .dedup import connected_components
 
     verts = (e.select(F.col("id_a").alias("node"))
              .unionByName(e.select(F.col("id_b").alias("node"))).distinct())
     out = connected_components(
         e, verts, "node", max_iter=max_iter, local_edge_gate=local_edge_gate)
-    return out.select("node", "component")
+    out = out.select("node", "component")
+    out._docetl_cached_input = e  # release: .unpersist() when done
+    return out
+
+
+def jaccard_neighbors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    min_common: int = 1,
+    max_pivot_degree: int | None = 10_000,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity for every node pair sharing at
+    least ``min_common`` neighbors in the UNDIRECTED graph — the
+    structural analogue of MinHash near-dup: two entities are similar
+    because they co-occur with the same third parties (co-purchase,
+    co-citation, shared-session), no text or embedding needed.
+
+    jaccard_bp = 10⁴·|N(a)∩N(b)| DIV (deg(a) + deg(b) − |N(a)∩N(b)|)
+    — one integral division of exact integers (a and b adjacent or
+    not, their own edge is not a shared neighbor; this is the pure
+    common-neighbor Jaccard).
+
+    Common-neighbor counting must see EVERY pivot (unlike triangle
+    counting, where the degree orientation counts each triangle once
+    at its minimal corner), so the wedge join here is Σ deg(p)² work —
+    quadratic in hub degree. ``max_pivot_degree`` (default 10⁴) drops
+    hub pivots above the threshold from the pivot role with a loud
+    plan consequence documented here instead of an OOM: a node of
+    degree d contributes d² wedge rows but its neighbors' pairwise
+    Jaccard numerators each gain only 1 from it, so excluding extreme
+    hubs biases scores DOWN by at most (hubs shared)/(union) — the
+    standard practical cut (set ``None`` to disable on graphs known
+    hub-free). The cut is on a deterministic degree threshold, so the
+    oracle replays it exactly.
+
+    Output: ``(node_a, node_b, common, degree_a, degree_b,
+    jaccard_bp)`` with node_a < node_b, only pairs with common ≥
+    ``min_common``.
+
+    Plan: canonical shuffle → degree agg → adjacency mirrored once →
+    (optionally hub-cut) wedge self-join on the pivot → one count
+    aggregation on the pair → two broadcast-free degree joins. AQE
+    handles residual pivot skew under the cap.
+    """
+    if min_common < 1:
+        raise ValueError("jaccard_neighbors: min_common must be >= 1")
+    e = canonical_edges(edges, src, dst)
+    # mirrored adjacency: pivot -> neighbor. Cached: the wedge
+    # self-join, the degree aggregation, and the hub cut all read it —
+    # unpersisted, the upstream edge pipeline replays 4x (release
+    # handle on the result, the dedup/semdedup idiom)
+    adj = e.select(F.col("src").alias("_p"), F.col("dst").alias("_nb")) \
+        .unionByName(
+            e.select(F.col("dst").alias("_p"), F.col("src").alias("_nb"))) \
+        .cache()
+    deg = adj.groupBy(F.col("_p").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    piv = adj
+    if max_pivot_degree is not None:
+        keep = deg.filter(F.col("degree") <= int(max_pivot_degree)) \
+            .select(F.col("node").alias("_p"))
+        piv = adj.join(keep, "_p")
+    a = piv.select("_p", F.col("_nb").alias("_a"))
+    b = piv.select("_p", F.col("_nb").alias("_b"))
+    pairs = (
+        a.join(b, "_p")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy(F.col("_a").alias("node_a"), F.col("_b").alias("node_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= int(min_common))
+    )
+    da = deg.select(F.col("node").alias("node_a"),
+                    F.col("degree").alias("degree_a"))
+    db = deg.select(F.col("node").alias("node_b"),
+                    F.col("degree").alias("degree_b"))
+    out = pairs.join(da, "node_a").join(db, "node_b").select(
+        "node_a", "node_b", "common", "degree_a", "degree_b",
+        F.expr("CAST(common * 10000"
+               " DIV (degree_a + degree_b - common) AS BIGINT)")
+        .alias("jaccard_bp"),
+    )
+    out._docetl_cached_input = adj  # release: .unpersist() when done
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    node_col: str = "node",
+    label_col: str = "label",
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label spreading over the undirected graph with a
+    FIXED iteration count and a total deterministic tie-break — the
+    dedup-pipeline use: propagate scarce human quality/topic labels
+    across a similarity graph (near-dup edges, co-occurrence edges) to
+    the unlabeled majority.
+
+    Synchronous update: each round, every node currently unlabeled OR
+    non-seed takes the most frequent label among its labeled
+    neighbors, ties broken by the SMALLEST label string; seed nodes
+    never change (clamped). Nodes with no labeled neighbor stay
+    unlabeled that round. ``iters`` rounds reach every node within
+    ``iters`` hops of a seed — fixed, so the plan is Catalyst-sized
+    and the figure replays exactly (asynchronous/convergence LPA is
+    run-order-dependent by construction and can't be an oracle-paired
+    op).
+
+    Output: ``(node, label, is_seed)`` for every edge endpoint; label
+    NULL where no seed is within reach.
+
+    Plan per round: ONE join of current labels onto the mirrored
+    adjacency + one (node, label) count aggregation + one
+    row_number(count DESC, label ASC) window riding the node shuffle —
+    O(m) per round, hub-safe (a hub aggregates its neighbor labels,
+    never materializes pairs).
+    """
+    if iters < 1:
+        raise ValueError("label_propagation: iters must be >= 1")
+    e = canonical_edges(edges, src, dst)
+    # cached: one vote join per round plus the node enumeration —
+    # unpersisted, the upstream edge pipeline replays iters + 1 times
+    # (release handle on the result)
+    adj = e.select(F.col("src").alias("_n"), F.col("dst").alias("_nb")) \
+        .unionByName(
+            e.select(F.col("dst").alias("_n"), F.col("src").alias("_nb"))) \
+        .cache()
+    nodes = adj.select("_n").distinct()
+    seed = seeds.filter(
+        F.col(node_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(node_col).alias("_n"),
+             F.col(label_col).cast("string").alias("_seed")).distinct()
+    cur = nodes.join(seed, "_n", "left").select(
+        "_n", F.col("_seed"), F.col("_seed").alias("_lbl"))
+    from pyspark.sql import Window as W
+
+    for _ in range(int(iters)):
+        votes = (
+            adj.join(cur.select(F.col("_n").alias("_nb"),
+                                F.col("_lbl").alias("_nl")), "_nb")
+            .filter(F.col("_nl").isNotNull())
+            .groupBy("_n", "_nl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = votes.withColumn(
+            "_rk", F.row_number().over(
+                W.partitionBy("_n").orderBy(F.col("_c").desc(),
+                                            F.col("_nl").asc()))
+        ).filter(F.col("_rk") == 1).select("_n", F.col("_nl").alias("_best"))
+        cur = cur.join(best, "_n", "left").select(
+            "_n", "_seed",
+            F.coalesce(F.col("_seed"), F.col("_best"), F.col("_lbl"))
+            .alias("_lbl"),
+        )
+    out = cur.select(
+        F.col("_n").alias("node"), F.col("_lbl").alias("label"),
+        F.col("_seed").isNotNull().alias("is_seed"))
+    out._docetl_cached_input = adj  # release: .unpersist() when done
+    return out

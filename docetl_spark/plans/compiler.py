@@ -431,6 +431,11 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
         return sf.pagerank(c.pop("src"), c.pop("dst"), **c)
     if t == "graph_components":
         return sf.graph_components(c.pop("src"), c.pop("dst"), **c)
+    if t == "jaccard_neighbors":
+        return sf.jaccard_neighbors(c.pop("src"), c.pop("dst"), **c)
+    if t == "label_propagation":
+        seeds = datasets[c.pop("seeds")]
+        return sf.label_propagation(seeds, c.pop("src"), c.pop("dst"), **c)
     if t == "changepoint_mean_shift":
         return sf.changepoint_mean_shift(keys=c.pop("keys"),
                                          ts_col=c.pop("ts_col"),

@@ -307,3 +307,104 @@ def test_wave5_ops_drive_through_yaml(spark):
     assert tri == {1: 1, 2: 1, 3: 1}
     assert spark.sql("SELECT * FROM s5").count() == 3
     assert spark.sql("SELECT * FROM s6").count() == 3
+
+
+# -------------------------------------- jaccard / label propagation
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_jaccard_neighbors_matches_bruteforce(spark, seed):
+    import itertools
+    rng = random.Random(seed)
+    edges = {tuple(sorted(rng.sample(range(10), 2))) for _ in range(18)}
+    df = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    from docetl_spark.functions.graphs import jaccard_neighbors
+    got = {(r["node_a"], r["node_b"]):
+           (r["common"], r["degree_a"], r["degree_b"], r["jaccard_bp"])
+           for r in jaccard_neighbors(df, "u", "v").collect()}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b), adj[b].add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        c = len(adj[a] & adj[b])
+        if c >= 1:
+            want[(a, b)] = (c, len(adj[a]), len(adj[b]),
+                            c * 10000 // (len(adj[a]) + len(adj[b]) - c))
+    assert got == want
+
+
+def test_jaccard_hub_cut_and_min_common(spark):
+    # star: hub 0 connected to 1..5; leaves share only the hub
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                               "u bigint, v bigint")
+    from docetl_spark.functions.graphs import jaccard_neighbors
+    full = jaccard_neighbors(df, "u", "v").collect()
+    assert len(full) == 10  # C(5,2) leaf pairs, each sharing the hub
+    assert all(r["jaccard_bp"] == 10000 for r in full)  # 1/(1+1-1)
+    # hub excluded from the pivot role -> no pairs survive
+    cut = jaccard_neighbors(df, "u", "v", max_pivot_degree=4).collect()
+    assert cut == []
+    # min_common filters
+    assert jaccard_neighbors(df, "u", "v", min_common=2).count() == 0
+    with pytest.raises(ValueError, match="min_common"):
+        jaccard_neighbors(df, "u", "v", min_common=0)
+
+
+def test_label_propagation_sim_parity(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    seeds = spark.createDataFrame([(1, "x"), (6, "y"), (99, "z")],
+                                  "node bigint, label string")
+    from docetl_spark.functions.graphs import label_propagation
+    got = {r["node"]: (r["label"], r["is_seed"])
+           for r in label_propagation(df, seeds, "u", "v", iters=2).collect()}
+    # python synchronous sim with (count desc, label asc) tie-break
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b), adj[b].add(a)
+    fixed = {1: "x", 6: "y"}  # 99 is not an endpoint -> dropped
+    cur = dict(fixed)
+    for _ in range(2):
+        new = dict(cur)
+        for n in adj:
+            if n in fixed:
+                continue
+            votes = collections.Counter(
+                cur[nb] for nb in adj[n] if nb in cur)
+            if votes:
+                new[n] = sorted(votes.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+        cur = new
+    for n in adj:
+        assert got[n] == (cur.get(n), n in fixed), (n, got[n])
+    assert 99 not in got  # seeds outside the graph are not rows
+    assert got[7] == (None, False)  # unreachable stays unlabeled
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(df, seeds, "u", "v", iters=0)
+
+
+def test_graph2_yaml_surface(spark):
+    from docetl_spark.plans.compiler import run_pipeline
+
+    cfg = {
+        "datasets": {
+            "g": {"type": "memory", "data": [
+                {"s": 1, "t": 2}, {"s": 2, "t": 3}, {"s": 1, "t": 3},
+                {"s": 3, "t": 4}]},
+            "lab": {"type": "memory", "data": [{"node": 1, "label": "A"}]},
+        },
+        "operations": [
+            {"name": "jn", "type": "jaccard_neighbors", "src": "s",
+             "dst": "t"},
+            {"name": "lp", "type": "label_propagation", "seeds": "lab",
+             "src": "s", "dst": "t", "iters": 2},
+        ],
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "g", "operations": ["jn"]},
+            {"name": "s2", "input": "g", "operations": ["lp"]},
+        ]},
+    }
+    run_pipeline(spark, cfg, backend=FakeBackend())
+    assert spark.sql("SELECT * FROM s1").count() >= 1
+    lp = {r["node"]: r["label"] for r in spark.sql("SELECT * FROM s2").collect()}
+    assert lp[1] == "A" and lp[2] == "A" and lp[3] == "A" and lp[4] == "A"
