@@ -235,3 +235,22 @@ def test_rag_hybrid_example_runs(spark):
         "[doc 1] parquet stores columns with statistics")
     assert all("[doc 2]" in r["_retrieved_context"] for r in rows.values())
     assert all(r["answer"] for r in rows.values())
+
+
+def test_graph_audit_example_runs(spark):
+    from docetl_spark.plans.yaml_front import run_yaml
+
+    out = run_yaml(spark, "examples/graph_audit.yaml")
+    labels = out.collect()  # final step = the label-propagation report
+    assert labels and {"node", "label", "is_seed"} <= set(labels[0])
+    assert any(r["is_seed"] for r in labels)
+    # seeds never change; some non-seed nodes picked up a brand
+    spread = [r for r in labels if not r["is_seed"] and r["label"]]
+    assert spread
+    tri = spark.sql("SELECT * FROM triangle_report").collect()
+    assert tri and all(r["triangles"] >= 0 for r in tri)
+    assert any(r["cc_bp"] is not None for r in tri)
+    pr = spark.sql("SELECT * FROM influence_report").collect()
+    assert pr and sum(r["rank_e12"] for r in pr) <= 10 ** 12
+    sim = spark.sql("SELECT * FROM similar_report").collect()
+    assert sim and all(1 <= r["jaccard_bp"] <= 10000 for r in sim)
