@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "part_components",
     "part_jaccard",
     "part_label_prop",
+    "orders_bootstrap_ci",
 ]
 
 

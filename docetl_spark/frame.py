@@ -1879,6 +1879,19 @@ class SemanticFrame:
             "anova_f", value_col=value_col, group_col=group_col, by=by, **kw,
         )
 
+    def bootstrap_ci(self, value_col: str, *, id_col: str,
+                     by: list[str] | None = None, **kw) -> "SemanticFrame":
+        """Poisson-bootstrap percentile CI for the per-group mean
+        (deterministic md5 draws) — see
+        functions/mlstats.bootstrap_ci."""
+        from .functions import mlstats
+
+        return self._next(
+            mlstats.bootstrap_ci(self.df, value_col, id_col=id_col,
+                                 by=by, **kw),
+            "bootstrap_ci", value_col=value_col, id_col=id_col, by=by, **kw,
+        )
+
     def triangle_count(self, src: str, dst: str) -> "SemanticFrame":
         """Per-node triangles + clustering coefficient (degree-ordered
         orientation, O(m^1.5)) — see functions/graphs.triangle_count."""

@@ -1442,16 +1442,21 @@ def anova_f_by(
         F.max(F.expr(lvl_oob)).alias("_oob"),
     ).select(
         *bys, "_n", "_k",
+        # the global-sum and Σv²-product guards fold into _oob; every
+        # big expression below is CASE-protected so ANSI never
+        # evaluates an overflowing branch before the named raise
         (F.col("_oob") | F.expr(
             "length(CAST(abs(_s) AS STRING)) > 16"
             " OR 2 * length(CAST(abs(_s) AS STRING))"
-            " - length(CAST(_n AS STRING)) > 25")).alias("_oob"),
+            " - length(CAST(_n AS STRING)) > 25"
+            " OR length(CAST(_q AS STRING)) > 32")).alias("_oob"),
         F.expr(
             "CASE WHEN length(CAST(abs(_s) AS STRING)) > 16"
             " OR 2 * length(CAST(abs(_s) AS STRING))"
             " - length(CAST(_n AS STRING)) > 25 THEN NULL"
             f" ELSE _sumterm - {_microterm('_s', '_n')} END").alias("_ssb"),
-        F.expr("_q * 1000000 - _sumterm").alias("_ssw"),
+        F.expr("CASE WHEN length(CAST(_q AS STRING)) > 32 THEN NULL"
+               " ELSE _q * 1000000 - _sumterm END").alias("_ssw"),
     )
     # F quotient must fit the BIGINT that DIV yields (SSW → 0 blows it
     # up): digit-guard, named raise — never a silent ANSI overflow
@@ -1489,3 +1494,148 @@ def anova_f_by(
                 F.expr("CAST(_ssb * 10000 DIV (_ssb + _ssw) AS BIGINT)"),
             )).alias("eta2_bp"),
     )
+
+
+# Poisson(1) CDF thresholds at the 24-bit md5-draw grain: a draw
+# u < _POIS_T[k] (first k that clears) gives multiplicity k, i.e.
+# P(w = k) = e⁻¹/k! to 24-bit resolution; draws past the last
+# threshold (P ≈ 1.1e-6) cap at 9. Integer constants — both engines
+# compare the identical u24 against the identical literals.
+_POIS_T = (6171992, 12343985, 15429982, 16458647, 16715813,
+           16767247, 16775819, 16777044, 16777197)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    id_col: str,
+    by: list[str] | None = None,
+    n_boot: int = 100,
+    seed: int = 42,
+    level_bp: int = 9500,
+    scale: int = 100,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the per-group mean
+    via the POISSON bootstrap — the resampling scheme that actually
+    works at 100 TB: instead of materializing B multinomial resamples,
+    each row draws its multiplicity in replicate b as Poisson(1)
+    (independent across rows, so one streaming pass computes every
+    replicate), which converges to the classical bootstrap as n grows.
+    Deterministic and cross-engine replayable: the draw is the md5
+    24-bit integer idiom (training.sample_temperature) compared against
+    integer CDF thresholds — no RNG state, no doubles.
+
+    Output: ``by`` + ``n`` + ``mean_cents`` (point estimate, exact
+    integral DIV) + ``ci_lo_cents`` + ``ci_hi_cents`` (order
+    statistics of the B replicate means at (1±level)/2 — indices
+    floor(((10⁴−level_bp)/2)·(B_eff−1)/10⁴) from each end, ties broken
+    by replicate id) + ``n_boot`` (replicates with nonzero resample
+    mass; tiny groups may lose a few to all-zero draws).
+
+    One md5 per ROW (not per row × replicate): the replicate-b draw is
+    double hashing over the row digest — u_b = (low32 + b·(high32|1))
+    mod 2²⁴, the dsir _hash_index idiom — so the hash cost is O(n)
+    while the B draws are integer ops (at B=100 this is ~3× the whole
+    op's wall vs an md5 per pair).
+
+    Plan: one explode of a B-length replicate sequence per row that
+    feeds the (by, b) partial aggregation IN THE SAME STAGE — the
+    exploded B·n rows pipeline into map-side combine, so the shuffle
+    carries only groups × B rows; then one B-row-per-group window for
+    the order statistics (global case rides bounded_global_window — B
+    is bounded by contract). NULL value or id drops the row.
+    """
+    if not 1 <= int(n_boot) <= 10_000:
+        raise ValueError("bootstrap_ci: n_boot must be in [1, 10000]")
+    if not 0 < int(level_bp) < 10000:
+        raise ValueError("bootstrap_ci: level_bp must be in (0, 10000)")
+    reserved = {"n", "mean_cents", "ci_lo_cents", "ci_hi_cents", "n_boot",
+                "_bc_v", "_bc_id", "_b", "_u", "_w", "_swv", "_sw",
+                "_mean", "_rn", "_beff", "_klo", "_h1", "_h2"}
+    clash = sorted(reserved & set(by or []))
+    if clash:
+        raise ValueError(f"bootstrap_ci reserves column names {clash}")
+    bys = list(by or [])
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *bys,
+        F.col(id_col).cast("string").alias("_bc_id"),
+        to_cents(F.col(value_col), scale).alias("_bc_v"),
+    )
+    point = base.groupBy(*bys).agg(
+        F.count(F.lit(1)).alias("_pn"),
+        F.sum(F.col("_bc_v").cast("decimal(38,0)")).alias("_ps"),
+    ).select(
+        *bys, F.col("_pn").cast("long").alias("n"),
+        F.expr("CAST(_ps DIV _pn AS BIGINT)").alias("mean_cents"))
+    # one digest per row, then the replicate-b 24-bit draw by double
+    # hashing: u_b = (low32 + b * (high32 | 1)) mod 2^24
+    # cached: without the materialization boundary Catalyst collapses
+    # the projection INTO the post-explode plan and recomputes both
+    # md5 convs once per (row, replicate) — B× the hash work (release
+    # handle on the result)
+    hashed = base.withColumn(
+        "_h1",
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col("_bc_id"))), 1, 8), 16, 10)
+        .cast("long"),
+    ).withColumn(
+        "_h2",
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col("_bc_id"))), 9, 8), 16, 10)
+        .cast("long"),
+    ).drop("_bc_id").cache()
+    rep = hashed.select(
+        *bys, "_bc_v", "_h1", "_h2",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("_b"),
+    ).withColumn(
+        "_u", F.expr("pmod(_h1 + _b * (_h2 | 1), 16777216)"),
+    ).withColumn(
+        "_w",
+        F.when(F.col("_u") < _POIS_T[0], 0)
+        .when(F.col("_u") < _POIS_T[1], 1)
+        .when(F.col("_u") < _POIS_T[2], 2)
+        .when(F.col("_u") < _POIS_T[3], 3)
+        .when(F.col("_u") < _POIS_T[4], 4)
+        .when(F.col("_u") < _POIS_T[5], 5)
+        .when(F.col("_u") < _POIS_T[6], 6)
+        .when(F.col("_u") < _POIS_T[7], 7)
+        .when(F.col("_u") < _POIS_T[8], 8)
+        .otherwise(9),
+    )
+    means = rep.groupBy(*bys, "_b").agg(
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_bc_v"))
+        .alias("_swv"),
+        F.sum("_w").alias("_sw"),
+    ).filter(F.col("_sw") > 0).select(
+        *bys, "_b", F.expr("CAST(_swv DIV _sw AS BIGINT)").alias("_mean"))
+    if bys:
+        w_rank = W.partitionBy(*bys).orderBy(F.col("_mean").asc(),
+                                             F.col("_b").asc())
+        w_all = W.partitionBy(*bys)
+    else:
+        w_rank = bounded_global_window("_b", F.col("_mean").asc(),
+                                       F.col("_b").asc())
+        w_all = bounded_global_window("_b")
+    alpha2 = 10000 - int(level_bp)
+    ranked = means.select(
+        *bys, "_mean",
+        (F.row_number().over(w_rank) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_beff"),
+    ).withColumn(
+        "_klo", F.expr(f"CAST({alpha2} * (_beff - 1) DIV 20000 AS INT)"))
+    ci = ranked.groupBy(*bys).agg(
+        F.max(F.when(F.col("_rn") == F.col("_klo"), F.col("_mean")))
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("_rn") == F.col("_beff") - 1 - F.col("_klo"),
+                     F.col("_mean"))).alias("ci_hi_cents"),
+        F.max("_beff").cast("long").alias("n_boot"),
+    )
+    out = (point.join(ci, bys) if bys else
+           broadcast_scalar_join(point, ci, df_col="n", scalar_col="n_boot"))
+    out = out.select(*bys, "n", "mean_cents",
+                     "ci_lo_cents", "ci_hi_cents", "n_boot")
+    out._docetl_cached_input = hashed  # release: .unpersist() when done
+    return out

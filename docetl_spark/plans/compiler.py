@@ -419,6 +419,8 @@ def apply_op(sf: SemanticFrame, spec: OpSpec, datasets: dict[str, SemanticFrame]
                             by=c.pop("by"), **c)
     if t == "kaplan_meier":
         return sf.kaplan_meier(c.pop("duration_col"), c.pop("event_col"), **c)
+    if t == "bootstrap_ci":
+        return sf.bootstrap_ci(c.pop("value_col"), id_col=c.pop("id_col"), **c)
     if t == "kruskal_wallis":
         return sf.kruskal_wallis(c.pop("value_col"), c.pop("group_col"), **c)
     if t == "mutual_info":

@@ -63,7 +63,7 @@ _KNOWN_OPS = {
     "acf_table", "session_entry_exit", "vocab_growth", "curriculum_order",
     "kruskal_wallis", "mutual_info", "anova_f",
     "triangle_count", "pagerank", "graph_components",
-    "jaccard_neighbors", "label_propagation",
+    "jaccard_neighbors", "label_propagation", "bootstrap_ci",
 }
 
 
@@ -289,6 +289,7 @@ def _check_op(op: dict) -> list[PlanIssue]:
         "graph_components": ("src", "dst"),
         "jaccard_neighbors": ("src", "dst"),
         "label_propagation": ("seeds", "src", "dst"),
+        "bootstrap_ci": ("value_col", "id_col"),
         "sma_crossover": ("keys", "ts_col", "value_col"),
         "runs": ("keys", "ts_col", "value_col"),
         "acf_table": ("keys", "ts_col", "value_col"),

@@ -408,3 +408,121 @@ def test_graph2_yaml_surface(spark):
     assert spark.sql("SELECT * FROM s1").count() >= 1
     lp = {r["node"]: r["label"] for r in spark.sql("SELECT * FROM s2").collect()}
     assert lp[1] == "A" and lp[2] == "A" and lp[3] == "A" and lp[4] == "A"
+
+
+# ------------------------------------------------ named guard raises
+
+def test_anova_level_sum_guard_raises_named(spark):
+    # one level with a 10^15-dollar row -> 10^17 cents: 17 digits > 16
+    # -> the named raise, never a silent/ANSI overflow
+    df = spark.createDataFrame(
+        [("a", 1e15), ("a", 1e15), ("b", 1.0), ("b", 2.0)],
+        "g string, v double")
+    with pytest.raises(Exception, match="anova_f_by: level moments"):
+        anova_f_by(df, "v", "g").collect()
+
+
+def test_anova_f_quotient_guard_raises_named(spark):
+    # huge between-group spread over a near-zero (but nonzero) SSW:
+    # the F quotient exceeds BIGINT -> named raise (the SSW -> 0 hazard)
+    rows = ([("a", 0.0)] * 10 + [("b", 1e7)] * 9 + [("b", 1e7 + 0.01)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    with pytest.raises(Exception, match="anova_f_by: level moments"):
+        anova_f_by(df, "v", "g").collect()
+
+
+def test_anova_near_guard_boundary_still_exact(spark):
+    # 10^11-cent values stay inside every guard and match the float
+    # ref (billion-dollar magnitudes with modest spread — the F
+    # quotient fits BIGINT)
+    rows = [("a", 1e9), ("a", 1e9 + 10), ("b", 1e9 + 20), ("b", 1e9 + 30)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_f_by(df, "v", "g").collect()[0]
+    f, eta = _py_anova(rows)
+    assert r["f_bp"] is not None
+    assert abs(r["f_bp"] / 10000 - f) / max(f, 1) < 1e-6
+    assert abs(r["eta2_bp"] / 10000 - eta) < 2e-3
+
+
+# ---------------------------------------------- poisson bootstrap
+
+def test_bootstrap_ci_exact_python_replica(spark):
+    import hashlib
+    from docetl_spark.functions.mlstats import _POIS_T, bootstrap_ci
+
+    rows = [(i, "g%d" % (i % 2), 10.0 + (i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    got = {r["g"]: r for r in bootstrap_ci(
+        df, "v", id_col="id", by=["g"], n_boot=40, seed=7).collect()}
+
+    def u24(rid, b):
+        h = hashlib.md5(f"7|{rid}".encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return (h1 + b * (h2 | 1)) % 16777216
+
+    def w_of(u):
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 9
+
+    for g in ("g0", "g1"):
+        sub = [(i, v) for i, gg, v in rows if gg == g]
+        cents = {i: math.floor(v * 100 + 0.5) for i, v in sub}
+        means = []
+        for b in range(40):
+            sw = sum(w_of(u24(i, b)) for i, _ in sub)
+            swv = sum(w_of(u24(i, b)) * cents[i] for i, _ in sub)
+            if sw > 0:
+                means.append((swv // sw, b))
+        means.sort()
+        beff = len(means)
+        klo = 500 * (beff - 1) // 20000
+        assert got[g]["n"] == len(sub)
+        assert got[g]["mean_cents"] == sum(cents.values()) // len(sub)
+        assert got[g]["ci_lo_cents"] == means[klo][0]
+        assert got[g]["ci_hi_cents"] == means[beff - 1 - klo][0]
+        assert got[g]["n_boot"] == beff
+
+
+def test_bootstrap_ci_properties(spark):
+    from docetl_spark.functions.mlstats import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(300)], "id bigint, v double")
+    r = bootstrap_ci(df, "v", id_col="id", n_boot=60, seed=3).collect()[0]
+    assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+    # a wider level -> a narrower interval
+    r80 = bootstrap_ci(df, "v", id_col="id", n_boot=60, seed=3,
+                       level_bp=8000).collect()[0]
+    assert (r80["ci_hi_cents"] - r80["ci_lo_cents"]
+            <= r["ci_hi_cents"] - r["ci_lo_cents"])
+    # same seed -> identical result; different seed -> (almost surely)
+    # different interval
+    again = bootstrap_ci(df, "v", id_col="id", n_boot=60, seed=3).collect()[0]
+    assert again == r
+    other = bootstrap_ci(df, "v", id_col="id", n_boot=60, seed=4).collect()[0]
+    assert (other["ci_lo_cents"], other["ci_hi_cents"]) != (
+        r["ci_lo_cents"], r["ci_hi_cents"])
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci(df, "v", id_col="id", n_boot=0)
+    with pytest.raises(ValueError, match="level_bp"):
+        bootstrap_ci(df, "v", id_col="id", level_bp=10000)
+
+
+def test_bootstrap_ci_yaml(spark):
+    from docetl_spark.plans.compiler import run_pipeline
+
+    cfg = {
+        "datasets": {"d": {"type": "memory", "data": [
+            {"id": i, "v": float(i)} for i in range(30)]}},
+        "operations": [
+            {"name": "ci", "type": "bootstrap_ci", "value_col": "v",
+             "id_col": "id", "n_boot": 20, "seed": 1}],
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "d", "operations": ["ci"]}]},
+    }
+    out = run_pipeline(spark, cfg, backend=FakeBackend())
+    r = out.df.collect()[0]
+    assert r["n"] == 30 and r["n_boot"] <= 20
+    assert r["ci_lo_cents"] <= r["ci_hi_cents"]
