@@ -4472,7 +4472,7 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.functions.graphs import triangle_count
 
     e = _part_coorder_edges(spark, sf_dir)
-    return triangle_count(e, "pa", "pb").select(
+    return triangle_count(e, "pa", "pb", assume_canonical=True).select(
         F.col("node").alias("part"), "degree", "triangles", "cc_bp")
 
 
@@ -4485,7 +4485,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _part_coorder_edges(spark, sf_dir)
     return pagerank(e, "pa", "pb", iters=2, damping_bp=8500,
-                    directed=False).select(
+                    directed=False, dedup=False).select(
         F.col("node").alias("part"), "rank_e12")
 
 
@@ -4518,7 +4518,7 @@ def part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.functions.graphs import graph_components
 
     e = _part_support_edges(spark, sf_dir, 3)
-    return graph_components(e, "pa", "pb").select(
+    return graph_components(e, "pa", "pb", assume_canonical=True).select(
         F.col("node").alias("part"), "component")
 
 
@@ -4531,7 +4531,8 @@ def part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.functions.graphs import jaccard_neighbors
 
     e = _part_support_edges(spark, sf_dir, 2)
-    return jaccard_neighbors(e, "pa", "pb", min_common=1).select(
+    return jaccard_neighbors(e, "pa", "pb", min_common=1,
+                             assume_canonical=True).select(
         F.col("node_a").alias("part_a"), F.col("node_b").alias("part_b"),
         "common", "degree_a", "degree_b", "jaccard_bp")
 
@@ -4548,7 +4549,8 @@ def part_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     seeds = part.filter(F.col("p_partkey") % 20 == 0).select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
-    return label_propagation(e, seeds, "pa", "pb", iters=2).select(
+    return label_propagation(e, seeds, "pa", "pb", iters=2,
+                             assume_canonical=True).select(
         F.col("node").alias("part"), "label", "is_seed")
 
 

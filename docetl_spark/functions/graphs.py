@@ -72,6 +72,8 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    *,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient
     over an UNDIRECTED graph (edges are canonicalized here; callers
@@ -103,7 +105,8 @@ def triangle_count(
     # the closure probe) — unpersisted, the whole upstream edge
     # pipeline would replay for each (release handle on the result,
     # the dedup/semdedup idiom)
-    e = canonical_edges(edges, src, dst)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         if assume_canonical else canonical_edges(edges, src, dst))
     deg = degree_table(e).cache()
     # stamp both endpoints with their (degree, node) order key
     d1 = deg.select(F.col("node").alias("src"), F.col("degree").alias("_ds"))
@@ -155,6 +158,7 @@ def pagerank(
     iters: int = 3,
     damping_bp: int = 8500,
     directed: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count, exact in integer rank
     mass so it replays bit-for-bit cross-engine: total mass 10¹² is
@@ -188,7 +192,9 @@ def pagerank(
     e = edges.filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
         & (F.col(src) != F.col(dst))
-    ).select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    ).select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedup:
+        e = e.distinct()
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -236,6 +242,7 @@ def graph_components(
     *,
     max_iter: int = 20,
     local_edge_gate: int = 2_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Connected components of the undirected graph — the public verb
     over dedup.connected_components (component id = min member id;
@@ -245,7 +252,8 @@ def graph_components(
     # cached: the union-find gate probe collects the edge sample AND
     # the vertex enumeration reads it — unpersisted, the upstream edge
     # pipeline replays twice (release handle on the result)
-    e = canonical_edges(edges, src, dst).select(
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         if assume_canonical else canonical_edges(edges, src, dst)).select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b")).cache()
     from .dedup import connected_components
 
@@ -265,6 +273,7 @@ def jaccard_neighbors(
     *,
     min_common: int = 1,
     max_pivot_degree: int | None = 10_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Neighborhood Jaccard similarity for every node pair sharing at
     least ``min_common`` neighbors in the UNDIRECTED graph — the
@@ -301,7 +310,8 @@ def jaccard_neighbors(
     """
     if min_common < 1:
         raise ValueError("jaccard_neighbors: min_common must be >= 1")
-    e = canonical_edges(edges, src, dst)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         if assume_canonical else canonical_edges(edges, src, dst))
     # mirrored adjacency: pivot -> neighbor. Cached: the wedge
     # self-join, the degree aggregation, and the hub cut all read it —
     # unpersisted, the upstream edge pipeline replays 4x (release
@@ -349,6 +359,7 @@ def label_propagation(
     node_col: str = "node",
     label_col: str = "label",
     iters: int = 2,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Semi-supervised label spreading over the undirected graph with a
     FIXED iteration count and a total deterministic tie-break — the
@@ -377,7 +388,8 @@ def label_propagation(
     """
     if iters < 1:
         raise ValueError("label_propagation: iters must be >= 1")
-    e = canonical_edges(edges, src, dst)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         if assume_canonical else canonical_edges(edges, src, dst))
     # cached: one vote join per round plus the node enumeration —
     # unpersisted, the upstream edge pipeline replays iters + 1 times
     # (release handle on the result)
@@ -417,3 +429,13 @@ def label_propagation(
         F.col("_seed").isNotNull().alias("is_seed"))
     out._docetl_cached_input = adj  # release: .unpersist() when done
     return out
+
+
+# assume_canonical / dedup contract note (triangle_count, pagerank,
+# jaccard_neighbors, graph_components, label_propagation): the flags
+# skip the canonicalization shuffle when the CALLER guarantees the
+# edge table is already (src < dst, distinct, no self-loops/NULLs) —
+# e.g. the output of canonical_edges or a pair-mining aggregation.
+# Passing an unclean table with the flag set silently double-counts:
+# the flag is a physical-plan promise, not a hint. Property test
+# test_properties_r11b pins flag-on == flag-off on canonical inputs.

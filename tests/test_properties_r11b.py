@@ -92,3 +92,29 @@ def test_pagerank_matches_integer_sim_any_graph(spark, edges, iters, damping):
             inc[b] += r[a] // od[a]
         r = {x: base + (damping * inc[x]) // 10000 for x in nodes}
     assert got == r
+
+
+@given(edges=edge_lists)
+@settings(**SPARK_SETTINGS)
+def test_assume_canonical_matches_default_on_canonical_input(spark, edges):
+    """flag-on == flag-off when the input IS canonical (the contract
+    the registry queries rely on)."""
+    from docetl_spark.functions.graphs import (
+        canonical_edges, graph_components, jaccard_neighbors, pagerank,
+        triangle_count)
+
+    raw = spark.createDataFrame(edges, "u bigint, v bigint")
+    canon = canonical_edges(raw, "u", "v").cache()
+    if canon.count() == 0:
+        return
+    for fn, kw_off, kw_on in [
+        (triangle_count, {}, {"assume_canonical": True}),
+        (jaccard_neighbors, {}, {"assume_canonical": True}),
+        (graph_components, {}, {"assume_canonical": True}),
+        (pagerank, {"iters": 2, "directed": False}, {
+            "iters": 2, "directed": False, "dedup": False}),
+    ]:
+        a = sorted(tuple(r) for r in fn(canon, "src", "dst", **kw_off).collect())
+        b = sorted(tuple(r) for r in fn(canon, "src", "dst", **kw_on).collect())
+        assert a == b, fn.__name__
+    canon.unpersist()
