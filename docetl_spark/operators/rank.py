@@ -73,6 +73,36 @@ def _global_row_number(df: DataFrame, order: list, rank_col: str) -> DataFrame:
     ).drop(one, f"{one}_cum")
 
 
+def _global_row_number_with_total(
+    df: DataFrame, order: list, rank_col: str
+) -> tuple[DataFrame, int]:
+    """``_global_row_number`` plus the exact total row count, for free:
+    ``_global_cumsum`` already collects per-partition counts for the
+    offset map, so the driver holds the grand total before any action
+    runs. Callers that would otherwise attach the count via an extra
+    aggregation + broadcast join (duplicating the whole rank subtree in
+    the plan — the r11 plan audit measured customer_rfm at 968 Exchange
+    nodes from exactly this doubling, nested three deep) can use the
+    returned int as a literal instead."""
+    from ..functions.stats import _global_cumsum
+
+    one = "_grn_one"
+    clash = sorted({one, f"{one}_cum", "_pid"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"_global_row_number reserves column names {clash} — rename the inputs"
+        )
+    out, totals = _global_cumsum(
+        df.withColumn(one, F.lit(1).cast("decimal(38,0)")), order, [one],
+        with_totals=True,
+    )
+    return (
+        out.withColumn(rank_col, F.col(f"{one}_cum").cast("long"))
+        .drop(one, f"{one}_cum"),
+        int(totals[one]),
+    )
+
+
 def _calibrated_embedding_rank(
     df: DataFrame,
     backend: ModelBackend,
