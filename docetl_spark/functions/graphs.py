@@ -468,7 +468,13 @@ def label_propagation(
             "_n", "_seed",
             F.coalesce(F.col("_seed"), F.col("_best"), F.col("_lbl"))
             .alias("_lbl"),
-        )
+        ).cache()
+        # r11 optimization: cur is referenced TWICE next round (the
+        # vote join and the label carry-over) — uncached, each round's
+        # lineage re-executes the previous round's vote join, doubling
+        # work per iteration. The cached frame is node-sized (tiny next
+        # to the adjacency); caches release with the session's
+        # clearCache / storage eviction.
     out = cur.select(
         F.col("_n").alias("node"), F.col("_lbl").alias("label"),
         F.col("_seed").isNotNull().alias("is_seed"))
