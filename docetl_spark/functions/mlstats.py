@@ -1604,11 +1604,8 @@ def bootstrap_ci(
         to_cents(F.col(value_col), scale).alias("_bc_v"),
     )
     # one digest per row, then the replicate-b 24-bit draw by double
-    # hashing: u_b = (low32 + b * (high32 | 1)) mod 2^24
-    # cached: without the materialization boundary Catalyst collapses
-    # the projection INTO the post-explode plan and recomputes both
-    # md5 convs once per (row, replicate) — B× the hash work (release
-    # handle on the result)
+    # hashing: u_b = (low32 + b * (high32 | 1)) mod 2^24. The md5/conv
+    # stay JVM expressions (identical draws to the documented recipe).
     hashed = base.withColumn(
         "_h1",
         F.conv(F.substring(F.md5(F.concat_ws(
@@ -1619,39 +1616,90 @@ def bootstrap_ci(
         F.conv(F.substring(F.md5(F.concat_ws(
             "|", F.lit(str(int(seed))), F.col("_bc_id"))), 9, 8), 16, 10)
         .cast("long"),
-    ).drop("_bc_id").cache()
-    # point estimate reads the HASHED cache, not base: aggregating base
-    # directly would re-scan the source and recompute to_cents for a
-    # figure the cached frame already carries (r11 optimization —
-    # same rows, same values, one source scan total)
-    point = hashed.groupBy(*bys).agg(
-        F.count(F.lit(1)).alias("_pn"),
-        F.sum(F.col("_bc_v").cast("decimal(38,0)")).alias("_ps"),
+    ).drop("_bc_id")
+    # r11 optimization (guide §4.2/§2.3): the former plan exploded every
+    # row B times through a 10-branch CASE and partial-aggregated the
+    # B·n rows, behind a cache barrier that existed only to stop
+    # Catalyst collapsing the md5 into the post-explode plan. ONE
+    # mapInPandas pass now computes, per partition, the exact partial
+    # sums for every (group, replicate) — the replicate draws are one
+    # vectorized (rows × B) integer pass (np.searchsorted over the same
+    # thresholds reproduces the CASE exactly; all arithmetic < 2^63 by
+    # construction of the 24-bit draw) — PLUS the point-estimate
+    # partials (b = -1 rows), so the source is scanned exactly once,
+    # with no cache and no B× row explosion. Partial sums accumulate as
+    # python ints and ship as decimal(38,0) (exact at any scale); the
+    # tiny partial table (partitions × groups × (B+1) rows) is cached
+    # and re-aggregated for both the point estimate and the replicate
+    # means — the figures are sums of the same integers in either plan.
+    import numpy as np
+
+    fields = ", ".join(
+        f"`{c}` {base.schema[c].dataType.simpleString()}" for c in bys)
+    pre = f"{fields}, " if bys else ""
+    pschema = f"{pre}_b int, _sw decimal(38,0), _swv decimal(38,0)"
+    B = int(n_boot)
+    pois = np.array(_POIS_T, dtype=np.int64)
+
+    def partials(batches):
+        from decimal import Decimal
+
+        acc: dict = {}  # by-key tuple -> [n, sum_v, sw[B] ints, swv[B] ints]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            groups = (pdf.groupby(bys, dropna=False, sort=False)
+                      if bys else [((), pdf)])
+            for key, g in groups:
+                if bys and not isinstance(key, tuple):
+                    key = (key,)
+                ent = acc.setdefault(
+                    tuple(key), [0, 0, [0] * B, [0] * B])
+                v = g["_bc_v"].to_numpy(np.int64)
+                h1 = g["_h1"].to_numpy(np.int64)
+                h2 = g["_h2"].to_numpy(np.int64) | 1
+                ent[0] += len(g)
+                ent[1] += int(v.sum(dtype=object)) if len(v) else 0
+                # |w·v| sums stay in int64 when max|v| is bounded; the
+                # object fallback keeps exactness for pathological cents
+                safe = (len(v) == 0 or
+                        int(np.abs(v).max()) <= (2**63 - 1) // (9 * max(len(v), 1)))
+                for lo in range(0, B, 512):
+                    bs = np.arange(lo, min(lo + 512, B), dtype=np.int64)
+                    u = (h1[:, None] + bs[None, :] * h2[:, None]) % 16777216
+                    w = np.searchsorted(pois, u, side="right")
+                    sws = w.sum(axis=0)
+                    if safe:
+                        swvs = (w * v[:, None]).sum(axis=0)
+                        for j, b in enumerate(bs.tolist()):
+                            ent[2][b] += int(sws[j])
+                            ent[3][b] += int(swvs[j])
+                    else:
+                        vo = v.astype(object)
+                        for j, b in enumerate(bs.tolist()):
+                            ent[2][b] += int(sws[j])
+                            ent[3][b] += int((w[:, j].astype(object) * vo).sum())
+        import pandas as pd
+
+        rows = []
+        for key, (n_g, sv, sw, swv) in acc.items():
+            rows.append((*key, -1, Decimal(n_g), Decimal(sv)))
+            for b in range(B):
+                rows.append((*key, b, Decimal(sw[b]), Decimal(swv[b])))
+        cols = [*bys, "_b", "_sw", "_swv"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    part_tbl = hashed.select(*bys, "_bc_v", "_h1", "_h2") \
+        .mapInPandas(partials, pschema).cache()
+    point = part_tbl.filter(F.col("_b") == -1).groupBy(*bys).agg(
+        F.sum("_sw").alias("_pn"),
+        F.sum("_swv").alias("_ps"),
     ).select(
         *bys, F.col("_pn").cast("long").alias("n"),
         F.expr("CAST(_ps DIV _pn AS BIGINT)").alias("mean_cents"))
-    rep = hashed.select(
-        *bys, "_bc_v", "_h1", "_h2",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("_b"),
-    ).withColumn(
-        "_u", F.expr("pmod(_h1 + _b * (_h2 | 1), 16777216)"),
-    ).withColumn(
-        "_w",
-        F.when(F.col("_u") < _POIS_T[0], 0)
-        .when(F.col("_u") < _POIS_T[1], 1)
-        .when(F.col("_u") < _POIS_T[2], 2)
-        .when(F.col("_u") < _POIS_T[3], 3)
-        .when(F.col("_u") < _POIS_T[4], 4)
-        .when(F.col("_u") < _POIS_T[5], 5)
-        .when(F.col("_u") < _POIS_T[6], 6)
-        .when(F.col("_u") < _POIS_T[7], 7)
-        .when(F.col("_u") < _POIS_T[8], 8)
-        .otherwise(9),
-    )
-    means = rep.groupBy(*bys, "_b").agg(
-        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_bc_v"))
-        .alias("_swv"),
-        F.sum("_w").alias("_sw"),
+    means = part_tbl.filter(F.col("_b") >= 0).groupBy(*bys, "_b").agg(
+        F.sum("_swv").alias("_swv"),
+        F.sum("_sw").alias("_sw"),
     ).filter(F.col("_sw") > 0).select(
         *bys, "_b", F.expr("CAST(_swv DIV _sw AS BIGINT)").alias("_mean"))
     if bys:
@@ -1680,5 +1728,5 @@ def bootstrap_ci(
            broadcast_scalar_join(point, ci, df_col="n", scalar_col="n_boot"))
     out = out.select(*bys, "n", "mean_cents",
                      "ci_lo_cents", "ci_hi_cents", "n_boot")
-    out._docetl_cached_input = hashed  # release: .unpersist() when done
+    out._docetl_cached_input = part_tbl  # release: .unpersist() when done
     return out
