@@ -83,28 +83,27 @@ def triangle_count(
     edge is directed from the endpoint that is SMALLER in the total
     order (degree, node) to the larger, so every node's oriented
     out-degree is O(√m) no matter how skewed the raw degrees are —
-    the wedge self-join (oriented edges joined on their source) then
+    intersecting the two endpoints' out-neighbor sets per edge then
     does O(m^1.5) work total instead of Σdeg² (which a star graph
-    drives quadratic). Each triangle {a,b,c} is generated EXACTLY once,
-    at its order-minimal vertex, and closed by one equi-join of the
-    wedge pair against the oriented edge set.
+    drives quadratic). Each triangle {a,b,c} is found EXACTLY once,
+    as a common out-neighbor at its order-minimal edge.
 
     Output: ``(node, degree, triangles, cc_bp)`` for every node of the
     graph, where cc_bp = 2·triangles·10⁴ DIV (degree·(degree−1)) —
     floored basis points, NULL for degree < 2. Isolated vertices are
     not rows (no edges ⇒ not in the edge table).
 
-    Plan: canonical shuffle → degree agg → two broadcast-free
-    equi-joins (orientation stamp, wedge closure) → explode the 3
-    triangle corners → count. Every join keys on node ids; AQE handles
-    residual skew. Wedge pairs are ordered by the SAME (degree, node)
-    total order, so the closure probe is a single directed lookup.
+    Plan: canonical shuffle → degree agg → orientation stamp → ONE
+    collect_list aggregation (out-neighbor array per node, bounded by
+    the O(√m) oriented out-degree) → two node-keyed joins attaching
+    both endpoints' arrays to each oriented edge → per-edge
+    array_intersect → explode only the actual triangle corners → count.
     """
     # cache: deg feeds the stamp AND the final output join, and the
-    # oriented edge set is referenced three times (both wedge sides +
-    # the closure probe) — unpersisted, the whole upstream edge
-    # pipeline would replay for each (release handle on the result,
-    # the dedup/semdedup idiom)
+    # oriented edge set is referenced three times (the neighbor-array
+    # aggregation + both sides of the intersection join) — unpersisted,
+    # the whole upstream edge pipeline would replay for each (release
+    # handle on the result, the dedup/semdedup idiom)
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          if assume_canonical else canonical_edges(edges, src, dst))
     deg = degree_table(e).cache()
@@ -117,47 +116,44 @@ def triangle_count(
     oriented = stamped.select(
         F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        F.when(lo_first, F.col("_dd")).otherwise(F.col("_ds")).alias("_dhi"),
     ).cache()
-    # wedges at the order-minimal pivot: pair the pivot's out-neighbors,
-    # ordered by the same (degree, node) key so closure is directed.
-    # r11 optimization (guide §2.4): the former a⋈b self-join shuffled
-    # the oriented edges twice and generated d² rows per pivot before
-    # the order filter; ONE collect_list aggregation per pivot (arrays
-    # bounded by the oriented out-degree — O(√m) under the degree
-    # orientation, the same bound the join relied on) + a JVM
-    # higher-order i<j explosion generates exactly the ordered wedges,
-    # half the rows, no join machinery. sort_array over (degree, node)
-    # structs reproduces the (_da, _a) < (_db, _b) total order.
-    nb = oriented.groupBy("lo").agg(
-        F.sort_array(F.collect_list(F.struct(
-            F.col("_dhi").alias("d"), F.col("hi").alias("n")))).alias("_ns"))
-    wedges = nb.select(
-        F.col("lo").alias("_p"),
-        F.explode(F.expr(
-            "flatten(transform(_ns, (x, i) -> "
-            "transform(slice(_ns, i + 2, size(_ns) - i - 1), "
-            "y -> struct(x.n AS a, y.n AS b))))"
-        )).alias("_w"),
-    ).select("_p", F.col("_w.a").alias("lo"), F.col("_w.b").alias("hi"))
-    # closure probe: the wedge table is the big side (Σ out-deg² rows);
-    # sorting it through a SortMergeJoin is the plan's wall. The edge
-    # side is exactly m rows — when m is broadcastable, probe it as a
-    # BroadcastHashJoin so the wedges stream map-side unsorted
-    # (guide §3.1). Gated on the exact edge count (the cache the count
-    # materializes is reused by every downstream job); the threshold is
-    # conf-overridable for clusters with more/less executor memory.
-    probe = oriented.select("lo", "hi")
+    # r11 optimization (guide §2.3/§3.1, second pass): the former plan
+    # MATERIALIZED the wedge set — Σ out-deg² rows (41M at sf0.1)
+    # exploded from per-pivot neighbor arrays, then probed against the
+    # edge table (broadcast under a gate, SortMergeJoin above it). The
+    # same count falls out of per-EDGE set intersection: triangle
+    # {x,y,z} with x<y<z in the (degree, node) order appears EXACTLY
+    # once as z ∈ N_out(x) ∩ N_out(y) at its minimal oriented edge
+    # (x,y) — z is a common out-neighbor of both endpoints, and at the
+    # other two edges the third corner precedes an endpoint in the
+    # order, so it sits in no out-list. Joining each oriented edge to
+    # both endpoints' out-neighbor arrays (node-keyed joins of m rows
+    # against the node-sized array table — never a Σd²-row shuffle) and
+    # intersecting does the same O(Σd²) element work INSIDE a codegen'd
+    # array op, materializes zero wedge rows, and explodes only the 3
+    # corners of actual triangles. The broadcast gate now guards the
+    # array-table side (total payload = m array elements, the same
+    # bound the old edge-probe broadcast relied on).
+    nb = oriented.groupBy(F.col("lo").alias("node")).agg(
+        F.collect_list("hi").alias("_ns"))
+    n1 = nb.select(F.col("node").alias("lo"), F.col("_ns").alias("_nlo"))
+    n2 = nb.select(F.col("node").alias("hi"), F.col("_ns").alias("_nhi"))
     try:
         limit = int(edges.sparkSession.conf.get(
             "docetl.graphs.broadcastEdgeLimit", "4000000"))
     except Exception:
         limit = 4_000_000
     if limit > 0 and oriented.count() <= limit:
-        probe = F.broadcast(probe)
-    tri = wedges.join(probe, ["lo", "hi"])
-    corners = tri.select(
-        F.explode(F.array(F.col("_p"), F.col("lo"), F.col("hi"))).alias("node"))
+        n1, n2 = F.broadcast(n1), F.broadcast(n2)
+    tri = (
+        oriented.join(n1, "lo").join(n2, "hi", "left")
+        .select("lo", "hi", F.expr(
+            "array_intersect(_nlo, coalesce(_nhi, array()))").alias("_i"))
+    )
+    corners = tri.filter(F.size("_i") > 0).select(
+        F.explode(F.expr(
+            "concat(_i, array_repeat(lo, size(_i)),"
+            " array_repeat(hi, size(_i)))")).alias("node"))
     per_node = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles"))
     out = deg.join(per_node, "node", "left").select(
@@ -226,11 +222,21 @@ def pagerank(
     # aggregations — unpersisted, the upstream edge pipeline replays
     # 2 + iters times (release handle on the result)
     e = e.cache()
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node"))).distinct()
-             .cache())
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("_od"))
+    # r11 optimization (guide §2.4): on the UNDIRECTED (mirrored) path
+    # every node appears as a src, so the node set IS the out-degree
+    # table's key set — one aggregation replaces the separate
+    # endpoint-union distinct shuffle AND the rank-init left join.
+    # Directed graphs keep the union (dangling nodes never appear as
+    # src but still hold rank).
+    if directed:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node"))).distinct()
+                 .cache())
+        outdeg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("_od"))
+    else:
+        nodes = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("_od")).cache()
     # r11 optimization: n is needed only as a scalar in the closed-form
     # uniform base — count it on the driver (materializing the node
     # cache every downstream job reuses) and inline the EXACT python-int
@@ -243,11 +249,19 @@ def pagerank(
             "node", F.lit(None).cast("long").alias("rank_e12"))
     r0 = 10**12 // n
     base_lit = (10000 - int(damping_bp)) * r0 // 10000
-    state = nodes.select(
-        "node",
-        F.lit(r0).cast("long").alias("_r0"),
-        F.lit(base_lit).cast("long").alias("_base"),
-    ).join(outdeg, "node", "left")
+    if directed:
+        state = nodes.select(
+            "node",
+            F.lit(r0).cast("long").alias("_r0"),
+            F.lit(base_lit).cast("long").alias("_base"),
+        ).join(outdeg, "node", "left")
+    else:
+        state = nodes.select(
+            "node",
+            F.lit(r0).cast("long").alias("_r0"),
+            F.lit(base_lit).cast("long").alias("_base"),
+            F.col("_od"),
+        )
     rank = state.select("node", F.col("_r0").alias("rank"), "_base", "_od")
     for _ in range(int(iters)):
         contrib = (
@@ -262,7 +276,13 @@ def pagerank(
             F.expr(f"CAST(_base + {int(damping_bp)} * coalesce(_in, 0)"
                    " DIV 10000 AS BIGINT)").alias("rank"),
             "_base", "_od",
-        )
+        ).cache()
+        # r11 optimization (the label_propagation precedent): rank is
+        # referenced TWICE next iteration (the contribution join and
+        # the rank carry-over) — uncached, each iteration's lineage
+        # re-executes the previous one, doubling work per round. The
+        # cached frame is node-sized; caches release with the session's
+        # clearCache / storage eviction.
     out = rank.select("node", F.col("rank").alias("rank_e12"))
     out._docetl_cached_input = e  # release: .unpersist() when done
     return out

@@ -1023,7 +1023,13 @@ def _theil_sen_sampled(
         *bys, F.col(ts_col).cast("long").alias("_th_t"),
         to_cents(value_col, value_scale).cast("decimal(38,0)").alias("_th_c"),
     ).withColumn("_i", F.row_number().over(w)).withColumn(
-        "_ng", F.count(F.lit(1)).over(wall))
+        "_ng", F.count(F.lit(1)).over(wall)).cache()
+    # r11 optimization (guide §5): base (the post-filter windowed frame,
+    # group-count-sized) is referenced THREE times — the group-size
+    # aggregate, the draw explosion, and the partner side of the index
+    # join. Uncached, the source scan + upstream aggregation + the two
+    # windows replay for each; cached once, the lineage runs once
+    # (release handle on the result, the bootstrap_ci idiom).
     counts = base.groupBy(*bys).agg(F.count(F.lit(1)).alias("_n"))
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in bys])
     draws = base.filter(F.col("_ng") >= 2).select(
@@ -1038,7 +1044,10 @@ def _theil_sen_sampled(
     ).withColumn(
         "_j",
         (F.col("_i") - 1 + 1 + F.col("_h") % (F.col("_ng") - 1)) % F.col("_ng") + 1,
-    )
+    ).select(*bys, "_j", "_th_t", "_th_c")
+    # ^ project before the exchange (guide §2.3): the partner join only
+    # needs the group key, the partner index and this row's (t, cents) —
+    # _i/_ng/_d/_h would otherwise ride the 16n-row shuffle for nothing.
     partner = base.select(
         *bys, F.col("_i").alias("_j"),
         F.col("_th_t").alias("_tb"), F.col("_th_c").alias("_cb"))
@@ -1057,11 +1066,13 @@ def _theil_sen_sampled(
         F.col("_r") == F.expr("(_np + 1) DIV 2")
     ).select(*bys, F.col("_sl").alias("slope_milli"),
              F.col("_np").cast("long").alias("n_pairs"))
-    return counts.join(med, bys, "left").select(
+    out = counts.join(med, bys, "left").select(
         *bys, F.col("_n").cast("long").alias("n"),
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.col("slope_milli"),
     )
+    out._docetl_cached_input = base  # release: .unpersist() when done
+    return out
 
 
 def cohen_kappa_by(

@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame, functions as F
 from .training import _hash_bucket, _lower_tokens
 
 
+def _weight_table(spark, weights: dict[int, float]) -> DataFrame:
+    """Tiny (bucket, w) literal frame as a pyarrow.Table — a JVM
+    LocalRelation. r11 optimization (the ann_ivf_persisted finding):
+    the list-of-tuples createDataFrame takes the pickled-RDD path and
+    pays a Python-worker round trip on EVERY action that reads it
+    (~1.5 s per action on local[32]); fit_quality_classifier reads one
+    per GD iteration."""
+    import pyarrow as pa
+
+    items = sorted(weights.items()) or [(0, 0.0)]
+    return spark.createDataFrame(
+        pa.Table.from_arrays(
+            [pa.array([int(k) for k, _ in items], type=pa.int64()),
+             pa.array([float(v) for _, v in items], type=pa.float64())],
+            names=["bucket", "w"]),
+        schema="bucket long, w double")
+
+
 def hashed_features(
     df: DataFrame, *, text_col: str, id_col: str, buckets: int, salt: str = "qm"
 ) -> DataFrame:
@@ -57,10 +75,7 @@ def score_quality(
     map from ``fit_quality_classifier`` (or any injected vector);
     broadcast as a tiny table, docs with no tokens score sigmoid(b)."""
     spark = df.sparkSession
-    wtab = spark.createDataFrame(
-        [(int(k), float(v)) for k, v in weights.items()] or [(0, 0.0)],
-        "bucket long, w double",
-    )
+    wtab = _weight_table(spark, weights)
     feats = hashed_features(df, text_col=text_col, id_col=id_col, buckets=buckets, salt=salt)
     margins = (
         feats.join(F.broadcast(wtab), "bucket")
@@ -103,10 +118,7 @@ def fit_quality_classifier(
     w: dict[int, float] = {}
     bias = 0.0
     for _ in range(iters):
-        wtab = spark.createDataFrame(
-            [(int(k), float(v)) for k, v in w.items()] or [(0, 0.0)],
-            "bucket long, w double",
-        )
+        wtab = _weight_table(spark, w)
         margins = (
             feats.join(F.broadcast(wtab), "bucket", "left")
             .groupBy(id_col)

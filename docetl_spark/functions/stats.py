@@ -183,15 +183,21 @@ def exact_quantiles(
             F.count(v).over(wall).alias("_n"),
         )
     else:
-        from ..operators.rank import _global_row_number
+        from ..operators.rank import _global_row_number_with_total
 
         base = df.filter(v.isNotNull()).select(v.alias("_v"))
-        g = _global_row_number(base, [F.col("_v").asc()], "_r1")
-        tot = g.agg(F.count(F.lit(1)).alias("_n"))
-        ranked = broadcast_scalar_join(
-            g.withColumn("_r", F.col("_r1") - F.lit(1)),
-            tot, df_col="_r1", scalar_col="_n",
-        ).select("_v", "_r", "_n")
+        # r11 optimization (guide §2.4): the total row count used to be
+        # a separate count aggregation over the ranked frame attached
+        # via broadcast_scalar_join — referencing the WHOLE rank subtree
+        # (including any expensive upstream like sessionization) twice.
+        # _global_cumsum's offset map already gives the driver the exact
+        # total before any action, so it inlines as a literal — same
+        # figure, half the plan.
+        g, n_total = _global_row_number_with_total(
+            base, [F.col("_v").asc()], "_r1")
+        ranked = g.select(
+            "_v", (F.col("_r1") - F.lit(1)).alias("_r"),
+            F.lit(int(n_total)).cast("long").alias("_n"))
     aggs = [F.coalesce(F.max("_n"), F.lit(0)).alias("n")]
     names = []
     for p in ps:
@@ -2242,15 +2248,16 @@ def lift_table(
         w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
         bucketed = base.withColumn("bucket", F.ntile(buckets).over(w).cast("long"))
     else:
-        from ..operators.rank import _global_row_number
+        from ..operators.rank import _global_row_number_with_total
 
-        g = _global_row_number(base, order, "_lt_r")
-        tot = g.agg(F.count(F.lit(1)).alias("_lt_t"))
-        bucketed = broadcast_scalar_join(
-            g, tot, df_col="_lt_r", scalar_col="_lt_t"
-        ).withColumn(
-            "bucket", _ntile_from_rank("_lt_r", "_lt_t", int(buckets))
-        ).drop("_lt_r", "_lt_t")
+        # r11 optimization (guide §2.4): total as a literal from the
+        # offset map instead of a count-agg + broadcast_scalar_join
+        # that referenced the whole rank subtree twice (the
+        # quantile_buckets fix, applied here too).
+        g, n_tot = _global_row_number_with_total(base, order, "_lt_r")
+        bucketed = g.withColumn(
+            "bucket", _ntile_from_rank("_lt_r", str(int(n_tot)), int(buckets))
+        ).drop("_lt_r")
     per_bucket = bucketed.groupBy(*(by or []), "bucket").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum("_lt_l").cast("decimal(38,0)").alias("_p"),

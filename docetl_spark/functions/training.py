@@ -765,17 +765,18 @@ def assign_splits_exact(
             "_n", F.count(F.lit(1)).over(W.partitionBy(*part))
         )
     else:
-        from ..operators.rank import _global_row_number
-        from .stats import broadcast_scalar_join
+        from ..operators.rank import _global_row_number_with_total
 
+        # r11 optimization (guide §2.4): total as a literal from the
+        # offset map instead of a count-agg + broadcast_scalar_join
+        # that referenced the whole rank subtree twice (the
+        # quantile_buckets fix, applied here too).
         keyed = df.withColumn("_mk", F.md5(key)).withColumn("_kk", key)
-        ranked = _global_row_number(
+        ranked, n_tot = _global_row_number_with_total(
             keyed, [F.col("_mk").asc(), F.col("_kk").asc()], "_rnk"
         )
-        tot = ranked.agg(F.count(F.lit(1)).alias("_n"))
-        out = broadcast_scalar_join(
-            ranked, tot, df_col="_rnk", scalar_col="_n"
-        ).drop("_mk", "_kk")
+        out = ranked.withColumn(
+            "_n", F.lit(int(n_tot)).cast("long")).drop("_mk", "_kk")
     expr = None
     cum = 0
     for n in names[:-1]:

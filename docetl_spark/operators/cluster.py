@@ -348,12 +348,24 @@ def cluster_distributed(
     top_paths = _tree_paths(len(buckets), top_merges, summarize_top)
 
     spark = df.sparkSession
+    # r11 optimization (guide §4/§6, the ann_ivf_persisted finding): a
+    # list-of-tuples createDataFrame takes the pickled-RDD path and
+    # every action reading it pays a Python-worker round trip (~1.5 s
+    # measured per action on local[32]); a pyarrow.Table becomes a JVM
+    # LocalRelation (~0.2 s).
+    import pyarrow as pa
+
+    prefix_schema = T.StructType([
+        T.StructField("_bucket", T.LongType(), True),
+        T.StructField("_top_path", T.ArrayType(T.StringType()), True),
+    ])
     prefix_df = spark.createDataFrame(
-        [(buckets[i], top_paths[i]) for i in range(len(buckets))],
-        schema=T.StructType([
-            T.StructField("_bucket", T.LongType(), True),
-            T.StructField("_top_path", T.ArrayType(T.StringType()), True),
-        ]),
+        pa.Table.from_arrays(
+            [pa.array([int(b) for b in buckets], type=pa.int64()),
+             pa.array(top_paths, type=pa.list_(pa.string()))],
+            names=["_bucket", "_top_path"],
+        ),
+        schema=prefix_schema,
     )
     path_df = (
         local.join(F.broadcast(prefix_df), "_bucket")
