@@ -363,7 +363,20 @@ def heavy_hitters(
         schema = (
             "value string, rank long, n_rows long, share_bp long"
         )
-        return spark.createDataFrame(out, schema)
+        # r11 optimization: Arrow literal frame (JVM LocalRelation)
+        # instead of the pickled-RDD path that pays a Python-worker
+        # round trip on every downstream action (ann_ivf_persisted
+        # finding).
+        import pyarrow as pa
+
+        return spark.createDataFrame(
+            pa.Table.from_arrays(
+                [pa.array([r[0] for r in out], type=pa.string()),
+                 pa.array([r[1] for r in out], type=pa.int64()),
+                 pa.array([r[2] for r in out], type=pa.int64()),
+                 pa.array([r[3] for r in out], type=pa.int64())],
+                names=["value", "rank", "n_rows", "share_bp"]),
+            schema=schema)
     wr = W.partitionBy(*part).orderBy(F.col("n_rows").desc(), F.col("_hv").asc())
     wall = W.partitionBy(*part)
     ranked = counts.withColumn("rank", F.row_number().over(wr)).withColumn(
