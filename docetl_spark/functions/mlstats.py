@@ -1253,11 +1253,20 @@ def kruskal_wallis_by(
     Rows with NULL value or NULL group drop before ranking (a NULL
     holds no rank; the reference population is the tested rows).
 
-    Plan: midranks — grouped: one window riding the (by) shuffle;
-    GLOBAL: the distributed prefix-sum collapse (never a bare global
-    window) — then ONE map-side-combinable aggregation to the
-    (by, group) grain and one more to (by); tie mass T re-aggregates
-    from the same distinct-value grain. Named exact-range guards (the
+    Plan (r11 optimization, guide §2.3/§2.4): H depends on the data
+    only through the per-(by, group, value) COUNTS, so the row grain
+    collapses in ONE map-side-combinable aggregation before any rank
+    machinery runs. Midranks then compute on the distinct-VALUE grain
+    (2·midrank of value v with cumulative count m and c members is
+    2m − c + 1) — grouped: a running-sum window riding the (by)
+    shuffle over the collapsed table; GLOBAL: the distributed
+    prefix-sum collapse (never a bare global window) — and join back
+    at the (by, group, value) grain (S_g = Σ_v c_gv·mr2_v: identical
+    integers to ranking every row), never at the row grain. Tie mass
+    T re-aggregates from the same distinct-value table. The former
+    shape ranked the full row grain (a row-sized value join) and
+    re-derived the base twice more for ties — ~20 Exchanges at the
+    bench vs ~9 now. Named exact-range guards (the
     changepoint posture — never a silent ANSI overflow): per level,
     S_g²·10⁶ must fit 38 digits and the quotient S_g²·10⁶/n_g the
     10³² decimal-division capacity (≈ 10⁷–10⁸ rows per cell before the
@@ -1265,7 +1274,7 @@ def kruskal_wallis_by(
     the tie correction C → 0 on a nearly-all-tied cell).
     """
     reserved = {"n", "n_groups", "h_bp", "h_tie_bp", "_kw_r", "_kw_g",
-                "_mr_v", "_mr_c", "_mr_c_cum", "_pid"}
+                "_kw_v", "_gvc", "_mr_v", "_mr_c", "_mr_c_cum", "_pid"}
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"kruskal_wallis_by reserves column names {clash}")
@@ -1274,11 +1283,32 @@ def kruskal_wallis_by(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(*bys, F.col(value_col).alias("_kw_v"),
              F.col(group_col).cast("string").alias("_kw_g"))
-    ranked = _midrank2(base, "_kw_v", "_kw_r", bys or None)
-    # per-(by, group): rank sum and count; term floored at micro grain
-    per_g = ranked.groupBy(*bys, "_kw_g").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng"),
-        F.sum(F.col("_kw_r").cast("decimal(38,0)")).alias("_sg"),
+    # collapse the row grain ONCE (map-side combinable); everything
+    # downstream — midranks, rank sums, tie mass — runs on count
+    # tables bounded by distinct-value cardinality. Cached: the
+    # distinct-value re-agg AND the midrank join-back both read it
+    # (evictable storage; the theil_sen/label_propagation idiom).
+    gv = base.groupBy(*bys, "_kw_g", "_kw_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_gvc")).persist()
+    dv = gv.groupBy(*bys, "_kw_v").agg(F.sum("_gvc").alias("_mr_c"))
+    if bys:
+        wcum = (W.partitionBy(*bys).orderBy(F.col("_kw_v").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        mr = dv.withColumn("_mr_c_cum", F.sum("_mr_c").over(wcum))
+    else:
+        mr = _global_cumsum(dv, F.col("_kw_v").asc(), ["_mr_c"])
+    # 2·midrank of the tie group ending at cumulative count m with c
+    # members is 2m − c + 1 — an exact integer on the value grain
+    mr = mr.select(
+        *bys, "_kw_v", "_mr_c",
+        (F.lit(2) * F.col("_mr_c_cum") - F.col("_mr_c") + F.lit(1))
+        .cast("decimal(38,0)").alias("_kw_r"))
+    # per-(by, group): rank sum and count from the counts grain —
+    # S_g = Σ_v c_gv · mr2_v, the same integers row-ranking produced
+    per_g = gv.join(mr.select(*bys, "_kw_v", "_kw_r"),
+                    bys + ["_kw_v"]).groupBy(*bys, "_kw_g").agg(
+        F.sum("_gvc").alias("_ng"),
+        F.sum(F.col("_gvc") * F.col("_kw_r")).alias("_sg"),
     )
     err = F.lit(
         "kruskal_wallis_by: rank moments exceed the exact decimal range"
@@ -1306,10 +1336,11 @@ def kruskal_wallis_by(
         # standing check column would be pruned away by Catalyst
         F.max(F.expr(lvl_oob)).alias("_oob"),
     )
-    # tie mass from the distinct-value grain of the same population
-    ties = base.groupBy(*bys, "_kw_v").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_t")
-    ).groupBy(*bys).agg(
+    # tie mass from the midrank table — it already carries the
+    # per-value count (and the global path holds it persisted inside
+    # _global_cumsum), so ties cost one small-table aggregation, never
+    # another pass over gv
+    ties = mr.select(*bys, F.col("_mr_c").alias("_t")).groupBy(*bys).agg(
         F.sum(F.expr("_t * _t * _t - _t")).alias("_tt"))
     j = (agg.join(ties, bys) if bys else
          broadcast_scalar_join(agg, ties, df_col="_n", scalar_col="_tt"))
@@ -1335,7 +1366,7 @@ def kruskal_wallis_by(
     def _guarded(cond, val):
         return F.when(cond, F.raise_error(err)).otherwise(val)
 
-    return j.select(
+    out = j.select(
         *bys,
         F.col("_n").cast("long").alias("n"),
         F.col("_k").cast("int").alias("n_groups"),
@@ -1351,6 +1382,8 @@ def kruskal_wallis_by(
                 h_tie,
             )).alias("h_tie_bp"),
     )
+    out._docetl_cached_input = gv  # release: .unpersist() when done
+    return out
 
 
 def mutual_info_by(
@@ -1377,7 +1410,12 @@ def mutual_info_by(
     Plan: the cohen_kappa decomposition — ONE shuffle to the
     (by, a, b) pair-count grain; marginals re-aggregate from it
     map-side-combinably and join back at the cell grain (bounded by
-    label-pair cardinality, never by rows).
+    label-pair cardinality, never by rows). r11 optimization (guide
+    §5): the cell table is referenced FOUR times (cells + both
+    marginals + the total) — uncached, each reference re-executed the
+    row-grain scan and aggregation (16 Exchanges at the bench); the
+    persisted frame is label-pair-sized (evictable storage; release
+    handle attached, the theil_sen idiom).
     """
     reserved = {"n", "n_cells", "mi", "_mi_a", "_mi_b", "_mi_c",
                 "_ca", "_cb", "_n"}
@@ -1392,7 +1430,7 @@ def mutual_info_by(
         F.col(a_col).cast("string").alias("_mi_a"),
         F.col(b_col).cast("string").alias("_mi_b"),
     ).groupBy(*bys, "_mi_a", "_mi_b").agg(
-        F.count(F.lit(1)).alias("_mi_c"))
+        F.count(F.lit(1)).alias("_mi_c")).persist()
     ca = cells.groupBy(*bys, "_mi_a").agg(F.sum("_mi_c").alias("_ca"))
     cb = cells.groupBy(*bys, "_mi_b").agg(F.sum("_mi_c").alias("_cb"))
     if bys:
@@ -1410,12 +1448,14 @@ def mutual_info_by(
             F.col("_mi_c").cast("double") * F.col("_n").cast("double")
             / (F.col("_ca").cast("double") * F.col("_cb").cast("double")))
     ).cast("decimal(28,12)")
-    return j.groupBy(*bys).agg(
+    out = j.groupBy(*bys).agg(
         F.sum("_mi_c").cast("long").alias("n"),
         F.count(F.lit(1)).alias("n_cells"),
         F.when(F.sum("_mi_c") > 0,
                F.round(F.sum(term), int(round_dp)).cast("double")).alias("mi"),
     )
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def anova_f_by(

@@ -695,10 +695,18 @@ def ngram_novelty(df, text_col: str, *, id_col: str, n: int = 3):
     NULL novelty). Deterministic: ties on the first occurrence go to
     the LOWEST id — "first" is by id order, the ingestion order key.
 
-    Plan (linear, the dedup posture): tokenize once, explode DISTINCT
-    grams per doc, ONE aggregation to (gram → min id) — map-side
-    combinable, gram-cardinality bounded — then an equi-join back on
-    the gram and a per-doc count. No pair table, no window.
+    Plan (linear, the dedup posture; r11 optimization, guide §2.3):
+    ``n_ngrams`` is just the SIZE of the doc's distinct-gram array —
+    computed inline at the doc grain, no explode, no shuffle — and
+    ``n_novel`` per doc is the number of (gram → min id) rows whose
+    min IS this doc, i.e. a count aggregation of the gram-first table
+    by its min-id column. So: tokenize, explode distinct grams, ONE
+    map-side-combinable aggregation to (gram → min id), ONE doc-grain
+    re-aggregation of it, one doc-keyed join. The former shape instead
+    equi-joined the first-occurrence table back onto the full exploded
+    gram table (a row-grain shuffle of every gram string) before
+    counting. Identical integers; ``id_col`` is the unique doc key
+    (rows with a NULL id report 0 grams, the join-miss contract).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -711,30 +719,41 @@ def ngram_novelty(df, text_col: str, *, id_col: str, n: int = 3):
         f"i -> concat_ws(' ', slice(_tk, i, {int(n)})))) "
         f"ELSE array() END"
     )
-    ids = df.select(F.col(id_col))
-    per_doc = (
+    # persisted: BOTH branches (the doc-grain size projection and the
+    # gram explode) read the computed arrays — unpersisted, Catalyst
+    # inlines the tokenize+gram expression into each branch AND pushes
+    # the explode's implicit size(...)>0 filter below the widening
+    # repartition, re-running the regex pipeline ~3x on the narrow
+    # pre-shuffle scan partitions (measured 1.3 -> 7.0 s at sf0.1).
+    # Evictable storage, release handle attached (the theil_sen idiom);
+    # tokenization now runs ONCE per row at any scale.
+    base = (
         widen_for_udf(df.select(F.col(id_col), F.col(text_col)))
         .select(id_col, tk.alias("_tk"))
-        .select(id_col, F.explode(grams).alias("_gram"))
+        .select(id_col, grams.alias("_ga"))
+        .persist()
     )
-    first = per_doc.groupBy("_gram").agg(F.min(id_col).alias("_first"))
-    counts = (
-        per_doc.join(first, "_gram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col(id_col) == F.col("_first"), 1).otherwise(0))
-            .alias("n_novel"),
-        )
+    doc_grain = base.select(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.size("_ga"))
+        .otherwise(F.lit(0)).cast("long").alias("n_ngrams"))
+    novel = (
+        base.select(id_col, F.explode("_ga").alias("_gram"))
+        .groupBy("_gram").agg(F.min(id_col).alias("_first"))
+        .groupBy(F.col("_first").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    return (
-        ids.join(counts, id_col, "left")
+    out = (
+        doc_grain.join(novel, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            "n_ngrams",
             F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
             F.expr("CASE WHEN n_ngrams > 0 THEN "
-                   "CAST(n_novel * 10000 DIV n_ngrams AS BIGINT) END")
+                   "CAST(coalesce(n_novel, 0) * 10000 DIV n_ngrams"
+                   " AS BIGINT) END")
             .alias("novelty_bp"),
         )
     )
+    out._docetl_cached_input = base  # release: .unpersist() when done
+    return out
