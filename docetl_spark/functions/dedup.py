@@ -343,11 +343,28 @@ def connected_components(
         schema = T.StructType(
             [T.StructField(id_col, id_type), T.StructField("component", id_type)]
         )
+
+        def _label_frame():
+            # Arrow literal frame (JVM LocalRelation) — the pickled-RDD
+            # list-of-tuples path pays a Python-worker round trip on
+            # EVERY action that reads it (r11 ann_ivf_persisted finding)
+            try:
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                return spark.createDataFrame(
+                    pa.Table.from_pylist(
+                        [{id_col: v, "component": c} for v, c in labels],
+                        schema=to_arrow_schema(schema)),
+                    schema=schema)
+            except Exception:  # exotic id types: keep the portable path
+                return spark.createDataFrame(labels, schema=schema)
+
         if vertices is None:
-            return spark.createDataFrame(labels, schema=schema)
+            return _label_frame()
         if not labels:
             return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
-        ltab = spark.createDataFrame(labels, schema=schema)
+        ltab = _label_frame()
         return (
             vertices.select(id_col)
             .join(F.broadcast(ltab), id_col, "left")

@@ -172,7 +172,8 @@ def cramers_v2(
     clash = sorted(reserved & set(by or []))
     if clash:
         raise ValueError(f"cramers_v2 reserves column names {clash}")
-    chi = chi_square_bp(df, col_a, col_b, by=by).drop("n_cells", "dof")
+    chi_raw = chi_square_bp(df, col_a, col_b, by=by)
+    chi = chi_raw.drop("n_cells", "dof")
     lv = (
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(*(by or []))
@@ -186,13 +187,18 @@ def cramers_v2(
     else:
         j = broadcast_scalar_join(chi, lv, df_col="n", scalar_col="r_levels")
     k = F.least(F.col("r_levels"), F.col("c_levels")) - F.lit(1)
-    return j.select(
+    out = j.select(
         *(by or []), "n", "r_levels", "c_levels", "chi2_bp",
         F.when(k > 0, F.expr(
             "CAST(CAST(chi2_bp AS DECIMAL(38,0)) DIV "
             "(CAST(n AS DECIMAL(38,0)) * (least(r_levels, c_levels) - 1)) AS BIGINT)"
         )).alias("v2_bp"),
     )
+    # propagate chi_square_bp's persisted cell table release handle
+    cached = getattr(chi_raw, "_docetl_cached_input", None)
+    if cached is not None:
+        out._docetl_cached_input = cached
+    return out
 
 
 def impurity_by(
@@ -233,7 +239,7 @@ def impurity_by(
         .groupBy(*bys, F.col(feature_col).alias("_im_f"),
                  F.col(label_col).alias("_im_l"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_im_c"))
-    )
+    ).persist()  # referenced twice (per-value + label marginals); cell-sized
     # per-(by, feature-value): rows and Σ label-count²
     per_v = cells.groupBy(*bys, "_im_f").agg(
         F.sum("_im_c").alias("_nv"),
@@ -261,9 +267,11 @@ def impurity_by(
         .cast("long").alias("parent_gini_bp"),
         F.sum("_child_term").cast("long").alias("child_gini_bp"),
     )
-    return out.withColumn(
+    out = out.withColumn(
         "reduction_bp", F.col("parent_gini_bp") - F.col("child_gini_bp")
     )
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def dist_drift(
@@ -311,7 +319,7 @@ def dist_drift(
         .cast("decimal(38,0)").alias("_dd_a"),
         F.sum(F.when(F.col(period_col) == current, 1).otherwise(0))
         .cast("decimal(38,0)").alias("_dd_b"),
-    )
+    ).persist()  # referenced twice (totals + join back); category-sized
     tot = cells.groupBy(*bys).agg(
         F.sum("_dd_a").alias("_ta"), F.sum("_dd_b").alias("_tb")
     )
@@ -329,13 +337,15 @@ def dist_drift(
         .alias("current_share_bp"),
     )
     if detail:
-        return shares.select(
+        out = shares.select(
             *bys, F.col("_dd_c").alias("category"), "n_base", "n_current",
             "base_share_bp", "current_share_bp",
             (F.coalesce("current_share_bp", F.lit(0))
              - F.coalesce("base_share_bp", F.lit(0))).alias("drift_bp"),
         )
-    return shares.groupBy(*bys).agg(
+        out._docetl_cached_input = cells  # release: .unpersist() when done
+        return out
+    out = shares.groupBy(*bys).agg(
         F.sum("n_base").alias("n_base"),
         F.sum("n_current").alias("n_current"),
         F.count(F.lit(1)).alias("n_categories"),
@@ -351,6 +361,8 @@ def dist_drift(
             ).cast("long"),
         ).alias("tv_bp"),
     )
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def woe_table(
@@ -398,7 +410,7 @@ def woe_table(
             F.sum("_we_l").cast("decimal(38,0)").alias("_npos"),
         )
         .withColumn("_nneg", F.col("_n") - F.col("_npos"))
-    )
+    ).persist()  # referenced twice (totals + join back); value-cardinality-sized
     tot = cells.groupBy(*bys).agg(
         F.sum("_npos").alias("_tp"), F.sum("_nneg").alias("_tn")
     )
@@ -406,7 +418,7 @@ def woe_table(
         j = cells.join(tot, bys)
     else:
         j = broadcast_scalar_join(cells, tot, df_col="_n", scalar_col="_tp")
-    return j.select(
+    out = j.select(
         *bys, F.col("_we_v").alias("value"),
         F.col("_n").cast("long").alias("n"),
         F.col("_npos").cast("long").alias("n_pos"),
@@ -420,6 +432,8 @@ def woe_table(
             F.expr("CAST(_npos * _tn * 10000 DIV (_nneg * _tp) AS BIGINT)"),
         ).alias("odds_bp"),
     )
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def trimmed_mean_by(
@@ -1114,8 +1128,12 @@ def cohen_kappa_by(
         F.col(rater_a).cast("string").alias("_ck_a"),
         F.col(rater_b).cast("string").alias("_ck_b"),
     )
+    # persisted: referenced three times (both marginals + the agreement
+    # aggregate) with different column prunings, so uncached plans
+    # re-scan and re-shuffle the raw rows per branch (the mutual_info_by
+    # finding); pair-count-cardinality-sized, release handle attached
     ab = base.groupBy(*bys, "_ck_a", "_ck_b").agg(
-        F.count(F.lit(1)).alias("_ck_c"))
+        F.count(F.lit(1)).alias("_ck_c")).persist()
     # marginal products per category: S = Σ_k ca_k * cb_k — join the two
     # marginals on the category (bounded by category cardinality)
     ca = ab.groupBy(*bys, F.col("_ck_a").alias("_k")).agg(
@@ -1134,7 +1152,7 @@ def cohen_kappa_by(
               .otherwise(0)).alias("_agree"),
     )
     out = g.join(s, bys) if bys else g.crossJoin(s)
-    return out.select(
+    out = out.select(
         *bys,
         F.col("_n").cast("long").alias("n"),
         F.col("_agree").cast("long").alias("n_agree"),
@@ -1148,6 +1166,8 @@ def cohen_kappa_by(
             "DIV (CAST(_n AS DECIMAL(38,0)) * _n - _s) AS BIGINT) END"
         ).alias("kappa_bp"),
     )
+    out._docetl_cached_input = ab  # release: .unpersist() when done
+    return out
 
 
 def psi_by(
@@ -1196,7 +1216,7 @@ def psi_by(
     ).agg(
         F.sum("_in_a").alias("_ps_a"),
         F.sum("_in_b").alias("_ps_b"),
-    )
+    ).persist()  # referenced twice (totals + join back); category-sized
     if bys:
         tot = cells.groupBy(*bys).agg(
             F.sum("_ps_a").alias("_ta"), F.sum("_ps_b").alias("_tb"))
@@ -1220,7 +1240,7 @@ def psi_by(
         (F.col("_p") - F.col("_q")).cast("double") / F.lit(10000.0)
         * F.log(F.col("_p").cast("double") / F.col("_q").cast("double"))
     ).cast("decimal(28,12)")
-    return shares.groupBy(*bys).agg(
+    out = shares.groupBy(*bys).agg(
         F.sum("_ps_a").cast("long").alias("n_base"),
         F.sum("_ps_b").cast("long").alias("n_current"),
         F.count(F.lit(1)).alias("n_categories"),
@@ -1229,6 +1249,8 @@ def psi_by(
             F.round(F.sum(term), int(round_dp)).cast("double"),
         ).alias("psi"),
     )
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def kruskal_wallis_by(

@@ -321,21 +321,40 @@ def _fp_pairs(
     ``max_doc_freq`` drops fingerprints present in more than that many
     documents BEFORE the self-join (boilerplate-gram suppression): a
     fingerprint in d docs fans out to d*(d-1)/2 pairs, so the cap
-    bounds the join's worst bucket — at corpus scale leave it set."""
+    bounds the join's worst bucket — at corpus scale leave it set.
+
+    r11 optimization (guide §2.3/§4.2): the fingerprint table used to
+    be referenced three times (doc-freq aggregate + both self-join
+    sides), re-running the whole gram-hash derivation — an Arrow UDF
+    for sampled fps, the substring_windows + winnow window chain for
+    winnowed fps — once per branch. The doc-freq cap is now a count
+    window over the SAME fp partitioning the self-join shuffles on
+    (one exchange, no agg + join-back; the hot-fp rows always met one
+    exchange on fp here, so skew exposure is unchanged and the cap
+    still bounds the pair fan-out), and the capped table persists
+    (evictable storage, release handle attached) so the hash chain
+    runs ONCE and both join sides read the cache."""
+    from pyspark.sql import Window as W
+
     if max_doc_freq is not None:
-        ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
-            F.col("_df") <= max_doc_freq
+        wfp = W.partitionBy("fp")
+        fps = (
+            fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        fps = fps.join(ok.select("fp"), "fp")
+    fps = fps.persist()
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+    out._docetl_cached_input = fps  # release: .unpersist() when done
+    return out
 
 
 def gram_fingerprint_pairs(

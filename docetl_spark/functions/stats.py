@@ -1883,7 +1883,13 @@ def chi_square_bp(
     and the full grid materialized as a broadcast join of the (small,
     category-cardinality) marginal tables via the non-foldable constant
     key — the raw stream is shuffled ONCE; everything after is bounded
-    by category cardinality, never row count.
+    by category cardinality, never row count. r11 optimization (guide
+    §5): the cell table is referenced THREE times (both marginals + the
+    grid's observed side) and Catalyst prunes each branch differently,
+    so uncached plans re-scanned and re-shuffled the raw rows per
+    branch (the mutual_info_by finding); the persisted frame is
+    category-cardinality-sized (evictable storage; release handle
+    attached).
     """
     reserved = {"n", "n_cells", "dof", "chi2_bp", "_c2_a", "_c2_b", "_c2_o",
                 "_c2_r", "_c2_c", "_c2_n", "_gk"}
@@ -1895,7 +1901,7 @@ def chi_square_bp(
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(*bys, F.col(col_a).alias("_c2_a"), F.col(col_b).alias("_c2_b"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c2_o"))
-    )
+    ).persist()
     rows = cells.groupBy(*bys, "_c2_a").agg(F.sum("_c2_o").alias("_c2_r"))
     colsm = cells.groupBy(*bys, "_c2_b").agg(F.sum("_c2_o").alias("_c2_c"))
     if bys:
@@ -1936,7 +1942,9 @@ def chi_square_bp(
     )
     # zero usable rows: the global aggregate would emit a dof=1 row for
     # a table with no categories at all — it vanishes instead
-    return out.filter(F.col("n_cells") > 0)
+    out = out.filter(F.col("n_cells") > 0)
+    out._docetl_cached_input = cells  # release: .unpersist() when done
+    return out
 
 
 def ks_statistic(

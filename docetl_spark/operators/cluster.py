@@ -194,13 +194,24 @@ def cluster(
     paths = _tree_paths(n, merges, summarize, label_nodes)
 
     spark = df.sparkSession
-    path_df = spark.createDataFrame(
-        [(ids[i], paths[i]) for i in range(n)],
-        schema=T.StructType([
-            T.StructField(id_col, df.schema[id_col].dataType, True),
-            T.StructField(output_key, T.ArrayType(T.StringType()), True),
-        ]),
-    )
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, True),
+        T.StructField(output_key, T.ArrayType(T.StringType()), True),
+    ])
+    rows = [{id_col: ids[i], output_key: paths[i]} for i in range(n)]
+    # Arrow literal frame (JVM LocalRelation) — the pickled-RDD path
+    # pays a Python-worker round trip per downstream action (r11
+    # ann_ivf_persisted finding); fall back for exotic id types
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path_df = spark.createDataFrame(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(schema)),
+            schema=schema)
+    except Exception:
+        path_df = spark.createDataFrame(
+            [(ids[i], paths[i]) for i in range(n)], schema=schema)
     return df.join(F.broadcast(path_df), id_col, "left")
 
 

@@ -437,10 +437,21 @@ def rank(
         )
         spark = df.sparkSession
         id_like = [c for c in df.columns]
-        new_ranks = spark.createDataFrame(
-            [{**{k: r[k] for k in id_like}, rank_col: i + 1} for i, r in enumerate(head)],
-            schema=ranked.schema,
-        )
+        rows = [{**{k: r[k] for k in id_like}, rank_col: i + 1}
+                for i, r in enumerate(head)]
+        # Arrow literal frame (JVM LocalRelation) — the pickled-RDD path
+        # pays a Python-worker round trip per downstream action (r11
+        # ann_ivf_persisted finding); fall back for exotic column types
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            new_ranks = spark.createDataFrame(
+                pa.Table.from_pylist(rows, schema=to_arrow_schema(ranked.schema)),
+                schema=ranked.schema,
+            )
+        except Exception:
+            new_ranks = spark.createDataFrame(rows, schema=ranked.schema)
         tail = ranked.filter(F.col(rank_col) > refine_head_size)
         ranked = new_ranks.unionByName(tail)
     return ranked

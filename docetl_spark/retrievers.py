@@ -228,8 +228,12 @@ def retrieve_context_join(
     exact but BROADCASTS the query side (``df``) — use it only when
     ``df`` is small; a large input table must go through "lsh". Context assembly is pure
     JVM (collect_list of rank-ordered structs), and the result joins
-    back on a deterministic row key — no driver-side index, no
-    per-row model calls beyond the one embed pass.
+    back on a deterministic 128-bit hash of the query text — each
+    DISTINCT query text is embedded, bucketed and ranked once no
+    matter how many rows carry it; no driver-side index, no per-row
+    model calls beyond the one embed pass over distinct texts.
+    ``id_col`` is accepted for backward compatibility and ignored
+    (content keying makes a caller-supplied row key unnecessary).
 
     ``method="hybrid"`` (reference retrievers/lancedb.py hybrid search
     with its default RRF reranker, distributed): the vector top-k list
@@ -252,26 +256,22 @@ def retrieve_context_join(
 
     if out_col in df.columns:
         df = df.drop(out_col)  # refresh case: re-retrieving over prior output
-    # Row key requirements: with ``id_col`` set it MUST be unique and
-    # non-null (duplicate ids would merge two rows' candidate sets; we
-    # coalesce a null id to a sentinel so a single null row still works,
-    # but several null ids share context — pass no id_col to fall back
-    # to the content hash). Without id_col the key is a 128-bit content
-    # hash: two independent xxhash64 draws (seed-prefixed), because a
-    # single 64-bit key hits birthday collisions at big-corpus scale and
-    # a collision silently merges two distinct rows' contexts. Columns
-    # null-coalesce to a sentinel first: xxhash64 SKIPS null inputs, so
-    # ('a', NULL) and (NULL, 'a') would otherwise collide.
-    if id_col:
-        rk = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00NULL"))
-    else:
-        safe = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in df.columns]
-        rk = F.concat_ws(":", F.xxhash64(*safe).cast("string"),
-                         F.xxhash64(F.lit(1), *safe).cast("string"))
-    queries = df.withColumn("_rk", rk)
+    # Retrieval is a pure function of the QUERY TEXT: embeddings, LSH
+    # buckets, BM25 scores, ranks and the rendered context all derive
+    # from ``_qtext`` alone. So the work key is md5(_qtext) — each
+    # DISTINCT query text embeds, joins and ranks exactly once, and
+    # every input row picks up its text's context in the final
+    # equi-join (r11 optimization, guide §2.4/§4.1: the former per-row
+    # key re-embedded and re-joined one candidate set per ROW, paying
+    # the whole retrieval pipeline again for every duplicate text; the
+    # dedup shuffle itself costs the same — it replaced the old per-row
+    # key dedup, it isn't added). md5 is 128-bit for the same
+    # birthday-collision posture as the corpus key below; concat_ws
+    # never returns NULL, so the key is total. ``id_col`` is accepted
+    # for API compatibility but no longer needed: duplicate ids cannot
+    # merge candidate sets when the key is the content itself.
     qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
-    # duplicate rows share a key; without the dropDuplicates their merged
-    # candidate sets would let one doc fill several top-k rank slots
+    queries = df.withColumn("_rk", F.md5(qtext))
     qd = queries.select("_rk", qtext.alias("_qtext")).dropDuplicates(["_rk"])
     q_emb = embed_column(qd, ["_qtext"], backend, out_col="_qv")
     ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
