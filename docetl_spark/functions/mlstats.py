@@ -102,6 +102,15 @@ def spearman_by(
     if clash:
         raise ValueError(f"spearman_by reserves column names {clash}")
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    if not by:
+        # GLOBAL path (r11 optimization, guide §5): each _global_cumsum
+        # runs an offset-collect ACTION over its distinct-value table,
+        # so the two midrank passes plus the final sums re-derived
+        # ``base``'s lineage three times from the raw scan. Persist it
+        # (evictable storage; release handle attached). The grouped
+        # path stays uncached — its windows ride one shuffle with no
+        # extra actions.
+        base = base.persist()
     ranked = _midrank2(base, x_col, "_sp_x", by)
     ranked = _midrank2(ranked, y_col, "_sp_y", by)
     x = F.col("_sp_x").cast("decimal(38,0)")
@@ -134,12 +143,15 @@ def spearman_by(
     def _guarded(val):
         return F.when(oob, F.raise_error(err)).otherwise(val)
 
-    return cen.filter(F.col("_n") > 0).select(
+    out = cen.filter(F.col("_n") > 0).select(
         *(by or []),
         F.col("_n").cast("long").alias("n"),
         _guarded(F.signum(F.col("_num").cast("double")).cast("int")).alias("sign"),
         _guarded(rho2).alias("rho2_bp"),
     )
+    if not by:
+        out._docetl_cached_input = base  # release: .unpersist() when done
+    return out
 
 
 def cramers_v2(

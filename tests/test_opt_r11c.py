@@ -56,6 +56,25 @@ def test_contingency_ops_attach_persisted_release_handles(spark):
         _release(out)
 
 
+def test_spearman_global_path_caches_base(spark):
+    # the GLOBAL midrank path runs two offset-collect actions plus the
+    # final sums — base persists (with release handle) so its lineage
+    # computes once; the grouped path stays uncached (no extra actions)
+    from docetl_spark.functions.mlstats import spearman_by
+
+    df = spark.createDataFrame(
+        [{"x": i % 7, "y": (i * 3) % 5, "g": str(i % 2)} for i in range(60)]
+    )
+    out = spearman_by(df, "x", "y")
+    row = out.collect()[0]
+    assert row["n"] == 60
+    _release(out)
+
+    grouped = spearman_by(df, "x", "y", by=["g"])
+    assert grouped.count() == 2
+    assert getattr(grouped, "_docetl_cached_input", None) is None
+
+
 def test_text_ops_attach_persisted_release_handles(spark):
     # (vocab_growth's persist was measured a regression at sf0.1 and
     # reverted — only ngram_novelty carries the handle)
