@@ -1049,13 +1049,15 @@ def _theil_sen_sampled(
         *bys, F.col(ts_col).cast("long").alias("_th_t"),
         to_cents(value_col, value_scale).cast("decimal(38,0)").alias("_th_c"),
     ).withColumn("_i", F.row_number().over(w)).withColumn(
-        "_ng", F.count(F.lit(1)).over(wall)).cache()
-    # r11 optimization (guide §5): base (the post-filter windowed frame,
-    # group-count-sized) is referenced THREE times — the group-size
-    # aggregate, the draw explosion, and the partner side of the index
-    # join. Uncached, the source scan + upstream aggregation + the two
-    # windows replay for each; cached once, the lineage runs once
-    # (release handle on the result, the bootstrap_ci idiom).
+        "_ng", F.count(F.lit(1)).over(wall))
+    # base is referenced three times (group-size aggregate, draw
+    # explosion, partner side of the index join) and is ROW-grain —
+    # an r11 attempt to cache it won at sf0.1 (4.6 -> 1.7 s) but
+    # REGRESSED 2-3x at the sf1 scale slice (the 16x draw explosion
+    # reads slower from columnar cache than from the pipelined
+    # recompute, and the cached blocks churn under memory pressure),
+    # so the lineage replays instead: recompute-per-branch is the
+    # scale posture here.
     counts = base.groupBy(*bys).agg(F.count(F.lit(1)).alias("_n"))
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in bys])
     draws = base.filter(F.col("_ng") >= 2).select(
@@ -1092,13 +1094,11 @@ def _theil_sen_sampled(
         F.col("_r") == F.expr("(_np + 1) DIV 2")
     ).select(*bys, F.col("_sl").alias("slope_milli"),
              F.col("_np").cast("long").alias("n_pairs"))
-    out = counts.join(med, bys, "left").select(
+    return counts.join(med, bys, "left").select(
         *bys, F.col("_n").cast("long").alias("n"),
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.col("slope_milli"),
     )
-    out._docetl_cached_input = base  # release: .unpersist() when done
-    return out
 
 
 def cohen_kappa_by(

@@ -56,6 +56,11 @@ QUERIES = [
     "events_theil_sen_sampled",
     "rag_retrieve_hybrid",
     "events_stream_drift",
+    # round-11 continuation additions: the wave-C restructured
+    # pair-generation paths (window doc-freq cap + single fingerprint
+    # derivation) — the quadratic-risk family the cap bounds
+    "gram_fingerprint_dups",
+    "winnow_dup_pairs",
 ]
 
 
