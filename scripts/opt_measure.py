@@ -34,7 +34,7 @@ import __spark_entry__ as entry
 from docetl_spark import get_spark
 
 REPO = Path(__file__).resolve().parent.parent
-PLANS_DIR = REPO / "plans" / "r11"
+PLANS_DIR = REPO / "plans" / os.environ.get("OPT_PLANS_ROUND", "r12")
 
 
 def plan_summary(txt: str) -> str:
