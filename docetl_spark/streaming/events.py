@@ -479,6 +479,21 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
     if shuffle_partitions is not None:
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # r12 drain-floor optimization (guide §5, VERDICT r12 #3): after the
+    # data batches, availableNow runs one extra NO-DATA micro-batch just
+    # to advance the watermark and finalize/evict state — for a drain
+    # whose sinks are update-mode aggregates, eagerly-emitting stream-
+    # stream inner joins, or NoTimeout applyInPandasWithState (which is
+    # not even invoked on an empty batch), that batch emits NOTHING and
+    # costs 0.3-1.3 s of pure state-store commit protocol (measured:
+    # the interval-join drain's batch 1 = 0 rows, 1.05-1.33 s). Every
+    # drained output row is produced in the data batches, so disabling
+    # no-data batches for the drain changes no result (each streaming
+    # oracle re-verified). Restored after: a long-lived processingTime
+    # query in the same session may legitimately want event-time
+    # timeouts fired by no-data batches.
+    old_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"mem_{uuid.uuid4().hex[:8]}"
     try:
         q = (
@@ -493,6 +508,7 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
     tbl = stream_df.sparkSession.table(name)
     # Arrow fast path only for FLAT ATOMIC non-temporal schemas:
     # temporal types come back tz-aware where Row gives session-naive,
