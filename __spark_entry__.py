@@ -4473,8 +4473,15 @@ def _order_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform never re-derives its input (the CollapseProject hazard
     doesn't apply to a post-agg column). Same pair multiset: each
     order contributes each unordered pair at most once."""
+    from docetl_spark.session import widen_scan_for_agg
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    # r12 (guide §2.2/§6): the single-row-group scan is one task, which
+    # serialized the partial collect_set AND the pair explosion; keyed
+    # widening runs them at session width behind the same one exchange
+    # the groupBy plans anyway (no-op on a many-split 100 TB scan)
+    li = widen_scan_for_agg(li, "l_orderkey")
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
     return sets.select(

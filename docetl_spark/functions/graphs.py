@@ -218,6 +218,16 @@ def pagerank(
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # r12 optimization (guide §2.4): hash-partition the mirrored
+        # adjacency by src ONCE before caching. The out-degree/node
+        # aggregation AND (on the symmetric edge set) every iteration's
+        # contribution aggregation key on src, so they all reuse this
+        # one exchange instead of re-shuffling the edge table per round
+        # (explicit partition count = the session's shuffle parallelism,
+        # so AQE cannot coalesce the cached layout out from under the
+        # downstream distribution requirement).
+        e = e.repartition(
+            int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")), "src")
     # cache: referenced once per iteration plus the node/out-degree
     # aggregations — unpersisted, the upstream edge pipeline replays
     # 2 + iters times (release handle on the result)
@@ -263,14 +273,39 @@ def pagerank(
             F.col("_od"),
         )
     rank = state.select("node", F.col("_r0").alias("rank"), "_base", "_od")
+    # r12 (guide §3.1): the rank table is node-sized; when the driver-
+    # known node count clears the gate, broadcast it into the per-
+    # iteration join so the (partitioned, cached) edge table is never
+    # re-shuffled — above the gate the planner's strategy stands (a
+    # 100 TB graph's rank table must shuffle). On the SYMMETRIC
+    # undirected edge set, contrib[n] = Σ_{(n,m)∈E} rank[m] DIV od[m],
+    # so the join can key on dst (contributor) and the aggregation on
+    # src (receiver) — the key e was partitioned by: zero exchanges per
+    # iteration under the gate. The directed path keeps src-join/
+    # dst-agg (no symmetry to exploit).
+    try:
+        _node_limit = int(edges.sparkSession.conf.get(
+            "docetl.graphs.broadcastNodeLimit", "4000000"))
+    except Exception:
+        _node_limit = 4_000_000
+    _bcast = _node_limit > 0 and n <= _node_limit
+    join_key, agg_key = ("src", "dst") if directed else ("dst", "src")
     for _ in range(int(iters)):
+        contributors = rank.filter(F.col("_od").isNotNull()).select(
+            F.col("node").alias(join_key),
+            F.expr("CAST(rank DIV _od AS BIGINT)").alias("_c"))
+        if _bcast:
+            contributors = F.broadcast(contributors)
         contrib = (
-            e.join(rank.filter(F.col("_od").isNotNull()).select(
-                F.col("node").alias("src"),
-                F.expr("CAST(rank DIV _od AS BIGINT)").alias("_c")), "src")
-            .groupBy(F.col("dst").alias("node"))
+            e.join(contributors, join_key)
+            .groupBy(F.col(agg_key).alias("node"))
             .agg(F.sum("_c").alias("_in"))
         )
+        if _bcast:
+            # node-sized under the gate: the carry-over left join would
+            # otherwise sort-merge two node tables (the planner can't
+            # size the cached chains)
+            contrib = F.broadcast(contrib)
         rank = rank.join(contrib, "node", "left").select(
             "node",
             F.expr(f"CAST(_base + {int(damping_bp)} * coalesce(_in, 0)"
@@ -369,17 +404,34 @@ def jaccard_neighbors(
     # self-join, the degree aggregation, and the hub cut all read it —
     # unpersisted, the upstream edge pipeline replays 4x (release
     # handle on the result, the dedup/semdedup idiom)
+    # r12 optimization (guide §2.4): hash-partition the mirrored
+    # adjacency by the pivot ONCE before caching — the degree
+    # aggregation, the hub cut, and the neighbor-list aggregation all
+    # key on _p and reuse this single exchange (explicit partition
+    # count so AQE can't coalesce the cached layout below the
+    # downstream distribution requirements).
     adj = e.select(F.col("src").alias("_p"), F.col("dst").alias("_nb")) \
         .unionByName(
             e.select(F.col("dst").alias("_p"), F.col("src").alias("_nb"))) \
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "_p") \
         .cache()
     deg = adj.groupBy(F.col("_p").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree"))
     piv = adj
     if max_pivot_degree is not None:
-        keep = deg.filter(F.col("degree") <= int(max_pivot_degree)) \
-            .select(F.col("node").alias("_p"))
-        piv = adj.join(keep, "_p")
+        # r12 (the _fp_pairs precedent, guide §2.3): the hub cut is a
+        # count window over the SAME _p partitioning the adjacency
+        # already has — the former degree-aggregate + join-back pair
+        # re-shuffled the adjacency; a hub's rows met one exchange on
+        # _p either way, so skew exposure is unchanged. Same degrees,
+        # same surviving pivots.
+        from pyspark.sql import Window as W
+
+        piv = adj.withColumn(
+            "_pd", F.count(F.lit(1)).over(W.partitionBy("_p"))
+        ).filter(F.col("_pd") <= int(max_pivot_degree)).drop("_pd")
     # r11 optimization (guide §2.4): the former a⋈b self-join on the
     # pivot shuffled the adjacency twice and generated d² rows per
     # pivot before the _a < _b filter; collecting each (hub-capped, so
@@ -458,9 +510,18 @@ def label_propagation(
     # cached: one vote join per round plus the node enumeration —
     # unpersisted, the upstream edge pipeline replays iters + 1 times
     # (release handle on the result)
+    # r12 optimization (guide §2.4): hash-partition the mirrored
+    # adjacency by the receiving node ONCE before caching — each
+    # round's vote aggregation (groupBy(_n, _nl): hash(_n) clusters it)
+    # and tie-break window (partitionBy(_n)) then reuse this exchange
+    # instead of shuffling twice per round. Explicit partition count so
+    # AQE can't coalesce the cached layout below the requirement.
     adj = e.select(F.col("src").alias("_n"), F.col("dst").alias("_nb")) \
         .unionByName(
             e.select(F.col("dst").alias("_n"), F.col("src").alias("_nb"))) \
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "_n") \
         .cache()
     nodes = adj.select("_n").distinct()
     seed = seeds.filter(
@@ -471,10 +532,28 @@ def label_propagation(
         "_n", F.col("_seed"), F.col("_seed").alias("_lbl"))
     from pyspark.sql import Window as W
 
+    # r12 (guide §3.1): the label table is node-sized — under the gate,
+    # broadcast it into each round's vote join so the partitioned cached
+    # adjacency is never re-shuffled on _nb (the planner cannot know a
+    # cached-chain's size and may pick a sort-merge join that would
+    # destroy the layout). Above the gate the planner decides — a
+    # 100 TB graph's label table must shuffle. The node count is a
+    # driver count over the cached adjacency's key set, the pagerank
+    # precedent; it materializes the cache every later round reuses.
+    try:
+        _node_limit = int(edges.sparkSession.conf.get(
+            "docetl.graphs.broadcastNodeLimit", "4000000"))
+    except Exception:
+        _node_limit = 4_000_000
+    _bcast = _node_limit > 0 and nodes.count() <= _node_limit
+
     for _ in range(int(iters)):
+        labeled = cur.select(F.col("_n").alias("_nb"),
+                             F.col("_lbl").alias("_nl"))
+        if _bcast:
+            labeled = F.broadcast(labeled)
         votes = (
-            adj.join(cur.select(F.col("_n").alias("_nb"),
-                                F.col("_lbl").alias("_nl")), "_nb")
+            adj.join(labeled, "_nb")
             .filter(F.col("_nl").isNotNull())
             .groupBy("_n", "_nl")
             .agg(F.count(F.lit(1)).alias("_c"))
@@ -484,6 +563,10 @@ def label_propagation(
                 W.partitionBy("_n").orderBy(F.col("_c").desc(),
                                             F.col("_nl").asc()))
         ).filter(F.col("_rk") == 1).select("_n", F.col("_nl").alias("_best"))
+        if _bcast:
+            # node-sized under the gate: the carry-over left join would
+            # otherwise sort-merge two node tables
+            best = F.broadcast(best)
         cur = cur.join(best, "_n", "left").select(
             "_n", "_seed",
             F.coalesce(F.col("_seed"), F.col("_best"), F.col("_lbl"))

@@ -90,6 +90,49 @@ def widen_for_udf(df, min_partitions: int | None = None):
     return df
 
 
+def widen_scan_for_agg(df, *keys):
+    """Hash-repartition a scan-shaped ``df`` on the grouping ``keys`` it
+    is about to be aggregated on, IF the scan arrives narrower than the
+    session's shuffle parallelism — and leave it alone otherwise.
+
+    Why (guide §2.2/§6, r12): a single-row-group parquet file scans as
+    ONE task no matter how files are split, so the map-side partial
+    aggregation (and any pre-exchange projection/explosion) of a
+    downstream groupBy runs serially on one core. Hash-repartitioning on
+    the SAME key the aggregation needs costs no extra exchange — the
+    groupBy reuses the partitioning (EnsureRequirements sees compatible
+    hashpartitioning) — and moves the aggregation work behind the
+    exchange at full width. The partition count is the session's
+    ``spark.sql.shuffle.partitions`` (scales with $SPARK_GRAFT_CPUS /
+    cluster sizing), passed explicitly so AQE does not coalesce the
+    small local shuffle back to one task (measured: collect_set edge
+    build 1.11 s -> 0.59 s at sf0.1).
+
+    A 100 TB scan arrives in thousands of splits and never takes the
+    branch — the plan is then byte-identical to the un-widened one.
+    Same no-width-op plan guard as ``widen_for_udf``: post-join/agg
+    inputs are already exchange-wide."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df
+    import re
+
+    if re.search(
+        r"^[\s+:|-]*(?:Join|Aggregate|Sort|Window|Repartition|RepartitionByExpression|Exchange)\b",
+        plan,
+        re.MULTILINE,
+    ):
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *keys)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames.
 
