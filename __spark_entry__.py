@@ -1948,8 +1948,17 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (supplier nation, customer nation) pair where the nations
     differ. Two broadcast dims (supplier, nation x2) around the
     lineitem->orders->customer join chain; exact decimal revenue."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    from docetl_spark.session import widen_scan_for_agg
+
+    # r12 (guide §2.2): the single-row-group local scan is one task, so
+    # the whole broadcast-probe chain ran serially (16.7 s at sf1);
+    # keyed widening runs the probes at session width. No-op at scale
+    # (a many-split scan skips the branch).
+    li = widen_scan_for_agg(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1979,9 +1988,15 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
     items (l_returnflag = 'R') with nation attribution — filter pushed
     to the lineitem scan, broadcast dims, TakeOrderedAndProject."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
-    ).filter(F.col("l_returnflag") == "R")
+    from docetl_spark.session import widen_scan_for_agg
+
+    # r12 (guide §2.2): same serial-probe fix as q7 — see the note there
+    li = widen_scan_for_agg(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+        ).filter(F.col("l_returnflag") == "R"),
+        "l_orderkey",
+    )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")

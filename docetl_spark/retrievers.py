@@ -273,7 +273,6 @@ def retrieve_context_join(
     qtext = F.concat_ws(" ", *[F.col(c).cast("string") for c in (query_keys or text_keys)])
     queries = df.withColumn("_rk", F.md5(qtext))
     qd = queries.select("_rk", qtext.alias("_qtext")).dropDuplicates(["_rk"])
-    q_emb = embed_column(qd, ["_qtext"], backend, out_col="_qv")
     ctext = F.concat_ws(" ", *[F.col(c).cast("string") for c in text_keys])
     # content-keyed dedup: a doc duplicated d times would otherwise
     # occupy min(d, k) rank slots AND multiply again through the
@@ -287,7 +286,28 @@ def retrieve_context_join(
         .withColumn("_cid", F.md5(F.col("_ctext")))
         .dropDuplicates(["_cid"])
     ).cache()
-    c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
+    # r12 optimization (guide §4.2/§4.5, VERDICT r12 #7): ONE embed pass
+    # over the union of distinct query texts and distinct corpus texts
+    # instead of two separate Arrow stages — the embedding is a pure
+    # per-text function, so batch composition cannot change any vector,
+    # and the fused stage pays the Python-worker spin-up + model init
+    # once. The embedded union persists (evictable; release handle below)
+    # because both side-filters read it — unpersisted, the embed UDF
+    # would re-run per side and the fusion would be cosmetic.
+    union = qd.select(
+        F.col("_rk").alias("_k"), F.col("_qtext").alias("_t"),
+        F.lit(True).alias("_isq"),
+    ).unionByName(c_base.select(
+        F.col("_cid").alias("_k"), F.col("_ctext").alias("_t"),
+        F.lit(False).alias("_isq"),
+    ))
+    emb = embed_column(union, ["_t"], backend, out_col="_v").persist()
+    q_emb = emb.filter(F.col("_isq")).select(
+        F.col("_k").alias("_rk"), F.col("_t").alias("_qtext"),
+        F.col("_v").alias("_qv"))
+    c_emb = emb.filter(~F.col("_isq")).select(
+        F.col("_t").alias("_ctext"), F.col("_k").alias("_cid"),
+        F.col("_v").alias("_cv"))
 
     def _vector_topk(kk: int, vmethod: str):
         if vmethod == "lsh":
@@ -352,11 +372,15 @@ def retrieve_context_join(
             ).alias(out_col),
         )
     )
-    return (
+    out = (
         queries.join(ctx, "_rk", "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .drop("_rk")
     )
+    # release handles: .unpersist() when done (list form — both the
+    # deduped corpus and the fused embedding table are pinned)
+    out._docetl_cached_input = [c_base, emb]
+    return out
 
 
 def bm25_topk(
