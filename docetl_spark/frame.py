@@ -86,6 +86,16 @@ class SemanticFrame:
     # CollectMetrics nodes ride the SAME action — zero extra Spark jobs)
     _observe: bool = field(default=False, compare=False, repr=False)
     _obs: tuple = field(default_factory=tuple, compare=False, repr=False)
+    # Persist release handles (r12, ADVICE r11): ops that .persist() an
+    # intermediate attach it to their result as ``_docetl_cached_input``
+    # (DataFrame or list). ``_next``'s observe wrapper used to DROP that
+    # plain attribute, so frame-level pipelines pinned corpus-scale
+    # cached relations for the whole session (Spark's CacheManager never
+    # evicts without unpersist/clearCache). The frame now carries them
+    # here and ``collect()`` releases them after its memoizing
+    # materialization (see collect's docstring for the recompute
+    # trade-off); ``release_caches()`` is the explicit path.
+    _caches: tuple = field(default_factory=tuple, compare=False, repr=False)
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -118,6 +128,13 @@ class SemanticFrame:
         return cls(df, backend, (("scan", {"path": "<dataframe>"}),))
 
     def _next(self, df: DataFrame, op: str, **conf) -> "SemanticFrame":
+        # harvest any persist release-handle BEFORE the observe wrapper
+        # discards the attribute-carrying DataFrame object
+        handle = getattr(df, "_docetl_cached_input", None)
+        caches = self._caches
+        if handle is not None:
+            caches = caches + tuple(
+                handle if isinstance(handle, (list, tuple)) else [handle])
         obs = self._obs
         if self._observe:
             from pyspark.sql import Observation
@@ -126,7 +143,7 @@ class SemanticFrame:
             df = df.observe(o, F.count(F.lit(1)).alias("rows"))
             obs = obs + ((op, o),)
         return SemanticFrame(df, self.backend, self.op_log + ((op, conf),),
-                             _observe=self._observe, _obs=obs)
+                             _observe=self._observe, _obs=obs, _caches=caches)
 
     def _require_backend(self, op: str) -> ModelBackend:
         if self.backend is None:
@@ -2108,17 +2125,42 @@ class SemanticFrame:
     def explain(self, mode: str = "formatted"):
         return self.df.explain(mode)
 
-    def collect(self) -> list[dict]:
+    def collect(self, *, release_caches: bool = True) -> list[dict]:
         """Memoized on the frame instance (reference frame.py:1034-1063):
         repeated terminal actions (collect then count, ...) reuse the
         first materialization instead of re-running the semantic ops.
         Rows are handed out as DEEP copies so caller mutations — including
-        of nested lists/dicts — can't corrupt the memo."""
+        of nested lists/dicts — can't corrupt the memo.
+
+        ``release_caches`` (default True, r12): after the memoizing
+        materialization, unpersist the intermediates this frame's ops
+        pinned (``_caches``) — in a long-lived session they otherwise
+        accumulate until clearCache. Trade-off: a frame DERIVED from
+        this one after the release recomputes that lineage uncached
+        (derive first, collect last — or pass ``release_caches=False``
+        and call :meth:`release_caches` yourself)."""
         if "rows" not in self._memo:
             self._memo["rows"] = [r.asDict(recursive=True) for r in self.df.collect()]
+        if release_caches:
+            self.release_caches()
         import copy
 
         return copy.deepcopy(self._memo["rows"])
+
+    def release_caches(self) -> int:
+        """Unpersist every intermediate this frame's ops pinned; returns
+        the number released. Idempotent (a released handle is skipped on
+        the next call); safe at any time — caches are a performance
+        artifact, never a correctness one."""
+        n = 0
+        for c in self._caches:
+            try:
+                if c.storageLevel.useMemory or c.storageLevel.useDisk:
+                    c.unpersist()
+                    n += 1
+            except Exception:  # pragma: no cover — a dead session etc.
+                pass
+        return n
 
     def show(self, n: int = 5, truncate: bool = True):
         return self.df.show(n, truncate=truncate)

@@ -181,6 +181,7 @@ def lsh_candidate_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
     )
+    pairs._docetl_cached_input = banded  # release: .unpersist() when done
     return pairs
 
 
@@ -347,18 +348,25 @@ def connected_components(
         def _label_frame():
             # Arrow literal frame (JVM LocalRelation) — the pickled-RDD
             # list-of-tuples path pays a Python-worker round trip on
-            # EVERY action that reads it (r11 ann_ivf_persisted finding)
-            try:
-                import pyarrow as pa
-                from pyspark.sql.pandas.types import to_arrow_schema
+            # EVERY action that reads it (r11 ann_ivf_persisted finding).
+            # Gated on flat atomic non-temporal id types (r12, ADVICE
+            # r11: temporal values can Arrow-convert to different values
+            # silently); otherwise the portable pickled path.
+            from ..session import arrow_literal_ok
 
-                return spark.createDataFrame(
-                    pa.Table.from_pylist(
-                        [{id_col: v, "component": c} for v, c in labels],
-                        schema=to_arrow_schema(schema)),
-                    schema=schema)
-            except Exception:  # exotic id types: keep the portable path
-                return spark.createDataFrame(labels, schema=schema)
+            if arrow_literal_ok(schema):
+                try:
+                    import pyarrow as pa
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    return spark.createDataFrame(
+                        pa.Table.from_pylist(
+                            [{id_col: v, "component": c} for v, c in labels],
+                            schema=to_arrow_schema(schema)),
+                        schema=schema)
+                except Exception:
+                    pass
+            return spark.createDataFrame(labels, schema=schema)
 
         if vertices is None:
             return _label_frame()

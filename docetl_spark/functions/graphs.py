@@ -166,7 +166,8 @@ def triangle_count(
                    " * (degree - 1)) AS BIGINT)"),
         ).alias("cc_bp"),
     )
-    out._docetl_cached_input = oriented  # release: .unpersist() when done
+    # release handles (list form, r12): both pinned frames
+    out._docetl_cached_input = [oriented, deg]
     return out
 
 
@@ -273,6 +274,7 @@ def pagerank(
             F.col("_od"),
         )
     rank = state.select("node", F.col("_r0").alias("rank"), "_base", "_od")
+    _iter_caches: list = []
     # r12 (guide §3.1): the rank table is node-sized; when the driver-
     # known node count clears the gate, broadcast it into the per-
     # iteration join so the (partitioned, cached) edge table is never
@@ -312,6 +314,7 @@ def pagerank(
                    " DIV 10000 AS BIGINT)").alias("rank"),
             "_base", "_od",
         ).cache()
+        _iter_caches.append(rank)
         # r11 optimization (the label_propagation precedent): rank is
         # referenced TWICE next iteration (the contribution join and
         # the rank carry-over) — uncached, each iteration's lineage
@@ -319,7 +322,9 @@ def pagerank(
         # cached frame is node-sized; caches release with the session's
         # clearCache / storage eviction.
     out = rank.select("node", F.col("rank").alias("rank_e12"))
-    out._docetl_cached_input = e  # release: .unpersist() when done
+    # release handles (list form, r12): the edge cache, the node/
+    # out-degree cache, and every iteration's rank cache
+    out._docetl_cached_input = [e, nodes] + _iter_caches
     return out
 
 
@@ -546,6 +551,7 @@ def label_propagation(
     except Exception:
         _node_limit = 4_000_000
     _bcast = _node_limit > 0 and nodes.count() <= _node_limit
+    _round_caches: list = []
 
     for _ in range(int(iters)):
         labeled = cur.select(F.col("_n").alias("_nb"),
@@ -572,6 +578,7 @@ def label_propagation(
             F.coalesce(F.col("_seed"), F.col("_best"), F.col("_lbl"))
             .alias("_lbl"),
         ).cache()
+        _round_caches.append(cur)
         # r11 optimization: cur is referenced TWICE next round (the
         # vote join and the label carry-over) — uncached, each round's
         # lineage re-executes the previous round's vote join, doubling
@@ -581,7 +588,9 @@ def label_propagation(
     out = cur.select(
         F.col("_n").alias("node"), F.col("_lbl").alias("label"),
         F.col("_seed").isNotNull().alias("is_seed"))
-    out._docetl_cached_input = adj  # release: .unpersist() when done
+    # release handles (list form, r12): the adjacency plus every
+    # round's label cache
+    out._docetl_cached_input = [adj] + _round_caches
     return out
 
 

@@ -1118,7 +1118,7 @@ def basket_pairs(
                                         F.col("_n").alias("n_b"))), "item_b")
     )
     out = broadcast_scalar_join(out, totals, df_col="pair_n", scalar_col="_bp_nb")
-    return out.select(
+    out = out.select(
         "item_a", "item_b", "pair_n", "n_a", "n_b",
         F.expr("pair_n * 10000 DIV _bp_nb").alias("support_bp"),
         F.expr("pair_n * 10000 DIV n_a").alias("conf_ab_bp"),
@@ -1131,6 +1131,8 @@ def basket_pairs(
             "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
         ).cast("long").alias("lift_micro"),
     )
+    out._docetl_cached_input = sets  # release: .unpersist() when done
+    return out
 
 
 def audience_overlap(

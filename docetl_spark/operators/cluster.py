@@ -201,15 +201,23 @@ def cluster(
     rows = [{id_col: ids[i], output_key: paths[i]} for i in range(n)]
     # Arrow literal frame (JVM LocalRelation) — the pickled-RDD path
     # pays a Python-worker round trip per downstream action (r11
-    # ann_ivf_persisted finding); fall back for exotic id types
-    try:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+    # ann_ivf_persisted finding). Gated on flat atomic non-temporal id
+    # types (r12, ADVICE r11: temporal values can Arrow-convert to
+    # different values silently); otherwise the portable pickled path.
+    from ..session import arrow_literal_ok
 
-        path_df = spark.createDataFrame(
-            pa.Table.from_pylist(rows, schema=to_arrow_schema(schema)),
-            schema=schema)
-    except Exception:
+    path_df = None
+    if arrow_literal_ok(schema):
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            path_df = spark.createDataFrame(
+                pa.Table.from_pylist(rows, schema=to_arrow_schema(schema)),
+                schema=schema)
+        except Exception:
+            path_df = None
+    if path_df is None:
         path_df = spark.createDataFrame(
             [(ids[i], paths[i]) for i in range(n)], schema=schema)
     return df.join(F.broadcast(path_df), id_col, "left")

@@ -441,16 +441,26 @@ def rank(
                 for i, r in enumerate(head)]
         # Arrow literal frame (JVM LocalRelation) — the pickled-RDD path
         # pays a Python-worker round trip per downstream action (r11
-        # ann_ivf_persisted finding); fall back for exotic column types
-        try:
-            import pyarrow as pa
-            from pyspark.sql.pandas.types import to_arrow_schema
+        # ann_ivf_persisted finding). Gated on flat atomic non-temporal
+        # schemas (r12, ADVICE r11: temporal columns can convert to
+        # DIFFERENT values via Arrow without raising — the Exception
+        # fallback alone can't catch that); everything else takes the
+        # portable pickled path explicitly.
+        from ..session import arrow_literal_ok
 
-            new_ranks = spark.createDataFrame(
-                pa.Table.from_pylist(rows, schema=to_arrow_schema(ranked.schema)),
-                schema=ranked.schema,
-            )
-        except Exception:
+        new_ranks = None
+        if arrow_literal_ok(ranked.schema):
+            try:
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                new_ranks = spark.createDataFrame(
+                    pa.Table.from_pylist(rows, schema=to_arrow_schema(ranked.schema)),
+                    schema=ranked.schema,
+                )
+            except Exception:
+                new_ranks = None
+        if new_ranks is None:
             new_ranks = spark.createDataFrame(rows, schema=ranked.schema)
         tail = ranked.filter(F.col(rank_col) > refine_head_size)
         ranked = new_ranks.unionByName(tail)

@@ -254,6 +254,21 @@ def retrieve_context_join(
     from .functions import similarity
     from .operators.resolve import embed_column
 
+    if id_col is not None:
+        # r12 (ADVICE r11): keying switched from per-row ids to query
+        # CONTENT in r11 — equal results on the documented contract
+        # (unique ids), but a caller relying on per-id keying (same id,
+        # different texts sharing one context) gets different behavior.
+        # Surface it instead of ignoring silently.
+        import warnings
+
+        warnings.warn(
+            "retrieve_context_join: id_col is ignored since the r11 "
+            "content-keyed rewrite — retrieval is keyed on the query "
+            "text itself; duplicate ids no longer merge candidate sets",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     if out_col in df.columns:
         df = df.drop(out_col)  # refresh case: re-retrieving over prior output
     # Retrieval is a pure function of the QUERY TEXT: embeddings, LSH

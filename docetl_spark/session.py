@@ -133,6 +133,27 @@ def widen_scan_for_agg(df, *keys):
     return df
 
 
+def arrow_literal_ok(schema) -> bool:
+    """True when every field of ``schema`` is a flat atomic NON-TEMPORAL
+    type the Arrow literal-frame path (``spark.createDataFrame(pa.Table
+    .from_pylist(...))`` -> JVM LocalRelation) is known value-exact for.
+
+    Why an explicit allow-list (ADVICE r11): the Arrow sites fall back
+    on Exception, which catches hard errors but not silent VALUE
+    differences — naive-datetime/timezone handling differs between the
+    Arrow conversion and the pickled-row path without raising, and
+    nested types change representation. Timestamps, dates, intervals
+    and nested types take the portable pickled path explicitly."""
+    allowed = {"string", "long", "integer", "short", "byte", "double",
+               "float", "boolean", "binary"}
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in allowed or t.startswith("decimal"):
+            continue
+        return False
+    return True
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames.
 

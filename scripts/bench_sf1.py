@@ -65,15 +65,32 @@ QUERIES = [
 
 
 def main(out_path: str = "BENCH_SF1_r09.json") -> None:
+    # r12 (VERDICT r12 #8): SPARK_GRAFT_SF1_ALL=1 covers the FULL bench
+    # registry (240 queries) instead of the curated 21 — at sf0.1 the
+    # driver's core sweep measures startup floors (165/240 queries are
+    # sub-second); only at sf1 does per-query core-ratio data separate
+    # floor-bound from compute-bound plans. Core count and shuffle
+    # partitions follow $SPARK_GRAFT_CPUS exactly like bench.py, so a
+    # low-core pass is just SPARK_GRAFT_CPUS=8 with a different
+    # out_path; SPARK_GRAFT_SF1_REPS>1 reports per-query mins.
+    names = list(bench.BENCH_QUERIES) if os.environ.get(
+        "SPARK_GRAFT_SF1_ALL") == "1" else QUERIES
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "1")))
     spark = get_spark(
         "docetl-spark-bench-sf1",
-        shuffle_partitions=32,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     control = bench.run_control(spark)
     results: dict[str, float] = {}
-    for name in QUERIES:
-        results[name] = round(bench.run_one(spark, name, SF1_DIR), 3)
+    for name in names:
+        try:
+            results[name] = round(
+                min(bench.run_one(spark, name, SF1_DIR) for _ in range(reps)), 3)
+        except Exception as e:  # pragma: no cover
+            results[name] = None
+            print(f"sf1 bench error {name}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            continue
         print(f"{results[name]:7.2f}  {name}", file=sys.stderr)
     control_end = bench.run_control(spark)
     drift = round((control + control_end) / (2 * bench.CONTROL_REF_SEC), 3)
@@ -85,14 +102,17 @@ def main(out_path: str = "BENCH_SF1_r09.json") -> None:
     except Exception:
         pass
     ratios = {
-        k: round(v / sf01[k], 2) for k, v in results.items() if sf01.get(k)
+        k: round(v / sf01[k], 2)
+        for k, v in results.items() if v is not None and sf01.get(k)
     }
 
     payload = {
         "sf": 1.0,
         "sf_emulated": True,
         "source": "scripts/make_sf1.py (10x sf0.1, offset keys, perturbed docs)",
-        "total_sec": round(sum(results.values()), 3),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "reps": reps,
+        "total_sec": round(sum(v for v in results.values() if v is not None), 3),
         "control_sec": control,
         "control_end_sec": control_end,
         "host_drift": drift,
