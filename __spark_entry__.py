@@ -1776,10 +1776,15 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from docetl_spark.streaming import events as stream_ops
 
-    clicks = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+    # r12: ONE streaming source, two filtered branches (a stream-stream
+    # self-join) — the former two read_events_stream calls each paid a
+    # batch schema read at plan time and doubled the source's file
+    # listing/offset tracking per micro-batch. Same rows either way.
+    ev = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(
         F.col("event_type") == "click"
     ).select("user_id", "event_id", "ts", "event_time")
-    errors = stream_ops.read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+    errors = ev.filter(
         F.col("event_type") == "error"
     ).select("user_id", "event_id", "ts", "event_time")
     joined = stream_ops.stream_interval_join(

@@ -1085,11 +1085,19 @@ def basket_pairs(
                 "support_bp", "conf_ab_bp", "conf_ba_bp", "lift_micro", "_bp_nb"}
     if item_col in reserved or basket_col in reserved:
         raise ValueError(f"basket_pairs reserves column names {sorted(reserved)}")
+    from ..session import widen_scan_for_agg
+
+    base = df.filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(F.col(basket_col).alias("_bk"),
+             F.col(item_col).cast("string").alias("_it"))
+    # r12 (guide §2.2): a single-row-group local scan is one task, which
+    # serialized the partial collect_set; keyed widening runs it at
+    # session width behind the same exchange the groupBy plans anyway
+    # (no-op on a many-split scan at scale) — the graph edge-build fix
+    base = widen_scan_for_agg(base, "_bk")
     sets = (
-        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .select(F.col(basket_col).alias("_bk"),
-                F.col(item_col).cast("string").alias("_it"))
-        .groupBy("_bk")
+        base.groupBy("_bk")
         .agg(F.sort_array(F.collect_set("_it")).alias("_is"))
         # referenced three times (item counts, basket total, pair
         # explosion) — uncached, the source scan + aggregation replay
