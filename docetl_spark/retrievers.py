@@ -301,28 +301,17 @@ def retrieve_context_join(
         .withColumn("_cid", F.md5(F.col("_ctext")))
         .dropDuplicates(["_cid"])
     ).cache()
-    # r12 optimization (guide §4.2/§4.5, VERDICT r12 #7): ONE embed pass
-    # over the union of distinct query texts and distinct corpus texts
-    # instead of two separate Arrow stages — the embedding is a pure
-    # per-text function, so batch composition cannot change any vector,
-    # and the fused stage pays the Python-worker spin-up + model init
-    # once. The embedded union persists (evictable; release handle below)
-    # because both side-filters read it — unpersisted, the embed UDF
-    # would re-run per side and the fusion would be cosmetic.
-    union = qd.select(
-        F.col("_rk").alias("_k"), F.col("_qtext").alias("_t"),
-        F.lit(True).alias("_isq"),
-    ).unionByName(c_base.select(
-        F.col("_cid").alias("_k"), F.col("_ctext").alias("_t"),
-        F.lit(False).alias("_isq"),
-    ))
-    emb = embed_column(union, ["_t"], backend, out_col="_v").persist()
-    q_emb = emb.filter(F.col("_isq")).select(
-        F.col("_k").alias("_rk"), F.col("_t").alias("_qtext"),
-        F.col("_v").alias("_qv"))
-    c_emb = emb.filter(~F.col("_isq")).select(
-        F.col("_t").alias("_ctext"), F.col("_k").alias("_cid"),
-        F.col("_v").alias("_cv"))
+    # r12 note (VERDICT r12 #7 — measured and REJECTED): fusing the two
+    # embed stages into one pass over the union of distinct query and
+    # corpus texts (persisting the embedded union for the side-filters)
+    # LOST to this two-stage shape in all alternating same-window pairs
+    # at sf0.1 AND sf1 (+0.2-0.6 s): the union cache materializes the
+    # embedding VECTORS through storage, which costs more than the one
+    # removed Arrow stage — the same lesson as the r11 theil_sen base
+    # cache (caching pays for expensive lineage read by small consumers,
+    # not for wide rows a fast stage can pipeline).
+    q_emb = embed_column(qd, ["_qtext"], backend, out_col="_qv")
+    c_emb = embed_column(c_base, ["_ctext"], backend, out_col="_cv")
 
     def _vector_topk(kk: int, vmethod: str):
         if vmethod == "lsh":
@@ -392,9 +381,8 @@ def retrieve_context_join(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .drop("_rk")
     )
-    # release handles: .unpersist() when done (list form — both the
-    # deduped corpus and the fused embedding table are pinned)
-    out._docetl_cached_input = [c_base, emb]
+    # release handle: .unpersist() when done (the deduped corpus cache)
+    out._docetl_cached_input = [c_base]
     return out
 
 

