@@ -2183,7 +2183,17 @@ def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compares in exact cross-multiplied decimal/int form
     (rev_part * n_parts * 2 > rev_total * 3), so no double fraction
     sits on the boundary."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    from docetl_spark.session import widen_scan_for_agg
+
+    # r12 (guide §2.2): the single-row-group scan ran the decimal
+    # partial aggregation on one core — and broadcast_scalar_join
+    # references the per_part subtree twice, so twice over. Keyed
+    # widening runs both at session width; no-op on many-split scans.
+    li = widen_scan_for_agg(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"),
+        "l_partkey",
+    )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("_rev"))

@@ -145,6 +145,14 @@ def triangle_count(
         limit = 4_000_000
     if limit > 0 and oriented.count() <= limit:
         n1, n2 = F.broadcast(n1), F.broadcast(n2)
+    else:
+        # r12 (guide §3.1): above the broadcast gate the planner picked
+        # sort-merge, which SORTS the m-row oriented table twice and
+        # the wide neighbor-array side once each — shuffled-hash builds
+        # the node-sized array table per partition instead (its per-
+        # partition build is bounded by the same O(m) total payload the
+        # old broadcast relied on, now split across the shuffle).
+        n1, n2 = n1.hint("shuffle_hash"), n2.hint("shuffle_hash")
     tri = (
         oriented.join(n1, "lo").join(n2, "hi", "left")
         .select("lo", "hi", F.expr(
