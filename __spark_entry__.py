@@ -1464,6 +1464,14 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("text")
     )
     stream = stream_ops.read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    # r12 measured-and-REJECTED: repartitioning the stream before the
+    # gram filter (to parallelize the Python kernel beyond the scan's
+    # split count) LOST at the sf1 slice (~4.5 -> ~8.8 s floors) — the
+    # per-batch round-robin shuffle moves every text byte, and the
+    # kernel (bloom prefilter + vectorized searchsorted) is too light to
+    # pay for it, the same verdict as decontaminate()'s batch-path A/B.
+    # The old 9.04x sf1 ratio was the FIXTURE's unsplittable single-row-
+    # group layout, fixed in make_sf1.py, not a plan defect.
     clean = training.decontaminate(stream, bench, n=13).select("doc_id")
     rows = stream_ops.run_available_now(
         clean, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_decon_"),
@@ -2981,8 +2989,15 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the shingle Arrow UDF is referenced by BOTH join sides —
     # uncached it ran the full corpus pass twice (r11, guide §4.2);
     # doc-grain arrays, evictable storage, released by the bench's
-    # per-query cache clear
-    shingled = docs.select(
+    # per-query cache clear. r12: widened first (guide §4.1) — a
+    # single-row-group documents scan is ONE task, serializing the whole
+    # corpus's shingling onto one core (the minhash_near_dup site at
+    # line 314 already widened; this inline site had not — it was the
+    # 7.7x sf1 ratio the r11 verdict flagged). Round-robin widening is
+    # row-local and result-invariant; no-op on a many-split scan.
+    from docetl_spark.session import widen_for_udf
+
+    shingled = widen_for_udf(docs).select(
         "doc_id", shingles(F.col("text"), 3).alias("_sh")).persist()
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
     b = shingled.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))

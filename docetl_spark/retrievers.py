@@ -342,14 +342,23 @@ def retrieve_context_join(
             corpus_id="_cid", corpus_text="_ctext",
             query_id="_rk", query_text="_qtext",
         ).select("_rk", "_cid", F.col("rank").alias("_rl"))
-        fused = (
-            v.join(l, ["_rk", "_cid"], "full")
-            .withColumn(
-                "_rrf",
-                F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rv")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rl")), F.lit(0.0)),
-            )
-        )
+        # r12 (guide §2.4/§3.1): the RRF fuse was a FULL OUTER join of the
+        # two per-query top-k tables — full outer cannot broadcast either
+        # side, so the planner sort-merged it (two sorted exchanges on
+        # (_rk, _cid)) no matter how small the inputs. The same score is
+        # a union + one hash aggregation: each side contributes
+        # 1/(rrf_k + rank) and a doc absent from a side contributes 0.0
+        # exactly — a (_rk, _cid) group holds at most two doubles, and
+        # IEEE addition of two values is order-independent, so the sum
+        # is bit-identical to the old coalesce(...)+coalesce(...).
+        contrib = v.select(
+            "_rk", "_cid",
+            (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rv"))).alias("_c"),
+        ).unionByName(l.select(
+            "_rk", "_cid",
+            (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("_rl"))).alias("_c"),
+        ))
+        fused = contrib.groupBy("_rk", "_cid").agg(F.sum("_c").alias("_rrf"))
         from pyspark.sql import Window as W
 
         wq = W.partitionBy("_rk").orderBy(F.col("_rrf").desc(), F.col("_cid").asc())

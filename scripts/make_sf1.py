@@ -100,7 +100,18 @@ def main(out_dir: str = "/tmp/sf1") -> None:
         df = spark.read.parquet(f"{SRC}/{table}.parquet")
         out = df if not keys else _replicate(df, keys, extras.get(table))
         dest = f"{out_dir}/{table}.parquet"
-        out.coalesce(8).write.mode("overwrite").parquet(dest)
+        # r12: the old ``coalesce(8)`` was a silent no-op — the sf0.1
+        # source is ONE single-row-group file, so the scan is ONE
+        # partition and coalesce cannot RAISE the count. Every sf1 table
+        # therefore landed as one unsplittable row group, and every
+        # sf1 query paid a serial scan+decompress (3s for documents'
+        # text column, more for lineitem) that measured the FIXTURE,
+        # not the plan — real 100 TB inputs arrive in thousands of
+        # splits. repartition() actually widens; 16 files for the
+        # replicated fact tables keeps files ~0.5-5 MB (split-friendly,
+        # still few enough that listing stays trivial).
+        n_files = 16 if keys else 1
+        out.repartition(n_files).write.mode("overwrite").parquet(dest)
         print(f"{table}: {spark.read.parquet(dest).count()} rows -> {dest}")
     spark.stop()
 
