@@ -132,4 +132,4 @@ if __name__ == "__main__":
     # sf0.1, then this script with the round's artifact name — a
     # committed BENCH_SF1_r{N}.json per round makes 10x-scale
     # regression detection continuous, not a one-off.
-    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r11.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_SF1_r12.json")
