@@ -417,10 +417,27 @@ def ivf_index(
     def nearest_list(s: pd.Series) -> pd.Series:
         c = b.value
         m = np.array(s.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int64))
+        return pd.Series(_nearest_centroid(m, c).astype(np.int64))
 
     return base.withColumn("_ivf_list", nearest_list(F.col("_v64"))).drop("_v64"), centroids
+
+
+def _nearest_centroid(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """argmin_c ||x - c||² per row of ``m`` via the expansion
+    argmin_c (||c||² - 2 x·c): one BLAS matmul instead of materializing
+    the n x k x dim broadcast difference — the r12 fix for
+    cluster_docs_distributed's 17 s driver k-means fit at sf1 (the old
+    form cost O(n·k·dim) in allocator-bound numpy: 19.9 s measured for
+    n=16384, k=200, dim=64; this form runs it in milliseconds). Numeric
+    note: rounding differs from the subtract form, so a point nearly
+    equidistant to two centroids may flip lists — every declared-query
+    consumer is invariant to assignment (ann_ivf/ann_ivf_persisted's
+    oracles are exact brute-force because probing covers all lists;
+    cluster_docs_distributed's oracle pins only the size-invariant
+    root), and the similarity-suite properties (consistency,
+    brute-force parity on separable data, probe pruning) are
+    assignment-shape tests, not FP pins."""
+    return (-2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]).argmin(axis=1)
 
 
 def _kmeans_fit(mat: "np.ndarray", k: int, *, seed: int = 42, max_iter: int = 10) -> "np.ndarray":
@@ -431,8 +448,7 @@ def _kmeans_fit(mat: "np.ndarray", k: int, *, seed: int = 42, max_iter: int = 10
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=k, replace=False)]
     for _ in range(max_iter):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _nearest_centroid(mat, centroids)
         new = np.array([
             mat[assign == j].mean(axis=0) if (assign == j).any() else centroids[j] for j in range(k)
         ])

@@ -147,10 +147,14 @@ def ivf_append(
 
     @F.pandas_udf(T.LongType())
     def nearest_list(s: pd.Series) -> pd.Series:
+        from .similarity import _nearest_centroid
+
         c = b.value
         m = np.array(s.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int64))
+        # BLAS-form argmin (see similarity._nearest_centroid) — the
+        # persisted index's oracle probes all lists (exact brute-force),
+        # so list assignment is not result-pinned
+        return pd.Series(_nearest_centroid(m, c).astype(np.int64))
 
     assigned = delta.select(
         F.col(meta["id_col"]),
