@@ -992,7 +992,7 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_rollup_"),
         dedupe_keys=["window_start_epoch", "event_type"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = "window_start_epoch long, event_type string, n long, value_cents long"
     return stream_ops.drained_df(spark, rows, schema)
@@ -1017,7 +1017,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "hour_epoch")
     rows = stream_ops.run_available_now(
         deduped, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_dedup_"),
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = "user_id long, event_type string, hour_epoch long"
     return stream_ops.drained_df(spark, rows, schema)
@@ -1041,7 +1041,7 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fp.alias("_fp"))
     )
     fresh = stream_ops.stream_dedup_against_corpus(stream, corpus, on="_fp").select("doc_id")
-    rows = stream_ops.run_available_now(fresh, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sdc_"), shuffle_partitions=8)
+    rows = stream_ops.run_available_now(fresh, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sdc_"), shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/documents.parquet"))
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
 
@@ -1060,7 +1060,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sess_"),
         dedupe_keys=["user_id", "session_id"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = "user_id long, session_id long, n_events long, start_epoch long, end_epoch long"
     return stream_ops.drained_df(spark, rows, schema).withColumn(
@@ -1086,7 +1086,7 @@ def events_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_roll_"),
         dedupe_keys=["event_id"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = ("event_id long, user_id long, event_idx long, gap_ns long, "
               "rolling_n long, rolling_cents long")
@@ -1475,7 +1475,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = training.decontaminate(stream, bench, n=13).select("doc_id")
     rows = stream_ops.run_available_now(
         clean, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_decon_"),
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/documents.parquet"),
     )
     return stream_ops.drained_df(spark, rows, "doc_id long")
 
@@ -1558,7 +1558,7 @@ def stream_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sentiment")
     rows = stream_ops.run_available_now(
         enriched, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_semmap_"),
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/documents.parquet"),
     )
     return stream_ops.drained_df(spark, rows, "doc_id long, sentiment string")
 
@@ -1807,7 +1807,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = stream_ops.run_available_now(
         joined, checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_ivj_"), output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = "user_id long, click_id long, err_id long, click_epoch long, err_epoch long"
     return stream_ops.drained_df(spark, rows, schema)
@@ -2572,7 +2572,7 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fun,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_funnel_"),
         dedupe_keys=["user_id"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     schema = ("user_id long, step1_ts long, step2_ts long, step3_ts long, "
               "reached int")
@@ -2715,7 +2715,7 @@ def events_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_trans_"),
         output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     drained = stream_ops.drained_df(spark, rows, "from_state string, to_state string")
     return drained.groupBy("from_state", "to_state").agg(
@@ -2829,7 +2829,7 @@ def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_hh_"),
         dedupe_keys=["user_id", "event_type"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     drained = stream_ops.drained_df(
         spark, rows, "user_id long, event_type string, count long"
@@ -3234,7 +3234,7 @@ def events_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_hist_"),
         dedupe_keys=["event_type", "bin_lo"],
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     drained = stream_ops.drained_df(
         spark, rows, "event_type string, bin_lo long, count long"
@@ -3260,7 +3260,7 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stream_ops.run_available_now(
         out,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_srt_"),
-        output_mode="append", shuffle_partitions=8,
+        output_mode="append", shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     return stream_ops.drained_df(
         spark, rows, "user_id long, event_id long, cum_value long"
@@ -3581,7 +3581,7 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stream_ops.run_available_now(
         out,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_scu_"),
-        output_mode="append", shuffle_partitions=8,
+        output_mode="append", shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     return stream_ops.drained_df(
         spark, rows, "user_id long, event_id long, cusum_cents long, alarm boolean"
@@ -3606,7 +3606,7 @@ def events_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_sdr_"),
         dedupe_keys=["window_start"], output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     return stream_ops.drained_df(
         spark, rows,
@@ -4461,7 +4461,7 @@ def events_stream_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = stream_ops.run_available_now(
         out,
         checkpoint=stream_ops.scratch_checkpoint_dir("ckpt_smx_"),
-        output_mode="append", shuffle_partitions=8,
+        output_mode="append", shuffle_partitions=stream_ops.adaptive_state_partitions(spark, f"{sf_dir}/events.parquet"),
     )
     return stream_ops.drained_df(
         spark, rows,

@@ -450,6 +450,39 @@ def stream_interval_join(
     return lw.join(rw, cond, "inner").drop(f"{right_prefix}{on}")
 
 
+def adaptive_state_partitions(
+    spark, source_path: str, *, floor: int = 8,
+    bytes_per_partition: int = 256 << 10,
+) -> int:
+    """State-store partition count scaled to the DRIVER-KNOWN source
+    size: clamp(floor, cores, source_bytes / bytes_per_partition).
+
+    Stateful operators create one state store per shuffle partition per
+    stateful op, and every micro-batch pays an init/commit cycle per
+    store — so a SMALL drain wants few partitions (r10 measured the
+    interval join 6.1 -> 2.5 s going 32 -> 8 at the bench's sf0.1),
+    while a drain with 10x the rows wants the parallelism back (the r12
+    sf1 slice measured rolling 19-24 s at 8 partitions vs ~11.4 s at
+    32, sessions similarly). A constant tuned for either scale is wrong
+    at the other (round rules: scale-adaptive, parameterized, local
+    defaults); at 100 TB the byte heuristic saturates at the core count,
+    which is the session's stateful parallelism ceiling anyway. The
+    count is a physical-layout knob only — state contents and emitted
+    rows are identical at any value (each drain's hash oracle pins it).
+    """
+    import os
+
+    try:
+        nbytes = (
+            os.path.getsize(source_path) if os.path.isfile(source_path)
+            else sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(source_path) for f in fs))
+    except OSError:
+        return floor
+    cores = spark.sparkContext.defaultParallelism or floor
+    return max(floor, min(cores, nbytes // bytes_per_partition))
+
+
 def run_available_now(stream_df: DataFrame, *, checkpoint: str,
                       dedupe_keys: list[str] | None = None,
                       output_mode: str = "update",
