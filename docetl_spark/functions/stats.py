@@ -10,7 +10,7 @@ because nothing ever leaves the executors except the top-N rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def broadcast_scalar_join(
@@ -1766,6 +1766,75 @@ def _global_cumsum(df: DataFrame, order_col, sum_cols: list[str],
         out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + offset)
     out = out.drop("_pid")
     return (out, dict(acc)) if with_totals else out
+
+
+def _grouped_row_number(df: DataFrame, by: list[str], value_col: str,
+                        rank_col: str, total_col: str):
+    """Distributed PER-GROUP 1-based rank by ``value_col`` plus the
+    group total, without ever serializing a group into one window task
+    — the grouped twin of ``_global_cumsum`` (guide §2.5: a
+    low-cardinality or hub group key turns the plain
+    ``row_number().over(partitionBy(by).orderBy(v))`` plan into
+    N_groups serial sort tasks; lineitem_trimmed_mean's 3-value
+    l_returnflag sorted 3 x 2M rows on 3 cores, 9.8 s at sf1).
+
+    Mechanism: range-repartition on (by..., value) — lexicographic, so
+    each group occupies a contiguous partition RUN and one partition
+    holds at most a bounded value range of it — then per-(partition,
+    group) local row_number plus a driver-built offset map at the
+    (partition, group) grain (tiny: partitions x groups rows, attached
+    via a broadcast null-safe join, not a literal map, so any group-key
+    type/NULL works). Same persist/cache discipline as _global_cumsum:
+    the sorted table stays cached so the offset map describes exactly
+    the partitions the windowed job reads (release handle attached by
+    the CALLER on its result).
+
+    Tie order within equal (by, value) is arbitrary-but-valid, exactly
+    like the window row_number it replaces. Returns (ranked_df, sorted_cache)
+    — ranked_df carries ``rank_col`` and ``total_col``.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism or 8
+    order = [F.col(c).asc() for c in by] + [F.col(value_col).asc()]
+    src = df.persist()
+    s = (
+        src.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    rows = s.groupBy("_pid", *by).agg(F.count(F.lit(1)).alias("_c")).collect()
+    src.unpersist()
+    acc: dict = {}
+    recs = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in by)
+        recs.append({"_pid": r["_pid"], **{c: r[c] for c in by},
+                     "_off": acc.get(key, 0)})
+        acc[key] = acc.get(key, 0) + r["_c"]
+    for rec in recs:
+        rec["_tot"] = acc[tuple(rec[c] for c in by)]
+    spark = df.sparkSession
+    off_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType(), False)]
+        + [T.StructField(c, df.schema[c].dataType, True) for c in by]
+        + [T.StructField("_off", T.LongType(), False),
+           T.StructField("_tot", T.LongType(), False)]
+    )
+    offs = spark.createDataFrame(
+        [tuple(rec[f.name] for f in off_schema.fields) for rec in recs],
+        schema=off_schema,
+    )
+    w = W.partitionBy("_pid", *by).orderBy(F.col(value_col).asc())
+    local = s.withColumn("_lr", F.row_number().over(w))
+    cond = local["_pid"] == offs["_pid"]
+    for c in by:
+        cond = cond & local[c].eqNullSafe(offs[c])
+    ranked = local.join(F.broadcast(offs), cond).select(
+        *[local[c] for c in df.columns],
+        (F.col("_lr") + F.col("_off")).alias(rank_col),
+        F.col("_tot").alias(total_col),
+    )
+    return ranked, s
 
 
 def _checked_binary_label(label_col: str, op: str):

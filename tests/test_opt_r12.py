@@ -162,3 +162,53 @@ def test_every_functions_cache_carries_release_convention():
             offenders.append(key)
     assert offenders == [], (
         f"caches without a release handle or inline unpersist: {offenders}")
+
+
+# ------------------------------------------------- grouped range rank
+def test_trimmed_mean_range_impl_matches_window(spark):
+    """rank_impl='range' (the grouped range-partition rank that keeps a
+    hub/low-cardinality group's sort off one task, r12 change #17) must
+    produce the identical result as the window impl — including NULL
+    group keys, ties straddling the trim boundary, and groups smaller
+    than the trim."""
+    from docetl_spark.functions.mlstats import trimmed_mean_by
+
+    rows = []
+    for i in range(997):
+        g = [None, "a", "b", "c"][i % 4] if i % 11 else None
+        v = float((i * 37) % 100) / 4.0  # heavy ties
+        rows.append((g, v))
+    rows.append(("tiny", 1.0))  # single-row group
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def canon(frame):
+        return sorted((tuple(r) for r in frame.collect()),
+                      key=lambda t: (t[0] is None, t))
+
+    w = canon(trimmed_mean_by(df, "v", by=["g"], trim_bp=500,
+                              rank_impl="window"))
+    r = canon(trimmed_mean_by(df, "v", by=["g"], trim_bp=500,
+                              rank_impl="range"))
+    assert w == r
+    assert len(w) == 5  # NULL, a, b, c, tiny
+
+
+def test_grouped_row_number_ranks_are_dense_per_group(spark):
+    """Every group gets ranks 1..n with the correct total, regardless of
+    how the range partitioner splits the group across partitions."""
+    from docetl_spark.functions.stats import _grouped_row_number
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 7)) for i in range(500)], "g string, v double")
+    ranked, handle = _grouped_row_number(df, ["g"], "v", "_r", "_n")
+    rows = ranked.collect()
+    handle.unpersist()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["_r"], r["_n"]))
+    for g, pairs in by_g.items():
+        ranks = sorted(p[0] for p in pairs)
+        n = pairs[0][1]
+        assert ranks == list(range(1, len(pairs) + 1)), g
+        assert all(p[1] == len(pairs) for p in pairs), g
+        assert n == len(pairs)
